@@ -1,0 +1,47 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Helpers enforcing SURVEY.md §2.0 determinism rules D1–D4 so every query
+  * output hash-matches the DuckDB oracle bit-for-bit.
+  *
+  * D1: never aggregate raw doubles — cast to DECIMAL first (decimal addition
+  *     is exact and order-independent, so Spark's partial aggregation over any
+  *     partitioning agrees with DuckDB's single-threaded sum). Verified this
+  *     session: `CAST(x AS DECIMAL(18,2))` produces identical values on both
+  *     engines for every money column at sf0.01 and sf0.1.
+  * D2: total output order over a unique key set (callers' responsibility;
+  *     helpers here only make the aggregates order-independent).
+  * D3: no raw doubles in output unless the IEEE expression tree is identical
+  *     on both engines (per-row scalar arithmetic only).
+  * D4: timestamps leave the plan as DATE or epoch-seconds BIGINT.
+  */
+object Determinism {
+  val Dec18_2: DecimalType = DecimalType(18, 2)
+  val Out38_2: DecimalType = DecimalType(38, 2)
+  val Out38_4: DecimalType = DecimalType(38, 4)
+
+  /** D1 pre-aggregation cast for money/measure doubles. */
+  def dec2(c: Column): Column = c.cast(Dec18_2)
+
+  /** D1 exact decimal SUM, pinned to an explicit output type both engines
+    * can declare (DuckDB SUM(DECIMAL) widens to 38 digits; we mirror). */
+  def sum2(c: Column): Column = sum(dec2(c)).cast(Out38_2)
+
+  /** Revenue-style product kept entirely in the decimal domain:
+    * dec(price) * (1 - dec(discount)) — exact on both engines. */
+  def revenue(price: Column, discount: Column): Column =
+    dec2(price) * (lit(1) - dec2(discount))
+
+  def sumRevenue(price: Column, discount: Column): Column =
+    sum(revenue(price, discount)).cast(Out38_4)
+
+  /** D4: TimestampNTZ column → epoch seconds BIGINT (session TZ is UTC on
+    * both engines, so NTZ→TZ→epoch equals DuckDB's epoch(ts)). */
+  def epochS(c: Column): Column = c.cast(TimestampType).cast(LongType)
+
+  /** D4: NTZ timestamp → DATE. */
+  def asDate(c: Column): Column = c.cast(DateType)
+}
