@@ -26,6 +26,10 @@ object Determinism {
   /** D1 pre-aggregation cast for money/measure doubles. */
   def dec2(c: Column): Column = c.cast(Dec18_2)
 
+  /** D1 cast with explicit precision/scale (mirrored exactly in oracle SQL
+    * so intermediate decimal widths stay under both engines' 38-digit cap). */
+  def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
   /** D1 exact decimal SUM, pinned to an explicit output type both engines
     * can declare (DuckDB SUM(DECIMAL) widens to 38 digits; we mirror). */
   def sum2(c: Column): Column = sum(dec2(c)).cast(Out38_2)
@@ -38,8 +42,10 @@ object Determinism {
   def sumRevenue(price: Column, discount: Column): Column =
     sum(revenue(price, discount)).cast(Out38_4)
 
-  /** D4: TimestampNTZ column → epoch seconds BIGINT (session TZ is UTC on
-    * both engines, so NTZ→TZ→epoch equals DuckDB's epoch(ts)). */
+  /** D4: timestamp column → epoch seconds BIGINT (session TZ is UTC on both
+    * engines). Spark's timestamp→long FLOORS sub-second fractions; DuckDB's
+    * `epoch(ts)::BIGINT` ROUNDS (double→int cast) — oracles must therefore
+    * spell it `CAST(floor(epoch(ts)) AS BIGINT)`. */
   def epochS(c: Column): Column = c.cast(TimestampType).cast(LongType)
 
   /** D4: NTZ timestamp → DATE. */
