@@ -1,0 +1,243 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+import graft.util.Determinism._
+
+/** SURVEY.md §2.H — scalar function families, one query per family, each
+  * exercising the codegen'd built-ins (never UDFs — rule: functions stay
+  * inside whole-stage codegen). Oracle SQL mirrors every Spark↔DuckDB
+  * dialect rename (instr→strpos, split[i] 1-based both, datediff arg order,
+  * pmod expansion, get_json_object→json_extract_string, 'g' flag on
+  * regexp_replace); every construct was executed against DuckDB 1.0 before
+  * being declared here.
+  *
+  * Spark 4 runs with ANSI mode on: overflow demonstrations go through
+  * try_cast / try_element_at so both engines yield NULL, not errors.
+  */
+object Scalars {
+
+  def fnString(spark: SparkSession, sf: String): DataFrame =
+    customer(spark, sf)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_name")).as("lo"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("cw"),
+        regexp_replace(col("c_name"), "0", "O").as("rep"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("lp"),
+        length(col("c_name")).as("len"),
+        instr(col("c_name"), "1").as("pos1"),
+        element_at(split(col("c_name"), "#"), 1).as("prefix"))
+      .orderBy(col("c_custkey"))
+
+  def fnRegex(spark: SparkSession, sf: String): DataFrame =
+    customer(spark, sf)
+      .where(col("c_name").rlike("[13579]$"))
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"))
+      .orderBy(col("c_custkey"))
+
+  def fnDate(spark: SparkSession, sf: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    orders(spark, sf)
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        year(d).as("y"), month(d).as("m"), dayofmonth(d).as("d"),
+        date_add(d, 30).as("plus30"),
+        datediff(d, lit("1995-01-01")).as("days_since"),
+        last_day(d).as("month_end"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  def fnMath(spark: SparkSession, sf: String): DataFrame =
+    part(spark, sf)
+      .select(col("p_partkey"),
+        abs(col("p_size") - 25).as("a"),
+        ceil(col("p_retailprice")).as("ce"),
+        floor(col("p_retailprice")).as("fl"),
+        round(dec2(col("p_retailprice")), 1).as("r1"),
+        (col("p_partkey") % 7).as("m7"),
+        pmod(col("p_partkey") - 100, lit(7)).as("pm7"),
+        pow(lit(2), col("p_partkey") % 10).cast("long").as("p2"),
+        signum(col("p_size") - 25).cast("int").as("sg"),
+        greatest(col("p_size"), lit(10)).as("gr"),
+        least(col("p_size"), lit(40)).as("le"))
+      .orderBy(col("p_partkey"))
+
+  def fnConditional(spark: SparkSession, sf: String): DataFrame =
+    orders(spark, sf)
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") < 100000.0, "low")
+          .when(col("o_totalprice") < 300000.0, "mid")
+          .otherwise("high").as("band"),
+        nullif(col("o_orderstatus"), lit("O")).as("st_nullif"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st_filled"),
+        coalesce(nullif(col("o_orderpriority"), lit("5-LOW")), lit("LOW")).as("pri_filled"))
+      .orderBy(col("o_orderkey"))
+
+  def fnCast(spark: SparkSession, sf: String): DataFrame =
+    customer(spark, sf)
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
+      .select(col("c_custkey"), col("digits"),
+        col("digits").cast("bigint").as("as_int"),
+        expr("try_cast(concat(digits, '99999999999999999') AS BIGINT)").as("overflow_null"),
+        expr("try_cast('2024-02-30' AS DATE)").as("bad_date"))
+      .join(customer(spark, sf).select(col("c_custkey").as("ck"), col("c_acctbal")),
+        col("c_custkey") === col("ck"))
+      .select(col("c_custkey"), col("digits"), col("as_int"), col("overflow_null"),
+        col("bad_date"),
+        dec2(col("c_acctbal")).cast("string").as("bal_str"),
+        dec2(col("c_acctbal")).cast("string").cast(Dec18_2).as("bal_back"))
+      .orderBy(col("c_custkey"))
+
+  def fnArray(spark: SparkSession, sf: String): DataFrame = {
+    val words = split(col("text"), " ")
+    documents(spark, sf)
+      .select(col("doc_id"),
+        size(words).as("n_words"),
+        array_contains(words, "filter").as("has_filter"),
+        size(array_distinct(words)).as("n_distinct"),
+        concat_ws(" ", slice(array_sort(words), 1, 5)).as("first5"),
+        aggregate(words, lit(0), (acc, x) => acc + length(x)).as("total_chars"),
+        size(filter(words, w => length(w) > 5)).as("n_long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generator surface: 1 row in → N out with position (posexplode). */
+  def fnExplode(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "word")
+      .select(col("doc_id"), col("pos").cast("int").as("pos"), col("word"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** Map build + lookup. The map itself never leaves the plan (map value
+    * ordering is engine-specific) — outputs are lookups and cardinalities. */
+  def fnMap(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("cnt")))).as("m"))
+      .select(col("doc_id"),
+        coalesce(expr("try_element_at(m, 'data')"), lit(0L)).as("data_cnt"),
+        size(map_keys(col("m"))).as("n_keys"))
+      .orderBy(col("doc_id"))
+
+  def fnJson(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> fnString,
+    "fn_regex" -> fnRegex,
+    "fn_date" -> fnDate,
+    "fn_math" -> fnMath,
+    "fn_conditional" -> fnConditional,
+    "fn_cast" -> fnCast,
+    "fn_array" -> fnArray,
+    "fn_explode" -> fnExplode,
+    "fn_map" -> fnMap,
+    "fn_json" -> fnJson
+  )
+
+  def oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_name) AS lo,
+        |  substring(c_name, 1, 8) AS sub,
+        |  concat_ws('-', c_mktsegment, c_name) AS cw,
+        |  replace(c_name, '0', 'O') AS rep,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS lp,
+        |  CAST(length(c_name) AS INT) AS len,
+        |  CAST(strpos(c_name, '1') AS INT) AS pos1,
+        |  str_split(c_name, '#')[1] AS prefix
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_regex" ->
+      """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+        |FROM customer WHERE regexp_matches(c_name, '[13579]$')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT p_partkey,
+        |  abs(p_size - 25) AS a,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS r1,
+        |  p_partkey % 7 AS m7,
+        |  ((p_partkey - 100) % 7 + 7) % 7 AS pm7,
+        |  CAST(power(2, p_partkey % 10) AS BIGINT) AS p2,
+        |  CAST(sign(p_size - 25) AS INT) AS sg,
+        |  greatest(p_size, 10) AS gr,
+        |  least(p_size, 40) AS le
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 100000.0 THEN 'low'
+        |       WHEN o_totalprice < 300000.0 THEN 'mid'
+        |       ELSE 'high' END AS band,
+        |  nullif(o_orderstatus, 'O') AS st_nullif,
+        |  COALESCE(nullif(o_orderstatus, 'O'), 'OPEN') AS st_filled,
+        |  COALESCE(nullif(o_orderpriority, '5-LOW'), 'LOW') AS pri_filled
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_cast" ->
+      """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS as_int,
+        |  TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) || '99999999999999999' AS BIGINT) AS overflow_null,
+        |  TRY_CAST('2024-02-30' AS DATE) AS bad_date,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal_str,
+        |  CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS DECIMAL(18,2)) AS bal_back
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_array" ->
+      """SELECT doc_id,
+        |  CAST(len(str_split(text, ' ')) AS INT) AS n_words,
+        |  list_contains(str_split(text, ' '), 'filter') AS has_filter,
+        |  CAST(len(list_distinct(str_split(text, ' '))) AS INT) AS n_distinct,
+        |  array_to_string(list_sort(str_split(text, ' '))[1:5], ' ') AS first5,
+        |  CAST(list_aggregate(list_transform(str_split(text, ' '), x -> length(x)), 'sum') AS INT) AS total_chars,
+        |  CAST(len(list_filter(str_split(text, ' '), w -> length(w) > 5)) AS INT) AS n_long
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fn_explode" ->
+      """SELECT doc_id, CAST(generate_subscripts(words, 1) - 1 AS INT) AS pos,
+        |       unnest(words) AS word
+        |FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents WHERE doc_id < 100)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "fn_map" ->
+      """SELECT doc_id,
+        |  count(*) FILTER (WHERE word = 'data') AS data_cnt,
+        |  CAST(count(DISTINCT word) AS INT) AS n_keys
+        |FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  event_type
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+import graft.util.Determinism._
+
+/** SURVEY.md §2.E — window functions. All six queries keep the window frame
+  * semantics deterministic: ranking windows either order on a unique key
+  * combination (D2) or compute functions that depend only on the order-key
+  * values (rank/dense_rank over ties); fractional analytics leave the plan as
+  * `floor(x*1e9+0.5)` BIGINTs so both engines evaluate the identical IEEE
+  * expression tree (D3).
+  *
+  * Scale: every window partitions by a high-cardinality key (custkey /
+  * user_id) except `window_ntile_pct`, which is a deliberate global-order
+  * demonstration — at 100 TB that one becomes a range-partitioned sort
+  * (Spark plans a single-partition window; the test suite documents it).
+  */
+object Windows {
+
+  def windowRank(spark: SparkSession, sf: String): DataFrame = {
+    val oyear = year(col("o_orderdate").cast("date"))
+    val wTies = Window.partitionBy(col("o_custkey")).orderBy(oyear.desc)
+    val wUniq = Window.partitionBy(col("o_custkey"))
+      .orderBy(oyear.desc, col("o_orderkey").asc)
+    orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), oyear.as("oyear"),
+        rank().over(wTies).as("rnk"),
+        dense_rank().over(wTies).as("drnk"),
+        row_number().over(wUniq).as("rn"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  def windowRunningSum(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec2(col("o_totalprice"))).over(w).cast(Out38_2).as("running"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  def windowLagLead(spark: SparkSession, sf: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(d.asc, col("o_orderkey").asc)
+    orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(d, lag(d, 1).over(w)).as("prev_gap"),
+        datediff(lead(d, 1).over(w), d).as("next_gap"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Global-order analytics (single-partition window by design). Fractions
+    * leave the plan as floor(x*1e9+0.5) BIGINT — IEEE-identical both sides. */
+  def windowNtilePct(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.orderBy(col("p_retailprice").asc, col("p_partkey").asc)
+    def e9(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1.0e9) + lit(0.5)).cast("long")
+    part(spark, sf)
+      .select(col("p_partkey"), dec2(col("p_retailprice")).as("price"),
+        ntile(4).over(w).as("nt"),
+        e9(percent_rank().over(w)).as("pr_e9"),
+        e9(cume_dist().over(w)).as("cd_e9"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** RANGE frame over integer epoch-days: same-customer orders within ±30
+    * days of each order. */
+  def windowRangeFrame(spark: SparkSession, sf: String): DataFrame = {
+    val days = datediff(col("o_orderdate").cast("date"), lit("1990-01-01"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("days"))
+      .rangeBetween(-30, 30)
+    orders(spark, sf)
+      .withColumn("days", days)
+      .select(col("o_custkey"), col("o_orderkey"), col("days"),
+        count(lit(1)).over(w).as("n_near"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  def windowFirstLast(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(spark, sf)
+      .select(col("user_id"),
+        first(col("event_type")).over(w).as("first_et"),
+        last(col("event_type")).over(w).as("last_et"))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rank" -> windowRank,
+    "window_running_sum" -> windowRunningSum,
+    "window_lag_lead" -> windowLagLead,
+    "window_ntile_pct" -> windowNtilePct,
+    "window_range_frame" -> windowRangeFrame,
+    "window_first_last" -> windowFirstLast
+  )
+
+  def oracle: Map[String, String] = Map(
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(year(o_orderdate) AS INT) AS oyear,
+        |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) DESC) AS INT) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) DESC) AS INT) AS drnk,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) DESC, o_orderkey ASC) AS INT) AS rn
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(datediff('day', lag(CAST(o_orderdate AS DATE), 1) OVER w, CAST(o_orderdate AS DATE)) AS INT) AS prev_gap,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), lead(CAST(o_orderdate AS DATE), 1) OVER w) AS INT) AS next_gap
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_ntile_pct" ->
+      """SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+        |  CAST(ntile(4) OVER w AS INT) AS nt,
+        |  CAST(floor(percent_rank() OVER w * 1e9 + 0.5) AS BIGINT) AS pr_e9,
+        |  CAST(floor(cume_dist() OVER w * 1e9 + 0.5) AS BIGINT) AS cd_e9
+        |FROM part
+        |WINDOW w AS (ORDER BY p_retailprice ASC, p_partkey ASC)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days,
+        |  count(*) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        |    RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS n_near
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_first_last" ->
+      """SELECT DISTINCT user_id,
+        |  first_value(event_type) OVER w AS first_et,
+        |  last_value(event_type) OVER w AS last_et
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin
+  )
+}
