@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Windows.queries ++ ops.Scalars.queries
+    ops.Relational.queries ++ ops.Windows.queries ++ ops.Scalars.queries ++
+      ops.Etl.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Scalars.oracle
+    ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Scalars.oracle ++
+      ops.Etl.oracle
 }

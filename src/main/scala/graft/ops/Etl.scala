@@ -1,0 +1,260 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.util.Tables._
+import graft.util.Determinism._
+
+/** SURVEY.md §2.I — the ETL-pipeline operators that are the reference's
+  * declared identity (/root/reference/README.md:1: a telecom data ETL
+  * pipeline on AWS; no code exists in its tree — semantics per SURVEY §2).
+  *
+  * Patterns chosen for 100 TB: dedup and upsert are window-survivor
+  * formulations (single shuffle on the key, no driver-side state); conform
+  * joins broadcast the tiny dims; data-quality checks are unions of scalar
+  * aggregates (one pass per table, no collect); sessionization is the classic
+  * two-window composition (one shuffle on user_id).
+  */
+object Etl {
+
+  /** Exact dedup with a deterministic survivor (never bare dropDuplicates —
+    * rule D2): duplicates injected by re-unioning every 5th event. */
+  def etlDedupExact(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val dup = ev.unionByName(ev.where(col("event_id") % 5 === 0))
+    val w = Window.partitionBy(col("event_id")).orderBy(col("ts").asc)
+    dup.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochS(col("ts")).as("ts_epoch"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Standardize/enrich: trim+case-fold names, FK→dimension names via
+    * broadcast joins, defaulted segment, account-balance banding. */
+  def etlConform(spark: SparkSession, sf: String): DataFrame =
+    customer(spark, sf)
+      .join(broadcast(nation(spark, sf)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, sf)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"),
+        upper(trim(col("c_name"))).as("name_std"),
+        col("n_name"), col("r_name"),
+        coalesce(nullif(col("c_mktsegment"), lit("")), lit("UNKNOWN")).as("segment"),
+        when(col("c_acctbal") < 0, "NEG")
+          .when(col("c_acctbal") < 5000.0, "LOW")
+          .otherwise("HIGH").as("bal_band"))
+      .orderBy(col("c_custkey"))
+
+  /** Data-quality metric rowset: null counts, domain violations, orphan FKs,
+    * derived-column consistency — one aggregate pass per check, unioned. */
+  def etlValidateDq(spark: SparkSession, sf: String): DataFrame = {
+    def metric(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("value")).select(lit(name).as("metric"), col("value"))
+    val li = lineitem(spark, sf)
+    val o  = orders(spark, sf)
+    val c  = customer(spark, sf)
+    val ev = events(spark, sf)
+    val d  = documents(spark, sf)
+    metric("customer_null_nationkey", c.where(col("c_nationkey").isNull))
+      .unionByName(metric("lineitem_discount_oob",
+        li.where(col("l_discount") < 0 || col("l_discount") > 1)))
+      .unionByName(metric("lineitem_negative_qty", li.where(col("l_quantity") <= 0)))
+      .unionByName(metric("lineitem_orphan_order",
+        li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")))
+      .unionByName(metric("orders_orphan_customer",
+        o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")))
+      .unionByName(metric("events_malformed_props",
+        ev.where(get_json_object(col("props"), "$.k").isNull)))
+      .unionByName(metric("documents_nchars_mismatch",
+        d.where(col("n_chars") =!= length(col("text")))))
+      .orderBy(col("metric"))
+  }
+
+  /** SCD-0 last-writer-wins upsert: window-survivor over base ∪ updates keyed
+    * by o_orderkey (scale path: one shuffle, no MERGE state). Prices stay at
+    * scale 4 — a 2-digit re-round of price*1.1 would tie-break differently
+    * across engines. */
+  def etlMergeUpsert(spark: SparkSession, sf: String): DataFrame = {
+    val o = orders(spark, sf)
+    val base = o.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        dec(col("o_totalprice"), 18, 4).as("price"), lit(0).as("src"))
+    val upd = o.where(col("o_orderkey") % 4 === 2)
+      .select(col("o_orderkey"), lit("U").as("status"),
+        (dec2(col("o_totalprice")) * lit(new java.math.BigDecimal("1.10")))
+          .cast(DecimalType(18, 4)).as("price"), lit(1).as("src"))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("src").desc)
+    base.unionByName(upd)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_orderkey"), col("status"), col("price"), col("src"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Pivot with the value list given explicitly (deterministic columns, no
+    * extra distinct job — the 100 TB rule for pivots). */
+  def etlPivot(spark: SparkSession, sf: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = events(spark, sf)
+      .groupBy(col("user_id")).pivot("event_type", types).count()
+    p.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** Melt wide measures to long (UDTF-shaped; Spark's native unpivot). */
+  def etlUnpivot(spark: SparkSession, sf: String): DataFrame =
+    lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures — `value`
+      // completes the total order (rule D2); remaining ties are full-row
+      // duplicates, which hash identically in any order.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("value"))
+
+  /** Batch sessionization, 30-min inactivity gap: lag → boundary flag →
+    * running sum = session ordinal (two windows, one shuffle on user_id). */
+  def etlSessionize(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, sf)
+      .withColumn("es", epochS(col("ts")))
+      .withColumn("prev_es", lag(col("es"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev_es").isNull || col("es") - col("prev_es") > 1800, 1).otherwise(0))
+      .withColumn("session_ord", sum(col("boundary")).over(wRun))
+      .groupBy(col("user_id"), col("session_ord"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("es")).as("first_epoch"), max(col("es")).as("last_epoch"),
+        (max(col("es")) - min(col("es"))).as("duration_s"))
+      .orderBy(col("user_id"), col("session_ord"))
+  }
+
+  /** Effective-dated dimension build (SCD2): yearly spend band per customer,
+    * rows emitted only on band change, valid_to closed by lead(). */
+  def etlScd2Snapshot(spark: SparkSession, sf: String): DataFrame = {
+    val yearly = orders(spark, sf)
+      .groupBy(col("o_custkey"), year(col("o_orderdate").cast("date")).as("yr"))
+      .agg(sum(dec2(col("o_totalprice"))).cast(Out38_2).as("spend"))
+      .select(col("o_custkey"), col("yr"),
+        when(col("spend") < 400000, "S").when(col("spend") < 1200000, "M")
+          .otherwise("L").as("band"))
+    val wY = Window.partitionBy(col("o_custkey")).orderBy(col("yr").asc)
+    val changes = yearly
+      .withColumn("prev_band", lag(col("band"), 1, "__none__").over(wY))
+      .where(col("band") =!= col("prev_band"))
+    val wC = Window.partitionBy(col("o_custkey")).orderBy(col("yr").asc)
+    changes
+      .withColumn("valid_to", lead(col("yr"), 1).over(wC) - 1)
+      .select(col("o_custkey"), col("band"), col("yr").as("valid_from"), col("valid_to"))
+      .orderBy(col("o_custkey"), col("valid_from"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dedup_exact" -> etlDedupExact,
+    "etl_conform" -> etlConform,
+    "etl_validate_dq" -> etlValidateDq,
+    "etl_merge_upsert" -> etlMergeUpsert,
+    "etl_pivot" -> etlPivot,
+    "etl_unpivot" -> etlUnpivot,
+    "etl_sessionize" -> etlSessionize,
+    "etl_scd2_snapshot" -> etlScd2Snapshot
+  )
+
+  def oracle: Map[String, String] = Map(
+    "etl_dedup_exact" ->
+      """SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts ASC) AS rn
+        |      FROM (SELECT * FROM events UNION ALL SELECT * FROM events WHERE event_id % 5 = 0))
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "etl_conform" ->
+      """SELECT c_custkey, upper(trim(c_name)) AS name_std, n_name, r_name,
+        |  COALESCE(nullif(c_mktsegment, ''), 'UNKNOWN') AS segment,
+        |  CASE WHEN c_acctbal < 0 THEN 'NEG' WHEN c_acctbal < 5000.0 THEN 'LOW'
+        |       ELSE 'HIGH' END AS bal_band
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "etl_validate_dq" ->
+      """SELECT * FROM (
+        |  SELECT 'customer_null_nationkey' AS metric, count(*) AS value FROM customer WHERE c_nationkey IS NULL
+        |  UNION ALL SELECT 'lineitem_discount_oob', count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+        |  UNION ALL SELECT 'lineitem_negative_qty', count(*) FROM lineitem WHERE l_quantity <= 0
+        |  UNION ALL SELECT 'lineitem_orphan_order', count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |  UNION ALL SELECT 'orders_orphan_customer', count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |  UNION ALL SELECT 'events_malformed_props', count(*) FROM events WHERE json_extract_string(props, '$.k') IS NULL
+        |  UNION ALL SELECT 'documents_nchars_mismatch', count(*) FROM documents WHERE n_chars <> length(text))
+        |ORDER BY metric""".stripMargin,
+
+    "etl_merge_upsert" ->
+      """SELECT o_orderkey, status, price, src FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM (
+        |    SELECT o_orderkey, o_orderstatus AS status,
+        |           CAST(o_totalprice AS DECIMAL(18,4)) AS price, 0 AS src
+        |    FROM orders WHERE o_orderkey % 2 = 1
+        |    UNION ALL
+        |    SELECT o_orderkey, 'U' AS status,
+        |           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(3,2)) AS DECIMAL(18,4)) AS price, 1 AS src
+        |    FROM orders WHERE o_orderkey % 4 = 2))
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "etl_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "etl_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem)
+        |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin,
+
+    "etl_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS prev_es
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT *, SUM(CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_ord
+        |  FROM flagged)
+        |SELECT user_id, session_ord, count(*) AS n_events,
+        |  MIN(es) AS first_epoch, MAX(es) AS last_epoch,
+        |  MAX(es) - MIN(es) AS duration_s
+        |FROM numbered GROUP BY user_id, session_ord
+        |ORDER BY user_id, session_ord""".stripMargin,
+
+    "etl_scd2_snapshot" ->
+      """WITH yearly AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |    CASE WHEN CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) < 400000 THEN 'S'
+        |         WHEN CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) < 1200000 THEN 'M'
+        |         ELSE 'L' END AS band
+        |  FROM orders GROUP BY o_custkey, CAST(year(o_orderdate) AS INT)
+        |), changes AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, yr, band,
+        |      lag(band, 1, '__none__') OVER (PARTITION BY o_custkey ORDER BY yr ASC) AS prev_band
+        |    FROM yearly)
+        |  WHERE band <> prev_band)
+        |SELECT o_custkey, band, yr AS valid_from,
+        |  lead(yr, 1) OVER (PARTITION BY o_custkey ORDER BY yr ASC) - 1 AS valid_to
+        |FROM changes ORDER BY o_custkey, valid_from""".stripMargin
+  )
+}

@@ -34,7 +34,10 @@ object Relational {
     lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         asDate(col("l_shipdate")).as("ship_date"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures; price+date
+      // complete the total order so the LIMIT boundary is deterministic (D2).
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("ship_date"))
       .limit(100)
 
   /** Selective predicate that must reach the parquet scan as PushedFilters
@@ -45,7 +48,7 @@ object Relational {
         col("l_shipdate") < ntz(1996, 7, 1) && col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
   /** Load-side of ETL: write a conformed projection to parquet, read it back,
     * aggregate. Roundtrip is identity so the oracle runs on the source. */
@@ -440,14 +443,15 @@ object Relational {
   def oracle: Map[String, String] = Map(
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(l_shipdate AS DATE) AS ship_date
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, ship_date
+        |LIMIT 100""".stripMargin,
 
     "scan_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
         |  AND l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "sink_parquet_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n_rows,
