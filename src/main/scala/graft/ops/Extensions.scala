@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.util.Tables._
+import graft.util.Determinism._
+
+/** SURVEY.md §2.M — the explicit user-extension surfaces: a scalar Scala UDF
+  * and a typed Aggregator UDAF. (The custom Catalyst Expression surface is
+  * `expr_custom_catalyst` in ops/Vectors.scala; the Generator/UDTF surface
+  * is `fn_explode`/`etl_unpivot`.)
+  *
+  * UDFs are a last resort by policy (they fence off codegen and pushdown) —
+  * these two exist to prove the surface, with built-in-function oracles.
+  */
+object Extensions {
+
+  /** Telecom-flavored MSISDN normalizer ([R1] domain): strip non-digits,
+    * keep the last 9, left-pad to 11 with zeros. */
+  private val normMsisdn: String => String = { s =>
+    val d = s.replaceAll("[^0-9]", "")
+    val t = if (d.length > 9) d.substring(d.length - 9) else d
+    ("0" * (11 - t.length)) + t
+  }
+
+  def udfScalarMsisdn(spark: SparkSession, sf: String): DataFrame = {
+    val f = udf(normMsisdn)
+    spark.udf.register("norm_msisdn", f) // SQL-callable registration surface
+    customer(spark, sf)
+      .select(col("c_custkey"), f(col("c_name")).as("msisdn"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Typed Aggregator[IN,BUF,OUT] with an exact scala BigDecimal buffer:
+    * quantity-weighted price sums per brand. Outputs numerator+denominator
+    * (never a division — rule D1). */
+  object WeightedSumAgg extends Aggregator[(BigDecimal, BigDecimal),
+      (BigDecimal, BigDecimal), (BigDecimal, BigDecimal)] {
+    def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
+    def reduce(b: (BigDecimal, BigDecimal), in: (BigDecimal, BigDecimal)):
+        (BigDecimal, BigDecimal) =
+      (b._1 + in._1 * in._2, b._2 + in._1)
+    def merge(x: (BigDecimal, BigDecimal), y: (BigDecimal, BigDecimal)):
+        (BigDecimal, BigDecimal) = (x._1 + y._1, x._2 + y._2)
+    def finish(b: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) = b
+    def bufferEncoder = ExpressionEncoder[(BigDecimal, BigDecimal)]()
+    def outputEncoder = ExpressionEncoder[(BigDecimal, BigDecimal)]()
+  }
+
+  def aggUdafWeightedAvg(spark: SparkSession, sf: String): DataFrame = {
+    val wsum = udaf(WeightedSumAgg, ExpressionEncoder[(BigDecimal, BigDecimal)]())
+    lineitem(spark, sf)
+      .join(part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(wsum(dec2(col("l_quantity")), dec2(col("l_extendedprice"))).as("w"),
+        count(lit(1)).as("n_items"))
+      .select(col("p_brand"),
+        col("w._1").cast(DecimalType(38, 4)).as("wsum"),
+        col("w._2").cast(DecimalType(38, 2)).as("wqty"),
+        col("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "udf_scalar_msisdn" -> udfScalarMsisdn,
+    "agg_udaf_weighted_avg" -> aggUdafWeightedAvg
+  )
+
+  def oracle: Map[String, String] = Map(
+    "udf_scalar_msisdn" ->
+      """SELECT c_custkey,
+        |  lpad(right(regexp_replace(c_name, '[^0-9]', '', 'g'), 9), 11, '0') AS msisdn
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "agg_udaf_weighted_avg" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS wsum,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS wqty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+  )
+}

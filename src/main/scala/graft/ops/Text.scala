@@ -1,0 +1,269 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** SURVEY.md §2.J + the LLM-training-data text operators ([R2] north star):
+  * term frequencies, n-grams, tf-idf ranking, shingle-Jaccard near-dup
+  * detection, language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Determinism: all outputs are integers, strings, or ranks (rule D3); the
+  * only float in any plan is tf-idf's ln(), which is validated against the
+  * oracle at t2 (both engines call libm log on identical doubles).
+  *
+  * Scale: tokenize/count paths are explode→groupBy (shuffle on the token,
+  * map-side partial aggregation); pairwise operators block on `lang` here and
+  * degrade to MinHash-LSH banding (ops/Dedup.scala) at 100 TB where any
+  * all-pairs join is infeasible.
+  */
+object Text {
+
+  private def words: Column = split(col("text"), " ")
+
+  /** Per-doc distinct bigram shingles — the unit for Jaccard/MinHash. The
+    * fixtures' 31-word vocabulary makes word-set similarity meaningless
+    * (median pairwise Jaccard 0.63); bigrams are discriminative (q99 0.08,
+    * planted near-dups at 0.9+). */
+  private def bigrams: Column =
+    array_distinct(transform(sequence(lit(1), size(words) - 1),
+      i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
+
+  def textTokenizeTf(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word").asc)
+    documents(spark, sf)
+      .select(col("lang"), explode(words).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("word"), col("cnt"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  def textNgrams(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram").asc)
+    documents(spark, sf)
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), size(words) - 1),
+          i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
+          .as("bigram"))
+      .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10)
+      .select(col("lang"), col("rn"), col("bigram"), col("cnt"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** tf-idf top-5 terms per English doc; output is (doc, term, rank) only —
+    * the ln() score itself never leaves the plan (rule D3). */
+  def textTfidfTopterms(spark: SparkSession, sf: String): DataFrame = {
+    val en = documents(spark, sf).where(col("lang") === "en")
+    val tokens = en.select(col("doc_id"), explode(words).as("word"))
+    val tf = tokens.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tokens.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = en.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word").asc)
+    tf.join(df, "word").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("doc_id"), col("rn"), col("word"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** Near-duplicate pairs by exact bigram-shingle Jaccard ≥ 0.35, same-lang
+    * blocked. Threshold applied as 20·i ≥ 7·u — pure integer arithmetic, no
+    * division anywhere (D3). */
+  def textJaccardDup(spark: SparkSession, sf: String): DataFrame = {
+    val d = documents(spark, sf)
+      .select(col("doc_id"), col("lang"), bigrams.as("bg"), size(bigrams).as("n"))
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"),
+      col("bg").as("bg_a"), col("n").as("n_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("bg").as("bg_b"), col("n").as("n_b"))
+    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .withColumn("i", size(array_intersect(col("bg_a"), col("bg_b"))))
+      .withColumn("u", col("n_a") + col("n_b") - col("i"))
+      .where(col("i") * 20 >= col("u") * 7)
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("i"), col("u"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Language ID by corpus-derived profiles: top-20 words per lang, score a
+    * doc by how many of its distinct words hit each profile, argmax with a
+    * total tie-break. Integer scoring end to end. */
+  def textLangid(spark: SparkSession, sf: String): DataFrame = {
+    val d = documents(spark, sf)
+    val tokens = d.select(col("doc_id"), col("lang"), explode(words).as("word"))
+    val wTop = Window.partitionBy(col("plang")).orderBy(col("cnt").desc, col("word").asc)
+    val profiles = tokens
+      .groupBy(col("lang").as("plang"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wTop)).where(col("rn") <= 20)
+      .select(col("plang"), col("word"))
+    val docWords = d.select(col("doc_id"), col("lang"),
+      explode(array_distinct(words)).as("word"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("matches").desc, col("plang").asc)
+    docWords.join(profiles, "word")
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(count(lit(1)).as("matches"))
+      .withColumn("rn", row_number().over(wBest)).where(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("plang").as("predicted"),
+        (col("lang") === col("plang")).cast("int").as("hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Integer quality metrics: word/char counts, type-token ratio and
+    * stopword ratio as exact scaled integers (integer div — no floats). */
+  def textQualityScore(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .select(col("doc_id"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct"),
+        aggregate(words, lit(0), (acc, x) => acc + length(x)).as("total_chars"),
+        size(filter(words, w => w.isin("data", "table", "row", "value", "key")))
+          .as("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        expr("(total_chars * 100) div n_words").as("avg_len_e2"),
+        expr("(n_distinct * 1000000) div n_words").as("ttr_e6"),
+        expr("(n_stop * 1000000) div n_words").as("stop_e6"))
+      .withColumn("quality",
+        when(col("n_words") >= 30 && col("ttr_e6") >= 300000, "good")
+          .when(col("n_words") >= 15, "fair")
+          .otherwise("poor"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting three ways: whitespace, BPE-ish regex, chars/4 bound. */
+  def textTokenCount(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .select(col("doc_id"),
+        size(words).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).as("re_tokens"),
+        expr("(n_chars + 3) div 4").as("approx_bpe"))
+      .orderBy(col("doc_id"))
+
+  /** Canonical document fingerprint: md5 of the sorted distinct word set —
+    * identical hex on both engines; groups are dedup buckets. */
+  def textFingerprint(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(words)))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
+      .orderBy(col("fp"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokenize_tf" -> textTokenizeTf,
+    "text_ngrams" -> textNgrams,
+    "text_tfidf_topterms" -> textTfidfTopterms,
+    "text_jaccard_dup" -> textJaccardDup,
+    "text_langid" -> textLangid,
+    "text_quality_score" -> textQualityScore,
+    "text_token_count" -> textTokenCount,
+    "text_fingerprint" -> textFingerprint
+  )
+
+  /** DuckDB-side bigram shingle set (mirrors [[bigrams]]). */
+  private val bgSql =
+    "list_distinct(list_transform(range(1, len(str_split(text,' '))), " +
+      "i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]))"
+
+  def oracle: Map[String, String] = Map(
+    "text_tokenize_tf" ->
+      """SELECT lang, rn, word, cnt FROM (
+        |  SELECT lang, word, count(*) AS cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, word ASC) AS INT) AS rn
+        |  FROM (SELECT lang, unnest(str_split(text,' ')) AS word FROM documents)
+        |  GROUP BY lang, word)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    "text_ngrams" ->
+      """WITH w AS (
+        |  SELECT lang, doc_id, CAST(generate_subscripts(ws,1) AS INT) AS pos, unnest(ws) AS word
+        |  FROM (SELECT lang, doc_id, str_split(text,' ') AS ws FROM documents)
+        |), b AS (
+        |  SELECT a.lang, a.word || ' ' || c.word AS bigram
+        |  FROM w a JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1)
+        |SELECT lang, rn, bigram, cnt FROM (
+        |  SELECT lang, bigram, count(*) AS cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bigram ASC) AS INT) AS rn
+        |  FROM b GROUP BY lang, bigram)
+        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+
+    "text_tfidf_topterms" ->
+      """WITH en AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        |tok AS (SELECT doc_id, unnest(str_split(text,' ')) AS word FROM en),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM en)
+        |SELECT doc_id, rn, word FROM (
+        |  SELECT tf.doc_id, tf.word,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, tf.word ASC) AS INT) AS rn
+        |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+        |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+
+    "text_jaccard_dup" ->
+      s"""WITH d AS (SELECT doc_id, lang, $bgSql AS bg FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+         |  CAST(len(list_intersect(a.bg, b.bg)) AS INT) AS i,
+         |  CAST(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)) AS INT) AS u
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.bg, b.bg)) * 20 >=
+         |      (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) * 7
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "text_langid" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(str_split(text,' ')) AS word FROM documents),
+        |profiles AS (
+        |  SELECT plang, word FROM (
+        |    SELECT lang AS plang, word,
+        |      CAST(row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, word ASC) AS INT) AS rn
+        |    FROM tok GROUP BY lang, word)
+        |  WHERE rn <= 20),
+        |docw AS (SELECT DISTINCT doc_id, lang, word FROM tok),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, p.plang, count(*) AS matches
+        |  FROM docw d JOIN profiles p ON d.word = p.word
+        |  GROUP BY d.doc_id, d.lang, p.plang)
+        |SELECT doc_id, lang, predicted, hit FROM (
+        |  SELECT doc_id, lang, plang AS predicted, CAST(lang = plang AS INT) AS hit,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY matches DESC, plang ASC) AS rn
+        |  FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_quality_score" ->
+      """SELECT doc_id, n_words, n_distinct,
+        |  CAST((total_chars * 100) // n_words AS BIGINT) AS avg_len_e2,
+        |  CAST((n_distinct * 1000000) // n_words AS BIGINT) AS ttr_e6,
+        |  CAST((n_stop * 1000000) // n_words AS BIGINT) AS stop_e6,
+        |  CASE WHEN n_words >= 30 AND (n_distinct * 1000000) // n_words >= 300000 THEN 'good'
+        |       WHEN n_words >= 15 THEN 'fair' ELSE 'poor' END AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text,' ')) AS INT) AS n_words,
+        |    CAST(len(list_distinct(str_split(text,' '))) AS INT) AS n_distinct,
+        |    CAST(list_aggregate(list_transform(str_split(text,' '), x -> length(x)), 'sum') AS INT) AS total_chars,
+        |    CAST(len(list_filter(str_split(text,' '),
+        |      w -> list_contains(['data','table','row','value','key'], w))) AS INT) AS n_stop
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(str_split(text,' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS re_tokens,
+        |  CAST((n_chars + 3) // 4 AS BIGINT) AS approx_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT fp, count(*) AS n_docs, min(doc_id) AS canonical_doc FROM (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(str_split(text,' '))), ' ')) AS fp
+        |  FROM documents)
+        |GROUP BY fp ORDER BY fp""".stripMargin
+  )
+}

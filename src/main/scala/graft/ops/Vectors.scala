@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+import graft.functions.VectorDot
+
+/** SURVEY.md §2.K + ANN extension — vector similarity over the 64-dim float
+  * `embeddings` table.
+  *
+  * Determinism: similarity values never leave a plan (rule D3) — outputs are
+  * (probe, rank, neighbor) triples; the fixtures are random vectors whose
+  * pairwise similarity gaps (≫1e-9) dwarf any double-accumulation ULP noise,
+  * validated against the oracle at t2. Element sums that do leave a plan
+  * (`vec_centroid`) are pre-quantized to integers so they are exact.
+  *
+  * Scale: brute-force kNN broadcasts the (tiny) probe set and streams the
+  * candidate side — no shuffle of the big table at all. The documented
+  * 100 TB path is `vec_ann_lsh`: sign-random-projection buckets (here the
+  * first dims as fixed hyperplanes) turn top-k into a bucket-equi-join.
+  */
+object Vectors {
+
+  private val probeIds: Seq[Long] = (0L to 450L by 50L)
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / sqrt(dotD(a, a) * dotD(b, b))
+
+  /** Brute-force top-5 cosine neighbors for 10 fixed probes. */
+  def vecKnnCosine(spark: SparkSession, sf: String): DataFrame = {
+    val e = embeddings(spark, sf)
+    val p = e.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    c.crossJoin(broadcast(p))
+      .where(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("pe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("cand_id").as("neighbor_id"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Same contract, squared-L2 distance ascending. */
+  def vecKnnL2(spark: SparkSession, sf: String): DataFrame = {
+    val e = embeddings(spark, sf)
+    val p = e.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val d2 = aggregate(zip_with(col("pe"), col("ce"),
+      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0d), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2").asc, col("cand_id").asc)
+    c.crossJoin(broadcast(p))
+      .where(col("cand_id") =!= col("probe_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("cand_id").as("neighbor_id"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Per-label element sums over µ-quantized values: floor(x*1e6+0.5) is
+    * IEEE-identical on both engines, and the integer sums that follow are
+    * exact and order-independent — no floating aggregation anywhere. */
+  def vecCentroid(spark: SparkSession, sf: String): DataFrame =
+    embeddings(spark, sf)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).as("pos"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("xr"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("xr")).as("sum_e6"))
+      .orderBy(col("label"), col("pos"))
+
+  private def sigExpr(dims: Int): Column =
+    (1 to dims).map(i =>
+      when(element_at(col("embedding"), i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Sign-random-projection signature buckets (LSH prelude): first 8 dims as
+    * fixed hyperplanes → 8-bit signature; pure comparisons, exact. */
+  def vecBucketLsh(spark: SparkSession, sf: String): DataFrame =
+    embeddings(spark, sf)
+      .select(sigExpr(8).as("sig"), col("vec_id"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("sig"))
+
+  /** ANN via LSH buckets: 4-bit signature (16 buckets), probes search only
+    * their own bucket — the scale path for similarity search. */
+  def vecAnnLsh(spark: SparkSession, sf: String): DataFrame = {
+    val e = embeddings(spark, sf)
+    val all = e.select(col("vec_id"), col("embedding"), sigExpr(4).as("bucket"))
+    val p = all.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("bucket").as("pbucket"))
+    val c = all.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    c.join(broadcast(p), col("bucket") === col("pbucket") &&
+        col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("pe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("cand_id").as("neighbor_id"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Same contract as vec_knn_cosine but through the custom Catalyst
+    * expression (SURVEY §2.M / §4.3) — proves the Expression + codegen
+    * surface; ranks must equal the HOF formulation's. */
+  def exprCustomCatalyst(spark: SparkSession, sf: String): DataFrame = {
+    VectorDot.register(spark)
+    val e = embeddings(spark, sf)
+    val p = e.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    c.crossJoin(broadcast(p))
+      .where(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos",
+        expr("vector_dot(pe, ce) / sqrt(vector_dot(pe, pe) * vector_dot(ce, ce))"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("cand_id").as("neighbor_id"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_knn_cosine" -> vecKnnCosine,
+    "vec_knn_l2" -> vecKnnL2,
+    "vec_centroid" -> vecCentroid,
+    "vec_bucket_lsh" -> vecBucketLsh,
+    "vec_ann_lsh" -> vecAnnLsh,
+    "expr_custom_catalyst" -> exprCustomCatalyst
+  )
+
+  private val probesSql = probeIds.mkString("(", ", ", ")")
+
+  private def knnSql(measure: String, order: String, k: Int): String =
+    s"""SELECT probe_id, rank, neighbor_id FROM (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY $measure $order, c.vec_id ASC) AS INT) AS rank
+       |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id IN $probesSql)
+       |WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+
+  private def bucketSql(dims: Int): String =
+    (1 to dims).map(i =>
+      s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+      .mkString(" + ")
+
+  def oracle: Map[String, String] = Map(
+    "vec_knn_cosine" ->
+      knnSql("list_cosine_similarity(p.embedding, c.embedding)", "DESC", 5),
+
+    "vec_knn_l2" ->
+      knnSql("list_distance(p.embedding, c.embedding)", "ASC", 5),
+
+    "vec_centroid" ->
+      """SELECT label, pos, count(*) AS n, CAST(SUM(xr) AS BIGINT) AS sum_e6 FROM (
+        |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xr
+        |  FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "vec_bucket_lsh" ->
+      s"""SELECT CAST(${bucketSql(8)} AS INT) AS sig, count(*) AS n, min(vec_id) AS min_vec
+         |FROM embeddings GROUP BY sig ORDER BY sig""".stripMargin,
+
+    "vec_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql(4)} AS bucket FROM embeddings)
+         |SELECT probe_id, rank, neighbor_id FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY list_cosine_similarity(p.embedding, c.embedding) DESC, c.vec_id ASC) AS INT) AS rank
+         |  FROM b p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+         |  WHERE p.vec_id IN $probesSql)
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "expr_custom_catalyst" ->
+      knnSql("list_cosine_similarity(p.embedding, c.embedding)", "DESC", 5)
+  )
+}
