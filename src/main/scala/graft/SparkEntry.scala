@@ -14,12 +14,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Windows.queries ++ ops.Scalars.queries ++
       ops.Etl.queries ++ ops.Text.queries ++ ops.Dedup.queries ++
-      ops.Vectors.queries ++ ops.Extensions.queries ++ ops.Multimodal.queries
+      ops.Vectors.queries ++ ops.Extensions.queries ++ ops.Multimodal.queries ++
+      ops.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Scalars.oracle ++
       ops.Etl.oracle ++ ops.Text.oracle ++ ops.Dedup.oracle ++
-      ops.Vectors.oracle ++ ops.Extensions.oracle ++ ops.Multimodal.oracle
+      ops.Vectors.oracle ++ ops.Extensions.oracle ++ ops.Multimodal.oracle ++
+      ops.Streaming.oracle
 }

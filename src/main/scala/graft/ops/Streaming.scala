@@ -1,0 +1,218 @@
+package graft.ops
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.util.Determinism._
+
+/** SURVEY.md §2.L — real Structured Streaming over the events table replayed
+  * as a stream (file source, `Trigger.AvailableNow`, memory sink), returned
+  * as a batch DataFrame. All data is available before the query starts, so
+  * results equal batch-window semantics — giving an honest batch-SQL oracle.
+  *
+  * Output-mode choices are load-bearing for that equivalence: windowed aggs
+  * run in COMPLETE mode (append would withhold windows newer than the final
+  * watermark), dedup in APPEND (rows emit on first sight), and the stateful
+  * op in UPDATE (one state row per key per batch; AvailableNow on a single
+  * parquet file = exactly one batch).
+  *
+  * Scale: state is keyed by (window[, user]) — shuffled, bounded by
+  * watermark eviction in a live deployment; nothing driver-side except the
+  * MemoryStream late-data harness, which is a test fixture by design.
+  */
+object Streaming {
+
+  /** events.ts is INT64 TIMESTAMP(NANOS): stream-read it as raw longs
+    * (schema pins LongType + legacy conf) and convert ns→µs exactly like
+    * the batch reader in util/Tables. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsStream(spark: SparkSession, sf: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source wants a directory; expose the single fixture
+    // file through a per-run temp dir (symlink — no copy).
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming frame to completion into a memory sink, return the
+    * sink table as a batch frame. */
+  private def drain(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"sink_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  def streamTumbling(spark: SparkSession, sf: String): DataFrame = {
+    val agg = eventsStream(spark, sf)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast(Out38_2).as("sum_val"))
+    drain(spark, agg, OutputMode.Complete())
+      .select(col("window.start").cast(TimestampType).cast(LongType).as("ws_epoch"),
+        col("event_type"), col("n"), col("sum_val"))
+      .orderBy(col("ws_epoch"), col("event_type"))
+  }
+
+  def streamSliding(spark: SparkSession, sf: String): DataFrame = {
+    val agg = eventsStream(spark, sf)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+    drain(spark, agg, OutputMode.Complete())
+      .select(col("window.start").cast(TimestampType).cast(LongType).as("ws_epoch"),
+        col("n"))
+      .orderBy(col("ws_epoch"))
+  }
+
+  def streamSession(spark: SparkSession, sf: String): DataFrame = {
+    val agg = eventsStream(spark, sf)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    drain(spark, agg, OutputMode.Complete())
+      .select(col("user_id"),
+        col("session_window.start").cast(TimestampType).cast(LongType).as("first_epoch"),
+        (col("session_window.end").cast(TimestampType).cast(LongType) - 1800)
+          .as("last_epoch"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("first_epoch"))
+  }
+
+  /** Watermarked streaming dedup over a doubled input stream. */
+  def streamDedup(spark: SparkSession, sf: String): DataFrame = {
+    val s = eventsStream(spark, sf)
+    val dedup = s.unionByName(s)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    drain(spark, dedup, OutputMode.Append())
+      .orderBy(col("event_id"))
+  }
+
+  // public: Janino-generated (de)serializers cannot access private classes
+  case class SEvent(event_id: Long, user_id: Long, cents: Long)
+  case class UserState(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Arbitrary stateful processing (mapGroupsWithState): running per-user
+    * count + exact cents sum. */
+  def streamStatefulCount(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val typed = eventsStream(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+      .as[SEvent]
+    val updated = typed.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[SEvent], state: GroupState[(Long, Long)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r.cents }
+          state.update((n, s))
+          UserState(user, n, s)
+      }
+    drain(spark, updated.toDF(), OutputMode.Update())
+      .orderBy(col("user_id"))
+  }
+
+  case class LateEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+
+  /** Watermark late-data drop, demonstrated with a two-batch MemoryStream:
+    * batch 2 contains a row older than the advanced watermark, which must
+    * not change any count. Sanctioned no-oracle (D5) — multi-batch watermark
+    * advancement is engine-internal; the unit test asserts exact output. */
+  def streamLateData(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(h: Int, m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ms = MemoryStream[LateEvent]
+    val agg = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"late_${UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.outputMode(OutputMode.Update()).format("memory")
+      .queryName(name).start()
+    // batch 1: three on-time rows up to 10:00 → watermark advances to 09:00
+    ms.addData(LateEvent(1, t(8, 5), 1), LateEvent(2, t(8, 40), 1),
+      LateEvent(3, t(10, 0), 2))
+    q.processAllAvailable()
+    // batch 2: one LATE row (07:30 < watermark) must be dropped; one on-time
+    ms.addData(LateEvent(4, t(7, 30), 1), LateEvent(5, t(10, 30), 2))
+    q.processAllAvailable()
+    q.stop()
+    // update-mode sink: max(n) per window = final count; the 07:00 window
+    // keeps n=1 (the late row never lands), 10:00 ends at n=2.
+    spark.table(name)
+      .select(col("window.start").cast(TimestampType).cast(LongType).as("ws_epoch"),
+        col("n"))
+      .groupBy(col("ws_epoch")).agg(max(col("n")).as("n"))
+      .orderBy(col("ws_epoch"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+    "stream_dedup" -> streamDedup,
+    "stream_stateful_count" -> streamStatefulCount,
+    "stream_late_data" -> streamLateData
+  )
+
+  def oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS ws_epoch,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_val
+        |FROM events GROUP BY ws_epoch, event_type
+        |ORDER BY ws_epoch, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      """SELECT ws_epoch, count(*) AS n FROM (
+        |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - k * 900 AS ws_epoch
+        |  FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k))
+        |GROUP BY ws_epoch ORDER BY ws_epoch""".stripMargin,
+
+    "stream_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS b
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), n AS (
+        |  SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x)
+        |SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_epoch,
+        |  CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_epoch, count(*) AS n_events
+        |FROM n GROUP BY user_id, sid
+        |ORDER BY user_id, first_epoch""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "stream_stateful_count" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+    // stream_late_data: sanctioned no-oracle (D5) — unit-tested instead.
+  )
+}
