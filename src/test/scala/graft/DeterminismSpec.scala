@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5 layer 3 — the determinism regression suite: decimal aggregates
+  * must be invariant under partitioning (rule D1's whole point), dedup must
+  * be idempotent, the custom Expression must rank identically to its HOF
+  * twin, and the HLL sketch must sit within its error bound. */
+class DeterminismSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def collectWith(partitions: Int, name: String): Seq[Row] = {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      SparkEntry.queries(name)(spark, sf001).collect().toSeq
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  for (name <- Seq("agg_pricing_summary", "join_broadcast", "etl_sessionize",
+      "agg_udaf_weighted_avg")) {
+    test(s"$name is invariant under shuffle partitioning (3 vs 7)") {
+      assert(collectWith(3, name) == collectWith(7, name))
+    }
+  }
+
+  test("etl_dedup_exact is idempotent: output keys are unique") {
+    val df = SparkEntry.queries("etl_dedup_exact")(spark, sf001)
+    assert(df.count() == df.select("event_id").distinct().count())
+  }
+
+  test("expr_custom_catalyst (VectorDot) ranks identically to the HOF twin") {
+    val a = SparkEntry.queries("vec_knn_cosine")(spark, sf001).collect().toSeq
+    val b = SparkEntry.queries("expr_custom_catalyst")(spark, sf001).collect().toSeq
+    assert(a == b)
+  }
+
+  test("approx_count_distinct stays within 3*rsd of exact") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.util.Tables.events(spark, sf001)
+    val rows = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx"))
+      .collect()
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.15,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("minhash LSH candidates contain every true near-dup pair (recall)") {
+    // True pairs from the exact jaccard query (same-lang); LSH candidates
+    // are cross-lang capable, so containment is the right direction.
+    val exact = SparkEntry.queries("text_jaccard_dup")(spark, sf001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = SparkEntry.queries("dedup_minhash_lsh")(spark, sf001)
+      .where(org.apache.spark.sql.functions.col("is_dup") === 1)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cands),
+      s"missed pairs: ${exact -- cands}")
+  }
+}
