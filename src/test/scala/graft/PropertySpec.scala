@@ -1,0 +1,79 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5 layer 3 — seeded randomized properties (deterministic seeds, so
+  * CI is stable) over generated frames, checking algebraic laws the operator
+  * implementations rely on. */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("decimal sums are invariant under arbitrary repartitioning") {
+    val rnd = new Random(42)
+    val values = Seq.fill(5000)(math.round(rnd.nextDouble() * 1e6) / 100.0)
+    val df = values.toDF("x")
+    val sums = Seq(1, 3, 7, 16).map { n =>
+      df.repartition(n)
+        .agg(sum(col("x").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)))
+        .head.getDecimal(0)
+    }
+    assert(sums.distinct.size == 1, sums.toString)
+  }
+
+  test("window-survivor dedup is idempotent and keeps one row per key") {
+    val rnd = new Random(7)
+    val rows = Seq.fill(2000)((rnd.nextInt(300).toLong, rnd.nextInt(1000)))
+    val df = rows.toDF("k", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v").asc)
+    def dedup(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    val once = dedup(df)
+    val twice = dedup(once)
+    assert(once.count() == rows.map(_._1).distinct.size)
+    assert(once.except(twice).count() == 0 && twice.except(once).count() == 0)
+    // survivor is the minimum v per key — the deterministic-survivor law
+    val expect = rows.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min) }.toSet
+    assert(once.collect().map(r => (r.getLong(0), r.getInt(1))).toSet == expect)
+  }
+
+  test("last-writer-wins upsert applied twice equals applied once") {
+    val rnd = new Random(13)
+    val base = Seq.tabulate(500)(i => (i.toLong, rnd.nextInt(100)))
+    val upd = Seq.fill(200)((rnd.nextInt(700).toLong, rnd.nextInt(100) + 1000))
+    def upsert(b: Seq[(Long, Int)], u: Seq[(Long, Int)]): Map[Long, Int] =
+      (b.toMap ++ u.toMap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("src").desc)
+    def sparkUpsert(b: org.apache.spark.sql.DataFrame, u: org.apache.spark.sql.DataFrame) =
+      b.withColumn("src", lit(0)).unionByName(u.withColumn("src", lit(1)))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("k"), col("v"))
+    val b = base.toDF("k", "v"); val u = upd.toDF("k", "v").dropDuplicates("k")
+    val got1 = sparkUpsert(b, u)
+    val got2 = sparkUpsert(got1, u)
+    assert(got1.collect().map(r => (r.getLong(0), r.getInt(1))).toMap ==
+      got2.collect().map(r => (r.getLong(0), r.getInt(1))).toMap)
+  }
+
+  test("bigram Jaccard is symmetric and bounded by [0,1]") {
+    val rnd = new Random(99)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def doc(): Seq[String] = Seq.fill(5 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+    def shingles(ws: Seq[String]): Set[String] =
+      ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+    (1 to 50).foreach { _ =>
+      val (sa, sb) = (shingles(doc()), shingles(doc()))
+      val i = (sa & sb).size; val u = (sa | sb).size
+      assert(u == sa.size + sb.size - i) // the i/u identity used in queries
+      assert(i >= 0 && i <= u)
+      val j1 = if (u == 0) 0.0 else i.toDouble / u
+      assert(j1 >= 0.0 && j1 <= 1.0)
+    }
+  }
+}
