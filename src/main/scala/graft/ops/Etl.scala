@@ -137,6 +137,17 @@ object Etl {
       .orderBy(col("user_id"), col("session_ord"))
   }
 
+  /** Deterministic ~12.5% sample: first hex digit of md5(key) ∈ {0,1}.
+    * Hash-based sampling (never rand()) is the reproducible-pipeline
+    * pattern: stable across runs, engines, and partitionings, and it
+    * samples the SAME keys when a table is re-processed incrementally. */
+  def etlSampleHash(spark: SparkSession, sf: String): DataFrame =
+    orders(spark, sf)
+      .where(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .orderBy(col("o_orderkey"))
+
   /** Effective-dated dimension build (SCD2): yearly spend band per customer,
     * rows emitted only on band change, valid_to closed by lead(). */
   def etlScd2Snapshot(spark: SparkSession, sf: String): DataFrame = {
@@ -164,6 +175,7 @@ object Etl {
     "etl_merge_upsert" -> etlMergeUpsert,
     "etl_pivot" -> etlPivot,
     "etl_unpivot" -> etlUnpivot,
+    "etl_sample_hash" -> etlSampleHash,
     "etl_sessionize" -> etlSessionize,
     "etl_scd2_snapshot" -> etlScd2Snapshot
   )
@@ -221,6 +233,12 @@ object Etl {
         |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem)
         |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
         |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin,
+
+    "etl_sample_hash" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1')
+        |ORDER BY o_orderkey""".stripMargin,
 
     "etl_sessionize" ->
       """WITH flagged AS (

@@ -332,6 +332,27 @@ object Relational {
         col("sum_qty"))
       .orderBy(col("gf"), col("gs"), col("flag_g"), col("status_g"))
 
+  /** Exact discrete percentiles (p50/p90 of order price per priority) via
+    * the explicit row_number formulation — engines disagree on native
+    * percentile_disc index conventions, so the definition is spelled out
+    * identically on both sides: value at row ceil(p·n) in (price, key)
+    * order. One window pass, shuffle on the group key. */
+  def aggPercentileDisc(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .withColumn("k50", expr("(n + 1) div 2"))
+      .withColumn("k90", expr("(9 * n + 9) div 10"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("rn") === col("k50"), dec2(col("o_totalprice")))).as("p50"),
+        max(when(col("rn") === col("k90"), dec2(col("o_totalprice")))).as("p90"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** HLL++ approximate distinct — sanctioned no-oracle (D5): sketch values
     * are implementation-specific. Bounds asserted in the test suite. */
   def aggApproxDistinct(spark: SparkSession, sf: String): DataFrame =
@@ -427,6 +448,7 @@ object Relational {
     "agg_multi_stat" -> aggMultiStat,
     "agg_having" -> aggHaving,
     "agg_distinct_exact" -> aggDistinctExact,
+    "agg_percentile_disc" -> aggPercentileDisc,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
@@ -584,6 +606,18 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_percentile_disc" ->
+      """SELECT o_orderpriority,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS p50,
+        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS p90,
+        |  count(*) AS n_orders
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT CAST(GROUPING(n_name) AS INT) AS gn,

@@ -56,6 +56,22 @@ class EngineSpec extends AnyFunSuite {
     assert(back.select(col("c_name")).except(src.select(col("c_name"))).count() == 0)
   }
 
+  // ------------------------------------------------- partition pruning
+
+  test("hive-style partitioned writes prune partitions on read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val src = graft.util.Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    src.write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(s"$tmp/orders_part")
+    val pruned = spark.read.parquet(s"$tmp/orders_part")
+      .where(col("o_orderstatus") === "O")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      plan)
+    assert(pruned.count() == src.where(col("o_orderstatus") === "O").count())
+  }
+
   // ------------------------------------------- bucketed co-located joins
 
   test("bucketed tables join without a shuffle exchange") {
