@@ -56,6 +56,23 @@ class EngineSpec extends AnyFunSuite {
     assert(back.select(col("c_name")).except(src.select(col("c_name"))).count() == 0)
   }
 
+  // ------------------------------------------------------- skew salting
+
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // 90% of left rows hit one hot key
+    val left = Seq.tabulate(20000)(i =>
+      (if (rnd.nextInt(10) < 9) 7L else rnd.nextInt(100).toLong, i)).toDF("k", "v")
+    val right = Seq.tabulate(100)(i => (i.toLong, s"dim_$i")).toDF("rk", "name")
+    val plain = left.join(right, col("k") === col("rk"))
+      .select(col("k"), col("v"), col("name"))
+    val salted = graft.util.Skew.saltedJoin(left, right, "k", "rk", 8)
+      .select(col("k"), col("v"), col("name"))
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+  }
+
   // ------------------------------------------------- partition pruning
 
   test("hive-style partitioned writes prune partitions on read") {
