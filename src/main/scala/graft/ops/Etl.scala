@@ -145,6 +145,38 @@ object Etl {
       .orderBy(col("user_id"), col("session_ord"))
   }
 
+  /** CDC snapshot diff: compare two dimension snapshots by key and classify
+    * every difference as insert / delete / update — the change feed a
+    * downstream incremental pipeline consumes. Single full-outer join on
+    * the key; decimal compares are exact. Snapshots are synthesized from
+    * orders: "new" drops every 5th key, reprices every 3rd, adds some
+    * even keys. */
+  def etlCdcDiff(spark: SparkSession, sf: String): DataFrame = {
+    val o = orders(spark, sf)
+    val old = o.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey").as("k_old"),
+        dec(col("o_totalprice"), 18, 4).as("old_price"))
+    val neu = o.where(col("o_orderkey") % 2 === 1 && !(col("o_orderkey") % 5 === 0))
+      .select(col("o_orderkey").as("k_new"),
+        when(col("o_orderkey") % 3 === 0,
+          (dec2(col("o_totalprice")) * lit(new java.math.BigDecimal("1.05")))
+            .cast(DecimalType(18, 4)))
+          .otherwise(dec(col("o_totalprice"), 18, 4)).as("new_price"))
+      .unionByName(o.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k_new"),
+          dec(col("o_totalprice"), 18, 4).as("new_price")))
+    old.join(neu, col("k_old") === col("k_new"), "full")
+      .withColumn("change",
+        when(col("k_old").isNull, "insert")
+          .when(col("k_new").isNull, "delete")
+          .when(col("old_price") =!= col("new_price"), "update")
+          .otherwise("unchanged"))
+      .where(col("change") =!= "unchanged")
+      .select(coalesce(col("k_old"), col("k_new")).as("k"), col("change"),
+        col("old_price"), col("new_price"))
+      .orderBy(col("k"))
+  }
+
   /** Deterministic ~12.5% sample: first hex digit of md5(key) ∈ {0,1}.
     * Hash-based sampling (never rand()) is the reproducible-pipeline
     * pattern: stable across runs, engines, and partitionings, and it
@@ -183,6 +215,7 @@ object Etl {
     "etl_merge_upsert" -> etlMergeUpsert,
     "etl_pivot" -> etlPivot,
     "etl_unpivot" -> etlUnpivot,
+    "etl_cdc_diff" -> etlCdcDiff,
     "etl_sample_hash" -> etlSampleHash,
     "etl_sessionize" -> etlSessionize,
     "etl_scd2_snapshot" -> etlScd2Snapshot
@@ -241,6 +274,32 @@ object Etl {
         |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem)
         |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
         |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin,
+
+    "etl_cdc_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey AS k_old, CAST(o_totalprice AS DECIMAL(18,4)) AS old_price
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |neu AS (
+        |  SELECT o_orderkey AS k_new,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)) AS DECIMAL(18,4))
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS new_price
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND NOT (o_orderkey % 5 = 0)
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4))
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT COALESCE(k_old, k_new) AS k,
+        |  CASE WHEN k_old IS NULL THEN 'insert'
+        |       WHEN k_new IS NULL THEN 'delete'
+        |       WHEN old_price <> new_price THEN 'update'
+        |       ELSE 'unchanged' END AS change,
+        |  old_price, new_price
+        |FROM old FULL JOIN neu ON k_old = k_new
+        |WHERE CASE WHEN k_old IS NULL THEN 'insert'
+        |           WHEN k_new IS NULL THEN 'delete'
+        |           WHEN old_price <> new_price THEN 'update'
+        |           ELSE 'unchanged' END <> 'unchanged'
+        |ORDER BY k""".stripMargin,
 
     "etl_sample_hash" ->
       """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price

@@ -353,6 +353,20 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Per-group mode (most frequent value) with a total tie-break — the
+    * count+window-survivor formulation, one shuffle on the group key. */
+  def aggMode(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    orders(spark, sf)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("mode_priority"), col("cnt"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** HLL++ approximate distinct — sanctioned no-oracle (D5): sketch values
     * are implementation-specific. Bounds asserted in the test suite. */
   def aggApproxDistinct(spark: SparkSession, sf: String): DataFrame =
@@ -448,6 +462,7 @@ object Relational {
     "agg_multi_stat" -> aggMultiStat,
     "agg_having" -> aggHaving,
     "agg_distinct_exact" -> aggDistinctExact,
+    "agg_mode" -> aggMode,
     "agg_percentile_disc" -> aggPercentileDisc,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_rollup" -> aggRollup,
@@ -606,6 +621,14 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_mode" ->
+      """SELECT o_custkey, mode_priority, cnt FROM (
+        |  SELECT o_custkey, o_orderpriority AS mode_priority, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+        |  FROM orders GROUP BY o_custkey, o_orderpriority)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
 
     "agg_percentile_disc" ->
       """SELECT o_orderpriority,

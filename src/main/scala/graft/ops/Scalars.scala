@@ -137,7 +137,37 @@ object Scalars {
         col("event_type"))
       .orderBy(col("event_id"))
 
+  /** Bitwise function family over integer keys (hash partitioning, flags,
+    * bitmap-index arithmetic all live on these at scale). */
+  def fnBitwise(spark: SparkSession, sf: String): DataFrame =
+    orders(spark, sf)
+      .select(col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(lit(255L))).as("band"),
+        (col("o_orderkey").bitwiseOR(lit(4096L))).as("bor"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("bxor"),
+        expr("shiftleft(o_orderkey, 3)").as("shl"),
+        expr("shiftright(o_orderkey, 2)").as("shr"),
+        bit_count(col("o_orderkey")).as("popcnt"))
+      .orderBy(col("o_orderkey"))
+
+  /** PII redaction ([R1] telecom flavor): mask digit runs and anything
+    * email-shaped in a synthesized free-text column; pure regex — the
+    * codegen-friendly path for large-corpus scrubbing. */
+  def textPiiRedact(spark: SparkSession, sf: String): DataFrame =
+    customer(spark, sf)
+      .select(col("c_custkey"),
+        concat(lit("contact "), col("c_name"), lit(" at "),
+          col("c_custkey").cast("string"), lit("@example.com or +1"),
+          lpad(col("c_custkey").cast("string"), 10, "5")).as("raw"))
+      .select(col("c_custkey"), col("raw"),
+        regexp_replace(
+          regexp_replace(col("raw"), "[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
+          "[0-9]{7,}", "<PHONE>").as("redacted"))
+      .orderBy(col("c_custkey"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_bitwise" -> fnBitwise,
+    "text_pii_redact" -> textPiiRedact,
     "fn_string" -> fnString,
     "fn_regex" -> fnRegex,
     "fn_date" -> fnDate,
@@ -151,6 +181,27 @@ object Scalars {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS bor,
+        |  xor(o_orderkey, o_custkey) AS bxor,
+        |  o_orderkey << 3 AS shl,
+        |  o_orderkey >> 2 AS shr,
+        |  CAST(bit_count(o_orderkey) AS INT) AS popcnt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "text_pii_redact" ->
+      """SELECT c_custkey, raw,
+        |  regexp_replace(
+        |    regexp_replace(raw, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<PHONE>', 'g') AS redacted
+        |FROM (
+        |  SELECT c_custkey,
+        |    'contact ' || c_name || ' at ' || CAST(c_custkey AS VARCHAR) ||
+        |    '@example.com or +1' || lpad(CAST(c_custkey AS VARCHAR), 10, '5') AS raw
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
     "fn_string" ->
       """SELECT c_custkey, upper(c_name) AS up, lower(c_name) AS lo,
         |  substring(c_name, 1, 8) AS sub,

@@ -129,6 +129,32 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream inner join with event-time bounds: each purchase joined
+    * to same-user click events in the preceding 24 h. Both sides carry
+    * watermarks and the join condition bounds event time on both, so state
+    * is evictable — the required shape for unbounded stream-stream joins.
+    * Inner-join matches emit as found; with AvailableNow over one batch the
+    * result equals the batch join, giving an honest oracle. */
+  def streamStreamJoin(spark: SparkSession, sf: String): DataFrame = {
+    val s = eventsStream(spark, sf)
+    val p = s.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = s.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS") &&
+        col("c_ts") < col("p_ts"))
+    drain(spark, joined, OutputMode.Append())
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        epochS(col("p_ts")).as("p_epoch"), epochS(col("c_ts")).as("c_epoch"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
   case class LateEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
 
   /** Watermark late-data drop, demonstrated with a two-batch MemoryStream:
@@ -171,6 +197,7 @@ object Streaming {
     "stream_session" -> streamSession,
     "stream_dedup" -> streamDedup,
     "stream_stateful_count" -> streamStatefulCount,
+    "stream_stream_join" -> streamStreamJoin,
     "stream_late_data" -> streamLateData
   )
 
@@ -207,6 +234,16 @@ object Streaming {
     "stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type FROM events
         |ORDER BY event_id""".stripMargin,
+
+    "stream_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS p_epoch,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS c_epoch
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY p_id, c_id""".stripMargin,
 
     "stream_stateful_count" ->
       """SELECT user_id, count(*) AS n_events,

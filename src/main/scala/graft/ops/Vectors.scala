@@ -116,6 +116,23 @@ object Vectors {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** int8-style scalar quantization (the storage-compression path for
+    * embedding columns at scale): per-vector min/max → 0..255 codes. All
+    * arithmetic is explicitly double (float inputs widen exactly), so
+    * floor(x*…+0.5) is IEEE-identical on both engines. First 8 dims. */
+  def vecQuantize(spark: SparkSession, sf: String): DataFrame = {
+    val e = embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        array_max(col("embedding")).cast("double").as("mx"))
+    e.select(col("vec_id"), col("mn"), col("mx"), posexplode(col("embedding")))
+      .where(col("pos") < 8)
+      .select(col("vec_id"), (col("pos") + 1).as("pos"),
+        floor((col("col").cast("double") - col("mn")) / (col("mx") - col("mn"))
+          * 255 + 0.5).cast("int").as("q"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
   /** Same contract as vec_knn_cosine but through the custom Catalyst
     * expression (SURVEY §2.M / §4.3) — proves the Expression + codegen
     * surface; ranks must equal the HOF formulation's. */
@@ -143,6 +160,7 @@ object Vectors {
     "vec_centroid" -> vecCentroid,
     "vec_bucket_lsh" -> vecBucketLsh,
     "vec_ann_lsh" -> vecAnnLsh,
+    "vec_quantize" -> vecQuantize,
     "expr_custom_catalyst" -> exprCustomCatalyst
   )
 
@@ -189,6 +207,19 @@ object Vectors {
          |  FROM b p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
          |  WHERE p.vec_id IN $probesSql)
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "vec_quantize" ->
+      """SELECT vec_id, pos,
+        |  CAST(floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255 + 0.5) AS INT) AS q
+        |FROM (
+        |  SELECT vec_id,
+        |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+        |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+        |    CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+        |    unnest(embedding) AS x
+        |  FROM embeddings)
+        |WHERE pos <= 8
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "expr_custom_catalyst" ->
       knnSql("list_cosine_similarity(p.embedding, c.embedding)", "DESC", 5)
