@@ -188,9 +188,9 @@ object Etl {
         dec2(col("o_totalprice")).as("price"))
       .orderBy(col("o_orderkey"))
 
-  /** Effective-dated dimension build (SCD2): yearly spend band per customer,
-    * rows emitted only on band change, valid_to closed by lead(). */
-  def etlScd2Snapshot(spark: SparkSession, sf: String): DataFrame = {
+  /** SCD2 dimension frame (unordered) — shared by the snapshot query and
+    * the as-of lookup join. */
+  private def scd2Frame(spark: SparkSession, sf: String): DataFrame = {
     val yearly = orders(spark, sf)
       .groupBy(col("o_custkey"), year(col("o_orderdate").cast("date")).as("yr"))
       .agg(sum(dec2(col("o_totalprice"))).cast(Out38_2).as("spend"))
@@ -205,7 +205,29 @@ object Etl {
     changes
       .withColumn("valid_to", lead(col("yr"), 1).over(wC) - 1)
       .select(col("o_custkey"), col("band"), col("yr").as("valid_from"), col("valid_to"))
-      .orderBy(col("o_custkey"), col("valid_from"))
+  }
+
+  /** Effective-dated dimension build (SCD2): yearly spend band per customer,
+    * rows emitted only on band change, valid_to closed by lead(). */
+  def etlScd2Snapshot(spark: SparkSession, sf: String): DataFrame =
+    scd2Frame(spark, sf).orderBy(col("o_custkey"), col("valid_from"))
+
+  /** As-of dimension lookup: facts join the SCD2 dimension on key +
+    * effective-date range (the "late-arriving dimension" resolution every
+    * warehouse pipeline needs). Equi key + range residual — hash join, no
+    * cartesian. */
+  def etlDimLookupAsof(spark: SparkSession, sf: String): DataFrame = {
+    val facts = orders(spark, sf)
+      .select(col("o_custkey").as("f_cust"),
+        year(col("o_orderdate").cast("date")).as("f_yr"),
+        col("o_totalprice"))
+    val dim = scd2Frame(spark, sf)
+    facts.join(dim,
+        col("f_cust") === col("o_custkey") && col("f_yr") >= col("valid_from") &&
+          (col("valid_to").isNull || col("f_yr") <= col("valid_to")))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("band"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -218,7 +240,8 @@ object Etl {
     "etl_cdc_diff" -> etlCdcDiff,
     "etl_sample_hash" -> etlSampleHash,
     "etl_sessionize" -> etlSessionize,
-    "etl_scd2_snapshot" -> etlScd2Snapshot
+    "etl_scd2_snapshot" -> etlScd2Snapshot,
+    "etl_dim_lookup_asof" -> etlDimLookupAsof
   )
 
   def oracle: Map[String, String] = Map(
@@ -340,6 +363,31 @@ object Etl {
         |  WHERE band <> prev_band)
         |SELECT o_custkey, band, yr AS valid_from,
         |  lead(yr, 1) OVER (PARTITION BY o_custkey ORDER BY yr ASC) - 1 AS valid_to
-        |FROM changes ORDER BY o_custkey, valid_from""".stripMargin
+        |FROM changes ORDER BY o_custkey, valid_from""".stripMargin,
+
+    "etl_dim_lookup_asof" ->
+      """WITH yearly AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |    CASE WHEN CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) < 400000 THEN 'S'
+        |         WHEN CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) < 1200000 THEN 'M'
+        |         ELSE 'L' END AS band
+        |  FROM orders GROUP BY o_custkey, CAST(year(o_orderdate) AS INT)
+        |), changes AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, yr, band,
+        |      lag(band, 1, '__none__') OVER (PARTITION BY o_custkey ORDER BY yr ASC) AS prev_band
+        |    FROM yearly)
+        |  WHERE band <> prev_band
+        |), dim AS (
+        |  SELECT o_custkey AS d_cust, band, yr AS valid_from,
+        |    lead(yr, 1) OVER (PARTITION BY o_custkey ORDER BY yr ASC) - 1 AS valid_to
+        |  FROM changes)
+        |SELECT band, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM orders JOIN dim
+        |  ON o_custkey = d_cust
+        | AND CAST(year(o_orderdate) AS INT) >= valid_from
+        | AND (valid_to IS NULL OR CAST(year(o_orderdate) AS INT) <= valid_to)
+        |GROUP BY band ORDER BY band""".stripMargin
   )
 }

@@ -353,6 +353,18 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** collect_set→sort_array→concat: grouping values into a deterministic
+    * array/string — the only hash-safe way to emit collected groups (bare
+    * collect_list order is partitioning-dependent). */
+  def aggCollectSorted(spark: SparkSession, sf: String): DataFrame =
+    orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
+        concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+          .as("priorities"))
+      .orderBy(col("o_custkey"))
+
   /** Per-group mode (most frequent value) with a total tie-break — the
     * count+window-survivor formulation, one shuffle on the group key. */
   def aggMode(spark: SparkSession, sf: String): DataFrame = {
@@ -462,6 +474,7 @@ object Relational {
     "agg_multi_stat" -> aggMultiStat,
     "agg_having" -> aggHaving,
     "agg_distinct_exact" -> aggDistinctExact,
+    "agg_collect_sorted" -> aggCollectSorted,
     "agg_mode" -> aggMode,
     "agg_percentile_disc" -> aggPercentileDisc,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -621,6 +634,12 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_collect_sorted" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "agg_mode" ->
       """SELECT o_custkey, mode_priority, cnt FROM (

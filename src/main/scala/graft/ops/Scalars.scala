@@ -165,8 +165,36 @@ object Scalars {
           "[0-9]{7,}", "<PHONE>").as("redacted"))
       .orderBy(col("c_custkey"))
 
+  /** URL field extraction over synthesized URLs — regex on BOTH engines
+    * (not Spark's parse_url) so the expression trees are identical. */
+  def fnUrlParse(spark: SparkSession, sf: String): DataFrame =
+    customer(spark, sf)
+      .select(col("c_custkey"),
+        concat(lit("https://"), lower(col("c_mktsegment")),
+          lit(".example.com/c/"), col("c_custkey").cast("string"),
+          lit("?seg="), col("c_mktsegment"), lit("&page=2")).as("url"))
+      .select(col("c_custkey"), col("url"),
+        regexp_extract(col("url"), "https://([^/]+)", 1).as("host"),
+        regexp_extract(col("url"), "://[^/]+(/[^?]*)", 1).as("path"),
+        regexp_extract(col("url"), "seg=([A-Z]+)", 1).as("seg_param"))
+      .orderBy(col("c_custkey"))
+
+  /** Struct construct/access: named_struct flows through a filter and sort,
+    * then fields are projected back out. */
+  def fnStruct(spark: SparkSession, sf: String): DataFrame =
+    orders(spark, sf)
+      .select(struct(col("o_orderkey").as("key"),
+        dec2(col("o_totalprice")).as("price"),
+        col("o_orderstatus").as("status")).as("s"))
+      .where(col("s.status") === "F" && col("s.key") % 4 === 1)
+      .select(col("s.key").as("k"), col("s.price").as("price"),
+        col("s.status").as("status"))
+      .orderBy(col("k"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_bitwise" -> fnBitwise,
+    "fn_url_parse" -> fnUrlParse,
+    "fn_struct" -> fnStruct,
     "text_pii_redact" -> textPiiRedact,
     "fn_string" -> fnString,
     "fn_regex" -> fnRegex,
@@ -190,6 +218,27 @@ object Scalars {
         |  o_orderkey >> 2 AS shr,
         |  CAST(bit_count(o_orderkey) AS INT) AS popcnt
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_url_parse" ->
+      """SELECT c_custkey, url,
+        |  regexp_extract(url, 'https://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, 'seg=([A-Z]+)', 1) AS seg_param
+        |FROM (
+        |  SELECT c_custkey,
+        |    'https://' || lower(c_mktsegment) || '.example.com/c/' ||
+        |    CAST(c_custkey AS VARCHAR) || '?seg=' || c_mktsegment || '&page=2' AS url
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "fn_struct" ->
+      """SELECT s.key AS k, s.price AS price, s.status AS status FROM (
+        |  SELECT struct_pack(key := o_orderkey,
+        |                     price := CAST(o_totalprice AS DECIMAL(18,2)),
+        |                     status := o_orderstatus) AS s
+        |  FROM orders)
+        |WHERE s.status = 'F' AND s.key % 4 = 1
+        |ORDER BY k""".stripMargin,
 
     "text_pii_redact" ->
       """SELECT c_custkey, raw,
