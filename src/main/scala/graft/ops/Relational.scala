@@ -353,6 +353,14 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Fixed-bin histogram: integer bin ids from floor(x/width) — the one-pass
+    * distribution profile (IEEE-identical floor on both engines). */
+  def aggHistFixed(spark: SparkSession, sf: String): DataFrame =
+    orders(spark, sf)
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"), sum2(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bin"))
+
   /** collect_set→sort_array→concat: grouping values into a deterministic
     * array/string — the only hash-safe way to emit collected groups (bare
     * collect_list order is partitioning-dependent). */
@@ -474,6 +482,7 @@ object Relational {
     "agg_multi_stat" -> aggMultiStat,
     "agg_having" -> aggHaving,
     "agg_distinct_exact" -> aggDistinctExact,
+    "agg_hist_fixed" -> aggHistFixed,
     "agg_collect_sorted" -> aggCollectSorted,
     "agg_mode" -> aggMode,
     "agg_percentile_disc" -> aggPercentileDisc,
@@ -634,6 +643,11 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_hist_fixed" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bin, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
 
     "agg_collect_sorted" ->
       """SELECT o_custkey,

@@ -116,6 +116,28 @@ object Vectors {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Global top-20 most-similar pairs (not per-probe): orderBy+limit plans
+    * TakeOrderedAndProject over the pair stream — each task keeps only its
+    * local top-20, the driver merges (no global sort materialization).
+    * Ranks/ids only in the output (D3). */
+  def vecTopkGlobal(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorDot.register(spark)
+    val e = embeddings(spark, sf)
+      .withColumn("norm2", expr("vector_dot(embedding, embedding)"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("norm2").as("na2"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("norm2").as("nb2"))
+    val top = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr("vector_dot(ea, eb)") / sqrt(col("na2") * col("nb2")))
+      .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(20)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)))
+      .select(col("rank"), col("vec_a"), col("vec_b"))
+      .orderBy(col("rank"))
+  }
+
   /** int8-style scalar quantization (the storage-compression path for
     * embedding columns at scale): per-vector min/max → 0..255 codes. All
     * arithmetic is explicitly double (float inputs widen exactly), so
@@ -161,6 +183,7 @@ object Vectors {
     "vec_bucket_lsh" -> vecBucketLsh,
     "vec_ann_lsh" -> vecAnnLsh,
     "vec_quantize" -> vecQuantize,
+    "vec_topk_global" -> vecTopkGlobal,
     "expr_custom_catalyst" -> exprCustomCatalyst
   )
 
@@ -207,6 +230,15 @@ object Vectors {
          |  FROM b p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
          |  WHERE p.vec_id IN $probesSql)
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "vec_topk_global" ->
+      """SELECT rank, vec_a, vec_b FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CAST(row_number() OVER (
+        |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |               a.vec_id ASC, b.vec_id ASC) AS INT) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "vec_quantize" ->
       """SELECT vec_id, pos,
