@@ -145,6 +145,47 @@ object Etl {
       .orderBy(col("user_id"), col("session_ord"))
   }
 
+  /** Incremental aggregation: a base aggregate merged with a delta-partition
+    * aggregate by re-aggregating the partials (sum-of-sums, sum-of-counts) —
+    * the algebra every incremental pipeline leans on. The oracle is the
+    * full recompute, proving merge ≡ recompute. */
+  def etlIncrementalAgg(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("s"))
+    val base  = partial(ev.where(col("ts") < lit("2024-01-15").cast("timestamp")))
+    val delta = partial(ev.where(col("ts") >= lit("2024-01-15").cast("timestamp")))
+    base.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).cast(Out38_2).as("sum_val"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Session conversion funnel: per user, sessions (30-min gaps) where a
+    * click is later followed by a purchase in the same session. Integer/
+    * epoch logic end to end. */
+  def etlFunnel(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events(spark, sf)
+      .withColumn("es", epochS(col("ts")))
+      .withColumn("prev_es", lag(col("es"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev_es").isNull || col("es") - col("prev_es") > 1800, 1).otherwise(0))
+      .withColumn("session_ord", sum(col("boundary")).over(wRun))
+      .groupBy(col("user_id"), col("session_ord"))
+      .agg(
+        min(when(col("event_type") === "click", col("es"))).as("first_click"),
+        max(when(col("event_type") === "purchase", col("es"))).as("last_purchase"))
+    sessions
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("first_click").isNotNull && col("last_purchase").isNotNull &&
+          col("first_click") < col("last_purchase"), lit(1))).as("n_converted"))
+      .orderBy(col("user_id"))
+  }
+
   /** CDC snapshot diff: compare two dimension snapshots by key and classify
     * every difference as insert / delete / update — the change feed a
     * downstream incremental pipeline consumes. Single full-outer join on
@@ -237,6 +278,8 @@ object Etl {
     "etl_merge_upsert" -> etlMergeUpsert,
     "etl_pivot" -> etlPivot,
     "etl_unpivot" -> etlUnpivot,
+    "etl_incremental_agg" -> etlIncrementalAgg,
+    "etl_funnel" -> etlFunnel,
     "etl_cdc_diff" -> etlCdcDiff,
     "etl_sample_hash" -> etlSampleHash,
     "etl_sessionize" -> etlSessionize,
@@ -297,6 +340,33 @@ object Etl {
         |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem)
         |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
         |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin,
+
+    "etl_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_val
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "etl_funnel" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS prev_es
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT *, SUM(CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_ord
+        |  FROM flagged
+        |), sessions AS (
+        |  SELECT user_id, session_ord,
+        |    MIN(CASE WHEN event_type = 'click' THEN es END) AS first_click,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN es END) AS last_purchase
+        |  FROM numbered GROUP BY user_id, session_ord)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  count(CASE WHEN first_click IS NOT NULL AND last_purchase IS NOT NULL
+        |             AND first_click < last_purchase THEN 1 END) AS n_converted
+        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "etl_cdc_diff" ->
       """WITH old AS (

@@ -387,6 +387,17 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** Approximate percentiles (GK/quantile-sketch family) — no-oracle (D5)
+    * like the HLL row: sketch outputs are implementation-specific. Error
+    * bounds asserted in the test suite. */
+  def aggApproxPercentile(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        dec2(expr("approx_percentile(value, 0.5, 1000)")).as("p50_approx"),
+        dec2(expr("approx_percentile(value, 0.9, 1000)")).as("p90_approx"))
+      .orderBy(col("event_type"))
+
   /** HLL++ approximate distinct — sanctioned no-oracle (D5): sketch values
     * are implementation-specific. Bounds asserted in the test suite. */
   def aggApproxDistinct(spark: SparkSession, sf: String): DataFrame =
@@ -490,6 +501,7 @@ object Relational {
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_approx_percentile" -> aggApproxPercentile,
     "sort_multi_nulls" -> sortMultiNulls,
     "topk_per_group" -> topkPerGroup,
     "limit_offset" -> limitOffset,

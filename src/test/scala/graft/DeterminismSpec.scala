@@ -51,6 +51,20 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile lands within the p40..p60 band of exact order stats") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("agg_approx_percentile")(spark, sf001).collect()
+    val byType = graft.util.Tables.events(spark, sf001)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rows.foreach { r =>
+      val vs = byType(r.getString(0))
+      val p50 = r.getDecimal(1).doubleValue()
+      val lo = vs((vs.length * 0.4).toInt); val hi = vs((vs.length * 0.6).toInt)
+      assert(p50 >= lo && p50 <= hi, s"${r.getString(0)}: $p50 outside [$lo,$hi]")
+    }
+  }
+
   test("minhash LSH candidates contain every true near-dup pair (recall)") {
     // True pairs from the exact jaccard query (same-lang); LSH candidates
     // are cross-lang capable, so containment is the right direction.
