@@ -51,6 +51,17 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("VectorDot codegen and interpreted paths agree exactly") {
+    val old = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val gen = SparkEntry.queries("dedup_embedding_cosine")(spark, sf001).collect().toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = SparkEntry.queries("dedup_embedding_cosine")(spark, sf001).collect().toSeq
+      assert(gen == interp)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", old)
+  }
+
   test("approx_percentile lands within the p40..p60 band of exact order stats") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("agg_approx_percentile")(spark, sf001).collect()
