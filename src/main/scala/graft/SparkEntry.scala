@@ -15,7 +15,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Windows.queries ++ ops.Scalars.queries ++
       ops.Etl.queries ++ ops.Text.queries ++ ops.Dedup.queries ++
       ops.Vectors.queries ++ ops.Extensions.queries ++ ops.Multimodal.queries ++
-      ops.Streaming.queries
+      ops.Streaming.queries ++ ops.Sql.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +23,5 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Scalars.oracle ++
       ops.Etl.oracle ++ ops.Text.oracle ++ ops.Dedup.oracle ++
       ops.Vectors.oracle ++ ops.Extensions.oracle ++ ops.Multimodal.oracle ++
-      ops.Streaming.oracle
+      ops.Streaming.oracle ++ ops.Sql.oracle
 }

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.util.Tables
+
+/** SQL-surface operators: correlated subqueries (EXISTS / IN / scalar →
+  * Catalyst's decorrelation rewrites), LATERAL joins, and recursive CTEs
+  * (Spark 4 supports WITH RECURSIVE). Each query here is ONE SQL string
+  * executed verbatim by both Spark and the DuckDB oracle — the strongest
+  * cross-engine statement the harness can make: not merely equal results,
+  * but the same declarative text.
+  *
+  * Scalar subqueries use MAX (exact on both engines), never AVG of doubles
+  * (whose summation order is partitioning-dependent — rule D1).
+  */
+object Sql {
+
+  private def run(spark: SparkSession, sf: String, sql: String): DataFrame = {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem"))
+      Tables.table(spark, sf, t).createOrReplaceTempView(t)
+    spark.sql(sql)
+  }
+
+  private val subqueriesSql =
+    """SELECT o_orderkey, o_custkey
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o.o_orderkey AND l_quantity >= 45)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |  AND o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.5
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val lateralSql =
+    """SELECT c_custkey, t.o_orderkey, t.price
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, t.o_orderkey""".stripMargin
+
+  private val recursiveSql =
+    """WITH RECURSIVE m(mo) AS (
+      |  SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12)
+      |SELECT mo,
+      |  (SELECT count(*) FROM orders
+      |   WHERE CAST(month(o_orderdate) AS INT) = mo) AS n_orders
+      |FROM m ORDER BY mo""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_subqueries" -> ((s, sf) => run(s, sf, subqueriesSql)),
+    "sql_lateral_topk" -> ((s, sf) => run(s, sf, lateralSql)),
+    "sql_recursive_series" -> ((s, sf) => run(s, sf, recursiveSql))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sql_subqueries" -> subqueriesSql,
+    "sql_lateral_topk" -> lateralSql,
+    "sql_recursive_series" -> recursiveSql
+  )
+}
