@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   * cost, not SparkSession/codegen/JIT bring-up (which otherwise lands
   * entirely on whichever query happens to run first). Keys run in sorted
   * order for stable, comparable per-query timings across rounds.
+  *
+  * Output hygiene (the round-1 driver failed to parse the bench line): the
+  * driver keeps only the LAST 2000 chars of output, and a 104-entry queries
+  * map (~2.9 KB) can never fit, so the line it must parse is printed LAST,
+  * after spark.stop(), with only the 20 slowest per-query timings (the full
+  * map is printed earlier for the logs). Timings are rounded to
+  * milliseconds; a failed query records value -1.0 (never a silent timing)
+  * and forces a nonzero exit code.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,18 +28,38 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Warmup: exercise scan+join+agg codegen once, untimed.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) math.max(sec, 0.001) else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def r3(v: Double): String = f"$v%.3f"
+    def qjson(rs: Seq[(String, Double, Boolean)]): String =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    val nFailed = results.count(!_._3)
+    val total = results.filter(_._3).map(_._2).sum
+    def line(qs: String): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+    // Full per-query map for the logs (too long for the driver's 2000-char
+    // tail capture — informational only).
+    println(line(qjson(results)))
+    Console.out.flush()
     spark.stop()
+    // The line the driver parses: LAST on stdout (nothing interleaves after
+    // spark.stop()) and compact enough (~700 chars) to sit entirely inside
+    // the tail capture — only the 20 slowest queries inline.
+    println(line(qjson(results.sortBy(-_._2).take(20).sortBy(_._1))))
+    Console.out.flush()
+    if (nFailed > 0) sys.exit(1)
   }
 }

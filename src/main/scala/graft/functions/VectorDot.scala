@@ -13,15 +13,19 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * Semantics mirror the HOF twin
   * `aggregate(zip_with(a,b,(x,y)=>x.cast(double)*y.cast(double)),0d,+)`
   * exactly: elements widen to DOUBLE, multiply, and accumulate left-to-right
-  * — so plans using either form rank identically. `doGenCode` emits a
-  * primitive loop (no per-row ArrayData boxing like the HOF chain), which is
-  * the point at 100 TB: one fused loop inside whole-stage codegen instead of
-  * three nested higher-order evals.
+  * — so plans using either form rank identically. That includes mismatched
+  * lengths: zip_with null-pads the shorter array and the null poisons the
+  * aggregate, so this expression returns NULL when lengths differ.
+  * `doGenCode` emits a primitive loop (no per-row ArrayData boxing like the
+  * HOF chain), which is the point at 100 TB: one fused loop inside
+  * whole-stage codegen instead of three nested higher-order evals.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -37,10 +41,10 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData].toFloatArray()
     val ys = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(xs.length, ys.length)
+    if (xs.length != ys.length) return null // HOF twin: null-pad poisons sum
     var acc = 0.0d
     var i = 0
-    while (i < n) {
+    while (i < xs.length) {
       acc += xs(i).toDouble * ys(i).toDouble
       i += 1
     }
@@ -53,12 +57,16 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -82,15 +82,18 @@ object Etl {
   }
 
   /** SCD-0 last-writer-wins upsert: window-survivor over base ∪ updates keyed
-    * by o_orderkey (scale path: one shuffle, no MERGE state). Prices stay at
-    * scale 4 — a 2-digit re-round of price*1.1 would tie-break differently
-    * across engines. */
+    * by o_orderkey (scale path: one shuffle, no MERGE state). Prices are
+    * computed at scale 4 — a 2-digit re-round of price*1.1 would tie-break
+    * differently across engines — and leave the query as DOUBLE (D1b).
+    * Updates hit keys ≡1 (mod 4), a strict subset of the odd-key base, so
+    * every update CONFLICTS with a base row and the src-ordered survivor
+    * window genuinely resolves last-writer-wins. */
   def etlMergeUpsert(spark: SparkSession, sf: String): DataFrame = {
     val o = orders(spark, sf)
     val base = o.where(col("o_orderkey") % 2 === 1)
       .select(col("o_orderkey"), col("o_orderstatus").as("status"),
         dec(col("o_totalprice"), 18, 4).as("price"), lit(0).as("src"))
-    val upd = o.where(col("o_orderkey") % 4 === 2)
+    val upd = o.where(col("o_orderkey") % 4 === 1)
       .select(col("o_orderkey"), lit("U").as("status"),
         (dec2(col("o_totalprice")) * lit(new java.math.BigDecimal("1.10")))
           .cast(DecimalType(18, 4)).as("price"), lit(1).as("src"))
@@ -98,7 +101,8 @@ object Etl {
     base.unionByName(upd)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col("o_orderkey"), col("status"), col("price"), col("src"))
+      .select(col("o_orderkey"), col("status"), col("price").cast("double").as("price"),
+        col("src"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -158,7 +162,7 @@ object Etl {
     val delta = partial(ev.where(col("ts") >= lit("2024-01-15").cast("timestamp")))
     base.unionByName(delta)
       .groupBy(col("event_type"))
-      .agg(sum(col("n")).as("n"), sum(col("s")).cast(Out38_2).as("sum_val"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).cast("double").as("sum_val"))
       .orderBy(col("event_type"))
   }
 
@@ -214,7 +218,8 @@ object Etl {
           .otherwise("unchanged"))
       .where(col("change") =!= "unchanged")
       .select(coalesce(col("k_old"), col("k_new")).as("k"), col("change"),
-        col("old_price"), col("new_price"))
+        col("old_price").cast("double").as("old_price"),
+        col("new_price").cast("double").as("new_price"))
       .orderBy(col("k"))
   }
 
@@ -226,7 +231,7 @@ object Etl {
     orders(spark, sf)
       .where(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
       .select(col("o_orderkey"), col("o_orderstatus"),
-        dec2(col("o_totalprice")).as("price"))
+        col("o_totalprice").as("price"))
       .orderBy(col("o_orderkey"))
 
   /** SCD2 dimension frame (unordered) — shared by the snapshot query and
@@ -315,7 +320,7 @@ object Etl {
         |ORDER BY metric""".stripMargin,
 
     "etl_merge_upsert" ->
-      """SELECT o_orderkey, status, price, src FROM (
+      """SELECT o_orderkey, status, CAST(price AS DOUBLE) AS price, src FROM (
         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM (
         |    SELECT o_orderkey, o_orderstatus AS status,
         |           CAST(o_totalprice AS DECIMAL(18,4)) AS price, 0 AS src
@@ -323,7 +328,7 @@ object Etl {
         |    UNION ALL
         |    SELECT o_orderkey, 'U' AS status,
         |           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(3,2)) AS DECIMAL(18,4)) AS price, 1 AS src
-        |    FROM orders WHERE o_orderkey % 4 = 2))
+        |    FROM orders WHERE o_orderkey % 4 = 1))
         |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
 
     "etl_pivot" ->
@@ -343,7 +348,7 @@ object Etl {
 
     "etl_incremental_agg" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_val
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "etl_funnel" ->
@@ -386,7 +391,8 @@ object Etl {
         |       WHEN k_new IS NULL THEN 'delete'
         |       WHEN old_price <> new_price THEN 'update'
         |       ELSE 'unchanged' END AS change,
-        |  old_price, new_price
+        |  CAST(old_price AS DOUBLE) AS old_price,
+        |  CAST(new_price AS DOUBLE) AS new_price
         |FROM old FULL JOIN neu ON k_old = k_new
         |WHERE CASE WHEN k_old IS NULL THEN 'insert'
         |           WHEN k_new IS NULL THEN 'delete'
@@ -395,7 +401,7 @@ object Etl {
         |ORDER BY k""".stripMargin,
 
     "etl_sample_hash" ->
-      """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, o_orderstatus, o_totalprice AS price
         |FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1')
         |ORDER BY o_orderkey""".stripMargin,
@@ -412,7 +418,7 @@ object Etl {
         |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_ord
         |  FROM flagged)
-        |SELECT user_id, session_ord, count(*) AS n_events,
+        |SELECT user_id, CAST(session_ord AS BIGINT) AS session_ord, count(*) AS n_events,
         |  MIN(es) AS first_epoch, MAX(es) AS last_epoch,
         |  MAX(es) - MIN(es) AS duration_s
         |FROM numbered GROUP BY user_id, session_ord
@@ -453,7 +459,7 @@ object Etl {
         |    lead(yr, 1) OVER (PARTITION BY o_custkey ORDER BY yr ASC) - 1 AS valid_to
         |  FROM changes)
         |SELECT band, count(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN dim
         |  ON o_custkey = d_cust
         | AND CAST(year(o_orderdate) AS INT) >= valid_from

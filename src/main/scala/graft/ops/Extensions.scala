@@ -59,8 +59,8 @@ object Extensions {
       .agg(wsum(dec2(col("l_quantity")), dec2(col("l_extendedprice"))).as("w"),
         count(lit(1)).as("n_items"))
       .select(col("p_brand"),
-        col("w._1").cast(DecimalType(38, 4)).as("wsum"),
-        col("w._2").cast(DecimalType(38, 2)).as("wqty"),
+        col("w._1").cast("double").as("wsum"),
+        col("w._2").cast("double").as("wqty"),
         col("n_items"))
       .orderBy(col("p_brand"))
   }
@@ -78,8 +78,8 @@ object Extensions {
 
     "agg_udaf_weighted_avg" ->
       """SELECT p_brand,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS wsum,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS wqty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS wsum,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wqty,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin

@@ -83,7 +83,7 @@ object Relational {
     orders(spark, sf)
       .select(
         col("o_orderkey"),
-        (dec2(col("o_totalprice")) * 2).cast(Out38_2).as("double_price"),
+        outD(dec2(col("o_totalprice")) * 2).as("double_price"),
         concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))
           .as("status_pri"),
         when(col("o_totalprice") > 250000.0, "big").otherwise("small")
@@ -111,7 +111,7 @@ object Relational {
       .join(orders(spark, sf), col("o_custkey") === col("c_custkey"), "left")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
-        coalesce(sum(dec2(col("o_totalprice"))), lit(0)).cast(Out38_2).as("sum_price"))
+        outD(coalesce(sum(dec2(col("o_totalprice"))), lit(0))).as("sum_price"))
       .orderBy(col("c_custkey"))
 
   def joinRightOuter(spark: SparkSession, sf: String): DataFrame =
@@ -119,7 +119,7 @@ object Relational {
       .join(customer(spark, sf), col("o_custkey") === col("c_custkey"), "right")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
-        coalesce(sum(dec2(col("o_totalprice"))), lit(0)).cast(Out38_2).as("sum_price"))
+        outD(coalesce(sum(dec2(col("o_totalprice"))), lit(0))).as("sum_price"))
       .orderBy(col("c_custkey"))
 
   /** Odd/even per-customer order counts FULL OUTER rejoined — exercises
@@ -242,13 +242,13 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(dec(col("l_quantity"), 12, 2)).cast(Out38_2).as("sum_qty"),
-        sum(dec(col("l_extendedprice"), 12, 2)).cast(Out38_2).as("sum_base"),
-        sum(dec(col("l_extendedprice"), 12, 2) *
-          (one - dec(col("l_discount"), 4, 2))).cast(Out38_4).as("sum_disc_price"),
-        sum(dec(col("l_extendedprice"), 12, 2) *
+        outD(sum(dec(col("l_quantity"), 12, 2))).as("sum_qty"),
+        outD(sum(dec(col("l_extendedprice"), 12, 2))).as("sum_base"),
+        outD(sum(dec(col("l_extendedprice"), 12, 2) *
+          (one - dec(col("l_discount"), 4, 2)))).as("sum_disc_price"),
+        outD(sum(dec(col("l_extendedprice"), 12, 2) *
           (one - dec(col("l_discount"), 4, 2)) *
-          (one + dec(col("l_tax"), 4, 2))).cast(DecimalType(38, 6)).as("sum_charge"))
+          (one + dec(col("l_tax"), 4, 2)))).as("sum_charge"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -258,8 +258,8 @@ object Relational {
       .agg(
         count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_custs"),
-        min(dec2(col("o_totalprice"))).as("min_price"),
-        max(dec2(col("o_totalprice"))).as("max_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
         min(asDate(col("o_orderdate"))).as("min_date"),
         max(asDate(col("o_orderdate"))).as("max_date"))
       .orderBy(col("o_orderpriority"))
@@ -297,7 +297,7 @@ object Relational {
          |       COALESCE(n_name, 'ALL') AS nation_g,
          |       COALESCE(c_mktsegment, 'ALL') AS segment_g,
          |       count(*) AS n_orders,
-         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          |FROM $v
          |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
          |ORDER BY gn, gm, nation_g, segment_g""".stripMargin)
@@ -347,8 +347,8 @@ object Relational {
       .withColumn("k90", expr("(9 * n + 9) div 10"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        max(when(col("rn") === col("k50"), dec2(col("o_totalprice")))).as("p50"),
-        max(when(col("rn") === col("k90"), dec2(col("o_totalprice")))).as("p90"),
+        max(when(col("rn") === col("k50"), col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === col("k90"), col("o_totalprice"))).as("p90"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))
   }
@@ -415,7 +415,7 @@ object Relational {
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_orderpriority"))
           .as("npri"),
-        dec2(col("o_totalprice")).as("price"))
+        col("o_totalprice").as("price"))
       .orderBy(col("npri").asc_nulls_first, col("price").desc, col("o_orderkey").asc)
       .limit(100)
 
@@ -426,7 +426,7 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
-        dec2(col("o_totalprice")).as("price"))
+        col("o_totalprice").as("price"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 
@@ -526,8 +526,8 @@ object Relational {
 
     "sink_parquet_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n_rows,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "filter_compound" ->
@@ -542,7 +542,7 @@ object Relational {
 
     "project_expr" ->
       """SELECT o_orderkey,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(38,2)) AS double_price,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) AS double_price,
         |  o_orderstatus || '-' || o_orderpriority AS status_pri,
         |  CASE WHEN o_totalprice > 250000.0 THEN 'big' ELSE 'small' END AS size_band,
         |  CAST(length(o_orderpriority) AS INT) AS pri_len
@@ -554,19 +554,19 @@ object Relational {
 
     "join_inner_equi" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "join_left_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_price
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     "join_right_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_price
         |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
@@ -589,7 +589,7 @@ object Relational {
 
     "join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -601,7 +601,7 @@ object Relational {
 
     "join_theta_range" ->
       """SELECT p_brand, count(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 25
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
@@ -628,10 +628,10 @@ object Relational {
 
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -639,15 +639,15 @@ object Relational {
     "agg_multi_stat" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  count(DISTINCT o_custkey) AS n_custs,
-        |  MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_price,
-        |  MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
         |  MIN(CAST(o_orderdate AS DATE)) AS min_date,
         |  MAX(CAST(o_orderdate AS DATE)) AS max_date
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "agg_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_custkey HAVING count(*) > 15
         |ORDER BY o_custkey""".stripMargin,
 
@@ -658,7 +658,7 @@ object Relational {
 
     "agg_hist_fixed" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bin, count(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
 
     "agg_collect_sorted" ->
@@ -677,8 +677,8 @@ object Relational {
 
     "agg_percentile_disc" ->
       """SELECT o_orderpriority,
-        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS p50,
-        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS p90,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50,
+        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN o_totalprice END) AS p90,
         |  count(*) AS n_orders
         |FROM (
         |  SELECT o_orderpriority, o_totalprice,
@@ -693,7 +693,7 @@ object Relational {
         |       COALESCE(n_name, 'ALL') AS nation_g,
         |       COALESCE(c_mktsegment, 'ALL') AS segment_g,
         |       count(*) AS n_orders,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
@@ -703,7 +703,7 @@ object Relational {
       """SELECT CAST(GROUPING(r_name) AS INT) AS gr, CAST(GROUPING(n_name) AS INT) AS gn,
         |       COALESCE(r_name, 'ALL') AS region_g, COALESCE(n_name, 'ALL') AS nation_g,
         |       count(*) AS n_orders,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -714,7 +714,7 @@ object Relational {
       """SELECT CAST(GROUPING(l_returnflag) AS INT) AS gf, CAST(GROUPING(l_linestatus) AS INT) AS gs,
         |       COALESCE(l_returnflag, 'ALL') AS flag_g, COALESCE(l_linestatus, 'ALL') AS status_g,
         |       count(*) AS n_rows,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gf, gs, flag_g, status_g""".stripMargin,
@@ -724,14 +724,14 @@ object Relational {
     "sort_multi_nulls" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS npri,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  o_totalprice AS price
         |FROM orders
         |ORDER BY npri ASC NULLS FIRST, price DESC, o_orderkey ASC
         |LIMIT 100""".stripMargin,
 
     "topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, price FROM (
-        |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |  SELECT o_custkey, o_orderkey, o_totalprice AS price,
         |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,

@@ -59,7 +59,7 @@ object Scalars {
         abs(col("p_size") - 25).as("a"),
         ceil(col("p_retailprice")).as("ce"),
         floor(col("p_retailprice")).as("fl"),
-        round(dec2(col("p_retailprice")), 1).as("r1"),
+        round(dec2(col("p_retailprice")), 1).cast("double").as("r1"),
         (col("p_partkey") % 7).as("m7"),
         pmod(col("p_partkey") - 100, lit(7)).as("pm7"),
         pow(lit(2), col("p_partkey") % 10).cast("long").as("p2"),
@@ -86,13 +86,16 @@ object Scalars {
       .select(col("c_custkey"), col("digits"),
         col("digits").cast("bigint").as("as_int"),
         expr("try_cast(concat(digits, '99999999999999999') AS BIGINT)").as("overflow_null"),
-        expr("try_cast('2024-02-30' AS DATE)").as("bad_date"))
+        // NULL DATE columns materialize as pandas NaT on the oracle side but
+        // None from parquet — ship the NULL through VARCHAR so both stringify
+        // identically. (The try_cast→NULL semantics are what's under test.)
+        expr("CAST(try_cast('2024-02-30' AS DATE) AS STRING)").as("bad_date"))
       .join(customer(spark, sf).select(col("c_custkey").as("ck"), col("c_acctbal")),
         col("c_custkey") === col("ck"))
       .select(col("c_custkey"), col("digits"), col("as_int"), col("overflow_null"),
         col("bad_date"),
         dec2(col("c_acctbal")).cast("string").as("bal_str"),
-        dec2(col("c_acctbal")).cast("string").cast(Dec18_2).as("bal_back"))
+        dec2(col("c_acctbal")).cast("string").cast(Dec18_2).cast("double").as("bal_back"))
       .orderBy(col("c_custkey"))
 
   def fnArray(spark: SparkSession, sf: String): DataFrame = {
@@ -187,7 +190,7 @@ object Scalars {
         dec2(col("o_totalprice")).as("price"),
         col("o_orderstatus").as("status")).as("s"))
       .where(col("s.status") === "F" && col("s.key") % 4 === 1)
-      .select(col("s.key").as("k"), col("s.price").as("price"),
+      .select(col("s.key").as("k"), col("s.price").cast("double").as("price"),
         col("s.status").as("status"))
       .orderBy(col("k"))
 
@@ -232,7 +235,7 @@ object Scalars {
         |ORDER BY c_custkey""".stripMargin,
 
     "fn_struct" ->
-      """SELECT s.key AS k, s.price AS price, s.status AS status FROM (
+      """SELECT s.key AS k, CAST(s.price AS DOUBLE) AS price, s.status AS status FROM (
         |  SELECT struct_pack(key := o_orderkey,
         |                     price := CAST(o_totalprice AS DECIMAL(18,2)),
         |                     status := o_orderstatus) AS s
@@ -283,7 +286,7 @@ object Scalars {
         |  abs(p_size - 25) AS a,
         |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
         |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
-        |  round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS r1,
+        |  CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS r1,
         |  p_partkey % 7 AS m7,
         |  ((p_partkey - 100) % 7 + 7) % 7 AS pm7,
         |  CAST(power(2, p_partkey % 10) AS BIGINT) AS p2,
@@ -306,9 +309,9 @@ object Scalars {
       """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits,
         |  CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS as_int,
         |  TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) || '99999999999999999' AS BIGINT) AS overflow_null,
-        |  TRY_CAST('2024-02-30' AS DATE) AS bad_date,
+        |  CAST(TRY_CAST('2024-02-30' AS DATE) AS VARCHAR) AS bad_date,
         |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal_str,
-        |  CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS DECIMAL(18,2)) AS bal_back
+        |  CAST(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE) AS bal_back
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "fn_array" ->

@@ -36,7 +36,7 @@ object Sql {
   private val lateralSql =
     """SELECT c_custkey, t.o_orderkey, t.price
       |FROM customer, LATERAL (
-      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  SELECT o_orderkey, o_totalprice AS price
       |  FROM orders WHERE o_custkey = c_custkey
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |ORDER BY c_custkey, t.o_orderkey""".stripMargin

@@ -61,7 +61,7 @@ object Streaming {
     val agg = eventsStream(spark, sf)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast(Out38_2).as("sum_val"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast("double").as("sum_val"))
     drain(spark, agg, OutputMode.Complete())
       .select(col("window.start").cast(TimestampType).cast(LongType).as("ws_epoch"),
         col("event_type"), col("n"), col("sum_val"))
@@ -182,8 +182,10 @@ object Streaming {
     ms.addData(LateEvent(4, t(7, 30), 1), LateEvent(5, t(10, 30), 2))
     q.processAllAvailable()
     q.stop()
-    // update-mode sink: max(n) per window = final count; the 07:00 window
-    // keeps n=1 (the late row never lands), 10:00 ends at n=2.
+    // update-mode sink: max(n) per window = final count. The 07:30 row is
+    // dropped, so NO 07:00 window ever appears in the output; the final
+    // windows are 08:00 with n=2 and 10:00 with n=2 (StreamingSpec asserts
+    // exactly this).
     spark.table(name)
       .select(col("window.start").cast(TimestampType).cast(LongType).as("ws_epoch"),
         col("n"))
@@ -205,7 +207,7 @@ object Streaming {
     "stream_tumbling" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS ws_epoch,
         |  event_type, count(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_val
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY ws_epoch, event_type
         |ORDER BY ws_epoch, event_type""".stripMargin,
 

@@ -245,6 +245,7 @@ object Text {
          |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.bg, b.bg)) * 2 >=
          |      (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)))
+         |  AND len(list_intersect(a.bg, b.bg)) > 0
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_langid" ->

@@ -40,7 +40,7 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     orders(spark, sf)
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(dec2(col("o_totalprice"))).over(w).cast(Out38_2).as("running"))
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -61,7 +61,7 @@ object Windows {
     def e9(c: org.apache.spark.sql.Column) =
       floor(c * lit(1.0e9) + lit(0.5)).cast("long")
     part(spark, sf)
-      .select(col("p_partkey"), dec2(col("p_retailprice")).as("price"),
+      .select(col("p_partkey"), col("p_retailprice").as("price"),
         ntile(4).over(w).as("nt"),
         e9(percent_rank().over(w)).as("pr_e9"),
         e9(cume_dist().over(w)).as("cd_e9"))
@@ -114,7 +114,7 @@ object Windows {
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "window_lag_lead" ->
@@ -126,7 +126,7 @@ object Windows {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "window_ntile_pct" ->
-      """SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+      """SELECT p_partkey, p_retailprice AS price,
         |  CAST(ntile(4) OVER w AS INT) AS nt,
         |  CAST(floor(percent_rank() OVER w * 1e9 + 0.5) AS BIGINT) AS pr_e9,
         |  CAST(floor(cume_dist() OVER w * 1e9 + 0.5) AS BIGINT) AS cd_e9

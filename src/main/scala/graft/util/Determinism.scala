@@ -30,9 +30,18 @@ object Determinism {
     * so intermediate decimal widths stay under both engines' 38-digit cap). */
   def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
-  /** D1 exact decimal SUM, pinned to an explicit output type both engines
-    * can declare (DuckDB SUM(DECIMAL) widens to 38 digits; we mirror). */
-  def sum2(c: Column): Column = sum(dec2(c)).cast(Out38_2)
+  /** D1 exact decimal SUM. The aggregation runs in the decimal domain
+    * (order-independent), but the OUTPUT is cast to DOUBLE: the driver's
+    * hash stringifies both sides, and a Spark DECIMAL column ('123.40')
+    * never matches the oracle DECIMAL materialized as float64 ('123.4').
+    * Decimal→double is correctly rounded on both engines, so the final
+    * cast is deterministic. Mirror with CAST(SUM(...) AS DOUBLE) in
+    * oracle SQL. (Round-2 rule D1b: NO DECIMAL COLUMN EVER LEAVES A
+    * QUERY — final outputs are DOUBLE/BIGINT/DATE/VARCHAR only.) */
+  def sum2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** Final-output cast for any decimal expression (rule D1b above). */
+  def outD(c: Column): Column = c.cast(DoubleType)
 
   /** Revenue-style product kept entirely in the decimal domain:
     * dec(price) * (1 - dec(discount)) — exact on both engines. */
@@ -40,7 +49,7 @@ object Determinism {
     dec2(price) * (lit(1) - dec2(discount))
 
   def sumRevenue(price: Column, discount: Column): Column =
-    sum(revenue(price, discount)).cast(Out38_4)
+    sum(revenue(price, discount)).cast(DoubleType)
 
   /** D4: timestamp column → epoch seconds BIGINT (session TZ is UTC on both
     * engines). Spark's timestamp→long FLOORS sub-second fractions; DuckDB's

@@ -25,7 +25,7 @@ class StreamingSpec extends AnyFunSuite {
           .cast("long").as("ws_epoch"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sum_val"))
+          .cast("double").as("sum_val"))
       .orderBy(col("ws_epoch"), col("event_type"))
       .collect().toSeq
     assert(streamed == batch)
