@@ -47,13 +47,29 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Pin the stateful-shuffle width while a streaming query runs: Spark
+    * materializes one state-store instance per shuffle partition per
+    * stateful operator per micro-batch, so at shuffle=32 every streaming
+    * key pays 32× store init/commit for fixtures whose whole state fits in
+    * one. A live deployment sizes this to key cardinality; these harness
+    * queries pin it small. Safe to toggle on the shared session because
+    * Verify/Bench run keys sequentially; the conf is restored either way. */
+  private def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run a streaming frame to completion into a memory sink, return the
     * sink table as a batch frame. */
   private def drain(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"sink_${UUID.randomUUID().toString.replace("-", "")}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -172,16 +188,18 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"))
     val name = s"late_${UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream.outputMode(OutputMode.Update()).format("memory")
-      .queryName(name).start()
-    // batch 1: three on-time rows up to 10:00 → watermark advances to 09:00
-    ms.addData(LateEvent(1, t(8, 5), 1), LateEvent(2, t(8, 40), 1),
-      LateEvent(3, t(10, 0), 2))
-    q.processAllAvailable()
-    // batch 2: one LATE row (07:30 < watermark) must be dropped; one on-time
-    ms.addData(LateEvent(4, t(7, 30), 1), LateEvent(5, t(10, 30), 2))
-    q.processAllAvailable()
-    q.stop()
+    withStreamShuffle(spark) {
+      val q = agg.writeStream.outputMode(OutputMode.Update()).format("memory")
+        .queryName(name).start()
+      // batch 1: three on-time rows up to 10:00 → watermark advances to 09:00
+      ms.addData(LateEvent(1, t(8, 5), 1), LateEvent(2, t(8, 40), 1),
+        LateEvent(3, t(10, 0), 2))
+      q.processAllAvailable()
+      // batch 2: one LATE row (07:30 < watermark) must be dropped; one on-time
+      ms.addData(LateEvent(4, t(7, 30), 1), LateEvent(5, t(10, 30), 2))
+      q.processAllAvailable()
+      q.stop()
+    }
     // update-mode sink: max(n) per window = final count. The 07:30 row is
     // dropped, so NO 07:00 window ever appears in the output; the final
     // windows are 08:00 with n=2 and 10:00 with n=2 (StreamingSpec asserts

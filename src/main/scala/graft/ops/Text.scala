@@ -87,38 +87,46 @@ object Text {
 
   /** Near-duplicate pairs by exact bigram-shingle Jaccard ≥ 0.5, same-lang
     * blocked. Threshold applied as 2·i ≥ u — pure integer arithmetic, no
-    * division anywhere (D3).
+    * division anywhere (D3). The naive pairwise SQL is kept as the oracle
+    * to prove the formulation identical.
     *
-    * Formulated the way it survives at 100 TB, with the naive pairwise SQL
-    * kept as the oracle to prove the formulations identical:
-    *  - shingle-postings co-occurrence counting instead of an all-pairs
-    *    array_intersect join — only pairs sharing ≥1 shingle materialize
-    *    (i=0 can never pass the threshold);
-    *  - shingles dictionary-encoded to dense ints via a broadcast join, so
-    *    the hot self-join compares ints, not strings;
-    *  - size-compatibility residual (J≥0.5 ⇒ 2·min(n) ≥ max(n)) pruning
-    *    pairs inside the join before the aggregate. */
+    * Formulation (round 2): dictionary-encode shingles to dense ints
+    * (broadcast join over the vocabulary), pack each doc's shingle set as a
+    * SORTED int array, then lang-blocked pair join with the codegen'd
+    * [[graft.functions.SortedIntersectSize]] merge scan and the
+    * size-compatibility residual (J≥0.5 ⇒ 2·min(n) ≥ max(n)) inside the
+    * join. This replaced the round-1 postings co-occurrence plan: with a
+    * dense vocabulary every shingle is common, so co-occurrence shuffles
+    * O(Σ df²) ≈ 80M rows at sf0.1 (11 s), while the packed-set pair scan
+    * streams the same pairs with zero per-pair allocation (<2 s). At
+    * 100 TB neither exact variant runs on the full corpus — MinHash-LSH
+    * banding (ops/Dedup.scala) prunes candidates first and THIS kernel
+    * verifies the survivors exactly. */
   def textJaccardDup(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.SortedIntersectSize.register(spark)
     val d = documents(spark, sf)
       .select(col("doc_id"), col("lang"), bigrams.as("bg"))
       .select(col("doc_id"), col("lang"), size(col("bg")).as("n"),
         explode(col("bg")).as("sh"))
     val dict = d.select(col("sh")).distinct()
       .withColumn("sid", row_number().over(Window.orderBy(col("sh"))))
-    val posts = d.join(broadcast(dict), "sh")
-      .select(col("lang"), col("doc_id"), col("n"), col("sid"))
-    val a = posts.select(col("lang"), col("doc_id").as("doc_a"),
-      col("n").as("n_a"), col("sid"))
-    val b = posts.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
-      col("n").as("n_b"), col("sid").as("sid_b"))
-    a.join(b, col("lang") === col("lang_b") && col("sid") === col("sid_b") &&
-        col("doc_a") < col("doc_b") &&
+    val sets = d.join(broadcast(dict), "sh")
+      .groupBy(col("lang"), col("doc_id"), col("n"))
+      .agg(sort_array(collect_set(col("sid"))).as("sids"))
+    val a = sets.select(col("lang"), col("doc_id").as("doc_a"),
+      col("n").as("n_a"), col("sids").as("sids_a"))
+    val b = sets.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("sids").as("sids_b"))
+    // lang has 5 distinct values — a shuffle join would cap parallelism at
+    // 5 partitions; broadcasting the packed sets (~4 MB at sf0.1) keeps all
+    // cores on the pair scan. (At corpus scale this join never runs raw —
+    // LSH candidates first.)
+    a.join(broadcast(b),
+        col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
         col("n_a") * 2 >= col("n_b") && col("n_b") * 2 >= col("n_a"))
-      .groupBy(col("lang"), col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("i", col("shared").cast("int"))
+      .withColumn("i", expr("sorted_intersect_size(sids_a, sids_b)"))
       .withColumn("u", (col("n_a") + col("n_b") - col("i")).cast("int"))
-      .where(col("i") * 2 >= col("u"))
+      .where(col("i") * 2 >= col("u") && col("i") > 0)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("i"), col("u"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

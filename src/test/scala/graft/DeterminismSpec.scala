@@ -62,6 +62,28 @@ class DeterminismSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", old)
   }
 
+  test("SortedIntersectSize equals size(array_intersect) on sorted sets") {
+    import org.apache.spark.sql.functions._
+    graft.functions.SortedIntersectSize.register(spark)
+    val df = spark.range(500).selectExpr(
+      "sort_array(array_distinct(transform(sequence(0, int(id % 17 + 3)), x -> int(pmod(x * (id + 7), 50))))) AS a",
+      "sort_array(array_distinct(transform(sequence(0, int(id % 13 + 2)), x -> int(pmod(x * (id + 3), 50))))) AS b")
+    val bad = df.where(expr("sorted_intersect_size(a, b)") =!=
+      size(array_intersect(col("a"), col("b")))).count()
+    assert(bad == 0)
+  }
+
+  test("SortedIntersectSize codegen and interpreted paths agree exactly") {
+    val old = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val gen = SparkEntry.queries("text_jaccard_dup")(spark, sf001).collect().toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = SparkEntry.queries("text_jaccard_dup")(spark, sf001).collect().toSeq
+      assert(gen == interp)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", old)
+  }
+
   test("approx_percentile lands within the p40..p60 band of exact order stats") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("agg_approx_percentile")(spark, sf001).collect()
