@@ -113,8 +113,16 @@ object Text {
     val sets = d.join(broadcast(dict), "sh")
       .groupBy(col("lang"), col("doc_id"), col("n"))
       .agg(sort_array(collect_set(col("sid"))).as("sids"))
-    val a = sets.select(col("lang"), col("doc_id").as("doc_a"),
-      col("n").as("n_a"), col("sids").as("sids_a"))
+    // The packed-set frame is tiny in bytes, so AQE coalesces the post-agg
+    // shuffle to ONE partition — and the O(pairs) scan below would run on a
+    // single core (measured 9.6 s vs 2.4 s at local[32], sf0.1). Pin the
+    // streamed side to the session's shuffle width: pair-scan cost is per
+    // ROW-PAIR, not per byte, so partition count must follow cores, not data
+    // size. Explicit N stops AQE from re-coalescing.
+    val width = spark.sessionState.conf.numShufflePartitions
+    val a = sets.repartition(width, col("doc_id"))
+      .select(col("lang"), col("doc_id").as("doc_a"),
+        col("n").as("n_a"), col("sids").as("sids_a"))
     val b = sets.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
       col("n").as("n_b"), col("sids").as("sids_b"))
     // lang has 5 distinct values — a shuffle join would cap parallelism at
