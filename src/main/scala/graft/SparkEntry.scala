@@ -15,7 +15,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Windows.queries ++ ops.Scalars.queries ++
       ops.Etl.queries ++ ops.Text.queries ++ ops.Dedup.queries ++
       ops.Vectors.queries ++ ops.Extensions.queries ++ ops.Multimodal.queries ++
-      ops.Streaming.queries ++ ops.Sql.queries
+      ops.Streaming.queries ++ ops.Sql.queries ++ ops.Pipeline.queries ++
+      ops.Scale.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Scalars.oracle ++
       ops.Etl.oracle ++ ops.Text.oracle ++ ops.Dedup.oracle ++
       ops.Vectors.oracle ++ ops.Extensions.oracle ++ ops.Multimodal.oracle ++
-      ops.Streaming.oracle ++ ops.Sql.oracle
+      ops.Streaming.oracle ++ ops.Sql.oracle ++ ops.Pipeline.oracle ++
+      ops.Scale.oracle
 }

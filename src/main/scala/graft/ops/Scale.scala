@@ -1,0 +1,226 @@
+package graft.ops
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.Tables._
+
+/** Round-2 engine-surface operators: file-format sources (CSV/JSON) with
+  * explicit schemas, partitioned-layout writes with partition pruning,
+  * bucketed co-located joins, manual skew salting, and exact integer
+  * moment statistics.
+  *
+  * Oracle strategy: every roundtrip query writes SPARK-computed rows out
+  * and reads them back, but the written values are exact (BIGINT/strings/
+  * DATE), so the DuckDB oracle computes the same aggregate straight from
+  * the source parquet — the roundtrip is provably lossless or the hash
+  * compare fails.
+  */
+object Scale {
+
+  private def tmpDir(prefix: String): String =
+    s"/tmp/graft_${prefix}_${UUID.randomUUID().toString.replace("-", "")}"
+
+  /** CSV source/sink roundtrip with an explicit read schema (header on,
+    * exact-typed columns only). Exercises the text-source parser path the
+    * [R1] ETL domain ingests raw files through. */
+  def sourceCsvRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("csv")
+    orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        to_date(col("o_orderdate")).as("d"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("cents", LongType),
+      StructField("d", DateType)))
+    spark.read.schema(schema).option("header", "true").csv(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("d")).as("first_date"), max(col("d")).as("last_date"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** JSON-lines source/sink roundtrip with an explicit read schema. */
+  def sourceJsonRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("json")
+    events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    spark.read.schema(schema).json(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Hive-style partitioned layout write + pruned read-back: orders land
+    * partitioned by status, the read filters one partition, and the scan
+    * must touch only that directory (partition pruning — asserted on the
+    * plan in ScaleSpec). This is the fixture-scale rendering of the
+    * partition-pruning row SURVEY §4.1 marked "not exercisable" on the
+    * single-file fixtures: we create the partitioned layout ourselves. */
+  def sinkPartitionedPrune(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("part")
+    orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        to_date(date_trunc("mon", col("o_orderdate"))).as("month"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    spark.read.parquet(dir)
+      .where(col("o_orderstatus") === "F")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("month"))
+  }
+
+  /** Bucketed co-located join: both sides written bucketed by the join key
+    * (8 buckets, sorted), so the sort-merge join runs with NO shuffle
+    * exchange on either side — the bucketing IS the exchange, paid once at
+    * write time. This is the 100 TB pattern for repeated fact-fact joins;
+    * ScaleSpec asserts the plan has no Exchange under the join. */
+  def joinBucketed(spark: SparkSession, sf: String): DataFrame = {
+    val tag = UUID.randomUUID().toString.replace("-", "")
+    val oTbl = s"orders_b_$tag"; val lTbl = s"lineitem_b_$tag"
+    orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", tmpDir("bko")).saveAsTable(oTbl)
+    lineitem(spark, sf)
+      .select(col("l_orderkey"), floor(col("l_quantity")).cast("long").as("qf"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", tmpDir("bkl")).saveAsTable(lTbl)
+    // MERGE hint: at fixture scale Spark would broadcast the small side and
+    // never touch the bucketed layout; the point of this operator is the
+    // shuffle-free sort-merge path, which is what wins when BOTH sides are
+    // fact-sized (the 100 TB case — nothing to broadcast).
+    spark.table(lTbl)
+      .join(spark.table(oTbl).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("qf")).as("sum_q"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Manual skew salting surfaced as a query: the salted join must produce
+    * EXACTLY the plain join's aggregate (the oracle is the plain SQL), only
+    * the physical distribution differs — 8 salt shards spread any hot
+    * orderkey across 8 tasks instead of one straggler. */
+  def joinSkewSalted(spark: SparkSession, sf: String): DataFrame = {
+    val li = lineitem(spark, sf)
+      .select(col("l_orderkey"), floor(col("l_quantity")).cast("long").as("qf"))
+    val o = orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority"))
+    graft.util.Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("qf")).as("sum_q"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Exact moment statistics without a float anywhere: per returnflag, the
+    * integer power sums and the variance / covariance NUMERATORS
+    * (n·Σx² − (Σx)², n·Σxy − Σx·Σy). Downstream consumers derive
+    * variance/correlation by one division; the engine output stays exact
+    * and order-independent (D1/D3 taken to their conclusion). */
+  def aggMoments(spark: SparkSession, sf: String): DataFrame = {
+    val q = floor(col("l_quantity")).cast("long")
+    val d = floor(col("l_discount") * 100).cast("long")
+    lineitem(spark, sf)
+      .select(col("l_returnflag"), q.as("q"), d.as("d"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+        sum(col("q") * col("q")).as("sum_q2"),
+        sum(col("d")).as("sum_d"),
+        sum(col("q") * col("d")).as("sum_qd"))
+      .select(col("l_returnflag"), col("n"), col("sum_q"), col("sum_q2"),
+        (col("n") * col("sum_q2") - col("sum_q") * col("sum_q")).as("var_num_q"),
+        (col("n") * col("sum_qd") - col("sum_q") * col("sum_d")).as("cov_num_qd"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Running DISTINCT count over a window: distinct order priorities each
+    * customer has used up to each order. Spark side: collect_set over a
+    * rows frame; oracle: the first-occurrence-flag running sum — equal
+    * under a unique ordering, proving the two formulations equivalent. */
+  def windowDistinctRunning(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        size(collect_set(col("o_orderpriority")).over(w)).as("n_prio"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_csv_roundtrip" -> sourceCsvRoundtrip,
+    "source_json_roundtrip" -> sourceJsonRoundtrip,
+    "sink_partitioned_prune" -> sinkPartitionedPrune,
+    "join_bucketed" -> joinBucketed,
+    "join_skew_salted" -> joinSkewSalted,
+    "agg_moments" -> aggMoments,
+    "window_distinct_running" -> windowDistinctRunning
+  )
+
+  def oracle: Map[String, String] = Map(
+    "source_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(CAST(o_orderdate AS DATE)) AS first_date,
+        |  max(CAST(o_orderdate AS DATE)) AS last_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "source_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sink_partitioned_prune" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY month ORDER BY month""".stripMargin,
+
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_moments" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(q) AS BIGINT) AS sum_q, CAST(sum(q*q) AS BIGINT) AS sum_q2,
+        |  CAST(count(*)*sum(q*q) - sum(q)*sum(q) AS BIGINT) AS var_num_q,
+        |  CAST(count(*)*sum(q*d) - sum(q)*sum(d) AS BIGINT) AS cov_num_qd
+        |FROM (SELECT l_returnflag,
+        |        CAST(floor(l_quantity) AS BIGINT) AS q,
+        |        CAST(floor(l_discount*100) AS BIGINT) AS d
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "window_distinct_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(first_flag) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS n_prio
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        CASE WHEN row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+        |          ORDER BY o_orderdate, o_orderkey) = 1 THEN 1 ELSE 0 END AS first_flag
+        |      FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+  )
+}

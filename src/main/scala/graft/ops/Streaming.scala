@@ -211,7 +211,34 @@ object Streaming {
       .orderBy(col("ws_epoch"))
   }
 
+  /** foreachBatch sink surface: every micro-batch lands as parquet in a
+    * per-run staging dir (the idiomatic "stream into a lake table" path —
+    * foreachBatch is where streaming meets arbitrary batch sinks); the
+    * result is the aggregate over the staged files. AvailableNow over one
+    * fixture file = one batch, so the staged table equals the batch input
+    * and the oracle is plain batch SQL. */
+  def streamForeachBatch(spark: SparkSession, sf: String): DataFrame = {
+    val dir = s"/tmp/graft_fb_${UUID.randomUUID().toString.replace("-", "")}"
+    val src = eventsStream(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    withStreamShuffle(spark) {
+      val q = src.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(dir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_foreach_batch" -> streamForeachBatch,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -222,6 +249,12 @@ object Streaming {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_foreach_batch" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "stream_tumbling" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS ws_epoch,
         |  event_type, count(*) AS n,
