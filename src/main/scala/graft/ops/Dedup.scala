@@ -27,25 +27,35 @@ object Dedup {
     * per-element element_at under a lambda. */
   private def bigrams: Column = Text.bigramsOf(words)
 
-  /** MinHash signatures (8 hashes) → 2 LSH bands of 4 → candidate pairs →
-    * exact shingle-Jaccard verification, all integers in the output. */
-  def dedupMinhashLsh(spark: SparkSession, sf: String): DataFrame = {
-    val d = documents(spark, sf)
+  /** 8 per-doc MinHash components: min md5 over salted shingles. */
+  private def minhashSigs(d: DataFrame): DataFrame = {
     val sh = d.select(col("doc_id"), explode(bigrams).as("sh"))
     val hashCols = (1 to 8).map(j =>
       min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j"))
-    val sigs = sh.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
+    sh.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  /** LSH banding (2 bands of 4) → distinct candidate pairs (doc_a < doc_b).
+    * Candidate generation shuffles on the band value only — never all pairs. */
+  private def lshCandidates(sigs: DataFrame): DataFrame = {
     val bands = sigs
       .select(col("doc_id"), lit(1).as("band_id"),
         concat(col("h1"), col("h2"), col("h3"), col("h4")).as("band"))
       .unionByName(sigs.select(col("doc_id"), lit(2).as("band_id"),
         concat(col("h5"), col("h6"), col("h7"), col("h8")).as("band")))
-    val cands = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** MinHash signatures (8 hashes) → 2 LSH bands of 4 → candidate pairs →
+    * exact shingle-Jaccard verification, all integers in the output. */
+  def dedupMinhashLsh(spark: SparkSession, sf: String): DataFrame = {
+    val d = documents(spark, sf)
+    val cands = lshCandidates(minhashSigs(d))
     val sets = d.select(col("doc_id"), bigrams.as("bg"), size(bigrams).as("n"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"), col("n").as("n_a")), "doc_a")
@@ -54,6 +64,32 @@ object Dedup {
       .withColumn("u", col("n_a") + col("n_b") - col("i"))
       .select(col("doc_a"), col("doc_b"), col("i"), col("u"),
         (col("i") * 20 >= col("u") * 7).cast("int").as("is_dup"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Sketch-accuracy measurement: for every LSH candidate pair, the MinHash
+    * Jaccard ESTIMATE (matching components out of 8 — the only similarity a
+    * 100 TB pass ever computes) side by side with the exact shingle Jaccard
+    * numerator/denominator. All-integer output; the estimate/exact gap is
+    * what a pipeline owner tunes band/row counts against. */
+  def dedupMinhashEstimate(spark: SparkSession, sf: String): DataFrame = {
+    val d = documents(spark, sf)
+    val sigs = minhashSigs(d)
+    val cands = lshCandidates(sigs)
+    val sets = d.select(col("doc_id"), bigrams.as("bg"), size(bigrams).as("n"))
+    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+      (1 to 8).map(j => col(s"h$j").as(s"a$j")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+      (1 to 8).map(j => col(s"h$j").as(s"b$j")): _*)
+    val est = (1 to 8).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+    cands
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"), col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("bg").as("bg_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("i", size(array_intersect(col("bg_a"), col("bg_b"))))
+      .select(col("doc_a"), col("doc_b"), est.as("est8"),
+        col("i"), (col("n_a") + col("n_b") - col("i")).as("u"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -109,6 +145,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine
   )
@@ -117,25 +154,29 @@ object Dedup {
     "list_distinct(list_transform(range(1, len(str_split(text,' '))), " +
       "i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]))"
 
+  /** Shared CTE prefix: shingles → minhash sigs → bands → candidate pairs. */
+  private val minhashCte =
+    s"""WITH sh AS (SELECT doc_id, unnest(bg) AS sh FROM (SELECT doc_id, $bgSql AS bg FROM documents)),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
+       |    min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4,
+       |    min(md5('5:' || sh)) AS h5, min(md5('6:' || sh)) AS h6,
+       |    min(md5('7:' || sh)) AS h7, min(md5('8:' || sh)) AS h8
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 1 AS band_id, h1 || h2 || h3 || h4 AS band FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS band_id, h5 || h6 || h7 || h8 AS band FROM sigs),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.band = y.band AND x.doc_id < y.doc_id),
+       |sets AS (SELECT doc_id, $bgSql AS bg FROM documents)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
-      s"""WITH sh AS (SELECT doc_id, unnest(bg) AS sh FROM (SELECT doc_id, $bgSql AS bg FROM documents)),
-         |sigs AS (
-         |  SELECT doc_id,
-         |    min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
-         |    min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4,
-         |    min(md5('5:' || sh)) AS h5, min(md5('6:' || sh)) AS h6,
-         |    min(md5('7:' || sh)) AS h7, min(md5('8:' || sh)) AS h8
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 1 AS band_id, h1 || h2 || h3 || h4 AS band FROM sigs
-         |  UNION ALL
-         |  SELECT doc_id, 2 AS band_id, h5 || h6 || h7 || h8 AS band FROM sigs),
-         |cands AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band_id = y.band_id AND x.band = y.band AND x.doc_id < y.doc_id),
-         |sets AS (SELECT doc_id, $bgSql AS bg FROM documents)
+      s"""$minhashCte
          |SELECT doc_a, doc_b,
          |  CAST(len(list_intersect(a.bg, b.bg)) AS INT) AS i,
          |  CAST(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)) AS INT) AS u,
@@ -143,6 +184,18 @@ object Dedup {
          |       (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) * 7 AS INT) AS is_dup
          |FROM cands JOIN sets a ON cands.doc_a = a.doc_id
          |           JOIN sets b ON cands.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_estimate" ->
+      s"""$minhashCte
+         |SELECT doc_a, doc_b,
+         |  CAST(${(1 to 8).map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")} AS INT) AS est8,
+         |  CAST(len(list_intersect(a.bg, b.bg)) AS INT) AS i,
+         |  CAST(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)) AS INT) AS u
+         |FROM cands JOIN sigs sa ON cands.doc_a = sa.doc_id
+         |           JOIN sigs sb ON cands.doc_b = sb.doc_id
+         |           JOIN sets a  ON cands.doc_a = a.doc_id
+         |           JOIN sets b  ON cands.doc_b = b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->

@@ -182,6 +182,31 @@ object Scalars {
         regexp_extract(col("url"), "seg=([A-Z]+)", 1).as("seg_param"))
       .orderBy(col("c_custkey"))
 
+  /** Hash + binary-encoding family (content addressing, dedup keys, cache
+    * keys at scale). md5/sha256 hex is lowercase on both engines; hex() is
+    * uppercase on both, and hex(integer) drops leading zeros on both
+    * (validated against DuckDB 1.x). One measured divergence: Spark 4's
+    * base64 MIME-chunks payloads >76 chars with CRLF, DuckDB's to_base64
+    * never chunks — stripping the CRLFs yields exactly the unchunked
+    * encoding, so `b64_long` proves the byte-level equality and `rt_ok`
+    * proves decode∘encode = id through a >76-char payload. */
+  def fnHashEncode(spark: SparkSession, sf: String): DataFrame = {
+    val longPayload = rpad(col("c_name"), 100, "x")
+    def b64(c: Column): Column =
+      regexp_replace(base64(c.cast("binary")), "\r\n", "")
+    customer(spark, sf)
+      .select(col("c_custkey"),
+        md5(col("c_name")).as("md5_hex"),
+        sha2(col("c_name"), 256).as("sha256_hex"),
+        b64(col("c_name")).as("b64"),
+        b64(longPayload).as("b64_long"),
+        hex(col("c_name")).as("hex_str"),
+        hex(col("c_custkey")).as("hex_key"),
+        (decode(unbase64(base64(longPayload.cast("binary"))), "UTF-8")
+          === longPayload).cast("int").as("rt_ok"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Struct construct/access: named_struct flows through a filter and sort,
     * then fields are projected back out. */
   def fnStruct(spark: SparkSession, sf: String): DataFrame =
@@ -196,6 +221,7 @@ object Scalars {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_bitwise" -> fnBitwise,
+    "fn_hash_encode" -> fnHashEncode,
     "fn_url_parse" -> fnUrlParse,
     "fn_struct" -> fnStruct,
     "text_pii_redact" -> textPiiRedact,
@@ -221,6 +247,18 @@ object Scalars {
         |  o_orderkey >> 2 AS shr,
         |  CAST(bit_count(o_orderkey) AS INT) AS popcnt
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_hash_encode" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS md5_hex,
+        |  sha256(c_name) AS sha256_hex,
+        |  to_base64(encode(c_name)) AS b64,
+        |  to_base64(encode(rpad(c_name, 100, 'x'))) AS b64_long,
+        |  hex(c_name) AS hex_str,
+        |  hex(c_custkey) AS hex_key,
+        |  CAST(decode(from_base64(to_base64(encode(rpad(c_name, 100, 'x')))))
+        |       = rpad(c_name, 100, 'x') AS INT) AS rt_ok
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "fn_url_parse" ->
       """SELECT c_custkey, url,

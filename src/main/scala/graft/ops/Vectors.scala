@@ -116,6 +116,62 @@ object Vectors {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** 16 fixed seed vectors as IVF cell centroids (deterministic stand-in for
+    * k-means — the fixture embeddings are uniform random, so trained
+    * centroids would be no better; the OPERATOR shape is what's under test). */
+  private val seedIds: Seq[Long] = (3L to 453L by 30L)
+
+  /** IVF-style ANN (the third rung of the similarity-search ladder:
+    * brute-force → LSH buckets → inverted-file cells). Completes
+    * `vec_knn_cosine` / `vec_ann_lsh`.
+    *
+    * Scale shape: the 16 centroids are collected to the driver (they are a
+    * dim table — on a cluster this is the broadcast of a trained codebook)
+    * and inlined as array literals, so CELL ASSIGNMENT IS A SINGLE
+    * SHUFFLE-FREE PROJECTION over the big table — `greatest()` over 16
+    * (cosine, cid) structs picks the nearest cell per row inside
+    * whole-stage codegen, exactly the one-pass map phase a 100 TB IVF build
+    * runs. Probes search nprobe=4 cells; only matching cells join. */
+  def vecAnnIvf(spark: SparkSession, sf: String): DataFrame = {
+    val e = embeddings(spark, sf)
+    val seeds: Array[(Long, Seq[Float])] = e
+      .where(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    // (cos, -cid) struct per centroid: greatest() = max cos, ties → min cid.
+    def cellOf(v: Column): Column = {
+      val scored = seeds.map { case (cid, cemb) =>
+        struct(cosine(v, typedLit(cemb)).as("cos"), lit(-cid).as("ncid"))
+      }
+      -greatest(scored: _*).getField("ncid")
+    }
+    val assign = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), cellOf(col("embedding")).as("cell"))
+    // nprobe=4 nearest cells per probe (10 probes × 16 seeds — trivial side).
+    val p = e.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val seedDf = e.where(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val pw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val pcells = p.crossJoin(broadcast(seedDf))
+      .withColumn("pcos", cosine(col("pe"), col("cemb")))
+      .withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= 4)
+      .select(col("probe_id"), col("pe"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    assign.join(broadcast(pcells), Seq("cell"))
+      .where(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("pe"), col("ce")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("cand_id").as("neighbor_id"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Global top-20 most-similar pairs (not per-probe): orderBy+limit plans
     * TakeOrderedAndProject over the pair stream — each task keeps only its
     * local top-20, the driver merges (no global sort materialization).
@@ -178,6 +234,7 @@ object Vectors {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_knn_cosine" -> vecKnnCosine,
+    "vec_ann_ivf" -> vecAnnIvf,
     "vec_knn_l2" -> vecKnnL2,
     "vec_centroid" -> vecCentroid,
     "vec_bucket_lsh" -> vecBucketLsh,
@@ -229,6 +286,31 @@ object Vectors {
          |      ORDER BY list_cosine_similarity(p.embedding, c.embedding) DESC, c.vec_id ASC) AS INT) AS rank
          |  FROM b p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
          |  WHERE p.vec_id IN $probesSql)
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "vec_ann_ivf" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         |  WHERE vec_id IN ${seedIds.mkString("(", ", ", ")")}),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, s.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.embedding, s.cemb) DESC,
+         |               s.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |assign AS (
+         |  SELECT vec_id AS cand_id, embedding AS ce, cid AS cell
+         |  FROM scored WHERE rn = 1),
+         |pcells AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe, cid AS cell
+         |  FROM scored WHERE vec_id IN $probesSql AND rn <= 4)
+         |SELECT probe_id, rank, cand_id AS neighbor_id FROM (
+         |  SELECT p.probe_id, a.cand_id,
+         |    CAST(row_number() OVER (PARTITION BY p.probe_id
+         |      ORDER BY list_cosine_similarity(p.pe, a.ce) DESC,
+         |               a.cand_id ASC) AS INT) AS rank
+         |  FROM assign a JOIN pcells p ON a.cell = p.cell
+         |  WHERE a.cand_id <> p.probe_id)
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     "vec_topk_global" ->
