@@ -276,7 +276,65 @@ object Etl {
       .orderBy(col("band"))
   }
 
+  /** Time-series gap fill + forward fill: a monthly grid per customer
+    * (sequence+explode — the distributed dimension generator), left-joined
+    * order counts, gaps forward-filled with the engine-portable
+    * running-count-of-non-nulls group trick (no IGNORE NULLS dialect
+    * divergence). Scale shape: the grid is keys × 36 months generated
+    * at the executors, never collected; one shuffle on (custkey). */
+  def etlGapFill(spark: SparkSession, sf: String): DataFrame = {
+    val grid = customer(spark, sf).where(col("c_custkey") <= 20)
+      .select(col("c_custkey"), explode(expr(
+        "sequence(to_date('1995-01-01'), to_date('1997-12-01'), interval 1 month)"))
+        .as("month"))
+    val m = orders(spark, sf).where(col("o_custkey") <= 20)
+      .groupBy(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n"))
+    val wRun = Window.partitionBy(col("c_custkey")).orderBy(col("month"))
+    grid.join(m, grid("c_custkey") === m("o_custkey") &&
+        grid("month") === m("month"), "left")
+      .select(grid("c_custkey"), grid("month"), col("n"))
+      .withColumn("grp", count(col("n")).over(wRun))
+      .withColumn("n_filled", coalesce(
+        max(col("n")).over(Window.partitionBy(col("c_custkey"), col("grp"))),
+        lit(0L)))
+      .select(col("c_custkey"), col("month"),
+        col("n").isNull.cast("int").as("is_gap"), col("n_filled"))
+      .orderBy(col("c_custkey"), col("month"))
+  }
+
+  /** Stratified sampling for class balancing (the training-data mix knob):
+    * deterministic md5-ordered top-50 per language — never rand(). */
+  def etlSampleStratified(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("s:"), col("doc_id").cast("string"))), col("doc_id"))
+    documents(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 50)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Row-level DQ routing: rows violating any rule land in quarantine with a
+    * composed reason string (concat_ws skips the NULL non-violations on both
+    * engines). One pass, no per-rule rescans. */
+  def etlQuarantineSplit(spark: SparkSession, sf: String): DataFrame = {
+    val r1 = when(col("o_totalprice") > 400000.0, "price_hi")
+    val r2 = when(col("o_orderdate").cast("date") > lit("1998-12-31").cast("date"), "date_range")
+    val r3 = when(col("o_orderstatus") === "P", "pending_review")
+    orders(spark, sf)
+      .select(col("o_orderkey"), concat_ws(",", r1, r2, r3).as("reasons"),
+        (r1.isNotNull.cast("int") + r2.isNotNull.cast("int") +
+          r3.isNotNull.cast("int")).as("n_viol"))
+      .where(col("n_viol") > 0)
+      .orderBy(col("o_orderkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_gap_fill" -> etlGapFill,
+    "etl_sample_stratified" -> etlSampleStratified,
+    "etl_quarantine_split" -> etlQuarantineSplit,
     "etl_dedup_exact" -> etlDedupExact,
     "etl_conform" -> etlConform,
     "etl_validate_dq" -> etlValidateDq,
@@ -293,6 +351,48 @@ object Etl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_gap_fill" ->
+      """WITH grid AS (
+        |  SELECT c_custkey, CAST(unnest(generate_series(
+        |    DATE '1995-01-01', DATE '1997-12-01', INTERVAL 1 MONTH)) AS DATE) AS month
+        |  FROM customer WHERE c_custkey <= 20),
+        |m AS (
+        |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         count(*) AS n
+        |  FROM orders WHERE o_custkey <= 20 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT g.c_custkey, g.month, m.n FROM grid g
+        |  LEFT JOIN m ON m.o_custkey = g.c_custkey AND m.month = g.month),
+        |f AS (
+        |  SELECT c_custkey, month, n,
+        |    count(n) OVER (PARTITION BY c_custkey ORDER BY month) AS grp
+        |  FROM j)
+        |SELECT c_custkey, month, CAST(n IS NULL AS INT) AS is_gap,
+        |  CAST(coalesce(max(n) OVER (PARTITION BY c_custkey, grp), 0) AS BIGINT) AS n_filled
+        |FROM f ORDER BY c_custkey, month""".stripMargin,
+
+    "etl_sample_stratified" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('s:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY lang, rn""".stripMargin,
+
+    "etl_quarantine_split" ->
+      """SELECT o_orderkey,
+        |  concat_ws(',',
+        |    CASE WHEN o_totalprice > 400000.0 THEN 'price_hi' END,
+        |    CASE WHEN CAST(o_orderdate AS DATE) > DATE '1998-12-31' THEN 'date_range' END,
+        |    CASE WHEN o_orderstatus = 'P' THEN 'pending_review' END) AS reasons,
+        |  CAST((o_totalprice > 400000.0)::INT
+        |     + (CAST(o_orderdate AS DATE) > DATE '1998-12-31')::INT
+        |     + (o_orderstatus = 'P')::INT AS INT) AS n_viol
+        |FROM orders
+        |WHERE o_totalprice > 400000.0
+        |   OR CAST(o_orderdate AS DATE) > DATE '1998-12-31'
+        |   OR o_orderstatus = 'P'
+        |ORDER BY o_orderkey""".stripMargin,
+
     "etl_dedup_exact" ->
       """SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts ASC) AS rn

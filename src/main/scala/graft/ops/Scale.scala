@@ -123,6 +123,30 @@ object Scale {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Pure range join (NO equi key) made hash-joinable by bucketing the range
+    * dimension: each signup's 1-hour window spans exactly two hour buckets,
+    * so exploding the probe side into its two buckets turns an O(n·m)
+    * nested-loop into an equi-join on the bucket + residual filter — THE
+    * standard rewrite that keeps range joins alive at 100 TB (Spark plans
+    * BroadcastNestedLoopJoin for bare non-equi conditions). Results are
+    * provably identical to the naive predicate, which is the oracle. */
+  def joinRangeBucketed(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val s = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("s_event_id"), col("ts").as("s_ts"),
+        date_trunc("hour", col("ts")).as("h0"))
+      .select(col("s_event_id"), col("s_ts"),
+        explode(array(col("h0"), col("h0") + expr("INTERVAL 1 HOUR"))).as("bucket"))
+    val e = ev.select(col("ts").as("e_ts"),
+      date_trunc("hour", col("ts")).as("bucket"))
+    s.join(e, Seq("bucket"))
+      .where(col("e_ts") >= col("s_ts") &&
+        col("e_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("s_event_id"))
+      .agg(count(lit(1)).as("n_in_window"))
+      .orderBy(col("s_event_id"))
+  }
+
   /** Exact moment statistics without a float anywhere: per returnflag, the
     * integer power sums and the variance / covariance NUMERATORS
     * (n·Σx² − (Σx)², n·Σxy − Σx·Σy). Downstream consumers derive
@@ -164,11 +188,19 @@ object Scale {
     "sink_partitioned_prune" -> sinkPartitionedPrune,
     "join_bucketed" -> joinBucketed,
     "join_skew_salted" -> joinSkewSalted,
+    "join_range_bucketed" -> joinRangeBucketed,
     "agg_moments" -> aggMoments,
     "window_distinct_running" -> windowDistinctRunning
   )
 
   def oracle: Map[String, String] = Map(
+    "join_range_bucketed" ->
+      """SELECT s.event_id AS s_event_id, count(*) AS n_in_window
+        |FROM events s JOIN events e
+        |  ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 1 HOUR
+        |WHERE s.event_type = 'signup'
+        |GROUP BY s.event_id ORDER BY s_event_id""".stripMargin,
+
     "source_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
