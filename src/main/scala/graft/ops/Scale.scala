@@ -168,6 +168,31 @@ object Scale {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Mergeable-sketch surface (the incremental-analytics primitive at scale:
+    * per-partition sketches stored once, unioned later instead of rescanning
+    * raw data). Proves the datasketches HLL merge invariant on real data —
+    * estimate(union(sketch(A), sketch(B))) == estimate(sketch(A∪B)) — plus a
+    * ±2% accuracy bound against the exact distinct count. Sketch bytes and
+    * raw estimates never leave the plan (engine-specific, D3); the output is
+    * the exact count and the two invariant flags, which the oracle pins to 1. */
+  def aggHllMerge(spark: SparkSession, sf: String): DataFrame = {
+    val d = documents(spark, sf)
+    val whole = d.groupBy(col("lang")).agg(
+      hll_sketch_estimate(hll_sketch_agg(col("doc_id"))).as("est_whole"),
+      count_distinct(col("doc_id")).as("n_exact"))
+    val merged = d.withColumn("half", pmod(col("doc_id"), lit(2)))
+      .groupBy(col("lang"), col("half"))
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      .groupBy(col("lang"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    whole.join(merged, "lang")
+      .select(col("lang"), col("n_exact"),
+        (col("est_whole") === col("est_merged")).cast("int").as("merge_consistent"),
+        (abs(col("est_whole") - col("n_exact")) * 50 <= col("n_exact"))
+          .cast("int").as("within_2pct"))
+      .orderBy(col("lang"))
+  }
+
   /** Running DISTINCT count over a window: distinct order priorities each
     * customer has used up to each order. Spark side: collect_set over a
     * rows frame; oracle: the first-occurrence-flag running sum — equal
@@ -190,10 +215,16 @@ object Scale {
     "join_skew_salted" -> joinSkewSalted,
     "join_range_bucketed" -> joinRangeBucketed,
     "agg_moments" -> aggMoments,
+    "agg_hll_merge" -> aggHllMerge,
     "window_distinct_running" -> windowDistinctRunning
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_hll_merge" ->
+      """SELECT lang, count(DISTINCT doc_id) AS n_exact,
+        |  1 AS merge_consistent, 1 AS within_2pct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "join_range_bucketed" ->
       """SELECT s.event_id AS s_event_id, count(*) AS n_in_window
         |FROM events s JOIN events e

@@ -187,6 +187,44 @@ object Vectors {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Product quantization (the 64→8-byte compression path for embedding
+    * storage at scale): 8 subspaces of 8 dims, 4 deterministic codebook
+    * entries per subspace (subvectors of the first 4 seed vectors — random
+    * fixtures make trained centroids no better; the operator shape is what's
+    * under test). Code = argmin L2 in the subspace, computed shuffle-free as
+    * argmax(dot(v_sub, c_sub) − |c_sub|²/2) over codebook literals through
+    * VectorDot — the |v_sub|² term is constant inside the argmin and drops.
+    * One projection pass + stack; no join, no shuffle except the final sort. */
+  def vecPqCodes(spark: SparkSession, sf: String): DataFrame = {
+    VectorDot.register(spark)
+    val e = embeddings(spark, sf)
+    val book: Array[(Int, Array[Float])] = e
+      .where(col("vec_id").isin(seedIds.take(4): _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).zipWithIndex.map { case ((_, emb), ord) => (ord, emb) }
+    def codeOf(sub: Int): Column = {
+      val scored = book.map { case (ord, emb) =>
+        val c = emb.slice(sub * 8, sub * 8 + 8)
+        val litArr = c.map(f => s"CAST('$f' AS FLOAT)")
+          .mkString("array(", ",", ")")
+        val half2 = c.map(f => f.toDouble * f.toDouble).sum / 2.0
+        struct(
+          (expr(s"vector_dot(slice(embedding, ${sub * 8 + 1}, 8), $litArr)")
+            - lit(half2)).as("s"),
+          lit(-ord).as("nord"))
+      }
+      -greatest(scored: _*).getField("nord")
+    }
+    val codeCols = (0 until 8).map(sub => codeOf(sub).cast("int").as(s"c$sub"))
+    val stackSql = (0 until 8).map(s => s"$s, c$s").mkString(
+      "stack(8, ", ", ", ") AS (sub, code)")
+    e.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id"), expr(stackSql))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
   /** Global top-20 most-similar pairs (not per-probe): orderBy+limit plans
     * TakeOrderedAndProject over the pair stream — each task keeps only its
     * local top-20, the driver merges (no global sort materialization).
@@ -255,6 +293,7 @@ object Vectors {
     "vec_bucket_lsh" -> vecBucketLsh,
     "vec_ann_lsh" -> vecAnnLsh,
     "vec_quantize" -> vecQuantize,
+    "vec_pq_codes" -> vecPqCodes,
     "vec_topk_global" -> vecTopkGlobal,
     "expr_custom_catalyst" -> exprCustomCatalyst
   )
@@ -336,6 +375,23 @@ object Vectors {
         |               a.vec_id ASC, b.vec_id ASC) AS INT) AS rank
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "vec_pq_codes" ->
+      s"""WITH book AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+         |         embedding
+         |  FROM embeddings WHERE vec_id IN ${seedIds.take(4).mkString("(", ", ", ")")}),
+         |subs AS (
+         |  SELECT vec_id, embedding, CAST(unnest(range(0, 8)) AS INT) AS sub
+         |  FROM embeddings)
+         |SELECT vec_id, sub, code FROM (
+         |  SELECT s.vec_id, s.sub, b.code,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |      ORDER BY list_distance(s.embedding[s.sub*8+1 : s.sub*8+8],
+         |                             b.embedding[s.sub*8+1 : s.sub*8+8]) ASC,
+         |               b.code ASC) AS rn
+         |  FROM subs s CROSS JOIN book b)
+         |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
 
     "vec_quantize" ->
       """SELECT vec_id, pos,

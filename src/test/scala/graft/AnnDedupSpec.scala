@@ -50,6 +50,34 @@ class AnnDedupSpec extends AnyFunSuite {
     assert(hi >= 4.0, s"mean est8 on near-dups = $hi")
   }
 
+  test("vec_pq_codes emits 8 subspace codes per vector, no join in the plan") {
+    val df = SparkEntry.queries("vec_pq_codes")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"PQ coding must be a pure projection:\n${plan.take(800)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (vid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (0 until 8), s"vec $vid subs")
+      assert(rs.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 4))
+    }
+    // a codebook seed vector must code to itself in every subspace
+    val seed = Vectors.seedIds.take(4).sorted
+    seed.zipWithIndex.foreach { case (vid, ord) =>
+      val codes = rows.filter(_.getLong(0) == vid).map(_.getInt(2)).toSet
+      assert(codes == Set(ord), s"seed $vid coded $codes, expected {$ord}")
+    }
+  }
+
+  test("agg_hll_merge: sketch-merge invariant and 2% bound hold per language") {
+    val rows = SparkEntry.queries("agg_hll_merge")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("merge_consistent") == 1, r.toString)
+      assert(r.getAs[Int]("within_2pct") == 1, r.toString)
+      assert(r.getAs[Long]("n_exact") > 0)
+    }
+  }
+
   test("fn_hash_encode digests have canonical shapes and base64 round-trips") {
     val rows = SparkEntry.queries("fn_hash_encode")(spark, sf001).collect()
     assert(rows.nonEmpty)
