@@ -119,7 +119,7 @@ object Vectors {
   /** 16 fixed seed vectors as IVF cell centroids (deterministic stand-in for
     * k-means — the fixture embeddings are uniform random, so trained
     * centroids would be no better; the OPERATOR shape is what's under test). */
-  private val seedIds: Seq[Long] = (3L to 453L by 30L)
+  private[graft] val seedIds: Seq[Long] = (3L to 453L by 30L)
 
   /** IVF-style ANN (the third rung of the similarity-search ladder:
     * brute-force → LSH buckets → inverted-file cells). Completes

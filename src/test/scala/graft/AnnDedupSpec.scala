@@ -1,5 +1,6 @@
 package graft
 
+import graft.ops.Vectors
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
