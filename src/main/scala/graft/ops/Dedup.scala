@@ -94,7 +94,16 @@ object Dedup {
   }
 
   /** 16-bit SimHash over distinct bigram shingles; same-lang pairs with
-    * hamming distance ≤ 2 are near-dup candidates. */
+    * hamming distance ≤ 2 are near-dup candidates.
+    *
+    * Candidate generation is CHUNK-BANDED, not all-pairs (round-3 scale
+    * fix): the 16-bit signature splits into 3 chunks (6+5+5 bits), and a
+    * pair with hamming ≤ 2 can differ in at most 2 chunks, so by
+    * pigeonhole it shares AT LEAST ONE chunk value exactly — the equi-join
+    * on (lang, chunk_id, chunk_value) has EXACT recall, the hamming
+    * filter is only a residual verify. (Two chunks would NOT suffice:
+    * hamming=2 can put one flipped bit in each.) Shuffle is on chunk
+    * values — never an all-pairs product. */
   def dedupSimhash(spark: SparkSession, sf: String): DataFrame = {
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val sh = documents(spark, sf)
@@ -108,15 +117,26 @@ object Dedup {
     val sig = (0 until 16).map(b =>
       when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     val sigs = bitSums.select(col("doc_id"), col("lang"), sig.as("simhash"))
-    sigs.as("x")
-      .join(sigs.as("y"), col("x.lang") === col("y.lang") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .withColumn("hamming",
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
-      .where(col("hamming") <= 2)
+    // 3 pigeonhole chunks: bits [0,6), [6,11), [11,16).
+    val ch = sigs.select(col("doc_id"), col("lang"), col("simhash"),
+      explode(array(
+        struct(lit(0).as("cid"), col("simhash").bitwiseAND(lit(63L)).as("cv")),
+        struct(lit(1).as("cid"),
+          shiftright(col("simhash"), 6).bitwiseAND(lit(31L)).as("cv")),
+        struct(lit(2).as("cid"),
+          shiftright(col("simhash"), 11).bitwiseAND(lit(31L)).as("cv")))).as("c"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        col("c.cid").as("cid"), col("c.cv").as("cv"))
+    ch.as("x")
+      .join(ch.as("y"),
+        col("x.lang") === col("y.lang") && col("x.cid") === col("y.cid") &&
+          col("x.cv") === col("y.cv") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("simhash_a"), col("y.simhash").as("simhash_b"),
-        col("hamming"))
+        col("x.simhash").as("simhash_a"), col("y.simhash").as("simhash_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
+      .where(col("hamming") <= 2)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

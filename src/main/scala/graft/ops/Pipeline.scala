@@ -10,48 +10,103 @@ import graft.util.Tables._
   * round-1 dedup/text families: near-dup CLUSTERING (connected components),
   * context chunking, sequence packing, and edit-distance similarity probes.
   *
-  * Scale posture: the component loop is the textbook distributed min-label
-  * propagation (the DataFrame rendering of large-star/small-star) — each
-  * step is one shuffled groupBy over (node, candidate-label) rows, the
-  * driver only counts convergence; chunking/packing are narrow maps plus
+  * Scale posture: the component loop is real alternating large-star /
+  * small-star contraction (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC 2014) — each half-step is one shuffled
+  * groupBy-min plus a join, the driver only compares a 2-number checksum
+  * per round, and the round count is O(log²n) worst-case (empirically
+  * ~log n) instead of graph-diameter; chunking/packing are narrow maps plus
   * one windowed pass partitioned by `source` shards, never a global order.
   */
 object Pipeline {
 
-  /** Canonical-id clustering of the near-duplicate graph: connected
-    * components over the exact bigram-Jaccard pair list
-    * ([[Text.textJaccardDup]]), by iterative min-label propagation to a
-    * fixpoint. Output: every clustered doc with its component id (= min
-    * doc_id reachable) and component size — what a 100 TB dedup pass
-    * actually needs ("keep one doc per component").
+  /** Alternating large-star/small-star contraction to a star forest whose
+    * centers are the per-component minimum ids.
     *
-    * The edge list is localCheckpoint'd once — it is the expensive input
-    * (a pair scan), and each propagation step must not replay it. Steps
-    * are one union + groupBy(min) each; convergence = no label changed,
-    * checked distributively (count of diffs), never by collecting labels.
-    */
-  def dedupCcComponents(spark: SparkSession, sf: String): DataFrame = {
-    val pairs = Text.textJaccardDup(spark, sf)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
-      .unionByName(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
-    val nodes = edges.select(col("s").as("id")).distinct()
-    var labels = nodes.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
-    var changed = 1L
+    * Input: undirected edge list (`s`,`t` long columns, any orientation,
+    * self-loops ignored). Output: (labels DataFrame (`id`,`component`),
+    * rounds taken). Each round runs:
+    *
+    *  - large-star: for every node u with neighborhood Γ(u), connect each
+    *    v ∈ Γ(u) with v > u to m = min(Γ(u) ∪ {u}) — one groupBy-min +
+    *    one equi-join;
+    *  - small-star: orient edges high→low, connect each low neighbor and
+    *    u itself to m — same two operators.
+    *
+    * Both steps preserve connectivity and monotonically shrink the edge
+    * partial order, converging to a star forest in O(log² n) rounds
+    * (diameter-independent — the round-3 fix over one-hop min-label
+    * propagation whose round count is the graph diameter). Convergence is
+    * detected by a (count, xor-of-hashes) checksum — one tiny action per
+    * round, never a label collect. Throws if `maxIter` rounds don't
+    * converge rather than returning partial labels. */
+  private[graft] def starContract(edges0: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    val nodes = edges0.select(col("s").as("id"))
+      .unionByName(edges0.select(col("t").as("id"))).distinct()
+    var edges = edges0.where(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("s"), greatest(col("s"), col("t")).as("t"))
+      .distinct().localCheckpoint()
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(s, t))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(edges)
     var iter = 0
-    while (changed > 0 && iter < 50) {
-      // candidate labels: own label ∪ every neighbour's label, keep min
-      val viaEdges = edges.join(labels, edges("s") === labels("id"))
-        .select(col("t").as("id"), col("component"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("id").agg(min("component").as("component"))
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star: nbrs both directions; m(u) = min(Γ(u) ∪ {u});
+      // emit (v, m) for v ∈ Γ(u), v > u.
+      val nbrs = edges.unionByName(
+        edges.select(col("t").as("s"), col("s").as("t")))
+      val mins = nbrs.groupBy(col("s"))
+        .agg(least(min(col("t")), first(col("s"))).as("m"))
+      val large = nbrs.join(mins, "s")
+        .where(col("t") > col("s") && col("t") =!= col("m"))
+        .select(col("t").as("s"), col("m").as("t"))
+        .distinct()
+      // small-star on high→low oriented edges: emit (v, m) for each low
+      // neighbor v ≠ m, plus (u, m).
+      val directed = large
+        .select(greatest(col("s"), col("t")).as("s"), least(col("s"), col("t")).as("t"))
+      val smins = directed.groupBy(col("s")).agg(min(col("t")).as("m"))
+      val small = directed.join(smins, "s")
+        .where(col("t") =!= col("m"))
+        .select(col("t").as("s"), col("m").as("t"))
+        .unionByName(smins.select(col("s"), col("m").as("t")))
+        .select(least(col("s"), col("t")).as("s"), greatest(col("s"), col("t")).as("t"))
+        .where(col("s") =!= col("t"))
+        .distinct()
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.component") =!= col("o.component")).count()
-      labels = next
+      val cur = checksum(small)
+      converged = cur == prev
+      prev = cur
+      edges = small
       iter += 1
     }
+    require(converged, s"starContract did not converge in $maxIter rounds")
+    // Star forest: every node's label = least(itself, min neighbor).
+    val nbrs = edges.unionByName(
+      edges.select(col("t").as("s"), col("s").as("t")))
+    val labels = nodes.join(nbrs, nodes("id") === nbrs("s"), "left")
+      .groupBy(col("id"))
+      .agg(least(first(col("id")), coalesce(min(col("t")), first(col("id")))).as("component"))
+    (labels, iter)
+  }
+
+  /** Canonical-id clustering of the near-duplicate graph: connected
+    * components over the exact bigram-Jaccard pair list
+    * ([[Text.textJaccardDup]]), by [[starContract]]. Output: every
+    * clustered doc with its component id (= min doc_id reachable) and
+    * component size — what a 100 TB dedup pass actually needs ("keep one
+    * doc per component").
+    *
+    * The edge list is localCheckpoint'd once — it is the expensive input
+    * (a pair scan), and each contraction round must not replay it. */
+  def dedupCcComponents(spark: SparkSession, sf: String): DataFrame = {
+    val pairs = Text.textJaccardDup(spark, sf)
+      .select(col("doc_a").as("s"), col("doc_b").as("t")).localCheckpoint()
+    val (labels, _) = starContract(pairs)
     val sizes = labels.groupBy("component")
       .agg(count(lit(1)).cast("int").as("comp_size"))
     labels.join(sizes, "component")

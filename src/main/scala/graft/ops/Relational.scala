@@ -53,8 +53,7 @@ object Relational {
   /** Load-side of ETL: write a conformed projection to parquet, read it back,
     * aggregate. Roundtrip is identity so the oracle runs on the source. */
   def sinkParquetRoundtrip(spark: SparkSession, sf: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_rt").toString
-    val path = s"$tmp/lineitem_rt"
+    val path = s"${graft.util.Scratch.dir("rt", sf)}/lineitem_rt"
     lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
         col("l_extendedprice"))

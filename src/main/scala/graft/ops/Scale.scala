@@ -1,6 +1,5 @@
 package graft.ops
 
-import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -22,14 +21,18 @@ import graft.util.Tables._
   */
 object Scale {
 
-  private def tmpDir(prefix: String): String =
-    s"/tmp/graft_${prefix}_${UUID.randomUUID().toString.replace("-", "")}"
+  // Scratch paths: fixed per (prefix, sf), auto-removed at JVM exit
+  // (round-3 hygiene fix — see graft.util.Scratch).
+  private def sfTag(sf: String): String = sf.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def tmpDir(prefix: String, sf: String): String =
+    graft.util.Scratch.dir(prefix, sf)
 
   /** CSV source/sink roundtrip with an explicit read schema (header on,
     * exact-typed columns only). Exercises the text-source parser path the
     * [R1] ETL domain ingests raw files through. */
   def sourceCsvRoundtrip(spark: SparkSession, sf: String): DataFrame = {
-    val dir = tmpDir("csv")
+    val dir = tmpDir("csv", sf)
     orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"),
@@ -48,7 +51,7 @@ object Scale {
 
   /** JSON-lines source/sink roundtrip with an explicit read schema. */
   def sourceJsonRoundtrip(spark: SparkSession, sf: String): DataFrame = {
-    val dir = tmpDir("json")
+    val dir = tmpDir("json", sf)
     events(spark, sf)
       .select(col("event_id"), col("user_id"), col("event_type"))
       .write.mode("overwrite").json(dir)
@@ -70,7 +73,7 @@ object Scale {
     * partition-pruning row SURVEY §4.1 marked "not exercisable" on the
     * single-file fixtures: we create the partitioned layout ourselves. */
   def sinkPartitionedPrune(spark: SparkSession, sf: String): DataFrame = {
-    val dir = tmpDir("part")
+    val dir = tmpDir("part", sf)
     orders(spark, sf)
       .select(col("o_orderkey"), col("o_orderstatus"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"),
@@ -89,15 +92,18 @@ object Scale {
     * write time. This is the 100 TB pattern for repeated fact-fact joins;
     * ScaleSpec asserts the plan has no Exchange under the join. */
   def joinBucketed(spark: SparkSession, sf: String): DataFrame = {
-    val tag = UUID.randomUUID().toString.replace("-", "")
-    val oTbl = s"orders_b_$tag"; val lTbl = s"lineitem_b_$tag"
+    // fixed per-sf table names + overwrite (round-3 hygiene fix): repeated
+    // invocations rewrite the same two catalog entries and paths instead of
+    // accumulating UUID-named tables; files live under runRoot and are
+    // removed by its shutdown hook.
+    val oTbl = s"orders_b_${sfTag(sf)}"; val lTbl = s"lineitem_b_${sfTag(sf)}"
     orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority"))
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", tmpDir("bko")).saveAsTable(oTbl)
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", tmpDir("bko", sf)).saveAsTable(oTbl)
     lineitem(spark, sf)
       .select(col("l_orderkey"), floor(col("l_quantity")).cast("long").as("qf"))
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", tmpDir("bkl")).saveAsTable(lTbl)
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", tmpDir("bkl", sf)).saveAsTable(lTbl)
     // MERGE hint: at fixture scale Spark would broadcast the small side and
     // never touch the bucketed layout; the point of this operator is the
     // shuffle-free sort-merge path, which is what wins when BOTH sides are

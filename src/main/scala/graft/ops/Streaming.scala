@@ -38,11 +38,13 @@ object Streaming {
   private def eventsStream(spark: SparkSession, sf: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source wants a directory; expose the single fixture
-    // file through a per-run temp dir (symlink — no copy).
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    // file through a fixed per-(run, sf) scratch dir (symlink — no copy;
+    // idempotent across repeated calls, removed at JVM exit).
+    val dir = java.nio.file.Paths.get(graft.util.Scratch.dir("stream", sf))
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$sf/events.parquet"))
     spark.readStream.schema(rawSchema).parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -218,7 +220,16 @@ object Streaming {
     * fixture file = one batch, so the staged table equals the batch input
     * and the oracle is plain batch SQL. */
   def streamForeachBatch(spark: SparkSession, sf: String): DataFrame = {
-    val dir = s"/tmp/graft_fb_${UUID.randomUUID().toString.replace("-", "")}"
+    // fixed per-(run, sf) staging dir, wiped before each invocation —
+    // append-per-batch within one stream run stays correct, repeated
+    // invocations don't accumulate, JVM exit removes it (Scratch hook)
+    val dir = graft.util.Scratch.dir("fb", sf)
+    Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
+      def rm(g: java.io.File): Unit = {
+        Option(g.listFiles()).foreach(_.foreach(rm)); g.delete(); ()
+      }
+      rm(f)
+    })
     val src = eventsStream(spark, sf)
       .select(col("event_id"), col("event_type"),
         floor(col("value") * 100).cast("long").as("cents"))

