@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.util.Determinism._
@@ -54,14 +54,17 @@ object Streaming {
     * stateful operator per micro-batch, so at shuffle=32 every streaming
     * key pays 32× store init/commit for fixtures whose whole state fits in
     * one. A live deployment sizes this to key cardinality; these harness
-    * queries pin it small. Safe to toggle on the shared session because
-    * Verify/Bench run keys sequentially; the conf is restored either way. */
-  private def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    try body finally spark.conf.set(key, prev)
-  }
+    * queries pin it small. The toggle mutates the SHARED session conf, so
+    * the whole set/run/restore is synchronized on the session — concurrent
+    * callers (parallel suites, future parallel key execution) serialize
+    * here instead of silently running batch work at width 4. */
+  private def withStreamShuffle[T](spark: SparkSession)(body: => T): T =
+    spark.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "4")
+      try body finally spark.conf.set(key, prev)
+    }
 
   /** Run a streaming frame to completion into a memory sink, return the
     * sink table as a batch frame. */
@@ -126,15 +129,65 @@ object Streaming {
   case class SEvent(event_id: Long, user_id: Long, cents: Long)
   case class UserState(user_id: Long, n_events: Long, sum_cents: Long)
 
-  /** Arbitrary stateful processing (mapGroupsWithState): running per-user
-    * count + exact cents sum. */
-  def streamStatefulCount(spark: SparkSession, sf: String): DataFrame = {
+  /** StatefulProcessor for [[streamStatefulCount]]: one ValueState row per
+    * user holding (n_events, sum_cents), emitted on every update. */
+  class UserRunningAgg extends StatefulProcessor[Long, SEvent, UserState] {
+    @transient private var st: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("agg",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[SEvent],
+        tv: TimerValues): Iterator[UserState] = {
+      val prev = if (st.exists()) st.get() else UserState(user, 0L, 0L)
+      var n = prev.n_events; var s = prev.sum_cents
+      rows.foreach { r => n += 1; s += r.cents }
+      val out = UserState(user, n, s)
+      st.update(out)
+      Iterator.single(out)
+    }
+  }
+
+  private def typedEvents(spark: SparkSession, sf: String): Dataset[SEvent] = {
     import spark.implicits._
-    val typed = eventsStream(spark, sf)
+    eventsStream(spark, sf)
       .select(col("event_id"), col("user_id"),
         floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
       .as[SEvent]
-    val updated = typed.groupByKey(_.user_id)
+  }
+
+  /** Arbitrary stateful processing: running per-user count + exact cents
+    * sum. Round 3: the MAIN path is Spark 4's `transformWithState`
+    * (StatefulProcessor + RocksDB state store — the modern arbitrary-state
+    * surface SURVEY §2.L names); [[streamStatefulCountMgs]] keeps the
+    * `mapGroupsWithState` formulation as the semantics twin asserted
+    * result-equal in StreamingSpec. */
+  def streamStatefulCount(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val updated = typedEvents(spark, sf).groupByKey(_.user_id)
+      .transformWithState(new UserRunningAgg(), TimeMode.None(),
+        OutputMode.Update())
+    // transformWithState requires the RocksDB state store provider; same
+    // shared-conf discipline as withStreamShuffle (synchronized + restore)
+    spark.synchronized {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try drain(spark, updated.toDF(), OutputMode.Update())
+        .orderBy(col("user_id"))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /** `mapGroupsWithState` twin of [[streamStatefulCount]] (the pre-Spark-4
+    * arbitrary-state API), kept as a registered surface with the same
+    * oracle. */
+  def streamStatefulCountMgs(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val updated = typedEvents(spark, sf).groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[SEvent], state: GroupState[(Long, Long)]) =>
           val (n0, s0) = state.getOption.getOrElse((0L, 0L))
@@ -255,6 +308,7 @@ object Streaming {
     "stream_session" -> streamSession,
     "stream_dedup" -> streamDedup,
     "stream_stateful_count" -> streamStatefulCount,
+    "stream_stateful_count_mgs" -> streamStatefulCountMgs,
     "stream_stream_join" -> streamStreamJoin,
     "stream_late_data" -> streamLateData
   )
@@ -310,6 +364,11 @@ object Streaming {
         |ORDER BY p_id, c_id""".stripMargin,
 
     "stream_stateful_count" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_stateful_count_mgs" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin

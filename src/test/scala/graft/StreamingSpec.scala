@@ -36,4 +36,11 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.util.Tables.events(spark, sf001).select("event_id").distinct().count()
     assert(streamed == batch)
   }
+
+  test("transformWithState and mapGroupsWithState stateful counts agree") {
+    val tws = SparkEntry.queries("stream_stateful_count")(spark, sf001).collect()
+    val mgs = SparkEntry.queries("stream_stateful_count_mgs")(spark, sf001).collect()
+    assert(tws.nonEmpty)
+    assert(tws.map(_.toSeq).toSeq == mgs.map(_.toSeq).toSeq)
+  }
 }
