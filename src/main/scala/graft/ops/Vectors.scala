@@ -228,12 +228,9 @@ object Vectors {
   /** Fixed dim permutation for the 16×4-bit SRP bands of `vec_topk_global`.
     * Chosen offline (deterministic constant) so the banded candidate set
     * contains every true top-30 pair at both sf0.001 and sf0.01 — validated
-    * against the all-pairs oracle; see DECISIONS.md round 3. */
-  private val topkBandPerm: Seq[Int] = Seq(
-    38, 31, 10, 48, 49, 5, 8, 29, 23, 27, 12, 2, 3, 19, 36, 21,
-    32, 45, 40, 37, 14, 50, 22, 17, 9, 7, 46, 47, 24, 18, 30, 33,
-    39, 34, 42, 51, 61, 59, 16, 56, 4, 62, 26, 43, 55, 58, 44, 53,
-    54, 52, 20, 25, 15, 11, 63, 1, 28, 57, 35, 60, 41, 6, 13, 0)
+    * against the all-pairs oracle; see DECISIONS.md round 3. Shared with
+    * the LshPrefilter optimizer rule (single source of truth). */
+  private def topkBandPerm: Seq[Int] = graft.plans.LshPrefilter.BandPerm
 
   /** Global top-20 most-similar pairs (not per-probe), candidate-pruned
     * (round-3 scale fix): pair generation is 16 sign-random-projection
@@ -299,6 +296,29 @@ object Vectors {
       .orderBy(col("vec_id"), col("pos"))
   }
 
+  /** Threshold-similarity pairs via the NAIVE formulation — a non-equi
+    * pair join filtered on `vector_cosine(ea, eb) > 0.45` — which the
+    * [[graft.plans.LshPrefilter]] optimizer rule (opt-in conf, injected
+    * here at runtime) rewrites into a Distinct(Union of 16 band
+    * equi-joins) with the cosine check as residual verify. Same predicate
+    * as `dedup_embedding_cosine` (the hand-written all-pairs baseline and
+    * this key's oracle twin) — the bench delta between the two keys is the
+    * measured value of the rule. Plan-shape asserted in ScaleFixSpec. */
+  def vecThresholdPairs(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorCosine.register(spark)
+    spark.conf.set(graft.plans.LshPrefilter.ConfKey, "true")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LshPrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LshPrefilter
+    val e = embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b") &&
+        expr("vector_cosine(ea, eb)") > lit(0.45d))
+      .select(col("vec_a"), col("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Same contract as vec_knn_cosine but through the custom Catalyst
     * expression (SURVEY §2.M / §4.3) — proves the Expression + codegen
     * surface; ranks must equal the HOF formulation's. */
@@ -330,6 +350,7 @@ object Vectors {
     "vec_quantize" -> vecQuantize,
     "vec_pq_codes" -> vecPqCodes,
     "vec_topk_global" -> vecTopkGlobal,
+    "vec_threshold_pairs" -> vecThresholdPairs,
     "expr_custom_catalyst" -> exprCustomCatalyst
   )
 
@@ -427,6 +448,14 @@ object Vectors {
          |               b.code ASC) AS rn
          |  FROM subs s CROSS JOIN book b)
          |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    "vec_threshold_pairs" ->
+      """SELECT vec_a, vec_b FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_cosine_similarity(a.embedding, b.embedding) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cos > 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
 
     "vec_quantize" ->
       """SELECT vec_id, pos,

@@ -25,8 +25,10 @@ object FoldIdempotent extends Rule[LogicalPlan] {
 }
 
 /** SparkSessionExtensions entry point (SURVEY §4.2): registers the optimizer
-  * rule at session build time. */
+  * rules at session build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FoldIdempotent)
+    e.injectOptimizerRule(_ => LshPrefilter)
+  }
 }

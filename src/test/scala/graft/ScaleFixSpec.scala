@@ -65,6 +65,20 @@ class ScaleFixSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Pipeline.starContract(big, maxIter = 1))
   }
 
+  test("LshPrefilter rewrites the naive cosine-threshold join into banded equi-joins") {
+    val df = SparkEntry.queries("vec_threshold_pairs")(spark, sf001)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Union"), s"rule did not fire (no Union):\n${opt.take(800)}")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("NestedLoop") && !physical.contains("CartesianProduct"),
+      s"rewritten plan must have no all-pairs join:\n${physical.take(800)}")
+    // rewritten result == the hand-written exact baseline (same predicate)
+    val exact = SparkEntry.queries("dedup_embedding_cosine")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exact, s"banded rewrite lost pairs: got $got expected $exact")
+  }
+
   test("vec_topk_global plans no all-pairs non-equi join") {
     val df = SparkEntry.queries("vec_topk_global")(spark, sf001)
     val physical = df.queryExecution.executedPlan.toString
