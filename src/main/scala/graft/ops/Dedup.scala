@@ -174,8 +174,9 @@ object Dedup {
     "list_distinct(list_transform(range(1, len(str_split(text,' '))), " +
       "i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]))"
 
-  /** Shared CTE prefix: shingles → minhash sigs → bands → candidate pairs. */
-  private val minhashCte =
+  /** Shared CTE prefix: shingles → minhash sigs → bands → candidate pairs.
+    * (private[ops]: Pipeline's dedup_lsh_cc oracle builds on it.) */
+  private[ops] val minhashCte =
     s"""WITH sh AS (SELECT doc_id, unnest(bg) AS sh FROM (SELECT doc_id, $bgSql AS bg FROM documents)),
        |sigs AS (
        |  SELECT doc_id,

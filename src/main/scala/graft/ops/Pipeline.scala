@@ -175,8 +175,28 @@ object Pipeline {
       .orderBy(col("doc_a"), col("rn"))
   }
 
+  /** THE 100 TB dedup pipeline composition, end to end: MinHash-LSH banded
+    * candidates → exact-Jaccard verify ([[Dedup.dedupMinhashLsh]] survivor
+    * pairs at ≥ 7/20) → [[starContract]] clustering → per-component
+    * canonical id + size. Every stage is the banded/contracted scale shape
+    * — no all-pairs join and no diameter-bound loop anywhere. This is what
+    * "keep one doc per near-dup cluster" actually runs at scale; the
+    * recursive-CTE oracle recomputes it exactly. */
+  def dedupLshCc(spark: SparkSession, sf: String): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(spark, sf)
+      .where(col("is_dup") === 1)
+      .select(col("doc_a").as("s"), col("doc_b").as("t")).localCheckpoint()
+    val (labels, _) = starContract(pairs)
+    val sizes = labels.groupBy("component")
+      .agg(count(lit(1)).cast("int").as("comp_size"))
+    labels.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component"), col("comp_size"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cc_components" -> dedupCcComponents,
+    "dedup_lsh_cc" -> dedupLshCc,
     "etl_chunk_tokens" -> etlChunkTokens,
     "etl_pack_sequences" -> etlPackSequences,
     "text_editdist_topk" -> textEditdistTopk
@@ -199,6 +219,27 @@ object Pipeline {
        |  AND len(list_intersect(a.bg, b.bg)) > 0""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "dedup_lsh_cc" ->
+      s"""${Dedup.minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |dup AS (
+         |  SELECT doc_a, doc_b FROM cands
+         |  JOIN sets a ON cands.doc_a = a.doc_id
+         |  JOIN sets b ON cands.doc_b = b.doc_id
+         |  WHERE len(list_intersect(a.bg, b.bg)) * 20 >=
+         |        (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) * 7),
+         |nodes AS (SELECT doc_a AS id FROM dup UNION SELECT doc_b FROM dup),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM dup
+         |          UNION SELECT doc_b, doc_a FROM dup),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.t FROM reach JOIN edges e ON reach.r = e.s),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT c.id AS doc_id, c.component, CAST(s.n AS INT) AS comp_size
+         |FROM comp c JOIN (SELECT component, count(*) AS n FROM comp
+         |                  GROUP BY component) s USING (component)
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_cc_components" ->
       s"""WITH RECURSIVE pairs AS ($pairsSql),
          |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),

@@ -79,6 +79,31 @@ class ScaleFixSpec extends AnyFunSuite {
     assert(got == exact, s"banded rewrite lost pairs: got $got expected $exact")
   }
 
+  test("fixture score gaps dwarf float-vs-double ULP noise (ADVICE r2: tie margin)") {
+    // vec_ann_ivf / vec_pq_codes rank with double surrogates while the
+    // DuckDB oracle ranks float cosines; ties could flip argmax between
+    // engines. Guard: on the fixtures every per-probe adjacent cosine gap
+    // (double precision) must exceed 1e-9 — float32 rounding of values in
+    // [-1,1] perturbs by at most ~6e-8, and observed fixture gaps are
+    // orders above that, so cross-engine rank flips cannot occur.
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorCosine.register(spark)
+    val e = graft.util.Tables.embeddings(spark, sf001)
+    val p = e.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val gaps = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(p))
+      .where(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", expr("vector_cosine(pe, ce)"))
+      .withColumn("nxt", lead(col("cos"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id")).orderBy(col("cos").desc)))
+      .where(col("nxt").isNotNull)
+      .select(min(abs(col("cos") - col("nxt"))).as("min_gap"))
+      .head().getDouble(0)
+    assert(gaps > 1e-9, s"fixture adjacent-score gap $gaps too small — tie risk")
+  }
+
   test("vec_topk_global plans no all-pairs non-equi join") {
     val df = SparkEntry.queries("vec_topk_global")(spark, sf001)
     val physical = df.queryExecution.executedPlan.toString
