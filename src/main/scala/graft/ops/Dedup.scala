@@ -140,6 +140,27 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup over the same LSH candidates:
+    * |A∩B|/|A| ≥ 0.8 (or /|B|) flags doc-in-doc duplication — quote
+    * expansions, boilerplate wrappers, truncated re-crawls — which
+    * symmetric Jaccard under-scores (a small doc inside a big one has low
+    * Jaccard but containment ≈ 1). Same banded candidate generation as
+    * [[dedupMinhashLsh]]; all-integer output (i, sizes, ≥0.8 flags both
+    * directions). */
+  def dedupContainment(spark: SparkSession, sf: String): DataFrame = {
+    val d = documents(spark, sf)
+    val cands = lshCandidates(minhashSigs(d))
+    val sets = d.select(col("doc_id"), bigrams.as("bg"), size(bigrams).as("n"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"), col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("bg").as("bg_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("i", size(array_intersect(col("bg_a"), col("bg_b"))))
+      .select(col("doc_a"), col("doc_b"), col("i"), col("n_a"), col("n_b"),
+        (col("i") * 10 >= col("n_a") * 8).cast("int").as("a_in_b"),
+        (col("i") * 10 >= col("n_b") * 8).cast("int").as("b_in_a"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Exact embedding near-dup: all vector pairs with cosine > 0.45. Output
     * is pair ids only (D3). The all-pairs join is the correctness baseline;
     * `vec_ann_lsh` (ops/Vectors.scala) is the banded scale path.
@@ -167,6 +188,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_containment" -> dedupContainment,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine
   )
 
@@ -217,6 +239,17 @@ object Dedup {
          |           JOIN sigs sb ON cands.doc_b = sb.doc_id
          |           JOIN sets a  ON cands.doc_a = a.doc_id
          |           JOIN sets b  ON cands.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""$minhashCte
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(a.bg, b.bg)) AS INT) AS i,
+         |  CAST(len(a.bg) AS INT) AS n_a, CAST(len(b.bg) AS INT) AS n_b,
+         |  CAST(len(list_intersect(a.bg, b.bg)) * 10 >= len(a.bg) * 8 AS INT) AS a_in_b,
+         |  CAST(len(list_intersect(a.bg, b.bg)) * 10 >= len(b.bg) * 8 AS INT) AS b_in_a
+         |FROM cands JOIN sets a ON cands.doc_a = a.doc_id
+         |           JOIN sets b ON cands.doc_b = b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->
