@@ -296,6 +296,98 @@ object Vectors {
       .orderBy(col("vec_id"), col("pos"))
   }
 
+  /** IVF + PQ asymmetric-distance scoring — the capstone of the similarity
+    * ladder and the shape FAISS-style engines run at 100 TB: route each
+    * probe to its nprobe=4 IVF cells, score cell candidates by PQ codes
+    * only (8 subspaces × 4-entry codebook from [[vecPqCodes]]), rank by
+    * the summed sub-distances. The per-(probe, sub, code) lookup values
+    * dot(p_sub, c) − |c|²/2 are precomputed as 32 literal-codebook columns
+    * on the tiny probe side — the classic ADC lookup-table trick — so the
+    * candidate join scores with pure column arithmetic: NO vector math per
+    * pair, the compressed codes stand in for the 64-float embeddings
+    * (8 bytes scanned instead of 256 at scale). Σ_sub(|c|²/2 − dot(p_sub,c))
+    * orders identically to Σ_sub‖p_sub − c‖² (the |p_sub|² terms sum to the
+    * constant |p|² inside a probe's partition); fixture score gaps dwarf
+    * double/float noise (tie-margin test in ScaleFixSpec). */
+  def vecAnnIvfPq(spark: SparkSession, sf: String): DataFrame = {
+    VectorDot.register(spark)
+    val e = embeddings(spark, sf)
+    val book: Array[(Int, Array[Float])] = e
+      .where(col("vec_id").isin(seedIds.take(4): _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).zipWithIndex.map { case ((_, emb), ord) => (ord, emb) }
+    val seeds: Array[(Long, Array[Float])] = e
+      .where(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def litArr(c: Array[Float]): String =
+      c.map(f => s"CAST('$f' AS FLOAT)").mkString("array(", ",", ")")
+    // nearest-cell assignment, same literal-centroid projection as vec_ann_ivf
+    def cellOf(vSql: String): Column = {
+      val scored = seeds.map { case (cid, cemb) =>
+        val norm = math.sqrt(cemb.map(f => f.toDouble * f.toDouble).sum)
+        struct((expr(s"vector_dot($vSql, ${litArr(cemb)})") / lit(norm)).as("s"),
+          lit(-cid).as("ncid"))
+      }
+      -greatest(scored: _*).getField("ncid")
+    }
+    // candidate side: cell + 8 PQ codes (pure projection, as vec_pq_codes)
+    def codeOf(sub: Int): Column = {
+      val scored = book.map { case (ord, emb) =>
+        val c = emb.slice(sub * 8, sub * 8 + 8)
+        val half2 = c.map(f => f.toDouble * f.toDouble).sum / 2.0
+        struct(
+          (expr(s"vector_dot(slice(embedding, ${sub * 8 + 1}, 8), ${litArr(c)})")
+            - lit(half2)).as("s"),
+          lit(-ord).as("nord"))
+      }
+      -greatest(scored: _*).getField("nord")
+    }
+    val cand = e.select(
+      col("vec_id").as("cand_id") +: cellOf("embedding").as("cell") +:
+        (0 until 8).map(sub => codeOf(sub).cast("int").as(s"c$sub")): _*)
+    // probe side: nprobe=4 cells + the 32-entry ADC lookup table
+    val seedDf = e.where(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val p = e.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val lutCols = (0 until 8).flatMap { sub =>
+      book.map { case (ord, emb) =>
+        val c = emb.slice(sub * 8, sub * 8 + 8)
+        val half2 = c.map(f => f.toDouble * f.toDouble).sum / 2.0
+        (lit(half2) - expr(s"vector_dot(slice(pe, ${sub * 8 + 1}, 8), ${litArr(c)})"))
+          .as(s"lut_${sub}_$ord")
+      }
+    }
+    val pw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val pcells = p.crossJoin(broadcast(seedDf))
+      .withColumn("pcos",
+        expr("vector_dot(pe, cemb)") / sqrt(expr("vector_dot(cemb, cemb)")))
+      .withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= 4)
+      .select(col("probe_id") +: col("cid").as("cell") +: lutCols: _*)
+    // ADC score: one CASE lookup per subspace, pure column arithmetic
+    val adc = (0 until 8).map { sub =>
+      (1 until 4).foldLeft(when(col(s"c$sub") === 0, col(s"lut_${sub}_0"))) {
+        (acc, ord) => acc.when(col(s"c$sub") === ord, col(s"lut_${sub}_$ord"))
+      }
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("cand_id").asc)
+    cand.join(broadcast(pcells), Seq("cell"))
+      .where(col("cand_id") =!= col("probe_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("cand_id").as("neighbor_id"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Threshold-similarity pairs via the NAIVE formulation — a non-equi
     * pair join filtered on `vector_cosine(ea, eb) > 0.45` — which the
     * [[graft.plans.LshPrefilter]] optimizer rule (opt-in conf, injected
@@ -351,6 +443,7 @@ object Vectors {
     "vec_pq_codes" -> vecPqCodes,
     "vec_topk_global" -> vecTopkGlobal,
     "vec_threshold_pairs" -> vecThresholdPairs,
+    "vec_ann_ivf_pq" -> vecAnnIvfPq,
     "expr_custom_catalyst" -> exprCustomCatalyst
   )
 
@@ -448,6 +541,51 @@ object Vectors {
          |               b.code ASC) AS rn
          |  FROM subs s CROSS JOIN book b)
          |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    "vec_ann_ivf_pq" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         |  WHERE vec_id IN ${seedIds.mkString("(", ", ", ")")}),
+         |book AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+         |         embedding
+         |  FROM embeddings WHERE vec_id IN ${seedIds.take(4).mkString("(", ", ", ")")}),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, s.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.embedding, s.cemb) DESC,
+         |               s.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |assign AS (
+         |  SELECT vec_id AS cand_id, embedding AS ce, cid AS cell
+         |  FROM scored WHERE rn = 1),
+         |subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub),
+         |codes AS (
+         |  SELECT cand_id, cell, sub, code FROM (
+         |    SELECT a.cand_id, a.cell, s.sub, b.code,
+         |      row_number() OVER (PARTITION BY a.cand_id, s.sub
+         |        ORDER BY list_distance(a.ce[s.sub*8+1 : s.sub*8+8],
+         |                               b.embedding[s.sub*8+1 : s.sub*8+8]) ASC,
+         |                 b.code ASC) AS crn
+         |    FROM assign a CROSS JOIN subs s CROSS JOIN book b)
+         |  WHERE crn = 1),
+         |pcells AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe, cid AS cell
+         |  FROM scored WHERE vec_id IN $probesSql AND rn <= 4),
+         |adc AS (
+         |  SELECT p.probe_id, c.cand_id,
+         |    sum(power(list_distance(p.pe[c.sub*8+1 : c.sub*8+8],
+         |                            b.embedding[c.sub*8+1 : c.sub*8+8]), 2)) AS d2
+         |  FROM pcells p JOIN codes c ON p.cell = c.cell
+         |  JOIN book b ON c.code = b.code
+         |  WHERE c.cand_id <> p.probe_id
+         |  GROUP BY p.probe_id, c.cand_id)
+         |SELECT probe_id, rank, cand_id AS neighbor_id FROM (
+         |  SELECT probe_id, cand_id,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY d2 ASC, cand_id ASC) AS INT) AS rank
+         |  FROM adc)
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     "vec_threshold_pairs" ->
       """SELECT vec_a, vec_b FROM (
