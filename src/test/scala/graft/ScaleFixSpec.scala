@@ -110,4 +110,16 @@ class ScaleFixSpec extends AnyFunSuite {
     assert(!physical.contains("NestedLoop") && !physical.contains("CartesianProduct"),
       s"top-k pair generation must be banded, not all-pairs:\n${physical.take(800)}")
   }
+
+  test("round-3 dedup keys keep all-pairs joins out of their plans") {
+    // (vec_ann_ivf_pq is excluded: its only cross join is the 10-probe ×
+    // 16-seed broadcast — the legitimate dim-table pattern; its candidate
+    // join is an equi join on the IVF cell.)
+    for (key <- Seq("dedup_containment", "dedup_lsh_cc")) {
+      val physical = SparkEntry.queries(key)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(!physical.contains("NestedLoop") && !physical.contains("CartesianProduct"),
+        s"$key must stay banded, not all-pairs:\n${physical.take(600)}")
+    }
+  }
 }
