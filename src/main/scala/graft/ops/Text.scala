@@ -202,7 +202,53 @@ object Text {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
       .orderBy(col("fp"))
 
+  /** Distinct word-trigram set (decontamination granule). */
+  private[ops] def trigramsOf(ws: Column): Column =
+    array_distinct(zip_with(
+      zip_with(slice(ws, lit(1), size(ws) - 2), slice(ws, lit(2), size(ws) - 2),
+        (x, y) => concat(x, lit(" "), y)),
+      slice(ws, lit(3), size(ws) - 2),
+      (xy, z) => concat(xy, lit(" "), z)))
+
+  /** Benchmark DECONTAMINATION — the training-data op that checks the
+    * corpus for eval-set leakage before a training run: docs with
+    * doc_id ≡ 0 (mod 97) stand in for the held-out benchmark; a training
+    * doc sharing ≥ 2 distinct word-trigrams with any eval doc is flagged.
+    * Pure inverted-index equi-join on the trigram (shuffle keyed by gram,
+    * counts aggregated map-side) — the shape that scans 100 TB of training
+    * text against a benchmark suite without ever forming doc pairs. */
+  def textDecontaminate(spark: SparkSession, sf: String): DataFrame = {
+    val grams = documents(spark, sf)
+      .select(col("doc_id"), explode(trigramsOf(words)).as("g"))
+    val evalG = grams.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val trainG = grams.where(col("doc_id") % 97 =!= 0)
+    trainG.join(evalG, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .withColumn("contaminated", (col("n_shared") >= 2).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style REPETITION filter: per-doc duplicate-bigram mass.
+    * n_total = bigram occurrences, n_distinct = distinct bigrams; a doc
+    * whose duplicated share (n_total − n_distinct) reaches 20% of all
+    * bigrams is flagged low-quality (boilerplate loops, keyword stuffing,
+    * degenerate generations). Narrow per-row projection, no shuffle
+    * except the presentation sort — runs at scan speed on 100 TB. */
+  def textRepetitionFilter(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .select(col("doc_id"),
+        (size(words) - 1).cast("int").as("n_total"),
+        size(bigramsOf(words)).cast("int").as("n_distinct"))
+      .withColumn("dup_flag",
+        ((col("n_total") - col("n_distinct")) * 5 >= col("n_total")).cast("int"))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate" -> textDecontaminate,
+    "text_repetition_filter" -> textRepetitionFilter,
     "text_tokenize_tf" -> textTokenizeTf,
     "text_ngrams" -> textNgrams,
     "text_tfidf_topterms" -> textTfidfTopterms,
@@ -219,6 +265,31 @@ object Text {
       "i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]))"
 
   def oracle: Map[String, String] = Map(
+    "text_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(tg) AS g FROM (
+        |    SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tg
+        |    FROM (SELECT doc_id, str_split(text,' ') AS ws FROM documents))),
+        |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id,
+        |  count(DISTINCT tr.g) AS n_shared,
+        |  count(DISTINCT ev.eval_id) AS n_eval_docs,
+        |  CAST(count(DISTINCT tr.g) >= 2 AS INT) AS contaminated
+        |FROM tr JOIN ev ON tr.g = ev.g
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "text_repetition_filter" ->
+      """SELECT doc_id,
+        |  CAST(len(ws) - 1 AS INT) AS n_total,
+        |  CAST(len(list_distinct(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1]))) AS INT) AS n_distinct,
+        |  CAST((len(ws) - 1 - len(list_distinct(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])))) * 5 >= len(ws) - 1 AS INT) AS dup_flag
+        |FROM (SELECT doc_id, str_split(text,' ') AS ws FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     "text_tokenize_tf" ->
       """SELECT lang, rn, word, cnt FROM (
         |  SELECT lang, word, count(*) AS cnt,
