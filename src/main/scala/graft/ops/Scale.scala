@@ -86,6 +86,35 @@ object Scale {
       .orderBy(col("month"))
   }
 
+  /** Dynamic partition pruning exercised for real (closes SURVEY §4.1's
+    * "not exercisable on single-file fixtures" row): orders land
+    * hive-partitioned by status in scratch, then JOIN a filtered tiny dim
+    * on the partition column — Catalyst inserts a dynamicpruning subquery
+    * into the fact scan's partition filters, so only the dim-selected
+    * partition directories are read at runtime. At 100 TB this is the
+    * difference between scanning one day/status partition and scanning
+    * the lake; plan asserted in ScaleFixSpec. Oracle: the join to the
+    * filtered distinct-status dim is provably the plain WHERE filter. */
+  def joinDppPrune(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("dpp", sf)
+    orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        to_date(date_trunc("mon", col("o_orderdate"))).as("month"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim filter is on a NON-join column, so the surviving partition
+    // values are only known at runtime — static constraint propagation
+    // can't pre-prune, forcing the dynamicpruning subquery on the scan
+    val dim = orders(spark, sf)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderstatus").as("status")).distinct()
+    fact.join(dim, fact("o_orderstatus") === dim("status"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("month"))
+  }
+
   /** Bucketed co-located join: both sides written bucketed by the join key
     * (8 buckets, sorted), so the sort-merge join runs with NO shuffle
     * exchange on either side — the bucketing IS the exchange, paid once at
@@ -217,6 +246,7 @@ object Scale {
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
     "source_json_roundtrip" -> sourceJsonRoundtrip,
     "sink_partitioned_prune" -> sinkPartitionedPrune,
+    "join_dpp_prune" -> joinDppPrune,
     "join_bucketed" -> joinBucketed,
     "join_skew_salted" -> joinSkewSalted,
     "join_range_bucketed" -> joinRangeBucketed,
@@ -256,6 +286,15 @@ object Scale {
         |  count(*) AS n,
         |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY month ORDER BY month""".stripMargin,
+
+    "join_dpp_prune" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderstatus IN (
+        |  SELECT DISTINCT o_orderstatus FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
         |GROUP BY month ORDER BY month""".stripMargin,
 
     "join_bucketed" ->

@@ -111,6 +111,13 @@ class ScaleFixSpec extends AnyFunSuite {
       s"top-k pair generation must be banded, not all-pairs:\n${physical.take(800)}")
   }
 
+  test("join_dpp_prune plans a dynamicpruning subquery on the fact scan") {
+    val df = SparkEntry.queries("join_dpp_prune")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"dynamic partition pruning did not fire:\n${plan.take(800)}")
+  }
+
   test("round-3 dedup keys keep all-pairs joins out of their plans") {
     // (vec_ann_ivf_pq is excluded: its only cross join is the 10-probe ×
     // 16-seed broadcast — the legitimate dim-table pattern; its candidate
