@@ -1,7 +1,7 @@
 package graft.ops
 
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -182,6 +182,34 @@ object Scale {
       .orderBy(col("s_event_id"))
   }
 
+  /** Z-ORDER layout sink: interleave the low 8 bits of (custkey, orderkey)
+    * into a 16-bit space-filling-curve value, sort the write by it, land
+    * parquet in scratch, read back, and report per-curve-bucket min/max of
+    * BOTH dimensions — the locality evidence: rows near on the curve are
+    * near in both keys, so min/max row-group stats prune scans filtered on
+    * EITHER column. This is the lake-layout technique (Delta/Iceberg
+    * OPTIMIZE ZORDER) for multi-dimensional pruning at 100 TB; the curve
+    * value is exact integer math, so the whole thing is oracle-checkable. */
+  def sinkZorder(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("zorder", sf)
+    def bitsOf(c: Column, shiftTo: Int => Int): Column =
+      (0 until 8).map[Column] { i =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), shiftTo(i))
+      }.reduce(_ + _)
+    val z = bitsOf(pmod(col("o_custkey"), lit(256L)), i => 2 * i)
+      .plus(bitsOf(pmod(col("o_orderkey"), lit(256L)), i => 2 * i + 1))
+    orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), z.cast("long").as("zval"))
+      .orderBy(col("zval"), col("o_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy((col("zval") / 4096).cast("int").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        min(col("o_orderkey")).as("min_ord"), max(col("o_orderkey")).as("max_ord"))
+      .orderBy(col("zbucket"))
+  }
+
   /** Exact moment statistics without a float anywhere: per returnflag, the
     * integer power sums and the variance / covariance NUMERATORS
     * (n·Σx² − (Σx)², n·Σxy − Σx·Σy). Downstream consumers derive
@@ -247,6 +275,7 @@ object Scale {
     "source_json_roundtrip" -> sourceJsonRoundtrip,
     "sink_partitioned_prune" -> sinkPartitionedPrune,
     "join_dpp_prune" -> joinDppPrune,
+    "sink_zorder" -> sinkZorder,
     "join_bucketed" -> joinBucketed,
     "join_skew_salted" -> joinSkewSalted,
     "join_range_bucketed" -> joinRangeBucketed,
@@ -296,6 +325,19 @@ object Scale {
         |  SELECT DISTINCT o_orderstatus FROM orders
         |  WHERE o_orderpriority = '1-URGENT')
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    "sink_zorder" -> {
+      val zSql = (0 until 8).flatMap { i =>
+        Seq(s"(((o_custkey % 256 >> $i) & 1) << ${2 * i})",
+          s"(((o_orderkey % 256 >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+      s"""SELECT CAST(zval // 4096 AS INT) AS zbucket, count(*) AS n,
+         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+         |  min(o_orderkey) AS min_ord, max(o_orderkey) AS max_ord
+         |FROM (SELECT o_orderkey, o_custkey, CAST($zSql AS BIGINT) AS zval
+         |      FROM orders)
+         |GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
 
     "join_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -388,6 +388,38 @@ object Vectors {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Matryoshka-style prefix-dim retrieval (MRL: coarse score on a PREFIX
+    * of the embedding, exact rerank on survivors): candidates are scored
+    * per probe by 16-dim-prefix cosine (¼ of the bytes touched — at scale
+    * the coarse pass streams a 4× smaller column), top-10 survivors are
+    * reranked by full 64-dim cosine, top-5 emitted. The modern
+    * trained-prefix counterpart to PQ compression; same two-stage shape. */
+  def vecMatryoshkaPrefix(spark: SparkSession, sf: String): DataFrame = {
+    VectorDot.register(spark)
+    val e = embeddings(spark, sf)
+    val p = e.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val coarseW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos16").desc, col("cand_id").asc)
+    val fineW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    c.crossJoin(broadcast(p))
+      .where(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos16", expr(
+        """vector_dot(slice(pe, 1, 16), slice(ce, 1, 16)) /
+          |sqrt(vector_dot(slice(pe, 1, 16), slice(pe, 1, 16)) *
+          |     vector_dot(slice(ce, 1, 16), slice(ce, 1, 16)))""".stripMargin))
+      .withColumn("crank", row_number().over(coarseW))
+      .where(col("crank") <= 10)
+      .withColumn("cos", expr(
+        "vector_dot(pe, ce) / sqrt(vector_dot(pe, pe) * vector_dot(ce, ce))"))
+      .withColumn("rank", row_number().over(fineW))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("cand_id").as("neighbor_id"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Threshold-similarity pairs via the NAIVE formulation — a non-equi
     * pair join filtered on `vector_cosine(ea, eb) > 0.45` — which the
     * [[graft.plans.LshPrefilter]] optimizer rule (opt-in conf, injected
@@ -444,6 +476,7 @@ object Vectors {
     "vec_topk_global" -> vecTopkGlobal,
     "vec_threshold_pairs" -> vecThresholdPairs,
     "vec_ann_ivf_pq" -> vecAnnIvfPq,
+    "vec_matryoshka_prefix" -> vecMatryoshkaPrefix,
     "expr_custom_catalyst" -> exprCustomCatalyst
   )
 
@@ -586,6 +619,26 @@ object Vectors {
          |      ORDER BY d2 ASC, cand_id ASC) AS INT) AS rank
          |  FROM adc)
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "vec_matryoshka_prefix" ->
+      s"""WITH coarse AS (
+         |  SELECT probe_id, cand_id, pe, ce FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |      p.embedding AS pe, c.embedding AS ce,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY list_cosine_similarity(p.embedding[1:16],
+         |                                        c.embedding[1:16]) DESC,
+         |                 c.vec_id ASC) AS crank
+         |    FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |    WHERE p.vec_id IN $probesSql)
+         |  WHERE crank <= 10)
+         |SELECT probe_id, rank, cand_id AS neighbor_id FROM (
+         |  SELECT probe_id, cand_id,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY list_cosine_similarity(pe, ce) DESC,
+         |               cand_id ASC) AS INT) AS rank
+         |  FROM coarse)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "vec_threshold_pairs" ->
       """SELECT vec_a, vec_b FROM (
