@@ -210,6 +210,51 @@ object Scale {
       .orderBy(col("zbucket"))
   }
 
+  /** Small-file COMPACTION (the lake maintenance op): documents land as 64
+    * deliberately-tiny files (the streaming-ingest pathology), then are
+    * compacted by an explicit `repartition(2)` rewrite — at 100 TB this is
+    * the scheduled OPTIMIZE job that keeps scan task counts sane. Output
+    * is the per-lang aggregate over the COMPACTED copy, so the oracle
+    * (straight from the source table) proves the rewrite lossless; the
+    * before/after file counts are asserted in ScaleFixSpec. */
+  def etlCompactFiles(spark: SparkSession, sf: String): DataFrame = {
+    val smallDir = tmpDir("small", sf)
+    val bigDir = tmpDir("compact", sf)
+    documents(spark, sf).repartition(64)
+      .write.mode("overwrite").parquet(smallDir)
+    spark.read.parquet(smallDir).repartition(2)
+      .write.mode("overwrite").parquet(bigDir)
+    spark.read.parquet(bigDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
+  /** Schema EVOLUTION read: two parquet batches with different columns
+    * (v1 carries `cents`, v2 carries `prio`) land in one dataset dir;
+    * `mergeSchema=true` unions the schemas and nulls the missing columns —
+    * the append-only lake reality where producers add fields over time.
+    * Exact-typed output; the oracle reproduces the union with CASE. */
+  def etlSchemaEvolution(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("evolve", sf)
+    val o = orders(spark, sf)
+    o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    o.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority").as("prio"))
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents_v1"),
+        count(col("prio")).as("n_with_prio"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Exact moment statistics without a float anywhere: per returnflag, the
     * integer power sums and the variance / covariance NUMERATORS
     * (n·Σx² − (Σx)², n·Σxy − Σx·Σy). Downstream consumers derive
@@ -276,6 +321,8 @@ object Scale {
     "sink_partitioned_prune" -> sinkPartitionedPrune,
     "join_dpp_prune" -> joinDppPrune,
     "sink_zorder" -> sinkZorder,
+    "etl_compact_files" -> etlCompactFiles,
+    "etl_schema_evolution" -> etlSchemaEvolution,
     "join_bucketed" -> joinBucketed,
     "join_skew_salted" -> joinSkewSalted,
     "join_range_bucketed" -> joinRangeBucketed,
@@ -338,6 +385,19 @@ object Scale {
          |      FROM orders)
          |GROUP BY zbucket ORDER BY zbucket""".stripMargin
     },
+
+    "etl_compact_files" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "etl_schema_evolution" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 0
+        |    THEN CAST(floor(o_totalprice*100) AS BIGINT) END) AS BIGINT) AS sum_cents_v1,
+        |  CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_with_prio
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "join_bucketed" ->
       """SELECT o_orderpriority, count(*) AS n,

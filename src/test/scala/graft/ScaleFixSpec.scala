@@ -118,6 +118,17 @@ class ScaleFixSpec extends AnyFunSuite {
       s"dynamic partition pruning did not fire:\n${plan.take(800)}")
   }
 
+  test("etl_compact_files actually reduces the file count") {
+    SparkEntry.queries("etl_compact_files")(spark, sf001).collect()
+    def partFiles(prefix: String): Int =
+      Option(new java.io.File(graft.util.Scratch.dir(prefix, sf001)).listFiles())
+        .map(_.count(f => f.getName.startsWith("part-"))).getOrElse(0)
+    val before = partFiles("small")
+    val after = partFiles("compact")
+    assert(before == 64, s"expected 64 small files, got $before")
+    assert(after == 2, s"expected 2 compacted files, got $after")
+  }
+
   test("round-3 dedup keys keep all-pairs joins out of their plans") {
     // (vec_ann_ivf_pq is excluded: its only cross join is the 10-probe ×
     // 16-seed broadcast — the legitimate dim-table pattern; its candidate
