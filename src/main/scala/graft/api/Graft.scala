@@ -1,0 +1,77 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The LIBRARY façade: DataFrame-in / DataFrame-out operators a user runs
+  * on their OWN tables (the fixture-bound `SparkEntry.queries` keys are
+  * these same kernels applied to the driver fixtures). Column names are
+  * parameters; internally frames are renamed to the kernels' canonical
+  * schema, so callers never touch graft.ops directly.
+  *
+  * Also part of the public surface:
+  *  - SQL functions: [[registerFunctions]] installs `vector_dot` and
+  *    `vector_cosine` (codegen'd Catalyst expressions);
+  *  - optimizer rules: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    installs FoldIdempotent and the opt-in LshPrefilter
+  *    (`spark.graft.lsh.prefilter=true`);
+  *  - [[graft.util.Skew.saltedJoin]] for hot-key joins.
+  */
+object Graft {
+
+  /** Install graft's SQL functions (`vector_dot`, `vector_cosine`) in the
+    * session. Idempotent. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.functions.VectorDot.register(spark)
+    graft.functions.VectorCosine.register(spark)
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (O(log²n) rounds, diameter-independent). Input: an undirected edge
+    * list in any orientation; output: (`id`, `component`) with component =
+    * the min reachable id. Throws if `maxIter` rounds don't converge. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val (labels, _) = graft.ops.Pipeline.starContract(
+      edges.select(col(srcCol).as("s"), col(dstCol).as("t")), maxIter)
+    labels
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact bigram-Jaccard verify:
+    * (doc_a, doc_b, i, u, is_dup) where is_dup = (Jaccard ≥ 0.35). Banded
+    * candidate generation — never an all-pairs join. `docs` needs a long
+    * id column and a string text column. */
+  def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.Dedup.minhashDedupOf(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** Asymmetric containment pairs (|A∩B|/|A| ≥ 0.8 flags, both directions)
+    * over the same banded candidates — catches doc-in-doc duplication. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.Dedup.containmentPairsOf(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** Banded 16-bit SimHash pairs at hamming ≤ 2, blocked by `blockCol`
+    * (pass a constant column expression upstream for no blocking).
+    * Pigeonhole 3-chunk candidates — exact recall, no all-pairs join. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String): DataFrame =
+    graft.ops.Dedup.simhashPairsOf(
+      docs.select(col(idCol).as("doc_id"), col(blockCol).as("lang"),
+        col(textCol).as("text")))
+
+  /** End-to-end dedup clustering: MinHash-LSH pairs → exact verify →
+    * star-contraction components. Output: (doc_id, component, comp_size) —
+    * "keep one doc per component" is `where(doc_id === component)`. */
+  def dedupClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = minhashDedupPairs(docs, idCol, textCol)
+      .where(col("is_dup") === 1)
+      .select(col("doc_a").as("s"), col("doc_b").as("t")).localCheckpoint()
+    val (labels, _) = graft.ops.Pipeline.starContract(pairs)
+    val sizes = labels.groupBy("component")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("int").as("comp_size"))
+    labels.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component"), col("comp_size"))
+  }
+}

@@ -27,8 +27,9 @@ object Dedup {
     * per-element element_at under a lambda. */
   private def bigrams: Column = Text.bigramsOf(words)
 
-  /** 8 per-doc MinHash components: min md5 over salted shingles. */
-  private def minhashSigs(d: DataFrame): DataFrame = {
+  /** 8 per-doc MinHash components: min md5 over salted shingles.
+    * (private[graft]: the api.Graft façade reuses these kernels.) */
+  private[graft] def minhashSigs(d: DataFrame): DataFrame = {
     val sh = d.select(col("doc_id"), explode(bigrams).as("sh"))
     val hashCols = (1 to 8).map(j =>
       min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j"))
@@ -37,7 +38,7 @@ object Dedup {
 
   /** LSH banding (2 bands of 4) → distinct candidate pairs (doc_a < doc_b).
     * Candidate generation shuffles on the band value only — never all pairs. */
-  private def lshCandidates(sigs: DataFrame): DataFrame = {
+  private[graft] def lshCandidates(sigs: DataFrame): DataFrame = {
     val bands = sigs
       .select(col("doc_id"), lit(1).as("band_id"),
         concat(col("h1"), col("h2"), col("h3"), col("h4")).as("band"))
@@ -51,10 +52,8 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures (8 hashes) → 2 LSH bands of 4 → candidate pairs →
-    * exact shingle-Jaccard verification, all integers in the output. */
-  def dedupMinhashLsh(spark: SparkSession, sf: String): DataFrame = {
-    val d = documents(spark, sf)
+  /** Core MinHash-LSH dedup over any frame with (doc_id, text). */
+  private[graft] def minhashDedupOf(d: DataFrame): DataFrame = {
     val cands = lshCandidates(minhashSigs(d))
     val sets = d.select(col("doc_id"), bigrams.as("bg"), size(bigrams).as("n"))
     cands
@@ -66,6 +65,11 @@ object Dedup {
         (col("i") * 20 >= col("u") * 7).cast("int").as("is_dup"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** MinHash signatures (8 hashes) → 2 LSH bands of 4 → candidate pairs →
+    * exact shingle-Jaccard verification, all integers in the output. */
+  def dedupMinhashLsh(spark: SparkSession, sf: String): DataFrame =
+    minhashDedupOf(documents(spark, sf))
 
   /** Sketch-accuracy measurement: for every LSH candidate pair, the MinHash
     * Jaccard ESTIMATE (matching components out of 8 — the only similarity a
@@ -104,9 +108,14 @@ object Dedup {
     * filter is only a residual verify. (Two chunks would NOT suffice:
     * hamming=2 can put one flipped bit in each.) Shuffle is on chunk
     * values — never an all-pairs product. */
-  def dedupSimhash(spark: SparkSession, sf: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, sf: String): DataFrame =
+    simhashPairsOf(documents(spark, sf))
+
+  /** Core banded-simhash pairs over any frame with (doc_id, lang, text);
+    * `lang` is the blocking column (constant it if no blocking wanted). */
+  private[graft] def simhashPairsOf(d: DataFrame): DataFrame = {
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val sh = documents(spark, sf)
+    val sh = d
       .select(col("doc_id"), col("lang"), explode(bigrams).as("sh"))
       .withColumn("h", md5(col("sh")))
     val sumCols = (0 until 16).map(b =>
@@ -147,8 +156,11 @@ object Dedup {
     * Jaccard but containment ≈ 1). Same banded candidate generation as
     * [[dedupMinhashLsh]]; all-integer output (i, sizes, ≥0.8 flags both
     * directions). */
-  def dedupContainment(spark: SparkSession, sf: String): DataFrame = {
-    val d = documents(spark, sf)
+  def dedupContainment(spark: SparkSession, sf: String): DataFrame =
+    containmentPairsOf(documents(spark, sf))
+
+  /** Core containment pairs over any frame with (doc_id, text). */
+  private[graft] def containmentPairsOf(d: DataFrame): DataFrame = {
     val cands = lshCandidates(minhashSigs(d))
     val sets = d.select(col("doc_id"), bigrams.as("bg"), size(bigrams).as("n"))
     cands

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Graft
+
+/** The public façade must work on USER tables with arbitrary column names
+  * and agree with the fixture-bound query keys (same kernels). */
+class ApiSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def renamedDocs = graft.util.Tables.documents(spark, sf001)
+    .select(col("doc_id").as("my_id"), col("text").as("body"),
+      col("lang").as("tongue"))
+
+  test("minhashDedupPairs on renamed columns equals the fixture key") {
+    val api = Graft.minhashDedupPairs(renamedDocs, "my_id", "body").collect()
+    val key = SparkEntry.queries("dedup_minhash_lsh")(spark, sf001).collect()
+    assert(api.map(_.toSeq).toSeq == key.map(_.toSeq).toSeq)
+    assert(api.nonEmpty)
+  }
+
+  test("simhashPairs on renamed columns equals the fixture key") {
+    val api = Graft.simhashPairs(renamedDocs, "my_id", "body", "tongue").collect()
+    val key = SparkEntry.queries("dedup_simhash")(spark, sf001).collect()
+    assert(api.map(_.toSeq).toSeq == key.map(_.toSeq).toSeq)
+  }
+
+  test("connectedComponents labels a two-component user edge list") {
+    import spark.implicits._
+    val edges = Seq((5L, 9L), (9L, 7L), (100L, 101L)).toDF("from", "to")
+    val got = Graft.connectedComponents(edges, "from", "to")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 5L, 100L -> 100L, 101L -> 100L))
+  }
+
+  test("dedupClusters matches the dedup_lsh_cc fixture key") {
+    val api = Graft.dedupClusters(renamedDocs, "my_id", "body")
+      .orderBy(col("doc_id")).collect()
+    val key = SparkEntry.queries("dedup_lsh_cc")(spark, sf001).collect()
+    assert(api.map(_.toSeq).toSeq == key.map(_.toSeq).toSeq)
+  }
+
+  test("registerFunctions makes vector_dot and vector_cosine callable from SQL") {
+    Graft.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT vector_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       vector_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                     array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+}
