@@ -60,6 +60,23 @@ object Graft {
       docs.select(col(idCol).as("doc_id"), col(blockCol).as("lang"),
         col(textCol).as("text")))
 
+  /** Context-window chunking for pretraining prep: 40-token windows,
+    * 30-token stride, per-chunk first/last tokens. Narrow map + explode —
+    * no shuffle until the caller's sink. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.Pipeline.chunkTokensOf(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** Benchmark decontamination: flag training docs sharing ≥ 2 distinct
+    * word-trigrams with ANY eval doc — an inverted-index equi-join keyed
+    * by the trigram, never doc pairs. */
+  def decontaminate(train: DataFrame, eval0: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def canon(d: DataFrame) =
+      d.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    graft.ops.Text.decontaminateOf(canon(train), canon(eval0))
+  }
+
   /** End-to-end dedup clustering: MinHash-LSH pairs → exact verify →
     * star-contraction components. Output: (doc_id, component, comp_size) —
     * "keep one doc per component" is `where(doc_id === component)`. */

@@ -119,10 +119,15 @@ object Pipeline {
     * — the standard prep for embedding/pretraining context construction.
     * One narrow map per doc (sequence + explode), no shuffle until the
     * final presentation sort. */
-  def etlChunkTokens(spark: SparkSession, sf: String): DataFrame = {
+  def etlChunkTokens(spark: SparkSession, sf: String): DataFrame =
+    chunkTokensOf(documents(spark, sf))
+
+  /** Core chunker over any frame with (doc_id, text) — 40-token windows,
+    * 30-token stride. (private[graft]: api.Graft reuses it.) */
+  private[graft] def chunkTokensOf(d: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     val kMax = floor((col("n") - 1) / 30).cast("int")
-    documents(spark, sf)
+    d
       .select(col("doc_id"), ws.as("ws"), size(ws).as("n"))
       .where(col("n") > 0)
       .select(col("doc_id"), col("ws"), col("n"),

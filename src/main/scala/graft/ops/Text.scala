@@ -218,11 +218,18 @@ object Text {
     * counts aggregated map-side) — the shape that scans 100 TB of training
     * text against a benchmark suite without ever forming doc pairs. */
   def textDecontaminate(spark: SparkSession, sf: String): DataFrame = {
-    val grams = documents(spark, sf)
-      .select(col("doc_id"), explode(trigramsOf(words)).as("g"))
-    val evalG = grams.where(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("eval_id"), col("g"))
-    val trainG = grams.where(col("doc_id") % 97 =!= 0)
+    val d = documents(spark, sf)
+    decontaminateOf(d.where(col("doc_id") % 97 =!= 0),
+      d.where(col("doc_id") % 97 === 0))
+  }
+
+  /** Core decontamination over any (doc_id, text) train/eval frames —
+    * inverted-index trigram join. (private[graft]: api.Graft reuses it.) */
+  private[graft] def decontaminateOf(train: DataFrame, eval0: DataFrame): DataFrame = {
+    def grams(d: DataFrame) =
+      d.select(col("doc_id"), explode(trigramsOf(words)).as("g"))
+    val evalG = grams(eval0).select(col("doc_id").as("eval_id"), col("g"))
+    val trainG = grams(train)
     trainG.join(evalG, "g")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_shared"),

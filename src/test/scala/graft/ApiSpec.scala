@@ -42,6 +42,18 @@ class ApiSpec extends AnyFunSuite {
     assert(api.map(_.toSeq).toSeq == key.map(_.toSeq).toSeq)
   }
 
+  test("chunkTokens and decontaminate work on renamed columns") {
+    val chunks = Graft.chunkTokens(renamedDocs, "my_id", "body")
+    assert(chunks.collect().map(_.toSeq).toSeq ==
+      SparkEntry.queries("etl_chunk_tokens")(spark, sf001).collect().map(_.toSeq).toSeq)
+    val train = renamedDocs.where(col("my_id") % 97 =!= 0)
+    val eval0 = renamedDocs.where(col("my_id") % 97 === 0)
+    val deco = Graft.decontaminate(train, eval0, "my_id", "body")
+      .orderBy(col("doc_id")).collect()
+    assert(deco.map(_.toSeq).toSeq ==
+      SparkEntry.queries("text_decontaminate")(spark, sf001).collect().map(_.toSeq).toSeq)
+  }
+
   test("registerFunctions makes vector_dot and vector_cosine callable from SQL") {
     Graft.registerFunctions(spark)
     val r = spark.sql(
