@@ -60,6 +60,20 @@ object Graft {
       docs.select(col(idCol).as("doc_id"), col(blockCol).as("lang"),
         col(textCol).as("text")))
 
+  /** Brute-force cosine k-nearest-neighbors: for every row of `probes`,
+    * the top-k most-similar rows of `items` (both need an id column and an
+    * `array<float>` vector column; output (probe_id, rank, neighbor_id)).
+    * The probe side is broadcast — `items` streams without shuffling, so
+    * this is the exact-search baseline that scales with the big table.
+    * For large probe sets use the banded/celled paths (`vec_ann_lsh`,
+    * `vec_ann_ivf`, `vec_ann_ivf_pq` kernels) instead. */
+  def knnCosine(items: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame =
+    graft.ops.Vectors.knnCosineOf(
+      items.select(col(idCol).as("cand_id"), col(vecCol).as("ce")),
+      probes.select(col(idCol).as("probe_id"), col(vecCol).as("pe")),
+      k)
+
   /** Context-window chunking for pretraining prep: 40-token windows,
     * 30-token stride, per-chunk first/last tokens. Narrow map + explode —
     * no shuffle until the caller's sink. */

@@ -32,21 +32,30 @@ object Vectors {
   private def cosine(a: Column, b: Column): Column =
     dotD(a, b) / sqrt(dotD(a, a) * dotD(b, b))
 
-  /** Brute-force top-5 cosine neighbors for 10 fixed probes. */
-  def vecKnnCosine(spark: SparkSession, sf: String): DataFrame = {
-    val e = embeddings(spark, sf)
-    val p = e.where(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+  /** Core brute-force cosine kNN: candidates (cand_id, ce) × broadcast
+    * probes (probe_id, pe) → (probe_id, rank, neighbor_id). The probe set
+    * is the tiny side — the big table streams, never shuffles.
+    * (private[graft]: api.Graft reuses it.) */
+  private[graft] def knnCosineOf(cands: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    c.crossJoin(broadcast(p))
+    cands.crossJoin(broadcast(probes))
       .where(col("cand_id") =!= col("probe_id"))
       .withColumn("cos", cosine(col("pe"), col("ce")))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
+      .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("cand_id").as("neighbor_id"))
       .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** Brute-force top-5 cosine neighbors for 10 fixed probes. */
+  def vecKnnCosine(spark: SparkSession, sf: String): DataFrame = {
+    val e = embeddings(spark, sf)
+    knnCosineOf(
+      e.select(col("vec_id").as("cand_id"), col("embedding").as("ce")),
+      e.where(col("vec_id").isin(probeIds: _*))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe")),
+      k = 5)
   }
 
   /** Same contract, squared-L2 distance ascending. */

@@ -54,6 +54,15 @@ class ApiSpec extends AnyFunSuite {
       SparkEntry.queries("text_decontaminate")(spark, sf001).collect().map(_.toSeq).toSeq)
   }
 
+  test("knnCosine on renamed columns equals the fixture key") {
+    val e = graft.util.Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("item"), col("embedding").as("v"))
+    val probes = e.where(col("item") % 50 === 0 && col("item") <= 450)
+    val api = Graft.knnCosine(e, probes, "item", "v", 5).collect()
+    val key = SparkEntry.queries("vec_knn_cosine")(spark, sf001).collect()
+    assert(api.map(_.toSeq).toSeq == key.map(_.toSeq).toSeq)
+  }
+
   test("registerFunctions makes vector_dot and vector_cosine callable from SQL") {
     Graft.registerFunctions(spark)
     val r = spark.sql(
