@@ -199,9 +199,29 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The dedup pipeline's FINAL answer: which docs to KEEP. Extends
+    * [[dedupLshCc]]'s clusters with per-cluster canonical selection —
+    * keep the longest doc (n_chars desc, tie → min doc_id), drop the
+    * rest. One extra broadcast-sized join (doc lengths) plus one window
+    * partitioned by component — no new shuffle beyond the component key.
+    * At 100 TB the keep-list anti-joins back against the corpus; here the
+    * flag column is the test surface. */
+  def dedupSurvivors(spark: SparkSession, sf: String): DataFrame = {
+    val labels = dedupLshCc(spark, sf)
+    val len = documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labels.join(len, "doc_id")
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .select(col("doc_id"), col("component"), col("comp_size"),
+        col("n_chars"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cc_components" -> dedupCcComponents,
     "dedup_lsh_cc" -> dedupLshCc,
+    "dedup_survivors" -> dedupSurvivors,
     "etl_chunk_tokens" -> etlChunkTokens,
     "etl_pack_sequences" -> etlPackSequences,
     "text_editdist_topk" -> textEditdistTopk
@@ -243,6 +263,31 @@ object Pipeline {
          |SELECT c.id AS doc_id, c.component, CAST(s.n AS INT) AS comp_size
          |FROM comp c JOIN (SELECT component, count(*) AS n FROM comp
          |                  GROUP BY component) s USING (component)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""${Dedup.minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |dup AS (
+         |  SELECT doc_a, doc_b FROM cands
+         |  JOIN sets a ON cands.doc_a = a.doc_id
+         |  JOIN sets b ON cands.doc_b = b.doc_id
+         |  WHERE len(list_intersect(a.bg, b.bg)) * 20 >=
+         |        (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) * 7),
+         |nodes AS (SELECT doc_a AS id FROM dup UNION SELECT doc_b FROM dup),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM dup
+         |          UNION SELECT doc_b, doc_a FROM dup),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.t FROM reach JOIN edges e ON reach.r = e.s),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |szc AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
+         |SELECT c.id AS doc_id, c.component, CAST(s.n AS INT) AS comp_size,
+         |  d.n_chars,
+         |  CAST(row_number() OVER (PARTITION BY c.component
+         |    ORDER BY d.n_chars DESC, c.id ASC) = 1 AS INT) AS keep
+         |FROM comp c JOIN szc s USING (component)
+         |            JOIN documents d ON d.doc_id = c.id
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_cc_components" ->

@@ -253,7 +253,63 @@ object Text {
         ((col("n_total") - col("n_distinct")) * 5 >= col("n_total")).cast("int"))
       .orderBy(col("doc_id"))
 
+  /** Materialized POSTINGS INDEX over bigram shingles: term → document
+    * frequency + sorted posting list. This is the reusable index that makes
+    * prefix-filter / candidate joins pay (DECISIONS.md round-1: AllPairs
+    * prefix filtering lost only because the postings were recomputed per
+    * query — built once and persisted, this is the asset it needs).
+    * One explode → groupBy(term) with map-side partial aggregation; at
+    * 100 TB hot "stop-shingle" terms (df ≥ 5% of the corpus) carry no
+    * discriminative value and their postings dominate the index — the
+    * `hot` flag marks exactly the rows a scale run caps or drops.
+    * Singleton terms (df = 1) can never generate a candidate pair and are
+    * pruned here for the same reason. */
+  def textInvertedIndex(spark: SparkSession, sf: String): DataFrame = {
+    val d = documents(spark, sf)
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    d.select(col("doc_id"), explode(bigrams).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("int").as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .where(col("df") >= 2)
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"),
+        (col("df") * 20 >= col("n_docs")).cast("int").as("hot"),
+        col("postings"))
+      .orderBy(col("term"))
+  }
+
+  /** Count-based bigram LM scoring — the integer-domain proxy of the
+    * perplexity quality filter every pretraining pipeline runs: docs whose
+    * bigrams are globally rare (low average corpus probability) are
+    * outliers worth review/drop. The corpus bigram table is built in one
+    * occurrence-count pass and BROADCAST back against the occurrence
+    * stream (a pruned LM table is megabytes even for web-scale corpora —
+    * at 100 TB you prune low-count tails first, exactly what real
+    * perplexity filters ship); per-doc scoring is then one groupBy(doc).
+    * avgp_e9 = E9-scaled mean corpus probability of the doc's bigram
+    * occurrences = sum(cnt)·1e9 div (n·total) — all-integer (D3), no logs
+    * so no cross-engine libm risk. */
+  def textLmScore(spark: SparkSession, sf: String): DataFrame = {
+    val bgOcc = zip_with(
+      slice(words, lit(1), size(words) - 1),
+      slice(words, lit(2), size(words) - 1),
+      (x, y) => concat(x, lit(" "), y))
+    val occ = documents(spark, sf).select(col("doc_id"), explode(bgOcc).as("bg"))
+    val cnts = occ.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("total"))
+    occ.join(broadcast(cnts), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("cnt")).as("sum_cnt"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_bg"), col("sum_cnt"),
+        expr("(sum_cnt * 1000000000) div (n_bg * total)").as("avgp_e9"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted_index" -> textInvertedIndex,
+    "text_lm_score" -> textLmScore,
     "text_decontaminate" -> textDecontaminate,
     "text_repetition_filter" -> textRepetitionFilter,
     "text_tokenize_tf" -> textTokenizeTf,
@@ -272,6 +328,30 @@ object Text {
       "i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]))"
 
   def oracle: Map[String, String] = Map(
+    "text_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest(bg) AS term
+         |           FROM (SELECT doc_id, $bgSql AS bg FROM documents)),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT term, CAST(count(*) AS INT) AS df,
+         |  CAST(count(*) * 20 >= (SELECT n_docs FROM n) AS INT) AS hot,
+         |  list_sort(list(doc_id)) AS postings
+         |FROM t GROUP BY term HAVING count(*) >= 2
+         |ORDER BY term""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |  FROM (SELECT doc_id, str_split(text,' ') AS ws FROM documents)),
+        |cnts AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY bg),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+        |  CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+        |  CAST((CAST(sum(cnt) AS BIGINT) * 1000000000)
+        |       // (count(*) * (SELECT total FROM tot)) AS BIGINT) AS avgp_e9
+        |FROM occ JOIN cnts USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(tg) AS g FROM (

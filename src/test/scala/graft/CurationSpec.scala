@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 curation additions: survivor selection, the postings index,
+  * and bigram-LM scoring. Parity with DuckDB is the driver's job; these
+  * assert the internal invariants the oracle can't see. */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dedup_survivors keeps exactly one doc per component, the longest") {
+    val r = SparkEntry.queries("dedup_survivors")(spark, sf001)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    val byComp = rows.groupBy(_.getAs[Long]("component"))
+    byComp.foreach { case (_, g) =>
+      assert(g.map(_.getAs[Int]("keep")).sum == 1)
+      val kept = g.find(_.getAs[Int]("keep") == 1).get
+      val maxLen = g.map(_.getAs[Long]("n_chars")).max
+      assert(kept.getAs[Long]("n_chars") == maxLen)
+      assert(g.forall(_.getAs[Int]("comp_size") == g.length))
+    }
+  }
+
+  test("text_inverted_index postings are sorted, df-consistent, and pruned") {
+    val rows = SparkEntry.queries("text_inverted_index")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val postings = r.getSeq[Long](r.fieldIndex("postings")).toList
+      assert(postings.length == r.getAs[Int]("df"))
+      assert(r.getAs[Int]("df") >= 2)
+      assert(postings == postings.sorted)
+      assert(postings.distinct == postings)
+    }
+    assert(rows.exists(_.getAs[Int]("hot") == 1))
+    assert(rows.exists(_.getAs[Int]("hot") == 0))
+  }
+
+  test("text_lm_score covers every multi-word doc with avgp in (0, 1e9]") {
+    val rows = SparkEntry.queries("text_lm_score")(spark, sf001).collect()
+    val nMulti = graft.util.Tables.documents(spark, sf001)
+      .where(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length == nMulti)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("avgp_e9")
+      assert(p >= 0 && p <= 1000000000L)
+      assert(r.getAs[Long]("sum_cnt") >= r.getAs[Long]("n_bg"))
+    }
+  }
+}
