@@ -22,9 +22,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // hard gate: an oracled key with an array/map/struct/decimal output
+        // column would crash or skew the driver's pandas sort-compare.
+        if (SparkEntry.oracleSql.contains(name)) util.Shapes.assertComparable(name, df)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -263,30 +263,44 @@ object Text {
     * discriminative value and their postings dominate the index — the
     * `hot` flag marks exactly the rows a scale run caps or drops.
     * Singleton terms (df = 1) can never generate a candidate pair and are
-    * pruned here for the same reason. */
+    * pruned here for the same reason. Hot-term postings are CAPPED at
+    * [[Text.hotPostingsCap]] ids: a df ≥ 5% term at 100 TB is a single row
+    * holding billions of ids — a guaranteed straggler/OOM — and consumers
+    * never walk a stop-shingle's full list anyway. The emitted `postings`
+    * column is a comma-joined string (atomic type) because array columns
+    * cannot survive a sort-based cross-engine compare. */
   def textInvertedIndex(spark: SparkSession, sf: String): DataFrame = {
     val d = documents(spark, sf)
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
-    d.select(col("doc_id"), explode(bigrams).as("term"))
+    val full = d.select(col("doc_id"), explode(bigrams).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).cast("int").as("df"),
-        sort_array(collect_list(col("doc_id"))).as("postings"))
+        sort_array(collect_list(col("doc_id"))).as("plist"))
       .where(col("df") >= 2)
       .crossJoin(broadcast(nDocs))
-      .select(col("term"), col("df"),
-        (col("df") * 20 >= col("n_docs")).cast("int").as("hot"),
-        col("postings"))
+      .withColumn("hot", (col("df") * 20 >= col("n_docs")).cast("int"))
+    full.select(col("term"), col("df"), col("hot"),
+        concat_ws(",",
+          when(col("hot") === 1, slice(col("plist"), 1, hotPostingsCap))
+            .otherwise(col("plist")).cast("array<string>")).as("postings"))
       .orderBy(col("term"))
   }
+
+  /** Max posting ids retained for a hot (df ≥ 5% of corpus) term. */
+  private[graft] val hotPostingsCap = 16
 
   /** Count-based bigram LM scoring — the integer-domain proxy of the
     * perplexity quality filter every pretraining pipeline runs: docs whose
     * bigrams are globally rare (low average corpus probability) are
     * outliers worth review/drop. The corpus bigram table is built in one
-    * occurrence-count pass and BROADCAST back against the occurrence
-    * stream (a pruned LM table is megabytes even for web-scale corpora —
-    * at 100 TB you prune low-count tails first, exactly what real
-    * perplexity filters ship); per-doc scoring is then one groupBy(doc).
+    * occurrence-count pass, PRUNED of its singleton tail (cnt = 1 — the
+    * overwhelming majority of distinct bigrams in any web corpus, and
+    * recoverable exactly: an occurrence whose bigram is absent from the
+    * pruned table has corpus count 1 by definition, so a left join +
+    * coalesce(cnt, 1) is identity-preserving), and only then BROADCAST
+    * back against the occurrence stream — the pruned LM head is megabytes
+    * even at 100 TB, where the unpruned table is many GB and would OOM
+    * the driver; per-doc scoring is then one groupBy(doc).
     * avgp_e9 = E9-scaled mean corpus probability of the doc's bigram
     * occurrences = sum(cnt)·1e9 div (n·total) — all-integer (D3), no logs
     * so no cross-engine libm risk. */
@@ -298,7 +312,9 @@ object Text {
     val occ = documents(spark, sf).select(col("doc_id"), explode(bgOcc).as("bg"))
     val cnts = occ.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
     val tot = cnts.agg(sum(col("cnt")).as("total"))
-    occ.join(broadcast(cnts), "bg")
+    val lmHead = cnts.where(col("cnt") >= 2)
+    occ.join(broadcast(lmHead), Seq("bg"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(1L)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bg"), sum(col("cnt")).as("sum_cnt"))
       .crossJoin(broadcast(tot))
@@ -331,12 +347,15 @@ object Text {
     "text_inverted_index" ->
       s"""WITH t AS (SELECT doc_id, unnest(bg) AS term
          |           FROM (SELECT doc_id, $bgSql AS bg FROM documents)),
-         |n AS (SELECT count(*) AS n_docs FROM documents)
-         |SELECT term, CAST(count(*) AS INT) AS df,
-         |  CAST(count(*) * 20 >= (SELECT n_docs FROM n) AS INT) AS hot,
-         |  list_sort(list(doc_id)) AS postings
-         |FROM t GROUP BY term HAVING count(*) >= 2
-         |ORDER BY term""".stripMargin,
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |g AS (SELECT term, CAST(count(*) AS INT) AS df,
+         |        CAST(count(*) * 20 >= (SELECT n_docs FROM n) AS INT) AS hot,
+         |        list_sort(list(doc_id)) AS plist
+         |      FROM t GROUP BY term HAVING count(*) >= 2)
+         |SELECT term, df, hot,
+         |  array_to_string(CASE WHEN hot = 1 THEN plist[1:$hotPostingsCap]
+         |                       ELSE plist END, ',') AS postings
+         |FROM g ORDER BY term""".stripMargin,
 
     "text_lm_score" ->
       """WITH occ AS (

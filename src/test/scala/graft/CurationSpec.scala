@@ -27,9 +27,14 @@ class CurationSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("text_inverted_index")(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val postings = r.getSeq[Long](r.fieldIndex("postings")).toList
-      assert(postings.length == r.getAs[Int]("df"))
-      assert(r.getAs[Int]("df") >= 2)
+      val postings =
+        r.getAs[String]("postings").split(",").map(_.toLong).toList
+      val df = r.getAs[Int]("df")
+      assert(df >= 2)
+      // hot terms carry a capped posting list; cold terms the full one.
+      if (r.getAs[Int]("hot") == 1)
+        assert(postings.length == math.min(df, graft.ops.Text.hotPostingsCap))
+      else assert(postings.length == df)
       assert(postings == postings.sorted)
       assert(postings.distinct == postings)
     }

@@ -20,7 +20,28 @@ class SmokeSpec extends AnyFunSuite {
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf001)
       assert(df.columns.nonEmpty)
+      // driver-compare shape gate: oracled outputs must be atomic,
+      // non-decimal columns (pandas sort_values chokes on arrays; decimal
+      // stringification skews vs duckdb float64).
+      if (SparkEntry.oracleSql.contains(name))
+        graft.util.Shapes.assertComparable(name, df)
       assert(df.count() >= 0)
     }
+  }
+
+  test("shape guard rejects a planted array column") {
+    import org.apache.spark.sql.functions._
+    val planted = spark.range(3).withColumn("arr", array(col("id"), col("id")))
+    val bad = graft.util.Shapes.unsafeColumns(planted)
+    assert(bad.exists(_.startsWith("arr")), bad.toString)
+    intercept[IllegalArgumentException] {
+      graft.util.Shapes.assertComparable("planted", planted)
+    }
+  }
+
+  test("shape guard rejects a planted decimal column") {
+    import org.apache.spark.sql.functions._
+    val planted = spark.range(3).select(col("id").cast("decimal(10,2)").as("d"))
+    assert(graft.util.Shapes.unsafeColumns(planted).nonEmpty)
   }
 }

@@ -26,8 +26,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df):
-    """Driver-mimic canonical form: sort columns by name, stringify."""
+    """Driver-mimic canonical form: sort columns by name, sort rows by
+    value (the driver does sort_values — this is the step that raises
+    TypeError on array columns; keep it so nested-type outputs fail HERE
+    and not in the real gate), stringify."""
     df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns))
     cols = [df[c].astype(str).tolist() for c in df.columns]
     return [tuple(col[i] for col in cols) for i in range(len(df))]
 
