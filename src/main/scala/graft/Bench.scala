@@ -31,7 +31,12 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // Warmup: exercise scan+join+agg codegen once, untimed.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated key filter for targeted perf iteration
+    // (builder-side only; the driver never sets it).
+    val keyFilter = sys.env.get("SPARK_GRAFT_KEYS").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

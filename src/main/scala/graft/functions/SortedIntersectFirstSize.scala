@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Companion kernel to [[SortedIntersectSize]]: ONE merge scan over two
+  * ascending-sorted int arrays returning BOTH the smallest common element
+  * and |a ∩ b|, packed into a long as `(first << 32) | size` (first = −1
+  * when the intersection is empty — the sign survives `shiftright`).
+  *
+  * This exists for the fused PPJoin verify step: a prefix-filter candidate
+  * join emits each pair once per SHARED PREFIX TERM, and the classic dedup
+  * is "keep the row whose join term is the first common element" — the
+  * smallest common element of the full sets is always inside both prefixes
+  * whenever any shared element is (it sorts before it). Evaluating first
+  * and size in one scan halves the per-candidate work vs calling two
+  * kernels, and the whole check stays inside whole-stage codegen, so the
+  * candidate join needs no post-join shuffle (no distinct, no re-join).
+  * Unpack with `shiftright(stats, 32)` and `stats & 4294967295`.
+  */
+case class SortedIntersectFirstSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_first_size expects two array<int> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val na = xs.numElements(); val nb = ys.numElements()
+    var i = 0; var j = 0; var n = 0; var first = -1
+    while (i < na && j < nb) {
+      val x = xs.getInt(i); val y = ys.getInt(j)
+      if (x == y) { if (n == 0) first = x; n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    (first.toLong << 32) | (n.toLong & 0xffffffffL)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val first = ctx.freshName("first")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $n = 0; int $first = -1;
+         |while ($i < $na && $j < $nb) {
+         |  int $x = $a.getInt($i); int $y = $b.getInt($j);
+         |  if ($x == $y) { if ($n == 0) $first = $x; $n++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = (((long) $first) << 32) | (((long) $n) & 0xffffffffL);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectFirstSize {
+  /** Register `sorted_intersect_first_size` in the session FunctionRegistry.
+    * Idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_first_size",
+      exprs => SortedIntersectFirstSize(exprs(0), exprs(1)), "scala_udf")
+}

@@ -33,7 +33,7 @@ object Text {
     * splits/doc — subexpression elimination does not cross lambda
     * boundaries), while the slice form evaluates it ~3× per row. Measured
     * 60× cheaper on the hot near-dup paths. */
-  private[ops] def bigramsOf(ws: Column): Column =
+  private[graft] def bigramsOf(ws: Column): Column =
     array_distinct(zip_with(
       slice(ws, lit(1), size(ws) - 1),
       slice(ws, lit(2), size(ws) - 1),
@@ -133,6 +133,82 @@ object Text {
         col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
         col("n_a") * 2 >= col("n_b") && col("n_b") * 2 >= col("n_a"))
       .withColumn("i", expr("sorted_intersect_size(sids_a, sids_b)"))
+      .withColumn("u", (col("n_a") + col("n_b") - col("i")).cast("int"))
+      .where(col("i") * 2 >= col("u") && col("i") > 0)
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("i"), col("u"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Term → (df, dense id) index over df ≥ 2 bigram shingles. Ids ascend by
+    * (df, term), so the RAREST terms get the smallest ids — the global order
+    * the prefix filter needs (a doc's prefix is then its most selective
+    * terms, and hot stop-shingles sort last, out of every prefix). Singleton
+    * terms (df = 1) can never co-occur in two docs and are pruned — the same
+    * prune [[textInvertedIndex]] applies to its postings. */
+  private[graft] def termIndex(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .select(col("doc_id"), explode(bigrams).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("int").as("df"))
+      .where(col("df") >= 2)
+      .withColumn("sid", row_number().over(Window.orderBy(col("df"), col("term"))))
+
+  /** Exact Jaccard near-dup pairs via PREFIX FILTERING over the materialized
+    * term index — same pairs as [[textJaccardDup]], different (index-driven)
+    * plan. AllPairs/PPJoin (Bayardo et al., WWW'07; Xiao et al., WWW'08):
+    * with sets sorted by a global term order and threshold t, a qualifying
+    * pair (i ≥ ⌈t·n⌉ for each side, from the size filter) must share a term
+    * within each side's first m − ⌈t·n⌉ + 1 encoded terms. So candidates come
+    * from an EQUI-JOIN on prefix term ids — keyed by term like a postings
+    * lookup, never an all-pairs scan — and only candidates pay the exact
+    * merge-scan verify. Df-ascending ids make prefixes maximally selective.
+    *
+    * The round-1 postings co-occurrence plan lost because it recomputed
+    * postings per query AND joined on every term; this one amortizes the
+    * index (localCheckpoint — built once, reused by both prefix sides) and
+    * joins only on prefix terms. n counts ALL distinct shingles while ids
+    * cover the df ≥ 2 subset — sound, because a singleton term can appear
+    * in no intersection.
+    *
+    * Candidate DEDUP is fused into the join, not a distinct+re-join: the
+    * packed sets ride along the exploded prefixes and a pair survives only
+    * on the row whose join term is the FIRST common element of the two
+    * sets (the smallest common element sorts before any shared element, so
+    * it is inside both prefixes whenever the pair qualifies at all). One
+    * [[graft.functions.SortedIntersectFirstSize]] merge scan per candidate
+    * row yields that first element AND the exact intersection size, so
+    * verification happens in the same whole-stage-codegen pipeline and
+    * nothing shuffles after the candidate join. */
+  def textJaccardIndexed(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.SortedIntersectFirstSize.register(spark)
+    val d = documents(spark, sf)
+      .select(col("doc_id"), col("lang"), bigrams.as("bg"))
+      .select(col("doc_id"), col("lang"), size(col("bg")).as("n"),
+        explode(col("bg")).as("sh"))
+    val idx = termIndex(spark, sf).localCheckpoint()
+    val sets = d.join(broadcast(idx), col("sh") === col("term"))
+      .groupBy(col("lang"), col("doc_id"), col("n"))
+      .agg(sort_array(collect_set(col("sid"))).as("sids"))
+      .withColumn("m", size(col("sids")))
+      .localCheckpoint()
+    // t = 0.5 ⇒ required overlap α = ⌈n/2⌉; prefix = first m − α + 1 ids.
+    val pref = sets
+      .withColumn("p", greatest(lit(0), col("m") - expr("(n + 1) div 2") + 1))
+      .select(col("lang"), col("doc_id"), col("n"), col("sids"),
+        explode(slice(col("sids"), lit(1), col("p"))).as("sid"))
+    val ca = pref.select(col("lang"), col("doc_id").as("doc_a"),
+      col("n").as("n_a"), col("sids").as("sids_a"), col("sid"))
+    val cb = pref.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("sids").as("sids_b"), col("sid").as("sid_b"))
+    ca.join(cb,
+        col("sid") === col("sid_b") && col("lang") === col("lang_b") &&
+        col("doc_a") < col("doc_b") &&
+        col("n_a") * 2 >= col("n_b") && col("n_b") * 2 >= col("n_a"))
+      .withColumn("stats", expr("sorted_intersect_first_size(sids_a, sids_b)"))
+      // keep exactly the row joined on the first common element (dedup) …
+      .where(col("sid") === shiftright(col("stats"), 32).cast("int"))
+      // … and verify on the size from the same scan.
+      .withColumn("i", (col("stats").bitwiseAND(lit(0xffffffffL))).cast("int"))
       .withColumn("u", (col("n_a") + col("n_b") - col("i")).cast("int"))
       .where(col("i") * 2 >= col("u") && col("i") > 0)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("i"), col("u"))
@@ -332,6 +408,7 @@ object Text {
     "text_ngrams" -> textNgrams,
     "text_tfidf_topterms" -> textTfidfTopterms,
     "text_jaccard_dup" -> textJaccardDup,
+    "text_jaccard_indexed" -> textJaccardIndexed,
     "text_langid" -> textLangid,
     "text_quality_score" -> textQualityScore,
     "text_token_count" -> textTokenCount,
@@ -431,6 +508,19 @@ object Text {
         |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
 
     "text_jaccard_dup" ->
+      s"""WITH d AS (SELECT doc_id, lang, $bgSql AS bg FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+         |  CAST(len(list_intersect(a.bg, b.bg)) AS INT) AS i,
+         |  CAST(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)) AS INT) AS u
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.bg, b.bg)) * 2 >=
+         |      (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)))
+         |  AND len(list_intersect(a.bg, b.bg)) > 0
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // identical result contract to text_jaccard_dup — the indexed plan must
+    // reproduce the naive pairwise SQL exactly.
+    "text_jaccard_indexed" ->
       s"""WITH d AS (SELECT doc_id, lang, $bgSql AS bg FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
          |  CAST(len(list_intersect(a.bg, b.bg)) AS INT) AS i,

@@ -42,6 +42,20 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Int]("hot") == 0))
   }
 
+  test("text_jaccard_indexed reproduces text_jaccard_dup via a prefix equi-join") {
+    val dup = SparkEntry.queries("text_jaccard_dup")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    val idxDf = SparkEntry.queries("text_jaccard_indexed")(spark, sf001)
+    val idx = idxDf.collect().map(_.toSeq).toSet
+    assert(idx.nonEmpty)
+    assert(idx == dup,
+      s"indexed-only: ${(idx -- dup).take(3)} dup-only: ${(dup -- idx).take(3)}")
+    // candidate generation must be keyed joins, never a pair scan
+    val plan = idxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
   test("text_lm_score covers every multi-word doc with avgp in (0, 1e9]") {
     val rows = SparkEntry.queries("text_lm_score")(spark, sf001).collect()
     val nMulti = graft.util.Tables.documents(spark, sf001)
