@@ -43,4 +43,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(tws.nonEmpty)
     assert(tws.map(_.toSeq).toSeq == mgs.map(_.toSeq).toSeq)
   }
+
+  test("RocksDB state survives a checkpoint restart") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.ops.Streaming.{SEvent, UserRunningAgg}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[SEvent]
+      val agg = ms.toDS().groupByKey(_.user_id)
+        .transformWithState(new UserRunningAgg(), TimeMode.None(),
+          OutputMode.Update())
+      // memory sinks refuse checkpoint recovery; foreachBatch supports it
+      // (and runs on the driver, so the buffer is plain local state).
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+      def run(): Set[(Long, Long, Long)] = {
+        buf.clear()
+        val q = agg.toDF().writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.collect().foreach(r =>
+              buf.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+          }
+          .option("checkpointLocation", ckpt).start()
+        q.processAllAvailable(); q.stop(); q.awaitTermination()
+        buf.iterator().asScala.toSet
+      }
+      ms.addData(SEvent(1, 10, 5), SEvent(2, 10, 7), SEvent(3, 20, 100))
+      val r1 = run()
+      assert(r1 == Set((10L, 2L, 12L), (20L, 1L, 100L)), r1.toString)
+      // STOP, then a brand-new query resumes from the SAME checkpoint: the
+      // second batch must see the RocksDB state written by the first query.
+      ms.addData(SEvent(4, 10, 11))
+      val r2 = run()
+      // user 10: 3 events / 23 cents TOTAL — n and sum include the two
+      // pre-restart rows, which only restored state can supply. user 20
+      // saw no new rows, so the restarted query emits nothing for it.
+      assert(r2 == Set((10L, 3L, 23L)), r2.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
 }
