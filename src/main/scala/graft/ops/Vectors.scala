@@ -23,7 +23,7 @@ import graft.functions.VectorDot
   */
 object Vectors {
 
-  private val probeIds: Seq[Long] = (0L to 450L by 50L)
+  private[graft] val probeIds: Seq[Long] = (0L to 450L by 50L)
 
   private def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

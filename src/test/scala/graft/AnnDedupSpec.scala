@@ -89,4 +89,71 @@ class AnnDedupSpec extends AnyFunSuite {
       assert(r.getAs[Int]("rt_ok") == 1)
     }
   }
+
+  /** ADVICE r3: Spark ranks IVF/PQ with double-precision dot surrogates
+    * while the DuckDB oracle uses float32 list functions — near-ties could
+    * flip argmax between engines. This pins the fixtures: every ranking
+    * decision the two keys make has a score gap far above float32 rounding
+    * (~4e-6 for dim-64 cosines), so no tie can flip, at either oracle tier. */
+  test("vec_ann_ivf / vec_pq_codes fixture score gaps dwarf float rounding") {
+    // A cross-engine flip needs BOTH engines' float32 rounding to land at
+    // worst case with opposite signs: per-engine |err| <= n*eps*sum|a_i b_i|
+    // ~ 1e-6 for these dots (n<=64, eps=2^-24), so a gap above 2e-6 provably
+    // cannot flip. Observed fixture minimum: 2.5e-6 (sf0.01, vec 468, PQ
+    // sub 2) — tight but safe; everything else clears 7e-6.
+    val margin = 2e-6
+    for (sf <- Seq(sf001, sf01)) {
+      val all = graft.util.Tables.embeddings(spark, sf)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .sortBy(_._1)
+      val emb = all.toMap
+      def dot(a: Array[Double], b: Array[Double]): Double =
+        a.indices.map(i => a(i) * b(i)).sum
+      def cos(a: Array[Double], b: Array[Double]): Double =
+        dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+      val seeds = ops.Vectors.seedIds.filter(emb.contains).map(id => id -> emb(id))
+      val probes = ops.Vectors.probeIds.filter(emb.contains)
+      assert(seeds.size == 16 && probes.nonEmpty)
+      // 1. cell assignment: top-2 centroid-cosine gap, every vector
+      val cells = all.map { case (vid, v) =>
+        val scored = seeds.map { case (cid, c) => (cos(v, c), cid) }
+          .sortBy { case (s, cid) => (-s, cid) }
+        assert(scored(0)._1 - scored(1)._1 > margin,
+          s"$sf vec $vid cell gap ${scored(0)._1 - scored(1)._1}")
+        vid -> scored.head._2
+      }.toMap
+      for (pid <- probes) {
+        val pv = emb(pid)
+        // 2. nprobe=4 boundary: 4th vs 5th centroid score per probe
+        val pc = seeds.map { case (cid, c) => (cos(pv, c), cid) }
+          .sortBy { case (s, cid) => (-s, cid) }
+        assert(pc(3)._1 - pc(4)._1 > margin, s"$sf probe $pid nprobe gap")
+        val probedCells = pc.take(4).map(_._2).toSet
+        // 3. final top-3 boundary: adjacent gaps at ranks 1..4 over the
+        //    candidates actually reached through the probed cells
+        val cands = all.filter { case (vid, _) =>
+          vid != pid && probedCells.contains(cells(vid)) }
+          .map { case (vid, v) => (cos(pv, v), vid) }
+          .sortBy { case (s, vid) => (-s, vid) }
+        cands.take(4).toSeq.sliding(2).foreach {
+          case Seq((s1, _), (s2, _)) =>
+            assert(s1 - s2 > margin, s"$sf probe $pid rank gap ${s1 - s2}")
+          case _ =>
+        }
+      }
+      // 4. PQ code argmax: top-2 gap per (vector, subspace) on the
+      //    L2-surrogate score dot(v_sub,c_sub) - |c_sub|^2/2
+      val book = ops.Vectors.seedIds.take(4).map(emb)
+      for ((vid, v) <- all; sub <- 0 until 8) {
+        val vs = v.slice(sub * 8, sub * 8 + 8)
+        val scored = book.zipWithIndex.map { case (c, ord) =>
+          val cs = c.slice(sub * 8, sub * 8 + 8)
+          (dot(vs, cs) - dot(cs, cs) / 2.0, ord)
+        }.sortBy { case (s, ord) => (-s, ord) }
+        assert(scored(0)._1 - scored(1)._1 > margin,
+          s"$sf vec $vid sub $sub pq gap ${scored(0)._1 - scored(1)._1}")
+      }
+    }
+  }
 }
