@@ -37,26 +37,35 @@ object Multimodal {
         substring(md5(col("col")), 1, 8).as("feature"))
       .orderBy(col("doc_id"), col("frame_no"))
 
-  case class DocMeta(doc_id: Long, n_chars: Long, n_words: Int)
-  case class FakeMedia(doc_id: Long, width: Int, height: Int, frames: Int)
+  // public: Janino-generated (de)serializers cannot access private classes
+  case class DocBin(doc_id: Long, payload: Array[Byte])
+  case class Media(doc_id: Long, byte_len: Int, width: Int, height: Int, frames: Int)
 
-  /** Typed mapPartitions decode stub: the per-partition iterator shape a
-    * real (native/batched) decoder bridge would use at scale — one codec
-    * init per partition, streaming rows through it. Dimensions are a
-    * deterministic fake of header parsing. */
+  /** Typed mapPartitions decode over a REAL `binary` column: the payload is
+    * the document's UTF-8 bytes (the fixtures ship no media files, so text
+    * bytes stand in for an image body — but everything downstream of the
+    * projection touches only `Array[Byte]`). The iterator shape is the
+    * per-partition codec bridge a real decoder uses at scale — one codec
+    * init per partition, rows streamed through it. "Header parsing" reads
+    * the first 4 payload bytes as a big-endian int (ASCII ⇒ non-negative)
+    * and "frame probing" counts 0x20 delimiter bytes — byte-driven stand-ins
+    * for width/height/frame-count fields, each DuckDB-expressible so the
+    * key keeps a full oracle. */
   def mmDecodePartitions(spark: SparkSession, sf: String): DataFrame = {
     import spark.implicits._
     documents(spark, sf)
-      .select(col("doc_id"), col("n_chars"),
-        size(split(col("text"), " ")).as("n_words"))
-      .as[DocMeta]
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[DocBin]
       .mapPartitions { it =>
-        // STUB decode: a real implementation opens a codec here, once per
-        // partition, and streams payloads through it.
-        it.map(d => FakeMedia(d.doc_id,
-          (1 + d.n_chars % 640).toInt,
-          (1 + (d.n_chars * 7) % 480).toInt,
-          1 + d.n_words % 32))
+        // a real implementation opens its codec HERE, once per partition
+        it.map { d =>
+          val b = d.payload
+          val hdr = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
+            ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+          val delims = b.count(_ == ' '.toByte)
+          Media(d.doc_id, b.length,
+            1 + b.length % 640, 1 + hdr % 480, 1 + (delims + 1) % 32)
+        }
       }
       .toDF()
       .orderBy(col("doc_id"))
@@ -90,8 +99,12 @@ object Multimodal {
 
     "mm_decode_partitions" ->
       """SELECT doc_id,
-        |  CAST(1 + n_chars % 640 AS INT) AS width,
-        |  CAST(1 + (n_chars * 7) % 480 AS INT) AS height,
+        |  CAST(strlen(text) AS INT) AS byte_len,
+        |  CAST(1 + strlen(text) % 640 AS INT) AS width,
+        |  CAST(1 + (ascii(substring(text,1,1)) * 16777216
+        |          + ascii(substring(text,2,1)) * 65536
+        |          + ascii(substring(text,3,1)) * 256
+        |          + ascii(substring(text,4,1))) % 480 AS INT) AS height,
         |  CAST(1 + CAST(len(str_split(text, ' ')) AS INT) % 32 AS INT) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin
   )
