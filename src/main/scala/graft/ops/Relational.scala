@@ -386,23 +386,45 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
-  /** Approximate percentiles (GK/quantile-sketch family) — no-oracle (D5)
-    * like the HLL row: sketch outputs are implementation-specific. Error
-    * bounds asserted in the test suite. */
-  def aggApproxPercentile(spark: SparkSession, sf: String): DataFrame =
-    events(spark, sf)
+  /** Approximate percentiles (GK/quantile-sketch family), ORACLE-CHECKED via
+    * the sketch's own rank guarantee (the agg_hll_merge pattern): the approx
+    * values are implementation-specific (D5) and never leave the plan; the
+    * output carries the exact row count plus flags asserting
+    * |rank(approx_pX) − X·n| ≤ 0.004·n + 1 (accuracy 1000 guarantees
+    * 0.001·n; the slack covers ties and the ±1-rank discretization of
+    * returning an actual element), which the oracle pins to 1 — a violated
+    * bound now hash-mismatches instead of going untested. Flag arithmetic
+    * is all integer, scaled ×1000. */
+  def aggApproxPercentile(spark: SparkSession, sf: String): DataFrame = {
+    val e = events(spark, sf)
+    val appr = e.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(value, 0.9, 1000)").as("p90"))
+    e.join(appr, "event_type")
       .groupBy(col("event_type"))
-      .agg(
-        dec2(expr("approx_percentile(value, 0.5, 1000)")).as("p50_approx"),
-        dec2(expr("approx_percentile(value, 0.9, 1000)")).as("p90_approx"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") <= col("p50")).cast("long")).as("le50"),
+        sum((col("value") <= col("p90")).cast("long")).as("le90"))
+      .select(col("event_type"), col("n"),
+        (abs(col("le50") * 1000 - col("n") * 500) <= col("n") * 4 + 1000)
+          .cast("int").as("p50_rank_ok"),
+        (abs(col("le90") * 1000 - col("n") * 900) <= col("n") * 4 + 1000)
+          .cast("int").as("p90_rank_ok"))
       .orderBy(col("event_type"))
+  }
 
-  /** HLL++ approximate distinct — sanctioned no-oracle (D5): sketch values
-    * are implementation-specific. Bounds asserted in the test suite. */
+  /** HLL++ approximate distinct, ORACLE-CHECKED via an error-bound flag
+    * (same pattern as [[aggApproxPercentile]]): rsd 0.05 ⇒ the 2σ bound
+    * |approx − exact| ≤ 10% · exact must hold, and the oracle pins the flag
+    * to 1 alongside the exact count. */
   def aggApproxDistinct(spark: SparkSession, sf: String): DataFrame =
     events(spark, sf)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("approx_users") - col("n_exact")) * 10 <= col("n_exact"))
+          .cast("int").as("within_10pct"))
       .orderBy(col("event_type"))
 
   // --------------------------------------------------- F. sort/limit/top-k
@@ -718,7 +740,17 @@ object Relational {
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gf, gs, flag_g, status_g""".stripMargin,
 
-    // agg_approx_distinct: sanctioned no-oracle (D5) — HLL sketches differ.
+    // Sketch values never leave the plan (D5) — the outputs carry the
+    // exact anchors + error-bound flags, which the oracle pins to 1.
+    "agg_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  CAST(1 AS INT) AS within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_approx_percentile" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(1 AS INT) AS p50_rank_ok, CAST(1 AS INT) AS p90_rank_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "sort_multi_nulls" ->
       """SELECT o_orderkey,

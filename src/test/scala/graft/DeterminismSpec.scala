@@ -86,15 +86,28 @@ class DeterminismSpec extends AnyFunSuite {
 
   test("approx_percentile lands within the p40..p60 band of exact order stats") {
     import org.apache.spark.sql.functions._
-    val rows = SparkEntry.queries("agg_approx_percentile")(spark, sf001).collect()
+    // the key's OUTPUT is now rank-bound flags (oracle-checkable); the raw
+    // sketch value is asserted here instead, straight off the aggregate.
+    val rows = graft.util.Tables.events(spark, sf001)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50")).collect()
     val byType = graft.util.Tables.events(spark, sf001)
       .select(col("event_type"), col("value")).collect()
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
     rows.foreach { r =>
       val vs = byType(r.getString(0))
-      val p50 = r.getDecimal(1).doubleValue()
+      val p50 = r.getDouble(1)
       val lo = vs((vs.length * 0.4).toInt); val hi = vs((vs.length * 0.6).toInt)
       assert(p50 >= lo && p50 <= hi, s"${r.getString(0)}: $p50 outside [$lo,$hi]")
+    }
+    // the registered key's flags must all be 1 at both tiers
+    for (sf <- Seq(sf001, sf01)) {
+      val flags = SparkEntry.queries("agg_approx_percentile")(spark, sf).collect()
+      assert(flags.nonEmpty)
+      flags.foreach { r =>
+        assert(r.getAs[Int]("p50_rank_ok") == 1 && r.getAs[Int]("p90_rank_ok") == 1,
+          s"$sf ${r.toString}")
+      }
     }
   }
 
