@@ -104,8 +104,10 @@ object Pipeline {
     * The edge list is localCheckpoint'd once — it is the expensive input
     * (a pair scan), and each contraction round must not replay it. */
   def dedupCcComponents(spark: SparkSession, sf: String): DataFrame = {
-    val pairs = Text.textJaccardDup(spark, sf)
-      .select(col("doc_a").as("s"), col("doc_b").as("t")).localCheckpoint()
+    // the memoized pair kernel is already localCheckpointed; no presentation
+    // sort and no second checkpoint needed before contraction
+    val pairs = Text.jaccardPairs(spark, sf)
+      .select(col("doc_a").as("s"), col("doc_b").as("t"))
     val (labels, _) = starContract(pairs)
     val sizes = labels.groupBy("component")
       .agg(count(lit(1)).cast("int").as("comp_size"))

@@ -102,7 +102,24 @@ object Text {
     * 100 TB neither exact variant runs on the full corpus — MinHash-LSH
     * banding (ops/Dedup.scala) prunes candidates first and THIS kernel
     * verifies the survivors exactly. */
-  def textJaccardDup(spark: SparkSession, sf: String): DataFrame = {
+  def textJaccardDup(spark: SparkSession, sf: String): DataFrame =
+    jaccardPairs(spark, sf).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The exact near-dup pair list, computed ONCE per (session, sf) and
+    * localCheckpointed — [[textJaccardDup]] presents it and
+    * [[Pipeline.dedupCcComponents]] clusters it; without the memo the
+    * pair scan ran end-to-end twice across those keys (same discipline as
+    * Pipeline.lshCcMemo). Each key stays a pure function of (spark, sf). */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def jaccardPairs(spark: SparkSession, sf: String): DataFrame =
+    pairsMemo.getOrElseUpdate((spark, sf),
+      jaccardPairsFresh(spark, sf).localCheckpoint())
+
+  /** Un-memoized pair kernel (DeterminismSpec re-runs it under both codegen
+    * modes — a memo would make that comparison vacuous). */
+  private[graft] def jaccardPairsFresh(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.SortedIntersectSize.register(spark)
     val d = documents(spark, sf)
       .select(col("doc_id"), col("lang"), bigrams.as("bg"))
@@ -136,7 +153,6 @@ object Text {
       .withColumn("u", (col("n_a") + col("n_b") - col("i")).cast("int"))
       .where(col("i") * 2 >= col("u") && col("i") > 0)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("i"), col("u"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Term → (df, dense id) index over df ≥ 2 bigram shingles. Ids ascend by

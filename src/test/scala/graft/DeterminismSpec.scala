@@ -74,12 +74,17 @@ class DeterminismSpec extends AnyFunSuite {
   }
 
   test("SortedIntersectSize codegen and interpreted paths agree exactly") {
+    // the un-memoized kernel: the registered key serves a localCheckpointed
+    // memo, which would make the two runs trivially identical
+    def run() = graft.ops.Text.jaccardPairsFresh(spark, sf001)
+      .orderBy(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b")).collect().toSeq
     val old = spark.conf.get("spark.sql.codegen.wholeStage")
     try {
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      val gen = SparkEntry.queries("text_jaccard_dup")(spark, sf001).collect().toSeq
+      val gen = run()
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      val interp = SparkEntry.queries("text_jaccard_dup")(spark, sf001).collect().toSeq
+      val interp = run()
       assert(gen == interp)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", old)
   }
