@@ -234,6 +234,46 @@ object Etl {
         col("o_totalprice").as("price"))
       .orderBy(col("o_orderkey"))
 
+  /** Deterministic TRAIN/VAL/TEST split — the dataset-versioning op every
+    * training pipeline runs before anything else. Assignment is the first
+    * hex digit of md5(doc_id ':' text): 0–b → train (12/16), c–d → val,
+    * e–f → test. Salting the key with the content means re-ingesting the
+    * same doc lands in the same split forever (reproducible evals), and a
+    * pure per-row projection splits 100 TB at scan speed with no shuffle
+    * but the presentation sort. */
+  def etlSplitTrainEval(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .withColumn("h", substring(
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 1))
+      .withColumn("split",
+        when(col("h") < "c", "train").when(col("h") < "e", "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("h"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Column PROFILING (the data-quality first-look over a new table):
+    * row/null/distinct counts + min/max rendered as strings, one output row
+    * per profiled column. Each profile is one full-table aggregate —
+    * map-side partial aggregation, no shuffle wider than one row — and the
+    * per-column frames are unioned, so a 100 TB profile is k scans (or one,
+    * if a consumer fuses them; the surface keeps them separate so column
+    * sets compose). Timestamp/double columns are excluded: their string
+    * renderings are engine-specific. */
+  def etlProfile(spark: SparkSession, sf: String): DataFrame = {
+    val o = orders(spark, sf)
+    def prof(c: String): DataFrame =
+      o.agg(count(lit(1)).as("n_rows"),
+          sum(col(c).isNull.cast("long")).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_str"),
+          max(col(c)).cast("string").as("max_str"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+      .map(prof).reduce(_.unionByName(_))
+      .orderBy(col("column_name"))
+  }
+
   /** SCD2 dimension frame (unordered) — shared by the snapshot query and
     * the as-of lookup join. */
   private def scd2Frame(spark: SparkSession, sf: String): DataFrame = {
@@ -345,6 +385,8 @@ object Etl {
     "etl_funnel" -> etlFunnel,
     "etl_cdc_diff" -> etlCdcDiff,
     "etl_sample_hash" -> etlSampleHash,
+    "etl_split_train_eval" -> etlSplitTrainEval,
+    "etl_profile" -> etlProfile,
     "etl_sessionize" -> etlSessionize,
     "etl_scd2_snapshot" -> etlScd2Snapshot,
     "etl_dim_lookup_asof" -> etlDimLookupAsof
@@ -505,6 +547,39 @@ object Etl {
         |FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "etl_split_train_eval" ->
+      """SELECT doc_id, h,
+        |  CASE WHEN h < 'c' THEN 'train' WHEN h < 'e' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 1) AS h
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "etl_profile" ->
+      """SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+        |  CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_str,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_str FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', count(*),
+        |  CAST(count(*) - count(o_orderkey) AS BIGINT),
+        |  count(DISTINCT o_orderkey),
+        |  CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |  count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |  count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus) FROM orders
+        |ORDER BY column_name""".stripMargin,
 
     "etl_sessionize" ->
       """WITH flagged AS (

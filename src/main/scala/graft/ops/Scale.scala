@@ -49,6 +49,23 @@ object Scale {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** ORC source/sink roundtrip — the third columnar-format surface next to
+    * parquet and the text sources; exact-typed columns only, so the DuckDB
+    * oracle aggregates straight from the source parquet and the roundtrip
+    * is provably lossless. */
+  def sourceOrcRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("orc", sf)
+    lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_quantity")).cast("long").as("q"))
+      .write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** JSON-lines source/sink roundtrip with an explicit read schema. */
   def sourceJsonRoundtrip(spark: SparkSession, sf: String): DataFrame = {
     val dir = tmpDir("json", sf)
@@ -318,6 +335,7 @@ object Scale {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
     "source_json_roundtrip" -> sourceJsonRoundtrip,
+    "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "sink_partitioned_prune" -> sinkPartitionedPrune,
     "join_dpp_prune" -> joinDppPrune,
     "sink_zorder" -> sinkZorder,
@@ -356,6 +374,13 @@ object Scale {
         |  count(DISTINCT user_id) AS n_users,
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "source_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "sink_partitioned_prune" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
