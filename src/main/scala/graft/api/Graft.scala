@@ -105,4 +105,27 @@ object Graft {
     labels.join(sizes, "component")
       .select(col("id").as("doc_id"), col("component"), col("comp_size"))
   }
+
+  /** Deterministic train/val/test split: first hex digit of
+    * md5(id ':' text) → 12/16 train, 2/16 val, 2/16 test. Content-salted —
+    * a re-ingested doc keeps its split; pure projection, no shuffle. Adds
+    * a `split` column. */
+  def splitTrainEval(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.withColumn("split", {
+      val h = substring(
+        md5(concat(col(idCol).cast("string"), lit(":"), col(textCol))), 1, 1)
+      when(h < "c", "train").when(h < "e", "val").otherwise("test")
+    })
+  }
+
+  /** Exact near-duplicate pairs (bigram-shingle Jaccard ≥ 0.5) by prefix
+    * filtering over a df-ordered term index — candidates from an equi-join
+    * on prefix terms only, dedup+verify fused into the join (one merge scan
+    * per candidate). Output: (doc_a, doc_b, i, u) with i/u the exact
+    * intersection/union sizes. For corpora too large even for this, use
+    * [[minhashDedupPairs]] first and verify survivors. */
+  def jaccardPairsIndexed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.Text.jaccardIndexedOf(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 }

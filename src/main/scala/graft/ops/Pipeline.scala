@@ -160,6 +160,39 @@ object Pipeline {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Distributed CONTIGUOUS ID ASSIGNMENT — the "give every sample a stable
+    * 0..n−1 sequence id" step that precedes packing/sharding a training set.
+    * `row_number() OVER (ORDER BY …)` is a SINGLE-PARTITION sort at scale;
+    * the scalable plan is the classic zip-with-index shape:
+    *   1. range-partition by the (unique) sort key + sort within partitions,
+    *      materialized ONCE (localCheckpoint) so both passes see identical
+    *      partition boundaries (range boundaries come from sampling);
+    *   2. count rows per partition — one tiny job, numPartitions longs;
+    *   3. broadcast the exclusive prefix-sum of those counts;
+    *   4. per-partition zip: id = partition offset + local index.
+    * No global sort, no single-partition exchange, two narrow passes. The
+    * oracle is the window formulation, proving the plans equivalent. */
+  def etlAssignIds(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val width = spark.sessionState.conf.numShufflePartitions
+    val sharded = documents(spark, sf)
+      .select(col("doc_id"), col("lang"))
+      .repartitionByRange(width, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, String)]
+      .localCheckpoint()
+    val counts = sharded.mapPartitions { it =>
+      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _) // exclusive prefix sums
+    val bc = spark.sparkContext.broadcast(offsets)
+    sharded.mapPartitions { it =>
+      var next = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (docId, lang) => val r = (docId, lang, next); next += 1; r }
+    }.toDF("doc_id", "lang", "seq_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit-distance similarity probes: for each probe doc (doc_id ≡ 0
     * mod 50), the 5 nearest same-lang docs by Levenshtein distance over
     * the 24-char text prefix (ties → lower doc_id). Lang-blocked pair
@@ -238,6 +271,7 @@ object Pipeline {
     "dedup_cc_components" -> dedupCcComponents,
     "dedup_lsh_cc" -> dedupLshCc,
     "dedup_survivors" -> dedupSurvivors,
+    "etl_assign_ids" -> etlAssignIds,
     "etl_chunk_tokens" -> etlChunkTokens,
     "etl_pack_sequences" -> etlPackSequences,
     "text_editdist_topk" -> textEditdistTopk
@@ -305,6 +339,12 @@ object Pipeline {
          |FROM comp c JOIN szc s USING (component)
          |            JOIN documents d ON d.doc_id = c.id
          |ORDER BY doc_id""".stripMargin,
+
+    // the window formulation the distributed two-pass plan must equal
+    "etl_assign_ids" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_cc_components" ->
       s"""WITH RECURSIVE pairs AS ($pairsSql),

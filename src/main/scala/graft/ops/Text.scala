@@ -155,20 +155,6 @@ object Text {
       .select(col("doc_a"), col("doc_b"), col("lang"), col("i"), col("u"))
   }
 
-  /** Term → (df, dense id) index over df ≥ 2 bigram shingles. Ids ascend by
-    * (df, term), so the RAREST terms get the smallest ids — the global order
-    * the prefix filter needs (a doc's prefix is then its most selective
-    * terms, and hot stop-shingles sort last, out of every prefix). Singleton
-    * terms (df = 1) can never co-occur in two docs and are pruned — the same
-    * prune [[textInvertedIndex]] applies to its postings. */
-  private[graft] def termIndex(spark: SparkSession, sf: String): DataFrame =
-    documents(spark, sf)
-      .select(col("doc_id"), explode(bigrams).as("term"))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).cast("int").as("df"))
-      .where(col("df") >= 2)
-      .withColumn("sid", row_number().over(Window.orderBy(col("df"), col("term"))))
-
   /** Exact Jaccard near-dup pairs via PREFIX FILTERING over the materialized
     * term index — same pairs as [[textJaccardDup]], different (index-driven)
     * plan. AllPairs/PPJoin (Bayardo et al., WWW'07; Xiao et al., WWW'08):
@@ -195,13 +181,27 @@ object Text {
     * row yields that first element AND the exact intersection size, so
     * verification happens in the same whole-stage-codegen pipeline and
     * nothing shuffles after the candidate join. */
-  def textJaccardIndexed(spark: SparkSession, sf: String): DataFrame = {
+  def textJaccardIndexed(spark: SparkSession, sf: String): DataFrame =
+    jaccardIndexedOf(documents(spark, sf))
+
+  /** Frame-generic prefix-filter kernel over any (doc_id, text[, lang])
+    * frame — no `lang` column means one global block. (private[graft]:
+    * api.Graft exposes it as `jaccardPairsIndexed`.) */
+  private[graft] def jaccardIndexedOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     graft.functions.SortedIntersectFirstSize.register(spark)
-    val d = documents(spark, sf)
+    val src =
+      if (docs.columns.contains("lang")) docs
+      else docs.withColumn("lang", lit(""))
+    val d = src
       .select(col("doc_id"), col("lang"), bigrams.as("bg"))
       .select(col("doc_id"), col("lang"), size(col("bg")).as("n"),
         explode(col("bg")).as("sh"))
-    val idx = termIndex(spark, sf).localCheckpoint()
+    val idx = d.groupBy(col("sh").as("term"))
+      .agg(count(lit(1)).cast("int").as("df"))
+      .where(col("df") >= 2)
+      .withColumn("sid", row_number().over(Window.orderBy(col("df"), col("term"))))
+      .localCheckpoint()
     val sets = d.join(broadcast(idx), col("sh") === col("term"))
       .groupBy(col("lang"), col("doc_id"), col("n"))
       .agg(sort_array(collect_set(col("sid"))).as("sids"))

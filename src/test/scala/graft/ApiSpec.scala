@@ -63,6 +63,31 @@ class ApiSpec extends AnyFunSuite {
     assert(api.map(_.toSeq).toSeq == key.map(_.toSeq).toSeq)
   }
 
+  test("splitTrainEval is deterministic, content-salted, and covers all splits") {
+    val out = Graft.splitTrainEval(renamedDocs, "my_id", "body")
+    val splits = out.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"), splits.toString)
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+    // rerun = identical assignment
+    val a = out.select("my_id", "split").collect().map(_.toSeq).toSet
+    val b = Graft.splitTrainEval(renamedDocs, "my_id", "body")
+      .select("my_id", "split").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("jaccardPairsIndexed on renamed columns matches the lang-blocked key's pairs within lang") {
+    // the facade kernel runs UNBLOCKED (one global block); restricting the
+    // fixture to one lang makes the two formulations comparable
+    val en = renamedDocs.where(col("tongue") === "en")
+    val api = Graft.jaccardPairsIndexed(en, "my_id", "body")
+      .select("doc_a", "doc_b", "i", "u").collect().map(_.toSeq).toSet
+    val key = SparkEntry.queries("text_jaccard_dup")(spark, sf001)
+      .where(col("lang") === "en")
+      .select("doc_a", "doc_b", "i", "u").collect().map(_.toSeq).toSet
+    assert(api == key, s"api-only ${(api -- key).take(3)} key-only ${(key -- api).take(3)}")
+  }
+
   test("registerFunctions makes vector_dot and vector_cosine callable from SQL") {
     Graft.registerFunctions(spark)
     val r = spark.sql(

@@ -74,6 +74,18 @@ class DeterminismSpec extends AnyFunSuite {
   }
 
   test("SortedIntersectSize codegen and interpreted paths agree exactly") {
+    // also covers SortedIntersectFirstSize: the indexed key runs it inside
+    // whole-stage codegen and interpreted when codegen is off
+    def runIdx() = SparkEntry.queries("text_jaccard_indexed")(spark, sf001)
+      .collect().toSeq
+    val oldIdx = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val genI = runIdx()
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(genI == runIdx())
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", oldIdx)
+
     // the un-memoized kernel: the registered key serves a localCheckpointed
     // memo, which would make the two runs trivially identical
     def run() = graft.ops.Text.jaccardPairsFresh(spark, sf001)
