@@ -163,35 +163,14 @@ object Pipeline {
   /** Distributed CONTIGUOUS ID ASSIGNMENT — the "give every sample a stable
     * 0..n−1 sequence id" step that precedes packing/sharding a training set.
     * `row_number() OVER (ORDER BY …)` is a SINGLE-PARTITION sort at scale;
-    * the scalable plan is the classic zip-with-index shape:
-    *   1. range-partition by the (unique) sort key + sort within partitions,
-    *      materialized ONCE (localCheckpoint) so both passes see identical
-    *      partition boundaries (range boundaries come from sampling);
-    *   2. count rows per partition — one tiny job, numPartitions longs;
-    *   3. broadcast the exclusive prefix-sum of those counts;
-    *   4. per-partition zip: id = partition offset + local index.
-    * No global sort, no single-partition exchange, two narrow passes. The
+    * [[graft.util.Ids.zipWithIndex]] is the shuffle-sane two-pass shape
+    * (range-shard → per-partition counts → broadcast offsets → zip). The
     * oracle is the window formulation, proving the plans equivalent. */
-  def etlAssignIds(spark: SparkSession, sf: String): DataFrame = {
-    import spark.implicits._
-    val width = spark.sessionState.conf.numShufflePartitions
-    val sharded = documents(spark, sf)
-      .select(col("doc_id"), col("lang"))
-      .repartitionByRange(width, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-      .as[(Long, String)]
-      .localCheckpoint()
-    val counts = sharded.mapPartitions { it =>
-      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _) // exclusive prefix sums
-    val bc = spark.sparkContext.broadcast(offsets)
-    sharded.mapPartitions { it =>
-      var next = bc.value(org.apache.spark.TaskContext.getPartitionId())
-      it.map { case (docId, lang) => val r = (docId, lang, next); next += 1; r }
-    }.toDF("doc_id", "lang", "seq_id")
+  def etlAssignIds(spark: SparkSession, sf: String): DataFrame =
+    graft.util.Ids.zipWithIndex(
+      documents(spark, sf).select(col("doc_id"), col("lang")),
+      "seq_id", col("doc_id"))
       .orderBy(col("doc_id"))
-  }
 
   /** Edit-distance similarity probes: for each probe doc (doc_id ≡ 0
     * mod 50), the 5 nearest same-lang docs by Levenshtein distance over

@@ -125,8 +125,12 @@ object Text {
       .select(col("doc_id"), col("lang"), bigrams.as("bg"))
       .select(col("doc_id"), col("lang"), size(col("bg")).as("n"),
         explode(col("bg")).as("sh"))
-    val dict = d.select(col("sh")).distinct()
-      .withColumn("sid", row_number().over(Window.orderBy(col("sh"))))
+    // any dense bijection works for intersect sizes (both docs encode with
+    // the same dict); the two-pass zipWithIndex avoids the single-partition
+    // row_number window that dies at a web-scale vocabulary
+    val dict = graft.util.Ids.zipWithIndex(d.select(col("sh")).distinct(),
+        "sid0", col("sh"))
+      .select(col("sh"), (col("sid0") + 1).cast("int").as("sid"))
     val sets = d.join(broadcast(dict), "sh")
       .groupBy(col("lang"), col("doc_id"), col("n"))
       .agg(sort_array(collect_set(col("sid"))).as("sids"))
@@ -197,10 +201,16 @@ object Text {
       .select(col("doc_id"), col("lang"), bigrams.as("bg"))
       .select(col("doc_id"), col("lang"), size(col("bg")).as("n"),
         explode(col("bg")).as("sh"))
-    val idx = d.groupBy(col("sh").as("term"))
-      .agg(count(lit(1)).cast("int").as("df"))
-      .where(col("df") >= 2)
-      .withColumn("sid", row_number().over(Window.orderBy(col("df"), col("term"))))
+    // dense df-ascending term ids WITHOUT a single-partition row_number
+    // window — at a billion-term vocabulary that window is a straggler;
+    // the two-pass zipWithIndex stays sharded. (int ids cap the vocabulary
+    // at 2^31 — beyond that the packed arrays move to long.)
+    val idx = graft.util.Ids.zipWithIndex(
+        d.groupBy(col("sh").as("term"))
+          .agg(count(lit(1)).cast("int").as("df"))
+          .where(col("df") >= 2),
+        "sid0", col("df"), col("term"))
+      .select(col("term"), (col("sid0") + 1).cast("int").as("sid"))
       .localCheckpoint()
     val sets = d.join(broadcast(idx), col("sh") === col("term"))
       .groupBy(col("lang"), col("doc_id"), col("n"))
