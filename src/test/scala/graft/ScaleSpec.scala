@@ -95,6 +95,19 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("zipWithIndex assigns 1M contiguous ids without a global sort") {
+    // 1M rows in REVERSED key order across many partitions — the id must
+    // equal (key's rank under ascending order), i.e. key itself here.
+    val n = 1000000L
+    val df = spark.range(n).select((lit(n - 1) - col("id")).as("k"),
+      (col("id") % 97).as("payload"))
+    val out = graft.util.Ids.zipWithIndex(df, "seq_id", col("k"))
+    assert(!out.queryExecution.executedPlan.toString.contains("SinglePartition"))
+    val bad = out.where(col("seq_id") =!= col("k")).count()
+    assert(bad == 0)
+    assert(out.count() == n)
+  }
+
   test("stream_foreach_batch equals batch aggregate") {
     val streamed = ops.Streaming.streamForeachBatch(spark, sf001).collect().toSeq
     val batch = graft.util.Tables.events(spark, sf001)
