@@ -39,8 +39,28 @@ object Pipeline {
     * propagation whose round count is the graph diameter). Convergence is
     * detected by a (count, xor-of-hashes) checksum — one tiny action per
     * round, never a label collect. Throws if `maxIter` rounds don't
-    * converge rather than returning partial labels. */
+    * converge rather than returning partial labels.
+    *
+    * Adaptive round width: contraction shrinks the edge list monotonically,
+    * so late rounds over a handful of surviving edges would still pay the
+    * session's full shuffle width in empty-task overhead (measured: most of
+    * the fixture-scale cost). Each round's shuffles are sized from the
+    * PREVIOUS round's edge count (free — the convergence checksum already
+    * counts), targeting ~100k edges/partition, capped at the session width.
+    * Same shared-conf discipline as Streaming.withStreamShuffle
+    * (synchronized + restore); results are partitioning-invariant (the
+    * determinism suite pins this). */
   private[graft] def starContract(edges0: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    val spark = edges0.sparkSession
+    val sessionWidth = spark.sessionState.conf.numShufflePartitions
+    def widthFor(edgeCount: Long): Int =
+      math.max(1L, math.min(sessionWidth.toLong, edgeCount / 100000L + 1L)).toInt
+    def atWidth[T](w: Int)(body: => T): T = spark.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prevW = spark.conf.get(key)
+      spark.conf.set(key, w.toString)
+      try body finally spark.conf.set(key, prevW)
+    }
     val nodes = edges0.select(col("s").as("id"))
       .unionByName(edges0.select(col("t").as("id"))).distinct()
     var edges = edges0.where(col("s") =!= col("t"))
@@ -54,7 +74,7 @@ object Pipeline {
     var prev = checksum(edges)
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    while (!converged && iter < maxIter) atWidth(widthFor(prev._1)) {
       // large-star: nbrs both directions; m(u) = min(Γ(u) ∪ {u});
       // emit (v, m) for v ∈ Γ(u), v > u.
       val nbrs = edges.unionByName(
