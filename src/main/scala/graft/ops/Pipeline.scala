@@ -180,6 +180,26 @@ object Pipeline {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** SEMANTIC dedup composition (SemDeDup-style): embedding-cosine
+    * threshold pairs → star-contraction clustering → per-cluster canonical
+    * id + size — the vector twin of [[dedupLshCc]], for near-dups that
+    * share meaning but not shingles (paraphrases, translations, templated
+    * rewrites). Candidates come from [[Vectors.vecThresholdPairs]], whose
+    * naive theta join the LshPrefilter rule rewrites into 16 banded
+    * equi-joins + residual verify — so the whole chain is banded candidates
+    * → exact verify → O(log²n) contraction, no all-pairs stage anywhere.
+    * Recursive-CTE oracled like the other CC keys. */
+  def vecDedupSemantic(spark: SparkSession, sf: String): DataFrame = {
+    val pairs = Vectors.vecThresholdPairs(spark, sf)
+      .select(col("vec_a").as("s"), col("vec_b").as("t")).localCheckpoint()
+    val (labels, _) = starContract(pairs)
+    val sizes = labels.groupBy("component")
+      .agg(count(lit(1)).cast("int").as("comp_size"))
+    labels.join(sizes, "component")
+      .select(col("id").as("vec_id"), col("component"), col("comp_size"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Distributed CONTIGUOUS ID ASSIGNMENT — the "give every sample a stable
     * 0..n−1 sequence id" step that precedes packing/sharding a training set.
     * `row_number() OVER (ORDER BY …)` is a SINGLE-PARTITION sort at scale;
@@ -272,6 +292,7 @@ object Pipeline {
     "dedup_survivors" -> dedupSurvivors,
     "etl_assign_ids" -> etlAssignIds,
     "etl_chunk_tokens" -> etlChunkTokens,
+    "vec_dedup_semantic" -> vecDedupSemantic,
     "etl_pack_sequences" -> etlPackSequences,
     "text_editdist_topk" -> textEditdistTopk
   )
@@ -338,6 +359,26 @@ object Pipeline {
          |FROM comp c JOIN szc s USING (component)
          |            JOIN documents d ON d.doc_id = c.id
          |ORDER BY doc_id""".stripMargin,
+
+    "vec_dedup_semantic" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT vec_a, vec_b FROM (
+        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |           list_cosine_similarity(a.embedding, b.embedding) AS cos
+        |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |  WHERE cos > 0.45),
+        |nodes AS (SELECT vec_a AS id FROM pairs UNION SELECT vec_b FROM pairs),
+        |edges AS (SELECT vec_a AS s, vec_b AS t FROM pairs
+        |          UNION SELECT vec_b, vec_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.t FROM reach JOIN edges e ON reach.r = e.s),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT c.id AS vec_id, c.component, CAST(s.n AS INT) AS comp_size
+        |FROM comp c JOIN (SELECT component, count(*) AS n FROM comp
+        |                  GROUP BY component) s USING (component)
+        |ORDER BY vec_id""".stripMargin,
 
     // the window formulation the distributed two-pass plan must equal
     "etl_assign_ids" ->
