@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end TRAINING-DATA CURATION run — the library's kernels composed
+  * the way a real 100 TB pipeline chains them, over the documents fixture:
+  *
+  *   profile → split → exact dedup → near-dedup (LSH→verify→CC, keep
+  *   canonical) → decontaminate vs the eval split → quality + repetition
+  *   filter → chunk → pack → assign contiguous sample ids
+  *
+  * Every stage is one of the registered operators (same kernels the
+  * correctness gate hash-checks); this main exists to demonstrate the
+  * composition and print per-stage survivor counts — the "data funnel"
+  * report a curation run ships with.
+  *
+  *   sbt "runMain graft.tools.CurationPipelineDemo [sfDir]"
+  */
+object CurationPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+    def stage(name: String, n: Long): Unit =
+      println(f"[pipeline] $name%-28s $n%9d rows  (t+${(System.nanoTime() - t0) / 1e9}%.1f s)")
+
+    val docs = graft.util.Tables.documents(spark, sf)
+    stage("ingest", docs.count())
+
+    // 1. profile the corpus (DQ first-look; here: langs + length stats)
+    val profile = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_c"),
+        max(col("n_chars")).as("max_c"))
+    stage("profile (langs)", profile.count())
+
+    // 2. content-salted split; eval docs leave the training pool
+    val splitDf = graft.api.Graft.splitTrainEval(docs, "doc_id", "text")
+    val train0 = splitDf.where(col("split") === "train").localCheckpoint()
+    val eval0 = splitDf.where(col("split") =!= "train")
+    stage("train pool after split", train0.count())
+
+    // 3. exact dedup (fingerprint groups → keep min doc_id)
+    val fp = train0.select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+    val keepExact = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val afterExact = train0.join(keepExact, "doc_id").localCheckpoint()
+    stage("after exact dedup", afterExact.count())
+
+    // 4. near-dedup: LSH candidates → exact verify → components → keep the
+    //    longest doc per cluster (unclustered docs survive by default)
+    val clusters = graft.api.Graft.dedupClusters(afterExact, "doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val dropNear = clusters
+      .join(afterExact.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") > 1)
+      .select(col("doc_id"))
+    val afterNear = afterExact.join(dropNear, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    stage("after near dedup", afterNear.count())
+
+    // 5. decontaminate vs the held-out split (shared word-trigrams). The
+    // fixtures' 31-word vocabulary makes ANY trigram overlap ubiquitous
+    // (the registered key's >=2 contract flags every doc here), so the
+    // demo drops only substantial leakage: >=20 shared distinct trigrams.
+    val contaminated = graft.api.Graft.decontaminate(
+        afterNear, eval0, "doc_id", "text")
+      .where(col("n_shared") >= 20).select(col("doc_id"))
+    val clean = afterNear.join(contaminated, Seq("doc_id"), "left_anti")
+    stage("after decontamination", clean.count())
+
+    // 6. quality gates: length/type-token floor + duplicate-bigram ceiling
+    val ws = split(col("text"), " ")
+    val quality = clean
+      .withColumn("n_words", size(ws))
+      .withColumn("ttr_e6", expr("(cast(size(array_distinct(split(text,' '))) as bigint) * 1000000) div size(split(text,' '))"))
+      .withColumn("n_bg_tot", size(ws) - 1)
+      .withColumn("n_bg_dist", size(graft.ops.Text.bigramsOf(ws)))
+      .where(col("n_words") >= 15 && col("ttr_e6") >= 150000 &&
+        (col("n_bg_tot") - col("n_bg_dist")) * 5 < col("n_bg_tot"))
+      .localCheckpoint()
+    stage("after quality+repetition", quality.count())
+
+    // 7. chunk to context windows, pack to fixed token bins
+    val chunks = graft.api.Graft.chunkTokens(quality, "doc_id", "text")
+    stage("context chunks", chunks.count())
+
+    // 8. stable contiguous sample ids for the packed set
+    val ids = graft.util.Ids.zipWithIndex(
+      quality.select(col("doc_id"), col("lang")), "seq_id", col("doc_id"))
+    stage("samples with seq ids", ids.count())
+
+    println(f"[pipeline] total wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}
