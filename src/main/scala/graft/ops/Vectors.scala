@@ -165,7 +165,7 @@ object Vectors {
         struct((expr(s"vector_dot($vSql, $litArr)") / lit(norm)).as("s"),
           lit(-cid).as("ncid"))
       }
-      -greatest(scored: _*).getField("ncid")
+      -greatest(scored.toIndexedSeq: _*).getField("ncid")
     }
     val assign = e.select(col("vec_id").as("cand_id"),
       col("embedding").as("ce"), cellOf("embedding").as("cell"))
@@ -224,7 +224,7 @@ object Vectors {
             - lit(half2)).as("s"),
           lit(-ord).as("nord"))
       }
-      -greatest(scored: _*).getField("nord")
+      -greatest(scored.toIndexedSeq: _*).getField("nord")
     }
     val codeCols = (0 until 8).map(sub => codeOf(sub).cast("int").as(s"c$sub"))
     val stackSql = (0 until 8).map(s => s"$s, c$s").mkString(
@@ -342,7 +342,7 @@ object Vectors {
         struct((expr(s"vector_dot($vSql, ${litArr(cemb)})") / lit(norm)).as("s"),
           lit(-cid).as("ncid"))
       }
-      -greatest(scored: _*).getField("ncid")
+      -greatest(scored.toIndexedSeq: _*).getField("ncid")
     }
     // candidate side: cell + 8 PQ codes (pure projection, as vec_pq_codes)
     def codeOf(sub: Int): Column = {
@@ -354,7 +354,7 @@ object Vectors {
             - lit(half2)).as("s"),
           lit(-ord).as("nord"))
       }
-      -greatest(scored: _*).getField("nord")
+      -greatest(scored.toIndexedSeq: _*).getField("nord")
     }
     val cand = e.select(
       col("vec_id").as("cand_id") +: cellOf("embedding").as("cell") +:

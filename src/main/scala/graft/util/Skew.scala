@@ -23,7 +23,7 @@ object Skew {
       leftKey: String, rightKey: String, salts: Int): DataFrame = {
     require(salts > 0)
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(struct(left.columns.map(col): _*)), lit(salts)))
+      pmod(hash(struct(left.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(replicatedRight,
