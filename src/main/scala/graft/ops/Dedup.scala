@@ -196,12 +196,56 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Exact duplicated-SUBSTRING detection (the "dedup training data"
+    * operator of Lee et al., ACL'22: shared verbatim spans, not whole-doc
+    * similarity). Every word-start position anchors a 40-char window of the
+    * raw text; two docs sharing any window contain an identical ≥40-char
+    * span. Anchors are CONTENT-DEFINED (word starts), so copies align no
+    * matter what offset the duplicated span sits at in each doc — the
+    * property fixed-stride sampling lacks.
+    *
+    * Scale shape: windows per doc are O(words); the char offsets come from
+    * one O(L) running-prefix `aggregate`, never an O(L²) suffix rebuild
+    * (the DuckDB oracle uses the O(L²) form — fine at oracle scale, wrong
+    * at 100 TB). Everything shuffles on window CONTENT (groupBy/join on
+    * `win`) — never an all-pairs join; windows seen in > 16 docs are
+    * dropped before pairing (boilerplate/stop-window guard, the same
+    * hot-key cap as the postings index — a window shared by k docs emits
+    * k² pairs, so an uncapped boilerplate line is a quadratic straggler). */
+  def dedupSubstring(spark: SparkSession, sf: String): DataFrame = {
+    val d = documents(spark, sf).select(col("doc_id"), col("text"))
+    // word-start offsets: acc = [1, 1+len(w1)+1, ...]; drop the final
+    // (one-past-end) element via slice to size(words)
+    val offsets = expr(
+      """slice(aggregate(split(text, ' '), array(1),
+        |  (acc, w) -> array_append(acc, element_at(acc, -1) + length(w) + 1)),
+        |  1, size(split(text, ' ')))""".stripMargin)
+    val wins = d
+      .select(col("doc_id"), col("text"), offsets.as("offs"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("filter(offs, p -> p + 39 <= length(text))")).as("p"))
+      .select(col("doc_id"), expr("substring(text, p, 40)").as("win"))
+      .distinct()
+    val keep = wins.join(
+      wins.groupBy(col("win")).agg(count(lit(1)).as("nd")).where(col("nd") <= 16)
+        .select(col("win")),
+      "win")
+    keep.select(col("win"), col("doc_id").as("a_id"))
+      .join(keep.select(col("win"), col("doc_id").as("b_id")),
+        Seq("win"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "dedup_simhash" -> dedupSimhash,
     "dedup_containment" -> dedupContainment,
-    "dedup_embedding_cosine" -> dedupEmbeddingCosine
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_substring" -> dedupSubstring
   )
 
   private val bgSql =
@@ -283,6 +327,22 @@ object Dedup {
          |FROM sigs x JOIN sigs y ON x.lang = y.lang AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_substring" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wins AS (
+        |  SELECT DISTINCT doc_id,
+        |    substr(array_to_string(ws[i:len(ws)], ' '), 1, 40) AS win
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+        |  WHERE length(array_to_string(ws[i:len(ws)], ' ')) >= 40),
+        |keep AS (
+        |  SELECT doc_id, win FROM wins
+        |  WHERE win IN (SELECT win FROM wins GROUP BY win HAVING count(*) <= 16))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM keep a JOIN keep b ON a.win = b.win AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """SELECT vec_a, vec_b FROM (

@@ -56,6 +56,30 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
 
+  test("dedup_substring pairs genuinely share a 40-char word-aligned span") {
+    val df = SparkEntry.queries("dedup_substring")(spark, sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val texts = graft.util.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def windows(t: String): Set[String] = {
+      val offs = t.split(" ").scanLeft(1)((p, w) => p + w.length + 1).init
+      offs.filter(_ + 39 <= t.length).map(p => t.substring(p - 1, p + 39)).toSet
+    }
+    rows.foreach { r =>
+      val shared = windows(texts(r.getAs[Long]("a_id")))
+        .intersect(windows(texts(r.getAs[Long]("b_id"))))
+      assert(shared.size >= r.getAs[Long]("n_shared"),
+        s"pair ${r} claims more shared windows than exist")
+      assert(shared.nonEmpty)
+    }
+    // pair generation shuffles on window content — never a pair scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
   test("text_lm_score covers every multi-word doc with avgp in (0, 1e9]") {
     val rows = SparkEntry.queries("text_lm_score")(spark, sf001).collect()
     val nMulti = graft.util.Tables.documents(spark, sf001)
