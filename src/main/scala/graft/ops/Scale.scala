@@ -318,6 +318,46 @@ object Scale {
       .orderBy(col("lang"))
   }
 
+  /** Count-min sketch frequency estimation, built entirely from relational
+    * primitives: d=4 hash rows × w=128 buckets. The counter table is ONE
+    * explode→groupBy pass over the fact (512 rows total, independent of
+    * data size — the mergeable-summary property that makes CMS the
+    * heavy-hitter sketch at 100 TB: per-partition counters union by
+    * addition, no raw rescan). Estimates for the top-25 keys come from a
+    * broadcast join against the tiny counter table; est = min over the 4
+    * rows. Like agg_hll_merge, sketch internals never leave the plan: the
+    * output is the exact count plus two flags the oracle pins to 1 —
+    * `never_under` (CMS cannot underestimate, a deterministic guarantee)
+    * and `within_bound` (est−exact ≤ 2N/w; expected collision mass per
+    * counter is <N/w, so the min of 4 sits well inside 2N/w; fixture
+    * margin checked before declaring). */
+  def aggCmsFreq(spark: SparkSession, sf: String): DataFrame = {
+    val D = 4; val W = 128
+    val base = lineitem(spark, sf).select(col("l_partkey").as("pk"))
+    val rows = (0 until D).map(r =>
+      struct(lit(r).as("r"), pmod(xxhash64(lit(r), col("pk")), lit(W)).as("b")))
+    val counters = base
+      .select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = base.agg(count(lit(1)).as("n_total"))
+    val top = base.groupBy(col("pk")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("pk").asc).limit(25)
+    val est = top
+      .select(col("pk"), col("n_exact"),
+        explode(array(rows: _*)).as("rb"))
+      .join(broadcast(counters),
+        col("rb.r") === counters("r") && col("rb.b") === counters("b"))
+      .groupBy(col("pk"), col("n_exact"))
+      .agg(min(col("cnt")).as("est"))
+    est.crossJoin(broadcast(total))
+      .select(col("pk"), col("n_exact"),
+        (col("est") >= col("n_exact")).cast("int").as("never_under"),
+        ((col("est") - col("n_exact")) * W <= col("n_total") * 2)
+          .cast("int").as("within_bound"))
+      .orderBy(col("n_exact").desc, col("pk").asc)
+  }
+
   /** Running DISTINCT count over a window: distinct order priorities each
     * customer has used up to each order. Spark side: collect_set over a
     * rows frame; oracle: the first-occurrence-flag running sum — equal
@@ -346,6 +386,7 @@ object Scale {
     "join_range_bucketed" -> joinRangeBucketed,
     "agg_moments" -> aggMoments,
     "agg_hll_merge" -> aggHllMerge,
+    "agg_cms_freq" -> aggCmsFreq,
     "window_distinct_running" -> windowDistinctRunning
   )
 
@@ -354,6 +395,12 @@ object Scale {
       """SELECT lang, count(DISTINCT doc_id) AS n_exact,
         |  1 AS merge_consistent, 1 AS within_2pct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "agg_cms_freq" ->
+      """SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n_exact,
+        |  1 AS never_under, 1 AS within_bound
+        |FROM lineitem GROUP BY 1
+        |ORDER BY n_exact DESC, pk ASC LIMIT 25""".stripMargin,
 
     "join_range_bucketed" ->
       """SELECT s.event_id AS s_event_id, count(*) AS n_in_window
