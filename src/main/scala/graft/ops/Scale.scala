@@ -318,6 +318,57 @@ object Scale {
       .orderBy(col("lang"))
   }
 
+  /** Set/restore session confs around `body`, synchronized on the session
+    * (same shared-conf discipline as Streaming.withStreamShuffle): a
+    * concurrent caller serializes here instead of silently planning under
+    * someone else's toggles. */
+  private def withConfs[T](spark: SparkSession, pairs: (String, String)*)(body: => T): T =
+    spark.synchronized {
+      val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+
+  /** Runtime BLOOM-FILTER join pruning (Catalyst's InjectRuntimeFilter): a
+    * selective filter on the dim side is turned into a bloom filter that is
+    * pushed into the fact scan, so fact rows that cannot join die before
+    * the shuffle — at 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling the ~1/15th that survives. The fixture
+    * thresholds are lowered inside a set/restore scope (the fixture fact
+    * side is far below the 10 GB production default) and broadcast is
+    * disabled so the join actually shuffles (nothing to prune otherwise);
+    * the plan is materialized INSIDE the scope via localCheckpoint — the
+    * rule runs at optimization time, which is execution time, not
+    * DataFrame-construction time. Bloom injection is asserted on the plan
+    * in ScaleFixSpec; false positives only ever pass extra rows to the
+    * join, so the result — and the oracle — is the plain join's. */
+  def joinBloomPrune(spark: SparkSession, sf: String): DataFrame = {
+    val agg = withBloomConfs(spark) { bloomJoinPlan(spark, sf).localCheckpoint() }
+    agg.orderBy(col("o_orderstatus"))
+  }
+
+  /** The conf scope the bloom key plans under (shared with ScaleFixSpec). */
+  private[graft] def withBloomConfs[T](spark: SparkSession)(body: => T): T =
+    withConfs(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")(body)
+
+  /** The shuffle join InjectRuntimeFilter targets (shared with the plan
+    * spec, which asserts might_contain lands in the fact scan's filters). */
+  private[graft] def bloomJoinPlan(spark: SparkSession, sf: String): DataFrame = {
+    val li = lineitem(spark, sf)
+      .select(col("l_orderkey"), floor(col("l_quantity")).cast("long").as("qf"))
+    val o = orders(spark, sf)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("qf")).as("sum_q"))
+  }
+
   /** Count-min sketch frequency estimation, built entirely from relational
     * primitives: d=4 hash rows × w=128 buckets. The counter table is ONE
     * explode→groupBy pass over the fact (512 rows total, independent of
@@ -387,6 +438,7 @@ object Scale {
     "agg_moments" -> aggMoments,
     "agg_hll_merge" -> aggHllMerge,
     "agg_cms_freq" -> aggCmsFreq,
+    "join_bloom_prune" -> joinBloomPrune,
     "window_distinct_running" -> windowDistinctRunning
   )
 
@@ -395,6 +447,13 @@ object Scale {
       """SELECT lang, count(DISTINCT doc_id) AS n_exact,
         |  1 AS merge_consistent, 1 AS within_2pct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "join_bloom_prune" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_cms_freq" ->
       """SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n_exact,

@@ -118,6 +118,17 @@ class ScaleFixSpec extends AnyFunSuite {
       s"dynamic partition pruning did not fire:\n${plan.take(800)}")
   }
 
+  test("join_bloom_prune injects a runtime bloom filter into the fact side") {
+    // same conf scope joinBloomPrune materializes under; assert on the
+    // un-checkpointed plan (the key's own output is a checkpoint scan)
+    val plan = graft.ops.Scale.withBloomConfs(spark) {
+      graft.ops.Scale.bloomJoinPlan(spark, sf001)
+        .queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("might_contain") || plan.contains("bloom"),
+      s"runtime bloom filter did not inject:\n${plan.take(1200)}")
+  }
+
   test("etl_compact_files actually reduces the file count") {
     SparkEntry.queries("etl_compact_files")(spark, sf001).collect()
     def partFiles(prefix: String): Int =
