@@ -371,7 +371,34 @@ object Etl {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Statistical DQ anomaly detection over an aggregate series — the
+    * "did a partition land twice / is a feed missing" monitor a pipeline
+    * runs after every load. Monthly revenue is flagged when |z| > 2, but
+    * the z-score is evaluated WITHOUT a float anywhere: (n·x − S)² and
+    * z²·(n·Q − S²) are compared in DECIMAL(38,0) (values reach ~1e23 —
+    * past BIGINT, nowhere near 38 digits), so the flag is bit-identical
+    * on any engine (DuckDB evaluates the same inequality in HUGEINT) and
+    * order-independent (D1 taken to the DQ layer). One aggregate pass +
+    * a broadcast of the single stats row — no window, no second scan. */
+  def etlAnomalyZscore(spark: SparkSession, sf: String): DataFrame = {
+    val m = orders(spark, sf)
+      .groupBy(to_date(date_trunc("mon", col("o_orderdate"))).as("month"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val dec = col("cents").cast("decimal(38,0)")
+    val stats = m.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+      sum(dec * col("cents")).as("q"))
+    m.crossJoin(broadcast(stats))
+      .select(col("month"), col("cents"),
+        ((col("n") * col("cents") - col("s")).cast("decimal(38,0)") *
+          (col("n") * col("cents") - col("s")).cast("decimal(38,0)") >
+          (col("n").cast("decimal(38,0)") * col("q") -
+            col("s").cast("decimal(38,0)") * col("s")) * 4)
+          .cast("int").as("is_anomaly"))
+      .orderBy(col("month"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_anomaly_zscore" -> etlAnomalyZscore,
     "etl_gap_fill" -> etlGapFill,
     "etl_sample_stratified" -> etlSampleStratified,
     "etl_quarantine_split" -> etlQuarantineSplit,
@@ -393,6 +420,17 @@ object Etl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_anomaly_zscore" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(cents) AS HUGEINT) AS s,
+        |              sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS q FROM m)
+        |SELECT month, CAST(cents AS BIGINT) AS cents,
+        |  CAST((n*cents - s) * (n*cents - s) > 4 * (n*q - s*s) AS INT) AS is_anomaly
+        |FROM m, st ORDER BY month""".stripMargin,
+
     "etl_gap_fill" ->
       """WITH grid AS (
         |  SELECT c_custkey, CAST(unnest(generate_series(
