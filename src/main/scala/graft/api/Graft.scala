@@ -119,6 +119,16 @@ object Graft {
     })
   }
 
+  /** Duplicated-SPAN pairs: docs sharing any identical ≥40-char
+    * word-aligned substring (the "dedup training data" operator — catches
+    * verbatim boilerplate/quotes whole-doc similarity misses). Word-start
+    * anchors are content-defined, so copies align at any offset; windows
+    * seen in > 16 docs are dropped (stop-window guard). Output:
+    * (a_id, b_id, n_shared). */
+  def substringDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.Dedup.substringPairsOf(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
   /** Exact near-duplicate pairs (bigram-shingle Jaccard ≥ 0.5) by prefix
     * filtering over a df-ordered term index — candidates from an equi-join
     * on prefix terms only, dedup+verify fused into the join (one merge scan

@@ -212,8 +212,12 @@ object Dedup {
     * dropped before pairing (boilerplate/stop-window guard, the same
     * hot-key cap as the postings index — a window shared by k docs emits
     * k² pairs, so an uncapped boilerplate line is a quadratic straggler). */
-  def dedupSubstring(spark: SparkSession, sf: String): DataFrame = {
-    val d = documents(spark, sf).select(col("doc_id"), col("text"))
+  def dedupSubstring(spark: SparkSession, sf: String): DataFrame =
+    substringPairsOf(documents(spark, sf).select(col("doc_id"), col("text")))
+
+  /** Core duplicated-span pairs over any frame with (doc_id, text).
+    * (private[graft]: the api.Graft façade reuses this kernel.) */
+  private[graft] def substringPairsOf(d: DataFrame): DataFrame = {
     // word-start offsets: acc = [1, 1+len(w1)+1, ...]; drop the final
     // (one-past-end) element via slice to size(words)
     val offsets = expr(

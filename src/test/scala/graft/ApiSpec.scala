@@ -88,6 +88,14 @@ class ApiSpec extends AnyFunSuite {
     assert(api == key, s"api-only ${(api -- key).take(3)} key-only ${(key -- api).take(3)}")
   }
 
+  test("substringDupPairs on renamed columns equals the fixture key") {
+    val api = Graft.substringDupPairs(renamedDocs, "my_id", "body")
+      .collect().map(_.toSeq).toSeq
+    val key = SparkEntry.queries("dedup_substring")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(api.nonEmpty && api == key)
+  }
+
   test("registerFunctions makes vector_dot and vector_cosine callable from SQL") {
     Graft.registerFunctions(spark)
     val r = spark.sql(
