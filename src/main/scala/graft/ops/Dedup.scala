@@ -230,15 +230,20 @@ object Dedup {
         explode(expr("filter(offs, p -> p + 39 <= length(text))")).as("p"))
       .select(col("doc_id"), expr("substring(text, p, 40)").as("win"))
       .distinct()
-    val keep = wins.join(
-      wins.groupBy(col("win")).agg(count(lit(1)).as("nd")).where(col("nd") <= 16)
-        .select(col("win")),
-      "win")
-    keep.select(col("win"), col("doc_id").as("a_id"))
-      .join(keep.select(col("win"), col("doc_id").as("b_id")),
-        Seq("win"))
-      .where(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
+    // one groupBy to (window → sorted doc set), then emit the ≤ C(16,2)
+    // combinations IN-MAP — no self-join, no second scan of the windows
+    // frame, and the df cap falls out of the same aggregate (vs the
+    // join+join+groupBy chain: one shuffle fewer and the windows subtree
+    // evaluated once; fixture wall time is flat — ~2.2 s of the ~4 s is
+    // fixed HOF-codegen/planning overhead, measured via a 50-doc run)
+    wins.groupBy(col("win"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .where(size(col("ds")).between(2, 16))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), b ->
+          |    struct(a AS a_id, b AS b_id))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.a_id").as("a_id"), col("pr.b_id").as("b_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("a_id"), col("b_id"))
   }
