@@ -129,6 +129,31 @@ object Graft {
     graft.ops.Dedup.substringPairsOf(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** Exact top-k rows per key through the custom TopKPerKey physical
+    * operator (graft.plans): a declared-property streaming scan — the
+    * planner supplies (or elides, for bucketed/sorted input) the exchange
+    * and sort; no rank column is materialized. `order` is (column, desc?)
+    * pairs; include a unique tie-break column for deterministic output.
+    * Registers the planner strategy on the session idempotently (the
+    * `spark.sql.extensions=graft.plans.GraftExtensions` config path
+    * registers it at session build instead). */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String],
+      order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String) = analyzed.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n in ${analyzed.output.map(_.name)}"))
+    val ord = order.map { case (c, desc) =>
+      SortOrder(attr(c), if (desc) Descending else Ascending) }
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      graft.plans.TopKPerKey(keyCols.map(attr), ord, k, analyzed))
+  }
+
   /** Exact near-duplicate pairs (bigram-shingle Jaccard ≥ 0.5) by prefix
     * filtering over a df-ordered term index — candidates from an equi-join
     * on prefix terms only, dedup+verify fused into the join (one merge scan

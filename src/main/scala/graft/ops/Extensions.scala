@@ -65,12 +65,38 @@ object Extensions {
       .orderBy(col("p_brand"))
   }
 
+  /** The whole-operator extension surface (ladder rung (c) after the
+    * Expression rung `expr_custom_catalyst`): exact top-3 orders per
+    * customer through the custom TopKPerKey LogicalPlan → Strategy →
+    * physical exec (graft.plans.TopKPerKey). Same semantics as
+    * `topk_per_group`'s row_number window — the oracle is that exact SQL
+    * minus the rank column — but planned as a declared-property streaming
+    * scan (PlanShapeSpec asserts TopKPerKeyExec + no Window in the plan).
+    * `price` is double on both sides (DECIMAL output ban, parity.py:16). */
+  def topkPerGroupExec(spark: SparkSession, sf: String): DataFrame = {
+    val o = orders(spark, sf).select(col("o_custkey"), col("o_orderkey"),
+      col("o_totalprice").as("price"))
+    graft.api.Graft.topKPerKey(o, Seq("o_custkey"),
+        Seq(("price", true), ("o_orderkey", false)), 3)
+      .orderBy(col("o_custkey"), col("price").desc, col("o_orderkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udf_scalar_msisdn" -> udfScalarMsisdn,
-    "agg_udaf_weighted_avg" -> aggUdafWeightedAvg
+    "agg_udaf_weighted_avg" -> aggUdafWeightedAvg,
+    "topk_per_group_exec" -> topkPerGroupExec
   )
 
   def oracle: Map[String, String] = Map(
+    "topk_per_group_exec" ->
+      """SELECT o_custkey, o_orderkey, price FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice AS price,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, price DESC, o_orderkey""".stripMargin,
+
     "udf_scalar_msisdn" ->
       """SELECT c_custkey,
         |  lpad(right(regexp_replace(c_name, '[^0-9]', '', 'g'), 9), 11, '0') AS msisdn

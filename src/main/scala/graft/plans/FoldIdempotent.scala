@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FoldIdempotent)
     e.injectOptimizerRule(_ => LshPrefilter)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** The whole-operator extension point (SURVEY §4.2, preference ladder (c)):
+  * a custom LogicalPlan + SparkStrategy + physical SparkPlan for exact
+  * per-key top-k, planned through EnsureRequirements.
+  *
+  * Why a physical operator at all: the DataFrame formulation
+  * (`row_number().over(partitionBy(key).orderBy(ord)) <= k`) materializes a
+  * rank column for EVERY row before filtering — the window operator buffers
+  * each key group and evaluates the frame machinery row by row. This exec
+  * declares the same clustering + ordering as REQUIRED child properties, so
+  * EnsureRequirements plans the exchange + sort (reusing any existing
+  * layout — a bucketed/sorted source pays no shuffle at all), and the
+  * operator itself is a single streaming scan per partition: count rows per
+  * key run, stop emitting after k. No rank column, no group buffering, and
+  * the sort below it remains Spark's radix/Tungsten sort.
+  *
+  * At 100 TB the win is the elided materialization and the property-based
+  * planning: the operator composes with AQE, bucketing, and whole-stage
+  * codegen boundaries exactly like Spark's own SortExec-based operators. */
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Streaming per-partition top-k over key-clustered, (key, order)-sorted
+  * input — the required properties are declared, not hand-built, so the
+  * planner inserts (or elides) the exchange and sort. */
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions { iter =>
+      val proj = UnsafeProjection.create(keys, child.output)
+      var cur: UnsafeRow = null
+      var n = 0
+      iter.filter { row =>
+        val kr = proj(row)
+        if (cur == null || kr != cur) { cur = kr.copy(); n = 1 } else n += 1
+        n <= k
+      }
+    }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan obligations from SURVEY §4.1: pushdown, pruning, broadcast
@@ -38,6 +39,36 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("vec_knn_cosine broadcasts the probe side") {
     assert(planOf("vec_knn_cosine").contains("Broadcast"))
+  }
+
+  test("topk_per_group_exec plans the custom exec, no Window operator") {
+    val df = SparkEntry.queries("topk_per_group_exec")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(800))
+    assert(!plan.contains("Window"), s"rank window crept back in:\n${plan.take(800)}")
+    // and it agrees with the row_number formulation row for row
+    val viaWindow = SparkEntry.queries("topk_per_group")(spark, sf001)
+      .select(col("o_custkey"), col("o_orderkey"), col("price"))
+      .collect().map(_.toSeq).toSet
+    val viaExec = df.collect().map(_.toSeq).toSet
+    assert(viaExec == viaWindow)
+  }
+
+  test("TopKPerKeyExec elides exchange+sort on pre-clustered sorted input") {
+    // property-based planning: input already hash-distributed on the key
+    // and sorted (key, ord) ⇒ EnsureRequirements must insert NOTHING
+    val base = graft.util.Tables.orders(spark, sf001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice").as("price"))
+      .repartition(col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"), col("price").desc, col("o_orderkey"))
+    val topk = graft.api.Graft.topKPerKey(base, Seq("o_custkey"),
+      Seq(("price", true), ("o_orderkey", false)), 3)
+    val plan = topk.queryExecution.executedPlan.toString
+    def count(marker: String) = marker.r.findAllIn(plan).size
+    // exactly the user's own repartition exchange and sort — nothing added
+    assert(plan.contains("TopKPerKey"), plan.take(800))
+    assert(count("Exchange") == 1 && count("\\bSort\\b") == 1,
+      s"planner re-inserted exchange/sort above the prepared child:\n$plan")
   }
 
   test("whole-stage codegen covers the pricing summary") {
