@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.util.Determinism._
@@ -128,6 +128,41 @@ object Streaming {
   // public: Janino-generated (de)serializers cannot access private classes
   case class SEvent(event_id: Long, user_id: Long, cents: Long)
   case class UserState(user_id: Long, n_events: Long, sum_cents: Long)
+  case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class ExpiryOut(user_id: Long, n_events: Long, closed: Int)
+
+  /** StatefulProcessor with EVENT-TIME TIMERS — the state-lifecycle pattern
+    * that keeps 100 TB streaming state bounded: every batch re-arms an idle
+    * timer 10 s past the key's max event time, and when the watermark
+    * passes it, [[handleExpiredTimer]] emits one final `closed = 1` row and
+    * CLEARS the state — an idle key costs nothing forever after (without
+    * this, per-key state grows monotonically with key cardinality).
+    * Deterministic by construction: expiry is driven by the event-time
+    * watermark, never the wall clock (exercised batch by batch in
+    * StreamingSpec). */
+  class CountUntilIdle extends StatefulProcessor[Long, TimedEvent, ExpiryOut] {
+    @transient private var st: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[TimedEvent],
+        tv: TimerValues): Iterator[ExpiryOut] = {
+      var n = if (st.exists()) st.get() else 0L
+      var maxTs = Long.MinValue
+      rows.foreach { r => n += 1; maxTs = math.max(maxTs, r.ts.getTime) }
+      st.update(n)
+      // re-arm: drop any earlier idle timer, keep exactly one per live key
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(maxTs + 10000L)
+      Iterator.single(ExpiryOut(user, n, 0))
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ExpiryOut] = {
+      val n = if (st.exists()) st.get() else 0L
+      st.clear()
+      Iterator.single(ExpiryOut(user, n, 1))
+    }
+  }
 
   /** StatefulProcessor for [[streamStatefulCount]]: one ValueState row per
     * user holding (n_events, sum_cents), emitted on every update. */

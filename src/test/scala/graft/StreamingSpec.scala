@@ -91,4 +91,54 @@ class StreamingSpec extends AnyFunSuite {
       case None    => spark.conf.unset(provKey)
     }
   }
+
+  test("event-time timers close idle keys and clear their state") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.ops.Streaming.{CountUntilIdle, TimedEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val ms = MemoryStream[TimedEvent]
+      val out = ms.toDS().withWatermark("ts", "0 seconds")
+        .groupByKey(_.user_id)
+        .transformWithState(new CountUntilIdle(), TimeMode.EventTime(),
+          OutputMode.Update())
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int)]
+      val q = out.toDF().writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            buf.add((r.getLong(0), r.getLong(1), r.getInt(2))))
+        }.start()
+      def snap = buf.iterator().asScala.toSet
+      ms.addData(TimedEvent(10, t("2024-01-01 10:00:00")),
+        TimedEvent(10, t("2024-01-01 10:00:01")),
+        TimedEvent(20, t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(snap == Set((10L, 2L, 0), (20L, 1L, 0)), snap.toString)
+      // batch 2 (other key) advances the watermark to 10:01:00 post-batch;
+      // the follow-up NO-DATA micro-batch (noDataMicroBatches, on by
+      // default) then runs at the new watermark and fires both idle timers
+      // (10:00:11 / 10:00:10): one final closed row each, state cleared
+      ms.addData(TimedEvent(30, t("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      val closed = snap.filter(_._3 == 1)
+      assert(closed == Set((10L, 2L, 1), (20L, 1L, 1)), snap.toString)
+      // the cleared key returns: its count restarts from zero — the state
+      // really was dropped, not just muted
+      ms.addData(TimedEvent(10, t("2024-01-01 10:01:06")))
+      q.processAllAvailable()
+      assert(snap.contains((10L, 1L, 0)), snap.toString)
+      q.stop(); q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
 }
