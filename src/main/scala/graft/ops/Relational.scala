@@ -176,6 +176,24 @@ object Relational {
 
   /** Non-equi theta join: equi part keeps it hash-joinable, inequality stays
     * a residual filter (never a cartesian at scale). */
+  /** NULL-SAFE equi join (`<=>` / IS NOT DISTINCT FROM): null keys MATCH
+    * null keys instead of silently dropping — the semantics conforming
+    * pipelines need when "unknown" is a real dimension value. Spark still
+    * plans this as a hash/sort-merge equi join (EqualNullSafe is a
+    * sargable join key, unlike an OR-of-IS-NULLs rewrite, which would
+    * degrade to a nested loop). */
+  def joinNullSafe(spark: SparkSession, sf: String): DataFrame = {
+    val np = when(col("o_orderkey") % 7 === 0, lit(null))
+      .otherwise(col("o_orderpriority"))
+    val l = orders(spark, sf).select(np.as("np"))
+    val d = l.distinct().select(col("np").as("p"),
+      coalesce(col("np"), lit("NONE")).as("label"))
+    l.join(d, col("np") <=> col("p"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"))
+  }
+
   def joinThetaRange(spark: SparkSession, sf: String): DataFrame = {
     val li = lineitem(spark, sf)
     val p  = part(spark, sf)
@@ -507,6 +525,7 @@ object Relational {
     "join_anti" -> joinAnti,
     "join_broadcast" -> joinBroadcast,
     "join_theta_range" -> joinThetaRange,
+    "join_null_safe" -> joinNullSafe,
     "join_cross" -> joinCross,
     "join_asof" -> joinAsof,
     "join_interval" -> joinInterval,
@@ -625,6 +644,15 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 25
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |              ELSE o_orderpriority END AS np FROM orders),
+        |d AS (SELECT DISTINCT np AS p, coalesce(np, 'NONE') AS label FROM l)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n
+        |FROM l JOIN d ON l.np IS NOT DISTINCT FROM d.p
+        |GROUP BY label ORDER BY label""".stripMargin,
 
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation

@@ -409,6 +409,26 @@ object Scale {
       .orderBy(col("n_exact").desc, col("pk").asc)
   }
 
+  /** EXACT distinct counting via bitmap words — the roaring-bitmap pattern
+    * from relational primitives: dense int ids pack into (id div 62) words
+    * of set bits (62, not 64 — 1L << 63 overflows DuckDB's signed shift),
+    * one bit_or aggregate per (group, word), then Σ bit_count. Why at
+    * 100 TB: the shuffle carries one word per 62 ids instead of one row
+    * per id, words are MERGEABLE summaries (union = OR — incremental
+    * refresh without raw rescan, same argument as agg_hll_merge), and the
+    * count is exact where HLL is approximate. Output includes n_words as
+    * evidence of the compaction. */
+  def aggBitmapDistinct(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .select(col("event_type"), expr("user_id div 62").as("wd"),
+        expr("shiftleft(1L, CAST(user_id % 62 AS INT))").as("bit"))
+      .groupBy(col("event_type"), col("wd"))
+      .agg(bit_or(col("bit")).as("bits"))
+      .groupBy(col("event_type"))
+      .agg(sum(bit_count(col("bits"))).as("n_distinct"),
+        count(lit(1)).as("n_words"))
+      .orderBy(col("event_type"))
+
   /** Running DISTINCT count over a window: distinct order priorities each
     * customer has used up to each order. Spark side: collect_set over a
     * rows frame; oracle: the first-occurrence-flag running sum — equal
@@ -439,6 +459,7 @@ object Scale {
     "agg_hll_merge" -> aggHllMerge,
     "agg_cms_freq" -> aggCmsFreq,
     "join_bloom_prune" -> joinBloomPrune,
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "window_distinct_running" -> windowDistinctRunning
   )
 
@@ -447,6 +468,15 @@ object Scale {
       """SELECT lang, count(DISTINCT doc_id) AS n_exact,
         |  1 AS merge_consistent, 1 AS within_2pct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "agg_bitmap_distinct" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id // 62 AS wd,
+        |         bit_or(1::BIGINT << (user_id % 62)::INT) AS bits
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct,
+        |       CAST(count(*) AS BIGINT) AS n_words
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_bloom_prune" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
