@@ -409,6 +409,53 @@ object Scale {
       .orderBy(col("n_exact").desc, col("pk").asc)
   }
 
+  /** AQE skew-join handling — the AUTOMATIC twin of join_skew_salted's
+    * manual salting: a synthetic hot key (30% of lineitem folded onto
+    * orderkey 1) makes one shuffle partition dwarf the median, and
+    * OptimizeSkewedJoin splits it into subpartitions at runtime, each
+    * joined against a replicated copy of the matching build rows — no
+    * query rewrite, no salt column. Thresholds are lowered to fixture
+    * bytes inside the set/restore scope (production defaults are 256 MB)
+    * and the plan is materialized inside it (AQE re-plans at execution);
+    * ScaleFixSpec asserts the skew marker on the executed join. The oracle
+    * is the plain join with the same key mapping — AQE must not change a
+    * single row. */
+  def joinSkewAqe(spark: SparkSession, sf: String): DataFrame = {
+    val agg = withSkewConfs(spark) { skewJoinPlan(spark, sf).localCheckpoint() }
+    agg.orderBy(col("o_orderpriority"))
+  }
+
+  private[graft] def withSkewConfs[T](spark: SparkSession)(body: => T): T =
+    withConfs(spark,
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // fixture hot/median ratio is ~1.95, below the production default
+      // factor 5 — the lowered factor/threshold only rescale detection to
+      // fixture bytes, they don't change the mechanism
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")(body)
+
+  private[graft] def skewJoinPlan(spark: SparkSession, sf: String): DataFrame = {
+    val hot = when(col("l_orderkey") % 10 < 3, lit(1L)).otherwise(col("l_orderkey"))
+    // skew splitting works at MAP-OUTPUT-BLOCK granularity: a reduce
+    // partition fed by ONE mapper is one indivisible block, and the
+    // single-row-group fixture parquet scans as one map task (byte-range
+    // splits of a lone row group yield empty maps, so files.maxPartitionBytes
+    // cannot help). The repartition gives the join shuffle the many-mapper
+    // shape every real 100 TB scan has; at scale it is unnecessary and the
+    // skewed partition splits along its thousands of natural map blocks.
+    val li = lineitem(spark, sf)
+      .repartition(8)
+      .select(hot.as("k"), floor(col("l_quantity")).cast("long").as("qf"))
+    val o = orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(o, col("k") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("qf")).as("sum_q"))
+  }
+
   /** EXACT distinct counting via bitmap words — the roaring-bitmap pattern
     * from relational primitives: dense int ids pack into (id div 62) words
     * of set bits (62, not 64 — 1L << 63 overflows DuckDB's signed shift),
@@ -460,6 +507,7 @@ object Scale {
     "agg_cms_freq" -> aggCmsFreq,
     "join_bloom_prune" -> joinBloomPrune,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
+    "join_skew_aqe" -> joinSkewAqe,
     "window_distinct_running" -> windowDistinctRunning
   )
 
@@ -468,6 +516,14 @@ object Scale {
       """SELECT lang, count(DISTINCT doc_id) AS n_exact,
         |  1 AS merge_consistent, 1 AS within_2pct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "join_skew_aqe" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
+        |FROM (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
+        |             ELSE l_orderkey END AS k, l_quantity FROM lineitem) li
+        |JOIN orders ON li.k = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_bitmap_distinct" ->
       """WITH w AS (

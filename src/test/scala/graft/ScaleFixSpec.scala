@@ -129,6 +129,16 @@ class ScaleFixSpec extends AnyFunSuite {
       s"runtime bloom filter did not inject:\n${plan.take(1200)}")
   }
 
+  test("join_skew_aqe splits the hot partition at runtime (skew marker on the join)") {
+    val plan = graft.ops.Scale.withSkewConfs(spark) {
+      val df = graft.ops.Scale.skewJoinPlan(spark, sf001)
+      df.collect() // AQE finalizes the plan only on execution
+      df.queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("skew=true"),
+      s"OptimizeSkewedJoin did not mark the join:\n${plan.take(1200)}")
+  }
+
   test("etl_compact_files actually reduces the file count") {
     SparkEntry.queries("etl_compact_files")(spark, sf001).collect()
     def partFiles(prefix: String): Int =
