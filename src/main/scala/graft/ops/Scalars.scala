@@ -219,7 +219,28 @@ object Scalars {
         col("s.status").as("status"))
       .orderBy(col("k"))
 
+  /** Spark 4 COLLATION surface: UTF8_LCASE equality as a real JOIN key —
+    * the engine hashes/compares under the collation (a first-class
+    * engine feature, not a lower() rewrite at the call site; at scale the
+    * collation key is what the shuffle partitions on). The fact side gets
+    * synthetic case noise by orderkey parity; the dim carries canonical
+    * lowercase labels, so output rows are deterministic. The oracle IS the
+    * lower() rewrite — proving the collation join equals it on ASCII. */
+  def fnCollateCi(spark: SparkSession, sf: String): DataFrame = {
+    val noisy = when(col("o_orderkey") % 2 === 0, upper(col("o_orderpriority")))
+      .otherwise(lower(col("o_orderpriority")))
+    val fact = orders(spark, sf).select(noisy.as("v"))
+    val dim = orders(spark, sf)
+      .select(lower(col("o_orderpriority")).as("label")).distinct()
+    fact.join(dim,
+        expr("collate(v, 'UTF8_LCASE')") === expr("collate(label, 'UTF8_LCASE')"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_collate_ci" -> fnCollateCi,
     "fn_bitwise" -> fnBitwise,
     "fn_hash_encode" -> fnHashEncode,
     "fn_url_parse" -> fnUrlParse,
@@ -238,6 +259,15 @@ object Scalars {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_collate_ci" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+        |              ELSE lower(o_orderpriority) END AS v FROM orders),
+        |dim AS (SELECT DISTINCT lower(o_orderpriority) AS label FROM orders)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n
+        |FROM fact JOIN dim ON lower(v) = label
+        |GROUP BY label ORDER BY label""".stripMargin,
+
     "fn_bitwise" ->
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS band,
