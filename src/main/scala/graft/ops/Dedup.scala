@@ -248,7 +248,27 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** INCREMENTAL ingestion dedup — the op every continuously-fed corpus
+    * runs on arrival: the new batch (doc_id ≡ 0 mod 3 stands in for it)
+    * is anti-joined against the HISTORY's content fingerprints, so only
+    * never-seen content survives to land. The fingerprint is the sorted
+    * distinct-word-set md5 (same canonicalization as text_fingerprint:
+    * whitespace/order/repetition-invariant). Shape at 100 TB: a shuffle
+    * anti-join keyed on the 16-byte fp — history never broadcast, batch
+    * never compared pairwise; at petabyte history the fp table is exactly
+    * what a bloom-filter pre-pass (join_bloom_prune's mechanism) prunes. */
+  def dedupIncremental(spark: SparkSession, sf: String): DataFrame = {
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(words)))).as("fp")
+    val d = documents(spark, sf).select(col("doc_id"), col("lang"), fp)
+    val hist = d.where(col("doc_id") % 3 =!= 0)
+    val batch = d.where(col("doc_id") % 3 === 0)
+    batch.join(hist.select(col("fp")), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> dedupIncremental,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "dedup_simhash" -> dedupSimhash,
@@ -283,6 +303,16 @@ object Dedup {
        |sets AS (SELECT doc_id, $bgSql AS bg FROM documents)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, lang, fp FROM f
+        |WHERE doc_id % 3 = 0
+        |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 3 <> 0)
+        |ORDER BY doc_id""".stripMargin,
+
     "dedup_minhash_lsh" ->
       s"""$minhashCte
          |SELECT doc_a, doc_b,

@@ -61,6 +61,63 @@ class PropertySpec extends AnyFunSuite {
       got2.collect().map(r => (r.getLong(0), r.getInt(1))).toMap)
   }
 
+  test("bitmap-word distinct equals countDistinct on random skewed ids") {
+    val rnd = new Random(21)
+    // zipfian-ish: many repeats, ids up to 5000
+    val rows = Seq.fill(8000)((rnd.nextInt(4).toLong,
+      (math.pow(rnd.nextDouble(), 2) * 5000).toLong))
+    val df = rows.toDF("g", "id")
+    val got = df
+      .select(col("g"), expr("id div 62").as("wd"),
+        expr("shiftleft(1L, CAST(id % 62 AS INT))").as("bit"))
+      .groupBy(col("g"), col("wd")).agg(bit_or(col("bit")).as("bits"))
+      .groupBy(col("g")).agg(sum(bit_count(col("bits"))).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = rows.groupBy(_._1).map { case (g, vs) =>
+      (g, vs.map(_._2).distinct.size.toLong) }
+    assert(got == expect)
+  }
+
+  test("count-min estimates never underestimate on random frequencies") {
+    val rnd = new Random(33)
+    val keys = Seq.fill(6000)((math.pow(rnd.nextDouble(), 3) * 400).toLong)
+    val df = keys.toDF("pk")
+    val rowsExpr = (0 until 4).map(r =>
+      struct(lit(r).as("r"), pmod(xxhash64(lit(r), col("pk")), lit(128)).as("b")))
+    val counters = df.select(explode(array(rowsExpr: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val est = df.groupBy(col("pk")).agg(count(lit(1)).as("exact"))
+      .select(col("pk"), col("exact"), explode(array(rowsExpr: _*)).as("rb"))
+      .join(broadcast(counters),
+        col("rb.r") === counters("r") && col("rb.b") === counters("b"))
+      .groupBy(col("pk"), col("exact")).agg(min(col("cnt")).as("est"))
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        s"CMS underestimated: $r") // the deterministic CMS guarantee
+    }
+  }
+
+  test("substring-dup pairs: planted spans found, disjoint docs silent") {
+    val rnd = new Random(55)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julia")
+    def doc(): String =
+      Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val span = "the exact same forty character span here okay" // > 40 chars
+    val docs = Seq(
+      (1L, doc() + " " + span),
+      (2L, span + " " + doc()),          // same span, different offset
+      (3L, doc() + " stopword")          // no shared span
+    ).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.substringPairsOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs.toString)
+  }
+
   test("bigram Jaccard is symmetric and bounded by [0,1]") {
     val rnd = new Random(99)
     val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
