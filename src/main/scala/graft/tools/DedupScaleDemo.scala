@@ -50,6 +50,19 @@ object DedupScaleDemo {
     println(f"[dedup-demo] corpus=${nBase * nRep}%d docs ($nBase%d clusters × $nRep%d replicas): " +
       f"clustered_docs=$nDocs%d components=$nComp%d sizes={$sizes} wall=$sec%.1fs " +
       s"(exact all-pairs would be ${(nBase.toLong * nRep) * (nBase.toLong * nRep - 1) / 2} comparisons)")
+    // phase 2: duplicated-SPAN detection on the same corpus — replicas
+    // differ by one word, so every replica pair shares long verbatim runs;
+    // windows are md5-derived per cluster, so cross-cluster silence is the
+    // correctness signal and Σ per-window |docs|² the cost driver.
+    val t1 = System.nanoTime()
+    val spans = graft.api.Graft.substringDupPairs(docs, "doc_id", "text")
+      .localCheckpoint()
+    val nPairs = spans.count()
+    val crossCluster = spans
+      .where(col("a_id") % nBase =!= col("b_id") % nBase).count()
+    val sec1 = (System.nanoTime() - t1) / 1e9
+    println(f"[substring-demo] span_pairs=$nPairs%d cross_cluster=$crossCluster%d " +
+      f"wall=$sec1%.1fs")
     spark.stop()
   }
 }
