@@ -397,7 +397,29 @@ object Etl {
       .orderBy(col("month"))
   }
 
+  /** Cohort RETENTION — the events-pipeline analytics staple: users are
+    * cohorted by first-activity week, and each later active week counts
+    * them at offset k = (week − cohort)/7. One distinct-activity pass +
+    * one first-touch aggregate + an equi-join on user_id; the countDistinct
+    * dedups users active multiple times in a week. Both engines truncate
+    * weeks to Monday, and week-start date arithmetic is exact integer
+    * days — no timestamp leaves the plan (D4). */
+  def etlRetentionCohort(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    first.join(ev, "user_id")
+      .select(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int").as("k"),
+        col("user_id"))
+      .groupBy(col("cohort"), col("k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("k"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_retention_cohort" -> etlRetentionCohort,
     "etl_anomaly_zscore" -> etlAnomalyZscore,
     "etl_gap_fill" -> etlGapFill,
     "etl_sample_stratified" -> etlSampleStratified,
@@ -420,6 +442,16 @@ object Etl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_retention_cohort" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY 1)
+        |SELECT cohort, CAST((wk - cohort) / 7 AS INT) AS k,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "etl_anomaly_zscore" ->
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
