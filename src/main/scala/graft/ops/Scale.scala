@@ -409,6 +409,19 @@ object Scale {
       .orderBy(col("n_exact").desc, col("pk").asc)
   }
 
+  /** Read through the custom DataSource V2 connector (graft.sources.
+    * DocsSource): the doc_id predicate narrows the planned range at the
+    * SOURCE (connector-level pushdown — asserted on the plan in
+    * SourceSpec) and the deterministic md5 generator lets DuckDB rebuild
+    * the exact rows, so the whole connector stack — TableProvider →
+    * ScanBuilder → partition planning → PartitionReader — sits under the
+    * same hash-match oracle as every relational key. */
+  def sourceCustomV2(spark: SparkSession, sf: String): DataFrame =
+    spark.read.format("graft-docs").option("nDocs", "1000").load()
+      .where(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id"))
+
   /** AQE skew-join handling — the AUTOMATIC twin of join_skew_salted's
     * manual salting: a synthetic hot key (30% of lineitem folded onto
     * orderkey 1) makes one shuffle partition dwarf the median, and
@@ -508,6 +521,7 @@ object Scale {
     "join_bloom_prune" -> joinBloomPrune,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "join_skew_aqe" -> joinSkewAqe,
+    "source_custom_v2" -> sourceCustomV2,
     "window_distinct_running" -> windowDistinctRunning
   )
 
@@ -516,6 +530,15 @@ object Scale {
       """SELECT lang, count(DISTINCT doc_id) AS n_exact,
         |  1 AS merge_consistent, 1 AS within_2pct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "source_custom_v2" ->
+      """SELECT i AS doc_id,
+        |  CASE CAST(i % 3 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+        |       ELSE 'fr' END AS lang,
+        |  array_to_string(list_transform(range(0, 40),
+        |    j -> substr(md5(i || ':' || j), 1, 6)), ' ') AS text
+        |FROM (SELECT unnest(generate_series(100, 199)) AS i)
+        |ORDER BY doc_id""".stripMargin,
 
     "join_skew_aqe" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -1,0 +1,146 @@
+package graft.sources
+
+import java.security.MessageDigest
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The custom-SOURCE extension rung (DataSource V2): a deterministic
+  * synthetic document corpus as a first-class table —
+  * `spark.read.format("graft-docs").option("nDocs", n).load()` →
+  * (doc_id, lang, text). The generator is pure md5 arithmetic (word j of
+  * doc i = md5("i:j").take(6)), so a DuckDB oracle can REBUILD the exact
+  * content and hash-compare a read through the full connector stack.
+  *
+  * The three things a 100 TB source must do are all real here, not
+  * pass-throughs:
+  *  - PARTITION PLANNING: the doc_id range splits into `nPartitions`
+  *    independent InputPartitions — generation (like any scan) runs
+  *    embarrassingly parallel, no driver materialization;
+  *  - FILTER PUSHDOWN (SupportsPushDownFilters): >,>=,<,<=,= on doc_id
+  *    narrow the planned range BEFORE partitions exist — the connector
+  *    analogue of parquet row-group pruning (residual filters are left to
+  *    Spark, so over-acceptance is impossible);
+  *  - COLUMN PRUNING (SupportsPushDownRequiredColumns): a projection
+  *    without `text` skips text generation entirely — the dominant cost,
+  *    exactly like a columnar reader skipping pages.
+  * Scan.description() exposes the effective range + schema, asserted on
+  * the plan in SourceSpec. */
+class DocsSourceProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-docs"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocsSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new DocsTable(
+      properties.getOrDefault("nDocs", "1000").toLong,
+      properties.getOrDefault("nWords", "40").toInt,
+      properties.getOrDefault("nPartitions", "8").toInt)
+}
+
+object DocsSource {
+  val schema: StructType = new StructType()
+    .add("doc_id", LongType).add("lang", StringType).add("text", StringType)
+
+  private val langs = Array("en", "de", "fr")
+
+  def lang(id: Long): String = langs((id % 3).toInt)
+
+  def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  def text(id: Long, nWords: Int): String =
+    (0 until nWords).map(j => md5hex(s"$id:$j").substring(0, 6)).mkString(" ")
+}
+
+class DocsTable(nDocs: Long, nWords: Int, nParts: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_docs($nDocs)"
+  override def schema(): StructType = DocsSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocsScanBuilder(nDocs, nWords, nParts)
+}
+
+class DocsScanBuilder(nDocs: Long, nWords: Int, nParts: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = nDocs // exclusive
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = DocsSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val taken = ArrayBuffer[Filter]()
+    filters.foreach {
+      case f @ GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); taken += f
+      case f @ GreaterThan("doc_id", v: Long)        => lo = math.max(lo, v + 1); taken += f
+      case f @ LessThan("doc_id", v: Long)           => hi = math.min(hi, v); taken += f
+      case f @ LessThanOrEqual("doc_id", v: Long)    => hi = math.min(hi, v + 1); taken += f
+      case f @ EqualTo("doc_id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); taken += f
+      case _ => ()
+    }
+    accepted = taken.toArray
+    // hand every filter back as residual: pruning here is an optimization,
+    // Spark's own evaluation stays the correctness authority
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = DocsScan(lo, math.max(lo, hi), nWords, nParts, required)
+}
+
+case class DocsScan(lo: Long, hi: Long, nWords: Int, nParts: Int,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-docs range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, math.min(nParts.toLong, hi - lo)).toInt
+    val step = (hi - lo + n - 1) / math.max(1, n)
+    (0 until n).map { i =>
+      DocsRange(lo + i * step, math.min(hi, lo + (i + 1) * step), nWords)
+    }.filter(p => p.start < p.end).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsReaderFactory(required, nWords)
+}
+
+case class DocsRange(start: Long, end: Long, nWords: Int) extends InputPartition
+
+class DocsReaderFactory(required: StructType, nWords: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[DocsRange]
+    new PartitionReader[InternalRow] {
+      private var id = r.start - 1
+      override def next(): Boolean = { id += 1; id < r.end }
+      override def get(): InternalRow = {
+        val values = required.fieldNames.map {
+          case "doc_id" => id.asInstanceOf[AnyRef]
+          case "lang"   => UTF8String.fromString(DocsSource.lang(id))
+          case "text"   => UTF8String.fromString(DocsSource.text(id, nWords))
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom DataSource V2 connector (graft.sources.DocsSource): filter
+  * pushdown narrows the planned range, column pruning reaches the reader,
+  * and partition planning gives the scan real parallelism. */
+class SourceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = spark.read.format("graft-docs")
+    .option("nDocs", "1000").load()
+
+  test("doc_id predicates narrow the scan range at the source") {
+    val df = docs.where(col("doc_id") >= 100 && col("doc_id") < 200)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[100,200)"), plan.take(600))
+    assert(df.count() == 100)
+    // residuals stay with Spark: a non-pushable predicate still filters
+    val odd = docs.where(col("doc_id") >= 10 && col("doc_id") < 20 &&
+      col("doc_id") % 2 === 1)
+    assert(odd.count() == 5)
+  }
+
+  test("column pruning reaches the reader (no text generation)") {
+    val df = docs.select(col("doc_id"), col("lang"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=doc_id,lang"), plan.take(600))
+    assert(!plan.contains("cols=doc_id,lang,text"))
+    assert(df.count() == 1000)
+  }
+
+  test("the scan plans multiple independent partitions") {
+    assert(docs.rdd.getNumPartitions == 8)
+    // a 3-row range cannot use more than 3 partitions
+    val tiny = docs.where(col("doc_id") >= 0 && col("doc_id") < 3)
+    assert(tiny.rdd.getNumPartitions <= 3 && tiny.count() == 3)
+  }
+
+  test("generated content matches the spec exactly") {
+    val r = docs.where(col("doc_id") === 7).head()
+    assert(r.getLong(0) == 7L)
+    assert(r.getString(1) == "de") // 7 % 3 == 1
+    val words = r.getString(2).split(" ")
+    assert(words.length == 40)
+    assert(words(0) == graft.sources.DocsSource.md5hex("7:0").substring(0, 6))
+  }
+}
