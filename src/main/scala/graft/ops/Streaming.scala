@@ -336,7 +336,23 @@ object Streaming {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming read through the custom DSv2 connector (graft.sources.
+    * DocsSource, TableCapability.MICRO_BATCH_READ): readStream on the
+    * "graft-docs" format drains the deterministic corpus through the
+    * MicroBatchStream offset path into a Complete-mode aggregate. Because
+    * the generator is replayable md5, the DuckDB oracle rebuilds the same
+    * aggregate — the stream path earns the same hash-match bar as batch. */
+  def streamCustomSource(spark: SparkSession, sf: String): DataFrame = {
+    val src = spark.readStream.format("graft-docs")
+      .option("nDocs", "1000").load()
+    val agg = src.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+    drain(spark, agg, OutputMode.Complete()).orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_custom_source" -> streamCustomSource,
     "stream_foreach_batch" -> streamForeachBatch,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
@@ -354,6 +370,13 @@ object Streaming {
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  min(event_id) AS min_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_custom_source" ->
+      """SELECT CASE CAST(i % 3 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+        |       ELSE 'fr' END AS lang,
+        |  CAST(count(*) AS BIGINT) AS n, min(i) AS min_id, max(i) AS max_id
+        |FROM (SELECT unnest(generate_series(0, 999)) AS i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_tumbling" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS ws_epoch,

@@ -68,7 +68,7 @@ class DocsTable(nDocs: Long, nWords: Int, nParts: Int) extends Table with Suppor
   override def name(): String = s"graft_docs($nDocs)"
   override def schema(): StructType = DocsSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocsScanBuilder(nDocs, nWords, nParts)
 }
@@ -121,6 +121,36 @@ case class DocsScan(lo: Long, hi: Long, nWords: Int, nParts: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocsReaderFactory(required, nWords)
+
+  /** Micro-batch STREAM view of the same range (the connector's second
+    * read mode, TableCapability.MICRO_BATCH_READ): offsets are plain
+    * doc_id positions, each micro-batch plans the [start, end) slice with
+    * the same partitioning/pruning as the batch path. Deterministic —
+    * replaying any offset range regenerates identical rows, which is the
+    * exactly-once contract a replayable source must honor. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DocsMicroBatchStream(this)
+}
+
+case class DocsOffset(id: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
+}
+
+class DocsMicroBatchStream(scan: DocsScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  override def initialOffset(): Offset = DocsOffset(scan.lo)
+  override def latestOffset(): Offset = DocsOffset(scan.hi)
+  override def deserializeOffset(json: String): Offset = DocsOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    scan.copy(lo = start.asInstanceOf[DocsOffset].id,
+      hi = end.asInstanceOf[DocsOffset].id).planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class DocsRange(start: Long, end: Long, nWords: Int) extends InputPartition
