@@ -239,7 +239,39 @@ object Scalars {
       .orderBy(col("label"))
   }
 
+  /** Spark 4 VARIANT type — the semi-structured engine surface that
+    * replaces string-JSON reparsing: props parses ONCE into the binary
+    * variant encoding, fields extract with `variant_get` path+type, and
+    * the whole thing aggregates like any typed column (at 100 TB the win
+    * is parse-once + shredded access instead of per-expression JSON
+    * string scans). Oracle: DuckDB's JSON extraction — proving the
+    * variant path agrees with the string-JSON semantics it supersedes. */
+  def fnVariant(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .select(parse_json(col("props")).as("v"), col("event_type"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"), col("k_mod"))
+
+  /** Conditional aggregation via FILTER clauses — one scan, many
+    * selectively-fed aggregates (the pivot-less pivot; at scale this is
+    * the difference between one pass and one pass per condition). */
+  def aggFiltered(spark: SparkSession, sf: String): DataFrame =
+    orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_all"),
+        count_if(col("o_orderstatus") === "F").as("n_f"),
+        count_if(col("o_totalprice") > 200000.0).as("n_big"),
+        sum(when(col("o_orderstatus") === "O",
+          floor(col("o_totalprice") * 100).cast("long")).otherwise(0L)).as("open_cents"),
+        max(when(col("o_orderstatus") === "P", col("o_orderkey"))).as("max_p_key"))
+      .orderBy(col("o_orderpriority"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_variant" -> fnVariant,
+    "agg_filtered" -> aggFiltered,
     "fn_collate_ci" -> fnCollateCi,
     "fn_bitwise" -> fnBitwise,
     "fn_hash_encode" -> fnHashEncode,
@@ -259,6 +291,25 @@ object Scalars {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_variant" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |  FROM events)
+        |SELECT event_type, k % 10 AS k_mod,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "agg_filtered" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 200000.0) AS BIGINT) AS n_big,
+        |  CAST(coalesce(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |    FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS open_cents,
+        |  max(o_orderkey) FILTER (WHERE o_orderstatus = 'P') AS max_p_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "fn_collate_ci" ->
       """WITH fact AS (
         |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
