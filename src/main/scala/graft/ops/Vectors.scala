@@ -104,6 +104,47 @@ object Vectors {
       .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
       .orderBy(col("sig"))
 
+  /** Maximum-INNER-PRODUCT retrieval (MIPS) via the norm-augmentation
+    * reduction (Bachrach et al., RecSys'14): items augment to
+    * [x, √(M²−|x|²)] (M = corpus max norm, so every augmented item has
+    * norm exactly M) and probes to [q, 0] — then COSINE order in the
+    * augmented space IS inner-product order in the original. That matters
+    * because cosine has LSH families and dot product does not: the
+    * reduction is what lets banded/bucketed ANN serve un-normalized
+    * embeddings (recommendation scores, unnormalized retrieval heads).
+    * Spark ranks ONLY through the augmented cosine; the oracle ranks the
+    * same bucket-mates by direct list_inner_product — the hash match is a
+    * proof of the reduction, not just of the arithmetic. M² arrives via a
+    * broadcast one-row aggregate; buckets and join shape are identical to
+    * [[vecAnnLsh]] (the augmented coordinate is ≥ 0, so its sign never
+    * perturbs the signature). */
+  def vecMipsTopk(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.VectorDot.register(spark)
+    graft.functions.VectorCosine.register(spark)
+    val e = embeddings(spark, sf)
+      .withColumn("norm2", expr("vector_dot(embedding, embedding)"))
+    val m2 = e.agg(max(col("norm2")).as("m2"))
+    val all = e.crossJoin(broadcast(m2))
+      .select(col("vec_id"), col("embedding"), sigExpr(4).as("bucket"),
+        concat(col("embedding"),
+          array(sqrt(col("m2") - col("norm2")).cast("float"))).as("aug"))
+    val p = all.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"),
+        concat(col("embedding"), array(lit(0.0f))).as("pe_aug"),
+        col("bucket").as("pbucket"))
+    val c = all.select(col("vec_id").as("cand_id"), col("aug").as("ce_aug"),
+      col("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("augcos").desc, col("cand_id").asc)
+    c.join(broadcast(p), col("bucket") === col("pbucket") &&
+        col("cand_id") =!= col("probe_id"))
+      .withColumn("augcos", expr("vector_cosine(pe_aug, ce_aug)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("cand_id").as("neighbor_id"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** ANN via LSH buckets: 4-bit signature (16 buckets), probes search only
     * their own bucket — the scale path for similarity search. */
   def vecAnnLsh(spark: SparkSession, sf: String): DataFrame = {
@@ -480,6 +521,7 @@ object Vectors {
     "vec_centroid" -> vecCentroid,
     "vec_bucket_lsh" -> vecBucketLsh,
     "vec_ann_lsh" -> vecAnnLsh,
+    "vec_mips_topk" -> vecMipsTopk,
     "vec_quantize" -> vecQuantize,
     "vec_pq_codes" -> vecPqCodes,
     "vec_topk_global" -> vecTopkGlobal,
@@ -522,6 +564,16 @@ object Vectors {
     "vec_bucket_lsh" ->
       s"""SELECT CAST(${bucketSql(8)} AS INT) AS sig, count(*) AS n, min(vec_id) AS min_vec
          |FROM embeddings GROUP BY sig ORDER BY sig""".stripMargin,
+
+    "vec_mips_topk" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql(4)} AS bucket FROM embeddings)
+         |SELECT probe_id, rank, neighbor_id FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY list_inner_product(p.embedding, c.embedding) DESC, c.vec_id ASC) AS INT) AS rank
+         |  FROM b p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+         |  WHERE p.vec_id IN $probesSql)
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     "vec_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql(4)} AS bucket FROM embeddings)

@@ -156,4 +156,39 @@ class AnnDedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** vec_mips_topk ranks via augmented cosine while the oracle ranks via
+    * raw inner product — equivalent in exact arithmetic, so a cross-engine
+    * flip again needs a rank-relevant gap inside float noise. Replay every
+    * in-bucket MIPS ranking in driver doubles: adjacent dot-product gaps
+    * at ranks 1..4, normalized by M·|q| (the augmented-cosine scale),
+    * must clear the 2e-6 two-engine bound. */
+  test("vec_mips_topk fixture inner-product gaps dwarf float rounding") {
+    val margin = 2e-6
+    for (sf <- Seq(sf001, sf01)) {
+      val all = graft.util.Tables.embeddings(spark, sf)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .sortBy(_._1)
+      def dot(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      def bucket(v: Array[Double]): Int =
+        (0 until 4).map(i => if (v(i) >= 0) 1 << i else 0).sum
+      val m = math.sqrt(all.map { case (_, v) => dot(v, v) }.max)
+      for (pid <- ops.Vectors.probeIds) {
+        val pv = all.toMap.apply(pid)
+        val scale = m * math.sqrt(dot(pv, pv))
+        val mates = all.filter { case (vid, v) =>
+          vid != pid && bucket(v) == bucket(pv) }
+          .map { case (vid, v) => (dot(pv, v), vid) }
+          .sortBy { case (s, vid) => (-s, vid) }
+        mates.take(4).toSeq.sliding(2).foreach {
+          case Seq((s1, _), (s2, _)) =>
+            assert((s1 - s2) / scale > margin,
+              s"$sf probe $pid mips gap ${(s1 - s2) / scale}")
+          case _ =>
+        }
+      }
+    }
+  }
 }
