@@ -293,6 +293,25 @@ object Scale {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Corpus-BALANCE diagnostic: per source, the Gini impurity of its
+    * language mix as an EXACT RATIONAL — gini = 1 − Σ(c/N)² is emitted as
+    * numerator N² − Σc² over denominator N², both integers, so the result
+    * is order-independent and hash-comparable with no float anywhere (the
+    * [[aggMoments]] discipline). This is the mix-monitoring pass a
+    * curation pipeline runs per domain/shard before sampling weights are
+    * set; two cascaded groupBys, both map-side combinable, no join. */
+  def aggGiniDiversity(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_langs"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("source"), col("n"), col("n_langs"),
+        (col("n") * col("n") - col("sum_c2")).as("gini_num"),
+        (col("n") * col("n")).as("gini_den"))
+      .orderBy(col("source"))
+
   /** Mergeable-sketch surface (the incremental-analytics primitive at scale:
     * per-partition sketches stored once, unioned later instead of rescanning
     * raw data). Proves the datasketches HLL merge invariant on real data —
@@ -516,6 +535,7 @@ object Scale {
     "join_skew_salted" -> joinSkewSalted,
     "join_range_bucketed" -> joinRangeBucketed,
     "agg_moments" -> aggMoments,
+    "agg_gini_diversity" -> aggGiniDiversity,
     "agg_hll_merge" -> aggHllMerge,
     "agg_cms_freq" -> aggCmsFreq,
     "join_bloom_prune" -> joinBloomPrune,
@@ -650,6 +670,14 @@ object Scale {
         |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_gini_diversity" ->
+      """SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_langs,
+        |  CAST(sum(c)*sum(c) - sum(c*c) AS BIGINT) AS gini_num,
+        |  CAST(sum(c)*sum(c) AS BIGINT) AS gini_den
+        |FROM (SELECT source, lang, count(*) AS c FROM documents
+        |      GROUP BY source, lang)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "agg_moments" ->
       """SELECT l_returnflag, count(*) AS n,

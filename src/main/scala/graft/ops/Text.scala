@@ -391,6 +391,40 @@ object Text {
   /** Max posting ids retained for a hot (df ≥ 5% of corpus) term. */
   private[graft] val hotPostingsCap = 16
 
+  /** C4/RefinedWeb-style SPAN-LEVEL exact dedup: the corpus is cut into
+    * non-overlapping 10-word segments and every repeat of a segment already
+    * seen earlier in the corpus (ordered by doc_id, then position) is
+    * marked duplicated — the "remove duplicated spans, keep the first
+    * occurrence" pass of Lee et al.'s Deduplicating Training Data, one
+    * granularity below doc-level [[textFingerprint]] and one above bigram
+    * [[textRepetitionFilter]]. Per-doc output: segment count, kept count,
+    * duplicated count.
+    *
+    * Shape: explode → one shuffle keyed by the segment (first-occurrence
+    * pick via row_number inside each segment group) → one groupBy(doc).
+    * Never doc pairs. At 100 TB you shuffle a 64-bit segment hash instead
+    * of the raw 10-word string (same plan, ~10× fewer shuffle bytes,
+    * collisions vanishingly rare and only ever over-remove); the string is
+    * kept here so the DuckDB oracle can replay the semantics exactly. */
+  def textSegmentDedup(spark: SparkSession, sf: String): DataFrame = {
+    val segs = documents(spark, sf)
+      .select(col("doc_id"), words.as("ws"), size(words).as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), floor((col("n") - 1) / 10).cast("int")))
+          .as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        concat_ws(" ", slice(col("ws"), col("seg_idx") * 10 + 1, lit(10))).as("seg"))
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("doc_id").asc, col("seg_idx").asc)
+    segs
+      .withColumn("kept", (row_number().over(w) === 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"), sum(col("kept")).as("n_kept"))
+      .withColumn("n_dup", col("n_seg") - col("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Count-based bigram LM scoring — the integer-domain proxy of the
     * perplexity quality filter every pretraining pipeline runs: docs whose
     * bigrams are globally rare (low average corpus probability) are
@@ -438,7 +472,8 @@ object Text {
     "text_langid" -> textLangid,
     "text_quality_score" -> textQualityScore,
     "text_token_count" -> textTokenCount,
-    "text_fingerprint" -> textFingerprint
+    "text_fingerprint" -> textFingerprint,
+    "text_segment_dedup" -> textSegmentDedup
   )
 
   /** DuckDB-side bigram shingle set (mirrors [[bigrams]]). */
@@ -605,6 +640,26 @@ object Text {
         |  SELECT doc_id,
         |    md5(array_to_string(list_sort(list_distinct(str_split(text,' '))), ' ')) AS fp
         |  FROM documents)
-        |GROUP BY fp ORDER BY fp""".stripMargin
+        |GROUP BY fp ORDER BY fp""".stripMargin,
+
+    // First occurrence = min (doc_id, seg_idx) lexicographic, encoded as
+    // doc_id*100000+seg_idx (seg_idx < 100000 always: docs are far shorter).
+    "text_segment_dedup" ->
+      """WITH segs AS (
+        |  SELECT doc_id, k AS seg_idx,
+        |    array_to_string(ws[CAST(k*10+1 AS INT):CAST(k*10+10 AS INT)], ' ') AS seg
+        |  FROM (SELECT doc_id, str_split(text,' ') AS ws,
+        |               len(str_split(text,' ')) AS n FROM documents),
+        |       LATERAL (SELECT unnest(range(0, (n-1)//10 + 1)) AS k)
+        |  WHERE n > 0),
+        |own AS (SELECT seg, min(doc_id*100000 + seg_idx) AS own
+        |        FROM segs GROUP BY seg)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+        |  CAST(sum(CASE WHEN s.doc_id*100000 + s.seg_idx = o.own
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN s.doc_id*100000 + s.seg_idx = o.own
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
+        |FROM segs s JOIN own o USING (seg)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
   )
 }

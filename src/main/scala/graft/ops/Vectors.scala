@@ -237,6 +237,46 @@ object Vectors {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** One LLOYD ITERATION of k-means over the embeddings — the training step
+    * that produces [[vecAnnIvf]]'s codebook (assignment there consumes a
+    * trained one; this key IS one round of the training loop). Seeds = the
+    * 16 [[seedIds]] vectors; every vector is assigned to its argmax-cosine
+    * seed by the same shuffle-free greatest()-over-literal-structs
+    * projection as the IVF map phase, then the updated centroid for each
+    * cell is accumulated per dimension. At 100 TB this plan is exactly one
+    * scan + one groupBy(cell, pos) with map-side partial sums — the shape
+    * Lloyd runs per iteration on a cluster; the driver only ever holds the
+    * 16×64 codebook between iterations.
+    *
+    * Determinism (D3): coordinates enter the sum as floor(x·1e6 + 0.5)
+    * longs (the [[vecCentroid]] trick) — long sums are associative, so
+    * partition order cannot perturb the result, and the new centroid is
+    * the exact rational sum_e6 / (n·1e6), emitted as numerator + count. */
+  def vecKmeansIter(spark: SparkSession, sf: String): DataFrame = {
+    VectorDot.register(spark)
+    val e = embeddings(spark, sf)
+    val seeds: Array[(Long, Array[Float])] = e
+      .where(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val scored = seeds.map { case (cid, cemb) =>
+      val litArr = cemb.map(f => s"CAST('$f' AS FLOAT)")
+        .mkString("array(", ",", ")")
+      val norm = math.sqrt(cemb.map(f => f.toDouble * f.toDouble).sum)
+      struct((expr(s"vector_dot(embedding, $litArr)") / lit(norm)).as("s"),
+        lit(-cid).as("ncid"))
+    }
+    val cell = -greatest(scored.toIndexedSeq: _*).getField("ncid")
+    e.select(cell.as("cell"), posexplode(col("embedding")))
+      .select(col("cell"), (col("pos") + 1).as("pos"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("xr"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("xr")).as("sum_e6"))
+      .orderBy(col("cell"), col("pos"))
+  }
+
   /** Product quantization (the 64→8-byte compression path for embedding
     * storage at scale): 8 subspaces of 8 dims, 4 deterministic codebook
     * entries per subspace (subvectors of the first 4 seed vectors — random
@@ -517,6 +557,7 @@ object Vectors {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_knn_cosine" -> vecKnnCosine,
     "vec_ann_ivf" -> vecAnnIvf,
+    "vec_kmeans_iter" -> vecKmeansIter,
     "vec_knn_l2" -> vecKnnL2,
     "vec_centroid" -> vecCentroid,
     "vec_bucket_lsh" -> vecBucketLsh,
@@ -609,6 +650,24 @@ object Vectors {
          |  FROM assign a JOIN pcells p ON a.cell = p.cell
          |  WHERE a.cand_id <> p.probe_id)
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "vec_kmeans_iter" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         |  WHERE vec_id IN ${seedIds.mkString("(", ", ", ")")}),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, s.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, s.cemb) DESC,
+         |                 s.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN seeds s)
+         |  WHERE rn = 1)
+         |SELECT cell, CAST(i AS INT) AS pos, count(*) AS n,
+         |  CAST(sum(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)) AS BIGINT) AS sum_e6
+         |FROM (SELECT cell, unnest(embedding) AS x,
+         |             generate_subscripts(embedding, 1) AS i FROM assign)
+         |GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
 
     "vec_topk_global" ->
       """SELECT rank, vec_a, vec_b FROM (

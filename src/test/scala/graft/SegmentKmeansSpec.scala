@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 additions: span-level segment dedup, the Lloyd k-means step,
+  * and the corpus-balance Gini rational. DuckDB parity is the driver's
+  * job; these assert the internal invariants the oracle can't see. */
+class SegmentKmeansSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("text_segment_dedup: kept == corpus-distinct segments; n_seg == ceil(words/10)") {
+    val rows = SparkEntry.queries("text_segment_dedup")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_seg") ==
+        r.getAs[Long]("n_kept") + r.getAs[Long]("n_dup"))
+      assert(r.getAs[Long]("n_kept") >= 0) // 0 = fully-duplicated doc
+    }
+    // every distinct segment string is kept exactly once corpus-wide
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val distinctSegs = d
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          floor((size(col("ws")) - 1) / 10).cast("int"))).as("k"))
+      .select(concat_ws(" ",
+        slice(col("ws"), col("k") * 10 + 1, lit(10))).as("seg"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == distinctSegs)
+    // per-doc segment count is ceil(words/10)
+    val expected = d.select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / 10.0).cast("long").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_seg") == expected(r.getAs[Long]("doc_id"))))
+    // the fixtures genuinely contain cross-doc duplicated spans
+    assert(rows.map(_.getAs[Long]("n_dup")).sum > 0)
+  }
+
+  test("vec_kmeans_iter: full 16x64 grid, members partition the corpus, means in range") {
+    val rows = SparkEntry.queries("vec_kmeans_iter")(spark, sf001).collect()
+    val nVecs = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(rows.length == 16 * 64)
+    val byCell = rows.groupBy(_.getAs[Long]("cell"))
+    assert(byCell.size == 16)
+    byCell.foreach { case (_, g) =>
+      assert(g.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to 64))
+      // the member count is a cell property — identical across dimensions
+      assert(g.map(_.getAs[Long]("n")).distinct.length == 1)
+    }
+    // cells partition the corpus: counts at pos=1 sum to the vector count
+    assert(rows.filter(_.getAs[Int]("pos") == 1).map(_.getAs[Long]("n")).sum
+      == nVecs)
+    // updated centroid coordinates stay inside the data range [-1, 1]
+    rows.foreach { r =>
+      val mean = r.getAs[Long]("sum_e6").toDouble / (r.getAs[Long]("n") * 1e6)
+      assert(math.abs(mean) <= 1.0, s"mean $mean out of range")
+    }
+  }
+
+  test("agg_gini_diversity: exact rational in [0,1), recomputable from raw counts") {
+    val rows = SparkEntry.queries("agg_gini_diversity")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val raw = spark.read.parquet(s"$sf001/documents.parquet")
+      .groupBy(col("source"), col("lang")).count().collect()
+      .groupBy(_.getAs[String]("source"))
+    rows.foreach { r =>
+      val cs = raw(r.getAs[String]("source")).map(_.getAs[Long]("count"))
+      val n = cs.sum
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("n_langs") == cs.length)
+      assert(r.getAs[Long]("gini_num") == n * n - cs.map(c => c * c).sum)
+      assert(r.getAs[Long]("gini_den") == n * n)
+      assert(r.getAs[Long]("gini_num") >= 0 &&
+        r.getAs[Long]("gini_num") < r.getAs[Long]("gini_den"))
+    }
+  }
+}
