@@ -277,6 +277,28 @@ object Vectors {
       .orderBy(col("cell"), col("pos"))
   }
 
+  /** RECALL@3 of the IVF index against brute-force kNN — the measurement
+    * every ANN deployment runs before trusting an index (tune nprobe until
+    * recall clears the bar, then ship). Exact top-3 per probe left-joins
+    * the IVF answer set on (probe, neighbor); hits/k is emitted as an
+    * integer pair + floor-percent, so the output is order-independent.
+    * Both sides are probe-bounded (10 probes), so the join is trivially
+    * broadcast; at scale the probe set is a sampled panel and this stays
+    * a small-side join against two already-computed result sets. */
+  def vecIvfRecall(spark: SparkSession, sf: String): DataFrame = {
+    val ivf = vecAnnIvf(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+    val exact = vecKnnCosine(spark, sf).where(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    exact.join(broadcast(ivf), Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("probe_id"), col("k"), col("n_hit"),
+        expr("n_hit * 100 div k").as("recall_pct"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Product quantization (the 64→8-byte compression path for embedding
     * storage at scale): 8 subspaces of 8 dims, 4 deterministic codebook
     * entries per subspace (subvectors of the first 4 seed vectors — random
@@ -558,6 +580,7 @@ object Vectors {
     "vec_knn_cosine" -> vecKnnCosine,
     "vec_ann_ivf" -> vecAnnIvf,
     "vec_kmeans_iter" -> vecKmeansIter,
+    "vec_ivf_recall" -> vecIvfRecall,
     "vec_knn_l2" -> vecKnnL2,
     "vec_centroid" -> vecCentroid,
     "vec_bucket_lsh" -> vecBucketLsh,
@@ -573,6 +596,33 @@ object Vectors {
   )
 
   private val probesSql = probeIds.mkString("(", ", ", ")")
+
+  /** The vec_ann_ivf oracle body — shared with vec_ivf_recall, which
+    * measures this exact query's recall against brute-force kNN. */
+  private lazy val ivfOracleSql: String =
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |  WHERE vec_id IN ${seedIds.mkString("(", ", ", ")")}),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, s.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding, s.cemb) DESC,
+       |               s.cid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id AS cand_id, embedding AS ce, cid AS cell
+       |  FROM scored WHERE rn = 1),
+       |pcells AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe, cid AS cell
+       |  FROM scored WHERE vec_id IN $probesSql AND rn <= 4)
+       |SELECT probe_id, rank, cand_id AS neighbor_id FROM (
+       |  SELECT p.probe_id, a.cand_id,
+       |    CAST(row_number() OVER (PARTITION BY p.probe_id
+       |      ORDER BY list_cosine_similarity(p.pe, a.ce) DESC,
+       |               a.cand_id ASC) AS INT) AS rank
+       |  FROM assign a JOIN pcells p ON a.cell = p.cell
+       |  WHERE a.cand_id <> p.probe_id)
+       |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
   private def knnSql(measure: String, order: String, k: Int): String =
     s"""SELECT probe_id, rank, neighbor_id FROM (
@@ -626,30 +676,20 @@ object Vectors {
          |  WHERE p.vec_id IN $probesSql)
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
-    "vec_ann_ivf" ->
-      s"""WITH seeds AS (
-         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-         |  WHERE vec_id IN ${seedIds.mkString("(", ", ", ")")}),
-         |scored AS (
-         |  SELECT e.vec_id, e.embedding, s.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_cosine_similarity(e.embedding, s.cemb) DESC,
-         |               s.cid ASC) AS rn
-         |  FROM embeddings e CROSS JOIN seeds s),
-         |assign AS (
-         |  SELECT vec_id AS cand_id, embedding AS ce, cid AS cell
-         |  FROM scored WHERE rn = 1),
-         |pcells AS (
-         |  SELECT vec_id AS probe_id, embedding AS pe, cid AS cell
-         |  FROM scored WHERE vec_id IN $probesSql AND rn <= 4)
-         |SELECT probe_id, rank, cand_id AS neighbor_id FROM (
-         |  SELECT p.probe_id, a.cand_id,
-         |    CAST(row_number() OVER (PARTITION BY p.probe_id
-         |      ORDER BY list_cosine_similarity(p.pe, a.ce) DESC,
-         |               a.cand_id ASC) AS INT) AS rank
-         |  FROM assign a JOIN pcells p ON a.cell = p.cell
-         |  WHERE a.cand_id <> p.probe_id)
-         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "vec_ann_ivf" -> ivfOracleSql,
+
+    "vec_ivf_recall" ->
+      s"""WITH ivf AS (SELECT * FROM ($ivfOracleSql)),
+         |exact AS (SELECT * FROM (
+         |  ${knnSql("list_cosine_similarity(p.embedding, c.embedding)", "DESC", 3)}))
+         |SELECT e.probe_id, count(*) AS k,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hit,
+         |  CAST((sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |        * 100) // count(*) AS BIGINT) AS recall_pct
+         |FROM exact e LEFT JOIN ivf i
+         |  ON i.probe_id = e.probe_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin,
 
     "vec_kmeans_iter" ->
       s"""WITH seeds AS (

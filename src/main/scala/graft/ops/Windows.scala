@@ -93,7 +93,32 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** GAPS-AND-ISLANDS: contiguous runs of daily user activity, the classic
+    * retention/streak pattern (also the engagement-streak feature a
+    * training-data pipeline derives from interaction logs). The
+    * date-minus-row_number trick maps every run of consecutive active days
+    * to one constant group key — two user-partitioned windows plus one
+    * groupBy, all keyed by the high-cardinality user_id, so the plan is a
+    * single hash-partition by user reused across all three steps at scale
+    * (Catalyst collapses the exchanges; no global sort anywhere). */
+  def windowGapsIslands(spark: SparkSession, sf: String): DataFrame = {
+    val days = events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d").asc)
+    val isl = days
+      .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("d")).as("start_d"), max(col("d")).as("end_d"),
+        count(lit(1)).as("len_days"))
+    val wi = Window.partitionBy(col("user_id")).orderBy(col("start_d").asc)
+    isl.select(col("user_id"),
+        row_number().over(wi).cast("int").as("island"),
+        col("start_d"), col("end_d"), col("len_days"))
+      .orderBy(col("user_id"), col("island"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_gaps_islands" -> windowGapsIslands,
     "window_rank" -> windowRank,
     "window_running_sum" -> windowRunningSum,
     "window_lag_lead" -> windowLagLead,
@@ -103,6 +128,24 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "window_gaps_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |g AS (
+        |  SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |             AS INT) AS grp
+        |  FROM days),
+        |isl AS (
+        |  SELECT user_id, grp, min(d) AS start_d, max(d) AS end_d,
+        |         count(*) AS len_days
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_d)
+        |       AS INT) AS island,
+        |  start_d, end_d, len_days
+        |FROM isl ORDER BY user_id, island""".stripMargin,
+
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, CAST(year(o_orderdate) AS INT) AS oyear,
         |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate) DESC) AS INT) AS rnk,

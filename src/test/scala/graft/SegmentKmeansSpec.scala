@@ -59,6 +59,46 @@ class SegmentKmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("window_gaps_islands: islands tile each user's active days without overlap") {
+    val rows = SparkEntry.queries("window_gaps_islands")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val activeDays = graft.util.Tables.events(spark, sf001)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("island"))
+      // island length is end - start + 1 and islands never touch or overlap
+      sorted.foreach { r =>
+        val len = r.getAs[java.sql.Date]("end_d").toLocalDate.toEpochDay -
+          r.getAs[java.sql.Date]("start_d").toLocalDate.toEpochDay + 1
+        assert(r.getAs[Long]("len_days") == len)
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[java.sql.Date]("start_d").toLocalDate.toEpochDay >
+            a.getAs[java.sql.Date]("end_d").toLocalDate.toEpochDay + 1)
+        case _ =>
+      }
+      // islands cover exactly the user's distinct active days
+      assert(sorted.map(_.getAs[Long]("len_days")).sum == activeDays(uid))
+    }
+    // gaps genuinely exist in the fixtures (otherwise one island per user)
+    assert(rows.length > activeDays.size)
+  }
+
+  test("vec_ivf_recall: k=3 panel, hits bounded, percent consistent") {
+    val rows = SparkEntry.queries("vec_ivf_recall")(spark, sf001).collect()
+    assert(rows.length == graft.ops.Vectors.probeIds.length)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k"); val h = r.getAs[Long]("n_hit")
+      assert(k == 3 && h >= 0 && h <= k)
+      assert(r.getAs[Long]("recall_pct") == h * 100 / k)
+    }
+    // the index finds SOMETHING (sanity that the join keys line up)
+    assert(rows.map(_.getAs[Long]("n_hit")).sum > 0)
+  }
+
   test("agg_gini_diversity: exact rational in [0,1), recomputable from raw counts") {
     val rows = SparkEntry.queries("agg_gini_diversity")(spark, sf001).collect()
     assert(rows.nonEmpty)
