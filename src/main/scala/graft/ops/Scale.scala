@@ -312,6 +312,34 @@ object Scale {
         (col("n") * col("n")).as("gini_den"))
       .orderBy(col("source"))
 
+  /** EXACT WEIGHTED MEDIAN without a sketch: smallest price whose running
+    * weight reaches half the group total. Prices are pre-aggregated to
+    * distinct cents values first, so the cumulative window runs over a
+    * UNIQUE ordering key — the result is provably order-independent (a
+    * tie-ordered ROWS frame over duplicate keys would not be, across
+    * engines). Integer cents/weights end to end (D3). Scale: groupBy
+    * collapses the fact table to |distinct prices| per group before the
+    * window sorts anything — the window input is bounded by value
+    * cardinality, not row count. */
+  def aggWeightedMedian(spark: SparkSession, sf: String): DataFrame = {
+    val g = lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+        floor(col("l_quantity")).cast("long").as("wt"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(sum(col("wt")).as("w"))
+    val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("l_returnflag"))
+    g.withColumn("cum", sum(col("w")).over(wc))
+      .withColumn("tot", sum(col("w")).over(wt))
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cents")).as("wmedian_cents"),
+        min(col("tot")).as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Mergeable-sketch surface (the incremental-analytics primitive at scale:
     * per-partition sketches stored once, unioned later instead of rescanning
     * raw data). Proves the datasketches HLL merge invariant on real data —
@@ -536,6 +564,7 @@ object Scale {
     "join_range_bucketed" -> joinRangeBucketed,
     "agg_moments" -> aggMoments,
     "agg_gini_diversity" -> aggGiniDiversity,
+    "agg_weighted_median" -> aggWeightedMedian,
     "agg_hll_merge" -> aggHllMerge,
     "agg_cms_freq" -> aggCmsFreq,
     "join_bloom_prune" -> joinBloomPrune,
@@ -670,6 +699,24 @@ object Scale {
         |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_weighted_median" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, cents, CAST(sum(wt) AS BIGINT) AS w
+        |  FROM (SELECT l_returnflag,
+        |          CAST(floor(l_extendedprice*100) AS BIGINT) AS cents,
+        |          CAST(floor(l_quantity) AS BIGINT) AS wt FROM lineitem)
+        |  GROUP BY l_returnflag, cents),
+        |c AS (
+        |  SELECT l_returnflag, cents,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM g)
+        |SELECT l_returnflag, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+        |  CAST(min(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum*2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_gini_diversity" ->
       """SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_langs,

@@ -99,6 +99,29 @@ class SegmentKmeansSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_hit")).sum > 0)
   }
 
+  test("agg_weighted_median: half the weight sits on each side of the answer") {
+    val rows = SparkEntry.queries("agg_weighted_median")(spark, sf001).collect()
+    assert(rows.length == 3)
+    val raw = graft.util.Tables.lineitem(spark, sf001)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+        floor(col("l_quantity")).cast("long").as("wt"))
+      .collect().groupBy(_.getAs[String]("l_returnflag"))
+    rows.foreach { r =>
+      val g = raw(r.getAs[String]("l_returnflag"))
+      val m = r.getAs[Long]("wmedian_cents")
+      val tot = g.map(_.getAs[Long]("wt")).sum
+      assert(r.getAs[Long]("total_weight") == tot)
+      val below = g.filter(_.getAs[Long]("cents") <= m).map(_.getAs[Long]("wt")).sum
+      val above = g.filter(_.getAs[Long]("cents") >= m).map(_.getAs[Long]("wt")).sum
+      assert(below * 2 >= tot, s"below $below tot $tot")
+      // everything strictly under m must be < half, else m isn't minimal
+      val strictlyBelow = below - g.filter(_.getAs[Long]("cents") == m).map(_.getAs[Long]("wt")).sum
+      assert(strictlyBelow * 2 < tot)
+      assert(above * 2 >= tot || strictlyBelow * 2 < tot)
+    }
+  }
+
   test("agg_gini_diversity: exact rational in [0,1), recomputable from raw counts") {
     val rows = SparkEntry.queries("agg_gini_diversity")(spark, sf001).collect()
     assert(rows.nonEmpty)
