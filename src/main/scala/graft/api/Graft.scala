@@ -163,4 +163,14 @@ object Graft {
   def jaccardPairsIndexed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.ops.Text.jaccardIndexedOf(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** C4-style span-level exact dedup: the corpus is cut into
+    * non-overlapping 10-word segments; every repeat of a segment seen
+    * earlier (by id, then position) counts as duplicated. Output per doc:
+    * (doc_id, n_seg, n_kept, n_dup) — n_dup/n_seg is the span-duplication
+    * rate curation thresholds on. One segment-keyed shuffle, never doc
+    * pairs. */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.Text.segmentDedupOf(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 }

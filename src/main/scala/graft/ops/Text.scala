@@ -406,8 +406,13 @@ object Text {
     * of the raw 10-word string (same plan, ~10× fewer shuffle bytes,
     * collisions vanishingly rare and only ever over-remove); the string is
     * kept here so the DuckDB oracle can replay the semantics exactly. */
-  def textSegmentDedup(spark: SparkSession, sf: String): DataFrame = {
-    val segs = documents(spark, sf)
+  def textSegmentDedup(spark: SparkSession, sf: String): DataFrame =
+    segmentDedupOf(documents(spark, sf))
+
+  /** Frame-generic span-dedup kernel over any (doc_id, text) frame.
+    * (private[graft]: api.Graft exposes it as `segmentDedup`.) */
+  private[graft] def segmentDedupOf(docs: DataFrame): DataFrame = {
+    val segs = docs
       .select(col("doc_id"), words.as("ws"), size(words).as("n"))
       .where(col("n") > 0)
       .select(col("doc_id"), col("ws"),

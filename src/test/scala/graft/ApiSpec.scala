@@ -27,6 +27,13 @@ class ApiSpec extends AnyFunSuite {
     assert(api.map(_.toSeq).toSeq == key.map(_.toSeq).toSeq)
   }
 
+  test("segmentDedup on renamed columns equals the fixture key") {
+    val api = Graft.segmentDedup(renamedDocs, "my_id", "body").collect()
+    val key = SparkEntry.queries("text_segment_dedup")(spark, sf001).collect()
+    assert(api.map(_.toSeq).toSeq == key.map(_.toSeq).toSeq)
+    assert(api.nonEmpty)
+  }
+
   test("connectedComponents labels a two-component user edge list") {
     import spark.implicits._
     val edges = Seq((5L, 9L), (9L, 7L), (100L, 101L)).toDF("from", "to")
