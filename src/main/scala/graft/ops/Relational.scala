@@ -508,6 +508,27 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** MULTISET difference (EXCEPT ALL): occurrence counts subtract instead
+    * of collapsing — a customer with 3 'O' orders and 1 'F' order survives
+    * twice. Spark plans both ALL variants as one aggregation over tagged
+    * counts (no join), the same single-shuffle shape as the distinct
+    * versions. */
+  def setExceptAll(spark: SparkSession, sf: String): DataFrame = {
+    val o = orders(spark, sf)
+    o.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .exceptAll(o.where(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** MULTISET intersection (INTERSECT ALL): min of the two occurrence
+    * counts per value. */
+  def setIntersectAll(spark: SparkSession, sf: String): DataFrame = {
+    val o = orders(spark, sf)
+    o.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersectAll(o.where(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -548,7 +569,9 @@ object Relational {
     "set_union_all" -> setUnionAll,
     "set_union_distinct" -> setUnionDistinct,
     "set_intersect" -> setIntersect,
-    "set_except" -> setExcept
+    "set_except" -> setExcept,
+    "set_except_all" -> setExceptAll,
+    "set_intersect_all" -> setIntersectAll
   )
 
   def oracle: Map[String, String] = Map(
@@ -821,6 +844,18 @@ object Relational {
     "set_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT ALL
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin
   )

@@ -261,6 +261,27 @@ object Streaming {
       .orderBy(col("p_id"), col("c_id"))
   }
 
+  /** STREAM-STATIC dimension enrichment — the most common production join:
+    * a fact stream against a slowly-changing dim table loaded as a plain
+    * batch frame. No state store is involved at all (unlike
+    * [[streamStreamJoin]]): the static side is simply (re)broadcast into
+    * every micro-batch, so the stream side never shuffles and the dim can
+    * be swapped between batches. At 100 TB of stream this is a map-side
+    * hash join per batch — the shape to reach for before any stateful
+    * join. Aggregated per (segment, type) in COMPLETE mode for the batch
+    * oracle equivalence. */
+  def streamStaticJoin(spark: SparkSession, sf: String): DataFrame = {
+    val dim = graft.util.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventsStream(spark, sf)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_val"))
+    drain(spark, agg, OutputMode.Complete())
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   case class LateEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
 
   /** Watermark late-data drop, demonstrated with a two-batch MemoryStream:
@@ -361,10 +382,18 @@ object Streaming {
     "stream_stateful_count" -> streamStatefulCount,
     "stream_stateful_count_mgs" -> streamStatefulCountMgs,
     "stream_stream_join" -> streamStreamJoin,
+    "stream_static_join" -> streamStaticJoin,
     "stream_late_data" -> streamLateData
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
+
     "stream_foreach_batch" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -122,6 +122,35 @@ class SegmentKmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("set multiset variants: |EXCEPT ALL| - |INTERSECT ALL| arithmetic holds") {
+    val o = graft.util.Tables.orders(spark, sf001)
+    val nO = o.filter(col("o_orderstatus") === "O").count()
+    val exAll = SparkEntry.queries("set_except_all")(spark, sf001).count()
+    val inAll = SparkEntry.queries("set_intersect_all")(spark, sf001).count()
+    // every 'O' occurrence is either matched (intersect) or surplus (except)
+    assert(exAll + inAll == nO)
+    // multiset results dominate their distinct counterparts
+    assert(exAll >= SparkEntry.queries("set_except")(spark, sf001).count())
+    assert(inAll >= SparkEntry.queries("set_intersect")(spark, sf001).count())
+  }
+
+  test("stream_static_join equals the batch broadcast join") {
+    val got = SparkEntry.queries("stream_static_join")(spark, sf001).collect()
+    val dim = graft.util.Tables.customer(spark, sf001)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = graft.util.Tables.events(spark, sf001)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n") ==
+        batch((r.getAs[String]("c_mktsegment"), r.getAs[String]("event_type"))))
+    }
+    assert(got.length == batch.size)
+  }
+
   test("agg_gini_diversity: exact rational in [0,1), recomputable from raw counts") {
     val rows = SparkEntry.queries("agg_gini_diversity")(spark, sf001).collect()
     assert(rows.nonEmpty)
