@@ -356,6 +356,30 @@ object Etl {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** DATA-MIXTURE sampling — per-source keep RATES (the domain-mixing op a
+    * pretraining pipeline runs to hit a target corpus composition: keep all
+    * of the curated source, half of src1, a quarter of src2, a trickle of
+    * everything else). Selection is a fixed-width md5 hex prefix compared
+    * LEXICOGRAPHICALLY against the per-source threshold — fixed-length hex
+    * strings order exactly like their numeric value in BOTH engines, so no
+    * hex→int conversion is needed anywhere. Deterministic, reproducible,
+    * and a pure per-row projection: mixing 100 TB runs at scan speed with
+    * map-side partial aggregation for the audit counts. */
+  def etlMixSources(spark: SparkSession, sf: String): DataFrame = {
+    val thr = when(col("source") === "src0", lit("zz")) // 100%: any hex < "zz"
+      .when(col("source") === "src1", lit("80"))        // 128/256
+      .when(col("source") === "src2", lit("40"))        // 64/256
+      .otherwise(lit("20"))                             // 32/256
+    documents(spark, sf)
+      .withColumn("kept",
+        (substring(md5(col("doc_id").cast("string")), 1, 2) < thr).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .select(col("source"), col("n_total"), col("n_kept"),
+        expr("n_kept * 10000 div n_total").as("rate_e4"))
+      .orderBy(col("source"))
+  }
+
   /** Row-level DQ routing: rows violating any rule land in quarantine with a
     * composed reason string (concat_ws skips the NULL non-violations on both
     * engines). One pass, no per-rule rescans. */
@@ -423,6 +447,7 @@ object Etl {
     "etl_anomaly_zscore" -> etlAnomalyZscore,
     "etl_gap_fill" -> etlGapFill,
     "etl_sample_stratified" -> etlSampleStratified,
+    "etl_mix_sources" -> etlMixSources,
     "etl_quarantine_split" -> etlQuarantineSplit,
     "etl_dedup_exact" -> etlDedupExact,
     "etl_conform" -> etlConform,
@@ -482,6 +507,18 @@ object Etl {
         |SELECT c_custkey, month, CAST(n IS NULL AS INT) AS is_gap,
         |  CAST(coalesce(max(n) OVER (PARTITION BY c_custkey, grp), 0) AS BIGINT) AS n_filled
         |FROM f ORDER BY c_custkey, month""".stripMargin,
+
+    "etl_mix_sources" ->
+      """SELECT source, n_total, n_kept,
+        |  CAST(n_kept * 10000 // n_total AS BIGINT) AS rate_e4
+        |FROM (
+        |  SELECT source, count(*) AS n_total,
+        |    CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN '80'
+        |                  WHEN 'src2' THEN '40' ELSE '20' END
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM documents GROUP BY source)
+        |ORDER BY source""".stripMargin,
 
     "etl_sample_stratified" ->
       """SELECT doc_id, lang, rn FROM (

@@ -122,6 +122,22 @@ class SegmentKmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("etl_mix_sources: curated source kept whole, rates track thresholds") {
+    val rows = SparkEntry.queries("etl_mix_sources")(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"), r.getAs[Long]("rate_e4"))).toMap
+    assert(rows.nonEmpty)
+    val (t0, k0, r0) = rows("src0")
+    assert(k0 == t0 && r0 == 10000) // 100% source survives entirely
+    rows.foreach { case (_, (t, k, r)) =>
+      assert(k <= t && r == k * 10000 / t)
+    }
+    // md5 buckets are uniform enough that src1 (target 50%) lands within
+    // a generous band even on 25-doc groups
+    val (_, _, r1) = rows("src1")
+    assert(r1 > 2000 && r1 < 8000, s"src1 rate $r1")
+  }
+
   test("set multiset variants: |EXCEPT ALL| - |INTERSECT ALL| arithmetic holds") {
     val o = graft.util.Tables.orders(spark, sf001)
     val nO = o.filter(col("o_orderstatus") === "O").count()
