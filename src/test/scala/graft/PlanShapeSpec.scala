@@ -41,6 +41,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf("vec_knn_cosine").contains("Broadcast"))
   }
 
+  test("text_segment_dedup never forms doc pairs and shuffles at most twice") {
+    val p = planOf("text_segment_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.contains("Join"), "span dedup must be shuffle-grouping, not a join")
+    // segment-keyed window + doc groupBy + presentation sort = 3 exchanges max
+    assert("Exchange".r.findAllIn(p).length <= 3, p.take(800))
+  }
+
+  test("vec_kmeans_iter assignment is a shuffle-free projection (no join)") {
+    val p = planOf("vec_kmeans_iter")
+    assert(!p.contains("Join"), "codebook assignment must be inlined literals")
+    // one agg exchange + presentation sort only
+    assert("Exchange".r.findAllIn(p).length <= 2, p.take(800))
+  }
+
+  test("etl_mix_sources is one aggregation over a pure row projection") {
+    val p = planOf("etl_mix_sources")
+    assert(!p.contains("Join"), p.take(600))
+    assert(!p.contains("Window"), p.take(600))
+    assert("Exchange".r.findAllIn(p).length <= 2, p.take(800))
+  }
+
+  test("window_gaps_islands reuses one user partitioning across its steps") {
+    val p = planOf("window_gaps_islands")
+    // distinct-days agg, two windows, islands agg, presentation sort — the
+    // user_id hash partitioning must be planned once, not per step
+    assert("hashpartitioning".r.findAllIn(p).length <= 2, p.take(1200))
+  }
+
   test("topk_per_group_exec plans the custom exec, no Window operator") {
     val df = SparkEntry.queries("topk_per_group_exec")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
