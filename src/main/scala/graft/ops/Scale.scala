@@ -312,6 +312,41 @@ object Scale {
         (col("n") * col("n")).as("gini_den"))
       .orderBy(col("source"))
 
+  /** SPEARMAN RANK CORRELATION with no float anywhere: tie-averaged ranks
+    * are kept integral by working in DOUBLED rank units (2·avgrank =
+    * 2·minrank + ties − 1 — always an integer), and the output is the
+    * correlation's exact numerator and both denominator factors à la
+    * [[aggMoments]]; rho² = num²/(denx·deny) by one consumer-side division.
+    * The 1%-of-orders sample bounds n so fourth-power rank sums stay inside
+    * BIGINT through sf1 — rank-based statistics at full 100 TB run on a
+    * sampled panel by construction (ranks are a global total order; the
+    * panel is what makes them distributable). Two windows + one groupBy,
+    * all partitioned by the group key. */
+  def aggCorrSpearman(spark: SparkSession, sf: String): DataFrame = {
+    val base = lineitem(spark, sf)
+      .where(pmod(col("l_orderkey"), lit(100)) === 0)
+      .select(col("l_returnflag").as("g"),
+        floor(col("l_quantity")).cast("long").as("x"),
+        floor(col("l_discount") * 100).cast("long").as("y"))
+    def rank2(v: String) = {
+      val wRank = Window.partitionBy(col("g")).orderBy(col(v).asc)
+      val wTies = Window.partitionBy(col("g"), col(v))
+      rank().over(wRank).cast("long") * 2 + count(lit(1)).over(wTies) - 1
+    }
+    base
+      .withColumn("rx", rank2("x")).withColumn("ry", rank2("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("rx")).as("sx"),
+        sum(col("ry")).as("sy"), sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sx2"),
+        sum(col("ry") * col("ry")).as("sy2"))
+      .select(col("g").as("l_returnflag"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("rho_num"),
+        (col("n") * col("sx2") - col("sx") * col("sx")).as("den_x"),
+        (col("n") * col("sy2") - col("sy") * col("sy")).as("den_y"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** EXACT WEIGHTED MEDIAN without a sketch: smallest price whose running
     * weight reaches half the group total. Prices are pre-aggregated to
     * distinct cents values first, so the cumulative window runs over a
@@ -565,6 +600,7 @@ object Scale {
     "agg_moments" -> aggMoments,
     "agg_gini_diversity" -> aggGiniDiversity,
     "agg_weighted_median" -> aggWeightedMedian,
+    "agg_corr_spearman" -> aggCorrSpearman,
     "agg_hll_merge" -> aggHllMerge,
     "agg_cms_freq" -> aggCmsFreq,
     "join_bloom_prune" -> joinBloomPrune,
@@ -699,6 +735,25 @@ object Scale {
         |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_corr_spearman" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_quantity) AS BIGINT) AS x,
+        |    CAST(floor(l_discount*100) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_orderkey % 100 = 0),
+        |r AS (
+        |  SELECT g,
+        |    CAST(rank() OVER (PARTITION BY g ORDER BY x) AS BIGINT) * 2
+        |      + count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+        |    CAST(rank() OVER (PARTITION BY g ORDER BY y) AS BIGINT) * 2
+        |      + count(*) OVER (PARTITION BY g, y) - 1 AS ry
+        |  FROM base)
+        |SELECT g AS l_returnflag, count(*) AS n,
+        |  CAST(count(*)*sum(rx*ry) - sum(rx)*sum(ry) AS BIGINT) AS rho_num,
+        |  CAST(count(*)*sum(rx*rx) - sum(rx)*sum(rx) AS BIGINT) AS den_x,
+        |  CAST(count(*)*sum(ry*ry) - sum(ry)*sum(ry) AS BIGINT) AS den_y
+        |FROM r GROUP BY g ORDER BY g""".stripMargin,
 
     "agg_weighted_median" ->
       """WITH g AS (

@@ -122,6 +122,42 @@ class SegmentKmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_corr_spearman matches a driver-side brute force on the panel") {
+    val rows = SparkEntry.queries("agg_corr_spearman")(spark, sf001).collect()
+    assert(rows.length == 3)
+    val base = graft.util.Tables.lineitem(spark, sf001)
+      .where(pmod(col("l_orderkey"), lit(100)) === 0)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("x"),
+        floor(col("l_discount") * 100).cast("long").as("y"))
+      .collect().groupBy(_.getString(0))
+    def ranks2(vs: Array[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val minRank = sorted.indexOf(v) + 1L
+        val ties = vs.count(_ == v).toLong
+        v -> (2 * minRank + ties - 1)
+      }.toMap
+    }
+    rows.foreach { r =>
+      val g = base(r.getAs[String]("l_returnflag"))
+      val xs = g.map(_.getAs[Long]("x")); val ys = g.map(_.getAs[Long]("y"))
+      val rx = { val m = ranks2(xs); xs.map(m) }
+      val ry = { val m = ranks2(ys); ys.map(m) }
+      val n = BigInt(g.length)
+      def s(a: Array[Long]) = a.map(BigInt(_)).sum
+      def s2(a: Array[Long], b: Array[Long]) =
+        a.zip(b).map { case (p, q) => BigInt(p) * q }.sum
+      assert(BigInt(r.getAs[Long]("n")) == n)
+      assert(BigInt(r.getAs[Long]("rho_num")) == n * s2(rx, ry) - s(rx) * s(ry))
+      assert(BigInt(r.getAs[Long]("den_x")) == n * s2(rx, rx) - s(rx) * s(rx))
+      assert(BigInt(r.getAs[Long]("den_y")) == n * s2(ry, ry) - s(ry) * s(ry))
+      // Cauchy-Schwarz: rho² ≤ 1 as exact integers
+      val num = BigInt(r.getAs[Long]("rho_num"))
+      assert(num * num <= BigInt(r.getAs[Long]("den_x")) * BigInt(r.getAs[Long]("den_y")))
+    }
+  }
+
   test("etl_mix_sources: curated source kept whole, rates track thresholds") {
     val rows = SparkEntry.queries("etl_mix_sources")(spark, sf001).collect()
       .map(r => r.getAs[String]("source") ->
