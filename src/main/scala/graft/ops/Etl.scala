@@ -356,6 +356,50 @@ object Etl {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** LINEAR INTERPOLATION of gaps as EXACT RATIONALS — the time-series fill
+    * one step past [[etlGapFill]]'s last-observation-carried-forward: a
+    * missing month between observations (ia, pa) and (ib, pb) gets value
+    * (pa·(ib−i) + pb·(i−ia)) / (ib−ia), emitted as integer numerator +
+    * denominator so no engine ever divides. Neighbors come from two
+    * IGNORE-NULLS window scans (strictly-preceding / strictly-following
+    * frames); leading/trailing edges stay NULL — interpolation must not
+    * extrapolate. Same custkey-partitioned single sort as the grid join;
+    * at scale the grid is generated per key and the plan is one window
+    * pass over it. */
+  def etlInterpolateLinear(spark: SparkSession, sf: String): DataFrame = {
+    val grid = customer(spark, sf).where(col("c_custkey") <= 20)
+      .select(col("c_custkey"), explode(expr(
+        "sequence(to_date('1995-01-01'), to_date('1997-12-01'), interval 1 month)"))
+        .as("month"))
+    val m = orders(spark, sf).where(col("o_custkey") <= 20)
+      .groupBy(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n"))
+    val j = grid.join(m, grid("c_custkey") === m("o_custkey") &&
+        grid("month") === m("month"), "left")
+      .select(grid("c_custkey"), grid("month"), col("n"))
+      .withColumn("i", year(col("month")) * 12 + month(col("month")))
+    val wp = Window.partitionBy(col("c_custkey")).orderBy(col("i").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy(col("c_custkey")).orderBy(col("i").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    j
+      .withColumn("pa", last(when(col("n").isNotNull, col("n")), true).over(wp))
+      .withColumn("ia", last(when(col("n").isNotNull, col("i")), true).over(wp))
+      .withColumn("pb", first(when(col("n").isNotNull, col("n")), true).over(wn))
+      .withColumn("ib", first(when(col("n").isNotNull, col("i")), true).over(wn))
+      .select(col("c_custkey"), col("month"), col("n").as("n_obs"),
+        when(col("n").isNotNull, col("n"))
+          .when(col("pa").isNotNull && col("pb").isNotNull,
+            col("pa") * (col("ib") - col("i")) + col("pb") * (col("i") - col("ia")))
+          .as("interp_num"),
+        when(col("n").isNotNull, lit(1L))
+          .when(col("pa").isNotNull && col("pb").isNotNull,
+            (col("ib") - col("ia")).cast("long"))
+          .as("interp_den"))
+      .orderBy(col("c_custkey"), col("month"))
+  }
+
   /** DATA-MIXTURE sampling — per-source keep RATES (the domain-mixing op a
     * pretraining pipeline runs to hit a target corpus composition: keep all
     * of the curated source, half of src1, a quarter of src2, a trickle of
@@ -448,6 +492,7 @@ object Etl {
     "etl_gap_fill" -> etlGapFill,
     "etl_sample_stratified" -> etlSampleStratified,
     "etl_mix_sources" -> etlMixSources,
+    "etl_interpolate_linear" -> etlInterpolateLinear,
     "etl_quarantine_split" -> etlQuarantineSplit,
     "etl_dedup_exact" -> etlDedupExact,
     "etl_conform" -> etlConform,
@@ -507,6 +552,39 @@ object Etl {
         |SELECT c_custkey, month, CAST(n IS NULL AS INT) AS is_gap,
         |  CAST(coalesce(max(n) OVER (PARTITION BY c_custkey, grp), 0) AS BIGINT) AS n_filled
         |FROM f ORDER BY c_custkey, month""".stripMargin,
+
+    "etl_interpolate_linear" ->
+      """WITH grid AS (
+        |  SELECT c_custkey, CAST(unnest(generate_series(
+        |    DATE '1995-01-01', DATE '1997-12-01', INTERVAL 1 MONTH)) AS DATE) AS mth
+        |  FROM customer WHERE c_custkey <= 20),
+        |m AS (
+        |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+        |         count(*) AS n
+        |  FROM orders WHERE o_custkey <= 20 GROUP BY 1, 2),
+        |x AS (
+        |  SELECT g.c_custkey, g.mth, m.n,
+        |         year(g.mth)*12 + month(g.mth) AS i
+        |  FROM grid g LEFT JOIN m ON m.o_custkey = g.c_custkey AND m.mth = g.mth),
+        |w AS (
+        |  SELECT c_custkey, mth, n, i,
+        |    last_value(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS) OVER wp AS pa,
+        |    last_value(CASE WHEN n IS NOT NULL THEN i END IGNORE NULLS) OVER wp AS ia,
+        |    first_value(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS) OVER wn AS pb,
+        |    first_value(CASE WHEN n IS NOT NULL THEN i END IGNORE NULLS) OVER wn AS ib
+        |  FROM x
+        |  WINDOW wp AS (PARTITION BY c_custkey ORDER BY i
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wn AS (PARTITION BY c_custkey ORDER BY i
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT c_custkey, mth AS month, CAST(n AS BIGINT) AS n_obs,
+        |  CASE WHEN n IS NOT NULL THEN CAST(n AS BIGINT)
+        |       WHEN pa IS NOT NULL AND pb IS NOT NULL
+        |       THEN CAST(pa*(ib-i) + pb*(i-ia) AS BIGINT) END AS interp_num,
+        |  CASE WHEN n IS NOT NULL THEN CAST(1 AS BIGINT)
+        |       WHEN pa IS NOT NULL AND pb IS NOT NULL
+        |       THEN CAST(ib-ia AS BIGINT) END AS interp_den
+        |FROM w ORDER BY c_custkey, month""".stripMargin,
 
     "etl_mix_sources" ->
       """SELECT source, n_total, n_kept,

@@ -122,6 +122,33 @@ class SegmentKmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("etl_interpolate_linear: fills lie between neighbors, edges stay null") {
+    val rows = SparkEntry.queries("etl_interpolate_linear")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    var interpolated = 0
+    rows.groupBy(_.getAs[Long]("c_custkey")).foreach { case (_, g) =>
+      val s = g.sortBy(_.getAs[java.sql.Date]("month").toLocalDate.toEpochDay)
+      val obsIdx = s.zipWithIndex.filter(!_._1.isNullAt(2)).map(_._2)
+      s.zipWithIndex.foreach { case (r, i) =>
+        if (!r.isNullAt(2)) { // observed: value passes through exactly
+          assert(r.getAs[Long]("interp_den") == 1L)
+          assert(r.getAs[Long]("interp_num") == r.getAs[Long]("n_obs"))
+        } else if (obsIdx.exists(_ < i) && obsIdx.exists(_ > i)) {
+          interpolated += 1
+          val lo = obsIdx.filter(_ < i).max; val hi = obsIdx.filter(_ > i).min
+          val a = s(lo).getAs[Long]("n_obs"); val b = s(hi).getAs[Long]("n_obs")
+          val v = r.getAs[Long]("interp_num").toDouble / r.getAs[Long]("interp_den")
+          assert(v >= math.min(a, b) - 1e-9 && v <= math.max(a, b) + 1e-9,
+            s"interp $v outside [$a,$b]")
+          assert(r.getAs[Long]("interp_den") == hi - lo)
+        } else { // leading/trailing edge: no extrapolation
+          assert(r.isNullAt(3) && r.isNullAt(4))
+        }
+      }
+    }
+    assert(interpolated > 0, "fixtures contain no interior gaps?")
+  }
+
   test("agg_corr_spearman matches a driver-side brute force on the panel") {
     val rows = SparkEntry.queries("agg_corr_spearman")(spark, sf001).collect()
     assert(rows.length == 3)
