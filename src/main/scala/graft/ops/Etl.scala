@@ -356,6 +356,32 @@ object Etl {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Query-time METRICS via `Dataset.observe` — Spark's single-pass DQ
+    * instrumentation: the accumulator-backed observation rides the SAME
+    * scan that produces the business result, so profiling 100 TB costs
+    * zero extra reads (vs. [[etlValidateDq]]'s separate metric queries).
+    * The observed row (row count, null props, out-of-range values, value
+    * cents total) is harvested from the QueryExecutionListener-visible
+    * metrics after one action and returned AS the result, making the
+    * mechanism itself oracle-checkable against plain aggregate SQL. */
+  def etlObserveMetrics(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("dq")
+    val business = events(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        count(when(col("props").isNull, lit(1))).as("null_props"),
+        count(when(col("value") < 0, lit(1))).as("neg_value"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    business.collect() // one action drives both the result and the metrics
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("null_props").asInstanceOf[Long],
+      m("neg_value").asInstanceOf[Long], m("sum_cents").asInstanceOf[Long]))
+      .toDF("n_rows", "null_props", "neg_value", "sum_cents")
+  }
+
   /** LINEAR INTERPOLATION of gaps as EXACT RATIONALS — the time-series fill
     * one step past [[etlGapFill]]'s last-observation-carried-forward: a
     * missing month between observations (ia, pa) and (ib, pb) gets value
@@ -493,6 +519,7 @@ object Etl {
     "etl_sample_stratified" -> etlSampleStratified,
     "etl_mix_sources" -> etlMixSources,
     "etl_interpolate_linear" -> etlInterpolateLinear,
+    "etl_observe_metrics" -> etlObserveMetrics,
     "etl_quarantine_split" -> etlQuarantineSplit,
     "etl_dedup_exact" -> etlDedupExact,
     "etl_conform" -> etlConform,
@@ -552,6 +579,13 @@ object Etl {
         |SELECT c_custkey, month, CAST(n IS NULL AS INT) AS is_gap,
         |  CAST(coalesce(max(n) OVER (PARTITION BY c_custkey, grp), 0) AS BIGINT) AS n_filled
         |FROM f ORDER BY c_custkey, month""".stripMargin,
+
+    "etl_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        |  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_value,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events""".stripMargin,
 
     "etl_interpolate_linear" ->
       """WITH grid AS (

@@ -122,6 +122,15 @@ class SegmentKmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("etl_observe_metrics: observed metrics equal direct aggregates") {
+    val r = SparkEntry.queries("etl_observe_metrics")(spark, sf001).collect()
+    assert(r.length == 1)
+    val ev = graft.util.Tables.events(spark, sf001)
+    assert(r(0).getAs[Long]("n_rows") == ev.count())
+    assert(r(0).getAs[Long]("neg_value") ==
+      ev.filter(col("value") < 0).count())
+  }
+
   test("etl_interpolate_linear: fills lie between neighbors, edges stay null") {
     val rows = SparkEntry.queries("etl_interpolate_linear")(spark, sf001).collect()
     assert(rows.nonEmpty)
