@@ -63,6 +63,18 @@ object DedupScaleDemo {
     val sec1 = (System.nanoTime() - t1) / 1e9
     println(f"[substring-demo] span_pairs=$nPairs%d cross_cluster=$crossCluster%d " +
       f"wall=$sec1%.1fs")
+    // phase 3: span-level SEGMENT dedup on the same corpus — each base's
+    // replicas share all 10-word segments not touching the perturbed word,
+    // so the expected duplicated-segment mass is ~(nRep−1)/nRep of the
+    // corpus; one segment-keyed shuffle regardless of corpus size.
+    val t2 = System.nanoTime()
+    val segs = graft.api.Graft.segmentDedup(docs, "doc_id", "text")
+      .agg(sum(col("n_seg")).as("n_seg"), sum(col("n_dup")).as("n_dup"))
+      .collect()(0)
+    val sec2 = (System.nanoTime() - t2) / 1e9
+    val rate = segs.getAs[Long]("n_dup").toDouble / segs.getAs[Long]("n_seg")
+    println(f"[segment-demo] segments=${segs.getAs[Long]("n_seg")}%d " +
+      f"duplicated=${segs.getAs[Long]("n_dup")}%d (rate=$rate%.3f) wall=$sec2%.1fs")
     spark.stop()
   }
 }
