@@ -269,7 +269,29 @@ object Scalars {
         max(when(col("o_orderstatus") === "P", col("o_orderkey"))).as("max_p_key"))
       .orderBy(col("o_orderpriority"))
 
+  /** ANSI-safe TRY_* arithmetic — the error-handling surface Spark 4's
+    * ANSI mode makes load-bearing: division by zero, BIGINT overflow,
+    * malformed casts, and out-of-bounds element access all yield NULL
+    * through the try_ family instead of failing the 100 TB job at row
+    * 3 billion. Each column mixes NULL and non-NULL outcomes so the
+    * oracle pins both branches; overflow is emulated in DuckDB by the
+    * equivalent bound check (DuckDB would raise, which is exactly the
+    * behavior try_multiply exists to absorb). */
+  def fnTryArith(spark: SparkSession, sf: String): DataFrame =
+    lineitem(spark, sf)
+      .where(pmod(col("l_orderkey"), lit(500)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).cast("long").as("q"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(q, l_linenumber % 3)").as("td"),
+        expr("try_multiply(q, 1000000000000000000L)").as("tm"),
+        expr("try_cast(concat('x', l_linenumber) AS INT)").as("tc_bad"),
+        expr("try_cast(cast(l_linenumber AS STRING) AS INT)").as("tc_ok"),
+        expr("try_element_at(array(q), 5)").as("te"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_try_arith" -> fnTryArith,
     "fn_variant" -> fnVariant,
     "agg_filtered" -> aggFiltered,
     "fn_collate_ci" -> fnCollateCi,
@@ -291,6 +313,20 @@ object Scalars {
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber % 3 = 0 THEN NULL
+        |       ELSE q / (l_linenumber % 3) END AS td,
+        |  CASE WHEN q >= 10 THEN NULL
+        |       ELSE q * 1000000000000000000 END AS tm,
+        |  TRY_CAST('x' || l_linenumber AS INT) AS tc_bad,
+        |  TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS tc_ok,
+        |  ([q])[5] AS te
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        CAST(floor(l_quantity) AS BIGINT) AS q
+        |      FROM lineitem WHERE l_orderkey % 500 = 0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "fn_variant" ->
       """WITH e AS (
         |  SELECT event_type,
