@@ -290,7 +290,28 @@ object Scalars {
         expr("try_element_at(array(q), 5)").as("te"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** ARGMAX/ARGMIN + boolean aggregation: max_by/min_by pick the key of
+    * the priciest/cheapest order per priority, bool_and/bool_or summarize
+    * predicates (emitted as int flags per house style). The ordering value
+    * is made UNIQUE (cents·1e8 + orderkey) before max_by sees it — with
+    * ties max_by is explicitly nondeterministic in both engines, so
+    * determinism comes from the value construction, not the function. */
+  def aggArgmaxBool(spark: SparkSession, sf: String): DataFrame = {
+    val u = floor(col("o_totalprice") * 100).cast("long") * 100000000L +
+      col("o_orderkey")
+    orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"), u.as("u"))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("max_by(o_orderkey, u)").as("best_key"),
+        expr("min_by(o_orderkey, u)").as("worst_key"),
+        expr("bool_and(o_totalprice > 900)").cast("int").as("all_above_900"),
+        expr("bool_or(o_orderstatus = 'P')").cast("int").as("any_pending"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_argmax_bool" -> aggArgmaxBool,
     "fn_try_arith" -> fnTryArith,
     "fn_variant" -> fnVariant,
     "agg_filtered" -> aggFiltered,
@@ -313,6 +334,16 @@ object Scalars {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_argmax_bool" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, CAST(floor(o_totalprice*100) AS BIGINT)*100000000
+        |                      + o_orderkey) AS best_key,
+        |  arg_min(o_orderkey, CAST(floor(o_totalprice*100) AS BIGINT)*100000000
+        |                      + o_orderkey) AS worst_key,
+        |  CAST(bool_and(o_totalprice > 900) AS INT) AS all_above_900,
+        |  CAST(bool_or(o_orderstatus = 'P') AS INT) AS any_pending
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "fn_try_arith" ->
       """SELECT l_orderkey, l_linenumber,
         |  CASE WHEN l_linenumber % 3 = 0 THEN NULL
