@@ -81,13 +81,68 @@ object Extensions {
       .orderBy(col("o_custkey"), col("price").desc, col("o_orderkey"))
   }
 
+  /** The TYPED Dataset surface: `groupByKey.mapGroups` with tuple
+    * Encoders running genuinely imperative per-group logic — the longest
+    * strictly-increasing consecutive price run per customer, something a
+    * user would reach for the typed API to write. This is the documented
+    * escape hatch BELOW declarative DataFrames and ABOVE raw
+    * mapPartitions: one shuffle on the group key, then arbitrary Scala
+    * per group; the oracle replays the same semantics as a window
+    * break/run SQL, proving the imperative and declarative forms agree.
+    * Sorting inside the group is on (date, orderkey) — unique, so the
+    * imperative scan is deterministic. */
+  def typedMapGroups(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("string").as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (cust, it) =>
+        val rows = it.toArray.sortBy(r => (r._3, r._2))
+        var run = 1; var best = 1
+        for (i <- 1 until rows.length) {
+          if (rows(i)._4 > rows(i - 1)._4) { run += 1; if (run > best) best = run }
+          else run = 1
+        }
+        (cust, rows.length.toLong, best.toLong)
+      }
+      .toDF("o_custkey", "n_orders", "max_up_run")
+      .orderBy(col("o_custkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "typed_map_groups" -> typedMapGroups,
     "udf_scalar_msisdn" -> udfScalarMsisdn,
     "agg_udaf_weighted_avg" -> aggUdafWeightedAvg,
     "topk_per_group_exec" -> topkPerGroupExec
   )
 
   def oracle: Map[String, String] = Map(
+    "typed_map_groups" ->
+      """WITH x AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(floor(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, cents,
+        |    CASE WHEN lag(cents) OVER w IS NULL OR cents <= lag(cents) OVER w
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM x WINDOW w AS (PARTITION BY o_custkey
+        |                      ORDER BY o_orderdate, o_orderkey)),
+        |g AS (
+        |  SELECT o_custkey,
+        |    sum(brk) OVER (PARTITION BY o_custkey
+        |                   ORDER BY o_orderdate, o_orderkey
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM m),
+        |r AS (SELECT o_custkey, grp, count(*) AS len
+        |      FROM g GROUP BY o_custkey, grp)
+        |SELECT o_custkey, CAST(sum(len) AS BIGINT) AS n_orders,
+        |  CAST(max(len) AS BIGINT) AS max_up_run
+        |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     "topk_per_group_exec" ->
       """SELECT o_custkey, o_orderkey, price FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice AS price,
