@@ -504,6 +504,32 @@ object Scale {
       .select(col("doc_id"), col("lang"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** Custom-SINK roundtrip through the V2 write path
+    * (graft.sources.GraftSinkProvider): the aggregate is written via the
+    * connector's task-commit (.tmp → .csv rename) + job-commit (atomic
+    * `_manifest`) protocol, then read back ONLY as the manifest directs —
+    * rows from files the manifest names, row count cross-checked against
+    * the manifest's committed total (a torn write would fail loudly).
+    * The oracle recomputes the same aggregate straight from events. */
+  def sinkCustomV2(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("v2sink", sf)
+    events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .write.format("graft-sink").option("path", dir).mode("append").save()
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest")), "UTF-8")
+      .split("\n").map(_.split(",")).map(a => a(0) -> a(1).toLong).toMap
+    val committed = manifest.keys.filter(_ != "_total").map(f => s"$dir/$f").toSeq
+    val back = spark.read
+      .schema("event_type STRING, n LONG, sum_cents LONG")
+      .csv(committed: _*)
+    require(back.count() == manifest("_total"),
+      s"manifest total ${manifest("_total")} != read-back rows")
+    back.orderBy(col("event_type"))
+  }
+
   /** AQE skew-join handling — the AUTOMATIC twin of join_skew_salted's
     * manual salting: a synthetic hot key (30% of lineitem folded onto
     * orderkey 1) makes one shuffle partition dwarf the median, and
@@ -607,6 +633,7 @@ object Scale {
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "join_skew_aqe" -> joinSkewAqe,
     "source_custom_v2" -> sourceCustomV2,
+    "sink_custom_v2" -> sinkCustomV2,
     "window_distinct_running" -> windowDistinctRunning
   )
 
@@ -615,6 +642,11 @@ object Scale {
       """SELECT lang, count(DISTINCT doc_id) AS n_exact,
         |  1 AS merge_consistent, 1 AS within_2pct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sink_custom_v2" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "source_custom_v2" ->
       """SELECT i AS doc_id,

@@ -46,4 +46,26 @@ class SourceSpec extends AnyFunSuite {
     assert(words.length == 40)
     assert(words(0) == graft.sources.DocsSource.md5hex("7:0").substring(0, 6))
   }
+
+  test("graft-sink commit protocol: manifest totals, no stray temp files") {
+    import java.io.File
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_spec").toString
+    val df = graft.util.Tables.orders(spark, sf001)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    df.write.format("graft-sink").option("path", dir).mode("append").save()
+    val files = new File(dir).listFiles().map(_.getName)
+    assert(files.contains("_manifest"))
+    assert(!files.exists(_.endsWith(".tmp")), files.mkString(","))
+    val manifest = scala.io.Source.fromFile(s"$dir/_manifest").getLines()
+      .map(_.split(",")).map(a => a(0) -> a(1).toLong).toMap
+    // every committed file is named, totals agree with the frame
+    assert(manifest("_total") == df.count())
+    val parts = manifest.keys.filter(_ != "_total")
+    assert(parts.forall(files.contains), s"manifest names missing files")
+    assert(parts.map(manifest).sum == manifest("_total"))
+    // read-back through the manifest reproduces the frame
+    val back = spark.read.schema("o_orderstatus STRING, n LONG")
+      .csv(parts.map(f => s"$dir/$f").toSeq: _*)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
 }
