@@ -75,6 +75,28 @@ object DedupScaleDemo {
     val rate = segs.getAs[Long]("n_dup").toDouble / segs.getAs[Long]("n_seg")
     println(f"[segment-demo] segments=${segs.getAs[Long]("n_seg")}%d " +
       f"duplicated=${segs.getAs[Long]("n_dup")}%d (rate=$rate%.3f) wall=$sec2%.1fs")
+    // phase 3b: the 100 TB variant — shuffle a 64-bit xxhash of the segment
+    // instead of the raw string (the claim in Text.segmentDedupOf's doc).
+    // Must find the identical duplicate mass (collisions only over-remove,
+    // and at 2^64 none occur at this scale) while moving ~10× fewer bytes.
+    val t3 = System.nanoTime()
+    val ws = split(col("text"), " ")
+    val hashed = docs
+      .select(col("doc_id"), ws.as("ws"), size(ws).as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, cast(floor((n - 1) / 10) as int))")).as("k"))
+      .select(col("doc_id"), col("k"),
+        xxhash64(concat_ws(" ", slice(col("ws"), col("k") * 10 + 1, lit(10))))
+          .as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("k"))
+    val dupH = hashed
+      .withColumn("kept", (row_number().over(w) === 1).cast("long"))
+      .agg(sum(lit(1) - col("kept")).as("n_dup")).collect()(0).getAs[Long]("n_dup")
+    val sec3 = (System.nanoTime() - t3) / 1e9
+    println(f"[segment-demo-hashed] duplicated=$dupH%d wall=$sec3%.1fs " +
+      s"(match=${dupH == segs.getAs[Long]("n_dup")})")
     spark.stop()
   }
 }
