@@ -312,6 +312,24 @@ object Scale {
         (col("n") * col("n")).as("gini_den"))
       .orderBy(col("source"))
 
+  /** MULTIPLE DISTINCT aggregates in one GROUP BY — the query shape Spark
+    * plans through an Expand operator (one row replicated per distinct
+    * column set, then two aggregation levels), because a single hash
+    * aggregate cannot deduplicate two different columns at once. Worth
+    * pinning as its own key: at 100 TB the Expand multiplies shuffle input
+    * by the number of distinct clauses, which is why a real pipeline
+    * rewrites hot multi-distinct reports onto sketches
+    * ([[aggApproxDistinct]]) — this key is the exact baseline of that
+    * trade. */
+  def aggMultiDistinct(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("day"))
+
   /** SPEARMAN RANK CORRELATION with no float anywhere: tie-averaged ranks
     * are kept integral by working in DOUBLED rank units (2·avgrank =
     * 2·minrank + ties − 1 — always an integer), and the output is the
@@ -627,6 +645,7 @@ object Scale {
     "agg_gini_diversity" -> aggGiniDiversity,
     "agg_weighted_median" -> aggWeightedMedian,
     "agg_corr_spearman" -> aggCorrSpearman,
+    "agg_multi_distinct" -> aggMultiDistinct,
     "agg_hll_merge" -> aggHllMerge,
     "agg_cms_freq" -> aggCmsFreq,
     "join_bloom_prune" -> joinBloomPrune,
@@ -767,6 +786,14 @@ object Scale {
         |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_multi_distinct" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     "agg_corr_spearman" ->
       """WITH base AS (

@@ -71,6 +71,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(p).length <= 2, p.take(1200))
   }
 
+  test("agg_multi_distinct plans through Expand (the multi-distinct shape)") {
+    val p = planOf("agg_multi_distinct")
+    assert(p.contains("Expand"), p.take(800))
+  }
+
   test("topk_per_group_exec plans the custom exec, no Window operator") {
     val df = SparkEntry.queries("topk_per_group_exec")(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
