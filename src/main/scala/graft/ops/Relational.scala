@@ -233,6 +233,32 @@ object Relational {
       .orderBy(col("p_event_id"))
   }
 
+  /** Multiway STAR-SCHEMA join (the TPC-H Q5 shape): five tables chained
+    * region→nation→customer→orders→lineitem plus a supplier edge back to
+    * the customer's nation. The declarative form hands Catalyst the whole
+    * join graph at once — the dims (region/nation/customer/supplier at
+    * fixture ratios) broadcast, the two fact tables hash-join on
+    * orderkey, and the optimizer is free to reorder — exactly the query a
+    * hand-scheduled engine must plan carefully and a 100 TB Spark job
+    * writes in six lines. Revenue stays DECIMAL-exact until the final
+    * double cast ([[aggPricingSummary]] discipline). */
+  def joinStarMultiway(spark: SparkSession, sf: String): DataFrame = {
+    val one = lit(new java.math.BigDecimal("1.00"))
+    val rev = dec(col("l_extendedprice"), 12, 2) *
+      (one - dec(col("l_discount"), 4, 2))
+    region(spark, sf)
+      .join(nation(spark, sf), col("r_regionkey") === col("n_regionkey"))
+      .join(customer(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(orders(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(lineitem(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(spark, sf), col("s_suppkey") === col("l_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("r_name"),
+        year(col("o_orderdate").cast("date")).as("oyear"))
+      .agg(count(lit(1)).as("n"), outD(sum(rev)).as("revenue"))
+      .orderBy(col("r_name"), col("oyear"))
+  }
+
   /** Interval-containment join: events of the same user within 24h of each
     * signup. Equi key + range residual → hash join, no cartesian. */
   def joinInterval(spark: SparkSession, sf: String): DataFrame = {
@@ -550,6 +576,7 @@ object Relational {
     "join_cross" -> joinCross,
     "join_asof" -> joinAsof,
     "join_interval" -> joinInterval,
+    "join_star_multiway" -> joinStarMultiway,
     "agg_pricing_summary" -> aggPricingSummary,
     "agg_multi_stat" -> aggMultiStat,
     "agg_having" -> aggHaving,
@@ -690,6 +717,20 @@ object Relational {
         |  FROM events p JOIN events e ON p.user_id = e.user_id AND e.ts < p.ts
         |  WHERE p.event_type = 'purchase')
         |WHERE rn = 1 ORDER BY p_event_id""".stripMargin,
+
+    "join_star_multiway" ->
+      """SELECT r_name, CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS oyear,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |GROUP BY r_name, oyear ORDER BY r_name, oyear""".stripMargin,
 
     "join_interval" ->
       """SELECT s.event_id AS s_event_id, s.user_id AS s_user, count(*) AS n_following

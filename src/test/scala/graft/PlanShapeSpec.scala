@@ -71,6 +71,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(p).length <= 2, p.take(1200))
   }
 
+  test("join_star_multiway broadcasts the dims, never a nested loop") {
+    val p = planOf("join_star_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("agg_multi_distinct plans through Expand (the multi-distinct shape)") {
     val p = planOf("agg_multi_distinct")
     assert(p.contains("Expand"), p.take(800))
