@@ -312,6 +312,35 @@ object Scale {
         (col("n") * col("n")).as("gini_den"))
       .orderBy(col("source"))
 
+  /** The [[graft.plans.ApproxDistinctRewrite]] rule exercised end to end:
+    * the SAME exact `count(DISTINCT user_id)` query is run once under the
+    * opt-in flag (optimizer swaps in a HyperLogLog++ sketch — asserted on
+    * the optimized plan in PlanShapeSpec) and once without (exact), then
+    * the sketch answer is bound-checked against the exact one per group
+    * ([[graft.ops.Relational.aggApproxDistinct]]'s flag pattern). The
+    * flag is set, the rewritten plan MATERIALIZED via localCheckpoint
+    * inside the scope, and restored in a finally — a leaked `true` would
+    * silently approximate every later distinct count in the session. */
+  def aggDistinctRewriteRule(spark: SparkSession, sf: String): DataFrame = {
+    import graft.plans.ApproxDistinctRewrite
+    if (!spark.experimental.extraOptimizations.contains(ApproxDistinctRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ApproxDistinctRewrite
+    def q = events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"))
+    spark.conf.set(ApproxDistinctRewrite.ConfKey, "true")
+    val approx =
+      try q.localCheckpoint() // materialize WHILE the rewrite is active
+      finally spark.conf.set(ApproxDistinctRewrite.ConfKey, "false")
+    val exact = q.withColumnRenamed("users", "n_exact")
+    exact.join(approx.withColumnRenamed("users", "approx_users"), "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("approx_users") - col("n_exact")) * 10 <= col("n_exact"))
+          .cast("int").as("within_10pct"))
+      .orderBy(col("event_type"))
+  }
+
   /** MULTIPLE DISTINCT aggregates in one GROUP BY — the query shape Spark
     * plans through an Expand operator (one row replicated per distinct
     * column set, then two aggregation levels), because a single hash
@@ -646,6 +675,7 @@ object Scale {
     "agg_weighted_median" -> aggWeightedMedian,
     "agg_corr_spearman" -> aggCorrSpearman,
     "agg_multi_distinct" -> aggMultiDistinct,
+    "agg_distinct_rewrite_rule" -> aggDistinctRewriteRule,
     "agg_hll_merge" -> aggHllMerge,
     "agg_cms_freq" -> aggCmsFreq,
     "join_bloom_prune" -> joinBloomPrune,
@@ -786,6 +816,11 @@ object Scale {
         |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_q
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_distinct_rewrite_rule" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  CAST(1 AS INT) AS within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_multi_distinct" ->
       """SELECT CAST(ts AS DATE) AS day,

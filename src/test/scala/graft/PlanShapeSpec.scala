@@ -71,6 +71,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(p).length <= 2, p.take(1200))
   }
 
+  test("ApproxDistinctRewrite swaps count(distinct) for HLL++ only under the flag") {
+    import graft.plans.ApproxDistinctRewrite
+    if (!spark.experimental.extraOptimizations.contains(ApproxDistinctRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ApproxDistinctRewrite
+    def q = graft.util.Tables.events(spark, sf001)
+      .groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("user_id")).as("u"))
+    spark.conf.set(ApproxDistinctRewrite.ConfKey, "true")
+    try {
+      val p = q.queryExecution.optimizedPlan.toString.toLowerCase
+      // HyperLogLogPlusPlus pretty-prints as approx_count_distinct
+      assert(p.contains("approx_count_distinct("), p.take(600))
+      assert(!p.contains("count(distinct"), p.take(600))
+    } finally spark.conf.set(ApproxDistinctRewrite.ConfKey, "false")
+    // flag restored → exact plan again, and the key's own run leaks nothing
+    val off = q.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(off.contains("count(distinct"), off.take(600))
+    assert(!off.contains("approx_count_distinct("), off.take(600))
+    SparkEntry.queries("agg_distinct_rewrite_rule")(spark, sf001).collect()
+    assert(spark.conf.get(ApproxDistinctRewrite.ConfKey) == "false")
+  }
+
   test("join_star_multiway broadcasts the dims, never a nested loop") {
     val p = planOf("join_star_multiway")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(1200))
