@@ -394,27 +394,48 @@ object Scale {
       .orderBy(col("l_returnflag"))
   }
 
-  /** EXACT WEIGHTED MEDIAN without a sketch: smallest price whose running
-    * weight reaches half the group total. Prices are pre-aggregated to
-    * distinct cents values first, so the cumulative window runs over a
-    * UNIQUE ordering key — the result is provably order-independent (a
-    * tie-ordered ROWS frame over duplicate keys would not be, across
-    * engines). Integer cents/weights end to end (D3). Scale: groupBy
-    * collapses the fact table to |distinct prices| per group before the
-    * window sorts anything — the window input is bounded by value
-    * cardinality, not row count. */
+  /** EXACT WEIGHTED MEDIAN without a sketch, in TWO PHASES so no task ever
+    * sorts a whole group: (1) weights are aggregated into coarse price
+    * BUCKETS (cents div 1e5 — both shuffles map-side combinable) and a
+    * window over the per-group bucket summary (thousands of rows, not the
+    * fact table) locates the single bucket holding the median plus the
+    * cumulative weight BELOW it; (2) only rows of that one bucket are
+    * re-aggregated per distinct price and a window over them — bounded by
+    * within-bucket value cardinality — finds the smallest price whose
+    * below-bucket + in-bucket running weight reaches half the total. A
+    * single flag-partitioned window over all distinct prices would be 3
+    * near-sequential sorts of the whole table at 100 TB; this plan's
+    * windows are both bounded regardless of data size. Ordering keys are
+    * unique at every window (bucket, then distinct cents) so the result
+    * is order-independent across engines (D3); integers end to end. */
   def aggWeightedMedian(spark: SparkSession, sf: String): DataFrame = {
-    val g = lineitem(spark, sf)
+    val rows = lineitem(spark, sf)
       .select(col("l_returnflag"),
         floor(col("l_extendedprice") * 100).cast("long").as("cents"),
         floor(col("l_quantity")).cast("long").as("wt"))
-      .groupBy(col("l_returnflag"), col("cents"))
-      .agg(sum(col("wt")).as("w"))
-    val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("cents").asc)
+      .withColumn("bucket", expr("cents div 100000"))
+    // phase 1: per-bucket weight totals → the bucket containing the median
+    val bw = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wt = Window.partitionBy(col("l_returnflag"))
-    g.withColumn("cum", sum(col("w")).over(wc))
-      .withColumn("tot", sum(col("w")).over(wt))
+    val tw = Window.partitionBy(col("l_returnflag"))
+    val med = rows.groupBy(col("l_returnflag"), col("bucket"))
+      .agg(sum(col("wt")).as("bw"))
+      .withColumn("cum", sum(col("bw")).over(bw))
+      .withColumn("tot", sum(col("bw")).over(tw))
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min_by(struct(col("bucket"), (col("cum") - col("bw")).as("below"),
+        col("tot")), col("bucket")).as("m"))
+      .select(col("l_returnflag"), col("m.bucket").as("med_bucket"),
+        col("m.below").as("below"), col("m.tot").as("tot"))
+    // phase 2: resolve the exact price inside that one bucket
+    val cw = Window.partitionBy(col("l_returnflag")).orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(broadcast(med), Seq("l_returnflag"))
+      .where(col("bucket") === col("med_bucket"))
+      .groupBy(col("l_returnflag"), col("cents"), col("below"), col("tot"))
+      .agg(sum(col("wt")).as("w"))
+      .withColumn("cum", col("below") + sum(col("w")).over(cw))
       .where(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("cents")).as("wmedian_cents"),
