@@ -233,6 +233,30 @@ object Relational {
       .orderBy(col("p_event_id"))
   }
 
+  /** FORWARD as-of join — [[joinAsof]]'s mirror: the first event strictly
+    * AFTER each purchase (per user). Backward as-of enriches with causes;
+    * forward as-of builds labels ("what did the user do next") — the
+    * feature/label-engineering pair. Same shape: equi key + range
+    * residual hash join, rank-1 window, never a cartesian. */
+  def joinAsofForward(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val e = ev.select(col("event_id").as("e_event_id"),
+      col("user_id").as("e_user"), col("ts").as("e_ts"),
+      col("event_type").as("e_type"))
+    val w = Window.partitionBy(col("p_event_id"))
+      .orderBy(col("e_ts").asc, col("e_event_id").asc)
+    p.join(e, col("p_user") === col("e_user") && col("e_ts") > col("p_ts"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("p_event_id"), col("p_user").as("user_id"),
+        col("e_event_id").as("next_event_id"), col("e_type").as("next_type"),
+        epochS(col("e_ts")).as("next_epoch"))
+      .orderBy(col("p_event_id"))
+  }
+
   /** Multiway STAR-SCHEMA join (the TPC-H Q5 shape): five tables chained
     * region→nation→customer→orders→lineitem plus a supplier edge back to
     * the customer's nation. The declarative form hands Catalyst the whole
@@ -577,6 +601,7 @@ object Relational {
     "join_asof" -> joinAsof,
     "join_interval" -> joinInterval,
     "join_star_multiway" -> joinStarMultiway,
+    "join_asof_forward" -> joinAsofForward,
     "agg_pricing_summary" -> aggPricingSummary,
     "agg_multi_stat" -> aggMultiStat,
     "agg_having" -> aggHaving,
@@ -715,6 +740,17 @@ object Relational {
         |         CAST(floor(epoch(e.ts)) AS BIGINT) AS prior_epoch,
         |         row_number() OVER (PARTITION BY p.event_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
         |  FROM events p JOIN events e ON p.user_id = e.user_id AND e.ts < p.ts
+        |  WHERE p.event_type = 'purchase')
+        |WHERE rn = 1 ORDER BY p_event_id""".stripMargin,
+
+    "join_asof_forward" ->
+      """SELECT p_event_id, user_id, next_event_id, next_type, next_epoch FROM (
+        |  SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+        |         e.event_id AS next_event_id, e.event_type AS next_type,
+        |         CAST(floor(epoch(e.ts)) AS BIGINT) AS next_epoch,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        |  FROM events p JOIN events e ON p.user_id = e.user_id AND e.ts > p.ts
         |  WHERE p.event_type = 'purchase')
         |WHERE rn = 1 ORDER BY p_event_id""".stripMargin,
 
