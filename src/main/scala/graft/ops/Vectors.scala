@@ -182,7 +182,12 @@ object Vectors {
     * (cosine, cid) structs picks the nearest cell per row inside
     * whole-stage codegen, exactly the one-pass map phase a 100 TB IVF build
     * runs. Probes search nprobe=4 cells; only matching cells join. */
-  def vecAnnIvf(spark: SparkSession, sf: String): DataFrame = {
+  def vecAnnIvf(spark: SparkSession, sf: String): DataFrame =
+    ivfTopk(spark, sf, nprobe = 4)
+
+  /** The IVF search core with a tunable cell fan-out ([[vecAnnIvf]] ships
+    * nprobe=4; [[vecIvfNprobeSweep]] measures the recall curve over it). */
+  private def ivfTopk(spark: SparkSession, sf: String, nprobe: Int): DataFrame = {
     VectorDot.register(spark)
     val e = embeddings(spark, sf)
     val seeds: Array[(Long, Array[Float])] = e
@@ -210,7 +215,7 @@ object Vectors {
     }
     val assign = e.select(col("vec_id").as("cand_id"),
       col("embedding").as("ce"), cellOf("embedding").as("cell"))
-    // nprobe=4 nearest cells per probe (10 probes × 16 seeds — trivial side).
+    // nprobe nearest cells per probe (10 probes × 16 seeds — trivial side).
     val p = e.where(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val seedDf = e.where(col("vec_id").isin(seedIds: _*))
@@ -221,7 +226,7 @@ object Vectors {
       .withColumn("pcos",
         expr("vector_dot(pe, cemb)") / sqrt(expr("vector_dot(cemb, cemb)")))
       .withColumn("prn", row_number().over(pw))
-      .where(col("prn") <= 4)
+      .where(col("prn") <= nprobe)
       .select(col("probe_id"), col("pe"), col("cid").as("cell"))
     // Per-probe rank by dot(pe,ce)/|ce| — equal to the cosine rank (1/|pe| is
     // constant inside each probe's partition), one VectorDot loop per pair.
@@ -275,6 +280,27 @@ object Vectors {
       .groupBy(col("cell"), col("pos"))
       .agg(count(lit(1)).as("n"), sum(col("xr")).as("sum_e6"))
       .orderBy(col("cell"), col("pos"))
+  }
+
+  /** RECALL-vs-NPROBE curve — the tuning sweep an ANN deployment runs to
+    * pick its cell fan-out: per nprobe ∈ {1,2,4,8}, aggregate recall@3 of
+    * the IVF search against brute-force kNN over the whole probe panel.
+    * Recall must be monotone non-decreasing in nprobe (asserted in the
+    * spec); the output is the integer (hits, k·|panel|) pair per sweep
+    * point. Each sweep point reuses the one-pass IVF core — at scale this
+    * is four passes over the candidate join, each probe-bounded. */
+  def vecIvfNprobeSweep(spark: SparkSession, sf: String): DataFrame = {
+    val exact = vecKnnCosine(spark, sf).where(col("rank") <= 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    Seq(1, 2, 4, 8).map { k =>
+      val ivf = ivfTopk(spark, sf, k)
+        .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(broadcast(ivf), Seq("probe_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("k_total"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(lit(k).as("nprobe"), col("k_total"), col("n_hit"),
+          expr("n_hit * 100 div k_total").as("recall_pct"))
+    }.reduce(_.unionAll(_)).orderBy(col("nprobe"))
   }
 
   /** RECALL@3 of the IVF index against brute-force kNN — the measurement
@@ -581,6 +607,7 @@ object Vectors {
     "vec_ann_ivf" -> vecAnnIvf,
     "vec_kmeans_iter" -> vecKmeansIter,
     "vec_ivf_recall" -> vecIvfRecall,
+    "vec_ivf_nprobe_sweep" -> vecIvfNprobeSweep,
     "vec_knn_l2" -> vecKnnL2,
     "vec_centroid" -> vecCentroid,
     "vec_bucket_lsh" -> vecBucketLsh,
@@ -597,9 +624,11 @@ object Vectors {
 
   private val probesSql = probeIds.mkString("(", ", ", ")")
 
-  /** The vec_ann_ivf oracle body — shared with vec_ivf_recall, which
-    * measures this exact query's recall against brute-force kNN. */
-  private lazy val ivfOracleSql: String =
+  /** The vec_ann_ivf oracle body — shared with vec_ivf_recall and the
+    * nprobe sweep, which measure this query's recall vs brute-force kNN. */
+  private lazy val ivfOracleSql: String = ivfOracleSqlK(4)
+
+  private def ivfOracleSqlK(nprobe: Int): String =
     s"""WITH seeds AS (
        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
        |  WHERE vec_id IN ${seedIds.mkString("(", ", ", ")")}),
@@ -614,7 +643,7 @@ object Vectors {
        |  FROM scored WHERE rn = 1),
        |pcells AS (
        |  SELECT vec_id AS probe_id, embedding AS pe, cid AS cell
-       |  FROM scored WHERE vec_id IN $probesSql AND rn <= 4)
+       |  FROM scored WHERE vec_id IN $probesSql AND rn <= $nprobe)
        |SELECT probe_id, rank, cand_id AS neighbor_id FROM (
        |  SELECT p.probe_id, a.cand_id,
        |    CAST(row_number() OVER (PARTITION BY p.probe_id
@@ -677,6 +706,22 @@ object Vectors {
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     "vec_ann_ivf" -> ivfOracleSql,
+
+    "vec_ivf_nprobe_sweep" -> {
+      val branches = Seq(1, 2, 4, 8).map { k =>
+        s"""SELECT $k AS nprobe, count(*) AS k_total,
+           |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS n_hit
+           |FROM exact e LEFT JOIN (SELECT * FROM (${ivfOracleSqlK(k)})) i
+           |  ON i.probe_id = e.probe_id AND i.neighbor_id = e.neighbor_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH exact AS (SELECT * FROM (
+         |  ${knnSql("list_cosine_similarity(p.embedding, c.embedding)", "DESC", 3)}))
+         |SELECT nprobe, k_total, n_hit,
+         |  CAST(n_hit * 100 // k_total AS BIGINT) AS recall_pct
+         |FROM ($branches)
+         |ORDER BY nprobe""".stripMargin
+    },
 
     "vec_ivf_recall" ->
       s"""WITH ivf AS (SELECT * FROM ($ivfOracleSql)),

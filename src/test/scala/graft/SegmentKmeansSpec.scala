@@ -239,6 +239,19 @@ class SegmentKmeansSpec extends AnyFunSuite {
     assert(got.length == batch.size)
   }
 
+  test("vec_ivf_nprobe_sweep: recall is monotone non-decreasing in nprobe") {
+    val rows = SparkEntry.queries("vec_ivf_nprobe_sweep")(spark, sf001)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4, 8))
+    rows.foreach(r => assert(r.getAs[Long]("k_total") ==
+      3L * graft.ops.Vectors.probeIds.length))
+    val recalls = rows.map(_.getAs[Long]("n_hit"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      recalls.mkString(","))
+    // widening the search must eventually help on this panel
+    assert(recalls.last > recalls.head)
+  }
+
   test("agg_gini_diversity: exact rational in [0,1), recomputable from raw counts") {
     val rows = SparkEntry.queries("agg_gini_diversity")(spark, sf001).collect()
     assert(rows.nonEmpty)
