@@ -341,6 +341,22 @@ object Scale {
       .orderBy(col("event_type"))
   }
 
+  /** AQE PARTITION COALESCING surfaced as a key: the aggregation shuffles
+    * at the session's static width (32), but the runtime sizes of the map
+    * outputs are tiny, so AdaptiveSparkPlanExec folds the post-shuffle
+    * partitions down to a handful (AQEShuffleRead `coalesced`, asserted
+    * on the EXECUTED plan in PlanShapeSpec). This is the adaptive half of
+    * shuffle sizing at 100 TB: static width is provisioned for the
+    * biggest stage, AQE shrinks every stage that turns out small, so
+    * nobody schedules 32 near-empty reducers. Oracle is the plain
+    * aggregate — AQE must not change a row. */
+  def aggAqeCoalesce(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .groupBy(pmod(col("user_id"), lit(64)).as("user_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("user_bucket"))
+
   /** MULTIPLE DISTINCT aggregates in one GROUP BY — the query shape Spark
     * plans through an Expand operator (one row replicated per distinct
     * column set, then two aggregation levels), because a single hash
@@ -697,6 +713,7 @@ object Scale {
     "agg_corr_spearman" -> aggCorrSpearman,
     "agg_multi_distinct" -> aggMultiDistinct,
     "agg_distinct_rewrite_rule" -> aggDistinctRewriteRule,
+    "agg_aqe_coalesce" -> aggAqeCoalesce,
     "agg_hll_merge" -> aggHllMerge,
     "agg_cms_freq" -> aggCmsFreq,
     "join_bloom_prune" -> joinBloomPrune,
@@ -842,6 +859,11 @@ object Scale {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  CAST(1 AS INT) AS within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_aqe_coalesce" ->
+      """SELECT user_id % 64 AS user_bucket, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_bucket ORDER BY user_bucket""".stripMargin,
 
     "agg_multi_distinct" ->
       """SELECT CAST(ts AS DATE) AS day,

@@ -94,6 +94,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(spark.conf.get(ApproxDistinctRewrite.ConfKey) == "false")
   }
 
+  test("agg_aqe_coalesce: AQE folds the 32-wide shuffle after execution") {
+    val df = SparkEntry.queries("agg_aqe_coalesce")(spark, sf001)
+    df.collect() // AQE re-plans at runtime; assert on the EXECUTED plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead"), p.take(800))
+    assert(p.contains("coalesced"), p.take(800))
+  }
+
   test("join_star_multiway broadcasts the dims, never a nested loop") {
     val p = planOf("join_star_multiway")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(1200))
