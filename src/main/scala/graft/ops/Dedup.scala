@@ -52,6 +52,51 @@ object Dedup {
       .distinct()
   }
 
+  /** BANDS/ROWS TUNING SWEEP — the design decision behind every MinHash
+    * deployment: the same 8-component signature banded as 1×8, 2×4, 4×2
+    * and 8×1, reporting candidate volume and verified near-dup yield per
+    * configuration. The configs form a PROVABLE hierarchy on shared
+    * hashes: a width-r band collision implies collisions in each of its
+    * width-1 sub-bands, so candidates (and verified dups) are monotone
+    * non-increasing in band width — narrow bands buy recall with
+    * candidate volume, wide bands buy precision with misses. The 8×1 row
+    * is therefore the recall ceiling the other rows are read against
+    * (asserted in the spec). Each config is one band-keyed equi-join —
+    * never all pairs — so the sweep is 4 passes of the production shape. */
+  def dedupBandSweep(spark: SparkSession, sf: String): DataFrame = {
+    val d = documents(spark, sf)
+    val sigs = minhashSigs(d).localCheckpoint()
+    val sets = d.select(col("doc_id"), bigrams.as("bg"), size(bigrams).as("n"))
+      .localCheckpoint()
+    val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    configs.map { case (b, r) =>
+      val bands = (1 to b).map { k =>
+        val cols = ((k - 1) * r + 1 to k * r).map(j => col(s"h$j"))
+        sigs.select(col("doc_id"), lit(k).as("band_id"),
+          concat(cols: _*).as("band"))
+      }.reduce(_.unionByName(_))
+      val cands = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band") === col("y.band") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cands
+        .join(sets.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"),
+          col("n").as("n_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("bg").as("bg_b"),
+          col("n").as("n_b")), "doc_b")
+        .withColumn("i", size(array_intersect(col("bg_a"), col("bg_b"))))
+        .withColumn("u", col("n_a") + col("n_b") - col("i"))
+        .agg(count(lit(1)).as("n_cands"),
+          coalesce(sum((col("i") * 20 >= col("u") * 7).cast("long")), lit(0L))
+            .as("n_dup"))
+        .select(lit(b).as("bands"), lit(r).as("band_width"),
+          col("n_cands"), col("n_dup"))
+    }.reduce(_.unionAll(_)).orderBy(col("bands"))
+  }
+
   /** Core MinHash-LSH dedup over any frame with (doc_id, text). */
   private[graft] def minhashDedupOf(d: DataFrame): DataFrame = {
     val cands = lshCandidates(minhashSigs(d))
@@ -270,6 +315,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental" -> dedupIncremental,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_band_sweep" -> dedupBandSweep,
     "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "dedup_simhash" -> dedupSimhash,
     "dedup_containment" -> dedupContainment,
@@ -312,6 +358,32 @@ object Dedup {
         |WHERE doc_id % 3 = 0
         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 3 <> 0)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_band_sweep" -> {
+      val branches = Seq((1, 8), (2, 4), (4, 2), (8, 1)).map { case (b, r) =>
+        val bandSelects = (1 to b).map { k =>
+          val cols = ((k - 1) * r + 1 to k * r).map(j => s"h$j").mkString(" || ")
+          s"SELECT doc_id, $k AS band_id, $cols AS band FROM sigs"
+        }.mkString(" UNION ALL ")
+        s"""SELECT $b AS bands, $r AS band_width,
+           |  count(*) AS n_cands,
+           |  COALESCE(CAST(sum(CASE
+           |    WHEN len(list_intersect(a.bg, b2.bg)) * 20 >=
+           |      (len(a.bg) + len(b2.bg) - len(list_intersect(a.bg, b2.bg))) * 7
+           |    THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_dup
+           |FROM (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM ($bandSelects) x JOIN ($bandSelects) y
+           |    ON x.band_id = y.band_id AND x.band = y.band
+           |   AND x.doc_id < y.doc_id) c
+           |JOIN sets a ON c.doc_a = a.doc_id
+           |JOIN sets b2 ON c.doc_b = b2.doc_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$minhashCte
+         |SELECT * FROM (
+         |$branches
+         |) ORDER BY bands""".stripMargin
+    },
 
     "dedup_minhash_lsh" ->
       s"""$minhashCte

@@ -239,6 +239,21 @@ class SegmentKmeansSpec extends AnyFunSuite {
     assert(got.length == batch.size)
   }
 
+  test("dedup_band_sweep: candidates and dups are monotone in band count") {
+    val rows = SparkEntry.queries("dedup_band_sweep")(spark, sf001)
+      .collect().sortBy(_.getAs[Int]("bands"))
+    assert(rows.map(r => (r.getAs[Int]("bands"), r.getAs[Int]("band_width")))
+      .toSeq == Seq((1, 8), (2, 4), (4, 2), (8, 1)))
+    val cands = rows.map(_.getAs[Long]("n_cands"))
+    val dups = rows.map(_.getAs[Long]("n_dup"))
+    // width-r collisions imply width-1 collisions: both series non-decreasing
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b }, cands.mkString(","))
+    assert(dups.zip(dups.tail).forall { case (a, b) => a <= b }, dups.mkString(","))
+    rows.foreach(r => assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_cands")))
+    // narrow bands pay in candidate volume: the ceiling config is far wider
+    assert(cands.last > dups.last * 10, s"fixtures too clean: ${cands.last}")
+  }
+
   test("vec_ivf_nprobe_sweep: recall is monotone non-decreasing in nprobe") {
     val rows = SparkEntry.queries("vec_ivf_nprobe_sweep")(spark, sf001)
       .collect().sortBy(_.getAs[Int]("nprobe"))
