@@ -341,6 +341,29 @@ object Scale {
       .orderBy(col("event_type"))
   }
 
+  /** EQUI-DEPTH HISTOGRAM — the optimizer-statistics artifact (selectivity
+    * estimation reads exactly this table): 16 buckets of equal row count
+    * with their value boundaries. Global rank comes from the DISTRIBUTED
+    * two-pass [[graft.util.Ids.zipWithIndex]] over a range-partitioned
+    * sort — NOT a single-partition row_number window — so building stats
+    * on 100 TB stays sharded end to end; bucket assignment is then a pure
+    * projection (rank·16 div N) and one groupBy. Ordering key includes
+    * the row identity, so ranks (and thus boundaries) are deterministic
+    * despite duplicate prices. */
+  def statsEquiDepthHist(spark: SparkSession, sf: String): DataFrame = {
+    val base = lineitem(spark, sf)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+    val tot = base.count()
+    graft.util.Ids.zipWithIndex(base, "r",
+        col("cents"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", expr(s"(r * 16) div $tot").cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .orderBy(col("bucket"))
+  }
+
   /** AQE PARTITION COALESCING surfaced as a key: the aggregation shuffles
     * at the session's static width (32), but the runtime sizes of the map
     * outputs are tiny, so AdaptiveSparkPlanExec folds the post-shuffle
@@ -714,6 +737,7 @@ object Scale {
     "agg_multi_distinct" -> aggMultiDistinct,
     "agg_distinct_rewrite_rule" -> aggDistinctRewriteRule,
     "agg_aqe_coalesce" -> aggAqeCoalesce,
+    "stats_equi_depth_hist" -> statsEquiDepthHist,
     "agg_hll_merge" -> aggHllMerge,
     "agg_cms_freq" -> aggCmsFreq,
     "join_bloom_prune" -> joinBloomPrune,
@@ -859,6 +883,18 @@ object Scale {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  CAST(1 AS INT) AS within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stats_equi_depth_hist" ->
+      """WITH x AS (
+        |  SELECT CAST(floor(l_extendedprice*100) AS BIGINT) AS cents,
+        |    row_number() OVER (ORDER BY floor(l_extendedprice*100),
+        |                       l_orderkey, l_linenumber) - 1 AS r
+        |  FROM lineitem),
+        |t AS (SELECT count(*) AS n FROM x)
+        |SELECT CAST((r * 16) // (SELECT n FROM t) AS INT) AS bucket,
+        |  count(*) AS n_rows, CAST(min(cents) AS BIGINT) AS lo_cents,
+        |  CAST(max(cents) AS BIGINT) AS hi_cents
+        |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "agg_aqe_coalesce" ->
       """SELECT user_id % 64 AS user_bucket, count(*) AS n,

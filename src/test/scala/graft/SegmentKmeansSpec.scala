@@ -239,6 +239,24 @@ class SegmentKmeansSpec extends AnyFunSuite {
     assert(got.length == batch.size)
   }
 
+  test("stats_equi_depth_hist: 16 near-equal buckets tiling the value range") {
+    val rows = SparkEntry.queries("stats_equi_depth_hist")(spark, sf001)
+      .collect().sortBy(_.getAs[Int]("bucket"))
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq == (0 until 16))
+    val n = rows.map(_.getAs[Long]("n_rows")).sum
+    rows.foreach { r => // equal depth within the integer-division remainder
+      assert(math.abs(r.getAs[Long]("n_rows") - n / 16) <= 1)
+      assert(r.getAs[Long]("lo_cents") <= r.getAs[Long]("hi_cents"))
+    }
+    // boundaries are non-decreasing across buckets (they tile the range)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_cents") <= b.getAs[Long]("lo_cents") ||
+          a.getAs[Long]("hi_cents") == b.getAs[Long]("lo_cents"))
+      case _ =>
+    }
+  }
+
   test("dedup_band_sweep: candidates and dups are monotone in band count") {
     val rows = SparkEntry.queries("dedup_band_sweep")(spark, sf001)
       .collect().sortBy(_.getAs[Int]("bands"))
