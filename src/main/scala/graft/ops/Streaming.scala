@@ -282,6 +282,42 @@ object Streaming {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** STREAMING WRITE through the custom V2 sink
+    * (graft.sources.GraftSinkStreamingWrite): the event stream lands in
+    * per-epoch part files whose `_manifest_epoch_<n>` job commit is
+    * atomic — the idempotent-sink half of exactly-once (checkpointed
+    * offsets being the other half; a re-run against the same checkpoint
+    * produces no new epochs and the read-back is unchanged). The result
+    * is the aggregate of ONLY what the epoch manifests name, oracled
+    * against the plain batch SQL over the same events. */
+  def streamSinkCustom(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.util.Scratch.dir("v2ssink", sf)
+    val chk = graft.util.Scratch.dir("v2ssink_chk", sf)
+    val q = eventsStream(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .writeStream.format("graft-sink")
+      .option("path", dir).option("checkpointLocation", chk)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_manifest_epoch_"))
+      .flatMap { m =>
+        val src = scala.io.Source.fromFile(m)
+        try src.getLines().map(_.split(",")).collect {
+          case Array(f, _) if f != "_total" => s"$dir/$f"
+        }.toList
+        finally src.close()
+      }
+    spark.read.schema("event_id LONG, event_type STRING, cents LONG")
+      .csv(files.toIndexedSeq: _*)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"))
+      .orderBy(col("event_type"))
+  }
+
   case class LateEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
 
   /** Watermark late-data drop, demonstrated with a two-batch MemoryStream:
@@ -383,10 +419,17 @@ object Streaming {
     "stream_stateful_count_mgs" -> streamStatefulCountMgs,
     "stream_stream_join" -> streamStreamJoin,
     "stream_static_join" -> streamStaticJoin,
+    "stream_sink_custom" -> streamSinkCustom,
     "stream_late_data" -> streamLateData
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_sink_custom" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "stream_static_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -45,12 +46,15 @@ class GraftSinkTable(path: String, schema0: StructType)
   override def name(): String = s"graft_sink($path)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema())
+        override def toStreaming: StreamingWrite =
+          new GraftSinkStreamingWrite(path, info.schema())
       }
     }
 }
@@ -84,10 +88,48 @@ class GraftSinkWriterFactory(path: String, schema: StructType)
     new GraftSinkWriter(path, schema, partitionId, taskId)
 }
 
+/** Named (serializable) streaming factory — an anonymous class here would
+  * drag the non-serializable StreamingWrite along as its outer pointer. */
+case class GraftSinkStreamingFactory(path: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftSinkWriter(path, schema, partitionId, taskId,
+      prefix = s"epoch-$epochId-")
+}
+
+/** The STREAMING half of the sink: identical task-commit protocol, but job
+  * commit is PER EPOCH — `_manifest_epoch_<n>` lands atomically once every
+  * task of micro-batch n has renamed its part file. If an epoch is
+  * re-delivered after a failure, its manifest is atomically REPLACED with
+  * the new attempt's file set; parts from the failed attempt become
+  * orphans that manifest-trusting readers never see. That idempotent
+  * commit is what composes with checkpointed source offsets into
+  * end-to-end exactly-once. */
+class GraftSinkStreamingWrite(path: String, schema: StructType)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftSinkStreamingFactory(path, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.map(_.asInstanceOf[GraftSinkCommit])
+    val body = (ms.map(m => s"${new File(m.file).getName},${m.rows}") :+
+      s"_total,${ms.map(_.rows).sum}").mkString("\n")
+    val tmp = Paths.get(path, s"_manifest_epoch_$epochId.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, s"_manifest_epoch_$epochId"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
+}
+
 class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long, prefix: String = "") extends DataWriter[InternalRow] {
   new File(path).mkdirs()
-  private val tmp = new File(path, f"part-$partitionId%05d-$taskId.tmp")
+  private val tmp = new File(path, f"${prefix}part-$partitionId%05d-$taskId.tmp")
   private val out = new java.io.PrintWriter(tmp, "UTF-8")
   private var rows = 0L
 
