@@ -173,4 +173,24 @@ object Graft {
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.ops.Text.segmentDedupOf(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** DATA-MIXTURE sampling: keep each row with a per-source rate (in
+    * 256ths; ≥256 = keep all, sources absent from the map use
+    * `defaultRate256`). Selection hashes the id column, so it is
+    * deterministic and reproducible across runs and engines; a pure
+    * per-row projection — mixing any corpus size runs at scan speed.
+    * Returns the kept rows unchanged. */
+  def mixSources(docs: DataFrame, idCol: String, sourceCol: String,
+      keepRate256: Map[String, Int], defaultRate256: Int = 256): DataFrame = {
+    def thr(rate: Int): String = if (rate >= 256) "zz" else f"$rate%02x"
+    val thrCol = keepRate256.foldLeft(
+      org.apache.spark.sql.functions.lit(thr(defaultRate256))) {
+      case (acc, (src, rate)) =>
+        org.apache.spark.sql.functions
+          .when(col(sourceCol) === src, thr(rate)).otherwise(acc)
+    }
+    docs.where(org.apache.spark.sql.functions
+      .substring(org.apache.spark.sql.functions
+        .md5(col(idCol).cast("string")), 1, 2) < thrCol)
+  }
 }

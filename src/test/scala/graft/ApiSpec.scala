@@ -34,6 +34,20 @@ class ApiSpec extends AnyFunSuite {
     assert(api.nonEmpty)
   }
 
+  test("mixSources reproduces the fixture key's per-source keep counts") {
+    val docsWithSource = graft.util.Tables.documents(spark, sf001)
+      .select(col("doc_id").as("my_id"), col("source"))
+    val kept = Graft.mixSources(docsWithSource, "my_id", "source",
+      Map("src0" -> 256, "src1" -> 128, "src2" -> 64), defaultRate256 = 32)
+    val got = kept.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val key = SparkEntry.queries("etl_mix_sources")(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    assert(got == key.filter(_._2 > 0))
+    // kept rows pass through unchanged (same columns, subset of input)
+    assert(kept.columns.toSeq == docsWithSource.columns.toSeq)
+  }
+
   test("connectedComponents labels a two-component user edge list") {
     import spark.implicits._
     val edges = Seq((5L, 9L), (9L, 7L), (100L, 101L)).toDF("from", "to")
