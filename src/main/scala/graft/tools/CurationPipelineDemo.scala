@@ -47,12 +47,19 @@ object CurationPipelineDemo {
     val eval0 = splitDf.where(col("split") =!= "train")
     stage("train pool after split", train0.count())
 
+    // 2b. domain mixture: rebalance sources BEFORE dedup spends compute —
+    // keep the curated sources whole, downsample the long tail
+    val mixed = graft.api.Graft.mixSources(train0, "doc_id", "source",
+      Map("src0" -> 256, "src1" -> 256, "src2" -> 192), defaultRate256 = 128)
+      .localCheckpoint()
+    stage("after domain mixing", mixed.count())
+
     // 3. exact dedup (fingerprint groups → keep min doc_id)
-    val fp = train0.select(col("doc_id"),
+    val fp = mixed.select(col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
     val keepExact = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val afterExact = train0.join(keepExact, "doc_id").localCheckpoint()
+    val afterExact = mixed.join(keepExact, "doc_id").localCheckpoint()
     stage("after exact dedup", afterExact.count())
 
     // 4. near-dedup: LSH candidates → exact verify → components → keep the
@@ -69,6 +76,15 @@ object CurationPipelineDemo {
     val afterNear = afterExact.join(dropNear, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     stage("after near dedup", afterNear.count())
+
+    // 4b. span-duplication REPORT (C4-style segment dedup): how much
+    // verbatim repetition survives doc-level dedup — the number a curation
+    // run watches to decide whether span-removal is worth a pass
+    val segStats = graft.api.Graft.segmentDedup(afterNear, "doc_id", "text")
+      .agg(sum(col("n_seg")).as("segs"), sum(col("n_dup")).as("dups"))
+      .collect()(0)
+    println(f"[pipeline] span-dup report:          " +
+      f"${segStats.getAs[Long]("dups")}%9d of ${segStats.getAs[Long]("segs")}%d segments duplicated")
 
     // 5. decontaminate vs the held-out split (shared word-trigrams). The
     // fixtures' 31-word vocabulary makes ANY trigram overlap ubiquitous
