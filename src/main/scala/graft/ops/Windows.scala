@@ -81,6 +81,27 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** TIME-INTERVAL RANGE frame — the rolling-feature window every
+    * interaction pipeline derives ("events by this user in the last
+    * hour"): a true `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING` over raw
+    * timestamps, which the DataFrame API cannot express (rangeBetween
+    * takes longs only) — this is the SQL-surface twin of
+    * [[windowRangeFrame]]'s numeric frame. Range frames depend only on
+    * ORDER-key VALUES, so tied timestamps cannot perturb the counts
+    * (deterministic without a unique tie-break, unlike ROWS frames).
+    * Integer cents inside the frame sum (D3). */
+  def windowTimeRange(spark: SparkSession, sf: String): DataFrame = {
+    events(spark, sf).createOrReplaceTempView("ev_time_range")
+    spark.sql(
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS cents_1h
+        |FROM ev_time_range
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+  }
+
   def windowFirstLast(spark: SparkSession, sf: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
@@ -119,6 +140,7 @@ object Windows {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_gaps_islands" -> windowGapsIslands,
+    "window_time_range" -> windowTimeRange,
     "window_rank" -> windowRank,
     "window_running_sum" -> windowRunningSum,
     "window_lag_lead" -> windowLagLead,
@@ -128,6 +150,15 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "window_time_range" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     "window_gaps_islands" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
