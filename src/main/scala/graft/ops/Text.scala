@@ -430,6 +430,31 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** FEATURE HASHING (the hashing trick): bigram occurrences folded into a
+    * fixed 64-dimension sparse count vector per doc — the stateless text
+    * featurizer that needs NO vocabulary build, which is what makes it
+    * viable at 100 TB (new tokens can never grow the model; collisions
+    * are the accepted price). Emitted as (doc_id, dim, cnt) sparse
+    * triples over a 1-in-50 doc panel. The dimension is derived from two
+    * md5 hex chars via ascii() arithmetic — a hash both engines compute
+    * identically without any hex→int conversion builtin. One explode →
+    * groupBy, map-side combinable. */
+  def textFeatureHashing(spark: SparkSession, sf: String): DataFrame = {
+    val bgOcc = zip_with(
+      slice(words, lit(1), size(words) - 1),
+      slice(words, lit(2), size(words) - 1),
+      (x, y) => concat(x, lit(" "), y))
+    val h = md5(col("bg"))
+    val dim = (ascii(substring(h, 1, 1)) * 16 + ascii(substring(h, 2, 1))) % 64
+    documents(spark, sf)
+      .where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), explode(bgOcc).as("bg"))
+      .select(col("doc_id"), dim.as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
   /** Count-based bigram LM scoring — the integer-domain proxy of the
     * perplexity quality filter every pretraining pipeline runs: docs whose
     * bigrams are globally rare (low average corpus probability) are
@@ -478,7 +503,8 @@ object Text {
     "text_quality_score" -> textQualityScore,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
-    "text_segment_dedup" -> textSegmentDedup
+    "text_segment_dedup" -> textSegmentDedup,
+    "text_feature_hashing" -> textFeatureHashing
   )
 
   /** DuckDB-side bigram shingle set (mirrors [[bigrams]]). */
@@ -646,6 +672,18 @@ object Text {
         |    md5(array_to_string(list_sort(list_distinct(str_split(text,' '))), ' ')) AS fp
         |  FROM documents)
         |GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "text_feature_hashing" ->
+      """SELECT doc_id,
+        |  (ascii(substring(md5(bg), 1, 1)) * 16
+        |   + ascii(substring(md5(bg), 2, 1))) % 64 AS dim,
+        |  count(*) AS cnt
+        |FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |  FROM (SELECT doc_id, str_split(text,' ') AS ws FROM documents
+        |        WHERE doc_id % 50 = 0))
+        |GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
 
     // First occurrence = min (doc_id, seg_idx) lexicographic, encoded as
     // doc_id*100000+seg_idx (seg_idx < 100000 always: docs are far shorter).
