@@ -112,7 +112,39 @@ object Extensions {
       .orderBy(col("o_custkey"))
   }
 
+  /** The typed COGROUP surface — two datasets merged per key with
+    * arbitrary Scala ([[typedMapGroups]]'s two-sided sibling): purchases
+    * and clicks of each user walked as two sorted sequences to find the
+    * densest burst of clicks between consecutive purchases. The bucket
+    * walk (advance the purchase pointer, count clicks per gap) is
+    * genuinely imperative; the oracle reproduces it declaratively with a
+    * correlated prior-purchase subquery, proving the two agree. Strict
+    * `<` on microsecond timestamps on both sides (DuckDB TIMESTAMP is
+    * micros; Spark's reader truncates the nanos column identically). */
+  def typedCogroup(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val base = events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    def side(t: String) = base.where(col("event_type") === t)
+      .select(col("user_id"), col("tsu")).as[(Long, Long)]
+      .groupByKey(_._1)
+    side("purchase").cogroup(side("click")) { (uid, pit, cit) =>
+      val ps = pit.map(_._2).toArray.sorted
+      val cs = cit.map(_._2).toArray.sorted
+      val counts = new Array[Long](ps.length + 1)
+      var pi = 0
+      cs.foreach { ct =>
+        while (pi < ps.length && ps(pi) < ct) pi += 1
+        counts(pi) += 1
+      }
+      Iterator.single((uid, ps.length.toLong, cs.length.toLong, counts.max))
+    }.toDF("user_id", "n_purchases", "n_clicks", "max_gap_clicks")
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "typed_cogroup" -> typedCogroup,
     "typed_map_groups" -> typedMapGroups,
     "udf_scalar_msisdn" -> udfScalarMsisdn,
     "agg_udaf_weighted_avg" -> aggUdafWeightedAvg,
@@ -120,6 +152,26 @@ object Extensions {
   )
 
   def oracle: Map[String, String] = Map(
+    "typed_cogroup" ->
+      """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |b AS (SELECT c.user_id, c.event_id,
+        |        (SELECT count(*) FROM p
+        |         WHERE p.user_id = c.user_id AND p.ts < c.ts) AS bucket
+        |      FROM c),
+        |g AS (SELECT user_id, bucket, count(*) AS n FROM b GROUP BY user_id, bucket),
+        |m AS (SELECT user_id, max(n) AS max_gap FROM g GROUP BY user_id),
+        |u AS (SELECT user_id,
+        |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_purchases,
+        |        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_clicks
+        |      FROM events WHERE event_type IN ('purchase', 'click')
+        |      GROUP BY user_id)
+        |SELECT u.user_id, n_purchases, n_clicks,
+        |  COALESCE(CAST(m.max_gap AS BIGINT), 0) AS max_gap_clicks
+        |FROM u LEFT JOIN m USING (user_id) ORDER BY u.user_id""".stripMargin,
+
     "typed_map_groups" ->
       """WITH x AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate,
