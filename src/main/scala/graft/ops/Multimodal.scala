@@ -71,13 +71,48 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** BINARY-FILE INGESTION through Spark's `binaryFile` source — the
+    * entry point of every multimodal pipeline (media lands as files; the
+    * engine scans them as (path, length, content) rows). The blob fixtures
+    * are derived deterministically FROM the documents table (per-lang
+    * newline-joined corpora, written once driver-side — fixture setup, not
+    * the operator), so the DuckDB oracle recomputes every byte length and
+    * content hash from the same table at any sf: the connector's read of
+    * raw bytes is what is actually under test. ASCII fixtures ⇒ DuckDB
+    * char length == byte length and md5(VARCHAR) == md5 of the raw bytes. */
+  def mmBinaryIngest(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.util.Scratch.dir("binfiles", sf)
+    val perLang = documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("text"))
+      .collect()
+      .groupBy(_.getString(0))
+    perLang.foreach { case (lang, rows) =>
+      val body = rows.sortBy(_.getLong(1)).map(_.getString(2)).mkString("\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$lang.txt"),
+        body.getBytes("UTF-8"))
+    }
+    spark.read.format("binaryFile").load(s"$dir/*.txt")
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("length"), md5(col("content")).as("content_md5"))
+      .orderBy(col("file"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_decode_partitions" -> mmDecodePartitions
+    "mm_decode_partitions" -> mmDecodePartitions,
+    "mm_binary_ingest" -> mmBinaryIngest
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_binary_ingest" ->
+      """SELECT lang || '.txt' AS file,
+        |  CAST(length(body) AS BIGINT) AS length,
+        |  md5(body) AS content_md5
+        |FROM (SELECT lang, string_agg(text, chr(10) ORDER BY doc_id) AS body
+        |      FROM documents GROUP BY lang)
+        |ORDER BY file""".stripMargin,
+
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS INT) AS byte_len,
