@@ -138,7 +138,23 @@ object Windows {
       .orderBy(col("user_id"), col("island"))
   }
 
+  /** nth_value over the full partition frame — "the customer's 2nd/3rd
+    * order ever" (onboarding-funnel features). Unique (date, key) ordering
+    * makes every nth deterministic; NULL where the customer never got
+    * that far. */
+  def windowNthValue(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+        nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_nth_value" -> windowNthValue,
     "window_gaps_islands" -> windowGapsIslands,
     "window_time_range" -> windowTimeRange,
     "window_rank" -> windowRank,
@@ -150,6 +166,16 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "window_nth_value" ->
+      """SELECT o_custkey, o_orderkey,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key,
+        |  nth_value(o_orderkey, 3) OVER w AS third_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "window_time_range" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_1h,
