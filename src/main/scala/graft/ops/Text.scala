@@ -430,6 +430,47 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken's MOSS algorithm):
+    * per position, the rightmost-minimum md5 of word 4-grams inside a
+    * 5-hash window is selected — a CONTENT-DEFINED fingerprint set that
+    * is provably shift-robust (any shared substring of ≥ 8 words yields a
+    * shared fingerprint), unlike [[textSegmentDedup]]'s fixed-stride
+    * segments which an inserted word misaligns. The rightmost-min rule is
+    * the struct trick min(h, −pos) on BOTH engines, so selection is
+    * deterministic under hash ties. Output per doc: fingerprint count and
+    * how many fingerprints also occur in another doc — the sharing signal
+    * comes from one hash-keyed groupBy, never doc pairs. */
+  def textWinnowFingerprint(spark: SparkSession, sf: String): DataFrame =
+    winnowOf(documents(spark, sf))
+
+  /** Frame-generic winnowing kernel over any (doc_id, text) frame. */
+  private[graft] def winnowOf(docs: DataFrame): DataFrame = {
+    val ws = words
+    val g4 = zip_with(
+      zip_with(slice(ws, lit(1), size(ws) - 3), slice(ws, lit(2), size(ws) - 3),
+        (a, b) => concat(a, lit(" "), b)),
+      zip_with(slice(ws, lit(3), size(ws) - 3), slice(ws, lit(4), size(ws) - 3),
+        (c, d) => concat(c, lit(" "), d)),
+      (ab, cd) => concat(ab, lit(" "), cd))
+    val hashes = docs
+      .select(col("doc_id"), posexplode(g4))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
+    val w5 = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(-4, 0)
+    val sel = hashes
+      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(w5))
+      .where(col("pos") >= 4) // complete windows only
+      .select(col("doc_id"), (-col("m.np")).as("spos"), col("m.h").as("sh"))
+      .distinct()
+    val docFreq = sel.select(col("sh"), col("doc_id")).distinct()
+      .groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("df"))
+    sel.join(docFreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum((col("df") >= 2).cast("long")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** FEATURE HASHING (the hashing trick): bigram occurrences folded into a
     * fixed 64-dimension sparse count vector per doc — the stateless text
     * featurizer that needs NO vocabulary build, which is what makes it
@@ -504,7 +545,8 @@ object Text {
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
     "text_segment_dedup" -> textSegmentDedup,
-    "text_feature_hashing" -> textFeatureHashing
+    "text_feature_hashing" -> textFeatureHashing,
+    "text_winnow_fingerprint" -> textWinnowFingerprint
   )
 
   /** DuckDB-side bigram shingle set (mirrors [[bigrams]]). */
@@ -672,6 +714,26 @@ object Text {
         |    md5(array_to_string(list_sort(list_distinct(str_split(text,' '))), ' ')) AS fp
         |  FROM documents)
         |GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "text_winnow_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS h
+        |  FROM (SELECT doc_id, str_split(text,' ') AS ws,
+        |               len(str_split(text,' ')) AS n FROM documents),
+        |       LATERAL (SELECT unnest(range(1, n - 2)) AS i)
+        |  WHERE n >= 4),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, -(m.np) AS spos, m.h AS sh FROM (
+        |    SELECT doc_id, pos,
+        |      min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS m
+        |    FROM g) WHERE pos >= 4),
+        |dfq AS (SELECT sh, count(DISTINCT doc_id) AS dfc FROM sel GROUP BY sh)
+        |SELECT s.doc_id, count(*) AS n_fp,
+        |  CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |FROM sel s JOIN dfq USING (sh)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "text_feature_hashing" ->
       """SELECT doc_id,

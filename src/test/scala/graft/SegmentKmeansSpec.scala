@@ -239,6 +239,21 @@ class SegmentKmeansSpec extends AnyFunSuite {
     assert(got.length == batch.size)
   }
 
+  test("winnowing guarantee: a shared 8-word run yields a shared fingerprint") {
+    import spark.implicits._
+    // k=4, w=5 ⇒ any common substring of k+w-1 = 8 words MUST share a
+    // fingerprint, at ANY offset (the property fixed-stride segments lack)
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"a1 a2 $shared a3 a4"),
+      (2L, s"b1 b2 b3 b4 b5 $shared"), // different offset
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12")).toDF("doc_id", "text")
+    val r = graft.ops.Text.winnowOf(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_shared")).toMap
+    assert(r(1L) >= 1 && r(2L) >= 1, r.toString)
+    assert(r(3L) == 0, "disjoint doc must share nothing")
+  }
+
   test("stats_equi_depth_hist: 16 near-equal buckets tiling the value range") {
     val rows = SparkEntry.queries("stats_equi_depth_hist")(spark, sf001)
       .collect().sortBy(_.getAs[Int]("bucket"))
