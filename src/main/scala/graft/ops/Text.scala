@@ -443,8 +443,32 @@ object Text {
   def textWinnowFingerprint(spark: SparkSession, sf: String): DataFrame =
     winnowOf(documents(spark, sf))
 
-  /** Frame-generic winnowing kernel over any (doc_id, text) frame. */
-  private[graft] def winnowOf(docs: DataFrame): DataFrame = {
+  /** MOSS-style near-dup PAIRS from shared winnow fingerprints: docs are a
+    * pair when they share ≥ 3 distinct fingerprints. Fingerprints seen in
+    * more than 16 docs are stop-fingerprints (boilerplate — carrying no
+    * pair signal but quadratic join cost) and are dropped BEFORE the
+    * self-join, the same df-cap guard as `dedup_substring`; candidates
+    * come from the fingerprint-keyed equi-join only. */
+  def dedupWinnowPairs(spark: SparkSession, sf: String): DataFrame = {
+    val sel = winnowSelOf(documents(spark, sf))
+      .select(col("doc_id"), col("sh")).distinct()
+    val cold = sel.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("dfc"))
+      .where(col("dfc") >= 2 && col("dfc") <= 16)
+      .select(col("sh"))
+    val s = sel.join(cold, "sh")
+    s.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(s.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .where(col("n_shared_fp") >= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Selected winnow fingerprints (doc_id, spos, sh) of any (doc_id, text)
+    * frame — shared by the per-doc report and the pair generator. */
+  private[graft] def winnowSelOf(docs: DataFrame): DataFrame = {
     val ws = words
     val g4 = zip_with(
       zip_with(slice(ws, lit(1), size(ws) - 3), slice(ws, lit(2), size(ws) - 3),
@@ -457,11 +481,16 @@ object Text {
       .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
     val w5 = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
       .rowsBetween(-4, 0)
-    val sel = hashes
+    hashes
       .withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(w5))
       .where(col("pos") >= 4) // complete windows only
       .select(col("doc_id"), (-col("m.np")).as("spos"), col("m.h").as("sh"))
       .distinct()
+  }
+
+  /** Frame-generic winnowing kernel over any (doc_id, text) frame. */
+  private[graft] def winnowOf(docs: DataFrame): DataFrame = {
+    val sel = winnowSelOf(docs)
     val docFreq = sel.select(col("sh"), col("doc_id")).distinct()
       .groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("df"))
     sel.join(docFreq, "sh")
@@ -546,7 +575,8 @@ object Text {
     "text_fingerprint" -> textFingerprint,
     "text_segment_dedup" -> textSegmentDedup,
     "text_feature_hashing" -> textFeatureHashing,
-    "text_winnow_fingerprint" -> textWinnowFingerprint
+    "text_winnow_fingerprint" -> textWinnowFingerprint,
+    "dedup_winnow_pairs" -> dedupWinnowPairs
   )
 
   /** DuckDB-side bigram shingle set (mirrors [[bigrams]]). */
@@ -714,6 +744,30 @@ object Text {
         |    md5(array_to_string(list_sort(list_distinct(str_split(text,' '))), ' ')) AS fp
         |  FROM documents)
         |GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS h
+        |  FROM (SELECT doc_id, str_split(text,' ') AS ws,
+        |               len(str_split(text,' ')) AS n FROM documents),
+        |       LATERAL (SELECT unnest(range(1, n - 2)) AS i)
+        |  WHERE n >= 4),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, m.h AS sh FROM (
+        |    SELECT doc_id, pos,
+        |      min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS m
+        |    FROM g) WHERE pos >= 4),
+        |cold AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS dfc
+        |                         FROM sel GROUP BY sh)
+        |         WHERE dfc >= 2 AND dfc <= 16),
+        |s AS (SELECT sel.doc_id, sel.sh FROM sel JOIN cold USING (sh))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS n_shared_fp
+        |FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |GROUP BY doc_a, doc_b HAVING count(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_winnow_fingerprint" ->
       """WITH g AS (
