@@ -49,15 +49,33 @@ object Sql {
       |   WHERE CAST(month(o_orderdate) AS INT) = mo) AS n_orders
       |FROM m ORDER BY mo""".stripMargin
 
+  /** A real per-row TRAVERSAL (not a fixed-length series): every sampled
+    * order key walks its decimal-ancestor chain (parent = ⌊key/10⌋ — a
+    * deterministic tree over the key space) to the root, with per-row
+    * divergent recursion depths — the hierarchy/BOM query shape. Integer
+    * division is spelled CAST(floor(a / 10) AS BIGINT) because that is
+    * the one form both engines parse AND evaluate identically. */
+  private val recursiveHierSql =
+    """WITH RECURSIVE chain(node, anc, depth) AS (
+      |  SELECT o_orderkey, o_orderkey, 0 FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT node, CAST(floor(anc / 10) AS BIGINT), depth + 1
+      |  FROM chain WHERE anc > 0)
+      |SELECT node, CAST(max(depth) AS INT) AS n_digits,
+      |  CAST(sum(anc) AS BIGINT) AS anc_sum
+      |FROM chain GROUP BY node ORDER BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_subqueries" -> ((s, sf) => run(s, sf, subqueriesSql)),
     "sql_lateral_topk" -> ((s, sf) => run(s, sf, lateralSql)),
-    "sql_recursive_series" -> ((s, sf) => run(s, sf, recursiveSql))
+    "sql_recursive_series" -> ((s, sf) => run(s, sf, recursiveSql)),
+    "sql_recursive_hierarchy" -> ((s, sf) => run(s, sf, recursiveHierSql))
   )
 
   def oracle: Map[String, String] = Map(
     "sql_subqueries" -> subqueriesSql,
     "sql_lateral_topk" -> lateralSql,
-    "sql_recursive_series" -> recursiveSql
+    "sql_recursive_series" -> recursiveSql,
+    "sql_recursive_hierarchy" -> recursiveHierSql
   )
 }
