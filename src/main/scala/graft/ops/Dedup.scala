@@ -61,40 +61,63 @@ object Dedup {
     * non-increasing in band width — narrow bands buy recall with
     * candidate volume, wide bands buy precision with misses. The 8×1 row
     * is therefore the recall ceiling the other rows are read against
-    * (asserted in the spec). Each config is one band-keyed equi-join —
-    * never all pairs — so the sweep is 4 passes of the production shape. */
+    * (asserted in the spec).
+    *
+    * The hierarchy is also the EXECUTION plan: a width-r band collision is
+    * exactly "all r width-1 sub-bands collide", so the 8×1 candidate set
+    * is a superset of every wider config's. ONE band-keyed equi-join
+    * (8×1) generates all candidates; each pair records WHICH of its 8
+    * components matched as a bitmask; exact Jaccard is verified once per
+    * pair; and every config's (n_cands, n_dup) row falls out of a mask
+    * subset test over the checkpointed pair table — one candidate pass
+    * and one verify pass instead of four of each. */
   def dedupBandSweep(spark: SparkSession, sf: String): DataFrame = {
     val d = documents(spark, sf)
     val sigs = minhashSigs(d).localCheckpoint()
     val sets = d.select(col("doc_id"), bigrams.as("bg"), size(bigrams).as("n"))
       .localCheckpoint()
+    // One width-1 band join emits a row per (pair, matching component);
+    // the pair groupBy folds those into the 8-bit collision mask (the
+    // join IS the component-equality test — no signature re-join needed).
+    val bands = (1 to 8).map(j =>
+        sigs.select(col("doc_id"), lit(j).as("band_id"), col(s"h$j").as("band")))
+      .reduce(_.unionByName(_))
+    val pairMask = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("shiftleft(1, x.band_id - 1)").as("bit"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("bit")).cast("int").as("mask"))
+    val scored = pairMask
+      .join(sets.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("bg").as("bg_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("i", size(array_intersect(col("bg_a"), col("bg_b"))))
+      .withColumn("u", col("n_a") + col("n_b") - col("i"))
+      .select(col("mask"),
+        (col("i") * 20 >= col("u") * 7).cast("long").as("is_dup"))
+    // All 8 config stats in ONE lazy aggregate over the once-computed pair
+    // stream (nothing materializes the candidate table), unstacked to the
+    // same 4 rows as the per-config formulation.
     val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
-    configs.map { case (b, r) =>
-      val bands = (1 to b).map { k =>
-        val cols = ((k - 1) * r + 1 to k * r).map(j => col(s"h$j"))
-        sigs.select(col("doc_id"), lit(k).as("band_id"),
-          concat(cols: _*).as("band"))
-      }.reduce(_.unionByName(_))
-      val cands = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band") === col("y.band") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cands
-        .join(sets.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"),
-          col("n").as("n_a")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("bg").as("bg_b"),
-          col("n").as("n_b")), "doc_b")
-        .withColumn("i", size(array_intersect(col("bg_a"), col("bg_b"))))
-        .withColumn("u", col("n_a") + col("n_b") - col("i"))
-        .agg(count(lit(1)).as("n_cands"),
-          coalesce(sum((col("i") * 20 >= col("u") * 7).cast("long")), lit(0L))
-            .as("n_dup"))
-        .select(lit(b).as("bands"), lit(r).as("band_width"),
-          col("n_cands"), col("n_dup"))
-    }.reduce(_.unionAll(_)).orderBy(col("bands"))
+    val aggs = configs.flatMap { case (b, r) =>
+      val hit = (1 to b).map { k =>
+        val bm = ((k - 1) * r until k * r).map(1 << _).sum
+        col("mask").bitwiseAND(lit(bm)) === lit(bm)
+      }.reduce(_ || _)
+      Seq(coalesce(sum(hit.cast("long")), lit(0L)).as(s"c_$b"),
+        coalesce(sum(when(hit, col("is_dup"))), lit(0L)).as(s"d_$b"))
+    }
+    val stackArgs = configs.map { case (b, r) => s"$b, $r, c_$b, d_$b" }
+      .mkString(", ")
+    scored.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${configs.size}, $stackArgs)" +
+        " as (bands, band_width, n_cands, n_dup)"))
+      .orderBy(col("bands"))
   }
 
   /** Core MinHash-LSH dedup over any frame with (doc_id, text). */

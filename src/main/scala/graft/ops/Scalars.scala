@@ -220,22 +220,32 @@ object Scalars {
       .orderBy(col("k"))
 
   /** Spark 4 COLLATION surface: UTF8_LCASE equality as a real JOIN key —
-    * the engine hashes/compares under the collation (a first-class
-    * engine feature, not a lower() rewrite at the call site; at scale the
-    * collation key is what the shuffle partitions on). The fact side gets
+    * the engine compares under the collation (a first-class engine
+    * feature, not a lower() rewrite at the call site). The fact side gets
     * synthetic case noise by orderkey parity; the dim carries canonical
     * lowercase labels, so output rows are deterministic. The oracle IS the
-    * lower() rewrite — proving the collation join equals it on ASCII. */
+    * lower() rewrite — proving the collation join equals it on ASCII.
+    *
+    * PLAN NOTE: Spark 4.1 supports ONLY SortMergeJoin on UTF8_LCASE keys
+    * (hash joins — broadcast included — are rejected: collated strings
+    * have no binary equality), so a raw fact-side collated join must
+    * shuffle every fact row on the collation key. The scale fix is to
+    * pre-aggregate the fact to its ~10 distinct raw values first (plain
+    * binary grouping, map-side combinable): the collated SMJ then sees
+    * O(distinct values) rows — at 100 TB the shuffle carries ~10 rows,
+    * not the fact table — while the collation-aware equality under test
+    * still executes in the join. */
   def fnCollateCi(spark: SparkSession, sf: String): DataFrame = {
     val noisy = when(col("o_orderkey") % 2 === 0, upper(col("o_orderpriority")))
       .otherwise(lower(col("o_orderpriority")))
     val fact = orders(spark, sf).select(noisy.as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
     val dim = orders(spark, sf)
       .select(lower(col("o_orderpriority")).as("label")).distinct()
     fact.join(dim,
         expr("collate(v, 'UTF8_LCASE')") === expr("collate(label, 'UTF8_LCASE')"))
       .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("cnt")).as("n"))
       .orderBy(col("label"))
   }
 

@@ -103,6 +103,48 @@ object Scale {
       .orderBy(col("month"))
   }
 
+  /** Parquet BLOOM-FILTER storage skipping — the last offline-available
+    * skip mechanism after min-max/zorder, partition pruning and DPP: the
+    * sink writes a high-cardinality md5 key column with a per-row-group
+    * bloom filter (small block size so the fixture file has MANY row
+    * groups; dictionary encoding off so the dictionary can't stand in as
+    * an exact filter), and a point-predicate read-back skips every row
+    * group whose bloom answers "definitely absent". min/max stats CANNOT
+    * help here — md5 values are uniform, so every row group's range spans
+    * the whole key space; the bloom filter is the only thing between a
+    * point lookup and a full scan. ScaleFixSpec measures the scan-rows
+    * drop against an identical no-bloom layout. Oracle: the same point
+    * lookup straight off the orders table (md5 hex agrees across
+    * engines). */
+  def sinkBloomSkip(spark: SparkSession, sf: String): DataFrame = {
+    val dir = bloomLayout(spark, sf, bloom = true)
+    // bounded driver-side scalar fetch (one long) to make the point
+    // predicate a pushable literal
+    val tgt = orders(spark, sf).agg(max(col("o_orderkey"))).head().getLong(0)
+    spark.read.parquet(dir)
+      .where(col("ck") === md5(lit(tgt.toString)))
+      .select(col("o_orderkey"), col("ck"), col("cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Writes orders as (o_orderkey, ck = md5(key), cents) parquet in many
+    * small row groups, bloom filter on ck only when asked — shared by the
+    * key and the ScaleFixSpec bloom-vs-plain scan-rows measurement. */
+  private[graft] def bloomLayout(spark: SparkSession, sf: String,
+      bloom: Boolean): String = {
+    val dir = tmpDir(if (bloom) "bloomy" else "bloomn", sf)
+    val w = orders(spark, sf)
+      .select(col("o_orderkey"), md5(col("o_orderkey").cast("string")).as("ck"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .repartition(1) // one file, block.size controls row-group count
+      .write.mode("overwrite")
+      .option("parquet.block.size", (64 * 1024).toString)
+      .option("parquet.enable.dictionary", "false")
+    (if (bloom) w.option("parquet.bloom.filter.enabled#ck", "true") else w)
+      .parquet(dir)
+    dir
+  }
+
   /** Dynamic partition pruning exercised for real (closes SURVEY §4.1's
     * "not exercisable on single-file fixtures" row): orders land
     * hive-partitioned by status in scratch, then JOIN a filtered tiny dim
@@ -329,10 +371,11 @@ object Scale {
     def q = events(spark, sf)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("users"))
-    spark.conf.set(ApproxDistinctRewrite.ConfKey, "true")
-    val approx =
-      try q.localCheckpoint() // materialize WHILE the rewrite is active
-      finally spark.conf.set(ApproxDistinctRewrite.ConfKey, "false")
+    // withConfs serializes on the session and restores the PRIOR value
+    // (or unset), so a concurrent caller's toggle is never clobbered.
+    val approx = withConfs(spark, ApproxDistinctRewrite.ConfKey -> "true") {
+      q.localCheckpoint() // materialize WHILE the rewrite is active
+    }
     val exact = q.withColumnRenamed("users", "n_exact")
     exact.join(approx.withColumnRenamed("users", "approx_users"), "event_type")
       .select(col("event_type"), col("n_exact"),
@@ -625,13 +668,24 @@ object Scale {
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
       .write.format("graft-sink").option("path", dir).mode("append").save()
+    // A malformed line fails loudly (the manifest is the integrity record —
+    // a silently-skipped line would be a silently-dropped file), and an
+    // empty committed set reads back as an empty frame instead of letting
+    // csv() throw on a zero-path read.
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "_manifest")), "UTF-8")
-      .split("\n").map(_.split(",")).map(a => a(0) -> a(1).toLong).toMap
+      .split("\n").filter(_.nonEmpty).map(_.split(",") match {
+        case Array(f, n) => f -> n.toLong
+        case bad => throw new IllegalStateException(
+          s"malformed manifest line: '${bad.mkString(",")}'")
+      }).toMap
     val committed = manifest.keys.filter(_ != "_total").map(f => s"$dir/$f").toSeq
-    val back = spark.read
-      .schema("event_type STRING, n LONG, sum_cents LONG")
-      .csv(committed: _*)
+    val sch = "event_type STRING, n LONG, sum_cents LONG"
+    val back =
+      if (committed.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(sch))
+      else spark.read.schema(sch).csv(committed: _*)
     require(back.count() == manifest("_total"),
       s"manifest total ${manifest("_total")} != read-back rows")
     back.orderBy(col("event_type"))
@@ -723,6 +777,7 @@ object Scale {
     "source_json_roundtrip" -> sourceJsonRoundtrip,
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "sink_partitioned_prune" -> sinkPartitionedPrune,
+    "sink_bloom_skip" -> sinkBloomSkip,
     "join_dpp_prune" -> joinDppPrune,
     "sink_zorder" -> sinkZorder,
     "etl_compact_files" -> etlCompactFiles,
@@ -831,6 +886,13 @@ object Scale {
         |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    "sink_bloom_skip" ->
+      """SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS ck,
+        |  CAST(floor(o_totalprice*100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "join_dpp_prune" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

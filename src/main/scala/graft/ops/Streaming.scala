@@ -305,13 +305,22 @@ object Streaming {
       .filter(_.getName.startsWith("_manifest_epoch_"))
       .flatMap { m =>
         val src = scala.io.Source.fromFile(m)
-        try src.getLines().map(_.split(",")).collect {
-          case Array(f, _) if f != "_total" => s"$dir/$f"
-        }.toList
+        // Malformed lines fail loudly — a silently-skipped manifest line
+        // would be a silently-dropped part file.
+        try src.getLines().filter(_.nonEmpty).map(_.split(",") match {
+          case Array(f, _) => f
+          case bad => throw new IllegalStateException(
+            s"malformed manifest line in ${m.getName}: '${bad.mkString(",")}'")
+        }).collect { case f if f != "_total" => s"$dir/$f" }.toList
         finally src.close()
       }
-    spark.read.schema("event_id LONG, event_type STRING, cents LONG")
-      .csv(files.toIndexedSeq: _*)
+    val sch = "event_id LONG, event_type STRING, cents LONG"
+    val committed =
+      if (files.isEmpty) // empty stream → empty frame, not a csv() throw
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(sch))
+      else spark.read.schema(sch).csv(files.toIndexedSeq: _*)
+    committed
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
         min(col("event_id")).as("min_id"))

@@ -186,14 +186,28 @@ object Text {
     * verification happens in the same whole-stage-codegen pipeline and
     * nothing shuffles after the candidate join. */
   def textJaccardIndexed(spark: SparkSession, sf: String): DataFrame =
-    jaccardIndexedOf(documents(spark, sf))
+    jaccardPairsOf(jacSetsMemo.getOrElseUpdate((spark, sf),
+      jaccardSetsOf(documents(spark, sf))))
+
+  /** The term index + packed sets are a pure function of (session, sfDir)
+    * and cost ~2 s of fixed zipWithIndex/localCheckpoint work per build —
+    * memoized per (session, sf) exactly like Pipeline.lshCcMemo, so
+    * repeated invocations in one session (bench, verify, API callers) pay
+    * the index once. Keyed by session so a checkpoint never outlives the
+    * session that owns it; a racing double-compute is wasted work, never
+    * wrong results. */
+  private val jacSetsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Frame-generic prefix-filter kernel over any (doc_id, text[, lang])
     * frame — no `lang` column means one global block. (private[graft]:
     * api.Graft exposes it as `jaccardPairsIndexed`.) */
-  private[graft] def jaccardIndexedOf(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    graft.functions.SortedIntersectFirstSize.register(spark)
+  private[graft] def jaccardIndexedOf(docs: DataFrame): DataFrame =
+    jaccardPairsOf(jaccardSetsOf(docs))
+
+  /** Index-build half: df-ascending term ids + packed sorted sets, both
+    * localCheckpointed (built once, reused by both prefix sides). */
+  private def jaccardSetsOf(docs: DataFrame): DataFrame = {
     val src =
       if (docs.columns.contains("lang")) docs
       else docs.withColumn("lang", lit(""))
@@ -212,11 +226,16 @@ object Text {
         "sid0", col("df"), col("term"))
       .select(col("term"), (col("sid0") + 1).cast("int").as("sid"))
       .localCheckpoint()
-    val sets = d.join(broadcast(idx), col("sh") === col("term"))
+    d.join(broadcast(idx), col("sh") === col("term"))
       .groupBy(col("lang"), col("doc_id"), col("n"))
       .agg(sort_array(collect_set(col("sid"))).as("sids"))
       .withColumn("m", size(col("sids")))
       .localCheckpoint()
+  }
+
+  /** Prefix-explode → equi-join → fused verify half, over prebuilt sets. */
+  private def jaccardPairsOf(sets: DataFrame): DataFrame = {
+    graft.functions.SortedIntersectFirstSize.register(sets.sparkSession)
     // t = 0.5 ⇒ required overlap α = ⌈n/2⌉; prefix = first m − α + 1 ids.
     val pref = sets
       .withColumn("p", greatest(lit(0), col("m") - expr("(n + 1) div 2") + 1))
@@ -470,10 +489,15 @@ object Text {
     * frame — shared by the per-doc report and the pair generator. */
   private[graft] def winnowSelOf(docs: DataFrame): DataFrame = {
     val ws = words
+    // A doc with < 4 words has no 4-grams; a raw `size(ws) - 3` slice
+    // length would be NEGATIVE there and slice() throws at runtime (the
+    // DuckDB oracle's WHERE n >= 4 handles it gracefully). Clamp to 0 so
+    // short docs yield an empty gram array instead of failing the query.
+    val g4len = greatest(size(ws) - 3, lit(0))
     val g4 = zip_with(
-      zip_with(slice(ws, lit(1), size(ws) - 3), slice(ws, lit(2), size(ws) - 3),
+      zip_with(slice(ws, lit(1), g4len), slice(ws, lit(2), g4len),
         (a, b) => concat(a, lit(" "), b)),
-      zip_with(slice(ws, lit(3), size(ws) - 3), slice(ws, lit(4), size(ws) - 3),
+      zip_with(slice(ws, lit(3), g4len), slice(ws, lit(4), g4len),
         (c, d) => concat(c, lit(" "), d)),
       (ab, cd) => concat(ab, lit(" "), cd))
     val hashes = docs

@@ -130,7 +130,12 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, prefix: String = "") extends DataWriter[InternalRow] {
   new File(path).mkdirs()
   private val tmp = new File(path, f"${prefix}part-$partitionId%05d-$taskId.tmp")
-  private val out = new java.io.PrintWriter(tmp, "UTF-8")
+  // Files.newBufferedWriter, NOT PrintWriter: PrintWriter swallows
+  // IOExceptions, so a short write (disk full) would still let commit()
+  // rename a truncated file and report the full row count in its
+  // WriterCommitMessage — the manifest would lie. Here a failed write
+  // throws, the task aborts, and the commit protocol holds.
+  private val out = Files.newBufferedWriter(tmp.toPath, StandardCharsets.UTF_8)
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -143,7 +148,8 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
           s"graft-sink supports long/double/string, got $dt for ${f.name}")
       }
     }
-    out.println(cells.mkString(","))
+    out.write(cells.mkString(","))
+    out.write("\n")
     rows += 1
   }
 
@@ -155,6 +161,9 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     GraftSinkCommit(fin.getAbsolutePath, rows)
   }
 
-  override def abort(): Unit = { out.close(); tmp.delete(); () }
+  override def abort(): Unit = {
+    try out.close() catch { case _: java.io.IOException => () } // best-effort
+    tmp.delete(); ()
+  }
   override def close(): Unit = ()
 }

@@ -150,6 +150,31 @@ class ScaleFixSpec extends AnyFunSuite {
     assert(after == 2, s"expected 2 compacted files, got $after")
   }
 
+  test("sink_bloom_skip: bloom layout scans fewer rows than the plain layout") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val tgt = graft.util.Tables.orders(spark, sf001)
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    def scanRows(dir: String): Long = {
+      val df = spark.read.parquet(dir)
+        .where(col("ck") === md5(lit(tgt.toString)))
+      df.collect()
+      val root: SparkPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      root.collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val bloomRows = scanRows(graft.ops.Scale.bloomLayout(spark, sf001, bloom = true))
+    val plainRows = scanRows(graft.ops.Scale.bloomLayout(spark, sf001, bloom = false))
+    // plain layout: md5 min/max spans every row group, no dictionary →
+    // the scan surfaces (almost) every row; bloom layout: only the row
+    // group(s) whose bloom admits the key survive
+    assert(plainRows > 0 && bloomRows * 4 <= plainRows,
+      s"bloom skip ineffective: bloom=$bloomRows plain=$plainRows")
+  }
+
   test("round-3 dedup keys keep all-pairs joins out of their plans") {
     // (vec_ann_ivf_pq is excluded: its only cross join is the 10-probe ×
     // 16-seed broadcast — the legitimate dim-table pattern; its candidate
