@@ -407,6 +407,72 @@ object Scale {
       .orderBy(col("bucket"))
   }
 
+  /** CBO JOIN REORDERING — the consumption half of the statistics story
+    * ([[statsEquiDepthHist]] builds the selectivity artifact; here the
+    * engine's cost-based optimizer actually USES catalog stats to replan
+    * a join): the three TPC-H-ish tables are registered as catalog tables
+    * and ANALYZEd (row counts + join/filter column NDVs), and a 3-way
+    * join deliberately WRITTEN in the worst order — fact ⋈ orders first,
+    * filtered tiny customer last — is re-ordered by
+    * `spark.sql.cbo.joinReorder` to join orders ⋈ filtered-customer
+    * first, so the big fact joins against the already-reduced side. At
+    * 100 TB that flip is the difference between shuffling the full fact
+    * join output and shuffling ~1/5th of it. The conf scope follows the
+    * withConfs discipline (CBO runs at optimization time, so the plan
+    * materializes INSIDE the scope); ScaleFixSpec asserts the leaf order
+    * actually flips vs the stats-free plan. Oracle: the same join in
+    * plain SQL — reordering must not change a row. */
+  def joinCboReorder(spark: SparkSession, sf: String): DataFrame = {
+    val q = cboJoinPlan(spark, sf)
+    withConfs(spark,
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      q.localCheckpoint()
+    }.orderBy(col("c_nationkey"))
+  }
+
+  /** Catalog registration + ANALYZE, once per (session, sf) — catalog
+    * stats are session-scoped, so the memo is too. External tables over
+    * the fixture parquet; ANALYZE computes row counts plus NDVs for the
+    * join keys and the filter column (what joinReorder's cost model
+    * reads). */
+  private val cboReg =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
+  private def cboRegister(spark: SparkSession, sf: String): Unit = {
+    cboReg.getOrElseUpdate((spark, sf), {
+      val tag = sfTag(sf)
+      val cols = Seq(
+        "lineitem" -> "l_orderkey, l_extendedprice",
+        "orders" -> "o_orderkey, o_custkey",
+        "customer" -> "c_custkey, c_nationkey, c_mktsegment")
+      for ((t, cs) <- cols) {
+        val name = s"graft_cbo_${t}_$tag"
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet " +
+          s"LOCATION '$sf/$t.parquet'")
+        spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS $cs")
+      }
+      true
+    })
+    ()
+  }
+
+  /** The deliberately-misordered 3-way join (shared with the ScaleFixSpec
+    * leaf-order assertion). */
+  private[graft] def cboJoinPlan(spark: SparkSession, sf: String): DataFrame = {
+    cboRegister(spark, sf)
+    val tag = sfTag(sf)
+    spark.table(s"graft_cbo_lineitem_$tag")
+      .join(spark.table(s"graft_cbo_orders_$tag"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(spark.table(s"graft_cbo_customer_$tag")
+          .where(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+  }
+
   /** AQE PARTITION COALESCING surfaced as a key: the aggregation shuffles
     * at the session's static width (32), but the runtime sizes of the map
     * outputs are tiny, so AdaptiveSparkPlanExec folds the post-shuffle
@@ -778,6 +844,7 @@ object Scale {
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "sink_partitioned_prune" -> sinkPartitionedPrune,
     "sink_bloom_skip" -> sinkBloomSkip,
+    "join_cbo_reorder" -> joinCboReorder,
     "join_dpp_prune" -> joinDppPrune,
     "sink_zorder" -> sinkZorder,
     "etl_compact_files" -> etlCompactFiles,
@@ -886,6 +953,16 @@ object Scale {
         |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    "join_cbo_reorder" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "sink_bloom_skip" ->
       """SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS ck,

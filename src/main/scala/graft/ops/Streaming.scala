@@ -164,6 +164,33 @@ object Streaming {
     }
   }
 
+  /** TTL twin of [[UserRunningAgg]]: identical running aggregate, but the
+    * ValueState carries a processing-time TTL — the zero-code state-bound
+    * mechanism for keys that never go idle-with-a-timer: state older than
+    * the TTL reads as absent and is physically evicted by the store. At
+    * 100 TB this is what keeps an unbounded-cardinality keyspace (user
+    * ids, session ids) from growing state forever when upstream keys
+    * churn. Expiry semantics are proven with a millisecond TTL across two
+    * MemoryStream batches in StreamingSpec. */
+  class UserRunningAggTtl(ttlMs: Long)
+      extends StatefulProcessor[Long, SEvent, UserState] {
+    @transient private var st: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("agg",
+        org.apache.spark.sql.Encoders.product[UserState],
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(user: Long, rows: Iterator[SEvent],
+        tv: TimerValues): Iterator[UserState] = {
+      // an expired entry reads as absent — the aggregate restarts cleanly
+      val prev = if (st.exists()) st.get() else UserState(user, 0L, 0L)
+      var n = prev.n_events; var s = prev.sum_cents
+      rows.foreach { r => n += 1; s += r.cents }
+      val out = UserState(user, n, s)
+      st.update(out)
+      Iterator.single(out)
+    }
+  }
+
   /** StatefulProcessor for [[streamStatefulCount]]: one ValueState row per
     * user holding (n_events, sum_cents), emitted on every update. */
   class UserRunningAgg extends StatefulProcessor[Long, SEvent, UserState] {
@@ -201,19 +228,57 @@ object Streaming {
     val updated = typedEvents(spark, sf).groupByKey(_.user_id)
       .transformWithState(new UserRunningAgg(), TimeMode.None(),
         OutputMode.Update())
-    // transformWithState requires the RocksDB state store provider; same
-    // shared-conf discipline as withStreamShuffle (synchronized + restore)
-    spark.synchronized {
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try drain(spark, updated.toDF(), OutputMode.Update())
+    withRocksDb(spark) {
+      drain(spark, updated.toDF(), OutputMode.Update())
         .orderBy(col("user_id"))
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Shared-conf scope (synchronized + restore-or-unset) for streaming
+    * keys that must flip session confs while a query runs — the
+    * withStreamShuffle discipline generalized to arbitrary pairs. */
+  private def withSessionConfs[T](spark: SparkSession,
+      pairs: (String, String)*)(body: => T): T =
+    spark.synchronized {
+      val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
+    }
+
+  /** transformWithState requires the RocksDB state store provider. */
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T =
+    withSessionConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(body)
+
+  /** TTL-STATE variant of [[streamStatefulCount]] — the same running
+    * per-user aggregate through [[UserRunningAggTtl]], whose ValueState
+    * carries a 1-hour processing-time TTL. TTL requires
+    * `TimeMode.ProcessingTime`; with a 1-hour bound nothing can expire
+    * inside a single AvailableNow run, so the output is deterministic and
+    * fully oracled (identical to the TTL-free aggregate) — the EXPIRY
+    * path is wall-clock-dependent by definition and is proven instead in
+    * StreamingSpec with a millisecond TTL across two batches. */
+  def streamStateTtl(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val updated = typedEvents(spark, sf).groupByKey(_.user_id)
+      .transformWithState(new UserRunningAggTtl(3600 * 1000L),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+    // noDataMicroBatches MUST be off here: in ProcessingTime mode a
+    // TTL-bearing operator reports shouldRunAnotherBatch = true on every
+    // batch (the clock always advances, expiry work is always possible),
+    // so with no-data batches enabled even Trigger.AvailableNow never
+    // terminates — it schedules empty eviction batches forever. Expiry
+    // itself doesn't need them: state is filtered on READ past its TTL.
+    withSessionConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      drain(spark, updated.toDF(), OutputMode.Update())
+        .orderBy(col("user_id"))
     }
   }
 
@@ -426,6 +491,7 @@ object Streaming {
     "stream_dedup" -> streamDedup,
     "stream_stateful_count" -> streamStatefulCount,
     "stream_stateful_count_mgs" -> streamStatefulCountMgs,
+    "stream_state_ttl" -> streamStateTtl,
     "stream_stream_join" -> streamStreamJoin,
     "stream_static_join" -> streamStaticJoin,
     "stream_sink_custom" -> streamSinkCustom,
@@ -508,6 +574,11 @@ object Streaming {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_stateful_count_mgs" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_state_ttl" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin

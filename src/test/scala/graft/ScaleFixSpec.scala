@@ -150,6 +150,33 @@ class ScaleFixSpec extends AnyFunSuite {
     assert(after == 2, s"expected 2 compacted files, got $after")
   }
 
+  test("join_cbo_reorder: catalog stats flip the join order") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def leafOrder(cbo: Boolean): Seq[String] = {
+      val plan = if (cbo) {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        try graft.ops.Scale.cboJoinPlan(spark, sf001).queryExecution.optimizedPlan
+        finally {
+          spark.conf.set("spark.sql.cbo.enabled", "false")
+          spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        }
+      } else graft.ops.Scale.cboJoinPlan(spark, sf001).queryExecution.optimizedPlan
+      plan.collect {
+        case l: LogicalRelation =>
+          l.catalogTable.map(_.identifier.table.replaceAll("_sf.*$", ""))
+            .getOrElse("file")
+      }
+    }
+    val off = leafOrder(cbo = false)
+    val on = leafOrder(cbo = true)
+    // as written: lineitem joins orders first; with stats the optimizer
+    // must start from the filtered-customer ⋈ orders side instead
+    assert(off.head.contains("lineitem"), s"unexpected stats-free order: $off")
+    assert(on != off && !on.head.contains("lineitem"),
+      s"CBO did not reorder: off=$off on=$on")
+  }
+
   test("sink_bloom_skip: bloom layout scans fewer rows than the plain layout") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

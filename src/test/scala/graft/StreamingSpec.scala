@@ -92,6 +92,72 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("value-state TTL expires idle state between batches") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.ops.Streaming.{SEvent, UserRunningAggTtl}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(provKey)
+    val prevNd = spark.conf.getOption(ndKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // without this, TTL + ProcessingTime reports shouldRunAnotherBatch =
+    // true on every batch and NO trigger ever terminates (AvailableNow
+    // included — it schedules empty eviction batches forever)
+    spark.conf.set(ndKey, "false")
+    try {
+      val ms = MemoryStream[SEvent]
+      val out = ms.toDS().groupByKey(_.user_id)
+        .transformWithState(new UserRunningAggTtl(100L),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+      // two AvailableNow runs over a shared checkpoint (not
+      // processAllAvailable on a continuous trigger, which never quiesces
+      // here) — this also proves the stronger property that expiry holds
+      // across a query restart.
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+      def run(): Set[(Long, Long, Long)] = {
+        buf.clear()
+        val q = out.toDF().writeStream.outputMode(OutputMode.Update())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.collect().foreach(r =>
+              buf.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        buf.iterator().asScala.toSet
+      }
+      ms.addData(SEvent(1, 7, 100), SEvent(2, 7, 50))
+      val r1 = run()
+      assert(r1 == Set((7L, 2L, 150L)), r1.toString)
+      // sleep far past the 100 ms TTL: the second run's processing time
+      // is beyond the expiry, so the state MUST read as absent and the
+      // aggregate restarts at zero — a TTL-free processor would emit
+      // (7, 3, 175) here (exactly what the restart test above shows for
+      // UserRunningAgg); the restart-at-zero is the TTL's observable
+      // effect.
+      Thread.sleep(1000L)
+      ms.addData(SEvent(3, 7, 25))
+      val r2 = run()
+      assert(r2 == Set((7L, 1L, 25L)), r2.toString)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+      prevNd match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None    => spark.conf.unset(ndKey)
+      }
+    }
+  }
+
   test("event-time timers close idle keys and clear their state") {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
