@@ -512,7 +512,45 @@ object Etl {
       .orderBy(col("cohort"), col("k"))
   }
 
+  /** URL CANONICALIZATION — the dedup-key normalizer every web-corpus
+    * pipeline needs before exact URL dedup (the same page arrives as
+    * `HTTPS://WWW.Host:443/p?utm_source=x&id=1#frag` and
+    * `https://host/p?id=1`): lowercase scheme+host, strip `www.` and the
+    * default port, drop the fragment, drop tracking params (`utm_*`,
+    * `ref`), and SORT the surviving query params so param order can't
+    * split a dedup group. Deterministic raw URLs are synthesized from
+    * orders in-query (both engines build identical input); the Spark side
+    * parses with the codegen'd `parse_url` (PROTOCOL/HOST/PATH/QUERY) and
+    * filters params with array lambdas — a pure projection, scan-speed at
+    * any scale; the oracle re-derives the same pieces with regexes. */
+  def etlUrlCanonicalize(spark: SparkSession, sf: String): DataFrame = {
+    val url = concat(
+      lit("HTTPS://WWW.Shop"), col("o_orderkey") % 10,
+      lit(".EXAMPLE.COM:443/item/"), col("o_orderkey"),
+      lit("?utm_source=mail&id="), col("o_custkey"),
+      lit("&utm_campaign=x&ref=tw&page="), col("o_orderkey") % 5, lit("#top"))
+    orders(spark, sf)
+      .select(col("o_orderkey").as("url_id"), url.as("url"))
+      .select(col("url_id"),
+        expr("""concat(
+                |  lower(parse_url(url, 'PROTOCOL')), '://',
+                |  regexp_replace(lower(parse_url(url, 'HOST')), '^www\\.', ''),
+                |  parse_url(url, 'PATH'),
+                |  CASE WHEN size(filter(split(parse_url(url, 'QUERY'), '&'),
+                |         p -> NOT (startswith(p, 'utm_') OR startswith(p, 'ref=')))) > 0
+                |    THEN concat('?', array_join(array_sort(
+                |      filter(split(parse_url(url, 'QUERY'), '&'),
+                |        p -> NOT (startswith(p, 'utm_') OR startswith(p, 'ref=')))), '&'))
+                |    ELSE '' END)""".stripMargin).as("canon_url"),
+        expr("""size(split(parse_url(url, 'QUERY'), '&')) -
+                |size(filter(split(parse_url(url, 'QUERY'), '&'),
+                |  p -> NOT (startswith(p, 'utm_') OR startswith(p, 'ref='))))"""
+          .stripMargin).cast("int").as("n_dropped"))
+      .orderBy(col("url_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_url_canonicalize" -> etlUrlCanonicalize,
     "etl_retention_cohort" -> etlRetentionCohort,
     "etl_anomaly_zscore" -> etlAnomalyZscore,
     "etl_gap_fill" -> etlGapFill,
@@ -539,6 +577,27 @@ object Etl {
   )
 
   def oracle: Map[String, String] = Map(
+    "etl_url_canonicalize" ->
+      """WITH u AS (SELECT o_orderkey AS url_id,
+        |  'HTTPS://WWW.Shop' || (o_orderkey % 10) || '.EXAMPLE.COM:443/item/'
+        |    || o_orderkey || '?utm_source=mail&id=' || o_custkey
+        |    || '&utm_campaign=x&ref=tw&page=' || (o_orderkey % 5) || '#top' AS url
+        |  FROM orders),
+        |p AS (SELECT url_id,
+        |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS proto,
+        |  regexp_replace(lower(regexp_extract(url, '://([^/:?#]+)', 1)),
+        |    '^www\.', '') AS host,
+        |  regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1) AS path,
+        |  list_sort(list_filter(str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |    q -> NOT (starts_with(q, 'utm_') OR starts_with(q, 'ref=')))) AS keep,
+        |  len(str_split(regexp_extract(url, '\?([^#]*)', 1), '&')) AS n_all
+        |  FROM u)
+        |SELECT url_id,
+        |  proto || '://' || host || path ||
+        |    CASE WHEN len(keep) > 0
+        |      THEN '?' || array_to_string(keep, '&') ELSE '' END AS canon_url,
+        |  CAST(n_all - len(keep) AS INT) AS n_dropped
+        |FROM p ORDER BY url_id""".stripMargin,
     "etl_retention_cohort" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk

@@ -286,7 +286,49 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** PAGERANK power iteration — link-graph authority scoring, the web-scale
+    * quality signal curation pipelines rank crawl domains with (and, with
+    * [[dedupCcComponents]], the second classic graph kernel this engine
+    * runs). The fixture has no link table, so a deterministic synthetic
+    * graph is derived from documents in-query — node i emits 1 + i % 3
+    * edges to (i·31 + j·7919) mod N, the same expression in both engines.
+    * Two unrolled iterations of r' = 0.15 + 0.85·Σ(r_in/deg_out), ALL in
+    * integer E6 arithmetic (rank enters at 1 000 000; contribution is
+    * `r div deg`; damping is `(85·Σ) div 100` — floor division of
+    * non-negative longs agrees across engines, rule D3), so the output is
+    * exact and order-independent.
+    *
+    * Scale shape: each iteration is edges ⋈ ranks on src (the edge table
+    * pre-joined with out-degrees once and reused) followed by one
+    * groupBy(dst) with map-side partial sums — the canonical Pregel-style
+    * scatter/gather as two relational ops. A 100 TB run keeps the edge
+    * table hash-partitioned on src across iterations so only the (small)
+    * rank table moves; the iteration count is fixed, not data-dependent. */
+  def graphPagerankIter(spark: SparkSession, sf: String): DataFrame = {
+    val docs = documents(spark, sf).select(col("doc_id"))
+    val n = docs.count()
+    val edges = docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(1), lit(1) + col("doc_id") % 3)).as("j"))
+      .select(col("src"), ((col("src") * 31 + col("j") * 7919) % n).as("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src").localCheckpoint() // reused by both iterations
+    def step(ranks: DataFrame): DataFrame =
+      docs.select(col("doc_id").as("node"))
+        .join(e.join(ranks, col("src") === col("node"))
+            .select(col("dst"), expr("r div deg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("s")),
+          col("node") === col("dst"), "left")
+        .select(col("node").as("node"),
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+    val r1 = step(docs.select(col("doc_id").as("node"), lit(1000000L).as("r")))
+    step(r1.localCheckpoint())
+      .select(col("node"), col("r").as("pr_e6"))
+      .orderBy(col("node"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank_iter" -> graphPagerankIter,
     "dedup_cc_components" -> dedupCcComponents,
     "dedup_lsh_cc" -> dedupLshCc,
     "dedup_survivors" -> dedupSurvivors,
@@ -314,6 +356,27 @@ object Pipeline {
        |  AND len(list_intersect(a.bg, b.bg)) > 0""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "graph_pagerank_iter" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |nodes AS (SELECT doc_id AS node FROM documents),
+        |ej AS (SELECT doc_id AS src, unnest(range(1, 2 + doc_id % 3)) AS j
+        |       FROM documents),
+        |e AS (SELECT src, (src * 31 + j * 7919) % (SELECT n FROM nn) AS dst
+        |      FROM ej),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |s1 AS (SELECT dst, sum(r // deg) AS s
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+        |       GROUP BY dst),
+        |r1 AS (SELECT node,
+        |         CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes LEFT JOIN s1 ON node = dst),
+        |s2 AS (SELECT dst, sum(r // deg) AS s
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+        |       GROUP BY dst)
+        |SELECT node,
+        |  CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS pr_e6
+        |FROM nodes LEFT JOIN s2 ON node = dst ORDER BY node""".stripMargin,
     "dedup_lsh_cc" ->
       s"""${Dedup.minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |dup AS (

@@ -49,6 +49,31 @@ object Scale {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Plain-TEXT source/sink roundtrip — the line-oriented surface (raw
+    * crawl dumps, log shipping) next to csv/json/orc/parquet: each doc is
+    * serialized to one tab-delimited line (`spark.write.text`), read back
+    * with the text source (one `value` column — the schema every text
+    * scan starts from), re-parsed by position, and aggregated per lang.
+    * The fixture word-soup text contains no tabs, so the framing is
+    * lossless and the DuckDB oracle aggregates straight from the source
+    * parquet — a byte-level roundtrip proof. Scale: text scans split by
+    * line at any file size; the parse is a pure projection. */
+  def sourceTextRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("txt", sf)
+    documents(spark, sf)
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+      .write.mode("overwrite").text(dir)
+    val p = split(col("value"), "\t", 3)
+    spark.read.text(dir)
+      .select(p.getItem(0).cast("long").as("doc_id"),
+        p.getItem(1).as("lang"), p.getItem(2).as("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
   /** ORC source/sink roundtrip — the third columnar-format surface next to
     * parquet and the text sources; exact-typed columns only, so the DuckDB
     * oracle aggregates straight from the source parquet and the roundtrip
@@ -473,6 +498,26 @@ object Scale {
         sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
   }
 
+  /** JOIN-STRATEGY HINT surface: `hint("SHUFFLE_HASH")` pins the physical
+    * join to ShuffledHashJoin — no sort on either side, a hash table built
+    * per partition from the hinted side — where the planner's default for
+    * two large inputs is sort-merge. At 100 TB this is the knob for joins
+    * whose build side is too big to broadcast but small enough per
+    * partition to hash (dim tables in the 1-10 GB band): SMJ pays two full
+    * sorts it doesn't need. User hints outrank size heuristics, so the
+    * choice is explicit and plan-asserted (ScaleFixSpec); the hint must
+    * not change a row — the oracle is the plain join. */
+  def joinShuffleHashHint(spark: SparkSession, sf: String): DataFrame =
+    lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(orders(spark, sf).hint("SHUFFLE_HASH")
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("o_orderstatus"))
+
   /** AQE PARTITION COALESCING surfaced as a key: the aggregation shuffles
     * at the session's static width (32), but the runtime sizes of the map
     * outputs are tiny, so AdaptiveSparkPlanExec folds the post-shuffle
@@ -842,6 +887,8 @@ object Scale {
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
     "source_json_roundtrip" -> sourceJsonRoundtrip,
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
+    "source_text_roundtrip" -> sourceTextRoundtrip,
+    "join_shuffle_hash_hint" -> joinShuffleHashHint,
     "sink_partitioned_prune" -> sinkPartitionedPrune,
     "sink_bloom_skip" -> sinkBloomSkip,
     "join_cbo_reorder" -> joinCboReorder,
@@ -953,6 +1000,19 @@ object Scale {
         |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    "source_text_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "join_shuffle_hash_hint" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "join_cbo_reorder" ->
       """SELECT c_nationkey, count(*) AS n,

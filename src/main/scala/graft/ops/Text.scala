@@ -583,7 +583,40 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML BOILERPLATE STRIP — the first pass every web-crawl curation
+    * pipeline runs (CommonCrawl → WET-style extraction): drop markup,
+    * decode entities, normalize whitespace. The fixture docs are plain
+    * text, so a deterministic HTML wrapper (div/h1/p/a with entity-bearing
+    * attributes and anchor text) is synthesized around each doc IN the
+    * query — both engines build the identical raw page, and the operator
+    * under test is the strip pipeline: (1) one `<[^>]*>` tag sweep (also
+    * removes attribute junk like tracking hrefs wholesale), (2) entity
+    * decode with `&amp;` LAST (decoding it first would re-expose `&lt;` as
+    * a decodable entity — the classic double-decode bug), (3) whitespace
+    * collapse + trim. Pure per-row projection: scan-speed, no shuffle,
+    * whole-stage codegen end to end — at 100 TB this runs at I/O rate. */
+  def textHtmlStrip(spark: SparkSession, sf: String): DataFrame = {
+    val html = concat(
+      lit("""<div id="d"""), col("doc_id"), lit("""" class="doc"><h1>T &amp; H</h1><p>"""),
+      col("text"),
+      lit("""</p><a href="https://ex.org/"""), col("doc_id"),
+      lit("""?utm_source=feed&amp;q=1">more &gt; less</a><br/></div>"""))
+    documents(spark, sf)
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"), length(col("html")).as("n_raw"),
+        expr("""trim(regexp_replace(
+                |  replace(replace(replace(replace(replace(
+                |    regexp_replace(html, '<[^>]*>', ' '),
+                |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                |    '&amp;', '&'),
+                |  ' +', ' '))""".stripMargin).as("clean"))
+      .select(col("doc_id"), col("n_raw"), col("clean"),
+        length(col("clean")).as("n_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_html_strip" -> textHtmlStrip,
     "text_inverted_index" -> textInvertedIndex,
     "text_lm_score" -> textLmScore,
     "text_decontaminate" -> textDecontaminate,
@@ -609,6 +642,27 @@ object Text {
       "i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]))"
 
   def oracle: Map[String, String] = Map(
+    "text_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<div id="d' || doc_id || '" class="doc"><h1>T &amp; H</h1><p>' ||
+        |  text || '</p><a href="https://ex.org/' || doc_id ||
+        |  '?utm_source=feed&amp;q=1">more &gt; less</a><br/></div>' AS html
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(html) AS INT) AS n_raw,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&amp;', '&'),
+        |    ' +', ' ', 'g')) AS clean,
+        |  CAST(length(trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&amp;', '&'),
+        |    ' +', ' ', 'g'))) AS INT) AS n_clean
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     "text_inverted_index" ->
       s"""WITH t AS (SELECT doc_id, unnest(bg) AS term
          |           FROM (SELECT doc_id, $bgSql AS bg FROM documents)),

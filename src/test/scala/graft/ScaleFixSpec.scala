@@ -177,6 +177,33 @@ class ScaleFixSpec extends AnyFunSuite {
       s"CBO did not reorder: off=$off on=$on")
   }
 
+  test("join_shuffle_hash_hint pins ShuffledHashJoin, no sort on either side") {
+    val df = SparkEntry.queries("join_shuffle_hash_hint")(spark, sf001)
+    df.collect()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = root.toString
+    assert(s.contains("ShuffledHashJoin"),
+      s"hint did not pin ShuffledHashJoin:\n${s.take(800)}")
+    assert(!s.contains("SortMergeJoin"),
+      s"SMJ planned despite SHUFFLE_HASH hint:\n${s.take(800)}")
+  }
+
+  test("graph_pagerank_iter conserves rank mass within floor-loss bounds") {
+    val rows = SparkEntry.queries("graph_pagerank_iter")(spark, sf001).collect()
+    val n = rows.length
+    val total = rows.map(_.getLong(1)).sum
+    // exact PR with no floor loss: sum = n*150000 + 0.85*n*1e6; each of the
+    // ~2n edge contributions and n damping steps floors away < 1 unit of
+    // its scale — mass can only leak DOWN, and only by that bounded amount
+    val upper = (n * 150000L) + (85L * n * 1000000L) / 100L
+    assert(total <= upper && total >= upper - 4L * n,
+      s"rank mass $total outside [$upper - ${4L * n}, $upper]")
+  }
+
   test("sink_bloom_skip: bloom layout scans fewer rows than the plain layout") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
