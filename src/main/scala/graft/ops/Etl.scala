@@ -149,6 +149,29 @@ object Etl {
       .orderBy(col("user_id"), col("session_ord"))
   }
 
+  /** NATIVE session windows — the same 30-minute-gap sessions as
+    * [[etlSessionize]], but through Spark's `session_window` GROUPING
+    * OPERATOR instead of the lag/cumsum window pipeline: one
+    * `groupBy(session_window(ts, gap), user)` and the engine's
+    * UpdatingSessions machinery merges rows into variable-length
+    * [start, end) sessions (end = last event + gap; an event landing
+    * exactly at `end` starts a NEW session — `>=` gap semantics, one
+    * event stricter than sessionize's `>`). This is the formulation that
+    * carries to Structured Streaming unchanged, and in batch it needs NO
+    * window function — just a shuffle on user + in-partition merge.
+    * Timestamps are microsecond-grained, so the oracle re-derives the
+    * same sessions at `epoch_us` precision. */
+  def etlSessionWindow(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_us"),
+        unix_micros(col("session_window.end")).as("e_us"),
+        col("n_events"), col("sum_cents"))
+      .orderBy(col("user_id"), col("s_us"))
+
   /** Incremental aggregation: a base aggregate merged with a delta-partition
     * aggregate by re-aggregating the partials (sum-of-sums, sum-of-counts) —
     * the algebra every incremental pipeline leans on. The oracle is the
@@ -572,6 +595,7 @@ object Etl {
     "etl_split_train_eval" -> etlSplitTrainEval,
     "etl_profile" -> etlProfile,
     "etl_sessionize" -> etlSessionize,
+    "etl_session_window" -> etlSessionWindow,
     "etl_scd2_snapshot" -> etlScd2Snapshot,
     "etl_dim_lookup_asof" -> etlDimLookupAsof
   )
@@ -876,6 +900,25 @@ object Etl {
         |  MAX(es) - MIN(es) AS duration_s
         |FROM numbered GROUP BY user_id, session_ord
         |ORDER BY user_id, session_ord""".stripMargin,
+
+    "etl_session_window" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS es,
+        |    lag(epoch_us(ts), 1) OVER w AS pes,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT *, SUM(CASE WHEN pes IS NULL OR es - pes >= 1800000000
+        |                     THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY es ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS so
+        |  FROM f)
+        |SELECT user_id, MIN(es) AS s_us, MAX(es) + 1800000000 AS e_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM numbered GROUP BY user_id, so
+        |ORDER BY user_id, s_us""".stripMargin,
 
     "etl_scd2_snapshot" ->
       """WITH yearly AS (

@@ -327,8 +327,43 @@ object Pipeline {
       .orderBy(col("node"))
   }
 
+  /** TRIANGLE COUNTING — the third classic graph kernel (with
+    * [[dedupCcComponents]] and [[graphPagerankIter]]): local clustering
+    * signal for link-graph quality scoring. Same deterministic synthetic
+    * graph as pagerank, made undirected and ORIENTED a<b — each triangle
+    * a<b<c is then enumerated exactly once as the wedge join
+    * (a,b)⋈(b,c) closed by (a,c): two equi-joins, zero all-pairs work.
+    * Per-node counts come from exploding each triangle's three corners
+    * into one groupBy. Scale: id-orientation already halves the edge
+    * table; the 100 TB refinement is orienting by (degree, id) so every
+    * wedge pivots at its LOWEST-degree corner, bounding join fan-out by
+    * the graph's arboricity instead of its max degree (the classic
+    * MR/GraphX triangle trick) — same plan shape, different sort key. */
+  def graphTriangleCount(spark: SparkSession, sf: String): DataFrame = {
+    val docs = documents(spark, sf).select(col("doc_id"))
+    val n = docs.count()
+    val raw = docs
+      .select(col("doc_id").as("s"),
+        explode(sequence(lit(1), lit(1) + col("doc_id") % 3)).as("j"))
+      .select(col("s"), ((col("s") * 31 + col("j") * 7919) % n).as("d"))
+    val und = raw
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint() // reused three times in the wedge join
+    val tri = und.as("x")
+      .join(und.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+      .join(und.as("z"), col("ta") === col("z.a") && col("tc") === col("z.b"))
+      .select(col("ta"), col("tb"), col("tc"))
+    tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("node"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_iter" -> graphPagerankIter,
+    "graph_triangle_count" -> graphTriangleCount,
     "dedup_cc_components" -> dedupCcComponents,
     "dedup_lsh_cc" -> dedupLshCc,
     "dedup_survivors" -> dedupSurvivors,
@@ -377,6 +412,24 @@ object Pipeline {
         |SELECT node,
         |  CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS pr_e6
         |FROM nodes LEFT JOIN s2 ON node = dst ORDER BY node""".stripMargin,
+
+    "graph_triangle_count" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ej AS (SELECT doc_id AS s, unnest(range(1, 2 + doc_id % 3)) AS j
+        |       FROM documents),
+        |raw AS (SELECT s, (s * 31 + j * 7919) % (SELECT n FROM nn) AS d
+        |        FROM ej),
+        |und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |        FROM raw WHERE least(s, d) < greatest(s, d)),
+        |tri AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc
+        |        FROM und x JOIN und y ON x.b = y.a
+        |        JOIN und z ON z.a = x.a AND z.b = y.b),
+        |corners AS (
+        |  SELECT ta AS node FROM tri UNION ALL
+        |  SELECT tb FROM tri UNION ALL
+        |  SELECT tc FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM corners GROUP BY node ORDER BY node""".stripMargin,
     "dedup_lsh_cc" ->
       s"""${Dedup.minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |dup AS (

@@ -421,6 +421,29 @@ object Vectors {
     * embedding columns at scale): per-vector min/max → 0..255 codes. All
     * arithmetic is explicitly double (float inputs widen exactly), so
     * floor(x*…+0.5) is IEEE-identical on both engines. First 8 dims. */
+  /** EMBEDDING-NORM HISTOGRAM — the corpus-health diagnostic an embedding
+    * pipeline runs before indexing: zero/near-zero norms are corrupt or
+    * padding vectors, far-outlier norms are scale bugs from a mismatched
+    * encoder — both land in distinctive buckets here. Norm² is computed
+    * EXACTLY: coordinates quantize to e3 ints (floor(x·1000 + 0.5) on the
+    * double-cast value — IEEE-identical in both engines), squares sum as
+    * longs inside one `aggregate` HOF, and the e6-scale norm² buckets by
+    * integer div — no float leaves the plan (D3). One scan + one tiny
+    * groupBy(bucket): scan-speed at any corpus size. */
+  def vecNormHistogram(spark: SparkSession, sf: String): DataFrame = {
+    val n2 = expr(
+      """aggregate(transform(embedding,
+        |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)),
+        |  0L, (acc, v) -> acc + v * v)""".stripMargin)
+    embeddings(spark, sf)
+      .select(col("vec_id"), n2.as("norm2_e6"))
+      .withColumn("bucket", expr("norm2_e6 div 500").cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("norm2_e6")).as("min_norm2"), max(col("norm2_e6")).as("max_norm2"))
+      .orderBy(col("bucket"))
+  }
+
   def vecQuantize(spark: SparkSession, sf: String): DataFrame = {
     val e = embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"),
@@ -614,6 +637,7 @@ object Vectors {
     "vec_ann_lsh" -> vecAnnLsh,
     "vec_mips_topk" -> vecMipsTopk,
     "vec_quantize" -> vecQuantize,
+    "vec_norm_histogram" -> vecNormHistogram,
     "vec_pq_codes" -> vecPqCodes,
     "vec_topk_global" -> vecTopkGlobal,
     "vec_threshold_pairs" -> vecThresholdPairs,
@@ -852,6 +876,18 @@ object Vectors {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cos > 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "vec_norm_histogram" ->
+      """WITH n2 AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+        |       * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS norm2_e6
+        |  FROM embeddings)
+        |SELECT CAST(norm2_e6 // 500 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  min(norm2_e6) AS min_norm2, max(norm2_e6) AS max_norm2
+        |FROM n2 GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "vec_quantize" ->
       """SELECT vec_id, pos,
