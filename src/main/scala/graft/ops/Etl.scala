@@ -149,6 +149,40 @@ object Etl {
       .orderBy(col("user_id"), col("session_ord"))
   }
 
+  /** GDPR-STYLE CASCADING ERASURE AUDIT — the compliance pass every data
+    * estate needs: given an erasure-request set (here the deterministic
+    * c_custkey % 97 = 0 cohort), count what a right-to-be-forgotten sweep
+    * removes and keeps in each table it cascades through: customers
+    * directly, their orders via custkey, those orders' lineitems via
+    * orderkey. One pass per table — the erasure set broadcasts (requests
+    * are always tiny next to the estate), each fact row left-joins it and
+    * flags, then a single sum(flag) aggregate audits removed/kept; the
+    * lineitem cascade rides the estate's natural orders⋈lineitem join. At
+    * 100 TB the same plan does the actual delete: the kept side IS the
+    * anti-join rewrite of each table. */
+  def etlGdprErasure(spark: SparkSession, sf: String): DataFrame = {
+    val erased = customer(spark, sf)
+      .where(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("ek"))
+    def audit(table: String, df: DataFrame, key: Column): DataFrame =
+      df.join(broadcast(erased), key === col("ek"), "left")
+        .agg(sum(col("ek").isNotNull.cast("long")).as("n_removed"),
+          sum(col("ek").isNull.cast("long")).as("n_kept"))
+        .select(lit(table).as("table_name"), col("n_removed"), col("n_kept"))
+    val erasedOrders = orders(spark, sf)
+      .join(broadcast(erased), col("o_custkey") === col("ek"))
+      .select(col("o_orderkey").as("eok"))
+    val li = lineitem(spark, sf)
+      .join(erasedOrders, col("l_orderkey") === col("eok"), "left")
+      .agg(sum(col("eok").isNotNull.cast("long")).as("n_removed"),
+        sum(col("eok").isNull.cast("long")).as("n_kept"))
+      .select(lit("lineitem").as("table_name"), col("n_removed"), col("n_kept"))
+    audit("customer", customer(spark, sf), col("c_custkey"))
+      .unionAll(audit("orders", orders(spark, sf), col("o_custkey")))
+      .unionAll(li)
+      .orderBy(col("table_name"))
+  }
+
   /** NATIVE session windows — the same 30-minute-gap sessions as
     * [[etlSessionize]], but through Spark's `session_window` GROUPING
     * OPERATOR instead of the lag/cumsum window pipeline: one
@@ -596,6 +630,7 @@ object Etl {
     "etl_profile" -> etlProfile,
     "etl_sessionize" -> etlSessionize,
     "etl_session_window" -> etlSessionWindow,
+    "etl_gdpr_erasure" -> etlGdprErasure,
     "etl_scd2_snapshot" -> etlScd2Snapshot,
     "etl_dim_lookup_asof" -> etlDimLookupAsof
   )
@@ -900,6 +935,26 @@ object Etl {
         |  MAX(es) - MIN(es) AS duration_s
         |FROM numbered GROUP BY user_id, session_ord
         |ORDER BY user_id, session_ord""".stripMargin,
+
+    "etl_gdpr_erasure" ->
+      """WITH e AS (SELECT c_custkey AS ek FROM customer WHERE c_custkey % 97 = 0),
+        |eo AS (SELECT o_orderkey AS eok FROM orders
+        |       JOIN e ON o_custkey = ek)
+        |SELECT 'customer' AS table_name,
+        |  CAST(count(CASE WHEN c_custkey % 97 = 0 THEN 1 END) AS BIGINT) AS n_removed,
+        |  CAST(count(CASE WHEN c_custkey % 97 <> 0 THEN 1 END) AS BIGINT) AS n_kept
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders',
+        |  CAST(count(CASE WHEN ek IS NOT NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN ek IS NULL THEN 1 END) AS BIGINT)
+        |FROM orders LEFT JOIN e ON o_custkey = ek
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  CAST(count(CASE WHEN eok IS NOT NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN eok IS NULL THEN 1 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN eo ON l_orderkey = eok
+        |ORDER BY table_name""".stripMargin,
 
     "etl_session_window" ->
       """WITH f AS (

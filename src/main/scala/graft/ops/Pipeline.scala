@@ -361,9 +361,31 @@ object Pipeline {
       .orderBy(col("node"))
   }
 
+  /** DEGREE DISTRIBUTION of the synthetic link graph — the first
+    * diagnostic a graph pipeline emits (skew here predicts hot keys in
+    * every downstream join; a power-law tail is what forces the
+    * degree-oriented wedge pivot in [[graphTriangleCount]]). Undirected
+    * degree = corner count over the oriented a<b edge set; two cascaded
+    * map-side-combinable groupBys, no join. */
+  def graphDegreeDistribution(spark: SparkSession, sf: String): DataFrame = {
+    val docs = documents(spark, sf).select(col("doc_id"))
+    val n = docs.count()
+    val und = docs
+      .select(col("doc_id").as("s"),
+        explode(sequence(lit(1), lit(1) + col("doc_id") % 3)).as("j"))
+      .select(col("s"), ((col("s") * 31 + col("j") * 7919) % n).as("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .where(col("a") < col("b")).distinct()
+    und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("deg"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_iter" -> graphPagerankIter,
     "graph_triangle_count" -> graphTriangleCount,
+    "graph_degree_distribution" -> graphDegreeDistribution,
     "dedup_cc_components" -> dedupCcComponents,
     "dedup_lsh_cc" -> dedupLshCc,
     "dedup_survivors" -> dedupSurvivors,
@@ -412,6 +434,20 @@ object Pipeline {
         |SELECT node,
         |  CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS pr_e6
         |FROM nodes LEFT JOIN s2 ON node = dst ORDER BY node""".stripMargin,
+
+    "graph_degree_distribution" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |ej AS (SELECT doc_id AS s, unnest(range(1, 2 + doc_id % 3)) AS j
+        |       FROM documents),
+        |raw AS (SELECT s, (s * 31 + j * 7919) % (SELECT n FROM nn) AS d
+        |        FROM ej),
+        |und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |        FROM raw WHERE least(s, d) < greatest(s, d)),
+        |corners AS (SELECT a AS node FROM und UNION ALL SELECT b FROM und),
+        |degs AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |         FROM corners GROUP BY node)
+        |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM degs GROUP BY deg ORDER BY deg""".stripMargin,
 
     "graph_triangle_count" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),

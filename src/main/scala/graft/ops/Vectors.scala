@@ -185,6 +185,84 @@ object Vectors {
   def vecAnnIvf(spark: SparkSession, sf: String): DataFrame =
     ivfTopk(spark, sf, nprobe = 4)
 
+  /** The trained-codebook fetch both IVF variants share: 16 seed vectors,
+    * collected once to the driver (the broadcast of a trained codebook on
+    * a cluster). */
+  private def loadSeeds(spark: SparkSession, sf: String): Array[(Long, Array[Float])] =
+    embeddings(spark, sf)
+      .where(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Shuffle-free cell assignment: greatest() over 16 (score, −cid)
+    * structs against LITERAL codebook arrays — [[ivfTopk]]'s map phase as
+    * a reusable expression. */
+  private def cellExpr(seeds: Array[(Long, Array[Float])], vSql: String): Column = {
+    val scored = seeds.map { case (cid, cemb) =>
+      val litArr = cemb.map(f => s"CAST('$f' AS FLOAT)")
+        .mkString("array(", ",", ")")
+      val norm = math.sqrt(cemb.map(f => f.toDouble * f.toDouble).sum)
+      struct((expr(s"vector_dot($vSql, $litArr)") / lit(norm)).as("s"),
+        lit(-cid).as("ncid"))
+    }
+    -greatest(scored.toIndexedSeq: _*).getField("ncid")
+  }
+
+  /** IVF INDEX AS PARTITIONED STORAGE — the missing half of the ANN
+    * ladder's scale story: [[vecAnnIvf]] assigns cells at query time; a
+    * deployment at 100 TB assigns ONCE and persists the corpus
+    * `partitionBy(cell)`, so each query's nprobe cells become a PARTITION-
+    * PRUNED scan — the other 12/16ths of the corpus are never opened
+    * (asserted on the scan's partition filters in ScaleFixSpec). Probe
+    * routing happens against the driver-held codebook (16×64 floats — the
+    * broadcast any executor would hold), then the search is one
+    * partition-filtered scan ⋈ broadcast probes. Same output and oracle
+    * as `vec_ann_ivf`: storage layout must not change a neighbor. Index
+    * build is once per (run, sf) — the amortized build a real index pays. */
+  def vecAnnIvfPartitioned(spark: SparkSession, sf: String): DataFrame = {
+    VectorDot.register(spark)
+    val seeds = loadSeeds(spark, sf)
+    val dir = graft.util.Scratch.dir("ivfpart", sf) + "/index"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      embeddings(spark, sf)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          cellExpr(seeds, "embedding").cast("int").as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+    val probes: Array[(Long, Array[Float])] = embeddings(spark, sf)
+      .where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cellScore(p: Array[Float], c: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < p.length) { d += p(i).toDouble * c(i).toDouble; i += 1 }
+      d / math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+    }
+    // nprobe=4 nearest cells per probe — same (score desc, cid asc) order
+    // as ivfTopk's pcells window
+    val routed = probes.flatMap { case (pid, pe) =>
+      seeds.map { case (cid, cemb) => (cid, cellScore(pe, cemb)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(4).map { case (cid, _) => (pid, pe.toSeq, cid.toInt) }
+    }
+    import spark.implicits._
+    val pcells = routed.toSeq.toDF("probe_id", "pe", "cell")
+    val wanted = routed.map(_._3).distinct.toSeq
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    spark.read.parquet(dir).where(col("cell").isin(wanted: _*))
+      .join(broadcast(pcells), Seq("cell"))
+      .where(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos",
+        expr("vector_dot(pe, ce)") / sqrt(expr("vector_dot(ce, ce)")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("cand_id").as("neighbor_id"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** The IVF search core with a tunable cell fan-out ([[vecAnnIvf]] ships
     * nprobe=4; [[vecIvfNprobeSweep]] measures the recall curve over it). */
   private def ivfTopk(spark: SparkSession, sf: String, nprobe: Int): DataFrame = {
@@ -628,6 +706,7 @@ object Vectors {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_knn_cosine" -> vecKnnCosine,
     "vec_ann_ivf" -> vecAnnIvf,
+    "vec_ann_ivf_partitioned" -> vecAnnIvfPartitioned,
     "vec_kmeans_iter" -> vecKmeansIter,
     "vec_ivf_recall" -> vecIvfRecall,
     "vec_ivf_nprobe_sweep" -> vecIvfNprobeSweep,
@@ -730,6 +809,9 @@ object Vectors {
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     "vec_ann_ivf" -> ivfOracleSql,
+
+    // storage layout must not change a neighbor: same oracle as vec_ann_ivf
+    "vec_ann_ivf_partitioned" -> ivfOracleSql,
 
     "vec_ivf_nprobe_sweep" -> {
       val branches = Seq(1, 2, 4, 8).map { k =>

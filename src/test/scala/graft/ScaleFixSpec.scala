@@ -229,6 +229,31 @@ class ScaleFixSpec extends AnyFunSuite {
       s"bloom skip ineffective: bloom=$bloomRows plain=$plainRows")
   }
 
+  test("vec_ann_ivf_partitioned prunes non-probed cells at the scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    val df = SparkEntry.queries("vec_ann_ivf_partitioned")(spark, sf001)
+    df.collect()
+    val root: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // QueryStageExec nodes are collect-leaves — recurse into their plans
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    val idxScan = allScans(root).find(_.partitionFilters.nonEmpty)
+    assert(idxScan.isDefined,
+      s"no partition-filtered scan found in:\n${root.toString.take(800)}")
+    val selected = idxScan.get.selectedPartitions.partitionCount
+    // 10 probes x nprobe=4 can touch at most 16 cells; pruning is real
+    // only if it touched FEWER than all of them
+    assert(selected > 0 && selected < 16,
+      s"partition pruning ineffective: $selected of 16 cells scanned")
+  }
+
   test("round-3 dedup keys keep all-pairs joins out of their plans") {
     // (vec_ann_ivf_pq is excluded: its only cross join is the 10-probe ×
     // 16-seed broadcast — the legitimate dim-table pattern; its candidate
