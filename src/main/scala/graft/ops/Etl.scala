@@ -149,6 +149,27 @@ object Etl {
       .orderBy(col("user_id"), col("session_ord"))
   }
 
+  /** CDC LOG COMPACTION — collapse a change stream to its LATEST row per
+    * key, the materialization step every CDC-fed table runs (Debezium →
+    * bronze → compacted silver): one shuffle on the key, row_number over
+    * (ts DESC, event_id DESC) for a total order under equal timestamps,
+    * keep rn = 1. Differs from dedup (rows aren't equal — later versions
+    * WIN) and from top-k (k = 1 with a recency order, not a measure). At
+    * 100 TB the same plan compacts each ingest batch; pre-bucketing the
+    * silver table on the key makes the recurring shuffle a local sort. */
+  def etlCdcCompact(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** GDPR-STYLE CASCADING ERASURE AUDIT — the compliance pass every data
     * estate needs: given an erasure-request set (here the deterministic
     * c_custkey % 97 = 0 cohort), count what a right-to-be-forgotten sweep
@@ -631,6 +652,7 @@ object Etl {
     "etl_sessionize" -> etlSessionize,
     "etl_session_window" -> etlSessionWindow,
     "etl_gdpr_erasure" -> etlGdprErasure,
+    "etl_cdc_compact" -> etlCdcCompact,
     "etl_scd2_snapshot" -> etlScd2Snapshot,
     "etl_dim_lookup_asof" -> etlDimLookupAsof
   )
@@ -935,6 +957,14 @@ object Etl {
         |  MAX(es) - MIN(es) AS duration_s
         |FROM numbered GROUP BY user_id, session_ord
         |ORDER BY user_id, session_ord""".stripMargin,
+
+    "etl_cdc_compact" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |  epoch_us(ts) AS ts_us,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "etl_gdpr_erasure" ->
       """WITH e AS (SELECT c_custkey AS ek FROM customer WHERE c_custkey % 97 = 0),

@@ -498,6 +498,43 @@ object Scale {
         sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
   }
 
+  /** AQE JOIN-STRATEGY SWITCH — the runtime twin of [[joinShuffleHashHint]]
+    * and the last AQE feature the engine exercises (skew split, partition
+    * coalescing and DPP are already plan-asserted): the dim side sits
+    * behind a filter + distinct, so the STATIC size-only estimator passes
+    * the full-orders size through and plans a sort-merge join; at runtime
+    * the materialized shuffle stage is a few hundred rows, and
+    * AdaptiveSparkPlanExec re-plans the join to broadcast-hash (asserted
+    * against the AQE-off plan in ScaleFixSpec). This is the fn_collate_ci
+    * lesson institutionalized: when a build side's cheapness is only
+    * visible at runtime, AQE — not a hand hint — removes the full-fact
+    * sort. At 100 TB that is the difference between sorting the fact table
+    * and streaming it once. */
+  def joinAqeBhjSwitch(spark: SparkSession, sf: String): DataFrame =
+    withConfs(spark,
+      // static planner may NEVER broadcast; only runtime stage stats may
+      // (the documented split: regular threshold off, adaptive threshold
+      // on) — so the conversion is forced to happen where it happens at
+      // 100 TB: after the build side's true size is measured
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "1MB") {
+      aqeBhjPlan(spark, sf).localCheckpoint() // AQE re-plans at execution
+    }
+
+  /** The un-materialized query [[joinAqeBhjSwitch]] scopes (shared with
+    * the ScaleFixSpec plan assertion). */
+  private[graft] def aqeBhjPlan(spark: SparkSession, sf: String): DataFrame = {
+    val dim = orders(spark, sf)
+      .where(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey").as("k")).distinct()
+    lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(dim, col("l_orderkey") === col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        countDistinct(col("k")).as("n_keys"))
+  }
+
   /** JOIN-STRATEGY HINT surface: `hint("SHUFFLE_HASH")` pins the physical
     * join to ShuffledHashJoin — no sort on either side, a hash table built
     * per partition from the hinted side — where the planner's default for
@@ -889,6 +926,7 @@ object Scale {
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "source_text_roundtrip" -> sourceTextRoundtrip,
     "join_shuffle_hash_hint" -> joinShuffleHashHint,
+    "join_aqe_bhj_switch" -> joinAqeBhjSwitch,
     "sink_partitioned_prune" -> sinkPartitionedPrune,
     "sink_bloom_skip" -> sinkBloomSkip,
     "join_cbo_reorder" -> joinCboReorder,
@@ -1006,6 +1044,14 @@ object Scale {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "join_aqe_bhj_switch" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 500 = 0""".stripMargin,
 
     "join_shuffle_hash_hint" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

@@ -229,6 +229,37 @@ class ScaleFixSpec extends AnyFunSuite {
       s"bloom skip ineffective: bloom=$bloomRows plain=$plainRows")
   }
 
+  test("join_aqe_bhj_switch: AQE converts the statically-planned SMJ to broadcast") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "1MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // static planner (AQE off): broadcast forbidden -> SMJ
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val static0 =
+        try graft.ops.Scale.aqeBhjPlan(spark, sf001)
+          .queryExecution.executedPlan.toString
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      assert(static0.contains("SortMergeJoin"),
+        s"expected SMJ in the static plan:\n${static0.take(800)}")
+      // AQE on: runtime stage stats reveal the tiny build side -> BHJ
+      val df = graft.ops.Scale.aqeBhjPlan(spark, sf001)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"AQE did not switch to broadcast:\n${finalPlan.take(800)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("vec_ann_ivf_partitioned prunes non-probed cells at the scan") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
