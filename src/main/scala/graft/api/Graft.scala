@@ -180,6 +180,50 @@ object Graft {
     * deterministic and reproducible across runs and engines; a pure
     * per-row projection — mixing any corpus size runs at scan speed.
     * Returns the kept rows unchanged. */
+  /** PageRank over a directed edge list: `iters` integer-E6 power
+    * iterations of r' = 0.15 + 0.85·Σ(r_in/deg_out) — exact integer
+    * arithmetic, so results are order-independent and engine-portable.
+    * Output: (node, pr_e6), nodes = src ∪ dst. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2): DataFrame =
+    graft.ops.Pipeline.pageRankOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), iters)
+
+  /** Per-node triangle counts over an edge list in any orientation
+    * (self-loops dropped, duplicates collapsed): the oriented a<b wedge
+    * join — each triangle counted once, never an all-pairs scan.
+    * Output: (node, n_tri) for nodes in ≥ 1 triangle. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    graft.ops.Pipeline.triangleCountOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+
+  /** Undirected degree histogram over an edge list in any orientation.
+    * Output: (deg, n_nodes). */
+  def degreeDistribution(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    graft.ops.Pipeline.degreeDistributionOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+
+  /** HTML → text extraction (tag sweep, entity decode, whitespace
+    * collapse) as a new column `<htmlCol>_clean`; pure projection,
+    * scan-speed on any corpus. */
+  def cleanHtml(docs: DataFrame, htmlCol: String): DataFrame =
+    docs.withColumn(s"${htmlCol}_clean",
+      graft.ops.Text.stripHtmlExpr(col(htmlCol)))
+
+  /** URL canonicalization for dedup keys: lowercase scheme+host, strip
+    * `www.`/default port/fragment, drop `utm_*`/`ref` tracking params,
+    * sort survivors. Adds `canon_url` and `n_params_dropped`. */
+  def canonicalizeUrls(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("canon_url", graft.ops.Etl.canonUrlExpr(col(urlCol)))
+      .withColumn("n_params_dropped", graft.ops.Etl.urlDroppedExpr(col(urlCol)))
+
+  /** CDC log compaction: keep each key's LATEST row (max `tsCol`, ties by
+    * max `seqCol`) with all columns preserved — one shuffle on the key. */
+  def cdcCompact(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      seqCol: String): DataFrame =
+    graft.ops.Etl.cdcCompactOf(df, keyCols,
+      Seq(col(tsCol).desc, col(seqCol).desc))
+
   def mixSources(docs: DataFrame, idCol: String, sourceCol: String,
       keepRate256: Map[String, Int], defaultRate256: Int = 256): DataFrame = {
     def thr(rate: Int): String = if (rate >= 256) "zz" else f"$rate%02x"

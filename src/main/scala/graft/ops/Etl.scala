@@ -157,17 +157,22 @@ object Etl {
     * WIN) and from top-k (k = 1 with a recency order, not a measure). At
     * 100 TB the same plan compacts each ingest batch; pre-bucketing the
     * silver table on the key makes the recurring shuffle a local sort. */
-  def etlCdcCompact(spark: SparkSession, sf: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    events(spark, sf)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+  def etlCdcCompact(spark: SparkSession, sf: String): DataFrame =
+    cdcCompactOf(events(spark, sf), Seq("user_id", "event_type"),
+      Seq(col("ts").desc, col("event_id").desc))
       .select(col("user_id"), col("event_type"),
         col("event_id").as("last_event_id"),
         unix_micros(col("ts")).as("ts_us"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       .orderBy(col("user_id"), col("event_type"))
+
+  /** Frame-generic keep-latest kernel (api.Graft: `cdcCompact`): one row
+    * per key — the first under `ordering` — with all columns preserved. */
+  private[graft] def cdcCompactOf(df: DataFrame, keyCols: Seq[String],
+      ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
   }
 
   /** GDPR-STYLE CASCADING ERASURE AUDIT — the compliance pass every data
@@ -609,23 +614,39 @@ object Etl {
       lit("&utm_campaign=x&ref=tw&page="), col("o_orderkey") % 5, lit("#top"))
     orders(spark, sf)
       .select(col("o_orderkey").as("url_id"), url.as("url"))
-      .select(col("url_id"),
-        expr("""concat(
-                |  lower(parse_url(url, 'PROTOCOL')), '://',
-                |  regexp_replace(lower(parse_url(url, 'HOST')), '^www\\.', ''),
-                |  parse_url(url, 'PATH'),
-                |  CASE WHEN size(filter(split(parse_url(url, 'QUERY'), '&'),
-                |         p -> NOT (startswith(p, 'utm_') OR startswith(p, 'ref=')))) > 0
-                |    THEN concat('?', array_join(array_sort(
-                |      filter(split(parse_url(url, 'QUERY'), '&'),
-                |        p -> NOT (startswith(p, 'utm_') OR startswith(p, 'ref=')))), '&'))
-                |    ELSE '' END)""".stripMargin).as("canon_url"),
-        expr("""size(split(parse_url(url, 'QUERY'), '&')) -
-                |size(filter(split(parse_url(url, 'QUERY'), '&'),
-                |  p -> NOT (startswith(p, 'utm_') OR startswith(p, 'ref='))))"""
-          .stripMargin).cast("int").as("n_dropped"))
+      .select(col("url_id"), canonUrlExpr(col("url")).as("canon_url"),
+        urlDroppedExpr(col("url")).as("n_dropped"))
       .orderBy(col("url_id"))
   }
+
+  /** Query params that survive canonicalization (tracking params out).
+    * A query-less URL parses to NULL — coalesce to empty so the kernel
+    * stays total over arbitrary user URLs. */
+  private def urlKeepParams(u: Column): Column =
+    filter(
+      coalesce(split(parse_url(u, lit("QUERY")), "&"),
+        array().cast("array<string>")),
+      p => !(startswith(p, lit("utm_")) || startswith(p, lit("ref="))))
+
+  /** The canonical form of a URL as a reusable expression (api.Graft:
+    * `canonicalizeUrls`): lowercased scheme+host, `www.` and default port
+    * stripped, fragment dropped, tracking params removed, survivors
+    * sorted. */
+  private[graft] def canonUrlExpr(u: Column): Column = {
+    val keep = array_sort(urlKeepParams(u))
+    concat(
+      lower(parse_url(u, lit("PROTOCOL"))), lit("://"),
+      regexp_replace(lower(parse_url(u, lit("HOST"))), "^www\\.", ""),
+      parse_url(u, lit("PATH")),
+      when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** How many params canonicalization dropped. */
+  private[graft] def urlDroppedExpr(u: Column): Column =
+    (size(coalesce(split(parse_url(u, lit("QUERY")), "&"),
+      array().cast("array<string>"))) -
+      size(urlKeepParams(u))).cast("int")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_url_canonicalize" -> etlUrlCanonicalize,

@@ -304,27 +304,41 @@ object Pipeline {
     * scatter/gather as two relational ops. A 100 TB run keeps the edge
     * table hash-partitioned on src across iterations so only the (small)
     * rank table moves; the iteration count is fixed, not data-dependent. */
-  def graphPagerankIter(spark: SparkSession, sf: String): DataFrame = {
+  def graphPagerankIter(spark: SparkSession, sf: String): DataFrame =
+    pageRankOf(syntheticEdges(spark, sf), iters = 2)
+      .orderBy(col("node"))
+
+  /** The deterministic synthetic link graph the three graph_* keys share:
+    * node i emits 1 + i % 3 directed edges to (i·31 + j·7919) mod N. */
+  private def syntheticEdges(spark: SparkSession, sf: String): DataFrame = {
     val docs = documents(spark, sf).select(col("doc_id"))
     val n = docs.count()
-    val edges = docs
-      .select(col("doc_id").as("src"),
+    docs.select(col("doc_id").as("src"),
         explode(sequence(lit(1), lit(1) + col("doc_id") % 3)).as("j"))
       .select(col("src"), ((col("src") * 31 + col("j") * 7919) % n).as("dst"))
+  }
+
+  /** Frame-generic PageRank kernel over a directed (src, dst) edge list
+    * (every synthetic node has out-degree ≥ 1, so nodes = src ∪ dst
+    * matches the key's doc universe; api.Graft exposes it as
+    * `pageRank`). Output: (node, pr_e6), unordered. */
+  private[graft] def pageRankOf(edges: DataFrame, iters: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "src").localCheckpoint() // reused by both iterations
+    val e = edges.join(deg, "src").localCheckpoint() // reused every iteration
     def step(ranks: DataFrame): DataFrame =
-      docs.select(col("doc_id").as("node"))
+      nodes
         .join(e.join(ranks, col("src") === col("node"))
             .select(col("dst"), expr("r div deg").as("c"))
             .groupBy(col("dst")).agg(sum(col("c")).as("s")),
           col("node") === col("dst"), "left")
         .select(col("node").as("node"),
           (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-    val r1 = step(docs.select(col("doc_id").as("node"), lit(1000000L).as("r")))
-    step(r1.localCheckpoint())
-      .select(col("node"), col("r").as("pr_e6"))
-      .orderBy(col("node"))
+    var r = nodes.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) r = step(r.localCheckpoint())
+    r.select(col("node"), col("r").as("pr_e6"))
   }
 
   /** TRIANGLE COUNTING — the third classic graph kernel (with
@@ -339,16 +353,13 @@ object Pipeline {
     * wedge pivots at its LOWEST-degree corner, bounding join fan-out by
     * the graph's arboricity instead of its max degree (the classic
     * MR/GraphX triangle trick) — same plan shape, different sort key. */
-  def graphTriangleCount(spark: SparkSession, sf: String): DataFrame = {
-    val docs = documents(spark, sf).select(col("doc_id"))
-    val n = docs.count()
-    val raw = docs
-      .select(col("doc_id").as("s"),
-        explode(sequence(lit(1), lit(1) + col("doc_id") % 3)).as("j"))
-      .select(col("s"), ((col("s") * 31 + col("j") * 7919) % n).as("d"))
-    val und = raw
-      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
-      .where(col("a") < col("b")).distinct()
+  def graphTriangleCount(spark: SparkSession, sf: String): DataFrame =
+    triangleCountOf(syntheticEdges(spark, sf)).orderBy(col("node"))
+
+  /** Frame-generic per-node triangle counts over a (src, dst) edge list in
+    * any orientation (api.Graft: `triangleCount`). */
+  private[graft] def triangleCountOf(edges: DataFrame): DataFrame = {
+    val und = orientedEdges(edges)
       .localCheckpoint() // reused three times in the wedge join
     val tri = und.as("x")
       .join(und.as("y"), col("x.b") === col("y.a"))
@@ -358,8 +369,15 @@ object Pipeline {
     tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("node"))
   }
+
+  /** Undirected a<b orientation of a raw (src, dst) edge list: self-loops
+    * dropped, duplicates collapsed. */
+  private def orientedEdges(edges: DataFrame): DataFrame =
+    edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") < col("b")).distinct()
 
   /** DEGREE DISTRIBUTION of the synthetic link graph — the first
     * diagnostic a graph pipeline emits (skew here predicts hot keys in
@@ -367,20 +385,16 @@ object Pipeline {
     * degree-oriented wedge pivot in [[graphTriangleCount]]). Undirected
     * degree = corner count over the oriented a<b edge set; two cascaded
     * map-side-combinable groupBys, no join. */
-  def graphDegreeDistribution(spark: SparkSession, sf: String): DataFrame = {
-    val docs = documents(spark, sf).select(col("doc_id"))
-    val n = docs.count()
-    val und = docs
-      .select(col("doc_id").as("s"),
-        explode(sequence(lit(1), lit(1) + col("doc_id") % 3)).as("j"))
-      .select(col("s"), ((col("s") * 31 + col("j") * 7919) % n).as("d"))
-      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
-      .where(col("a") < col("b")).distinct()
-    und.select(explode(array(col("a"), col("b"))).as("node"))
+  def graphDegreeDistribution(spark: SparkSession, sf: String): DataFrame =
+    degreeDistributionOf(syntheticEdges(spark, sf)).orderBy(col("deg"))
+
+  /** Frame-generic undirected degree histogram over a (src, dst) edge
+    * list in any orientation (api.Graft: `degreeDistribution`). */
+  private[graft] def degreeDistributionOf(edges: DataFrame): DataFrame =
+    orientedEdges(edges)
+      .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
-      .orderBy(col("deg"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_iter" -> graphPagerankIter,

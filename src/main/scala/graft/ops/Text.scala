@@ -604,15 +604,22 @@ object Text {
     documents(spark, sf)
       .select(col("doc_id"), html.as("html"))
       .select(col("doc_id"), length(col("html")).as("n_raw"),
-        expr("""trim(regexp_replace(
-                |  replace(replace(replace(replace(replace(
-                |    regexp_replace(html, '<[^>]*>', ' '),
-                |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-                |    '&amp;', '&'),
-                |  ' +', ' '))""".stripMargin).as("clean"))
+        stripHtmlExpr(col("html")).as("clean"))
       .select(col("doc_id"), col("n_raw"), col("clean"),
         length(col("clean")).as("n_clean"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The strip pipeline as a reusable expression (api.Graft: `cleanHtml`):
+    * tag sweep, entity decode with `&amp;` LAST (decoding it first would
+    * re-expose other entities — the double-decode bug), space collapse.
+    * All patterns are regex-literal, so regexp_replace ≡ literal replace. */
+  private[graft] def stripHtmlExpr(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noTags, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&#39;", "'"), "&amp;", "&")
+    trim(regexp_replace(decoded, " +", " "))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -14,6 +14,68 @@ class ApiSpec extends AnyFunSuite {
     .select(col("doc_id").as("my_id"), col("text").as("body"),
       col("lang").as("tongue"))
 
+  /** The graph keys' synthetic edge list under user column names. */
+  private def renamedEdges = {
+    val docs = graft.util.Tables.documents(spark, sf001).select(col("doc_id"))
+    val n = docs.count()
+    docs.select(col("doc_id").as("from_id"),
+        explode(sequence(lit(1), lit(1) + col("doc_id") % 3)).as("j"))
+      .select(col("from_id"),
+        ((col("from_id") * 31 + col("j") * 7919) % n).as("to_id"))
+  }
+
+  test("pageRank on renamed columns equals the fixture key") {
+    val api = Graft.pageRank(renamedEdges, "from_id", "to_id")
+      .orderBy(col("node")).collect()
+    val key = SparkEntry.queries("graph_pagerank_iter")(spark, sf001).collect()
+    assert(api.map(_.toSeq).toSeq == key.map(_.toSeq).toSeq && api.nonEmpty)
+  }
+
+  test("triangleCount and degreeDistribution equal the fixture keys") {
+    val apiT = Graft.triangleCount(renamedEdges, "from_id", "to_id")
+      .orderBy(col("node")).collect()
+    val keyT = SparkEntry.queries("graph_triangle_count")(spark, sf001).collect()
+    assert(apiT.map(_.toSeq).toSeq == keyT.map(_.toSeq).toSeq && apiT.nonEmpty)
+    val apiD = Graft.degreeDistribution(renamedEdges, "from_id", "to_id")
+      .orderBy(col("deg")).collect()
+    val keyD = SparkEntry.queries("graph_degree_distribution")(spark, sf001).collect()
+    assert(apiD.map(_.toSeq).toSeq == keyD.map(_.toSeq).toSeq && apiD.nonEmpty)
+  }
+
+  test("cleanHtml strips the key's synthesized wrapper back to the text") {
+    val wrapped = renamedDocs.select(col("my_id"), col("body"),
+      concat(lit("<p id=\"x\">"), col("body"),
+        lit("</p><b>T &amp; B</b>")).as("page"))
+    val out = Graft.cleanHtml(wrapped, "page")
+      .where(col("page_clean") =!= concat(col("body"), lit(" T & B")))
+      .count()
+    assert(out == 0)
+  }
+
+  test("canonicalizeUrls normalizes host/params on a user column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "HTTPS://WWW.Ex.COM:443/a/b?utm_source=x&z=1&a=2&ref=t#frag"),
+      (2L, "http://plain.org/p")).toDF("id", "link")
+    val rows = Graft.canonicalizeUrls(df, "link")
+      .select("id", "canon_url", "n_params_dropped")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows(0) == ((1L, "https://ex.com/a/b?a=2&z=1", 2)), rows(0).toString)
+    assert(rows(1) == ((2L, "http://plain.org/p", 0)), rows(1).toString)
+  }
+
+  test("cdcCompact keeps exactly the latest row per key with all columns") {
+    val api = Graft.cdcCompact(graft.util.Tables.events(spark, sf001),
+        Seq("user_id", "event_type"), "ts", "event_id")
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .orderBy(col("user_id"), col("event_type")).collect()
+    val key = SparkEntry.queries("etl_cdc_compact")(spark, sf001).collect()
+    assert(api.map(_.toSeq).toSeq == key.map(_.toSeq).toSeq && api.nonEmpty)
+  }
+
   test("minhashDedupPairs on renamed columns equals the fixture key") {
     val api = Graft.minhashDedupPairs(renamedDocs, "my_id", "body").collect()
     val key = SparkEntry.queries("dedup_minhash_lsh")(spark, sf001).collect()
