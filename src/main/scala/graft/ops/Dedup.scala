@@ -72,10 +72,16 @@ object Dedup {
     * subset test over the checkpointed pair table — one candidate pass
     * and one verify pass instead of four of each. */
   def dedupBandSweep(spark: SparkSession, sf: String): DataFrame = {
+    graft.functions.SortedIntersectSize.register(spark)
     val d = documents(spark, sf)
     val sigs = minhashSigs(d).localCheckpoint()
-    val sets = d.select(col("doc_id"), bigrams.as("bg"), size(bigrams).as("n"))
-      .localCheckpoint()
+    // exact verify rides Text's memoized packed-int term index (same
+    // bigram universe; df=1 terms can't be shared, so the df>=2 id space
+    // is exact for the intersection while `n` counts ALL distinct terms)
+    // - one codegen'd merge scan per pair instead of a string
+    // array_intersect, and the index build amortizes across the jaccard
+    // keys in the same session
+    val sets = Text.packedSets(spark, sf)
     // One width-1 band join emits a row per (pair, matching component);
     // the pair groupBy folds those into the 8-bit collision mask (the
     // join IS the component-equality test — no signature re-join needed).
@@ -92,11 +98,11 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("bit")).cast("int").as("mask"))
     val scored = pairMask
-      .join(sets.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"),
+      .join(sets.select(col("doc_id").as("doc_a"), col("sids").as("sids_a"),
         col("n").as("n_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("bg").as("bg_b"),
+      .join(sets.select(col("doc_id").as("doc_b"), col("sids").as("sids_b"),
         col("n").as("n_b")), "doc_b")
-      .withColumn("i", size(array_intersect(col("bg_a"), col("bg_b"))))
+      .withColumn("i", expr("sorted_intersect_size(sids_a, sids_b)"))
       .withColumn("u", col("n_a") + col("n_b") - col("i"))
       .select(col("mask"),
         (col("i") * 20 >= col("u") * 7).cast("long").as("is_dup"))

@@ -186,8 +186,16 @@ object Text {
     * verification happens in the same whole-stage-codegen pipeline and
     * nothing shuffles after the candidate join. */
   def textJaccardIndexed(spark: SparkSession, sf: String): DataFrame =
-    jaccardPairsOf(jacSetsMemo.getOrElseUpdate((spark, sf),
-      jaccardSetsOf(documents(spark, sf))))
+    jaccardPairsOf(packedSets(spark, sf))
+
+  /** The memoized packed-set index for the fixture documents table —
+    * shared with [[graft.ops.Dedup.dedupBandSweep]], whose exact verify
+    * runs on the same integer ids (df = 1 terms can't intersect, so the
+    * df ≥ 2 id space is exact for |A∩B|); one session builds the index
+    * once for both keys. */
+  private[graft] def packedSets(spark: SparkSession, sf: String): DataFrame =
+    jacSetsMemo.getOrElseUpdate((spark, sf),
+      jaccardSetsOf(documents(spark, sf)))
 
   /** The term index + packed sets are a pure function of (session, sfDir)
     * and cost ~2 s of fixed zipWithIndex/localCheckpoint work per build —
