@@ -35,6 +35,27 @@ object CurationPipelineDemo {
     val docs = graft.util.Tables.documents(spark, sf)
     stage("ingest", docs.count())
 
+    // 0. web-ingest normalization (round-5 kernels): pages arrive as HTML
+    // under tracking-param'd URLs; cleanHtml strips the markup back to
+    // the exact text (asserted — so the funnel below is unchanged) and
+    // canonicalizeUrls collapses URL variants that differ only by
+    // tracking params onto one dedup key (pairs of docs share a path
+    // here, so the canon space is half the raw space).
+    val pages = docs.select(col("doc_id"), col("text"),
+      concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>")).as("html"),
+      concat(lit("HTTPS://WWW.Example.com/doc/"), expr("doc_id div 2"),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=a&ref=x"))
+          .otherwise(lit("?ref=y&utm_campaign=b"))).as("url"))
+    val norm = graft.api.Graft.canonicalizeUrls(
+      graft.api.Graft.cleanHtml(pages, "html"), "url")
+    val htmlMismatch = norm.where(col("html_clean") =!= col("text")).count()
+    require(htmlMismatch == 0, s"cleanHtml altered $htmlMismatch docs")
+    val rawUrls = norm.select("url").distinct().count()
+    val canonUrls = norm.select("canon_url").distinct().count()
+    println(f"[pipeline] web normalize:            " +
+      f"html exact-restore ok; $rawUrls%d raw urls -> $canonUrls%d canonical")
+
     // 1. profile the corpus (DQ first-look; here: langs + length stats)
     val profile = docs.groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_c"),
@@ -116,6 +137,24 @@ object CurationPipelineDemo {
     val ids = graft.util.Ids.zipWithIndex(
       quality.select(col("doc_id"), col("lang")), "seq_id", col("doc_id"))
     stage("samples with seq ids", ids.count())
+
+    // 9. link-graph authority (round-5 graph kernels): PageRank over the
+    // survivors' citation graph — the signal a web curation run mixes
+    // into sampling weights — plus the degree histogram that predicts
+    // downstream join skew.
+    val n = quality.count()
+    val edges = quality
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(1), lit(1) + col("doc_id") % 3)).as("j"))
+      .select(col("src"), ((col("src") * 31 + col("j") * 7919) % n).as("dst"))
+    val pr = graft.api.Graft.pageRank(edges, "src", "dst", iters = 2)
+      .localCheckpoint()
+    val above = pr.where(col("pr_e6") > 1000000L).count()
+    val degs = graft.api.Graft.degreeDistribution(edges, "src", "dst")
+      .orderBy(col("deg").desc).limit(1).collect()(0)
+    println(f"[pipeline] link-graph signal:        " +
+      f"${pr.count()}%d ranked, $above%d above-uniform authority; " +
+      f"max degree ${degs.getLong(0)}%d (${degs.getLong(1)}%d nodes)")
 
     println(f"[pipeline] total wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()

@@ -285,6 +285,18 @@ class ScaleFixSpec extends AnyFunSuite {
       s"partition pruning ineffective: $selected of 16 cells scanned")
   }
 
+  test("etl_session_window runs the MergingSessions operator, not a window function") {
+    val physical = SparkEntry.queries("etl_session_window")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // the point of the key: variable-length sessions come from the
+    // grouping operator's in-partition merge (partial agg before the
+    // shuffle), not from a lag/cumsum Window pipeline
+    assert(physical.contains("MergingSessions"),
+      s"expected MergingSessions:\n${physical.take(600)}")
+    assert(!physical.contains("Window"),
+      s"session_window key must not plan a window function:\n${physical.take(600)}")
+  }
+
   test("round-3 dedup keys keep all-pairs joins out of their plans") {
     // (vec_ann_ivf_pq is excluded: its only cross join is the 10-probe ×
     // 16-seed broadcast — the legitimate dim-table pattern; its candidate
