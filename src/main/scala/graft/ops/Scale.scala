@@ -498,6 +498,36 @@ object Scale {
         sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
   }
 
+  /** DYNAMIC PARTITION OVERWRITE — the daily-refresh idiom every
+    * partitioned estate runs: a full load lays orders out by year, then a
+    * delta batch covering ONLY the latest year is written with
+    * `partitionOverwriteMode=dynamic`, which replaces exactly the
+    * partitions present in the batch and leaves every other year's files
+    * untouched. The delta doubles its cents so the refresh is observable:
+    * the read-back proves prior years survived (static overwrite mode
+    * would have deleted them — the oracle distinguishes exactly that) and
+    * the refreshed year reflects the new data. At 100 TB this is the
+    * difference between rewriting one day's partition and rewriting the
+    * table. */
+  def sinkDynamicOverwrite(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("dynover", sf)
+    val o = orders(spark, sf).select(col("o_orderkey"), col("o_orderstatus"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"),
+      year(col("o_orderdate")).as("yr"))
+    o.write.mode("overwrite").partitionBy("yr").parquet(dir) // full load (static)
+    val maxYr = o.agg(max(col("yr"))).head().getInt(0)
+    val delta = o.where(col("yr") === maxYr)
+      .withColumn("cents", col("cents") * 2)
+    withConfs(spark,
+      "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      delta.write.mode("overwrite").partitionBy("yr").parquet(dir)
+    }
+    spark.read.parquet(dir)
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("yr"))
+  }
+
   /** AQE JOIN-STRATEGY SWITCH — the runtime twin of [[joinShuffleHashHint]]
     * and the last AQE feature the engine exercises (skew split, partition
     * coalescing and DPP are already plan-asserted): the dim side sits
@@ -927,6 +957,7 @@ object Scale {
     "source_text_roundtrip" -> sourceTextRoundtrip,
     "join_shuffle_hash_hint" -> joinShuffleHashHint,
     "join_aqe_bhj_switch" -> joinAqeBhjSwitch,
+    "sink_dynamic_overwrite" -> sinkDynamicOverwrite,
     "sink_partitioned_prune" -> sinkPartitionedPrune,
     "sink_bloom_skip" -> sinkBloomSkip,
     "join_cbo_reorder" -> joinCboReorder,
@@ -1044,6 +1075,15 @@ object Scale {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sink_dynamic_overwrite" ->
+      """WITH o AS (SELECT *, CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |mx AS (SELECT max(yr) AS m FROM o)
+        |SELECT yr, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN yr = (SELECT m FROM mx) THEN cents * 2
+        |                ELSE cents END) AS BIGINT) AS sum_cents
+        |FROM o GROUP BY yr ORDER BY yr""".stripMargin,
 
     "join_aqe_bhj_switch" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
