@@ -174,12 +174,6 @@ object Graft {
     graft.ops.Text.segmentDedupOf(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
-  /** DATA-MIXTURE sampling: keep each row with a per-source rate (in
-    * 256ths; ≥256 = keep all, sources absent from the map use
-    * `defaultRate256`). Selection hashes the id column, so it is
-    * deterministic and reproducible across runs and engines; a pure
-    * per-row projection — mixing any corpus size runs at scan speed.
-    * Returns the kept rows unchanged. */
   /** PageRank over a directed edge list: `iters` integer-E6 power
     * iterations of r' = 0.15 + 0.85·Σ(r_in/deg_out) — exact integer
     * arithmetic, so results are order-independent and engine-portable.
@@ -224,6 +218,12 @@ object Graft {
     graft.ops.Etl.cdcCompactOf(df, keyCols,
       Seq(col(tsCol).desc, col(seqCol).desc))
 
+  /** DATA-MIXTURE sampling: keep each row with a per-source rate (in
+    * 256ths; ≥256 = keep all, sources absent from the map use
+    * `defaultRate256`). Selection hashes the id column, so it is
+    * deterministic and reproducible across runs and engines; a pure
+    * per-row projection — mixing any corpus size runs at scan speed.
+    * Returns the kept rows unchanged. */
   def mixSources(docs: DataFrame, idCol: String, sourceCol: String,
       keepRate256: Map[String, Int], defaultRate256: Int = 256): DataFrame = {
     def thr(rate: Int): String = if (rate >= 256) "zz" else f"$rate%02x"

@@ -167,12 +167,17 @@ object Etl {
       .orderBy(col("user_id"), col("event_type"))
 
   /** Frame-generic keep-latest kernel (api.Graft: `cdcCompact`): one row
-    * per key — the first under `ordering` — with all columns preserved. */
+    * per key — the first under `ordering` — with all columns preserved.
+    * The rank column name is generated collision-free against the caller's
+    * frame (ADVICE r5: a hardcoded "__rn" silently clobbered a caller
+    * column of that name). */
   private[graft] def cdcCompactOf(df: DataFrame, keyCols: Seq[String],
       ordering: Seq[Column]): DataFrame = {
+    val rn = Iterator.from(0).map(i => s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) === 1).drop(rn)
   }
 
   /** GDPR-STYLE CASCADING ERASURE AUDIT — the compliance pass every data
@@ -631,15 +636,21 @@ object Etl {
   /** The canonical form of a URL as a reusable expression (api.Graft:
     * `canonicalizeUrls`): lowercased scheme+host, `www.` and default port
     * stripped, fragment dropped, tracking params removed, survivors
-    * sorted. */
+    * sorted. Total over arbitrary user URLs (ADVICE r5): a scheme-less or
+    * host-less input — where parse_url yields NULL and concat would
+    * nullify the whole dedup key — passes through unchanged instead, so
+    * every row keeps a stable non-null key. */
   private[graft] def canonUrlExpr(u: Column): Column = {
+    val proto = parse_url(u, lit("PROTOCOL"))
+    val host = parse_url(u, lit("HOST"))
     val keep = array_sort(urlKeepParams(u))
-    concat(
-      lower(parse_url(u, lit("PROTOCOL"))), lit("://"),
-      regexp_replace(lower(parse_url(u, lit("HOST"))), "^www\\.", ""),
-      parse_url(u, lit("PATH")),
+    val canon = concat(
+      lower(proto), lit("://"),
+      regexp_replace(lower(host), "^www\\.", ""),
+      coalesce(parse_url(u, lit("PATH")), lit("")),
       when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
         .otherwise(lit("")))
+    when(proto.isNull || host.isNull, u).otherwise(canon)
   }
 
   /** How many params canonicalization dropped. */

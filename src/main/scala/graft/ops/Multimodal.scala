@@ -75,21 +75,45 @@ object Multimodal {
     * entry point of every multimodal pipeline (media lands as files; the
     * engine scans them as (path, length, content) rows). The blob fixtures
     * are derived deterministically FROM the documents table (per-lang
-    * newline-joined corpora, written once driver-side — fixture setup, not
-    * the operator), so the DuckDB oracle recomputes every byte length and
-    * content hash from the same table at any sf: the connector's read of
-    * raw bytes is what is actually under test. ASCII fixtures ⇒ DuckDB
-    * char length == byte length and md5(VARCHAR) == md5 of the raw bytes. */
+    * newline-joined corpora — fixture setup, not the operator), so the
+    * DuckDB oracle recomputes every byte length and content hash from the
+    * same table at any sf: the connector's read of raw bytes is what is
+    * actually under test. ASCII fixtures ⇒ DuckDB char length == byte
+    * length and md5(VARCHAR) == md5 of the raw bytes.
+    *
+    * The fixture build is DISTRIBUTED, never a driver materialization:
+    * rows hash-shuffle on `lang` (each language lands wholly in one task),
+    * sort within partitions on (lang, doc_id), and each task STREAMS its
+    * contiguous language runs to one file apiece — O(1) task memory at any
+    * corpus size. Lang count caps writer parallelism, which is the per-lang
+    * single-file contract itself, not a plan artifact. Executors address
+    * the shared scratch path directly (local[n] here; a cluster points the
+    * same writer at a shared store via its mount/FS client). Scratch.once
+    * makes the build idempotent per (JVM, sf): re-invocations skip
+    * straight to the read — the content is a pure function of the table. */
   def mmBinaryIngest(spark: SparkSession, sf: String): DataFrame = {
-    val dir = graft.util.Scratch.dir("binfiles", sf)
-    val perLang = documents(spark, sf)
-      .select(col("lang"), col("doc_id"), col("text"))
-      .collect()
-      .groupBy(_.getString(0))
-    perLang.foreach { case (lang, rows) =>
-      val body = rows.sortBy(_.getLong(1)).map(_.getString(2)).mkString("\n")
-      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$lang.txt"),
-        body.getBytes("UTF-8"))
+    val base = graft.util.Scratch.dir("binfiles", sf)
+    val dir = graft.util.Scratch.once(base) {
+      documents(spark, sf)
+        .select(col("lang"), col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .repartition(col("lang"))
+        .sortWithinPartitions(col("lang"), col("doc_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          var cur: String = null
+          var out: java.io.OutputStream = null
+          try {
+            it.foreach { r =>
+              val lang = r.getString(0)
+              if (lang != cur) { // next language run in this task's sort order
+                if (out != null) out.close()
+                cur = lang
+                out = java.nio.file.Files.newOutputStream(
+                  java.nio.file.Paths.get(base, s"$lang.txt"))
+              } else out.write('\n')
+              out.write(r.getAs[Array[Byte]]("bytes"))
+            }
+          } finally if (out != null) out.close()
+        }
     }
     spark.read.format("binaryFile").load(s"$dir/*.txt")
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),

@@ -154,20 +154,27 @@ object Scale {
 
   /** Writes orders as (o_orderkey, ck = md5(key), cents) parquet in many
     * small row groups, bloom filter on ck only when asked — shared by the
-    * key and the ScaleFixSpec bloom-vs-plain scan-rows measurement. */
+    * key and the ScaleFixSpec bloom-vs-plain scan-rows measurement.
+    * FIXTURE-ONLY layout: the `repartition(1)` exists solely so
+    * `parquet.block.size` controls the row-group count of ONE file that
+    * the skip measurement can reason about — a production bloom-indexed
+    * sink keeps its write sharded (each shard carries its own per-row-group
+    * blooms; the skip math is per row group, not per file, so sharding
+    * changes nothing about pruning). Built once per (JVM, sf). */
   private[graft] def bloomLayout(spark: SparkSession, sf: String,
       bloom: Boolean): String = {
     val dir = tmpDir(if (bloom) "bloomy" else "bloomn", sf)
-    val w = orders(spark, sf)
-      .select(col("o_orderkey"), md5(col("o_orderkey").cast("string")).as("ck"),
-        floor(col("o_totalprice") * 100).cast("long").as("cents"))
-      .repartition(1) // one file, block.size controls row-group count
-      .write.mode("overwrite")
-      .option("parquet.block.size", (64 * 1024).toString)
-      .option("parquet.enable.dictionary", "false")
-    (if (bloom) w.option("parquet.bloom.filter.enabled#ck", "true") else w)
-      .parquet(dir)
-    dir
+    graft.util.Scratch.once(dir) {
+      val w = orders(spark, sf)
+        .select(col("o_orderkey"), md5(col("o_orderkey").cast("string")).as("ck"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartition(1) // one file, block.size controls row-group count
+        .write.mode("overwrite")
+        .option("parquet.block.size", (64 * 1024).toString)
+        .option("parquet.enable.dictionary", "false")
+      (if (bloom) w.option("parquet.bloom.filter.enabled#ck", "true") else w)
+        .parquet(dir)
+    }
   }
 
   /** Dynamic partition pruning exercised for real (closes SURVEY §4.1's
@@ -180,12 +187,14 @@ object Scale {
     * the lake; plan asserted in ScaleFixSpec. Oracle: the join to the
     * filtered distinct-status dim is provably the plain WHERE filter. */
   def joinDppPrune(spark: SparkSession, sf: String): DataFrame = {
-    val dir = tmpDir("dpp", sf)
-    orders(spark, sf)
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        floor(col("o_totalprice") * 100).cast("long").as("cents"),
-        to_date(date_trunc("mon", col("o_orderdate"))).as("month"))
-      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    // hive-partitioned fixture layout, built once per (JVM, sf)
+    val dir = graft.util.Scratch.once(tmpDir("dpp", sf)) {
+      orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          to_date(date_trunc("mon", col("o_orderdate"))).as("month"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmpDir("dpp", sf))
+    }
     val fact = spark.read.parquet(dir)
     // the dim filter is on a NON-join column, so the surviving partition
     // values are only known at runtime — static constraint propagation
@@ -302,10 +311,13 @@ object Scale {
     * (straight from the source table) proves the rewrite lossless; the
     * before/after file counts are asserted in ScaleFixSpec. */
   def etlCompactFiles(spark: SparkSession, sf: String): DataFrame = {
-    val smallDir = tmpDir("small", sf)
+    // the 64-tiny-file pathology is the FIXTURE (built once per JVM/sf);
+    // the compaction rewrite below is the operator under test
+    val smallDir = graft.util.Scratch.once(tmpDir("small", sf)) {
+      documents(spark, sf).repartition(64)
+        .write.mode("overwrite").parquet(tmpDir("small", sf))
+    }
     val bigDir = tmpDir("compact", sf)
-    documents(spark, sf).repartition(64)
-      .write.mode("overwrite").parquet(smallDir)
     spark.read.parquet(smallDir).repartition(2)
       .write.mode("overwrite").parquet(bigDir)
     spark.read.parquet(bigDir)

@@ -224,12 +224,16 @@ object Vectors {
   def vecAnnIvfPartitioned(spark: SparkSession, sf: String): DataFrame = {
     VectorDot.register(spark)
     val seeds = loadSeeds(spark, sf)
-    val dir = graft.util.Scratch.dir("ivfpart", sf) + "/index"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+    // Scratch.once serializes concurrent build attempts per (JVM, dir)
+    // (ADVICE r5: a bare _SUCCESS check let two callers race, with
+    // mode(overwrite) deleting files under the other's pruned scan)
+    val dir = graft.util.Scratch.once(
+        graft.util.Scratch.dir("ivfpart", sf) + "/index") {
       embeddings(spark, sf)
         .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
           cellExpr(seeds, "embedding").cast("int").as("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(graft.util.Scratch.dir("ivfpart", sf) + "/index")
     }
     val probes: Array[(Long, Array[Float])] = embeddings(spark, sf)
       .where(col("vec_id").isin(probeIds: _*))
@@ -495,10 +499,6 @@ object Vectors {
       .orderBy(col("rank"))
   }
 
-  /** int8-style scalar quantization (the storage-compression path for
-    * embedding columns at scale): per-vector min/max → 0..255 codes. All
-    * arithmetic is explicitly double (float inputs widen exactly), so
-    * floor(x*…+0.5) is IEEE-identical on both engines. First 8 dims. */
   /** EMBEDDING-NORM HISTOGRAM — the corpus-health diagnostic an embedding
     * pipeline runs before indexing: zero/near-zero norms are corrupt or
     * padding vectors, far-outlier norms are scale bugs from a mismatched
@@ -522,6 +522,10 @@ object Vectors {
       .orderBy(col("bucket"))
   }
 
+  /** int8-style scalar quantization (the storage-compression path for
+    * embedding columns at scale): per-vector min/max → 0..255 codes. All
+    * arithmetic is explicitly double (float inputs widen exactly), so
+    * floor(x*…+0.5) is IEEE-identical on both engines. First 8 dims. */
   def vecQuantize(spark: SparkSession, sf: String): DataFrame = {
     val e = embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"),

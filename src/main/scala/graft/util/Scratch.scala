@@ -35,4 +35,30 @@ object Scratch {
     new java.io.File(d).mkdirs()
     d
   }
+
+  /** Idempotent FIXTURE-LAYOUT build: runs `build` at most once per
+    * (JVM, dir). The first caller builds under a per-dir lock and drops a
+    * marker file; a racing concurrent caller BLOCKS until that build
+    * completes — an unguarded `mode(overwrite)` deletes the directory
+    * while another caller's lazy scan is reading it (ADVICE r5 on the IVF
+    * index) — and every later caller skips straight past the write. Only
+    * for layouts that are a pure function of (sf): the roundtrip SINK keys
+    * stay unguarded because there the write is the operator under test.
+    * The marker's leading underscore keeps Spark's file index from listing
+    * it as data. */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def once(dir: String)(build: => Unit): String = {
+    val lock = buildLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      val marker = new java.io.File(dir, "_GRAFT_LAYOUT_DONE")
+      if (!marker.exists()) {
+        build
+        new java.io.File(dir).mkdirs() // build may have replaced the dir
+        marker.createNewFile()
+      }
+    }
+    dir
+  }
 }

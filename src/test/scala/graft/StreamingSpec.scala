@@ -111,8 +111,12 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set(ndKey, "false")
     try {
       val ms = MemoryStream[SEvent]
+      // 5 s TTL (ADVICE r5): a 100 ms TTL assumed the first run's two
+      // events land within one state read/write window — on a loaded host
+      // a >100 ms stall inside that run observed premature expiry. The
+      // wide margin (5 s TTL, 6.5 s sleep) makes both directions robust.
       val out = ms.toDS().groupByKey(_.user_id)
-        .transformWithState(new UserRunningAggTtl(100L),
+        .transformWithState(new UserRunningAggTtl(5000L),
           TimeMode.ProcessingTime(), OutputMode.Update())
       // two AvailableNow runs over a shared checkpoint (not
       // processAllAvailable on a continuous trigger, which never quiesces
@@ -136,13 +140,13 @@ class StreamingSpec extends AnyFunSuite {
       ms.addData(SEvent(1, 7, 100), SEvent(2, 7, 50))
       val r1 = run()
       assert(r1 == Set((7L, 2L, 150L)), r1.toString)
-      // sleep far past the 100 ms TTL: the second run's processing time
+      // sleep far past the 5 s TTL: the second run's processing time
       // is beyond the expiry, so the state MUST read as absent and the
       // aggregate restarts at zero — a TTL-free processor would emit
       // (7, 3, 175) here (exactly what the restart test above shows for
       // UserRunningAgg); the restart-at-zero is the TTL's observable
       // effect.
-      Thread.sleep(1000L)
+      Thread.sleep(6500L)
       ms.addData(SEvent(3, 7, 25))
       val r2 = run()
       assert(r2 == Set((7L, 1L, 25L)), r2.toString)
