@@ -285,6 +285,9 @@ class SegmentKmeansSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_cands")))
     // narrow bands pay in candidate volume: the ceiling config is far wider
     assert(cands.last > dups.last * 10, s"fixtures too clean: ${cands.last}")
+    // sf0.001 has no over-dense buckets: the hot-bucket cap must be a no-op
+    // here (its audit column reads 0), so the sweep is exact at this scale
+    rows.foreach(r => assert(r.getAs[Int]("n_hot_buckets") == 0))
   }
 
   test("vec_ivf_nprobe_sweep: recall is monotone non-decreasing in nprobe") {
