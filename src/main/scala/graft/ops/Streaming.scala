@@ -67,7 +67,11 @@ object Streaming {
     }
 
   /** Run a streaming frame to completion into a memory sink, return the
-    * sink table as a batch frame. */
+    * sink table as a batch frame. (Round-6 measurement: disabling no-data
+    * micro-batches here moved the 13-key subtotal 18.2→18.4 s — noise;
+    * the ~1.0-1.4 s/key floor is micro-batch-engine bring-up (query
+    * planning, offset/commit logs, store init), not the trailing empty
+    * batch, so the harness keeps the engine's default semantics.) */
   private def drain(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"sink_${UUID.randomUUID().toString.replace("-", "")}"
     withStreamShuffle(spark) {

@@ -196,15 +196,28 @@ object Vectors {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
 
+  /** Codebook vector as ONE typed array Literal. The old form spelled
+    * each element `CAST('<f>' AS FLOAT)` through the SQL parser — 64
+    * nodes per centroid, ~1 000 per assignment expression — and the
+    * parse/analyze of that tree was pure fixed plan latency on every
+    * IVF/PQ key. Value-identical: Float.toString round-trips, so the same
+    * float bits reached the expression either way; now they arrive
+    * without the detour. */
+  private def floatArrayLit(c: Array[Float]): Column =
+    typedlit[Array[Float]](c)
+
+  /** vector_dot against a literal codebook vector, Column-composed (no
+    * SQL-string assembly). */
+  private def dotLit(v: Column, c: Array[Float]): Column =
+    call_function("vector_dot", v, floatArrayLit(c))
+
   /** Shuffle-free cell assignment: greatest() over 16 (score, −cid)
     * structs against LITERAL codebook arrays — [[ivfTopk]]'s map phase as
     * a reusable expression. */
   private def cellExpr(seeds: Array[(Long, Array[Float])], vSql: String): Column = {
     val scored = seeds.map { case (cid, cemb) =>
-      val litArr = cemb.map(f => s"CAST('$f' AS FLOAT)")
-        .mkString("array(", ",", ")")
       val norm = math.sqrt(cemb.map(f => f.toDouble * f.toDouble).sum)
-      struct((expr(s"vector_dot($vSql, $litArr)") / lit(norm)).as("s"),
+      struct((dotLit(expr(vSql), cemb) / lit(norm)).as("s"),
         lit(-cid).as("ncid"))
     }
     -greatest(scored.toIndexedSeq: _*).getField("ncid")
@@ -285,16 +298,7 @@ object Vectors {
     // 16 primitive loops instead of 16 three-deep HOF chains (~2.5× less
     // plan/codegen latency, same plan shape).
     // (cos-score, -cid) struct per centroid: greatest() = max, ties → min cid.
-    def cellOf(vSql: String): Column = {
-      val scored = seeds.map { case (cid, cemb) =>
-        val litArr = cemb.map(f => s"CAST('$f' AS FLOAT)")
-          .mkString("array(", ",", ")")
-        val norm = math.sqrt(cemb.map(f => f.toDouble * f.toDouble).sum)
-        struct((expr(s"vector_dot($vSql, $litArr)") / lit(norm)).as("s"),
-          lit(-cid).as("ncid"))
-      }
-      -greatest(scored.toIndexedSeq: _*).getField("ncid")
-    }
+    def cellOf(vSql: String): Column = cellExpr(seeds, vSql)
     val assign = e.select(col("vec_id").as("cand_id"),
       col("embedding").as("ce"), cellOf("embedding").as("cell"))
     // nprobe nearest cells per probe (10 probes × 16 seeds — trivial side).
@@ -348,14 +352,7 @@ object Vectors {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val scored = seeds.map { case (cid, cemb) =>
-      val litArr = cemb.map(f => s"CAST('$f' AS FLOAT)")
-        .mkString("array(", ",", ")")
-      val norm = math.sqrt(cemb.map(f => f.toDouble * f.toDouble).sum)
-      struct((expr(s"vector_dot(embedding, $litArr)") / lit(norm)).as("s"),
-        lit(-cid).as("ncid"))
-    }
-    val cell = -greatest(scored.toIndexedSeq: _*).getField("ncid")
+    val cell = cellExpr(seeds, "embedding")
     e.select(cell.as("cell"), posexplode(col("embedding")))
       .select(col("cell"), (col("pos") + 1).as("pos"),
         floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("xr"))
@@ -427,11 +424,9 @@ object Vectors {
     def codeOf(sub: Int): Column = {
       val scored = book.map { case (ord, emb) =>
         val c = emb.slice(sub * 8, sub * 8 + 8)
-        val litArr = c.map(f => s"CAST('$f' AS FLOAT)")
-          .mkString("array(", ",", ")")
         val half2 = c.map(f => f.toDouble * f.toDouble).sum / 2.0
         struct(
-          (expr(s"vector_dot(slice(embedding, ${sub * 8 + 1}, 8), $litArr)")
+          (dotLit(slice(col("embedding"), sub * 8 + 1, 8), c)
             - lit(half2)).as("s"),
           lit(-ord).as("nord"))
       }
@@ -567,24 +562,15 @@ object Vectors {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    def litArr(c: Array[Float]): String =
-      c.map(f => s"CAST('$f' AS FLOAT)").mkString("array(", ",", ")")
     // nearest-cell assignment, same literal-centroid projection as vec_ann_ivf
-    def cellOf(vSql: String): Column = {
-      val scored = seeds.map { case (cid, cemb) =>
-        val norm = math.sqrt(cemb.map(f => f.toDouble * f.toDouble).sum)
-        struct((expr(s"vector_dot($vSql, ${litArr(cemb)})") / lit(norm)).as("s"),
-          lit(-cid).as("ncid"))
-      }
-      -greatest(scored.toIndexedSeq: _*).getField("ncid")
-    }
+    def cellOf(vSql: String): Column = cellExpr(seeds, vSql)
     // candidate side: cell + 8 PQ codes (pure projection, as vec_pq_codes)
     def codeOf(sub: Int): Column = {
       val scored = book.map { case (ord, emb) =>
         val c = emb.slice(sub * 8, sub * 8 + 8)
         val half2 = c.map(f => f.toDouble * f.toDouble).sum / 2.0
         struct(
-          (expr(s"vector_dot(slice(embedding, ${sub * 8 + 1}, 8), ${litArr(c)})")
+          (dotLit(slice(col("embedding"), sub * 8 + 1, 8), c)
             - lit(half2)).as("s"),
           lit(-ord).as("nord"))
       }
@@ -602,7 +588,7 @@ object Vectors {
       book.map { case (ord, emb) =>
         val c = emb.slice(sub * 8, sub * 8 + 8)
         val half2 = c.map(f => f.toDouble * f.toDouble).sum / 2.0
-        (lit(half2) - expr(s"vector_dot(slice(pe, ${sub * 8 + 1}, 8), ${litArr(c)})"))
+        (lit(half2) - dotLit(slice(col("pe"), sub * 8 + 1, 8), c))
           .as(s"lut_${sub}_$ord")
       }
     }
