@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.util.Tables._
 
@@ -121,16 +120,18 @@ object Dedup {
     val bands = (1 to 8).map(j =>
         sigs.select(col("doc_id"), lit(j).as("band_id"), col(s"h$j").as("band")))
       .reduce(_.unionByName(_))
-    // df per bucket via a window on the bucket key — the SAME key the
-    // self-join below shuffles on, so the filter adds no new exchange
-    val bucketW = Window.partitionBy(col("band_id"), col("band"))
+    // df per bucket via aggregate + join, NOT a count-over-bucket window:
+    // map-side partial aggregation absorbs a pathologically hot bucket
+    // where WindowExec would buffer that bucket's every row in one task
+    // (the 100 TB straggler/spill shape). The join and the self-join below
+    // shuffle on the same bucket key, so the partitioning is reused.
+    val bucketDf = bands.groupBy(col("band_id"), col("band"))
+      .agg(count(lit(1)).as("df"))
     val kept = bands
-      .withColumn("df", count(lit(1)).over(bucketW))
-      .where(col("df") <= bandSweepCap)
+      .join(bucketDf.where(col("df") <= bandSweepCap), Seq("band_id", "band"))
       .select(col("doc_id"), col("band_id"), col("band"))
     // lazy 1-row audit scalar, broadcast onto the 4 config rows
-    val hotCount = bands.groupBy(col("band_id"), col("band"))
-      .agg(count(lit(1)).as("df"))
+    val hotCount = bucketDf
       .agg(sum((col("df") > bandSweepCap).cast("long")).cast("int")
         .as("n_hot_buckets"))
     val pairMask = kept.as("x")
