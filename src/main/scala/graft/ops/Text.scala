@@ -137,20 +137,15 @@ object Text {
         .localCheckpoint())
 
   /** Un-memoized pair kernel (DeterminismSpec re-runs it under both codegen
-    * modes — a memo would make that comparison vacuous; the shared shingle
-    * base IS memoized, which both codegen runs consume identically). */
+    * modes — a memo would make that comparison vacuous; the scan CONSUMES
+    * the memoized packed-set index, which both codegen runs read
+    * identically — the merge scan is what the comparison exercises). The
+    * df ≥ 2 id space is exact for |A∩B| (a df = 1 term can appear in no
+    * intersection) while `n` counts ALL distinct terms, so this is the
+    * same i/u the full-dictionary encoding produced. */
   private[graft] def jaccardPairsFresh(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.SortedIntersectSize.register(spark)
-    val d = shingles(spark, sf)
-    // any dense bijection works for intersect sizes (both docs encode with
-    // the same dict); the two-pass zipWithIndex avoids the single-partition
-    // row_number window that dies at a web-scale vocabulary
-    val dict = graft.util.Ids.zipWithIndex(d.select(col("sh")).distinct(),
-        "sid0", col("sh"))
-      .select(col("sh"), (col("sid0") + 1).cast("int").as("sid"))
-    val sets = d.join(broadcast(dict), "sh")
-      .groupBy(col("lang"), col("doc_id"), col("n"))
-      .agg(sort_array(collect_set(col("sid"))).as("sids"))
+    val sets = packedSets(spark, sf)
     // The packed-set frame is tiny in bytes, so AQE coalesces the post-agg
     // shuffle to ONE partition — and the O(pairs) scan below would run on a
     // single core (measured 9.6 s vs 2.4 s at local[32], sf0.1). Pin the
