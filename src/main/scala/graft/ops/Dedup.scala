@@ -9,11 +9,12 @@ import graft.util.Tables._
   * ([R2] north star). Three families:
   *
   *  - MinHash + LSH banding over bigram shingles: the 100 TB path. Per-doc
-  *    signatures are one groupBy pass (8 mins in a single aggregate); band
-  *    buckets shuffle on the band value, so candidate generation never
-  *    compares all pairs. Hash = md5 (identical hex on both engines); the
-  *    min over hash strings is a lexicographic min — no integer conversion
-  *    needed, so the whole pipeline is portable SQL.
+  *    signatures are one aggregate pass (8 mins together, hashes computed
+  *    once per DISTINCT shingle; the fixture path rides Text.sigsAndSets'
+  *    fused kernel); band buckets shuffle on the band value, so candidate
+  *    generation never compares all pairs. Hash = md5 (identical hex on
+  *    both engines); the min over hash strings is a lexicographic min — no
+  *    integer conversion needed, so the whole pipeline is portable SQL.
   *  - SimHash (16-bit, md5-hex-digit sign contributions) + hamming≤2 pairs.
   *  - Embedding-cosine near-dup at τ=0.45 (fixtures' max inter-pair cosine
   *    is 0.51 with a 5.5e-4 gap to τ at sf0.01 — no threshold-boundary ULP
