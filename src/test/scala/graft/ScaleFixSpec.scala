@@ -40,6 +40,29 @@ class ScaleFixSpec extends AnyFunSuite {
     }
   }
 
+  test("Scratch.once builds exactly once under concurrent callers (ADVICE r5 race)") {
+    // 8 threads race the same layout dir: the old bare marker check let
+    // two callers both enter the build, with mode(overwrite) deleting
+    // files under the other's scan — once() must serialize to ONE build.
+    val dir = graft.util.Scratch.dir("oncetest", "race")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (1 to 8).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = graft.util.Scratch.once(dir) {
+            builds.incrementAndGet(); Thread.sleep(50)
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(builds.get() == 1, s"expected 1 build, got ${builds.get()}")
+    // and a later caller skips straight past the (completed) build
+    graft.util.Scratch.once(dir) { builds.incrementAndGet() }
+    assert(builds.get() == 1)
+  }
+
   test("starContract converges in <= ceil(log2 n)+2 rounds on a planted chain") {
     // a 64-node chain is the diameter-bound killer for one-hop label
     // propagation (63 rounds); star contraction must close it in O(log n)
