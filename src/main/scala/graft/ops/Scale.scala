@@ -49,6 +49,30 @@ object Scale {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** AVRO source/sink roundtrip through the from-scratch V2 connector
+    * (graft.sources.AvroSourceProvider — the environment ships Avro core
+    * but not the spark-avro module, so the row-container ingest format
+    * gets its read/write path from our own connector): orders land as
+    * Avro Object Container Files under the task-rename + atomic-manifest
+    * commit protocol, the read back INFERS the schema from the container
+    * header (Avro is self-describing), prunes columns at the decoder, and
+    * aggregates — proving the write lossless against the straight-from-
+    * orders oracle. */
+  def sourceAvroRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("avro", sf)
+    orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .write.format("graft-avro").option("path", dir).mode("append").save()
+    spark.read.format("graft-avro").load(dir)
+      .where(col("o_orderkey") % 7 === 0) // post-scan filter over pruned cols
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Plain-TEXT source/sink roundtrip — the line-oriented surface (raw
     * crawl dumps, log shipping) next to csv/json/orc/parquet: each doc is
     * serialized to one tab-delimited line (`spark.write.text`), read back
@@ -964,6 +988,7 @@ object Scale {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
+    "source_avro_roundtrip" -> sourceAvroRoundtrip,
     "source_json_roundtrip" -> sourceJsonRoundtrip,
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "source_text_roundtrip" -> sourceTextRoundtrip,
@@ -1061,6 +1086,13 @@ object Scale {
         |  min(CAST(o_orderdate AS DATE)) AS first_date,
         |  max(CAST(o_orderdate AS DATE)) AS last_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "source_avro_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(o_orderkey) AS min_key
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "source_json_roundtrip" ->
       """SELECT event_type, count(*) AS n,

@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** AVRO source + sink as a from-scratch DataSource V2 connector
+  * (`format("graft-avro")`). The environment ships Avro CORE
+  * (`avro-1.12.1.jar` on the Spark classpath) but not the `spark-avro`
+  * data-source module, so the row-container format every Kafka/ingest
+  * deployment speaks was the one mainstream format with no read/write
+  * path — this connector closes that gap with the same public V2 API the
+  * graft-docs source (read rungs) and graft-sink (commit protocol)
+  * already demonstrate.
+  *
+  * Scope — the fixture column surface, failing loudly beyond it:
+  *  - flat records of long / double / string (no unions, no nesting);
+  *  - write: one Avro Object Container File per task (snappy-less null
+  *    codec — codec jars are environment-dependent), task commit renames
+  *    `.tmp` → `.avro`, JOB commit atomically replaces `_avro_manifest`
+  *    naming exactly the committed files (the graft-sink idempotency
+  *    pattern: a re-run's manifest supersedes the old file set, orphans
+  *    stay invisible to manifest-trusting readers);
+  *  - read: schema INFERRED from the container header of the first
+  *    manifest-named file (Avro is self-describing — no user schema
+  *    needed), one input partition per file, column pruning applied at
+  *    decode (SupportsPushDownRequiredColumns). At 100 TB an OCF also
+  *    splits WITHIN a file on its sync markers; file granularity here
+  *    matches the write sharding and keeps the demo honest. */
+class AvroSourceProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-avro"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    require(path != null && path.nonEmpty, "graft-avro requires a path")
+    AvroSourceProvider.committedFiles(path).headOption match {
+      case Some(f) =>
+        val r = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
+        try AvroSourceProvider.toSpark(r.getSchema) finally r.close()
+      case None => new StructType() // write-only target: schema from the frame
+    }
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new AvroTable(properties.get("path"), schema)
+}
+
+object AvroSourceProvider {
+  /** The manifest-named committed files (sorted for deterministic
+    * partition order); every `.avro` present if no manifest landed yet. */
+  def committedFiles(path: String): Seq[File] = {
+    val manifest = new File(path, "_avro_manifest")
+    if (manifest.exists())
+      new String(Files.readAllBytes(manifest.toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq.sorted.map(new File(path, _))
+    else
+      Option(new File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".avro")).sortBy(_.getName).toSeq
+  }
+
+  def toSpark(s: Schema): StructType = {
+    require(s.getType == Schema.Type.RECORD, s"expected record schema, got $s")
+    StructType(s.getFields.asScala.map { f =>
+      val dt = f.schema().getType match {
+        case Schema.Type.LONG   => LongType
+        case Schema.Type.DOUBLE => DoubleType
+        case Schema.Type.STRING => StringType
+        case t => throw new IllegalArgumentException(
+          s"graft-avro supports long/double/string, got $t for ${f.name}")
+      }
+      StructField(f.name(), dt)
+    }.toSeq)
+  }
+
+  def toAvro(s: StructType): Schema = {
+    val fields = s.fields.foldLeft(SchemaBuilder.record("row").fields()) {
+      (b, f) => f.dataType match {
+        case LongType   => b.requiredLong(f.name)
+        case DoubleType => b.requiredDouble(f.name)
+        case StringType => b.requiredString(f.name)
+        case dt => throw new IllegalArgumentException(
+          s"graft-avro supports long/double/string, got $dt for ${f.name}")
+      }
+    }
+    fields.endRecord()
+  }
+}
+
+class AvroTable(path: String, schema0: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  require(path != null && path.nonEmpty, "graft-avro requires option(\"path\")")
+  override def name(): String = s"graft_avro($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(path, schema0)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new AvroBatchWrite(path, info.schema())
+      }
+    }
+}
+
+/** Column pruning reaches the DECODER: only requested fields convert to
+  * Catalyst values (Avro still byte-skips the rest row by row — the
+  * row-format reality; columnar skipping is what parquet/orc are for). */
+class AvroScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new AvroScan(path, required)
+}
+
+case class AvroInputPartition(file: String) extends InputPartition
+
+class AvroScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-avro $path ${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    AvroSourceProvider.committedFiles(path)
+      .map(f => AvroInputPartition(f.getAbsolutePath): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    AvroReaderFactory(required.fieldNames)
+}
+
+/** Named serializable factory (an anonymous one would capture the Scan). */
+case class AvroReaderFactory(fieldNames: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new AvroPartitionReader(partition.asInstanceOf[AvroInputPartition].file, fieldNames)
+}
+
+class AvroPartitionReader(file: String, fieldNames: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val reader =
+    new DataFileReader[GenericRecord](new File(file), new GenericDatumReader[GenericRecord]())
+  override def next(): Boolean = reader.hasNext
+  override def get(): InternalRow = {
+    val rec = reader.next()
+    val vals: Array[Any] = fieldNames.map { n =>
+      rec.get(n) match {
+        case l: java.lang.Long      => l.longValue()
+        case d: java.lang.Double    => d.doubleValue()
+        case s: CharSequence        => UTF8String.fromString(s.toString)
+        case other => throw new IllegalStateException(
+          s"unexpected avro value ${Option(other).map(_.getClass).orNull} for $n")
+      }
+    }
+    new GenericInternalRow(vals)
+  }
+  override def close(): Unit = reader.close()
+}
+
+case class AvroCommit(file: String, rows: Long) extends WriterCommitMessage
+
+class AvroBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    AvroWriterFactory(path, schema.json)
+
+  /** Job commit: atomically REPLACE the manifest with this job's file set
+    * (graft-sink's idempotent-commit pattern — see its scaladoc). */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val names = messages.map(_.asInstanceOf[AvroCommit])
+      .map(m => new File(m.file).getName).sorted
+    val tmp = Paths.get(path, "_avro_manifest.tmp")
+    Files.write(tmp, names.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(path, "_avro_manifest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
+}
+
+/** Schema travels as its JSON form — Avro `Schema` is not serializable. */
+case class AvroWriterFactory(path: String, schemaJson: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(path,
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      partitionId, taskId)
+}
+
+class AvroDataWriter(path: String, schema: StructType, partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+  new File(path).mkdirs()
+  private val avroSchema = AvroSourceProvider.toAvro(schema)
+  private val tmp = new File(path, f"part-$partitionId%05d-$taskId.tmp")
+  private val out = new DataFileWriter[GenericRecord](
+    new GenericDatumWriter[GenericRecord](avroSchema)).create(avroSchema, tmp)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val rec = new GenericData.Record(avroSchema)
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      f.dataType match {
+        case LongType   => rec.put(f.name, row.getLong(i))
+        case DoubleType => rec.put(f.name, row.getDouble(i))
+        case StringType => rec.put(f.name, row.getUTF8String(i).toString)
+        case dt => throw new IllegalArgumentException(
+          s"graft-avro supports long/double/string, got $dt for ${f.name}")
+      }
+    }
+    out.append(rec)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    val fin = new File(path, tmp.getName.stripSuffix(".tmp") + ".avro")
+    Files.move(tmp.toPath, fin.toPath, StandardCopyOption.ATOMIC_MOVE)
+    AvroCommit(fin.getAbsolutePath, rows)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: java.io.IOException => () }
+    tmp.delete(); ()
+  }
+  override def close(): Unit = ()
+}

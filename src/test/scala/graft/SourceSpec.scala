@@ -47,6 +47,34 @@ class SourceSpec extends AnyFunSuite {
     assert(words(0) == graft.sources.DocsSource.md5hex("7:0").substring(0, 6))
   }
 
+  test("graft-avro: schema inference, decoder pruning, idempotent manifest commit") {
+    import java.io.File
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_spec").toString
+    val df = graft.util.Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    df.write.format("graft-avro").option("path", dir).mode("append").save()
+    // self-describing read: NO user schema; inference from the container
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema.map(f => f.name -> f.dataType.typeName) ==
+      Seq("o_orderkey" -> "long", "o_orderstatus" -> "string", "cents" -> "long"))
+    assert(back.count() == df.count())
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // column pruning reaches the reader factory (fieldNames on the scan)
+    val pruned = back.select(col("o_orderkey"))
+    assert(pruned.queryExecution.executedPlan.toString.contains("o_orderkey"))
+    assert(pruned.collect().map(_.getLong(0)).toSet ==
+      df.select("o_orderkey").collect().map(_.getLong(0)).toSet)
+    // a SECOND write atomically replaces the manifest: readers see exactly
+    // the new job's files, first-job parts become invisible orphans
+    val df2 = df.where(col("o_orderkey") % 2 === 0)
+    df2.write.format("graft-avro").option("path", dir).mode("append").save()
+    assert(spark.read.format("graft-avro").load(dir).count() == df2.count())
+    val files = new File(dir).listFiles().map(_.getName)
+    assert(files.contains("_avro_manifest"))
+    assert(!files.exists(_.endsWith(".tmp")), files.mkString(","))
+  }
+
   test("graft-sink commit protocol: manifest totals, no stray temp files") {
     import java.io.File
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_spec").toString
