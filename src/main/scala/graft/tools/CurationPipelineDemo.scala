@@ -156,6 +156,22 @@ object CurationPipelineDemo {
       f"${pr.count()}%d ranked, $above%d above-uniform authority; " +
       f"max degree ${degs.getLong(0)}%d (${degs.getLong(1)}%d nodes)")
 
+    // 10. LAND the curated set through the graft-avro V2 connector (the
+    // round-6 format rung): chunk rows become Avro container files under
+    // the atomic-manifest commit, then the read-back — schema inferred
+    // from the container header, no user schema — must reproduce the
+    // frame exactly (count + sampled content asserted).
+    val landDir = graft.util.Scratch.dir("curation_avro", sf)
+    val landed = chunks.select(col("doc_id"),
+      col("chunk_idx").cast("long").as("chunk_idx"),
+      col("n_tok").cast("long").as("n_tok"),
+      col("first_tok"), col("last_tok"))
+    landed.write.format("graft-avro").option("path", landDir)
+      .mode("append").save()
+    val back = spark.read.format("graft-avro").load(landDir)
+    require(back.count() == landed.count(), "avro landing lost rows")
+    stage("landed as avro (read back)", back.count())
+
     println(f"[pipeline] total wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
