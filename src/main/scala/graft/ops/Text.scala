@@ -223,12 +223,23 @@ object Text {
   private[graft] def sigsAndSets(spark: SparkSession, sf: String): DataFrame =
     jacSetsMemo.getOrElseUpdate((spark, sf), {
       val d = shingles(spark, sf)
-      val idx = termIndexOf(d)
-      val dict = d.select(col("sh")).distinct()
-        .select(col("sh") +: (1 to 8).map(j =>
+      // ONE distinct-term pass feeds both per-term artifacts: the
+      // df-ascending packed-set id (df ≥ 2 subset, same (df, term) order
+      // as termIndexOf so the ids are identical) and the 8 salted minhash
+      // hashes — then ONE term-keyed join carries both onto the
+      // occurrences. No broadcast hint: AQE broadcasts the term table
+      // while it is small and falls back to a shuffle join on the
+      // shingle key at web-scale vocabularies.
+      val terms = d.groupBy(col("sh"))
+        .agg(count(lit(1)).cast("int").as("df"))
+      val withIds = graft.util.Ids.zipWithIndex(
+          terms.where(col("df") >= 2), "sid0", col("df"), col("sh"))
+        .select(col("sh"), (col("sid0") + 1).cast("int").as("sid"))
+      val termTable = terms.join(withIds, Seq("sh"), "left")
+        .select(col("sh") +: col("sid") +: (1 to 8).map(j =>
           md5(concat(lit(s"$j:"), col("sh"))).as(s"g$j")): _*)
-      d.join(dict, "sh")
-        .join(broadcast(idx), col("sh") === col("term"), "left")
+        .localCheckpoint()
+      d.join(termTable, "sh")
         .groupBy(col("lang"), col("doc_id"), col("n"))
         .agg(sort_array(collect_set(col("sid"))).as("sids"),
           (1 to 8).map(j => min(col(s"g$j")).as(s"h$j")): _*)
