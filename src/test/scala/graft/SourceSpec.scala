@@ -60,9 +60,15 @@ class SourceSpec extends AnyFunSuite {
       Seq("o_orderkey" -> "long", "o_orderstatus" -> "string", "cents" -> "long"))
     assert(back.count() == df.count())
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
-    // column pruning reaches the reader factory (fieldNames on the scan)
+    // column pruning reaches the SCAN: the planned read schema must be
+    // exactly the requested column, not the container's full record
     val pruned = back.select(col("o_orderkey"))
-    assert(pruned.queryExecution.executedPlan.toString.contains("o_orderkey"))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty, pruned.queryExecution.executedPlan.toString.take(400))
+    assert(scans.head.readSchema().fieldNames.toSeq == Seq("o_orderkey"),
+      scans.head.readSchema().treeString)
     assert(pruned.collect().map(_.getLong(0)).toSet ==
       df.select("o_orderkey").collect().map(_.getLong(0)).toSet)
     // a SECOND write atomically replaces the manifest: readers see exactly
