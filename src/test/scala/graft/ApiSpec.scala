@@ -64,6 +64,23 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(1) == ((2L, "http://plain.org/p", 0)), rows(1).toString)
   }
 
+  test("canonicalizeUrls is total: scheme/host-less URLs keep a non-null key") {
+    // ADVICE r5: parse_url PROTOCOL/HOST are NULL for relative URLs and
+    // concat propagated the NULL, silently nullifying the dedup key.
+    // Such inputs must now pass through unchanged.
+    import spark.implicits._
+    val df = Seq((1L, "relative/path?a=1"), (2L, "www.nohost"), (3L, ""),
+      (4L, "http://ok.org/x")).toDF("id", "link")
+    val rows = Graft.canonicalizeUrls(df, "link")
+      .select("id", "canon_url").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows(0) == ((1L, "relative/path?a=1")), rows(0).toString)
+    assert(rows(1) == ((2L, "www.nohost")), rows(1).toString)
+    assert(rows(2) == ((3L, "")), rows(2).toString)
+    assert(rows(3) == ((4L, "http://ok.org/x")), rows(3).toString)
+    assert(rows.forall(_._2 != null))
+  }
+
   test("cdcCompact keeps exactly the latest row per key with all columns") {
     val api = Graft.cdcCompact(graft.util.Tables.events(spark, sf001),
         Seq("user_id", "event_type"), "ts", "event_id")
