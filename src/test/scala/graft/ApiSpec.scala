@@ -93,6 +93,18 @@ class ApiSpec extends AnyFunSuite {
     assert(api.map(_.toSeq).toSeq == key.map(_.toSeq).toSeq && api.nonEmpty)
   }
 
+  test("cdcCompact preserves a caller column named __rn0 (reserved-name fix)") {
+    // ADVICE r5: a hardcoded internal rank column clobbered a caller
+    // column of the same name; the kernel now generates a free name.
+    import spark.implicits._
+    val df = Seq((1L, 10L, 1L, 99L), (1L, 20L, 2L, 98L), (2L, 5L, 1L, 7L))
+      .toDF("k", "ts", "seq", "__rn0")
+    val out = Graft.cdcCompact(df, Seq("k"), "ts", "seq")
+      .orderBy("k").collect()
+    assert(out.map(_.toSeq).toSeq == Seq(Seq(1L, 20L, 2L, 98L), Seq(2L, 5L, 1L, 7L)))
+    assert(out.head.schema.fieldNames.contains("__rn0"))
+  }
+
   test("minhashDedupPairs on renamed columns equals the fixture key") {
     val api = Graft.minhashDedupPairs(renamedDocs, "my_id", "body").collect()
     val key = SparkEntry.queries("dedup_minhash_lsh")(spark, sf001).collect()

@@ -25,6 +25,30 @@ class PropertySpec extends AnyFunSuite {
     assert(sums.distinct.size == 1, sums.toString)
   }
 
+  test("graft-avro roundtrip is bit-exact over seeded extreme values") {
+    val rnd = new Random(1234)
+    val edgeL = Seq(Long.MinValue, Long.MaxValue, 0L, -1L)
+    val edgeD = Seq(Double.MinPositiveValue, Double.MaxValue,
+      -0.0, 0.0, 1e-300, -1e300)
+    val edgeS = Seq("", "a,b\nc", "日本語 🙂 ügé", "\t quoted \"x\" ")
+    val rows = (0 until 500).map { i =>
+      (if (i < edgeL.size) edgeL(i) else rnd.nextLong(),
+        if (i < edgeD.size) edgeD(i) else rnd.nextDouble() * math.pow(10, rnd.nextInt(20) - 10),
+        if (i < edgeS.size) edgeS(i) else rnd.alphanumeric.take(rnd.nextInt(30)).mkString)
+    }
+    val df = rows.toDF("l", "d", "s")
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_prop").toString
+    df.write.format("graft-avro").option("path", dir).mode("append").save()
+    val back = spark.read.format("graft-avro").load(dir)
+      .collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getString(2)))
+    val want = rows.map { case (l, d, s) =>
+      (l, java.lang.Double.doubleToLongBits(d), s) }
+    // bit-level double compare (doubleToLongBits) catches any lossy
+    // encode/decode path that plain == would mask (e.g. -0.0 vs 0.0)
+    assert(back.toSeq.sorted == want.sorted)
+  }
+
   test("window-survivor dedup is idempotent and keeps one row per key") {
     val rnd = new Random(7)
     val rows = Seq.fill(2000)((rnd.nextInt(300).toLong, rnd.nextInt(1000)))
