@@ -188,11 +188,10 @@ object Dedup {
     Text.sigsAndSets(spark, sf)
       .select(col("doc_id") +: (1 to 8).map(j => col(s"h$j")): _*)
 
-  private val verifiedMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val verifiedMemo = graft.util.Memos.memo[DataFrame]
 
   private[graft] def verifiedCands(spark: SparkSession, sf: String): DataFrame =
-    verifiedMemo.getOrElseUpdate((spark, sf), {
+    graft.util.Memos.cached(verifiedMemo, spark, sf) {
       // exact verify over Text's memoized packed-int term index (df = 1
       // terms can't be shared, so the df >= 2 id space is exact for |A∩B|
       // while `n` counts ALL distinct terms — the dedup_band_sweep
@@ -208,7 +207,7 @@ object Dedup {
         .withColumn("i", expr("sorted_intersect_size(sids_a, sids_b)"))
         .select(col("doc_a"), col("doc_b"), col("i"), col("n_a"), col("n_b"))
         .localCheckpoint()
-    })
+    }
 
   /** Candidate pairs joined to exact shingle-intersection sizes — the
     * verify every minhash-family output projects from. */
@@ -495,7 +494,7 @@ object Dedup {
          |b1 AS ($b1),
          |bf AS (SELECT doc_id, band_id, band FROM
          |  (SELECT *, count(*) OVER (PARTITION BY band_id, band) AS df FROM b1)
-         |  WHERE df <= 64),
+         |  WHERE df <= $bandSweepCap),
          |pm AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |         CAST(sum(1 << (x.band_id - 1)) AS INT) AS mask
          |       FROM bf x JOIN bf y ON x.band_id = y.band_id AND x.band = y.band
@@ -506,7 +505,7 @@ object Dedup {
          |       FROM pm JOIN sets a ON pm.doc_a = a.doc_id
          |               JOIN sets b2 ON pm.doc_b = b2.doc_id),
          |hot AS (SELECT CAST(count(*) AS INT) AS n_hot_buckets FROM
-         |  (SELECT band_id, band FROM b1 GROUP BY 1, 2 HAVING count(*) > 64))
+         |  (SELECT band_id, band FROM b1 GROUP BY 1, 2 HAVING count(*) > $bandSweepCap))
          |SELECT bands, band_width, n_cands, n_dup, n_hot_buckets
          |FROM ($branches) CROSS JOIN hot
          |ORDER BY bands""".stripMargin

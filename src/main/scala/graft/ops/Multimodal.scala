@@ -99,20 +99,37 @@ object Multimodal {
         .repartition(col("lang"))
         .sortWithinPartitions(col("lang"), col("doc_id"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          // Task-commit protocol (the graft-sink discipline): each attempt
+          // streams into dot-hidden attempt-unique .tmp files and only a
+          // COMPLETED attempt atomically renames them into place, so a
+          // speculative or retried attempt can never interleave with (or
+          // truncate under) the original — the rename is idempotent
+          // because both attempts produce identical bytes.
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          def tmpOf(lang: String) =
+            java.nio.file.Paths.get(base, s".$lang.txt.$attempt.tmp")
           var cur: String = null
           var out: java.io.OutputStream = null
+          val finished = scala.collection.mutable.ArrayBuffer.empty[String]
           try {
             it.foreach { r =>
               val lang = r.getString(0)
               if (lang != cur) { // next language run in this task's sort order
-                if (out != null) out.close()
+                if (out != null) { out.close(); finished += cur }
                 cur = lang
-                out = java.nio.file.Files.newOutputStream(
-                  java.nio.file.Paths.get(base, s"$lang.txt"))
+                out = java.nio.file.Files.newOutputStream(tmpOf(lang))
               } else out.write('\n')
               out.write(r.getAs[Array[Byte]]("bytes"))
             }
-          } finally if (out != null) out.close()
+            if (out != null) { out.close(); out = null; finished += cur }
+            finished.foreach { lang =>
+              java.nio.file.Files.move(tmpOf(lang),
+                java.nio.file.Paths.get(base, s"$lang.txt"),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+          } finally if (out != null) out.close() // failed attempt: .tmp orphan only
         }
     }
     spark.read.format("binaryFile").load(s"$dir/*.txt")

@@ -251,11 +251,10 @@ object Pipeline {
     * execute in one session (it did: 3.5 s + 3.3 s at sf0.1). Keyed by
     * session so a checkpoint never outlives the session that owns it;
     * a racing double-compute is wasted work, never wrong results. */
-  private val lshCcMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val lshCcMemo = graft.util.Memos.memo[DataFrame]
 
   private def lshCcLabels(spark: SparkSession, sf: String): DataFrame =
-    lshCcMemo.getOrElseUpdate((spark, sf), {
+    graft.util.Memos.cached(lshCcMemo, spark, sf) {
       val pairs = Dedup.dedupMinhashLsh(spark, sf)
         .where(col("is_dup") === 1)
         .select(col("doc_a").as("s"), col("doc_b").as("t")).localCheckpoint()
@@ -265,7 +264,7 @@ object Pipeline {
       labels.join(sizes, "component")
         .select(col("id").as("doc_id"), col("component"), col("comp_size"))
         .localCheckpoint()
-    })
+    }
 
   /** The dedup pipeline's FINAL answer: which docs to KEEP. Extends
     * [[dedupLshCc]]'s clusters with per-cluster canonical selection —

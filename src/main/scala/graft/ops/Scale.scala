@@ -64,7 +64,9 @@ object Scale {
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_orderpriority"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
-      .write.format("graft-avro").option("path", dir).mode("append").save()
+      // overwrite (SupportsTruncate) keeps re-runs in one JVM idempotent
+      // now that append MERGES into the committed set (ADVICE r6)
+      .write.format("graft-avro").option("path", dir).mode("overwrite").save()
     spark.read.format("graft-avro").load(dir)
       .where(col("o_orderkey") % 7 === 0) // post-scan filter over pruned cols
       .groupBy(col("o_orderstatus"))
@@ -497,11 +499,10 @@ object Scale {
     * the fixture parquet; ANALYZE computes row counts plus NDVs for the
     * join keys and the filter column (what joinReorder's cost model
     * reads). */
-  private val cboReg =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+  private val cboReg = graft.util.Memos.memo[Boolean]
 
   private def cboRegister(spark: SparkSession, sf: String): Unit = {
-    cboReg.getOrElseUpdate((spark, sf), {
+    graft.util.Memos.cached(cboReg, spark, sf) {
       val tag = sfTag(sf)
       val cols = Seq(
         "lineitem" -> "l_orderkey, l_extendedprice",
@@ -514,7 +515,7 @@ object Scale {
         spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS $cs")
       }
       true
-    })
+    }
     ()
   }
 

@@ -110,11 +110,10 @@ object Text {
     * [[Pipeline.dedupCcComponents]] clusters it; without the memo the
     * pair scan ran end-to-end twice across those keys (same discipline as
     * Pipeline.lshCcMemo). Each key stays a pure function of (spark, sf). */
-  private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pairsMemo = graft.util.Memos.memo[DataFrame]
 
   private[graft] def jaccardPairs(spark: SparkSession, sf: String): DataFrame =
-    pairsMemo.getOrElseUpdate((spark, sf),
+    graft.util.Memos.cached(pairsMemo, spark, sf)(
       jaccardPairsFresh(spark, sf).localCheckpoint())
 
   /** (doc_id, lang, n, sh): the fixture documents' exploded distinct-bigram
@@ -125,11 +124,10 @@ object Text {
     * codegen/planning cost (measured r4) regardless of data size; sharing
     * the materialized explode pays it once per session instead of once
     * per key. */
-  private val shinglesMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val shinglesMemo = graft.util.Memos.memo[DataFrame]
 
   private[graft] def shingles(spark: SparkSession, sf: String): DataFrame =
-    shinglesMemo.getOrElseUpdate((spark, sf),
+    graft.util.Memos.cached(shinglesMemo, spark, sf)(
       documents(spark, sf)
         .select(col("doc_id"), col("lang"), bigrams.as("bg"))
         .select(col("doc_id"), col("lang"), size(col("bg")).as("n"),
@@ -221,7 +219,7 @@ object Text {
     * can't involve such docs (a band collision implies a shared, hence
     * df ≥ 2, shingle), so pair semantics are unchanged. */
   private[graft] def sigsAndSets(spark: SparkSession, sf: String): DataFrame =
-    jacSetsMemo.getOrElseUpdate((spark, sf), {
+    graft.util.Memos.cached(jacSetsMemo, spark, sf) {
       val d = shingles(spark, sf)
       // ONE distinct-term pass feeds both per-term artifacts: the
       // df-ascending packed-set id (df ≥ 2 subset, same (df, term) order
@@ -245,7 +243,7 @@ object Text {
           (1 to 8).map(j => min(col(s"g$j")).as(s"h$j")): _*)
         .withColumn("m", size(col("sids")))
         .localCheckpoint()
-    })
+    }
 
   /** The term index + packed sets are a pure function of (session, sfDir)
     * and cost ~2 s of fixed zipWithIndex/localCheckpoint work per build —
@@ -254,8 +252,7 @@ object Text {
     * the index once. Keyed by session so a checkpoint never outlives the
     * session that owns it; a racing double-compute is wasted work, never
     * wrong results. */
-  private val jacSetsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val jacSetsMemo = graft.util.Memos.memo[DataFrame]
 
   /** Frame-generic prefix-filter kernel over any (doc_id, text[, lang])
     * frame — no `lang` column means one global block. (private[graft]:

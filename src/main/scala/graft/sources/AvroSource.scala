@@ -111,18 +111,28 @@ class AvroTable(path: String, schema0: StructType)
   override def name(): String = s"graft_avro($path)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, schema0)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new AvroBatchWrite(path, info.schema())
-      }
-    }
+    new AvroWriteBuilder(path, info)
+}
+
+/** SaveMode.Append ADDS to the committed set; SaveMode.Overwrite (Spark
+  * calls `truncate()` before `build()`) REPLACES it. Before this builder
+  * existed, append jobs replaced the manifest with only their own files —
+  * an external caller appending a second batch silently lost the first. */
+class AvroWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new AvroBatchWrite(path, info.schema(), replace, info.queryId())
+  }
 }
 
 /** Column pruning reaches the DECODER: only requested fields convert to
@@ -146,19 +156,26 @@ class AvroScan(path: String, required: StructType) extends Scan with Batch {
     AvroSourceProvider.committedFiles(path)
       .map(f => AvroInputPartition(f.getAbsolutePath): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    AvroReaderFactory(required.fieldNames)
+    AvroReaderFactory(required.json)
 }
 
-/** Named serializable factory (an anonymous one would capture the Scan). */
-case class AvroReaderFactory(fieldNames: Array[String]) extends PartitionReaderFactory {
+/** Named serializable factory (an anonymous one would capture the Scan).
+  * Carries the PRUNED schema as JSON (Avro `Schema` isn't serializable). */
+case class AvroReaderFactory(requiredJson: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AvroPartitionReader(partition.asInstanceOf[AvroInputPartition].file, fieldNames)
+    new AvroPartitionReader(partition.asInstanceOf[AvroInputPartition].file,
+      org.apache.spark.sql.types.DataType.fromJson(requiredJson).asInstanceOf[StructType])
 }
 
-class AvroPartitionReader(file: String, fieldNames: Array[String])
+/** Pruning reaches Avro's own decoder: the pruned struct becomes the
+  * READER (expected) schema, so schema resolution skips unrequested
+  * writer fields at the byte level (ResolvingDecoder emits skip actions)
+  * instead of decoding every field and discarding the Catalyst half. */
+class AvroPartitionReader(file: String, required: StructType)
     extends PartitionReader[InternalRow] {
-  private val reader =
-    new DataFileReader[GenericRecord](new File(file), new GenericDatumReader[GenericRecord]())
+  private val fieldNames = required.fieldNames
+  private val reader = new DataFileReader[GenericRecord](new File(file),
+    new GenericDatumReader[GenericRecord](null, AvroSourceProvider.toAvro(required)))
   override def next(): Boolean = reader.hasNext
   override def get(): InternalRow = {
     val rec = reader.next()
@@ -178,15 +195,30 @@ class AvroPartitionReader(file: String, fieldNames: Array[String])
 
 case class AvroCommit(file: String, rows: Long) extends WriterCommitMessage
 
-class AvroBatchWrite(path: String, schema: StructType) extends BatchWrite {
+class AvroBatchWrite(path: String, schema: StructType, replace: Boolean,
+    queryId: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    AvroWriterFactory(path, schema.json)
+    // the queryId tag makes part names unique ACROSS jobs (append jobs
+    // from different applications can reuse (partitionId, taskId))
+    AvroWriterFactory(path, schema.json, queryId.replaceAll("[^0-9a-zA-Z]", "").take(8))
 
-  /** Job commit: atomically REPLACE the manifest with this job's file set
-    * (graft-sink's idempotent-commit pattern — see its scaladoc). */
+  /** Job commit: atomically land the manifest. Overwrite (truncate)
+    * REPLACES the committed set with this job's files; append MERGES the
+    * prior manifest's names in, so earlier batches stay visible
+    * (graft-sink's idempotent atomic-rename pattern either way). */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val names = messages.map(_.asInstanceOf[AvroCommit])
-      .map(m => new File(m.file).getName).sorted
+    val mine = messages.map(_.asInstanceOf[AvroCommit])
+      .map(m => new File(m.file).getName)
+    val prior =
+      if (replace) Seq.empty
+      else {
+        val manifest = new File(path, "_avro_manifest")
+        if (manifest.exists())
+          new String(Files.readAllBytes(manifest.toPath), "UTF-8")
+            .split("\n").filter(_.nonEmpty).toSeq
+        else Seq.empty
+      }
+    val names = (prior ++ mine).distinct.sorted
     val tmp = Paths.get(path, "_avro_manifest.tmp")
     Files.write(tmp, names.mkString("\n").getBytes("UTF-8"))
     Files.move(tmp, Paths.get(path, "_avro_manifest"),
@@ -199,18 +231,19 @@ class AvroBatchWrite(path: String, schema: StructType) extends BatchWrite {
 }
 
 /** Schema travels as its JSON form — Avro `Schema` is not serializable. */
-case class AvroWriterFactory(path: String, schemaJson: String) extends DataWriterFactory {
+case class AvroWriterFactory(path: String, schemaJson: String, jobTag: String)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new AvroDataWriter(path,
       org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      partitionId, taskId)
+      partitionId, taskId, jobTag)
 }
 
 class AvroDataWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long, jobTag: String) extends DataWriter[InternalRow] {
   new File(path).mkdirs()
   private val avroSchema = AvroSourceProvider.toAvro(schema)
-  private val tmp = new File(path, f"part-$partitionId%05d-$taskId.tmp")
+  private val tmp = new File(path, f"part-$partitionId%05d-$taskId-$jobTag.tmp")
   private val out = new DataFileWriter[GenericRecord](
     new GenericDatumWriter[GenericRecord](avroSchema)).create(avroSchema, tmp)
   private var rows = 0L

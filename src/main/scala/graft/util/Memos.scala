@@ -1,0 +1,65 @@
+package graft.util
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Registry for the per-(session, sfDir) memo tables the shared kernels
+  * use (Text.sigsAndSets, Dedup.verifiedCands, Pipeline.lshCcLabels, …)
+  * with END-OF-APPLICATION eviction. The memos pin `localCheckpoint`ed
+  * frames (executor disk blocks); before this registry they were held for
+  * the life of the JVM even after the owning session stopped — harmless
+  * for one-shot Bench/Verify, a leak for a long-lived multi-session
+  * library host. Every `cached` call hooks (once per SparkContext) a
+  * listener whose `onApplicationEnd` drops every entry owned by that
+  * context across ALL registered memos; the checkpoint blocks those
+  * entries pinned die with the context anyway, so eviction only releases
+  * driver-side references that could never be used again.
+  *
+  * Weak-keying the session instead would not work: the memoized
+  * DataFrames reference their session strongly, so a WeakHashMap entry's
+  * VALUE would keep its KEY reachable forever — the classic leak. */
+object Memos {
+  type Memo[V] = TrieMap[(SparkSession, String), V]
+
+  private val registered =
+    new java.util.concurrent.CopyOnWriteArrayList[Memo[_]]()
+  private val hooked = TrieMap.empty[SparkContext, Boolean]
+
+  /** A fresh memo table, registered for eviction (call at object init). */
+  def memo[V]: Memo[V] = {
+    val m = TrieMap.empty[(SparkSession, String), V]
+    registered.add(m)
+    m
+  }
+
+  /** `getOrElseUpdate` plus the eviction hook for this session's context.
+    * Same race discipline as the raw TrieMap: a concurrent double-compute
+    * is wasted work, never wrong results. */
+  def cached[V](m: Memo[V], spark: SparkSession, sf: String)(build: => V): V = {
+    val sc = spark.sparkContext
+    hooked.getOrElseUpdate(sc, {
+      sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          evict(sc)
+      })
+      true
+    })
+    m.getOrElseUpdate((spark, sf), build)
+  }
+
+  private[graft] def isHooked(sc: SparkContext): Boolean = hooked.contains(sc)
+
+  /** Drop every entry owned by a session of `sc`, across all memos (what
+    * the ApplicationEnd listener runs; also directly testable). */
+  private[graft] def evict(sc: SparkContext): Unit = {
+    hooked.remove(sc)
+    registered.forEach { m =>
+      m.keySet.toSeq.foreach { k =>
+        if (k._1.sparkContext eq sc) m.remove(k)
+      }
+    }
+  }
+}

@@ -71,10 +71,16 @@ class SourceSpec extends AnyFunSuite {
       scans.head.readSchema().treeString)
     assert(pruned.collect().map(_.getLong(0)).toSet ==
       df.select("o_orderkey").collect().map(_.getLong(0)).toSet)
-    // a SECOND write atomically replaces the manifest: readers see exactly
-    // the new job's files, first-job parts become invisible orphans
+    // a SECOND append MERGES into the committed set — both batches stay
+    // visible (before the r7 fix the manifest was replaced and the first
+    // batch silently vanished)
     val df2 = df.where(col("o_orderkey") % 2 === 0)
     df2.write.format("graft-avro").option("path", dir).mode("append").save()
+    assert(spark.read.format("graft-avro").load(dir).count() ==
+      df.count() + df2.count())
+    // OVERWRITE (SupportsTruncate) replaces it atomically: readers see
+    // exactly the new job's files, prior parts become invisible orphans
+    df2.write.format("graft-avro").option("path", dir).mode("overwrite").save()
     assert(spark.read.format("graft-avro").load(dir).count() == df2.count())
     val files = new File(dir).listFiles().map(_.getName)
     assert(files.contains("_avro_manifest"))
