@@ -2,16 +2,18 @@ package graft.sources
 
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The custom-SINK extension rung (DataSource V2 write path) — the twin of
   * [[DocsSourceProvider]]'s read rungs, so the connector surface covers
@@ -22,46 +24,259 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    its task-commit RENAMES it to `.csv` (failed/speculative attempts
   *    leave `.tmp` garbage that job commit ignores);
   *  - each task's [[WriterCommitMessage]] carries (file, rows) back to the
-  *    driver, and JOB commit atomically writes a `_manifest` naming every
-  *    committed file + the total row count — readers that trust the
-  *    manifest never observe a torn write (the _SUCCESS/manifest pattern
-  *    every cloud-storage committer implements);
+  *    driver, and JOB commit atomically publishes a VERSIONED manifest
+  *    `_manifest-v{N}` naming every committed file + the total row count —
+  *    readers that trust a manifest never observe a torn write, and every
+  *    committed version stays readable afterwards (time travel, the
+  *    snapshot surface a lakehouse table format provides);
+  *  - version numbers are claimed by ATOMIC_MOVE *without* replace: if a
+  *    concurrent committer already took version N the rename fails and this
+  *    job re-reads the new head and retries at N+1 — optimistic
+  *    concurrency, the same compare-and-swap a real table-format commit
+  *    log performs, built from nothing but filesystem rename atomicity;
+  *  - `SaveMode.Append` merges the head version's file list into the new
+  *    manifest (both batches stay visible); `SaveMode.Overwrite` (via
+  *    [[SupportsTruncate]]) publishes a version naming ONLY this job's
+  *    files — prior parts become invisible orphans to the head but remain
+  *    on disk, addressed by the older manifests;
   *  - abort deletes the uncommitted temp files.
+  *
+  * READ path (BATCH_READ): `spark.read.format("graft-sink")
+  * .option("path", dir)[.option("versionAsOf", n)].load()` plans one
+  * InputPartition per manifest-named file — file-granular parallel scan —
+  * with real column pruning (only requested cells are converted) and a
+  * per-file row-count check against the manifest (a torn or tampered file
+  * fails loudly, not silently short). The schema rides IN the manifest
+  * (`#schema=` DDL line), so the table is self-describing: no external
+  * metastore needed to read any version.
+  *
   * Long/Double/String columns only — the fixture surface; anything else
-  * fails loudly at write time. */
+  * fails loudly at write time, as do strings containing the CSV
+  * delimiter/newline (no silent corruption). */
 class GraftSinkProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-sink"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new StructType() // write-only: schema comes from the incoming frame
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // Self-describing on READ: the pinned (or head) manifest carries the
+    // schema DDL. On first WRITE no manifest exists yet → empty schema
+    // (the write path takes its schema from the incoming frame).
+    val path = options.get("path")
+    if (path == null) new StructType()
+    else GraftManifest.readVersion(path, Option(options.get("versionAsOf")).map(_.toInt))
+      .flatMap(_.schemaDdl).map(StructType.fromDDL).getOrElse(new StructType())
+  }
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new GraftSinkTable(properties.get("path"), schema)
+    new GraftSinkTable(properties.get("path"), schema,
+      Option(properties.get("versionAsOf")).map(_.toInt))
 }
 
-class GraftSinkTable(path: String, schema0: StructType)
-    extends Table with SupportsWrite {
+/** One committed manifest version: the files it names (with per-file row
+  * counts), the committed total, and the schema DDL it was written with. */
+case class GraftManifest(version: Int, files: Seq[(String, Long)],
+    total: Long, schemaDdl: Option[String])
+
+object GraftManifest {
+  private val VPrefix = "_manifest-v"
+
+  /** All committed version numbers at `path`, ascending. */
+  def versions(path: String): Seq[Int] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith(VPrefix))
+      .filterNot(_.endsWith(".tmp"))
+      .flatMap(n => scala.util.Try(n.stripPrefix(VPrefix).toInt).toOption)
+      .sorted.toSeq
+
+  def parse(version: Int, body: String): GraftManifest = {
+    var ddl: Option[String] = None
+    val files = Seq.newBuilder[(String, Long)]
+    var total = 0L
+    body.split("\n").filter(_.nonEmpty).foreach {
+      case s if s.startsWith("#schema=") => ddl = Some(s.stripPrefix("#schema="))
+      case line => line.split(",", 2) match {
+        case Array("_total", n) => total = n.toLong
+        case Array(f, n)        => files += (f -> n.toLong)
+        case bad => throw new IllegalStateException(
+          s"malformed manifest line: '${bad.mkString(",")}'")
+      }
+    }
+    GraftManifest(version, files.result(), total, ddl)
+  }
+
+  /** Read one version (None = head). None result = no committed version. */
+  def readVersion(path: String, version: Option[Int]): Option[GraftManifest] = {
+    val vs = versions(path)
+    val v = version match {
+      case Some(n) =>
+        if (vs.contains(n)) n
+        else if (vs.isEmpty) return None
+        else throw new IllegalArgumentException(
+          s"graft-sink: versionAsOf=$n not found at $path; committed versions: ${vs.mkString(",")}")
+      case None => if (vs.isEmpty) return None else vs.max
+    }
+    val body = new String(
+      Files.readAllBytes(Paths.get(path, s"$VPrefix$v")), StandardCharsets.UTF_8)
+    Some(parse(v, body))
+  }
+
+  /** Publish `files` as the next version. The version slot is claimed with
+    * ATOMIC_MOVE *without* REPLACE_EXISTING — the filesystem's
+    * compare-and-swap. Losing the race (slot taken) re-reads the new head
+    * (append must merge the WINNER's files, not a stale view) and retries
+    * one slot up. Also refreshes the legacy `_manifest` head copy (files +
+    * `_total` only, no schema line) for readers that predate versioning. */
+  def commit(path: String, jobFiles: Seq[(String, Long)], schemaDdl: String,
+      truncate: Boolean): Int = {
+    new File(path).mkdirs() // a zero-task job commits a manifest into an empty dir
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 1000, s"graft-sink: gave up claiming a manifest version at $path")
+      val head = readVersion(path, None)
+      head.flatMap(_.schemaDdl).foreach { prior =>
+        if (!truncate && prior != schemaDdl)
+          throw new IllegalArgumentException(
+            s"graft-sink: append schema '$schemaDdl' != committed schema '$prior' (overwrite to change schema)")
+      }
+      val all = (if (truncate) Seq.empty else head.map(_.files).getOrElse(Seq.empty)) ++ jobFiles
+      val next = head.map(_.version + 1).getOrElse(1)
+      val body = (s"#schema=$schemaDdl" +:
+        all.map { case (f, n) => s"$f,$n" } :+
+        s"_total,${all.map(_._2).sum}").mkString("\n")
+      val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$next", ".tmp")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.move(tmp, Paths.get(path, s"$VPrefix$next"), StandardCopyOption.ATOMIC_MOVE)
+        // head pointer for pre-versioning readers; REPLACE is safe — it is
+        // derived state, the version files are the durable record
+        val legacy = (all.map { case (f, n) => s"$f,$n" } :+
+          s"_total,${all.map(_._2).sum}").mkString("\n")
+        val ltmp = Files.createTempFile(Paths.get(path), "_manifest", ".tmp")
+        Files.write(ltmp, legacy.getBytes(StandardCharsets.UTF_8))
+        Files.move(ltmp, Paths.get(path, "_manifest"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        return next
+      } catch {
+        case _: FileAlreadyExistsException => Files.deleteIfExists(tmp); () // lost the race; retry at next+1
+      }
+    }
+    -1 // unreachable
+  }
+}
+
+class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int])
+    extends Table with SupportsWrite with SupportsRead {
   require(path != null && path.nonEmpty, "graft-sink requires option(\"path\")")
   override def name(): String = s"graft_sink($path)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_READ)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      private var truncating = false
+      override def truncate(): WriteBuilder = { truncating = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftSinkBatchWrite(path, info.schema())
+          new GraftSinkBatchWrite(path, info.schema(), truncating)
         override def toStreaming: StreamingWrite =
           new GraftSinkStreamingWrite(path, info.schema())
       }
     }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val pinned = Option(options.get("versionAsOf")).map(_.toInt).orElse(versionAsOf)
+    val full =
+      if (schema0.nonEmpty) schema0
+      else GraftManifest.readVersion(path, pinned).flatMap(_.schemaDdl)
+        .map(StructType.fromDDL).getOrElse(throw new IllegalArgumentException(
+          s"graft-sink: no committed manifest to read at $path"))
+    new GraftSinkScanBuilder(path, pinned, full)
+  }
+}
+
+class GraftSinkScanBuilder(path: String, version: Option[Int], full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = GraftSinkScan(path, version, full, required)
+}
+
+case class GraftSinkScan(path: String, version: Option[Int],
+    full: StructType, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val v = version.map(_.toString).getOrElse("head")
+    s"graft-sink $path v=$v cols=${required.fieldNames.mkString(",")}"
+  }
+  /** One partition per manifest-named file: the manifest IS the split
+    * plan, so the scan parallelism equals the committed file count (at
+    * scale: the writing job's task count) with zero listing cost. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = GraftManifest.readVersion(path, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-sink: no committed manifest to read at $path"))
+    m.files.map { case (f, n) =>
+      GraftSinkFileSplit(s"$path/$f", n): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSinkReaderFactory(full, required)
+}
+
+case class GraftSinkFileSplit(file: String, expectedRows: Long) extends InputPartition
+
+class GraftSinkReaderFactory(full: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val split = p.asInstanceOf[GraftSinkFileSplit]
+    // map each required column to its cell position in the written line
+    val idx = required.fields.map(f => full.fieldIndex(f.name))
+    val types = required.fields.map(_.dataType)
+    new PartitionReader[InternalRow] {
+      private val in = Files.newBufferedReader(
+        Paths.get(split.file), StandardCharsets.UTF_8)
+      private var line: String = _
+      private var rows = 0L
+      override def next(): Boolean = {
+        line = in.readLine()
+        if (line == null) {
+          // manifest row count is the integrity record: a truncated file
+          // (torn copy, partial restore) fails the scan instead of
+          // silently under-reporting
+          if (rows != split.expectedRows) throw new IllegalStateException(
+            s"graft-sink: ${split.file} has $rows rows, manifest committed ${split.expectedRows}")
+          false
+        } else { rows += 1; true }
+      }
+      override def get(): InternalRow = {
+        val cells = line.split(",", -1)
+        val values = new Array[Any](idx.length)
+        var i = 0
+        while (i < idx.length) {
+          values(i) = types(i) match {
+            case LongType   => cells(idx(i)).toLong
+            case DoubleType => cells(idx(i)).toDouble
+            case StringType => UTF8String.fromString(cells(idx(i)))
+            case dt => throw new IllegalArgumentException(
+              s"graft-sink read supports long/double/string, got $dt")
+          }
+          i += 1
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = in.close()
+    }
+  }
 }
 
 case class GraftSinkCommit(file: String, rows: Long) extends WriterCommitMessage
 
-class GraftSinkBatchWrite(path: String, schema: StructType) extends BatchWrite {
+class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftSinkWriterFactory(path, schema)
 
@@ -69,12 +284,10 @@ class GraftSinkBatchWrite(path: String, schema: StructType) extends BatchWrite {
     * the manifest; half-written .tmp files are invisible to readers. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.map(_.asInstanceOf[GraftSinkCommit])
-    val body = (ms.map(m => s"${new File(m.file).getName},${m.rows}") :+
-      s"_total,${ms.map(_.rows).sum}").mkString("\n")
-    val tmp = Paths.get(path, "_manifest.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(path, "_manifest"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    GraftManifest.commit(path,
+      ms.map(m => new File(m.file).getName -> m.rows).toSeq,
+      schema.toDDL, truncate)
+    ()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -119,6 +332,7 @@ class GraftSinkStreamingWrite(path: String, schema: StructType)
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(path, s"_manifest_epoch_$epochId"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -143,7 +357,14 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       f.dataType match {
         case LongType   => row.getLong(i).toString
         case DoubleType => row.getDouble(i).toString
-        case StringType => row.getUTF8String(i).toString
+        case StringType =>
+          val s = row.getUTF8String(i).toString
+          // the read path splits on the delimiter — an embedded comma or
+          // newline would silently shift every later cell; refuse it here
+          if (s.indexOf(',') >= 0 || s.indexOf('\n') >= 0)
+            throw new IllegalArgumentException(
+              s"graft-sink cannot encode delimiter/newline in '${f.name}' value '$s'")
+          s
         case dt => throw new IllegalArgumentException(
           s"graft-sink supports long/double/string, got $dt for ${f.name}")
       }

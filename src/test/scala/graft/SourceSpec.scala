@@ -108,4 +108,90 @@ class SourceSpec extends AnyFunSuite {
       .csv(parts.map(f => s"$dir/$f").toSeq: _*)
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
+
+  test("graft-sink time travel: append merges, overwrite truncates, every version stays readable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt_spec").toString
+    def write(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
+      df.write.format("graft-sink").option("path", dir).mode(mode).save()
+    def read(v: Option[Int]) = {
+      val r = spark.read.format("graft-sink").option("path", dir)
+      v.fold(r)(n => r.option("versionAsOf", n.toString)).load()
+    }
+    val df1 = graft.util.Tables.orders(spark, sf001)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val df2 = df1.where(col("o_orderstatus") === "O")
+    write(df1, "append")    // v1
+    write(df2, "append")    // v2 = v1's files + v2's (merge)
+    write(df2, "overwrite") // v3 = ONLY this job's files (truncate)
+    assert(graft.sources.GraftManifest.versions(dir) == Seq(1, 2, 3))
+    // self-describing: no user schema — DDL comes from the manifest
+    assert(read(None).schema.map(f => f.name -> f.dataType.typeName) ==
+      Seq("o_orderstatus" -> "string", "n" -> "long"))
+    val rows1 = df1.collect().map(_.toSeq)
+    val rows2 = df2.collect().map(_.toSeq)
+    assert(read(Some(1)).collect().map(_.toSeq).toSet == rows1.toSet)
+    assert(read(Some(2)).count() == rows1.length + rows2.length)
+    assert(read(None).collect().map(_.toSeq).toSet == rows2.toSet)
+    assert(read(Some(3)).collect().map(_.toSeq).toSet == rows2.toSet)
+    // column pruning reaches the connector scan
+    val pruned = read(Some(1)).select(col("n"))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(scans.head.readSchema().fieldNames.toSeq == Seq("n"))
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      rows1.map(_(1).asInstanceOf[Long]).sorted.toSeq)
+    // a pinned version that was never committed fails loudly (at planning —
+    // the manifest lookup happens driver-side before any task launches)
+    val e = intercept[Exception] { read(Some(9)).count() }
+    assert((e.getMessage != null && e.getMessage.contains("versionAsOf=9")) ||
+      Option(e.getCause).exists(c => c.getMessage != null &&
+        c.getMessage.contains("versionAsOf=9")), e.toString)
+    // appending a different schema is refused (overwrite to evolve)
+    intercept[Exception] {
+      write(df1.withColumnRenamed("n", "m"), "append")
+    }
+    // torn-file detection: truncate a committed file behind the manifest
+    val m3 = graft.sources.GraftManifest.readVersion(dir, Some(3)).get
+    val victim = java.nio.file.Paths.get(dir, m3.files.filter(_._2 > 0).head._1)
+    java.nio.file.Files.write(victim, Array.empty[Byte])
+    val torn = intercept[org.apache.spark.SparkException] { read(Some(3)).count() }
+    assert(torn.getMessage.contains("manifest committed") ||
+      Option(torn.getCause).exists(_.getMessage.contains("manifest committed")))
+  }
+
+  test("graft-docs resume: capped micro-batches, checkpointed offsets, growing corpus") {
+    val chk = java.nio.file.Files.createTempDirectory("graft_resume_chk").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_resume_out").toString
+    def runOnce(nDocs: Int): Unit = {
+      val q = spark.readStream.format("graft-docs")
+        .option("nDocs", nDocs.toString).option("maxDocsPerBatch", "100")
+        .load().select(col("doc_id"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          b.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce(300) // cold start: 3 batches of exactly 100
+    val run1 = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(run1.map(_._1).sorted.toSeq == (0L until 300L), "run 1 must read [0,300) exactly")
+    val byBatch = run1.groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    assert(byBatch.size == 3, s"admission cap must split 300 docs into 3 batches, got ${byBatch.keySet}")
+    assert(byBatch.values.toSet == Set(0L until 100L, 100L until 200L, 200L until 300L),
+      "each batch must be one contiguous 100-doc offset range")
+    runOnce(500) // corpus grew: resume MUST read exactly the unseen [300,500)
+    val all = spark.read.parquet(out).collect().map(_.getLong(0))
+    assert(all.sorted.toSeq == (0L until 500L),
+      "resume must continue at the committed offset — every id exactly once")
+    runOnce(300) // checkpoint (500) is past this run's end: no data may re-emit
+    assert(spark.read.parquet(out).count() == 500,
+      "a checkpoint ahead of the configured end must report no-new-data")
+    // the offset log is the persisted source-of-truth for the resume
+    assert(new java.io.File(s"$chk/offsets").listFiles().length >= 5)
+  }
 }
