@@ -535,6 +535,64 @@ object Scale {
         sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
   }
 
+  /** CATALOG MANAGEMENT surface (VERDICT r6 missing #3 — the metastore
+    * leg of a lakehouse ETL, exercised through Spark's own catalog rather
+    * than reimplemented): three fixture tables register as external
+    * catalog tables, a fourth is CREATED through the catalog and then
+    * SCHEMA-EVOLVED with `ALTER TABLE ADD COLUMNS` — the catalog schema
+    * gains the column while the already-written files lack it, and reads
+    * resolve the missing column to NULL (the metastore-mediated evolution
+    * contract, the write-side twin of `etl_schema_evolution`'s
+    * mergeSchema read). The output is pure catalog metadata — per-table
+    * column counts from `spark.catalog.listColumns` joined with real
+    * distributed row counts — and the oracle re-derives both from DuckDB's
+    * DESCRIBE, so the catalog's view of every table is hash-checked
+    * against the data's. Registration is memoized per (session, sf) like
+    * the CBO stats — catalog state is a build-once artifact. */
+  def metaCatalogDescribe(spark: SparkSession, sf: String): DataFrame = {
+    catRegister(spark, sf)
+    val tag = sfTag(sf)
+    val tables = Seq("region", "nation", "supplier")
+      .map(t => t -> s"graft_cat_${t}_$tag") :+
+      ("nation_evolved" -> s"graft_cat_evolved_$tag")
+    // listTables is the catalog listing surface: all four must be visible
+    val listed = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_cat_") && col("name").endsWith(tag))
+      .count()
+    require(listed >= tables.size, s"catalog lists $listed graft_cat tables, want ${tables.size}")
+    // evolution contract: the added column exists in the catalog schema and
+    // reads as NULL over the pre-evolution files
+    val evo = spark.table(s"graft_cat_evolved_$tag")
+    require(evo.where(col("note").isNotNull).count() == 0,
+      "pre-evolution files must read the added column as NULL")
+    import spark.implicits._
+    tables.map { case (label, name) =>
+      (label, spark.catalog.listColumns(name).count(), spark.table(name).count())
+    }.toDF("tbl", "n_cols", "n_rows").orderBy(col("tbl"))
+  }
+
+  /** Catalog registration + evolution, once per (session, sf): external
+    * tables over the fixture parquet plus one table whose schema is
+    * evolved THROUGH the catalog after its files are written. */
+  private val catReg = graft.util.Memos.memo[Boolean]
+
+  private def catRegister(spark: SparkSession, sf: String): Unit = {
+    graft.util.Memos.cached(catReg, spark, sf) {
+      val tag = sfTag(sf)
+      for (t <- Seq("region", "nation", "supplier"))
+        spark.sql(s"CREATE TABLE IF NOT EXISTS graft_cat_${t}_$tag " +
+          s"USING parquet LOCATION '$sf/$t.parquet'")
+      val evo = s"graft_cat_evolved_$tag"
+      if (!spark.catalog.tableExists(evo)) {
+        spark.table(s"graft_cat_nation_$tag").write
+          .option("path", tmpDir("catevo", sf)).saveAsTable(evo)
+        spark.sql(s"ALTER TABLE $evo ADD COLUMNS (note STRING)")
+      }
+      true
+    }
+    ()
+  }
+
   /** DYNAMIC PARTITION OVERWRITE — the daily-refresh idiom every
     * partitioned estate runs: a full load lays orders out by year, then a
     * delta batch covering ONLY the latest year is written with
@@ -1058,6 +1116,7 @@ object Scale {
     "source_custom_v2" -> sourceCustomV2,
     "sink_custom_v2" -> sinkCustomV2,
     "sink_time_travel" -> sinkTimeTravel,
+    "meta_catalog_describe" -> metaCatalogDescribe,
     "window_distinct_running" -> windowDistinctRunning
   )
 
@@ -1090,6 +1149,24 @@ object Scale {
         |    j -> substr(md5(i || ':' || j), 1, 6)), ' ') AS text
         |FROM (SELECT unnest(generate_series(100, 199)) AS i)
         |ORDER BY doc_id""".stripMargin,
+
+    "meta_catalog_describe" ->
+      """SELECT 'nation' AS tbl,
+        |  CAST((SELECT count(*) FROM (DESCRIBE nation)) AS BIGINT) AS n_cols,
+        |  (SELECT count(*) FROM nation) AS n_rows
+        |UNION ALL
+        |SELECT 'nation_evolved',
+        |  CAST((SELECT count(*) FROM (DESCRIBE nation)) + 1 AS BIGINT),
+        |  (SELECT count(*) FROM nation)
+        |UNION ALL
+        |SELECT 'region',
+        |  CAST((SELECT count(*) FROM (DESCRIBE region)) AS BIGINT),
+        |  (SELECT count(*) FROM region)
+        |UNION ALL
+        |SELECT 'supplier',
+        |  CAST((SELECT count(*) FROM (DESCRIBE supplier)) AS BIGINT),
+        |  (SELECT count(*) FROM supplier)
+        |ORDER BY tbl""".stripMargin,
 
     "join_skew_aqe" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -81,6 +81,20 @@ object StateScaleDemo {
     run("build")   // every key's first write
     writeBatch(1)
     run("update")  // read-modify-write at full cardinality
+
+    // ORDERED teardown (round-7 fix for the r6 SIGSEGV in
+    // rocksdb::LoggerJniCallback::Logv): at the default teardown,
+    // SparkContext shutdown races the state-store MAINTENANCE thread's
+    // provider unload — RocksDB can emit a native log line through the
+    // JNI callback after the Java side of the logger is gone, and the
+    // callback segfaults the JVM. StateStore.stop() first halts the
+    // maintenance task, THEN closes every loaded provider (and its
+    // RocksDB + native logger) under the loadedProviders lock, so by the
+    // time spark.stop() tears the context down no native RocksDB thread
+    // is left to call back. This is the same teardown discipline a
+    // production streaming host needs on executor decommission.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.stop()
+    println(s"""{"run":"teardown","clean_exit":true,"n_keys":$nKeys}""")
   }
 }
