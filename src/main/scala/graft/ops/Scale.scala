@@ -535,6 +535,51 @@ object Scale {
         sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
   }
 
+  /** COMPACT + VACUUM — the storage-lifecycle half of the versioned sink
+    * (the OPTIMIZE/VACUUM pair every snapshot table needs once
+    * [[sinkTimeTravel]] exists, because a table that only ever adds
+    * versions keeps every superseded small file forever):
+    *  1. v1 lands the aggregate as one small file PER TASK
+    *     (`repartition(8)`) — the many-small-files shape every
+    *     micro-batch ingest produces;
+    *  2. OPTIMIZE: the head is read back THROUGH the connector and
+    *     rewritten compact (`coalesce(1)`; at scale the coalesce width
+    *     targets a file size, not 1) as overwrite-version v2 — a pure
+    *     metadata swap for readers, content identical;
+    *  3. VACUUM (retain 1): `GraftManifest.vacuum` drops v1's manifest
+    *     FIRST, then the 8 data files no retained manifest references —
+    *     ordered so no surviving manifest ever names a missing file.
+    * The once-per-(JVM, sf) history build asserts each step's file
+    * arithmetic; the registered output is the idempotent post-state —
+    * (versions retained, head file count, rows, exact total) with the
+    * rows/total re-derived by the oracle straight from events, proving
+    * compaction+vacuum changed storage and only storage. */
+  def sinkCompactVacuum(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttvac", sf)
+    def agg(src: DataFrame): DataFrame = src
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+    graft.util.Scratch.once(dir) {
+      agg(events(spark, sf)).repartition(8)
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+      val v1 = graft.sources.GraftManifest.readVersion(dir, None).get
+      require(v1.files.size == 8, s"ingest shape: want 8 task files, got ${v1.files.size}")
+      spark.read.format("graft-sink").option("path", dir).load()
+        .coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      val removed = graft.sources.GraftManifest.vacuum(dir, retainLast = 1)
+      require(removed == 8, s"vacuum must reclaim exactly v1's 8 files, got $removed")
+    }
+    val versions = graft.sources.GraftManifest.versions(dir)
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    spark.read.format("graft-sink").option("path", dir).load()
+      .agg(count(lit(1)).as("n_rows"), sum(col("sum_cents")).as("total_cents"))
+      .withColumn("n_versions", lit(versions.length.toLong))
+      .withColumn("n_files", lit(head.files.size.toLong))
+      .select(col("n_versions"), col("n_files"), col("n_rows"), col("total_cents"))
+  }
+
   /** CATALOG MANAGEMENT surface (VERDICT r6 missing #3 — the metastore
     * leg of a lakehouse ETL, exercised through Spark's own catalog rather
     * than reimplemented): three fixture tables register as external
@@ -1116,6 +1161,7 @@ object Scale {
     "source_custom_v2" -> sourceCustomV2,
     "sink_custom_v2" -> sinkCustomV2,
     "sink_time_travel" -> sinkTimeTravel,
+    "sink_compact_vacuum" -> sinkCompactVacuum,
     "meta_catalog_describe" -> metaCatalogDescribe,
     "window_distinct_running" -> windowDistinctRunning
   )
@@ -1149,6 +1195,14 @@ object Scale {
         |    j -> substr(md5(i || ':' || j), 1, 6)), ' ') AS text
         |FROM (SELECT unnest(generate_series(100, 199)) AS i)
         |ORDER BY doc_id""".stripMargin,
+
+    "sink_compact_vacuum" ->
+      """SELECT CAST(1 AS BIGINT) AS n_versions, CAST(1 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM (SELECT event_type,
+        |        CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM events GROUP BY event_type)""".stripMargin,
 
     "meta_catalog_describe" ->
       """SELECT 'nation' AS tbl,

@@ -163,6 +163,31 @@ object GraftManifest {
     }
     -1 // unreachable
   }
+
+  /** VACUUM: drop every version but the newest `retainLast`, then delete
+    * the data files no retained manifest references — the storage-reclaim
+    * half of the snapshot lifecycle (a table that only ever adds versions
+    * keeps every superseded file forever). Deletion order is the safety
+    * argument: old MANIFESTS go first, data files second, so at no moment
+    * does a surviving manifest name a missing file — a reader pinned to a
+    * dropped version fails loudly at the manifest lookup (listed versions
+    * in the error), never with a half-readable snapshot. Batch-table dirs
+    * only: streaming epoch manifests are a different lifecycle and are
+    * not consulted here. Returns the number of data files deleted. */
+  def vacuum(path: String, retainLast: Int): Int = {
+    require(retainLast >= 1, "vacuum must retain at least the head version")
+    val vs = versions(path)
+    val dropped = vs.dropRight(retainLast)
+    val keep = vs.takeRight(retainLast)
+      .flatMap(v => readVersion(path, Some(v)).toSeq.flatMap(_.files.map(_._1)))
+      .toSet
+    dropped.foreach(v => Files.deleteIfExists(Paths.get(path, s"$VPrefix$v")))
+    val victims = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".csv") && !f.getName.startsWith("epoch-") &&
+        !keep.contains(f.getName))
+    victims.foreach(_.delete())
+    victims.length
+  }
 }
 
 class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int])

@@ -160,6 +160,34 @@ class SourceSpec extends AnyFunSuite {
       Option(torn.getCause).exists(_.getMessage.contains("manifest committed")))
   }
 
+  test("graft-sink vacuum: manifests drop first, only unreferenced files reclaimed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac_spec").toString
+    val df = graft.util.Tables.orders(spark, sf001)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    df.repartition(4).write.format("graft-sink").option("path", dir).mode("append").save()
+    assert(graft.sources.GraftManifest.readVersion(dir, None).get.files.size == 4)
+    // OPTIMIZE: rewrite the head compact as a new overwrite version
+    spark.read.format("graft-sink").option("path", dir).load().coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val removed = graft.sources.GraftManifest.vacuum(dir, retainLast = 1)
+    assert(removed == 4, s"exactly v1's 4 files reclaimed, got $removed")
+    // head version survives untouched and reads the full content
+    assert(graft.sources.GraftManifest.versions(dir) == Seq(2))
+    val back = spark.read.format("graft-sink").option("path", dir).load()
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // exactly ONE data file remains on disk — the compacted one
+    val csvs = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".csv"))
+    assert(csvs.length == 1, csvs.mkString(","))
+    // a reader pinned to the vacuumed version fails loudly at the manifest
+    val e = intercept[Exception] {
+      spark.read.format("graft-sink").option("path", dir)
+        .option("versionAsOf", "1").load().count()
+    }
+    assert((e.getMessage != null && e.getMessage.contains("versionAsOf=1")) ||
+      Option(e.getCause).exists(c => c.getMessage != null &&
+        c.getMessage.contains("versionAsOf=1")), e.toString)
+  }
+
   test("graft-docs resume: capped micro-batches, checkpointed offsets, growing corpus") {
     val chk = java.nio.file.Files.createTempDirectory("graft_resume_chk").toString
     val out = java.nio.file.Files.createTempDirectory("graft_resume_out").toString
