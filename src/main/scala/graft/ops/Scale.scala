@@ -580,6 +580,56 @@ object Scale {
       .select(col("n_versions"), col("n_files"), col("n_rows"), col("total_cents"))
   }
 
+  /** SNAPSHOT DIFF — "what changed between version 1 and the head", the
+    * table_changes/CDC-from-snapshots read every snapshot table owes its
+    * consumers (downstream jobs that want the delta without replaying the
+    * source). Two committed versions are built once per (JVM, sf) with
+    * planted differences across user_id%4 buckets: bucket 0 only in v1
+    * (removed), bucket 3 only in v2 (added), bucket 1 identical in both
+    * (unchanged), bucket 2 value-filtered in v2 (changed). The diff is
+    * ONE full-outer join of the two version-pinned connector reads on the
+    * group key with a 4-way CASE — shuffle-partitioned on the key, no
+    * driver-side compare, which is the shape that survives a 100 TB
+    * table: cost is two manifest-planned scans plus one join on the
+    * snapshot key. The oracle recomputes both snapshots from events and
+    * takes the same full-outer diff. */
+  def sinkSnapshotDiff(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttdiff", sf)
+    def agg(src: DataFrame): DataFrame = src
+      .groupBy(col("event_type"), (col("user_id") % 4).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+    graft.util.Scratch.once(dir) {
+      agg(events(spark, sf).where(col("user_id") % 4 < 3))
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      agg(events(spark, sf).where(col("user_id") % 4 > 0 &&
+          (col("user_id") % 4 =!= 2 || col("value") < 50)))
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    }
+    val v1 = spark.read.format("graft-sink")
+      .option("path", dir).option("versionAsOf", "1").load()
+      .select(col("event_type"), col("bucket"),
+        col("n").as("n_v1"), col("sum_cents").as("cents_v1"))
+    val v2 = spark.read.format("graft-sink").option("path", dir).load()
+      .select(col("event_type").as("event_type2"), col("bucket").as("bucket2"),
+        col("n").as("n_v2"), col("sum_cents").as("cents_v2"))
+    v1.join(v2, col("event_type") === col("event_type2") &&
+        col("bucket") === col("bucket2"), "full_outer")
+      .select(
+        coalesce(col("event_type"), col("event_type2")).as("event_type"),
+        coalesce(col("bucket"), col("bucket2")).as("bucket"),
+        when(col("n_v1").isNull, "added")
+          .when(col("n_v2").isNull, "removed")
+          .when(col("n_v1") === col("n_v2") && col("cents_v1") === col("cents_v2"),
+            "unchanged")
+          .otherwise("changed").as("status"),
+        (coalesce(col("n_v2"), lit(0L)) - coalesce(col("n_v1"), lit(0L)))
+          .as("delta_n"),
+        (coalesce(col("cents_v2"), lit(0L)) - coalesce(col("cents_v1"), lit(0L)))
+          .as("delta_cents"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** CATALOG MANAGEMENT surface (VERDICT r6 missing #3 — the metastore
     * leg of a lakehouse ETL, exercised through Spark's own catalog rather
     * than reimplemented): three fixture tables register as external
@@ -1017,7 +1067,7 @@ object Scale {
     * per-type aggregate, version 2 OVERWRITES it with the even-user slice,
     * and both snapshots stay readable afterwards — `versionAsOf 1` pins the
     * pre-overwrite content, the unpinned read follows the head. Each job
-    * commit is one atomic `_manifest-v{N}` rename (the filesystem CAS in
+    * commit is one atomic `_manifest-v{N}` link(2) claim (the filesystem CAS in
     * [[graft.sources.GraftManifest.commit]]), so there is no moment where a
     * reader can observe a half-replaced table. The history is built once
     * per (JVM, sf) — it is a pure function of sf, and re-appending versions
@@ -1162,6 +1212,7 @@ object Scale {
     "sink_custom_v2" -> sinkCustomV2,
     "sink_time_travel" -> sinkTimeTravel,
     "sink_compact_vacuum" -> sinkCompactVacuum,
+    "sink_snapshot_diff" -> sinkSnapshotDiff,
     "meta_catalog_describe" -> metaCatalogDescribe,
     "window_distinct_running" -> windowDistinctRunning
   )
@@ -1195,6 +1246,29 @@ object Scale {
         |    j -> substr(md5(i || ':' || j), 1, 6)), ' ') AS text
         |FROM (SELECT unnest(generate_series(100, 199)) AS i)
         |ORDER BY doc_id""".stripMargin,
+
+    "sink_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 4 < 3 GROUP BY 1, 2
+        |), v2 AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE user_id % 4 > 0 AND (user_id % 4 != 2 OR value < 50)
+        |  GROUP BY 1, 2)
+        |SELECT coalesce(v1.event_type, v2.event_type) AS event_type,
+        |  coalesce(v1.bucket, v2.bucket) AS bucket,
+        |  CASE WHEN v1.n IS NULL THEN 'added'
+        |       WHEN v2.n IS NULL THEN 'removed'
+        |       WHEN v1.n = v2.n AND v1.cents = v2.cents THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  CAST(coalesce(v2.n, 0) - coalesce(v1.n, 0) AS BIGINT) AS delta_n,
+        |  CAST(coalesce(v2.cents, 0) - coalesce(v1.cents, 0) AS BIGINT) AS delta_cents
+        |FROM v1 FULL OUTER JOIN v2
+        |  ON v1.event_type = v2.event_type AND v1.bucket = v2.bucket
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "sink_compact_vacuum" ->
       """SELECT CAST(1 AS BIGINT) AS n_versions, CAST(1 AS BIGINT) AS n_files,

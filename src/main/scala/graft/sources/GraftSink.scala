@@ -121,11 +121,20 @@ object GraftManifest {
   }
 
   /** Publish `files` as the next version. The version slot is claimed with
-    * ATOMIC_MOVE *without* REPLACE_EXISTING — the filesystem's
-    * compare-and-swap. Losing the race (slot taken) re-reads the new head
-    * (append must merge the WINNER's files, not a stale view) and retries
-    * one slot up. Also refreshes the legacy `_manifest` head copy (files +
-    * `_total` only, no schema line) for readers that predate versioning. */
+    * `Files.createLink` (hard link) — the one filesystem primitive that
+    * atomically FAILS on an existing target. Rename is NOT a CAS here:
+    * POSIX rename(2) silently replaces an existing file, so an
+    * ATOMIC_MOVE "claim" lets two concurrent committers overwrite each
+    * other's versions — exactly the lost-update the PropertySpec CAS test
+    * reproduces with 8 racing appenders (5 of 8 versions vanished under
+    * the rename protocol). link(2) returns EEXIST atomically instead, so
+    * losing the race surfaces as FileAlreadyExistsException; the loser
+    * re-reads the new head (append must merge the WINNER's files, not a
+    * stale view) and retries one slot up. Also refreshes the legacy
+    * `_manifest` head copy (files + `_total` only, no schema line) for
+    * readers that predate versioning — that copy is best-effort derived
+    * state under concurrency (racing commits may land it out of order for
+    * an instant); the version files are the durable record. */
   def commit(path: String, jobFiles: Seq[(String, Long)], schemaDdl: String,
       truncate: Boolean): Int = {
     new File(path).mkdirs() // a zero-task job commits a manifest into an empty dir
@@ -147,7 +156,10 @@ object GraftManifest {
       val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$next", ".tmp")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
       try {
-        Files.move(tmp, Paths.get(path, s"$VPrefix$next"), StandardCopyOption.ATOMIC_MOVE)
+        // link(2): atomic claim that FAILS if the slot is taken (rename
+        // would silently replace it — see scaladoc)
+        Files.createLink(Paths.get(path, s"$VPrefix$next"), tmp)
+        Files.delete(tmp)
         // head pointer for pre-versioning readers; REPLACE is safe — it is
         // derived state, the version files are the durable record
         val legacy = (all.map { case (f, n) => s"$f,$n" } :+

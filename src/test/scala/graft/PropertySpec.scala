@@ -157,4 +157,57 @@ class PropertySpec extends AnyFunSuite {
       assert(j1 >= 0.0 && j1 <= 1.0)
     }
   }
+
+  test("graft-sink manifest head replays any seeded append/truncate sequence") {
+    // The versioned-commit semantics as an algebraic law: after any
+    // interleaving of append (head-files ∪ job-files) and truncate
+    // (job-files only), the head manifest must equal a driver-side replay
+    // of the same fold — and every intermediate version must still parse.
+    import graft.sources.GraftManifest
+    val rnd = new Random(77)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mprop").toString
+    var expect = Vector.empty[(String, Long)]
+    for (step <- 0 until 25) {
+      val files = (0 to rnd.nextInt(3)).map(j => (s"part-$step-$j.csv", rnd.nextInt(100).toLong))
+      val truncate = rnd.nextBoolean()
+      GraftManifest.commit(dir, files, "a BIGINT", truncate)
+      expect = (if (truncate) Vector.empty else expect) ++ files
+    }
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.version == 25)
+    assert(head.files == expect.toSeq, "head must equal the semantic replay")
+    assert(head.total == expect.map(_._2).sum)
+    (1 to 25).foreach { v =>
+      val m = GraftManifest.readVersion(dir, Some(v)).get
+      assert(m.total == m.files.map(_._2).sum, s"v$v total must equal its file sum")
+    }
+  }
+
+  test("graft-sink manifest CAS: concurrent appenders all land, none lost") {
+    // 8 threads race commit(append) on one table. The version slot is
+    // claimed by ATOMIC_MOVE without replace; a loser re-reads the new
+    // head (so it merges the WINNER's files, not a stale view) and
+    // retries. Law: all 8 versions exist and the head names every
+    // thread's file exactly once — a lost update would drop one.
+    import graft.sources.GraftManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcas").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 8).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            GraftManifest.commit(dir, Seq(s"part-t$i.csv" -> (i + 1).toLong),
+              "a BIGINT", truncate = false)
+            ()
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(graft.sources.GraftManifest.versions(dir) == (1 to 8))
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.files.map(_._1).sorted == (0 until 8).map(i => s"part-t$i.csv"),
+      s"every concurrent append must survive: ${head.files}")
+    assert(head.total == (1 to 8).sum)
+  }
 }
