@@ -568,7 +568,10 @@ object Scale {
       spark.read.format("graft-sink").option("path", dir).load()
         .coalesce(1)
         .write.format("graft-sink").option("path", dir).mode("overwrite").save()
-      val removed = graft.sources.GraftManifest.vacuum(dir, retainLast = 1)
+      // graceMs=0 is safe HERE only because Scratch.once guarantees a
+      // single writer: production vacuums keep the default retention
+      // window so in-flight task commits are never reclaimed
+      val removed = graft.sources.GraftManifest.vacuum(dir, retainLast = 1, graceMs = 0L)
       require(removed == 8, s"vacuum must reclaim exactly v1's 8 files, got $removed")
     }
     val versions = graft.sources.GraftManifest.versions(dir)

@@ -495,11 +495,15 @@ object Streaming {
     * "grows" to 1000 and run 2 — same checkpoint — resumes at the
     * committed offset 600 and reads EXACTLY the unseen [600, 1000),
     * tagging each run's rows as it lands them. The whole key is
-    * idempotent: a re-invocation finds the checkpoint at 1000, the source
-    * reports no-new-data for both runs, and the landed output is
-    * unchanged — checkpointed offsets + append-once landing = the
-    * exactly-once resume contract. The oracle rebuilds both runs from the
-    * doc_id ranges the offset log forces. */
+    * idempotent at BOTH layers of the exactly-once contract:
+    * checkpointed offsets make re-invocation a no-op (the source reports
+    * no-new-data), and the LANDING is batchId-keyed — foreachBatch is
+    * at-least-once under crash-replay, so each micro-batch OVERWRITES
+    * its own deterministic `batch=<id>` directory instead of blindly
+    * appending; a replayed batch rewrites the same rows into the same
+    * place rather than duplicating them (the idempotent-sink half that
+    * composes with the offset log into exactly-once). The oracle
+    * rebuilds both runs from the doc_id ranges the offset log forces. */
   def streamSourceResume(spark: SparkSession, sf: String): DataFrame = {
     val chk = graft.util.Scratch.dir("resume_chk", sf)
     val out = graft.util.Scratch.dir("resume_out", sf)
@@ -510,8 +514,9 @@ object Streaming {
         .load()
         .select(col("doc_id"), col("lang")) // pruned: text never generated
         .writeStream
-        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.withColumn("run", lit(run)).write.mode("append").parquet(out)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          b.withColumn("run", lit(run))
+            .write.mode("overwrite").parquet(s"$out/batch=$id")
         }
         .option("checkpointLocation", chk)
         .trigger(Trigger.AvailableNow()).start()

@@ -204,25 +204,58 @@ class AvroBatchWrite(path: String, schema: StructType, replace: Boolean,
 
   /** Job commit: atomically land the manifest. Overwrite (truncate)
     * REPLACES the committed set with this job's files; append MERGES the
-    * prior manifest's names in, so earlier batches stay visible
-    * (graft-sink's idempotent atomic-rename pattern either way). */
+    * prior set in, so earlier batches stay visible. Concurrency uses the
+    * same link(2)-claimed GENERATION protocol as
+    * [[GraftManifest.commit]]: a plain read-merge-rename of one manifest
+    * file is a lost update under two concurrent appenders (POSIX rename
+    * silently replaces — the second committer's REPLACE_EXISTING move
+    * erases the first's merge). Each commit instead claims
+    * `_avro_manifest.g{N+1}` with `Files.createLink` (atomic EEXIST on a
+    * taken slot → re-read the WINNER's generation and retry) and then
+    * refreshes `_avro_manifest` as the derived head copy readers use —
+    * best-effort under races, the generation files are the record. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val mine = messages.map(_.asInstanceOf[AvroCommit])
       .map(m => new File(m.file).getName)
-    val prior =
-      if (replace) Seq.empty
-      else {
-        val manifest = new File(path, "_avro_manifest")
-        if (manifest.exists())
-          new String(Files.readAllBytes(manifest.toPath), "UTF-8")
-            .split("\n").filter(_.nonEmpty).toSeq
-        else Seq.empty
+    new File(path).mkdirs()
+    var attempt = 0
+    while (attempt < 1000) {
+      attempt += 1
+      val gens = Option(new File(path).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("_avro_manifest.g"))
+        .filterNot(_.endsWith(".tmp"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("_avro_manifest.g").toInt).toOption)
+      val g = if (gens.isEmpty) 0 else gens.max
+      val prior =
+        if (replace) Seq.empty
+        else {
+          // latest generation is authoritative; fall back to the legacy
+          // single manifest for dirs written before generations existed
+          val src = if (g > 0) new File(path, s"_avro_manifest.g$g")
+            else new File(path, "_avro_manifest")
+          if (src.exists())
+            new String(Files.readAllBytes(src.toPath), "UTF-8")
+              .split("\n").filter(_.nonEmpty).toSeq
+          else Seq.empty
+        }
+      val names = (prior ++ mine).distinct.sorted
+      val body = names.mkString("\n").getBytes("UTF-8")
+      val tmp = Files.createTempFile(Paths.get(path), "_avro_manifest.g", ".tmp")
+      Files.write(tmp, body)
+      try {
+        Files.createLink(Paths.get(path, s"_avro_manifest.g${g + 1}"), tmp)
+        Files.delete(tmp)
+        val ltmp = Files.createTempFile(Paths.get(path), "_avro_manifest", ".tmp")
+        Files.write(ltmp, body)
+        Files.move(ltmp, Paths.get(path, "_avro_manifest"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); () // lost the race; retry against the new head
       }
-    val names = (prior ++ mine).distinct.sorted
-    val tmp = Paths.get(path, "_avro_manifest.tmp")
-    Files.write(tmp, names.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(path, "_avro_manifest"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    throw new IllegalStateException(s"graft-avro: gave up claiming a manifest generation at $path")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -29,11 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    readers that trust a manifest never observe a torn write, and every
   *    committed version stays readable afterwards (time travel, the
   *    snapshot surface a lakehouse table format provides);
-  *  - version numbers are claimed by ATOMIC_MOVE *without* replace: if a
-  *    concurrent committer already took version N the rename fails and this
-  *    job re-reads the new head and retries at N+1 — optimistic
-  *    concurrency, the same compare-and-swap a real table-format commit
-  *    log performs, built from nothing but filesystem rename atomicity;
+  *  - version numbers are claimed by hard-link creation (link(2), via
+  *    `Files.createLink`) — the filesystem primitive that atomically
+  *    FAILS on an existing target, i.e. a real compare-and-swap. POSIX
+  *    rename silently replaces, so rename can never claim a slot (see
+  *    [[GraftManifest.commit]]); a losing committer re-reads the new head
+  *    and retries at N+1. Part-file names additionally carry a
+  *    per-write-query tag, so append jobs from DIFFERENT applications
+  *    cannot collide on (partitionId, taskId) and clobber each other's
+  *    committed files;
   *  - `SaveMode.Append` merges the head version's file list into the new
   *    manifest (both batches stay visible); `SaveMode.Overwrite` (via
   *    [[SupportsTruncate]]) publishes a version naming ONLY this job's
@@ -183,10 +187,20 @@ object GraftManifest {
     * argument: old MANIFESTS go first, data files second, so at no moment
     * does a surviving manifest name a missing file — a reader pinned to a
     * dropped version fails loudly at the manifest lookup (listed versions
-    * in the error), never with a half-readable snapshot. Batch-table dirs
-    * only: streaming epoch manifests are a different lifecycle and are
-    * not consulted here. Returns the number of data files deleted. */
-  def vacuum(path: String, retainLast: Int): Int = {
+    * in the error), never with a half-readable snapshot.
+    *
+    * `graceMs` protects IN-FLIGHT commits: a concurrent appender's tasks
+    * rename .tmp → .csv BEFORE the driver publishes the manifest naming
+    * them, so a freshly task-committed file is legitimately unreferenced
+    * for a moment — deleting it would let that job commit a manifest over
+    * missing files. Files modified within the grace window are therefore
+    * never reclaimed (the retention-window discipline every production
+    * vacuum ships with); pass 0 only when the caller KNOWS no write is in
+    * flight (single-writer fixtures). Batch-table dirs only: streaming
+    * epoch manifests are a different lifecycle and are not consulted
+    * here. Returns the number of data files deleted. */
+  def vacuum(path: String, retainLast: Int,
+      graceMs: Long = 10 * 60 * 1000L): Int = {
     require(retainLast >= 1, "vacuum must retain at least the head version")
     val vs = versions(path)
     val dropped = vs.dropRight(retainLast)
@@ -194,9 +208,10 @@ object GraftManifest {
       .flatMap(v => readVersion(path, Some(v)).toSeq.flatMap(_.files.map(_._1)))
       .toSet
     dropped.foreach(v => Files.deleteIfExists(Paths.get(path, s"$VPrefix$v")))
+    val cutoff = System.currentTimeMillis() - graceMs
     val victims = Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".csv") && !f.getName.startsWith("epoch-") &&
-        !keep.contains(f.getName))
+        !keep.contains(f.getName) && f.lastModified() <= cutoff)
     victims.foreach(_.delete())
     victims.length
   }
@@ -216,29 +231,53 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
       private var truncating = false
       override def truncate(): WriteBuilder = { truncating = true; this }
       override def build(): Write = new Write {
+        // per-query tag in part names: append jobs from different
+        // applications can reuse (partitionId, taskId) — without the tag
+        // a second app's task-commit rename silently replaces the first
+        // app's committed file (POSIX rename semantics again)
+        private val tag = info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8)
         override def toBatch: BatchWrite =
-          new GraftSinkBatchWrite(path, info.schema(), truncating)
+          new GraftSinkBatchWrite(path, info.schema(), truncating, tag)
         override def toStreaming: StreamingWrite =
-          new GraftSinkStreamingWrite(path, info.schema())
+          new GraftSinkStreamingWrite(path, info.schema(), tag)
       }
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val pinned = Option(options.get("versionAsOf")).map(_.toInt).orElse(versionAsOf)
-    val full =
-      if (schema0.nonEmpty) schema0
-      else GraftManifest.readVersion(path, pinned).flatMap(_.schemaDdl)
-        .map(StructType.fromDDL).getOrElse(throw new IllegalArgumentException(
-          s"graft-sink: no committed manifest to read at $path"))
-    new GraftSinkScanBuilder(path, pinned, full)
+    // LAYOUT schema = the column order the files were WRITTEN in (from the
+    // pinned manifest). Cell positions must resolve against it, never
+    // against a user-supplied read schema: `.schema("b BIGINT, a BIGINT")`
+    // over a table written (a, b) would otherwise silently swap two
+    // same-typed columns. A user schema is validated field-by-field
+    // against the layout (name must exist, type must match) and only
+    // narrows/reorders what is VISIBLE.
+    val manifestSchema = GraftManifest.readVersion(path, pinned)
+      .flatMap(_.schemaDdl).map(StructType.fromDDL)
+    val layout = manifestSchema.orElse(Some(schema0).filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-sink: no committed manifest to read at $path"))
+    val visible = if (schema0.nonEmpty) schema0 else layout
+    manifestSchema.foreach { l =>
+      visible.fields.foreach { f =>
+        val i = scala.util.Try(l.fieldIndex(f.name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-sink: column '${f.name}' not in committed schema ${l.toDDL}"))
+        if (l.fields(i).dataType != f.dataType)
+          throw new IllegalArgumentException(
+            s"graft-sink: column '${f.name}' read as ${f.dataType} but committed as ${l.fields(i).dataType}")
+      }
+    }
+    new GraftSinkScanBuilder(path, pinned, layout, visible)
   }
 }
 
-class GraftSinkScanBuilder(path: String, version: Option[Int], full: StructType)
+class GraftSinkScanBuilder(path: String, version: Option[Int],
+    layout: StructType, visible: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = full
+  private var required: StructType = visible
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = GraftSinkScan(path, version, full, required)
+  override def build(): Scan = GraftSinkScan(path, version, layout, required)
 }
 
 case class GraftSinkScan(path: String, version: Option[Int],
@@ -312,10 +351,10 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
 
 case class GraftSinkCommit(file: String, rows: Long) extends WriterCommitMessage
 
-class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean)
-    extends BatchWrite {
+class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
+    tag: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftSinkWriterFactory(path, schema)
+    new GraftSinkWriterFactory(path, schema, tag)
 
   /** Job commit: the atomic point. Only files named by task commits enter
     * the manifest; half-written .tmp files are invisible to readers. */
@@ -332,20 +371,20 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean)
       .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
 }
 
-class GraftSinkWriterFactory(path: String, schema: StructType)
+class GraftSinkWriterFactory(path: String, schema: StructType, tag: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftSinkWriter(path, schema, partitionId, taskId)
+    new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-")
 }
 
 /** Named (serializable) streaming factory — an anonymous class here would
   * drag the non-serializable StreamingWrite along as its outer pointer. */
-case class GraftSinkStreamingFactory(path: String, schema: StructType)
-    extends StreamingDataWriterFactory {
+case class GraftSinkStreamingFactory(path: String, schema: StructType,
+    tag: String) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId,
-      prefix = s"epoch-$epochId-")
+      prefix = s"epoch-$epochId-$tag-")
 }
 
 /** The STREAMING half of the sink: identical task-commit protocol, but job
@@ -356,10 +395,10 @@ case class GraftSinkStreamingFactory(path: String, schema: StructType)
   * orphans that manifest-trusting readers never see. That idempotent
   * commit is what composes with checkpointed source offsets into
   * end-to-end exactly-once. */
-class GraftSinkStreamingWrite(path: String, schema: StructType)
+class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftSinkStreamingFactory(path, schema)
+    GraftSinkStreamingFactory(path, schema, tag)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.map(_.asInstanceOf[GraftSinkCommit])

@@ -37,9 +37,23 @@ object Memos {
 
   /** `getOrElseUpdate` plus the eviction hook for this session's context.
     * Same race discipline as the raw TrieMap: a concurrent double-compute
-    * is wasted work, never wrong results. */
+    * is wasted work, never wrong results.
+    *
+    * Two lifecycle edges are handled explicitly:
+    *  - a STOPPED context never memoizes: the value is computed and
+    *    returned without touching the maps (a dead context's listener can
+    *    never fire again, so an entry inserted for it would be pinned for
+    *    the JVM's life);
+    *  - an insert RACING the ApplicationEnd eviction (entry lands after
+    *    evict() drained the maps) is self-healed by re-running the
+    *    eviction when the post-insert check sees the context stopped.
+    * Known bound, documented rather than solved: entries are keyed by
+    * (session, sf) but evicted per CONTEXT — `newSession()` clones that
+    * share one long-lived context accumulate entries until that context
+    * ends, because Spark exposes no per-session close event to hook. */
   def cached[V](m: Memo[V], spark: SparkSession, sf: String)(build: => V): V = {
     val sc = spark.sparkContext
+    if (sc.isStopped) return build
     hooked.getOrElseUpdate(sc, {
       sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
@@ -47,7 +61,9 @@ object Memos {
       })
       true
     })
-    m.getOrElseUpdate((spark, sf), build)
+    val v = m.getOrElseUpdate((spark, sf), build)
+    if (sc.isStopped) evict(sc) // insert raced the eviction; drain again
+    v
   }
 
   private[graft] def isHooked(sc: SparkContext): Boolean = hooked.contains(sc)

@@ -185,10 +185,12 @@ class PropertySpec extends AnyFunSuite {
 
   test("graft-sink manifest CAS: concurrent appenders all land, none lost") {
     // 8 threads race commit(append) on one table. The version slot is
-    // claimed by ATOMIC_MOVE without replace; a loser re-reads the new
-    // head (so it merges the WINNER's files, not a stale view) and
-    // retries. Law: all 8 versions exist and the head names every
-    // thread's file exactly once — a lost update would drop one.
+    // claimed by createLink — link(2) atomically FAILS on an existing
+    // target, unlike rename, which silently replaces (this very test
+    // caught the rename-based first draft losing 5 of 8 versions); a
+    // loser re-reads the new head (so it merges the WINNER's files, not
+    // a stale view) and retries. Law: all 8 versions exist and the head
+    // names every thread's file exactly once — a lost update would drop one.
     import graft.sources.GraftManifest
     val dir = java.nio.file.Files.createTempDirectory("graft_mcas").toString
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)

@@ -169,7 +169,9 @@ class SourceSpec extends AnyFunSuite {
     // OPTIMIZE: rewrite the head compact as a new overwrite version
     spark.read.format("graft-sink").option("path", dir).load().coalesce(1)
       .write.format("graft-sink").option("path", dir).mode("overwrite").save()
-    val removed = graft.sources.GraftManifest.vacuum(dir, retainLast = 1)
+    // graceMs=0: this test is the single writer; the default retention
+    // window exists to protect concurrent in-flight task commits
+    val removed = graft.sources.GraftManifest.vacuum(dir, retainLast = 1, graceMs = 0L)
     assert(removed == 4, s"exactly v1's 4 files reclaimed, got $removed")
     // head version survives untouched and reads the full content
     assert(graft.sources.GraftManifest.versions(dir) == Seq(2))
@@ -198,7 +200,10 @@ class SourceSpec extends AnyFunSuite {
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             id: Long) =>
-          b.withColumn("batch", lit(id)).write.mode("append").parquet(out)
+          // batchId-keyed OVERWRITE: a crash-replayed batch rewrites its
+          // own directory instead of appending duplicates (the
+          // idempotent-landing half of exactly-once)
+          b.write.mode("overwrite").parquet(s"$out/batch=$id")
         }
         .option("checkpointLocation", chk)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -206,7 +211,7 @@ class SourceSpec extends AnyFunSuite {
     }
     runOnce(300) // cold start: 3 batches of exactly 100
     val run1 = spark.read.parquet(out).collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
+      .map(r => r.getLong(0) -> r.getAs[Number]("batch").longValue())
     assert(run1.map(_._1).sorted.toSeq == (0L until 300L), "run 1 must read [0,300) exactly")
     val byBatch = run1.groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
     assert(byBatch.size == 3, s"admission cap must split 300 docs into 3 batches, got ${byBatch.keySet}")
