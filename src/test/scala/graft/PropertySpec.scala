@@ -212,4 +212,33 @@ class PropertySpec extends AnyFunSuite {
       s"every concurrent append must survive: ${head.files}")
     assert(head.total == (1 to 8).sum)
   }
+
+  test("graft-avro manifest generations: concurrent appenders all land, none lost") {
+    // The avro twin of the graft-sink CAS law: 8 racing append commits
+    // each claim a _avro_manifest.g{N} generation via createLink; the
+    // derived _avro_manifest head must name every job's file (the
+    // pre-generation read-merge-rename lost updates here).
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_avrocas").toString
+    val schema = StructType(Seq(StructField("a", LongType)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 8).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            new graft.sources.AvroBatchWrite(dir, schema, replace = false, s"q$i")
+              .commit(Array(graft.sources.AvroCommit(s"$dir/part-$i.avro", 1L)))
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    val head = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_avro_manifest")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+    assert(head.sorted == (0 until 8).map(i => s"part-$i.avro"),
+      s"every concurrent avro append must survive: $head")
+    val gens = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("_avro_manifest.g")).sorted.toSeq
+    assert(gens == (1 to 8).map(g => s"_avro_manifest.g$g"), gens.toString)
+  }
 }
