@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SNAPSHOT-LIFECYCLE scale measurement for the versioned graft-sink
+  * (the round-7 time-travel/OPTIMIZE/VACUUM surface): drives the commit
+  * log to a version count far past what the fixture keys exercise and
+  * measures the three costs that govern a long-lived snapshot table:
+  *
+  *  - COMMIT latency as the table ages: each append merges the head's
+  *    file list, so commit cost grows with the accumulated FILE COUNT,
+  *    not the data size — the many-small-appends regime every streaming
+  *    ingest produces (and the reason OPTIMIZE exists);
+  *  - TIME-TRAVEL READ cost at v1 / vN/2 / head: each read plans exactly
+  *    its manifest's files, so old small versions stay cheap forever
+  *    while the head pays the accumulated-file tax;
+  *  - OPTIMIZE + VACUUM: one compacted overwrite version + a
+  *    grace-0 vacuum, proving the file count (and with it the commit and
+  *    head-read cost) resets to O(compaction width) while every retained
+  *    byte stays readable.
+  *
+  * Usage: runMain graft.tools.SnapshotScaleDemo [nAppends] [rowsPerAppend]
+  * Prints one JSON line per phase; numbers recorded in DECISIONS.md. */
+object SnapshotScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val nAppends = args.headOption.map(_.toInt).getOrElse(100)
+    val rowsPer = args.lift(1).map(_.toLong).getOrElse(10000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = graft.util.Scratch.dir("snapscale", s"n$nAppends")
+    def batch(i: Int) = spark.range(rowsPer)
+      .select((col("id") + i * rowsPer).as("k"), (col("id") % 97).as("v"))
+
+    // phase 1: nAppends small commits — the streaming-ingest shape
+    var t0 = System.nanoTime()
+    var firstCommitNs = 0L
+    (0 until nAppends).foreach { i =>
+      val c0 = System.nanoTime()
+      batch(i).coalesce(4) // 4 files per append: many small files on purpose
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+      if (i == 0) firstCommitNs = System.nanoTime() - c0
+    }
+    val lastCommitNs = {
+      val c0 = System.nanoTime()
+      batch(nAppends).coalesce(4)
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+      System.nanoTime() - c0
+    }
+    val appendSec = (System.nanoTime() - t0) / 1e9
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    println(f"""{"phase":"append","n_versions":${head.version},""" +
+      f""""n_files":${head.files.size},"total_rows":${head.total},""" +
+      f""""sec":$appendSec%.1f,"first_commit_ms":${firstCommitNs / 1000000},""" +
+      f""""last_commit_ms":${lastCommitNs / 1000000}}""")
+
+    // phase 2: time-travel reads at v1, mid, head (count + sum as the probe)
+    def readAt(v: Option[Int]): (Long, Double) = {
+      val r = spark.read.format("graft-sink").option("path", dir)
+      val df = v.fold(r)(n => r.option("versionAsOf", n.toString)).load()
+      val s0 = System.nanoTime()
+      val n = df.count()
+      (n, (System.nanoTime() - s0) / 1e9)
+    }
+    val (n1, s1) = readAt(Some(1))
+    val (nm, sm) = readAt(Some(head.version / 2))
+    val (nh, sh) = readAt(None)
+    println(f"""{"phase":"time_travel","v1_rows":$n1,"v1_sec":$s1%.2f,""" +
+      f""""mid_rows":$nm,"mid_sec":$sm%.2f,"head_rows":$nh,"head_sec":$sh%.2f}""")
+
+    // phase 3: OPTIMIZE (compact to 8 files) + VACUUM(retain 1)
+    t0 = System.nanoTime()
+    spark.read.format("graft-sink").option("path", dir).load()
+      .repartition(8)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val optSec = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    // grace 0: this demo is the only writer
+    val reclaimed = graft.sources.GraftManifest.vacuum(dir, retainLast = 1, graceMs = 0L)
+    val vacSec = (System.nanoTime() - t0) / 1e9
+    val after = graft.sources.GraftManifest.readVersion(dir, None).get
+    val (nAfter, sAfter) = readAt(None)
+    require(nAfter == nh, s"compaction+vacuum must not change rows: $nAfter != $nh")
+    println(f"""{"phase":"optimize_vacuum","optimize_sec":$optSec%.1f,""" +
+      f""""vacuum_sec":$vacSec%.2f,"files_reclaimed":$reclaimed,""" +
+      f""""n_files_after":${after.files.size},"head_read_sec_after":$sAfter%.2f,""" +
+      f""""rows_preserved":true}""")
+
+    spark.stop()
+  }
+}
