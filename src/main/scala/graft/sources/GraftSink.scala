@@ -8,10 +8,11 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Or}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,15 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * BATCH_READ + MICRO_BATCH_READ + BATCH_WRITE. A tiny CSV-line writer
   * whose POINT is the commit protocol, the part a real 100 TB sink must
   * get right:
-  *  - each task writes an isolated `part-<partition>-<task>.tmp` and only
-  *    its task-commit RENAMES it to `.csv` (failed/speculative attempts
-  *    leave `.tmp` garbage that job commit ignores);
-  *  - each task's [[WriterCommitMessage]] carries (file, rows) back to the
-  *    driver, and JOB commit atomically publishes a VERSIONED manifest
-  *    `_manifest-v{N}` naming every committed file + the total row count —
-  *    readers that trust a manifest never observe a torn write, and every
-  *    committed version stays readable afterwards (time travel, the
-  *    snapshot surface a lakehouse table format provides);
+  *  - each task writes isolated `.tmp` files and only its task-commit
+  *    RENAMES them to `.csv` (failed/speculative attempts leave `.tmp`
+  *    garbage that job commit ignores);
+  *  - each task's [[WriterCommitMessage]] carries per-file metadata
+  *    (rows, per-column min/max, partition value) back to the driver, and
+  *    JOB commit atomically publishes a VERSIONED manifest `_manifest-v{N}`
+  *    naming every committed file — readers that trust a manifest never
+  *    observe a torn write, and every committed version stays readable
+  *    afterwards (time travel, the snapshot surface a lakehouse table
+  *    format provides);
   *  - version numbers are claimed by hard-link creation (link(2), via
   *    `Files.createLink`) — the filesystem primitive that atomically
   *    FAILS on an existing target, i.e. a real compare-and-swap. POSIX
@@ -38,17 +40,35 @@ import org.apache.spark.unsafe.types.UTF8String
   *    per-write-query tag, so append jobs from DIFFERENT applications
   *    cannot collide on (partitionId, taskId) and clobber each other's
   *    committed files;
+  *  - REWRITE jobs (OPTIMIZE, MERGE, DELETE) pass the version they
+  *    planned against as `expectedBaseVersion`; if the head moved past it
+  *    the commit throws instead of truncating away a concurrent append —
+  *    the rewrite-vs-append conflict rule every snapshot table format
+  *    needs (a blind truncate after a lost race silently drops the
+  *    winner's rows);
   *  - `SaveMode.Append` merges the head version's file list into the new
   *    manifest (both batches stay visible); `SaveMode.Overwrite` (via
   *    [[SupportsTruncate]]) publishes a version naming ONLY this job's
   *    files — prior parts become invisible orphans to the head but remain
   *    on disk, addressed by the older manifests;
+  *  - `evolveSchema=true` allows an append whose schema EXTENDS the
+  *    committed one by trailing columns (or is a prefix of it): the
+  *    manifest schema becomes the union and each file records the column
+  *    width it was written with, so pre-evolution files read the new
+  *    columns as NULL;
+  *  - `partitionBy=<col>` splits each task's output into one file per
+  *    distinct value of a long/string column and records the value in the
+  *    manifest — partition-pinned reads plan ONLY that partition's files;
   *  - abort deletes the uncommitted temp files.
   *
   * READ path (BATCH_READ): `spark.read.format("graft-sink")
   * .option("path", dir)[.option("versionAsOf", n)].load()` plans one
   * InputPartition per manifest-named file — file-granular parallel scan —
-  * with real column pruning (only requested cells are converted) and a
+  * with real column pruning (only requested cells are converted), FILE
+  * SKIPPING from the manifest's per-file column min/max statistics and
+  * partition values ([[SupportsPushDownFilters]]: a selective predicate
+  * plans only the files whose stats envelope can match — the
+  * Delta/Iceberg data-skipping half of the lakehouse story), and a
   * per-file row-count check against the manifest (a torn or tampered file
   * fails loudly, not silently short). The schema rides IN the manifest
   * (`#schema=` DDL line), so the table is self-describing: no external
@@ -56,7 +76,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Long/Double/String columns only — the fixture surface; anything else
   * fails loudly at write time, as do strings containing the CSV
-  * delimiter/newline (no silent corruption). */
+  * delimiter/newline (no silent corruption). NULL cells are encoded as
+  * the sentinel `\N` (and a literal string `\N` is refused at write). */
 class GraftSinkProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-sink"
@@ -76,10 +97,22 @@ class GraftSinkProvider extends TableProvider
       Option(properties.get("versionAsOf")).map(_.toInt))
 }
 
-/** One committed manifest version: the files it names (with per-file row
-  * counts), the committed total, and the schema DDL it was written with. */
-case class GraftManifest(version: Int, files: Seq[(String, Long)],
-    total: Long, schemaDdl: Option[String])
+/** Per-file metadata carried in the manifest: committed row count, the
+  * column WIDTH the file was written with (files written before a schema
+  * evolution are narrower than the manifest schema — missing columns read
+  * as NULL), per-column min/max statistics over non-null values (string
+  * form; the skipping comparator re-types them from the layout), and the
+  * partition (column, value) for partitioned writes. */
+case class GraftFileMeta(name: String, rows: Long, ncols: Int,
+    stats: Map[Int, (String, String)], partition: Option[(String, String)])
+
+/** One committed manifest version: the files it names (with metadata),
+  * the committed total, and the schema DDL it was written with. */
+case class GraftManifest(version: Int, metas: Seq[GraftFileMeta],
+    total: Long, schemaDdl: Option[String]) {
+  /** Legacy (name, rows) view — the shape the v1 protocol exposed. */
+  def files: Seq[(String, Long)] = metas.map(m => m.name -> m.rows)
+}
 
 object GraftManifest {
   private val VPrefix = "_manifest-v"
@@ -92,20 +125,56 @@ object GraftManifest {
       .flatMap(n => scala.util.Try(n.stripPrefix(VPrefix).toInt).toOption)
       .sorted.toSeq
 
+  /** Manifest body grammar (all metadata lines `#`-prefixed so the data
+    * lines keep the v1 `file,rows` shape):
+    * {{{
+    * #schema=<DDL>                     table schema (union across evolutions)
+    * #meta=<file>,<ncols>,<pcol>,<pval> per-file width + partition (pcol empty = none)
+    * #stats=<file>,<colIdx>,<min>,<max> per-(file, column) min/max (non-null values)
+    * <file>,<rows>                      one per committed file
+    * _total,<N>                         committed row total
+    * }}}
+    * `<pval>`/`<min>`/`<max>` are comma-free by construction (the writer
+    * refuses delimiter characters in string values), so fixed-arity
+    * splits are unambiguous. Files named by no `#meta` line (pre-round-8
+    * manifests) default to the full schema width with no stats. */
   def parse(version: Int, body: String): GraftManifest = {
     var ddl: Option[String] = None
-    val files = Seq.newBuilder[(String, Long)]
+    val rows = Seq.newBuilder[(String, Long)]
+    val ncols = scala.collection.mutable.Map[String, Int]()
+    val parts = scala.collection.mutable.Map[String, (String, String)]()
+    val stats = scala.collection.mutable.Map[String, Map[Int, (String, String)]]()
+      .withDefaultValue(Map.empty)
     var total = 0L
     body.split("\n").filter(_.nonEmpty).foreach {
       case s if s.startsWith("#schema=") => ddl = Some(s.stripPrefix("#schema="))
+      case s if s.startsWith("#meta=") =>
+        s.stripPrefix("#meta=").split(",", 4) match {
+          case Array(f, n, pc, pv) =>
+            ncols(f) = n.toInt
+            if (pc.nonEmpty) parts(f) = (pc, pv)
+          case bad => throw new IllegalStateException(
+            s"malformed #meta line: '${bad.mkString(",")}'")
+        }
+      case s if s.startsWith("#stats=") =>
+        s.stripPrefix("#stats=").split(",", 4) match {
+          case Array(f, i, mn, mx) => stats(f) = stats(f) + (i.toInt -> (mn, mx))
+          case bad => throw new IllegalStateException(
+            s"malformed #stats line: '${bad.mkString(",")}'")
+        }
+      case s if s.startsWith("#") => () // forward-compat: ignore unknown metadata
       case line => line.split(",", 2) match {
         case Array("_total", n) => total = n.toLong
-        case Array(f, n)        => files += (f -> n.toLong)
+        case Array(f, n)        => rows += (f -> n.toLong)
         case bad => throw new IllegalStateException(
           s"malformed manifest line: '${bad.mkString(",")}'")
       }
     }
-    GraftManifest(version, files.result(), total, ddl)
+    val width = ddl.map(StructType.fromDDL(_).length).getOrElse(0)
+    val metas = rows.result().map { case (f, n) =>
+      GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f))
+    }
+    GraftManifest(version, metas, total, ddl)
   }
 
   /** Read one version (None = head). None result = no committed version. */
@@ -124,58 +193,133 @@ object GraftManifest {
     Some(parse(v, body))
   }
 
-  /** Publish `files` as the next version. The version slot is claimed with
-    * `Files.createLink` (hard link) — the one filesystem primitive that
-    * atomically FAILS on an existing target. Rename is NOT a CAS here:
-    * POSIX rename(2) silently replaces an existing file, so an
+  /** True iff `a`'s fields are a name+type-identical PREFIX of `b`'s —
+    * the only schema evolution the sink admits (append-only columns keep
+    * every file's cells aligned with a prefix of the union layout, so old
+    * files read the new columns as NULL with no per-file reordering). */
+  private def isPrefixOf(a: StructType, b: StructType): Boolean =
+    a.length <= b.length && a.fields.zip(b.fields).forall { case (x, y) =>
+      x.name == y.name && x.dataType == y.dataType }
+
+  /** Legacy (name, rows) commit — full-width files, no stats/partition. */
+  def commit(path: String, jobFiles: Seq[(String, Long)], schemaDdl: String,
+      truncate: Boolean): Int = {
+    val w = StructType.fromDDL(schemaDdl).length
+    commitMetas(path, jobFiles.map { case (f, n) =>
+      GraftFileMeta(f, n, w, Map.empty, None) }, schemaDdl, truncate)
+  }
+
+  /** Publish `jobMetas` as the next version. The version slot is claimed
+    * with `Files.createLink` (hard link) — the one filesystem primitive
+    * that atomically FAILS on an existing target. Rename is NOT a CAS
+    * here: POSIX rename(2) silently replaces an existing file, so an
     * ATOMIC_MOVE "claim" lets two concurrent committers overwrite each
     * other's versions — exactly the lost-update the PropertySpec CAS test
     * reproduces with 8 racing appenders (5 of 8 versions vanished under
     * the rename protocol). link(2) returns EEXIST atomically instead, so
     * losing the race surfaces as FileAlreadyExistsException; the loser
     * re-reads the new head (append must merge the WINNER's files, not a
-    * stale view) and retries one slot up. Also refreshes the legacy
-    * `_manifest` head copy (files + `_total` only, no schema line) for
-    * readers that predate versioning — that copy is best-effort derived
-    * state under concurrency (racing commits may land it out of order for
-    * an instant); the version files are the durable record. */
-  def commit(path: String, jobFiles: Seq[(String, Long)], schemaDdl: String,
-      truncate: Boolean): Int = {
+    * stale view) and retries one slot up.
+    *
+    * `expectedBase`: the version this job PLANNED against. Checked on
+    * every attempt against the freshly-read head — a rewrite (OPTIMIZE /
+    * MERGE / DELETE recomputes version N's content and commits it as an
+    * overwrite) that loses the race to a concurrent append must NOT
+    * retry with a blind truncate: that would publish a head without the
+    * appended files, silently dropping committed rows. On a moved head
+    * the commit throws `ConcurrentModificationException` and the caller
+    * re-reads and re-plans (or aborts loudly). Plain user-intent
+    * overwrites ("table := my data") pass None and truncate
+    * unconditionally.
+    *
+    * `evolve`: admit an append whose schema extends the committed one by
+    * trailing columns (or is a prefix of it — an old-shaped producer
+    * appending after an evolution). The manifest schema becomes the
+    * union; each file keeps the width it was written with.
+    *
+    * Temp hygiene: the body tmp is deleted on EVERY exit path (claim won,
+    * claim lost, unexpected IO failure) — without the finally, a non-
+    * EEXIST failure would leak `_manifest-v*.tmp` files forever (vacuum
+    * additionally sweeps aged ones, belt and braces).
+    *
+    * Also refreshes the legacy `_manifest` head copy (files + `_total`
+    * only) for readers that predate versioning — best-effort derived
+    * state under concurrency; the version files are the durable record. */
+  def commitMetas(path: String, jobMetas: Seq[GraftFileMeta], schemaDdl: String,
+      truncate: Boolean, expectedBase: Option[Int] = None,
+      evolve: Boolean = false): Int = {
     new File(path).mkdirs() // a zero-task job commits a manifest into an empty dir
     var attempt = 0
     while (true) {
       attempt += 1
       require(attempt <= 1000, s"graft-sink: gave up claiming a manifest version at $path")
       val head = readVersion(path, None)
-      head.flatMap(_.schemaDdl).foreach { prior =>
-        if (!truncate && prior != schemaDdl)
-          throw new IllegalArgumentException(
-            s"graft-sink: append schema '$schemaDdl' != committed schema '$prior' (overwrite to change schema)")
+      expectedBase.foreach { base =>
+        val at = head.map(_.version).getOrElse(0)
+        if (at != base) throw new java.util.ConcurrentModificationException(
+          s"graft-sink: commit planned against version $base but head is $at at $path — " +
+            "re-read the table and re-plan the rewrite (a blind retry would drop concurrent commits)")
       }
-      val all = (if (truncate) Seq.empty else head.map(_.files).getOrElse(Seq.empty)) ++ jobFiles
+      val priorDdl = head.flatMap(_.schemaDdl)
+      // Union schema under evolution: the trailing columns some committed
+      // files LACK must be nullable in the manifest schema — those files
+      // read NULL there, and a NOT NULL field would let downstream
+      // codegen assume non-null and silently miscompute.
+      def widened(wide: StructType, narrowLen: Int): String =
+        StructType(wide.fields.zipWithIndex.map { case (f, i) =>
+          if (i >= narrowLen) f.copy(nullable = true) else f }).toDDL
+      val unionDdl =
+        if (truncate) schemaDdl
+        else priorDdl match {
+          case None | Some(`schemaDdl`) => schemaDdl
+          case Some(prior) =>
+            val (p, j) = (StructType.fromDDL(prior), StructType.fromDDL(schemaDdl))
+            if (evolve && isPrefixOf(p, j)) widened(j, p.length)
+            else if (evolve && isPrefixOf(j, p)) widened(p, j.length)
+            else if (evolve) throw new IllegalArgumentException(
+              s"graft-sink: evolveSchema only admits trailing-column extension; " +
+                s"'$schemaDdl' does not extend '$prior'")
+            else throw new IllegalArgumentException(
+              s"graft-sink: append schema '$schemaDdl' != committed schema '$prior' " +
+                "(overwrite to change schema, or evolveSchema=true to add trailing columns)")
+        }
+      val all = (if (truncate) Seq.empty else head.map(_.metas).getOrElse(Seq.empty)) ++ jobMetas
       val next = head.map(_.version + 1).getOrElse(1)
-      val body = (s"#schema=$schemaDdl" +:
-        all.map { case (f, n) => s"$f,$n" } :+
-        s"_total,${all.map(_._2).sum}").mkString("\n")
+      val meta = all.flatMap { m =>
+        val p = m.partition.map { case (c, v) => s"$c,$v" }.getOrElse(",")
+        s"#meta=${m.name},${m.ncols},$p" +:
+          m.stats.toSeq.sortBy(_._1).map { case (i, (mn, mx)) =>
+            s"#stats=${m.name},$i,$mn,$mx" }
+      }
+      val body = (s"#schema=$unionDdl" +: meta ++:
+        all.map(m => s"${m.name},${m.rows}") :+
+        s"_total,${all.map(_.rows).sum}").mkString("\n")
       val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$next", ".tmp")
-      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      var claimed = false
       try {
+        Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
         // link(2): atomic claim that FAILS if the slot is taken (rename
         // would silently replace it — see scaladoc)
         Files.createLink(Paths.get(path, s"$VPrefix$next"), tmp)
-        Files.delete(tmp)
+        claimed = true
         // head pointer for pre-versioning readers; REPLACE is safe — it is
-        // derived state, the version files are the durable record
-        val legacy = (all.map { case (f, n) => s"$f,$n" } :+
-          s"_total,${all.map(_._2).sum}").mkString("\n")
-        val ltmp = Files.createTempFile(Paths.get(path), "_manifest", ".tmp")
-        Files.write(ltmp, legacy.getBytes(StandardCharsets.UTF_8))
-        Files.move(ltmp, Paths.get(path, "_manifest"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        // derived state, the version files are the durable record — and
+        // BEST-EFFORT: the version is already durably committed, so a
+        // refresh failure must not fail the job
+        scala.util.Try {
+          val legacy = (all.map(m => s"${m.name},${m.rows}") :+
+            s"_total,${all.map(_.rows).sum}").mkString("\n")
+          val ltmp = Files.createTempFile(Paths.get(path), "_manifest", ".tmp")
+          try {
+            Files.write(ltmp, legacy.getBytes(StandardCharsets.UTF_8))
+            Files.move(ltmp, Paths.get(path, "_manifest"),
+              StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          } finally Files.deleteIfExists(ltmp)
+        }
         return next
       } catch {
-        case _: FileAlreadyExistsException => Files.deleteIfExists(tmp); () // lost the race; retry at next+1
-      }
+        case _: FileAlreadyExistsException if !claimed => () // lost the race; retry at next+1
+      } finally Files.deleteIfExists(tmp)
     }
     -1 // unreachable
   }
@@ -196,23 +340,28 @@ object GraftManifest {
     * missing files. Files modified within the grace window are therefore
     * never reclaimed (the retention-window discipline every production
     * vacuum ships with); pass 0 only when the caller KNOWS no write is in
-    * flight (single-writer fixtures). Batch-table dirs only: streaming
-    * epoch manifests are a different lifecycle and are not consulted
-    * here. Returns the number of data files deleted. */
+    * flight (single-writer fixtures). Aged `.tmp` leftovers (crashed
+    * writers, failed commits) are swept under the same grace window.
+    * Batch-table dirs only: streaming epoch manifests are a different
+    * lifecycle and are not consulted here. Returns the number of data
+    * files deleted (tmp sweep not counted — it is garbage, not data). */
   def vacuum(path: String, retainLast: Int,
       graceMs: Long = 10 * 60 * 1000L): Int = {
     require(retainLast >= 1, "vacuum must retain at least the head version")
     val vs = versions(path)
     val dropped = vs.dropRight(retainLast)
     val keep = vs.takeRight(retainLast)
-      .flatMap(v => readVersion(path, Some(v)).toSeq.flatMap(_.files.map(_._1)))
+      .flatMap(v => readVersion(path, Some(v)).toSeq.flatMap(_.metas.map(_.name)))
       .toSet
     dropped.foreach(v => Files.deleteIfExists(Paths.get(path, s"$VPrefix$v")))
     val cutoff = System.currentTimeMillis() - graceMs
-    val victims = Option(new File(path).listFiles()).getOrElse(Array.empty)
+    val listing = Option(new File(path).listFiles()).getOrElse(Array.empty)
+    val victims = listing
       .filter(f => f.getName.endsWith(".csv") && !f.getName.startsWith("epoch-") &&
         !keep.contains(f.getName) && f.lastModified() <= cutoff)
     victims.foreach(_.delete())
+    listing.filter(f => f.getName.endsWith(".tmp") && f.lastModified() <= cutoff)
+      .foreach(_.delete())
     victims.length
   }
 }
@@ -236,8 +385,16 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         // a second app's task-commit rename silently replaces the first
         // app's committed file (POSIX rename semantics again)
         private val tag = info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8)
+        private val opts = info.options()
+        private val expectedBase = Option(opts.get("expectedBaseVersion")).map(_.toInt)
+        private val evolve = Option(opts.get("evolveSchema")).exists(_.toBoolean)
+        // partitionBy rides as an OPTION, not DataFrameWriter.partitionBy:
+        // the V1 save() path rejects explicit partition columns on a
+        // path-based V2 TableProvider before the table ever sees them
+        private val partCol = Option(opts.get("partitionBy")).filter(_.nonEmpty)
         override def toBatch: BatchWrite =
-          new GraftSinkBatchWrite(path, info.schema(), truncating, tag)
+          new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
+            expectedBase, evolve, partCol)
         override def toStreaming: StreamingWrite =
           new GraftSinkStreamingWrite(path, info.schema(), tag)
       }
@@ -273,37 +430,120 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
 
 class GraftSinkScanBuilder(path: String, version: Option[Int],
     layout: StructType, visible: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = visible
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = GraftSinkScan(path, version, layout, required)
+  /** Accepted filters prune FILES from the manifest's stats/partition
+    * metadata; every filter is also returned as residual, because stats
+    * skipping is file-granular — rows inside a surviving file still need
+    * Spark's own filter on top (the parquet row-group model). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GraftSinkScan.supportedFilter(layout, _))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan =
+    GraftSinkScan(path, version, layout, required, pushed.toSeq)
 }
 
 case class GraftSinkScan(path: String, version: Option[Int],
-    full: StructType, required: StructType) extends Scan with Batch {
+    full: StructType, required: StructType, filters: Seq[Filter])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val v = version.map(_.toString).getOrElse("head")
-    s"graft-sink $path v=$v cols=${required.fieldNames.mkString(",")}"
+    val f = if (filters.isEmpty) "" else s" skip=[${filters.mkString(", ")}]"
+    s"graft-sink $path v=$v cols=${required.fieldNames.mkString(",")}$f"
   }
-  /** One partition per manifest-named file: the manifest IS the split
-    * plan, so the scan parallelism equals the committed file count (at
-    * scale: the writing job's task count) with zero listing cost. */
+  /** One partition per SURVIVING manifest-named file: the manifest IS the
+    * split plan (scan parallelism = the committed file count, zero listing
+    * cost), and the pushed filters drop every file whose stats envelope or
+    * partition value proves it cannot contain a matching row — a
+    * selective predicate over a 100 TB multi-version table plans only the
+    * files it needs, which is the entire point of manifest-carried
+    * statistics. */
   override def planInputPartitions(): Array[InputPartition] = {
     val m = GraftManifest.readVersion(path, version).getOrElse(
       throw new IllegalArgumentException(
         s"graft-sink: no committed manifest to read at $path"))
-    m.files.map { case (f, n) =>
-      GraftSinkFileSplit(s"$path/$f", n): InputPartition
-    }.toArray
+    m.metas
+      .filter(meta => filters.forall(GraftSinkScan.mayMatch(meta, full, _)))
+      .map(meta => GraftSinkFileSplit(s"$path/${meta.name}", meta.rows,
+        meta.ncols): InputPartition)
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftSinkReaderFactory(full, required)
 }
 
-case class GraftSinkFileSplit(file: String, expectedRows: Long) extends InputPartition
+object GraftSinkScan {
+  /** Filters the skipper understands (everything else is left entirely to
+    * Spark's residual evaluation). */
+  def supportedFilter(layout: StructType, f: Filter): Boolean = f match {
+    case And(l, r) => supportedFilter(layout, l) && supportedFilter(layout, r)
+    case Or(l, r)  => supportedFilter(layout, l) && supportedFilter(layout, r)
+    case EqualTo(c, _)            => hasCol(layout, c)
+    case GreaterThan(c, _)        => hasCol(layout, c)
+    case GreaterThanOrEqual(c, _) => hasCol(layout, c)
+    case LessThan(c, _)           => hasCol(layout, c)
+    case LessThanOrEqual(c, _)    => hasCol(layout, c)
+    case In(c, _)                 => hasCol(layout, c)
+    case IsNotNull(c)             => hasCol(layout, c)
+    case _ => false
+  }
+  private def hasCol(layout: StructType, c: String): Boolean =
+    scala.util.Try(layout.fieldIndex(c)).isSuccess
+
+  /** Typed three-way compare of the manifest's string-form stats. */
+  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case LongType   => java.lang.Long.compare(a.toLong, b.toLong)
+    case DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _          => a.compareTo(b)
+  }
+
+  /** Conservative may-match: false ONLY when the file provably contains
+    * no satisfying row. A file written before `c` evolved in (column
+    * index ≥ the file's width) is all-NULL for `c`, so every comparison
+    * — and IsNotNull — is unsatisfiable there. */
+  def mayMatch(meta: GraftFileMeta, layout: StructType, f: Filter): Boolean = {
+    def col(c: String): Option[(Int, DataType)] =
+      scala.util.Try(layout.fieldIndex(c)).toOption.map(i => (i, layout.fields(i).dataType))
+    def range(c: String): Option[(DataType, String, String)] = col(c).flatMap {
+      case (i, _) if i >= meta.ncols => None // handled by allNull
+      case (i, dt) =>
+        meta.partition match {
+          case Some((pc, pv)) if pc == c => Some((dt, pv, pv)) // exact value
+          case _ => meta.stats.get(i).map { case (mn, mx) => (dt, mn, mx) }
+        }
+    }
+    def allNull(c: String): Boolean = col(c).exists(_._1 >= meta.ncols)
+    f match {
+      case And(l, r) => mayMatch(meta, layout, l) && mayMatch(meta, layout, r)
+      case Or(l, r)  => mayMatch(meta, layout, l) || mayMatch(meta, layout, r)
+      case EqualTo(c, v) => !allNull(c) && range(c).forall { case (dt, mn, mx) =>
+        cmp(dt, v.toString, mn) >= 0 && cmp(dt, v.toString, mx) <= 0 }
+      case GreaterThan(c, v) => !allNull(c) && range(c).forall { case (dt, _, mx) =>
+        cmp(dt, mx, v.toString) > 0 }
+      case GreaterThanOrEqual(c, v) => !allNull(c) && range(c).forall { case (dt, _, mx) =>
+        cmp(dt, mx, v.toString) >= 0 }
+      case LessThan(c, v) => !allNull(c) && range(c).forall { case (dt, mn, _) =>
+        cmp(dt, mn, v.toString) < 0 }
+      case LessThanOrEqual(c, v) => !allNull(c) && range(c).forall { case (dt, mn, _) =>
+        cmp(dt, mn, v.toString) <= 0 }
+      case In(c, vs) => !allNull(c) && range(c).forall { case (dt, mn, mx) =>
+        vs.exists(v => cmp(dt, v.toString, mn) >= 0 && cmp(dt, v.toString, mx) <= 0) }
+      case IsNotNull(c) => !allNull(c)
+      case _ => true
+    }
+  }
+}
+
+case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int)
+    extends InputPartition
 
 class GraftSinkReaderFactory(full: StructType, required: StructType)
     extends PartitionReaderFactory {
@@ -330,16 +570,22 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
       }
       override def get(): InternalRow = {
         val cells = line.split(",", -1)
+        if (cells.length != split.ncols) throw new IllegalStateException(
+          s"graft-sink: ${split.file} line has ${cells.length} cells, file committed with ${split.ncols}")
         val values = new Array[Any](idx.length)
         var i = 0
         while (i < idx.length) {
-          values(i) = types(i) match {
-            case LongType   => cells(idx(i)).toLong
-            case DoubleType => cells(idx(i)).toDouble
-            case StringType => UTF8String.fromString(cells(idx(i)))
-            case dt => throw new IllegalArgumentException(
-              s"graft-sink read supports long/double/string, got $dt")
-          }
+          // columns beyond the file's written width (pre-evolution files)
+          // and the \N sentinel both read as NULL
+          values(i) =
+            if (idx(i) >= split.ncols || cells(idx(i)) == GraftSinkWriter.NullCell) null
+            else types(i) match {
+              case LongType   => cells(idx(i)).toLong
+              case DoubleType => cells(idx(i)).toDouble
+              case StringType => UTF8String.fromString(cells(idx(i)))
+              case dt => throw new IllegalArgumentException(
+                s"graft-sink read supports long/double/string, got $dt")
+            }
           i += 1
         }
         InternalRow.fromSeq(values.toIndexedSeq)
@@ -349,20 +595,20 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
   }
 }
 
-case class GraftSinkCommit(file: String, rows: Long) extends WriterCommitMessage
+case class GraftSinkCommit(files: Seq[GraftFileMeta]) extends WriterCommitMessage
 
 class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
-    tag: String) extends BatchWrite {
+    tag: String, expectedBase: Option[Int], evolve: Boolean,
+    partCol: Option[String]) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftSinkWriterFactory(path, schema, tag)
+    new GraftSinkWriterFactory(path, schema, tag, partCol)
 
   /** Job commit: the atomic point. Only files named by task commits enter
     * the manifest; half-written .tmp files are invisible to readers. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val ms = messages.map(_.asInstanceOf[GraftSinkCommit])
-    GraftManifest.commit(path,
-      ms.map(m => new File(m.file).getName -> m.rows).toSeq,
-      schema.toDDL, truncate)
+    val metas = messages.flatMap(_.asInstanceOf[GraftSinkCommit].files)
+    GraftManifest.commitMetas(path, metas.toSeq, schema.toDDL, truncate,
+      expectedBase, evolve)
     ()
   }
 
@@ -371,10 +617,11 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
       .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
 }
 
-class GraftSinkWriterFactory(path: String, schema: StructType, tag: String)
-    extends DataWriterFactory {
+class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
+    partCol: Option[String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-")
+    new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-",
+      partCol = partCol)
 }
 
 /** Named (serializable) streaming factory — an anonymous class here would
@@ -388,26 +635,32 @@ case class GraftSinkStreamingFactory(path: String, schema: StructType,
 }
 
 /** The STREAMING half of the sink: identical task-commit protocol, but job
-  * commit is PER EPOCH — `_manifest_epoch_<n>` lands atomically once every
-  * task of micro-batch n has renamed its part file. If an epoch is
-  * re-delivered after a failure, its manifest is atomically REPLACED with
-  * the new attempt's file set; parts from the failed attempt become
-  * orphans that manifest-trusting readers never see. That idempotent
-  * commit is what composes with checkpointed source offsets into
-  * end-to-end exactly-once. */
+  * commit is PER EPOCH — `_manifest_epoch_<n>.<tag>` lands atomically once
+  * every task of micro-batch n has renamed its part file. The tag is the
+  * write query's id: two streaming queries sharing one directory commit
+  * DISJOINT epoch-manifest names (before the tag, query B's epoch-5 commit
+  * replaced query A's epoch-5 manifest, orphaning A's committed files
+  * even though the part files themselves were already tag-disambiguated).
+  * If an epoch is re-delivered after a failure, the SAME query's manifest
+  * is atomically REPLACED with the new attempt's file set; parts from the
+  * failed attempt become orphans that manifest-trusting readers never
+  * see. That idempotent commit is what composes with checkpointed source
+  * offsets into end-to-end exactly-once. */
 class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     GraftSinkStreamingFactory(path, schema, tag)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val ms = messages.map(_.asInstanceOf[GraftSinkCommit])
-    val body = (ms.map(m => s"${new File(m.file).getName},${m.rows}") :+
+    val ms = messages.flatMap(_.asInstanceOf[GraftSinkCommit].files)
+    val body = (ms.map(m => s"${m.name},${m.rows}") :+
       s"_total,${ms.map(_.rows).sum}").mkString("\n")
-    val tmp = Paths.get(path, s"_manifest_epoch_$epochId.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(path, s"_manifest_epoch_$epochId"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = Paths.get(path, s"_manifest_epoch_$epochId.$tag.tmp")
+    try {
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(path, s"_manifest_epoch_$epochId.$tag"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
     ()
   }
 
@@ -416,51 +669,120 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String)
       .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
 }
 
+object GraftSinkWriter {
+  /** NULL cell sentinel (the classic `\N`); a literal string equal to it
+    * is refused at write so decode is unambiguous. */
+  val NullCell = "\\N"
+}
+
+/** Task-side writer. Unpartitioned: one `.tmp` per task. Partitioned
+  * (`partCol`): one `.tmp` per distinct partition value the task sees —
+  * callers repartition by the column first for file-count hygiene, but
+  * correctness never depends on it (a value split across tasks just
+  * yields one file per task, all carrying the same recorded value).
+  * Tracks per-column min/max over non-null values as it writes; the stats
+  * ride the commit message into the manifest and drive read-side file
+  * skipping. */
 class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long, prefix: String = "") extends DataWriter[InternalRow] {
+    taskId: Long, prefix: String = "", partCol: Option[String] = None)
+    extends DataWriter[InternalRow] {
   new File(path).mkdirs()
-  private val tmp = new File(path, f"${prefix}part-$partitionId%05d-$taskId.tmp")
-  // Files.newBufferedWriter, NOT PrintWriter: PrintWriter swallows
-  // IOExceptions, so a short write (disk full) would still let commit()
-  // rename a truncated file and report the full row count in its
-  // WriterCommitMessage — the manifest would lie. Here a failed write
-  // throws, the task aborts, and the commit protocol holds.
-  private val out = Files.newBufferedWriter(tmp.toPath, StandardCharsets.UTF_8)
-  private var rows = 0L
+  private val partIdx = partCol.map { c =>
+    val i = scala.util.Try(schema.fieldIndex(c)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-sink: partitionBy column '$c' not in write schema ${schema.toDDL}"))
+    schema.fields(i).dataType match {
+      case LongType | StringType => i
+      case dt => throw new IllegalArgumentException(
+        s"graft-sink: partitionBy supports long/string, got $dt for '$c'")
+    }
+  }
+
+  /** One open output file + its running stats. */
+  private final class Part(val tmp: File) {
+    // Files.newBufferedWriter, NOT PrintWriter: PrintWriter swallows
+    // IOExceptions, so a short write (disk full) would still let commit()
+    // rename a truncated file and report the full row count in its
+    // WriterCommitMessage — the manifest would lie. Here a failed write
+    // throws, the task aborts, and the commit protocol holds.
+    val out = Files.newBufferedWriter(tmp.toPath, StandardCharsets.UTF_8)
+    var rows = 0L
+    val mins = new Array[String](schema.length)
+    val maxs = new Array[String](schema.length)
+  }
+  private val parts = scala.collection.mutable.LinkedHashMap[String, Part]()
+
+  private def partFor(value: String): Part =
+    parts.getOrElseUpdate(value, {
+      val k = parts.size
+      new Part(new File(path, f"${prefix}part-$partitionId%05d-$taskId-k$k.tmp"))
+    })
+
+  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case LongType   => java.lang.Long.compare(a.toLong, b.toLong)
+    case DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _          => a.compareTo(b)
+  }
 
   override def write(row: InternalRow): Unit = {
     val cells = schema.fields.zipWithIndex.map { case (f, i) =>
-      f.dataType match {
+      if (row.isNullAt(i)) GraftSinkWriter.NullCell
+      else f.dataType match {
         case LongType   => row.getLong(i).toString
         case DoubleType => row.getDouble(i).toString
         case StringType =>
           val s = row.getUTF8String(i).toString
           // the read path splits on the delimiter — an embedded comma or
-          // newline would silently shift every later cell; refuse it here
-          if (s.indexOf(',') >= 0 || s.indexOf('\n') >= 0)
+          // newline would silently shift every later cell; the \N
+          // sentinel must stay unambiguous
+          if (s.indexOf(',') >= 0 || s.indexOf('\n') >= 0 || s == GraftSinkWriter.NullCell)
             throw new IllegalArgumentException(
-              s"graft-sink cannot encode delimiter/newline in '${f.name}' value '$s'")
+              s"graft-sink cannot encode delimiter/newline/\\N in '${f.name}' value '$s'")
           s
         case dt => throw new IllegalArgumentException(
           s"graft-sink supports long/double/string, got $dt for ${f.name}")
       }
     }
-    out.write(cells.mkString(","))
-    out.write("\n")
-    rows += 1
+    val p = partIdx match {
+      case Some(i) =>
+        if (row.isNullAt(i)) throw new IllegalArgumentException(
+          s"graft-sink: NULL partition value for '${partCol.get}'")
+        partFor(cells(i))
+      case None => partFor("")
+    }
+    var i = 0
+    while (i < cells.length) {
+      if (cells(i) != GraftSinkWriter.NullCell) {
+        val dt = schema.fields(i).dataType
+        if (p.mins(i) == null || cmp(dt, cells(i), p.mins(i)) < 0) p.mins(i) = cells(i)
+        if (p.maxs(i) == null || cmp(dt, cells(i), p.maxs(i)) > 0) p.maxs(i) = cells(i)
+      }
+      i += 1
+    }
+    p.out.write(cells.mkString(","))
+    p.out.write("\n")
+    p.rows += 1
   }
 
-  /** Task commit: rename .tmp → .csv; the message names the final file. */
+  /** Task commit: rename every .tmp → .csv; the message carries each
+    * final file with its row count, stats, and partition value. */
   override def commit(): WriterCommitMessage = {
-    out.close()
-    val fin = new File(path, tmp.getName.stripSuffix(".tmp") + ".csv")
-    Files.move(tmp.toPath, fin.toPath, StandardCopyOption.ATOMIC_MOVE)
-    GraftSinkCommit(fin.getAbsolutePath, rows)
+    val metas = parts.map { case (value, p) =>
+      p.out.close()
+      val fin = new File(path, p.tmp.getName.stripSuffix(".tmp") + ".csv")
+      Files.move(p.tmp.toPath, fin.toPath, StandardCopyOption.ATOMIC_MOVE)
+      val stats = (0 until schema.length).flatMap { i =>
+        Option(p.mins(i)).map(mn => i -> (mn, p.maxs(i)))
+      }.toMap
+      GraftFileMeta(fin.getName, p.rows, schema.length, stats,
+        partCol.map(_ -> value))
+    }.toSeq
+    GraftSinkCommit(metas)
   }
 
-  override def abort(): Unit = {
-    try out.close() catch { case _: java.io.IOException => () } // best-effort
-    tmp.delete(); ()
+  override def abort(): Unit = parts.values.foreach { p =>
+    try p.out.close() catch { case _: java.io.IOException => () } // best-effort
+    p.tmp.delete(); ()
   }
   override def close(): Unit = ()
 }

@@ -165,14 +165,17 @@ class SourceSpec extends AnyFunSuite {
     val df = graft.util.Tables.orders(spark, sf001)
       .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
     df.repartition(4).write.format("graft-sink").option("path", dir).mode("append").save()
-    assert(graft.sources.GraftManifest.readVersion(dir, None).get.files.size == 4)
+    // lazy part creation (round 8): only non-empty tasks commit files, so
+    // 3 status rows over 4 round-robin tasks land as 3 files
+    val n1 = graft.sources.GraftManifest.readVersion(dir, None).get.files.size
+    assert(n1 >= 2 && n1 <= 4, s"want multiple small files, got $n1")
     // OPTIMIZE: rewrite the head compact as a new overwrite version
     spark.read.format("graft-sink").option("path", dir).load().coalesce(1)
       .write.format("graft-sink").option("path", dir).mode("overwrite").save()
     // graceMs=0: this test is the single writer; the default retention
     // window exists to protect concurrent in-flight task commits
     val removed = graft.sources.GraftManifest.vacuum(dir, retainLast = 1, graceMs = 0L)
-    assert(removed == 4, s"exactly v1's 4 files reclaimed, got $removed")
+    assert(removed == n1, s"exactly v1's $n1 files reclaimed, got $removed")
     // head version survives untouched and reads the full content
     assert(graft.sources.GraftManifest.versions(dir) == Seq(2))
     val back = spark.read.format("graft-sink").option("path", dir).load()
