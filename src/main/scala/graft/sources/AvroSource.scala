@@ -66,15 +66,32 @@ class AvroSourceProvider extends TableProvider
 
 object AvroSourceProvider {
   /** The manifest-named committed files (sorted for deterministic
-    * partition order); every `.avro` present if no manifest landed yet. */
+    * partition order); every `.avro` present if no manifest landed yet.
+    *
+    * Reads the MAX `_avro_manifest.g{N}` generation, not the legacy
+    * `_avro_manifest` head copy: the head copy is refreshed with a
+    * REPLACE_EXISTING move AFTER the generation link is won, so two
+    * racing committers can land their refreshes out of order and leave
+    * the head at the older generation forever — a reader-visible lost
+    * update under exactly the concurrency the generation CAS fixed. The
+    * generation files are the durable record; the legacy file is only
+    * consulted for pre-generation dirs. */
   def committedFiles(path: String): Seq[File] = {
-    val manifest = new File(path, "_avro_manifest")
-    if (manifest.exists())
-      new String(Files.readAllBytes(manifest.toPath), "UTF-8")
-        .split("\n").filter(_.nonEmpty).toSeq.sorted.map(new File(path, _))
-    else
-      Option(new File(path).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".avro")).sortBy(_.getName).toSeq
+    val gens = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("_avro_manifest.g"))
+      .filterNot(_.endsWith(".tmp"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_avro_manifest.g").toInt).toOption)
+    val manifest =
+      if (gens.nonEmpty) Some(new File(path, s"_avro_manifest.g${gens.max}"))
+      else Some(new File(path, "_avro_manifest")).filter(_.exists())
+    manifest match {
+      case Some(m) =>
+        new String(Files.readAllBytes(m.toPath), "UTF-8")
+          .split("\n").filter(_.nonEmpty).toSeq.sorted.map(new File(path, _))
+      case None =>
+        Option(new File(path).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".avro")).sortBy(_.getName).toSeq
+    }
   }
 
   def toSpark(s: Schema): StructType = {

@@ -232,13 +232,73 @@ class PropertySpec extends AnyFunSuite {
       }
       tasks.foreach(_.get())
     } finally pool.shutdown()
-    val head = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_avro_manifest")), "UTF-8")
-      .split("\n").filter(_.nonEmpty).toSeq
+    // assert through committedFiles — the READ path — which consults the
+    // max generation (the durable record), NOT the legacy _avro_manifest
+    // head copy: racing committers refresh that copy with REPLACE moves
+    // that can land out of order, so asserting on it is inherently flaky
+    // (ADVICE r7) and readers were moved off it for the same reason
+    val head = graft.sources.AvroSourceProvider.committedFiles(dir).map(_.getName)
     assert(head.sorted == (0 until 8).map(i => s"part-$i.avro"),
       s"every concurrent avro append must survive: $head")
     val gens = new java.io.File(dir).listFiles().map(_.getName)
       .filter(_.startsWith("_avro_manifest.g")).sorted.toSeq
     assert(gens == (1 to 8).map(g => s"_avro_manifest.g$g"), gens.toString)
+  }
+
+  test("graft-sink rewrite-vs-append race: conditioned commit never drops a row") {
+    // The conflict rule VERDICT r7 flagged as the commit protocol's one
+    // design gap: an OPTIMIZE that loses the version race and retries
+    // with a BLIND truncate publishes a head without the concurrent
+    // append's files — silently dropping committed rows. With
+    // expectedBase the truncate is conditioned on the version the
+    // rewrite planned against: a moved head throws
+    // ConcurrentModificationException and the compactor re-reads and
+    // re-compacts. Law: whatever interleaving the scheduler produces,
+    // the final head's total equals every appended row exactly once.
+    import graft.sources.{GraftFileMeta, GraftManifest}
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrw").toString
+    val nAppenders = 7
+    val perAppender = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nAppenders + 1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var compactions = 0
+    var conflicts = 0
+    try {
+      val appends = (0 until nAppenders).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until perAppender).foreach { j =>
+            GraftManifest.commit(dir, Seq(s"part-t$i-$j.csv" -> 1L),
+              "a BIGINT", truncate = false)
+          }
+        })
+      }
+      val compactor = pool.submit(new Runnable {
+        def run(): Unit = while (!stop.get()) {
+          GraftManifest.readVersion(dir, None).foreach { head =>
+            val merged = GraftFileMeta(s"compact-v${head.version}.csv",
+              head.total, 1, Map.empty, None)
+            try {
+              GraftManifest.commitMetas(dir, Seq(merged), "a BIGINT",
+                truncate = true, expectedBase = Some(head.version))
+              compactions += 1
+            } catch {
+              case _: java.util.ConcurrentModificationException => conflicts += 1
+            }
+          }
+        }
+      })
+      appends.foreach(_.get())
+      stop.set(true)
+      compactor.get()
+    } finally pool.shutdown()
+    val head = GraftManifest.readVersion(dir, None).get
+    // every appended row survives — as an original part or inside a
+    // compacted file, but counted exactly once
+    assert(head.total == nAppenders.toLong * perAppender,
+      s"rows lost or duplicated: total=${head.total}, " +
+        s"compactions=$compactions conflicts=$conflicts head=${head.files}")
+    // the race was real: the compactor must have actually committed or
+    // conflicted at least once alongside 28 appends
+    assert(compactions + conflicts > 0, "compactor never ran against the appenders")
   }
 }

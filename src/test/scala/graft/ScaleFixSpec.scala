@@ -331,4 +331,59 @@ class ScaleFixSpec extends AnyFunSuite {
         s"$key must stay banded, not all-pairs:\n${physical.take(600)}")
     }
   }
+
+  test("graft-sink stats skipping: planned partition count drops with the predicate") {
+    // The VERDICT r7 #1 contract: manifest-carried per-file min/max must
+    // reach planInputPartitions, so a selective predicate plans only the
+    // files whose stats envelope admits it — asserted on the PLANNED
+    // partition count, the join_dpp_prune/sink_bloom_skip test pattern.
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    (0 until 3).foreach { s =>
+      spark.range(s * 100, s * 100 + 100).toDF("id")
+        .select(col("id"), (col("id") * 2).as("v"))
+        .coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+    }
+    def planned(df: org.apache.spark.sql.DataFrame): Int = df.rdd.getNumPartitions
+    val all = spark.read.format("graft-sink").option("path", dir).load()
+    assert(planned(all) == 3, "unfiltered head must plan every committed file")
+    val one = all.where(col("id") >= 250)
+    assert(planned(one) == 1, "id>=250 lives in exactly one file's [200,299] envelope")
+    assert(one.count() == 50)
+    val two = all.where(col("id") > 99 && col("id") < 250)
+    assert(planned(two) == 2, "a range straddling two files plans exactly those two")
+    assert(two.count() == 150)
+    // equality prunes to one file AND the residual filter still applies
+    val eq = all.where(col("v") === 40L)
+    assert(planned(eq) == 1)
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(20L))
+    // the pushed filters are visible in the scan description (explain)
+    assert(one.queryExecution.executedPlan.toString.contains("skip=["),
+      "pushed filters must surface in the scan description")
+  }
+
+  test("graft-sink partitioned write: value-pruned reads survive mixed tasks") {
+    // partitionBy correctness must NOT depend on the caller repartitioning
+    // by the column: a task holding several values writes one file PER
+    // value, each recorded in the manifest, so a pinned read plans only
+    // that value's files no matter how rows were distributed.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pw").toString
+    spark.range(0, 300).toDF("id")
+      .select(col("id"), concat(lit("g"), (col("id") % 3).cast("string")).as("grp"))
+      .repartition(4) // round-robin: every task sees every grp — the adversarial layout
+      .write.format("graft-sink").option("path", dir)
+      .option("partitionBy", "grp").mode("overwrite").save()
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    val total = head.metas.size
+    val g1Files = head.metas.count(_.partition.exists(_._2 == "g1"))
+    assert(total > 3 && g1Files < total,
+      s"mixed tasks should split per value: total=$total g1=$g1Files")
+    val pinned = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("grp") === "g1")
+    assert(pinned.rdd.getNumPartitions == g1Files,
+      s"pinned read must plan exactly g1's $g1Files files")
+    assert(pinned.count() == 100)
+    assert(pinned.select(sum(col("id"))).head().getLong(0) ==
+      (0 until 300).filter(_ % 3 == 1).sum.toLong)
+  }
 }

@@ -160,6 +160,48 @@ class SourceSpec extends AnyFunSuite {
       Option(torn.getCause).exists(_.getMessage.contains("manifest committed")))
   }
 
+  test("graft-sink schema evolution: add-column append, old versions stay readable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    def write(df: org.apache.spark.sql.DataFrame, mode: String, evolve: Boolean = false) = {
+      val w = df.write.format("graft-sink").option("path", dir).mode(mode)
+      (if (evolve) w.option("evolveSchema", "true") else w).save()
+    }
+    val v1 = spark.range(0, 5).toDF("id").select(col("id"), (col("id") * 10).as("a"))
+    write(v1, "overwrite")
+    // plain append of a wider schema is refused; evolveSchema admits it
+    val wide = spark.range(5, 8).toDF("id")
+      .select(col("id"), (col("id") * 10).as("a"), lit("x").as("b"))
+    intercept[Exception] { write(wide, "append") }
+    write(wide, "append", evolve = true)
+    // non-prefix evolution (renamed middle column) is still refused
+    intercept[Exception] {
+      write(spark.range(9, 10).toDF("id")
+        .select(col("id"), (col("id") * 10).as("RENAMED"), lit("x").as("b")),
+        "append", evolve = true)
+    }
+    // head reads the union schema; pre-evolution rows surface NULL b
+    val head = spark.read.format("graft-sink").option("path", dir).load()
+    assert(head.schema.map(f => f.name -> f.dataType.typeName) ==
+      Seq("id" -> "long", "a" -> "long", "b" -> "string"))
+    assert(head.schema("b").nullable, "evolved trailing column must be nullable")
+    val rows = head.collect().map(r => (r.getLong(0), r.getLong(1),
+      Option(r.getString(2)))).sortBy(_._1).toSeq
+    assert(rows == (0 until 5).map(i => (i.toLong, i * 10L, None)) ++
+      (5 until 8).map(i => (i.toLong, i * 10L, Some("x"))))
+    // the pre-evolution snapshot is untouched: version 1 still reads 2 cols
+    val pinned = spark.read.format("graft-sink").option("path", dir)
+      .option("versionAsOf", "1").load()
+    assert(pinned.schema.fieldNames.toSeq == Seq("id", "a"))
+    assert(pinned.count() == 5)
+    // an old-shaped producer can still append post-evolution under evolve:
+    // its rows read NULL for the trailing column
+    write(spark.range(100, 102).toDF("id").select(col("id"), (col("id") * 10).as("a")),
+      "append", evolve = true)
+    val after = spark.read.format("graft-sink").option("path", dir).load()
+    assert(after.count() == 10)
+    assert(after.where(col("b").isNull).count() == 7)
+  }
+
   test("graft-sink vacuum: manifests drop first, only unreferenced files reclaimed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vac_spec").toString
     val df = graft.util.Tables.orders(spark, sf001)
