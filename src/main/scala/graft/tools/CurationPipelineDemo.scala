@@ -172,6 +172,59 @@ object CurationPipelineDemo {
     require(back.count() == landed.count(), "avro landing lost rows")
     stage("landed as avro (read back)", back.count())
 
+    // 11. LAND the curated sample table in the graft-sink VERSIONED
+    // connector — the round-7/8 lakehouse landing zone as the pipeline's
+    // OUTPUT stage, not a side demo: a partitioned commit (one file per
+    // lang, values recorded in the manifest), a partition-pinned read
+    // that must plan only that lang's files, a GDPR erasure committed as
+    // a base-conditioned version, then OPTIMIZE + VACUUM — the full
+    // version lifecycle over real pipeline output.
+    val tableDir = graft.util.Scratch.dir("curation_sink", sf)
+    val tLand = System.nanoTime()
+    ids.select(col("doc_id"), col("lang"), col("seq_id"))
+      .repartition(col("lang"))
+      .write.format("graft-sink").option("path", tableDir)
+      .option("partitionBy", "lang").mode("overwrite").save()
+    val v1 = graft.sources.GraftManifest.readVersion(tableDir, None).get
+    val landSec = (System.nanoTime() - tLand) / 1e9
+    val pinned = spark.read.format("graft-sink").option("path", tableDir).load()
+      .where(col("lang") === "en")
+    val plannedEn = pinned.rdd.getNumPartitions
+    val nEn = pinned.count()
+    require(plannedEn < v1.files.size,
+      s"partition pruning must plan < ${v1.files.size} files, planned $plannedEn")
+    println(f"[pipeline] versioned landing:        v1 ${v1.files.size}%d files " +
+      f"(${v1.total}%d rows) in $landSec%.1f s; lang=en pins $plannedEn%d file(s), $nEn%d rows")
+
+    // GDPR erasure as version 2, conditioned on the version it planned
+    // against (a concurrent append would make this commit throw, never
+    // silently vanish)
+    val tDel = System.nanoTime()
+    val erased = spark.read.format("graft-sink").option("path", tableDir).load()
+      .where(col("doc_id") % 97 =!= 0)
+    erased.write.format("graft-sink").option("path", tableDir)
+      .option("expectedBaseVersion", v1.version.toString).mode("overwrite").save()
+    val delSec = (System.nanoTime() - tDel) / 1e9
+    val v2 = graft.sources.GraftManifest.readVersion(tableDir, None).get
+    // pre-erasure snapshot stays pinned-readable until VACUUM reclaims it
+    val v1Back = spark.read.format("graft-sink").option("path", tableDir)
+      .option("versionAsOf", v1.version.toString).load().count()
+    require(v1Back == v1.total, "pre-delete snapshot must stay readable")
+
+    // OPTIMIZE (base-conditioned rewrite) + VACUUM(retain 1)
+    val tOpt = System.nanoTime()
+    spark.read.format("graft-sink").option("path", tableDir).load().coalesce(1)
+      .write.format("graft-sink").option("path", tableDir)
+      .option("expectedBaseVersion", v2.version.toString).mode("overwrite").save()
+    val reclaimed = graft.sources.GraftManifest.vacuum(tableDir, retainLast = 1, graceMs = 0L)
+    val optSec = (System.nanoTime() - tOpt) / 1e9
+    val head = graft.sources.GraftManifest.readVersion(tableDir, None).get
+    require(head.total == v2.total, "OPTIMIZE must change storage, not content")
+    println(f"[pipeline] gdpr+optimize+vacuum:     erased ${v1.total - v2.total}%d rows " +
+      f"as v${v2.version}%d in $delSec%.1f s; compacted ${head.files.size}%d file(s), " +
+      f"reclaimed $reclaimed%d in $optSec%.1f s")
+    stage("final versioned table", head.total)
+
     println(f"[pipeline] total wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
