@@ -27,13 +27,16 @@ import graft.util.Determinism._
   */
 object Streaming {
 
-  /** events.ts is INT64 TIMESTAMP(NANOS): stream-read it as raw longs
-    * (schema pins LongType + legacy conf) and convert ns→µs exactly like
-    * the batch reader in util/Tables. */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events.ts has shipped as INT64 TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+    * NTZ across fixture generations (see util/Tables.eventsRaw). A stream
+    * read needs an explicit schema, so probe the batch footer first and
+    * pin the matching raw type, then normalize to session-UTC
+    * TimestampType exactly like the batch reader. */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   private def eventsStream(spark: SparkSession, sf: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -45,8 +48,17 @@ object Streaming {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$sf/events.parquet"))
-    spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
+    val raw = spark.readStream.schema(rawSchema(tsType)).parquet(dir.toString)
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case dt => throw new IllegalStateException(
+        s"events.ts read as unsupported type $dt at $sf")
+    }
   }
 
   /** Pin the stateful-shuffle width while a streaming query runs: Spark

@@ -17,16 +17,28 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos (legacy conf) and floor-divide
-    * to microseconds — exactly DuckDB's ns→µs truncation, so oracle parity
-    * holds. Integer `div` (not `/`) because ns-since-epoch exceeds 2^53. */
+  /** `events.ts` has shipped as two physical layouts across fixture
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark 4 refuses to read as
+    * a timestamp — the legacy conf surfaces it as raw nanos) and plain
+    * TIMESTAMP(MICROS) without UTC adjustment (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize BOTH to session-UTC TimestampType micros:
+    * nanos floor-divide to µs — exactly DuckDB's ns→µs truncation, integer
+    * `div` (not `/`) because ns-since-epoch exceeds 2^53 — and NTZ casts
+    * value-preserving under the pinned UTC session timezone. Every
+    * downstream operator and oracle sees the same instants either way. */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, sfDir, "events")
-    df.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case dt => throw new IllegalStateException(
+        s"events.ts read as unsupported type $dt at $sfDir")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
