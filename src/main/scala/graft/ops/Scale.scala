@@ -1088,6 +1088,20 @@ object Scale {
     * oracle recomputes both snapshots straight from events, tagged with
     * their version. */
   def sinkTimeTravel(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ttsinkDir(spark, sf)
+    val v1 = spark.read.format("graft-sink")
+      .option("path", dir).option("versionAsOf", "1").load()
+    val head = spark.read.format("graft-sink").option("path", dir).load()
+    v1.withColumn("version", lit(1L))
+      .unionByName(head.withColumn("version", lit(2L)))
+      .select(col("version"), col("event_type"), col("n"), col("sum_cents"))
+      .orderBy(col("version"), col("event_type"))
+  }
+
+  /** Shared two-version time-travel fixture: version 1 = per-type
+    * aggregate of all events, version 2 OVERWRITES it with the even-user
+    * slice. Built once per (JVM, sf). */
+  private def ttsinkDir(spark: SparkSession, sf: String): String = {
     val dir = tmpDir("ttsink", sf)
     def agg(src: DataFrame): DataFrame = src
       .groupBy(col("event_type"))
@@ -1099,13 +1113,78 @@ object Scale {
       agg(events(spark, sf).where(col("user_id") % 2 === 0))
         .write.format("graft-sink").option("path", dir).mode("overwrite").save()
     }
-    val v1 = spark.read.format("graft-sink")
-      .option("path", dir).option("versionAsOf", "1").load()
-    val head = spark.read.format("graft-sink").option("path", dir).load()
-    v1.withColumn("version", lit(1L))
-      .unionByName(head.withColumn("version", lit(2L)))
-      .select(col("version"), col("event_type"), col("n"), col("sum_cents"))
-      .orderBy(col("version"), col("event_type"))
+    dir
+  }
+
+  /** TIME TRAVEL BY TIMESTAMP — `timestampAsOf` resolves a wall-clock to
+    * the newest version committed at or before it, against the `#ts=`
+    * commit times the manifest now carries (written strictly increasing
+    * by [[graft.sources.GraftManifest.commitMetas]], so the mapping stays
+    * unambiguous for commits inside one millisecond — the Delta/Iceberg
+    * timestamp-travel contract). Probed at three instants over the shared
+    * two-version fixture: v1's own commit time and the instant just
+    * before v2's commit both pin the pre-overwrite snapshot; v2's commit
+    * time follows the head. The emitted phases carry NO raw timestamps
+    * (wall-clocks are nondeterministic); the oracle recomputes each
+    * snapshot from events. */
+  def sinkTimeTravelTs(spark: SparkSession, sf: String): DataFrame = {
+    val dir = ttsinkDir(spark, sf)
+    val ts1 = graft.sources.GraftManifest.readVersion(dir, Some(1)).get.ts.get
+    val ts2 = graft.sources.GraftManifest.readVersion(dir, Some(2)).get.ts.get
+    require(ts2 > ts1, s"commit timestamps must be strictly increasing: $ts1, $ts2")
+    def at(ts: Long): DataFrame = spark.read.format("graft-sink")
+      .option("path", dir).option("timestampAsOf", ts.toString).load()
+    at(ts1).withColumn("phase", lit(1L))
+      .unionByName(at(ts2 - 1).withColumn("phase", lit(2L)))
+      .unionByName(at(ts2).withColumn("phase", lit(3L)))
+      .select(col("phase"), col("event_type"), col("n"), col("sum_cents"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+
+  /** CHANGE DATA FEED from the manifest diff — `changesFrom`/`changesTo`
+    * read the files a version range ADDED as 'insert' rows and the files
+    * it DROPPED as 'delete' rows, with the virtual `_change_type` column
+    * tagging each. The plan is O(changed files) — two manifest reads and
+    * a set difference, never a rescan of the unchanged table (the key
+    * REQUIREs the planned-partition count to equal the diff's file
+    * count), which is what distinguishes this from [[sinkSnapshotDiff]]'s
+    * full-outer recompute. An append range yields pure inserts; the
+    * DELETE rewrite (version 3) yields delete-of-old-files +
+    * insert-of-new-files, whose row-level difference IS the net change —
+    * the file-granular CDF contract (Iceberg incremental reads are
+    * appends-only; Delta without deletion vectors materializes the same
+    * add/remove actions). The oracle recomputes every change set from
+    * events. */
+  def sinkChangeFeed(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttcdf", sf)
+    graft.util.Scratch.once(dir) {
+      bucketAgg(events(spark, sf).where(col("user_id") % 4 === 0))
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      bucketAgg(events(spark, sf).where(col("user_id") % 4 === 1))
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+      spark.read.format("graft-sink").option("path", dir).load()
+        .where(col("event_type") =!= "view")
+        .write.format("graft-sink").option("path", dir)
+        .option("expectedBaseVersion", "2").mode("overwrite").save()
+    }
+    def changes(fromV: Int, toV: Int): DataFrame = {
+      val df = spark.read.format("graft-sink").option("path", dir)
+        .option("changesFrom", fromV.toString)
+        .option("changesTo", toV.toString).load()
+      val (added, removed, _) =
+        graft.sources.GraftSinkScan.diffMetas(dir, fromV, Some(toV))
+      val planned = df.rdd.getNumPartitions
+      require(planned == added.size + removed.size,
+        s"change feed ($fromV,$toV] must plan its ${added.size + removed.size} " +
+          s"changed files only, planned $planned")
+      df.withColumn("from_v", lit(fromV.toLong))
+        .withColumn("to_v", lit(toV.toLong))
+    }
+    changes(1, 2).unionByName(changes(2, 3))
+      .select(col("from_v"), col("to_v"),
+        col("_change_type").as("change_type"),
+        col("event_type"), col("bucket"), col("n"), col("sum_cents"))
+      .orderBy(col("from_v"), col("change_type"), col("event_type"), col("bucket"))
   }
 
   /** AQE skew-join handling — the AUTOMATIC twin of join_skew_salted's
@@ -1400,6 +1479,8 @@ object Scale {
     "source_custom_v2" -> sourceCustomV2,
     "sink_custom_v2" -> sinkCustomV2,
     "sink_time_travel" -> sinkTimeTravel,
+    "sink_time_travel_ts" -> sinkTimeTravelTs,
+    "sink_change_feed" -> sinkChangeFeed,
     "sink_compact_vacuum" -> sinkCompactVacuum,
     "sink_snapshot_diff" -> sinkSnapshotDiff,
     "sink_stats_skip" -> sinkStatsSkip,
@@ -1412,6 +1493,42 @@ object Scale {
   )
 
   def oracle: Map[String, String] = Map(
+    "sink_time_travel_ts" ->
+      """WITH v1 AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1
+        |), v2 AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events WHERE user_id % 2 = 0 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS phase, * FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), * FROM v1
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), * FROM v2
+        |ORDER BY phase, event_type""".stripMargin,
+
+    "sink_change_feed" ->
+      """WITH s0 AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events WHERE user_id % 4 = 0 GROUP BY 1, 2
+        |), s1 AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events WHERE user_id % 4 = 1 GROUP BY 1, 2
+        |), pre AS (
+        |  SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+        |SELECT CAST(1 AS BIGINT) AS from_v, CAST(2 AS BIGINT) AS to_v,
+        |  'insert' AS change_type, * FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'delete', * FROM pre
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'insert', *
+        |FROM pre WHERE event_type != 'view'
+        |ORDER BY from_v, change_type, event_type, bucket""".stripMargin,
+
     "sink_stats_skip" ->
       """SELECT event_type, user_id % 8 AS bucket, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -543,8 +543,66 @@ object Streaming {
       .orderBy(col("run"), col("lang"))
   }
 
+  /** The VERSIONED TABLE AS A STREAMING SOURCE — readStream over the
+    * graft-sink connector, offsets = manifest versions, each micro-batch
+    * reading only the files its version range ADDED (the manifest diff;
+    * the already-streamed table is never rescanned). This closes the
+    * lakehouse loop the round-7/8 connector built: one directory is now
+    * batch sink + batch source (time travel, CDF) + streaming sink +
+    * resumable streaming source. The scenario proves the three contracts
+    * that matter at 100 TB:
+    *  - `maxVersionsPerTrigger=1` (admission control): the first drain
+    *    covers versions 1-2 as TWO offset-committed micro-batches;
+    *  - AvailableNow termination: the drain stops at the head captured
+    *    when the trigger started;
+    *  - checkpointed RESUME: version 3, appended after the first drain,
+    *    is picked up by a second run as exactly one batch — no re-read
+    *    of versions 1-2 (the `run` column pins which drain saw which
+    *    slice, and slice 2 appearing ONLY under run 2 is the proof).
+    * Results land via foreachBatch into per-batch parquet and aggregate
+    * to a batch frame; the oracle recomputes each slice from events. */
+  def streamTableFeed(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.util.Scratch.dir("tfeed", sf)
+    val chk = graft.util.Scratch.dir("tfeed_chk", sf)
+    val out = graft.util.Scratch.dir("tfeed_out", sf)
+    def append(slice: Int): Unit =
+      graft.util.Tables.events(spark, sf)
+        .where(col("user_id") % 4 === slice)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+        .withColumn("slice", lit(slice.toLong))
+        .write.format("graft-sink").option("path", dir)
+        .mode(if (slice == 0) "overwrite" else "append").save()
+    def drain(run: Long): Unit = withStreamShuffle(spark) {
+      val q = spark.readStream.format("graft-sink")
+        .option("path", dir)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          b.withColumn("run", lit(run))
+            .write.mode("overwrite").parquet(s"$out/batch=$run-$id")
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    graft.util.Scratch.once(dir) {
+      append(0); append(1)
+      drain(1L) // versions 1-2, one per micro-batch
+      append(2)
+      drain(2L) // resume: exactly version 3
+    }
+    spark.read.parquet(out)
+      .groupBy(col("run"), col("slice"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+      .orderBy(col("run"), col("slice"), col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_source_resume" -> streamSourceResume,
+    "stream_table_feed" -> streamTableFeed,
     "stream_custom_source" -> streamCustomSource,
     "stream_foreach_batch" -> streamForeachBatch,
     "stream_tumbling" -> streamTumbling,
@@ -561,6 +619,16 @@ object Streaming {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_table_feed" ->
+      """WITH s AS (
+        |  SELECT user_id % 4 AS slice, event_type, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events WHERE user_id % 4 <= 2 GROUP BY 1, 2)
+        |SELECT CAST(CASE WHEN slice <= 1 THEN 1 ELSE 2 END AS BIGINT) AS run,
+        |  slice, event_type, n, sum_cents
+        |FROM s
+        |ORDER BY run, slice, event_type""".stripMargin,
+
     "stream_sink_custom" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -84,17 +84,38 @@ class GraftSinkProvider extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // Self-describing on READ: the pinned (or head) manifest carries the
     // schema DDL. On first WRITE no manifest exists yet → empty schema
-    // (the write path takes its schema from the incoming frame).
+    // (the write path takes its schema from the incoming frame). A
+    // change-feed read (`changesFrom`) appends the virtual `_change_type`
+    // column to the pinned snapshot's schema.
     val path = options.get("path")
     if (path == null) new StructType()
-    else GraftManifest.readVersion(path, Option(options.get("versionAsOf")).map(_.toInt))
-      .flatMap(_.schemaDdl).map(StructType.fromDDL).getOrElse(new StructType())
+    else {
+      val base = GraftManifest
+        .readVersion(path, GraftSinkProvider.pinned(path, options.get))
+        .flatMap(_.schemaDdl).map(StructType.fromDDL).getOrElse(new StructType())
+      if (options.containsKey("changesFrom") && base.nonEmpty)
+        base.add(GraftSinkScan.ChangeCol, StringType, nullable = false)
+      else base
+    }
   }
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new GraftSinkTable(properties.get("path"), schema,
-      Option(properties.get("versionAsOf")).map(_.toInt))
+      GraftSinkProvider.pinned(properties.get("path"), properties.get),
+      Option(properties.get("changesFrom")).map(_.toInt))
+}
+
+object GraftSinkProvider {
+  /** The version a read pins: explicit `versionAsOf` wins, then
+    * `timestampAsOf` (resolved against the manifests' commit
+    * wall-clocks), then a change feed's `changesTo` upper bound; None =
+    * follow the head. */
+  private[sources] def pinned(path: String, get: String => String): Option[Int] =
+    Option(get("versionAsOf")).map(_.toInt)
+      .orElse(Option(get("timestampAsOf")).map(t =>
+        GraftManifest.resolveTimestamp(path, t.toLong)))
+      .orElse(Option(get("changesTo")).map(_.toInt))
 }
 
 /** Per-file metadata carried in the manifest: committed row count, the
@@ -107,9 +128,10 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
     stats: Map[Int, (String, String)], partition: Option[(String, String)])
 
 /** One committed manifest version: the files it names (with metadata),
-  * the committed total, and the schema DDL it was written with. */
+  * the committed total, the schema DDL it was written with, and the
+  * commit wall-clock (epoch millis; None for pre-round-8 manifests). */
 case class GraftManifest(version: Int, metas: Seq[GraftFileMeta],
-    total: Long, schemaDdl: Option[String]) {
+    total: Long, schemaDdl: Option[String], ts: Option[Long] = None) {
   /** Legacy (name, rows) view — the shape the v1 protocol exposed. */
   def files: Seq[(String, Long)] = metas.map(m => m.name -> m.rows)
 }
@@ -140,6 +162,7 @@ object GraftManifest {
     * manifests) default to the full schema width with no stats. */
   def parse(version: Int, body: String): GraftManifest = {
     var ddl: Option[String] = None
+    var ts: Option[Long] = None
     val rows = Seq.newBuilder[(String, Long)]
     val ncols = scala.collection.mutable.Map[String, Int]()
     val parts = scala.collection.mutable.Map[String, (String, String)]()
@@ -148,6 +171,7 @@ object GraftManifest {
     var total = 0L
     body.split("\n").filter(_.nonEmpty).foreach {
       case s if s.startsWith("#schema=") => ddl = Some(s.stripPrefix("#schema="))
+      case s if s.startsWith("#ts=")     => ts = Some(s.stripPrefix("#ts=").toLong)
       case s if s.startsWith("#meta=") =>
         s.stripPrefix("#meta=").split(",", 4) match {
           case Array(f, n, pc, pv) =>
@@ -174,7 +198,7 @@ object GraftManifest {
     val metas = rows.result().map { case (f, n) =>
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f))
     }
-    GraftManifest(version, metas, total, ddl)
+    GraftManifest(version, metas, total, ddl, ts)
   }
 
   /** Read one version (None = head). None result = no committed version. */
@@ -193,11 +217,29 @@ object GraftManifest {
     Some(parse(v, body))
   }
 
+  /** TIMESTAMP AS OF resolution: the newest version whose commit
+    * wall-clock is at or before `tsMillis` — the time-travel-by-time
+    * contract (Delta/Iceberg both resolve a timestamp to the last commit
+    * it covers). Commit timestamps are written strictly increasing
+    * ([[commitMetas]] bumps past the prior head's ts), so the mapping is
+    * unambiguous even for commits inside one wall-clock millisecond;
+    * pre-timestamp manifests sort as epoch 0 ("before everything").
+    * O(versions) small-file reads — the version count is bounded by
+    * OPTIMIZE/VACUUM lifecycle, never by table size. */
+  def resolveTimestamp(path: String, tsMillis: Long): Int = {
+    val at = versions(path).map(v =>
+      v -> readVersion(path, Some(v)).flatMap(_.ts).getOrElse(0L))
+    at.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-sink: timestampAsOf=$tsMillis precedes every commit at $path; " +
+          s"commits: ${at.map { case (v, t) => s"v$v@$t" }.mkString(",")}"))
+  }
+
   /** True iff `a`'s fields are a name+type-identical PREFIX of `b`'s —
     * the only schema evolution the sink admits (append-only columns keep
     * every file's cells aligned with a prefix of the union layout, so old
     * files read the new columns as NULL with no per-file reordering). */
-  private def isPrefixOf(a: StructType, b: StructType): Boolean =
+  private[sources] def isPrefixOf(a: StructType, b: StructType): Boolean =
     a.length <= b.length && a.fields.zip(b.fields).forall { case (x, y) =>
       x.name == y.name && x.dataType == y.dataType }
 
@@ -291,7 +333,11 @@ object GraftManifest {
           m.stats.toSeq.sortBy(_._1).map { case (i, (mn, mx)) =>
             s"#stats=${m.name},$i,$mn,$mx" }
       }
-      val body = (s"#schema=$unionDdl" +: meta ++:
+      // strictly-increasing commit wall-clock: two commits inside one
+      // millisecond would otherwise make timestampAsOf ambiguous
+      val commitTs = math.max(System.currentTimeMillis(),
+        head.flatMap(_.ts).getOrElse(0L) + 1)
+      val body = (s"#schema=$unionDdl" +: s"#ts=$commitTs" +: meta ++:
         all.map(m => s"${m.name},${m.rows}") :+
         s"_total,${all.map(_.rows).sum}").mkString("\n")
       val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$next", ".tmp")
@@ -366,7 +412,8 @@ object GraftManifest {
   }
 }
 
-class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int])
+class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int],
+    changesFrom0: Option[Int] = None)
     extends Table with SupportsWrite with SupportsRead {
   require(path != null && path.nonEmpty, "graft-sink requires option(\"path\")")
   override def name(): String = s"graft_sink($path)"
@@ -374,7 +421,7 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
-      TableCapability.BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var truncating = false
@@ -400,22 +447,31 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
       }
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val pinned = Option(options.get("versionAsOf")).map(_.toInt).orElse(versionAsOf)
+    val pinned = GraftSinkProvider.pinned(path, options.get).orElse(versionAsOf)
+    val changesFrom =
+      Option(options.get("changesFrom")).map(_.toInt).orElse(changesFrom0)
     // LAYOUT schema = the column order the files were WRITTEN in (from the
     // pinned manifest). Cell positions must resolve against it, never
     // against a user-supplied read schema: `.schema("b BIGINT, a BIGINT")`
     // over a table written (a, b) would otherwise silently swap two
     // same-typed columns. A user schema is validated field-by-field
     // against the layout (name must exist, type must match) and only
-    // narrows/reorders what is VISIBLE.
+    // narrows/reorders what is VISIBLE. The change feed's `_change_type`
+    // is VIRTUAL — per-split constant, never resolved against the layout.
     val manifestSchema = GraftManifest.readVersion(path, pinned)
       .flatMap(_.schemaDdl).map(StructType.fromDDL)
-    val layout = manifestSchema.orElse(Some(schema0).filter(_.nonEmpty))
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft-sink: no committed manifest to read at $path"))
-    val visible = if (schema0.nonEmpty) schema0 else layout
+    val layout = StructType(
+      manifestSchema.orElse(Some(schema0).filter(_.nonEmpty))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-sink: no committed manifest to read at $path"))
+        .filterNot(_.name == GraftSinkScan.ChangeCol))
+    val visible0 = if (schema0.nonEmpty) schema0 else layout
+    val visible =
+      if (changesFrom.isDefined && !visible0.fieldNames.contains(GraftSinkScan.ChangeCol))
+        visible0.add(GraftSinkScan.ChangeCol, StringType, nullable = false)
+      else visible0
     manifestSchema.foreach { l =>
-      visible.fields.foreach { f =>
+      visible.fields.filterNot(_.name == GraftSinkScan.ChangeCol).foreach { f =>
         val i = scala.util.Try(l.fieldIndex(f.name)).getOrElse(
           throw new IllegalArgumentException(
             s"graft-sink: column '${f.name}' not in committed schema ${l.toDDL}"))
@@ -424,12 +480,30 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
             s"graft-sink: column '${f.name}' read as ${f.dataType} but committed as ${l.fields(i).dataType}")
       }
     }
-    new GraftSinkScanBuilder(path, pinned, layout, visible)
+    // A change feed reads FROM-version files under the TO-version layout;
+    // that is only sound when the from schema is a prefix of it (the
+    // sink's own evolution rule). Overwrites that changed the schema
+    // arbitrarily are not representable — fail at plan time, not per row.
+    changesFrom.filter(_ > 0).foreach { fromV =>
+      val fromSchema = GraftManifest.readVersion(path, Some(fromV))
+        .flatMap(_.schemaDdl).map(StructType.fromDDL)
+      (fromSchema, manifestSchema) match {
+        case (Some(f), Some(t)) if !GraftManifest.isPrefixOf(f, t) =>
+          throw new IllegalArgumentException(
+            s"graft-sink: change feed from v$fromV is not schema-compatible with " +
+              s"the target version ('${f.toDDL}' is not a prefix of '${t.toDDL}')")
+        case _ => ()
+      }
+    }
+    val streamOpts = Seq("startingVersion", "ignoreChanges", "maxVersionsPerTrigger")
+      .flatMap(k => Option(options.get(k)).map(k -> _)).toMap
+    new GraftSinkScanBuilder(path, pinned, layout, visible, changesFrom, streamOpts)
   }
 }
 
 class GraftSinkScanBuilder(path: String, version: Option[Int],
-    layout: StructType, visible: StructType)
+    layout: StructType, visible: StructType, changesFrom: Option[Int] = None,
+    streamOpts: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = visible
@@ -439,25 +513,33 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
   /** Accepted filters prune FILES from the manifest's stats/partition
     * metadata; every filter is also returned as residual, because stats
     * skipping is file-granular — rows inside a surviving file still need
-    * Spark's own filter on top (the parquet row-group model). */
+    * Spark's own filter on top (the parquet row-group model). A filter on
+    * the virtual `_change_type` is never accepted (not a layout column):
+    * Spark evaluates it residually over the per-split constant. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftSinkScan.supportedFilter(layout, _))
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    GraftSinkScan(path, version, layout, required, pushed.toSeq)
+    GraftSinkScan(path, version, layout, required, pushed.toSeq,
+      changesFrom, streamOpts)
 }
 
 case class GraftSinkScan(path: String, version: Option[Int],
-    full: StructType, required: StructType, filters: Seq[Filter])
+    full: StructType, required: StructType, filters: Seq[Filter],
+    changesFrom: Option[Int] = None, streamOpts: Map[String, String] = Map.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftTableMicroBatchStream(this)
   override def description(): String = {
     val v = version.map(_.toString).getOrElse("head")
     val f = if (filters.isEmpty) "" else s" skip=[${filters.mkString(", ")}]"
-    s"graft-sink $path v=$v cols=${required.fieldNames.mkString(",")}$f"
+    val c = changesFrom.map(n => s" changesFrom=$n").getOrElse("")
+    s"graft-sink $path v=$v cols=${required.fieldNames.mkString(",")}$f$c"
   }
   /** One partition per SURVIVING manifest-named file: the manifest IS the
     * split plan (scan parallelism = the committed file count, zero listing
@@ -465,22 +547,62 @@ case class GraftSinkScan(path: String, version: Option[Int],
     * partition value proves it cannot contain a matching row — a
     * selective predicate over a 100 TB multi-version table plans only the
     * files it needs, which is the entire point of manifest-carried
-    * statistics. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val m = GraftManifest.readVersion(path, version).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-sink: no committed manifest to read at $path"))
-    m.metas
-      .filter(meta => filters.forall(GraftSinkScan.mayMatch(meta, full, _)))
-      .map(meta => GraftSinkFileSplit(s"$path/${meta.name}", meta.rows,
-        meta.ncols): InputPartition)
-      .toArray
+    * statistics. In change-feed mode the plan is the version DIFF instead:
+    * files the range added read as 'insert', files it dropped as 'delete'
+    * — O(changed files), the unchanged table is never rescanned. */
+  override def planInputPartitions(): Array[InputPartition] = changesFrom match {
+    case Some(fromV) =>
+      val (added, removed, _) = GraftSinkScan.diffMetas(path, fromV, version)
+      (added.map(_ -> "insert") ++ removed.map(_ -> "delete"))
+        .filter { case (m, _) => filters.forall(GraftSinkScan.mayMatch(m, full, _)) }
+        .map { case (m, c) => GraftSinkFileSplit(s"$path/${m.name}", m.rows,
+          m.ncols, c): InputPartition }
+        .toArray
+    case None =>
+      val m = GraftManifest.readVersion(path, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-sink: no committed manifest to read at $path"))
+      m.metas
+        .filter(meta => filters.forall(GraftSinkScan.mayMatch(meta, full, _)))
+        .map(meta => GraftSinkFileSplit(s"$path/${meta.name}", meta.rows,
+          meta.ncols): InputPartition)
+        .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftSinkReaderFactory(full, required)
 }
 
 object GraftSinkScan {
+  /** The change feed's virtual column: 'insert' for rows of files the
+    * version range added, 'delete' for rows of files it dropped. */
+  val ChangeCol = "_change_type"
+
+  /** Manifest diff for CDF and streaming reads: (added, removed) file
+    * metas between `fromV` (exclusive; 0 = before the first commit) and
+    * `toV` (inclusive; None = head), plus the resolved to-version. Pure
+    * appends yield only additions; a rewrite (OPTIMIZE / MERGE / DELETE)
+    * yields removals too — its rows' NET change is delete-of-old +
+    * insert-of-new, the file-granular CDF contract (Iceberg incremental
+    * reads are appends-only; Delta without deletion vectors materializes
+    * the same add/remove file actions). Cost is two manifest reads and a
+    * set difference — never a function of table size. */
+  def diffMetas(path: String, fromV: Int,
+      toV: Option[Int]): (Seq[GraftFileMeta], Seq[GraftFileMeta], Int) = {
+    val to = toV.filter(_ == 0).map(_ => GraftManifest(0, Seq.empty, 0L, None))
+      .orElse(GraftManifest.readVersion(path, toV))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-sink: no committed manifest to read at $path"))
+    require(fromV >= 0 && fromV <= to.version,
+      s"graft-sink: change range ($fromV, ${to.version}] is not ascending")
+    val from =
+      if (fromV == 0) Seq.empty
+      else GraftManifest.readVersion(path, Some(fromV)).get.metas
+    val fromNames = from.map(_.name).toSet
+    val toNames = to.metas.map(_.name).toSet
+    (to.metas.filterNot(m => fromNames(m.name)),
+      from.filterNot(m => toNames(m.name)), to.version)
+  }
+
   /** Filters the skipper understands (everything else is left entirely to
     * Spark's residual evaluation). */
   def supportedFilter(layout: StructType, f: Filter): Boolean = f match {
@@ -542,15 +664,18 @@ object GraftSinkScan {
   }
 }
 
-case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int)
+case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int,
+    change: String = null)
     extends InputPartition
 
 class GraftSinkReaderFactory(full: StructType, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val split = p.asInstanceOf[GraftSinkFileSplit]
-    // map each required column to its cell position in the written line
-    val idx = required.fields.map(f => full.fieldIndex(f.name))
+    // map each required column to its cell position in the written line;
+    // the virtual change-type column (-1) reads the split's constant
+    val idx = required.fields.map(f =>
+      if (f.name == GraftSinkScan.ChangeCol) -1 else full.fieldIndex(f.name))
     val types = required.fields.map(_.dataType)
     new PartitionReader[InternalRow] {
       private val in = Files.newBufferedReader(
@@ -578,7 +703,8 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
           // columns beyond the file's written width (pre-evolution files)
           // and the \N sentinel both read as NULL
           values(i) =
-            if (idx(i) >= split.ncols || cells(idx(i)) == GraftSinkWriter.NullCell) null
+            if (idx(i) == -1) UTF8String.fromString(split.change)
+            else if (idx(i) >= split.ncols || cells(idx(i)) == GraftSinkWriter.NullCell) null
             else types(i) match {
               case LongType   => cells(idx(i)).toLong
               case DoubleType => cells(idx(i)).toDouble
@@ -593,6 +719,87 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
       override def close(): Unit = in.close()
     }
   }
+}
+
+/** The versioned table as a STREAMING SOURCE — offsets are manifest
+  * VERSIONS, and each micro-batch reads exactly the files the offset
+  * range's commits ADDED (the [[GraftSinkScan.diffMetas]] manifest diff:
+  * O(new files) per batch, the already-streamed table is never
+  * rescanned). With the batch write/read paths and the streaming SINK
+  * this closes the lakehouse loop: one directory is now batch sink,
+  * batch source (with time travel + CDF), streaming sink, and resumable
+  * streaming source — `readStream.format("graft-sink")` composes with
+  * checkpointed offsets into exactly-once end-to-end.
+  *
+  *  - `startingVersion` (default 0): first batch covers
+  *    (startingVersion, head] — 0 streams the whole committed history's
+  *    surviving files first, the Delta `startingVersion` contract.
+  *  - A REWRITE inside an offset range (files removed — OPTIMIZE /
+  *    MERGE / DELETE) is not representable as pure appends; the stream
+  *    fails loudly instead of silently re-emitting or dropping rows,
+  *    unless `ignoreChanges=true` re-emits the rewritten files (the
+  *    documented at-least-once degradation table-format stream sources
+  *    ship).
+  *  - [[SupportsTriggerAvailableNow]]: the end version is captured at
+  *    prepare time, so an AvailableNow run drains exactly the versions
+  *    committed before it started and terminates — concurrent appends
+  *    land in the next run (proven by the resume key's second pass).
+  *  - Pushed filters still skip files by manifest stats inside each
+  *    batch — stats skipping composes with incremental reads. */
+class GraftTableMicroBatchStream(scan: GraftSinkScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private val start0 = scan.streamOpts.getOrElse("startingVersion", "0").toInt
+  private val ignoreChanges =
+    scan.streamOpts.get("ignoreChanges").exists(_.toBoolean)
+  private def head: Int =
+    GraftManifest.versions(scan.path).lastOption.getOrElse(0)
+  // AvailableNow pins the drain target when the trigger starts
+  private var fixedEnd: Option[Int] = None
+  private case class V(v: Int) extends Offset {
+    override def json(): String = v.toString
+  }
+  private val maxPerTrigger =
+    scan.streamOpts.get("maxVersionsPerTrigger").map(_.toInt)
+  override def initialOffset(): Offset = V(start0)
+  override def latestOffset(): Offset = V(fixedEnd.getOrElse(head))
+  /** Admission control: cap each micro-batch at `maxVersionsPerTrigger`
+    * commits, never retreating below the committed start — one run
+    * becomes many offset-committed batches, and a restart resumes from
+    * the checkpoint mid-drain. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[V].v
+    val target = fixedEnd.getOrElse(head)
+    if (target <= s) V(s)
+    else V(maxPerTrigger.map(n => math.min(target, s + n)).getOrElse(target))
+  }
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = V(head)
+  override def prepareForTriggerAvailableNow(): Unit = fixedEnd = Some(head)
+  override def deserializeOffset(json: String): Offset = V(json.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[V].v, end.asInstanceOf[V].v)
+    if (e <= s) return Array.empty
+    val (added, removed, _) = GraftSinkScan.diffMetas(scan.path, s, Some(e))
+    if (removed.nonEmpty && !ignoreChanges) throw new IllegalStateException(
+      s"graft-sink stream: versions ($s, $e] at ${scan.path} rewrite " +
+        s"${removed.size} committed file(s); an appends-only stream cannot " +
+        "represent removals — set ignoreChanges=true to re-emit rewritten " +
+        "files (at-least-once) or restart past the rewrite")
+    added
+      .filter(m => scan.filters.forall(GraftSinkScan.mayMatch(m, scan.full, _)))
+      .map(m => GraftSinkFileSplit(s"${scan.path}/${m.name}", m.rows,
+        m.ncols): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSinkReaderFactory(scan.full, scan.readSchema())
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class GraftSinkCommit(files: Seq[GraftFileMeta]) extends WriterCommitMessage

@@ -272,4 +272,107 @@ class SourceSpec extends AnyFunSuite {
     // the offset log is the persisted source-of-truth for the resume
     assert(new java.io.File(s"$chk/offsets").listFiles().length >= 5)
   }
+
+  test("graft-sink timestampAsOf: strictly increasing commit clocks, boundary resolution") {
+    import graft.sources.GraftManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_spec").toString
+    def write(lo: Long, mode: String): Unit =
+      spark.range(lo, lo + 5).selectExpr("id AS k")
+        .coalesce(1).write.format("graft-sink").option("path", dir).mode(mode).save()
+    write(0, "overwrite"); write(10, "append"); write(20, "append")
+    val ts = (1 to 3).map(v => GraftManifest.readVersion(dir, Some(v)).get.ts.get)
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"commit timestamps must be strictly increasing, got $ts")
+    def at(t: Long) = spark.read.format("graft-sink")
+      .option("path", dir).option("timestampAsOf", t.toString).load().count()
+    assert(at(ts(0)) == 5, "v1's own commit instant resolves to v1")
+    assert(at(ts(1) - 1) == 5, "just before v2 still resolves to v1")
+    assert(at(ts(1)) == 10 && at(ts(2)) == 15)
+    assert(at(System.currentTimeMillis() + 60000) == 15, "the future resolves to head")
+    val e = intercept[IllegalArgumentException] { at(ts(0) - 1) }
+    assert(e.getMessage.contains("precedes every commit"))
+  }
+
+  test("graft-sink change feed: version diff plans only changed files, tags insert/delete") {
+    import graft.sources.GraftSinkScan
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdf_spec").toString
+    def write(lo: Long, mode: String, base: Option[Int] = None): Unit = {
+      val w = spark.range(lo, lo + 5).selectExpr("id AS k")
+        .coalesce(1).write.format("graft-sink").option("path", dir).mode(mode)
+      base.fold(w)(b => w.option("expectedBaseVersion", b.toString)).save()
+    }
+    write(0, "overwrite"); write(10, "append")
+    // v3: DELETE k<3 as a conditioned rewrite (all files replaced)
+    spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("k") >= 3).coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("expectedBaseVersion", "2").mode("overwrite").save()
+    def changes(from: Int, to: Int) = spark.read.format("graft-sink")
+      .option("path", dir).option("changesFrom", from.toString)
+      .option("changesTo", to.toString).load()
+    // append range: pure inserts, planned = the ONE added file
+    val a = changes(1, 2)
+    assert(a.rdd.getNumPartitions == 1, "append CDF must plan only the added file")
+    assert(a.groupBy(col(GraftSinkScan.ChangeCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("insert" -> 5L))
+    // rewrite range: old files delete, new file inserts
+    val b = changes(2, 3)
+    val byType = b.groupBy(col(GraftSinkScan.ChangeCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 10L, "insert" -> 7L), byType.toString)
+    // whole-history feed (from 0) = the head snapshot as inserts
+    assert(changes(0, 3).where(col(GraftSinkScan.ChangeCol) === "insert").count() == 7)
+    // net change replays: v2 content + feed = v3 content
+    val net = b.groupBy(col("k"))
+      .agg(sum(when(col(GraftSinkScan.ChangeCol) === "insert", 1)
+        .otherwise(-1)).as("d"))
+    val v2 = spark.read.format("graft-sink").option("path", dir)
+      .option("versionAsOf", "2").load()
+    val replayed = v2.select(col("k")).withColumn("d", lit(1))
+      .unionByName(net.select(col("k"), col("d")))
+      .groupBy(col("k")).agg(sum(col("d")).as("copies"))
+      .where(col("copies") > 0).select(col("k"))
+    val v3 = spark.read.format("graft-sink").option("path", dir).load().select(col("k"))
+    assert(replayed.except(v3).count() == 0 && v3.except(replayed).count() == 0,
+      "applying the change feed to v2 must reproduce v3")
+  }
+
+  test("graft-sink streaming source: version offsets, rewrite fails loudly, ignoreChanges re-emits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tstream_spec").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_tstream_chk").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_tstream_out").toString
+    def write(lo: Long, mode: String): Unit =
+      spark.range(lo, lo + 5).selectExpr("id AS k")
+        .coalesce(1).write.format("graft-sink").option("path", dir).mode(mode).save()
+    def drain(opts: Map[String, String] = Map.empty): Unit = {
+      val r = spark.readStream.format("graft-sink").option("path", dir)
+      val q = opts.foldLeft(r) { case (x, (k, v)) => x.option(k, v) }.load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) => b.write.mode("overwrite").parquet(s"$out/batch=$id") }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    write(0, "overwrite"); write(10, "append")
+    drain(Map("maxVersionsPerTrigger" -> "1"))
+    val run1 = spark.read.parquet(out)
+    assert(run1.count() == 10, "cold start streams the whole committed history")
+    assert(run1.select("batch").distinct().count() == 2,
+      "maxVersionsPerTrigger=1 must split 2 versions into 2 micro-batches")
+    write(20, "append")
+    drain()
+    assert(spark.read.parquet(out).count() == 15,
+      "resume must read exactly the new version")
+    // OPTIMIZE-style rewrite: appends-only streaming cannot represent it
+    spark.read.format("graft-sink").option("path", dir).load().coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("expectedBaseVersion", "3").mode("overwrite").save()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    assert(e.getCause.getMessage.contains("appends-only stream"), e.getCause.getMessage)
+    // ignoreChanges: the rewritten file re-emits (documented at-least-once)
+    drain(Map("ignoreChanges" -> "true"))
+    assert(spark.read.parquet(out).count() == 30,
+      "ignoreChanges re-emits the 15 rewritten rows")
+  }
 }
