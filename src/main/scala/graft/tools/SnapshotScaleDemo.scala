@@ -74,6 +74,56 @@ object SnapshotScaleDemo {
     println(f"""{"phase":"time_travel","v1_rows":$n1,"v1_sec":$s1%.2f,""" +
       f""""mid_rows":$nm,"mid_sec":$sm%.2f,"head_rows":$nh,"head_sec":$sh%.2f}""")
 
+    // phase 2b: the round-8 incremental surfaces against the aged table —
+    // the costs that make-or-break a 100 TB consumer:
+    //  - timestampAsOf pays O(versions) small manifest reads to resolve;
+    //  - a NARROW change feed (last commit only) plans 4 files no matter
+    //    how big the table has grown — the O(changed files) claim;
+    //  - a WIDE feed (whole history) degenerates to the head snapshot;
+    //  - a streaming drain of the whole history in version-capped batches
+    //    is the ingest-replay shape (many offset commits, no rescans).
+    val headTs = head.ts.get
+    var s0 = System.nanoTime()
+    val tsRows = spark.read.format("graft-sink").option("path", dir)
+      .option("timestampAsOf", headTs.toString).load().count()
+    val tsSec = (System.nanoTime() - s0) / 1e9
+    def cdf(from: Int): (Long, Int, Double) = {
+      val df = spark.read.format("graft-sink").option("path", dir)
+        .option("changesFrom", from.toString)
+        .option("changesTo", head.version.toString).load()
+      val t = System.nanoTime()
+      val n = df.count()
+      (n, df.rdd.getNumPartitions, (System.nanoTime() - t) / 1e9)
+    }
+    val (nNarrow, fNarrow, sNarrow) = cdf(head.version - 1)
+    val (nWide, fWide, sWide) = cdf(0)
+    require(tsRows == nh && nWide == nh,
+      s"timestampAsOf head + whole-history feed must both see $nh rows")
+    println(f"""{"phase":"incremental_read","ts_as_of_sec":$tsSec%.2f,""" +
+      f""""cdf_last_commit_rows":$nNarrow,"cdf_last_commit_files":$fNarrow,""" +
+      f""""cdf_last_commit_sec":$sNarrow%.2f,"cdf_full_rows":$nWide,""" +
+      f""""cdf_full_files":$fWide,"cdf_full_sec":$sWide%.2f}""")
+
+    // phase 2c: stream the whole history, 25 versions per micro-batch
+    s0 = System.nanoTime()
+    val seen = spark.sparkContext.longAccumulator("streamed_rows")
+    val batches = spark.sparkContext.longAccumulator("stream_batches")
+    val q = spark.readStream.format("graft-sink").option("path", dir)
+      .option("maxVersionsPerTrigger", "25").load()
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batches.add(1); seen.add(b.count())
+      }
+      .option("checkpointLocation",
+        graft.util.Scratch.dir("snapscale_chk", s"n$nAppends"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drainSec = (System.nanoTime() - s0) / 1e9
+    require(seen.value == nh, s"stream drain must see all $nh rows, saw ${seen.value}")
+    println(f"""{"phase":"stream_drain","rows":${seen.value},""" +
+      f""""micro_batches":${batches.value},"sec":$drainSec%.1f}""")
+
     // phase 3: OPTIMIZE (compact to 8 files) + VACUUM(retain 1)
     t0 = System.nanoTime()
     spark.read.format("graft-sink").option("path", dir).load()
