@@ -1187,6 +1187,54 @@ object Scale {
       .orderBy(col("from_v"), col("change_type"), col("event_type"), col("bucket"))
   }
 
+  /** The lakehouse surface FROM PLAIN SQL — a [[graft.sources.GraftCatalog]]
+    * (DataSource V2 TableCatalog over graft-sink directories) registered in
+    * the session maps `gsql.db.<t>` to `<root>/db/<t>`, and Spark's native
+    * syntax drives the connector end-to-end: `VERSION AS OF 1` pins the
+    * first commit, `TIMESTAMP AS OF '<v2 commit instant>'` resolves
+    * through the manifests' strictly-increasing commit clocks (micros →
+    * millis → version), `INSERT INTO` lands version 3 through the normal
+    * link(2)-CAS commit, and the bare name follows the head. No metastore
+    * exists: the catalog is a naming layer over self-describing manifests
+    * (`listTables` = directory listing), the posture a shared 100 TB
+    * object-store layout wants. The oracle recomputes all three phases
+    * from events. */
+  def sqlCatalogTravel(spark: SparkSession, sf: String): DataFrame = {
+    val root = graft.util.Scratch.dir("sqlcat_root", "all")
+    spark.conf.set("spark.sql.catalog.gsql",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsql.root", root)
+    val tbl = "t_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"$root/db/$tbl"
+    def slice(m: Int): DataFrame = events(spark, sf)
+      .where(col("user_id") % 3 === m)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+    graft.util.Scratch.once(dir) {
+      slice(0).write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      slice(1).write.format("graft-sink").option("path", dir).mode("append").save()
+      slice(2).createOrReplaceTempView(s"ins_src_$tbl")
+      spark.sql(s"INSERT INTO gsql.db.$tbl SELECT * FROM ins_src_$tbl")
+    }
+    require(graft.sources.GraftManifest.versions(dir).size == 3,
+      "fixture: SQL INSERT must have committed version 3")
+    val ts2 = graft.sources.GraftManifest.readVersion(dir, Some(2)).get.ts.get
+    val tsLit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ts2))
+    spark.sql(
+      s"""SELECT CAST(1 AS BIGINT) AS phase, event_type, n, sum_cents
+         |FROM gsql.db.$tbl VERSION AS OF 1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), event_type, n, sum_cents
+         |FROM gsql.db.$tbl TIMESTAMP AS OF '$tsLit'
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), event_type, n, sum_cents
+         |FROM gsql.db.$tbl
+         |ORDER BY phase, event_type, n""".stripMargin)
+  }
+
   /** AQE skew-join handling — the AUTOMATIC twin of join_skew_salted's
     * manual salting: a synthetic hot key (30% of lineitem folded onto
     * orderkey 1) makes one shuffle partition dwarf the median, and
@@ -1481,6 +1529,7 @@ object Scale {
     "sink_time_travel" -> sinkTimeTravel,
     "sink_time_travel_ts" -> sinkTimeTravelTs,
     "sink_change_feed" -> sinkChangeFeed,
+    "sql_catalog_travel" -> sqlCatalogTravel,
     "sink_compact_vacuum" -> sinkCompactVacuum,
     "sink_snapshot_diff" -> sinkSnapshotDiff,
     "sink_stats_skip" -> sinkStatsSkip,
@@ -1493,6 +1542,18 @@ object Scale {
   )
 
   def oracle: Map[String, String] = Map(
+    "sql_catalog_travel" ->
+      """WITH s AS (
+        |  SELECT user_id % 3 AS m, event_type, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS phase, event_type, n, sum_cents FROM s WHERE m = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, n, sum_cents FROM s WHERE m <= 1
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), event_type, n, sum_cents FROM s
+        |ORDER BY phase, event_type, n""".stripMargin,
+
     "sink_time_travel_ts" ->
       """WITH v1 AS (
         |  SELECT event_type, count(*) AS n,

@@ -310,13 +310,24 @@ object GraftManifest {
       def widened(wide: StructType, narrowLen: Int): String =
         StructType(wide.fields.zipWithIndex.map { case (f, i) =>
           if (i >= narrowLen) f.copy(nullable = true) else f }).toDDL
+      // Same shape = same names and types; nullability UNIONS (a non-null
+      // INSERT into a nullable table is fine, and a nullable append into
+      // a NOT NULL table must widen the committed schema — the new file
+      // may hold nulls, and a reader trusting NOT NULL would miscompute).
+      def sameShape(a: StructType, b: StructType): Boolean =
+        a.length == b.length && a.fields.zip(b.fields).forall { case (x, y) =>
+          x.name == y.name && x.dataType == y.dataType }
+      def unionNull(a: StructType, b: StructType): String =
+        StructType(a.fields.zip(b.fields).map { case (x, y) =>
+          x.copy(nullable = x.nullable || y.nullable) }).toDDL
       val unionDdl =
         if (truncate) schemaDdl
         else priorDdl match {
           case None | Some(`schemaDdl`) => schemaDdl
           case Some(prior) =>
             val (p, j) = (StructType.fromDDL(prior), StructType.fromDDL(schemaDdl))
-            if (evolve && isPrefixOf(p, j)) widened(j, p.length)
+            if (sameShape(p, j)) unionNull(p, j)
+            else if (evolve && isPrefixOf(p, j)) widened(j, p.length)
             else if (evolve && isPrefixOf(j, p)) widened(p, j.length)
             else if (evolve) throw new IllegalArgumentException(
               s"graft-sink: evolveSchema only admits trailing-column extension; " +

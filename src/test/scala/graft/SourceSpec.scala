@@ -337,6 +337,31 @@ class SourceSpec extends AnyFunSuite {
       "applying the change feed to v2 must reproduce v3")
   }
 
+  test("graft catalog: CREATE TABLE commits schema, INSERT appends, SQL travels, DROP is local") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_spec").toString
+    spark.conf.set("spark.sql.catalog.gspec", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspec.root", root)
+    spark.sql("CREATE TABLE gspec.ns.t (k BIGINT, s STRING)")
+    // v1 = the empty manifest carrying the declared schema
+    val v1 = graft.sources.GraftManifest.readVersion(s"$root/ns/t", Some(1)).get
+    assert(v1.metas.isEmpty && v1.schemaDdl.exists(_.contains("k BIGINT")))
+    assert(spark.sql("SELECT * FROM gspec.ns.t").count() == 0)
+    spark.sql("INSERT INTO gspec.ns.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gspec.ns.t VALUES (3, 'c')")
+    assert(spark.sql("SELECT * FROM gspec.ns.t").count() == 3)
+    assert(spark.sql("SELECT * FROM gspec.ns.t VERSION AS OF 2").count() == 2)
+    assert(spark.table("gspec.ns.t").schema.fieldNames.toSeq == Seq("k", "s"))
+    // the catalog is a naming layer: listTables = dirs with a manifest
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = spark.sessionState.catalogManager.catalog("gspec")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    assert(cat.listTables(Array("ns")).toSeq == Seq(Identifier.of(Array("ns"), "t")))
+    val e = intercept[Exception] { spark.sql("SELECT * FROM gspec.ns.missing").collect() }
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+    assert(cat.dropTable(Identifier.of(Array("ns"), "t")))
+    assert(cat.listTables(Array("ns")).isEmpty)
+  }
+
   test("graft-sink streaming source: version offsets, rewrite fails loudly, ignoreChanges re-emits") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tstream_spec").toString
     val chk = java.nio.file.Files.createTempDirectory("graft_tstream_chk").toString
