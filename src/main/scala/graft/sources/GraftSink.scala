@@ -129,9 +129,14 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
 
 /** One committed manifest version: the files it names (with metadata),
   * the committed total, the schema DDL it was written with, and the
-  * commit wall-clock (epoch millis; None for pre-round-8 manifests). */
+  * commit wall-clock (epoch millis; None for pre-round-8 manifests).
+  * `base` is the RAW (on-disk) form only: an append DELTA manifest lists
+  * just its own adds relative to version `base` — every manifest
+  * [[GraftManifest.readVersion]] returns is FOLDED (base = None, metas =
+  * the complete snapshot). */
 case class GraftManifest(version: Int, metas: Seq[GraftFileMeta],
-    total: Long, schemaDdl: Option[String], ts: Option[Long] = None) {
+    total: Long, schemaDdl: Option[String], ts: Option[Long] = None,
+    base: Option[Int] = None) {
   /** Legacy (name, rows) view — the shape the v1 protocol exposed. */
   def files: Seq[(String, Long)] = metas.map(m => m.name -> m.rows)
 }
@@ -151,10 +156,13 @@ object GraftManifest {
     * lines keep the v1 `file,rows` shape):
     * {{{
     * #schema=<DDL>                     table schema (union across evolutions)
+    * #ts=<epochMillis>                  commit wall-clock (strictly increasing)
+    * #base=<v>                          DELTA manifest: file lines are this
+    *                                    commit's ADDS on top of version v
     * #meta=<file>,<ncols>,<pcol>,<pval> per-file width + partition (pcol empty = none)
     * #stats=<file>,<colIdx>,<min>,<max> per-(file, column) min/max (non-null values)
-    * <file>,<rows>                      one per committed file
-    * _total,<N>                         committed row total
+    * <file>,<rows>                      one per listed file
+    * _total,<N>                         row total of the FULL snapshot
     * }}}
     * `<pval>`/`<min>`/`<max>` are comma-free by construction (the writer
     * refuses delimiter characters in string values), so fixed-arity
@@ -163,6 +171,7 @@ object GraftManifest {
   def parse(version: Int, body: String): GraftManifest = {
     var ddl: Option[String] = None
     var ts: Option[Long] = None
+    var base: Option[Int] = None
     val rows = Seq.newBuilder[(String, Long)]
     val ncols = scala.collection.mutable.Map[String, Int]()
     val parts = scala.collection.mutable.Map[String, (String, String)]()
@@ -172,6 +181,7 @@ object GraftManifest {
     body.split("\n").filter(_.nonEmpty).foreach {
       case s if s.startsWith("#schema=") => ddl = Some(s.stripPrefix("#schema="))
       case s if s.startsWith("#ts=")     => ts = Some(s.stripPrefix("#ts=").toLong)
+      case s if s.startsWith("#base=")   => base = Some(s.stripPrefix("#base=").toInt)
       case s if s.startsWith("#meta=") =>
         s.stripPrefix("#meta=").split(",", 4) match {
           case Array(f, n, pc, pv) =>
@@ -198,10 +208,38 @@ object GraftManifest {
     val metas = rows.result().map { case (f, n) =>
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f))
     }
-    GraftManifest(version, metas, total, ddl, ts)
+    GraftManifest(version, metas, total, ddl, ts, base)
   }
 
-  /** Read one version (None = head). None result = no committed version. */
+  /** The RAW on-disk manifest for one version (a delta stays a delta). */
+  private def readRaw(path: String, v: Int): GraftManifest = {
+    val f = Paths.get(path, s"$VPrefix$v")
+    if (!Files.exists(f)) throw new IllegalStateException(
+      s"graft-sink: manifest v$v missing at $path (a delta chain crossing a " +
+        "vacuumed version — vacuum folds retained deltas first, so this " +
+        "indicates an interrupted vacuum or external deletion)")
+    parse(v, new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+  }
+
+  /** FOLD a (possibly delta) manifest into its full snapshot: walk the
+    * `#base` chain (bounded by [[CheckpointEvery]] — every Kth commit and
+    * every rewrite is a full snapshot) and concatenate adds in commit
+    * order. The recorded `_total` is the integrity check: a fold whose
+    * row sum disagrees fails loudly rather than serving a torn chain. */
+  private def fold(path: String, v: Int): GraftManifest = {
+    val m = readRaw(path, v)
+    m.base match {
+      case None => m
+      case Some(b) =>
+        val metas = fold(path, b).metas ++ m.metas
+        val sum = metas.map(_.rows).sum
+        if (sum != m.total) throw new IllegalStateException(
+          s"graft-sink: folding v$v at $path yields $sum rows, manifest committed ${m.total}")
+        GraftManifest(v, metas, m.total, m.schemaDdl, m.ts)
+    }
+  }
+
+  /** Read one version (None = head), FOLDED. None = no committed version. */
   def readVersion(path: String, version: Option[Int]): Option[GraftManifest] = {
     val vs = versions(path)
     val v = version match {
@@ -212,9 +250,7 @@ object GraftManifest {
           s"graft-sink: versionAsOf=$n not found at $path; committed versions: ${vs.mkString(",")}")
       case None => if (vs.isEmpty) return None else vs.max
     }
-    val body = new String(
-      Files.readAllBytes(Paths.get(path, s"$VPrefix$v")), StandardCharsets.UTF_8)
-    Some(parse(v, body))
+    Some(fold(path, v))
   }
 
   /** TIMESTAMP AS OF resolution: the newest version whose commit
@@ -227,8 +263,8 @@ object GraftManifest {
     * O(versions) small-file reads — the version count is bounded by
     * OPTIMIZE/VACUUM lifecycle, never by table size. */
   def resolveTimestamp(path: String, tsMillis: Long): Int = {
-    val at = versions(path).map(v =>
-      v -> readVersion(path, Some(v)).flatMap(_.ts).getOrElse(0L))
+    // header reads: every manifest carries its own #ts, no folding needed
+    val at = versions(path).map(v => v -> readHeader(path, v).ts.getOrElse(0L))
     at.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
       throw new IllegalArgumentException(
         s"graft-sink: timestampAsOf=$tsMillis precedes every commit at $path; " +
@@ -242,6 +278,65 @@ object GraftManifest {
   private[sources] def isPrefixOf(a: StructType, b: StructType): Boolean =
     a.length <= b.length && a.fields.zip(b.fields).forall { case (x, y) =>
       x.name == y.name && x.dataType == y.dataType }
+
+  /** Every Kth append commits a FULL snapshot manifest (a checkpoint);
+    * the K-1 between are DELTAS listing only their own adds with a
+    * `#base` pointer. This is what keeps commit cost O(job files)
+    * amortized instead of O(table files) per commit — the many-small-
+    * appends streaming-ingest regime would otherwise pay a quadratic
+    * total manifest bill as the table ages (the Delta-log/checkpoint
+    * design, re-derived). Rewrites (OPTIMIZE / MERGE / DELETE / user
+    * overwrite) always publish full snapshots: they already enumerate
+    * the complete file set, and keeping every remover full means delta
+    * chains never contain removals — folding is pure concatenation. */
+  val CheckpointEvery = 10
+
+  /** One manifest body (full when `base` is None, delta otherwise).
+    * `totalRows` is always the FULL snapshot's row count — the fold
+    * integrity check depends on it. */
+  private def render(ddl: String, ts: Long, base: Option[Int],
+      bodyMetas: Seq[GraftFileMeta], totalRows: Long): String = {
+    val meta = bodyMetas.flatMap { m =>
+      val p = m.partition.map { case (c, v) => s"$c,$v" }.getOrElse(",")
+      s"#meta=${m.name},${m.ncols},$p" +:
+        m.stats.toSeq.sortBy(_._1).map { case (i, (mn, mx)) =>
+          s"#stats=${m.name},$i,$mn,$mx" }
+    }
+    // `_total` rides in the HEADER (parse is position-agnostic): a delta
+    // commit then learns the prior total from [[readHeader]] without
+    // parsing the checkpoint's whole file list
+    (s"#schema=$ddl" +: s"#ts=$ts" +: base.map(b => s"#base=$b").toSeq ++:
+      s"_total,$totalRows" +: meta ++:
+      bodyMetas.map(m => s"${m.name},${m.rows}")).mkString("\n")
+  }
+
+  /** Header-only raw read — schema, commit clock, base pointer, total —
+    * O(header lines) regardless of how many files the manifest names.
+    * This is what keeps a delta APPEND O(1): it needs exactly these four
+    * facts about the head, never the head's file list. Pre-round-8
+    * manifests carry `_total` at the end — fall back to the full parse. */
+  private def readHeader(path: String, v: Int): GraftManifest = {
+    val f = Paths.get(path, s"$VPrefix$v")
+    if (!Files.exists(f)) throw new IllegalStateException(
+      s"graft-sink: manifest v$v missing at $path")
+    val in = Files.newBufferedReader(f, StandardCharsets.UTF_8)
+    try {
+      var ddl: Option[String] = None
+      var ts: Option[Long] = None
+      var base: Option[Int] = None
+      var total = -1L
+      var line = in.readLine()
+      while (line != null && total < 0 && (line.startsWith("#") || line.startsWith("_total,"))) {
+        if (line.startsWith("#schema=")) ddl = Some(line.stripPrefix("#schema="))
+        else if (line.startsWith("#ts=")) ts = Some(line.stripPrefix("#ts=").toLong)
+        else if (line.startsWith("#base=")) base = Some(line.stripPrefix("#base=").toInt)
+        else if (line.startsWith("_total,")) total = line.stripPrefix("_total,").toLong
+        line = in.readLine()
+      }
+      if (total >= 0) GraftManifest(v, Seq.empty, total, ddl, ts, base)
+      else readRaw(path, v)
+    } finally in.close()
+  }
 
   /** Legacy (name, rows) commit — full-width files, no stats/partition. */
   def commit(path: String, jobFiles: Seq[(String, Long)], schemaDdl: String,
@@ -295,9 +390,15 @@ object GraftManifest {
     while (true) {
       attempt += 1
       require(attempt <= 1000, s"graft-sink: gave up claiming a manifest version at $path")
-      val head = readVersion(path, None)
+      // RAW head only: a delta append needs the prior total, schema DDL
+      // and commit clock — all carried on every raw manifest — so the
+      // per-commit cost stays O(1) manifest reads + O(job files) written;
+      // folding the whole chain here would put the O(table) tax back on
+      // every append. Checkpoints fold exactly once, below.
+      val headV = versions(path).lastOption
+      val head = headV.map(readHeader(path, _))
       expectedBase.foreach { base =>
-        val at = head.map(_.version).getOrElse(0)
+        val at = headV.getOrElse(0)
         if (at != base) throw new java.util.ConcurrentModificationException(
           s"graft-sink: commit planned against version $base but head is $at at $path — " +
             "re-read the table and re-plan the rewrite (a blind retry would drop concurrent commits)")
@@ -336,21 +437,27 @@ object GraftManifest {
               s"graft-sink: append schema '$schemaDdl' != committed schema '$prior' " +
                 "(overwrite to change schema, or evolveSchema=true to add trailing columns)")
         }
-      val all = (if (truncate) Seq.empty else head.map(_.metas).getOrElse(Seq.empty)) ++ jobMetas
-      val next = head.map(_.version + 1).getOrElse(1)
-      val meta = all.flatMap { m =>
-        val p = m.partition.map { case (c, v) => s"$c,$v" }.getOrElse(",")
-        s"#meta=${m.name},${m.ncols},$p" +:
-          m.stats.toSeq.sortBy(_._1).map { case (i, (mn, mx)) =>
-            s"#stats=${m.name},$i,$mn,$mx" }
-      }
+      val next = headV.map(_ + 1).getOrElse(1)
       // strictly-increasing commit wall-clock: two commits inside one
       // millisecond would otherwise make timestampAsOf ambiguous
       val commitTs = math.max(System.currentTimeMillis(),
         head.flatMap(_.ts).getOrElse(0L) + 1)
-      val body = (s"#schema=$unionDdl" +: s"#ts=$commitTs" +: meta ++:
-        all.map(m => s"${m.name},${m.rows}") :+
-        s"_total,${all.map(_.rows).sum}").mkString("\n")
+      // DELTA (adds-only, #base) between checkpoints; FULL on the first
+      // commit, every CheckpointEvery-th slot, and every truncate
+      val isDelta = !truncate && headV.nonEmpty && next % CheckpointEvery != 0
+      val newTotal = (if (truncate) 0L else head.map(_.total).getOrElse(0L)) +
+        jobMetas.map(_.rows).sum
+      // `all` (the folded full list) is materialized ONLY for full
+      // commits — checkpoints and truncates — never per delta append
+      lazy val all = (if (truncate) Seq.empty
+        else headV.map(fold(path, _).metas).getOrElse(Seq.empty)) ++ jobMetas
+      val body =
+        if (isDelta) render(unionDdl, commitTs, headV, jobMetas, newTotal)
+        else {
+          require(all.map(_.rows).sum == newTotal,
+            s"graft-sink: checkpoint fold at $path disagrees with the running total")
+          render(unionDdl, commitTs, None, all, newTotal)
+        }
       val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$next", ".tmp")
       var claimed = false
       try {
@@ -362,8 +469,10 @@ object GraftManifest {
         // head pointer for pre-versioning readers; REPLACE is safe — it is
         // derived state, the version files are the durable record — and
         // BEST-EFFORT: the version is already durably committed, so a
-        // refresh failure must not fail the job
-        scala.util.Try {
+        // refresh failure must not fail the job. Refreshed only on FULL
+        // commits: writing the complete list per delta commit would put
+        // the O(table files) cost the delta design removes right back.
+        if (!isDelta) scala.util.Try {
           val legacy = (all.map(m => s"${m.name},${m.rows}") :+
             s"_total,${all.map(_.rows).sum}").mkString("\n")
           val ltmp = Files.createTempFile(Paths.get(path), "_manifest", ".tmp")
@@ -407,6 +516,27 @@ object GraftManifest {
     require(retainLast >= 1, "vacuum must retain at least the head version")
     val vs = versions(path)
     val dropped = vs.dropRight(retainLast)
+    // FOLD every retained DELTA manifest into its full-snapshot form
+    // BEFORE dropping anything: a retained delta's #base chain may cross
+    // the cutoff, and dropping a base would strand it. The rewrite is an
+    // atomic REPLACE with logically identical content, so a concurrent
+    // reader sees either form and folds to the same snapshot; ascending
+    // order keeps each later fold reading already-folded predecessors.
+    // After this loop every retained manifest is self-contained and the
+    // "dropped versions fail at manifest lookup" contract holds exactly.
+    vs.takeRight(retainLast).foreach { v =>
+      if (readHeader(path, v).base.isDefined) {
+        val m = fold(path, v)
+        val body = render(m.schemaDdl.getOrElse(""), m.ts.getOrElse(0L),
+          None, m.metas, m.total)
+        val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$v", ".tmp")
+        try {
+          Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, Paths.get(path, s"$VPrefix$v"),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        } finally Files.deleteIfExists(tmp)
+      }
+    }
     val keep = vs.takeRight(retainLast)
       .flatMap(v => readVersion(path, Some(v)).toSeq.flatMap(_.metas.map(_.name)))
       .toSet

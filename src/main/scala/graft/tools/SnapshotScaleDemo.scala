@@ -60,6 +60,44 @@ object SnapshotScaleDemo {
       f""""sec":$appendSec%.1f,"first_commit_ms":${firstCommitNs / 1000000},""" +
       f""""last_commit_ms":${lastCommitNs / 1000000}}""")
 
+    // phase 1b: MANIFEST-LAYER cost isolated from Spark job overhead — the
+    // regime the delta/checkpoint log exists for. A 100 000-file table
+    // (the realistic file count a 100 TB table with ~1 GB files carries):
+    // an append between checkpoints writes a DELTA manifest naming only
+    // its own files, so commit cost is O(job files); every CheckpointEvery-th
+    // commit folds to a full snapshot and pays O(table files) once —
+    // amortized, the quadratic total-manifest bill of always-full commits
+    // is gone while every read still folds to the exact snapshot.
+    {
+      import graft.sources.{GraftFileMeta, GraftManifest}
+      val mdir = graft.util.Scratch.dir("snapscale_manifest", s"n$nAppends")
+      val ddl = "k BIGINT,v BIGINT"
+      if (GraftManifest.versions(mdir).isEmpty) {
+        val big = (1 to 100000).map(i =>
+          GraftFileMeta(f"p-$i%06d.csv", 100L, 2, Map(0 -> (("1", "100"))), None))
+        GraftManifest.commitMetas(mdir, big, ddl, truncate = true)
+        (2 to 9).foreach(i => GraftManifest.commitMetas(mdir,
+          Seq(GraftFileMeta(s"a-$i.csv", 100L, 2, Map.empty, None)), ddl,
+          truncate = false))
+      }
+      def commitOne(tag: Int): Long = {
+        val c0 = System.nanoTime()
+        GraftManifest.commitMetas(mdir,
+          Seq(GraftFileMeta(s"a-$tag.csv", 100L, 2, Map.empty, None)), ddl,
+          truncate = false)
+        (System.nanoTime() - c0) / 1000000
+      }
+      val checkpointMs = commitOne(10) // v10: full snapshot, 100 008 files
+      val deltaMs = commitOne(11)      // v11: delta, 1 file
+      def bytes(v: Int) = java.nio.file.Files.size(
+        java.nio.file.Paths.get(mdir, s"_manifest-v$v"))
+      val folded = GraftManifest.readVersion(mdir, None).get
+      require(folded.metas.size == 100010, s"fold saw ${folded.metas.size}")
+      println(s"""{"phase":"manifest_cost","table_files":${folded.metas.size},""" +
+        s""""checkpoint_ms":$checkpointMs,"checkpoint_bytes":${bytes(10)},""" +
+        s""""delta_ms":$deltaMs,"delta_bytes":${bytes(11)}}""")
+    }
+
     // phase 2: time-travel reads at v1, mid, head (count + sum as the probe)
     def readAt(v: Option[Int]): (Long, Double) = {
       val r = spark.read.format("graft-sink").option("path", dir)

@@ -337,6 +337,51 @@ class SourceSpec extends AnyFunSuite {
       "applying the change feed to v2 must reproduce v3")
   }
 
+  test("graft-sink delta manifests: appends write O(job) bodies, folds agree, vacuum self-contains") {
+    import graft.sources.GraftManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_spec").toString
+    def write(lo: Long, mode: String): Unit =
+      spark.range(lo, lo + 3).selectExpr("id AS k")
+        .coalesce(1).write.format("graft-sink").option("path", dir).mode(mode).save()
+    write(0, "overwrite")
+    (1 until 25).foreach(i => write(i * 10L, "append"))
+    def rawBody(v: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, s"_manifest-v$v")), "UTF-8")
+    def fileLines(v: Int) = rawBody(v).split("\n")
+      .count(l => !l.startsWith("#") && !l.startsWith("_total"))
+    // deltas carry ONLY their own adds; checkpoints (v10, v20) and the
+    // first commit (v1) carry the full list
+    assert(rawBody(7).contains("#base=6") && fileLines(7) == 1, rawBody(7).take(200))
+    assert(!rawBody(10).contains("#base=") && fileLines(10) == 10)
+    assert(!rawBody(20).contains("#base=") && fileLines(20) == 20)
+    assert(rawBody(25).contains("#base=24") && fileLines(25) == 1)
+    // folds agree with the physical truth at every probe point
+    assert(GraftManifest.readVersion(dir, Some(7)).get.files.size == 7)
+    assert(GraftManifest.readVersion(dir, Some(25)).get.total == 75)
+    assert(spark.read.format("graft-sink").option("path", dir)
+      .option("versionAsOf", "13").load().count() == 39)
+    // stats skipping still works through a folded delta chain
+    val skim = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("k") >= 240) // only the last append's file can match
+    assert(skim.rdd.getNumPartitions == 1 && skim.count() == 3)
+    // vacuum folds retained deltas (21..25 chain onto dropped v20) before
+    // dropping, so every retained manifest is self-contained
+    GraftManifest.vacuum(dir, retainLast = 3, graceMs = 0L)
+    assert(GraftManifest.versions(dir) == Seq(23, 24, 25))
+    assert(!rawBody(23).contains("#base=") && fileLines(23) == 23)
+    assert(!rawBody(24).contains("#base=") && !rawBody(25).contains("#base="),
+      "every retained manifest is folded self-contained")
+    assert(spark.read.format("graft-sink").option("path", dir)
+      .option("versionAsOf", "23").load().count() == 69)
+    assert(spark.read.format("graft-sink").option("path", dir).load().count() == 75)
+    // append-only table: every retained version references every file
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-sink").option("path", dir)
+        .option("versionAsOf", "13").load().count()
+    }
+    assert(e.getMessage.contains("not found"), e.getMessage)
+  }
+
   test("graft catalog: CREATE TABLE commits schema, INSERT appends, SQL travels, DROP is local") {
     val root = java.nio.file.Files.createTempDirectory("graft_cat_spec").toString
     spark.conf.set("spark.sql.catalog.gspec", classOf[graft.sources.GraftCatalog].getName)
