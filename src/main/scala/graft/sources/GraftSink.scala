@@ -231,7 +231,20 @@ object GraftManifest {
     m.base match {
       case None => m
       case Some(b) =>
-        val metas = fold(path, b).metas ++ m.metas
+        val baseM =
+          try fold(path, b)
+          catch {
+            case e: IllegalStateException =>
+              // A concurrent VACUUM can fold v to self-contained form and
+              // drop b between our two reads (it always rewrites retained
+              // manifests BEFORE dropping bases). Re-read v: if the chain
+              // is gone the rewrite landed and v is complete; if v is
+              // still chained the missing base is real — fail loudly.
+              val again = readRaw(path, v)
+              if (again.base.isEmpty) return again
+              throw e
+          }
+        val metas = baseM.metas ++ m.metas
         val sum = metas.map(_.rows).sum
         if (sum != m.total) throw new IllegalStateException(
           s"graft-sink: folding v$v at $path yields $sum rows, manifest committed ${m.total}")

@@ -301,4 +301,51 @@ class PropertySpec extends AnyFunSuite {
     // conflicted at least once alongside 28 appends
     assert(compactions + conflicts > 0, "compactor never ran against the appenders")
   }
+
+  test("graft-sink vacuum-vs-append race: fold-rewrite never strands a chain or loses a row") {
+    // Vacuum REWRITES retained delta manifests (atomic REPLACE with the
+    // folded full body) while appenders keep committing deltas whose
+    // header reads race those replacements, and drops base manifests the
+    // next vacuum's folds no longer need. Law: at every quiescent point
+    // the head folds to exactly the rows appended so far, and after the
+    // final vacuum every retained version is readable.
+    import graft.sources.GraftManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac_race").toString
+    val nAppenders = 4
+    val perAppender = 30 // deep enough to cross several checkpoints
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nAppenders + 1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var vacuums = 0
+    try {
+      val appends = (0 until nAppenders).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until perAppender).foreach { j =>
+            GraftManifest.commit(dir, Seq(s"part-t$i-$j.csv" -> 1L),
+              "a BIGINT", truncate = false)
+          }
+        })
+      }
+      val vacuumer = pool.submit(new Runnable {
+        def run(): Unit = while (!stop.get()) {
+          // grace window at default (10 min): no DATA file is ever young
+          // enough to reclaim mid-test — this race is about MANIFESTS
+          if (GraftManifest.versions(dir).size > 6) {
+            GraftManifest.vacuum(dir, retainLast = 5)
+            vacuums += 1
+          }
+        }
+      })
+      appends.foreach(_.get())
+      stop.set(true)
+      vacuumer.get()
+    } finally pool.shutdown()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.total == nAppenders.toLong * perAppender,
+      s"rows lost or duplicated after $vacuums concurrent vacuums: ${head.total}")
+    assert(vacuums > 0, "vacuum never ran against the appenders")
+    // every retained version must fold cleanly (no stranded chains)
+    GraftManifest.versions(dir).foreach { v =>
+      GraftManifest.readVersion(dir, Some(v)).get
+    }
+  }
 }
