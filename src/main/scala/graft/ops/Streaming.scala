@@ -600,9 +600,65 @@ object Streaming {
       .orderBy(col("run"), col("slice"), col("event_type"))
   }
 
+  /** STREAMING CHANGE DATA FEED — `readChangeFeed=true` on the versioned
+    * table stream makes rewrites part of the contract instead of an
+    * error: each micro-batch emits the offset range's added files as
+    * `_change_type='insert'` rows and its dropped files as 'delete' rows,
+    * which is exactly what a downstream incremental materialized view
+    * consumes (Delta's table_changes streaming). The scenario: drain 1
+    * streams two append versions as inserts; a GDPR-style DELETE rewrite
+    * (base-conditioned overwrite) lands as version 3; drain 2 resumes
+    * from the checkpoint and emits the rewrite as delete-of-old +
+    * insert-of-surviving — replaying it onto drain 1's state reproduces
+    * the head, with no rescan of unchanged data (the plan is the
+    * manifest diff). The oracle recomputes all three change sets from
+    * events. */
+  def streamChangeFeed(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.util.Scratch.dir("cdfeed", sf)
+    val chk = graft.util.Scratch.dir("cdfeed_chk", sf)
+    val out = graft.util.Scratch.dir("cdfeed_out", sf)
+    def slice(m: Int): DataFrame = graft.util.Tables.events(spark, sf)
+      .where(col("user_id") % 4 === m)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .withColumn("slice", lit(m.toLong))
+    def drain(run: Long): Unit = withStreamShuffle(spark) {
+      val q = spark.readStream.format("graft-sink")
+        .option("path", dir).option("readChangeFeed", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          b.withColumn("run", lit(run))
+            .write.mode("overwrite").parquet(s"$out/batch=$run-$id")
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    graft.util.Scratch.once(dir) {
+      slice(0).write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      slice(1).write.format("graft-sink").option("path", dir).mode("append").save()
+      drain(1L) // versions 1-2 stream as inserts
+      spark.read.format("graft-sink").option("path", dir).load()
+        .where(col("event_type") =!= "view")
+        .write.format("graft-sink").option("path", dir)
+        .option("expectedBaseVersion", "2").mode("overwrite").save()
+      drain(2L) // the rewrite streams as delete-of-old + insert-of-surviving
+    }
+    spark.read.parquet(out)
+      .groupBy(col("run"), col("_change_type").as("change_type"),
+        col("slice"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+      .select(col("run"), col("change_type"), col("slice"), col("event_type"),
+        col("n"), col("sum_cents"))
+      .orderBy(col("run"), col("change_type"), col("slice"), col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_source_resume" -> streamSourceResume,
     "stream_table_feed" -> streamTableFeed,
+    "stream_change_feed" -> streamChangeFeed,
     "stream_custom_source" -> streamCustomSource,
     "stream_foreach_batch" -> streamForeachBatch,
     "stream_tumbling" -> streamTumbling,
@@ -619,6 +675,20 @@ object Streaming {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_change_feed" ->
+      """WITH s AS (
+        |  SELECT user_id % 4 AS slice, event_type, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events WHERE user_id % 4 <= 1 GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS run, 'insert' AS change_type,
+        |  slice, event_type, n, sum_cents FROM s
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'delete', slice, event_type, n, sum_cents FROM s
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'insert', slice, event_type, n, sum_cents
+        |FROM s WHERE event_type != 'view'
+        |ORDER BY run, change_type, slice, event_type""".stripMargin,
+
     "stream_table_feed" ->
       """WITH s AS (
         |  SELECT user_id % 4 AS slice, event_type, count(*) AS n,

@@ -93,7 +93,9 @@ class GraftSinkProvider extends TableProvider
       val base = GraftManifest
         .readVersion(path, GraftSinkProvider.pinned(path, options.get))
         .flatMap(_.schemaDdl).map(StructType.fromDDL).getOrElse(new StructType())
-      if (options.containsKey("changesFrom") && base.nonEmpty)
+      val cdf = options.containsKey("changesFrom") ||
+        Option(options.get("readChangeFeed")).exists(_.toBoolean)
+      if (cdf && base.nonEmpty)
         base.add(GraftSinkScan.ChangeCol, StringType, nullable = false)
       else base
     }
@@ -620,8 +622,10 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
           s"graft-sink: no committed manifest to read at $path"))
         .filterNot(_.name == GraftSinkScan.ChangeCol))
     val visible0 = if (schema0.nonEmpty) schema0 else layout
+    val streamCdf = Option(options.get("readChangeFeed")).exists(_.toBoolean)
     val visible =
-      if (changesFrom.isDefined && !visible0.fieldNames.contains(GraftSinkScan.ChangeCol))
+      if ((changesFrom.isDefined || streamCdf) &&
+          !visible0.fieldNames.contains(GraftSinkScan.ChangeCol))
         visible0.add(GraftSinkScan.ChangeCol, StringType, nullable = false)
       else visible0
     manifestSchema.foreach { l =>
@@ -649,8 +653,9 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         case _ => ()
       }
     }
-    val streamOpts = Seq("startingVersion", "ignoreChanges", "maxVersionsPerTrigger")
-      .flatMap(k => Option(options.get(k)).map(k -> _)).toMap
+    val streamOpts =
+      Seq("startingVersion", "ignoreChanges", "maxVersionsPerTrigger", "readChangeFeed")
+        .flatMap(k => Option(options.get(k)).map(k -> _)).toMap
     new GraftSinkScanBuilder(path, pinned, layout, visible, changesFrom, streamOpts)
   }
 }
@@ -935,19 +940,33 @@ class GraftTableMicroBatchStream(scan: GraftSinkScan)
   override def reportLatestOffset(): Offset = V(head)
   override def prepareForTriggerAvailableNow(): Unit = fixedEnd = Some(head)
   override def deserializeOffset(json: String): Offset = V(json.toInt)
+  private val readChangeFeed =
+    scan.streamOpts.get("readChangeFeed").exists(_.toBoolean)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[V].v, end.asInstanceOf[V].v)
     if (e <= s) return Array.empty
     val (added, removed, _) = GraftSinkScan.diffMetas(scan.path, s, Some(e))
-    if (removed.nonEmpty && !ignoreChanges) throw new IllegalStateException(
-      s"graft-sink stream: versions ($s, $e] at ${scan.path} rewrite " +
-        s"${removed.size} committed file(s); an appends-only stream cannot " +
-        "represent removals — set ignoreChanges=true to re-emit rewritten " +
-        "files (at-least-once) or restart past the rewrite")
-    added
-      .filter(m => scan.filters.forall(GraftSinkScan.mayMatch(m, scan.full, _)))
-      .map(m => GraftSinkFileSplit(s"${scan.path}/${m.name}", m.rows,
-        m.ncols): InputPartition)
+    // CHANGE-FEED streaming (`readChangeFeed=true`): rewrites are part of
+    // the contract — each batch emits the range's added files as 'insert'
+    // rows and its dropped files as 'delete' rows (the streaming CDF a
+    // downstream materialized view consumes). Plain streaming refuses
+    // removals instead: silently re-emitting or dropping is the failure
+    // mode, ignoreChanges the documented at-least-once escape hatch.
+    val tagged =
+      if (readChangeFeed) added.map(_ -> "insert") ++ removed.map(_ -> "delete")
+      else {
+        if (removed.nonEmpty && !ignoreChanges) throw new IllegalStateException(
+          s"graft-sink stream: versions ($s, $e] at ${scan.path} rewrite " +
+            s"${removed.size} committed file(s); an appends-only stream cannot " +
+            "represent removals — set ignoreChanges=true to re-emit rewritten " +
+            "files (at-least-once), readChangeFeed=true to stream them as " +
+            "insert/delete changes, or restart past the rewrite")
+        added.map(_ -> null.asInstanceOf[String])
+      }
+    tagged
+      .filter { case (m, _) => scan.filters.forall(GraftSinkScan.mayMatch(m, scan.full, _)) }
+      .map { case (m, c) => GraftSinkFileSplit(s"${scan.path}/${m.name}", m.rows,
+        m.ncols, c): InputPartition }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
