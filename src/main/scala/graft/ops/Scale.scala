@@ -1235,6 +1235,44 @@ object Scale {
          |ORDER BY phase, event_type, n""".stripMargin)
   }
 
+  /** RESTORE as a SQL procedure — `CALL gsql.system.restore(...)` rolls
+    * the table back to a committed version by re-committing that
+    * version's FILE LIST as a new head (metadata-only, Delta-RESTORE
+    * style: zero data bytes move, the commit is the usual link(2)-CAS
+    * conditioned on the head the restore planned against). Version 1 is
+    * the even-user aggregate, version 2 overwrites with the odd-user
+    * slice, version 3 is the SQL restore of version 1 — the head reads
+    * back as v1's content while v2 stays pinned-readable (history is
+    * append-only; VACUUM is the only eraser). The oracle recomputes all
+    * three phases from events, phase 3 = phase 1 by construction. */
+  def sinkRestoreVersion(spark: SparkSession, sf: String): DataFrame = {
+    val root = graft.util.Scratch.dir("sqlcat_root", "all")
+    spark.conf.set("spark.sql.catalog.gsql",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsql.root", root)
+    val tbl = "r_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"$root/db/$tbl"
+    def slice(m: Int): DataFrame = events(spark, sf)
+      .where(col("user_id") % 2 === m)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+    graft.util.Scratch.once(dir) {
+      slice(0).write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      slice(1).write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      spark.sql(s"CALL gsql.system.restore(table => 'db.$tbl', version => 1)")
+    }
+    require(graft.sources.GraftManifest.versions(dir).size == 3,
+      "fixture: restore must have committed version 3")
+    def at(v: Int): DataFrame = spark.read.format("graft-sink")
+      .option("path", dir).option("versionAsOf", v.toString).load()
+    at(1).withColumn("phase", lit(1L))
+      .unionByName(at(2).withColumn("phase", lit(2L)))
+      .unionByName(at(3).withColumn("phase", lit(3L)))
+      .select(col("phase"), col("event_type"), col("n"), col("sum_cents"))
+      .orderBy(col("phase"), col("event_type"))
+  }
+
   /** AQE skew-join handling — the AUTOMATIC twin of join_skew_salted's
     * manual salting: a synthetic hot key (30% of lineitem folded onto
     * orderkey 1) makes one shuffle partition dwarf the median, and
@@ -1530,6 +1568,7 @@ object Scale {
     "sink_time_travel_ts" -> sinkTimeTravelTs,
     "sink_change_feed" -> sinkChangeFeed,
     "sql_catalog_travel" -> sqlCatalogTravel,
+    "sink_restore_version" -> sinkRestoreVersion,
     "sink_compact_vacuum" -> sinkCompactVacuum,
     "sink_snapshot_diff" -> sinkSnapshotDiff,
     "sink_stats_skip" -> sinkStatsSkip,
@@ -1542,6 +1581,22 @@ object Scale {
   )
 
   def oracle: Map[String, String] = Map(
+    "sink_restore_version" ->
+      """WITH v1 AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events WHERE user_id % 2 = 0 GROUP BY 1
+        |), v2 AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events WHERE user_id % 2 = 1 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS phase, * FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), * FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), * FROM v1
+        |ORDER BY phase, event_type""".stripMargin,
+
     "sql_catalog_travel" ->
       """WITH s AS (
         |  SELECT user_id % 3 AS m, event_type, count(*) AS n,

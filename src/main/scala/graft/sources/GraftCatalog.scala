@@ -3,11 +3,15 @@ package graft.sources
 import java.io.File
 import java.util.{Map => JMap}
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** A DataSource V2 [[TableCatalog]] over graft-sink versioned tables — the
   * SQL half of the lakehouse surface. Registered via
@@ -37,7 +41,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * over self-describing tables, exactly the posture a 100 TB object-store
   * layout wants (any engine that can read manifests can mount the same
   * root). */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catName: String = _
   private var root: String = _
 
@@ -104,4 +108,124 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog: rename not supported")
+
+  // ---- SQL procedures: the table-maintenance verbs as `CALL cat.system.*` ----
+
+  private[sources] def dirForName(table: String): String =
+    (root +: table.split('.').toSeq).mkString("/")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("vacuum", "restore", "optimize").map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"graft catalog procedures live in the 'system' namespace, got $ident")
+    ident.name match {
+      case "vacuum"   => new GraftVacuumProcedure(this)
+      case "restore"  => new GraftRestoreProcedure(this)
+      case "optimize" => new GraftOptimizeProcedure(this)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: no procedure system.$other (have vacuum, restore, optimize)")
+    }
+  }
+}
+
+/** Shared plumbing for the catalog's SQL procedures: each is a
+  * deterministic-parameter, driver-side maintenance action returning a
+  * one-row [[LocalScan]] result. */
+private[sources] abstract class GraftProcedure(cat: GraftCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  protected def result(schema: StructType, values: Any*): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] =
+        Array(InternalRow.fromSeq(values.toIndexedSeq))
+      override def readSchema(): StructType = schema
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL cat.system.vacuum(table, retain, grace_ms)` — drop all but the
+  * newest `retain` versions and reclaim unreferenced data files
+  * ([[GraftManifest.vacuum]]: retained delta manifests fold first, data
+  * files inside the grace window are never touched). Pure filesystem —
+  * no Spark job. */
+private[sources] class GraftVacuumProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "drop old versions and reclaim unreferenced files"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("retain", IntegerType).build(),
+    ProcedureParameter.in("grace_ms", LongType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    val reclaimed = GraftManifest.vacuum(dir, input.getInt(1), input.getLong(2))
+    result(StructType.fromDDL("files_reclaimed INT, head_version INT"),
+      reclaimed, GraftManifest.versions(dir).last)
+  }
+}
+
+/** `CALL cat.system.restore(table, version)` — roll the table back to a
+  * committed version as a NEW head, Delta-RESTORE style and
+  * METADATA-ONLY: the restored version's file list is re-committed as a
+  * full snapshot conditioned on the current head (the usual CAS + the
+  * rewrite conflict rule), no data byte is copied or moved. Every
+  * intermediate version stays readable until VACUUM; restoring past a
+  * vacuumed version fails loudly at the manifest lookup. */
+private[sources] class GraftRestoreProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "restore"
+  override def description(): String =
+    "roll back to a committed version as a new head (metadata-only)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("version", IntegerType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    val v = input.getInt(1)
+    val m = GraftManifest.readVersion(dir, Some(v)).getOrElse(
+      throw new IllegalArgumentException(s"graft restore: no committed version at $dir"))
+    val head = GraftManifest.readVersion(dir, None).get.version
+    val nv = GraftManifest.commitMetas(dir, m.metas,
+      m.schemaDdl.getOrElse(throw new IllegalStateException(
+        s"graft restore: v$v at $dir carries no schema")),
+      truncate = true, expectedBase = Some(head))
+    result(StructType.fromDDL("restored_version INT, new_version INT"), v, nv)
+  }
+}
+
+/** `CALL cat.system.optimize(table, target_files)` — compact the head
+  * snapshot into `target_files` files via the active session, committed
+  * as an overwrite conditioned on the version the rewrite planned
+  * against (losing a race to a concurrent append throws instead of
+  * dropping it — the sink_compact_vacuum conflict rule from SQL). */
+private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "optimize"
+  override def description(): String =
+    "compact the head snapshot, conditioned on the planned base version"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("target_files", IntegerType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    val target = input.getInt(1)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val head = GraftManifest.readVersion(dir, None).getOrElse(
+      throw new IllegalArgumentException(s"graft optimize: no committed version at $dir"))
+    spark.read.format("graft-sink").option("path", dir).load()
+      .repartition(target)
+      .write.format("graft-sink").option("path", dir)
+      .option("expectedBaseVersion", head.version.toString)
+      .mode("overwrite").save()
+    val after = GraftManifest.readVersion(dir, None).get
+    result(StructType.fromDDL("files_before INT, files_after INT, new_version INT"),
+      head.metas.size, after.metas.size, after.version)
+  }
 }

@@ -407,6 +407,37 @@ class SourceSpec extends AnyFunSuite {
     assert(cat.listTables(Array("ns")).isEmpty)
   }
 
+  test("graft catalog procedures: CALL restore/optimize/vacuum drive the lifecycle from SQL") {
+    import graft.sources.GraftManifest
+    val root = java.nio.file.Files.createTempDirectory("graft_proc_spec").toString
+    spark.conf.set("spark.sql.catalog.gproc", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gproc.root", root)
+    val dir = s"$root/ns/t"
+    spark.range(0, 5).selectExpr("id AS k")
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    spark.range(10, 20).selectExpr("id AS k")
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    // RESTORE is metadata-only: v3 re-lists v1's files, no data copied
+    val r = spark.sql("CALL gproc.system.restore(table => 'ns.t', version => 1)").head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 3)
+    assert(spark.sql("SELECT * FROM gproc.ns.t").count() == 5)
+    assert(GraftManifest.readVersion(dir, Some(3)).get.metas.map(_.name) ==
+      GraftManifest.readVersion(dir, Some(1)).get.metas.map(_.name),
+      "restore must re-list the restored version's files verbatim")
+    assert(spark.sql("SELECT * FROM gproc.ns.t VERSION AS OF 2").count() == 10,
+      "intermediate versions stay readable after restore")
+    // OPTIMIZE compacts under the conditioned-commit rule
+    val o = spark.sql("CALL gproc.system.optimize(table => 'ns.t', target_files => 1)").head()
+    assert(o.getInt(1) == 1 && o.getInt(2) == 4, o.toString)
+    assert(spark.sql("SELECT * FROM gproc.ns.t").count() == 5)
+    // VACUUM with grace 0 drops history and reclaims v2's rows
+    val v = spark.sql(
+      "CALL gproc.system.vacuum(table => 'ns.t', retain => 1, grace_ms => 0L)").head()
+    assert(v.getInt(1) == 4 && v.getInt(0) > 0, v.toString)
+    assert(GraftManifest.versions(dir) == Seq(4))
+    assert(spark.sql("SELECT * FROM gproc.ns.t").count() == 5)
+  }
+
   test("graft-sink streaming source: version offsets, rewrite fails loudly, ignoreChanges re-emits") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tstream_spec").toString
     val chk = java.nio.file.Files.createTempDirectory("graft_tstream_chk").toString
