@@ -57,10 +57,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private def load(ident: Identifier, version: Option[Int]): Table = {
     val path = dirOf(ident)
-    val m = GraftManifest.readVersion(path, version).getOrElse(
-      throw new NoSuchTableException(ident))
+    // header-only schema read: loading a table must not fold the full
+    // file list of a 100k-file manifest just to learn its DDL
+    val vs = GraftManifest.versions(path)
+    val v = version.getOrElse(
+      if (vs.isEmpty) throw new NoSuchTableException(ident) else vs.max)
+    if (!vs.contains(v)) throw new NoSuchTableException(ident)
     new GraftSinkTable(path,
-      m.schemaDdl.map(StructType.fromDDL).getOrElse(new StructType()), version)
+      GraftManifest.headerSchema(path, v).getOrElse(new StructType()), version)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -86,9 +90,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       "graft catalog: use the partitionBy WRITE option, not PARTITIONED BY")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     // version 1 = empty manifest carrying the declared schema: the table
-    // is self-describing before any row lands
-    GraftManifest.commitMetas(dirOf(ident), Seq.empty, schema.toDDL,
-      truncate = false)
+    // is self-describing before any row lands. expectedBase=0 makes the
+    // create ATOMIC with the exists-check above: of two racing CREATEs
+    // both passing the check, the link(2) loser throws here instead of
+    // silently appending an empty v2 under the winner's schema.
+    try GraftManifest.commitMetas(dirOf(ident), Seq.empty, schema.toDDL,
+      truncate = false, expectedBase = Some(0))
+    catch {
+      case _: java.util.ConcurrentModificationException =>
+        throw new TableAlreadyExistsException(ident)
+    }
     new GraftSinkTable(dirOf(ident), schema, None)
   }
 
@@ -164,7 +175,10 @@ private[sources] class GraftVacuumProcedure(cat: GraftCatalog)
     ProcedureParameter.in("retain", IntegerType).build(),
     ProcedureParameter.in("grace_ms", LongType).build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    val table = input.getUTF8String(0).toString
+    val dir = cat.dirForName(table)
+    if (GraftManifest.versions(dir).isEmpty) throw new IllegalArgumentException(
+      s"graft vacuum: no committed table at '$table'")
     val reclaimed = GraftManifest.vacuum(dir, input.getInt(1), input.getLong(2))
     result(StructType.fromDDL("files_reclaimed INT, head_version INT"),
       reclaimed, GraftManifest.versions(dir).last)

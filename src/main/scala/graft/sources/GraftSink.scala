@@ -353,6 +353,12 @@ object GraftManifest {
     } finally in.close()
   }
 
+  /** Header-only schema of one committed version (None for manifests
+    * that predate schema DDL) — the cheap read for compatibility checks
+    * that need no file list. */
+  private[sources] def headerSchema(path: String, v: Int): Option[StructType] =
+    readHeader(path, v).schemaDdl.map(StructType.fromDDL)
+
   /** Legacy (name, rows) commit — full-width files, no stats/partition. */
   def commit(path: String, jobFiles: Seq[(String, Long)], schemaDdl: String,
       truncate: Boolean): Int = {
@@ -583,6 +589,12 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
       private var truncating = false
       override def truncate(): WriteBuilder = { truncating = true; this }
       override def build(): Write = new Write {
+        // `_change_type` is the change feed's VIRTUAL column: a real
+        // column by that name would be silently dropped from the read
+        // layout and shift every later cell — refuse it at write time
+        if (info.schema().fieldNames.contains(GraftSinkScan.ChangeCol))
+          throw new IllegalArgumentException(
+            s"graft-sink: '${GraftSinkScan.ChangeCol}' is reserved for change-feed reads")
         // per-query tag in part names: append jobs from different
         // applications can reuse (partitionId, taskId) — without the tag
         // a second app's task-commit rename silently replaces the first
@@ -603,7 +615,11 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
       }
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val pinned = GraftSinkProvider.pinned(path, options.get).orElse(versionAsOf)
+    // the constructor value is the SAME options already resolved by the
+    // provider (timestampAsOf resolution reads O(versions) manifests —
+    // don't pay it again per scan); options-only resolution is the
+    // fallback for tables constructed without one (catalog loads)
+    val pinned = versionAsOf.orElse(GraftSinkProvider.pinned(path, options.get))
     val changesFrom =
       Option(options.get("changesFrom")).map(_.toInt).orElse(changesFrom0)
     // LAYOUT schema = the column order the files were WRITTEN in (from the
@@ -643,8 +659,7 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
     // sink's own evolution rule). Overwrites that changed the schema
     // arbitrarily are not representable — fail at plan time, not per row.
     changesFrom.filter(_ > 0).foreach { fromV =>
-      val fromSchema = GraftManifest.readVersion(path, Some(fromV))
-        .flatMap(_.schemaDdl).map(StructType.fromDDL)
+      val fromSchema = GraftManifest.headerSchema(path, fromV)
       (fromSchema, manifestSchema) match {
         case (Some(f), Some(t)) if !GraftManifest.isPrefixOf(f, t) =>
           throw new IllegalArgumentException(
@@ -890,9 +905,9 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
   * streaming source — `readStream.format("graft-sink")` composes with
   * checkpointed offsets into exactly-once end-to-end.
   *
-  *  - `startingVersion` (default 0): first batch covers
-  *    (startingVersion, head] — 0 streams the whole committed history's
-  *    surviving files first, the Delta `startingVersion` contract.
+  *  - `startingVersion` (default 0): stream from that version
+  *    INCLUSIVE (the Delta `startingVersion` contract) — 0 and 1 both
+  *    mean the whole committed history's surviving files.
   *  - A REWRITE inside an offset range (files removed — OPTIMIZE /
   *    MERGE / DELETE) is not representable as pure appends; the stream
   *    fails loudly instead of silently re-emitting or dropping rows,
@@ -921,18 +936,30 @@ class GraftTableMicroBatchStream(scan: GraftSinkScan)
   }
   private val maxPerTrigger =
     scan.streamOpts.get("maxVersionsPerTrigger").map(_.toInt)
-  override def initialOffset(): Offset = V(start0)
+  // offsets are EXCLUSIVE lower bounds; the INCLUSIVE startingVersion
+  // contract therefore starts one below it
+  override def initialOffset(): Offset = V(math.max(0, start0 - 1))
   override def latestOffset(): Offset = V(fixedEnd.getOrElse(head))
   /** Admission control: cap each micro-batch at `maxVersionsPerTrigger`
     * commits, never retreating below the committed start — one run
     * becomes many offset-committed batches, and a restart resumes from
-    * the checkpoint mid-drain. */
+    * the checkpoint mid-drain. The cap counts EXISTING versions, not
+    * version arithmetic: after a vacuum the version sequence has gaps,
+    * and an arithmetic `start + n` could land on a dropped slot the
+    * planner cannot read — the stream would fail the same way on every
+    * restart instead of draining the surviving head. */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[V].v
     val target = fixedEnd.getOrElse(head)
     if (target <= s) V(s)
-    else V(maxPerTrigger.map(n => math.min(target, s + n)).getOrElse(target))
+    else maxPerTrigger match {
+      case None => V(target)
+      case Some(n) =>
+        val existing = GraftManifest.versions(scan.path)
+          .filter(v => v > s && v <= target)
+        V(existing.take(n).lastOption.getOrElse(target))
+    }
   }
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
@@ -945,6 +972,20 @@ class GraftTableMicroBatchStream(scan: GraftSinkScan)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[V].v, end.asInstanceOf[V].v)
     if (e <= s) return Array.empty
+    // Schema guard (the batch changesFrom path has the same check): the
+    // stream reads every planned file under the layout frozen at stream
+    // start, which is only sound while the table's schema stays a
+    // mutual prefix of it (trailing-add evolution). A reordering or
+    // retyping overwrite inside the range would silently transpose
+    // same-typed columns — fail loudly instead.
+    GraftManifest.headerSchema(scan.path, e).foreach { now =>
+      if (!GraftManifest.isPrefixOf(scan.full, now) &&
+          !GraftManifest.isPrefixOf(now, scan.full))
+        throw new IllegalStateException(
+          s"graft-sink stream: table schema at v$e ('${now.toDDL}') is not " +
+            s"prefix-compatible with the stream's layout ('${scan.full.toDDL}') — " +
+            "restart the stream to pick up the new schema")
+    }
     val (added, removed, _) = GraftSinkScan.diffMetas(scan.path, s, Some(e))
     // CHANGE-FEED streaming (`readChangeFeed=true`): rewrites are part of
     // the contract — each batch emits the range's added files as 'insert'

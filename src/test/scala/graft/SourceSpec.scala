@@ -407,6 +407,32 @@ class SourceSpec extends AnyFunSuite {
     assert(cat.listTables(Array("ns")).isEmpty)
   }
 
+  test("graft-sink guards: reserved _change_type refused at write, startingVersion inclusive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard_spec").toString
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("id AS k", "'x' AS _change_type")
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    def write(lo: Long, mode: String): Unit =
+      spark.range(lo, lo + 5).selectExpr("id AS k")
+        .coalesce(1).write.format("graft-sink").option("path", dir).mode(mode).save()
+    write(0, "overwrite"); write(10, "append"); write(20, "append")
+    val out = java.nio.file.Files.createTempDirectory("graft_guard_out").toString
+    val q = spark.readStream.format("graft-sink").option("path", dir)
+      .option("startingVersion", "2").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => b.write.mode("overwrite").parquet(s"$out/batch=$id") }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_guard_chk").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Delta contract: version 2 INCLUSIVE — v2's and v3's adds, not v1's
+    val got = spark.read.parquet(out).selectExpr("k").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == ((10L until 15L) ++ (20L until 25L)), got.mkString(","))
+  }
+
   test("graft catalog procedures: CALL restore/optimize/vacuum drive the lifecycle from SQL") {
     import graft.sources.GraftManifest
     val root = java.nio.file.Files.createTempDirectory("graft_proc_spec").toString
