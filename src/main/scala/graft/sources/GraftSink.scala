@@ -703,9 +703,49 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
 case class GraftSinkScan(path: String, version: Option[Int],
     full: StructType, required: StructType, filters: Seq[Filter],
     changesFrom: Option[Int] = None, streamOpts: Map[String, String] = Map.empty)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** The files this scan will actually read (post stats/partition
+    * skipping), tagged with the change type in CDF mode. */
+  private def survivors: Seq[(GraftFileMeta, String)] = {
+    val tagged = changesFrom match {
+      case Some(fromV) =>
+        val (added, removed, _) = GraftSinkScan.diffMetas(path, fromV, version)
+        added.map(_ -> "insert") ++ removed.map(_ -> "delete")
+      case None =>
+        GraftManifest.readVersion(path, version).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-sink: no committed manifest to read at $path"))
+          .metas.map(_ -> null.asInstanceOf[String])
+    }
+    tagged.filter { case (m, _) =>
+      filters.forall(GraftSinkScan.mayMatch(m, full, _)) }
+  }
+
+  /** Manifest-derived statistics AFTER pushdown (the DSv2 contract), so
+    * Catalyst's join planning sees the true surviving size: a small
+    * graft table — or a selective stats-skipped scan of a big one —
+    * auto-broadcasts with no hint. Without this a V2 relation defaults
+    * to `defaultSizeInBytes` (effectively infinite) and every join
+    * against the connector sort-merges regardless of actual size. Row
+    * count comes from the manifest; bytes from the surviving files'
+    * on-disk sizes (one stat(2) per planned file, the same driver-side
+    * scale as planning itself). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val s = survivors
+    val rows = s.map(_._1.rows).sum
+    val bytes = s.map { case (m, _) =>
+      scala.util.Try(Files.size(Paths.get(path, m.name))).getOrElse(0L) }.sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftTableMicroBatchStream(this)
@@ -724,24 +764,10 @@ case class GraftSinkScan(path: String, version: Option[Int],
     * statistics. In change-feed mode the plan is the version DIFF instead:
     * files the range added read as 'insert', files it dropped as 'delete'
     * — O(changed files), the unchanged table is never rescanned. */
-  override def planInputPartitions(): Array[InputPartition] = changesFrom match {
-    case Some(fromV) =>
-      val (added, removed, _) = GraftSinkScan.diffMetas(path, fromV, version)
-      (added.map(_ -> "insert") ++ removed.map(_ -> "delete"))
-        .filter { case (m, _) => filters.forall(GraftSinkScan.mayMatch(m, full, _)) }
-        .map { case (m, c) => GraftSinkFileSplit(s"$path/${m.name}", m.rows,
-          m.ncols, c): InputPartition }
-        .toArray
-    case None =>
-      val m = GraftManifest.readVersion(path, version).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft-sink: no committed manifest to read at $path"))
-      m.metas
-        .filter(meta => filters.forall(GraftSinkScan.mayMatch(meta, full, _)))
-        .map(meta => GraftSinkFileSplit(s"$path/${meta.name}", meta.rows,
-          meta.ncols): InputPartition)
-        .toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    survivors.map { case (m, c) =>
+      GraftSinkFileSplit(s"$path/${m.name}", m.rows, m.ncols, c): InputPartition
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftSinkReaderFactory(full, required)
 }

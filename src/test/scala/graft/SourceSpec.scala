@@ -407,6 +407,23 @@ class SourceSpec extends AnyFunSuite {
     assert(cat.listTables(Array("ns")).isEmpty)
   }
 
+  test("graft-sink reports manifest statistics: small tables auto-broadcast with no hint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_spec").toString
+    graft.util.Tables.orders(spark, sf001)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val small = spark.read.format("graft-sink").option("path", dir).load()
+      .withColumnRenamed("o_orderstatus", "st")
+    val big = graft.util.Tables.orders(spark, sf001)
+    val joined = big.join(small, col("o_orderstatus") === col("st"))
+    // no broadcast() hint anywhere: Catalyst must learn the 3-row size
+    // from the scan's reported statistics and pick BHJ on its own
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(joined.count() == big.count())
+  }
+
   test("graft-sink guards: reserved _change_type refused at write, startingVersion inclusive") {
     val dir = java.nio.file.Files.createTempDirectory("graft_guard_spec").toString
     val e = intercept[Exception] {
