@@ -1056,6 +1056,13 @@ object Scale {
     // a silently-skipped line would be a silently-dropped file), and an
     // empty committed set reads back as an empty frame instead of letting
     // csv() throw on a zero-path read.
+    // STALENESS BOUND of the legacy `_manifest` head copy: it is refreshed
+    // only on FULL commits (truncates and every CheckpointEvery-th append),
+    // so after a run of delta appends it can trail the true head by up to
+    // CheckpointEvery-1 commits. This key writes in OVERWRITE mode — always
+    // a full commit — so the copy read here is exactly the head; any
+    // consumer reading `_manifest` under appends must accept that bound or
+    // read the versioned `_manifest-v{N}` chain instead.
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "_manifest")), "UTF-8")
       .split("\n").filter(_.nonEmpty).map(_.split(",") match {
@@ -1232,7 +1239,7 @@ object Scale {
          |UNION ALL
          |SELECT CAST(3 AS BIGINT), event_type, n, sum_cents
          |FROM gsql.db.$tbl
-         |ORDER BY phase, event_type, n""".stripMargin)
+         |ORDER BY phase, event_type, n, sum_cents""".stripMargin)
   }
 
   /** RESTORE as a SQL procedure — `CALL gsql.system.restore(...)` rolls
@@ -1607,7 +1614,7 @@ object Scale {
         |SELECT CAST(2 AS BIGINT), event_type, n, sum_cents FROM s WHERE m <= 1
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), event_type, n, sum_cents FROM s
-        |ORDER BY phase, event_type, n""".stripMargin,
+        |ORDER BY phase, event_type, n, sum_cents""".stripMargin,
 
     "sink_time_travel_ts" ->
       """WITH v1 AS (

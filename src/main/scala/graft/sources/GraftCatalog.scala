@@ -52,8 +52,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   }
   override def name(): String = catName
 
+  /** Identifier segment → path segment, refusing anything that could
+    * escape the catalog root: backticked identifiers let arbitrary bytes
+    * through the parser, so `DROP TABLE cat.db.`../../x`` would otherwise
+    * resolve — and recursively DELETE — a directory outside `root`. */
+  private def segment(s: String): String = {
+    require(s.nonEmpty && s != "." && s != ".." &&
+        !s.contains('/') && !s.contains('\\'),
+      s"graft catalog: illegal identifier segment '$s' " +
+        "(empty, '.', '..', '/' and '\\' cannot name a table directory)")
+    s
+  }
+
   private def dirOf(ident: Identifier): String =
-    (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
+    (root +: ident.namespace.toSeq.map(segment) :+ segment(ident.name)).mkString("/")
 
   private def load(ident: Identifier, version: Option[Int]): Table = {
     val path = dirOf(ident)
@@ -123,7 +135,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   // ---- SQL procedures: the table-maintenance verbs as `CALL cat.system.*` ----
 
   private[sources] def dirForName(table: String): String =
-    (root +: table.split('.').toSeq).mkString("/")
+    (root +: table.split('.').toSeq.map(segment)).mkString("/")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
@@ -214,28 +226,63 @@ private[sources] class GraftRestoreProcedure(cat: GraftCatalog)
   }
 }
 
-/** `CALL cat.system.optimize(table, target_files)` — compact the head
-  * snapshot into `target_files` files via the active session, committed
-  * as an overwrite conditioned on the version the rewrite planned
-  * against (losing a race to a concurrent append throws instead of
-  * dropping it — the sink_compact_vacuum conflict rule from SQL). */
+/** `CALL cat.system.optimize(table, target_files[, zorder_by])` — compact
+  * the head snapshot into `target_files` files via the active session,
+  * committed as an overwrite conditioned on the version the rewrite
+  * planned against (losing a race to a concurrent append throws instead
+  * of dropping it — the sink_compact_vacuum conflict rule from SQL).
+  * Reading through the scan also MATERIALIZES any deletion vectors: the
+  * rewritten files carry only live rows and no `#dv` entries, so OPTIMIZE
+  * is the merge-on-read debt collector.
+  *
+  * `zorder_by` (optional, comma-separated long columns): instead of a
+  * hash repartition, interleave the low 8 bits of each named column into
+  * a space-filling-curve value, RANGE-partition and sort the rewrite by
+  * it, and drop the helper column before landing. Rows near on the curve
+  * are near in EVERY named dimension, so the manifest's per-file min/max
+  * stats prune scans filtered on ANY of them — the multi-column layout
+  * half of the lakehouse skipping story (the same curve the standalone
+  * `sink_zorder` key proves the math of), now reachable as table
+  * maintenance under the usual conditioned commit. */
 private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     extends GraftProcedure(cat) {
   override def name(): String = "optimize"
   override def description(): String =
-    "compact the head snapshot, conditioned on the planned base version"
+    "compact (optionally Z-ORDER) the head snapshot, conditioned on the planned base version"
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", StringType).build(),
-    ProcedureParameter.in("target_files", IntegerType).build())
+    ProcedureParameter.in("target_files", IntegerType).build(),
+    ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit, pmod, shiftleft, shiftright}
     val dir = cat.dirForName(input.getUTF8String(0).toString)
     val target = input.getInt(1)
+    val zcols: Seq[String] =
+      (if (input.numFields > 2 && !input.isNullAt(2))
+        input.getUTF8String(2).toString else "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = org.apache.spark.sql.SparkSession.active
     val head = GraftManifest.readVersion(dir, None).getOrElse(
       throw new IllegalArgumentException(s"graft optimize: no committed version at $dir"))
-    spark.read.format("graft-sink").option("path", dir).load()
-      .repartition(target)
-      .write.format("graft-sink").option("path", dir)
+    val snapshot = spark.read.format("graft-sink").option("path", dir).load()
+    val rewritten =
+      if (zcols.isEmpty) snapshot.repartition(target)
+      else {
+        val k = zcols.length
+        // bit i of dimension j lands at curve position i*k + j — the
+        // exact interleave sink_zorder oracles in two dimensions
+        def bitsOf(c: Column, j: Int): Column = (0 until 8).map[Column] { i =>
+          shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
+        }.reduce(_ + _)
+        val z = zcols.zipWithIndex.map { case (c, j) =>
+          bitsOf(pmod(col(c).cast("long"), lit(256L)), j) }.reduce(_ + _)
+        snapshot.withColumn("_zcurve", z.cast("long"))
+          .repartitionByRange(target, col("_zcurve"))
+          .sortWithinPartitions(col("_zcurve"))
+          .drop("_zcurve")
+      }
+    rewritten.write.format("graft-sink").option("path", dir)
       .option("expectedBaseVersion", head.version.toString)
       .mode("overwrite").save()
     val after = GraftManifest.readVersion(dir, None).get

@@ -6,12 +6,12 @@ import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOpti
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Or}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Or}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -125,9 +125,30 @@ object GraftSinkProvider {
   * evolution are narrower than the manifest schema — missing columns read
   * as NULL), per-column min/max statistics over non-null values (string
   * form; the skipping comparator re-types them from the layout), and the
-  * partition (column, value) for partitioned writes. */
+  * partition (column, value) for partitioned writes.
+  *
+  * `nulls`: per-column NULL counts over the file's PHYSICAL rows —
+  * `None` = written before null counts existed (unknown; skipping must
+  * stay conservative), `Some(map)` = exact, with absent keys meaning 0.
+  * This is what lets `IS NULL` prune files with no nulls, `IS NOT NULL`
+  * prune all-null files, and the metadata-only DELETE path PROVE a file
+  * matches a predicate in its entirety (min==max alone cannot — the
+  * stats cover only non-null values, so a hidden NULL would survive the
+  * delete wrongly).
+  *
+  * `dv`: the file's DELETION VECTOR — (sidecar name, deleted-position
+  * count). `rows` stays the PHYSICAL count (the read-side integrity
+  * check counts physical lines); LIVE rows = `rows - dv count`. The
+  * sidecar lists ascending 0-based physical row positions, one per line;
+  * scans filter them out at read time (merge-on-read: a point delete
+  * costs O(deleted rows) bytes, not a file rewrite), and OPTIMIZE
+  * materializes survivors into fresh files with no vector. */
 case class GraftFileMeta(name: String, rows: Long, ncols: Int,
-    stats: Map[Int, (String, String)], partition: Option[(String, String)])
+    stats: Map[Int, (String, String)], partition: Option[(String, String)],
+    nulls: Option[Map[Int, Long]] = None, dv: Option[(String, Long)] = None) {
+  /** Rows a scan of this file emits (physical minus deleted). */
+  def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
+}
 
 /** One committed manifest version: the files it names (with metadata),
   * the committed total, the schema DDL it was written with, and the
@@ -143,8 +164,55 @@ case class GraftManifest(version: Int, metas: Seq[GraftFileMeta],
   def files: Seq[(String, Long)] = metas.map(m => m.name -> m.rows)
 }
 
+/** The atomic version-slot CLAIM the whole commit protocol hangs on: publish
+  * `body` at `target` iff no file exists there, atomically — a real
+  * compare-and-swap against the slot name. Extracted behind a trait because
+  * the primitive is STORAGE-SPECIFIC: on POSIX it is link(2)
+  * ([[PosixLinkClaim]], the default — races proven by PropertySpec's
+  * 8-appender CAS test); on an object store it would be S3 conditional PUT
+  * (`If-None-Match: *`, atomic since 2024) or a DynamoDB-style lock table
+  * mediating the slot name (the pre-conditional-PUT S3 commit-service
+  * design) — see DECISIONS.md "Object-store commit claim". Everything else
+  * in the protocol (manifest grammar, delta chains, conditioned rewrites,
+  * vacuum ordering) is storage-agnostic reads/writes of whole objects.
+  *
+  * Contract: returns true iff THIS call created `target` with exactly
+  * `body`; false iff the slot was already taken (the caller re-reads the
+  * new head and retries one slot up). Any other failure must throw — a
+  * claim that silently half-publishes would tear the commit log. */
+trait CommitClaim {
+  def claim(target: java.nio.file.Path, body: Array[Byte]): Boolean
+}
+
+/** link(2)-based claim: write the body to a temp file, then hard-link it
+  * to the target name. `Files.createLink` atomically FAILS on an existing
+  * target (EEXIST), which is what makes it a CAS; POSIX rename silently
+  * replaces, so a rename-based "claim" loses committed versions under
+  * concurrency (reproduced by the PropertySpec race test: 5 of 8 versions
+  * vanished under rename). The temp file is deleted on every exit path. */
+object PosixLinkClaim extends CommitClaim {
+  override def claim(target: java.nio.file.Path, body: Array[Byte]): Boolean = {
+    val dir = target.getParent
+    val tmp = Files.createTempFile(dir, target.getFileName.toString, ".tmp")
+    try {
+      Files.write(tmp, body)
+      Files.createLink(target, tmp)
+      true
+    } catch {
+      case _: FileAlreadyExistsException => false // slot taken; caller retries
+    } finally Files.deleteIfExists(tmp)
+  }
+}
+
 object GraftManifest {
   private val VPrefix = "_manifest-v"
+
+  /** The active claim primitive. POSIX link(2) by default; swap for an
+    * object-store implementation to mount the same table root from
+    * storage without hard links. Settable, not per-call, because every
+    * writer of one table root must use the SAME primitive — two writers
+    * claiming through different mechanisms cannot exclude each other. */
+  @volatile var claimer: CommitClaim = PosixLinkClaim
 
   /** All committed version numbers at `path`, ascending. */
   def versions(path: String): Seq[Int] =
@@ -163,13 +231,20 @@ object GraftManifest {
     *                                    commit's ADDS on top of version v
     * #meta=<file>,<ncols>,<pcol>,<pval> per-file width + partition (pcol empty = none)
     * #stats=<file>,<colIdx>,<min>,<max> per-(file, column) min/max (non-null values)
-    * <file>,<rows>                      one per listed file
-    * _total,<N>                         row total of the FULL snapshot
+    * #nulls=<file>,<i>:<n>;<i>:<n>...   per-file NULL counts (line PRESENT =
+    *                                    counts known; zero-count columns
+    *                                    omitted, so an empty list = no nulls)
+    * #dv=<file>,<sidecar>,<n>           deletion vector: n positions in <sidecar>
+    * <file>,<rows>                      one per listed file (PHYSICAL rows)
+    * _total,<N>                         LIVE row total of the FULL snapshot
     * }}}
     * `<pval>`/`<min>`/`<max>` are comma-free by construction (the writer
     * refuses delimiter characters in string values), so fixed-arity
     * splits are unambiguous. Files named by no `#meta` line (pre-round-8
-    * manifests) default to the full schema width with no stats. */
+    * manifests) default to the full schema width with no stats; files
+    * named by no `#nulls` line have UNKNOWN null counts (skipping stays
+    * conservative there). `_total` counts LIVE rows (physical minus
+    * deletion-vector positions) — the quantity every reader observes. */
   def parse(version: Int, body: String): GraftManifest = {
     var ddl: Option[String] = None
     var ts: Option[Long] = None
@@ -179,6 +254,8 @@ object GraftManifest {
     val parts = scala.collection.mutable.Map[String, (String, String)]()
     val stats = scala.collection.mutable.Map[String, Map[Int, (String, String)]]()
       .withDefaultValue(Map.empty)
+    val nulls = scala.collection.mutable.Map[String, Map[Int, Long]]()
+    val dvs = scala.collection.mutable.Map[String, (String, Long)]()
     var total = 0L
     body.split("\n").filter(_.nonEmpty).foreach {
       case s if s.startsWith("#schema=") => ddl = Some(s.stripPrefix("#schema="))
@@ -198,6 +275,19 @@ object GraftManifest {
           case bad => throw new IllegalStateException(
             s"malformed #stats line: '${bad.mkString(",")}'")
         }
+      case s if s.startsWith("#nulls=") =>
+        s.stripPrefix("#nulls=").split(",", 2) match {
+          case Array(f, pairs) => nulls(f) = pairs.split(";").filter(_.nonEmpty)
+            .map { p => val Array(i, n) = p.split(":", 2); i.toInt -> n.toLong }.toMap
+          case bad => throw new IllegalStateException(
+            s"malformed #nulls line: '${bad.mkString(",")}'")
+        }
+      case s if s.startsWith("#dv=") =>
+        s.stripPrefix("#dv=").split(",", 3) match {
+          case Array(f, sc, n) => dvs(f) = (sc, n.toLong)
+          case bad => throw new IllegalStateException(
+            s"malformed #dv line: '${bad.mkString(",")}'")
+        }
       case s if s.startsWith("#") => () // forward-compat: ignore unknown metadata
       case line => line.split(",", 2) match {
         case Array("_total", n) => total = n.toLong
@@ -208,7 +298,8 @@ object GraftManifest {
     }
     val width = ddl.map(StructType.fromDDL(_).length).getOrElse(0)
     val metas = rows.result().map { case (f, n) =>
-      GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f))
+      GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f),
+        nulls.get(f), dvs.get(f))
     }
     GraftManifest(version, metas, total, ddl, ts, base)
   }
@@ -247,7 +338,11 @@ object GraftManifest {
               throw e
           }
         val metas = baseM.metas ++ m.metas
-        val sum = metas.map(_.rows).sum
+        // LIVE rows: the total a reader observes (physical minus deletion-
+        // vector positions). Delta appends never carry DVs — every commit
+        // that touches an existing file's vector is a full snapshot — so
+        // concatenation keeps each file's meta authoritative.
+        val sum = metas.map(_.liveRows).sum
         if (sum != m.total) throw new IllegalStateException(
           s"graft-sink: folding v$v at $path yields $sum rows, manifest committed ${m.total}")
         GraftManifest(v, metas, m.total, m.schemaDdl, m.ts)
@@ -269,9 +364,12 @@ object GraftManifest {
   }
 
   /** TIMESTAMP AS OF resolution: the newest version whose commit
-    * wall-clock is at or before `tsMillis` — the time-travel-by-time
-    * contract (Delta/Iceberg both resolve a timestamp to the last commit
-    * it covers). Commit timestamps are written strictly increasing
+    * wall-clock is at or before `tsMillis` — the Iceberg
+    * time-travel-by-time contract, including for timestamps AFTER the
+    * last commit, which resolve to the head (Delta differs there: it
+    * rejects timestamps beyond the latest commit as temporally unstable;
+    * callers that want that stricter contract can compare against the
+    * head's `#ts` themselves). Commit timestamps are written strictly increasing
     * ([[commitMetas]] bumps past the prior head's ts), so the mapping is
     * unambiguous even for commits inside one wall-clock millisecond;
     * pre-timestamp manifests sort as epoch 0 ("before everything").
@@ -313,9 +411,12 @@ object GraftManifest {
       bodyMetas: Seq[GraftFileMeta], totalRows: Long): String = {
     val meta = bodyMetas.flatMap { m =>
       val p = m.partition.map { case (c, v) => s"$c,$v" }.getOrElse(",")
-      s"#meta=${m.name},${m.ncols},$p" +:
+      (s"#meta=${m.name},${m.ncols},$p" +:
         m.stats.toSeq.sortBy(_._1).map { case (i, (mn, mx)) =>
-          s"#stats=${m.name},$i,$mn,$mx" }
+          s"#stats=${m.name},$i,$mn,$mx" }) ++
+        m.nulls.map(ns => s"#nulls=${m.name}," + ns.toSeq.filter(_._2 > 0)
+          .sortBy(_._1).map { case (i, n) => s"$i:$n" }.mkString(";")).toSeq ++
+        m.dv.map { case (sc, n) => s"#dv=${m.name},$sc,$n" }.toSeq
     }
     // `_total` rides in the HEADER (parse is position-agnostic): a delta
     // commit then learns the prior total from [[readHeader]] without
@@ -467,7 +568,7 @@ object GraftManifest {
       // commit, every CheckpointEvery-th slot, and every truncate
       val isDelta = !truncate && headV.nonEmpty && next % CheckpointEvery != 0
       val newTotal = (if (truncate) 0L else head.map(_.total).getOrElse(0L)) +
-        jobMetas.map(_.rows).sum
+        jobMetas.map(_.liveRows).sum
       // `all` (the folded full list) is materialized ONLY for full
       // commits — checkpoints and truncates — never per delta append
       lazy val all = (if (truncate) Seq.empty
@@ -475,18 +576,14 @@ object GraftManifest {
       val body =
         if (isDelta) render(unionDdl, commitTs, headV, jobMetas, newTotal)
         else {
-          require(all.map(_.rows).sum == newTotal,
+          require(all.map(_.liveRows).sum == newTotal,
             s"graft-sink: checkpoint fold at $path disagrees with the running total")
           render(unionDdl, commitTs, None, all, newTotal)
         }
-      val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$next", ".tmp")
-      var claimed = false
-      try {
-        Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-        // link(2): atomic claim that FAILS if the slot is taken (rename
-        // would silently replace it — see scaladoc)
-        Files.createLink(Paths.get(path, s"$VPrefix$next"), tmp)
-        claimed = true
+      // the pluggable CAS: true = this commit owns version `next`; false =
+      // lost the race — loop re-reads the new head and retries one slot up
+      if (claimer.claim(Paths.get(path, s"$VPrefix$next"),
+          body.getBytes(StandardCharsets.UTF_8))) {
         // head pointer for pre-versioning readers; REPLACE is safe — it is
         // derived state, the version files are the durable record — and
         // BEST-EFFORT: the version is already durably committed, so a
@@ -495,7 +592,7 @@ object GraftManifest {
         // the O(table files) cost the delta design removes right back.
         if (!isDelta) scala.util.Try {
           val legacy = (all.map(m => s"${m.name},${m.rows}") :+
-            s"_total,${all.map(_.rows).sum}").mkString("\n")
+            s"_total,${all.map(_.liveRows).sum}").mkString("\n")
           val ltmp = Files.createTempFile(Paths.get(path), "_manifest", ".tmp")
           try {
             Files.write(ltmp, legacy.getBytes(StandardCharsets.UTF_8))
@@ -504,12 +601,17 @@ object GraftManifest {
           } finally Files.deleteIfExists(ltmp)
         }
         return next
-      } catch {
-        case _: FileAlreadyExistsException if !claimed => () // lost the race; retry at next+1
-      } finally Files.deleteIfExists(tmp)
+      }
     }
     -1 // unreachable
   }
+
+  /** Read a deletion-vector sidecar: ascending 0-based physical row
+    * positions, one per line (written sorted by the delta commit; the
+    * order is what lets the reader walk it with one pointer). */
+  private[sources] def readDv(p: java.nio.file.Path): Array[Long] =
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).map(_.toLong)
 
   /** VACUUM: drop every version but the newest `retainLast`, then delete
     * the data files no retained manifest references — the storage-reclaim
@@ -558,14 +660,20 @@ object GraftManifest {
         } finally Files.deleteIfExists(tmp)
       }
     }
+    // keep = data files AND deletion-vector sidecars any retained version
+    // references — a reclaimed sidecar would resurrect deleted rows on the
+    // next read, the exact inverse of the torn-snapshot failure the
+    // manifest-first deletion order prevents
     val keep = vs.takeRight(retainLast)
-      .flatMap(v => readVersion(path, Some(v)).toSeq.flatMap(_.metas.map(_.name)))
+      .flatMap(v => readVersion(path, Some(v)).toSeq.flatMap(_.metas.flatMap(m =>
+        m.name +: m.dv.map(_._1).toSeq)))
       .toSet
     dropped.foreach(v => Files.deleteIfExists(Paths.get(path, s"$VPrefix$v")))
     val cutoff = System.currentTimeMillis() - graceMs
     val listing = Option(new File(path).listFiles()).getOrElse(Array.empty)
     val victims = listing
-      .filter(f => f.getName.endsWith(".csv") && !f.getName.startsWith("epoch-") &&
+      .filter(f => (f.getName.endsWith(".csv") || f.getName.endsWith(".dv")) &&
+        !f.getName.startsWith("epoch-") &&
         !keep.contains(f.getName) && f.lastModified() <= cutoff)
     victims.foreach(_.delete())
     listing.filter(f => f.getName.endsWith(".tmp") && f.lastModified() <= cutoff)
@@ -576,7 +684,9 @@ object GraftManifest {
 
 class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int],
     changesFrom0: Option[Int] = None)
-    extends Table with SupportsWrite with SupportsRead {
+    extends Table with SupportsWrite with SupportsRead
+    with SupportsMetadataColumns with SupportsDelete
+    with SupportsRowLevelOperations {
   require(path != null && path.nonEmpty, "graft-sink requires option(\"path\")")
   override def name(): String = s"graft_sink($path)"
   override def schema(): StructType = schema0
@@ -584,17 +694,84 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  /** `_file` + `_pos` ([[SupportsMetadataColumns]]): the physical row
+    * identity. Non-nullable by contract — the merge-on-read write path
+    * uses them as the ROW ID ([[SupportsDelta.rowId]]), and Spark
+    * requires row-id attributes to be non-null. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    GraftMetaColumn(GraftSinkScan.FileCol, StringType),
+    GraftMetaColumn(GraftSinkScan.PosCol, LongType))
+
+  // ---- metadata-only DELETE (SupportsDelete) --------------------------
+  // `DELETE FROM t WHERE p` never touches a data file when every file is
+  // DECIDABLE from manifest metadata alone: provably all-match (stats
+  // envelope inside p's accepting range + known-zero null count, or the
+  // exact partition value) → dropped from the next manifest; provably
+  // no-match (the stats-skipping test) → kept untouched. One mixed or
+  // unprovable file fails canDeleteWhere and Spark falls back to the
+  // row-level (merge-on-read) plan below — correctness never rides on
+  // the proof, only the fast path does.
+
+  private def headForDml(op: String): GraftManifest = {
+    require(versionAsOf.isEmpty,
+      s"graft-sink: $op must target the table head, not a pinned version")
+    GraftManifest.readVersion(path, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-sink: no committed version to modify at $path"))
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    versionAsOf.isEmpty && GraftManifest.readVersion(path, None).exists { head =>
+      head.schemaDdl.map(StructType.fromDDL).exists { layout =>
+        head.metas.forall(m =>
+          filters.forall(GraftSinkScan.mustMatchAll(m, layout, _)) ||
+            !filters.forall(GraftSinkScan.mayMatch(m, layout, _)))
+      }
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val head = headForDml("DELETE")
+    val layout = StructType.fromDDL(head.schemaDdl.getOrElse(
+      throw new IllegalStateException(s"graft-sink: head at $path carries no schema")))
+    val kept = head.metas.filter { m =>
+      val drop = filters.forall(GraftSinkScan.mustMatchAll(m, layout, _))
+      // canDeleteWhere ran against an earlier head read; re-prove on THIS
+      // read and fail loudly if a file has become undecidable in between
+      if (!drop && filters.forall(GraftSinkScan.mayMatch(m, layout, _)))
+        throw new IllegalStateException(
+          s"graft-sink: metadata-only delete cannot decide file ${m.name} — re-plan")
+      !drop
+    }
+    GraftManifest.commitMetas(path, kept, head.schemaDdl.get,
+      truncate = true, expectedBase = Some(head.version))
+    ()
+  }
+
+  /** Row-level DML ([[SupportsRowLevelOperations]]): DELETE / UPDATE /
+    * MERGE plan as MERGE-ON-READ delta writes ([[SupportsDelta]]) —
+    * deleted rows become deletion-vector positions (O(deleted rows)
+    * bytes), new/updated rows become fresh data files, and the commit is
+    * one full-snapshot manifest conditioned on the version the operation
+    * planned against. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(versionAsOf.isEmpty,
+      s"graft-sink: ${info.command} must target the table head, not a pinned version")
+    () => new GraftRowLevelOperation(path, info.command)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var truncating = false
       override def truncate(): WriteBuilder = { truncating = true; this }
       override def build(): Write = new Write {
-        // `_change_type` is the change feed's VIRTUAL column: a real
-        // column by that name would be silently dropped from the read
-        // layout and shift every later cell — refuse it at write time
-        if (info.schema().fieldNames.contains(GraftSinkScan.ChangeCol))
+        // `_change_type` / `_file` / `_pos` are VIRTUAL read columns: a
+        // real column by any of these names would silently shadow them
+        // (and, for the change feed, shift every later cell) — refuse at
+        // write time
+        info.schema().fieldNames.find(GraftSinkScan.Reserved.contains).foreach { c =>
           throw new IllegalArgumentException(
-            s"graft-sink: '${GraftSinkScan.ChangeCol}' is reserved for change-feed reads")
+            s"graft-sink: '$c' is reserved for virtual read columns") }
         // per-query tag in part names: append jobs from different
         // applications can reuse (partitionId, taskId) — without the tag
         // a second app's task-commit rename silently replaces the first
@@ -620,8 +797,18 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
     // don't pay it again per scan); options-only resolution is the
     // fallback for tables constructed without one (catalog loads)
     val pinned = versionAsOf.orElse(GraftSinkProvider.pinned(path, options.get))
+    val streamCdf = Option(options.get("readChangeFeed")).exists(_.toBoolean)
+    // A BATCH read with readChangeFeed=true but no explicit changesFrom is
+    // the "changes since before the first commit" request: resolve it to
+    // changesFrom=0 at plan time, so every survivor is tagged 'insert'.
+    // Leaving it unresolved would emit NULL under the non-nullable
+    // _change_type field the CDF schema declares — a nullability lie that
+    // downstream codegen is entitled to trust and silently miscompute on.
+    // (Streaming CDF reads never consult scan.changesFrom — the micro-batch
+    // stream diffs per offset range — so the default is batch-only.)
     val changesFrom =
       Option(options.get("changesFrom")).map(_.toInt).orElse(changesFrom0)
+        .orElse(if (streamCdf) Some(0) else None)
     // LAYOUT schema = the column order the files were WRITTEN in (from the
     // pinned manifest). Cell positions must resolve against it, never
     // against a user-supplied read schema: `.schema("b BIGINT, a BIGINT")`
@@ -638,7 +825,6 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
           s"graft-sink: no committed manifest to read at $path"))
         .filterNot(_.name == GraftSinkScan.ChangeCol))
     val visible0 = if (schema0.nonEmpty) schema0 else layout
-    val streamCdf = Option(options.get("readChangeFeed")).exists(_.toBoolean)
     val visible =
       if ((changesFrom.isDefined || streamCdf) &&
           !visible0.fieldNames.contains(GraftSinkScan.ChangeCol))
@@ -736,7 +922,7 @@ case class GraftSinkScan(path: String, version: Option[Int],
     * scale as planning itself). */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val s = survivors
-    val rows = s.map(_._1.rows).sum
+    val rows = s.map(_._1.liveRows).sum
     val bytes = s.map { case (m, _) =>
       scala.util.Try(Files.size(Paths.get(path, m.name))).getOrElse(0L) }.sum
     new org.apache.spark.sql.connector.read.Statistics {
@@ -766,7 +952,8 @@ case class GraftSinkScan(path: String, version: Option[Int],
     * — O(changed files), the unchanged table is never rescanned. */
   override def planInputPartitions(): Array[InputPartition] =
     survivors.map { case (m, c) =>
-      GraftSinkFileSplit(s"$path/${m.name}", m.rows, m.ncols, c): InputPartition
+      GraftSinkFileSplit(s"$path/${m.name}", m.rows, m.ncols, c,
+        m.dv.map(d => s"$path/${d._1}")): InputPartition
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftSinkReaderFactory(full, required)
@@ -776,6 +963,15 @@ object GraftSinkScan {
   /** The change feed's virtual column: 'insert' for rows of files the
     * version range added, 'delete' for rows of files it dropped. */
   val ChangeCol = "_change_type"
+  /** Metadata columns ([[SupportsMetadataColumns]]): the physical file a
+    * row lives in and its 0-based physical position there — together the
+    * ROW ID the merge-on-read (deletion vector) write path keys deletes
+    * by, and a user-visible lineage surface (`SELECT _file, _pos, ...`). */
+  val FileCol = "_file"
+  val PosCol = "_pos"
+  /** Names a data column can never take (each is a virtual read column —
+    * a real column by the same name would silently shadow it). */
+  val Reserved: Set[String] = Set(ChangeCol, FileCol, PosCol)
 
   /** Manifest diff for CDF and streaming reads: (added, removed) file
     * metas between `fromV` (exclusive; 0 = before the first commit) and
@@ -797,10 +993,16 @@ object GraftSinkScan {
     val from =
       if (fromV == 0) Seq.empty
       else GraftManifest.readVersion(path, Some(fromV)).get.metas
-    val fromNames = from.map(_.name).toSet
-    val toNames = to.metas.map(_.name).toSet
-    (to.metas.filterNot(m => fromNames(m.name)),
-      from.filterNot(m => toNames(m.name)), to.version)
+    // identity = (name, deletion vector): a DV-only change leaves the file
+    // name in place but changes every reader-visible fact about it, so the
+    // diff reports it as remove-of-old-state + add-of-new-state — the CDF
+    // then emits delete x (old live rows) + insert x (new live rows), whose
+    // net is exactly the deleted rows (the file-granular CDF contract)
+    def key(m: GraftFileMeta): (String, Option[(String, Long)]) = (m.name, m.dv)
+    val fromKeys = from.map(key).toSet
+    val toKeys = to.metas.map(key).toSet
+    (to.metas.filterNot(m => fromKeys(key(m))),
+      from.filterNot(m => toKeys(key(m))), to.version)
   }
 
   /** Filters the skipper understands (everything else is left entirely to
@@ -815,6 +1017,7 @@ object GraftSinkScan {
     case LessThanOrEqual(c, _)    => hasCol(layout, c)
     case In(c, _)                 => hasCol(layout, c)
     case IsNotNull(c)             => hasCol(layout, c)
+    case IsNull(c)                => hasCol(layout, c)
     case _ => false
   }
   private def hasCol(layout: StructType, c: String): Boolean =
@@ -858,14 +1061,75 @@ object GraftSinkScan {
         cmp(dt, mn, v.toString) <= 0 }
       case In(c, vs) => !allNull(c) && range(c).forall { case (dt, mn, mx) =>
         vs.exists(v => cmp(dt, v.toString, mn) >= 0 && cmp(dt, v.toString, mx) <= 0) }
-      case IsNotNull(c) => !allNull(c)
+      // null counts sharpen both null predicates: IS NOT NULL also drops a
+      // full-width file that is KNOWN all-null; IS NULL drops a file KNOWN
+      // null-free. Unknown counts (pre-null-stats files) stay conservative.
+      case IsNotNull(c) => !allNull(c) &&
+        !col(c).exists { case (i, _) =>
+          meta.nulls.exists(_.getOrElse(i, 0L) == meta.rows) && meta.rows > 0 }
+      case IsNull(c) => allNull(c) ||
+        col(c).forall { case (i, _) =>
+          meta.nulls.forall(_.getOrElse(i, 0L) > 0L) }
       case _ => true
+    }
+  }
+
+  /** Conservative must-match: true ONLY when EVERY physical row of the
+    * file provably satisfies `f` — the proof obligation of the
+    * metadata-only DELETE path (a file is droppable without being read
+    * iff all its rows match the predicate). Two facts make a proof:
+    * the stats envelope (min/max, or the exact partition value) lying
+    * entirely inside the predicate's accepting range, AND a KNOWN null
+    * count — min/max cover only non-null values, so without `#nulls` a
+    * hidden NULL (which satisfies no comparison) could survive a drop
+    * wrongly. Anything unprovable returns false and the caller falls
+    * back to the row-level (merge-on-read) plan. */
+  def mustMatchAll(meta: GraftFileMeta, layout: StructType, f: Filter): Boolean = {
+    def col(c: String): Option[(Int, DataType)] =
+      scala.util.Try(layout.fieldIndex(c)).toOption.map(i => (i, layout.fields(i).dataType))
+    // known-zero null count within the file's written width
+    def noNulls(i: Int): Boolean =
+      i < meta.ncols && meta.nulls.exists(_.getOrElse(i, 0L) == 0L)
+    def allNull(i: Int): Boolean =
+      i >= meta.ncols || meta.nulls.exists(_.getOrElse(i, 0L) == meta.rows)
+    def range(c: String): Option[(DataType, String, String)] = col(c).flatMap {
+      case (i, _) if i >= meta.ncols => None
+      case (i, dt) =>
+        meta.partition match {
+          case Some((pc, pv)) if pc == c => Some((dt, pv, pv))
+          case _ => meta.stats.get(i).map { case (mn, mx) => (dt, mn, mx) }
+        }
+    }
+    f match {
+      case _: AlwaysTrue  => true
+      case _: AlwaysFalse => false
+      case And(l, r) => mustMatchAll(meta, layout, l) && mustMatchAll(meta, layout, r)
+      case Or(l, r)  => mustMatchAll(meta, layout, l) || mustMatchAll(meta, layout, r)
+      case EqualTo(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
+        range(c).exists { case (dt, mn, mx) =>
+          cmp(dt, mn, v.toString) == 0 && cmp(dt, mx, v.toString) == 0 }
+      case GreaterThan(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
+        range(c).exists { case (dt, mn, _) => cmp(dt, mn, v.toString) > 0 }
+      case GreaterThanOrEqual(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
+        range(c).exists { case (dt, mn, _) => cmp(dt, mn, v.toString) >= 0 }
+      case LessThan(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
+        range(c).exists { case (dt, _, mx) => cmp(dt, mx, v.toString) < 0 }
+      case LessThanOrEqual(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
+        range(c).exists { case (dt, _, mx) => cmp(dt, mx, v.toString) <= 0 }
+      // a one-point envelope is the only provable In (a wider range could
+      // contain non-member values between the members)
+      case In(c, vs) => col(c).exists { case (i, _) => noNulls(i) } &&
+        range(c).exists { case (dt, mn, mx) =>
+          cmp(dt, mn, mx) == 0 && vs.exists(v => cmp(dt, v.toString, mn) == 0) }
+      case IsNull(c)    => col(c).exists { case (i, _) => allNull(i) }
+      case IsNotNull(c) => col(c).exists { case (i, _) => noNulls(i) }
+      case _ => false
     }
   }
 }
 
 case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int,
-    change: String = null)
+    change: String = null, dvFile: Option[String] = None)
     extends InputPartition
 
 class GraftSinkReaderFactory(full: StructType, required: StructType)
@@ -873,25 +1137,50 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val split = p.asInstanceOf[GraftSinkFileSplit]
     // map each required column to its cell position in the written line;
-    // the virtual change-type column (-1) reads the split's constant
-    val idx = required.fields.map(f =>
-      if (f.name == GraftSinkScan.ChangeCol) -1 else full.fieldIndex(f.name))
+    // virtual columns read per-row/per-split values instead: the change
+    // type (-1), the physical file name (-2), and the 0-based physical
+    // row position (-3) — the last two are the merge-on-read ROW ID
+    val idx = required.fields.map(_.name match {
+      case GraftSinkScan.ChangeCol => -1
+      case GraftSinkScan.FileCol   => -2
+      case GraftSinkScan.PosCol    => -3
+      case n                       => full.fieldIndex(n)
+    })
     val types = required.fields.map(_.dataType)
     new PartitionReader[InternalRow] {
       private val in = Files.newBufferedReader(
         Paths.get(split.file), StandardCharsets.UTF_8)
+      // the deletion vector: ascending physical positions this scan must
+      // NOT emit. Loaded once per split — O(deleted rows) memory, bounded
+      // by file size, never by table size.
+      private val dv: Array[Long] = split.dvFile
+        .map(f => GraftManifest.readDv(Paths.get(f))).getOrElse(Array.emptyLongArray)
+      private var dvIdx = 0
+      private val fileName =
+        split.file.substring(split.file.lastIndexOf('/') + 1)
       private var line: String = _
-      private var rows = 0L
+      private var pos = -1L // physical position of the CURRENT row
+      private var rows = 0L // physical rows consumed (integrity check)
       override def next(): Boolean = {
-        line = in.readLine()
-        if (line == null) {
-          // manifest row count is the integrity record: a truncated file
-          // (torn copy, partial restore) fails the scan instead of
-          // silently under-reporting
-          if (rows != split.expectedRows) throw new IllegalStateException(
-            s"graft-sink: ${split.file} has $rows rows, manifest committed ${split.expectedRows}")
-          false
-        } else { rows += 1; true }
+        while (true) {
+          line = in.readLine()
+          if (line == null) {
+            // manifest row count is the integrity record: a truncated file
+            // (torn copy, partial restore) fails the scan instead of
+            // silently under-reporting — the count is PHYSICAL lines, so
+            // it holds across deletion-vector changes
+            if (rows != split.expectedRows) throw new IllegalStateException(
+              s"graft-sink: ${split.file} has $rows rows, manifest committed ${split.expectedRows}")
+            if (dvIdx != dv.length) throw new IllegalStateException(
+              s"graft-sink: deletion vector for ${split.file} names position " +
+                s"${dv(dvIdx)} beyond the file's $rows physical rows")
+            return false
+          }
+          rows += 1; pos += 1
+          if (dvIdx < dv.length && dv(dvIdx) == pos) dvIdx += 1 // deleted: skip
+          else return true
+        }
+        false // unreachable
       }
       override def get(): InternalRow = {
         val cells = line.split(",", -1)
@@ -904,6 +1193,8 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
           // and the \N sentinel both read as NULL
           values(i) =
             if (idx(i) == -1) UTF8String.fromString(split.change)
+            else if (idx(i) == -2) UTF8String.fromString(fileName)
+            else if (idx(i) == -3) pos
             else if (idx(i) >= split.ncols || cells(idx(i)) == GraftSinkWriter.NullCell) null
             else types(i) match {
               case LongType   => cells(idx(i)).toLong
@@ -1033,7 +1324,7 @@ class GraftTableMicroBatchStream(scan: GraftSinkScan)
     tagged
       .filter { case (m, _) => scan.filters.forall(GraftSinkScan.mayMatch(m, scan.full, _)) }
       .map { case (m, c) => GraftSinkFileSplit(s"${scan.path}/${m.name}", m.rows,
-        m.ncols, c): InputPartition }
+        m.ncols, c, m.dv.map(d => s"${scan.path}/${d._1}")): InputPartition }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1062,6 +1353,193 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
+}
+
+/** A virtual (metadata) read column — see
+  * [[GraftSinkTable.metadataColumns]]. */
+case class GraftMetaColumn(name: String, dataType: DataType) extends MetadataColumn {
+  override def isNullable: Boolean = false
+}
+
+/** One row-level SQL command (DELETE / UPDATE / MERGE) against a graft
+  * table, planned MERGE-ON-READ ([[SupportsDelta]]):
+  *
+  *  - the SCAN pins the head version at plan time and serves the row id
+  *    (`_file`, `_pos`) through the normal metadata-column path; pushed
+  *    predicates still skip files by manifest stats — for a delta write
+  *    that is CORRECT skipping, because a file with no matching rows
+  *    needs no deletion vector and is left untouched (contrast
+  *    copy-on-write, where skipping an all-matching file would silently
+  *    keep its rows);
+  *  - DELETEs land as deletion-vector positions keyed by the row id —
+  *    O(deleted rows) bytes, no data file rewritten;
+  *  - UPDATEs are represented as delete + re-insert
+  *    ([[representUpdateAsDeleteAndInsert]]), so the writer needs only
+  *    two verbs; inserted rows go through the ordinary task-commit
+  *    protocol into fresh data files;
+  *  - the COMMIT publishes one full-snapshot manifest (a vector change
+  *    mutates existing file entries, and removers are always full — the
+  *    delta-chain invariant) conditioned on `expectedBaseVersion` = the
+  *    pinned head: racing a concurrent append throws
+  *    ConcurrentModificationException instead of dropping its rows.
+  *
+  * Metadata-ONLY deletes (predicate decidable per file from stats /
+  * partition values / null counts) never reach this class — Spark's
+  * OptimizeMetadataOnlyDeleteFromTable rewrites them to
+  * [[GraftSinkTable.deleteWhere]] first. */
+class GraftRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+  /** The version this operation plans against; resolved once so the scan
+    * and the write commit agree on the base even if the head moves. */
+  private[sources] val baseVersion: Int =
+    GraftManifest.versions(path).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-sink: no committed version to modify at $path"))
+  private val layout: StructType = StructType.fromDDL(
+    GraftManifest.headerSchema(path, baseVersion).map(_.toDDL).getOrElse(
+      throw new IllegalStateException(
+        s"graft-sink: v$baseVersion at $path carries no schema")))
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSinkScanBuilder(path, Some(baseVersion), layout, layout)
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftDeltaWrite(path, layout,
+        info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8), baseVersion)
+    }
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(GraftSinkScan.FileCol),
+    Expressions.column(GraftSinkScan.PosCol))
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  override def description(): String = s"graft-sink $cmd merge-on-read at v$baseVersion"
+}
+
+class GraftDeltaWrite(path: String, schema: StructType, tag: String,
+    baseVersion: Int) extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite =
+    new GraftDeltaBatchWrite(path, schema, tag, baseVersion)
+}
+
+/** A deletion-vector fragment one task produced for one data file: the
+  * positions live in the task-written sidecar `frag`, NOT in this driver
+  * message — a wide delete must not ship O(deleted rows) through
+  * task-commit messages. */
+case class GraftDvFragment(file: String, frag: String, n: Long)
+
+case class GraftDeltaCommit(files: Seq[GraftFileMeta],
+    dvFrags: Seq[GraftDvFragment]) extends WriterCommitMessage
+
+class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
+    baseVersion: Int) extends DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    GraftDeltaWriterFactory(path, schema, tag)
+
+  /** Job commit: merge every task's vector fragments into one final
+    * sidecar per touched file (existing vector ∪ new positions, sorted;
+    * normally one fragment per file — each file is one read split — but
+    * a MERGE's shuffle may scatter a file's row ids across tasks), drop
+    * files whose every physical row is now dead, append the inserted
+    * files, and publish as a conditioned full snapshot. Cost:
+    * O(changed rows) bytes written + O(table files) manifest entries —
+    * never a data-file rewrite. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val cms = messages.collect { case m: GraftDeltaCommit => m }
+    val head = GraftManifest.readVersion(path, None).getOrElse(
+      throw new IllegalStateException(s"graft-sink: no committed version at $path"))
+    if (head.version != baseVersion) throw new java.util.ConcurrentModificationException(
+      s"graft-sink: row-level operation planned against version $baseVersion " +
+        s"but head is ${head.version} at $path — re-run the statement")
+    val frags = cms.flatMap(_.dvFrags).groupBy(_.file)
+    val known = head.metas.map(_.name).toSet
+    frags.keys.filterNot(known).foreach { f =>
+      throw new IllegalStateException(
+        s"graft-sink: deletion vector targets unknown file $f at v$baseVersion") }
+    val newMetas = head.metas.flatMap { m =>
+      frags.get(m.name) match {
+        case None => Some(m)
+        case Some(fs) =>
+          val existing = m.dv.map(d => GraftManifest.readDv(Paths.get(path, d._1)))
+            .getOrElse(Array.emptyLongArray)
+          val merged = (existing ++ fs.flatMap(fr =>
+            GraftManifest.readDv(Paths.get(path, fr.frag)))).distinct.sorted
+          merged.find(p => p < 0 || p >= m.rows).foreach { p =>
+            throw new IllegalStateException(
+              s"graft-sink: deletion position $p out of range for ${m.name} (${m.rows} rows)") }
+          if (merged.length == m.rows) None // every physical row dead → drop the file
+          else {
+            val sc = s"${m.name}.$tag.dv"
+            Files.write(Paths.get(path, sc),
+              merged.mkString("\n").getBytes(StandardCharsets.UTF_8))
+            Some(m.copy(dv = Some((sc, merged.length.toLong))))
+          }
+      }
+    } ++ cms.flatMap(_.files)
+    GraftManifest.commitMetas(path, newMetas, head.schemaDdl.getOrElse(schema.toDDL),
+      truncate = true, expectedBase = Some(baseVersion))
+    // fragment hygiene: positions are folded into the final sidecars
+    cms.flatMap(_.dvFrags).foreach(fr => Files.deleteIfExists(Paths.get(path, fr.frag)))
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case m: GraftDeltaCommit => m }.foreach { m =>
+      m.dvFrags.foreach(fr => Files.deleteIfExists(Paths.get(path, fr.frag)))
+      // task-committed insert files are invisible orphans (no manifest
+      // names them) — delete eagerly rather than waiting for vacuum
+      m.files.foreach(f => Files.deleteIfExists(Paths.get(path, f.name)))
+    }
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
+  }
+}
+
+case class GraftDeltaWriterFactory(path: String, schema: StructType,
+    tag: String) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(path, schema, partitionId, taskId, tag)
+}
+
+/** Task-side delta writer: deletes accumulate (file → positions) and
+  * land as one sorted sidecar FRAGMENT per touched file at task commit
+  * (`.tmp`-suffixed so crashed attempts age into the vacuum sweep);
+  * inserts ride a nested ordinary [[GraftSinkWriter]] — same tmp→rename
+  * task-commit protocol, stats and null counts included. */
+class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
+    taskId: Long, tag: String) extends DeltaWriter[InternalRow] {
+  private var inserts: GraftSinkWriter = _
+  private val dels =
+    scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    // row id layout = rowId() order: (_file string, _pos long)
+    dels.getOrElseUpdate(id.getUTF8String(0).toString,
+      new scala.collection.mutable.ArrayBuffer[Long]) += id.getLong(1)
+    ()
+  }
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    // unreachable under representUpdateAsDeleteAndInsert=true; kept total
+    delete(meta, id); insert(row)
+  }
+  override def insert(row: InternalRow): Unit = {
+    if (inserts == null)
+      inserts = new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-")
+    inserts.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val ins = if (inserts == null) Seq.empty
+      else inserts.commit().asInstanceOf[GraftSinkCommit].files
+    val frags = dels.toSeq.map { case (f, ps) =>
+      val sorted = ps.toArray.sorted
+      val name = f"$f.$tag-p$partitionId%05d-t$taskId.dv.tmp"
+      Files.write(Paths.get(path, name),
+        sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      GraftDvFragment(f, name, sorted.length.toLong)
+    }
+    GraftDeltaCommit(ins, frags)
+  }
+  override def abort(): Unit = if (inserts != null) inserts.abort()
+  override def close(): Unit = ()
 }
 
 class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
@@ -1156,6 +1634,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     var rows = 0L
     val mins = new Array[String](schema.length)
     val maxs = new Array[String](schema.length)
+    val nullCounts = new Array[Long](schema.length)
   }
   private val parts = scala.collection.mutable.LinkedHashMap[String, Part]()
 
@@ -1203,7 +1682,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         val dt = schema.fields(i).dataType
         if (p.mins(i) == null || cmp(dt, cells(i), p.mins(i)) < 0) p.mins(i) = cells(i)
         if (p.maxs(i) == null || cmp(dt, cells(i), p.maxs(i)) > 0) p.maxs(i) = cells(i)
-      }
+      } else p.nullCounts(i) += 1
       i += 1
     }
     p.out.write(cells.mkString(","))
@@ -1221,8 +1700,13 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       val stats = (0 until schema.length).flatMap { i =>
         Option(p.mins(i)).map(mn => i -> (mn, p.maxs(i)))
       }.toMap
+      // Some(...) even when every count is zero: "counts KNOWN, no nulls"
+      // is exactly the fact IS NULL pruning needs; None stays reserved for
+      // files written before null counts existed
+      val nulls = (0 until schema.length)
+        .filter(p.nullCounts(_) > 0).map(i => i -> p.nullCounts(i)).toMap
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
-        partCol.map(_ -> value))
+        partCol.map(_ -> value), Some(nulls))
     }.toSeq
     GraftSinkCommit(metas)
   }
