@@ -519,4 +519,151 @@ class SourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 30,
       "ignoreChanges re-emits the 15 rewritten rows")
   }
+
+  test("graft-sink SQL DML: merge-on-read DELETE vectors rows, partition-aligned DELETE is metadata-only") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dml_spec").toString
+    spark.conf.set("spark.sql.catalog.gdml", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdml.root", root)
+    import graft.sources.GraftManifest
+    // merge-on-read: one mixed file, predicate not decidable from stats
+    val dir = s"$root/db/t1"
+    spark.range(20).select(col("id"), (col("id") % 4).as("k")).coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    spark.sql("DELETE FROM gdml.db.t1 WHERE id % 5 = 0") // kills 0,5,10,15
+    val v1 = GraftManifest.readVersion(dir, Some(1)).get
+    val v2 = GraftManifest.readVersion(dir, Some(2)).get
+    assert(v2.metas.map(_.name) == v1.metas.map(_.name)) // no file rewritten
+    assert(v2.metas.head.dv.exists(_._2 == 4L))
+    assert(v2.total == 16L)
+    val head = spark.read.format("graft-sink").option("path", dir).load()
+    assert(head.count() == 16)
+    assert(head.agg(sum(col("id"))).head().getLong(0) == (0L until 20).filter(_ % 5 != 0).sum)
+    assert(spark.read.format("graft-sink").option("path", dir)
+      .option("versionAsOf", "1").load().count() == 20)
+    // the row id surfaces as metadata columns; positions skip the dead rows
+    val ids = spark.read.format("graft-sink").option("path", dir).load()
+      .select(col("_pos"), col("id")).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(ids.length == 16 && ids.forall { case (pos, id) => pos == id && id % 5 != 0 })
+
+    // metadata-only: partition-aligned predicate, no data byte moves
+    val dir2 = s"$root/db/t2"
+    spark.range(40).select(col("id"), (col("id") % 4).as("k"))
+      .repartition(col("k"))
+      .write.format("graft-sink").option("path", dir2)
+      .option("partitionBy", "k").mode("overwrite").save()
+    val plan = spark.sql("EXPLAIN DELETE FROM gdml.db.t2 WHERE k = 2")
+      .collect().head.getString(0)
+    assert(!plan.contains("WriteDelta") && !plan.contains("ReplaceData"), plan)
+    spark.sql("DELETE FROM gdml.db.t2 WHERE k = 2")
+    val h2 = GraftManifest.readVersion(dir2, None).get
+    assert(h2.metas.size == 3 && h2.metas.forall(_.dv.isEmpty) && h2.total == 30L)
+    assert(h2.metas.map(_.name).toSet.subsetOf(
+      GraftManifest.readVersion(dir2, Some(1)).get.metas.map(_.name).toSet))
+  }
+
+  test("graft-sink SQL DML: UPDATE and MERGE land as vector + fresh files; stale base commit throws") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dml2_spec").toString
+    spark.conf.set("spark.sql.catalog.gdm2", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdm2.root", root)
+    import graft.sources.GraftManifest
+    val dir = s"$root/db/u1"
+    spark.range(10).select(col("id"), (col("id") * 10).as("v")).coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    spark.sql("UPDATE gdm2.db.u1 SET v = v + 1 WHERE id % 2 = 1")
+    val v2 = GraftManifest.readVersion(dir, None).get
+    val v1names = GraftManifest.readVersion(dir, Some(1)).get.metas.map(_.name).toSet
+    assert(v2.metas.exists(m => v1names(m.name) && m.dv.exists(_._2 == 5L)))
+    assert(v2.metas.exists(m => !v1names(m.name)))
+    val got = spark.read.format("graft-sink").option("path", dir).load()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 10).map(i => i -> (i * 10 + (i % 2))).toMap)
+
+    spark.range(5).select(col("id"), lit(-1L).as("v")).createOrReplaceTempView("mrg_src_spec")
+    spark.sql(
+      """MERGE INTO gdm2.db.u1 t USING mrg_src_spec s ON t.id = s.id
+        |WHEN MATCHED AND s.id < 2 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE AND t.id >= 8 THEN DELETE""".stripMargin)
+    val after = spark.read.format("graft-sink").option("path", dir).load()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(2L -> -1L, 3L -> -1L, 4L -> -1L,
+      5L -> 51L, 6L -> 60L, 7L -> 71L))
+
+    // a row-level commit conditioned on a stale base must throw, not truncate
+    val base = GraftManifest.versions(dir).last
+    spark.range(3).select(col("id"), col("id").as("v"))
+      .write.format("graft-sink").option("path", dir).mode("append").save()
+    intercept[java.util.ConcurrentModificationException] {
+      new graft.sources.GraftDeltaBatchWrite(dir,
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"),
+        "stale", base).commit(Array.empty)
+    }
+  }
+
+  test("graft-sink deletion vectors: CDF nets the delete, vacuum honors sidecar references") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dv_spec").toString
+    spark.conf.set("spark.sql.catalog.gdv", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdv.root", root)
+    import graft.sources.GraftManifest
+    val dir = s"$root/db/c1"
+    spark.range(12).select(col("id"), (col("id") % 3).as("k")).coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    spark.sql("DELETE FROM gdv.db.c1 WHERE id % 6 = 0") // kills 0, 6
+    // CDF across the vector change: old state deletes, new state inserts
+    val cdf = spark.read.format("graft-sink").option("path", dir)
+      .option("changesFrom", "1").load()
+    val byType = cdf.groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 12L, "insert" -> 10L))
+    // batch readChangeFeed with no changesFrom = since the beginning, all inserts
+    val allCdf = spark.read.format("graft-sink").option("path", dir)
+      .option("readChangeFeed", "true").load()
+    assert(allCdf.where(col("_change_type") === "insert").count() == allCdf.count())
+    assert(allCdf.count() == 10)
+    // vacuum keeps the referenced sidecar; after OPTIMIZE it is reclaimable
+    val dvName = GraftManifest.readVersion(dir, None).get.metas.head.dv.get._1
+    assert(new java.io.File(dir, dvName).exists())
+    GraftManifest.vacuum(dir, 1, 0)
+    assert(new java.io.File(dir, dvName).exists(), "referenced sidecar survived vacuum")
+    assert(spark.read.format("graft-sink").option("path", dir).load().count() == 10)
+    spark.sql("CALL gdv.system.optimize('db.c1', 1)")
+    GraftManifest.vacuum(dir, 1, 0)
+    assert(!new java.io.File(dir, dvName).exists(), "orphaned sidecar reclaimed")
+    assert(spark.read.format("graft-sink").option("path", dir).load().count() == 10)
+    // identifier traversal can never escape the catalog root
+    intercept[Exception] { spark.sql("DROP TABLE gdv.db.`..`") }
+    intercept[Exception] { spark.sql("DROP TABLE gdv.db.`a/b`") }
+  }
+
+  test("graft-sink null-count stats: skipping proofs and must-match algebra") {
+    import graft.sources.{GraftFileMeta, GraftSinkScan}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, IsNotNull, IsNull}
+    import org.apache.spark.sql.types.StructType
+    val layout = StructType.fromDDL("a BIGINT, b BIGINT")
+    def meta(stats: Map[Int, (String, String)], nulls: Option[Map[Int, Long]],
+        part: Option[(String, String)] = None) =
+      GraftFileMeta("f.csv", 10L, 2, stats, part, nulls)
+    val clean = meta(Map(0 -> ("1", "5")), Some(Map.empty))
+    val unknown = meta(Map(0 -> ("1", "5")), None)
+    val someNull = meta(Map(0 -> ("1", "5")), Some(Map(0 -> 3L)))
+    val allNull = meta(Map.empty, Some(Map(0 -> 10L)))
+    // IS NULL prunes only with a KNOWN-zero count
+    assert(!GraftSinkScan.mayMatch(clean, layout, IsNull("a")))
+    assert(GraftSinkScan.mayMatch(unknown, layout, IsNull("a")))
+    assert(GraftSinkScan.mayMatch(someNull, layout, IsNull("a")))
+    // IS NOT NULL prunes a known all-null file
+    assert(!GraftSinkScan.mayMatch(allNull, layout, IsNotNull("a")))
+    assert(GraftSinkScan.mayMatch(someNull, layout, IsNotNull("a")))
+    // must-match needs BOTH the envelope and the null proof
+    val point = meta(Map(0 -> ("7", "7")), Some(Map.empty))
+    assert(GraftSinkScan.mustMatchAll(point, layout, EqualTo("a", 7L)))
+    assert(!GraftSinkScan.mustMatchAll(meta(Map(0 -> ("7", "7")), None), layout,
+      EqualTo("a", 7L))) // unknown nulls: a hidden NULL would survive wrongly
+    assert(GraftSinkScan.mustMatchAll(clean, layout, GreaterThanOrEqual("a", 1L)))
+    assert(!GraftSinkScan.mustMatchAll(clean, layout, GreaterThanOrEqual("a", 2L)))
+    val p2 = meta(Map.empty, Some(Map.empty), Some(("a", "2")))
+    assert(GraftSinkScan.mustMatchAll(p2, layout, EqualTo("a", 2L)))
+    assert(!GraftSinkScan.mayMatch(p2, layout, EqualTo("a", 3L)))
+  }
+
 }
