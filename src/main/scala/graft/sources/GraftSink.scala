@@ -1405,7 +1405,7 @@ class GraftRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new GraftDeltaWrite(path, layout,
-        info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8), baseVersion)
+        info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8), baseVersion, cmd)
     }
   override def rowId(): Array[NamedReference] = Array(
     Expressions.column(GraftSinkScan.FileCol),
@@ -1415,9 +1415,26 @@ class GraftRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
 }
 
 class GraftDeltaWrite(path: String, schema: StructType, tag: String,
-    baseVersion: Int) extends DeltaWrite {
+    baseVersion: Int, cmd: RowLevelOperation.Command) extends DeltaWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def toBatch: DeltaBatchWrite =
     new GraftDeltaBatchWrite(path, schema, tag, baseVersion)
+  /** A wide DELETE's rows are already colocated (one read split per
+    * file), but request the clustering anyway so the property survives
+    * ANY plan between scan and write: every file's deleted positions
+    * land in ONE task → exactly one sidecar fragment per file, keeping
+    * the job-commit merge O(files touched), not O(tasks x files).
+    * UPDATE/MERGE queries mix insert rows (whose _file is NULL under
+    * delete-and-insert) with delete rows — leave those unclustered and
+    * let the generic fragment merge absorb the fan-out. */
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    if (cmd == RowLevelOperation.Command.DELETE)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array(Expressions.column(GraftSinkScan.FileCol)))
+    else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+  override def distributionStrictlyRequired(): Boolean = false
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 }
 
 /** A deletion-vector fragment one task produced for one data file: the

@@ -559,6 +559,12 @@ class SourceSpec extends AnyFunSuite {
     assert(h2.metas.size == 3 && h2.metas.forall(_.dv.isEmpty) && h2.total == 30L)
     assert(h2.metas.map(_.name).toSet.subsetOf(
       GraftManifest.readVersion(dir2, Some(1)).get.metas.map(_.name).toSet))
+    // unconditional DELETE = the truncate path: every file provably
+    // all-matches TRUE, the next version names nothing
+    spark.sql("DELETE FROM gdml.db.t2")
+    val h3 = GraftManifest.readVersion(dir2, None).get
+    assert(h3.metas.isEmpty && h3.total == 0L)
+    assert(spark.read.format("graft-sink").option("path", dir2).load().count() == 0)
   }
 
   test("graft-sink SQL DML: UPDATE and MERGE land as vector + fresh files; stale base commit throws") {
