@@ -1823,6 +1823,15 @@ object Scale {
     val (before, after) = (spread(v1m), spread(v2m))
     require(after <= before * 0.7,
       f"ZORDER must tighten per-file (cmod+omod) spans: before=$before%.1f after=$after%.1f")
+    // the layout->skipping loop, end to end: a 2-D octant predicate over
+    // the z-ordered head prunes files straight from the same min/max
+    // stats the rewrite just tightened (the round-robin v1 layout could
+    // prune nothing - every file spanned both full ranges)
+    val planned = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("cmod") < 64 && col("omod") < 64)
+      .rdd.getNumPartitions
+    require(planned < v2m.metas.size,
+      s"z-ordered stats must prune the octant probe: planned $planned of ${v2m.metas.size}")
     spark.read.format("graft-sink").option("path", dir).load()
       .groupBy((col("cmod") / 64).cast("long").as("cband"))
       .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),

@@ -348,4 +348,68 @@ class PropertySpec extends AnyFunSuite {
       GraftManifest.readVersion(dir, Some(v)).get
     }
   }
+
+  test("graft-sink delta-commit race: two DML jobs off one base — one wins, one throws, no row lost") {
+    // The DML twin of the rewrite-vs-append law: two merge-on-read
+    // deletes plan against the SAME base version and race their commits.
+    // Exactly one may win; the loser must throw
+    // ConcurrentModificationException (a blind retry would publish a
+    // head that silently forgets the winner's vector). Sequential
+    // re-plan then succeeds, and the final head reflects BOTH deletes.
+    import graft.sources.{GraftDeltaBatchWrite, GraftDeltaCommit, GraftDvFragment, GraftManifest}
+    import org.apache.spark.sql.types.StructType
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml_race").toString
+    spark.range(10).selectExpr("id").coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    val file = head.metas.head.name
+    val schema = StructType.fromDDL("id BIGINT")
+    def frag(tag: String, positions: Seq[Long]): GraftDvFragment = {
+      val name = s"$file.$tag.dv.tmp"
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        positions.mkString("\n").getBytes("UTF-8"))
+      GraftDvFragment(file, name, positions.length.toLong)
+    }
+    def commitDelete(tag: String, positions: Seq[Long]): Unit =
+      new GraftDeltaBatchWrite(dir, schema, tag, GraftManifest.versions(dir).last)
+        .commit(Array(GraftDeltaCommit(Seq.empty, Seq(frag(tag, positions)))))
+    // both plan against v1; run them truly concurrently
+    val base = head.version
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val results = Seq(Seq(2L, 4L), Seq(4L, 7L)).zipWithIndex.map { case (ps, i) =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        def call(): Option[Throwable] =
+          try {
+            new GraftDeltaBatchWrite(dir, schema, s"race$i", base)
+              .commit(Array(GraftDeltaCommit(Seq.empty, Seq(frag(s"race$i", ps)))))
+            None
+          } catch { case t: Throwable => Some(t) }
+      })
+    }.map(_.get())
+    pool.shutdown()
+    val failures = results.flatten
+    assert(failures.size == 1 &&
+      failures.head.isInstanceOf[java.util.ConcurrentModificationException],
+      s"exactly one racer must lose with CME, got $results")
+    // loser re-plans against the new head and lands; both deletes hold
+    val winnerKilled = GraftManifest.readVersion(dir, None).get.total
+    assert(winnerKilled == 8L)
+    val loserPs = if (results.head.isEmpty) Seq(4L, 7L) else Seq(2L, 4L)
+    commitDelete("replan", loserPs)
+    // whoever won, the union of both racers' positions is {2,4,7}
+    val fin = GraftManifest.readVersion(dir, None).get
+    assert(fin.total == 7L)
+    val live = spark.read.format("graft-sink").option("path", dir).load()
+      .collect().map(_.getLong(0)).toSet
+    assert(live == (0L until 10L).toSet -- Set(2L, 4L, 7L))
+    // RESTORE to the vectored middle version keeps its sidecar referenced
+    val mid = GraftManifest.versions(dir)(1) // the race winner's version
+    val midMetas = GraftManifest.readVersion(dir, Some(mid)).get
+    GraftManifest.commitMetas(dir, midMetas.metas,
+      midMetas.schemaDdl.get, truncate = true,
+      expectedBase = Some(GraftManifest.versions(dir).last))
+    GraftManifest.vacuum(dir, 1, 0)
+    assert(spark.read.format("graft-sink").option("path", dir).load().count() == 8L)
+  }
+
 }
