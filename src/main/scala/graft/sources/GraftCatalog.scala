@@ -115,9 +115,40 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftSinkTable(dirOf(ident), schema, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: schema evolves via the evolveSchema write option")
+  /** `ALTER TABLE ... ADD COLUMNS (...)`: the one schema change the
+    * sink's evolution rule admits — trailing nullable columns — wired to
+    * the SQL surface. Implemented as an EMPTY `evolveSchema` append:
+    * the next version carries the widened schema and no files, so every
+    * committed file keeps the width it was written with and reads the
+    * new columns as NULL (exactly the write-option machinery,
+    * [[GraftManifest.commitMetas]] evolve=true). Anything else — drops,
+    * renames, retypes, FIRST/AFTER positioning — would break committed
+    * files' cell alignment and is refused loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    val vs = GraftManifest.versions(dir)
+    if (vs.isEmpty) throw new NoSuchTableException(ident)
+    val prior = GraftManifest.headerSchema(dir, vs.max).getOrElse(
+      throw new IllegalStateException(s"graft catalog: $ident carries no schema"))
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "graft catalog: ADD COLUMNS supports " +
+          s"top-level columns only, got '${a.fieldNames.mkString(".")}'")
+        require(a.position == null,
+          "graft catalog: ADD COLUMNS appends trailing columns only (no FIRST/AFTER)")
+        require(a.isNullable,
+          "graft catalog: added columns must be nullable — existing rows read NULL there")
+        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
+          nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER ($other) — only trailing ADD COLUMNS " +
+          "evolves a graft table without rewriting committed files")
+    }
+    val widened = StructType(prior.fields ++ added)
+    GraftManifest.commitMetas(dir, Seq.empty, widened.toDDL,
+      truncate = false, evolve = true)
+    new GraftSinkTable(dir, widened, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     def rm(f: File): Unit = {

@@ -672,4 +672,32 @@ class SourceSpec extends AnyFunSuite {
     assert(!GraftSinkScan.mayMatch(p2, layout, EqualTo("a", 3L)))
   }
 
+
+  test("graft catalog ALTER TABLE ADD COLUMNS: trailing evolution from SQL, everything else refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft_alter_spec").toString
+    spark.conf.set("spark.sql.catalog.galt", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.galt.root", root)
+    val dir = s"$root/db/a"
+    spark.range(3).selectExpr("id").coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    spark.sql("ALTER TABLE galt.db.a ADD COLUMNS (extra BIGINT)")
+    // pre-evolution rows read the new column as NULL; nothing rewritten
+    val m = graft.sources.GraftManifest.readVersion(dir, None).get
+    assert(m.schemaDdl.contains("id BIGINT,extra BIGINT") ||
+      m.schemaDdl.exists(_.replace(" NOT NULL", "") == "id BIGINT,extra BIGINT"),
+      m.schemaDdl.toString)
+    assert(m.metas.size == 1 && m.metas.head.ncols == 1)
+    val rows = spark.sql("SELECT id, extra FROM galt.db.a").collect()
+    assert(rows.length == 3 && rows.forall(_.isNullAt(1)))
+    // a full-width INSERT lands after the evolution
+    spark.sql("INSERT INTO galt.db.a VALUES (99, 5)")
+    val got = spark.sql("SELECT id, extra FROM galt.db.a WHERE id = 99").collect()
+    assert(got.length == 1 && got.head.getLong(1) == 5L)
+    // destructive ALTERs are refused (they would shift committed cells)
+    intercept[Exception] { spark.sql("ALTER TABLE galt.db.a DROP COLUMN id") }
+    intercept[Exception] { spark.sql("ALTER TABLE galt.db.a RENAME COLUMN id TO i") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE galt.db.a ADD COLUMNS (x BIGINT FIRST)") }
+  }
+
 }
