@@ -1839,7 +1839,108 @@ object Scale {
       .orderBy(col("cband"))
   }
 
+  /** `CALL gsql.system.history(table)` — the commit AUDIT every table
+    * format ships as DESCRIBE HISTORY: one row per committed version with
+    * the operation that produced it (the `#op=` label each commit path now
+    * records in its manifest), the snapshot file count, and the live row
+    * total. The fixture drives one commit through each lifecycle verb —
+    * overwrite, append, merge-on-read SQL DELETE, OPTIMIZE — and the key
+    * emits the deterministic audit columns (the wall clock stays internal;
+    * REQUIREd strictly increasing instead). The oracle recomputes every
+    * version's row totals from events: the audit must agree with the data.
+    * Cost is O(versions) driver-side manifest reads — bounded by the
+    * OPTIMIZE/VACUUM lifecycle, never by table size. */
+  def metaTableHistory(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "hist_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      bucketAgg(events(spark, sf)).coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      bucketAgg(events(spark, sf).where(col("user_id") % 4 < 2)).coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+      spark.sql(s"DELETE FROM gsql.db.$tbl WHERE bucket = 3")
+      spark.sql(s"CALL gsql.system.optimize('db.$tbl', 1)")
+    }
+    val hist = spark.sql(s"CALL gsql.system.history('db.$tbl')")
+    val clocks = hist.select(col("version"), col("ts_millis"))
+      .orderBy(col("version")).collect().map(_.getLong(1)) // 4 rows: audit metadata
+    require(clocks.length == 4 && clocks.sameElements(clocks.sorted.distinct),
+      "history must carry strictly increasing commit clocks")
+    hist.select(col("version"), col("operation"), col("n_files"), col("total_rows"))
+      .orderBy(col("version"))
+  }
+
+  /** `CREATE TABLE ... AS SELECT` through the catalog — the V2 CTAS path:
+    * Spark calls [[graft.sources.GraftCatalog.createTable]] (version 1 =
+    * empty manifest carrying the query's schema, `#op=CREATE TABLE`) and
+    * appends the query result through the ordinary task-commit protocol
+    * (version 2, `#op=APPEND`) — REQUIREd from the manifests, so a CTAS
+    * is born self-describing and versioned like every other commit. The
+    * oracle recomputes the aggregate from events. */
+  def sqlCtas(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "ctas_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      val srcView = s"ctas_src_${sfTag(sf)}"
+      bucketAgg(events(spark, sf)).createOrReplaceTempView(srcView)
+      spark.sql(s"CREATE TABLE gsql.db.$tbl AS SELECT * FROM $srcView")
+    }
+    val m = graft.sources.GraftManifest
+    require(m.versions(dir) == Seq(1, 2),
+      s"CTAS must commit CREATE (v1) + data append (v2), got ${m.versions(dir)}")
+    require(m.readVersion(dir, Some(1)).get.op.contains("CREATE TABLE") &&
+        m.readVersion(dir, Some(2)).get.op.contains("APPEND"),
+      "CTAS versions must carry their operation labels")
+    spark.sql(s"SELECT event_type, bucket, n, sum_cents FROM gsql.db.$tbl")
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** SQL `INSERT OVERWRITE` + `TRUNCATE TABLE` on a catalog graft table —
+    * the remaining standard-SQL write verbs: INSERT OVERWRITE plans
+    * through [[org.apache.spark.sql.connector.write.SupportsTruncate]]
+    * (truncate + append in ONE versioned commit), TRUNCATE TABLE through
+    * [[org.apache.spark.sql.connector.catalog.TruncatableTable]] as a
+    * METADATA-ONLY commit naming no files (REQUIREd: zero data files and
+    * zero vectors at v3 — nothing was read or written to empty the
+    * table). Every prior version stays readable — phase 1/2 pin v1/v2,
+    * phase 3 proves the head is empty with a count row. */
+  def sqlInsertOverwrite(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "iow_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      bucketAgg(events(spark, sf)).coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      val srcView = s"iow_src_${sfTag(sf)}"
+      bucketAgg(events(spark, sf)).where(col("bucket") < 2)
+        .createOrReplaceTempView(srcView)
+      spark.sql(s"INSERT OVERWRITE gsql.db.$tbl SELECT * FROM $srcView")
+      spark.sql(s"TRUNCATE TABLE gsql.db.$tbl")
+    }
+    val m = graft.sources.GraftManifest
+    require(m.versions(dir) == Seq(1, 2, 3),
+      s"overwrite + truncate must land as v2/v3, got ${m.versions(dir)}")
+    val v3m = m.readVersion(dir, Some(3)).get
+    require(v3m.metas.isEmpty && v3m.total == 0L && v3m.op.contains("TRUNCATE"),
+      "TRUNCATE must commit an empty metadata-only snapshot")
+    def at(v: Int): DataFrame = spark.read.format("graft-sink")
+      .option("path", dir).option("versionAsOf", v.toString).load()
+    at(1).withColumn("phase", lit(1L))
+      .unionByName(at(2).withColumn("phase", lit(2L)))
+      .select(col("phase"), col("event_type"), col("bucket"),
+        col("n"), col("sum_cents"))
+      .unionByName(at(3).agg(count(lit(1)).as("n"))
+        .select(lit(3L).as("phase"), lit("_truncated").as("event_type"),
+          lit(-1L).as("bucket"), col("n"), lit(0L).as("sum_cents")))
+      .orderBy(col("phase"), col("event_type"), col("bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "meta_table_history" -> metaTableHistory,
+    "sql_ctas" -> sqlCtas,
+    "sql_insert_overwrite" -> sqlInsertOverwrite,
     "sql_dml_delete" -> sqlDmlDelete,
     "sql_dml_update" -> sqlDmlUpdate,
     "sql_merge_into" -> sqlMergeInto,
@@ -1897,6 +1998,43 @@ object Scale {
   )
 
   def oracle: Map[String, String] = Map(
+    "meta_table_history" ->
+      """WITH g AS (
+        |  SELECT event_type, user_id % 4 AS bucket FROM events GROUP BY 1, 2),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS c FROM g),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS c FROM g WHERE bucket < 2),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS c FROM g WHERE bucket = 3)
+        |SELECT CAST(1 AS BIGINT) AS version, 'OVERWRITE' AS operation,
+        |  CAST(1 AS BIGINT) AS n_files, a.c AS total_rows FROM a
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'APPEND', CAST(2 AS BIGINT), a.c + b.c FROM a, b
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'DELETE', CAST(2 AS BIGINT), a.c + b.c - d.c
+        |FROM a, b, d
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), 'OPTIMIZE', CAST(1 AS BIGINT), a.c + b.c - d.c
+        |FROM a, b, d
+        |ORDER BY version""".stripMargin,
+
+    "sql_ctas" ->
+      """SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "sql_insert_overwrite" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS phase, event_type, bucket, n, sum_cents FROM s
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, bucket, n, sum_cents FROM s
+        |WHERE bucket < 2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), '_truncated', CAST(-1 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |ORDER BY phase, event_type, bucket""".stripMargin,
     "sink_restore_version" ->
       """WITH v1 AS (
         |  SELECT event_type, count(*) AS n,

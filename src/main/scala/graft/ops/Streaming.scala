@@ -408,6 +408,56 @@ object Streaming {
       .orderBy(col("event_type"))
   }
 
+  /** STREAMING INGEST AS VERSIONED TABLE COMMITS (`commitVersions=true`):
+    * each micro-batch epoch lands as an ordinary table version
+    * (op=STREAM APPEND) instead of a side-channel epoch manifest, so
+    * streamed-in rows are immediately time-travelable, CDF-visible, and
+    * readable through the SAME manifest-trusting batch path as every
+    * other commit — no epoch-glue code at read time, which is the point.
+    * Exactly-once across epoch re-delivery and restarts rides the
+    * `#txn=<queryId>:<epoch>` watermark (the Delta SetTransaction design
+    * re-derived; SourceSpec re-delivers an epoch and proves one version).
+    * The fixture drains the events stream once, RESTARTS the query from
+    * its checkpoint (no new data → REQUIREd no new version — restart
+    * safety), and reads the table back both directly and as a change
+    * feed from 0 (all rows must surface as 'insert'). The oracle is the
+    * same aggregate computed from events. */
+  def streamSinkVersioned(spark: SparkSession, sf: String): DataFrame = {
+    val dir = graft.util.Scratch.dir("vsink", sf)
+    val chk = graft.util.Scratch.dir("vsink_chk", sf)
+    def drain(): Unit = {
+      val q = eventsStream(spark, sf)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .writeStream.format("graft-sink")
+        .option("path", dir).option("checkpointLocation", chk)
+        .option("commitVersions", "true")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val vs1 = graft.sources.GraftManifest.versions(dir)
+    require(vs1.nonEmpty, "versioned streaming ingest must commit table versions")
+    drain() // restart from the checkpoint: no new data, no new version
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    require(graft.sources.GraftManifest.versions(dir) == vs1,
+      "a no-new-data restart must not commit a new version")
+    require(head.op.contains("STREAM APPEND") && head.txns.size == 1,
+      s"head must be a txn-watermarked STREAM APPEND, got op=${head.op} txns=${head.txns}")
+    val table = spark.read.format("graft-sink").option("path", dir).load()
+    val cdf = spark.read.format("graft-sink").option("path", dir)
+      .option("changesFrom", "0").load()
+    def agg(df: DataFrame, via: String): DataFrame = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"))
+      .withColumn("via", lit(via))
+    agg(table, "table")
+      .unionByName(agg(cdf.where(col("_change_type") === "insert"), "cdf"))
+      .orderBy(col("via"), col("event_type"))
+  }
+
   case class LateEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
 
   /** Watermark late-data drop, demonstrated with a two-batch MemoryStream:
@@ -671,6 +721,7 @@ object Streaming {
     "stream_stream_join" -> streamStreamJoin,
     "stream_static_join" -> streamStaticJoin,
     "stream_sink_custom" -> streamSinkCustom,
+    "stream_sink_versioned" -> streamSinkVersioned,
     "stream_late_data" -> streamLateData
   )
 
@@ -704,6 +755,17 @@ object Streaming {
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  min(event_id) AS min_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_sink_versioned" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |    min(event_id) AS min_id
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, sum_cents, min_id, 'cdf' AS via FROM s
+        |UNION ALL
+        |SELECT event_type, n, sum_cents, min_id, 'table' FROM s
+        |ORDER BY via, event_type""".stripMargin,
 
     "stream_static_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,

@@ -107,7 +107,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // both passing the check, the link(2) loser throws here instead of
     // silently appending an empty v2 under the winner's schema.
     try GraftManifest.commitMetas(dirOf(ident), Seq.empty, schema.toDDL,
-      truncate = false, expectedBase = Some(0))
+      truncate = false, expectedBase = Some(0), op = Some("CREATE TABLE"))
     catch {
       case _: java.util.ConcurrentModificationException =>
         throw new TableAlreadyExistsException(ident)
@@ -146,7 +146,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
     val widened = StructType(prior.fields ++ added)
     GraftManifest.commitMetas(dir, Seq.empty, widened.toDDL,
-      truncate = false, evolve = true)
+      truncate = false, evolve = true, op = Some("ADD COLUMNS"))
     new GraftSinkTable(dir, widened, None)
   }
 
@@ -170,7 +170,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("vacuum", "restore", "optimize").map(Identifier.of(Array("system"), _))
+      Array("vacuum", "restore", "optimize", "history")
+        .map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -180,8 +181,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "vacuum"   => new GraftVacuumProcedure(this)
       case "restore"  => new GraftRestoreProcedure(this)
       case "optimize" => new GraftOptimizeProcedure(this)
+      case "history"  => new GraftHistoryProcedure(this)
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: no procedure system.$other (have vacuum, restore, optimize)")
+        s"graft catalog: no procedure system.$other (have vacuum, restore, optimize, history)")
     }
   }
 }
@@ -252,7 +254,7 @@ private[sources] class GraftRestoreProcedure(cat: GraftCatalog)
     val nv = GraftManifest.commitMetas(dir, m.metas,
       m.schemaDdl.getOrElse(throw new IllegalStateException(
         s"graft restore: v$v at $dir carries no schema")),
-      truncate = true, expectedBase = Some(head))
+      truncate = true, expectedBase = Some(head), op = Some("RESTORE"))
     result(StructType.fromDDL("restored_version INT, new_version INT"), v, nv)
   }
 }
@@ -315,9 +317,47 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
       }
     rewritten.write.format("graft-sink").option("path", dir)
       .option("expectedBaseVersion", head.version.toString)
+      .option("operation", "OPTIMIZE")
       .mode("overwrite").save()
     val after = GraftManifest.readVersion(dir, None).get
     result(StructType.fromDDL("files_before INT, files_after INT, new_version INT"),
       head.metas.size, after.metas.size, after.version)
+  }
+}
+
+/** `CALL cat.system.history(table)` — the commit audit (DESCRIBE HISTORY):
+  * one row per committed version, NEWEST FIRST, with the commit clock, the
+  * operation that produced it (the manifests' `#op=` label — APPEND /
+  * OVERWRITE / DELETE / UPDATE / MERGE / TRUNCATE / OPTIMIZE / RESTORE /
+  * CREATE TABLE / ADD COLUMNS; pre-label manifests read as 'WRITE'), and
+  * the version's SNAPSHOT facts (file count, live rows — what a reader
+  * pinned there observes). Driver-side O(versions) manifest reads —
+  * bounded by the OPTIMIZE/VACUUM lifecycle, never by data size; vacuumed
+  * versions simply no longer appear (vacuum is the audit's eraser too). */
+private[sources] class GraftHistoryProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "history"
+  override def description(): String =
+    "one row per committed version: clock, operation, snapshot file/row counts"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    val vs = GraftManifest.versions(dir)
+    if (vs.isEmpty) throw new IllegalArgumentException(
+      s"graft history: no committed table at '${input.getUTF8String(0)}'")
+    val schema = StructType.fromDDL(
+      "version BIGINT, ts_millis BIGINT, operation STRING, n_files BIGINT, total_rows BIGINT")
+    val audit = vs.sorted.reverse.map { v =>
+      val m = GraftManifest.readVersion(dir, Some(v)).get
+      InternalRow.fromSeq(Seq[Any](v.toLong, m.ts.getOrElse(0L),
+        UTF8String.fromString(m.op.getOrElse("WRITE")),
+        m.metas.size.toLong, m.total))
+    }.toArray
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = audit
+      override def readSchema(): StructType = schema
+    }
+    java.util.Collections.singletonList(scan).iterator()
   }
 }

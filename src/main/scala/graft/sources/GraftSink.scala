@@ -159,7 +159,8 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
   * the complete snapshot). */
 case class GraftManifest(version: Int, metas: Seq[GraftFileMeta],
     total: Long, schemaDdl: Option[String], ts: Option[Long] = None,
-    base: Option[Int] = None) {
+    base: Option[Int] = None, op: Option[String] = None,
+    txns: Map[String, Long] = Map.empty) {
   /** Legacy (name, rows) view — the shape the v1 protocol exposed. */
   def files: Seq[(String, Long)] = metas.map(m => m.name -> m.rows)
 }
@@ -227,6 +228,21 @@ object GraftManifest {
     * {{{
     * #schema=<DDL>                     table schema (union across evolutions)
     * #ts=<epochMillis>                  commit wall-clock (strictly increasing)
+    * #op=<label>                        the operation that committed this
+    *                                    version (APPEND / OVERWRITE / DELETE /
+    *                                    UPDATE / MERGE / OPTIMIZE / RESTORE /
+    *                                    CREATE TABLE / ...) — the audit fact
+    *                                    `CALL <cat>.system.history` surfaces;
+    *                                    absent on pre-round-9 manifests
+    * #txn=<writer>:<epoch>              streaming-writer watermark: epoch
+    *                                    <epoch> of writer <writer> is IN this
+    *                                    version. Folding accumulates the map
+    *                                    (latest epoch per writer, the Delta
+    *                                    SetTransaction design re-derived), and
+    *                                    checkpoints/rewrites re-emit ALL
+    *                                    accumulated entries, so a re-delivered
+    *                                    epoch is detectable from the head fold
+    *                                    no matter what committed in between
     * #base=<v>                          DELTA manifest: file lines are this
     *                                    commit's ADDS on top of version v
     * #meta=<file>,<ncols>,<pcol>,<pval> per-file width + partition (pcol empty = none)
@@ -249,6 +265,8 @@ object GraftManifest {
     var ddl: Option[String] = None
     var ts: Option[Long] = None
     var base: Option[Int] = None
+    var op: Option[String] = None
+    val txns = scala.collection.mutable.Map[String, Long]()
     val rows = Seq.newBuilder[(String, Long)]
     val ncols = scala.collection.mutable.Map[String, Int]()
     val parts = scala.collection.mutable.Map[String, (String, String)]()
@@ -261,6 +279,13 @@ object GraftManifest {
       case s if s.startsWith("#schema=") => ddl = Some(s.stripPrefix("#schema="))
       case s if s.startsWith("#ts=")     => ts = Some(s.stripPrefix("#ts=").toLong)
       case s if s.startsWith("#base=")   => base = Some(s.stripPrefix("#base=").toInt)
+      case s if s.startsWith("#op=")     => op = Some(s.stripPrefix("#op="))
+      case s if s.startsWith("#txn=") =>
+        s.stripPrefix("#txn=").split(":", 2) match {
+          case Array(w, e) => txns(w) = e.toLong
+          case bad => throw new IllegalStateException(
+            s"malformed #txn line: '${bad.mkString(":")}'")
+        }
       case s if s.startsWith("#meta=") =>
         s.stripPrefix("#meta=").split(",", 4) match {
           case Array(f, n, pc, pv) =>
@@ -301,7 +326,7 @@ object GraftManifest {
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f),
         nulls.get(f), dvs.get(f))
     }
-    GraftManifest(version, metas, total, ddl, ts, base)
+    GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap)
   }
 
   /** The RAW on-disk manifest for one version (a delta stays a delta). */
@@ -345,7 +370,10 @@ object GraftManifest {
         val sum = metas.map(_.liveRows).sum
         if (sum != m.total) throw new IllegalStateException(
           s"graft-sink: folding v$v at $path yields $sum rows, manifest committed ${m.total}")
-        GraftManifest(v, metas, m.total, m.schemaDdl, m.ts)
+        // txns accumulate down the chain, the later (larger-epoch) entry
+        // winning per writer — streaming epochs only move forward
+        GraftManifest(v, metas, m.total, m.schemaDdl, m.ts, op = m.op,
+          txns = baseM.txns ++ m.txns)
     }
   }
 
@@ -408,7 +436,9 @@ object GraftManifest {
     * `totalRows` is always the FULL snapshot's row count — the fold
     * integrity check depends on it. */
   private def render(ddl: String, ts: Long, base: Option[Int],
-      bodyMetas: Seq[GraftFileMeta], totalRows: Long): String = {
+      bodyMetas: Seq[GraftFileMeta], totalRows: Long,
+      op: Option[String] = None,
+      txns: Map[String, Long] = Map.empty): String = {
     val meta = bodyMetas.flatMap { m =>
       val p = m.partition.map { case (c, v) => s"$c,$v" }.getOrElse(",")
       (s"#meta=${m.name},${m.ncols},$p" +:
@@ -421,7 +451,9 @@ object GraftManifest {
     // `_total` rides in the HEADER (parse is position-agnostic): a delta
     // commit then learns the prior total from [[readHeader]] without
     // parsing the checkpoint's whole file list
-    (s"#schema=$ddl" +: s"#ts=$ts" +: base.map(b => s"#base=$b").toSeq ++:
+    (s"#schema=$ddl" +: s"#ts=$ts" +: (base.map(b => s"#base=$b").toSeq ++
+      op.filter(o => o.nonEmpty && !o.contains('\n')).map(o => s"#op=$o").toSeq ++
+      txns.toSeq.sortBy(_._1).map { case (w, e) => s"#txn=$w:$e" }) ++:
       s"_total,$totalRows" +: meta ++:
       bodyMetas.map(m => s"${m.name},${m.rows}")).mkString("\n")
   }
@@ -440,16 +472,18 @@ object GraftManifest {
       var ddl: Option[String] = None
       var ts: Option[Long] = None
       var base: Option[Int] = None
+      var op: Option[String] = None
       var total = -1L
       var line = in.readLine()
       while (line != null && total < 0 && (line.startsWith("#") || line.startsWith("_total,"))) {
         if (line.startsWith("#schema=")) ddl = Some(line.stripPrefix("#schema="))
         else if (line.startsWith("#ts=")) ts = Some(line.stripPrefix("#ts=").toLong)
         else if (line.startsWith("#base=")) base = Some(line.stripPrefix("#base=").toInt)
+        else if (line.startsWith("#op=")) op = Some(line.stripPrefix("#op="))
         else if (line.startsWith("_total,")) total = line.stripPrefix("_total,").toLong
         line = in.readLine()
       }
-      if (total >= 0) GraftManifest(v, Seq.empty, total, ddl, ts, base)
+      if (total >= 0) GraftManifest(v, Seq.empty, total, ddl, ts, base, op)
       else readRaw(path, v)
     } finally in.close()
   }
@@ -506,7 +540,8 @@ object GraftManifest {
     * state under concurrency; the version files are the durable record. */
   def commitMetas(path: String, jobMetas: Seq[GraftFileMeta], schemaDdl: String,
       truncate: Boolean, expectedBase: Option[Int] = None,
-      evolve: Boolean = false): Int = {
+      evolve: Boolean = false, op: Option[String] = None,
+      txn: Option[(String, Long)] = None): Int = {
     new File(path).mkdirs() // a zero-task job commits a manifest into an empty dir
     var attempt = 0
     while (true) {
@@ -569,16 +604,24 @@ object GraftManifest {
       val isDelta = !truncate && headV.nonEmpty && next % CheckpointEvery != 0
       val newTotal = (if (truncate) 0L else head.map(_.total).getOrElse(0L)) +
         jobMetas.map(_.liveRows).sum
-      // `all` (the folded full list) is materialized ONLY for full
-      // commits — checkpoints and truncates — never per delta append
+      // `headFolded`/`all` (the folded full state) materialize ONLY for
+      // full commits — checkpoints and truncates — never per delta append
+      lazy val headFolded = headV.map(fold(path, _))
       lazy val all = (if (truncate) Seq.empty
-        else headV.map(fold(path, _).metas).getOrElse(Seq.empty)) ++ jobMetas
+        else headFolded.map(_.metas).getOrElse(Seq.empty)) ++ jobMetas
       val body =
-        if (isDelta) render(unionDdl, commitTs, headV, jobMetas, newTotal)
+        if (isDelta) render(unionDdl, commitTs, headV, jobMetas, newTotal, op,
+          txn.toMap)
         else {
           require(all.map(_.liveRows).sum == newTotal,
             s"graft-sink: checkpoint fold at $path disagrees with the running total")
-          render(unionDdl, commitTs, None, all, newTotal)
+          // txn watermarks survive EVERY full commit, truncates included:
+          // an OPTIMIZE/overwrite landing mid-stream must not amnesia the
+          // streaming writers' epochs, or a later re-delivery would
+          // double-commit. (This is why truncates now fold the prior head
+          // — one manifest parse, the rewrite is already O(table).)
+          val accTxns = headFolded.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
+          render(unionDdl, commitTs, None, all, newTotal, op, accTxns)
         }
       // the pluggable CAS: true = this commit owns version `next`; false =
       // lost the race — loop re-reads the new head and retries one slot up
@@ -651,7 +694,7 @@ object GraftManifest {
       if (readHeader(path, v).base.isDefined) {
         val m = fold(path, v)
         val body = render(m.schemaDdl.getOrElse(""), m.ts.getOrElse(0L),
-          None, m.metas, m.total)
+          None, m.metas, m.total, m.op)
         val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$v", ".tmp")
         try {
           Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -744,8 +787,20 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
       !drop
     }
     GraftManifest.commitMetas(path, kept, head.schemaDdl.get,
-      truncate = true, expectedBase = Some(head.version))
+      truncate = true, expectedBase = Some(head.version), op = Some("DELETE"))
     ()
+  }
+
+  /** SQL `TRUNCATE TABLE` ([[org.apache.spark.sql.connector.catalog.TruncatableTable]]):
+    * always metadata-only — AlwaysTrue is provable for every file, so the
+    * next version simply names no files. History stays readable until
+    * vacuum, like every other remover. */
+  override def truncateTable(): Boolean = {
+    val head = headForDml("TRUNCATE")
+    GraftManifest.commitMetas(path, Seq.empty, head.schemaDdl.getOrElse(
+        throw new IllegalStateException(s"graft-sink: head at $path carries no schema")),
+      truncate = true, expectedBase = Some(head.version), op = Some("TRUNCATE"))
+    true
   }
 
   /** Row-level DML ([[SupportsRowLevelOperations]]): DELETE / UPDATE /
@@ -784,11 +839,15 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         // the V1 save() path rejects explicit partition columns on a
         // path-based V2 TableProvider before the table ever sees them
         private val partCol = Option(opts.get("partitionBy")).filter(_.nonEmpty)
+        // audit label for the commit's `#op=` line; maintenance rewrites
+        // (OPTIMIZE/RESTORE run as ordinary overwrites) pass their verb
+        private val opLabel = Option(opts.get("operation")).filter(_.nonEmpty)
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
-            expectedBase, evolve, partCol)
+            expectedBase, evolve, partCol, opLabel)
         override def toStreaming: StreamingWrite =
-          new GraftSinkStreamingWrite(path, info.schema(), tag)
+          new GraftSinkStreamingWrite(path, info.schema(), tag,
+            Option(opts.get("commitVersions")).exists(_.toBoolean))
       }
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -1337,7 +1396,7 @@ case class GraftSinkCommit(files: Seq[GraftFileMeta]) extends WriterCommitMessag
 
 class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     tag: String, expectedBase: Option[Int], evolve: Boolean,
-    partCol: Option[String]) extends BatchWrite {
+    partCol: Option[String], opLabel: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftSinkWriterFactory(path, schema, tag, partCol)
 
@@ -1346,7 +1405,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val metas = messages.flatMap(_.asInstanceOf[GraftSinkCommit].files)
     GraftManifest.commitMetas(path, metas.toSeq, schema.toDDL, truncate,
-      expectedBase, evolve)
+      expectedBase, evolve,
+      op = opLabel.orElse(Some(if (truncate) "OVERWRITE" else "APPEND")))
     ()
   }
 
@@ -1418,7 +1478,7 @@ class GraftDeltaWrite(path: String, schema: StructType, tag: String,
     baseVersion: Int, cmd: RowLevelOperation.Command) extends DeltaWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def toBatch: DeltaBatchWrite =
-    new GraftDeltaBatchWrite(path, schema, tag, baseVersion)
+    new GraftDeltaBatchWrite(path, schema, tag, baseVersion, cmd)
   /** A wide DELETE's rows are already colocated (one read split per
     * file), but request the clustering anyway so the property survives
     * ANY plan between scan and write: every file's deleted positions
@@ -1447,7 +1507,9 @@ case class GraftDeltaCommit(files: Seq[GraftFileMeta],
     dvFrags: Seq[GraftDvFragment]) extends WriterCommitMessage
 
 class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
-    baseVersion: Int) extends DeltaBatchWrite {
+    baseVersion: Int,
+    cmd: RowLevelOperation.Command = RowLevelOperation.Command.DELETE)
+    extends DeltaBatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     GraftDeltaWriterFactory(path, schema, tag)
 
@@ -1492,7 +1554,7 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
       }
     } ++ cms.flatMap(_.files)
     GraftManifest.commitMetas(path, newMetas, head.schemaDdl.getOrElse(schema.toDDL),
-      truncate = true, expectedBase = Some(baseVersion))
+      truncate = true, expectedBase = Some(baseVersion), op = Some(cmd.toString))
     // fragment hygiene: positions are folded into the final sidecars
     cms.flatMap(_.dvFrags).foreach(fr => Files.deleteIfExists(Paths.get(path, fr.frag)))
     ()
@@ -1567,13 +1629,18 @@ class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
 }
 
 /** Named (serializable) streaming factory — an anonymous class here would
-  * drag the non-serializable StreamingWrite along as its outer pointer. */
+  * drag the non-serializable StreamingWrite along as its outer pointer.
+  * Versioned-commit mode drops the `epoch-` part-name prefix: those files
+  * are referenced by ordinary version manifests, and vacuum's lifecycle
+  * split (epoch files are the legacy per-epoch protocol's, never swept by
+  * version retention) must classify them as ordinary data files so
+  * orphans from re-delivered epochs age into the sweep. */
 case class GraftSinkStreamingFactory(path: String, schema: StructType,
-    tag: String) extends StreamingDataWriterFactory {
+    tag: String, versioned: Boolean = false) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId,
-      prefix = s"epoch-$epochId-$tag-")
+      prefix = if (versioned) s"e$epochId-$tag-" else s"epoch-$epochId-$tag-")
 }
 
 /** The STREAMING half of the sink: identical task-commit protocol, but job
@@ -1587,14 +1654,44 @@ case class GraftSinkStreamingFactory(path: String, schema: StructType,
   * is atomically REPLACED with the new attempt's file set; parts from the
   * failed attempt become orphans that manifest-trusting readers never
   * see. That idempotent commit is what composes with checkpointed source
-  * offsets into end-to-end exactly-once. */
-class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String)
+  * offsets into end-to-end exactly-once.
+  *
+  * `commitVersions=true` lands each epoch as a VERSIONED table commit
+  * instead (op=STREAM APPEND, delta-manifest appends like any batch
+  * writer), so streamed-in rows are immediately time-travelable,
+  * CDF-visible, and table-feed-streamable — the full lakehouse loop with
+  * a streaming producer. Exactly-once across epoch RE-DELIVERY (failure
+  * replay, restart from checkpoint) comes from the `#txn=<writer>:<epoch>`
+  * watermark: each commit records its (query-id, epoch), the head fold
+  * accumulates the latest epoch per writer (checkpoints and rewrites
+  * carry the map forward), and a commit whose epoch is at or below the
+  * watermark is a no-op. The write query id is STABLE across restarts
+  * (it is the streaming query's checkpointed id, not the run id), which
+  * is what makes the watermark durable. Single-writer-per-query check:
+  * re-delivery is sequential within one query, so check-then-commit does
+  * not race itself; concurrent OTHER writers are ordinary CAS contenders. */
+class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
+    commitVersions: Boolean = false)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftSinkStreamingFactory(path, schema, tag)
+    GraftSinkStreamingFactory(path, schema, tag, commitVersions)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.flatMap(_.asInstanceOf[GraftSinkCommit].files)
+    if (commitVersions) {
+      if (ms.isEmpty) return // empty epoch: nothing to version
+      val committed = GraftManifest.readVersion(path, None)
+        .flatMap(_.txns.get(tag)).getOrElse(Long.MinValue)
+      if (epochId <= committed) {
+        // re-delivered epoch: its rows are already in a committed version;
+        // this attempt's task-committed parts stay unreferenced orphans
+        // (vacuum sweeps them), and committing them again would double rows
+        return
+      }
+      GraftManifest.commitMetas(path, ms.toSeq, schema.toDDL, truncate = false,
+        op = Some("STREAM APPEND"), txn = Some(tag -> epochId))
+      return
+    }
     val body = (ms.map(m => s"${m.name},${m.rows}") :+
       s"_total,${ms.map(_.rows).sum}").mkString("\n")
     val tmp = Paths.get(path, s"_manifest_epoch_$epochId.$tag.tmp")

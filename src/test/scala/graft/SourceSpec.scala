@@ -700,4 +700,104 @@ class SourceSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE galt.db.a ADD COLUMNS (x BIGINT FIRST)") }
   }
 
+  test("graft-sink versioned streaming: epoch re-delivery is a no-op; rewrites keep the txn watermark") {
+    import graft.sources.{GraftFileMeta, GraftManifest, GraftSinkCommit, GraftSinkStreamingWrite}
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_vstream_spec").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")
+    def fileWith(name: String, ids: Seq[Long]): GraftFileMeta = {
+      Files.write(Paths.get(dir, name), ids.mkString("\n").getBytes("UTF-8"))
+      GraftFileMeta(name, ids.length.toLong, 1,
+        Map(0 -> (ids.min.toString, ids.max.toString)), None, Some(Map.empty))
+    }
+    val w = new GraftSinkStreamingWrite(dir, schema, "q1", commitVersions = true)
+    w.commit(0L, Array(GraftSinkCommit(Seq(fileWith("a.csv", Seq(1L, 2L, 3L))))))
+    // failure replay re-delivers epoch 0 with a fresh attempt's files: no-op
+    w.commit(0L, Array(GraftSinkCommit(Seq(fileWith("b.csv", Seq(9L, 9L, 9L))))))
+    assert(GraftManifest.versions(dir) == Seq(1))
+    val v1 = GraftManifest.readVersion(dir, None).get
+    assert(v1.op.contains("STREAM APPEND") && v1.txns == Map("q1" -> 0L))
+    def ids() = spark.read.format("graft-sink").option("path", dir).load()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids() == Seq(1L, 2L, 3L))
+    w.commit(1L, Array(GraftSinkCommit(Seq(fileWith("c.csv", Seq(4L, 5L))))))
+    assert(ids() == Seq(1L, 2L, 3L, 4L, 5L))
+    // a compacting rewrite lands mid-stream; the accumulated watermark
+    // must ride the truncate commit so later re-deliveries stay no-ops
+    val base = GraftManifest.versions(dir).last
+    spark.read.format("graft-sink").option("path", dir).load().coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("expectedBaseVersion", base.toString)
+      .option("operation", "OPTIMIZE").mode("overwrite").save()
+    assert(GraftManifest.readVersion(dir, None).get.txns == Map("q1" -> 1L))
+    // restart: a NEW write instance with the same (stable) query id
+    val w2 = new GraftSinkStreamingWrite(dir, schema, "q1", commitVersions = true)
+    w2.commit(1L, Array(GraftSinkCommit(Seq(fileWith("d.csv", Seq(7L)))))) // replayed: no-op
+    assert(ids() == Seq(1L, 2L, 3L, 4L, 5L))
+    w2.commit(2L, Array(GraftSinkCommit(Seq(fileWith("e.csv", Seq(6L))))))
+    assert(ids() == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // a second writer keeps its own watermark
+    val w3 = new GraftSinkStreamingWrite(dir, schema, "q2", commitVersions = true)
+    w3.commit(0L, Array(GraftSinkCommit(Seq(fileWith("f.csv", Seq(8L))))))
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.txns == Map("q1" -> 2L, "q2" -> 0L))
+    // orphans from skipped re-deliveries age into the vacuum sweep
+    GraftManifest.vacuum(dir, 1, 0)
+    assert(!new java.io.File(dir, "b.csv").exists() &&
+      !new java.io.File(dir, "d.csv").exists())
+    assert(ids() == Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L))
+  }
+
+  test("graft catalog: history audit, CTAS, INSERT OVERWRITE and TRUNCATE TABLE") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hist_spec").toString
+    spark.conf.set("spark.sql.catalog.gh", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gh.root", root)
+    import graft.sources.GraftManifest
+    // CTAS: v1 = CREATE TABLE (empty, schema-bearing), v2 = the data append
+    spark.range(10).select(col("id"), (col("id") % 3).as("k"))
+      .createOrReplaceTempView("hist_src")
+    spark.sql("CREATE TABLE gh.db.h AS SELECT * FROM hist_src")
+    val dir = s"$root/db/h"
+    assert(GraftManifest.versions(dir) == Seq(1, 2))
+    assert(spark.sql("SELECT * FROM gh.db.h").count() == 10)
+    // drive one commit through each remaining verb
+    spark.sql("DELETE FROM gh.db.h WHERE id = 7")          // v3 merge-on-read
+    spark.sql("INSERT OVERWRITE gh.db.h SELECT * FROM hist_src WHERE k = 0") // v4
+    assert(spark.sql("SELECT * FROM gh.db.h").count() == 4)
+    spark.sql("TRUNCATE TABLE gh.db.h")                    // v5 metadata-only
+    assert(spark.sql("SELECT * FROM gh.db.h").count() == 0)
+    // truncate wrote no data files and vectored nothing
+    val v5 = GraftManifest.readVersion(dir, Some(5)).get
+    assert(v5.metas.isEmpty && v5.total == 0L && v5.op.contains("TRUNCATE"))
+    // every prior version stays readable
+    assert(spark.read.format("graft-sink").option("path", dir)
+      .option("versionAsOf", "3").load().count() == 9)
+    // the audit: one row per version, newest first, labeled
+    val hist = spark.sql("CALL gh.system.history('db.h')").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(5L, 4L, 3L, 2L, 1L))
+    assert(hist.map(_.getString(2)).toSeq ==
+      Seq("TRUNCATE", "OVERWRITE", "DELETE", "APPEND", "CREATE TABLE"))
+    assert(hist.map(_.getLong(4)).toSeq == Seq(0L, 4L, 9L, 10L, 0L))
+    // clocks strictly increase (newest first = strictly decreasing here)
+    val ts = hist.map(_.getLong(1))
+    assert(ts.zip(ts.tail).forall { case (a, b) => a > b })
+    // labels survive the vacuum fold-rewrite of retained delta manifests
+    // (v2 is the one delta in the chain; retaining it forces its rewrite
+    // to self-contained form, which must carry the #op line forward)
+    GraftManifest.vacuum(dir, 4, 0)
+    val folded = spark.sql("CALL gh.system.history('db.h')").collect()
+    assert(folded.map(_.getLong(0)).toSeq == Seq(5L, 4L, 3L, 2L))
+    assert(folded.map(_.getString(2)).toSeq ==
+      Seq("TRUNCATE", "OVERWRITE", "DELETE", "APPEND"))
+    GraftManifest.vacuum(dir, 3, 0)
+    val after = spark.sql("CALL gh.system.history('db.h')").collect()
+    assert(after.map(_.getLong(0)).toSeq == Seq(5L, 4L, 3L))
+    assert(after.map(_.getString(2)).toSeq == Seq("TRUNCATE", "OVERWRITE", "DELETE"))
+    // a pre-label manifest reads as WRITE (forward-compat fallback)
+    val legacyDir = s"$root/db/legacy"
+    GraftManifest.commit(legacyDir, Seq.empty, "id BIGINT", truncate = false)
+    val leg = spark.sql("CALL gh.system.history('db.legacy')").collect()
+    assert(leg.length == 1 && leg.head.getString(2) == "WRITE")
+  }
+
 }
