@@ -1937,10 +1937,58 @@ object Scale {
       .orderBy(col("phase"), col("event_type"), col("bucket"))
   }
 
+  /** INCREMENTAL (bin-packing) OPTIMIZE — the maintenance mode a 100 TB
+    * table actually runs: `CALL gsql.system.optimize(t, 1, '', 8192)`
+    * folds only the files SMALLER than the threshold (the streaming-
+    * ingest long tail: four tiny appends here) into one fresh file and
+    * keeps every well-sized file's manifest entry byte-identical — the
+    * big file is REQUIREd to survive with its exact meta (name, stats,
+    * null counts), so the compaction cost is O(small files), zero bytes
+    * of the bulk rewritten. The procedure reads only its victims via the
+    * scan's `files` subset option and publishes kept ∪ compacted as one
+    * conditioned full snapshot (files_before=5 → files_after=2,
+    * REQUIREd from the CALL result). The oracle recomputes the content —
+    * a layout rewrite must never change a row. */
+  def sinkOptimizeBinpack(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "bp_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      val big = events(spark, sf).select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      big.coalesce(1).write.format("graft-sink").option("path", dir)
+        .mode("overwrite").save()
+      (0 until 4).foreach { k =>
+        big.where(col("event_id") % 500 === k).coalesce(1)
+          .write.format("graft-sink").option("path", dir).mode("append").save()
+      }
+      val res = spark.sql(
+        s"CALL gsql.system.optimize('db.$tbl', 1, '', ${8 * 1024})").collect().head
+      require(res.getInt(0) == 5 && res.getInt(1) == 2,
+        s"binpack must fold 4 small files into 1 and keep the big one, got $res")
+    }
+    val before = graft.sources.GraftManifest.readVersion(dir, Some(5)).get
+    val after = graft.sources.GraftManifest.readVersion(dir, Some(6)).get
+    require(after.op.contains("OPTIMIZE") && after.metas.size == 2,
+      s"binpack head must be a 2-file OPTIMIZE commit, got ${after.op}/${after.metas.size}")
+    require(after.metas.contains(before.metas.head),
+      "the well-sized file's manifest entry must survive byte-identical")
+    require(before.metas.tail.map(_.name).toSet
+        .intersect(after.metas.map(_.name).toSet).isEmpty,
+      "every small file must be folded away")
+    require(after.total == before.total, "compaction must preserve the live total")
+    spark.read.format("graft-sink").option("path", dir).load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "meta_table_history" -> metaTableHistory,
     "sql_ctas" -> sqlCtas,
     "sql_insert_overwrite" -> sqlInsertOverwrite,
+    "sink_optimize_binpack" -> sinkOptimizeBinpack,
     "sql_dml_delete" -> sqlDmlDelete,
     "sql_dml_update" -> sqlDmlUpdate,
     "sql_merge_into" -> sqlMergeInto,
@@ -1998,6 +2046,16 @@ object Scale {
   )
 
   def oracle: Map[String, String] = Map(
+    "sink_optimize_binpack" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type, CAST(floor(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |u AS (SELECT * FROM b
+        |      UNION ALL SELECT * FROM b WHERE event_id % 500 < 4)
+        |SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id
+        |FROM u GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "meta_table_history" ->
       """WITH g AS (
         |  SELECT event_type, user_id % 4 AS bucket FROM events GROUP BY 1, 2),

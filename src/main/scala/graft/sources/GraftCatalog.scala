@@ -259,7 +259,8 @@ private[sources] class GraftRestoreProcedure(cat: GraftCatalog)
   }
 }
 
-/** `CALL cat.system.optimize(table, target_files[, zorder_by])` — compact
+/** `CALL cat.system.optimize(table, target_files[, zorder_by]
+  * [, max_file_bytes])` — compact
   * the head snapshot into `target_files` files via the active session,
   * committed as an overwrite conditioned on the version the rewrite
   * planned against (losing a race to a concurrent append throws instead
@@ -276,16 +277,80 @@ private[sources] class GraftRestoreProcedure(cat: GraftCatalog)
   * stats prune scans filtered on ANY of them — the multi-column layout
   * half of the lakehouse skipping story (the same curve the standalone
   * `sink_zorder` key proves the math of), now reachable as table
-  * maintenance under the usual conditioned commit. */
+  * maintenance under the usual conditioned commit.
+  *
+  * `max_file_bytes` (optional; >0 enables INCREMENTAL bin-packing): only
+  * files strictly SMALLER than the threshold are read and compacted;
+  * every file at or above it keeps its manifest entry untouched — stats,
+  * partition value, deletion vector and all. This is the maintenance
+  * mode a 100 TB table actually runs: the streaming-ingest long tail of
+  * small files folds into fresh well-sized files for O(small files)
+  * read+write cost, while the already-compacted bulk is never rewritten.
+  * The compaction reads ONLY its victims (the scan's `files` subset
+  * option), lands them through the ordinary task-commit protocol in a
+  * TEMP table dir, moves the finished files in under collision-free
+  * names, and publishes kept ∪ compacted as ONE conditioned full
+  * snapshot — readers never observe an intermediate state, and a racing
+  * append still wins the usual ConcurrentModificationException fight.
+  * Partitioned victims recompact per partition value (the writer
+  * re-records it); mixing with zorder_by is refused (a curve layout is a
+  * full rewrite by definition). */
 private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     extends GraftProcedure(cat) {
   override def name(): String = "optimize"
   override def description(): String =
-    "compact (optionally Z-ORDER) the head snapshot, conditioned on the planned base version"
+    "compact (optionally Z-ORDER, optionally small-files-only) the head snapshot"
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", StringType).build(),
     ProcedureParameter.in("target_files", IntegerType).build(),
-    ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build())
+    ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build(),
+    ProcedureParameter.in("max_file_bytes", LongType).defaultValue("0").build())
+
+  /** Incremental (small-files-only) compaction; see the class doc. */
+  private def binpack(spark: org.apache.spark.sql.SparkSession, dir: String,
+      head: GraftManifest, target: Int, maxBytes: Long): java.util.Iterator[Scan] = {
+    import org.apache.spark.sql.functions.col
+    val outSchema =
+      StructType.fromDDL("files_before INT, files_after INT, new_version INT")
+    val (small, big) = head.metas.partition { m =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(dir, m.name)) < maxBytes }
+    if (small.size <= 1) // nothing to fold — no commit, head unchanged
+      return result(outSchema, head.metas.size, head.metas.size, head.version)
+    val pcols = small.flatMap(_.partition.map(_._1)).distinct
+    require(pcols.size <= 1 &&
+        small.forall(_.partition.isDefined) == small.exists(_.partition.isDefined),
+      s"graft optimize: compaction victims mix partition layouts ($pcols)")
+    val victims = spark.read.format("graft-sink").option("path", dir)
+      .option("versionAsOf", head.version.toString)
+      .option("files", small.map(_.name).mkString(",")).load()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    try {
+      val writer = pcols.headOption match {
+        case Some(pc) => victims.repartition(col(pc)).write.option("partitionBy", pc)
+        case None     => victims.repartition(target).write
+      }
+      writer.format("graft-sink").option("path", tmp).mode("overwrite").save()
+      // move the finished files in under collision-free names; they stay
+      // invisible until the manifest below publishes them
+      val moved = GraftManifest.readVersion(tmp, None).get.metas.map { m =>
+        val nn = s"c${head.version}-${m.name}"
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp, m.name),
+          java.nio.file.Paths.get(dir, nn))
+        m.copy(name = nn)
+      }
+      val nv = GraftManifest.commitMetas(dir, big ++ moved,
+        head.schemaDdl.getOrElse(throw new IllegalStateException(
+          s"graft optimize: head at $dir carries no schema")),
+        truncate = true, expectedBase = Some(head.version), op = Some("OPTIMIZE"))
+      result(outSchema, head.metas.size, big.size + moved.size, nv)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{col, lit, pmod, shiftleft, shiftright}
@@ -295,9 +360,16 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
       (if (input.numFields > 2 && !input.isNullAt(2))
         input.getUTF8String(2).toString else "")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val maxBytes =
+      if (input.numFields > 3 && !input.isNullAt(3)) input.getLong(3) else 0L
     val spark = org.apache.spark.sql.SparkSession.active
     val head = GraftManifest.readVersion(dir, None).getOrElse(
       throw new IllegalArgumentException(s"graft optimize: no committed version at $dir"))
+    if (maxBytes > 0) {
+      require(zcols.isEmpty,
+        "graft optimize: zorder_by requires a full rewrite — omit max_file_bytes")
+      return binpack(spark, dir, head, target, maxBytes)
+    }
     val snapshot = spark.read.format("graft-sink").option("path", dir).load()
     val rewritten =
       if (zcols.isEmpty) snapshot.repartition(target)

@@ -916,13 +916,22 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
     val streamOpts =
       Seq("startingVersion", "ignoreChanges", "maxVersionsPerTrigger", "readChangeFeed")
         .flatMap(k => Option(options.get(k)).map(k -> _)).toMap
-    new GraftSinkScanBuilder(path, pinned, layout, visible, changesFrom, streamOpts)
+    // `files` (comma-separated manifest file names): restrict the scan to a
+    // subset of the snapshot's files — the maintenance surface incremental
+    // OPTIMIZE reads its compaction victims through (deletion vectors and
+    // evolution widths still apply; a name the manifest does not carry
+    // fails loudly at plan time, not as a silent empty read)
+    val filesSubset = Option(options.get("files")).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    new GraftSinkScanBuilder(path, pinned, layout, visible, changesFrom,
+      streamOpts, filesSubset)
   }
 }
 
 class GraftSinkScanBuilder(path: String, version: Option[Int],
     layout: StructType, visible: StructType, changesFrom: Option[Int] = None,
-    streamOpts: Map[String, String] = Map.empty)
+    streamOpts: Map[String, String] = Map.empty,
+    filesSubset: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = visible
@@ -942,12 +951,13 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
     GraftSinkScan(path, version, layout, required, pushed.toSeq,
-      changesFrom, streamOpts)
+      changesFrom, streamOpts, filesSubset)
 }
 
 case class GraftSinkScan(path: String, version: Option[Int],
     full: StructType, required: StructType, filters: Seq[Filter],
-    changesFrom: Option[Int] = None, streamOpts: Map[String, String] = Map.empty)
+    changesFrom: Option[Int] = None, streamOpts: Map[String, String] = Map.empty,
+    filesSubset: Option[Set[String]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -966,7 +976,17 @@ case class GraftSinkScan(path: String, version: Option[Int],
             s"graft-sink: no committed manifest to read at $path"))
           .metas.map(_ -> null.asInstanceOf[String])
     }
-    tagged.filter { case (m, _) =>
+    val scoped = filesSubset match {
+      case None => tagged
+      case Some(want) =>
+        val have = tagged.map(_._1.name).toSet
+        val missing = want.diff(have)
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"graft-sink: files option names ${missing.mkString(",")} not in the " +
+            s"pinned snapshot at $path")
+        tagged.filter { case (m, _) => want(m.name) }
+    }
+    scoped.filter { case (m, _) =>
       filters.forall(GraftSinkScan.mayMatch(m, full, _)) }
   }
 

@@ -748,6 +748,43 @@ class SourceSpec extends AnyFunSuite {
     assert(ids() == Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L))
   }
 
+  test("graft optimize binpack: partitioned victims recompact per partition; files subset is strict") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bp_spec").toString
+    spark.conf.set("spark.sql.catalog.gbp", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbp.root", root)
+    import graft.sources.GraftManifest
+    val dir = s"$root/db/p"
+    def land(lo: Int, hi: Int, mode: String): Unit =
+      spark.range(lo, hi).select(col("id"), (col("id") % 3).as("k"))
+        .repartition(col("k"))
+        .write.format("graft-sink").option("path", dir)
+        .option("partitionBy", "k").mode(mode).save()
+    land(0, 12, "overwrite"); land(12, 24, "append") // 6 small files, 3 partitions
+    assert(GraftManifest.readVersion(dir, None).get.metas.size == 6)
+    val res = spark.sql("CALL gbp.system.optimize('db.p', 1, '', 1048576)")
+      .collect().head
+    assert(res.getInt(0) == 6 && res.getInt(1) == 3, res.toString)
+    val head = GraftManifest.readVersion(dir, None).get
+    // one compacted file per partition value, each re-recording its value
+    assert(head.metas.flatMap(_.partition).map(_._2).sorted == Seq("0", "1", "2"))
+    // partition-pinned reads still prune to exactly one file
+    val pinned = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("k") === 1)
+    assert(pinned.rdd.getNumPartitions == 1)
+    assert(pinned.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 24L).filter(_ % 3 == 1))
+    assert(spark.read.format("graft-sink").option("path", dir).load().count() == 24)
+    // the files subset option refuses names the snapshot does not carry
+    intercept[Exception] {
+      spark.read.format("graft-sink").option("path", dir)
+        .option("files", "nope.csv").load().count()
+    }
+    // threshold below every file size: nothing to fold, no new version
+    val before = GraftManifest.versions(dir)
+    val noop = spark.sql("CALL gbp.system.optimize('db.p', 1, '', 1)").collect().head
+    assert(noop.getInt(0) == noop.getInt(1) && GraftManifest.versions(dir) == before)
+  }
+
   test("graft catalog: history audit, CTAS, INSERT OVERWRITE and TRUNCATE TABLE") {
     val root = java.nio.file.Files.createTempDirectory("graft_hist_spec").toString
     spark.conf.set("spark.sql.catalog.gh", classOf[graft.sources.GraftCatalog].getName)
