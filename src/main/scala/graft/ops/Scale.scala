@@ -1871,12 +1871,12 @@ object Scale {
       .orderBy(col("version"))
   }
 
-  /** `CREATE TABLE ... AS SELECT` through the catalog — the V2 CTAS path:
-    * Spark calls [[graft.sources.GraftCatalog.createTable]] (version 1 =
-    * empty manifest carrying the query's schema, `#op=CREATE TABLE`) and
-    * appends the query result through the ordinary task-commit protocol
-    * (version 2, `#op=APPEND`) — REQUIREd from the manifests, so a CTAS
-    * is born self-describing and versioned like every other commit. The
+  /** `CREATE TABLE ... AS SELECT` through the catalog — the ATOMIC V2
+    * CTAS path ([[graft.sources.GraftCatalog]] is a StagingTableCatalog):
+    * the data write claims version 1 directly, so the whole statement is
+    * ONE commit — no reader ever observes an empty created table, and a
+    * racing CREATE loses the link(2) CAS instead of interleaving.
+    * REQUIREd: exactly one version, labeled CREATE TABLE AS SELECT. The
     * oracle recomputes the aggregate from events. */
   def sqlCtas(spark: SparkSession, sf: String): DataFrame = {
     val root = gsqlRoot(spark)
@@ -1888,13 +1888,46 @@ object Scale {
       spark.sql(s"CREATE TABLE gsql.db.$tbl AS SELECT * FROM $srcView")
     }
     val m = graft.sources.GraftManifest
-    require(m.versions(dir) == Seq(1, 2),
-      s"CTAS must commit CREATE (v1) + data append (v2), got ${m.versions(dir)}")
-    require(m.readVersion(dir, Some(1)).get.op.contains("CREATE TABLE") &&
-        m.readVersion(dir, Some(2)).get.op.contains("APPEND"),
-      "CTAS versions must carry their operation labels")
+    require(m.versions(dir) == Seq(1),
+      s"atomic CTAS must be exactly one commit, got ${m.versions(dir)}")
+    require(m.readVersion(dir, Some(1)).get.op.contains("CREATE TABLE AS SELECT"),
+      "the CTAS version must carry its operation label")
     spark.sql(s"SELECT event_type, bucket, n, sum_cents FROM gsql.db.$tbl")
       .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** `CREATE OR REPLACE TABLE ... AS SELECT` — the operation a
+    * non-staging catalog can only fake with drop + create, which on a
+    * versioned table DESTROYS history. Staged, the replacement is one
+    * OVERWRITE commit conditioned on the head the replace planned
+    * against: REQUIREd — v2 is a REPLACE TABLE commit, and v1 (the
+    * pre-replace content) STAYS time-travel-readable, which phase 1 of
+    * the output proves by reading it. The oracle recomputes both
+    * phases from events. */
+  def sqlReplaceTable(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "rpl_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      val srcView = s"rpl_src_${sfTag(sf)}"
+      bucketAgg(events(spark, sf)).createOrReplaceTempView(srcView)
+      spark.sql(s"CREATE TABLE gsql.db.$tbl AS SELECT * FROM $srcView")
+      spark.sql(
+        s"CREATE OR REPLACE TABLE gsql.db.$tbl AS " +
+          s"SELECT * FROM $srcView WHERE bucket >= 2")
+    }
+    val m = graft.sources.GraftManifest
+    require(m.versions(dir) == Seq(1, 2),
+      s"staged replace must land as version 2, got ${m.versions(dir)}")
+    require(m.readVersion(dir, Some(2)).get.op.contains("REPLACE TABLE"),
+      "the replace version must carry its operation label")
+    def at(v: Int): DataFrame = spark.read.format("graft-sink")
+      .option("path", dir).option("versionAsOf", v.toString).load()
+    at(1).withColumn("phase", lit(1L))
+      .unionByName(at(2).withColumn("phase", lit(2L)))
+      .select(col("phase"), col("event_type"), col("bucket"),
+        col("n"), col("sum_cents"))
+      .orderBy(col("phase"), col("event_type"), col("bucket"))
   }
 
   /** SQL `INSERT OVERWRITE` + `TRUNCATE TABLE` on a catalog graft table —
@@ -1987,6 +2020,7 @@ object Scale {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "meta_table_history" -> metaTableHistory,
     "sql_ctas" -> sqlCtas,
+    "sql_replace_table" -> sqlReplaceTable,
     "sql_insert_overwrite" -> sqlInsertOverwrite,
     "sink_optimize_binpack" -> sinkOptimizeBinpack,
     "sql_dml_delete" -> sqlDmlDelete,
@@ -2079,6 +2113,17 @@ object Scale {
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, bucket""".stripMargin,
+
+    "sql_replace_table" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS phase, event_type, bucket, n, sum_cents FROM s
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, bucket, n, sum_cents FROM s
+        |WHERE bucket >= 2
+        |ORDER BY phase, event_type, bucket""".stripMargin,
 
     "sql_insert_overwrite" ->
       """WITH s AS (

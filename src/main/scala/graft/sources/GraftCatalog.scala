@@ -5,10 +5,11 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, Write, WriteBuilder}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -41,7 +42,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * over self-describing tables, exactly the posture a 100 TB object-store
   * layout wants (any engine that can read manifests can mount the same
   * root). */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with StagingTableCatalog {
   private var catName: String = _
   private var root: String = _
 
@@ -150,6 +152,45 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftSinkTable(dir, widened, None)
   }
 
+  // ---- StagingTableCatalog: ATOMIC CTAS / RTAS ------------------------
+  // Without staging, Spark's CREATE OR REPLACE TABLE ... AS SELECT falls
+  // back to drop + create — which on a versioned table DESTROYS history.
+  // Staged, the replacement is just an overwrite COMMIT: the data write
+  // lands as one version conditioned on the head the replace staged
+  // against (CAS + the rewrite conflict rule), every prior version stays
+  // time-travelable, and a failed write leaves the table untouched.
+  // Staged CREATE makes CTAS atomic the same way: the single commit
+  // claims version 1, so no reader ever observes an empty created table,
+  // and a racing CREATE loses the link(2) claim instead of interleaving.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft catalog: use the partitionBy WRITE option, not PARTITIONED BY")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(dirOf(ident), schema, replacing = false,
+      baseAtStage = 0, label = "CREATE TABLE AS SELECT")
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft catalog: use the partitionBy WRITE option, not PARTITIONED BY")
+    val vs = GraftManifest.versions(dirOf(ident))
+    if (vs.isEmpty) throw new NoSuchTableException(ident)
+    new GraftStagedTable(dirOf(ident), schema, replacing = true,
+      baseAtStage = vs.max, label = "REPLACE TABLE")
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft catalog: use the partitionBy WRITE option, not PARTITIONED BY")
+    val vs = GraftManifest.versions(dirOf(ident))
+    new GraftStagedTable(dirOf(ident), schema, replacing = vs.nonEmpty,
+      baseAtStage = vs.lastOption.getOrElse(0), label = "REPLACE TABLE")
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     def rm(f: File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -184,6 +225,65 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "history"  => new GraftHistoryProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other (have vacuum, restore, optimize, history)")
+    }
+  }
+}
+
+/** A staged CTAS/RTAS target ([[StagedTable]]): the data write commits the
+  * whole operation as ONE version — `truncate` semantics for a replace
+  * (prior versions stay readable; the commit is conditioned on the head
+  * the replace staged against, so a concurrent commit throws instead of
+  * being silently discarded), a version-1 claim for a create (a racing
+  * CREATE loses the link(2) CAS). A stage that never writes (plain
+  * `REPLACE TABLE` DDL, or an aborted query) is settled by
+  * commitStagedChanges/abortStagedChanges below. */
+private[sources] class GraftStagedTable(dir: String, schema: StructType,
+    replacing: Boolean, baseAtStage: Int, label: String)
+    extends GraftSinkTable(dir, schema, None) with StagedTable {
+  @volatile private var wrote = false
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    // SupportsTruncate because the atomic RTAS plan writes truncate-style;
+    // the staged commit is ALREADY replace-shaped (truncate = `replacing`,
+    // conditioned on the staged base), so the call itself is a no-op —
+    // what makes the replace atomic is the conditioned manifest claim,
+    // not the write mode.
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write {
+        info.schema().fieldNames.find(GraftSinkScan.Reserved.contains).foreach { c =>
+          throw new IllegalArgumentException(
+            s"graft-sink: '$c' is reserved for virtual read columns") }
+        private val tag = info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8)
+        override def toBatch: BatchWrite = {
+          wrote = true
+          new GraftSinkBatchWrite(dir, info.schema(), replacing, tag,
+            Some(baseAtStage), evolve = false, partCol = None,
+            opLabel = Some(label))
+        }
+      }
+    }
+
+  /** Settle a stage with no data write: plain `REPLACE TABLE` DDL (and,
+    * defensively, a CTAS whose write never ran) commits the declared
+    * schema as an empty snapshot under the same conditioned claim. */
+  override def commitStagedChanges(): Unit = {
+    if (!wrote)
+      GraftManifest.commitMetas(dir, Seq.empty, schema.toDDL,
+        truncate = replacing, expectedBase = Some(baseAtStage), op = Some(label))
+    ()
+  }
+
+  /** A failed staged CREATE leaves at most task-commit leftovers — remove
+    * the directory iff nothing ever committed (a failed staged REPLACE
+    * leaves the existing table untouched by construction: its conditioned
+    * commit never ran). */
+  override def abortStagedChanges(): Unit = {
+    if (!replacing && GraftManifest.versions(dir).isEmpty) {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new File(dir))
     }
   }
 }

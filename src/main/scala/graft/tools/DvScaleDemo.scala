@@ -115,6 +115,46 @@ object DvScaleDemo {
     j("metadata_only_delete", "sec" -> f"$tMeta%.2f",
       "bytes_added" -> (bytes2() - before3), "files_dropped" -> (16 - h2.metas.size))
 
+    // INCREMENTAL BINPACK on a long-tail table (the streaming-ingest
+    // shape): 8 well-sized files + 48 tiny appends. The measured claim:
+    // compaction cost tracks the TAIL's bytes, not the table's — the
+    // full-rewrite OPTIMIZE on the same table is the control.
+    val dir3 = s"$root/db/t3"
+    spark.range(n).select(col("id"), (col("id") % 8).as("p"))
+      .repartition(8, col("p"))
+      .write.format("graft-sink").option("path", dir3).mode("overwrite").save()
+    val (_, tTail) = timed {
+      (0 until 48).foreach { i =>
+        spark.range(i * 100L, i * 100L + 100L).select(col("id"), lit(0L).as("p"))
+          .coalesce(1).write.format("graft-sink").option("path", dir3)
+          .mode("append").save()
+      }
+    }
+    def bytes3() = Option(new java.io.File(dir3).listFiles()).getOrElse(Array.empty)
+      .map(_.length).sum
+    val bigMetas = graft.sources.GraftManifest.readVersion(dir3, Some(1)).get.metas.toSet
+    val tableBytes = bytes3()
+    val tailBytes = graft.sources.GraftManifest.readVersion(dir3, None).get.metas
+      .filterNot(bigMetas).map(m =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(dir3, m.name))).sum
+    j("binpack_fixture", "append_sec" -> f"$tTail%.2f",
+      "table_bytes" -> tableBytes, "tail_bytes" -> tailBytes)
+    val beforeBp = bytes3()
+    val (resBp, tBp) = timed {
+      spark.sql(s"CALL gdvs.system.optimize('db.t3', 1, '', ${64 * 1024})")
+        .collect().head }
+    val headBp = graft.sources.GraftManifest.readVersion(dir3, None).get
+    require(bigMetas.subsetOf(headBp.metas.toSet),
+      "binpack must keep every well-sized file's meta untouched")
+    j("binpack_tail", "sec" -> f"$tBp%.2f",
+      "files_before" -> resBp.getInt(0), "files_after" -> resBp.getInt(1),
+      "bytes_added" -> (bytes3() - beforeBp))
+    val beforeFull = bytes3()
+    val (_, tFull) = timed {
+      spark.sql(s"CALL gdvs.system.optimize('db.t3', 8)").collect() }
+    j("full_rewrite_control", "sec" -> f"$tFull%.2f",
+      "bytes_added" -> (bytes3() - beforeFull))
+
     spark.stop()
   }
 }

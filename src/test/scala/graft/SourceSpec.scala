@@ -790,14 +790,15 @@ class SourceSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.gh", classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gh.root", root)
     import graft.sources.GraftManifest
-    // CTAS: v1 = CREATE TABLE (empty, schema-bearing), v2 = the data append
+    // CTAS is ATOMIC (StagingTableCatalog): one version, data included
     spark.range(10).select(col("id"), (col("id") % 3).as("k"))
       .createOrReplaceTempView("hist_src")
     spark.sql("CREATE TABLE gh.db.h AS SELECT * FROM hist_src")
     val dir = s"$root/db/h"
-    assert(GraftManifest.versions(dir) == Seq(1, 2))
+    assert(GraftManifest.versions(dir) == Seq(1))
     assert(spark.sql("SELECT * FROM gh.db.h").count() == 10)
     // drive one commit through each remaining verb
+    spark.sql("INSERT INTO gh.db.h SELECT * FROM hist_src WHERE k = 2") // v2 delta
     spark.sql("DELETE FROM gh.db.h WHERE id = 7")          // v3 merge-on-read
     spark.sql("INSERT OVERWRITE gh.db.h SELECT * FROM hist_src WHERE k = 0") // v4
     assert(spark.sql("SELECT * FROM gh.db.h").count() == 4)
@@ -808,13 +809,13 @@ class SourceSpec extends AnyFunSuite {
     assert(v5.metas.isEmpty && v5.total == 0L && v5.op.contains("TRUNCATE"))
     // every prior version stays readable
     assert(spark.read.format("graft-sink").option("path", dir)
-      .option("versionAsOf", "3").load().count() == 9)
+      .option("versionAsOf", "3").load().count() == 12)
     // the audit: one row per version, newest first, labeled
     val hist = spark.sql("CALL gh.system.history('db.h')").collect()
     assert(hist.map(_.getLong(0)).toSeq == Seq(5L, 4L, 3L, 2L, 1L))
     assert(hist.map(_.getString(2)).toSeq ==
-      Seq("TRUNCATE", "OVERWRITE", "DELETE", "APPEND", "CREATE TABLE"))
-    assert(hist.map(_.getLong(4)).toSeq == Seq(0L, 4L, 9L, 10L, 0L))
+      Seq("TRUNCATE", "OVERWRITE", "DELETE", "APPEND", "CREATE TABLE AS SELECT"))
+    assert(hist.map(_.getLong(4)).toSeq == Seq(0L, 4L, 12L, 13L, 10L))
     // clocks strictly increase (newest first = strictly decreasing here)
     val ts = hist.map(_.getLong(1))
     assert(ts.zip(ts.tail).forall { case (a, b) => a > b })
@@ -835,6 +836,19 @@ class SourceSpec extends AnyFunSuite {
     GraftManifest.commit(legacyDir, Seq.empty, "id BIGINT", truncate = false)
     val leg = spark.sql("CALL gh.system.history('db.legacy')").collect()
     assert(leg.length == 1 && leg.head.getString(2) == "WRITE")
+    // plain REPLACE TABLE DDL (no AS SELECT): the stage settles as an
+    // empty conditioned overwrite carrying the declared schema, and the
+    // pre-replace content stays time-travel-readable
+    spark.sql("CREATE TABLE gh.db.r AS SELECT * FROM hist_src")
+    spark.sql("REPLACE TABLE gh.db.r (a BIGINT, b STRING)")
+    val rdir = s"$root/db/r"
+    assert(GraftManifest.versions(rdir) == Seq(1, 2))
+    val r2 = GraftManifest.readVersion(rdir, None).get
+    assert(r2.metas.isEmpty && r2.total == 0L && r2.op.contains("REPLACE TABLE"))
+    assert(r2.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .get.fieldNames.toSeq == Seq("a", "b"))
+    assert(spark.read.format("graft-sink").option("path", rdir)
+      .option("versionAsOf", "1").load().count() == 10)
   }
 
 }
