@@ -503,9 +503,13 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
   * OVERWRITE / DELETE / UPDATE / MERGE / TRUNCATE / OPTIMIZE / RESTORE /
   * CREATE TABLE / ADD COLUMNS; pre-label manifests read as 'WRITE'), and
   * the version's SNAPSHOT facts (file count, live rows — what a reader
-  * pinned there observes). Driver-side O(versions) manifest reads —
-  * bounded by the OPTIMIZE/VACUUM lifecycle, never by data size; vacuumed
-  * versions simply no longer appear (vacuum is the audit's eraser too). */
+  * pinned there observes). Driver-side O(versions) HEADER reads — every
+  * manifest carries its snapshot's `_total` and `#files=` in the header,
+  * so the audit never parses a file list (a 100k-file checkpoint costs
+  * the same header read as an empty table; pre-`#files` manifests fall
+  * back to one fold each). Bounded by the OPTIMIZE/VACUUM lifecycle,
+  * never by data size; vacuumed versions simply no longer appear
+  * (vacuum is the audit's eraser too). */
 private[sources] class GraftHistoryProcedure(cat: GraftCatalog)
     extends GraftProcedure(cat) {
   override def name(): String = "history"
@@ -521,10 +525,12 @@ private[sources] class GraftHistoryProcedure(cat: GraftCatalog)
     val schema = StructType.fromDDL(
       "version BIGINT, ts_millis BIGINT, operation STRING, n_files BIGINT, total_rows BIGINT")
     val audit = vs.sorted.reverse.map { v =>
-      val m = GraftManifest.readVersion(dir, Some(v)).get
+      val h = GraftManifest.headerFacts(dir, v)
+      val m = if (h.nFiles.isDefined) h
+        else GraftManifest.readVersion(dir, Some(v)).get // pre-#files: fold once
       InternalRow.fromSeq(Seq[Any](v.toLong, m.ts.getOrElse(0L),
         UTF8String.fromString(m.op.getOrElse("WRITE")),
-        m.metas.size.toLong, m.total))
+        m.nFiles.getOrElse(m.metas.size).toLong, m.total))
     }.toArray
     val scan: Scan = new LocalScan {
       override def rows(): Array[InternalRow] = audit

@@ -160,7 +160,7 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
 case class GraftManifest(version: Int, metas: Seq[GraftFileMeta],
     total: Long, schemaDdl: Option[String], ts: Option[Long] = None,
     base: Option[Int] = None, op: Option[String] = None,
-    txns: Map[String, Long] = Map.empty) {
+    txns: Map[String, Long] = Map.empty, nFiles: Option[Int] = None) {
   /** Legacy (name, rows) view — the shape the v1 protocol exposed. */
   def files: Seq[(String, Long)] = metas.map(m => m.name -> m.rows)
 }
@@ -243,6 +243,13 @@ object GraftManifest {
     *                                    accumulated entries, so a re-delivered
     *                                    epoch is detectable from the head fold
     *                                    no matter what committed in between
+    * #files=<n>                         SNAPSHOT file count (like `_total`, a
+    *                                    full-snapshot fact riding the header):
+    *                                    what keeps `CALL history` O(versions)
+    *                                    header reads instead of O(versions)
+    *                                    folds; absent on pre-round-9 manifests
+    *                                    and on deltas whose base predates it
+    *                                    (consumers fall back to the fold)
     * #base=<v>                          DELTA manifest: file lines are this
     *                                    commit's ADDS on top of version v
     * #meta=<file>,<ncols>,<pcol>,<pval> per-file width + partition (pcol empty = none)
@@ -266,6 +273,7 @@ object GraftManifest {
     var ts: Option[Long] = None
     var base: Option[Int] = None
     var op: Option[String] = None
+    var nFiles: Option[Int] = None
     val txns = scala.collection.mutable.Map[String, Long]()
     val rows = Seq.newBuilder[(String, Long)]
     val ncols = scala.collection.mutable.Map[String, Int]()
@@ -280,6 +288,7 @@ object GraftManifest {
       case s if s.startsWith("#ts=")     => ts = Some(s.stripPrefix("#ts=").toLong)
       case s if s.startsWith("#base=")   => base = Some(s.stripPrefix("#base=").toInt)
       case s if s.startsWith("#op=")     => op = Some(s.stripPrefix("#op="))
+      case s if s.startsWith("#files=")  => nFiles = Some(s.stripPrefix("#files=").toInt)
       case s if s.startsWith("#txn=") =>
         s.stripPrefix("#txn=").split(":", 2) match {
           case Array(w, e) => txns(w) = e.toLong
@@ -326,7 +335,7 @@ object GraftManifest {
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f),
         nulls.get(f), dvs.get(f))
     }
-    GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap)
+    GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles)
   }
 
   /** The RAW on-disk manifest for one version (a delta stays a delta). */
@@ -347,7 +356,7 @@ object GraftManifest {
   private def fold(path: String, v: Int): GraftManifest = {
     val m = readRaw(path, v)
     m.base match {
-      case None => m
+      case None => m.copy(nFiles = Some(m.metas.size)) // folded = exact
       case Some(b) =>
         val baseM =
           try fold(path, b)
@@ -373,7 +382,7 @@ object GraftManifest {
         // txns accumulate down the chain, the later (larger-epoch) entry
         // winning per writer — streaming epochs only move forward
         GraftManifest(v, metas, m.total, m.schemaDdl, m.ts, op = m.op,
-          txns = baseM.txns ++ m.txns)
+          txns = baseM.txns ++ m.txns, nFiles = Some(metas.size))
     }
   }
 
@@ -438,7 +447,8 @@ object GraftManifest {
   private def render(ddl: String, ts: Long, base: Option[Int],
       bodyMetas: Seq[GraftFileMeta], totalRows: Long,
       op: Option[String] = None,
-      txns: Map[String, Long] = Map.empty): String = {
+      txns: Map[String, Long] = Map.empty,
+      snapshotFiles: Option[Int] = None): String = {
     val meta = bodyMetas.flatMap { m =>
       val p = m.partition.map { case (c, v) => s"$c,$v" }.getOrElse(",")
       (s"#meta=${m.name},${m.ncols},$p" +:
@@ -453,6 +463,7 @@ object GraftManifest {
     // parsing the checkpoint's whole file list
     (s"#schema=$ddl" +: s"#ts=$ts" +: (base.map(b => s"#base=$b").toSeq ++
       op.filter(o => o.nonEmpty && !o.contains('\n')).map(o => s"#op=$o").toSeq ++
+      snapshotFiles.map(n => s"#files=$n").toSeq ++
       txns.toSeq.sortBy(_._1).map { case (w, e) => s"#txn=$w:$e" }) ++:
       s"_total,$totalRows" +: meta ++:
       bodyMetas.map(m => s"${m.name},${m.rows}")).mkString("\n")
@@ -473,6 +484,8 @@ object GraftManifest {
       var ts: Option[Long] = None
       var base: Option[Int] = None
       var op: Option[String] = None
+      var nFiles: Option[Int] = None
+      val txns = scala.collection.mutable.Map[String, Long]()
       var total = -1L
       var line = in.readLine()
       while (line != null && total < 0 && (line.startsWith("#") || line.startsWith("_total,"))) {
@@ -480,10 +493,15 @@ object GraftManifest {
         else if (line.startsWith("#ts=")) ts = Some(line.stripPrefix("#ts=").toLong)
         else if (line.startsWith("#base=")) base = Some(line.stripPrefix("#base=").toInt)
         else if (line.startsWith("#op=")) op = Some(line.stripPrefix("#op="))
+        else if (line.startsWith("#files=")) nFiles = Some(line.stripPrefix("#files=").toInt)
+        else if (line.startsWith("#txn=")) {
+          val Array(w, e) = line.stripPrefix("#txn=").split(":", 2); txns(w) = e.toLong
+        }
         else if (line.startsWith("_total,")) total = line.stripPrefix("_total,").toLong
         line = in.readLine()
       }
-      if (total >= 0) GraftManifest(v, Seq.empty, total, ddl, ts, base, op)
+      if (total >= 0) GraftManifest(v, Seq.empty, total, ddl, ts, base, op,
+        txns.toMap, nFiles)
       else readRaw(path, v)
     } finally in.close()
   }
@@ -493,6 +511,11 @@ object GraftManifest {
     * that need no file list. */
   private[sources] def headerSchema(path: String, v: Int): Option[StructType] =
     readHeader(path, v).schemaDdl.map(StructType.fromDDL)
+
+  /** Header-only snapshot facts of one committed version (`metas` empty;
+    * `total` / `nFiles` / `ts` / `op` populated from the header) — what
+    * keeps the `CALL history` audit O(versions) regardless of file count. */
+  def headerFacts(path: String, v: Int): GraftManifest = readHeader(path, v)
 
   /** Legacy (name, rows) commit — full-width files, no stats/partition. */
   def commit(path: String, jobFiles: Seq[(String, Long)], schemaDdl: String,
@@ -611,7 +634,10 @@ object GraftManifest {
         else headFolded.map(_.metas).getOrElse(Seq.empty)) ++ jobMetas
       val body =
         if (isDelta) render(unionDdl, commitTs, headV, jobMetas, newTotal, op,
-          txn.toMap)
+          txn.toMap,
+          // snapshot file count carried forward like `_total`; a legacy
+          // head without one leaves it absent until the next checkpoint
+          snapshotFiles = head.flatMap(_.nFiles).map(_ + jobMetas.size))
         else {
           require(all.map(_.liveRows).sum == newTotal,
             s"graft-sink: checkpoint fold at $path disagrees with the running total")
@@ -621,7 +647,8 @@ object GraftManifest {
           // double-commit. (This is why truncates now fold the prior head
           // — one manifest parse, the rewrite is already O(table).)
           val accTxns = headFolded.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
-          render(unionDdl, commitTs, None, all, newTotal, op, accTxns)
+          render(unionDdl, commitTs, None, all, newTotal, op, accTxns,
+            snapshotFiles = Some(all.size))
         }
       // the pluggable CAS: true = this commit owns version `next`; false =
       // lost the race — loop re-reads the new head and retries one slot up
@@ -694,7 +721,7 @@ object GraftManifest {
       if (readHeader(path, v).base.isDefined) {
         val m = fold(path, v)
         val body = render(m.schemaDdl.getOrElse(""), m.ts.getOrElse(0L),
-          None, m.metas, m.total, m.op)
+          None, m.metas, m.total, m.op, m.txns, Some(m.metas.size))
         val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$v", ".tmp")
         try {
           Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))

@@ -96,6 +96,15 @@ object SnapshotScaleDemo {
       println(s"""{"phase":"manifest_cost","table_files":${folded.metas.size},""" +
         s""""checkpoint_ms":$checkpointMs,"checkpoint_bytes":${bytes(10)},""" +
         s""""delta_ms":$deltaMs,"delta_bytes":${bytes(11)}}""")
+      // the commit AUDIT at the same table: header facts per version, so
+      // the cost is versions x header-read, independent of the 100k files
+      val h0 = System.nanoTime()
+      val audit = GraftManifest.versions(mdir).map(v => GraftManifest.headerFacts(mdir, v))
+      val histMs = (System.nanoTime() - h0) / 1000000
+      require(audit.last.nFiles.exists(_ >= 100010),
+        s"header #files must carry the snapshot count, got ${audit.last.nFiles}")
+      println(s"""{"phase":"history_cost","versions":${audit.size},""" +
+        s""""history_ms":$histMs}""")
     }
 
     // phase 2: time-travel reads at v1, mid, head (count + sum as the probe)

@@ -741,11 +741,15 @@ class SourceSpec extends AnyFunSuite {
     w3.commit(0L, Array(GraftSinkCommit(Seq(fileWith("f.csv", Seq(8L))))))
     val head = GraftManifest.readVersion(dir, None).get
     assert(head.txns == Map("q1" -> 2L, "q2" -> 0L))
-    // orphans from skipped re-deliveries age into the vacuum sweep
+    // orphans from skipped re-deliveries age into the vacuum sweep, and
+    // the fold-rewrite of the retained delta keeps the accumulated
+    // watermarks — losing them here would re-open the double-commit hole
     GraftManifest.vacuum(dir, 1, 0)
     assert(!new java.io.File(dir, "b.csv").exists() &&
       !new java.io.File(dir, "d.csv").exists())
     assert(ids() == Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L))
+    assert(GraftManifest.readVersion(dir, None).get.txns ==
+      Map("q1" -> 2L, "q2" -> 0L))
   }
 
   test("graft optimize binpack: partitioned victims recompact per partition; files subset is strict") {
