@@ -2017,7 +2017,42 @@ object Scale {
       .orderBy(col("event_type"))
   }
 
+  /** NAMED TAGS + retention interplay: `CALL gsql.system.tag` names a
+    * committed version, `VERSION AS OF 'name'` reads it, and VACUUM
+    * RETAINS tagged versions past the count window — the promise a tag
+    * makes. Fixture: v1 tagged 'baseline', v2 untagged, v3 head; vacuum
+    * retain-1 REQUIREs exactly {1, 3} survive (v2 reclaimed, the tagged
+    * v1 kept with its data files). Phase 1 reads the tag from SQL,
+    * phase 2 the head; the oracle recomputes both from events. */
+  def sinkTagTravel(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "tg_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    def slice(m: Int): DataFrame = events(spark, sf)
+      .where(col("user_id") % 3 === m)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+    graft.util.Scratch.once(dir) {
+      slice(0).write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      spark.sql(s"CALL gsql.system.tag('db.$tbl', 'baseline', 1)")
+      slice(1).write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      slice(2).write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      spark.sql(s"CALL gsql.system.vacuum('db.$tbl', 1, 0)")
+    }
+    require(graft.sources.GraftManifest.versions(dir) == Seq(1, 3),
+      s"vacuum must keep the tagged v1 and the head v3, got " +
+        graft.sources.GraftManifest.versions(dir).mkString(","))
+    spark.sql(
+      s"""SELECT CAST(1 AS BIGINT) AS phase, event_type, n, sum_cents
+         |FROM gsql.db.$tbl VERSION AS OF 'baseline'
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), event_type, n, sum_cents FROM gsql.db.$tbl
+         |ORDER BY phase, event_type""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_tag_travel" -> sinkTagTravel,
     "meta_table_history" -> metaTableHistory,
     "sql_ctas" -> sqlCtas,
     "sql_replace_table" -> sqlReplaceTable,
@@ -2080,6 +2115,16 @@ object Scale {
   )
 
   def oracle: Map[String, String] = Map(
+    "sink_tag_travel" ->
+      """WITH s AS (
+        |  SELECT user_id % 3 AS m, event_type, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS phase, event_type, n, sum_cents FROM s WHERE m = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, n, sum_cents FROM s WHERE m = 2
+        |ORDER BY phase, event_type""".stripMargin,
+
     "sink_optimize_binpack" ->
       """WITH b AS (
         |  SELECT event_id, event_type, CAST(floor(value*100) AS BIGINT) AS cents

@@ -82,8 +82,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
+  /** `VERSION AS OF` accepts a version number or a TAG name
+    * (`VERSION AS OF 'baseline'` resolves through `_ref-baseline`). */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.toInt))
+    load(ident, Some(GraftManifest.resolveVersionOrRef(dirOf(ident), version)))
   /** SQL `TIMESTAMP AS OF` hands the catalog MICROseconds since epoch;
     * manifest commit clocks are millis. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
@@ -211,7 +213,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("vacuum", "restore", "optimize", "history")
+      Array("vacuum", "restore", "optimize", "history", "tag", "drop_tag")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -223,8 +225,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "restore"  => new GraftRestoreProcedure(this)
       case "optimize" => new GraftOptimizeProcedure(this)
       case "history"  => new GraftHistoryProcedure(this)
+      case "tag"      => new GraftTagProcedure(this)
+      case "drop_tag" => new GraftDropTagProcedure(this)
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: no procedure system.$other (have vacuum, restore, optimize, history)")
+        s"graft catalog: no procedure system.$other " +
+          "(have vacuum, restore, optimize, history, tag, drop_tag)")
     }
   }
 }
@@ -494,6 +499,48 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     val after = GraftManifest.readVersion(dir, None).get
     result(StructType.fromDDL("files_before INT, files_after INT, new_version INT"),
       head.metas.size, after.metas.size, after.version)
+  }
+}
+
+/** `CALL cat.system.tag(table, name, version)` — name a committed version
+  * (`_ref-<name>`): `VERSION AS OF '<name>'` reads it, and VACUUM retains
+  * it past the count window until `drop_tag` releases it. Re-tagging an
+  * existing name moves it (atomic replace; a ref is derived state over
+  * immutable versions, so last-writer-wins is the correct semantic). */
+private[sources] class GraftTagProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "tag"
+  override def description(): String =
+    "name a committed version; tagged versions survive vacuum until drop_tag"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("name", StringType).build(),
+    ProcedureParameter.in("version", IntegerType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    val tag = input.getUTF8String(1).toString
+    val v = input.getInt(2)
+    GraftManifest.setRef(dir, tag, v)
+    result(StructType.fromDDL("tag STRING, version INT"),
+      UTF8String.fromString(tag), v)
+  }
+}
+
+/** `CALL cat.system.drop_tag(table, name)` — release a tag; the next
+  * vacuum may reclaim the version it protected. */
+private[sources] class GraftDropTagProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "drop_tag"
+  override def description(): String = "release a tag"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("name", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    val tag = input.getUTF8String(1).toString
+    val existed = GraftManifest.dropRef(dir, tag)
+    result(StructType.fromDDL("tag STRING, existed BOOLEAN"),
+      UTF8String.fromString(tag), existed)
   }
 }
 

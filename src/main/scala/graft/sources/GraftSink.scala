@@ -109,12 +109,12 @@ class GraftSinkProvider extends TableProvider
 }
 
 object GraftSinkProvider {
-  /** The version a read pins: explicit `versionAsOf` wins, then
-    * `timestampAsOf` (resolved against the manifests' commit
-    * wall-clocks), then a change feed's `changesTo` upper bound; None =
-    * follow the head. */
+  /** The version a read pins: explicit `versionAsOf` (a version number
+    * or a TAG name) wins, then `timestampAsOf` (resolved against the
+    * manifests' commit wall-clocks), then a change feed's `changesTo`
+    * upper bound; None = follow the head. */
   private[sources] def pinned(path: String, get: String => String): Option[Int] =
-    Option(get("versionAsOf")).map(_.toInt)
+    Option(get("versionAsOf")).map(GraftManifest.resolveVersionOrRef(path, _))
       .orElse(Option(get("timestampAsOf")).map(t =>
         GraftManifest.resolveTimestamp(path, t.toLong)))
       .orElse(Option(get("changesTo")).map(_.toInt))
@@ -207,6 +207,54 @@ object PosixLinkClaim extends CommitClaim {
 
 object GraftManifest {
   private val VPrefix = "_manifest-v"
+  private val RefPrefix = "_ref-"
+
+  /** Named refs (TAGS): `_ref-<name>` files mapping a human name to a
+    * committed version — `VERSION AS OF 'name'` resolves through them,
+    * and VACUUM RETAINS tagged versions regardless of the count-based
+    * retention window (a tag is a promise that a snapshot stays
+    * readable; dropping the tag releases it). A ref is tiny derived
+    * state pointing at an immutable version, so SET is an atomic
+    * replace (last-writer-wins is the correct semantic for moving a
+    * tag) and needs no CAS slot. */
+  def refs(path: String): Map[String, Int] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(n => n.startsWith(RefPrefix) && !n.endsWith(".tmp"))
+      .flatMap { n =>
+        scala.util.Try(new String(Files.readAllBytes(Paths.get(path, n)),
+          StandardCharsets.UTF_8).trim.toInt).toOption
+          .map(n.stripPrefix(RefPrefix) -> _)
+      }.toMap
+
+  /** Resolve `versionAsOf` input that may be a version number OR a tag
+    * name; listed tags in the error keep a typo debuggable. */
+  def resolveVersionOrRef(path: String, v: String): Int =
+    scala.util.Try(v.toInt).getOrElse {
+      refs(path).getOrElse(v, throw new IllegalArgumentException(
+        s"graft-sink: '$v' is neither a version number nor a tag at $path; " +
+          s"tags: ${refs(path).keys.toSeq.sorted.mkString(",")}"))
+    }
+
+  def setRef(path: String, name: String, version: Int): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"graft-sink: tag name '$name' must be alphanumeric/-_/. " +
+        "(it becomes part of a file name)")
+    require(name.exists(!_.isDigit),
+      s"graft-sink: tag name '$name' cannot be all digits (ambiguous with a version)")
+    require(versions(path).contains(version),
+      s"graft-sink: cannot tag uncommitted version $version at $path")
+    val tmp = Files.createTempFile(Paths.get(path), RefPrefix + name, ".tmp")
+    try {
+      Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(path, RefPrefix + name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
+    ()
+  }
+
+  def dropRef(path: String, name: String): Boolean =
+    Files.deleteIfExists(Paths.get(path, RefPrefix + name))
 
   /** The active claim primitive. POSIX link(2) by default; swap for an
     * object-store implementation to mount the same table root from
@@ -708,7 +756,14 @@ object GraftManifest {
       graceMs: Long = 10 * 60 * 1000L): Int = {
     require(retainLast >= 1, "vacuum must retain at least the head version")
     val vs = versions(path)
-    val dropped = vs.dropRight(retainLast)
+    // TAGGED versions are retained regardless of the count window — a tag
+    // is a promise the snapshot stays readable; `drop_tag` releases it
+    // and the next vacuum reclaims. A dangling ref (version already gone)
+    // retains nothing.
+    val tagged = refs(path).values.toSet
+    val retainedSet = (vs.takeRight(retainLast) ++ vs.filter(tagged)).toSet
+    val dropped = vs.filterNot(retainedSet)
+    val retained = vs.filter(retainedSet)
     // FOLD every retained DELTA manifest into its full-snapshot form
     // BEFORE dropping anything: a retained delta's #base chain may cross
     // the cutoff, and dropping a base would strand it. The rewrite is an
@@ -717,7 +772,7 @@ object GraftManifest {
     // order keeps each later fold reading already-folded predecessors.
     // After this loop every retained manifest is self-contained and the
     // "dropped versions fail at manifest lookup" contract holds exactly.
-    vs.takeRight(retainLast).foreach { v =>
+    retained.foreach { v =>
       if (readHeader(path, v).base.isDefined) {
         val m = fold(path, v)
         val body = render(m.schemaDdl.getOrElse(""), m.ts.getOrElse(0L),
@@ -731,10 +786,10 @@ object GraftManifest {
       }
     }
     // keep = data files AND deletion-vector sidecars any retained version
-    // references — a reclaimed sidecar would resurrect deleted rows on the
-    // next read, the exact inverse of the torn-snapshot failure the
-    // manifest-first deletion order prevents
-    val keep = vs.takeRight(retainLast)
+    // (count-window OR tagged) references — a reclaimed sidecar would
+    // resurrect deleted rows on the next read, the exact inverse of the
+    // torn-snapshot failure the manifest-first deletion order prevents
+    val keep = retained
       .flatMap(v => readVersion(path, Some(v)).toSeq.flatMap(_.metas.flatMap(m =>
         m.name +: m.dv.map(_._1).toSeq)))
       .toSet

@@ -752,6 +752,46 @@ class SourceSpec extends AnyFunSuite {
       Map("q1" -> 2L, "q2" -> 0L))
   }
 
+  test("graft tags: VERSION AS OF a name, vacuum retention, move and release") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tag_spec").toString
+    spark.conf.set("spark.sql.catalog.gtag", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtag.root", root)
+    import graft.sources.GraftManifest
+    val dir = s"$root/db/t"
+    def land(n: Int): Unit = spark.range(n).selectExpr("id").coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    land(3) // v1
+    spark.sql("CALL gtag.system.tag('db.t', 'baseline', 1)")
+    land(5) // v2
+    land(7) // v3
+    // guards: uncommitted version, all-digit name, path-escaping name
+    intercept[Exception] { spark.sql("CALL gtag.system.tag('db.t', 'x', 9)") }
+    intercept[Exception] { spark.sql("CALL gtag.system.tag('db.t', '42', 1)") }
+    intercept[Exception] { spark.sql("CALL gtag.system.tag('db.t', 'a/b', 1)") }
+    // tag-aware reads: SQL VERSION AS OF and the path-based option
+    assert(spark.sql("SELECT * FROM gtag.db.t VERSION AS OF 'baseline'").count() == 3)
+    assert(spark.read.format("graft-sink").option("path", dir)
+      .option("versionAsOf", "baseline").load().count() == 3)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gtag.db.t VERSION AS OF 'nope'").count() }
+    // vacuum retains the tagged version past the count window
+    spark.sql("CALL gtag.system.vacuum('db.t', 1, 0)")
+    assert(GraftManifest.versions(dir) == Seq(1, 3))
+    assert(spark.sql("SELECT * FROM gtag.db.t VERSION AS OF 'baseline'").count() == 3)
+    assert(spark.sql("SELECT * FROM gtag.db.t").count() == 7)
+    // moving the tag releases the old version at the next vacuum
+    spark.sql("CALL gtag.system.tag('db.t', 'baseline', 3)")
+    spark.sql("CALL gtag.system.vacuum('db.t', 1, 0)")
+    assert(GraftManifest.versions(dir) == Seq(3))
+    assert(spark.sql("SELECT * FROM gtag.db.t VERSION AS OF 'baseline'").count() == 7)
+    // drop_tag: the ref disappears and the name stops resolving
+    val dropped = spark.sql("CALL gtag.system.drop_tag('db.t', 'baseline')").collect().head
+    assert(dropped.getBoolean(1))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gtag.db.t VERSION AS OF 'baseline'").count() }
+    assert(GraftManifest.refs(dir).isEmpty)
+  }
+
   test("graft optimize binpack: partitioned victims recompact per partition; files subset is strict") {
     val root = java.nio.file.Files.createTempDirectory("graft_bp_spec").toString
     spark.conf.set("spark.sql.catalog.gbp", classOf[graft.sources.GraftCatalog].getName)
