@@ -42,6 +42,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * over self-describing tables, exactly the posture a 100 TB object-store
   * layout wants (any engine that can read manifests can mount the same
   * root). */
+private[sources] object GraftFs {
+  /** Recursive directory delete (symlink-agnostic, best-effort like
+    * File.delete) — shared by DROP TABLE, staged-create abort, and the
+    * binpack temp cleanup. */
+  def deleteTree(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteTree)); f.delete(); ()
+  }
+}
+
 class GraftCatalog extends TableCatalog with ProcedureCatalog
     with StagingTableCatalog {
   private var catName: String = _
@@ -148,6 +157,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         s"graft catalog: unsupported ALTER ($other) — only trailing ADD COLUMNS " +
           "evolves a graft table without rewriting committed files")
     }
+    // a duplicate name would commit a schema whose fieldIndex resolves to
+    // the NEW (beyond-every-file-width) slot — every existing value of the
+    // original column would silently read back NULL. Spark's SQL analyzer
+    // guards its own path; the direct TableCatalog API must guard too.
+    val names = prior.fieldNames.toSeq ++ added.map(_.name)
+    require(names.distinct.size == names.size,
+      s"graft catalog: ADD COLUMNS would duplicate column name(s) " +
+        names.diff(names.distinct).distinct.mkString("'", "', '", "'"))
     val widened = StructType(prior.fields ++ added)
     GraftManifest.commitMetas(dir, Seq.empty, widened.toDDL,
       truncate = false, evolve = true, op = Some("ADD COLUMNS"))
@@ -189,17 +206,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     require(partitions.isEmpty,
       "graft catalog: use the partitionBy WRITE option, not PARTITIONED BY")
     val vs = GraftManifest.versions(dirOf(ident))
+    // the audit label records what actually happened: creating a missing
+    // table is a create, not a replace
     new GraftStagedTable(dirOf(ident), schema, replacing = vs.nonEmpty,
-      baseAtStage = vs.lastOption.getOrElse(0), label = "REPLACE TABLE")
+      baseAtStage = vs.lastOption.getOrElse(0),
+      label = if (vs.nonEmpty) "REPLACE TABLE" else "CREATE TABLE AS SELECT")
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    def rm(f: File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
     val d = new File(dirOf(ident))
     val existed = tableExists(ident)
-    if (existed) rm(d)
+    if (existed) GraftFs.deleteTree(d)
     existed
   }
 
@@ -284,12 +301,8 @@ private[sources] class GraftStagedTable(dir: String, schema: StructType,
     * leaves the existing table untouched by construction: its conditioned
     * commit never ran). */
   override def abortStagedChanges(): Unit = {
-    if (!replacing && GraftManifest.versions(dir).isEmpty) {
-      def rm(f: File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new File(dir))
-    }
+    if (!replacing && GraftManifest.versions(dir).isEmpty)
+      GraftFs.deleteTree(new File(dir))
   }
 }
 
@@ -448,12 +461,7 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
           s"graft optimize: head at $dir carries no schema")),
         truncate = true, expectedBase = Some(head.version), op = Some("OPTIMIZE"))
       result(outSchema, head.metas.size, big.size + moved.size, nv)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
-    }
+    } finally GraftFs.deleteTree(new java.io.File(tmp))
   }
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {

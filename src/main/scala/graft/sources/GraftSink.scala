@@ -240,8 +240,15 @@ object GraftManifest {
         c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
       s"graft-sink: tag name '$name' must be alphanumeric/-_/. " +
         "(it becomes part of a file name)")
-    require(name.exists(!_.isDigit),
-      s"graft-sink: tag name '$name' cannot be all digits (ambiguous with a version)")
+    // must not parse as an integer ('42' but also '-5': resolveVersionOrRef
+    // tries toInt first, so such a "tag" could never be read back)
+    require(scala.util.Try(name.toInt).isFailure,
+      s"graft-sink: tag name '$name' is ambiguous with a version number")
+    // refs() and the vacuum tmp sweep both treat *.tmp as in-flight debris;
+    // a tag named that way would be invisible AND reclaimed — the silent
+    // inverse of the retention promise a tag makes
+    require(!name.endsWith(".tmp"),
+      s"graft-sink: tag name '$name' may not end in .tmp (reserved for in-flight files)")
     require(versions(path).contains(version),
       s"graft-sink: cannot tag uncommitted version $version at $path")
     val tmp = Files.createTempFile(Paths.get(path), RefPrefix + name, ".tmp")
@@ -543,7 +550,11 @@ object GraftManifest {
         else if (line.startsWith("#op=")) op = Some(line.stripPrefix("#op="))
         else if (line.startsWith("#files=")) nFiles = Some(line.stripPrefix("#files=").toInt)
         else if (line.startsWith("#txn=")) {
-          val Array(w, e) = line.stripPrefix("#txn=").split(":", 2); txns(w) = e.toLong
+          line.stripPrefix("#txn=").split(":", 2) match {
+            case Array(w, e) => txns(w) = e.toLong
+            case bad => throw new IllegalStateException(
+              s"malformed #txn line: '${bad.mkString(":")}'")
+          }
         }
         else if (line.startsWith("_total,")) total = line.stripPrefix("_total,").toLong
         line = in.readLine()
@@ -709,14 +720,24 @@ object GraftManifest {
         // commits: writing the complete list per delta commit would put
         // the O(table files) cost the delta design removes right back.
         if (!isDelta) scala.util.Try {
-          val legacy = (all.map(m => s"${m.name},${m.rows}") :+
-            s"_total,${all.map(_.liveRows).sum}").mkString("\n")
-          val ltmp = Files.createTempFile(Paths.get(path), "_manifest", ".tmp")
-          try {
-            Files.write(ltmp, legacy.getBytes(StandardCharsets.UTF_8))
-            Files.move(ltmp, Paths.get(path, "_manifest"),
-              StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-          } finally Files.deleteIfExists(ltmp)
+          if (all.exists(_.dv.isDefined)) {
+            // a DV-bearing snapshot has NO faithful legacy rendering: the
+            // v1 contract equates per-file line counts with the total, but
+            // here physical rows != live rows. Remove the head copy so a
+            // pre-versioning reader fails at "no manifest" instead of
+            // resurrecting deleted rows or tripping its own total check.
+            Files.deleteIfExists(Paths.get(path, "_manifest"))
+            ()
+          } else {
+            val legacy = (all.map(m => s"${m.name},${m.rows}") :+
+              s"_total,${all.map(_.liveRows).sum}").mkString("\n")
+            val ltmp = Files.createTempFile(Paths.get(path), "_manifest", ".tmp")
+            try {
+              Files.write(ltmp, legacy.getBytes(StandardCharsets.UTF_8))
+              Files.move(ltmp, Paths.get(path, "_manifest"),
+                StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+            } finally Files.deleteIfExists(ltmp)
+          }
         }
         return next
       }
@@ -846,8 +867,18 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         s"graft-sink: no committed version to modify at $path"))
   }
 
+  /** Head version observed by canDeleteWhere — the version the
+    * metadata-only DELETE was PLANNED against. deleteWhere checks the
+    * head against it so both DELETE paths share one concurrency
+    * contract: a commit landing between plan and execute throws
+    * ConcurrentModificationException (exactly what the row-level plan's
+    * pinned baseVersion does), instead of silently deleting rows that
+    * arrived after the statement was planned. */
+  @volatile private var plannedDeleteBase: Option[Int] = None
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     versionAsOf.isEmpty && GraftManifest.readVersion(path, None).exists { head =>
+      plannedDeleteBase = Some(head.version)
       head.schemaDdl.map(StructType.fromDDL).exists { layout =>
         head.metas.forall(m =>
           filters.forall(GraftSinkScan.mustMatchAll(m, layout, _)) ||
@@ -857,6 +888,11 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val head = headForDml("DELETE")
+    plannedDeleteBase.filter(_ != head.version).foreach { base =>
+      throw new java.util.ConcurrentModificationException(
+        s"graft-sink: DELETE planned against version $base but head is " +
+          s"${head.version} at $path — re-run the statement")
+    }
     val layout = StructType.fromDDL(head.schemaDdl.getOrElse(
       throw new IllegalStateException(s"graft-sink: head at $path carries no schema")))
     val kept = head.metas.filter { m =>
@@ -868,6 +904,9 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
           s"graft-sink: metadata-only delete cannot decide file ${m.name} — re-plan")
       !drop
     }
+    // no file matched: committing would churn an O(table-files) manifest
+    // version for a statement that changed nothing
+    if (kept.size == head.metas.size) return
     GraftManifest.commitMetas(path, kept, head.schemaDdl.get,
       truncate = true, expectedBase = Some(head.version), op = Some("DELETE"))
     ()
@@ -879,6 +918,7 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
     * vacuum, like every other remover. */
   override def truncateTable(): Boolean = {
     val head = headForDml("TRUNCATE")
+    if (head.metas.isEmpty && head.total == 0L) return true // already empty: no-op
     GraftManifest.commitMetas(path, Seq.empty, head.schemaDdl.getOrElse(
         throw new IllegalStateException(s"graft-sink: head at $path carries no schema")),
       truncate = true, expectedBase = Some(head.version), op = Some("TRUNCATE"))
@@ -1561,13 +1601,27 @@ class GraftRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
     GraftManifest.headerSchema(path, baseVersion).map(_.toDDL).getOrElse(
       throw new IllegalStateException(
         s"graft-sink: v$baseVersion at $path carries no schema")))
+  /** The planned snapshot's partition column, so UPDATE/MERGE
+    * re-inserts keep the table's layout — without this the fresh files
+    * carry no partition value, the exact-value pruning/metadata-delete
+    * fast paths degrade for updated rows, and incremental binpack
+    * refuses the mixed layout. Conservative None when the snapshot
+    * itself mixes layouts. */
+  private val partCol: Option[String] = {
+    val metas = GraftManifest.readVersion(path, Some(baseVersion)).get.metas
+    metas.flatMap(_.partition.map(_._1)).distinct match {
+      case Seq(c) if metas.forall(_.partition.isDefined) => Some(c)
+      case _ => None
+    }
+  }
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSinkScanBuilder(path, Some(baseVersion), layout, layout)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new GraftDeltaWrite(path, layout,
-        info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8), baseVersion, cmd)
+        info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8), baseVersion, cmd,
+        partCol)
     }
   override def rowId(): Array[NamedReference] = Array(
     Expressions.column(GraftSinkScan.FileCol),
@@ -1577,10 +1631,11 @@ class GraftRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
 }
 
 class GraftDeltaWrite(path: String, schema: StructType, tag: String,
-    baseVersion: Int, cmd: RowLevelOperation.Command) extends DeltaWrite
+    baseVersion: Int, cmd: RowLevelOperation.Command,
+    partCol: Option[String] = None) extends DeltaWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def toBatch: DeltaBatchWrite =
-    new GraftDeltaBatchWrite(path, schema, tag, baseVersion, cmd)
+    new GraftDeltaBatchWrite(path, schema, tag, baseVersion, cmd, partCol)
   /** A wide DELETE's rows are already colocated (one read split per
     * file), but request the clustering anyway so the property survives
     * ANY plan between scan and write: every file's deleted positions
@@ -1610,10 +1665,11 @@ case class GraftDeltaCommit(files: Seq[GraftFileMeta],
 
 class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
     baseVersion: Int,
-    cmd: RowLevelOperation.Command = RowLevelOperation.Command.DELETE)
+    cmd: RowLevelOperation.Command = RowLevelOperation.Command.DELETE,
+    partCol: Option[String] = None)
     extends DeltaBatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    GraftDeltaWriterFactory(path, schema, tag)
+    GraftDeltaWriterFactory(path, schema, tag, partCol)
 
   /** Job commit: merge every task's vector fragments into one final
     * sidecar per touched file (existing vector ∪ new positions, sorted;
@@ -1675,9 +1731,9 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
 }
 
 case class GraftDeltaWriterFactory(path: String, schema: StructType,
-    tag: String) extends DeltaWriterFactory {
+    tag: String, partCol: Option[String] = None) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(path, schema, partitionId, taskId, tag)
+    new GraftDeltaWriter(path, schema, partitionId, taskId, tag, partCol)
 }
 
 /** Task-side delta writer: deletes accumulate (file → positions) and
@@ -1686,7 +1742,8 @@ case class GraftDeltaWriterFactory(path: String, schema: StructType,
   * inserts ride a nested ordinary [[GraftSinkWriter]] — same tmp→rename
   * task-commit protocol, stats and null counts included. */
 class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long, tag: String) extends DeltaWriter[InternalRow] {
+    taskId: Long, tag: String, partCol: Option[String] = None)
+    extends DeltaWriter[InternalRow] {
   private var inserts: GraftSinkWriter = _
   private val dels =
     scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
@@ -1703,7 +1760,8 @@ class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
   }
   override def insert(row: InternalRow): Unit = {
     if (inserts == null)
-      inserts = new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-")
+      inserts = new GraftSinkWriter(path, schema, partitionId, taskId,
+        prefix = s"$tag-", partCol = partCol)
     inserts.write(row)
   }
 

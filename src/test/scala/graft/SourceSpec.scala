@@ -538,6 +538,10 @@ class SourceSpec extends AnyFunSuite {
     val head = spark.read.format("graft-sink").option("path", dir).load()
     assert(head.count() == 16)
     assert(head.agg(sum(col("id"))).head().getLong(0) == (0L until 20).filter(_ % 5 != 0).sum)
+    // a DV-bearing snapshot has no faithful legacy rendering — the
+    // pre-versioning `_manifest` head copy must disappear, not lie
+    assert(!new java.io.File(dir, "_manifest").exists(),
+      "legacy _manifest must be removed once deletion vectors exist")
     assert(spark.read.format("graft-sink").option("path", dir)
       .option("versionAsOf", "1").load().count() == 20)
     // the row id surfaces as metadata columns; positions skip the dead rows
@@ -764,10 +768,13 @@ class SourceSpec extends AnyFunSuite {
     spark.sql("CALL gtag.system.tag('db.t', 'baseline', 1)")
     land(5) // v2
     land(7) // v3
-    // guards: uncommitted version, all-digit name, path-escaping name
+    // guards: uncommitted version, version-ambiguous names ('42', '-5'),
+    // path-escaping names, and the vacuum-sweep-reserved .tmp suffix
     intercept[Exception] { spark.sql("CALL gtag.system.tag('db.t', 'x', 9)") }
     intercept[Exception] { spark.sql("CALL gtag.system.tag('db.t', '42', 1)") }
+    intercept[Exception] { spark.sql("CALL gtag.system.tag('db.t', '-5', 1)") }
     intercept[Exception] { spark.sql("CALL gtag.system.tag('db.t', 'a/b', 1)") }
+    intercept[Exception] { spark.sql("CALL gtag.system.tag('db.t', 'rel.tmp', 1)") }
     // tag-aware reads: SQL VERSION AS OF and the path-based option
     assert(spark.sql("SELECT * FROM gtag.db.t VERSION AS OF 'baseline'").count() == 3)
     assert(spark.read.format("graft-sink").option("path", dir)
@@ -827,6 +834,24 @@ class SourceSpec extends AnyFunSuite {
     val before = GraftManifest.versions(dir)
     val noop = spark.sql("CALL gbp.system.optimize('db.p', 1, '', 1)").collect().head
     assert(noop.getInt(0) == noop.getInt(1) && GraftManifest.versions(dir) == before)
+    // row-level UPDATE on the partitioned table: the re-inserted file
+    // must RE-RECORD its partition value, so layout pruning and binpack
+    // keep working after DML
+    spark.sql("UPDATE gbp.db.p SET id = id + 1000 WHERE id = 4")
+    val afterUpd = GraftManifest.readVersion(dir, None).get
+    val fresh = afterUpd.metas.filterNot(m => head.metas.map(_.name).contains(m.name))
+    assert(fresh.nonEmpty && fresh.forall(_.partition.contains("k" -> "1")),
+      s"update re-insert lost the partition value: ${fresh.map(_.partition)}")
+    val again = spark.sql("CALL gbp.system.optimize('db.p', 1, '', 1048576)")
+      .collect().head
+    assert(again.getInt(1) == 3, s"binpack after DML must still see one layout: $again")
+    assert(spark.read.format("graft-sink").option("path", dir).load()
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 24L).filterNot(_ == 4L) :+ 1004L).sorted)
+    // metadata-only DELETE matching nothing is a version-free no-op
+    val vsNow = GraftManifest.versions(dir)
+    spark.sql("DELETE FROM gbp.db.p WHERE k = 99")
+    assert(GraftManifest.versions(dir) == vsNow)
   }
 
   test("graft catalog: history audit, CTAS, INSERT OVERWRITE and TRUNCATE TABLE") {
@@ -880,6 +905,34 @@ class SourceSpec extends AnyFunSuite {
     GraftManifest.commit(legacyDir, Seq.empty, "id BIGINT", truncate = false)
     val leg = spark.sql("CALL gh.system.history('db.legacy')").collect()
     assert(leg.length == 1 && leg.head.getString(2) == "WRITE")
+    // CREATE OR REPLACE on a MISSING table is audited as a create
+    spark.sql("CREATE OR REPLACE TABLE gh.db.cor AS SELECT * FROM hist_src")
+    assert(GraftManifest.readVersion(s"$root/db/cor", None).get.op
+      .contains("CREATE TABLE AS SELECT"))
+    // ADD COLUMNS via the direct TableCatalog API refuses duplicate names
+    // (Spark's SQL analyzer guards its own path; the API must guard too)
+    val cat = new graft.sources.GraftCatalog
+    cat.initialize("gh", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", root)))
+    intercept[IllegalArgumentException] {
+      cat.alterTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "cor"),
+        org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+          Array("id"), org.apache.spark.sql.types.LongType))
+    }
+    // metadata-only DELETE shares the row-level concurrency contract: a
+    // commit landing between plan (canDeleteWhere) and execute must throw
+    val rdir0 = s"$root/db/cor"
+    val tbl0 = new graft.sources.GraftSinkTable(rdir0,
+      GraftManifest.readVersion(rdir0, None).get.schemaDdl
+        .map(org.apache.spark.sql.types.StructType.fromDDL).get, None)
+    val allF = Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.AlwaysTrue)
+    assert(tbl0.canDeleteWhere(allF))
+    spark.sql("INSERT INTO gh.db.cor SELECT * FROM hist_src WHERE k = 0")
+    intercept[java.util.ConcurrentModificationException] {
+      tbl0.deleteWhere(allF)
+    }
     // plain REPLACE TABLE DDL (no AS SELECT): the stage settles as an
     // empty conditioned overwrite carrying the declared schema, and the
     // pre-replace content stays time-travel-readable
