@@ -2024,7 +2024,9 @@ object Scale {
     * retain-1 REQUIREs exactly {1, 3} survive (v2 reclaimed, the tagged
     * v1 kept with its data files). Phase 1 reads the tag from SQL,
     * phase 2 the head; the oracle recomputes both from events. */
-  def sinkTagTravel(spark: SparkSession, sf: String): DataFrame = {
+  /** Shared tag fixture: v1 tagged 'baseline', v2 untagged (vacuumed
+    * away), v3 head — built once per (run, sf), used by both tag keys. */
+  private def tagFixture(spark: SparkSession, sf: String): (String, String) = {
     val root = gsqlRoot(spark)
     val tbl = "tg_" + sfTag(sf)
     val dir = s"$root/db/$tbl"
@@ -2040,6 +2042,19 @@ object Scale {
       slice(2).write.format("graft-sink").option("path", dir).mode("overwrite").save()
       spark.sql(s"CALL gsql.system.vacuum('db.$tbl', 1, 0)")
     }
+    (dir, tbl)
+  }
+
+  /** `CALL gsql.system.tags(table)` — SHOW TAGS: the fixture's one ref
+    * listed as a (tag, version) row, oracle-checked as literals. */
+  def metaTableTags(spark: SparkSession, sf: String): DataFrame = {
+    val (_, tbl) = tagFixture(spark, sf)
+    spark.sql(s"CALL gsql.system.tags('db.$tbl')")
+      .orderBy(col("tag"))
+  }
+
+  def sinkTagTravel(spark: SparkSession, sf: String): DataFrame = {
+    val (dir, tbl) = tagFixture(spark, sf)
     require(graft.sources.GraftManifest.versions(dir) == Seq(1, 3),
       s"vacuum must keep the tagged v1 and the head v3, got " +
         graft.sources.GraftManifest.versions(dir).mkString(","))
@@ -2053,6 +2068,7 @@ object Scale {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_tag_travel" -> sinkTagTravel,
+    "meta_table_tags" -> metaTableTags,
     "meta_table_history" -> metaTableHistory,
     "sql_ctas" -> sqlCtas,
     "sql_replace_table" -> sqlReplaceTable,
@@ -2115,6 +2131,9 @@ object Scale {
   )
 
   def oracle: Map[String, String] = Map(
+    "meta_table_tags" ->
+      "SELECT 'baseline' AS tag, CAST(1 AS BIGINT) AS version",
+
     "sink_tag_travel" ->
       """WITH s AS (
         |  SELECT user_id % 3 AS m, event_type, count(*) AS n,

@@ -458,6 +458,47 @@ object Streaming {
       .orderBy(col("via"), col("event_type"))
   }
 
+  /** THE CLOSED LAKEHOUSE LOOP in one key: a streaming producer lands
+    * events as VERSIONED commits (`commitVersions=true`), and a second,
+    * independent streaming consumer drains the SAME table through the
+    * table-feed source into parquet — producer and consumer meet only at
+    * the committed manifests, which is exactly how a 100 TB pipeline's
+    * stages decouple (no epoch glue, no shared driver state; the
+    * consumer's checkpoint + version offsets make the handoff
+    * exactly-once). The oracle recomputes the aggregate from events —
+    * two streaming hops must not change a row. */
+  def streamLakehouseRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val table = graft.util.Scratch.dir("lhrt_table", sf)
+    val chkIn = graft.util.Scratch.dir("lhrt_chk_in", sf)
+    val out = graft.util.Scratch.dir("lhrt_out", sf)
+    val chkOut = graft.util.Scratch.dir("lhrt_chk_out", sf)
+    // stage 1: stream INTO the versioned table
+    val producer = eventsStream(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .writeStream.format("graft-sink")
+      .option("path", table).option("checkpointLocation", chkIn)
+      .option("commitVersions", "true")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    producer.awaitTermination()
+    require(graft.sources.GraftManifest.versions(table).nonEmpty,
+      "the producer must land versioned commits")
+    // stage 2: an independent consumer streams OUT of the table
+    val consumer = spark.readStream.format("graft-sink")
+      .option("path", table).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chkOut)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    consumer.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"))
+      .orderBy(col("event_type"))
+  }
+
   case class LateEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
 
   /** Watermark late-data drop, demonstrated with a two-batch MemoryStream:
@@ -722,6 +763,7 @@ object Streaming {
     "stream_static_join" -> streamStaticJoin,
     "stream_sink_custom" -> streamSinkCustom,
     "stream_sink_versioned" -> streamSinkVersioned,
+    "stream_lakehouse_roundtrip" -> streamLakehouseRoundtrip,
     "stream_late_data" -> streamLateData
   )
 
@@ -751,6 +793,12 @@ object Streaming {
         |ORDER BY run, slice, event_type""".stripMargin,
 
     "stream_sink_custom" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_lakehouse_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  min(event_id) AS min_id

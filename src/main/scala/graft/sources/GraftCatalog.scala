@@ -230,7 +230,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("vacuum", "restore", "optimize", "history", "tag", "drop_tag")
+      Array("vacuum", "restore", "optimize", "history", "tag", "drop_tag", "tags")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -244,9 +244,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "history"  => new GraftHistoryProcedure(this)
       case "tag"      => new GraftTagProcedure(this)
       case "drop_tag" => new GraftDropTagProcedure(this)
+      case "tags"     => new GraftTagsProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other " +
-          "(have vacuum, restore, optimize, history, tag, drop_tag)")
+          "(have vacuum, restore, optimize, history, tag, drop_tag, tags)")
     }
   }
 }
@@ -549,6 +550,33 @@ private[sources] class GraftDropTagProcedure(cat: GraftCatalog)
     val existed = GraftManifest.dropRef(dir, tag)
     result(StructType.fromDDL("tag STRING, existed BOOLEAN"),
       UTF8String.fromString(tag), existed)
+  }
+}
+
+/** `CALL cat.system.tags(table)` — list the table's named refs as
+  * (tag, version) rows, tag-sorted (SHOW TAGS). A directory listing of
+  * `_ref-*` files — O(tags), no manifest read. */
+private[sources] class GraftTagsProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "tags"
+  override def description(): String = "list the table's tags"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    if (GraftManifest.versions(dir).isEmpty) throw new IllegalArgumentException(
+      s"graft tags: no committed table at '${input.getUTF8String(0)}'")
+    val schema = StructType.fromDDL("tag STRING, version BIGINT")
+    // named `listed`, NOT `rows`: the LocalScan's rows() method would
+    // shadow a local of that name and compile into an infinite self-loop
+    val listed = GraftManifest.refs(dir).toSeq.sortBy(_._1).map { case (t, v) =>
+      InternalRow.fromSeq(Seq[Any](UTF8String.fromString(t), v.toLong))
+    }.toArray
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = listed
+      override def readSchema(): StructType = schema
+    }
+    java.util.Collections.singletonList(scan).iterator()
   }
 }
 
