@@ -854,6 +854,42 @@ class SourceSpec extends AnyFunSuite {
     assert(GraftManifest.versions(dir) == vsNow)
   }
 
+  test("graft-sink versioned streaming: two racing writers lose no epoch and keep disjoint watermarks") {
+    import graft.sources.{GraftFileMeta, GraftManifest, GraftSinkCommit, GraftSinkStreamingWrite}
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_vstream_race").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT")
+    def fileWith(name: String, ids: Seq[Long]): GraftFileMeta = {
+      Files.write(Paths.get(dir, name), ids.mkString("\n").getBytes("UTF-8"))
+      GraftFileMeta(name, ids.length.toLong, 1,
+        Map(0 -> (ids.min.toString, ids.max.toString)), None, Some(Map.empty))
+    }
+    // two independent streaming queries share one table; each is
+    // sequential within itself (the single-writer-per-query contract) but
+    // the two race each other's version-slot claims freely
+    val perWriter = 12
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        val sw = new GraftSinkStreamingWrite(dir, schema, s"q$w", commitVersions = true)
+        (0 until perWriter).foreach { e =>
+          sw.commit(e.toLong, Array(GraftSinkCommit(Seq(
+            fileWith(s"w$w-e$e.csv", Seq(w * 1000L + e))))))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val head = GraftManifest.readVersion(dir, None).get
+    // every epoch of both writers is committed exactly once
+    assert(head.total == 2L * perWriter, s"rows lost: ${head.total}")
+    assert(head.txns == Map("q0" -> (perWriter - 1L), "q1" -> (perWriter - 1L)))
+    val ids = spark.read.format("graft-sink").option("path", dir).load()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0 until perWriter).map(_.toLong) ++
+      (0 until perWriter).map(e => 1000L + e)).sorted)
+    // and version numbers are a contiguous CAS-claimed sequence
+    assert(GraftManifest.versions(dir) == (1 to 2 * perWriter))
+  }
+
   test("graft catalog: history audit, CTAS, INSERT OVERWRITE and TRUNCATE TABLE") {
     val root = java.nio.file.Files.createTempDirectory("graft_hist_spec").toString
     spark.conf.set("spark.sql.catalog.gh", classOf[graft.sources.GraftCatalog].getName)
