@@ -1440,6 +1440,85 @@ object Scale {
       .orderBy(col("bucket"))
   }
 
+  /** The SPJ planning scope (shared with ScaleFixSpec): v2 bucketing ON
+    * (honor reported KeyGroupedPartitioning + align partition values),
+    * broadcast OFF (the dims are tiny here — at fixture scale the
+    * stats-reporting scan would auto-broadcast and hide the exchange
+    * question entirely), AQE OFF (so the assertable plan is final at
+    * construction; SPJ itself is an EnsureRequirements fact, not an AQE
+    * one). */
+  private[graft] def withSpjConfs[T](spark: SparkSession)(body: => T): T =
+    withConfs(spark,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")(body)
+
+  /** The co-partitioned fixture pair + their join (shared with
+    * ScaleFixSpec, which asserts the plan shape independently): tables A
+    * (per-(event_type, bucket) aggregate) and B (per-event_type distinct
+    * users), both written `partitionBy=event_type` through the
+    * connector, read back with the `spj` opt-in and joined on the
+    * partition column. */
+  private[graft] def spjJoinPlan(spark: SparkSession, sf: String,
+      optIn: Boolean = true): DataFrame = {
+    val dirA = tmpDir("spj_a", sf)
+    val dirB = tmpDir("spj_b", sf)
+    graft.util.Scratch.once(dirA) {
+      bucketAgg(events(spark, sf))
+        .repartition(col("event_type"))
+        .write.format("graft-sink").option("path", dirA)
+        .option("partitionBy", "event_type").mode("overwrite").save()
+    }
+    graft.util.Scratch.once(dirB) {
+      events(spark, sf)
+        .groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .repartition(col("event_type"))
+        .write.format("graft-sink").option("path", dirB)
+        .option("partitionBy", "event_type").mode("overwrite").save()
+    }
+    val a = spark.read.format("graft-sink").option("path", dirA)
+      .option("spj", optIn.toString).load()
+    val b = spark.read.format("graft-sink").option("path", dirB)
+      .option("spj", optIn.toString).load()
+    a.join(b, Seq("event_type"))
+      .select(col("event_type"), col("bucket"), col("n"),
+        col("sum_cents"), col("n_users"))
+  }
+
+  /** STORAGE-PARTITIONED JOIN on graft tables (VERDICT r9 next #1 — the
+    * biggest remaining plan-quality lever): the connector's scan now
+    * REPORTS its files' partition grouping as a KeyGroupedPartitioning
+    * ([[graft.sources.GraftSinkScan.outputPartitioning]], built from the
+    * manifest's per-file partition values, each split carrying its key),
+    * so two graft tables partitioned on the same column join with ZERO
+    * Exchange on either side — the Iceberg SPJ design. At 100 TB this is
+    * the difference between shuffling both fact tables and shuffling
+    * NEITHER: a partition-aligned fact⋈fact join reads co-located
+    * partitions and merges them in place. The key REQUIREs the planned
+    * join has no ShuffleExchange and exactly one task per partition
+    * value (5 event types); the oracle recomputes the join from events.
+    * Opt-in (`spj=true` read option): honoring the grouping costs scan
+    * parallelism (#values tasks), the right trade only when the elided
+    * exchanges dominate — same gate Iceberg ships. */
+  def joinSpjGraft(spark: SparkSession, sf: String): DataFrame = {
+    val out = withSpjConfs(spark) {
+      val j = spjJoinPlan(spark, sf)
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.size
+      require(exchanges == 0,
+        s"storage-partitioned join must plan ZERO exchanges, found $exchanges")
+      val cp = j.localCheckpoint()
+      require(cp.rdd.getNumPartitions == 5,
+        s"SPJ must group to one task per partition value (5 event types), " +
+          s"got ${cp.rdd.getNumPartitions}")
+      cp
+    }
+    out.orderBy(col("event_type"), col("bucket"))
+  }
+
   /** ROW-LEVEL MERGE committed as a VERSION (VERDICT r7 missing #2 — the
     * DML-in-the-commit-log capstone): version 1 is the keyed aggregate of
     * the bucket<3 slice; an updates batch (buckets 2-3) MERGEs in —
@@ -2123,6 +2202,7 @@ object Scale {
     "sink_snapshot_diff" -> sinkSnapshotDiff,
     "sink_stats_skip" -> sinkStatsSkip,
     "sink_partitioned_write" -> sinkPartitionedWrite,
+    "join_spj_graft" -> joinSpjGraft,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
     "sink_schema_evolve" -> sinkSchemaEvolve,
@@ -2374,6 +2454,18 @@ object Scale {
         |  CAST(5 AS BIGINT) AS n_files, CAST(1 AS BIGINT) AS n_planned
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1, 2 ORDER BY 2""".stripMargin,
+
+    "join_spj_graft" ->
+      """WITH a AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1)
+        |SELECT a.event_type, a.bucket, a.n, a.sum_cents, b.n_users
+        |FROM a JOIN b USING (event_type)
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "sink_merge_version" ->
       """WITH v1 AS (

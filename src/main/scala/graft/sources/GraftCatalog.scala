@@ -92,13 +92,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
   /** `VERSION AS OF` accepts a version number or a TAG name
-    * (`VERSION AS OF 'baseline'` resolves through `_ref-baseline`). */
-  override def loadTable(ident: Identifier, version: String): Table =
+    * (`VERSION AS OF 'baseline'` resolves through `_ref-baseline`).
+    * A MISSING table throws [[NoSuchTableException]] BEFORE version/tag
+    * resolution (ADVICE r9): resolveVersionOrRef's "neither a version
+    * nor a tag" IllegalArgumentException would otherwise leak out of a
+    * time-travel read of a table that simply does not exist, breaking
+    * the TableCatalog error contract Spark's analyzer matches on. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
     load(ident, Some(GraftManifest.resolveVersionOrRef(dirOf(ident), version)))
+  }
   /** SQL `TIMESTAMP AS OF` hands the catalog MICROseconds since epoch;
-    * manifest commit clocks are millis. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    * manifest commit clocks are millis. Missing-table contract as above. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
     load(ident, Some(GraftManifest.resolveTimestamp(dirOf(ident), timestamp / 1000L)))
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     GraftManifest.versions(dirOf(ident)).nonEmpty
@@ -410,10 +419,16 @@ private[sources] class GraftRestoreProcedure(cat: GraftCatalog)
   * TEMP table dir, moves the finished files in under collision-free
   * names, and publishes kept ∪ compacted as ONE conditioned full
   * snapshot — readers never observe an intermediate state, and a racing
-  * append still wins the usual ConcurrentModificationException fight.
-  * Partitioned victims recompact per partition value (the writer
-  * re-records it); mixing with zorder_by is refused (a curve layout is a
-  * full rewrite by definition). */
+  * append still wins the usual ConcurrentModificationException fight;
+  * a lost commit deletes the moved-but-unpublished files eagerly.
+  * Partitioned victims recompact into exactly ONE file per partition
+  * value — `target_files` does not apply there BY CONTRACT: the
+  * clustering shuffle routes each value to one task, and one compact
+  * file per partition is the canonical layout the partition-pruned read
+  * path wants (splitting a value across `target_files` files would need
+  * a salt that buys nothing: the small-file tail this mode exists for
+  * folds to one file per value anyway). Mixing with zorder_by is
+  * refused (a curve layout is a full rewrite by definition). */
 private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     extends GraftProcedure(cat) {
   override def name(): String = "optimize"
@@ -457,10 +472,22 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
           java.nio.file.Paths.get(dir, nn))
         m.copy(name = nn)
       }
-      val nv = GraftManifest.commitMetas(dir, big ++ moved,
-        head.schemaDdl.getOrElse(throw new IllegalStateException(
-          s"graft optimize: head at $dir carries no schema")),
-        truncate = true, expectedBase = Some(head.version), op = Some("OPTIMIZE"))
+      // A lost conditioned commit (concurrent writer advanced the head)
+      // must not strand the already-moved compact files as orphans in the
+      // table dir until an aged vacuum sweep (ADVICE r9): no manifest
+      // names them yet, so deleting them eagerly on ANY commit failure is
+      // safe — the caller re-runs the procedure against the new head.
+      val nv =
+        try GraftManifest.commitMetas(dir, big ++ moved,
+          head.schemaDdl.getOrElse(throw new IllegalStateException(
+            s"graft optimize: head at $dir carries no schema")),
+          truncate = true, expectedBase = Some(head.version), op = Some("OPTIMIZE"))
+        catch {
+          case e: Throwable =>
+            moved.foreach(m => java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(dir, m.name)))
+            throw e
+        }
       result(outSchema, head.metas.size, big.size + moved.size, nv)
     } finally GraftFs.deleteTree(new java.io.File(tmp))
   }

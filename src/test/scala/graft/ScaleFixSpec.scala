@@ -362,6 +362,27 @@ class ScaleFixSpec extends AnyFunSuite {
       "pushed filters must surface in the scan description")
   }
 
+  test("graft-sink storage-partitioned join: zero exchanges opted in, shuffles opted out") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    graft.ops.Scale.withSpjConfs(spark) {
+      // opted IN: both sides report KeyGroupedPartitioning(event_type) →
+      // EnsureRequirements elides BOTH exchanges; the join is a real SMJ
+      // over co-located partition groups
+      val j = graft.ops.Scale.spjJoinPlan(spark, sf001, optIn = true)
+      val plan = j.queryExecution.executedPlan
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"SPJ join must plan zero exchanges:\n${plan.toString.take(1200)}")
+      assert(plan.toString.contains("SortMergeJoin"),
+        s"the exchange-free join is a real SMJ:\n${plan.toString.take(600)}")
+      // control — same tables, same confs, opt-in OFF: the scan reports
+      // no partitioning and the join shuffles both sides
+      val c = graft.ops.Scale.spjJoinPlan(spark, sf001, optIn = false)
+      val nc = c.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.size
+      assert(nc == 2, s"without the opt-in the join must shuffle both sides, got $nc")
+    }
+  }
+
   test("graft-sink partitioned write: value-pruned reads survive mixed tasks") {
     // partitionBy correctness must NOT depend on the caller repartitioning
     // by the column: a task holding several values writes one file PER
