@@ -1519,6 +1519,157 @@ object Scale {
     out.orderBy(col("event_type"), col("bucket"))
   }
 
+  /** OVERWRITE-BY-PREDICATE (`replaceWhere`, VERDICT r9 next #2 — the
+    * idempotent partition-refresh verb, the bread-and-butter backfill of
+    * an ETL lakehouse): `df.writeTo(t).overwrite(bucket === 2)` deletes
+    * every committed row of the named slice and lands the recomputed
+    * slice, as ONE conditioned commit through the connector's
+    * SupportsOverwrite. The fixture table is PARTITIONED on the
+    * predicate column, so the replace is metadata-only: matched files
+    * drop from the manifest, and the key REQUIREs every untouched file's
+    * manifest entry BYTE-IDENTICAL across the versions (stats, partition
+    * value and all) with zero deletion vectors — nothing outside the
+    * refreshed slice was touched, which is the verb's entire promise.
+    * Both versions stay readable; the oracle recomputes each from
+    * events (the replacement batch lands with n+1000 so the refresh is
+    * visible in the hash). Misaligned predicates degrade gracefully:
+    * boundary files get their matching rows vectored out (the straddler
+    * path SourceSpec pins). */
+  def sinkReplaceWhere(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "rw_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      bucketAgg(events(spark, sf))
+        .repartition(col("bucket"))
+        .write.format("graft-sink").option("path", dir)
+        .option("partitionBy", "bucket").mode("overwrite").save()
+      val v1 = graft.sources.GraftManifest.readVersion(dir, None).get
+      bucketAgg(events(spark, sf)).where(col("bucket") === 2)
+        .withColumn("n", col("n") + 1000)
+        .repartition(col("bucket"))
+        .writeTo(s"gsql.db.$tbl").overwrite(col("bucket") === 2)
+      val v2 = graft.sources.GraftManifest.readVersion(dir, None).get
+      val untouched = v1.metas.filterNot(_.partition.exists(_._2 == "2"))
+      require(untouched.forall(v2.metas.contains),
+        "replaceWhere must keep every untouched file's manifest entry byte-identical")
+      require(v2.metas.forall(_.dv.isEmpty),
+        "partition-aligned replaceWhere must be metadata-only (no straddler vectors)")
+      require(v2.op.contains("REPLACE WHERE"),
+        s"commit must be labeled REPLACE WHERE, got ${v2.op}")
+    }
+    val v1 = spark.read.format("graft-sink")
+      .option("path", dir).option("versionAsOf", "1").load()
+    val head = spark.read.format("graft-sink").option("path", dir).load()
+    v1.withColumn("version", lit(1L))
+      .unionByName(head.withColumn("version", lit(2L)))
+      .select(col("version"), col("event_type"), col("bucket"),
+        col("n"), col("sum_cents"))
+      .orderBy(col("version"), col("event_type"), col("bucket"))
+  }
+
+  /** COLUMN RENAME via COLUMN MAPPING (VERDICT r9 next #5): the manifest
+    * now carries a STABLE FIELD ID per schema position (`#ids=`), so
+    * `ALTER TABLE ... RENAME COLUMN` is a METADATA-ONLY commit — cells
+    * are positional, the id rides through, no data file is touched. The
+    * key REQUIREs the rename commit republishes byte-identical file
+    * metas under the new DDL with the SAME ids, that the pre-rename
+    * version still serves the OLD name (time travel reads each version
+    * under the schema it committed), and that an append under the new
+    * name lands normally. Without ids a rename would be read-as-
+    * different-column; with them, a later ADD COLUMNS of the old name
+    * takes a fresh id and provably never aliases this column's data
+    * (SourceSpec pins that half). The oracle recomputes both versions
+    * from events. */
+  def sinkColumnRename(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "ren_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      bucketAgg(events(spark, sf)).coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      val v1 = graft.sources.GraftManifest.readVersion(dir, None).get
+      spark.sql(s"ALTER TABLE gsql.db.$tbl RENAME COLUMN sum_cents TO cents")
+      val v2 = graft.sources.GraftManifest.readVersion(dir, None).get
+      require(v2.metas == v1.metas,
+        "rename must be metadata-only: every file meta byte-identical")
+      require(v2.ids.isDefined && v2.ids == v1.ids,
+        s"rename must carry the stable field ids through: ${v1.ids} -> ${v2.ids}")
+      require(v2.op.contains("RENAME COLUMN"), s"audit label: ${v2.op}")
+      bucketAgg(events(spark, sf)).withColumnRenamed("sum_cents", "cents")
+        .withColumn("n", col("n") + 5000)
+        .coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+    }
+    val v1 = spark.read.format("graft-sink")
+      .option("path", dir).option("versionAsOf", "1").load()
+    require(v1.columns.contains("sum_cents"),
+      "the pre-rename version must serve the OLD column name")
+    val head = spark.read.format("graft-sink").option("path", dir).load()
+    require(head.columns.contains("cents") && !head.columns.contains("sum_cents"),
+      "the head must serve the NEW column name only")
+    v1.select(col("event_type"), col("bucket"), col("n"),
+        col("sum_cents").as("cents")).withColumn("version", lit(1L))
+      .unionByName(head.withColumn("version", lit(2L)))
+      .select(col("version"), col("event_type"), col("bucket"),
+        col("n"), col("cents"))
+      .orderBy(col("version"), col("event_type"), col("bucket"), col("n"))
+  }
+
+  /** CHECK/NOT NULL CONSTRAINTS enforced at the writer (VERDICT r9 next
+    * #7 — the last data-quality verb a lakehouse format ships):
+    * `CALL add_constraint(table, name, expr)` validates the expression
+    * against the schema AND against every existing row (a constraint the
+    * data already violates is refused, Delta semantics), then records it
+    * in the manifest (`#check=`); from then on EVERY task writer
+    * enforces it per appended row, so a violating batch aborts with
+    * NOTHING committed (the key REQUIREs the head version unchanged
+    * after the failed append — all-or-nothing at the commit protocol,
+    * not best-effort row dropping). NULL passes a CHECK unless it is
+    * spelled IS NOT NULL, the SQL contract. The oracle recomputes the
+    * surviving (valid) content from events. */
+  def sinkConstraintEnforce(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "ck_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      bucketAgg(events(spark, sf)).coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      spark.sql(s"CALL gsql.system.add_constraint('db.$tbl', 'n_pos', 'n > 0')")
+      spark.sql(
+        s"CALL gsql.system.add_constraint('db.$tbl', 'et_nn', 'event_type IS NOT NULL')")
+      // a valid batch lands normally under both constraints
+      bucketAgg(events(spark, sf)).withColumn("n", col("n") + 5000).coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+      val headBefore = graft.sources.GraftManifest.versions(dir).max
+      // a violating batch must abort with NOTHING committed
+      val failed =
+        try {
+          bucketAgg(events(spark, sf)).withColumn("n", lit(-1L)).coalesce(1)
+            .write.format("graft-sink").option("path", dir).mode("append").save()
+          false
+        } catch { case e: Throwable =>
+          e.toString.contains("n_pos") || Option(e.getCause).exists(_.toString.contains("n_pos"))
+        }
+      require(failed, "a batch violating CHECK n_pos must fail loudly, naming the constraint")
+      require(graft.sources.GraftManifest.versions(dir).max == headBefore,
+        "a violating append must commit NOTHING")
+      // a constraint existing rows violate is refused, not recorded
+      val refused =
+        try {
+          spark.sql(s"CALL gsql.system.add_constraint('db.$tbl', 'bad', 'n > 900000000')")
+          false
+        } catch { case _: Throwable => true }
+      require(refused, "add_constraint over violating data must be refused")
+      require(graft.sources.GraftManifest.readVersion(dir, None).get
+        .checks.map(_._1).sorted == Seq("et_nn", "n_pos"),
+        "the refused constraint must not be recorded")
+    }
+    spark.read.format("graft-sink").option("path", dir).load()
+      .select(col("event_type"), col("bucket"), col("n"), col("sum_cents"))
+      .orderBy(col("event_type"), col("bucket"), col("n"))
+  }
+
   /** ROW-LEVEL MERGE committed as a VERSION (VERDICT r7 missing #2 — the
     * DML-in-the-commit-log capstone): version 1 is the keyed aggregate of
     * the bucket<3 slice; an updates batch (buckets 2-3) MERGEs in —
@@ -2203,6 +2354,9 @@ object Scale {
     "sink_stats_skip" -> sinkStatsSkip,
     "sink_partitioned_write" -> sinkPartitionedWrite,
     "join_spj_graft" -> joinSpjGraft,
+    "sink_replace_where" -> sinkReplaceWhere,
+    "sink_column_rename" -> sinkColumnRename,
+    "sink_constraint_enforce" -> sinkConstraintEnforce,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
     "sink_schema_evolve" -> sinkSchemaEvolve,
@@ -2466,6 +2620,37 @@ object Scale {
         |SELECT a.event_type, a.bucket, a.n, a.sum_cents, b.n_users
         |FROM a JOIN b USING (event_type)
         |ORDER BY event_type, bucket""".stripMargin,
+
+    "sink_replace_where" ->
+      """WITH v1 AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS version, * FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, bucket,
+        |  CASE WHEN bucket = 2 THEN n + 1000 ELSE n END, sum_cents
+        |FROM v1
+        |ORDER BY version, event_type, bucket""".stripMargin,
+
+    "sink_column_rename" ->
+      """WITH a AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS version, * FROM a
+        |UNION ALL SELECT CAST(2 AS BIGINT), * FROM a
+        |UNION ALL SELECT CAST(2 AS BIGINT), event_type, bucket, n + 5000, cents FROM a
+        |ORDER BY version, event_type, bucket, n""".stripMargin,
+
+    "sink_constraint_enforce" ->
+      """WITH a AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT * FROM a
+        |UNION ALL SELECT event_type, bucket, n + 5000, sum_cents FROM a
+        |ORDER BY event_type, bucket, n""".stripMargin,
 
     "sink_merge_version" ->
       """WITH v1 AS (

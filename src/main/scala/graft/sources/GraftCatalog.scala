@@ -150,6 +150,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val dir = dirOf(ident)
     val vs = GraftManifest.versions(dir)
     if (vs.isEmpty) throw new NoSuchTableException(ident)
+    changes match {
+      case Seq(r: TableChange.RenameColumn) => return renameColumn(ident, dir, r)
+      case _ => ()
+    }
     val prior = GraftManifest.headerSchema(dir, vs.max).getOrElse(
       throw new IllegalStateException(s"graft catalog: $ident carries no schema"))
     val added = changes.map {
@@ -164,7 +168,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           nullable = true)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER ($other) — only trailing ADD COLUMNS " +
-          "evolves a graft table without rewriting committed files")
+          "and RENAME COLUMN evolve a graft table without rewriting committed " +
+          "files (drops/retypes/reorders are refused: they would break cell alignment)")
     }
     // a duplicate name would commit a schema whose fieldIndex resolves to
     // the NEW (beyond-every-file-width) slot — every existing value of the
@@ -178,6 +183,53 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     GraftManifest.commitMetas(dir, Seq.empty, widened.toDDL,
       truncate = false, evolve = true, op = Some("ADD COLUMNS"))
     new GraftSinkTable(dir, widened, None)
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN a TO b` — METADATA-ONLY via COLUMN
+    * MAPPING: cells are positional, so a rename never touches a data
+    * file; the new head republishes the snapshot under the renamed DDL
+    * while the column's STABLE FIELD ID (`#ids=` manifest line) is
+    * carried unchanged — the logical identity survives the rename, and a
+    * later ADD COLUMNS of the old name takes a FRESH id, so it can never
+    * alias the renamed column's data (the Delta/Iceberg column-mapping
+    * guarantee). Per-file partition entries keyed by the old name remap
+    * in the same commit so exact-value pruning and partition-aligned
+    * fast paths survive. Time travel reads each version under the name
+    * it was committed with. Renaming a CHECK-constrained column is
+    * refused (drop the constraint first — a silently stale expression
+    * would stop enforcing); destructive drops stay refused entirely. */
+  private def renameColumn(ident: Identifier, dir: String,
+      r: TableChange.RenameColumn): Table = {
+    require(r.fieldNames.length == 1, "graft catalog: RENAME COLUMN supports " +
+      s"top-level columns only, got '${r.fieldNames.mkString(".")}'")
+    val from = r.fieldNames.head
+    val to = r.newName
+    val head = GraftManifest.readVersion(dir, None).getOrElse(
+      throw new NoSuchTableException(ident))
+    val schema = GraftManifest.headerSchema(dir, head.version).getOrElse(
+      throw new IllegalStateException(s"graft catalog: $ident carries no schema"))
+    val i = scala.util.Try(schema.fieldIndex(from)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: no column '$from' in ${schema.toDDL}"))
+    require(!schema.fieldNames.contains(to),
+      s"graft catalog: column '$to' already exists")
+    require(!GraftSinkScan.Reserved.contains(to),
+      s"graft catalog: '$to' is reserved for virtual read columns")
+    head.checks.find { case (_, e) => GraftCheck.columnOf(e) == from }.foreach {
+      case (n, _) => throw new IllegalArgumentException(
+        s"graft catalog: column '$from' is constrained by check '$n' — " +
+          "CALL drop_constraint first, then re-add against the new name")
+    }
+    val renamed = StructType(schema.fields.updated(i, schema.fields(i).copy(name = to)))
+    val metas = head.metas.map(m => m.partition match {
+      case Some((pc, pv)) if pc == from => m.copy(partition = Some((to, pv)))
+      case _ => m
+    })
+    val ids = head.ids.getOrElse(schema.fields.indices.toSeq)
+    GraftManifest.commitMetas(dir, metas, renamed.toDDL, truncate = true,
+      expectedBase = Some(head.version), op = Some("RENAME COLUMN"),
+      idsOverride = Some(ids))
+    new GraftSinkTable(dir, renamed, None)
   }
 
   // ---- StagingTableCatalog: ATOMIC CTAS / RTAS ------------------------
@@ -239,7 +291,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("vacuum", "restore", "optimize", "history", "tag", "drop_tag", "tags")
+      Array("vacuum", "restore", "optimize", "history", "tag", "drop_tag", "tags",
+        "add_constraint", "drop_constraint")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -254,9 +307,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "tag"      => new GraftTagProcedure(this)
       case "drop_tag" => new GraftDropTagProcedure(this)
       case "tags"     => new GraftTagsProcedure(this)
+      case "add_constraint"  => new GraftAddConstraintProcedure(this)
+      case "drop_constraint" => new GraftDropConstraintProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other " +
-          "(have vacuum, restore, optimize, history, tag, drop_tag, tags)")
+          "(have vacuum, restore, optimize, history, tag, drop_tag, tags, " +
+          "add_constraint, drop_constraint)")
     }
   }
 }
@@ -604,6 +660,85 @@ private[sources] class GraftTagsProcedure(cat: GraftCatalog)
       override def readSchema(): StructType = schema
     }
     java.util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL cat.system.add_constraint(table, name, expr)` — the CHECK/NOT
+  * NULL data-quality verb (Delta `ADD CONSTRAINT` re-derived): validates
+  * the expression against the head schema ([[GraftCheck]]'s closed
+  * grammar — `IS NOT NULL`, comparisons, BETWEEN, IN), proves EVERY
+  * EXISTING row satisfies it (one `WHERE NOT (expr)` scan — a
+  * constraint the data already violates is refused, not recorded), and
+  * commits the head republished with the `#check=` line. From then on
+  * every task writer enforces it per appended row; a violating batch
+  * aborts with nothing committed. */
+private[sources] class GraftAddConstraintProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "add_constraint"
+  override def description(): String =
+    "add a CHECK constraint: validate existing rows, enforce on every future write"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("name", StringType).build(),
+    ProcedureParameter.in("expr", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    val cname = input.getUTF8String(1).toString
+    val expr = input.getUTF8String(2).toString.trim
+    require(cname.nonEmpty && cname.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"graft add_constraint: name '$cname' must be alphanumeric/_-. " +
+        "(it becomes part of a manifest line)")
+    val head = GraftManifest.readVersion(dir, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft add_constraint: no committed table at $dir"))
+    require(!head.checks.exists(_._1 == cname),
+      s"graft add_constraint: '$cname' already exists — drop_constraint first")
+    val schema = StructType.fromDDL(head.schemaDdl.getOrElse(
+      throw new IllegalStateException(s"graft add_constraint: no schema at $dir")))
+    GraftCheck.parse(expr, schema) // validates grammar, column, literal types
+    // Delta semantics: the constraint must already HOLD — the expression
+    // text is valid SQL by construction, so one negated scan decides
+    // (UNKNOWN rows satisfy a CHECK and match neither side of the NOT)
+    val violations = org.apache.spark.sql.SparkSession.active
+      .read.format("graft-sink").option("path", dir).load()
+      .where(s"NOT ($expr)").count()
+    require(violations == 0L,
+      s"graft add_constraint: $violations existing row(s) violate '$expr' — " +
+        "clean the data first (a recorded-but-false constraint would lie to readers)")
+    val nv = GraftManifest.commitMetas(dir, head.metas, head.schemaDdl.get,
+      truncate = true, expectedBase = Some(head.version),
+      op = Some("ADD CONSTRAINT"),
+      checksOverride = Some(head.checks :+ (cname -> expr)))
+    result(StructType.fromDDL("constraint STRING, expr STRING, new_version INT"),
+      UTF8String.fromString(cname), UTF8String.fromString(expr), nv)
+  }
+}
+
+/** `CALL cat.system.drop_constraint(table, name)` — release a CHECK;
+  * later writes stop enforcing it. */
+private[sources] class GraftDropConstraintProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "drop_constraint"
+  override def description(): String = "drop a CHECK constraint"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("name", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    val cname = input.getUTF8String(1).toString
+    val head = GraftManifest.readVersion(dir, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft drop_constraint: no committed table at $dir"))
+    val existed = head.checks.exists(_._1 == cname)
+    if (existed)
+      GraftManifest.commitMetas(dir, head.metas, head.schemaDdl.getOrElse(
+          throw new IllegalStateException(s"graft drop_constraint: no schema at $dir")),
+        truncate = true, expectedBase = Some(head.version),
+        op = Some("DROP CONSTRAINT"),
+        checksOverride = Some(head.checks.filterNot(_._1 == cname)))
+    result(StructType.fromDDL("constraint STRING, existed BOOLEAN"),
+      UTF8String.fromString(cname), existed)
   }
 }
 

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Or}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -160,7 +160,8 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
 case class GraftManifest(version: Int, metas: Seq[GraftFileMeta],
     total: Long, schemaDdl: Option[String], ts: Option[Long] = None,
     base: Option[Int] = None, op: Option[String] = None,
-    txns: Map[String, Long] = Map.empty, nFiles: Option[Int] = None) {
+    txns: Map[String, Long] = Map.empty, nFiles: Option[Int] = None,
+    ids: Option[Seq[Int]] = None, checks: Seq[(String, String)] = Nil) {
   /** Legacy (name, rows) view — the shape the v1 protocol exposed. */
   def files: Seq[(String, Long)] = metas.map(m => m.name -> m.rows)
 }
@@ -316,6 +317,20 @@ object GraftManifest {
     *                                    (consumers fall back to the fold)
     * #base=<v>                          DELTA manifest: file lines are this
     *                                    commit's ADDS on top of version v
+    * #ids=<i0>,<i1>,...                 STABLE FIELD IDS, one per schema
+    *                                    position (column mapping): a RENAME
+    *                                    keeps its column's id, an added
+    *                                    column takes a never-reused fresh
+    *                                    id — identity survives renames, and
+    *                                    a later add of an old NAME is a
+    *                                    provably different column. Absent =
+    *                                    pre-round-10 (ids = positions)
+    * #check=<name>,<expr>               CHECK constraint: an appended row
+    *                                    must not FALSIFY <expr> (SQL
+    *                                    semantics — NULL passes unless the
+    *                                    check is IS NOT NULL); enforced at
+    *                                    the task writers, carried forward
+    *                                    by every commit
     * #meta=<file>,<ncols>,<pcol>,<pval> per-file width + partition (pcol empty = none)
     * #stats=<file>,<colIdx>,<min>,<max> per-(file, column) min/max (non-null values)
     * #nulls=<file>,<i>:<n>;<i>:<n>...   per-file NULL counts (line PRESENT =
@@ -338,6 +353,8 @@ object GraftManifest {
     var base: Option[Int] = None
     var op: Option[String] = None
     var nFiles: Option[Int] = None
+    var ids: Option[Seq[Int]] = None
+    val checks = Seq.newBuilder[(String, String)]
     val txns = scala.collection.mutable.Map[String, Long]()
     val rows = Seq.newBuilder[(String, Long)]
     val ncols = scala.collection.mutable.Map[String, Int]()
@@ -353,6 +370,14 @@ object GraftManifest {
       case s if s.startsWith("#base=")   => base = Some(s.stripPrefix("#base=").toInt)
       case s if s.startsWith("#op=")     => op = Some(s.stripPrefix("#op="))
       case s if s.startsWith("#files=")  => nFiles = Some(s.stripPrefix("#files=").toInt)
+      case s if s.startsWith("#ids=") =>
+        ids = Some(s.stripPrefix("#ids=").split(",").map(_.toInt).toSeq)
+      case s if s.startsWith("#check=") =>
+        s.stripPrefix("#check=").split(",", 2) match {
+          case Array(n, e) => checks += (n -> e)
+          case bad => throw new IllegalStateException(
+            s"malformed #check line: '${bad.mkString(",")}'")
+        }
       case s if s.startsWith("#txn=") =>
         s.stripPrefix("#txn=").split(":", 2) match {
           case Array(w, e) => txns(w) = e.toLong
@@ -399,7 +424,8 @@ object GraftManifest {
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f),
         nulls.get(f), dvs.get(f))
     }
-    GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles)
+    GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
+      ids, checks.result())
   }
 
   /** The RAW on-disk manifest for one version (a delta stays a delta). */
@@ -444,9 +470,11 @@ object GraftManifest {
         if (sum != m.total) throw new IllegalStateException(
           s"graft-sink: folding v$v at $path yields $sum rows, manifest committed ${m.total}")
         // txns accumulate down the chain, the later (larger-epoch) entry
-        // winning per writer — streaming epochs only move forward
+        // winning per writer — streaming epochs only move forward; ids
+        // and checks ride the TOP manifest (every commit re-emits them)
         GraftManifest(v, metas, m.total, m.schemaDdl, m.ts, op = m.op,
-          txns = baseM.txns ++ m.txns, nFiles = Some(metas.size))
+          txns = baseM.txns ++ m.txns, nFiles = Some(metas.size),
+          ids = m.ids, checks = m.checks)
     }
   }
 
@@ -512,7 +540,9 @@ object GraftManifest {
       bodyMetas: Seq[GraftFileMeta], totalRows: Long,
       op: Option[String] = None,
       txns: Map[String, Long] = Map.empty,
-      snapshotFiles: Option[Int] = None): String = {
+      snapshotFiles: Option[Int] = None,
+      ids: Option[Seq[Int]] = None,
+      checks: Seq[(String, String)] = Nil): String = {
     val meta = bodyMetas.flatMap { m =>
       val p = m.partition.map { case (c, v) => s"$c,$v" }.getOrElse(",")
       (s"#meta=${m.name},${m.ncols},$p" +:
@@ -528,6 +558,8 @@ object GraftManifest {
     (s"#schema=$ddl" +: s"#ts=$ts" +: (base.map(b => s"#base=$b").toSeq ++
       op.filter(o => o.nonEmpty && !o.contains('\n')).map(o => s"#op=$o").toSeq ++
       snapshotFiles.map(n => s"#files=$n").toSeq ++
+      ids.map(is => s"#ids=${is.mkString(",")}").toSeq ++
+      checks.map { case (n, e) => s"#check=$n,$e" } ++
       txns.toSeq.sortBy(_._1).map { case (w, e) => s"#txn=$w:$e" }) ++:
       s"_total,$totalRows" +: meta ++:
       bodyMetas.map(m => s"${m.name},${m.rows}")).mkString("\n")
@@ -549,6 +581,8 @@ object GraftManifest {
       var base: Option[Int] = None
       var op: Option[String] = None
       var nFiles: Option[Int] = None
+      var ids: Option[Seq[Int]] = None
+      val checks = Seq.newBuilder[(String, String)]
       val txns = scala.collection.mutable.Map[String, Long]()
       var total = -1L
       var line = in.readLine()
@@ -558,6 +592,15 @@ object GraftManifest {
         else if (line.startsWith("#base=")) base = Some(line.stripPrefix("#base=").toInt)
         else if (line.startsWith("#op=")) op = Some(line.stripPrefix("#op="))
         else if (line.startsWith("#files=")) nFiles = Some(line.stripPrefix("#files=").toInt)
+        else if (line.startsWith("#ids="))
+          ids = Some(line.stripPrefix("#ids=").split(",").map(_.toInt).toSeq)
+        else if (line.startsWith("#check=")) {
+          line.stripPrefix("#check=").split(",", 2) match {
+            case Array(n, e) => checks += (n -> e)
+            case bad => throw new IllegalStateException(
+              s"malformed #check line: '${bad.mkString(",")}'")
+          }
+        }
         else if (line.startsWith("#txn=")) {
           line.stripPrefix("#txn=").split(":", 2) match {
             case Array(w, e) => txns(w) = e.toLong
@@ -569,7 +612,7 @@ object GraftManifest {
         line = in.readLine()
       }
       if (total >= 0) GraftManifest(v, Seq.empty, total, ddl, ts, base, op,
-        txns.toMap, nFiles)
+        txns.toMap, nFiles, ids, checks.result())
       else readRaw(path, v)
     } finally in.close()
   }
@@ -647,7 +690,9 @@ object GraftManifest {
   def commitMetas(path: String, jobMetas: Seq[GraftFileMeta], schemaDdl: String,
       truncate: Boolean, expectedBase: Option[Int] = None,
       evolve: Boolean = false, op: Option[String] = None,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      idsOverride: Option[Seq[Int]] = None,
+      checksOverride: Option[Seq[(String, String)]] = None): Int = {
     new File(path).mkdirs() // a zero-task job commits a manifest into an empty dir
     var attempt = 0
     while (true) {
@@ -714,6 +759,45 @@ object GraftManifest {
               s"graft-sink: append schema '$schemaDdl' != committed schema '$prior' " +
                 "(overwrite to change schema, or evolveSchema=true to add trailing columns)")
         }
+      // STABLE FIELD IDS (column mapping): positions are the storage
+      // identity (cells are positional), ids are the LOGICAL identity —
+      // a rename keeps them (idsOverride from the ALTER path), trailing
+      // evolution extends with fresh never-reused ids (max+1, so a
+      // dropped-then-readded name can never alias an old column), and an
+      // arbitrary schema replacement starts a fresh id space (it IS a
+      // new table shape). Legacy manifests without ids adopt positional
+      // ids on their next commit.
+      val unionLen = StructType.fromDDL(unionDdl).length
+      val priorNames = priorDdl.map(StructType.fromDDL(_).fieldNames.toSeq)
+        .getOrElse(Seq.empty)
+      val unionNames = StructType.fromDDL(unionDdl).fieldNames.toSeq
+      val priorIds = head.flatMap(_.ids)
+        .orElse(head.map(_ => priorNames.indices.toSeq))
+      val ids = idsOverride.getOrElse {
+        priorIds match {
+          case Some(pi) if unionNames == priorNames => pi
+          case Some(pi) if unionNames.startsWith(priorNames) =>
+            val base0 = if (pi.isEmpty) 0 else pi.max + 1
+            pi ++ (0 until (unionLen - pi.length)).map(base0 + _)
+          case _ => (0 until unionLen).toSeq // replaced shape: fresh id space
+        }
+      }
+      require(ids.length == unionLen && ids.distinct.length == ids.length,
+        s"graft-sink: field ids $ids do not map the ${unionLen}-column schema")
+      // CHECK constraints ride every commit; a full shape REPLACEMENT
+      // (REPLACE TABLE) starts constraint-free (it is a new table shape),
+      // while any commit that keeps the shape but would drop a
+      // constrained column must drop the constraint FIRST — silently
+      // shedding a data-quality promise is the failure mode.
+      val shapeReplaced = truncate && unionNames != priorNames &&
+        !unionNames.startsWith(priorNames) && !priorNames.startsWith(unionNames)
+      val checks = checksOverride.getOrElse(
+        if (shapeReplaced) Nil else head.map(_.checks).getOrElse(Nil))
+      checks.foreach { case (n, e) =>
+        require(unionNames.contains(GraftCheck.columnOf(e)),
+          s"graft-sink: schema '$unionDdl' lacks column '${GraftCheck.columnOf(e)}' " +
+            s"constrained by check '$n' — CALL drop_constraint first")
+      }
       val next = headV.map(_ + 1).getOrElse(1)
       // strictly-increasing commit wall-clock: two commits inside one
       // millisecond would otherwise make timestampAsOf ambiguous
@@ -734,7 +818,8 @@ object GraftManifest {
           txn.toMap,
           // snapshot file count carried forward like `_total`; a legacy
           // head without one leaves it absent until the next checkpoint
-          snapshotFiles = head.flatMap(_.nFiles).map(_ + jobMetas.size))
+          snapshotFiles = head.flatMap(_.nFiles).map(_ + jobMetas.size),
+          ids = Some(ids), checks = checks)
         else {
           require(all.map(_.liveRows).sum == newTotal,
             s"graft-sink: checkpoint fold at $path disagrees with the running total")
@@ -745,7 +830,7 @@ object GraftManifest {
           // — one manifest parse, the rewrite is already O(table).)
           val accTxns = headFolded.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
           render(unionDdl, commitTs, None, all, newTotal, op, accTxns,
-            snapshotFiles = Some(all.size))
+            snapshotFiles = Some(all.size), ids = Some(ids), checks = checks)
         }
       // the pluggable CAS: true = this commit owns version `next`; false =
       // lost the race — loop re-reads the new head and retries one slot up
@@ -835,7 +920,8 @@ object GraftManifest {
       if (readHeader(path, v).base.isDefined) {
         val m = fold(path, v)
         val body = render(m.schemaDdl.getOrElse(""), m.ts.getOrElse(0L),
-          None, m.metas, m.total, m.op, m.txns, Some(m.metas.size))
+          None, m.metas, m.total, m.op, m.txns, Some(m.metas.size),
+          ids = m.ids, checks = m.checks)
         val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$v", ".tmp")
         try {
           Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -876,6 +962,84 @@ object GraftManifest {
     listing.filter(f => f.getName.endsWith(".tmp") && f.lastModified() <= cutoff)
       .foreach(_.delete())
     victims.length
+  }
+}
+
+/** CHECK-constraint expression mini-grammar (the `#check=` manifest
+  * line's payload). Deliberately a closed grammar, not a SQL parser:
+  * every admitted form maps 1:1 onto the connector's own
+  * [[org.apache.spark.sql.sources.Filter]] row evaluator
+  * ([[GraftSinkScan.rowMatches]] / [[GraftSinkScan.checkHolds]]), so
+  * enforcement at a task writer needs no Spark session and cannot drift
+  * from what was validated at ADD CONSTRAINT time. Forms:
+  * {{{
+  * <col> IS NOT NULL
+  * <col> <op> <literal>            op: = != < <= > >=
+  * <col> BETWEEN <lit> AND <lit>
+  * <col> IN (<lit>, <lit>, ...)
+  * }}}
+  * Literals: bare numbers (typed by the column: long/double) or
+  * 'single-quoted strings' (no quotes/commas inside — the same
+  * delimiter discipline the data writer enforces). The expression text
+  * is also valid SQL, which is what lets ADD CONSTRAINT validate
+  * existing rows with one `WHERE NOT (<expr>)` scan. */
+object GraftCheck {
+  /** The (single) column an expression constrains — its first token. */
+  def columnOf(expr: String): String = expr.trim.split("\\s+")(0)
+
+  def parse(expr: String, schema: StructType): Filter = {
+    val t = expr.trim
+    require(!t.contains('\n') && t.nonEmpty,
+      s"graft-sink: check expression must be one nonempty line, got '$expr'")
+    val col = columnOf(t)
+    val i = scala.util.Try(schema.fieldIndex(col)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-sink: check column '$col' not in schema ${schema.toDDL}"))
+    val dt = schema.fields(i).dataType
+    def lit(s0: String): Any = {
+      val s = s0.trim
+      if (s.startsWith("'") && s.endsWith("'") && s.length >= 2) {
+        require(dt == StringType,
+          s"graft-sink: string literal $s against non-string column '$col' ($dt)")
+        s.substring(1, s.length - 1)
+      } else dt match {
+        case LongType   => java.lang.Long.valueOf(s)
+        case DoubleType => java.lang.Double.valueOf(s)
+        case StringType => throw new IllegalArgumentException(
+          s"graft-sink: string literal must be 'quoted' in check '$expr'")
+        case other => throw new IllegalArgumentException(
+          s"graft-sink: checks support long/double/string columns, '$col' is $other")
+      }
+    }
+    val rest = t.drop(col.length).trim
+    val up = rest.toUpperCase(java.util.Locale.ROOT)
+    if (up == "IS NOT NULL") IsNotNull(col)
+    else if (up.startsWith("BETWEEN ")) {
+      rest.drop(8).split("(?i)\\s+AND\\s+", 2) match {
+        case Array(a, b) =>
+          And(GreaterThanOrEqual(col, lit(a)), LessThanOrEqual(col, lit(b)))
+        case _ => throw new IllegalArgumentException(
+          s"graft-sink: malformed BETWEEN in check '$expr'")
+      }
+    } else if (up.startsWith("IN") && rest.drop(2).trim.startsWith("(") &&
+        rest.trim.endsWith(")")) {
+      val inner = rest.drop(2).trim.stripPrefix("(").stripSuffix(")")
+      val items = inner.split(",").map(_.trim).filter(_.nonEmpty)
+      require(items.nonEmpty, s"graft-sink: empty IN list in check '$expr'")
+      In(col, items.map(lit(_)).toArray)
+    } else {
+      Seq("!=", "<=", ">=", "=", "<", ">").find(rest.startsWith) match {
+        case Some("!=") => Not(EqualTo(col, lit(rest.drop(2))))
+        case Some("<=") => LessThanOrEqual(col, lit(rest.drop(2)))
+        case Some(">=") => GreaterThanOrEqual(col, lit(rest.drop(2)))
+        case Some("=")  => EqualTo(col, lit(rest.drop(1)))
+        case Some("<")  => LessThan(col, lit(rest.drop(1)))
+        case Some(">")  => GreaterThan(col, lit(rest.drop(1)))
+        case _ => throw new IllegalArgumentException(
+          s"graft-sink: cannot parse check expression '$expr' " +
+            "(supported: IS NOT NULL, = != < <= > >=, BETWEEN, IN)")
+      }
+    }
   }
 }
 
@@ -1036,6 +1200,7 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   /** `_file` + `_pos` ([[SupportsMetadataColumns]]): the physical row
@@ -1135,9 +1300,32 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
     () => new GraftRowLevelOperation(path, info.command)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var truncating = false
+      private var replaceWhere: Option[Seq[Filter]] = None
       override def truncate(): WriteBuilder = { truncating = true; this }
+      /** OVERWRITE-BY-PREDICATE (`replaceWhere` — the idempotent
+        * partition-refresh verb): delete every committed row matching
+        * the ANDed filters and land this job's rows, as ONE conditioned
+        * commit. `AlwaysTrue` (how Spark expresses a plain overwrite
+        * through this interface) degrades to truncate. Inexpressible
+        * predicates are refused HERE, at plan time — a half-applied
+        * replace would corrupt the table. */
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) {
+          truncating = true
+        } else {
+          filters.filterNot(GraftSinkScan.evaluable(info.schema(), _)).foreach { f =>
+            throw new IllegalArgumentException(
+              s"graft-sink: replaceWhere cannot evaluate predicate $f " +
+                "(supported: And/Or/Not, comparisons, In, IS [NOT] NULL " +
+                "over the table's columns)")
+          }
+          replaceWhere = Some(filters.toSeq)
+        }
+        this
+      }
       override def build(): Write = new Write {
         // `_change_type` / `_file` / `_pos` are VIRTUAL read columns: a
         // real column by any of these names would silently shadow them
@@ -1163,7 +1351,7 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         private val opLabel = Option(opts.get("operation")).filter(_.nonEmpty)
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
-            expectedBase, evolve, partCol, opLabel)
+            expectedBase, evolve, partCol, opLabel, replaceWhere)
         override def toStreaming: StreamingWrite =
           new GraftSinkStreamingWrite(path, info.schema(), tag,
             Option(opts.get("commitVersions")).exists(_.toBoolean))
@@ -1584,6 +1772,95 @@ object GraftSinkScan {
       case _ => false
     }
   }
+
+  /** Filters the ROW-LEVEL evaluator ([[rowMatches]]) can decide — the
+    * admission check `replaceWhere` runs before accepting a predicate
+    * (an inexpressible predicate is refused at plan time, never
+    * silently half-applied). */
+  def evaluable(layout: StructType, f: Filter): Boolean = f match {
+    case And(l, r) => evaluable(layout, l) && evaluable(layout, r)
+    case Or(l, r)  => evaluable(layout, l) && evaluable(layout, r)
+    case Not(c)    => evaluable(layout, c)
+    case _: AlwaysTrue | _: AlwaysFalse => true
+    case EqualTo(c, _)            => hasCol(layout, c)
+    case GreaterThan(c, _)        => hasCol(layout, c)
+    case GreaterThanOrEqual(c, _) => hasCol(layout, c)
+    case LessThan(c, _)           => hasCol(layout, c)
+    case LessThanOrEqual(c, _)    => hasCol(layout, c)
+    case In(c, _)                 => hasCol(layout, c)
+    case IsNull(c)                => hasCol(layout, c)
+    case IsNotNull(c)             => hasCol(layout, c)
+    case _ => false
+  }
+
+  /** EXACT row-level predicate evaluation over one decoded line — what
+    * the `replaceWhere` path runs on a STRADDLER file (stats envelope
+    * neither proves all-match nor no-match) to vector out exactly the
+    * matching rows. Full SQL THREE-VALUED semantics: comparisons over a
+    * NULL cell evaluate UNKNOWN (None), And/Or/Not propagate it
+    * (Kleene), and the final filter decision treats UNKNOWN as
+    * not-matched — so `NOT (p = 2)` deletes no NULL-p row, exactly what
+    * the equivalent Spark filter would select. A two-valued shortcut
+    * here would silently over-delete under negation. */
+  def rowMatches(cells: Array[String], ncols: Int, layout: StructType,
+      f: Filter): Boolean =
+    evalRow(cells, ncols, layout, f).contains(true)
+
+  /** CHECK-constraint decision for one row: SQL says a CHECK is violated
+    * only when the predicate is provably FALSE — NULL (UNKNOWN) passes,
+    * which is why NOT NULL must be spelled `IS NOT NULL`. */
+  def checkHolds(cells: Array[String], ncols: Int, layout: StructType,
+      f: Filter): Boolean =
+    !evalRow(cells, ncols, layout, f).contains(false)
+
+  private def evalRow(cells: Array[String], ncols: Int, layout: StructType,
+      f: Filter): Option[Boolean] = {
+    // None = NULL (beyond the file's written width, or the \N sentinel)
+    def cellOf(c: String): Option[(DataType, String)] = {
+      val i = layout.fieldIndex(c)
+      if (i >= ncols || i >= cells.length) None
+      else {
+        val v = cells(i)
+        if (v == GraftSinkWriter.NullCell) None
+        else Some((layout.fields(i).dataType, v))
+      }
+    }
+    def cmpTo(c: String, v: Any)(sat: Int => Boolean): Option[Boolean] =
+      cellOf(c).map { case (dt, x) => sat(cmp(dt, x, v.toString)) }
+    def eval3(f: Filter): Option[Boolean] = f match {
+      case _: AlwaysTrue  => Some(true)
+      case _: AlwaysFalse => Some(false)
+      case And(l, r) => (eval3(l), eval3(r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+      case Or(l, r) => (eval3(l), eval3(r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+      case Not(inner) => eval3(inner).map(!_)
+      case EqualTo(c, v)            => cmpTo(c, v)(_ == 0)
+      case GreaterThan(c, v)        => cmpTo(c, v)(_ > 0)
+      case GreaterThanOrEqual(c, v) => cmpTo(c, v)(_ >= 0)
+      case LessThan(c, v)           => cmpTo(c, v)(_ < 0)
+      case LessThanOrEqual(c, v)    => cmpTo(c, v)(_ <= 0)
+      case In(c, vs) => cellOf(c) match {
+        case None => None
+        case Some((dt, x)) =>
+          if (vs.filter(_ != null).exists(v => cmp(dt, x, v.toString) == 0)) Some(true)
+          // SQL: `x IN (..., NULL)` with no match is UNKNOWN, not false
+          else if (vs.contains(null)) None
+          else Some(false)
+      }
+      case IsNull(c)    => Some(cellOf(c).isEmpty)
+      case IsNotNull(c) => Some(cellOf(c).nonEmpty)
+      case other => throw new IllegalArgumentException(
+        s"graft-sink: cannot evaluate filter $other row-level (evaluable() admits it wrongly)")
+    }
+    eval3(f)
+  }
 }
 
 /** What the reader needs of any graft split, keyed or not. */
@@ -1818,18 +2095,119 @@ case class GraftSinkCommit(files: Seq[GraftFileMeta]) extends WriterCommitMessag
 
 class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     tag: String, expectedBase: Option[Int], evolve: Boolean,
-    partCol: Option[String], opLabel: Option[String] = None) extends BatchWrite {
+    partCol: Option[String], opLabel: Option[String] = None,
+    replaceWhere: Option[Seq[Filter]] = None) extends BatchWrite {
+  /** Writer factory — resolved at JOB START on the driver, including the
+    * head's CHECK constraints: every task writer enforces them per row,
+    * so a violating batch aborts before any manifest commit (nothing
+    * lands — the all-or-nothing constraint contract). */
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftSinkWriterFactory(path, schema, tag, partCol)
+    new GraftSinkWriterFactory(path, schema, tag, partCol,
+      GraftManifest.versions(path).lastOption
+        .map(v => GraftManifest.headerFacts(path, v).checks).getOrElse(Nil))
 
   /** Job commit: the atomic point. Only files named by task commits enter
     * the manifest; half-written .tmp files are invisible to readers. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val metas = messages.flatMap(_.asInstanceOf[GraftSinkCommit].files)
-    GraftManifest.commitMetas(path, metas.toSeq, schema.toDDL, truncate,
-      expectedBase, evolve,
-      op = opLabel.orElse(Some(if (truncate) "OVERWRITE" else "APPEND")))
-    ()
+    replaceWhere match {
+      case Some(filters) => commitReplaceWhere(metas.toSeq, filters)
+      case None =>
+        GraftManifest.commitMetas(path, metas.toSeq, schema.toDDL, truncate,
+          expectedBase, evolve,
+          op = opLabel.orElse(Some(if (truncate) "OVERWRITE" else "APPEND")))
+        ()
+    }
+  }
+
+  /** `replaceWhere` commit: delete the committed rows matching the ANDed
+    * `filters`, land this job's files, publish as ONE full-snapshot
+    * commit conditioned on the head observed here. Per committed file,
+    * cheapest sufficient path (the Delta replaceWhere / Iceberg
+    * overwrite-by-filter design on this manifest):
+    *
+    *  - provably ALL-MATCH (stats/partition envelope + known null
+    *    counts, [[GraftSinkScan.mustMatchAll]]) → file DROPPED,
+    *    metadata-only — the partition-aligned backfill pays zero data
+    *    bytes beyond its own new files;
+    *  - provably NO-MATCH ([[GraftSinkScan.mayMatch]] false) → file kept
+    *    with its manifest entry BYTE-IDENTICAL (stats, partition value,
+    *    vector and all — the idempotent-refresh promise);
+    *  - STRADDLER (predicate boundary crosses the file) → the file is
+    *    read once and exactly its matching live rows are vectored out
+    *    via a merged deletion-vector sidecar — O(straddler rows) read,
+    *    O(matched rows) written, no rewrite. At 100 TB, a
+    *    partition-aligned predicate has zero straddlers; a misaligned
+    *    one pays only its boundary files.
+    *
+    * A concurrent commit between the head read and the claim throws
+    * ConcurrentModificationException (commitMetas re-checks per
+    * attempt); freshly-written sidecars are deleted on the way out so a
+    * lost race strands nothing. */
+  private def commitReplaceWhere(jobMetas: Seq[GraftFileMeta],
+      filters: Seq[Filter]): Unit = {
+    GraftManifest.readVersion(path, None) match {
+      case None =>
+        // empty table: nothing to replace, land the batch as version 1
+        GraftManifest.commitMetas(path, jobMetas, schema.toDDL,
+          truncate = false, op = Some("REPLACE WHERE"))
+        ()
+      case Some(head) =>
+        val layout = StructType.fromDDL(head.schemaDdl.getOrElse(
+          throw new IllegalStateException(
+            s"graft-sink: head at $path carries no schema")))
+        require(layout.length == schema.length &&
+            layout.fields.zip(schema.fields).forall { case (a, b) =>
+              a.name == b.name && a.dataType == b.dataType },
+          s"graft-sink: replaceWhere data schema '${schema.toDDL}' must match " +
+            s"the committed '${layout.toDDL}' (no evolution through a replace)")
+        val newSidecars = scala.collection.mutable.ArrayBuffer[String]()
+        val kept = head.metas.flatMap { m =>
+          if (filters.forall(GraftSinkScan.mustMatchAll(m, layout, _))) None
+          else if (!filters.forall(GraftSinkScan.mayMatch(m, layout, _))) Some(m)
+          else {
+            // straddler: one pass over the file, vector out matching live rows
+            val existing = m.dv.map(d => GraftManifest.readDv(Paths.get(path, d._1)))
+              .getOrElse(Array.emptyLongArray)
+            var exIdx = 0
+            val hits = scala.collection.mutable.ArrayBuffer[Long]()
+            val in = Files.newBufferedReader(Paths.get(path, m.name),
+              StandardCharsets.UTF_8)
+            try {
+              var pos = -1L
+              var line = in.readLine()
+              while (line != null) {
+                pos += 1
+                if (exIdx < existing.length && existing(exIdx) == pos) exIdx += 1
+                else {
+                  val cells = line.split(",", -1)
+                  if (filters.forall(GraftSinkScan.rowMatches(cells, m.ncols, layout, _)))
+                    hits += pos
+                }
+                line = in.readLine()
+              }
+            } finally in.close()
+            if (existing.length + hits.length == m.rows) None // every row dead
+            else if (hits.isEmpty) Some(m)
+            else {
+              val merged = (existing ++ hits).sorted // disjoint by construction
+              val sc = s"${m.name}.$tag.rw.dv"
+              Files.write(Paths.get(path, sc), GraftDv.encode(merged))
+              newSidecars += sc
+              Some(m.copy(dv = Some((sc, merged.length.toLong))))
+            }
+          }
+        }
+        try GraftManifest.commitMetas(path, kept ++ jobMetas, head.schemaDdl.get,
+          truncate = true, expectedBase = Some(head.version),
+          op = Some("REPLACE WHERE"))
+        catch {
+          case e: Throwable =>
+            newSidecars.foreach(sc => Files.deleteIfExists(Paths.get(path, sc)))
+            throw e
+        }
+        ()
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1949,7 +2327,8 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
     partCol: Option[String] = None)
     extends DeltaBatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    GraftDeltaWriterFactory(path, schema, tag, partCol)
+    GraftDeltaWriterFactory(path, schema, tag, partCol,
+      GraftManifest.headerFacts(path, baseVersion).checks)
 
   /** Job commit: merge every task's vector fragments into one final
     * sidecar per touched file (existing vector ∪ new positions, sorted;
@@ -1958,43 +2337,84 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
     * files whose every physical row is now dead, append the inserted
     * files, and publish as a conditioned full snapshot. Cost:
     * O(changed rows) bytes written + O(table files) manifest entries —
-    * never a data-file rewrite. */
+    * never a data-file rewrite.
+    *
+    * AUTO-REBASE (VERDICT r9 next #6): a head that moved past the
+    * planned base by PURE APPENDS (the manifest diff removed nothing —
+    * no file this operation read was rewritten or re-vectored) is
+    * logically disjoint from this delta, so instead of throwing, the
+    * commit REBASES: the new snapshot is the moved head's file list
+    * (interleaved appends included) with this operation's vectors and
+    * inserts applied, retried up to a bounded number of times — the
+    * Delta logical-conflict-resolution design. Appended rows that would
+    * have matched a DELETE's predicate are NOT deleted: the predicate
+    * was evaluated against the planned snapshot (snapshot isolation —
+    * Delta's WriteSerializable default, documented). A CONFLICTING
+    * rewrite (any removed file — another DML's vector counts, since the
+    * diff keys on (name, dv)) still throws
+    * ConcurrentModificationException and the caller re-plans. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val cms = messages.collect { case m: GraftDeltaCommit => m }
-    val head = GraftManifest.readVersion(path, None).getOrElse(
-      throw new IllegalStateException(s"graft-sink: no committed version at $path"))
-    if (head.version != baseVersion) throw new java.util.ConcurrentModificationException(
-      s"graft-sink: row-level operation planned against version $baseVersion " +
-        s"but head is ${head.version} at $path — re-run the statement")
-    val frags = cms.flatMap(_.dvFrags).groupBy(_.file)
-    val known = head.metas.map(_.name).toSet
-    frags.keys.filterNot(known).foreach { f =>
-      throw new IllegalStateException(
-        s"graft-sink: deletion vector targets unknown file $f at v$baseVersion") }
-    val newMetas = head.metas.flatMap { m =>
-      frags.get(m.name) match {
-        case None => Some(m)
-        case Some(fs) =>
-          val existing = m.dv.map(d => GraftManifest.readDv(Paths.get(path, d._1)))
-            .getOrElse(Array.emptyLongArray)
-          val merged = (existing ++ fs.flatMap(fr =>
-            GraftManifest.readDv(Paths.get(path, fr.frag)))).distinct.sorted
-          merged.find(p => p < 0 || p >= m.rows).foreach { p =>
-            throw new IllegalStateException(
-              s"graft-sink: deletion position $p out of range for ${m.name} (${m.rows} rows)") }
-          if (merged.length == m.rows) None // every physical row dead → drop the file
-          else {
-            val sc = s"${m.name}.$tag.dv"
-            Files.write(Paths.get(path, sc), GraftDv.encode(merged))
-            Some(m.copy(dv = Some((sc, merged.length.toLong))))
-          }
+    var base = baseVersion
+    var attempts = 0
+    val written = scala.collection.mutable.Set[String]()
+    def fail(msg: String): Nothing = {
+      written.foreach(sc => Files.deleteIfExists(Paths.get(path, sc)))
+      throw new java.util.ConcurrentModificationException(msg)
+    }
+    while (true) {
+      attempts += 1
+      val head = GraftManifest.readVersion(path, None).getOrElse(
+        throw new IllegalStateException(s"graft-sink: no committed version at $path"))
+      if (head.version != base) {
+        if (attempts > 5) fail(
+          s"graft-sink: row-level operation lost $attempts commit races at $path — re-run")
+        val (_, removed, _) = GraftSinkScan.diffMetas(path, base, Some(head.version))
+        if (removed.nonEmpty) fail(
+          s"graft-sink: row-level operation planned against version $base but a " +
+            s"concurrent commit rewrote ${removed.size} of its file(s) " +
+            s"(head ${head.version}) at $path — re-run the statement")
+        base = head.version // pure appends interleaved: rebase onto them
       }
-    } ++ cms.flatMap(_.files)
-    GraftManifest.commitMetas(path, newMetas, head.schemaDdl.getOrElse(schema.toDDL),
-      truncate = true, expectedBase = Some(baseVersion), op = Some(cmd.toString))
-    // fragment hygiene: positions are folded into the final sidecars
-    cms.flatMap(_.dvFrags).foreach(fr => Files.deleteIfExists(Paths.get(path, fr.frag)))
-    ()
+      val frags = cms.flatMap(_.dvFrags).groupBy(_.file)
+      val known = head.metas.map(_.name).toSet
+      frags.keys.filterNot(known).foreach { f =>
+        throw new IllegalStateException(
+          s"graft-sink: deletion vector targets unknown file $f at v$base") }
+      val newMetas = head.metas.flatMap { m =>
+        frags.get(m.name) match {
+          case None => Some(m)
+          case Some(fs) =>
+            val existing = m.dv.map(d => GraftManifest.readDv(Paths.get(path, d._1)))
+              .getOrElse(Array.emptyLongArray)
+            val merged = (existing ++ fs.flatMap(fr =>
+              GraftManifest.readDv(Paths.get(path, fr.frag)))).distinct.sorted
+            merged.find(p => p < 0 || p >= m.rows).foreach { p =>
+              throw new IllegalStateException(
+                s"graft-sink: deletion position $p out of range for ${m.name} (${m.rows} rows)") }
+            if (merged.length == m.rows) None // every physical row dead → drop the file
+            else {
+              val sc = s"${m.name}.$tag.dv"
+              Files.write(Paths.get(path, sc), GraftDv.encode(merged))
+              written += sc
+              Some(m.copy(dv = Some((sc, merged.length.toLong))))
+            }
+        }
+      } ++ cms.flatMap(_.files)
+      try {
+        GraftManifest.commitMetas(path, newMetas, head.schemaDdl.getOrElse(schema.toDDL),
+          truncate = true, expectedBase = Some(base), op = Some(cmd.toString))
+        // fragment hygiene: positions are folded into the final sidecars
+        cms.flatMap(_.dvFrags).foreach(fr => Files.deleteIfExists(Paths.get(path, fr.frag)))
+        return
+      } catch {
+        case _: java.util.ConcurrentModificationException if attempts <= 5 =>
+          () // another commit landed inside our window — loop re-reads and rebases
+        case e: Throwable =>
+          written.foreach(sc => Files.deleteIfExists(Paths.get(path, sc)))
+          throw e
+      }
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -2010,9 +2430,10 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
 }
 
 case class GraftDeltaWriterFactory(path: String, schema: StructType,
-    tag: String, partCol: Option[String] = None) extends DeltaWriterFactory {
+    tag: String, partCol: Option[String] = None,
+    checks: Seq[(String, String)] = Nil) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(path, schema, partitionId, taskId, tag, partCol)
+    new GraftDeltaWriter(path, schema, partitionId, taskId, tag, partCol, checks)
 }
 
 /** Task-side delta writer: deletes accumulate (file → positions) and
@@ -2021,7 +2442,8 @@ case class GraftDeltaWriterFactory(path: String, schema: StructType,
   * inserts ride a nested ordinary [[GraftSinkWriter]] — same tmp→rename
   * task-commit protocol, stats and null counts included. */
 class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long, tag: String, partCol: Option[String] = None)
+    taskId: Long, tag: String, partCol: Option[String] = None,
+    checks: Seq[(String, String)] = Nil)
     extends DeltaWriter[InternalRow] {
   private var inserts: GraftSinkWriter = _
   private val dels =
@@ -2040,7 +2462,7 @@ class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
   override def insert(row: InternalRow): Unit = {
     if (inserts == null)
       inserts = new GraftSinkWriter(path, schema, partitionId, taskId,
-        prefix = s"$tag-", partCol = partCol)
+        prefix = s"$tag-", partCol = partCol, checks = checks)
     inserts.write(row)
   }
 
@@ -2060,10 +2482,11 @@ class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
 }
 
 class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
-    partCol: Option[String]) extends DataWriterFactory {
+    partCol: Option[String], checks: Seq[(String, String)] = Nil)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-",
-      partCol = partCol)
+      partCol = partCol, checks = checks)
 }
 
 /** Named (serializable) streaming factory — an anonymous class here would
@@ -2074,11 +2497,13 @@ class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
   * version retention) must classify them as ordinary data files so
   * orphans from re-delivered epochs age into the sweep. */
 case class GraftSinkStreamingFactory(path: String, schema: StructType,
-    tag: String, versioned: Boolean = false) extends StreamingDataWriterFactory {
+    tag: String, versioned: Boolean = false,
+    checks: Seq[(String, String)] = Nil) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId,
-      prefix = if (versioned) s"e$epochId-$tag-" else s"epoch-$epochId-$tag-")
+      prefix = if (versioned) s"e$epochId-$tag-" else s"epoch-$epochId-$tag-",
+      checks = checks)
 }
 
 /** The STREAMING half of the sink: identical task-commit protocol, but job
@@ -2112,7 +2537,11 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
     commitVersions: Boolean = false)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftSinkStreamingFactory(path, schema, tag, commitVersions)
+    GraftSinkStreamingFactory(path, schema, tag, commitVersions,
+      if (commitVersions)
+        GraftManifest.versions(path).lastOption
+          .map(v => GraftManifest.headerFacts(path, v).checks).getOrElse(Nil)
+      else Nil)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.flatMap(_.asInstanceOf[GraftSinkCommit].files)
@@ -2165,9 +2594,17 @@ object GraftSinkWriter {
   * ride the commit message into the manifest and drive read-side file
   * skipping. */
 class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long, prefix: String = "", partCol: Option[String] = None)
+    taskId: Long, prefix: String = "", partCol: Option[String] = None,
+    checks: Seq[(String, String)] = Nil)
     extends DataWriter[InternalRow] {
   new File(path).mkdirs()
+  /** Compiled CHECK constraints. A check whose column this (narrower,
+    * pre-evolution) writer does not carry is trivially satisfied — the
+    * column lands NULL, and NULL passes a CHECK by SQL semantics. */
+  private val compiledChecks: Seq[(String, Filter)] = checks.flatMap { case (n, e) =>
+    if (scala.util.Try(schema.fieldIndex(GraftCheck.columnOf(e))).isFailure) None
+    else Some(n -> GraftCheck.parse(e, schema))
+  }
   private val partIdx = partCol.map { c =>
     val i = scala.util.Try(schema.fieldIndex(c)).getOrElse(
       throw new IllegalArgumentException(
@@ -2224,6 +2661,14 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         case dt => throw new IllegalArgumentException(
           s"graft-sink supports long/double/string, got $dt for ${f.name}")
       }
+    }
+    // CHECK enforcement BEFORE any byte lands: a violating row fails the
+    // task, the job aborts, and the commit protocol guarantees nothing
+    // of the batch becomes visible.
+    compiledChecks.foreach { case (n, f) =>
+      if (!GraftSinkScan.checkHolds(cells, schema.length, schema, f))
+        throw new IllegalArgumentException(
+          s"graft-sink: CHECK constraint '$n' violated by row (${cells.mkString(",")})")
     }
     val p = partIdx match {
       case Some(i) =>

@@ -520,6 +520,104 @@ class SourceSpec extends AnyFunSuite {
       "ignoreChanges re-emits the 15 rewritten rows")
   }
 
+  test("graft-sink column mapping + constraints: rename keeps ids, re-added names never alias, DML enforces") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cm_spec").toString
+    spark.conf.set("spark.sql.catalog.gcm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcm.root", root)
+    import graft.sources.GraftManifest
+    val dir = s"$root/db/t"
+    spark.range(5).select(col("id"), (col("id") * 10).as("k")).coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val v1 = GraftManifest.readVersion(dir, None).get
+    assert(v1.ids.contains(Seq(0, 1)), s"first commit assigns positional ids: ${v1.ids}")
+    // rename k -> k2: metadata-only, same ids; old version serves old name
+    spark.sql("ALTER TABLE gcm.db.t RENAME COLUMN k TO k2")
+    val v2 = GraftManifest.readVersion(dir, None).get
+    assert(v2.ids == v1.ids && v2.metas == v1.metas)
+    assert(spark.read.format("graft-sink").option("path", dir)
+      .option("versionAsOf", "1").load().columns.toSeq == Seq("id", "k"))
+    // ADD COLUMNS of the OLD name takes a FRESH id — it can never alias
+    // the renamed column's data, and pre-evolution files read it as NULL
+    spark.sql("ALTER TABLE gcm.db.t ADD COLUMNS (k BIGINT)")
+    val v3 = GraftManifest.readVersion(dir, None).get
+    assert(v3.ids.contains(Seq(0, 1, 2)),
+      s"re-added old name must take a fresh id, got ${v3.ids}")
+    val head = spark.read.format("graft-sink").option("path", dir).load()
+    assert(head.columns.toSeq == Seq("id", "k2", "k"))
+    assert(head.where(col("k").isNull).count() == 5,
+      "the re-added 'k' is a NEW column: pre-evolution rows read NULL")
+    assert(head.agg(sum(col("k2"))).head().getLong(0) == 100L,
+      "the renamed column still serves its original data")
+    // rename collisions/reserved names refused
+    intercept[Exception] { spark.sql("ALTER TABLE gcm.db.t RENAME COLUMN k2 TO k") }
+    intercept[Exception] { spark.sql("ALTER TABLE gcm.db.t RENAME COLUMN k2 TO _pos") }
+    // constraints: enforced through the row-level DML (delta) write path too
+    spark.sql("CALL gcm.system.add_constraint('db.t', 'k2_nonneg', 'k2 >= 0')")
+    val headV = GraftManifest.versions(dir).max
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gcm.db.t SET k2 = -7 WHERE id = 1") }
+    assert((e.toString + Option(e.getCause).mkString).contains("k2_nonneg"),
+      s"UPDATE violating a CHECK must fail naming it: $e")
+    assert(GraftManifest.versions(dir).max == headV,
+      "a violating UPDATE must commit nothing")
+    // renaming a constrained column is refused until the check is dropped
+    intercept[Exception] { spark.sql("ALTER TABLE gcm.db.t RENAME COLUMN k2 TO kk") }
+    spark.sql("CALL gcm.system.drop_constraint('db.t', 'k2_nonneg')")
+    spark.sql("ALTER TABLE gcm.db.t RENAME COLUMN k2 TO kk")
+    assert(spark.read.format("graft-sink").option("path", dir).load()
+      .columns.toSeq == Seq("id", "kk", "k"))
+  }
+
+  test("graft-sink replaceWhere: straddlers vector exactly, NULLs survive negation, misfits refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rw_spec").toString
+    spark.conf.set("spark.sql.catalog.grw", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grw.root", root)
+    import graft.sources.GraftManifest
+    // STRADDLER: one mixed file, the predicate boundary crosses it — the
+    // matching rows must vector out (no rewrite), everything else stays
+    val dir = s"$root/db/t"
+    spark.range(12).select(col("id"), (col("id") % 3).as("k")).coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val v1 = GraftManifest.readVersion(dir, None).get
+    spark.range(100, 102).select(col("id"), lit(1L).as("k"))
+      .writeTo("grw.db.t").overwrite(col("k") === 1)
+    val v2 = GraftManifest.readVersion(dir, None).get
+    assert(v2.op.contains("REPLACE WHERE"))
+    assert(v2.metas.exists(m => m.name == v1.metas.head.name && m.dv.exists(_._2 == 4L)),
+      s"straddler must keep its data file with a 4-position vector: ${v2.metas}")
+    val head = spark.read.format("graft-sink").option("path", dir).load()
+    assert(head.count() == 10) // 12 - 4 matching + 2 replacements
+    assert(head.where(col("k") === 1).collect().map(_.getLong(0)).toSet ==
+      Set(100L, 101L), "the k=1 slice must be exactly the replacement batch")
+    assert(spark.read.format("graft-sink").option("path", dir)
+      .option("versionAsOf", "1").load().count() == 12, "pre-replace version stays readable")
+    // NULL three-valued semantics: NOT (k = 1) must NOT delete NULL-k rows
+    val dir2 = s"$root/db/t2"
+    spark.range(1, 4).select(col("id"),
+        when(col("id") === 3, lit(null)).otherwise(col("id")).cast("long").as("k"))
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir2).mode("overwrite").save()
+    spark.range(10, 11).select(col("id"), lit(2L).as("k"))
+      .writeTo("grw.db.t2").overwrite(!(col("k") === 1))
+    val ids2 = spark.read.format("graft-sink").option("path", dir2).load()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids2 == Set(1L, 3L, 10L),
+      s"NOT(k=1) deletes k=2 only — NULL k is UNKNOWN, kept: got $ids2")
+    // an inexpressible predicate is refused at plan time, not half-applied
+    val dir3 = s"$root/db/t3"
+    spark.range(3).select(col("id"), concat(lit("v"), col("id")).as("s")).coalesce(1)
+      .write.format("graft-sink").option("path", dir3).mode("overwrite").save()
+    val before = GraftManifest.versions(dir3)
+    val e = intercept[Exception] {
+      spark.range(1).select(col("id"), lit("vx").as("s"))
+        .writeTo("grw.db.t3").overwrite(col("s").startsWith("v"))
+    }
+    assert(e.getMessage.contains("replaceWhere cannot evaluate") ||
+      Option(e.getCause).exists(_.getMessage.contains("replaceWhere cannot evaluate")),
+      s"unsupported predicate must be refused loudly: $e")
+    assert(GraftManifest.versions(dir3) == before, "a refused replace commits nothing")
+  }
+
   test("graft-sink SQL DML: merge-on-read DELETE vectors rows, partition-aligned DELETE is metadata-only") {
     val root = java.nio.file.Files.createTempDirectory("graft_dml_spec").toString
     spark.conf.set("spark.sql.catalog.gdml", classOf[graft.sources.GraftCatalog].getName)
@@ -599,14 +697,26 @@ class SourceSpec extends AnyFunSuite {
     assert(after == Map(2L -> -1L, 3L -> -1L, 4L -> -1L,
       5L -> 51L, 6L -> 60L, 7L -> 71L))
 
-    // a row-level commit conditioned on a stale base must throw, not truncate
+    // a row-level commit conditioned on a stale base AUTO-REBASES over
+    // pure appends (round 10): the appended rows survive, no replan
     val base = GraftManifest.versions(dir).last
-    spark.range(3).select(col("id"), col("id").as("v"))
+    val preTotal = GraftManifest.readVersion(dir, None).get.total
+    spark.range(100, 103).select(col("id"), col("id").as("v"))
       .write.format("graft-sink").option("path", dir).mode("append").save()
+    new graft.sources.GraftDeltaBatchWrite(dir,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"),
+      "stale", base).commit(Array.empty)
+    assert(GraftManifest.readVersion(dir, None).get.total == preTotal + 3,
+      "the rebased delta commit must keep the interleaved append's rows")
+    // but a stale base whose files a concurrent commit REWROTE still throws
+    val base2 = GraftManifest.versions(dir).last
+    spark.read.format("graft-sink").option("path", dir).load().coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("expectedBaseVersion", base2.toString).mode("overwrite").save()
     intercept[java.util.ConcurrentModificationException] {
       new graft.sources.GraftDeltaBatchWrite(dir,
         org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"),
-        "stale", base).commit(Array.empty)
+        "stale2", base2).commit(Array.empty)
     }
   }
 
@@ -697,9 +807,12 @@ class SourceSpec extends AnyFunSuite {
     spark.sql("INSERT INTO galt.db.a VALUES (99, 5)")
     val got = spark.sql("SELECT id, extra FROM galt.db.a WHERE id = 99").collect()
     assert(got.length == 1 && got.head.getLong(1) == 5L)
-    // destructive ALTERs are refused (they would shift committed cells)
+    // destructive ALTERs are refused (they would shift committed cells);
+    // RENAME is no longer destructive — column mapping (round 10) makes
+    // it metadata-only, pinned by its own spec test
     intercept[Exception] { spark.sql("ALTER TABLE galt.db.a DROP COLUMN id") }
-    intercept[Exception] { spark.sql("ALTER TABLE galt.db.a RENAME COLUMN id TO i") }
+    spark.sql("ALTER TABLE galt.db.a RENAME COLUMN id TO i")
+    assert(spark.sql("SELECT i FROM galt.db.a WHERE i = 99").count() == 1)
     intercept[Exception] {
       spark.sql("ALTER TABLE galt.db.a ADD COLUMNS (x BIGINT FIRST)") }
   }
