@@ -1661,13 +1661,91 @@ object Scale {
           false
         } catch { case _: Throwable => true }
       require(refused, "add_constraint over violating data must be refused")
-      require(graft.sources.GraftManifest.readVersion(dir, None).get
-        .checks.map(_._1).sorted == Seq("et_nn", "n_pos"),
-        "the refused constraint must not be recorded")
+      // SHOW CONSTRAINTS agrees: the refused one was never recorded
+      val listed = spark.sql(s"CALL gsql.system.constraints('db.$tbl')")
+        .collect().map(_.getString(0)).toSeq
+      require(listed == Seq("et_nn", "n_pos"),
+        s"the refused constraint must not be recorded; listed: $listed")
     }
     spark.read.format("graft-sink").option("path", dir).load()
       .select(col("event_type"), col("bucket"), col("n"), col("sum_cents"))
       .orderBy(col("event_type"), col("bucket"), col("n"))
+  }
+
+  /** AGGREGATE PUSHDOWN TO MANIFEST STATISTICS
+    * (SupportsPushDownAggregates): `count(*) / count(c) / min(c) /
+    * max(c)` over an unfiltered graft table — optionally GROUP BY the
+    * partition column — answers ENTIRELY from the manifest's live row
+    * counts, null counts and min/max envelope: the scan degenerates to a
+    * driver-side LocalScan, O(manifest) at ANY table size. At 100 TB
+    * this is the count-star query that never touches a data byte — the
+    * capability Delta/Iceberg ship as metadata-only aggregates. The key
+    * REQUIREs both plans (global + grouped) contain a LocalTableScan and
+    * NO BatchScan of the connector; any WHERE clause or insufficient
+    * per-file facts (unknown nulls, a deletion vector under min/max)
+    * falls back to the real scan — correctness never rides on the
+    * shortcut. The oracle recomputes everything from events. */
+  def sinkAggPushdown(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttagg", sf)
+    graft.util.Scratch.once(dir) {
+      bucketAgg(events(spark, sf))
+        .repartition(col("event_type"))
+        .write.format("graft-sink").option("path", dir)
+        .option("partitionBy", "event_type").mode("overwrite").save()
+    }
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    val global = t.agg(count(lit(1)).as("total_rows"),
+      min(col("bucket")).as("min_bucket"), max(col("bucket")).as("max_bucket"),
+      max(col("sum_cents")).as("max_cents"), count(col("n")).as("n_nonnull"))
+    val grouped = t.groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
+    def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+    require(planOf(global).contains("LocalTableScan") &&
+        !planOf(global).contains("BatchScan"),
+      s"global aggregate must answer from the manifest:\n${planOf(global).take(600)}")
+    require(planOf(grouped).contains("LocalTableScan") &&
+        !planOf(grouped).contains("BatchScan"),
+      s"grouped aggregate must answer from the manifest:\n${planOf(grouped).take(600)}")
+    grouped.crossJoin(broadcast(global))
+      .select(col("event_type"), col("n_rows"), col("total_rows"),
+        col("min_bucket"), col("max_bucket"), col("max_cents"), col("n_nonnull"))
+      .orderBy(col("event_type"))
+  }
+
+  /** METADATA TABLES — `CALL gsql.system.files/partitions(t)` (the
+    * Iceberg `t.files`/`t.partitions` read): per-file and per-partition
+    * facts (file count, physical rows, live rows after deletion vectors)
+    * straight from the folded head manifest, O(manifest) with zero data
+    * bytes read — how an operator finds fragmentation or outstanding
+    * merge-on-read debt on a 100 TB table. The fixture writes a
+    * partitioned table (hash write distribution → exactly ONE file per
+    * value, which the oracle pins), row-level-DELETEs one bucket so
+    * physical and live counts genuinely diverge, and REQUIREs the files
+    * view to reconcile with the partitions view before returning the
+    * latter. */
+  def sinkPartitionsMetadata(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "pm_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      bucketAgg(events(spark, sf))
+        .write.format("graft-sink").option("path", dir)
+        .option("partitionBy", "event_type").mode("overwrite").save()
+      spark.sql(s"DELETE FROM gsql.db.$tbl WHERE bucket = 2")
+    }
+    val files = spark.sql(s"CALL gsql.system.files('db.$tbl')")
+      .groupBy(col("partition_value")).agg(
+        count(lit(1)).as("nf"), sum(col("rows")).as("r"),
+        sum(col("live_rows")).as("lr"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val parts = spark.sql(s"CALL gsql.system.partitions('db.$tbl')")
+    val fromParts = parts.collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    require(files == fromParts,
+      s"files and partitions metadata must reconcile: $files vs $fromParts")
+    parts.select(col("partition").as("event_type"), col("n_files"),
+        col("rows").as("n_rows"), col("live_rows").as("n_live"))
+      .orderBy(col("event_type"))
   }
 
   /** ROW-LEVEL MERGE committed as a VERSION (VERDICT r7 missing #2 — the
@@ -2357,6 +2435,8 @@ object Scale {
     "sink_replace_where" -> sinkReplaceWhere,
     "sink_column_rename" -> sinkColumnRename,
     "sink_constraint_enforce" -> sinkConstraintEnforce,
+    "sink_agg_pushdown" -> sinkAggPushdown,
+    "sink_partitions_metadata" -> sinkPartitionsMetadata,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
     "sink_schema_evolve" -> sinkSchemaEvolve,
@@ -2651,6 +2731,29 @@ object Scale {
         |SELECT * FROM a
         |UNION ALL SELECT event_type, bucket, n + 5000, sum_cents FROM a
         |ORDER BY event_type, bucket, n""".stripMargin,
+
+    "sink_agg_pushdown" ->
+      """WITH a AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2
+        |), g AS (SELECT event_type, count(*) AS n_rows FROM a GROUP BY 1),
+        |t AS (SELECT count(*) AS total_rows, min(bucket) AS min_bucket,
+        |  max(bucket) AS max_bucket, max(sum_cents) AS max_cents,
+        |  count(n) AS n_nonnull FROM a)
+        |SELECT g.event_type, g.n_rows, t.total_rows, t.min_bucket,
+        |  t.max_bucket, t.max_cents, t.n_nonnull
+        |FROM g, t ORDER BY g.event_type""".stripMargin,
+
+    "sink_partitions_metadata" ->
+      """WITH a AS (
+        |  SELECT event_type, user_id % 4 AS bucket FROM events
+        |  GROUP BY event_type, user_id % 4
+        |)
+        |SELECT event_type, CAST(1 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN bucket <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+        |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "sink_merge_version" ->
       """WITH v1 AS (

@@ -292,7 +292,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("vacuum", "restore", "optimize", "history", "tag", "drop_tag", "tags",
-        "add_constraint", "drop_constraint")
+        "add_constraint", "drop_constraint", "constraints", "files", "partitions")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -309,10 +309,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "tags"     => new GraftTagsProcedure(this)
       case "add_constraint"  => new GraftAddConstraintProcedure(this)
       case "drop_constraint" => new GraftDropConstraintProcedure(this)
+      case "constraints"     => new GraftConstraintsProcedure(this)
+      case "files"           => new GraftFilesProcedure(this)
+      case "partitions"      => new GraftPartitionsProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other " +
           "(have vacuum, restore, optimize, history, tag, drop_tag, tags, " +
-          "add_constraint, drop_constraint)")
+          "add_constraint, drop_constraint, constraints, files, partitions)")
     }
   }
 }
@@ -739,6 +742,107 @@ private[sources] class GraftDropConstraintProcedure(cat: GraftCatalog)
         checksOverride = Some(head.checks.filterNot(_._1 == cname)))
     result(StructType.fromDDL("constraint STRING, existed BOOLEAN"),
       UTF8String.fromString(cname), existed)
+  }
+}
+
+/** `CALL cat.system.constraints(table)` — SHOW CONSTRAINTS: the head's
+  * CHECK constraints as (constraint, expr) rows, name-sorted. One header
+  * read — O(constraints), never O(data). */
+private[sources] class GraftConstraintsProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "constraints"
+  override def description(): String = "list the table's CHECK constraints"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    val vs = GraftManifest.versions(dir)
+    if (vs.isEmpty) throw new IllegalArgumentException(
+      s"graft constraints: no committed table at '${input.getUTF8String(0)}'")
+    val schema = StructType.fromDDL("constraint STRING, expr STRING")
+    val listed = GraftManifest.headerFacts(dir, vs.max).checks.sortBy(_._1)
+      .map { case (n, e) =>
+        InternalRow.fromSeq(Seq[Any](UTF8String.fromString(n), UTF8String.fromString(e)))
+      }.toArray
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = listed
+      override def readSchema(): StructType = schema
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL cat.system.files(table)` — the FILES metadata table (Iceberg
+  * `t.files` / Delta `DESCRIBE DETAIL` granularity): one row per live
+  * data file at the head snapshot, straight from the folded manifest —
+  * partition value, physical rows, live rows (physical minus
+  * deletion-vector positions), vectored-row count and column width.
+  * O(manifest), never touches a data byte: this is how an operator
+  * answers "where did my small files come from" / "how much
+  * merge-on-read debt is outstanding" on a 100 TB table without a scan.
+  * Rows are name-sorted for a stable display order. */
+private[sources] class GraftFilesProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "files"
+  override def description(): String =
+    "one row per live data file at the head: partition, rows, live rows, dv rows"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    val m = GraftManifest.readVersion(dir, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft files: no committed table at '${input.getUTF8String(0)}'"))
+    val schema = StructType.fromDDL(
+      "file STRING, partition_col STRING, partition_value STRING, " +
+        "rows BIGINT, live_rows BIGINT, dv_rows BIGINT, n_cols INT")
+    val listed = m.metas.sortBy(_.name).map { f =>
+      InternalRow.fromSeq(Seq[Any](
+        UTF8String.fromString(f.name),
+        f.partition.map(p => UTF8String.fromString(p._1)).orNull,
+        f.partition.map(p => UTF8String.fromString(p._2)).orNull,
+        f.rows, f.liveRows, f.dv.map(_._2).getOrElse(0L), f.ncols))
+    }.toArray
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = listed
+      override def readSchema(): StructType = schema
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL cat.system.partitions(table)` — the PARTITIONS metadata table
+  * (Iceberg `t.partitions`): per partition value, how many files hold it
+  * and the physical/live row totals, folded from the head manifest in
+  * O(manifest). An unpartitioned table reports one NULL-partition row.
+  * The 100 TB use: spotting the skewed or fragmented partition (1 value,
+  * 10k files) BEFORE it becomes a slow scan — and feeding `optimize`
+  * exactly the values worth compacting. */
+private[sources] class GraftPartitionsProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "partitions"
+  override def description(): String =
+    "per partition value: file count, physical rows, live rows"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    val m = GraftManifest.readVersion(dir, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft partitions: no committed table at '${input.getUTF8String(0)}'"))
+    val schema = StructType.fromDDL(
+      "partition STRING, n_files BIGINT, rows BIGINT, live_rows BIGINT")
+    val listed = m.metas.groupBy(_.partition.map(_._2)).toSeq
+      .sortBy(_._1.getOrElse("")).map { case (pv, fs) =>
+        InternalRow.fromSeq(Seq[Any](
+          pv.map(UTF8String.fromString).orNull,
+          fs.size.toLong, fs.map(_.rows).sum, fs.map(_.liveRows).sum))
+      }.toArray
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = listed
+      override def readSchema(): StructType = schema
+    }
+    java.util.Collections.singletonList(scan).iterator()
   }
 }
 

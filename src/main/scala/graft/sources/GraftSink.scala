@@ -1326,7 +1326,8 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         }
         this
       }
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         // `_change_type` / `_file` / `_pos` are VIRTUAL read columns: a
         // real column by any of these names would silently shadow them
         // (and, for the change feed, shift every later cell) — refuse at
@@ -1346,9 +1347,31 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         // the V1 save() path rejects explicit partition columns on a
         // path-based V2 TableProvider before the table ever sees them
         private val partCol = Option(opts.get("partitionBy")).filter(_.nonEmpty)
+        // write DISTRIBUTION (the Iceberg write.distribution-mode
+        // contract): a partitioned write requests CLUSTERING on the
+        // partition column by default ("hash"), so each value's rows
+        // co-locate and the job lands ONE file per partition value no
+        // matter how the incoming frame was shaped — without it, every
+        // task writes a file per value it happens to see, and a 1000-task
+        // job over 100 partitions lands 100k small files.
+        // `distributionMode=none` opts out (correctness never depends on
+        // the shape — a split value just yields one file per task).
+        private val distMode = Option(opts.get("distributionMode")).getOrElse("hash")
+        require(distMode == "hash" || distMode == "none",
+          s"graft-sink: distributionMode must be hash|none, got '$distMode'")
         // audit label for the commit's `#op=` line; maintenance rewrites
         // (OPTIMIZE/RESTORE run as ordinary overwrites) pass their verb
         private val opLabel = Option(opts.get("operation")).filter(_.nonEmpty)
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          partCol.filter(_ => distMode == "hash")
+            .map(c => org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(Array(Expressions.identity(c))))
+            .getOrElse(org.apache.spark.sql.connector.distributions.Distributions
+              .unspecified())
+        override def distributionStrictlyRequired(): Boolean = false
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
             expectedBase, evolve, partCol, opLabel, replaceWhere)
@@ -1450,7 +1473,8 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
     streamOpts: Map[String, String] = Map.empty,
     filesSubset: Option[Set[String]] = None, spj: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = visible
   private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -1466,9 +1490,138 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan =
-    GraftSinkScan(path, version, layout, required, pushed.toSeq,
-      changesFrom, streamOpts, filesSubset, spj)
+
+  // ---- AGGREGATE pushdown to manifest statistics ----------------------
+  // `SELECT count(*) / count(c) / min(c) / max(c) FROM t [GROUP BY p]`
+  // over an unfiltered graft table answers ENTIRELY from the manifest:
+  // live row counts, per-file null counts, and the per-column min/max
+  // envelope are exact commit-time facts, so the "scan" degenerates to a
+  // driver-side LocalScan — O(manifest) at ANY table size, the
+  // count-star-on-100TB query every metadata-carrying format should
+  // never scan for. Spark only attempts this when no residual filter
+  // remains (ours always are residual, so any WHERE keeps the real
+  // scan), and the decision bails to a normal scan whenever a single
+  // file's facts are insufficient: unknown null counts (pre-round-9
+  // files), a deletion vector under min/max or count(c) (the deleted
+  // rows' values/nullness are not manifest facts), or a pre-stats file.
+  private var aggResult: Option[(StructType, Array[InternalRow], String)] = None
+  private object Bail extends Exception
+
+  private def tryAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[InternalRow], String)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (pushed.nonEmpty || changesFrom.isDefined || filesSubset.isDefined ||
+      streamOpts.nonEmpty) return None
+    val m = GraftManifest.readVersion(path, version).getOrElse(return None)
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    val gcols = agg.groupByExpressions().toSeq.map(colName)
+    if (gcols.exists(_.isEmpty) || gcols.size > 1) return None
+    val groups: Seq[(Option[String], Seq[GraftFileMeta])] = gcols.flatten.headOption match {
+      case None => Seq((None, m.metas))
+      case Some(g) =>
+        if (!m.metas.forall(_.partition.exists(_._1 == g))) return None
+        m.metas.groupBy(_.partition.get._2).toSeq.sortBy(_._1)
+          .map { case (v, ms) => (Some(v), ms) }
+    }
+    def field(c: String): (Int, DataType) =
+      scala.util.Try(layout.fieldIndex(c)).toOption
+        .map(i => (i, layout.fields(i).dataType)).getOrElse(throw Bail)
+    def typed(dt: DataType, s: String): Any = dt match {
+      case LongType   => s.toLong
+      case DoubleType => s.toDouble
+      case StringType => UTF8String.fromString(s)
+      case _          => throw Bail
+    }
+    // per-file facts; throws Bail when the manifest cannot decide
+    def countCol(ms: Seq[GraftFileMeta], c: String): Long = {
+      val (i, _) = field(c)
+      ms.map { f =>
+        if (f.rows == 0L || i >= f.ncols) 0L
+        else f.nulls match {
+          case Some(ns) =>
+            val n = ns.getOrElse(i, 0L)
+            if (f.dv.isEmpty) f.rows - n
+            else if (n == 0L) f.liveRows // no nulls at all → every live row counts
+            else throw Bail // deleted rows' nullness unknown
+          case None => throw Bail
+        }
+      }.sum
+    }
+    def extreme(ms: Seq[GraftFileMeta], c: String, isMin: Boolean): Any = {
+      val (i, dt) = field(c)
+      val vals = ms.flatMap { f =>
+        if (f.rows == 0L || i >= f.ncols) None
+        else if (f.dv.nonEmpty) throw Bail // a deleted row may be the extreme
+        else f.stats.get(i) match {
+          case Some((mn, mx)) => Some(if (isMin) mn else mx)
+          case None =>
+            // stats absent is fine ONLY when the file is provably all-null
+            if (f.nulls.exists(_.getOrElse(i, 0L) == f.rows)) None else throw Bail
+        }
+      }
+      if (vals.isEmpty) null
+      else typed(dt, vals.reduce((a, b) =>
+        if ((GraftSinkScan.cmpStats(dt, a, b) < 0) == isMin) a else b))
+    }
+    try {
+      val funcs = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => ("count(*)", LongType,
+          (ms: Seq[GraftFileMeta]) => ms.map(_.liveRows).sum: Any)
+        case c: Count if !c.isDistinct =>
+          val col = colName(c.column).getOrElse(throw Bail)
+          (s"count($col)", LongType, (ms: Seq[GraftFileMeta]) => countCol(ms, col): Any)
+        case mn: Min =>
+          val col = colName(mn.column).getOrElse(throw Bail)
+          (s"min($col)", field(col)._2, (ms: Seq[GraftFileMeta]) => extreme(ms, col, isMin = true))
+        case mx: Max =>
+          val col = colName(mx.column).getOrElse(throw Bail)
+          (s"max($col)", field(col)._2, (ms: Seq[GraftFileMeta]) => extreme(ms, col, isMin = false))
+        case _ => return None
+      }
+      val gField = gcols.flatten.headOption.map(field)
+      val schema = StructType(
+        gcols.flatten.map(g => layout.fields(layout.fieldIndex(g))) ++
+          funcs.map { case (n, dt, _) =>
+            org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
+      val rows = groups.map { case (gv, ms) =>
+        InternalRow.fromSeq(
+          gv.map(v => typed(gField.get._2, v)).toSeq ++ funcs.map(_._3(ms)))
+      }.toArray
+      Some((schema, rows,
+        s"graft-sink $path agg-pushdown [${funcs.map(_._1).mkString(", ")}]" +
+          gcols.flatten.headOption.map(g => s" group by $g").getOrElse("")))
+    } catch { case Bail => None }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryAggregation(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = tryAggregation(agg)
+    aggResult.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    // binder names deliberately distinct from the LocalScan members: a
+    // member named like the captured val would shadow it into an
+    // infinite self-call (the GraftTagsProcedure lesson)
+    case Some((aggSchema, aggRows, aggDesc)) =>
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = aggRows
+        override def readSchema(): StructType = aggSchema
+        override def description(): String = aggDesc
+      }
+    case None =>
+      GraftSinkScan(path, version, layout, required, pushed.toSeq,
+        changesFrom, streamOpts, filesSubset, spj)
+  }
 }
 
 case class GraftSinkScan(path: String, version: Option[Int],
@@ -1669,7 +1822,9 @@ object GraftSinkScan {
   private def hasCol(layout: StructType, c: String): Boolean =
     scala.util.Try(layout.fieldIndex(c)).isSuccess
 
-  /** Typed three-way compare of the manifest's string-form stats. */
+  /** Typed three-way compare of the manifest's string-form stats (shared
+    * with the aggregate-pushdown fold). */
+  private[sources] def cmpStats(dt: DataType, a: String, b: String): Int = cmp(dt, a, b)
   private def cmp(dt: DataType, a: String, b: String): Int = dt match {
     case LongType   => java.lang.Long.compare(a.toLong, b.toLong)
     case DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)

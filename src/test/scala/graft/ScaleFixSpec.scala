@@ -393,6 +393,9 @@ class ScaleFixSpec extends AnyFunSuite {
       .select(col("id"), concat(lit("g"), (col("id") % 3).cast("string")).as("grp"))
       .repartition(4) // round-robin: every task sees every grp — the adversarial layout
       .write.format("graft-sink").option("path", dir)
+      // opt OUT of the write-side hash distribution: this test is about
+      // the writer's per-task-per-value correctness under the layout
+      .option("distributionMode", "none")
       .option("partitionBy", "grp").mode("overwrite").save()
     val head = graft.sources.GraftManifest.readVersion(dir, None).get
     val total = head.metas.size

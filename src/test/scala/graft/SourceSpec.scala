@@ -151,11 +151,14 @@ class SourceSpec extends AnyFunSuite {
     intercept[Exception] {
       write(df1.withColumnRenamed("n", "m"), "append")
     }
-    // torn-file detection: truncate a committed file behind the manifest
+    // torn-file detection: truncate a committed file behind the manifest.
+    // NB a bare count() now answers from the manifest (aggregate
+    // pushdown — the manifest IS the source of truth, the Delta
+    // stats-count contract), so force a real scan with collect().
     val m3 = graft.sources.GraftManifest.readVersion(dir, Some(3)).get
     val victim = java.nio.file.Paths.get(dir, m3.files.filter(_._2 > 0).head._1)
     java.nio.file.Files.write(victim, Array.empty[Byte])
-    val torn = intercept[org.apache.spark.SparkException] { read(Some(3)).count() }
+    val torn = intercept[org.apache.spark.SparkException] { read(Some(3)).collect() }
     assert(torn.getMessage.contains("manifest committed") ||
       Option(torn.getCause).exists(_.getMessage.contains("manifest committed")))
   }
@@ -518,6 +521,56 @@ class SourceSpec extends AnyFunSuite {
     drain(Map("ignoreChanges" -> "true"))
     assert(spark.read.parquet(out).count() == 30,
       "ignoreChanges re-emits the 15 rewritten rows")
+  }
+
+  test("graft-sink write distribution + aggregate pushdown: auto-clustered files, manifest-answered aggs, honest fallbacks") {
+    import graft.sources.GraftManifest
+    // HASH write distribution (default): a partitioned write clusters by
+    // the partition column itself — one file per value, no caller shaping
+    val dir = java.nio.file.Files.createTempDirectory("graft_dist").toString
+    spark.range(0, 300).toDF("id")
+      .select(col("id"), concat(lit("g"), (col("id") % 3).cast("string")).as("grp"))
+      .repartition(4) // adversarial input layout; the WRITE fixes it
+      .write.format("graft-sink").option("path", dir)
+      .option("partitionBy", "grp").mode("overwrite").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.metas.size == 3 &&
+      head.metas.flatMap(_.partition.map(_._2)).sorted == Seq("g0", "g1", "g2"),
+      s"hash distribution must land exactly one file per value: ${head.metas}")
+    // aggregate pushdown: unfiltered count/min/max answers from the manifest
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    val agg = t.agg(count(lit(1)), min(col("id")), max(col("id")))
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      agg.queryExecution.executedPlan.toString.take(400))
+    assert(agg.head() == org.apache.spark.sql.Row(300L, 0L, 299L))
+    // grouped by the partition column: one manifest row per value
+    val byGrp = t.groupBy(col("grp")).agg(count(lit(1)).as("n")).orderBy(col("grp"))
+    assert(byGrp.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(byGrp.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("g0", 100L), ("g1", 100L), ("g2", 100L)))
+    // HONEST FALLBACKS: a WHERE keeps the real scan (stats skipping is
+    // file-granular, whole-file stats must not answer filtered aggs)...
+    val filtered = t.where(col("grp") === "g1").agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "filtered aggregates must scan")
+    assert(filtered.head().getLong(0) == 100L)
+    // ...and a deletion vector blocks min/max (a deleted row might have
+    // been the extreme) while count(*) still answers from live counts
+    spark.conf.set("spark.sql.catalog.gagg", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gagg.root", dir + "_root")
+    val dir2 = dir + "_root/db/t"
+    spark.range(10).selectExpr("id").coalesce(1)
+      .write.format("graft-sink").option("path", dir2).mode("overwrite").save()
+    spark.sql("DELETE FROM gagg.db.t WHERE id % 3 = 1")
+    val t2 = spark.read.format("graft-sink").option("path", dir2).load()
+    val cnt = t2.agg(count(lit(1)))
+    assert(cnt.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "count(*) over a vectored table still answers from live counts")
+    assert(cnt.head().getLong(0) == 7L) // 10 rows minus deleted ids 1,4,7
+    val mn = t2.agg(min(col("id")))
+    assert(!mn.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "min over a vectored file must scan — the deleted row might have been the min")
+    assert(mn.head().getLong(0) == 0L)
   }
 
   test("graft-sink column mapping + constraints: rename keeps ids, re-added names never alias, DML enforces") {
