@@ -1674,9 +1674,10 @@ object Scale {
 
   /** AGGREGATE PUSHDOWN TO MANIFEST STATISTICS
     * (SupportsPushDownAggregates): `count(*) / count(c) / min(c) /
-    * max(c)` over an unfiltered graft table — optionally GROUP BY the
-    * partition column — answers ENTIRELY from the manifest's live row
-    * counts, null counts and min/max envelope: the scan degenerates to a
+    * max(c) / sum(c)` over an unfiltered graft table — optionally GROUP
+    * BY the partition column — answers ENTIRELY from the manifest's live
+    * row counts, null counts, min/max envelope and per-file exact BIGINT
+    * sums (`#sums` lines): the scan degenerates to a
     * driver-side LocalScan, O(manifest) at ANY table size. At 100 TB
     * this is the count-star query that never touches a data byte — the
     * capability Delta/Iceberg ship as metadata-only aggregates. The key
@@ -1696,8 +1697,10 @@ object Scale {
     val t = spark.read.format("graft-sink").option("path", dir).load()
     val global = t.agg(count(lit(1)).as("total_rows"),
       min(col("bucket")).as("min_bucket"), max(col("bucket")).as("max_bucket"),
-      max(col("sum_cents")).as("max_cents"), count(col("n")).as("n_nonnull"))
-    val grouped = t.groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
+      max(col("sum_cents")).as("max_cents"), count(col("n")).as("n_nonnull"),
+      sum(col("n")).as("sum_n"))
+    val grouped = t.groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"),
+      sum(col("sum_cents")).as("cents"))
     def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
     require(planOf(global).contains("LocalTableScan") &&
         !planOf(global).contains("BatchScan"),
@@ -1706,8 +1709,9 @@ object Scale {
         !planOf(grouped).contains("BatchScan"),
       s"grouped aggregate must answer from the manifest:\n${planOf(grouped).take(600)}")
     grouped.crossJoin(broadcast(global))
-      .select(col("event_type"), col("n_rows"), col("total_rows"),
-        col("min_bucket"), col("max_bucket"), col("max_cents"), col("n_nonnull"))
+      .select(col("event_type"), col("n_rows"), col("cents"), col("total_rows"),
+        col("min_bucket"), col("max_bucket"), col("max_cents"), col("n_nonnull"),
+        col("sum_n"))
       .orderBy(col("event_type"))
   }
 
@@ -2737,12 +2741,13 @@ object Scale {
         |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
         |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |  FROM events GROUP BY 1, 2
-        |), g AS (SELECT event_type, count(*) AS n_rows FROM a GROUP BY 1),
+        |), g AS (SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(sum_cents) AS BIGINT) AS cents FROM a GROUP BY 1),
         |t AS (SELECT count(*) AS total_rows, min(bucket) AS min_bucket,
         |  max(bucket) AS max_bucket, max(sum_cents) AS max_cents,
-        |  count(n) AS n_nonnull FROM a)
-        |SELECT g.event_type, g.n_rows, t.total_rows, t.min_bucket,
-        |  t.max_bucket, t.max_cents, t.n_nonnull
+        |  count(n) AS n_nonnull, CAST(sum(n) AS BIGINT) AS sum_n FROM a)
+        |SELECT g.event_type, g.n_rows, g.cents, t.total_rows, t.min_bucket,
+        |  t.max_bucket, t.max_cents, t.n_nonnull, t.sum_n
         |FROM g, t ORDER BY g.event_type""".stripMargin,
 
     "sink_partitions_metadata" ->

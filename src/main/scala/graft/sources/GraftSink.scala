@@ -145,7 +145,8 @@ object GraftSinkProvider {
   * materializes survivors into fresh files with no vector. */
 case class GraftFileMeta(name: String, rows: Long, ncols: Int,
     stats: Map[Int, (String, String)], partition: Option[(String, String)],
-    nulls: Option[Map[Int, Long]] = None, dv: Option[(String, Long)] = None) {
+    nulls: Option[Map[Int, Long]] = None, dv: Option[(String, Long)] = None,
+    sums: Option[Map[Int, Long]] = None) {
   /** Rows a scan of this file emits (physical minus deleted). */
   def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
 }
@@ -337,6 +338,13 @@ object GraftManifest {
     *                                    counts known; zero-count columns
     *                                    omitted, so an empty list = no nulls)
     * #dv=<file>,<sidecar>,<n>           deletion vector: n positions in <sidecar>
+    * #sums=<file>,<i>:<v>;<i>:<v>...    per-file EXACT sums of non-null
+    *                                    BIGINT columns (listed column =
+    *                                    sum known, zero included; a column
+    *                                    absent from a present line is
+    *                                    unknown — e.g. Long overflow at
+    *                                    write time; doubles never listed:
+    *                                    FP addition is order-dependent)
     * <file>,<rows>                      one per listed file (PHYSICAL rows)
     * _total,<N>                         LIVE row total of the FULL snapshot
     * }}}
@@ -363,6 +371,7 @@ object GraftManifest {
       .withDefaultValue(Map.empty)
     val nulls = scala.collection.mutable.Map[String, Map[Int, Long]]()
     val dvs = scala.collection.mutable.Map[String, (String, Long)]()
+    val sums = scala.collection.mutable.Map[String, Map[Int, Long]]()
     var total = 0L
     body.split("\n").filter(_.nonEmpty).foreach {
       case s if s.startsWith("#schema=") => ddl = Some(s.stripPrefix("#schema="))
@@ -411,6 +420,13 @@ object GraftManifest {
           case bad => throw new IllegalStateException(
             s"malformed #dv line: '${bad.mkString(",")}'")
         }
+      case s if s.startsWith("#sums=") =>
+        s.stripPrefix("#sums=").split(",", 2) match {
+          case Array(f, pairs) => sums(f) = pairs.split(";").filter(_.nonEmpty)
+            .map { p => val Array(i, v) = p.split(":", 2); i.toInt -> v.toLong }.toMap
+          case bad => throw new IllegalStateException(
+            s"malformed #sums line: '${bad.mkString(",")}'")
+        }
       case s if s.startsWith("#") => () // forward-compat: ignore unknown metadata
       case line => line.split(",", 2) match {
         case Array("_total", n) => total = n.toLong
@@ -422,7 +438,7 @@ object GraftManifest {
     val width = ddl.map(StructType.fromDDL(_).length).getOrElse(0)
     val metas = rows.result().map { case (f, n) =>
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f),
-        nulls.get(f), dvs.get(f))
+        nulls.get(f), dvs.get(f), sums.get(f))
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
       ids, checks.result())
@@ -550,7 +566,11 @@ object GraftManifest {
           s"#stats=${m.name},$i,$mn,$mx" }) ++
         m.nulls.map(ns => s"#nulls=${m.name}," + ns.toSeq.filter(_._2 > 0)
           .sortBy(_._1).map { case (i, n) => s"$i:$n" }.mkString(";")).toSeq ++
-        m.dv.map { case (sc, n) => s"#dv=${m.name},$sc,$n" }.toSeq
+        m.dv.map { case (sc, n) => s"#dv=${m.name},$sc,$n" }.toSeq ++
+        // zero sums stay listed (zero is a KNOWN sum); only unknown
+        // columns are absent — the opposite filter from #nulls
+        m.sums.filter(_.nonEmpty).map(ss => s"#sums=${m.name}," + ss.toSeq
+          .sortBy(_._1).map { case (i, v) => s"$i:$v" }.mkString(";")).toSeq
     }
     // `_total` rides in the HEADER (parse is position-agnostic): a delta
     // commit then learns the prior total from [[readHeader]] without
@@ -1492,10 +1512,11 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
   override def pushedFilters(): Array[Filter] = pushed
 
   // ---- AGGREGATE pushdown to manifest statistics ----------------------
-  // `SELECT count(*) / count(c) / min(c) / max(c) FROM t [GROUP BY p]`
-  // over an unfiltered graft table answers ENTIRELY from the manifest:
-  // live row counts, per-file null counts, and the per-column min/max
-  // envelope are exact commit-time facts, so the "scan" degenerates to a
+  // `SELECT count(*) / count(c) / min(c) / max(c) / sum(c) FROM t
+  // [GROUP BY p]` over an unfiltered graft table answers ENTIRELY from
+  // the manifest: live row counts, per-file null counts, the per-column
+  // min/max envelope and exact per-file BIGINT sums (`#sums`) are exact
+  // commit-time facts, so the "scan" degenerates to a
   // driver-side LocalScan — O(manifest) at ANY table size, the
   // count-star-on-100TB query every metadata-carrying format should
   // never scan for. Spark only attempts this when no residual filter
@@ -1510,7 +1531,7 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
   private def tryAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Array[InternalRow], String)] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     if (pushed.nonEmpty || changesFrom.isDefined || filesSubset.isDefined ||
       streamOpts.nonEmpty) return None
     val m = GraftManifest.readVersion(path, version).getOrElse(return None)
@@ -1552,6 +1573,30 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
         }
       }.sum
     }
+    // SQL SUM: NULL over zero non-null values, else the exact fold of the
+    // per-file `#sums` facts; Bail on a vectored file (deleted rows'
+    // contribution is not a manifest fact), an unknown per-file sum
+    // (write-time Long overflow) or fold overflow
+    def sumCol(ms: Seq[GraftFileMeta], c: String): Any = {
+      val (i, dt) = field(c)
+      if (dt != LongType) throw Bail
+      var any = false
+      var acc = 0L
+      ms.foreach { f =>
+        if (f.rows == 0L || i >= f.ncols) ()
+        else if (f.dv.nonEmpty) throw Bail
+        else {
+          val nn = f.nulls.getOrElse(throw Bail).getOrElse(i, 0L)
+          if (f.rows - nn > 0) {
+            val s = f.sums.flatMap(_.get(i)).getOrElse(throw Bail)
+            acc = try Math.addExact(acc, s)
+              catch { case _: ArithmeticException => throw Bail }
+            any = true
+          }
+        }
+      }
+      if (any) acc else null
+    }
     def extreme(ms: Seq[GraftFileMeta], c: String, isMin: Boolean): Any = {
       val (i, dt) = field(c)
       val vals = ms.flatMap { f =>
@@ -1581,6 +1626,10 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
         case mx: Max =>
           val col = colName(mx.column).getOrElse(throw Bail)
           (s"max($col)", field(col)._2, (ms: Seq[GraftFileMeta]) => extreme(ms, col, isMin = false))
+        case sm: Sum if !sm.isDistinct =>
+          val col = colName(sm.column).getOrElse(throw Bail)
+          if (field(col)._2 != LongType) return None // doubles: FP order-dependent
+          (s"sum($col)", LongType, (ms: Seq[GraftFileMeta]) => sumCol(ms, col))
         case _ => return None
       }
       val gField = gcols.flatten.headOption.map(field)
@@ -2783,6 +2832,10 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     val mins = new Array[String](schema.length)
     val maxs = new Array[String](schema.length)
     val nullCounts = new Array[Long](schema.length)
+    // exact non-null sums for BIGINT columns; sumOk drops to false on
+    // Long overflow (the fact becomes "unknown", never wrong)
+    val sums = new Array[Long](schema.length)
+    val sumOk: Array[Boolean] = schema.fields.map(_.dataType == LongType)
   }
   private val parts = scala.collection.mutable.LinkedHashMap[String, Part]()
 
@@ -2838,6 +2891,9 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         val dt = schema.fields(i).dataType
         if (p.mins(i) == null || cmp(dt, cells(i), p.mins(i)) < 0) p.mins(i) = cells(i)
         if (p.maxs(i) == null || cmp(dt, cells(i), p.maxs(i)) > 0) p.maxs(i) = cells(i)
+        if (p.sumOk(i))
+          try p.sums(i) = Math.addExact(p.sums(i), cells(i).toLong)
+          catch { case _: ArithmeticException => p.sumOk(i) = false }
       } else p.nullCounts(i) += 1
       i += 1
     }
@@ -2861,8 +2917,10 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       // files written before null counts existed
       val nulls = (0 until schema.length)
         .filter(p.nullCounts(_) > 0).map(i => i -> p.nullCounts(i)).toMap
+      val sums = (0 until schema.length)
+        .filter(p.sumOk(_)).map(i => i -> p.sums(i)).toMap
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
-        partCol.map(_ -> value), Some(nulls))
+        partCol.map(_ -> value), Some(nulls), None, Some(sums))
     }.toSeq
     GraftSinkCommit(metas)
   }

@@ -548,6 +548,20 @@ class SourceSpec extends AnyFunSuite {
     assert(byGrp.queryExecution.executedPlan.toString.contains("LocalTableScan"))
     assert(byGrp.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("g0", 100L), ("g1", 100L), ("g2", 100L)))
+    // sum(bigint) answers from the per-file #sums facts
+    val sm = t.agg(sum(col("id")))
+    assert(sm.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      sm.queryExecution.executedPlan.toString.take(400))
+    assert(sm.head().getLong(0) == (0L until 300L).sum)
+    // ...but sum(double) is never pushed: FP addition is order-dependent
+    val dirF = java.nio.file.Files.createTempDirectory("graft_dblsum").toString
+    spark.range(5).selectExpr("id", "cast(id as double) as d").coalesce(1)
+      .write.format("graft-sink").option("path", dirF).mode("overwrite").save()
+    val tF = spark.read.format("graft-sink").option("path", dirF).load()
+    val smD = tF.agg(sum(col("d")))
+    assert(!smD.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "sum over a double column must scan")
+    assert(smD.head().getDouble(0) == 10.0)
     // HONEST FALLBACKS: a WHERE keeps the real scan (stats skipping is
     // file-granular, whole-file stats must not answer filtered aggs)...
     val filtered = t.where(col("grp") === "g1").agg(count(lit(1)))
@@ -571,6 +585,10 @@ class SourceSpec extends AnyFunSuite {
     assert(!mn.queryExecution.executedPlan.toString.contains("LocalTableScan"),
       "min over a vectored file must scan — the deleted row might have been the min")
     assert(mn.head().getLong(0) == 0L)
+    val smV = t2.agg(sum(col("id")))
+    assert(!smV.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "sum over a vectored file must scan — deleted rows' contribution is unknown")
+    assert(smV.head().getLong(0) == 45L - 1L - 4L - 7L)
   }
 
   test("graft-sink column mapping + constraints: rename keeps ids, re-added names never alias, DML enforces") {
