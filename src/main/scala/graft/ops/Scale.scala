@@ -1715,6 +1715,52 @@ object Scale {
       .orderBy(col("event_type"))
   }
 
+  /** SORTED (RANGE-CLUSTERED) WRITES — `sortBy=user_id` on an
+    * unpartitioned graft write requests an ORDERED distribution
+    * (RequiresDistributionAndOrdering), so Spark range-partitions the
+    * batch and each task's file owns a DISJOINT slice of the sort key:
+    * the manifest min/max envelopes tile the domain instead of all
+    * spanning it, and a range predicate prunes to O(1) files at plan
+    * time — the clustered-table layout (Delta OPTIMIZE ZORDER's 1-D
+    * case / Iceberg sort orders) that turns stats skipping from "maybe"
+    * into arithmetic. `writePartitions=4` pins the shuffle width so the
+    * fixture is scale-independent. The key REQUIREs the envelopes are
+    * pairwise disjoint AND that a bottom-eighth range predicate plans at
+    * most half the files (it plans 1 of 4 in practice); the returned
+    * aggregate is oracled on the same predicate recomputed from events. */
+  def sinkSortedWrite(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttsortw", sf)
+    graft.util.Scratch.once(dir) {
+      events(spark, sf)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .repartition(8) // adversarial input layout; the WRITE re-ranges it
+        .write.format("graft-sink").option("path", dir)
+        .option("sortBy", "user_id").option("writePartitions", "4")
+        .option("distributionStrict", "true") // pin 4 range files at any sf
+        .mode("overwrite").save()
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    val uidIdx = 1 // (event_id, user_id, event_type, cents)
+    val envs = head.metas.flatMap(_.stats.get(uidIdx))
+      .map { case (mn, mx) => (mn.toLong, mx.toLong) }.sortBy(_._1)
+    require(envs.size == head.metas.size, s"every file needs user_id stats: $head")
+    require(envs.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax <= bMin
+      case _                         => true
+    }, s"range distribution must land disjoint user_id envelopes: $envs")
+    val hi = envs.last._2 / 8 // bottom eighth of the key domain
+    val filtered = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("user_id") <= hi)
+    val planned = filtered.rdd.getNumPartitions
+    require(planned * 2 <= head.metas.size,
+      s"disjoint envelopes must prune: planned $planned of ${head.metas.size}")
+    filtered.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        max(col("user_id")).as("max_uid"))
+      .orderBy(col("event_type"))
+  }
+
   /** METADATA TABLES — `CALL gsql.system.files/partitions(t)` (the
     * Iceberg `t.files`/`t.partitions` read): per-file and per-partition
     * facts (file count, physical rows, live rows after deletion vectors)
@@ -2441,6 +2487,7 @@ object Scale {
     "sink_constraint_enforce" -> sinkConstraintEnforce,
     "sink_agg_pushdown" -> sinkAggPushdown,
     "sink_partitions_metadata" -> sinkPartitionsMetadata,
+    "sink_sorted_write" -> sinkSortedWrite,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
     "sink_schema_evolve" -> sinkSchemaEvolve,
@@ -2759,6 +2806,14 @@ object Scale {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CASE WHEN bucket <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_live
         |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sink_sorted_write" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents,
+        |  max(user_id) AS max_uid
+        |FROM events
+        |WHERE user_id <= (SELECT max(user_id) FROM events) // 8
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "sink_merge_version" ->
       """WITH v1 AS (

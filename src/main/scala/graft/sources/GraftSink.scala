@@ -1379,19 +1379,53 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         private val distMode = Option(opts.get("distributionMode")).getOrElse("hash")
         require(distMode == "hash" || distMode == "none",
           s"graft-sink: distributionMode must be hash|none, got '$distMode'")
+        // SORTED WRITES (`sortBy=<col>`): an UNPARTITIONED write is
+        // range-distributed on the sort column, so each task — hence each
+        // file — owns a DISJOINT value range and the manifest's min/max
+        // envelopes become non-overlapping: a point/range predicate then
+        // prunes to O(1) files at planning time, the clustered-table
+        // layout every lakehouse format sells. On a partitioned write the
+        // clustered distribution stays (partition integrity first) and
+        // the sort applies WITHIN each task's files. `writePartitions=N`
+        // pins the shuffle width (requiredNumPartitions) — the file-count
+        // knob; 0 lets Spark/AQE choose.
+        private val sortCol = Option(opts.get("sortBy")).filter(_.nonEmpty)
+        private val writeParts =
+          Option(opts.get("writePartitions")).map(_.toInt).getOrElse(0)
+        require(writeParts >= 0, s"graft-sink: writePartitions must be >= 0")
+        // non-strict (default) lets Spark plan a REBALANCE, which AQE
+        // coalesces/splits by size — the right 100 TB default. Strict
+        // pins an exact RepartitionByExpression: needed when the caller
+        // wants a deterministic file layout (writePartitions) rather
+        // than a size-targeted one.
+        private val distStrict =
+          Option(opts.get("distributionStrict")).exists(_.toBoolean)
         // audit label for the commit's `#op=` line; maintenance rewrites
         // (OPTIMIZE/RESTORE run as ordinary overwrites) pass their verb
         private val opLabel = Option(opts.get("operation")).filter(_.nonEmpty)
+        private def asc(c: String): org.apache.spark.sql.connector.expressions.SortOrder =
+          Expressions.sort(Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
         override def requiredDistribution()
-            : org.apache.spark.sql.connector.distributions.Distribution =
-          partCol.filter(_ => distMode == "hash")
-            .map(c => org.apache.spark.sql.connector.distributions.Distributions
-              .clustered(Array(Expressions.identity(c))))
-            .getOrElse(org.apache.spark.sql.connector.distributions.Distributions
-              .unspecified())
-        override def distributionStrictlyRequired(): Boolean = false
+            : org.apache.spark.sql.connector.distributions.Distribution = {
+          import org.apache.spark.sql.connector.distributions.Distributions
+          if (distMode == "none") Distributions.unspecified()
+          else partCol match {
+            case Some(c) => Distributions.clustered(Array(Expressions.identity(c)))
+            case None => sortCol.map(s => Distributions.ordered(Array(asc(s))))
+              .getOrElse(Distributions.unspecified())
+          }
+        }
+        override def distributionStrictlyRequired(): Boolean = distStrict
+        override def requiredNumPartitions(): Int =
+          // only meaningful when a distribution is requested — the
+          // contract forbids a width with UnspecifiedDistribution
+          if (distMode != "none" && (partCol.isDefined || sortCol.isDefined))
+            writeParts
+          else 0
         override def requiredOrdering()
-            : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          sortCol.map(s => Array(asc(s))).getOrElse(Array.empty)
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
             expectedBase, evolve, partCol, opLabel, replaceWhere)

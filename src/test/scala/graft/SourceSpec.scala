@@ -591,6 +591,35 @@ class SourceSpec extends AnyFunSuite {
     assert(smV.head().getLong(0) == 45L - 1L - 4L - 7L)
   }
 
+  test("graft-sink sorted write: strict range distribution tiles envelopes and prunes; non-strict rebalance loses nothing") {
+    import graft.sources.GraftManifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_sortw").toString
+    spark.range(0, 400).toDF("id").repartition(8)
+      .write.format("graft-sink").option("path", dir)
+      .option("sortBy", "id").option("writePartitions", "4")
+      .option("distributionStrict", "true").mode("overwrite").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.metas.size == 4, s"strict writePartitions=4 must land 4 files: $head")
+    val envs = head.metas.flatMap(_.stats.get(0))
+      .map { case (a, b) => (a.toLong, b.toLong) }.sortBy(_._1)
+    assert(envs.size == 4 && envs.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax < bMin
+      case _                         => true
+    }, s"range files must own disjoint id slices: $envs")
+    val q = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("id") < envs.head._2) // inside the first file's slice
+    assert(q.rdd.getNumPartitions == 1,
+      s"a first-slice predicate must plan exactly 1 of 4 files")
+    // non-strict (default) goes through REBALANCE — layout is AQE's
+    // choice, but every row lands and stays readable
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sortw2").toString
+    spark.range(0, 400).toDF("id").repartition(8)
+      .write.format("graft-sink").option("path", dir2)
+      .option("sortBy", "id").mode("overwrite").save()
+    assert(spark.read.format("graft-sink").option("path", dir2).load()
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L until 400L))
+  }
+
   test("graft-sink column mapping + constraints: rename keeps ids, re-added names never alias, DML enforces") {
     val root = java.nio.file.Files.createTempDirectory("graft_cm_spec").toString
     spark.conf.set("spark.sql.catalog.gcm", classOf[graft.sources.GraftCatalog].getName)
