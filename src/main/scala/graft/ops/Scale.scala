@@ -1519,6 +1519,68 @@ object Scale {
     out.orderBy(col("event_type"), col("bucket"))
   }
 
+  /** BUCKET-TRANSFORM STORAGE-PARTITIONED JOIN — identity SPJ
+    * (join_spj_graft) needs one partition per VALUE, which a
+    * high-cardinality key can't afford (a million user_ids = a million
+    * files). `partitionBy=bucket(8,user_id)` hashes the key into 8
+    * stable buckets ([[graft.sources.GraftBucket]]); the scan reports a
+    * `bucket(8, user_id)` KeyGroupedPartitioning whose per-split key is
+    * the INT bucket ordinal, and Spark resolves the transform through
+    * the catalog's FunctionCatalog (`graft.bucket`) — so two
+    * co-bucketed tables join on user_id with ZERO Exchange at ANY key
+    * cardinality, the exact Iceberg bucket-SPJ arrangement. That's the
+    * 100 TB fact⋈fact shape: both sides pre-hashed at write time, the
+    * join merges co-located buckets in place. The key REQUIREs zero
+    * shuffles and one task per bucket (8), and that a point predicate
+    * on user_id plans exactly 1 of the 8 files (bucket partition
+    * pruning); the oracle recomputes the join from events. */
+  def joinSpjBucket(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val t1 = "spjb1_" + sfTag(sf)
+    val t2 = "spjb2_" + sfTag(sf)
+    def build(tbl: String)(df: DataFrame): Unit =
+      graft.util.Scratch.once(s"$root/db/$tbl") {
+        df.repartition(pmod(col("user_id"), lit(8)).cast("int"))
+          .write.format("graft-sink").option("path", s"$root/db/$tbl")
+          .option("partitionBy", "bucket(8,user_id)")
+          .mode("overwrite").save()
+      }
+    build(t1)(events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("cents")))
+    build(t2)(events(spark, sf).groupBy(col("user_id"))
+      .agg(max(floor(col("value") * 100).cast("long")).as("max_cents")))
+    val out = withConfs(spark,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.graft.spj.enabled" -> "true") {
+      // bucket partition pruning: a point probe plans 1 of the 8 files
+      val probe = spark.sql(
+        s"SELECT * FROM gsql.db.$t1 WHERE user_id = 3")
+      val probed = probe.rdd.getNumPartitions
+      require(probed == 1,
+        s"bucket pruning must plan exactly 1 of 8 files for a point probe, got $probed")
+      val j = spark.sql(
+        s"""SELECT a.user_id, a.n_events, a.cents, b.max_cents
+           |FROM gsql.db.$t1 a JOIN gsql.db.$t2 b ON a.user_id = b.user_id
+           |""".stripMargin)
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.size
+      require(exchanges == 0,
+        s"bucket SPJ must plan ZERO exchanges, found $exchanges:\n" +
+          j.queryExecution.executedPlan.toString.take(800))
+      val cp = j.localCheckpoint()
+      require(cp.rdd.getNumPartitions == 8,
+        s"bucket SPJ must group to one task per bucket (8), " +
+          s"got ${cp.rdd.getNumPartitions}")
+      cp
+    }
+    out.orderBy(col("user_id"))
+  }
+
   /** OVERWRITE-BY-PREDICATE (`replaceWhere`, VERDICT r9 next #2 — the
     * idempotent partition-refresh verb, the bread-and-butter backfill of
     * an ETL lakehouse): `df.writeTo(t).overwrite(bucket === 2)` deletes
@@ -2482,6 +2544,7 @@ object Scale {
     "sink_stats_skip" -> sinkStatsSkip,
     "sink_partitioned_write" -> sinkPartitionedWrite,
     "join_spj_graft" -> joinSpjGraft,
+    "join_spj_bucket" -> joinSpjBucket,
     "sink_replace_where" -> sinkReplaceWhere,
     "sink_column_rename" -> sinkColumnRename,
     "sink_constraint_enforce" -> sinkConstraintEnforce,
@@ -2751,6 +2814,18 @@ object Scale {
         |SELECT a.event_type, a.bucket, a.n, a.sum_cents, b.n_users
         |FROM a JOIN b USING (event_type)
         |ORDER BY event_type, bucket""".stripMargin,
+
+    "join_spj_bucket" ->
+      """WITH a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1
+        |), b AS (
+        |  SELECT user_id, CAST(max(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS max_cents
+        |  FROM events GROUP BY 1)
+        |SELECT a.user_id, a.n_events, a.cents, b.max_cents
+        |FROM a JOIN b USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "sink_replace_where" ->
       """WITH v1 AS (

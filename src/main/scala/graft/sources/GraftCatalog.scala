@@ -52,7 +52,8 @@ private[sources] object GraftFs {
 }
 
 class GraftCatalog extends TableCatalog with ProcedureCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catName: String = _
   private var root: String = _
 
@@ -223,6 +224,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val renamed = StructType(schema.fields.updated(i, schema.fields(i).copy(name = to)))
     val metas = head.metas.map(m => m.partition match {
       case Some((pc, pv)) if pc == from => m.copy(partition = Some((to, pv)))
+      // a bucket(n, src) layout remaps its SOURCE column name too — the
+      // transform string is the stored partition name
+      case Some((pc, pv)) if GraftBucket.parse(pc).exists(_._2 == from) =>
+        val n = GraftBucket.parse(pc).get._1
+        m.copy(partition = Some((GraftBucket.manifestForm(n, to), pv)))
       case _ => m
     })
     val ids = head.ids.getOrElse(schema.fields.indices.toSeq)
@@ -283,6 +289,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog: rename not supported")
+
+  // ---- FunctionCatalog: the bucket() transform for storage-partitioned joins ----
+  // Spark resolves a scan's reported bucket(n, col) partitioning into a
+  // catalyst TransformExpression THROUGH the table's catalog (the
+  // Iceberg SPJ arrangement) — without this, a bucketed graft table
+  // could never prove two sides share a layout. `loadFunction` accepts
+  // the name in any namespace because V2ExpressionUtils resolves
+  // transform functions with an empty one.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket")) else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // ---- SQL procedures: the table-maintenance verbs as `CALL cat.system.*` ----
 
@@ -519,8 +541,21 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     try {
       val writer = pcols.headOption match {
-        case Some(pc) => victims.repartition(col(pc)).write.option("partitionBy", pc)
-        case None     => victims.repartition(target).write
+        case Some(pc) =>
+          // a bucket(n, src) layout has no partition COLUMN to repartition
+          // by: long sources re-derive the ordinal (pmod == floorMod on
+          // Spark's pmod), string sources fold in one task (String.hashCode
+          // has no builtin Column form; victims are small by definition)
+          val shaped = GraftBucket.parse(pc) match {
+            case Some((n, src)) if victims.schema.fields.exists(f =>
+                f.name == src && f.dataType == LongType) =>
+              victims.repartition(org.apache.spark.sql.functions
+                .pmod(col(src), org.apache.spark.sql.functions.lit(n)))
+            case Some(_) => victims.coalesce(1)
+            case None    => victims.repartition(col(pc))
+          }
+          shaped.write.option("partitionBy", pc)
+        case None => victims.repartition(target).write
       }
       writer.format("graft-sink").option("path", tmp).mode("overwrite").save()
       // move the finished files in under collision-free names; they stay
@@ -571,8 +606,32 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
       return binpack(spark, dir, head, target, maxBytes)
     }
     val snapshot = spark.read.format("graft-sink").option("path", dir).load()
+    // a full rewrite of a uniformly partitioned table PRESERVES its
+    // layout (identity or bucket) — silently flattening would forfeit
+    // every future partition-pruned read and SPJ plan. Z-order rewrites
+    // keep their flat range-partitioned curve layout (documented: the
+    // curve IS the clustering).
+    val keepLayout: Option[String] = {
+      val ps = head.metas.flatMap(_.partition.map(_._1)).distinct
+      if (zcols.isEmpty && ps.size == 1 && head.metas.forall(_.partition.isDefined))
+        Some(ps.head)
+      else None
+    }
     val rewritten =
-      if (zcols.isEmpty) snapshot.repartition(target)
+      if (keepLayout.isDefined) {
+        val pc = keepLayout.get
+        GraftBucket.parse(pc) match {
+          case Some((n, src)) if snapshot.schema.fields.exists(f =>
+              f.name == src && f.dataType == LongType) =>
+            snapshot.repartition(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col(src),
+              org.apache.spark.sql.functions.lit(n)))
+          case Some(_) => snapshot.coalesce(1)
+          case None => snapshot.repartition(
+            org.apache.spark.sql.functions.col(pc))
+        }
+      }
+      else if (zcols.isEmpty) snapshot.repartition(target)
       else {
         val k = zcols.length
         // bit i of dimension j lands at curve position i*k + j — the
@@ -587,9 +646,10 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
           .sortWithinPartitions(col("_zcurve"))
           .drop("_zcurve")
       }
-    rewritten.write.format("graft-sink").option("path", dir)
+    val ow = rewritten.write.format("graft-sink").option("path", dir)
       .option("expectedBaseVersion", head.version.toString)
       .option("operation", "OPTIMIZE")
+    keepLayout.fold(ow)(pc => ow.option("partitionBy", pc))
       .mode("overwrite").save()
     val after = GraftManifest.readVersion(dir, None).get
     result(StructType.fromDDL("files_before INT, files_after INT, new_version INT"),
@@ -887,4 +947,49 @@ private[sources] class GraftHistoryProcedure(cat: GraftCatalog)
     }
     java.util.Collections.singletonList(scan).iterator()
   }
+}
+
+/** The `bucket` V2 function the catalog exposes for transform
+  * resolution. Its semantics are [[GraftBucket.of]] EXACTLY — the writer,
+  * the scan's partition pruning and this function must agree, or a
+  * storage-partitioned join would co-locate the wrong rows. Spark binds
+  * it against (int numBuckets, <source column>). */
+private[sources] object GraftBucketUnbound
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "graft bucket transform: floorMod(v, n) for longs, floorMod(String.hashCode, n) for strings"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket(numBuckets, col) takes 2 arguments, got ${inputType.length}")
+    inputType.fields(1).dataType match {
+      case LongType   => GraftBucketOfLong
+      case StringType => GraftBucketOfString
+      case dt => throw new UnsupportedOperationException(
+        s"graft bucket() supports long/string source columns, got $dt")
+    }
+  }
+}
+
+private[sources] trait GraftBucketBound
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket" // equality across scans
+  override def resultType(): org.apache.spark.sql.types.DataType = IntegerType
+  override def isResultNullable: Boolean = false
+}
+
+private[sources] object GraftBucketOfLong extends GraftBucketBound {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(IntegerType, LongType)
+  override def produceResult(input: InternalRow): Integer =
+    Math.floorMod(input.getLong(1), input.getInt(0).toLong).toInt
+}
+
+private[sources] object GraftBucketOfString extends GraftBucketBound {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(IntegerType, StringType)
+  override def produceResult(input: InternalRow): Integer =
+    Math.floorMod(input.getUTF8String(1).toString.hashCode, input.getInt(0))
 }

@@ -151,6 +151,38 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
   def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
 }
 
+/** BUCKET partition transform — `partitionBy=bucket(N,col)` hashes a
+  * high-cardinality key into N stable buckets, the layout that makes
+  * storage-partitioned JOINS work on keys with millions of values
+  * (identity partitioning would explode the file count). One function,
+  * three places that MUST agree or SPJ silently mis-joins: the writer
+  * (assigning each row's file), the scan's partition pruning (mapping a
+  * point predicate on the source column to its only possible bucket),
+  * and the V2 ScalarFunction the catalog exposes for Spark's transform
+  * resolution. Longs use floorMod(v, n) — deterministic, SQL-expressible
+  * (`v % n` for non-negative keys), and uniform for the dense surrogate
+  * keys bucket layouts exist for; strings use String.hashCode (fixed by
+  * the JLS, identical on every JVM). The manifest encodes the transform
+  * as `bucket:N:col` because `#meta` lines are comma-delimited. */
+object GraftBucket {
+  private val OptForm = """bucket\((\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\)""".r
+  private val ManifestForm = """bucket:(\d+):([A-Za-z_][A-Za-z0-9_]*)""".r
+  /** Accepts both the write-option form `bucket(8,id)` and the manifest
+    * form `bucket:8:id`. */
+  def parse(s: String): Option[(Int, String)] = s match {
+    case OptForm(n, c)      => Some((n.toInt, c))
+    case ManifestForm(n, c) => Some((n.toInt, c))
+    case _                  => None
+  }
+  def manifestForm(n: Int, src: String): String = s"bucket:$n:$src"
+  def of(n: Int, dt: DataType, cell: String): Int = dt match {
+    case LongType   => Math.floorMod(cell.toLong, n.toLong).toInt
+    case StringType => Math.floorMod(cell.hashCode, n)
+    case other => throw new IllegalArgumentException(
+      s"graft-sink: bucket() supports long/string source columns, got $other")
+  }
+}
+
 /** One committed manifest version: the files it names (with metadata),
   * the committed total, the schema DDL it was written with, and the
   * commit wall-clock (epoch millis; None for pre-round-8 manifests).
@@ -1411,7 +1443,13 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
           import org.apache.spark.sql.connector.distributions.Distributions
           if (distMode == "none") Distributions.unspecified()
           else partCol match {
-            case Some(c) => Distributions.clustered(Array(Expressions.identity(c)))
+            // a bucket() transform cannot request a clustered distribution
+            // from a path-based write (resolving the transform needs a
+            // FunctionCatalog the write relation doesn't carry) — callers
+            // pre-shape with repartition if they want one-file-per-bucket
+            case Some(c) if GraftBucket.parse(c).isEmpty =>
+              Distributions.clustered(Array(Expressions.identity(c)))
+            case Some(_) => Distributions.unspecified()
             case None => sortCol.map(s => Distributions.ordered(Array(asc(s))))
               .getOrElse(Distributions.unspecified())
           }
@@ -1420,7 +1458,8 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         override def requiredNumPartitions(): Int =
           // only meaningful when a distribution is requested — the
           // contract forbids a width with UnspecifiedDistribution
-          if (distMode != "none" && (partCol.isDefined || sortCol.isDefined))
+          if (distMode != "none" && (partCol.exists(GraftBucket.parse(_).isEmpty)
+            || (partCol.isEmpty && sortCol.isDefined)))
             writeParts
           else 0
         override def requiredOrdering()
@@ -1782,29 +1821,45 @@ case class GraftSinkScan(path: String, version: Option[Int],
     * values). Gated on the `spj` opt-in (see newScanBuilder): honoring
     * the report GROUPS the scan to one task per partition value, the
     * right trade only when exchange elision dominates. */
-  private lazy val spjKey: Option[(String, Boolean)] = if (!spj) None else {
+  private lazy val spjKey: Option[GraftSpjKey] = if (!spj) None else {
     val metas = survivors.map(_._1)
     metas.headOption.flatMap(_.partition.map(_._1))
       .filter(c => metas.forall(_.partition.exists(_._1 == c)))
       .flatMap { c =>
-        scala.util.Try(full.fields(full.fieldIndex(c)).dataType).toOption.collect {
-          case LongType   => (c, true)
-          case StringType => (c, false)
+        GraftBucket.parse(c) match {
+          // bucket layout: the reported transform is bucket(n, src) and
+          // the per-split key is the INT bucket ordinal. Resolving the
+          // transform needs the catalog's FunctionCatalog, so bucket SPJ
+          // lights up on catalog-backed reads (gsql.db.t), exactly the
+          // Iceberg arrangement.
+          case Some((n, src)) =>
+            scala.util.Try(full.fields(full.fieldIndex(src)).dataType).toOption
+              .collect { case LongType | StringType => GraftSpjBucket(n, src) }
+          case None =>
+            scala.util.Try(full.fields(full.fieldIndex(c)).dataType).toOption
+              .collect {
+                case LongType   => GraftSpjIdentity(c, isLong = true)
+                case StringType => GraftSpjIdentity(c, isLong = false)
+              }
         }
       }
   }
 
   override def outputPartitioning()
-      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val nVals = survivors.flatMap(_._1.partition.map(_._2)).distinct.size
     spjKey match {
-      case Some((c, _)) =>
+      case Some(GraftSpjIdentity(c, _)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(Expressions.identity(c)),
-          survivors.flatMap(_._1.partition.map(_._2)).distinct.size)
+          Array(Expressions.identity(c)), nVals)
+      case Some(GraftSpjBucket(n, src)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.bucket(n, src)), nVals)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           survivors.size)
     }
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1826,10 +1881,15 @@ case class GraftSinkScan(path: String, version: Option[Int],
     * — O(changed files), the unchanged table is never rescanned. */
   override def planInputPartitions(): Array[InputPartition] =
     spjKey match {
-      case Some((_, isLong)) =>
+      case Some(k) =>
+        val keyType = k match {
+          case GraftSpjIdentity(_, true)  => "long"
+          case GraftSpjIdentity(_, false) => "string"
+          case _: GraftSpjBucket          => "int"
+        }
         survivors.map { case (m, c) =>
           GraftSinkKeyedFileSplit(s"$path/${m.name}", m.rows, m.ncols, c,
-            m.dv.map(d => s"$path/${d._1}"), isLong, m.partition.get._2): InputPartition
+            m.dv.map(d => s"$path/${d._1}"), keyType, m.partition.get._2): InputPartition
         }.toArray
       case None =>
         survivors.map { case (m, c) =>
@@ -1930,11 +1990,25 @@ object GraftSinkScan {
         }
     }
     def allNull(c: String): Boolean = col(c).exists(_._1 >= meta.ncols)
+    // BUCKET partition pruning: a point predicate on the bucket SOURCE
+    // column can only match the one bucket the value hashes to — the
+    // partition-pruning payoff of bucket layouts (an equality probe on a
+    // 100 TB bucketed table plans 1/N of its files before stats are even
+    // consulted). Conservative true for anything but =/IN.
+    def bucketOk(c: String, vs: Iterable[Any]): Boolean = meta.partition match {
+      case Some((pc, pv)) => GraftBucket.parse(pc) match {
+        case Some((n, src)) if src == c => col(c).forall { case (_, dt) =>
+          vs.exists(v => GraftBucket.of(n, dt, v.toString).toString == pv) }
+        case _ => true
+      }
+      case None => true
+    }
     f match {
       case And(l, r) => mayMatch(meta, layout, l) && mayMatch(meta, layout, r)
       case Or(l, r)  => mayMatch(meta, layout, l) || mayMatch(meta, layout, r)
-      case EqualTo(c, v) => !allNull(c) && range(c).forall { case (dt, mn, mx) =>
-        cmp(dt, v.toString, mn) >= 0 && cmp(dt, v.toString, mx) <= 0 }
+      case EqualTo(c, v) => !allNull(c) && bucketOk(c, Seq(v)) &&
+        range(c).forall { case (dt, mn, mx) =>
+          cmp(dt, v.toString, mn) >= 0 && cmp(dt, v.toString, mx) <= 0 }
       case GreaterThan(c, v) => !allNull(c) && range(c).forall { case (dt, _, mx) =>
         cmp(dt, mx, v.toString) > 0 }
       case GreaterThanOrEqual(c, v) => !allNull(c) && range(c).forall { case (dt, _, mx) =>
@@ -1943,8 +2017,9 @@ object GraftSinkScan {
         cmp(dt, mn, v.toString) < 0 }
       case LessThanOrEqual(c, v) => !allNull(c) && range(c).forall { case (dt, mn, _) =>
         cmp(dt, mn, v.toString) <= 0 }
-      case In(c, vs) => !allNull(c) && range(c).forall { case (dt, mn, mx) =>
-        vs.exists(v => cmp(dt, v.toString, mn) >= 0 && cmp(dt, v.toString, mx) <= 0) }
+      case In(c, vs) => !allNull(c) && bucketOk(c, vs.toSeq) &&
+        range(c).forall { case (dt, mn, mx) =>
+          vs.exists(v => cmp(dt, v.toString, mn) >= 0 && cmp(dt, v.toString, mx) <= 0) }
       // null counts sharpen both null predicates: IS NOT NULL also drops a
       // full-width file that is KNOWN all-null; IS NULL drops a file KNOWN
       // null-free. Unknown counts (pre-null-stats files) stay conservative.
@@ -2120,12 +2195,25 @@ case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int,
   * common partition column; the key is rebuilt per call from its string
   * form (the method runs driver-side during planning). */
 case class GraftSinkKeyedFileSplit(file: String, expectedRows: Long, ncols: Int,
-    change: String, dvFile: Option[String], keyIsLong: Boolean, key: String)
+    change: String, dvFile: Option[String], keyType: String, key: String)
     extends GraftSplit
     with org.apache.spark.sql.connector.read.HasPartitionKey {
-  override def partitionKey(): InternalRow =
-    InternalRow(if (keyIsLong) key.toLong else UTF8String.fromString(key))
+  override def partitionKey(): InternalRow = InternalRow(keyType match {
+    case "long"   => key.toLong
+    case "int"    => key.toInt // a bucket() ordinal — the transform's output type
+    case "string" => UTF8String.fromString(key)
+    case other => throw new IllegalStateException(s"unknown SPJ key type '$other'")
+  })
 }
+
+/** The partition layout a scan reports for SPJ: the identity column
+  * itself, or a bucket(n, src) transform whose per-file key is the INT
+  * bucket ordinal. */
+private[sources] sealed trait GraftSpjKey
+private[sources] case class GraftSpjIdentity(col: String, isLong: Boolean)
+  extends GraftSpjKey
+private[sources] case class GraftSpjBucket(n: Int, src: String)
+  extends GraftSpjKey
 
 class GraftSinkReaderFactory(full: StructType, required: StructType)
     extends PartitionReaderFactory {
@@ -2843,14 +2931,23 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     if (scala.util.Try(schema.fieldIndex(GraftCheck.columnOf(e))).isFailure) None
     else Some(n -> GraftCheck.parse(e, schema))
   }
+  // `partCol` may be a plain column (identity layout) or a bucket
+  // transform, in either its option form `bucket(8,id)` (batch writes)
+  // or its manifest form `bucket:8:id` (row-level DML re-inserts, which
+  // inherit the snapshot's stored partition name)
+  private val bucketSpec: Option[(Int, String)] = partCol.flatMap(GraftBucket.parse)
+  /** The name this writer records in `#meta` partition entries. */
+  private val partName: Option[String] = partCol.map(pc =>
+    bucketSpec.map { case (n, s) => GraftBucket.manifestForm(n, s) }.getOrElse(pc))
   private val partIdx = partCol.map { c =>
-    val i = scala.util.Try(schema.fieldIndex(c)).getOrElse(
+    val src = bucketSpec.map(_._2).getOrElse(c)
+    val i = scala.util.Try(schema.fieldIndex(src)).getOrElse(
       throw new IllegalArgumentException(
-        s"graft-sink: partitionBy column '$c' not in write schema ${schema.toDDL}"))
+        s"graft-sink: partitionBy column '$src' not in write schema ${schema.toDDL}"))
     schema.fields(i).dataType match {
       case LongType | StringType => i
       case dt => throw new IllegalArgumentException(
-        s"graft-sink: partitionBy supports long/string, got $dt for '$c'")
+        s"graft-sink: partitionBy supports long/string, got $dt for '$src'")
     }
   }
 
@@ -2916,7 +3013,11 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       case Some(i) =>
         if (row.isNullAt(i)) throw new IllegalArgumentException(
           s"graft-sink: NULL partition value for '${partCol.get}'")
-        partFor(cells(i))
+        partFor(bucketSpec match {
+          case Some((n, _)) =>
+            GraftBucket.of(n, schema.fields(i).dataType, cells(i)).toString
+          case None => cells(i)
+        })
       case None => partFor("")
     }
     var i = 0
@@ -2954,7 +3055,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       val sums = (0 until schema.length)
         .filter(p.sumOk(_)).map(i => i -> p.sums(i)).toMap
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
-        partCol.map(_ -> value), Some(nulls), None, Some(sums))
+        partName.map(_ -> value), Some(nulls), None, Some(sums))
     }.toSeq
     GraftSinkCommit(metas)
   }

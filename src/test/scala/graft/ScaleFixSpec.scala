@@ -383,6 +383,65 @@ class ScaleFixSpec extends AnyFunSuite {
     }
   }
 
+  test("graft-sink bucket layout: string buckets prune, rename remaps the transform, no-catalog reads shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.sources.GraftManifest
+    // STRING bucket source: writer, pruning and the V2 function share
+    // String.hashCode floorMod
+    val root = java.nio.file.Files.createTempDirectory("graft_bspec").toString
+    spark.conf.set("spark.sql.catalog.gbk", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbk.root", root)
+    val dir = s"$root/db/t"
+    spark.range(0, 300).toDF("id")
+      .select(col("id"), concat(lit("k"), (col("id") % 40).cast("string")).as("key"))
+      .write.format("graft-sink").option("path", dir)
+      .option("partitionBy", "bucket(4,key)").mode("overwrite").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.metas.forall(_.partition.exists(_._1 == "bucket:4:key")),
+      s"manifest must carry the transform name: ${head.metas.map(_.partition)}")
+    val vals = head.metas.flatMap(_.partition.map(_._2)).distinct.sorted
+    assert(vals.forall(v => (0 until 4).map(_.toString).contains(v)), s"ordinals: $vals")
+    // point probe on the SOURCE column plans only that key's bucket
+    val probe = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("key") === "k7")
+    val expectBucket = Math.floorMod("k7".hashCode, 4).toString
+    val want = head.metas.count(_.partition.exists(_._2 == expectBucket))
+    val planned = probe.rdd.getNumPartitions
+    require(planned == want && want < head.metas.size,
+      s"probe must plan the ${expectBucket} bucket's $want files of ${head.metas.size}, " +
+        s"planned $planned; " +
+        s"metas=${head.metas.map(m => m.name -> m.partition).sortBy(_._1).mkString(";")}")
+    assert(probe.count() == (0 until 300).count(_ % 40 == 7))
+    // RENAME of the bucket source column remaps the stored transform
+    spark.sql("ALTER TABLE gbk.db.t RENAME COLUMN key TO user_key")
+    val renamed = GraftManifest.readVersion(dir, None).get
+    assert(renamed.metas.forall(_.partition.exists(_._1 == "bucket:4:user_key")),
+      s"rename must remap the transform: ${renamed.metas.headOption.map(_.partition)}")
+    val probe2 = spark.table("gbk.db.t").where(col("user_key") === "k7")
+    assert(probe2.rdd.getNumPartitions == want, "pruning survives the rename")
+    // a full OPTIMIZE preserves the bucket layout (string source: one
+    // fold task) — pruning afterwards plans exactly 1 of ≤4 files
+    spark.sql("CALL gbk.system.optimize('db.t', 1)")
+    val opt = GraftManifest.readVersion(dir, None).get
+    assert(opt.metas.nonEmpty && opt.metas.size <= 4 &&
+      opt.metas.forall(_.partition.exists(_._1 == "bucket:4:user_key")),
+      s"optimize must keep the bucket layout: ${opt.metas.map(_.partition)}")
+    val probe3 = spark.table("gbk.db.t").where(col("user_key") === "k7")
+    assert(probe3.rdd.getNumPartitions == 1 &&
+      probe3.count() == (0 until 300).count(_ % 40 == 7),
+      "compacted bucket layout still prunes to the one matching file")
+    // PATH-BASED reads have no FunctionCatalog: the bucket transform
+    // cannot resolve, so even opted-in the join shuffles — documented
+    graft.ops.Scale.withSpjConfs(spark) {
+      val a = spark.read.format("graft-sink").option("path", dir)
+        .option("spj", "true").load()
+      val j = a.as("x").join(a.as("y"), "user_key")
+      assert(j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.nonEmpty,
+        "path-based bucket reads cannot prove the layout and must shuffle")
+    }
+  }
+
   test("graft-sink partitioned write: value-pruned reads survive mixed tasks") {
     // partitionBy correctness must NOT depend on the caller repartitioning
     // by the column: a task holding several values writes one file PER
