@@ -1581,6 +1581,51 @@ object Scale {
     out.orderBy(col("user_id"))
   }
 
+  /** DECLARED (DDL-LEVEL) PARTITIONING — `CREATE TABLE ... PARTITIONED
+    * BY (bucket(8, user_id))` records the layout as TABLE metadata (the
+    * manifest's `#partspec` header fact, carried by every commit like
+    * CHECK constraints), and every write WITHOUT an explicit partitionBy
+    * option conforms to it: a plain SQL `INSERT INTO` lands the promised
+    * bucket layout, point predicates prune to one bucket, and bucket SPJ
+    * works from pure SQL end to end — the layout is a property of the
+    * TABLE, not of whoever happens to write it (the Delta/Iceberg DDL
+    * contract; before this, a writer forgetting the option silently
+    * flattened the layout). The key REQUIREs the spec is recorded, the
+    * DataFrame append conformed, a point probe prunes, and DESCRIBE
+    * surfaces the promise; the oracle recomputes the aggregate. */
+  def sinkDdlPartitioned(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "ddlp_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      spark.sql(s"""CREATE TABLE gsql.db.$tbl
+        (user_id BIGINT, n_events BIGINT, cents BIGINT)
+        PARTITIONED BY (bucket(8, user_id))""")
+      events(spark, sf).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .writeTo(s"gsql.db.$tbl").append() // NO partitionBy option anywhere
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    require(head.partSpec.contains("bucket:8:user_id"),
+      s"CREATE TABLE must record the declared spec, got ${head.partSpec}")
+    require(head.metas.nonEmpty &&
+      head.metas.forall(_.partition.exists(_._1 == "bucket:8:user_id")),
+      s"a plain INSERT must conform to the declared layout: ${head.metas.map(_.partition)}")
+    val probe = spark.table(s"gsql.db.$tbl").where(col("user_id") === 5)
+    val inBucket = head.metas.count(_.partition.exists(_._2 == (5 % 8).toString))
+    require(probe.rdd.getNumPartitions == inBucket && inBucket < head.metas.size,
+      s"point probe must plan bucket 5's $inBucket files of ${head.metas.size}, " +
+        s"planned ${probe.rdd.getNumPartitions}")
+    val desc = spark.sql(s"DESCRIBE TABLE gsql.db.$tbl")
+      .collect().map(_.toString).mkString("\n")
+    require(desc.contains("bucket"),
+      s"DESCRIBE must surface the declared partitioning:\n$desc")
+    spark.table(s"gsql.db.$tbl")
+      .select(col("user_id"), col("n_events"), col("cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** OVERWRITE-BY-PREDICATE (`replaceWhere`, VERDICT r9 next #2 — the
     * idempotent partition-refresh verb, the bread-and-butter backfill of
     * an ETL lakehouse): `df.writeTo(t).overwrite(bucket === 2)` deletes
@@ -2545,6 +2590,7 @@ object Scale {
     "sink_partitioned_write" -> sinkPartitionedWrite,
     "join_spj_graft" -> joinSpjGraft,
     "join_spj_bucket" -> joinSpjBucket,
+    "sink_ddl_partitioned" -> sinkDdlPartitioned,
     "sink_replace_where" -> sinkReplaceWhere,
     "sink_column_rename" -> sinkColumnRename,
     "sink_constraint_enforce" -> sinkConstraintEnforce,
@@ -2826,6 +2872,11 @@ object Scale {
         |SELECT a.user_id, a.n_events, a.cents, b.max_cents
         |FROM a JOIN b USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "sink_ddl_partitioned" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "sink_replace_where" ->
       """WITH v1 AS (

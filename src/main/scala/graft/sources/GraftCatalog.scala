@@ -119,10 +119,45 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       .filter(f => f.isDirectory && GraftManifest.versions(f.getPath).nonEmpty)
       .map(f => Identifier.of(namespace, f.getName))
 
+  /** `PARTITIONED BY (col)` / `PARTITIONED BY (bucket(n, col))` → the
+    * manifest's `#partspec` header fact. The declared layout is TABLE
+    * metadata: every write without an explicit partitionBy option
+    * conforms to it, so plain `INSERT INTO` lands the promised layout
+    * (and bucket SPJ works from pure SQL end to end). */
+  private def specOf(partitions: Array[Transform], schema: StructType)
+      : Option[String] = {
+    require(partitions.length <= 1,
+      "graft catalog: at most one partition transform (identity column or bucket(n, col))")
+    partitions.headOption.map { t =>
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"graft catalog: partition transform must reference one top-level column, got $t")
+      val c = refs(0).fieldNames()(0)
+      val dt = scala.util.Try(schema(schema.fieldIndex(c)).dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: partition column '$c' not in ${schema.toDDL}"))
+      require(dt == LongType || dt == StringType,
+        s"graft catalog: partitioning supports long/string columns, got $dt for '$c'")
+      t.name match {
+        case "identity" => c
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            s"graft catalog: bucket transform carries no numBuckets literal: $t"))
+          require(n > 0, s"graft catalog: bucket($n, $c) needs numBuckets > 0")
+          GraftBucket.manifestForm(n, c)
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported partition transform '$other' " +
+            "(have identity columns and bucket(n, col))")
+      }
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog: use the partitionBy WRITE option, not PARTITIONED BY")
+    val spec = specOf(partitions, schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     // version 1 = empty manifest carrying the declared schema: the table
     // is self-describing before any row lands. expectedBase=0 makes the
@@ -130,7 +165,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // both passing the check, the link(2) loser throws here instead of
     // silently appending an empty v2 under the winner's schema.
     try GraftManifest.commitMetas(dirOf(ident), Seq.empty, schema.toDDL,
-      truncate = false, expectedBase = Some(0), op = Some("CREATE TABLE"))
+      truncate = false, expectedBase = Some(0), op = Some("CREATE TABLE"),
+      partSpecOverride = spec)
     catch {
       case _: java.util.ConcurrentModificationException =>
         throw new TableAlreadyExistsException(ident)

@@ -194,7 +194,8 @@ case class GraftManifest(version: Int, metas: Seq[GraftFileMeta],
     total: Long, schemaDdl: Option[String], ts: Option[Long] = None,
     base: Option[Int] = None, op: Option[String] = None,
     txns: Map[String, Long] = Map.empty, nFiles: Option[Int] = None,
-    ids: Option[Seq[Int]] = None, checks: Seq[(String, String)] = Nil) {
+    ids: Option[Seq[Int]] = None, checks: Seq[(String, String)] = Nil,
+    partSpec: Option[String] = None) {
   /** Legacy (name, rows) view — the shape the v1 protocol exposed. */
   def files: Seq[(String, Long)] = metas.map(m => m.name -> m.rows)
 }
@@ -370,6 +371,12 @@ object GraftManifest {
     *                                    counts known; zero-count columns
     *                                    omitted, so an empty list = no nulls)
     * #dv=<file>,<sidecar>,<n>           deletion vector: n positions in <sidecar>
+    * #partspec=<spec>                   the DECLARED partition layout
+    *                                    (`CREATE TABLE ... PARTITIONED
+    *                                    BY`): a column name or
+    *                                    `bucket:N:col`; writes without an
+    *                                    explicit partitionBy option
+    *                                    conform to it
     * #sums=<file>,<i>:<v>;<i>:<v>...    per-file EXACT sums of non-null
     *                                    BIGINT columns (listed column =
     *                                    sum known, zero included; a column
@@ -394,6 +401,7 @@ object GraftManifest {
     var op: Option[String] = None
     var nFiles: Option[Int] = None
     var ids: Option[Seq[Int]] = None
+    var partSpec: Option[String] = None
     val checks = Seq.newBuilder[(String, String)]
     val txns = scala.collection.mutable.Map[String, Long]()
     val rows = Seq.newBuilder[(String, Long)]
@@ -413,6 +421,8 @@ object GraftManifest {
       case s if s.startsWith("#files=")  => nFiles = Some(s.stripPrefix("#files=").toInt)
       case s if s.startsWith("#ids=") =>
         ids = Some(s.stripPrefix("#ids=").split(",").map(_.toInt).toSeq)
+      case s if s.startsWith("#partspec=") =>
+        partSpec = Some(s.stripPrefix("#partspec="))
       case s if s.startsWith("#check=") =>
         s.stripPrefix("#check=").split(",", 2) match {
           case Array(n, e) => checks += (n -> e)
@@ -473,7 +483,7 @@ object GraftManifest {
         nulls.get(f), dvs.get(f), sums.get(f))
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
-      ids, checks.result())
+      ids, checks.result(), partSpec)
   }
 
   /** The RAW on-disk manifest for one version (a delta stays a delta). */
@@ -522,7 +532,7 @@ object GraftManifest {
         // and checks ride the TOP manifest (every commit re-emits them)
         GraftManifest(v, metas, m.total, m.schemaDdl, m.ts, op = m.op,
           txns = baseM.txns ++ m.txns, nFiles = Some(metas.size),
-          ids = m.ids, checks = m.checks)
+          ids = m.ids, checks = m.checks, partSpec = m.partSpec)
     }
   }
 
@@ -590,7 +600,8 @@ object GraftManifest {
       txns: Map[String, Long] = Map.empty,
       snapshotFiles: Option[Int] = None,
       ids: Option[Seq[Int]] = None,
-      checks: Seq[(String, String)] = Nil): String = {
+      checks: Seq[(String, String)] = Nil,
+      partSpec: Option[String] = None): String = {
     val meta = bodyMetas.flatMap { m =>
       val p = m.partition.map { case (c, v) => s"$c,$v" }.getOrElse(",")
       (s"#meta=${m.name},${m.ncols},$p" +:
@@ -611,6 +622,7 @@ object GraftManifest {
       op.filter(o => o.nonEmpty && !o.contains('\n')).map(o => s"#op=$o").toSeq ++
       snapshotFiles.map(n => s"#files=$n").toSeq ++
       ids.map(is => s"#ids=${is.mkString(",")}").toSeq ++
+      partSpec.map(s => s"#partspec=$s").toSeq ++
       checks.map { case (n, e) => s"#check=$n,$e" } ++
       txns.toSeq.sortBy(_._1).map { case (w, e) => s"#txn=$w:$e" }) ++:
       s"_total,$totalRows" +: meta ++:
@@ -634,6 +646,7 @@ object GraftManifest {
       var op: Option[String] = None
       var nFiles: Option[Int] = None
       var ids: Option[Seq[Int]] = None
+      var partSpec: Option[String] = None
       val checks = Seq.newBuilder[(String, String)]
       val txns = scala.collection.mutable.Map[String, Long]()
       var total = -1L
@@ -646,6 +659,8 @@ object GraftManifest {
         else if (line.startsWith("#files=")) nFiles = Some(line.stripPrefix("#files=").toInt)
         else if (line.startsWith("#ids="))
           ids = Some(line.stripPrefix("#ids=").split(",").map(_.toInt).toSeq)
+        else if (line.startsWith("#partspec="))
+          partSpec = Some(line.stripPrefix("#partspec="))
         else if (line.startsWith("#check=")) {
           line.stripPrefix("#check=").split(",", 2) match {
             case Array(n, e) => checks += (n -> e)
@@ -664,7 +679,7 @@ object GraftManifest {
         line = in.readLine()
       }
       if (total >= 0) GraftManifest(v, Seq.empty, total, ddl, ts, base, op,
-        txns.toMap, nFiles, ids, checks.result())
+        txns.toMap, nFiles, ids, checks.result(), partSpec)
       else readRaw(path, v)
     } finally in.close()
   }
@@ -744,7 +759,8 @@ object GraftManifest {
       evolve: Boolean = false, op: Option[String] = None,
       txn: Option[(String, Long)] = None,
       idsOverride: Option[Seq[Int]] = None,
-      checksOverride: Option[Seq[(String, String)]] = None): Int = {
+      checksOverride: Option[Seq[(String, String)]] = None,
+      partSpecOverride: Option[String] = None): Int = {
     new File(path).mkdirs() // a zero-task job commits a manifest into an empty dir
     var attempt = 0
     while (true) {
@@ -845,6 +861,12 @@ object GraftManifest {
         !unionNames.startsWith(priorNames) && !priorNames.startsWith(unionNames)
       val checks = checksOverride.getOrElse(
         if (shapeReplaced) Nil else head.map(_.checks).getOrElse(Nil))
+      // the DECLARED partition spec (`CREATE TABLE ... PARTITIONED BY`)
+      // rides every commit like checks: writes without an explicit
+      // partitionBy option conform to it. A full shape replacement drops
+      // it — a REPLACE TABLE is a new table shape.
+      val partSpec = partSpecOverride.orElse(
+        if (shapeReplaced) None else head.flatMap(_.partSpec))
       checks.foreach { case (n, e) =>
         require(unionNames.contains(GraftCheck.columnOf(e)),
           s"graft-sink: schema '$unionDdl' lacks column '${GraftCheck.columnOf(e)}' " +
@@ -871,7 +893,7 @@ object GraftManifest {
           // snapshot file count carried forward like `_total`; a legacy
           // head without one leaves it absent until the next checkpoint
           snapshotFiles = head.flatMap(_.nFiles).map(_ + jobMetas.size),
-          ids = Some(ids), checks = checks)
+          ids = Some(ids), checks = checks, partSpec = partSpec)
         else {
           require(all.map(_.liveRows).sum == newTotal,
             s"graft-sink: checkpoint fold at $path disagrees with the running total")
@@ -882,7 +904,8 @@ object GraftManifest {
           // — one manifest parse, the rewrite is already O(table).)
           val accTxns = headFolded.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
           render(unionDdl, commitTs, None, all, newTotal, op, accTxns,
-            snapshotFiles = Some(all.size), ids = Some(ids), checks = checks)
+            snapshotFiles = Some(all.size), ids = Some(ids), checks = checks,
+            partSpec = partSpec)
         }
       // the pluggable CAS: true = this commit owns version `next`; false =
       // lost the race — loop re-reads the new head and retries one slot up
@@ -973,7 +996,7 @@ object GraftManifest {
         val m = fold(path, v)
         val body = render(m.schemaDdl.getOrElse(""), m.ts.getOrElse(0L),
           None, m.metas, m.total, m.op, m.txns, Some(m.metas.size),
-          ids = m.ids, checks = m.checks)
+          ids = m.ids, checks = m.checks, partSpec = m.partSpec)
         val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$v", ".tmp")
         try {
           Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -1249,6 +1272,17 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
   require(path != null && path.nonEmpty, "graft-sink requires option(\"path\")")
   override def name(): String = s"graft_sink($path)"
   override def schema(): StructType = schema0
+  /** The DECLARED layout (`#partspec`), surfaced so DESCRIBE TABLE and
+    * catalog tooling see the partitioning a CREATE TABLE promised. */
+  override def partitioning(): Array[Transform] =
+    versionAsOf.orElse(GraftManifest.versions(path).lastOption)
+      .flatMap(v => GraftManifest.headerFacts(path, v).partSpec)
+      .toArray.map { s =>
+        GraftBucket.parse(s) match {
+          case Some((n, src)) => Expressions.bucket(n, src): Transform
+          case None           => Expressions.identity(s): Transform
+        }
+      }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
@@ -1398,7 +1432,20 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         // partitionBy rides as an OPTION, not DataFrameWriter.partitionBy:
         // the V1 save() path rejects explicit partition columns on a
         // path-based V2 TableProvider before the table ever sees them
+        // explicit option first; otherwise the table's DECLARED spec
+        // (`CREATE TABLE ... PARTITIONED BY` → `#partspec`): an INSERT
+        // through the catalog conforms to the declared layout without
+        // the writer knowing anything — layout is TABLE metadata
         private val partCol = Option(opts.get("partitionBy")).filter(_.nonEmpty)
+          .orElse(GraftManifest.versions(path).lastOption.flatMap(v =>
+            GraftManifest.headerFacts(path, v).partSpec)
+            // a shape-replacing overwrite doesn't carry the spec's source
+            // column — the spec is dropped by the commit (shapeReplaced),
+            // so the write must not try to conform to it either
+            .filter { s =>
+              val src = GraftBucket.parse(s).map(_._2).getOrElse(s)
+              info.schema().fieldNames.contains(src)
+            })
         // write DISTRIBUTION (the Iceberg write.distribution-mode
         // contract): a partitioned write requests CLUSTERING on the
         // partition column by default ("hash"), so each value's rows

@@ -591,6 +591,40 @@ class SourceSpec extends AnyFunSuite {
     assert(smV.head().getLong(0) == 45L - 1L - 4L - 7L)
   }
 
+  test("graft-sink declared partitioning: inserts conform, options override, shape replacement drops the spec") {
+    import graft.sources.GraftManifest
+    val root = java.nio.file.Files.createTempDirectory("graft_ddlp").toString
+    spark.conf.set("spark.sql.catalog.gddl", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gddl.root", root)
+    val dir = s"$root/db/t"
+    spark.sql("CREATE TABLE gddl.db.t (id BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.sql(
+      "INSERT INTO gddl.db.t SELECT id, concat('g', cast(id % 3 AS string)) FROM range(90)")
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.partSpec.contains("g"), s"spec: ${head.partSpec}")
+    assert(head.metas.size == 3 &&
+      head.metas.forall(_.partition.exists(_._1 == "g")),
+      s"a plain INSERT conforms (and the hash distribution lands 1 file/value): " +
+        s"${head.metas.map(_.partition)}")
+    // declared identity layout prunes without any read option
+    val pr = spark.table("gddl.db.t").where(col("g") === "g1")
+    assert(pr.rdd.getNumPartitions == 1 && pr.count() == 30)
+    // an EXPLICIT partitionBy option overrides the declared spec per write
+    spark.range(0, 10).toDF("id")
+      .select(col("id"), lit("x").as("g")).coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("partitionBy", "id").mode("append").save()
+    val mixed = GraftManifest.readVersion(dir, None).get
+    assert(mixed.partSpec.contains("g"), "the DECLARED spec survives an override write")
+    assert(mixed.metas.exists(_.partition.exists(_._1 == "id")),
+      s"the override landed its own layout: ${mixed.metas.map(_.partition)}")
+    // a full shape REPLACEMENT is a new table shape: the spec drops
+    spark.range(5).selectExpr("cast(id as double) as v").coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    assert(GraftManifest.readVersion(dir, None).get.partSpec.isEmpty,
+      "shape replacement must drop the declared spec")
+  }
+
   test("graft-sink sorted write: strict range distribution tiles envelopes and prunes; non-strict rebalance loses nothing") {
     import graft.sources.GraftManifest
     val dir = java.nio.file.Files.createTempDirectory("graft_sortw").toString
