@@ -166,7 +166,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // silently appending an empty v2 under the winner's schema.
     try GraftManifest.commitMetas(dirOf(ident), Seq.empty, schema.toDDL,
       truncate = false, expectedBase = Some(0), op = Some("CREATE TABLE"),
-      partSpecOverride = spec)
+      partSpecSet = Some(spec))
     catch {
       case _: java.util.ConcurrentModificationException =>
         throw new TableAlreadyExistsException(ident)
@@ -287,33 +287,31 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): StagedTable = {
-    require(partitions.isEmpty,
-      "graft catalog: use the partitionBy WRITE option, not PARTITIONED BY")
+    val spec = specOf(partitions, schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     new GraftStagedTable(dirOf(ident), schema, replacing = false,
-      baseAtStage = 0, label = "CREATE TABLE AS SELECT")
+      baseAtStage = 0, label = "CREATE TABLE AS SELECT", spec = spec)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): StagedTable = {
-    require(partitions.isEmpty,
-      "graft catalog: use the partitionBy WRITE option, not PARTITIONED BY")
+    val spec = specOf(partitions, schema)
     val vs = GraftManifest.versions(dirOf(ident))
     if (vs.isEmpty) throw new NoSuchTableException(ident)
     new GraftStagedTable(dirOf(ident), schema, replacing = true,
-      baseAtStage = vs.max, label = "REPLACE TABLE")
+      baseAtStage = vs.max, label = "REPLACE TABLE", spec = spec)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): StagedTable = {
-    require(partitions.isEmpty,
-      "graft catalog: use the partitionBy WRITE option, not PARTITIONED BY")
+    val spec = specOf(partitions, schema)
     val vs = GraftManifest.versions(dirOf(ident))
     // the audit label records what actually happened: creating a missing
     // table is a create, not a replace
     new GraftStagedTable(dirOf(ident), schema, replacing = vs.nonEmpty,
       baseAtStage = vs.lastOption.getOrElse(0),
-      label = if (vs.nonEmpty) "REPLACE TABLE" else "CREATE TABLE AS SELECT")
+      label = if (vs.nonEmpty) "REPLACE TABLE" else "CREATE TABLE AS SELECT",
+      spec = spec)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -387,7 +385,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   * `REPLACE TABLE` DDL, or an aborted query) is settled by
   * commitStagedChanges/abortStagedChanges below. */
 private[sources] class GraftStagedTable(dir: String, schema: StructType,
-    replacing: Boolean, baseAtStage: Int, label: String)
+    replacing: Boolean, baseAtStage: Int, label: String,
+    spec: Option[String] = None)
     extends GraftSinkTable(dir, schema, None) with StagedTable {
   @volatile private var wrote = false
 
@@ -399,16 +398,35 @@ private[sources] class GraftStagedTable(dir: String, schema: StructType,
     // not the write mode.
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       override def truncate(): WriteBuilder = this
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
         info.schema().fieldNames.find(GraftSinkScan.Reserved.contains).foreach { c =>
           throw new IllegalArgumentException(
             s"graft-sink: '$c' is reserved for virtual read columns") }
         private val tag = info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8)
+        // same write distribution the ordinary builder declares: an
+        // identity-partitioned CTAS clusters on its column (one file per
+        // value); bucket layouts stay unshaped (no FunctionCatalog on
+        // the write relation)
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          spec.filter(GraftBucket.parse(_).isEmpty)
+            .map(c => org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(Array(
+                org.apache.spark.sql.connector.expressions.Expressions.identity(c))))
+            .getOrElse(org.apache.spark.sql.connector.distributions.Distributions
+              .unspecified())
+        override def distributionStrictlyRequired(): Boolean = false
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
         override def toBatch: BatchWrite = {
           wrote = true
+          // the staged data write both CONFORMS to the declared layout
+          // (partCol) and RECORDS it (#partspec) in the same commit
           new GraftSinkBatchWrite(dir, info.schema(), replacing, tag,
-            Some(baseAtStage), evolve = false, partCol = None,
-            opLabel = Some(label))
+            Some(baseAtStage), evolve = false, partCol = spec,
+            opLabel = Some(label), declaredSpec = Some(spec))
         }
       }
     }
@@ -419,7 +437,8 @@ private[sources] class GraftStagedTable(dir: String, schema: StructType,
   override def commitStagedChanges(): Unit = {
     if (!wrote)
       GraftManifest.commitMetas(dir, Seq.empty, schema.toDDL,
-        truncate = replacing, expectedBase = Some(baseAtStage), op = Some(label))
+        truncate = replacing, expectedBase = Some(baseAtStage), op = Some(label),
+        partSpecSet = Some(spec))
     ()
   }
 

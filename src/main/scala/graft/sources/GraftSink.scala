@@ -760,7 +760,7 @@ object GraftManifest {
       txn: Option[(String, Long)] = None,
       idsOverride: Option[Seq[Int]] = None,
       checksOverride: Option[Seq[(String, String)]] = None,
-      partSpecOverride: Option[String] = None): Int = {
+      partSpecSet: Option[Option[String]] = None): Int = {
     new File(path).mkdirs() // a zero-task job commits a manifest into an empty dir
     var attempt = 0
     while (true) {
@@ -865,7 +865,9 @@ object GraftManifest {
       // rides every commit like checks: writes without an explicit
       // partitionBy option conform to it. A full shape replacement drops
       // it — a REPLACE TABLE is a new table shape.
-      val partSpec = partSpecOverride.orElse(
+      // tri-state: None = inherit; Some(s) = the DDL (re)declared s,
+      // including Some(None) = a REPLACE that declared NO partitioning
+      val partSpec = partSpecSet.getOrElse(
         if (shapeReplaced) None else head.flatMap(_.partSpec))
       checks.foreach { case (n, e) =>
         require(unionNames.contains(GraftCheck.columnOf(e)),
@@ -2469,7 +2471,8 @@ case class GraftSinkCommit(files: Seq[GraftFileMeta]) extends WriterCommitMessag
 class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     tag: String, expectedBase: Option[Int], evolve: Boolean,
     partCol: Option[String], opLabel: Option[String] = None,
-    replaceWhere: Option[Seq[Filter]] = None) extends BatchWrite {
+    replaceWhere: Option[Seq[Filter]] = None,
+    declaredSpec: Option[Option[String]] = None) extends BatchWrite {
   /** Writer factory — resolved at JOB START on the driver, including the
     * head's CHECK constraints: every task writer enforces them per row,
     * so a violating batch aborts before any manifest commit (nothing
@@ -2488,7 +2491,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
       case None =>
         GraftManifest.commitMetas(path, metas.toSeq, schema.toDDL, truncate,
           expectedBase, evolve,
-          op = opLabel.orElse(Some(if (truncate) "OVERWRITE" else "APPEND")))
+          op = opLabel.orElse(Some(if (truncate) "OVERWRITE" else "APPEND")),
+          partSpecSet = declaredSpec)
         ()
     }
   }

@@ -625,6 +625,35 @@ class SourceSpec extends AnyFunSuite {
       "shape replacement must drop the declared spec")
   }
 
+  test("graft catalog: CTAS PARTITIONED BY lands and records the layout; REPLACE without it clears") {
+    import graft.sources.GraftManifest
+    val root = java.nio.file.Files.createTempDirectory("graft_ctasp").toString
+    spark.conf.set("spark.sql.catalog.gcts", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcts.root", root)
+    spark.sql(
+      """CREATE TABLE gcts.db.t PARTITIONED BY (g) AS
+        |SELECT id, concat('g', cast(id % 3 AS string)) AS g FROM range(90)""".stripMargin)
+    val head = GraftManifest.readVersion(s"$root/db/t", None).get
+    assert(head.partSpec.contains("g") && head.metas.size == 3 &&
+      head.metas.forall(_.partition.exists(_._1 == "g")),
+      s"CTAS must land AND record the declared layout: ${head.partSpec} ${head.metas.map(_.partition)}")
+    // REPLACE that declares NO partitioning clears the spec even though
+    // the shape is unchanged — the new DDL is the whole table definition
+    spark.sql(
+      """REPLACE TABLE gcts.db.t AS
+        |SELECT id, concat('g', cast(id % 3 AS string)) AS g FROM range(30)""".stripMargin)
+    val rep = GraftManifest.readVersion(s"$root/db/t", None).get
+    assert(rep.partSpec.isEmpty && rep.total == 30,
+      s"REPLACE without PARTITIONED BY must clear the spec: ${rep.partSpec}")
+    // bucket CTAS
+    spark.sql(
+      "CREATE TABLE gcts.db.b PARTITIONED BY (bucket(4, id)) AS SELECT id FROM range(100)")
+    val b = GraftManifest.readVersion(s"$root/db/b", None).get
+    assert(b.partSpec.contains("bucket:4:id") &&
+      b.metas.forall(_.partition.exists(_._1 == "bucket:4:id")),
+      s"bucket CTAS: ${b.partSpec} ${b.metas.map(_.partition)}")
+  }
+
   test("graft-sink sorted write: strict range distribution tiles envelopes and prunes; non-strict rebalance loses nothing") {
     import graft.sources.GraftManifest
     val dir = java.nio.file.Files.createTempDirectory("graft_sortw").toString
