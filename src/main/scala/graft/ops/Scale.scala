@@ -1581,6 +1581,64 @@ object Scale {
     out.orderBy(col("user_id"))
   }
 
+  /** WRITE-AUDIT-PUBLISH (WAP) — the staged-commit ingest workflow
+    * (Iceberg's stage-only snapshots / audit branch, re-derived on one
+    * linear version line): a write with `wapStage=<id>` lands its batch
+    * as a `_wap-<id>` manifest OUTSIDE the version namespace — invisible
+    * to every reader by construction, no read-path flag to forget — and
+    * records the head it planned against. The auditor reads the staged
+    * INCREMENT via `wapId=<id>`, validates it in isolation, then
+    * `CALL gsql.system.wap_publish` replays it as an ordinary append
+    * commit CONDITIONED on the staged base (a moved head throws instead
+    * of interleaving unaudited state); `wap_abort` deletes the batch's
+    * files eagerly (no version ever named them), and vacuum retains
+    * staged files while their audit is pending. At 100 TB this is how
+    * ingest ships data quality: land, gate, THEN expose. The key stages
+    * a good batch and a bad one, REQUIREs the head never moved while
+    * staged, audits both (the bad one fails its gate and aborts), and
+    * publishes the good one; the oracle recomputes base ∪ batch. */
+  def sinkWapPublish(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "wap_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      bucketAgg(events(spark, sf)).coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      val v1 = graft.sources.GraftManifest.versions(dir).max
+      val visibleRows = spark.read.format("graft-sink").option("path", dir)
+        .load().count()
+      // STAGE the candidate batch — must not advance the head
+      bucketAgg(events(spark, sf)).withColumn("n", col("n") + 5000).coalesce(1)
+        .write.format("graft-sink").option("path", dir)
+        .option("wapStage", "audit1").mode("append").save()
+      require(graft.sources.GraftManifest.versions(dir).max == v1 &&
+        spark.read.format("graft-sink").option("path", dir).load().count() == visibleRows,
+        "a staged batch must be INVISIBLE: same head, same rows")
+      // AUDIT: the staged increment reads in isolation and passes its gate
+      val staged = spark.read.format("graft-sink").option("path", dir)
+        .option("wapId", "audit1").load()
+      require(staged.count() > 0 && staged.where(col("n") <= 5000).count() == 0,
+        "audit gate: every staged row carries the +5000 mark")
+      // a BAD batch stages, fails its gate, and aborts — files reclaimed
+      bucketAgg(events(spark, sf)).withColumn("n", lit(-1L)).coalesce(1)
+        .write.format("graft-sink").option("path", dir)
+        .option("wapStage", "bad1").mode("append").save()
+      val bad = spark.read.format("graft-sink").option("path", dir)
+        .option("wapId", "bad1").load()
+      require(bad.where(col("n") <= 0).count() > 0, "the bad batch fails its gate")
+      spark.sql(s"CALL gsql.system.wap_abort('db.$tbl', 'bad1')")
+      require(graft.sources.GraftManifest.wapIds(dir) == Seq("audit1"),
+        "abort must remove the staged id")
+      // PUBLISH the audited batch as one conditioned commit
+      spark.sql(s"CALL gsql.system.wap_publish('db.$tbl', 'audit1')")
+      require(graft.sources.GraftManifest.versions(dir).max == v1 + 1,
+        "publish lands exactly one version")
+    }
+    spark.read.format("graft-sink").option("path", dir).load()
+      .select(col("event_type"), col("bucket"), col("n"), col("sum_cents"))
+      .orderBy(col("event_type"), col("bucket"), col("n"))
+  }
+
   /** DECLARED (DDL-LEVEL) PARTITIONING — `CREATE TABLE ... PARTITIONED
     * BY (bucket(8, user_id))` records the layout as TABLE metadata (the
     * manifest's `#partspec` header fact, carried by every commit like
@@ -2591,6 +2649,7 @@ object Scale {
     "join_spj_graft" -> joinSpjGraft,
     "join_spj_bucket" -> joinSpjBucket,
     "sink_ddl_partitioned" -> sinkDdlPartitioned,
+    "sink_wap_publish" -> sinkWapPublish,
     "sink_replace_where" -> sinkReplaceWhere,
     "sink_column_rename" -> sinkColumnRename,
     "sink_constraint_enforce" -> sinkConstraintEnforce,
@@ -2872,6 +2931,16 @@ object Scale {
         |SELECT a.user_id, a.n_events, a.cents, b.max_cents
         |FROM a JOIN b USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "sink_wap_publish" ->
+      """WITH a AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, bucket, n, sum_cents FROM a
+        |UNION ALL SELECT event_type, bucket, n + 5000, sum_cents FROM a
+        |ORDER BY event_type, bucket, n""".stripMargin,
 
     "sink_ddl_partitioned" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -348,7 +348,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("vacuum", "restore", "optimize", "history", "tag", "drop_tag", "tags",
-        "add_constraint", "drop_constraint", "constraints", "files", "partitions")
+        "add_constraint", "drop_constraint", "constraints", "files", "partitions",
+        "wap_publish", "wap_abort")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -368,10 +369,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "constraints"     => new GraftConstraintsProcedure(this)
       case "files"           => new GraftFilesProcedure(this)
       case "partitions"      => new GraftPartitionsProcedure(this)
+      case "wap_publish"     => new GraftWapProcedure(this, publish = true)
+      case "wap_abort"       => new GraftWapProcedure(this, publish = false)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other " +
           "(have vacuum, restore, optimize, history, tag, drop_tag, tags, " +
-          "add_constraint, drop_constraint, constraints, files, partitions)")
+          "add_constraint, drop_constraint, constraints, files, partitions, " +
+          "wap_publish, wap_abort)")
     }
   }
 }
@@ -1047,4 +1051,36 @@ private[sources] object GraftBucketOfString extends GraftBucketBound {
     Array(IntegerType, StringType)
   override def produceResult(input: InternalRow): Integer =
     Math.floorMod(input.getUTF8String(1).toString.hashCode, input.getInt(0))
+}
+
+/** `CALL cat.system.wap_publish(table, id)` / `wap_abort(table, id)` —
+  * settle a staged write-audit-publish batch: publish replays it as an
+  * ordinary append commit CONDITIONED on the head the stage planned
+  * against (a moved head throws instead of silently interleaving the
+  * unaudited state); abort deletes the staged files eagerly (no version
+  * ever named them). */
+private[sources] class GraftWapProcedure(cat: GraftCatalog, publish: Boolean)
+    extends GraftProcedure(cat) {
+  override def name(): String = if (publish) "wap_publish" else "wap_abort"
+  override def description(): String =
+    if (publish) "publish a staged WAP batch as a conditioned append commit"
+    else "abort a staged WAP batch, deleting its files"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("id", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.dirForName(input.getUTF8String(0).toString)
+    val id = input.getUTF8String(1).toString
+    val schema = StructType.fromDDL("action STRING, id STRING, result BIGINT")
+    val (action, res) =
+      if (publish) ("published", GraftManifest.publishWap(dir, id).toLong)
+      else ("aborted", GraftManifest.abortWap(dir, id).toLong)
+    val row = InternalRow.fromSeq(Seq[Any](
+      UTF8String.fromString(action), UTF8String.fromString(id), res))
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
 }

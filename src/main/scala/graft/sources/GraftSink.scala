@@ -954,6 +954,79 @@ object GraftManifest {
   private[sources] def readDv(p: java.nio.file.Path): Array[Long] =
     GraftDv.positions(Files.readAllBytes(p)).toArray
 
+  // ---- WRITE-AUDIT-PUBLISH: staged commits outside the version line ----
+  // A WAP stage is a manifest under `_wap-<id>` — a name the version
+  // listing never matches, so the staged batch is INVISIBLE to every
+  // reader by construction (no head-resolution change, no read-path
+  // flag to forget). The manifest records the head the stage planned
+  // against (`#wapbase=`); publish replays it as an ordinary conditioned
+  // append commit, so a head that moved since staging throws
+  // ConcurrentModificationException instead of silently interleaving —
+  // the Iceberg stage-only-snapshot / audit-branch workflow on one
+  // linear version line.
+
+  private val WapPrefix = "_wap-"
+
+  def wapIds(path: String): Seq[String] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith(WapPrefix))
+      .map(_.stripPrefix(WapPrefix)).toSeq.sorted
+
+  def stageWap(path: String, id: String, schemaDdl: String, base: Int,
+      metas: Seq[GraftFileMeta]): Unit = {
+    require(id.matches("[A-Za-z0-9_-]+"),
+      s"graft-sink: WAP id '$id' must be [A-Za-z0-9_-]+")
+    val body = render(schemaDdl, System.currentTimeMillis(), None, metas,
+      metas.map(_.liveRows).sum, op = Some("WAP STAGE")) + s"\n#wapbase=$base"
+    // CREATE_NEW: two stages reusing an id is a caller bug — refuse, never
+    // silently replace a pending audit batch
+    Files.write(Paths.get(path, WapPrefix + id),
+      body.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    ()
+  }
+
+  /** The staged manifest + the head version it planned against. Fails
+    * loudly on a missing or corrupt stage — auditing the wrong batch is
+    * worse than no batch. */
+  def readWap(path: String, id: String): (GraftManifest, Int) = {
+    val f = Paths.get(path, WapPrefix + id)
+    if (!Files.exists(f)) throw new IllegalArgumentException(
+      s"graft-sink: no staged WAP commit '$id' at $path " +
+        s"(staged: ${wapIds(path).mkString(",")})")
+    val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+    val base = body.split("\n").find(_.startsWith("#wapbase=")).map(
+      _.stripPrefix("#wapbase=").toInt).getOrElse(throw new IllegalStateException(
+      s"graft-sink: staged WAP '$id' at $path carries no #wapbase line"))
+    (parse(0, body), base)
+  }
+
+  /** Publish = an ordinary append commit conditioned on the staged base;
+    * returns the new version. The stage marker deletes only AFTER the
+    * commit claims its slot — a crash between the two leaves a published
+    * table plus a stale stage whose re-publish throws on the base check
+    * (safe), never a lost batch. */
+  def publishWap(path: String, id: String): Int = {
+    val (m, base) = readWap(path, id)
+    val v = commitMetas(path, m.metas, m.schemaDdl.getOrElse(
+        throw new IllegalStateException(s"staged WAP '$id' carries no schema")),
+      truncate = false, expectedBase = Some(base), op = Some("WAP PUBLISH"))
+    Files.deleteIfExists(Paths.get(path, WapPrefix + id))
+    v
+  }
+
+  /** Abort deletes the staged data files eagerly — no version ever named
+    * them, so nothing can be reading them through a manifest. */
+  def abortWap(path: String, id: String): Int = {
+    val (m, _) = readWap(path, id)
+    m.metas.foreach { fm =>
+      Files.deleteIfExists(Paths.get(path, fm.name))
+      fm.dv.foreach(d => Files.deleteIfExists(Paths.get(path, d._1)))
+    }
+    Files.deleteIfExists(Paths.get(path, WapPrefix + id))
+    m.metas.size
+  }
+
   /** VACUUM: drop every version but the newest `retainLast`, then delete
     * the data files no retained manifest references — the storage-reclaim
     * half of the snapshot lifecycle (a table that only ever adds versions
@@ -1027,7 +1100,13 @@ object GraftManifest {
     val keep = retained
       .flatMap(v => readVersion(path, Some(v)).toSeq.flatMap(_.metas.flatMap(m =>
         m.name +: m.dv.map(_._1).toSeq)))
-      .toSet
+      .toSet ++
+      // staged (write-audit-publish) batches are referenced by NO version
+      // yet must survive: a vacuum racing a pending audit would reclaim
+      // the batch out from under its publish. A corrupt stage fails the
+      // vacuum loudly (same rule as corrupt _ref- files).
+      wapIds(path).flatMap(id => readWap(path, id)._1.metas.flatMap(m =>
+        m.name +: m.dv.map(_._1).toSeq)).toSet
     dropped.foreach(v => Files.deleteIfExists(Paths.get(path, s"$VPrefix$v")))
     val cutoff = System.currentTimeMillis() - graceMs
     val listing = Option(new File(path).listFiles()).getOrElse(Array.empty)
@@ -1430,6 +1509,13 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         private val tag = info.queryId().replaceAll("[^0-9a-zA-Z]", "").take(8)
         private val opts = info.options()
         private val expectedBase = Option(opts.get("expectedBaseVersion")).map(_.toInt)
+        // WRITE-AUDIT-PUBLISH staging: the batch lands as `_wap-<id>`,
+        // invisible to every reader, until `CALL system.wap_publish`
+        private val wapStage = Option(opts.get("wapStage")).filter(_.nonEmpty)
+        wapStage.foreach { _ =>
+          require(!truncating && Option(opts.get("replaceWhere")).isEmpty,
+            "graft-sink: wapStage is append-only — stage the batch, audit, publish")
+        }
         private val evolve = Option(opts.get("evolveSchema")).exists(_.toBoolean)
         // partitionBy rides as an OPTION, not DataFrameWriter.partitionBy:
         // the V1 save() path rejects explicit partition columns on a
@@ -1516,7 +1602,8 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
           sortCol.map(s => Array(asc(s))).getOrElse(Array.empty)
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
-            expectedBase, evolve, partCol, opLabel, replaceWhere)
+            expectedBase, evolve, partCol, opLabel, replaceWhere,
+            wapStage = wapStage)
         override def toStreaming: StreamingWrite =
           new GraftSinkStreamingWrite(path, info.schema(), tag,
             Option(opts.get("commitVersions")).exists(_.toBoolean))
@@ -1605,15 +1692,23 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
     val spj = Option(options.get("spj")).map(_.toBoolean).getOrElse(
       scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
         .get("spark.graft.spj.enabled", "false").toBoolean).getOrElse(false))
+    // AUDIT read of a staged write-audit-publish batch: `wapId=<id>`
+    // scans the staged INCREMENT (the batch under audit), nothing else
+    val wapId = Option(options.get("wapId")).filter(_.nonEmpty)
+    wapId.foreach { _ =>
+      require(changesFrom.isEmpty && filesSubset.isEmpty && streamOpts.isEmpty,
+        "graft-sink: wapId cannot combine with change-feed/files/stream options")
+    }
     new GraftSinkScanBuilder(path, pinned, layout, visible, changesFrom,
-      streamOpts, filesSubset, spj)
+      streamOpts, filesSubset, spj, wapId)
   }
 }
 
 class GraftSinkScanBuilder(path: String, version: Option[Int],
     layout: StructType, visible: StructType, changesFrom: Option[Int] = None,
     streamOpts: Map[String, String] = Map.empty,
-    filesSubset: Option[Set[String]] = None, spj: Boolean = false)
+    filesSubset: Option[Set[String]] = None, spj: Boolean = false,
+    wapId: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1655,7 +1750,7 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
       : Option[(StructType, Array[InternalRow], String)] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     if (pushed.nonEmpty || changesFrom.isDefined || filesSubset.isDefined ||
-      streamOpts.nonEmpty) return None
+      streamOpts.nonEmpty || wapId.isDefined) return None
     val m = GraftManifest.readVersion(path, version).getOrElse(return None)
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -1791,14 +1886,15 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
       }
     case None =>
       GraftSinkScan(path, version, layout, required, pushed.toSeq,
-        changesFrom, streamOpts, filesSubset, spj)
+        changesFrom, streamOpts, filesSubset, spj, wapId)
   }
 }
 
 case class GraftSinkScan(path: String, version: Option[Int],
     full: StructType, required: StructType, filters: Seq[Filter],
     changesFrom: Option[Int] = None, streamOpts: Map[String, String] = Map.empty,
-    filesSubset: Option[Set[String]] = None, spj: Boolean = false)
+    filesSubset: Option[Set[String]] = None, spj: Boolean = false,
+    wapId: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1810,6 +1906,13 @@ case class GraftSinkScan(path: String, version: Option[Int],
     * partitioning report, the statistics estimate and the split plan
     * must all see ONE consistent snapshot of the manifest. */
   private lazy val survivors: Seq[(GraftFileMeta, String)] = {
+    // staged-batch audit: the scan IS the staged increment, filters and
+    // stats skipping apply to it like any snapshot
+    if (wapId.isDefined)
+      GraftManifest.readWap(path, wapId.get)._1.metas
+        .map(_ -> null.asInstanceOf[String])
+        .filter { case (m, _) => filters.forall(GraftSinkScan.mayMatch(m, full, _)) }
+    else {
     val tagged = changesFrom match {
       case Some(fromV) =>
         val (added, removed, _) = GraftSinkScan.diffMetas(path, fromV, version)
@@ -1832,6 +1935,7 @@ case class GraftSinkScan(path: String, version: Option[Int],
     }
     scoped.filter { case (m, _) =>
       filters.forall(GraftSinkScan.mayMatch(m, full, _)) }
+    }
   }
 
   /** Manifest-derived statistics AFTER pushdown (the DSv2 contract), so
@@ -2472,7 +2576,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     tag: String, expectedBase: Option[Int], evolve: Boolean,
     partCol: Option[String], opLabel: Option[String] = None,
     replaceWhere: Option[Seq[Filter]] = None,
-    declaredSpec: Option[Option[String]] = None) extends BatchWrite {
+    declaredSpec: Option[Option[String]] = None,
+    wapStage: Option[String] = None) extends BatchWrite {
   /** Writer factory — resolved at JOB START on the driver, including the
     * head's CHECK constraints: every task writer enforces them per row,
     * so a violating batch aborts before any manifest commit (nothing
@@ -2486,9 +2591,21 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     * the manifest; half-written .tmp files are invisible to readers. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val metas = messages.flatMap(_.asInstanceOf[GraftSinkCommit].files)
-    replaceWhere match {
-      case Some(filters) => commitReplaceWhere(metas.toSeq, filters)
-      case None =>
+    (wapStage, replaceWhere) match {
+      case (Some(id), _) =>
+        // STAGE, don't commit: record the head this batch planned against
+        // and require schema identity with it — evolution must go through
+        // a real commit, not hide in an unaudited stage
+        val headV = GraftManifest.versions(path).lastOption.getOrElse(0)
+        if (headV > 0) {
+          val prior = GraftManifest.headerFacts(path, headV).schemaDdl
+          require(prior.forall(_ == schema.toDDL),
+            s"graft-sink: WAP stage schema '${schema.toDDL}' must equal the " +
+              s"committed schema '${prior.getOrElse("")}'")
+        }
+        GraftManifest.stageWap(path, id, schema.toDDL, headV, metas.toSeq)
+      case (None, Some(filters)) => commitReplaceWhere(metas.toSeq, filters)
+      case (None, None) =>
         GraftManifest.commitMetas(path, metas.toSeq, schema.toDDL, truncate,
           expectedBase, evolve,
           op = opLabel.orElse(Some(if (truncate) "OVERWRITE" else "APPEND")),

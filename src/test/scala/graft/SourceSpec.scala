@@ -625,6 +625,49 @@ class SourceSpec extends AnyFunSuite {
       "shape replacement must drop the declared spec")
   }
 
+  test("graft-sink WAP: duplicate ids refused, vacuum spares stages, moved head fails publish, abort reclaims") {
+    import graft.sources.GraftManifest
+    val root = java.nio.file.Files.createTempDirectory("graft_wap").toString
+    spark.conf.set("spark.sql.catalog.gwap", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwap.root", root)
+    val dir = s"$root/db/t"
+    def write(df: org.apache.spark.sql.DataFrame, mode: String, opts: (String, String)*) = {
+      val w = df.coalesce(1).write.format("graft-sink").option("path", dir).mode(mode)
+      opts.foldLeft(w) { case (x, (k, v)) => x.option(k, v) }.save()
+    }
+    write(spark.range(10).toDF("id"), "overwrite")
+    write(spark.range(10, 20).toDF("id"), "append", "wapStage" -> "s1")
+    assert(GraftManifest.versions(dir).max == 1 && GraftManifest.wapIds(dir) == Seq("s1"))
+    // reusing a pending id is refused, never silently replaced
+    intercept[Exception] {
+      write(spark.range(2).toDF("id"), "append", "wapStage" -> "s1")
+    }
+    // an aggressive vacuum must NOT reclaim the staged batch
+    val stagedFiles = GraftManifest.readWap(dir, "s1")._1.metas.map(_.name)
+    GraftManifest.vacuum(dir, 1, graceMs = 0)
+    assert(stagedFiles.forall(f => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, f))), "vacuum reclaimed a pending stage")
+    assert(spark.read.format("graft-sink").option("path", dir)
+      .option("wapId", "s1").load().count() == 10)
+    // the head moves past the staged base → publish must throw, and the
+    // stage must survive the failed publish
+    write(spark.range(100, 105).toDF("id"), "append")
+    val failed = intercept[Exception] {
+      spark.sql("CALL gwap.system.wap_publish('db.t', 's1')")
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => x.toString +: msgs(x.getCause))
+    assert(msgs(failed).exists(_.contains("ConcurrentModification")) ||
+      msgs(failed).exists(_.contains("planned against")), failed.toString)
+    assert(GraftManifest.wapIds(dir) == Seq("s1"), "a failed publish keeps the stage")
+    // abort reclaims files and the marker
+    spark.sql("CALL gwap.system.wap_abort('db.t', 's1')")
+    assert(GraftManifest.wapIds(dir).isEmpty &&
+      stagedFiles.forall(f => !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, f))))
+    assert(spark.read.format("graft-sink").option("path", dir).load().count() == 15)
+  }
+
   test("graft catalog: CTAS PARTITIONED BY lands and records the layout; REPLACE without it clears") {
     import graft.sources.GraftManifest
     val root = java.nio.file.Files.createTempDirectory("graft_ctasp").toString
