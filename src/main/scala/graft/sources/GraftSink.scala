@@ -1605,8 +1605,10 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
             expectedBase, evolve, partCol, opLabel, replaceWhere,
             wapStage = wapStage)
         override def toStreaming: StreamingWrite =
+          // partCol includes the declared-spec default: a streaming
+          // ingest into a PARTITIONED BY table conforms like any batch
           new GraftSinkStreamingWrite(path, info.schema(), tag,
-            Option(opts.get("commitVersions")).exists(_.toBoolean))
+            Option(opts.get("commitVersions")).exists(_.toBoolean), partCol)
       }
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -2992,12 +2994,13 @@ class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
   * orphans from re-delivered epochs age into the sweep. */
 case class GraftSinkStreamingFactory(path: String, schema: StructType,
     tag: String, versioned: Boolean = false,
-    checks: Seq[(String, String)] = Nil) extends StreamingDataWriterFactory {
+    checks: Seq[(String, String)] = Nil,
+    partCol: Option[String] = None) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId,
       prefix = if (versioned) s"e$epochId-$tag-" else s"epoch-$epochId-$tag-",
-      checks = checks)
+      partCol = partCol, checks = checks)
 }
 
 /** The STREAMING half of the sink: identical task-commit protocol, but job
@@ -3028,14 +3031,14 @@ case class GraftSinkStreamingFactory(path: String, schema: StructType,
   * re-delivery is sequential within one query, so check-then-commit does
   * not race itself; concurrent OTHER writers are ordinary CAS contenders. */
 class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
-    commitVersions: Boolean = false)
+    commitVersions: Boolean = false, partCol: Option[String] = None)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     GraftSinkStreamingFactory(path, schema, tag, commitVersions,
       if (commitVersions)
         GraftManifest.versions(path).lastOption
           .map(v => GraftManifest.headerFacts(path, v).checks).getOrElse(Nil)
-      else Nil)
+      else Nil, partCol)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.flatMap(_.asInstanceOf[GraftSinkCommit].files)

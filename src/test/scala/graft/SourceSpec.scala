@@ -484,6 +484,35 @@ class SourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gproc.ns.t").count() == 5)
   }
 
+  test("graft-sink streaming write conforms to the declared partition layout") {
+    import graft.sources.GraftManifest
+    val root = java.nio.file.Files.createTempDirectory("graft_stp").toString
+    spark.conf.set("spark.sql.catalog.gstp", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstp.root", root)
+    val dir = s"$root/db/t"
+    spark.sql("CREATE TABLE gstp.db.t (k BIGINT, g STRING) PARTITIONED BY (g)")
+    val src = java.nio.file.Files.createTempDirectory("graft_stp_src").toString
+    spark.range(0, 60)
+      .selectExpr("id AS k", "concat('g', cast(id % 3 AS string)) AS g")
+      .coalesce(1).write.format("graft-sink").option("path", src)
+      .mode("overwrite").save()
+    val q = spark.readStream.format("graft-sink").option("path", src).load()
+      .writeStream.format("graft-sink")
+      .option("path", dir).option("commitVersions", "true")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_stp_chk").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.metas.nonEmpty &&
+      head.metas.forall(_.partition.exists(_._1 == "g")),
+      s"streamed rows must land the declared layout: ${head.metas.map(_.partition)}")
+    val pr = spark.table("gstp.db.t").where(col("g") === "g2")
+    assert(pr.count() == 20 &&
+      pr.rdd.getNumPartitions < head.metas.size,
+      "the streamed layout prunes like a batch-written one")
+  }
+
   test("graft-sink streaming source: version offsets, rewrite fails loudly, ignoreChanges re-emits") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tstream_spec").toString
     val chk = java.nio.file.Files.createTempDirectory("graft_tstream_chk").toString
