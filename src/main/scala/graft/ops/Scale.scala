@@ -1581,6 +1581,35 @@ object Scale {
     out.orderBy(col("user_id"))
   }
 
+  /** DROP COLUMN as an honest COPY-ON-WRITE — the last schema-evolution
+    * verb (ADD and RENAME are metadata-only; a metadata-only DROP was
+    * evaluated and rejected: cells are positional, so trailing-drop +
+    * re-ADD would alias the dropped storage — DECISIONS.md). The rewrite
+    * preserves the partition layout and the SURVIVORS' original field
+    * ids (column mapping holds across the drop), commits ONE conditioned
+    * truncate, and the dropped column still serves via time travel. The
+    * key REQUIREs survivor ids, the DROP COLUMN audit label, and the
+    * pre-drop version still answering for the dropped column; the oracle
+    * recomputes the surviving aggregate. */
+  def sinkDropColumn(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "dropc_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      bucketAgg(events(spark, sf)).withColumn("junk", col("n") * 7).coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      spark.sql(s"ALTER TABLE gsql.db.$tbl DROP COLUMN junk")
+      val head = graft.sources.GraftManifest.readVersion(dir, None).get
+      require(head.ids.contains(Seq(0, 1, 2, 3)) && head.op.contains("DROP COLUMN"),
+        s"survivors keep original ids under the DROP audit label: ${head.ids} ${head.op}")
+      require(spark.sql(s"SELECT junk FROM gsql.db.$tbl VERSION AS OF 1").count() > 0,
+        "the dropped column must still serve via time travel")
+    }
+    spark.table(s"gsql.db.$tbl")
+      .select(col("event_type"), col("bucket"), col("n"), col("sum_cents"))
+      .orderBy(col("event_type"), col("bucket"), col("n"))
+  }
+
   /** WRITE-AUDIT-PUBLISH (WAP) — the staged-commit ingest workflow
     * (Iceberg's stage-only snapshots / audit branch, re-derived on one
     * linear version line): a write with `wapStage=<id>` lands its batch
@@ -2650,6 +2679,7 @@ object Scale {
     "join_spj_bucket" -> joinSpjBucket,
     "sink_ddl_partitioned" -> sinkDdlPartitioned,
     "sink_wap_publish" -> sinkWapPublish,
+    "sink_drop_column" -> sinkDropColumn,
     "sink_replace_where" -> sinkReplaceWhere,
     "sink_column_rename" -> sinkColumnRename,
     "sink_constraint_enforce" -> sinkConstraintEnforce,
@@ -2931,6 +2961,12 @@ object Scale {
         |SELECT a.user_id, a.n_events, a.cents, b.max_cents
         |FROM a JOIN b USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "sink_drop_column" ->
+      """SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, bucket, n""".stripMargin,
 
     "sink_wap_publish" ->
       """WITH a AS (

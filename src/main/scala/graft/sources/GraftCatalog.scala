@@ -189,6 +189,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (vs.isEmpty) throw new NoSuchTableException(ident)
     changes match {
       case Seq(r: TableChange.RenameColumn) => return renameColumn(ident, dir, r)
+      case Seq(d: TableChange.DeleteColumn) => return dropColumn(ident, dir, d)
       case _ => ()
     }
     val prior = GraftManifest.headerSchema(dir, vs.max).getOrElse(
@@ -204,9 +205,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
           nullable = true)
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER ($other) — only trailing ADD COLUMNS " +
-          "and RENAME COLUMN evolve a graft table without rewriting committed " +
-          "files (drops/retypes/reorders are refused: they would break cell alignment)")
+        s"graft catalog: unsupported ALTER ($other) — trailing ADD COLUMNS and " +
+          "RENAME COLUMN are metadata-only, DROP COLUMN rewrites once " +
+          "(retypes/reorders are refused: they would break cell alignment)")
     }
     // a duplicate name would commit a schema whose fieldIndex resolves to
     // the NEW (beyond-every-file-width) slot — every existing value of the
@@ -272,6 +273,85 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       expectedBase = Some(head.version), op = Some("RENAME COLUMN"),
       idsOverride = Some(ids))
     new GraftSinkTable(dir, renamed, None)
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN c` — an honest COPY-ON-WRITE rewrite:
+    * the surviving columns rewrite once (preserving the table's
+    * partition layout) and commit as one conditioned truncate carrying
+    * the SURVIVORS' original field ids — the column-mapping promise
+    * (`sink_column_rename`) holds across a drop, so a later ADD COLUMNS
+    * can never alias the dropped column's storage. A metadata-only drop
+    * was evaluated and REJECTED: cells are positional, so a trailing
+    * drop followed by ADD COLUMNS would silently read the dropped
+    * column's bytes as the new column (DECISIONS.md round 10). Old
+    * versions still serve the dropped column via time travel. Refused
+    * while a CHECK constrains the column or the partition layout hashes
+    * on it. */
+  private def dropColumn(ident: Identifier, dir: String,
+      d: TableChange.DeleteColumn): Table = {
+    require(d.fieldNames.length == 1, "graft catalog: DROP COLUMN supports " +
+      s"top-level columns only, got '${d.fieldNames.mkString(".")}'")
+    val c = d.fieldNames.head
+    val head = GraftManifest.readVersion(dir, None).getOrElse(
+      throw new NoSuchTableException(ident))
+    val schema = GraftManifest.headerSchema(dir, head.version).getOrElse(
+      throw new IllegalStateException(s"graft catalog: $ident carries no schema"))
+    val i = scala.util.Try(schema.fieldIndex(c)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: no column '$c' in ${schema.toDDL}"))
+    require(schema.length > 1, "graft catalog: cannot drop the only column")
+    head.checks.find { case (_, e) => GraftCheck.columnOf(e) == c }.foreach {
+      case (n, _) => throw new IllegalArgumentException(
+        s"graft catalog: column '$c' is constrained by check '$n' — " +
+          "CALL drop_constraint first")
+    }
+    val layoutCols = (head.partSpec.toSeq ++
+      head.metas.flatMap(_.partition.map(_._1))).distinct
+      .map(pc => GraftBucket.parse(pc).map(_._2).getOrElse(pc))
+    require(!layoutCols.contains(c),
+      s"graft catalog: '$c' carries the table's partition layout — " +
+        "rewrite the layout first (OPTIMIZE with a new partitioning)")
+    import org.apache.spark.sql.functions.col
+    val spark = org.apache.spark.sql.SparkSession.active
+    val remaining = schema.fieldNames.filterNot(_ == c)
+    val narrowed = StructType(schema.fields.filterNot(_.name == c))
+    val survivorIds = head.ids.getOrElse(schema.fields.indices.toSeq)
+      .zipWithIndex.collect { case (id, j) if j != i => id }
+    // rewrite into a temp dir, move in under collision-free names, and
+    // publish with ONE conditioned commit (the binpack pattern): a lost
+    // race deletes the moved files instead of stranding orphans
+    val snapshot = spark.read.format("graft-sink").option("path", dir)
+      .option("versionAsOf", head.version.toString).load()
+      .select(remaining.map(col): _*)
+    val keepLayout = {
+      val ps = head.metas.flatMap(_.partition.map(_._1)).distinct
+      if (ps.size == 1 && head.metas.forall(_.partition.isDefined)) Some(ps.head)
+      else head.partSpec
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dropcol").toString
+    try {
+      val w = snapshot.write.format("graft-sink").option("path", tmp)
+      keepLayout.fold(w)(pc => w.option("partitionBy", pc))
+        .mode("overwrite").save()
+      val moved = GraftManifest.readVersion(tmp, None).get.metas.map { m =>
+        val nn = s"d${head.version}-${m.name}"
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp, m.name),
+          java.nio.file.Paths.get(dir, nn))
+        m.copy(name = nn)
+      }
+      try GraftManifest.commitMetas(dir, moved, narrowed.toDDL, truncate = true,
+        expectedBase = Some(head.version), op = Some("DROP COLUMN"),
+        idsOverride = Some(survivorIds),
+        checksOverride = Some(head.checks),
+        partSpecSet = Some(head.partSpec))
+      catch {
+        case e: Throwable =>
+          moved.foreach(m => java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(dir, m.name)))
+          throw e
+      }
+      new GraftSinkTable(dir, narrowed, None)
+    } finally GraftFs.deleteTree(new java.io.File(tmp))
   }
 
   // ---- StagingTableCatalog: ATOMIC CTAS / RTAS ------------------------

@@ -697,6 +697,41 @@ class SourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft-sink").option("path", dir).load().count() == 15)
   }
 
+  test("graft catalog: DROP COLUMN rewrites once, keeps survivor ids, old versions still serve it") {
+    import graft.sources.GraftManifest
+    val root = java.nio.file.Files.createTempDirectory("graft_drop").toString
+    spark.conf.set("spark.sql.catalog.gdrop", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdrop.root", root)
+    val dir = s"$root/db/t"
+    spark.range(0, 90)
+      .selectExpr("id", "id * 2 AS junk", "concat('g', cast(id % 3 AS string)) AS g")
+      .write.format("graft-sink").option("path", dir)
+      .option("partitionBy", "g").mode("overwrite").save()
+    spark.sql("ALTER TABLE gdrop.db.t DROP COLUMN junk")
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.schemaDdl.exists(d => !d.contains("junk")) &&
+      head.ids.contains(Seq(0, 2)),
+      s"survivors keep their ORIGINAL field ids: ${head.ids} ${head.schemaDdl}")
+    assert(head.op.contains("DROP COLUMN") &&
+      head.metas.forall(_.partition.exists(_._1 == "g")),
+      s"the rewrite preserves the partition layout: ${head.metas.map(_.partition)}")
+    assert(spark.table("gdrop.db.t").columns.toSeq == Seq("id", "g") &&
+      spark.table("gdrop.db.t").count() == 90)
+    // the dropped column still serves through time travel
+    assert(spark.sql("SELECT junk FROM gdrop.db.t VERSION AS OF 1").count() == 90)
+    // a later ADD takes a FRESH id — it can never alias the dropped storage
+    spark.sql("ALTER TABLE gdrop.db.t ADD COLUMNS (junk2 BIGINT)")
+    assert(GraftManifest.readVersion(dir, None).get.ids.contains(Seq(0, 2, 3)))
+    assert(spark.table("gdrop.db.t").where(col("junk2").isNotNull).count() == 0,
+      "pre-drop cells must never leak into the re-added slot")
+    // layout and constraint guards
+    intercept[Exception] { spark.sql("ALTER TABLE gdrop.db.t DROP COLUMN g") }
+    spark.sql("CALL gdrop.system.add_constraint('db.t', 'id_nn', 'id IS NOT NULL')")
+    val guarded = intercept[Exception] {
+      spark.sql("ALTER TABLE gdrop.db.t DROP COLUMN id") }
+    assert(guarded.getMessage.contains("id_nn"), guarded.getMessage)
+  }
+
   test("graft catalog: CTAS PARTITIONED BY lands and records the layout; REPLACE without it clears") {
     import graft.sources.GraftManifest
     val root = java.nio.file.Files.createTempDirectory("graft_ctasp").toString
@@ -1042,10 +1077,11 @@ class SourceSpec extends AnyFunSuite {
     spark.sql("INSERT INTO galt.db.a VALUES (99, 5)")
     val got = spark.sql("SELECT id, extra FROM galt.db.a WHERE id = 99").collect()
     assert(got.length == 1 && got.head.getLong(1) == 5L)
-    // destructive ALTERs are refused (they would shift committed cells);
-    // RENAME is no longer destructive — column mapping (round 10) makes
-    // it metadata-only, pinned by its own spec test
-    intercept[Exception] { spark.sql("ALTER TABLE galt.db.a DROP COLUMN id") }
+    // cell-shifting ALTERs are refused; RENAME is metadata-only (column
+    // mapping) and DROP COLUMN is a copy-on-write rewrite, each pinned
+    // by its own spec test
+    intercept[Exception] {
+      spark.sql("ALTER TABLE galt.db.a ALTER COLUMN id TYPE DOUBLE") }
     spark.sql("ALTER TABLE galt.db.a RENAME COLUMN id TO i")
     assert(spark.sql("SELECT i FROM galt.db.a WHERE i = 99").count() == 1)
     intercept[Exception] {
