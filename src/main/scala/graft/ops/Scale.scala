@@ -1610,6 +1610,80 @@ object Scale {
       .orderBy(col("event_type"), col("bucket"), col("n"))
   }
 
+  /** DYNAMIC (runtime) PARTITION PRUNING on a graft fact table — the
+    * star-schema accelerator static pushdown cannot express: the fact
+    * side's selective predicate lives in the DIM TABLE'S DATA (here,
+    * region-1 nations), so no literal filter ever reaches the fact scan.
+    * The connector's scan advertises its partition column as
+    * runtime-filterable ([[graft.sources.GraftSinkScan.filterAttributes]],
+    * SupportsRuntimeV2Filtering); Catalyst's PartitionPruning rule plans
+    * a DynamicPruningExpression over the broadcast build side, and AT
+    * EXECUTION the dim's actual join keys arrive as an IN-set the
+    * manifest skipper prunes files with — the fact table scans only the
+    * partitions the filtered dim references. At 100 TB: a date- or
+    * key-partitioned fact joined to a filtered dim reads 1/5th (here)
+    * of its files with ZERO query rewrite. The key REQUIREs the DPP
+    * filter is planned on the fact scan, that it pruned to exactly the
+    * dim-referenced partitions, and that a no-DPP control plans ALL
+    * files; n_files/n_planned ride as evidence columns the oracle
+    * recomputes as distinct-key counts. */
+  def joinDppGraft(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("dpp_fact", sf)
+    graft.util.Scratch.once(dir) {
+      customer(spark, sf)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        .repartition(col("c_nationkey"))
+        .write.format("graft-sink").option("path", dir)
+        .option("partitionBy", "c_nationkey").mode("overwrite").save()
+    }
+    val nFiles = graft.sources.GraftManifest.readVersion(dir, None).get.files.size
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // the dim is PINNED as the broadcast side (at fixture scale Spark
+    // would happily broadcast the "fact" instead, and a streamed dim has
+    // no broadcast for DPP to reuse — at 100 TB the size asymmetry makes
+    // this the only plan)
+    def joined(): DataFrame = {
+      val fact = spark.read.format("graft-sink").option("path", dir).load()
+      val dim = nation(spark, sf).where(col("n_regionkey") === 1)
+      fact.join(broadcast(dim), fact("c_nationkey") === dim("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("sum_cents"))
+    }
+    // executed fact-scan partition count: materialize, then read the plan
+    def plannedParts(j: DataFrame, wantDpp: Boolean): (DataFrame, Int) = {
+      val cp = j.localCheckpoint()
+      val scans = j.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.GraftSinkScan] => b }
+      require(scans.size == 1, s"want exactly one graft scan, got ${scans.size}")
+      require(scans.head.runtimeFilters.nonEmpty == wantDpp,
+        s"fact scan runtime filters planned=${scans.head.runtimeFilters.nonEmpty}, " +
+          s"want $wantDpp")
+      (cp, scans.head.inputRDD.getNumPartitions)
+    }
+    val out = withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val (cp, planned) = plannedParts(joined(), wantDpp = true)
+      // one file per present partition value ⇒ the pruned plan must read
+      // exactly one file per surviving nation (= result row)
+      val expected = cp.count().toInt
+      require(planned == expected && planned < nFiles,
+        s"runtime pruning must plan $expected of $nFiles files, planned $planned")
+      val (_, control) = withConfs(spark,
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "false") {
+        plannedParts(joined(), wantDpp = false)
+      }
+      require(control == nFiles,
+        s"no-DPP control must plan all $nFiles files, planned $control")
+      cp.withColumn("n_files", lit(nFiles.toLong))
+        .withColumn("n_planned", lit(planned.toLong))
+    }
+    out.orderBy(col("nation"))
+  }
+
   /** WRITE-AUDIT-PUBLISH (WAP) — the staged-commit ingest workflow
     * (Iceberg's stage-only snapshots / audit branch, re-derived on one
     * linear version line): a write with `wapStage=<id>` lands its batch
@@ -1953,6 +2027,81 @@ object Scale {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
         max(col("user_id")).as("max_uid"))
       .orderBy(col("event_type"))
+  }
+
+  /** Shared fixture for the LIMIT/TopN pushdown keys: events
+    * range-clustered on the unique `event_id` into 4 disjoint-envelope
+    * files (the same sorted-write machinery sink_sorted_write pins). */
+  private def cappedTable(spark: SparkSession, sf: String): String = {
+    val dir = tmpDir("ttcap", sf)
+    graft.util.Scratch.once(dir) {
+      events(spark, sf)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .repartition(8)
+        .write.format("graft-sink").option("path", dir)
+        .option("sortBy", "event_id").option("writePartitions", "4")
+        .option("distributionStrict", "true")
+        .mode("overwrite").save()
+    }
+    dir
+  }
+  private def graftScanParts(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.GraftSinkScan] => b }
+    require(scans.size == 1, s"want exactly one graft scan, got ${scans.size}")
+    scans.head.inputRDD.getNumPartitions
+  }
+
+  /** LIMIT pushdown to manifest row counts
+    * ([[graft.sources.GraftSinkScanBuilder.pushLimit]]): `LIMIT k` over
+    * a graft table plans only the FIRST FILES whose live rows cover k —
+    * O(k) IO regardless of table size, where an unpushed limit scans
+    * (or at best short-circuits) every file. Spark keeps its own Limit
+    * above the capped scan (isPartiallyPushed), so correctness never
+    * depends on the cap — the REQUIREs pin the plan: 1 of the 4 files
+    * planned, and exactly k rows returned. The oracle is the evidence
+    * row (counts are exact; a limit's row CONTENT is inherently
+    * arbitrary, so the contract is the count + the plan shape). */
+  def scanLimitPushdown(spark: SparkSession, sf: String): DataFrame = {
+    val dir = cappedTable(spark, sf)
+    val nFiles = graft.sources.GraftManifest.readVersion(dir, None).get.files.size
+    require(nFiles == 4, s"fixture: want 4 range files, got $nFiles")
+    val limited = spark.read.format("graft-sink").option("path", dir).load().limit(150)
+    val got = limited.collect().length
+    val planned = graftScanParts(limited)
+    require(planned == 1,
+      s"pushed LIMIT 150 must plan 1 of $nFiles files (first file covers it), planned $planned")
+    require(got == 150, s"limit must still return exactly 150 rows, got $got")
+    import spark.implicits._
+    Seq((got.toLong, nFiles.toLong, planned.toLong))
+      .toDF("n_rows", "n_files", "n_planned")
+  }
+
+  /** TopN (ORDER BY + LIMIT) pushdown to the range-clustered layout
+    * ([[graft.sources.GraftSinkScanBuilder.pushTopN]]): on a table
+    * sorted by `event_id` the scan takes files in envelope order until
+    * k rows are covered and proves every top-k row lies under the taken
+    * envelopes' bound — `ORDER BY event_id LIMIT 200` reads ONE of the
+    * 4 files. That is the head-of-a-billion-row-time-series query made
+    * O(k): sorted layout + manifest stats turn a full TakeOrdered scan
+    * into single-file IO. Spark still sorts the surviving rows
+    * (partial push), so the returned rows are exact and fully oracled
+    * (unique sort key ⇒ deterministic), with the plan REQUIREd. */
+  def scanTopnPushdown(spark: SparkSession, sf: String): DataFrame = {
+    val dir = cappedTable(spark, sf)
+    val nFiles = graft.sources.GraftManifest.readVersion(dir, None).get.files.size
+    require(nFiles == 4, s"fixture: want 4 range files, got $nFiles")
+    val top = spark.read.format("graft-sink").option("path", dir).load()
+      .orderBy(col("event_id")).limit(200)
+    val cp = top.localCheckpoint()
+    val planned = graftScanParts(top)
+    require(planned == 1,
+      s"pushed TopN(200) must plan 1 of $nFiles range files, planned $planned")
+    cp.withColumn("n_files", lit(nFiles.toLong))
+      .withColumn("n_planned", lit(planned.toLong))
+      .orderBy(col("event_id"))
   }
 
   /** METADATA TABLES — `CALL gsql.system.files/partitions(t)` (the
@@ -2677,6 +2826,7 @@ object Scale {
     "sink_partitioned_write" -> sinkPartitionedWrite,
     "join_spj_graft" -> joinSpjGraft,
     "join_spj_bucket" -> joinSpjBucket,
+    "join_dpp_graft" -> joinDppGraft,
     "sink_ddl_partitioned" -> sinkDdlPartitioned,
     "sink_wap_publish" -> sinkWapPublish,
     "sink_drop_column" -> sinkDropColumn,
@@ -2686,6 +2836,8 @@ object Scale {
     "sink_agg_pushdown" -> sinkAggPushdown,
     "sink_partitions_metadata" -> sinkPartitionsMetadata,
     "sink_sorted_write" -> sinkSortedWrite,
+    "scan_limit_pushdown" -> scanLimitPushdown,
+    "scan_topn_pushdown" -> scanTopnPushdown,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
     "sink_schema_evolve" -> sinkSchemaEvolve,
@@ -2962,6 +3114,17 @@ object Scale {
         |FROM a JOIN b USING (user_id)
         |ORDER BY user_id""".stripMargin,
 
+    "join_dpp_graft" ->
+      """SELECT n.n_name AS nation, count(*) AS n_cust,
+        |  CAST(sum(CAST(floor(c.c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  (SELECT count(DISTINCT c_nationkey) FROM customer) AS n_files,
+        |  (SELECT count(DISTINCT c2.c_nationkey) FROM customer c2
+        |     JOIN nation n2 ON c2.c_nationkey = n2.n_nationkey
+        |   WHERE n2.n_regionkey = 1) AS n_planned
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE n.n_regionkey = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "sink_drop_column" ->
       """SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -3045,6 +3208,16 @@ object Scale {
         |FROM events
         |WHERE user_id <= (SELECT max(user_id) FROM events) // 8
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "scan_limit_pushdown" ->
+      """SELECT CAST(150 AS BIGINT) AS n_rows, CAST(4 AS BIGINT) AS n_files,
+        |  CAST(1 AS BIGINT) AS n_planned""".stripMargin,
+
+    "scan_topn_pushdown" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(floor(value*100) AS BIGINT) AS cents,
+        |  CAST(4 AS BIGINT) AS n_files, CAST(1 AS BIGINT) AS n_planned
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
 
     "sink_merge_version" ->
       """WITH v1 AS (

@@ -1713,9 +1713,103 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
     wapId: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var required: StructType = visible
   private var pushed: Array[Filter] = Array.empty
+
+  // ---- LIMIT / TopN pushdown to manifest facts ------------------------
+  // Both cap the FILE PLAN, not the rows: isPartiallyPushed stays true,
+  // so Spark keeps its own Limit (and Sort) above the scan and
+  // correctness never depends on the cap — the cap only has to
+  // guarantee the surviving files CONTAIN a valid answer set. The payoff
+  // at 100 TB: `LIMIT k` plans the first files covering k live rows
+  // (O(k) IO on a million-file table), and `ORDER BY c LIMIT k` on a
+  // range-clustered table ([sortBy] writes: disjoint per-file
+  // envelopes) plans only the files overlapping the k-th value's bound
+  // — the head of a billion-row time series reads ONE file. Refused
+  // whenever any fact is insufficient, and structurally unreachable
+  // under residual filters (all graft filters are residual, so a WHERE
+  // keeps a Filter node above the scan and Spark never pushes limits
+  // through it — guarded here anyway).
+  private var capFiles: Option[Set[String]] = None
+  private var capDesc: String = ""
+  /** Both caps are file-plan-only: Spark must keep its Limit/Sort. */
+  override def isPartiallyPushed(): Boolean = true
+  private def capEligible: Boolean =
+    pushed.isEmpty && changesFrom.isEmpty && filesSubset.isEmpty &&
+      streamOpts.isEmpty && wapId.isEmpty && !spj
+
+  /** Bare LIMIT k: the first manifest files whose LIVE rows (deletion
+    * vectors discounted) accumulate to k are a complete answer set. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (!capEligible || limit <= 0) return false
+    val m = GraftManifest.readVersion(path, version).getOrElse(return false)
+    var cum = 0L
+    val take = Set.newBuilder[String]
+    var n = 0
+    val it = m.metas.iterator
+    while (cum < limit && it.hasNext) {
+      val f = it.next(); take += f.name; cum += f.liveRows; n += 1
+    }
+    if (n >= m.metas.size) return false // nothing to prune
+    capFiles = Some(take.result()); capDesc = s" limit=$limit($n files)"
+    true
+  }
+
+  /** ORDER BY c LIMIT k (isPartiallyPushed — Spark still sorts): take
+    * files in ascending-min (ASC) / descending-max (DESC) order until
+    * their live rows cover k; every top-k row is then bounded by the
+    * taken envelopes' extremum B, so the answer set is exactly the
+    * files whose envelope reaches B. Only pushed when the sort column
+    * is PROVABLY null-free in every file (known zero null count within
+    * the written width) — with possible NULLs the null ordering decides
+    * which files qualify and an unknown count can hide a qualifying
+    * row; ids/timestamps, the realistic sort keys, pass. Multi-key
+    * orders prune on the leading key (the k-th row's leading value
+    * still bounds the answer set). */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (!capEligible || limit <= 0 || orders.isEmpty) return false
+    val c = orders(0).expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames()(0)
+      case _ => return false
+    }
+    val i = scala.util.Try(layout.fieldIndex(c)).getOrElse(return false)
+    val dt = layout.fields(i).dataType
+    val asc = orders(0).direction() == SortDirection.ASCENDING
+    val m = GraftManifest.readVersion(path, version).getOrElse(return false)
+    // every file must prove the column null-free (and in-width)
+    val facts = m.metas.map { f =>
+      if (i >= f.ncols || !f.nulls.exists(_.getOrElse(i, 0L) == 0L)) return false
+      val (mn, mx) = f.stats.getOrElse(i, return false)
+      (f, mn, mx)
+    }
+    def lt(a: String, b: String): Boolean = GraftSinkScan.cmpStats(dt, a, b) < 0
+    // ASC: order by min, bound by max of taken; DESC: mirror image
+    val ordered =
+      if (asc) facts.sortWith((x, y) => lt(x._2, y._2))
+      else facts.sortWith((x, y) => lt(y._3, x._3))
+    var cum = 0L
+    var bound: String = null
+    val it = ordered.iterator
+    while (cum < limit && it.hasNext) {
+      val (f, mn, mx) = it.next(); cum += f.liveRows
+      val edge = if (asc) mx else mn
+      if (bound == null || (if (asc) lt(bound, edge) else lt(edge, bound)))
+        bound = edge
+    }
+    if (cum < limit || bound == null) return false // table smaller than k
+    val b = bound
+    val take = facts.filter { case (_, mn, mx) =>
+      if (asc) !lt(b, mn) else !lt(mx, b) }.map(_._1.name).toSet
+    if (take.size >= m.metas.size) return false // nothing to prune
+    capFiles = Some(take)
+    capDesc = s" top$limit(${orders(0).toString})=${take.size} files"
+    true
+  }
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   /** Accepted filters prune FILES from the manifest's stats/partition
@@ -1888,7 +1982,7 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
       }
     case None =>
       GraftSinkScan(path, version, layout, required, pushed.toSeq,
-        changesFrom, streamOpts, filesSubset, spj, wapId)
+        changesFrom, streamOpts, filesSubset, spj, wapId, capFiles, capDesc)
   }
 }
 
@@ -1896,12 +1990,47 @@ case class GraftSinkScan(path: String, version: Option[Int],
     full: StructType, required: StructType, filters: Seq[Filter],
     changesFrom: Option[Int] = None, streamOpts: Map[String, String] = Map.empty,
     filesSubset: Option[Set[String]] = None, spj: Boolean = false,
-    wapId: Option[String] = None)
+    wapId: Option[String] = None, capFiles: Option[Set[String]] = None,
+    capDesc: String = "")
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** RUNTIME (dynamic-partition-pruning) file filtering: the scan
+    * advertises its partition column — the identity layout's column, or
+    * a bucket layout's SOURCE column — as runtime-filterable, so
+    * Catalyst's PartitionPruning rule turns a selective broadcast join
+    * against it into an IN-set of the build side's actual join keys,
+    * delivered here AT EXECUTION via [[filter]] and applied through the
+    * same manifest skipper static predicates use ([[GraftSinkScan
+    * .mayMatch]]: exact partition values, bucket ordinals, stats
+    * envelopes). At 100 TB this is the star-schema accelerator: a fact
+    * table partitioned on the dim key scans only the partitions the
+    * filtered dim actually references — file pruning decided by the
+    * DATA of the other side, which no static pushdown can see. Not
+    * advertised under the SPJ opt-in (a key-grouped scan's split set is
+    * its partitioning contract) or in change-feed mode (the feed's
+    * contract is the whole version diff). Dropping a runtime predicate
+    * is always sound — it only ever removes provably-unmatchable files. */
+  @volatile private var runtimeFilters: Seq[Filter] = Nil
+  override def filterAttributes(): Array[NamedReference] =
+    if (spj || changesFrom.isDefined) Array.empty
+    else {
+      val metas = survivors.map(_._1)
+      metas.headOption.flatMap(_.partition.map(_._1))
+        .filter(c => metas.forall(_.partition.exists(_._1 == c)))
+        .map(c => GraftBucket.parse(c).map(_._2).getOrElse(c))
+        .toArray.map(Expressions.column)
+    }
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val v1 = org.apache.spark.sql.GraftBridge.predicatesToV1(predicates)
+    runtimeFilters = v1.filter(GraftSinkScan.supportedFilter(full, _)).toSeq
+  }
 
   /** The files this scan will actually read (post stats/partition
     * skipping), tagged with the change type in CDF mode. Cached: the
@@ -1935,8 +2064,13 @@ case class GraftSinkScan(path: String, version: Option[Int],
             s"pinned snapshot at $path")
         tagged.filter { case (m, _) => want(m.name) }
     }
-    scoped.filter { case (m, _) =>
+    val skipped = scoped.filter { case (m, _) =>
       filters.forall(GraftSinkScan.mayMatch(m, full, _)) }
+    // pushed-LIMIT/TopN file cap (builder-proven complete answer set)
+    capFiles match {
+      case Some(keep) => skipped.filter { case (m, _) => keep(m.name) }
+      case None       => skipped
+    }
     }
   }
 
@@ -2023,7 +2157,7 @@ case class GraftSinkScan(path: String, version: Option[Int],
     val v = version.map(_.toString).getOrElse("head")
     val f = if (filters.isEmpty) "" else s" skip=[${filters.mkString(", ")}]"
     val c = changesFrom.map(n => s" changesFrom=$n").getOrElse("")
-    s"graft-sink $path v=$v cols=${required.fieldNames.mkString(",")}$f$c"
+    s"graft-sink $path v=$v cols=${required.fieldNames.mkString(",")}$f$c$capDesc"
   }
   /** One partition per SURVIVING manifest-named file: the manifest IS the
     * split plan (scan parallelism = the committed file count, zero listing
@@ -2034,7 +2168,15 @@ case class GraftSinkScan(path: String, version: Option[Int],
     * statistics. In change-feed mode the plan is the version DIFF instead:
     * files the range added read as 'insert', files it dropped as 'delete'
     * — O(changed files), the unchanged table is never rescanned. */
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // runtime (DPP) predicates prune on top of the static survivors —
+    // re-evaluated here because BatchScanExec re-plans partitions after
+    // delivering them via filter()
+    val rf = runtimeFilters
+    val planned =
+      if (rf.isEmpty) survivors
+      else survivors.filter { case (m, _) =>
+        rf.forall(GraftSinkScan.mayMatch(m, full, _)) }
     spjKey match {
       case Some(k) =>
         val keyType = k match {
@@ -2042,16 +2184,17 @@ case class GraftSinkScan(path: String, version: Option[Int],
           case GraftSpjIdentity(_, false) => "string"
           case _: GraftSpjBucket          => "int"
         }
-        survivors.map { case (m, c) =>
+        planned.map { case (m, c) =>
           GraftSinkKeyedFileSplit(s"$path/${m.name}", m.rows, m.ncols, c,
             m.dv.map(d => s"$path/${d._1}"), keyType, m.partition.get._2): InputPartition
         }.toArray
       case None =>
-        survivors.map { case (m, c) =>
+        planned.map { case (m, c) =>
           GraftSinkFileSplit(s"$path/${m.name}", m.rows, m.ncols, c,
             m.dv.map(d => s"$path/${d._1}")): InputPartition
         }.toArray
     }
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftSinkReaderFactory(full, required)
 }

@@ -383,6 +383,64 @@ class ScaleFixSpec extends AnyFunSuite {
     }
   }
 
+  test("graft-sink runtime (DPP) pruning: dim data prunes fact files, control reads all") {
+    // the key REQUIREs the whole contract: a DynamicPruning filter planned
+    // on the fact scan, runtime partitions == dim-referenced partitions
+    // (5 of 25 nations), and a DPP-off control planning every file
+    val out = SparkEntry.queries("join_dpp_graft")(spark, sf001).collect()
+    assert(out.length == 5, s"one row per region-1 nation, got ${out.length}")
+    // the V2 predicate → V1 filter doorway converts an IN-set losslessly
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val in = new Predicate("IN", Array[org.apache.spark.sql.connector.expressions.Expression](
+      Expressions.column("c_nationkey"), Expressions.literal(3L), Expressions.literal(7L)))
+    val v1 = org.apache.spark.sql.GraftBridge.predicatesToV1(Array(in))
+    assert(v1.toSeq == Seq(org.apache.spark.sql.sources.In("c_nationkey", Array(3L, 7L))),
+      s"IN predicate must convert to a sources.In filter, got ${v1.toSeq}")
+  }
+
+  test("graft-sink LIMIT/TopN pushdown: caps the file plan both directions, refuses on NULLs") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def planned(df: org.apache.spark.sql.DataFrame): Int = {
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.GraftSinkScan] => b }
+      assert(scans.size == 1)
+      scans.head.inputRDD.getNumPartitions
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    // three appended files with disjoint id ranges (10 rows each)
+    (0 until 3).foreach { s =>
+      spark.range(s * 10L, s * 10L + 10).toDF("id")
+        .select(col("id"), (col("id") * 2).as("v"))
+        .coalesce(1).write.format("graft-sink").option("path", dir)
+        .mode("append").save()
+    }
+    def load() = spark.read.format("graft-sink").option("path", dir).load()
+    val lim = load().limit(15) // needs files 1+2 (10 + 10 rows)
+    assert(lim.collect().length == 15)
+    assert(planned(lim) == 2, "LIMIT 15 over 10-row files must plan 2 of 3")
+    val asc = load().orderBy(col("id")).limit(5)
+    assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 5L),
+      "TopN ASC rows must be exact")
+    assert(planned(asc) == 1, "TopN ASC must plan the first range file only")
+    val desc = load().orderBy(col("id").desc).limit(5)
+    assert(desc.collect().map(_.getLong(0)).toSeq == (29L to 25L by -1),
+      "TopN DESC rows must be exact")
+    assert(planned(desc) == 1, "TopN DESC must plan the last range file only")
+    // a NULL in the sort column makes the cap unprovable → scan everything
+    val dirN = java.nio.file.Files.createTempDirectory("graft_capn").toString
+    import spark.implicits._
+    Seq((1L, Option(5L)), (2L, Option.empty[Long])).toDF("id", "v")
+      .coalesce(1).write.format("graft-sink").option("path", dirN).mode("append").save()
+    Seq((3L, Option(7L))).toDF("id", "v")
+      .coalesce(1).write.format("graft-sink").option("path", dirN).mode("append").save()
+    val topNull = spark.read.format("graft-sink").option("path", dirN).load()
+      .orderBy(col("v")).limit(1)
+    topNull.collect()
+    assert(planned(topNull) == 2,
+      "TopN on a nullable column must refuse the cap and plan all files")
+  }
+
   test("graft-sink bucket layout: string buckets prune, rename remaps the transform, no-catalog reads shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.sources.GraftManifest
