@@ -2104,6 +2104,53 @@ object Scale {
       .orderBy(col("event_id"))
   }
 
+  /** BLOOM-FILTER FILE SKIPPING ([[graft.sources.GraftBloom]], the
+    * Delta bloom-filter-index / Parquet column-bloom role): on an
+    * UNSORTED table every file's min/max envelope spans the whole key
+    * domain, so a point lookup on a high-cardinality column scans every
+    * file — the case range clustering can't help because the table is
+    * clustered on something else (or nothing). `bloomFor=event_id`
+    * makes each task record a ~2-bytes/row bloom of its canonical cell
+    * strings in the commit message; the manifest carries it per
+    * (file, column) and the skipper probes it on =/IN. The key writes
+    * the SAME interleaved data twice — with and without blooms — and
+    * REQUIREs the control scan plans ALL 4 files (proving the
+    * envelopes genuinely overlap and min/max alone prunes nothing)
+    * while the bloomed scan plans at most half (exactly 1 absent false
+    * positives). The returned row is the probed event, fully oracled. */
+  def sinkBloomManifest(spark: SparkSession, sf: String): DataFrame = {
+    def write(dir: String, bloom: Boolean): Unit =
+      graft.util.Scratch.once(dir) {
+        val w = events(spark, sf)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .repartition(4) // round-robin: every file spans the id domain
+          .write.format("graft-sink").option("path", dir)
+        (if (bloom) w.option("bloomFor", "event_id") else w)
+          .mode("overwrite").save()
+      }
+    val dir = tmpDir("ttbloom", sf)
+    val ctl = tmpDir("ttbloomctl", sf)
+    write(dir, bloom = true)
+    write(ctl, bloom = false)
+    val nFiles = graft.sources.GraftManifest.readVersion(dir, None).get.files.size
+    require(nFiles == 4, s"fixture: want 4 interleaved files, got $nFiles")
+    def probe(d: String): DataFrame =
+      spark.read.format("graft-sink").option("path", d).load()
+        .where(col("event_id") === 247L)
+    val control = probe(ctl).rdd.getNumPartitions
+    require(control == nFiles,
+      s"control (no bloom, overlapping envelopes) must plan all $nFiles files, " +
+        s"planned $control")
+    val bloomed = probe(dir)
+    val planned = bloomed.rdd.getNumPartitions
+    require(planned * 2 <= nFiles,
+      s"bloom skipping must prune the point lookup: planned $planned of $nFiles")
+    bloomed
+      .withColumn("n_files", lit(nFiles.toLong))
+      .orderBy(col("event_id"))
+  }
+
   /** METADATA TABLES — `CALL gsql.system.files/partitions(t)` (the
     * Iceberg `t.files`/`t.partitions` read): per-file and per-partition
     * facts (file count, physical rows, live rows after deletion vectors)
@@ -2838,6 +2885,7 @@ object Scale {
     "sink_sorted_write" -> sinkSortedWrite,
     "scan_limit_pushdown" -> scanLimitPushdown,
     "scan_topn_pushdown" -> scanTopnPushdown,
+    "sink_bloom_manifest" -> sinkBloomManifest,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
     "sink_schema_evolve" -> sinkSchemaEvolve,
@@ -3218,6 +3266,12 @@ object Scale {
         |  CAST(floor(value*100) AS BIGINT) AS cents,
         |  CAST(4 AS BIGINT) AS n_files, CAST(1 AS BIGINT) AS n_planned
         |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "sink_bloom_manifest" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(floor(value*100) AS BIGINT) AS cents,
+        |  CAST(4 AS BIGINT) AS n_files
+        |FROM events WHERE event_id = 247""".stripMargin,
 
     "sink_merge_version" ->
       """WITH v1 AS (

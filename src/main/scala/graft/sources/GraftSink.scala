@@ -146,7 +146,8 @@ object GraftSinkProvider {
 case class GraftFileMeta(name: String, rows: Long, ncols: Int,
     stats: Map[Int, (String, String)], partition: Option[(String, String)],
     nulls: Option[Map[Int, Long]] = None, dv: Option[(String, Long)] = None,
-    sums: Option[Map[Int, Long]] = None) {
+    sums: Option[Map[Int, Long]] = None,
+    blooms: Map[Int, String] = Map.empty) {
   /** Rows a scan of this file emits (physical minus deleted). */
   def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
 }
@@ -412,6 +413,8 @@ object GraftManifest {
     val nulls = scala.collection.mutable.Map[String, Map[Int, Long]]()
     val dvs = scala.collection.mutable.Map[String, (String, Long)]()
     val sums = scala.collection.mutable.Map[String, Map[Int, Long]]()
+    val blooms = scala.collection.mutable.Map[String, Map[Int, String]]()
+      .withDefaultValue(Map.empty)
     var total = 0L
     body.split("\n").filter(_.nonEmpty).foreach {
       case s if s.startsWith("#schema=") => ddl = Some(s.stripPrefix("#schema="))
@@ -469,6 +472,12 @@ object GraftManifest {
           case bad => throw new IllegalStateException(
             s"malformed #sums line: '${bad.mkString(",")}'")
         }
+      case s if s.startsWith("#bloom=") =>
+        s.stripPrefix("#bloom=").split(",", 3) match {
+          case Array(f, i, b64) => blooms(f) = blooms(f) + (i.toInt -> b64)
+          case bad => throw new IllegalStateException(
+            s"malformed #bloom line: '${bad.mkString(",")}'")
+        }
       case s if s.startsWith("#") => () // forward-compat: ignore unknown metadata
       case line => line.split(",", 2) match {
         case Array("_total", n) => total = n.toLong
@@ -480,7 +489,7 @@ object GraftManifest {
     val width = ddl.map(StructType.fromDDL(_).length).getOrElse(0)
     val metas = rows.result().map { case (f, n) =>
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f),
-        nulls.get(f), dvs.get(f), sums.get(f))
+        nulls.get(f), dvs.get(f), sums.get(f), blooms(f))
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
       ids, checks.result(), partSpec)
@@ -613,7 +622,9 @@ object GraftManifest {
         // zero sums stay listed (zero is a KNOWN sum); only unknown
         // columns are absent — the opposite filter from #nulls
         m.sums.filter(_.nonEmpty).map(ss => s"#sums=${m.name}," + ss.toSeq
-          .sortBy(_._1).map { case (i, v) => s"$i:$v" }.mkString(";")).toSeq
+          .sortBy(_._1).map { case (i, v) => s"$i:$v" }.mkString(";")).toSeq ++
+        m.blooms.toSeq.sortBy(_._1).map { case (i, b64) =>
+          s"#bloom=${m.name},$i,$b64" }
     }
     // `_total` rides in the HEADER (parse is position-agnostic): a delta
     // commit then learns the prior total from [[readHeader]] without
@@ -1223,6 +1234,83 @@ object GraftCheck {
   * dispatches on the magic. Writers always emit the new format. An
   * unknown format byte fails loudly — silently misdecoding a vector
   * would resurrect deleted rows. */
+/** Per-(file, column) BLOOM FILTER — point-lookup skipping for columns
+  * the layout does NOT cluster (the Delta bloom-filter-index / Parquet
+  * column-bloom role): on an unsorted 100 TB table every file's min/max
+  * envelope spans the whole key domain, so `WHERE id = x` scans
+  * everything; a ~2-bytes/row bloom in the manifest prunes to the one
+  * file (plus vanishingly rare false positives) that can contain x.
+  * Opt-in per write (`bloomFor=col,...`, long/string columns only —
+  * double formatting is not canonical enough to probe byte-exactly).
+  *
+  * Shape: k=6 double-hashed probes (FNV-1a 64 + a splitmix64-derived
+  * odd stride) over a power-of-two bit array sized ~16 bits/distinct
+  * hash (fpp ≈ 1e-3), capped at 1 MiB; base64 in the `#bloom=` line.
+  * The probe hashes the CANONICAL CELL STRING the writer emitted
+  * (Long.toString / the raw string), so writer and skipper agree
+  * byte-for-byte by construction. Absent blooms skip nothing —
+  * conservative like every manifest fact; deletion vectors never
+  * invalidate a bloom (it may only over-approximate the live set). */
+object GraftBloom {
+  private val K = 6
+  def hash(s: String): Long = {
+    // FNV-1a 64 over UTF-8 bytes
+    var h = 0xcbf29ce484222325L
+    val bs = s.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bs.length) { h ^= bs(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+  private def stride(h: Long): Long = {
+    // splitmix64 finalizer — independent second hash, forced odd so the
+    // probe sequence cycles the whole power-of-two table
+    var z = h + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) | 1L
+  }
+
+  /** Build from the value hashes of one file's column (one per row is
+    * fine — duplicate hashes cost nothing but their first insertion). */
+  def build(hashes: Array[Long]): String = {
+    var bits = 1024L
+    while (bits < 16L * hashes.length && bits < (1L << 23)) bits <<= 1
+    val words = new Array[Long]((bits / 64).toInt)
+    val mask = bits - 1
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i); val st = stride(h)
+      var j = 0
+      while (j < K) {
+        val b = ((h + j * st) & mask).toInt
+        words(b >> 6) |= 1L << (b & 63)
+        j += 1
+      }
+      i += 1
+    }
+    val bytes = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bytes.putLong)
+    java.util.Base64.getEncoder.encodeToString(bytes.array())
+  }
+
+  def mightContain(b64: String, value: String): Boolean = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val words = new Array[Long](bytes.length / 8)
+    var w = 0
+    while (w < words.length) { words(w) = bb.getLong(); w += 1 }
+    val mask = words.length * 64L - 1
+    val h = hash(value); val st = stride(h)
+    var j = 0
+    while (j < K) {
+      val b = ((h + j * st) & mask).toInt
+      if ((words(b >> 6) & (1L << (b & 63))) == 0L) return false
+      j += 1
+    }
+    true
+  }
+}
+
 object GraftDv {
   val Magic: Byte = 0x47 // 'G'; legacy ASCII sidecars start with a digit
   val Version1: Byte = 0x01 // varint run-length pairs
@@ -1570,6 +1658,23 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         // audit label for the commit's `#op=` line; maintenance rewrites
         // (OPTIMIZE/RESTORE run as ordinary overwrites) pass their verb
         private val opLabel = Option(opts.get("operation")).filter(_.nonEmpty)
+        // BLOOM FILTERS (`bloomFor=col,...`): each task records a
+        // per-(file, column) bloom of the canonical cell strings in its
+        // commit message — point-lookup skipping for columns the layout
+        // does not cluster ([[GraftBloom]]). Long/string only: double
+        // formatting is not canonical enough to probe byte-exactly.
+        private val bloomFor = Option(opts.get("bloomFor")).filter(_.nonEmpty)
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+        bloomFor.foreach { c =>
+          val i = scala.util.Try(info.schema().fieldIndex(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-sink: bloomFor column '$c' not in write schema"))
+          info.schema().fields(i).dataType match {
+            case LongType | StringType => ()
+            case dt => throw new IllegalArgumentException(
+              s"graft-sink: bloomFor supports long/string, got $dt for '$c'")
+          }
+        }
         private def asc(c: String): org.apache.spark.sql.connector.expressions.SortOrder =
           Expressions.sort(Expressions.column(c),
             org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
@@ -1603,7 +1708,7 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
             expectedBase, evolve, partCol, opLabel, replaceWhere,
-            wapStage = wapStage)
+            wapStage = wapStage, bloomFor = bloomFor)
         override def toStreaming: StreamingWrite =
           // partCol includes the declared-spec default: a streaming
           // ingest into a PARTITIONED BY table conforms like any batch
@@ -2301,10 +2406,20 @@ object GraftSinkScan {
       }
       case None => true
     }
+    // per-file bloom probe for point predicates on UNCLUSTERED columns —
+    // the skip min/max can't make when every file's envelope spans the
+    // domain. Hashes the canonical cell string (long/string columns
+    // only; the writer never blooms doubles), conservative when absent.
+    def bloomOk(c: String, vs: Iterable[Any]): Boolean = col(c).forall {
+      case (i, LongType | StringType) => meta.blooms.get(i).forall(b64 =>
+        vs.exists(v => GraftBloom.mightContain(b64, v.toString)))
+      case _ => true
+    }
     f match {
       case And(l, r) => mayMatch(meta, layout, l) && mayMatch(meta, layout, r)
       case Or(l, r)  => mayMatch(meta, layout, l) || mayMatch(meta, layout, r)
       case EqualTo(c, v) => !allNull(c) && bucketOk(c, Seq(v)) &&
+        bloomOk(c, Seq(v)) &&
         range(c).forall { case (dt, mn, mx) =>
           cmp(dt, v.toString, mn) >= 0 && cmp(dt, v.toString, mx) <= 0 }
       case GreaterThan(c, v) => !allNull(c) && range(c).forall { case (dt, _, mx) =>
@@ -2316,6 +2431,7 @@ object GraftSinkScan {
       case LessThanOrEqual(c, v) => !allNull(c) && range(c).forall { case (dt, mn, _) =>
         cmp(dt, mn, v.toString) <= 0 }
       case In(c, vs) => !allNull(c) && bucketOk(c, vs.toSeq) &&
+        bloomOk(c, vs.toSeq) &&
         range(c).forall { case (dt, mn, mx) =>
           vs.exists(v => cmp(dt, v.toString, mn) >= 0 && cmp(dt, v.toString, mx) <= 0) }
       // null counts sharpen both null predicates: IS NOT NULL also drops a
@@ -2722,7 +2838,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     partCol: Option[String], opLabel: Option[String] = None,
     replaceWhere: Option[Seq[Filter]] = None,
     declaredSpec: Option[Option[String]] = None,
-    wapStage: Option[String] = None) extends BatchWrite {
+    wapStage: Option[String] = None,
+    bloomFor: Seq[String] = Nil) extends BatchWrite {
   /** Writer factory — resolved at JOB START on the driver, including the
     * head's CHECK constraints: every task writer enforces them per row,
     * so a violating batch aborts before any manifest commit (nothing
@@ -2730,7 +2847,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftSinkWriterFactory(path, schema, tag, partCol,
       GraftManifest.versions(path).lastOption
-        .map(v => GraftManifest.headerFacts(path, v).checks).getOrElse(Nil))
+        .map(v => GraftManifest.headerFacts(path, v).checks).getOrElse(Nil),
+      bloomFor)
 
   /** Job commit: the atomic point. Only files named by task commits enter
     * the manifest; half-written .tmp files are invisible to readers. */
@@ -3121,11 +3239,12 @@ class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
 }
 
 class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
-    partCol: Option[String], checks: Seq[(String, String)] = Nil)
+    partCol: Option[String], checks: Seq[(String, String)] = Nil,
+    bloomFor: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-",
-      partCol = partCol, checks = checks)
+      partCol = partCol, checks = checks, bloomFor = bloomFor)
 }
 
 /** Named (serializable) streaming factory — an anonymous class here would
@@ -3235,9 +3354,13 @@ object GraftSinkWriter {
   * skipping. */
 class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, prefix: String = "", partCol: Option[String] = None,
-    checks: Seq[(String, String)] = Nil)
+    checks: Seq[(String, String)] = Nil, bloomFor: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
   new File(path).mkdirs()
+  /** Columns to bloom (validated long/string at plan time; a narrower
+    * pre-evolution schema simply blooms the columns it carries). */
+  private val bloomIdx: Array[Int] = bloomFor
+    .flatMap(c => scala.util.Try(schema.fieldIndex(c)).toOption).toArray
   /** Compiled CHECK constraints. A check whose column this (narrower,
     * pre-evolution) writer does not carry is trivially satisfied — the
     * column lands NULL, and NULL passes a CHECK by SQL semantics. */
@@ -3281,6 +3404,10 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     // Long overflow (the fact becomes "unknown", never wrong)
     val sums = new Array[Long](schema.length)
     val sumOk: Array[Boolean] = schema.fields.map(_.dataType == LongType)
+    // one growable hash log per bloomed column (8 B/row while writing);
+    // the sized filter is built once at task commit
+    val bloomHashes: Map[Int, scala.collection.mutable.ArrayBuffer[Long]] =
+      bloomIdx.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Long]).toMap
   }
   private val parts = scala.collection.mutable.LinkedHashMap[String, Part]()
 
@@ -3343,6 +3470,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         if (p.sumOk(i))
           try p.sums(i) = Math.addExact(p.sums(i), cells(i).toLong)
           catch { case _: ArithmeticException => p.sumOk(i) = false }
+        p.bloomHashes.get(i).foreach(_ += GraftBloom.hash(cells(i)))
       } else p.nullCounts(i) += 1
       i += 1
     }
@@ -3368,8 +3496,10 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         .filter(p.nullCounts(_) > 0).map(i => i -> p.nullCounts(i)).toMap
       val sums = (0 until schema.length)
         .filter(p.sumOk(_)).map(i => i -> p.sums(i)).toMap
+      val blooms = p.bloomHashes.collect { case (i, hs) if hs.nonEmpty =>
+        i -> GraftBloom.build(hs.toArray) }
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
-        partName.map(_ -> value), Some(nulls), None, Some(sums))
+        partName.map(_ -> value), Some(nulls), None, Some(sums), blooms)
     }.toSeq
     GraftSinkCommit(metas)
   }

@@ -441,6 +441,20 @@ class ScaleFixSpec extends AnyFunSuite {
       "TopN on a nullable column must refuse the cap and plan all files")
   }
 
+  test("graft-sink manifest blooms: zero false negatives, ~1e-3 false positives") {
+    import graft.sources.GraftBloom
+    val hs = (0 until 5000).map(i => GraftBloom.hash(s"v$i")).toArray
+    val b64 = GraftBloom.build(hs)
+    assert((0 until 5000).forall(i => GraftBloom.mightContain(b64, s"v$i")),
+      "a bloom must never reject a value it was built from")
+    val fp = (5000 until 25000).count(i => GraftBloom.mightContain(b64, s"v$i"))
+    assert(fp <= 100, s"false-positive rate too high: $fp/20000")
+    // a delete (deletion vector) only shrinks the live set — the bloom
+    // stays a sound over-approximation by construction; and the skipper
+    // treats an absent bloom as unconditionally conservative
+    assert(GraftBloom.mightContain(b64, "v123"))
+  }
+
   test("graft-sink bucket layout: string buckets prune, rename remaps the transform, no-catalog reads shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.sources.GraftManifest
