@@ -2151,6 +2151,61 @@ object Scale {
       .orderBy(col("event_id"))
   }
 
+  /** WRITE-TIME NDV STATISTICS → COST-BASED OPTIMIZER
+    * ([[graft.sources.GraftHll]]): `ndvFor=*` makes every task fold a
+    * HyperLogLog sketch per column into its commit message; the scan
+    * merges the per-file sketches (register max — mergeability is the
+    * whole point) and reports distinctCount/nullCount/min-max as DSv2
+    * column statistics, which Spark folds into per-attribute ColumnStat
+    * under CBO. The payoff: join reordering and selectivity estimation
+    * on graft tables with ZERO ANALYZE pass — the statistics were
+    * collected by the writes themselves, can never go stale, and cost
+    * O(files) to merge at ANY table size (the Iceberg-puffin/Delta-
+    * ANALYZE role done incrementally). The key REQUIREs Spark actually
+    * CONSUMED the report (attributeStats non-empty under CBO, min/max
+    * present for the id column) and emits a per-column within-10%%
+    * accuracy verdict against the exact distinct counts (HLL at 2^12
+    * registers is ±1.6%% SE plus the documented raw-regime bias hump
+    * near 2.5m; the hash is fixed, so the verdict is deterministic). */
+  def sinkNdvStats(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttndv", sf)
+    graft.util.Scratch.once(dir) {
+      events(spark, sf)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .repartition(4) // 4 files ⇒ the scan must MERGE sketches
+        .write.format("graft-sink").option("path", dir)
+        .option("ndvFor", "*").mode("overwrite").save()
+    }
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    val reported: Map[String, (BigInt, Boolean)] = withConfs(spark,
+      "spark.sql.cbo.enabled" -> "true") {
+      val as = t.queryExecution.optimizedPlan.stats.attributeStats
+      require(as.nonEmpty, "CBO must consume the scan's column statistics")
+      as.map { case (attr, cs) =>
+        require(cs.distinctCount.isDefined,
+          s"merged NDV sketch missing for ${attr.name}")
+        attr.name -> (cs.distinctCount.get, cs.min.isDefined && cs.max.isDefined)
+      }.toMap
+    }
+    require(reported("event_id")._2,
+      "numeric min/max must ride the column statistics")
+    val ex = events(spark, sf).agg(
+      count_distinct(col("event_id")).as("event_id"),
+      count_distinct(col("user_id")).as("user_id"),
+      count_distinct(col("event_type")).as("event_type"),
+      count_distinct(floor(col("value") * 100).cast("long")).as("cents")).head()
+    import spark.implicits._
+    val rows = Seq("cents", "event_id", "event_type", "user_id").map { c =>
+      val exact = ex.getAs[Long](c)
+      val est = reported(c)._1.toLong
+      val ok = math.abs(est - exact) <= math.max(1L, (exact * 0.10).toLong)
+      require(ok, s"NDV estimate for $c off by >10%: est=$est exact=$exact")
+      (c, if (ok) 1L else 0L)
+    }
+    rows.toDF("c", "ndv_ok").orderBy(col("c"))
+  }
+
   /** METADATA TABLES — `CALL gsql.system.files/partitions(t)` (the
     * Iceberg `t.files`/`t.partitions` read): per-file and per-partition
     * facts (file count, physical rows, live rows after deletion vectors)
@@ -2886,6 +2941,7 @@ object Scale {
     "scan_limit_pushdown" -> scanLimitPushdown,
     "scan_topn_pushdown" -> scanTopnPushdown,
     "sink_bloom_manifest" -> sinkBloomManifest,
+    "sink_ndv_stats" -> sinkNdvStats,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
     "sink_schema_evolve" -> sinkSchemaEvolve,
@@ -3272,6 +3328,11 @@ object Scale {
         |  CAST(floor(value*100) AS BIGINT) AS cents,
         |  CAST(4 AS BIGINT) AS n_files
         |FROM events WHERE event_id = 247""".stripMargin,
+
+    "sink_ndv_stats" ->
+      """SELECT c, CAST(1 AS BIGINT) AS ndv_ok FROM (VALUES ('cents'),
+        |  ('event_id'), ('event_type'), ('user_id')) AS t(c)
+        |ORDER BY c""".stripMargin,
 
     "sink_merge_version" ->
       """WITH v1 AS (

@@ -147,7 +147,8 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
     stats: Map[Int, (String, String)], partition: Option[(String, String)],
     nulls: Option[Map[Int, Long]] = None, dv: Option[(String, Long)] = None,
     sums: Option[Map[Int, Long]] = None,
-    blooms: Map[Int, String] = Map.empty) {
+    blooms: Map[Int, String] = Map.empty,
+    ndvs: Map[Int, String] = Map.empty) {
   /** Rows a scan of this file emits (physical minus deleted). */
   def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
 }
@@ -415,6 +416,8 @@ object GraftManifest {
     val sums = scala.collection.mutable.Map[String, Map[Int, Long]]()
     val blooms = scala.collection.mutable.Map[String, Map[Int, String]]()
       .withDefaultValue(Map.empty)
+    val ndvs = scala.collection.mutable.Map[String, Map[Int, String]]()
+      .withDefaultValue(Map.empty)
     var total = 0L
     body.split("\n").filter(_.nonEmpty).foreach {
       case s if s.startsWith("#schema=") => ddl = Some(s.stripPrefix("#schema="))
@@ -478,6 +481,12 @@ object GraftManifest {
           case bad => throw new IllegalStateException(
             s"malformed #bloom line: '${bad.mkString(",")}'")
         }
+      case s if s.startsWith("#ndv=") =>
+        s.stripPrefix("#ndv=").split(",", 3) match {
+          case Array(f, i, b64) => ndvs(f) = ndvs(f) + (i.toInt -> b64)
+          case bad => throw new IllegalStateException(
+            s"malformed #ndv line: '${bad.mkString(",")}'")
+        }
       case s if s.startsWith("#") => () // forward-compat: ignore unknown metadata
       case line => line.split(",", 2) match {
         case Array("_total", n) => total = n.toLong
@@ -489,7 +498,7 @@ object GraftManifest {
     val width = ddl.map(StructType.fromDDL(_).length).getOrElse(0)
     val metas = rows.result().map { case (f, n) =>
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f),
-        nulls.get(f), dvs.get(f), sums.get(f), blooms(f))
+        nulls.get(f), dvs.get(f), sums.get(f), blooms(f), ndvs(f))
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
       ids, checks.result(), partSpec)
@@ -624,7 +633,9 @@ object GraftManifest {
         m.sums.filter(_.nonEmpty).map(ss => s"#sums=${m.name}," + ss.toSeq
           .sortBy(_._1).map { case (i, v) => s"$i:$v" }.mkString(";")).toSeq ++
         m.blooms.toSeq.sortBy(_._1).map { case (i, b64) =>
-          s"#bloom=${m.name},$i,$b64" }
+          s"#bloom=${m.name},$i,$b64" } ++
+        m.ndvs.toSeq.sortBy(_._1).map { case (i, b64) =>
+          s"#ndv=${m.name},$i,$b64" }
     }
     // `_total` rides in the HEADER (parse is position-agnostic): a delta
     // commit then learns the prior total from [[readHeader]] without
@@ -1311,6 +1322,67 @@ object GraftBloom {
   }
 }
 
+/** Per-(file, column) HYPERLOGLOG NDV sketch — the distinct-count fact
+  * cost-based optimization needs but no envelope can carry (the Iceberg
+  * puffin-theta-sketch / Delta ANALYZE role, collected AT WRITE TIME so
+  * a table's statistics are never stale and never need a second scan):
+  * each task folds its cells' 64-bit hashes into 2^12 = 4096 rank
+  * registers (~5.5 KB base64 in the `#ndv=` line, ±1.6% standard
+  * error); sketches MERGE by register max, so the scan can answer "how
+  * many distinct values does this column have across these files" in
+  * O(files) driver work at ANY table size — which is exactly the input
+  * Spark's CBO join reordering and broadcast decisions consume via the
+  * DSv2 column-statistics report. Opt-in per write (`ndvFor=col,...`
+  * or `*`); absent sketches report nothing (CBO falls back to its
+  * defaults, never a wrong number). First decoded byte is the
+  * precision, so the format can grow registers without breaking old
+  * manifests. */
+object GraftHll {
+  val P = 12
+  private val M = 1 << P
+  private val Alpha = 0.7213 / (1 + 1.079 / M)
+  def emptyRegisters(): Array[Byte] = new Array[Byte](M)
+  def update(regs: Array[Byte], h0: Long): Unit = {
+    // FNV-1a's HIGH bits barely vary on short strings (measured: 22
+    // distinct top-11-bit values over 1000 small ints), and HLL buckets
+    // on exactly those bits — avalanche with the splitmix64 finalizer
+    // first so every input bit reaches every output bit
+    var h = (h0 ^ (h0 >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h = h ^ (h >>> 31)
+    val idx = (h >>> (64 - P)).toInt
+    val rank = math.min(java.lang.Long.numberOfLeadingZeros(h << P), 64 - P) + 1
+    if (rank > (regs(idx) & 0xff)) regs(idx) = rank.toByte
+  }
+  def encode(regs: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(P.toByte +: regs)
+  /** Merge an encoded sketch into `acc` (register-wise max). */
+  def mergeInto(acc: Array[Byte], b64: String): Unit = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    require(bytes.length == M + 1 && bytes(0) == P.toByte,
+      s"graft-sink: unknown NDV sketch format (p=${bytes(0)}, len=${bytes.length})")
+    var i = 0
+    while (i < M) {
+      if ((bytes(i + 1) & 0xff) > (acc(i) & 0xff)) acc(i) = bytes(i + 1)
+      i += 1
+    }
+  }
+  def estimate(regs: Array[Byte]): Long = {
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      val r = regs(i) & 0xff
+      sum += math.pow(2.0, -r)
+      if (r == 0) zeros += 1
+      i += 1
+    }
+    val raw = Alpha * M * M / sum
+    val e = if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros) else raw
+    math.max(1L, math.round(e))
+  }
+}
+
 object GraftDv {
   val Magic: Byte = 0x47 // 'G'; legacy ASCII sidecars start with a digit
   val Version1: Byte = 0x01 // varint run-length pairs
@@ -1675,6 +1747,19 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
               s"graft-sink: bloomFor supports long/string, got $dt for '$c'")
           }
         }
+        // NDV SKETCHES (`ndvFor=col,...` or `*`): per-(file, column)
+        // HyperLogLog registers in the commit message ([[GraftHll]]) —
+        // write-time distinct counts the scan merges and reports as
+        // DSv2 column statistics for cost-based optimization.
+        private val ndvFor = Option(opts.get("ndvFor")).filter(_.nonEmpty)
+          .map { v =>
+            if (v.trim == "*") info.schema().fieldNames.toSeq
+            else v.split(",").map(_.trim).toSeq
+          }.getOrElse(Nil)
+        ndvFor.foreach { c =>
+          require(scala.util.Try(info.schema().fieldIndex(c)).isSuccess,
+            s"graft-sink: ndvFor column '$c' not in write schema")
+        }
         private def asc(c: String): org.apache.spark.sql.connector.expressions.SortOrder =
           Expressions.sort(Expressions.column(c),
             org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
@@ -1708,7 +1793,7 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
             expectedBase, evolve, partCol, opLabel, replaceWhere,
-            wapStage = wapStage, bloomFor = bloomFor)
+            wapStage = wapStage, bloomFor = bloomFor, ndvFor = ndvFor)
         override def toStreaming: StreamingWrite =
           // partCol includes the declared-spec default: a streaming
           // ingest into a PARTITIONED BY table conforms like any batch
@@ -2193,11 +2278,69 @@ case class GraftSinkScan(path: String, version: Option[Int],
     val rows = s.map(_._1.liveRows).sum
     val bytes = s.map { case (m, _) =>
       scala.util.Try(Files.size(Paths.get(path, m.name))).getOrElse(0L) }.sum
+    // COLUMN STATISTICS for the cost-based optimizer: merged write-time
+    // HLL sketches become distinctCount, summed `#nulls` become
+    // nullCount, the folded envelope becomes min/max (numeric columns
+    // only — catalyst stores them in internal form). Each fact is
+    // reported ONLY when every surviving file carries it; a partial
+    // merge would be a confidently wrong number, and CBO's own default
+    // is safer than that. Spark folds these into per-attribute
+    // ColumnStat (DataSourceV2Relation.transformV2Stats), so join
+    // reordering and selectivity estimation on graft tables work with
+    // ZERO ANALYZE — the statistics were collected by the writes
+    // themselves and can never go stale.
+    val colStats = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    val metas = s.map(_._1)
+    if (metas.nonEmpty) required.fields.foreach { fld =>
+      scala.util.Try(full.fieldIndex(fld.name)).toOption.foreach { i =>
+        val ndv: Option[Long] =
+          if (metas.forall(_.ndvs.contains(i))) {
+            val acc = GraftHll.emptyRegisters()
+            metas.foreach(m => GraftHll.mergeInto(acc, m.ndvs(i)))
+            Some(GraftHll.estimate(acc))
+          } else None
+        val nullCnt: Option[Long] =
+          if (metas.forall(_.nulls.isDefined))
+            Some(metas.map(_.nulls.get.getOrElse(i, 0L)).sum)
+          else None
+        val env: Option[(Any, Any)] =
+          if (metas.forall(m => m.stats.contains(i) && m.ncols > i))
+            fld.dataType match {
+              case LongType => Some((
+                java.lang.Long.valueOf(metas.map(_.stats(i)._1.toLong).min),
+                java.lang.Long.valueOf(metas.map(_.stats(i)._2.toLong).max)))
+              case DoubleType => Some((
+                java.lang.Double.valueOf(metas.map(_.stats(i)._1.toDouble).min),
+                java.lang.Double.valueOf(metas.map(_.stats(i)._2.toDouble).max)))
+              case _ => None
+            }
+          else None
+        if (ndv.isDefined || nullCnt.isDefined || env.isDefined)
+          colStats.put(Expressions.column(fld.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                ndv.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def nullCount(): java.util.OptionalLong =
+                nullCnt.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def min(): java.util.Optional[Object] =
+                env.map(e => java.util.Optional.of(e._1.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                env.map(e => java.util.Optional.of(e._2.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+            })
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(bytes, 1L))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
   /** STORAGE-PARTITIONED-JOIN eligibility: Some((column, isLong)) when
@@ -2839,7 +2982,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     replaceWhere: Option[Seq[Filter]] = None,
     declaredSpec: Option[Option[String]] = None,
     wapStage: Option[String] = None,
-    bloomFor: Seq[String] = Nil) extends BatchWrite {
+    bloomFor: Seq[String] = Nil,
+    ndvFor: Seq[String] = Nil) extends BatchWrite {
   /** Writer factory — resolved at JOB START on the driver, including the
     * head's CHECK constraints: every task writer enforces them per row,
     * so a violating batch aborts before any manifest commit (nothing
@@ -2848,7 +2992,7 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     new GraftSinkWriterFactory(path, schema, tag, partCol,
       GraftManifest.versions(path).lastOption
         .map(v => GraftManifest.headerFacts(path, v).checks).getOrElse(Nil),
-      bloomFor)
+      bloomFor, ndvFor)
 
   /** Job commit: the atomic point. Only files named by task commits enter
     * the manifest; half-written .tmp files are invisible to readers. */
@@ -3240,11 +3384,11 @@ class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
 
 class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
     partCol: Option[String], checks: Seq[(String, String)] = Nil,
-    bloomFor: Seq[String] = Nil)
+    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-",
-      partCol = partCol, checks = checks, bloomFor = bloomFor)
+      partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor)
 }
 
 /** Named (serializable) streaming factory — an anonymous class here would
@@ -3354,12 +3498,15 @@ object GraftSinkWriter {
   * skipping. */
 class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, prefix: String = "", partCol: Option[String] = None,
-    checks: Seq[(String, String)] = Nil, bloomFor: Seq[String] = Nil)
+    checks: Seq[(String, String)] = Nil, bloomFor: Seq[String] = Nil,
+    ndvFor: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
   new File(path).mkdirs()
   /** Columns to bloom (validated long/string at plan time; a narrower
     * pre-evolution schema simply blooms the columns it carries). */
   private val bloomIdx: Array[Int] = bloomFor
+    .flatMap(c => scala.util.Try(schema.fieldIndex(c)).toOption).toArray
+  private val ndvIdx: Array[Int] = ndvFor
     .flatMap(c => scala.util.Try(schema.fieldIndex(c)).toOption).toArray
   /** Compiled CHECK constraints. A check whose column this (narrower,
     * pre-evolution) writer does not carry is trivially satisfied — the
@@ -3408,6 +3555,9 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     // the sized filter is built once at task commit
     val bloomHashes: Map[Int, scala.collection.mutable.ArrayBuffer[Long]] =
       bloomIdx.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Long]).toMap
+    // fixed 2 KB of HLL registers per sketched column, updated per cell
+    val ndvRegs: Map[Int, Array[Byte]] =
+      ndvIdx.map(_ -> GraftHll.emptyRegisters()).toMap
   }
   private val parts = scala.collection.mutable.LinkedHashMap[String, Part]()
 
@@ -3471,6 +3621,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
           try p.sums(i) = Math.addExact(p.sums(i), cells(i).toLong)
           catch { case _: ArithmeticException => p.sumOk(i) = false }
         p.bloomHashes.get(i).foreach(_ += GraftBloom.hash(cells(i)))
+        p.ndvRegs.get(i).foreach(GraftHll.update(_, GraftBloom.hash(cells(i))))
       } else p.nullCounts(i) += 1
       i += 1
     }
@@ -3498,8 +3649,9 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         .filter(p.sumOk(_)).map(i => i -> p.sums(i)).toMap
       val blooms = p.bloomHashes.collect { case (i, hs) if hs.nonEmpty =>
         i -> GraftBloom.build(hs.toArray) }
+      val ndvs = p.ndvRegs.map { case (i, regs) => i -> GraftHll.encode(regs) }
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
-        partName.map(_ -> value), Some(nulls), None, Some(sums), blooms)
+        partName.map(_ -> value), Some(nulls), None, Some(sums), blooms, ndvs)
     }.toSeq
     GraftSinkCommit(metas)
   }

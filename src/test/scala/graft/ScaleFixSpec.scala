@@ -455,6 +455,36 @@ class ScaleFixSpec extends AnyFunSuite {
     assert(GraftBloom.mightContain(b64, "v123"))
   }
 
+  test("graft-sink NDV sketches: merge-invariant, accurate across regimes") {
+    import graft.sources.{GraftBloom, GraftHll}
+    def sketchOf(vs: Seq[String]): Array[Byte] = {
+      val r = GraftHll.emptyRegisters()
+      vs.foreach(v => GraftHll.update(r, GraftBloom.hash(v)))
+      r
+    }
+    // linear-counting regime (small NDV): near-exact
+    assert(math.abs(GraftHll.estimate(sketchOf((0 until 50).map("k" + _))) - 50L) <= 1)
+    // raw regime at the documented worst hump (~2.4 registers ratio)
+    val vals = (0 until 9473).map(i => i.toString)
+    val one = GraftHll.estimate(sketchOf(vals))
+    assert(math.abs(one - 9473L) <= 947, s"estimate $one off >10% of 9473")
+    // splitting the same values across 4 sketches and merging must give
+    // EXACTLY the single-sketch registers (union semantics)
+    val acc = GraftHll.emptyRegisters()
+    (0 until 4).foreach { k =>
+      GraftHll.mergeInto(acc,
+        GraftHll.encode(sketchOf(vals.zipWithIndex.collect {
+          case (v, i) if i % 4 == k => v })))
+    }
+    assert(GraftHll.estimate(acc) == one, "merge must equal the union sketch")
+    // an unknown precision byte fails loudly, never a wrong count
+    val forged = java.util.Base64.getEncoder.encodeToString(
+      9.toByte +: new Array[Byte](512))
+    intercept[IllegalArgumentException] {
+      GraftHll.mergeInto(GraftHll.emptyRegisters(), forged)
+    }
+  }
+
   test("graft-sink bucket layout: string buckets prune, rename remaps the transform, no-catalog reads shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.sources.GraftManifest
