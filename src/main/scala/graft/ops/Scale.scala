@@ -2465,6 +2465,40 @@ object Scale {
       .orderBy(col("version"), col("event_type"), col("bucket"))
   }
 
+  /** SQL `MERGE INTO ... WHEN NOT MATCHED BY SOURCE THEN DELETE` — the
+    * FULL-SYNC verb (make the target equal the source in one atomic
+    * statement), the fourth MERGE clause kind sql_merge_into doesn't
+    * exercise: target rows whose key the source lacks are DELETED (as
+    * deletion-vector positions through the same SupportsDelta plan),
+    * matched rows update, unmatched source rows insert. Target =
+    * buckets 0-2, source = buckets 1-3 with shifted n, so every clause
+    * fires deterministically: bucket 0 deletes, 1-2 update, 3 inserts —
+    * and the post-merge table is EXACTLY the source, which is the
+    * oracle (sync semantics stated as an equation). */
+  def sqlMergeSync(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "mrgsync_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    val srcView = s"mrgsync_src_${sfTag(sf)}"
+    graft.util.Scratch.once(dir) {
+      bucketAgg(events(spark, sf).where(col("user_id") % 4 < 3)).coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      bucketAgg(events(spark, sf).where(col("user_id") % 4 >= 1))
+        .withColumn("n", col("n") + 1000)
+        .createOrReplaceTempView(srcView)
+      spark.sql(
+        s"""MERGE INTO gsql.db.$tbl t USING $srcView s
+           |ON t.event_type = s.event_type AND t.bucket = s.bucket
+           |WHEN MATCHED THEN UPDATE SET n = s.n, sum_cents = s.sum_cents
+           |WHEN NOT MATCHED THEN INSERT (event_type, bucket, n, sum_cents)
+           |  VALUES (s.event_type, s.bucket, s.n, s.sum_cents)
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    spark.table(s"gsql.db.$tbl")
+      .select(col("event_type"), col("bucket"), col("n"), col("sum_cents"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** The O(deleted rows) PROOF for merge-on-read (VERDICT r8 missing #2's
     * "done" bar): a POINT delete (one row of twenty) commits a
     * deletion-vector sidecar of a few bytes — REQUIREd: v2 names exactly
@@ -2942,6 +2976,7 @@ object Scale {
     "scan_topn_pushdown" -> scanTopnPushdown,
     "sink_bloom_manifest" -> sinkBloomManifest,
     "sink_ndv_stats" -> sinkNdvStats,
+    "sql_merge_sync" -> sqlMergeSync,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
     "sink_schema_evolve" -> sinkSchemaEvolve,
@@ -3333,6 +3368,13 @@ object Scale {
       """SELECT c, CAST(1 AS BIGINT) AS ndv_ok FROM (VALUES ('cents'),
         |  ('event_id'), ('event_type'), ('user_id')) AS t(c)
         |ORDER BY c""".stripMargin,
+
+    "sql_merge_sync" ->
+      """SELECT event_type, user_id % 4 AS bucket,
+        |  count(*) + 1000 AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE user_id % 4 >= 1
+        |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
 
     "sink_merge_version" ->
       """WITH v1 AS (
