@@ -2499,6 +2499,77 @@ object Scale {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Misordered 3-way join over GRAFT tables (shared with the key and
+    * ScaleFixSpec): event-level fact ⋈ user-level mid first AS WRITTEN,
+    * with the selective dim (filtered to one of five types) joined
+    * LAST. All three written `ndvFor=*`, so the scans report
+    * write-time NDV/null/min-max column statistics. */
+  private[graft] def cboGraftPlan(spark: SparkSession, sf: String): DataFrame = {
+    def build(name: String)(df: DataFrame): String = {
+      val dir = tmpDir(name, sf)
+      graft.util.Scratch.once(dir) {
+        df.write.format("graft-sink").option("path", dir)
+          .option("ndvFor", "*").mode("overwrite").save()
+      }
+      dir
+    }
+    val cents = floor(col("value") * 100).cast("long").as("cents")
+    val fDir = build("cbog_f")(events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), cents))
+    val uDir = build("cbog_u")(events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("u_n")))
+    val tDir = build("cbog_t")(events(spark, sf)
+      .select(col("event_type")).distinct()
+      .withColumn("t_tag", upper(col("event_type"))))
+    def rd(d: String) = spark.read.format("graft-sink").option("path", d).load()
+    rd(fDir)
+      .join(rd(uDir), Seq("user_id"))
+      // filter on the NON-join column: a join-key filter would transit
+      // onto the fact via constraint inference and equalize the costs —
+      // the realistic dim predicate ("this tag") stays dim-local
+      .join(rd(tDir).where(col("t_tag") === "PURCHASE"), Seq("event_type"))
+      .groupBy(col("t_tag"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("u_n")).as("sum_un"))
+  }
+
+  /** COST-BASED JOIN REORDER POWERED BY WRITE-TIME STATISTICS — the
+    * consumption proof for [[sinkNdvStats]]'s sketches: with CBO on,
+    * the optimizer reads the graft scans' reported row counts and
+    * column statistics (NDV 5 on the dim's join key → equality
+    * selectivity 1/5) and must flip the deliberately misordered plan so
+    * the fact joins the FILTERED DIM before the user-level mid table —
+    * on a real cluster the difference between shuffling the whole fact
+    * twice and once. ZERO ANALYZE ran: every number the cost model used
+    * was collected by the writes themselves. The key REQUIREs the leaf
+    * order actually flips (stats-free control keeps written order) and
+    * returns the fully oracled aggregate. */
+  def joinCboGraft(spark: SparkSession, sf: String): DataFrame = {
+    def leafDirs(df: DataFrame): Seq[String] = {
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation =>
+          r.scan match {
+            case g: graft.sources.GraftSinkScan =>
+              g.path.substring(g.path.lastIndexOf('/') + 1)
+            case _ => "other"
+          }
+      }
+    }
+    val off = leafDirs(cboGraftPlan(spark, sf))
+    require(off.head.startsWith("cbog_f") && off(1).startsWith("cbog_u"),
+      s"stats-free plan must keep the written (misordered) order: $off")
+    withConfs(spark,
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      val q = cboGraftPlan(spark, sf)
+      val on = leafDirs(q)
+      require(on != off && !on(1).startsWith("cbog_u"),
+        s"CBO must join the filtered dim before the mid table: off=$off on=$on")
+      q.localCheckpoint()
+    }.orderBy(col("t_tag"))
+  }
+
   /** The O(deleted rows) PROOF for merge-on-read (VERDICT r8 missing #2's
     * "done" bar): a POINT delete (one row of twenty) commits a
     * deletion-vector sidecar of a few bytes — REQUIREd: v2 names exactly
@@ -2977,6 +3048,7 @@ object Scale {
     "sink_bloom_manifest" -> sinkBloomManifest,
     "sink_ndv_stats" -> sinkNdvStats,
     "sql_merge_sync" -> sqlMergeSync,
+    "join_cbo_graft" -> joinCboGraft,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
     "sink_schema_evolve" -> sinkSchemaEvolve,
@@ -3375,6 +3447,15 @@ object Scale {
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE user_id % 4 >= 1
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "join_cbo_graft" ->
+      """WITH u AS (SELECT user_id, count(*) AS u_n FROM events GROUP BY 1)
+        |SELECT upper(e.event_type) AS t_tag, count(*) AS n,
+        |  CAST(sum(CAST(floor(e.value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(u.u_n) AS BIGINT) AS sum_un
+        |FROM events e JOIN u ON e.user_id = u.user_id
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sink_merge_version" ->
       """WITH v1 AS (
