@@ -660,6 +660,26 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build(),
     ProcedureParameter.in("max_file_bytes", LongType).defaultValue("0").build())
 
+  /** A rewrite must PRESERVE the table's secondary indexes: any column
+    * some head file carries a bloom filter or NDV sketch for gets the
+    * matching writer option, so compaction rebuilds the index for its
+    * fresh files instead of silently dropping it — an OPTIMIZE that
+    * forfeits every future point-lookup skip is maintenance making the
+    * table worse. */
+  private def carryIndexes(head: GraftManifest,
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val fields = head.schemaDdl.map(StructType.fromDDL(_).fields)
+      .getOrElse(Array.empty)
+    def cols(sel: GraftFileMeta => Iterable[Int]): Seq[String] =
+      head.metas.flatMap(sel).distinct.sorted
+        .flatMap(i => fields.lift(i).map(_.name)).toSeq
+    val blooms = cols(_.blooms.keys)
+    val ndvs = cols(_.ndvs.keys)
+    val w1 = if (blooms.nonEmpty) w.option("bloomFor", blooms.mkString(",")) else w
+    if (ndvs.nonEmpty) w1.option("ndvFor", ndvs.mkString(",")) else w1
+  }
+
   /** Incremental (small-files-only) compaction; see the class doc. */
   private def binpack(spark: org.apache.spark.sql.SparkSession, dir: String,
       head: GraftManifest, target: Int, maxBytes: Long): java.util.Iterator[Scan] = {
@@ -696,7 +716,8 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
           shaped.write.option("partitionBy", pc)
         case None => victims.repartition(target).write
       }
-      writer.format("graft-sink").option("path", tmp).mode("overwrite").save()
+      carryIndexes(head, writer.format("graft-sink").option("path", tmp))
+        .mode("overwrite").save()
       // move the finished files in under collision-free names; they stay
       // invisible until the manifest below publishes them
       val moved = GraftManifest.readVersion(tmp, None).get.metas.map { m =>
@@ -785,7 +806,8 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
           .sortWithinPartitions(col("_zcurve"))
           .drop("_zcurve")
       }
-    val ow = rewritten.write.format("graft-sink").option("path", dir)
+    val ow = carryIndexes(head,
+      rewritten.write.format("graft-sink").option("path", dir))
       .option("expectedBaseVersion", head.version.toString)
       .option("operation", "OPTIMIZE")
     keepLayout.fold(ow)(pc => ow.option("partitionBy", pc))

@@ -485,6 +485,38 @@ class ScaleFixSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE preserves bloom and NDV indexes on rewritten files") {
+    import graft.sources.GraftManifest
+    val root = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    spark.conf.set("spark.sql.catalog.gidx", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gidx.root", root)
+    val dir = s"$root/db/t"
+    // even ids only: odd probes sit INSIDE the min/max envelope, so only
+    // the bloom can prune them
+    spark.range(0, 400).toDF("n")
+      .select((col("n") * 2).as("id"), (col("n") % 7).as("v"))
+      .repartition(4)
+      .write.format("graft-sink").option("path", dir)
+      .option("bloomFor", "id").option("ndvFor", "id,v")
+      .mode("overwrite").save()
+    val before = GraftManifest.readVersion(dir, None).get
+    assert(before.metas.forall(m => m.blooms.contains(0) && m.ndvs.contains(0)
+      && m.ndvs.contains(1)), s"fixture must land indexed files: $before")
+    spark.sql("CALL gidx.system.optimize('db.t', 1)").collect()
+    val after = GraftManifest.readVersion(dir, None).get
+    assert(after.metas.size == 1, s"optimize must compact to 1 file")
+    assert(after.metas.forall(m => m.blooms.contains(0) && m.ndvs.contains(0)
+      && m.ndvs.contains(1)),
+      s"a rewrite must REBUILD the indexes, not drop them: ${after.metas}")
+    // and the rebuilt bloom still prunes an in-envelope miss: odd id 399
+    // sits inside [0, 798] but was never written
+    val miss = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("id") === 399L)
+    assert(miss.rdd.getNumPartitions == 0,
+      "the rebuilt bloom must prune an in-envelope miss point lookup")
+    assert(miss.count() == 0)
+  }
+
   test("graft-sink bucket layout: string buckets prune, rename remaps the transform, no-catalog reads shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.sources.GraftManifest
