@@ -2570,6 +2570,54 @@ object Scale {
     }.orderBy(col("t_tag"))
   }
 
+  /** ZERO-COPY SHALLOW CLONE ([[graft.sources.GraftCloneProcedure]]):
+    * `CALL system.clone(src, dst)` births the target with one committed
+    * version naming the SOURCE's files — hard-linked, zero bytes
+    * copied (REQUIREd: same inode) — after which the tables diverge
+    * independently: the key row-level-DELETEs one bucket on the CLONE
+    * and REQUIREs the source row count unchanged and the clone's
+    * delete landed as its own deletion vector (the source file
+    * untouched). This is the dev/test-sandbox verb on a 100 TB table:
+    * O(files) metadata, no data movement, independent lifecycle.
+    * Output = source rows (phase 1) ∪ post-delete clone rows (phase
+    * 2), both recomputed by the oracle. */
+  def sinkShallowClone(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val src = "clsrc_" + sfTag(sf)
+    val dst = "cldst_" + sfTag(sf)
+    val srcDir = s"$root/db/$src"
+    val dstDir = s"$root/db/$dst"
+    graft.util.Scratch.once(dstDir) {
+      bucketAgg(events(spark, sf)).coalesce(1)
+        .write.format("graft-sink").option("path", srcDir).mode("overwrite").save()
+      spark.sql(s"CALL gsql.system.clone('db.$src', 'db.$dst')")
+      val sm = graft.sources.GraftManifest.readVersion(srcDir, None).get
+      val dm = graft.sources.GraftManifest.readVersion(dstDir, None).get
+      require(dm.metas.map(_.name) == sm.metas.map(_.name),
+        "clone must name exactly the source snapshot's files")
+      def ino(d: String, n: String): Any = java.nio.file.Files.getAttribute(
+        java.nio.file.Paths.get(d, n), "unix:ino")
+      sm.metas.foreach { m =>
+        require(ino(srcDir, m.name) == ino(dstDir, m.name),
+          s"clone must hard-link (zero-copy) ${m.name}, not copy it")
+      }
+      val srcRows = spark.table(s"gsql.db.$src").count()
+      spark.sql(s"DELETE FROM gsql.db.$dst WHERE bucket = 0")
+      require(spark.table(s"gsql.db.$src").count() == srcRows,
+        "a delete on the clone must never reach the source")
+      val dm2 = graft.sources.GraftManifest.readVersion(dstDir, None).get
+      require(dm2.metas.exists(_.dv.isDefined),
+        "the clone's delete must land merge-on-read in the clone's own dir")
+      require(graft.sources.GraftManifest.readVersion(srcDir, None).get
+        .metas.forall(_.dv.isEmpty), "the source must stay vector-free")
+    }
+    spark.table(s"gsql.db.$src").withColumn("phase", lit(1L))
+      .unionByName(spark.table(s"gsql.db.$dst").withColumn("phase", lit(2L)))
+      .select(col("phase"), col("event_type"), col("bucket"),
+        col("n"), col("sum_cents"))
+      .orderBy(col("phase"), col("event_type"), col("bucket"))
+  }
+
   /** The O(deleted rows) PROOF for merge-on-read (VERDICT r8 missing #2's
     * "done" bar): a POINT delete (one row of twenty) commits a
     * deletion-vector sidecar of a few bytes — REQUIREd: v2 names exactly
@@ -3049,6 +3097,7 @@ object Scale {
     "sink_ndv_stats" -> sinkNdvStats,
     "sql_merge_sync" -> sqlMergeSync,
     "join_cbo_graft" -> joinCboGraft,
+    "sink_shallow_clone" -> sinkShallowClone,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
     "sink_schema_evolve" -> sinkSchemaEvolve,
@@ -3447,6 +3496,17 @@ object Scale {
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE user_id % 4 >= 1
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "sink_shallow_clone" ->
+      """WITH b AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS phase, event_type, bucket, n, sum_cents FROM b
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, bucket, n, sum_cents FROM b
+        |WHERE bucket <> 0
+        |ORDER BY phase, event_type, bucket""".stripMargin,
 
     "join_cbo_graft" ->
       """WITH u AS (SELECT user_id, count(*) AS u_n FROM events GROUP BY 1)

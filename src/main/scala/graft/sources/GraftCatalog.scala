@@ -451,6 +451,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "partitions"      => new GraftPartitionsProcedure(this)
       case "wap_publish"     => new GraftWapProcedure(this, publish = true)
       case "wap_abort"       => new GraftWapProcedure(this, publish = false)
+      case "clone"           => new GraftCloneProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other " +
           "(have vacuum, restore, optimize, history, tag, drop_tag, tags, " +
@@ -550,6 +551,70 @@ private[sources] abstract class GraftProcedure(cat: GraftCatalog)
       override def readSchema(): StructType = schema
     }
     java.util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** `CALL cat.system.clone(source, target[, version])` — ZERO-COPY
+  * SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` /
+  * Iceberg-snapshot role): the target table is born with ONE committed
+  * version naming exactly the source snapshot's files — no data byte
+  * is read or copied, so cloning a 100 TB table costs O(files) metadata
+  * — and every later write to either table diverges independently (a
+  * DELETE on the clone lands its own deletion-vector sidecar; the
+  * source never sees it). On this storage the share is a HARD LINK per
+  * data file / dv sidecar: both tables own a NAME for the same bytes,
+  * so either side's VACUUM only ever drops its own link and can never
+  * reclaim the other's data — the lifecycle-safety property an
+  * object-store implementation gets from copied manifest pointers +
+  * per-table reference counting. Field ids, CHECK constraints and the
+  * declared partition spec ride along; streaming txn watermarks do NOT
+  * (the clone is a different table — a re-delivered epoch must not
+  * no-op against it). Cloning over an existing table is refused. */
+private[sources] class GraftCloneProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "clone"
+  override def description(): String =
+    "zero-copy shallow clone of a committed snapshot into a new table"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("source", StringType).build(),
+    ProcedureParameter.in("target", StringType).build(),
+    ProcedureParameter.in("version", IntegerType).defaultValue("-1").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import java.nio.file.{Files, Paths}
+    val srcName = input.getUTF8String(0).toString
+    val dstName = input.getUTF8String(1).toString
+    val srcDir = cat.dirForName(srcName)
+    val dstDir = cat.dirForName(dstName)
+    val vArg = if (input.numFields > 2 && !input.isNullAt(2)) input.getInt(2) else -1
+    val m = GraftManifest.readVersion(srcDir, Some(vArg).filter(_ >= 0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft clone: no committed version at '$srcName'"))
+    require(GraftManifest.versions(dstDir).isEmpty,
+      s"graft clone: target '$dstName' already exists")
+    new java.io.File(dstDir).mkdirs()
+    val names = m.metas.flatMap(mm => mm.name +: mm.dv.map(_._1).toSeq)
+    val linked = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      names.foreach { n =>
+        Files.createLink(Paths.get(dstDir, n), Paths.get(srcDir, n))
+        linked += n
+      }
+      val nv = GraftManifest.commitMetas(dstDir, m.metas,
+        m.schemaDdl.getOrElse(throw new IllegalStateException(
+          s"graft clone: v${m.version} at $srcDir carries no schema")),
+        truncate = false, op = Some(s"CLONE $srcName v${m.version}"),
+        idsOverride = m.ids, checksOverride = Some(m.checks),
+        partSpecSet = Some(m.partSpec))
+      result(StructType.fromDDL(
+        "source_version INT, files_linked INT, new_version INT"),
+        m.version, names.size, nv)
+    } catch {
+      case e: Throwable =>
+        // half-linked target: unwind the links (names the source still
+        // owns — bytes survive) so a retry starts clean
+        linked.foreach(n => Files.deleteIfExists(Paths.get(dstDir, n)))
+        throw e
+    }
   }
 }
 
