@@ -3227,9 +3227,18 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
     cmd: RowLevelOperation.Command = RowLevelOperation.Command.DELETE,
     partCol: Option[String] = None)
     extends DeltaBatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    // re-inserted rows (UPDATE/MERGE) must REBUILD the table's secondary
+    // indexes, not silently drop them: derive bloom/NDV columns from the
+    // base snapshot's per-file index facts (same rule as OPTIMIZE)
+    val base = GraftManifest.readVersion(path, Some(baseVersion))
+    def idxCols(sel: GraftFileMeta => Iterable[Int]): Seq[String] =
+      base.map(_.metas.flatMap(sel).distinct.sorted
+        .flatMap(i => schema.fields.lift(i).map(_.name)).toSeq).getOrElse(Nil)
     GraftDeltaWriterFactory(path, schema, tag, partCol,
-      GraftManifest.headerFacts(path, baseVersion).checks)
+      GraftManifest.headerFacts(path, baseVersion).checks,
+      idxCols(_.blooms.keys), idxCols(_.ndvs.keys))
+  }
 
   /** Job commit: merge every task's vector fragments into one final
     * sidecar per touched file (existing vector ∪ new positions, sorted;
@@ -3332,9 +3341,12 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
 
 case class GraftDeltaWriterFactory(path: String, schema: StructType,
     tag: String, partCol: Option[String] = None,
-    checks: Seq[(String, String)] = Nil) extends DeltaWriterFactory {
+    checks: Seq[(String, String)] = Nil,
+    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil)
+    extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(path, schema, partitionId, taskId, tag, partCol, checks)
+    new GraftDeltaWriter(path, schema, partitionId, taskId, tag, partCol, checks,
+      bloomFor, ndvFor)
 }
 
 /** Task-side delta writer: deletes accumulate (file → positions) and
@@ -3344,7 +3356,8 @@ case class GraftDeltaWriterFactory(path: String, schema: StructType,
   * task-commit protocol, stats and null counts included. */
 class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, tag: String, partCol: Option[String] = None,
-    checks: Seq[(String, String)] = Nil)
+    checks: Seq[(String, String)] = Nil,
+    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil)
     extends DeltaWriter[InternalRow] {
   private var inserts: GraftSinkWriter = _
   private val dels =
@@ -3363,7 +3376,8 @@ class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
   override def insert(row: InternalRow): Unit = {
     if (inserts == null)
       inserts = new GraftSinkWriter(path, schema, partitionId, taskId,
-        prefix = s"$tag-", partCol = partCol, checks = checks)
+        prefix = s"$tag-", partCol = partCol, checks = checks,
+        bloomFor = bloomFor, ndvFor = ndvFor)
     inserts.write(row)
   }
 

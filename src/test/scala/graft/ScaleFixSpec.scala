@@ -515,6 +515,14 @@ class ScaleFixSpec extends AnyFunSuite {
     assert(miss.rdd.getNumPartitions == 0,
       "the rebuilt bloom must prune an in-envelope miss point lookup")
     assert(miss.count() == 0)
+    // a row-level UPDATE's re-inserted rows rebuild the indexes too
+    spark.sql("UPDATE gidx.db.t SET v = v + 100 WHERE id = 4")
+    val dml = GraftManifest.readVersion(dir, None).get
+    val fresh = dml.metas.filter(_.dv.isEmpty).filterNot(m =>
+      after.metas.exists(_.name == m.name))
+    assert(fresh.nonEmpty, s"the update must land a fresh insert file: $dml")
+    assert(fresh.forall(m => m.blooms.contains(0) && m.ndvs.contains(0)),
+      s"DML re-inserts must rebuild the indexes: $fresh")
   }
 
   test("graft-sink bucket layout: string buckets prune, rename remaps the transform, no-catalog reads shuffle") {
