@@ -2206,6 +2206,44 @@ object Scale {
     rows.toDF("c", "ndv_ok").orderBy(col("c"))
   }
 
+  /** TIMESTAMP/DATE columns through the versioned connector — event
+    * time as a FIRST-CLASS lakehouse type: cells encode as internal
+    * micros/days, so the SAME numeric stats machinery gives range
+    * clustering (`sortBy=ts`), envelope skipping for pushed
+    * Timestamp/Date predicates ([[graft.sources.GraftSinkScan.canon]]
+    * bridges java.sql/java.time filter values to cell form), and
+    * min/max aggregate pushdown over event time. The key range-clusters
+    * events by `ts` into 4 disjoint files, REQUIREs a one-week
+    * timestamp predicate plans at most half of them, and returns a
+    * per-day aggregate the oracle recomputes from the raw parquet. */
+  def sinkTimestampTypes(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttts", sf)
+    graft.util.Scratch.once(dir) {
+      events(spark, sf)
+        .select(col("event_id"), col("ts"), to_date(col("ts")).as("d"),
+          col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+        .repartition(8)
+        .write.format("graft-sink").option("path", dir)
+        .option("sortBy", "ts").option("writePartitions", "4")
+        .option("distributionStrict", "true")
+        .mode("overwrite").save()
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    require(head.files.size == 4, s"fixture: want 4 range files, got ${head.files.size}")
+    require(head.metas.forall(_.stats.contains(1)),
+      "every file must carry a ts stats envelope")
+    val filtered = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+    val planned = filtered.rdd.getNumPartitions
+    require(planned * 2 <= head.files.size,
+      s"ts range clustering must prune: planned $planned of ${head.files.size}")
+    filtered
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        max(unix_timestamp(col("ts"))).as("last_es"))
+      .orderBy(col("day"))
+  }
+
   /** METADATA TABLES — `CALL gsql.system.files/partitions(t)` (the
     * Iceberg `t.files`/`t.partitions` read): per-file and per-partition
     * facts (file count, physical rows, live rows after deletion vectors)
@@ -3098,6 +3136,7 @@ object Scale {
     "sql_merge_sync" -> sqlMergeSync,
     "join_cbo_graft" -> joinCboGraft,
     "sink_shallow_clone" -> sinkShallowClone,
+    "sink_timestamp_types" -> sinkTimestampTypes,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
     "sink_schema_evolve" -> sinkSchemaEvolve,
@@ -3496,6 +3535,13 @@ object Scale {
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE user_id % 4 >= 1
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "sink_timestamp_types" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(max(floor(epoch(ts))) AS BIGINT) AS last_es
+        |FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sink_shallow_clone" ->
       """WITH b AS (

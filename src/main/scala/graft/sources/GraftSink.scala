@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -74,7 +74,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`#schema=` DDL line), so the table is self-describing: no external
   * metastore needed to read any version.
   *
-  * Long/Double/String columns only — the fixture surface; anything else
+  * Long/Double/String/Timestamp/Date columns — timestamps encode as
+  * their internal micros-since-epoch and dates as days-since-epoch, so
+  * the numeric stats/skipping machinery covers event time with zero
+  * special cases (pushed Timestamp/Date filter values canonicalize to
+  * the same form: [[GraftSinkScan.canon]]); anything else
   * fails loudly at write time, as do strings containing the CSV
   * delimiter/newline (no silent corruption). NULL cells are encoded as
   * the sentinel `\N` (and a literal string `\N` is refused at write). */
@@ -2056,7 +2060,8 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
       scala.util.Try(layout.fieldIndex(c)).toOption
         .map(i => (i, layout.fields(i).dataType)).getOrElse(throw Bail)
     def typed(dt: DataType, s: String): Any = dt match {
-      case LongType   => s.toLong
+      case LongType | TimestampType => s.toLong
+      case DateType   => s.toInt
       case DoubleType => s.toDouble
       case StringType => UTF8String.fromString(s)
       case _          => throw Bail
@@ -2307,9 +2312,12 @@ case class GraftSinkScan(path: String, version: Option[Int],
         val env: Option[(Any, Any)] =
           if (metas.forall(m => m.stats.contains(i) && m.ncols > i))
             fld.dataType match {
-              case LongType => Some((
+              case LongType | TimestampType => Some((
                 java.lang.Long.valueOf(metas.map(_.stats(i)._1.toLong).min),
                 java.lang.Long.valueOf(metas.map(_.stats(i)._2.toLong).max)))
+              case DateType => Some((
+                java.lang.Integer.valueOf(metas.map(_.stats(i)._1.toInt).min),
+                java.lang.Integer.valueOf(metas.map(_.stats(i)._2.toInt).max)))
               case DoubleType => Some((
                 java.lang.Double.valueOf(metas.map(_.stats(i)._1.toDouble).min),
                 java.lang.Double.valueOf(metas.map(_.stats(i)._2.toDouble).max)))
@@ -2515,9 +2523,25 @@ object GraftSinkScan {
     * with the aggregate-pushdown fold). */
   private[sources] def cmpStats(dt: DataType, a: String, b: String): Int = cmp(dt, a, b)
   private def cmp(dt: DataType, a: String, b: String): Int = dt match {
-    case LongType   => java.lang.Long.compare(a.toLong, b.toLong)
+    case LongType | TimestampType | DateType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
     case DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
     case _          => a.compareTo(b)
+  }
+
+  /** Canonical CELL form of a pushed filter value — the bridge between
+    * Spark's external filter values (java.sql.Timestamp/Date, the
+    * java.time forms) and the numeric micros/days strings the writer
+    * records; every comparison in this object goes through it. */
+  def canon(dt: DataType, v: Any): String = (dt, v) match {
+    case (TimestampType, t: java.sql.Timestamp) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t).toString
+    case (TimestampType, i: java.time.Instant) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i).toString
+    case (DateType, d: java.sql.Date) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toString
+    case (DateType, ld: java.time.LocalDate) => ld.toEpochDay.toString
+    case _ => v.toString
   }
 
   /** Conservative may-match: false ONLY when the file provably contains
@@ -2564,19 +2588,19 @@ object GraftSinkScan {
       case EqualTo(c, v) => !allNull(c) && bucketOk(c, Seq(v)) &&
         bloomOk(c, Seq(v)) &&
         range(c).forall { case (dt, mn, mx) =>
-          cmp(dt, v.toString, mn) >= 0 && cmp(dt, v.toString, mx) <= 0 }
+          cmp(dt, canon(dt, v), mn) >= 0 && cmp(dt, canon(dt, v), mx) <= 0 }
       case GreaterThan(c, v) => !allNull(c) && range(c).forall { case (dt, _, mx) =>
-        cmp(dt, mx, v.toString) > 0 }
+        cmp(dt, mx, canon(dt, v)) > 0 }
       case GreaterThanOrEqual(c, v) => !allNull(c) && range(c).forall { case (dt, _, mx) =>
-        cmp(dt, mx, v.toString) >= 0 }
+        cmp(dt, mx, canon(dt, v)) >= 0 }
       case LessThan(c, v) => !allNull(c) && range(c).forall { case (dt, mn, _) =>
-        cmp(dt, mn, v.toString) < 0 }
+        cmp(dt, mn, canon(dt, v)) < 0 }
       case LessThanOrEqual(c, v) => !allNull(c) && range(c).forall { case (dt, mn, _) =>
-        cmp(dt, mn, v.toString) <= 0 }
+        cmp(dt, mn, canon(dt, v)) <= 0 }
       case In(c, vs) => !allNull(c) && bucketOk(c, vs.toSeq) &&
         bloomOk(c, vs.toSeq) &&
         range(c).forall { case (dt, mn, mx) =>
-          vs.exists(v => cmp(dt, v.toString, mn) >= 0 && cmp(dt, v.toString, mx) <= 0) }
+          vs.exists(v => cmp(dt, canon(dt, v), mn) >= 0 && cmp(dt, canon(dt, v), mx) <= 0) }
       // null counts sharpen both null predicates: IS NOT NULL also drops a
       // full-width file that is KNOWN all-null; IS NULL drops a file KNOWN
       // null-free. Unknown counts (pre-null-stats files) stay conservative.
@@ -2623,20 +2647,20 @@ object GraftSinkScan {
       case Or(l, r)  => mustMatchAll(meta, layout, l) || mustMatchAll(meta, layout, r)
       case EqualTo(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
         range(c).exists { case (dt, mn, mx) =>
-          cmp(dt, mn, v.toString) == 0 && cmp(dt, mx, v.toString) == 0 }
+          cmp(dt, mn, canon(dt, v)) == 0 && cmp(dt, mx, canon(dt, v)) == 0 }
       case GreaterThan(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
-        range(c).exists { case (dt, mn, _) => cmp(dt, mn, v.toString) > 0 }
+        range(c).exists { case (dt, mn, _) => cmp(dt, mn, canon(dt, v)) > 0 }
       case GreaterThanOrEqual(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
-        range(c).exists { case (dt, mn, _) => cmp(dt, mn, v.toString) >= 0 }
+        range(c).exists { case (dt, mn, _) => cmp(dt, mn, canon(dt, v)) >= 0 }
       case LessThan(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
-        range(c).exists { case (dt, _, mx) => cmp(dt, mx, v.toString) < 0 }
+        range(c).exists { case (dt, _, mx) => cmp(dt, mx, canon(dt, v)) < 0 }
       case LessThanOrEqual(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
-        range(c).exists { case (dt, _, mx) => cmp(dt, mx, v.toString) <= 0 }
+        range(c).exists { case (dt, _, mx) => cmp(dt, mx, canon(dt, v)) <= 0 }
       // a one-point envelope is the only provable In (a wider range could
       // contain non-member values between the members)
       case In(c, vs) => col(c).exists { case (i, _) => noNulls(i) } &&
         range(c).exists { case (dt, mn, mx) =>
-          cmp(dt, mn, mx) == 0 && vs.exists(v => cmp(dt, v.toString, mn) == 0) }
+          cmp(dt, mn, mx) == 0 && vs.exists(v => cmp(dt, canon(dt, v), mn) == 0) }
       case IsNull(c)    => col(c).exists { case (i, _) => allNull(i) }
       case IsNotNull(c) => col(c).exists { case (i, _) => noNulls(i) }
       case _ => false
@@ -2696,7 +2720,7 @@ object GraftSinkScan {
       }
     }
     def cmpTo(c: String, v: Any)(sat: Int => Boolean): Option[Boolean] =
-      cellOf(c).map { case (dt, x) => sat(cmp(dt, x, v.toString)) }
+      cellOf(c).map { case (dt, x) => sat(cmp(dt, x, canon(dt, v))) }
     def eval3(f: Filter): Option[Boolean] = f match {
       case _: AlwaysTrue  => Some(true)
       case _: AlwaysFalse => Some(false)
@@ -2719,7 +2743,7 @@ object GraftSinkScan {
       case In(c, vs) => cellOf(c) match {
         case None => None
         case Some((dt, x)) =>
-          if (vs.filter(_ != null).exists(v => cmp(dt, x, v.toString) == 0)) Some(true)
+          if (vs.filter(_ != null).exists(v => cmp(dt, x, canon(dt, v)) == 0)) Some(true)
           // SQL: `x IN (..., NULL)` with no match is UNKNOWN, not false
           else if (vs.contains(null)) None
           else Some(false)
@@ -2838,11 +2862,12 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
             else if (idx(i) == -3) pos
             else if (idx(i) >= split.ncols || cells(idx(i)) == GraftSinkWriter.NullCell) null
             else types(i) match {
-              case LongType   => cells(idx(i)).toLong
+              case LongType | TimestampType => cells(idx(i)).toLong
+              case DateType   => cells(idx(i)).toInt
               case DoubleType => cells(idx(i)).toDouble
               case StringType => UTF8String.fromString(cells(idx(i)))
               case dt => throw new IllegalArgumentException(
-                s"graft-sink read supports long/double/string, got $dt")
+                s"graft-sink read supports long/double/string/timestamp/date, got $dt")
             }
           i += 1
         }
@@ -3582,7 +3607,8 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     })
 
   private def cmp(dt: DataType, a: String, b: String): Int = dt match {
-    case LongType   => java.lang.Long.compare(a.toLong, b.toLong)
+    case LongType | TimestampType | DateType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
     case DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
     case _          => a.compareTo(b)
   }
@@ -3592,6 +3618,11 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       if (row.isNullAt(i)) GraftSinkWriter.NullCell
       else f.dataType match {
         case LongType   => row.getLong(i).toString
+        // TIMESTAMP cells are their internal micros-since-epoch, DATE
+        // cells their days-since-epoch — numeric, so the same stats
+        // envelope/cmp machinery covers them with zero special cases
+        case TimestampType => row.getLong(i).toString
+        case DateType      => row.getInt(i).toString
         case DoubleType => row.getDouble(i).toString
         case StringType =>
           val s = row.getUTF8String(i).toString
@@ -3603,7 +3634,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
               s"graft-sink cannot encode delimiter/newline/\\N in '${f.name}' value '$s'")
           s
         case dt => throw new IllegalArgumentException(
-          s"graft-sink supports long/double/string, got $dt for ${f.name}")
+          s"graft-sink supports long/double/string/timestamp/date, got $dt for ${f.name}")
       }
     }
     // CHECK enforcement BEFORE any byte lands: a violating row fails the

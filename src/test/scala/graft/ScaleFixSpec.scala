@@ -525,6 +525,44 @@ class ScaleFixSpec extends AnyFunSuite {
       s"DML re-inserts must rebuild the indexes: $fresh")
   }
 
+  test("graft-sink timestamp/date columns: exact roundtrip, NULLs, pushdown aggregates") {
+    import java.sql.{Date, Timestamp}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Option(Timestamp.valueOf("2024-03-01 10:30:00.123456")),
+        Option(Date.valueOf("2024-03-01"))),
+      (2L, Option(Timestamp.valueOf("2024-03-05 23:59:59.999999")),
+        Option(Date.valueOf("2024-03-05"))),
+      (3L, Option.empty[Timestamp], Option.empty[Date]))
+    rows.toDF("id", "ts", "d").coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val back = spark.read.format("graft-sink").option("path", dir).load()
+    // byte-exact roundtrip including micros precision and NULLs
+    assert(back.orderBy(col("id")).collect().map(r =>
+      (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq ==
+      rows.map { case (i, t, d) => (i, t.map(x => x: Any), d.map(x => x: Any)) },
+      "timestamp/date cells must roundtrip exactly")
+    // unfiltered min/max answer from the manifest (aggregate pushdown)
+    val agg = back.agg(min(col("ts")).as("lo"), max(col("d")).as("hi"))
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"timestamp min/max must push down to manifest facts:\n${agg.queryExecution.executedPlan}")
+    val r = agg.head()
+    assert(r.getTimestamp(0) == Timestamp.valueOf("2024-03-01 10:30:00.123456"))
+    assert(r.getDate(1) == Date.valueOf("2024-03-05"))
+    // a pushed timestamp range predicate skips the non-matching file
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ts2").toString
+    Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("id", "ts").coalesce(1)
+      .write.format("graft-sink").option("path", dir2).mode("append").save()
+    Seq((2L, Timestamp.valueOf("2024-06-01 00:00:00"))).toDF("id", "ts").coalesce(1)
+      .write.format("graft-sink").option("path", dir2).mode("append").save()
+    val probed = spark.read.format("graft-sink").option("path", dir2).load()
+      .where(col("ts") > lit("2024-03-01 00:00:00").cast("timestamp"))
+    assert(probed.rdd.getNumPartitions == 1,
+      "a timestamp range predicate must plan only the matching envelope")
+    assert(probed.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("graft-sink bucket layout: string buckets prune, rename remaps the transform, no-catalog reads shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.sources.GraftManifest
