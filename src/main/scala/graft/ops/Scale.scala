@@ -2244,6 +2244,74 @@ object Scale {
       .orderBy(col("day"))
   }
 
+  /** RUNTIME FILE PRUNING VIA BLOOM FILTERS — DPP's reach extended to
+    * any INDEXED column: the fact is hash-clustered (not partitioned,
+    * not range-sorted) on `user_id` with a per-file bloom, so neither
+    * partition values nor envelopes can prune it; the scan advertises
+    * the bloomed column as runtime-filterable and the broadcast dim's
+    * actual key set probes each file's bloom AT EXECUTION — the
+    * fact ⋈ tiny-dim point join reads one file of four. The key
+    * REQUIREs the DPP filter planned, bloom pruning to at most half
+    * the files, and a DPP-off control reading all of them. */
+  def joinDppBloom(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("dppbloom", sf)
+    graft.util.Scratch.once(dir) {
+      events(spark, sf)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .repartition(4, col("user_id")) // hash-clustered: envelopes overlap
+        .write.format("graft-sink").option("path", dir)
+        .option("bloomFor", "user_id").mode("overwrite").save()
+    }
+    val nFiles = graft.sources.GraftManifest.readVersion(dir, None).get.files.size
+    require(nFiles == 4, s"fixture: want 4 clustered files, got $nFiles")
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def joined(): DataFrame = {
+      val fact = spark.read.format("graft-sink").option("path", dir).load()
+      // the dim predicate sits on a DERIVED column ('u<user_id>'): the
+      // literal user id is not statically derivable on the fact side
+      // (constraint inference transits only an unpushable expression
+      // filter), so only the RUNTIME key set can prune fact files —
+      // exactly the situation bloom DPP exists for
+      val dim = events(spark, sf).select(col("user_id")).distinct()
+        .withColumn("uname", concat(lit("u"), col("user_id")))
+        .where(col("uname") === "u7").select(col("user_id"))
+      fact.join(broadcast(dim), Seq("user_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }
+    def plannedParts(j: DataFrame, wantDpp: Boolean): (DataFrame, Int) = {
+      val cp = j.localCheckpoint()
+      val scans = j.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.GraftSinkScan] => b }
+      require(scans.size == 1, s"want exactly one graft scan, got ${scans.size}")
+      require(scans.head.runtimeFilters.nonEmpty == wantDpp,
+        s"fact scan runtime filters planned=${scans.head.runtimeFilters.nonEmpty}, " +
+          s"want $wantDpp")
+      (cp, scans.head.inputRDD.getNumPartitions)
+    }
+    val out = withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val (cp, planned) = plannedParts(joined(), wantDpp = true)
+      require(planned * 2 <= nFiles,
+        s"bloom runtime pruning must plan at most half of $nFiles files, " +
+          s"planned $planned")
+      val (_, control) = withConfs(spark,
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "false") {
+        plannedParts(joined(), wantDpp = false)
+      }
+      require(control == nFiles,
+        s"no-DPP control must plan all $nFiles files, planned $control")
+      // planned rides only as a REQUIRE, not an output column: a bloom
+      // false positive could make it 2 at some future sf — sound, but
+      // not a number an oracle can recompute
+      cp.withColumn("n_files", lit(nFiles.toLong))
+    }
+    out.orderBy(col("event_type"))
+  }
+
   /** METADATA TABLES — `CALL gsql.system.files/partitions(t)` (the
     * Iceberg `t.files`/`t.partitions` read): per-file and per-partition
     * facts (file count, physical rows, live rows after deletion vectors)
@@ -3120,6 +3188,7 @@ object Scale {
     "join_spj_graft" -> joinSpjGraft,
     "join_spj_bucket" -> joinSpjBucket,
     "join_dpp_graft" -> joinDppGraft,
+    "join_dpp_bloom" -> joinDppBloom,
     "sink_ddl_partitioned" -> sinkDdlPartitioned,
     "sink_wap_publish" -> sinkWapPublish,
     "sink_drop_column" -> sinkDropColumn,
@@ -3535,6 +3604,20 @@ object Scale {
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE user_id % 4 >= 1
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "join_dpp_bloom" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(4 AS BIGINT) AS n_files
+        |FROM events WHERE user_id = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_dpp_bloom" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(4 AS BIGINT) AS n_files
+        |FROM events WHERE user_id = 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sink_timestamp_types" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,

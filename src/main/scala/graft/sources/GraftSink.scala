@@ -2215,10 +2215,21 @@ case class GraftSinkScan(path: String, version: Option[Int],
     if (spj || changesFrom.isDefined) Array.empty
     else {
       val metas = survivors.map(_._1)
-      metas.headOption.flatMap(_.partition.map(_._1))
+      val part = metas.headOption.flatMap(_.partition.map(_._1))
         .filter(c => metas.forall(_.partition.exists(_._1 == c)))
         .map(c => GraftBucket.parse(c).map(_._2).getOrElse(c))
-        .toArray.map(Expressions.column)
+      // BLOOMED columns are runtime-filterable too: the join's IN-set
+      // probes each file's bloom filter, so a fact clustered (not
+      // range-sorted, not partitioned) on the join key still prunes to
+      // the files that can contain the dim's keys — dynamic file
+      // pruning on ANY indexed column, a skip neither envelopes nor
+      // partition values can make. Advertised only when every planned
+      // file carries the bloom (a partial index prunes too little to
+      // justify the subquery).
+      val bloomed = metas.headOption.toSeq.flatMap(_.blooms.keys)
+        .filter(i => metas.forall(_.blooms.contains(i)))
+        .flatMap(i => full.fields.lift(i).map(_.name))
+      (part.toSeq ++ bloomed).distinct.toArray.map(Expressions.column)
     }
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
@@ -3440,12 +3451,14 @@ class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
 case class GraftSinkStreamingFactory(path: String, schema: StructType,
     tag: String, versioned: Boolean = false,
     checks: Seq[(String, String)] = Nil,
-    partCol: Option[String] = None) extends StreamingDataWriterFactory {
+    partCol: Option[String] = None,
+    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil)
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId,
       prefix = if (versioned) s"e$epochId-$tag-" else s"epoch-$epochId-$tag-",
-      partCol = partCol, checks = checks)
+      partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor)
 }
 
 /** The STREAMING half of the sink: identical task-commit protocol, but job
@@ -3478,12 +3491,21 @@ case class GraftSinkStreamingFactory(path: String, schema: StructType,
 class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
     commitVersions: Boolean = false, partCol: Option[String] = None)
     extends StreamingWrite {
-  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // versioned streaming ingest into an indexed table keeps the table
+    // indexed: derive bloom/NDV columns from the head snapshot's
+    // per-file facts, the same rule OPTIMIZE and DML re-inserts follow
+    val head = if (commitVersions)
+      GraftManifest.versions(path).lastOption
+        .flatMap(v => GraftManifest.readVersion(path, Some(v)))
+    else None
+    def idxCols(sel: GraftFileMeta => Iterable[Int]): Seq[String] =
+      head.map(_.metas.flatMap(sel).distinct.sorted
+        .flatMap(i => schema.fields.lift(i).map(_.name)).toSeq).getOrElse(Nil)
     GraftSinkStreamingFactory(path, schema, tag, commitVersions,
-      if (commitVersions)
-        GraftManifest.versions(path).lastOption
-          .map(v => GraftManifest.headerFacts(path, v).checks).getOrElse(Nil)
-      else Nil, partCol)
+      head.map(_.checks).getOrElse(Nil), partCol,
+      idxCols(_.blooms.keys), idxCols(_.ndvs.keys))
+  }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.flatMap(_.asInstanceOf[GraftSinkCommit].files)
