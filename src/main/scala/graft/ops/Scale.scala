@@ -2716,6 +2716,18 @@ object Scale {
         "the clone's delete must land merge-on-read in the clone's own dir")
       require(graft.sources.GraftManifest.readVersion(srcDir, None).get
         .metas.forall(_.dv.isEmpty), "the source must stay vector-free")
+      // LIFECYCLE INDEPENDENCE: overwrite the source (its original files
+      // become orphans there) and VACUUM it with zero grace — the bytes
+      // survive under the clone's own links, so the clone still reads
+      val cloneRows = spark.table(s"gsql.db.$dst").count()
+      bucketAgg(events(spark, sf)).withColumn("n", col("n") * 2).coalesce(1)
+        .write.format("graft-sink").option("path", srcDir).mode("overwrite").save()
+      spark.sql(s"CALL gsql.system.vacuum('db.$src', 1, 0)")
+      require(spark.table(s"gsql.db.$dst").count() == cloneRows,
+        "the source's vacuum must never reclaim bytes the clone still links")
+      // put the source back so the registered phase-1 output is stable
+      bucketAgg(events(spark, sf)).coalesce(1)
+        .write.format("graft-sink").option("path", srcDir).mode("overwrite").save()
     }
     spark.table(s"gsql.db.$src").withColumn("phase", lit(1L))
       .unionByName(spark.table(s"gsql.db.$dst").withColumn("phase", lit(2L)))
