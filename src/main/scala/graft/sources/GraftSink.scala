@@ -2318,7 +2318,11 @@ case class GraftSinkScan(path: String, version: Option[Int],
           } else None
         val nullCnt: Option[Long] =
           if (metas.forall(_.nulls.isDefined))
-            Some(metas.map(_.nulls.get.getOrElse(i, 0L)).sum)
+            // a file written before the column evolved in (i beyond its
+            // width) reads ALL-NULL there — its live rows are null rows,
+            // not the zero its (absent) null-count entry would suggest
+            Some(metas.map(m =>
+              if (i >= m.ncols) m.liveRows else m.nulls.get.getOrElse(i, 0L)).sum)
           else None
         val env: Option[(Any, Any)] =
           if (metas.forall(m => m.stats.contains(i) && m.ncols > i))
