@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FILE-PRUNING economics for the round-10 scan surface — the measured
+  * case that the manifest's index facts turn O(table) scans into O(answer)
+  * scans, which is the entire 100 TB argument:
+  *
+  *  - FULL SCAN: the baseline — every file planned and read;
+  *  - BLOOM POINT LOOKUP: `k = x` on a hash-clustered table whose
+  *    min/max envelopes all span the whole domain — only the per-file
+  *    bloom can prune; a no-bloom control table proves the envelope
+  *    alone prunes nothing;
+  *  - RUNTIME (DPP) PRUNING: the same lookup expressed as a broadcast
+  *    join against a one-row dim whose literal is NOT statically
+  *    derivable — the IN-set arrives at execution and probes the blooms;
+  *  - LIMIT: `LIMIT n` plans only the first files covering n live rows;
+  *  - TopN: `ORDER BY s LIMIT n` on a range-clustered table plans only
+  *    the files overlapping the n-th value's envelope bound.
+  *
+  * Usage: runMain graft.tools.PruneScaleDemo [nFiles] [rowsPerFile]
+  * Prints one JSON line per phase; numbers recorded in BASELINE.md. */
+object PruneScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val nFiles = args.headOption.map(_.toInt).getOrElse(64)
+    val rowsPer = args.lift(1).map(_.toLong).getOrElse(50000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val n = nFiles * rowsPer
+    def base = spark.range(n).select(col("id").as("k"),
+      (col("id") % 97).as("v"), md5(col("id").cast("string")).as("payload"))
+
+    val indexed = s"$root/indexed"
+    base.repartition(nFiles, col("k"))
+      .write.format("graft-sink").option("path", indexed)
+      .option("bloomFor", "k").option("ndvFor", "k,v")
+      .mode("overwrite").save()
+    val plain = s"$root/plain"
+    base.repartition(nFiles, col("k"))
+      .write.format("graft-sink").option("path", plain)
+      .mode("overwrite").save()
+    val sorted = s"$root/sorted"
+    base.repartition(32)
+      .write.format("graft-sink").option("path", sorted)
+      .option("sortBy", "k").option("writePartitions", nFiles.toString)
+      .option("distributionStrict", "true")
+      .mode("overwrite").save()
+
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def measure(tag: String, df: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      // drive THIS dataframe's own physical plan (not a derived count
+      // plan), so the runtime-filter subqueries execute before the plan
+      // introspection below reads the filtered partition count
+      val rows = df.queryExecution.toRdd.count()
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      val planned = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.GraftSinkScan] =>
+          b.inputRDD.getNumPartitions }.headOption.getOrElse(-1)
+      println(f"""{"phase":"$tag","files_planned":$planned,"of":$nFiles,""" +
+        f""""rows_out":$rows,"wall_ms":${wallMs}%.0f}""")
+    }
+    def rd(d: String) = spark.read.format("graft-sink").option("path", d).load()
+
+    val probe = n / 2 + 17
+    measure("full_scan", rd(indexed))
+    measure("point_no_bloom_control", rd(plain).where(col("k") === probe))
+    measure("point_bloom", rd(indexed).where(col("k") === probe))
+    // DPP: the dim filter sits on a derived string so no static literal
+    // reaches the fact; the runtime IN-set probes the blooms
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dim = spark.range(n).select(col("id").as("k"))
+      .withColumn("name", concat(lit("k"), col("k")))
+      .where(col("name") === s"k$probe").select(col("k"))
+    measure("point_dpp_bloom", rd(indexed).join(broadcast(dim), Seq("k")))
+    spark.conf.unset("spark.sql.adaptive.enabled")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    measure("limit_1000", rd(indexed).limit(1000))
+    measure("topn_1000", rd(sorted).orderBy(col("k")).limit(1000))
+    measure("range_sorted", rd(sorted).where(col("k") < rowsPer / 2))
+    spark.stop()
+  }
+}
