@@ -452,6 +452,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "wap_publish"     => new GraftWapProcedure(this, publish = true)
       case "wap_abort"       => new GraftWapProcedure(this, publish = false)
       case "clone"           => new GraftCloneProcedure(this)
+      case "set_partition_spec" => new GraftSetPartitionSpecProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other " +
           "(have vacuum, restore, optimize, history, tag, drop_tag, tags, " +
@@ -615,6 +616,58 @@ private[sources] class GraftCloneProcedure(cat: GraftCatalog)
         linked.foreach(n => Files.deleteIfExists(Paths.get(dstDir, n)))
         throw e
     }
+  }
+}
+
+/** `CALL cat.system.set_partition_spec(table, spec)` — PARTITION
+  * EVOLUTION, metadata-only (the Iceberg spec-evolution design): the
+  * table's DECLARED layout changes for FUTURE writes while every
+  * committed file keeps the partition value (or none) it was written
+  * under — no rewrite, because the read path already resolves layout
+  * PER FILE (each `#meta=` line carries its own partition pair;
+  * partition-pinned predicates prune new-generation files exactly and
+  * fall back to stats envelopes on old-generation ones). `spec` is an
+  * identity column, `bucket(n,col)`, or '' to drop the declaration.
+  * The change lands as one conditioned metadata-only commit (`#op=SET
+  * PARTITION SPEC`), so it is versioned, time-travelable and racing
+  * writers conflict through the usual CAS. */
+private[sources] class GraftSetPartitionSpecProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "set_partition_spec"
+  override def description(): String =
+    "change the declared partition layout for future writes (metadata-only)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("spec", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val dir = cat.dirForName(table)
+    val head = GraftManifest.readVersion(dir, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft set_partition_spec: no committed table at '$table'"))
+    val spec = Option(input.getUTF8String(1)).map(_.toString.trim).filter(_.nonEmpty)
+    spec.foreach { sp =>
+      val schema = StructType.fromDDL(head.schemaDdl.getOrElse(
+        throw new IllegalStateException(
+          s"graft set_partition_spec: head at $dir carries no schema")))
+      val src = GraftBucket.parse(sp).map(_._2).getOrElse(sp)
+      val i = scala.util.Try(schema.fieldIndex(src)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft set_partition_spec: column '$src' not in ${schema.toDDL}"))
+      schema.fields(i).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"graft set_partition_spec: partition source must be long/string, " +
+            s"'$src' is $dt")
+      }
+    }
+    val nv = GraftManifest.commitMetas(dir, head.metas,
+      head.schemaDdl.get, truncate = true, expectedBase = Some(head.version),
+      op = Some("SET PARTITION SPEC"), idsOverride = head.ids,
+      checksOverride = Some(head.checks), partSpecSet = Some(spec))
+    result(StructType.fromDDL("spec STRING, new_version INT"),
+      org.apache.spark.unsafe.types.UTF8String.fromString(spec.getOrElse("")), nv)
   }
 }
 
