@@ -3681,25 +3681,6 @@ object Scale {
         |FROM events WHERE user_id = 7
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "sink_partition_evolution" ->
-      """WITH a AS (
-        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
-        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
-        |  FROM events WHERE user_id % 2 = 0 GROUP BY 1, 2),
-        |b AS (
-        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
-        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
-        |  FROM events WHERE user_id % 2 = 1 GROUP BY 1, 2)
-        |SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
-        |ORDER BY event_type, bucket, n""".stripMargin,
-
-    "join_dpp_bloom" ->
-      """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
-        |  CAST(4 AS BIGINT) AS n_files
-        |FROM events WHERE user_id = 7
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
     "sink_timestamp_types" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,

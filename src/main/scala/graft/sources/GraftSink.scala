@@ -1287,7 +1287,11 @@ object GraftBloom {
 
   /** Build from the value hashes of one file's column (one per row is
     * fine — duplicate hashes cost nothing but their first insertion). */
-  def build(hashes: Array[Long]): String = {
+  def build(hashes0: Array[Long]): String = {
+    // size by DISTINCT hashes, not rows — a low-cardinality column on a
+    // big file would otherwise bloat to the cap for a filter that needs
+    // a few hundred bytes (the doc's ~16 bits/distinct promise)
+    val hashes = hashes0.distinct
     var bits = 1024L
     while (bits < 16L * hashes.length && bits < (1L << 23)) bits <<= 1
     val words = new Array[Long]((bits / 64).toInt)
@@ -1929,6 +1933,17 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
   // through it — guarded here anyway).
   private var capFiles: Option[Set[String]] = None
   private var capDesc: String = ""
+  /** ONE manifest snapshot per planning pass, shared by the limit, TopN
+    * and aggregate pushdowns (each used to re-read and re-fold the
+    * chain — O(files) driver work repeated per pushdown on a large
+    * table). When a cap is taken, [[build]] PINS the scan to this
+    * snapshot's version: the cap names files of a specific snapshot,
+    * and a concurrent commit between planning and execution (OPTIMIZE
+    * renaming the capped files, a DELETE shrinking their live rows)
+    * would otherwise intersect the cap against a different file set and
+    * silently return fewer than k rows. */
+  private lazy val plannedManifest: Option[GraftManifest] =
+    GraftManifest.readVersion(path, version)
   /** Both caps are file-plan-only: Spark must keep its Limit/Sort. */
   override def isPartiallyPushed(): Boolean = true
   private def capEligible: Boolean =
@@ -1939,7 +1954,7 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
     * vectors discounted) accumulate to k are a complete answer set. */
   override def pushLimit(limit: Int): Boolean = {
     if (!capEligible || limit <= 0) return false
-    val m = GraftManifest.readVersion(path, version).getOrElse(return false)
+    val m = plannedManifest.getOrElse(return false)
     var cum = 0L
     val take = Set.newBuilder[String]
     var n = 0
@@ -1974,7 +1989,7 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
     val i = scala.util.Try(layout.fieldIndex(c)).getOrElse(return false)
     val dt = layout.fields(i).dataType
     val asc = orders(0).direction() == SortDirection.ASCENDING
-    val m = GraftManifest.readVersion(path, version).getOrElse(return false)
+    val m = plannedManifest.getOrElse(return false)
     // every file must prove the column null-free (and in-width)
     val facts = m.metas.map { f =>
       if (i >= f.ncols || !f.nulls.exists(_.getOrElse(i, 0L) == 0L)) return false
@@ -2041,7 +2056,7 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     if (pushed.nonEmpty || changesFrom.isDefined || filesSubset.isDefined ||
       streamOpts.nonEmpty || wapId.isDefined) return None
-    val m = GraftManifest.readVersion(path, version).getOrElse(return None)
+    val m = plannedManifest.getOrElse(return None)
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
@@ -2176,7 +2191,12 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
         override def description(): String = aggDesc
       }
     case None =>
-      GraftSinkScan(path, version, layout, required, pushed.toSeq,
+      // a cap proves an answer set against ONE snapshot — pin the scan
+      // to it so execution cannot see a moved head (see plannedManifest)
+      val pinned =
+        if (capFiles.isDefined) version.orElse(plannedManifest.map(_.version))
+        else version
+      GraftSinkScan(path, pinned, layout, required, pushed.toSeq,
         changesFrom, streamOpts, filesSubset, spj, wapId, capFiles, capDesc)
   }
 }
@@ -2317,7 +2337,12 @@ case class GraftSinkScan(path: String, version: Option[Int],
             Some(GraftHll.estimate(acc))
           } else None
         val nullCnt: Option[Long] =
-          if (metas.forall(_.nulls.isDefined))
+          // a deletion vector makes per-column null counts undecidable
+          // (the deleted rows' nullness is not a manifest fact) — the
+          // same rule the aggregate pushdown applies; reporting the
+          // physical count could exceed the live row count and feed CBO
+          // a negative selectivity
+          if (metas.forall(m => m.nulls.isDefined && m.dv.isEmpty))
             // a file written before the column evolved in (i beyond its
             // width) reads ALL-NULL there — its live rows are null rows,
             // not the zero its (absent) null-count entry would suggest
@@ -2600,6 +2625,11 @@ object GraftSinkScan {
     f match {
       case And(l, r) => mayMatch(meta, layout, l) && mayMatch(meta, layout, r)
       case Or(l, r)  => mayMatch(meta, layout, l) || mayMatch(meta, layout, r)
+      // a NULL comparison value satisfies no row (three-valued SQL), so
+      // pruning everything is EXACT, and it must never reach canon/bloom
+      // (NPE on .toString)
+      case EqualTo(_, null) | GreaterThan(_, null) | GreaterThanOrEqual(_, null) |
+           LessThan(_, null) | LessThanOrEqual(_, null) => false
       case EqualTo(c, v) => !allNull(c) && bucketOk(c, Seq(v)) &&
         bloomOk(c, Seq(v)) &&
         range(c).forall { case (dt, mn, mx) =>
@@ -2612,7 +2642,11 @@ object GraftSinkScan {
         cmp(dt, mn, canon(dt, v)) < 0 }
       case LessThanOrEqual(c, v) => !allNull(c) && range(c).forall { case (dt, mn, _) =>
         cmp(dt, mn, canon(dt, v)) <= 0 }
-      case In(c, vs) => !allNull(c) && bucketOk(c, vs.toSeq) &&
+      case In(c, vs0) =>
+        // NULL members match no row — dropping them is exact; an
+        // all-null list therefore proves no file can match
+        val vs = vs0.filter(_ != null)
+        vs.nonEmpty && !allNull(c) && bucketOk(c, vs.toSeq) &&
         bloomOk(c, vs.toSeq) &&
         range(c).forall { case (dt, mn, mx) =>
           vs.exists(v => cmp(dt, canon(dt, v), mn) >= 0 && cmp(dt, canon(dt, v), mx) <= 0) }
@@ -2658,6 +2692,9 @@ object GraftSinkScan {
     f match {
       case _: AlwaysTrue  => true
       case _: AlwaysFalse => false
+      // a NULL comparison value matches no row — nothing is provable
+      case EqualTo(_, null) | GreaterThan(_, null) | GreaterThanOrEqual(_, null) |
+           LessThan(_, null) | LessThanOrEqual(_, null) => false
       case And(l, r) => mustMatchAll(meta, layout, l) && mustMatchAll(meta, layout, r)
       case Or(l, r)  => mustMatchAll(meta, layout, l) || mustMatchAll(meta, layout, r)
       case EqualTo(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
@@ -2675,7 +2712,8 @@ object GraftSinkScan {
       // contain non-member values between the members)
       case In(c, vs) => col(c).exists { case (i, _) => noNulls(i) } &&
         range(c).exists { case (dt, mn, mx) =>
-          cmp(dt, mn, mx) == 0 && vs.exists(v => cmp(dt, canon(dt, v), mn) == 0) }
+          cmp(dt, mn, mx) == 0 &&
+            vs.filter(_ != null).exists(v => cmp(dt, canon(dt, v), mn) == 0) }
       case IsNull(c)    => col(c).exists { case (i, _) => allNull(i) }
       case IsNotNull(c) => col(c).exists { case (i, _) => noNulls(i) }
       case _ => false
@@ -3720,7 +3758,10 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         .filter(p.sumOk(_)).map(i => i -> p.sums(i)).toMap
       val blooms = p.bloomHashes.collect { case (i, hs) if hs.nonEmpty =>
         i -> GraftBloom.build(hs.toArray) }
-      val ndvs = p.ndvRegs.map { case (i, regs) => i -> GraftHll.encode(regs) }
+      // an all-null column emits NO sketch (an empty sketch would clamp
+      // to distinctCount=1; absence reports nothing — the safer fact)
+      val ndvs = p.ndvRegs.collect {
+        case (i, regs) if p.rows > p.nullCounts(i) => i -> GraftHll.encode(regs) }
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
         partName.map(_ -> value), Some(nulls), None, Some(sums), blooms, ndvs)
     }.toSeq

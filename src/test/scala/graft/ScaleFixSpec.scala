@@ -563,6 +563,47 @@ class ScaleFixSpec extends AnyFunSuite {
     assert(probed.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("review hardening: null filter members, bloom sizing, all-null NDV, cap pinning") {
+    import graft.sources.{GraftBloom, GraftFileMeta, GraftSinkScan}
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    import org.apache.spark.sql.types.StructType
+    // NULL comparison/IN members satisfy no row: pruning is exact, no NPE
+    val meta = GraftFileMeta("f", 10, 1, Map(0 -> ("1", "9")), None, Some(Map.empty))
+    val schema = StructType.fromDDL("k BIGINT")
+    assert(GraftSinkScan.mayMatch(meta, schema, In("k", Array[Any](5L, null))))
+    assert(!GraftSinkScan.mayMatch(meta, schema, In("k", Array[Any](null))))
+    assert(!GraftSinkScan.mayMatch(meta, schema, EqualTo("k", null)))
+    assert(!GraftSinkScan.mustMatchAll(meta, schema, EqualTo("k", null)))
+    // blooms size by DISTINCT hashes: half a million rows of 100 values
+    // encode in ~1 KBit, not the 1 MiB cap
+    val hs = Array.tabulate(500000)(i => GraftBloom.hash("v" + (i % 100)))
+    assert(GraftBloom.build(hs).length < 1000,
+      "bloom must size by distinct hashes, not row count")
+    // an all-null sketched column reports NO sketch (not distinctCount=1)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nn").toString
+    Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("id", "v")
+      .coalesce(1).write.format("graft-sink").option("path", dir)
+      .option("ndvFor", "*").mode("overwrite").save()
+    val m = graft.sources.GraftManifest.readVersion(dir, None).get.metas.head
+    assert(m.ndvs.contains(0) && !m.ndvs.contains(1),
+      s"all-null column must emit no NDV sketch: ${m.ndvs.keys}")
+    // a capped scan pins the snapshot it proved the cap against
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pin").toString
+    spark.range(0, 20).toDF("id").coalesce(1)
+      .write.format("graft-sink").option("path", dir2).mode("append").save()
+    spark.range(20, 40).toDF("id").coalesce(1)
+      .write.format("graft-sink").option("path", dir2).mode("append").save()
+    val lim = spark.read.format("graft-sink").option("path", dir2).load().limit(15)
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scan = lim.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.sources.GraftSinkScan] }.head
+    assert(scan.capFiles.isDefined && scan.version.contains(2),
+      s"a pushed LIMIT must pin the scan to the proven snapshot: " +
+        s"v=${scan.version} cap=${scan.capFiles}")
+    assert(lim.collect().length == 15)
+  }
+
   test("graft-sink bucket layout: string buckets prune, rename remaps the transform, no-catalog reads shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.sources.GraftManifest
