@@ -935,7 +935,7 @@ object Scale {
     * (same shared-conf discipline as Streaming.withStreamShuffle): a
     * concurrent caller serializes here instead of silently planning under
     * someone else's toggles. */
-  private def withConfs[T](spark: SparkSession, pairs: (String, String)*)(body: => T): T =
+  private[graft] def withConfs[T](spark: SparkSession, pairs: (String, String)*)(body: => T): T =
     spark.synchronized {
       val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
       pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -604,6 +604,42 @@ class ScaleFixSpec extends AnyFunSuite {
     assert(lim.collect().length == 15)
   }
 
+  test("runtime filtering prunes bucket layouts through the transform") {
+    // the scan advertises a bucket layout's SOURCE column; a runtime
+    // IN-set then prunes via bucketOk (value → its only possible
+    // bucket) — the third runtime-pruning path after identity
+    // partitions and blooms
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_bdpp").toString
+    spark.range(0, 800).toDF("id")
+      .select(col("id"), (col("id") % 13).as("v"))
+      .repartition(pmod(col("id"), lit(8)).cast("int"))
+      .write.format("graft-sink").option("path", dir)
+      .option("partitionBy", "bucket(8,id)").mode("overwrite").save()
+    assert(graft.sources.GraftManifest.readVersion(dir, None).get.files.size == 8)
+    graft.ops.Scale.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val fact = spark.read.format("graft-sink").option("path", dir).load()
+      // dim key 42 is only derivable at runtime (derived-column filter);
+      // Range-backed, because a LocalRelation dim constant-folds at
+      // optimize time and leaves no selective Filter for DPP to cite
+      val dim = spark.range(0, 800).toDF("id")
+        .withColumn("tag", concat(lit("x"), col("id")))
+        .where(col("tag") === "x42").select(col("id"))
+      val j = fact.join(broadcast(dim), Seq("id"))
+      j.collect()
+      val scans = j.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.GraftSinkScan] => b }
+      assert(scans.size == 1 && scans.head.runtimeFilters.nonEmpty,
+        "a DPP filter must be planned on the bucketed fact scan")
+      val planned = scans.head.inputRDD.getNumPartitions
+      assert(planned == 1,
+        s"the runtime key must prune to its one possible bucket, got $planned of 8")
+    }
+  }
+
   test("graft-sink bucket layout: string buckets prune, rename remaps the transform, no-catalog reads shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.sources.GraftManifest
