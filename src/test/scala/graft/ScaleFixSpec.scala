@@ -525,6 +525,22 @@ class ScaleFixSpec extends AnyFunSuite {
       s"DML re-inserts must rebuild the indexes: $fresh")
   }
 
+  test("canon bridges every external timestamp/date filter form to cell micros/days") {
+    import graft.sources.GraftSinkScan.canon
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:30:00.123456")
+    val inst = ts.toInstant
+    val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    assert(canon(TimestampType, ts) == micros.toString)
+    assert(canon(TimestampType, inst) == micros.toString)
+    val d = java.sql.Date.valueOf("2024-03-01")
+    val days = java.time.LocalDate.of(2024, 3, 1).toEpochDay
+    assert(canon(DateType, d) == days.toString)
+    assert(canon(DateType, java.time.LocalDate.of(2024, 3, 1)) == days.toString)
+    // non-temporal values pass through untouched
+    assert(canon(org.apache.spark.sql.types.LongType, 42L) == "42")
+  }
+
   test("graft-sink timestamp/date columns: exact roundtrip, NULLs, pushdown aggregates") {
     import java.sql.{Date, Timestamp}
     val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
