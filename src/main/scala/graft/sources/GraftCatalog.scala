@@ -832,7 +832,12 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
             case None    => victims.repartition(col(pc))
           }
           shaped.write.option("partitionBy", pc)
-        case None => victims.repartition(target).write
+        case None => head.sortSpec match {
+          case Some(sc) if victims.schema.fieldNames.contains(sc) =>
+            victims.repartitionByRange(target, col(sc))
+              .sortWithinPartitions(col(sc)).write
+          case _ => victims.repartition(target).write
+        }
       }
       carryIndexes(head, writer.format("graft-sink").option("path", tmp))
         .mode("overwrite").save()
@@ -909,7 +914,14 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
             org.apache.spark.sql.functions.col(pc))
         }
       }
-      else if (zcols.isEmpty) snapshot.repartition(target)
+      else if (zcols.isEmpty) head.sortSpec match {
+        // a DECLARED sort (range-clustered) layout survives compaction —
+        // the writer's own ordered distribution re-ranges it (the write
+        // below pins sortBy + a strict target width), so leave the
+        // frame unshaped here
+        case Some(sc) if snapshot.schema.fieldNames.contains(sc) => snapshot
+        case _ => snapshot.repartition(target)
+      }
       else {
         val k = zcols.length
         // bit i of dimension j lands at curve position i*k + j — the
@@ -924,10 +936,21 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
           .sortWithinPartitions(col("_zcurve"))
           .drop("_zcurve")
       }
-    val ow = carryIndexes(head,
+    val ow0 = carryIndexes(head,
       rewritten.write.format("graft-sink").option("path", dir))
       .option("expectedBaseVersion", head.version.toString)
       .option("operation", "OPTIMIZE")
+    // declared-sort tables recompact to EXACTLY target_files disjoint
+    // range files (strict width: the non-strict rebalance would let AQE
+    // fold a small table to one file and ignore the requested target)
+    val ow = head.sortSpec.filter(sc =>
+        zcols.isEmpty && keepLayout.isEmpty &&
+          rewritten.schema.fieldNames.contains(sc)) match {
+      case Some(sc) => ow0.option("sortBy", sc)
+        .option("writePartitions", target.toString)
+        .option("distributionStrict", "true")
+      case None => ow0
+    }
     keepLayout.fold(ow)(pc => ow.option("partitionBy", pc))
       .mode("overwrite").save()
     val after = GraftManifest.readVersion(dir, None).get

@@ -201,7 +201,7 @@ case class GraftManifest(version: Int, metas: Seq[GraftFileMeta],
     base: Option[Int] = None, op: Option[String] = None,
     txns: Map[String, Long] = Map.empty, nFiles: Option[Int] = None,
     ids: Option[Seq[Int]] = None, checks: Seq[(String, String)] = Nil,
-    partSpec: Option[String] = None) {
+    partSpec: Option[String] = None, sortSpec: Option[String] = None) {
   /** Legacy (name, rows) view — the shape the v1 protocol exposed. */
   def files: Seq[(String, Long)] = metas.map(m => m.name -> m.rows)
 }
@@ -408,6 +408,7 @@ object GraftManifest {
     var nFiles: Option[Int] = None
     var ids: Option[Seq[Int]] = None
     var partSpec: Option[String] = None
+    var sortSpec: Option[String] = None
     val checks = Seq.newBuilder[(String, String)]
     val txns = scala.collection.mutable.Map[String, Long]()
     val rows = Seq.newBuilder[(String, Long)]
@@ -433,6 +434,8 @@ object GraftManifest {
         ids = Some(s.stripPrefix("#ids=").split(",").map(_.toInt).toSeq)
       case s if s.startsWith("#partspec=") =>
         partSpec = Some(s.stripPrefix("#partspec="))
+      case s if s.startsWith("#sortspec=") =>
+        sortSpec = Some(s.stripPrefix("#sortspec="))
       case s if s.startsWith("#check=") =>
         s.stripPrefix("#check=").split(",", 2) match {
           case Array(n, e) => checks += (n -> e)
@@ -505,7 +508,7 @@ object GraftManifest {
         nulls.get(f), dvs.get(f), sums.get(f), blooms(f), ndvs(f))
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
-      ids, checks.result(), partSpec)
+      ids, checks.result(), partSpec, sortSpec)
   }
 
   /** The RAW on-disk manifest for one version (a delta stays a delta). */
@@ -554,7 +557,7 @@ object GraftManifest {
         // and checks ride the TOP manifest (every commit re-emits them)
         GraftManifest(v, metas, m.total, m.schemaDdl, m.ts, op = m.op,
           txns = baseM.txns ++ m.txns, nFiles = Some(metas.size),
-          ids = m.ids, checks = m.checks, partSpec = m.partSpec)
+          ids = m.ids, checks = m.checks, partSpec = m.partSpec, sortSpec = m.sortSpec)
     }
   }
 
@@ -623,7 +626,8 @@ object GraftManifest {
       snapshotFiles: Option[Int] = None,
       ids: Option[Seq[Int]] = None,
       checks: Seq[(String, String)] = Nil,
-      partSpec: Option[String] = None): String = {
+      partSpec: Option[String] = None,
+      sortSpec: Option[String] = None): String = {
     val meta = bodyMetas.flatMap { m =>
       val p = m.partition.map { case (c, v) => s"$c,$v" }.getOrElse(",")
       (s"#meta=${m.name},${m.ncols},$p" +:
@@ -649,6 +653,7 @@ object GraftManifest {
       snapshotFiles.map(n => s"#files=$n").toSeq ++
       ids.map(is => s"#ids=${is.mkString(",")}").toSeq ++
       partSpec.map(s => s"#partspec=$s").toSeq ++
+      sortSpec.map(s => s"#sortspec=$s").toSeq ++
       checks.map { case (n, e) => s"#check=$n,$e" } ++
       txns.toSeq.sortBy(_._1).map { case (w, e) => s"#txn=$w:$e" }) ++:
       s"_total,$totalRows" +: meta ++:
@@ -673,6 +678,7 @@ object GraftManifest {
       var nFiles: Option[Int] = None
       var ids: Option[Seq[Int]] = None
       var partSpec: Option[String] = None
+      var sortSpec: Option[String] = None
       val checks = Seq.newBuilder[(String, String)]
       val txns = scala.collection.mutable.Map[String, Long]()
       var total = -1L
@@ -687,6 +693,8 @@ object GraftManifest {
           ids = Some(line.stripPrefix("#ids=").split(",").map(_.toInt).toSeq)
         else if (line.startsWith("#partspec="))
           partSpec = Some(line.stripPrefix("#partspec="))
+        else if (line.startsWith("#sortspec="))
+          sortSpec = Some(line.stripPrefix("#sortspec="))
         else if (line.startsWith("#check=")) {
           line.stripPrefix("#check=").split(",", 2) match {
             case Array(n, e) => checks += (n -> e)
@@ -705,7 +713,7 @@ object GraftManifest {
         line = in.readLine()
       }
       if (total >= 0) GraftManifest(v, Seq.empty, total, ddl, ts, base, op,
-        txns.toMap, nFiles, ids, checks.result(), partSpec)
+        txns.toMap, nFiles, ids, checks.result(), partSpec, sortSpec)
       else readRaw(path, v)
     } finally in.close()
   }
@@ -786,7 +794,8 @@ object GraftManifest {
       txn: Option[(String, Long)] = None,
       idsOverride: Option[Seq[Int]] = None,
       checksOverride: Option[Seq[(String, String)]] = None,
-      partSpecSet: Option[Option[String]] = None): Int = {
+      partSpecSet: Option[Option[String]] = None,
+      sortSpecSet: Option[Option[String]] = None): Int = {
     new File(path).mkdirs() // a zero-task job commits a manifest into an empty dir
     var attempt = 0
     while (true) {
@@ -895,6 +904,11 @@ object GraftManifest {
       // including Some(None) = a REPLACE that declared NO partitioning
       val partSpec = partSpecSet.getOrElse(
         if (shapeReplaced) None else head.flatMap(_.partSpec))
+      // the declared SORT (range-clustering) layout rides like partSpec:
+      // recorded by truncating sortBy writes, carried by every other
+      // commit, honored by OPTIMIZE so maintenance preserves clustering
+      val sortSpec = sortSpecSet.getOrElse(
+        if (shapeReplaced) None else head.flatMap(_.sortSpec))
       checks.foreach { case (n, e) =>
         require(unionNames.contains(GraftCheck.columnOf(e)),
           s"graft-sink: schema '$unionDdl' lacks column '${GraftCheck.columnOf(e)}' " +
@@ -921,7 +935,8 @@ object GraftManifest {
           // snapshot file count carried forward like `_total`; a legacy
           // head without one leaves it absent until the next checkpoint
           snapshotFiles = head.flatMap(_.nFiles).map(_ + jobMetas.size),
-          ids = Some(ids), checks = checks, partSpec = partSpec)
+          ids = Some(ids), checks = checks, partSpec = partSpec,
+          sortSpec = sortSpec)
         else {
           require(all.map(_.liveRows).sum == newTotal,
             s"graft-sink: checkpoint fold at $path disagrees with the running total")
@@ -933,7 +948,7 @@ object GraftManifest {
           val accTxns = headFolded.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
           render(unionDdl, commitTs, None, all, newTotal, op, accTxns,
             snapshotFiles = Some(all.size), ids = Some(ids), checks = checks,
-            partSpec = partSpec)
+            partSpec = partSpec, sortSpec = sortSpec)
         }
       // the pluggable CAS: true = this commit owns version `next`; false =
       // lost the race — loop re-reads the new head and retries one slot up
@@ -1097,7 +1112,7 @@ object GraftManifest {
         val m = fold(path, v)
         val body = render(m.schemaDdl.getOrElse(""), m.ts.getOrElse(0L),
           None, m.metas, m.total, m.op, m.txns, Some(m.metas.size),
-          ids = m.ids, checks = m.checks, partSpec = m.partSpec)
+          ids = m.ids, checks = m.checks, partSpec = m.partSpec, sortSpec = m.sortSpec)
         val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$v", ".tmp")
         try {
           Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -1725,6 +1740,13 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         // pins the shuffle width (requiredNumPartitions) — the file-count
         // knob; 0 lets Spark/AQE choose.
         private val sortCol = Option(opts.get("sortBy")).filter(_.nonEmpty)
+          // default to the table's DECLARED sort layout (recorded by the
+          // last truncating sortBy write) — an append without options
+          // keeps the table range-clustered, same conformance rule as
+          // the declared partition spec
+          .orElse(GraftManifest.versions(path).lastOption.flatMap(v =>
+            GraftManifest.headerFacts(path, v).sortSpec)
+            .filter(info.schema().fieldNames.contains))
         private val writeParts =
           Option(opts.get("writePartitions")).map(_.toInt).getOrElse(0)
         require(writeParts >= 0, s"graft-sink: writePartitions must be >= 0")
@@ -1801,7 +1823,8 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
             expectedBase, evolve, partCol, opLabel, replaceWhere,
-            wapStage = wapStage, bloomFor = bloomFor, ndvFor = ndvFor)
+            wapStage = wapStage, bloomFor = bloomFor, ndvFor = ndvFor,
+            sortCol = sortCol)
         override def toStreaming: StreamingWrite =
           // partCol includes the declared-spec default: a streaming
           // ingest into a PARTITIONED BY table conforms like any batch
@@ -3061,7 +3084,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     declaredSpec: Option[Option[String]] = None,
     wapStage: Option[String] = None,
     bloomFor: Seq[String] = Nil,
-    ndvFor: Seq[String] = Nil) extends BatchWrite {
+    ndvFor: Seq[String] = Nil,
+    sortCol: Option[String] = None) extends BatchWrite {
   /** Writer factory — resolved at JOB START on the driver, including the
     * head's CHECK constraints: every task writer enforces them per row,
     * so a violating batch aborts before any manifest commit (nothing
@@ -3094,7 +3118,11 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
         GraftManifest.commitMetas(path, metas.toSeq, schema.toDDL, truncate,
           expectedBase, evolve,
           op = opLabel.orElse(Some(if (truncate) "OVERWRITE" else "APPEND")),
-          partSpecSet = declaredSpec)
+          partSpecSet = declaredSpec,
+          // a truncating write DEFINES the sort layout (its sortBy, or
+          // none); appends inherit the declared one
+          sortSpecSet = if (truncate) Some(sortCol.filter(_ => partCol.isEmpty))
+            else None)
         ()
     }
   }

@@ -656,6 +656,47 @@ class ScaleFixSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE preserves a declared sort layout; appends conform to it") {
+    import graft.sources.GraftManifest
+    val root = java.nio.file.Files.createTempDirectory("graft_sortspec").toString
+    spark.conf.set("spark.sql.catalog.gso", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gso.root", root)
+    val dir = s"$root/db/t"
+    // truncating sortBy write DECLARES the layout
+    spark.range(0, 4000).toDF("k").select(col("k"), (col("k") % 7).as("v"))
+      .repartition(8)
+      .write.format("graft-sink").option("path", dir)
+      .option("sortBy", "k").option("writePartitions", "4")
+      .option("distributionStrict", "true").mode("overwrite").save()
+    assert(GraftManifest.readVersion(dir, None).get.sortSpec.contains("k"))
+    // an APPEND with no options conforms: its files tile k, not span it
+    spark.range(4000, 8000).toDF("k").select(col("k"), (col("k") % 7).as("v"))
+      .repartition(8)
+      .write.format("graft-sink").option("path", dir).mode("append").save()
+    def envelopes(): Seq[(Long, Long)] =
+      GraftManifest.readVersion(dir, None).get.metas
+        .flatMap(_.stats.get(0)).map { case (mn, mx) => (mn.toLong, mx.toLong) }
+        .sortBy(_._1)
+    val appended = envelopes()
+    assert(appended.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax <= bMin
+      case _ => true
+    }, s"a conforming append must keep envelopes disjoint: $appended")
+    // compaction preserves the clustering instead of hash-scattering it
+    spark.sql("CALL gso.system.optimize('db.t', 4)").collect()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.sortSpec.contains("k"), "the declared sort must survive OPTIMIZE")
+    val after = envelopes()
+    assert(after.nonEmpty && after.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax <= bMin
+      case _ => true
+    }, s"OPTIMIZE must keep the range layout disjoint: $after")
+    val probe = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("k") < 500L)
+    assert(probe.rdd.getNumPartitions * 2 <= head.metas.size,
+      "range predicates must still prune after compaction")
+  }
+
   test("graft-sink bucket layout: string buckets prune, rename remaps the transform, no-catalog reads shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.sources.GraftManifest
