@@ -2780,6 +2780,54 @@ object Scale {
       .orderBy(col("event_type"), col("bucket"), col("n"))
   }
 
+  /** SORT-LAYOUT LIFECYCLE (`#sortspec`) — the declared range
+    * clustering survives ingest AND maintenance: a truncating
+    * `sortBy=user_id` write declares the layout, an append with NO
+    * options conforms to it (new files tile the key), and
+    * `CALL optimize` recompacts to exactly target_files DISJOINT range
+    * files instead of hash-scattering the clustering away. REQUIREd:
+    * the spec survives the whole lifecycle, post-compaction envelopes
+    * are pairwise disjoint, and a bottom-eighth range predicate plans
+    * at most half the files. At 100 TB this is what keeps a
+    * time-series table's range reads O(answer) across years of
+    * compactions. Oracle: the filtered aggregate over both halves. */
+  def sinkSortedCompact(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "sortc_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      def slice(m: Int) = events(spark, sf).where(col("user_id") % 2 === m)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .repartition(8)
+      slice(0).write.format("graft-sink").option("path", dir)
+        .option("sortBy", "user_id").option("writePartitions", "4")
+        .option("distributionStrict", "true").mode("overwrite").save()
+      slice(1).write.format("graft-sink").option("path", dir)
+        .mode("append").save()
+      spark.sql(s"CALL gsql.system.optimize('db.$tbl', 4)")
+      val head = graft.sources.GraftManifest.readVersion(dir, None).get
+      require(head.sortSpec.contains("user_id"),
+        s"the declared sort must survive ingest+OPTIMIZE: ${head.sortSpec}")
+      val envs = head.metas.flatMap(_.stats.get(1))
+        .map { case (mn, mx) => (mn.toLong, mx.toLong) }.sortBy(_._1)
+      require(envs.size == head.metas.size && envs.sliding(2).forall {
+        case Seq((_, aMax), (bMin, _)) => aMax <= bMin
+        case _                         => true
+      }, s"compaction must land disjoint user_id envelopes: $envs")
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    val hi = head.metas.flatMap(_.stats.get(1)).map(_._2.toLong).max / 8
+    val filtered = spark.table(s"gsql.db.$tbl").where(col("user_id") <= hi)
+    val planned = filtered.rdd.getNumPartitions
+    require(planned * 2 <= head.metas.size,
+      s"range pruning must survive compaction: planned $planned of ${head.metas.size}")
+    filtered.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        max(col("user_id")).as("max_uid"))
+      .orderBy(col("event_type"))
+  }
+
   /** The O(deleted rows) PROOF for merge-on-read (VERDICT r8 missing #2's
     * "done" bar): a POINT delete (one row of twenty) commits a
     * deletion-vector sidecar of a few bytes — REQUIREd: v2 names exactly
@@ -3262,6 +3310,7 @@ object Scale {
     "join_cbo_graft" -> joinCboGraft,
     "sink_shallow_clone" -> sinkShallowClone,
     "sink_partition_evolution" -> sinkPartitionEvolution,
+    "sink_sorted_compact" -> sinkSortedCompact,
     "sink_timestamp_types" -> sinkTimestampTypes,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
@@ -3661,6 +3710,14 @@ object Scale {
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE user_id % 4 >= 1
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "sink_sorted_compact" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents,
+        |  max(user_id) AS max_uid
+        |FROM events
+        |WHERE user_id <= (SELECT max(user_id) FROM events) // 8
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "sink_partition_evolution" ->
       """WITH a AS (
