@@ -2828,6 +2828,37 @@ object Scale {
       .orderBy(col("event_type"))
   }
 
+  /** ORPHAN-FILE REPORT ([[graft.sources.GraftOrphansProcedure]]) — the
+    * VACUUM dry-run: files referenced by NO version and no pending WAP
+    * stage are crashed-task / lost-race debris; `CALL orphans` lists
+    * their count and bytes READ-ONLY, so an operator audits the storage
+    * leak before choosing retention. The key REQUIREs a clean table
+    * reports zero, plants two pieces of debris (a data file and a dv
+    * sidecar with fixed bytes), and returns the report the oracle pins
+    * exactly; the planted files are untouched (dry-run) and invisible
+    * to reads. */
+  def sinkOrphanReport(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "orph_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      bucketAgg(events(spark, sf)).coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      val clean = spark.sql(s"CALL gsql.system.orphans('db.$tbl')").head()
+      require(clean.getLong(0) == 0L,
+        s"a freshly committed table must report zero orphans, got $clean")
+      val rows = spark.table(s"gsql.db.$tbl").count()
+      // plant crashed-task debris: 9 bytes of data file, 3 bytes of dv
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "zz-orphan.csv"),
+        "orphan,1\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "zz-orphan.dv"),
+        Array[Byte](1, 2, 3))
+      require(spark.table(s"gsql.db.$tbl").count() == rows,
+        "debris must be invisible to manifest-trusting reads")
+    }
+    spark.sql(s"CALL gsql.system.orphans('db.$tbl')")
+  }
+
   /** The O(deleted rows) PROOF for merge-on-read (VERDICT r8 missing #2's
     * "done" bar): a POINT delete (one row of twenty) commits a
     * deletion-vector sidecar of a few bytes — REQUIREd: v2 names exactly
@@ -3311,6 +3342,7 @@ object Scale {
     "sink_shallow_clone" -> sinkShallowClone,
     "sink_partition_evolution" -> sinkPartitionEvolution,
     "sink_sorted_compact" -> sinkSortedCompact,
+    "sink_orphan_report" -> sinkOrphanReport,
     "sink_timestamp_types" -> sinkTimestampTypes,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
@@ -3710,6 +3742,9 @@ object Scale {
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events WHERE user_id % 4 >= 1
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "sink_orphan_report" ->
+      """SELECT CAST(2 AS BIGINT) AS n_orphans, CAST(12 AS BIGINT) AS orphan_bytes""",
 
     "sink_sorted_compact" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -453,6 +453,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "wap_abort"       => new GraftWapProcedure(this, publish = false)
       case "clone"           => new GraftCloneProcedure(this)
       case "set_partition_spec" => new GraftSetPartitionSpecProcedure(this)
+      case "orphans"         => new GraftOrphansProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other " +
           "(have vacuum, restore, optimize, history, tag, drop_tag, tags, " +
@@ -668,6 +669,43 @@ private[sources] class GraftSetPartitionSpecProcedure(cat: GraftCatalog)
       checksOverride = Some(head.checks), partSpecSet = Some(spec))
     result(StructType.fromDDL("spec STRING, new_version INT"),
       org.apache.spark.unsafe.types.UTF8String.fromString(spec.getOrElse("")), nv)
+  }
+}
+
+/** `CALL cat.system.orphans(table)` — the VACUUM DRY-RUN / debris
+  * report: data files and deletion-vector sidecars referenced by NO
+  * existing version and no pending WAP stage — the residue of crashed
+  * tasks, lost commit races and aborted jobs, which ordinary vacuum
+  * only reclaims past its grace window. Read-only (nothing is
+  * deleted): O(versions) manifest reads + one directory listing, so an
+  * operator can audit a 100 TB table's storage leak before choosing a
+  * retention policy. In-flight `.tmp` files are NOT orphans (they are
+  * the task-commit protocol's working state). */
+private[sources] class GraftOrphansProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "orphans"
+  override def description(): String =
+    "report files no version or pending stage references (read-only)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val dir = cat.dirForName(table)
+    val vs = GraftManifest.versions(dir)
+    if (vs.isEmpty) throw new IllegalArgumentException(
+      s"graft orphans: no committed table at '$table'")
+    val keep = vs.flatMap(v => GraftManifest.readVersion(dir, Some(v)).toSeq
+        .flatMap(_.metas.flatMap(m => m.name +: m.dv.map(_._1).toSeq))).toSet ++
+      GraftManifest.wapIds(dir).flatMap(id =>
+        GraftManifest.readWap(dir, id)._1.metas.flatMap(m =>
+          m.name +: m.dv.map(_._1).toSeq)).toSet
+    val listing = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val orphans = listing.filter(f =>
+      (f.getName.endsWith(".csv") || f.getName.endsWith(".dv")) &&
+        !f.getName.startsWith("epoch-") && !keep.contains(f.getName))
+    result(StructType.fromDDL("n_orphans BIGINT, orphan_bytes BIGINT"),
+      orphans.length.toLong, orphans.map(_.length()).sum)
   }
 }
 
