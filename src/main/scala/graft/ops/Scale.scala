@@ -2844,7 +2844,7 @@ object Scale {
     graft.util.Scratch.once(dir) {
       bucketAgg(events(spark, sf)).coalesce(1)
         .write.format("graft-sink").option("path", dir).mode("overwrite").save()
-      val clean = spark.sql(s"CALL gsql.system.orphans('db.$tbl')").head()
+      val clean = spark.sql(s"CALL gsql.system.orphans('db.$tbl', 0)").head()
       require(clean.getLong(0) == 0L,
         s"a freshly committed table must report zero orphans, got $clean")
       val rows = spark.table(s"gsql.db.$tbl").count()
@@ -2856,7 +2856,10 @@ object Scale {
       require(spark.table(s"gsql.db.$tbl").count() == rows,
         "debris must be invisible to manifest-trusting reads")
     }
-    spark.sql(s"CALL gsql.system.orphans('db.$tbl')")
+    // grace 0: the fixture's planted debris is seconds old; production
+    // audits keep the default 10-minute window so in-flight task commits
+    // never read as debris
+    spark.sql(s"CALL gsql.system.orphans('db.$tbl', 0)")
   }
 
   /** The O(deleted rows) PROOF for merge-on-read (VERDICT r8 missing #2's

@@ -606,7 +606,7 @@ private[sources] class GraftCloneProcedure(cat: GraftCatalog)
           s"graft clone: v${m.version} at $srcDir carries no schema")),
         truncate = false, op = Some(s"CLONE $srcName v${m.version}"),
         idsOverride = m.ids, checksOverride = Some(m.checks),
-        partSpecSet = Some(m.partSpec))
+        partSpecSet = Some(m.partSpec), sortSpecSet = Some(m.sortSpec))
       result(StructType.fromDDL(
         "source_version INT, files_linked INT, new_version INT"),
         m.version, names.size, nv)
@@ -647,10 +647,10 @@ private[sources] class GraftSetPartitionSpecProcedure(cat: GraftCatalog)
       throw new IllegalArgumentException(
         s"graft set_partition_spec: no committed table at '$table'"))
     val spec = Option(input.getUTF8String(1)).map(_.toString.trim).filter(_.nonEmpty)
+    val ddl = head.schemaDdl.getOrElse(throw new IllegalStateException(
+      s"graft set_partition_spec: head at $dir carries no schema"))
     spec.foreach { sp =>
-      val schema = StructType.fromDDL(head.schemaDdl.getOrElse(
-        throw new IllegalStateException(
-          s"graft set_partition_spec: head at $dir carries no schema")))
+      val schema = StructType.fromDDL(ddl)
       val src = GraftBucket.parse(sp).map(_._2).getOrElse(sp)
       val i = scala.util.Try(schema.fieldIndex(src)).getOrElse(
         throw new IllegalArgumentException(
@@ -664,7 +664,7 @@ private[sources] class GraftSetPartitionSpecProcedure(cat: GraftCatalog)
       }
     }
     val nv = GraftManifest.commitMetas(dir, head.metas,
-      head.schemaDdl.get, truncate = true, expectedBase = Some(head.version),
+      ddl, truncate = true, expectedBase = Some(head.version),
       op = Some("SET PARTITION SPEC"), idsOverride = head.ids,
       checksOverride = Some(head.checks), partSpecSet = Some(spec))
     result(StructType.fromDDL("spec STRING, new_version INT"),
@@ -687,23 +687,35 @@ private[sources] class GraftOrphansProcedure(cat: GraftCatalog)
   override def description(): String =
     "report files no version or pending stage references (read-only)"
   override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("table", StringType).build())
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("grace_ms", LongType).defaultValue("600000").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val table = input.getUTF8String(0).toString
     val dir = cat.dirForName(table)
+    val grace = if (input.numFields > 1 && !input.isNullAt(1))
+      input.getLong(1) else 600000L
     val vs = GraftManifest.versions(dir)
     if (vs.isEmpty) throw new IllegalArgumentException(
       s"graft orphans: no committed table at '$table'")
-    val keep = vs.flatMap(v => GraftManifest.readVersion(dir, Some(v)).toSeq
-        .flatMap(_.metas.flatMap(m => m.name +: m.dv.map(_._1).toSeq))).toSet ++
+    // RAW per-version reads: each manifest names its own adds, so the
+    // union over versions is the full referenced set at ONE read per
+    // version — folding every #base chain here would be
+    // O(versions x chain length) for the same answer
+    val keep = vs.flatMap(v => GraftManifest.readRaw(dir, v)
+        .metas.flatMap(m => m.name +: m.dv.map(_._1).toSeq)).toSet ++
       GraftManifest.wapIds(dir).flatMap(id =>
         GraftManifest.readWap(dir, id)._1.metas.flatMap(m =>
           m.name +: m.dv.map(_._1).toSeq)).toSet
+    // the grace window keeps in-flight task commits out of the report —
+    // a file renamed .tmp -> .csv before its job's manifest lands is
+    // live-to-be, not debris (the same race vacuum's graceMs guards)
+    val cutoff = System.currentTimeMillis() - grace
     val listing = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
     val orphans = listing.filter(f =>
       (f.getName.endsWith(".csv") || f.getName.endsWith(".dv")) &&
-        !f.getName.startsWith("epoch-") && !keep.contains(f.getName))
+        !f.getName.startsWith("epoch-") && !keep.contains(f.getName) &&
+        f.lastModified() <= cutoff)
     result(StructType.fromDDL("n_orphans BIGINT, orphan_bytes BIGINT"),
       orphans.length.toLong, orphans.map(_.length()).sum)
   }

@@ -512,7 +512,7 @@ object GraftManifest {
   }
 
   /** The RAW on-disk manifest for one version (a delta stays a delta). */
-  private def readRaw(path: String, v: Int): GraftManifest = {
+  private[sources] def readRaw(path: String, v: Int): GraftManifest = {
     val f = Paths.get(path, s"$VPrefix$v")
     if (!Files.exists(f)) throw new IllegalStateException(
       s"graft-sink: manifest v$v missing at $path (a delta chain crossing a " +
@@ -1740,13 +1740,16 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         // pins the shuffle width (requiredNumPartitions) — the file-count
         // knob; 0 lets Spark/AQE choose.
         private val sortCol = Option(opts.get("sortBy")).filter(_.nonEmpty)
-          // default to the table's DECLARED sort layout (recorded by the
-          // last truncating sortBy write) — an append without options
-          // keeps the table range-clustered, same conformance rule as
-          // the declared partition spec
-          .orElse(GraftManifest.versions(path).lastOption.flatMap(v =>
-            GraftManifest.headerFacts(path, v).sortSpec)
-            .filter(info.schema().fieldNames.contains))
+          // APPENDS without options default to the table's DECLARED sort
+          // layout (recorded by the last truncating sortBy write) — the
+          // same conformance rule as the declared partition spec. A
+          // TRUNCATING write never inherits it: its own options define
+          // the new layout (a bare overwrite CLEARS the declaration, and
+          // a z-order OPTIMIZE must not be re-sorted by the old key).
+          .orElse(if (truncating) None
+            else GraftManifest.versions(path).lastOption.flatMap(v =>
+              GraftManifest.headerFacts(path, v).sortSpec)
+              .filter(info.schema().fieldNames.contains))
         private val writeParts =
           Option(opts.get("writePartitions")).map(_.toInt).getOrElse(0)
         require(writeParts >= 0, s"graft-sink: writePartitions must be >= 0")

@@ -695,6 +695,17 @@ class ScaleFixSpec extends AnyFunSuite {
       .where(col("k") < 500L)
     assert(probe.rdd.getNumPartitions * 2 <= head.metas.size,
       "range predicates must still prune after compaction")
+    // a shallow clone carries the declared sort (rides like partSpec)
+    spark.sql("CALL gso.system.clone('db.t', 'db.tclone')").collect()
+    assert(GraftManifest.readVersion(s"$root/db/tclone", None).get
+      .sortSpec.contains("k"), "clone must carry the declared sort layout")
+    // a bare overwrite DEFINES the new (unsorted) layout — it must clear
+    // the declaration, not silently re-inherit it
+    spark.range(0, 100).toDF("k").select(col("k"), (col("k") % 7).as("v"))
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    assert(GraftManifest.readVersion(dir, None).get.sortSpec.isEmpty,
+      "a truncating write without sortBy must clear the declared sort")
   }
 
   test("graft-sink bucket layout: string buckets prune, rename remaps the transform, no-catalog reads shuffle") {
