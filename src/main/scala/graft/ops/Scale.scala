@@ -2862,6 +2862,50 @@ object Scale {
     spark.sql(s"CALL gsql.system.orphans('db.$tbl', 0)")
   }
 
+  /** BRANCH → MUTATE → MERGE ([[graft.sources.GraftFastForwardProcedure]])
+    * — the arbitrary-rewrite staging workflow (WAP stages only
+    * appends): a zero-copy clone IS the writable branch; row-level DML
+    * runs on it in isolation (REQUIREd: the source never changes), and
+    * `CALL fast_forward` publishes the branch head back as ONE
+    * conditioned source commit — refused if the source moved since the
+    * branch certificate (strict, like WAP publish). Time travel keeps
+    * the pre-merge state readable. The key deletes a bucket on the
+    * branch, merges, and returns pre-merge ∪ post-merge phases, both
+    * oracled. */
+  def sinkBranchMerge(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val src = "bm_" + sfTag(sf)
+    val dev = "bmdev_" + sfTag(sf)
+    val srcDir = s"$root/db/$src"
+    graft.util.Scratch.once(srcDir) {
+      bucketAgg(events(spark, sf)).coalesce(1)
+        .write.format("graft-sink").option("path", srcDir).mode("overwrite").save()
+      spark.sql(s"CALL gsql.system.clone('db.$src', 'db.$dev')")
+      val srcRows = spark.table(s"gsql.db.$src").count()
+      spark.sql(s"DELETE FROM gsql.db.$dev WHERE bucket = 3")
+      require(spark.table(s"gsql.db.$src").count() == srcRows,
+        "branch DML must never reach the source")
+      val r = spark.sql(s"CALL gsql.system.fast_forward('db.$src', 'db.$dev')").head()
+      require(r.getInt(0) == 1 && r.getInt(2) == 2,
+        s"fast-forward must publish the branch head as source v2: $r")
+      val head = graft.sources.GraftManifest.readVersion(srcDir, None).get
+      require(head.op.exists(_.startsWith("FAST FORWARD")),
+        s"the merge must carry its audit label: ${head.op}")
+      require(spark.table(s"gsql.db.$src").count() ==
+        spark.table(s"gsql.db.$dev").count(),
+        "post-merge source must equal the branch")
+      require(spark.sql(s"SELECT * FROM gsql.db.$src VERSION AS OF 1")
+        .where(col("bucket") === 3).count() > 0,
+        "the pre-merge state must stay time-travelable")
+    }
+    val v1 = spark.sql(s"SELECT * FROM gsql.db.$src VERSION AS OF 1")
+    spark.table(s"gsql.db.$src").withColumn("phase", lit(2L))
+      .unionByName(v1.withColumn("phase", lit(1L)))
+      .select(col("phase"), col("event_type"), col("bucket"),
+        col("n"), col("sum_cents"))
+      .orderBy(col("phase"), col("event_type"), col("bucket"))
+  }
+
   /** The O(deleted rows) PROOF for merge-on-read (VERDICT r8 missing #2's
     * "done" bar): a POINT delete (one row of twenty) commits a
     * deletion-vector sidecar of a few bytes — REQUIREd: v2 names exactly
@@ -3346,6 +3390,7 @@ object Scale {
     "sink_partition_evolution" -> sinkPartitionEvolution,
     "sink_sorted_compact" -> sinkSortedCompact,
     "sink_orphan_report" -> sinkOrphanReport,
+    "sink_branch_merge" -> sinkBranchMerge,
     "sink_timestamp_types" -> sinkTimestampTypes,
     "sink_merge_version" -> sinkMergeVersion,
     "sink_delete_where" -> sinkDeleteWhere,
@@ -3748,6 +3793,17 @@ object Scale {
 
     "sink_orphan_report" ->
       """SELECT CAST(2 AS BIGINT) AS n_orphans, CAST(12 AS BIGINT) AS orphan_bytes""",
+
+    "sink_branch_merge" ->
+      """WITH b AS (
+        |  SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS phase, event_type, bucket, n, sum_cents FROM b
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, bucket, n, sum_cents FROM b
+        |WHERE bucket <> 3
+        |ORDER BY phase, event_type, bucket""".stripMargin,
 
     "sink_sorted_compact" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -454,6 +454,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "clone"           => new GraftCloneProcedure(this)
       case "set_partition_spec" => new GraftSetPartitionSpecProcedure(this)
       case "orphans"         => new GraftOrphansProcedure(this)
+      case "fast_forward"    => new GraftFastForwardProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other " +
           "(have vacuum, restore, optimize, history, tag, drop_tag, tags, " +
@@ -669,6 +670,81 @@ private[sources] class GraftSetPartitionSpecProcedure(cat: GraftCatalog)
       checksOverride = Some(head.checks), partSpecSet = Some(spec))
     result(StructType.fromDDL("spec STRING, new_version INT"),
       org.apache.spark.unsafe.types.UTF8String.fromString(spec.getOrElse("")), nv)
+  }
+}
+
+/** `CALL cat.system.fast_forward(source, branch)` — BRANCH MERGE for
+  * the clone-based branching workflow (branch → mutate → merge, the
+  * arbitrary-rewrite counterpart of write-audit-publish, which stages
+  * only appends): a clone IS a zero-copy writable branch, carrying a
+  * certificate of the source version it forked from in its v1 commit
+  * audit line (`#op=CLONE <src> v<N>`). fast_forward verifies the
+  * certificate names this source, requires the source head is STILL
+  * that version (a moved head throws — re-branch and replay, the same
+  * strictness as WAP publish; silently merging over interleaved
+  * commits would drop them), hard-links the branch's new files back
+  * into the source dir, and publishes the branch head as ONE
+  * conditioned source commit — schema evolution, field ids, CHECKs and
+  * the declared layouts ride along. Time travel on the source is
+  * preserved: the pre-merge state stays readable, the merge is just a
+  * version. */
+private[sources] class GraftFastForwardProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "publish a branch (clone) head back onto its unmoved source"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("source", StringType).build(),
+    ProcedureParameter.in("branch", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import java.nio.file.{Files, Paths}
+    val srcName = input.getUTF8String(0).toString
+    val brName = input.getUTF8String(1).toString
+    val srcDir = cat.dirForName(srcName)
+    val brDir = cat.dirForName(brName)
+    val cert = GraftManifest.versions(brDir).headOption
+      .map(v => GraftManifest.headerFacts(brDir, v).op.getOrElse(""))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft fast_forward: no committed branch at '$brName'"))
+    val m = ("""CLONE (\S+) v(\d+)""".r).findFirstMatchIn(cert).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft fast_forward: '$brName' carries no branch certificate " +
+          s"(v1 op is '$cert', want CLONE <source> v<N>)"))
+    require(m.group(1) == srcName,
+      s"graft fast_forward: '$brName' branched from '${m.group(1)}', not '$srcName'")
+    val base = m.group(2).toInt
+    val brHead = GraftManifest.readVersion(brDir, None).get
+    val srcHead = GraftManifest.readVersion(srcDir, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft fast_forward: no committed source at '$srcName'"))
+    require(srcHead.version == base,
+      s"graft fast_forward: '$srcName' moved since the branch " +
+        s"(v$base -> v${srcHead.version}) — re-branch from the new head and replay")
+    // link the branch's NEW files (and sidecars) into the source dir;
+    // names already present are the clone-shared originals
+    val have = srcHead.metas.flatMap(mm => mm.name +: mm.dv.map(_._1).toSeq).toSet
+    val linked = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      brHead.metas.flatMap(mm => mm.name +: mm.dv.map(_._1).toSeq)
+        .filterNot(have).foreach { n =>
+          Files.createLink(Paths.get(srcDir, n), Paths.get(brDir, n))
+          linked += n
+        }
+      val nv = GraftManifest.commitMetas(srcDir, brHead.metas,
+        brHead.schemaDdl.getOrElse(throw new IllegalStateException(
+          s"graft fast_forward: branch head at $brDir carries no schema")),
+        truncate = true, expectedBase = Some(base),
+        op = Some(s"FAST FORWARD $brName v${brHead.version}"),
+        idsOverride = brHead.ids, checksOverride = Some(brHead.checks),
+        partSpecSet = Some(brHead.partSpec), sortSpecSet = Some(brHead.sortSpec))
+      result(StructType.fromDDL(
+        "base_version INT, branch_version INT, new_version INT"),
+        base, brHead.version, nv)
+    } catch {
+      case e: Throwable =>
+        linked.foreach(n => Files.deleteIfExists(Paths.get(srcDir, n)))
+        throw e
+    }
   }
 }
 

@@ -708,6 +708,34 @@ class ScaleFixSpec extends AnyFunSuite {
       "a truncating write without sortBy must clear the declared sort")
   }
 
+  test("fast_forward refuses a moved source and a foreign branch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ff").toString
+    spark.conf.set("spark.sql.catalog.gff", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gff.root", root)
+    import spark.implicits._
+    def write(dir: String): Unit =
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    write(s"$root/db/a")
+    spark.sql("CALL gff.system.clone('db.a', 'db.adev')").collect()
+    // source moves after the branch: the merge must refuse, not
+    // silently drop the interleaved commit
+    Seq((3L, 30L)).toDF("id", "v").coalesce(1)
+      .write.format("graft-sink").option("path", s"$root/db/a").mode("append").save()
+    val e = intercept[Exception] {
+      spark.sql("CALL gff.system.fast_forward('db.a', 'db.adev')").collect()
+    }
+    assert(e.getMessage.contains("moved since the branch"),
+      s"want the divergence refusal, got: ${e.getMessage}")
+    // a table that is not a branch of 'a' is refused by the certificate
+    write(s"$root/db/b")
+    val e2 = intercept[Exception] {
+      spark.sql("CALL gff.system.fast_forward('db.a', 'db.b')").collect()
+    }
+    assert(e2.getMessage.contains("branch certificate"),
+      s"want the certificate refusal, got: ${e2.getMessage}")
+  }
+
   test("graft-sink bucket layout: string buckets prune, rename remaps the transform, no-catalog reads shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.sources.GraftManifest
