@@ -1051,7 +1051,11 @@ object Scale {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
-      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      // this key demonstrates the V1 protocol surface (legacy `_manifest`
+      // head copy + raw csv() read-back of the named parts) — pin the v1
+      // line codec (default is parquet since round 11)
+      .write.format("graft-sink").option("format", "csv")
+      .option("path", dir).mode("overwrite").save()
     // A malformed line fails loudly (the manifest is the integrity record —
     // a silently-skipped line would be a silently-dropped file), and an
     // empty committed set reads back as an empty frame instead of letting
@@ -1517,6 +1521,81 @@ object Scale {
       cp
     }
     out.orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** SPJ UNDER SKEW — partially-clustered distribution (VERDICT r10 next
+    * #3): plain SPJ plans ONE task per partition value, so a partition
+    * holding 90% of the rows becomes one unsplittable straggler with no
+    * AQE rescue (AQE is off in the SPJ scope — the grouping is an
+    * EnsureRequirements fact). The Iceberg answer, re-derived here on
+    * Spark's own `partiallyClusteredDistribution` machinery over this
+    * connector's per-file [[graft.sources.GraftSinkKeyedFileSplit]] keys:
+    * the skewed side's splits stay UNGROUPED (each of the hot partition's
+    * files is its own task) and the small side's matching partition is
+    * replicated to each — still ZERO shuffle exchanges, but the hot
+    * partition's work is spread over its files. Fixture: ~90% of events
+    * land in grp=0, written `distributionMode=none` after an orthogonal
+    * repartition so the hot value spans multiple files (exactly what a
+    * 100 TB hot partition looks like); the dim side is one file per
+    * value. REQUIREd: the hot partition carries >1 file, the join plans
+    * zero exchanges, and the joined RDD has MORE tasks than partition
+    * values — the straggler is split. The oracle recomputes the join
+    * from events. */
+  def joinSpjSkew(spark: SparkSession, sf: String): DataFrame = {
+    val dirA = tmpDir("spjskew_a", sf)
+    val dirB = tmpDir("spjskew_b", sf)
+    def grpOf: Column = when(pmod(col("user_id"), lit(10)) < 9, lit(0L))
+      .otherwise(lit(1L) + pmod(floor(col("user_id") / 10).cast("long"), lit(4L)))
+    graft.util.Scratch.once(dirA) {
+      events(spark, sf)
+        .select(grpOf.as("grp"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .repartition(4, col("event_id")) // orthogonal: hot grp in every task
+        .write.format("graft-sink").option("path", dirA)
+        .option("partitionBy", "grp").option("distributionMode", "none")
+        .mode("overwrite").save()
+    }
+    graft.util.Scratch.once(dirB) {
+      events(spark, sf)
+        .select(grpOf.as("grp"), col("user_id"))
+        .groupBy(col("grp"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .repartition(col("grp"))
+        .write.format("graft-sink").option("path", dirB)
+        .option("partitionBy", "grp").mode("overwrite").save()
+    }
+    val headA = graft.sources.GraftManifest.readVersion(dirA, None).get
+    val hotFiles = headA.metas.count(_.partition.exists(_._2 == "0"))
+    require(hotFiles > 1,
+      s"fixture: the hot partition must span multiple files, got $hotFiles")
+    val nVals = headA.metas.flatMap(_.partition.map(_._2)).distinct.size
+    val out = withConfs(spark,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val a = spark.read.format("graft-sink").option("path", dirA)
+        .option("spj", "true").load()
+      val b = spark.read.format("graft-sink").option("path", dirB)
+        .option("spj", "true").load()
+      val j = a.join(b, Seq("grp"))
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.size
+      require(exchanges == 0,
+        s"skewed SPJ must still plan ZERO exchanges, found $exchanges")
+      val cp = j.localCheckpoint()
+      val tasks = cp.rdd.getNumPartitions
+      require(tasks > nVals,
+        s"partially-clustered SPJ must split the hot partition across its " +
+          s"files (more tasks than the $nVals partition values), got $tasks")
+      cp
+    }
+    out.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        max(col("n_users")).as("n_users"))
+      .orderBy(col("grp"))
   }
 
   /** BUCKET-TRANSFORM STORAGE-PARTITIONED JOIN — identity SPJ
@@ -2949,6 +3028,191 @@ object Scale {
       .orderBy(col("phase"), col("event_type"), col("bucket"))
   }
 
+  /** MULTI-TABLE ATOMIC PUBLISH (VERDICT r10 next #5): a fact+dim pair
+    * must advance TOGETHER — a reader observing the new fact against the
+    * old dim mis-joins. `CALL gsql.system.txn_publish(tables, ids)`
+    * commits N staged WAP batches with per-table CAS claims that stay
+    * INVISIBLE (`#txnpending=` manifests) until ONE root marker file —
+    * the transaction's single atomic commit point — exists
+    * ([[graft.sources.GraftManifest.txnPublish]]). Phase 1 INJECTS a
+    * failure: an interfering append moves the dim's head after staging,
+    * so the dim claim throws and the already-claimed fact manifest rolls
+    * back — REQUIREd: NEITHER table's visible history moved and no
+    * pending claim file is left behind. Phase 2 re-stages and publishes
+    * cleanly — REQUIREd: both tables advanced exactly once, op-labeled
+    * TXN PUBLISH, marker durable. The oracle recomputes both tables'
+    * final content from events. */
+  def sqlTxnPublish(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val ft = "txf_" + sfTag(sf)
+    val dt = "txd_" + sfTag(sf)
+    val (fdir, ddir) = (s"$root/db/$ft", s"$root/db/$dt")
+    def factSlice(m: Int): DataFrame = events(spark, sf)
+      .where(col("user_id") % 2 === m)
+      .groupBy(col("event_type"), (col("user_id") % 4).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("slice", lit(m.toLong))
+    def dimSlice(m: Int): DataFrame = events(spark, sf)
+      .where(col("user_id") % 2 === m)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .withColumn("slice", lit(m.toLong))
+    graft.util.Scratch.once(fdir) {
+      val man = graft.sources.GraftManifest
+      factSlice(0).write.format("graft-sink").option("path", fdir).mode("overwrite").save()
+      dimSlice(0).write.format("graft-sink").option("path", ddir).mode("overwrite").save()
+      def stage(df: DataFrame, dir: String, id: String): Unit =
+        df.write.format("graft-sink").option("path", dir)
+          .option("wapStage", id).mode("append").save()
+      stage(factSlice(1), fdir, "fx1")
+      stage(dimSlice(1), ddir, "dx1")
+      // inject: the dim head moves past the stage's base
+      dimSlice(1).limit(0).write.format("graft-sink").option("path", ddir)
+        .mode("append").save()
+      val failed = scala.util.Try(spark.sql(
+        s"CALL gsql.system.txn_publish('db.$ft,db.$dt', 'fx1,dx1')").collect())
+      require(failed.isFailure, "a stale dim stage must fail the transaction")
+      require(man.versions(fdir) == Seq(1),
+        s"rolled-back txn must not move the fact, got ${man.versions(fdir)}")
+      require(man.versions(ddir) == Seq(1, 2),
+        s"only the injected append may move the dim, got ${man.versions(ddir)}")
+      require(!new java.io.File(fdir).listFiles()
+          .exists(_.getName.startsWith("_manifest-v2")),
+        "the fact's rolled-back pending claim must be deleted")
+      // re-stage the dim against the moved head; the fact stage is intact
+      spark.sql(s"CALL gsql.system.wap_abort('db.$dt', 'dx1')")
+      stage(dimSlice(1), ddir, "dx2")
+      val res = spark.sql(
+        s"CALL gsql.system.txn_publish('db.$ft,db.$dt', 'fx1,dx2')").collect()
+      require(res.length == 2 && res.map(_.getLong(2)).toSeq == Seq(2L, 3L),
+        s"both tables must advance exactly once, got ${res.mkString(",")}")
+      Seq(fdir -> 2, ddir -> 3).foreach { case (d, v) =>
+        val m = man.readVersion(d, Some(v)).get
+        require(m.op.contains("TXN PUBLISH"), s"missing op label at $d v$v: ${m.op}")
+      }
+      require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, "_txncommit-fx1-dx2")),
+        "the transaction marker must survive as the durable record")
+    }
+    val fact = spark.read.format("graft-sink").option("path", fdir).load()
+      .select(lit("fact").as("src"), col("event_type"), col("bucket"),
+        col("slice"), col("n"), col("cents"))
+    val dim = spark.read.format("graft-sink").option("path", ddir).load()
+      .select(lit("dim").as("src"), col("event_type"),
+        lit(null).cast("long").as("bucket"), col("slice"),
+        col("n_users").as("n"), lit(null).cast("long").as("cents"))
+    fact.unionByName(dim)
+      .orderBy(col("src"), col("event_type"), col("bucket"), col("slice"))
+  }
+
+  /** FREE TEXT IN THE VERSIONED LAKEHOUSE (VERDICT r10 next #1): the
+    * parquet data-file codec (graft.sources.GraftParquet — the round-11
+    * default) stores arbitrary text in the versioned connector, which the
+    * v1 CSV cell codec structurally could not (it refused embedded
+    * commas/newlines; a documents corpus IS commas). Fixture: the
+    * documents table rewritten as comma-riddled prose, committed in two
+    * versions (even doc_ids, then the odd append). REQUIREd from the
+    * manifest: `#format=parquet`, every data file `.parquet`, and the
+    * free-text column reports NO min/max stats (bounds past 64 chars are
+    * withheld — a prose envelope prunes nothing and a truncated bound
+    * would poison the exact stats consumers; doc_id keeps its envelope).
+    * Both versions stay readable: v1 time-travels to exactly the even
+    * half. The oracle recomputes both phases from documents with DuckDB's
+    * own md5 over the same transformed text — a content-hash roundtrip
+    * proof, not a row-count smoke. */
+  def sinkDocumentsVersioned(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttdocs", sf)
+    def body(src: DataFrame): DataFrame = src.select(col("doc_id"), col("lang"),
+      regexp_replace(col("text"), " ", ", ").as("body"))
+    graft.util.Scratch.once(dir) {
+      val docs = body(documents(spark, sf))
+      docs.where(col("doc_id") % 2 === 0)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      docs.where(col("doc_id") % 2 === 1)
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    require(head.format.contains("parquet"),
+      s"documents table must record #format=parquet, got ${head.format}")
+    require(head.metas.nonEmpty && head.metas.forall(_.name.endsWith(".parquet")),
+      s"data files must be parquet parts: ${head.metas.map(_.name)}")
+    val bodyIdx = 2 // (doc_id, lang, body)
+    require(head.metas.forall(m => !m.stats.contains(bodyIdx)),
+      "free-text bounds past 64 chars must be withheld from #stats")
+    require(head.metas.forall(m => m.stats.contains(0)),
+      "doc_id must keep its exact min/max envelope")
+    val v1 = spark.read.format("graft-sink")
+      .option("path", dir).option("versionAsOf", "1").load()
+    require(v1.where(col("doc_id") % 2 === 1).isEmpty,
+      "version 1 must hold only the even-doc_id half")
+    val headRead = spark.read.format("graft-sink").option("path", dir).load()
+    v1.withColumn("version", lit(1L)).unionByName(
+        headRead.withColumn("version", lit(2L)))
+      .select(col("version"), col("doc_id"), col("lang"),
+        md5(col("body")).as("h"), length(col("body")).cast("long").as("n"))
+      .orderBy(col("version"), col("doc_id"))
+  }
+
+  /** EMBEDDINGS AS A VERSIONED TABLE COLUMN (VERDICT r10 next #2): the
+    * connector's widened type surface — `array<float>` cells in parquet
+    * parts — lets the LLM-pipeline's vectors live in the SAME versioned,
+    * time-traveling, DV-bearing tables as everything else instead of
+    * parquet scratch. The fixture embeddings land range-clustered on
+    * vec_id (sortBy → disjoint per-file envelopes), one vector is deleted
+    * MERGE-ON-READ (REQUIREd: no data file rewritten, exactly one
+    * position vectored — the array bytes are never copied to delete a
+    * row), a point probe on vec_id REQUIREs the disjoint envelopes prune
+    * the file plan, and version 1 still serves the deleted vector (time
+    * travel over array data). The oracle replays the surviving vectors
+    * ELEMENT BY ELEMENT (DuckDB fixed-dim unnest) — a bit-exact roundtrip
+    * proof of every float through write, commit, DV and projected read. */
+  def sinkVectorColumn(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "vecs_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      graft.util.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .repartition(8) // adversarial input layout; the write re-ranges it
+        .write.format("graft-sink").option("path", dir)
+        .option("sortBy", "vec_id").option("writePartitions", "4")
+        .option("distributionStrict", "true")
+        .mode("overwrite").save()
+      spark.sql(s"DELETE FROM gsql.db.$tbl WHERE vec_id = 123")
+    }
+    val v1m = graft.sources.GraftManifest.readVersion(dir, Some(1)).get
+    val v2m = graft.sources.GraftManifest.readVersion(dir, Some(2)).get
+    require(v1m.format.contains("parquet") &&
+      v1m.metas.forall(_.name.endsWith(".parquet")),
+      "embeddings must land as parquet parts")
+    require(v2m.metas.map(_.name) == v1m.metas.map(_.name),
+      "DV delete of one vector must not rewrite any data file")
+    require(v2m.metas.flatMap(_.dv).map(_._2).sum == 1L,
+      "exactly one position must be vectored")
+    // the array column is NON-STATABLE: no min/max envelope (nothing to
+    // range-prune prose or vectors by), while vec_id keeps disjoint ones
+    require(v1m.metas.forall(m => !m.stats.contains(1) && m.stats.contains(0)),
+      "array column must carry no stats; vec_id must keep its envelope")
+    val probe = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("vec_id") === 7)
+    require(graftScanParts(probe) == 1,
+      s"disjoint vec_id envelopes must prune the point probe to 1 file")
+    val v1 = spark.read.format("graft-sink")
+      .option("path", dir).option("versionAsOf", "1").load()
+    require(v1.where(col("vec_id") === 123).count() == 1L,
+      "version 1 must still serve the deleted vector")
+    val headRead = spark.read.format("graft-sink").option("path", dir).load()
+    require(headRead.where(org.apache.spark.sql.functions.size(col("embedding"))
+        =!= 64).isEmpty, "fixture vectors are 64-dim")
+    headRead
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos").cast("long").as("pos"),
+        col("x").cast("double").as("val"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
   /** METADATA-ONLY SQL DELETE (VERDICT r8 next #1's fast path): the
     * predicate aligns with the partition layout, so every file is
     * decidable from the manifest alone — provably all-match (the exact
@@ -3239,8 +3503,14 @@ object Scale {
         big.where(col("event_id") % 500 === k).coalesce(1)
           .write.format("graft-sink").option("path", dir).mode("append").save()
       }
+      // size threshold relative to the ACTUAL big file (codec-agnostic:
+      // parquet+zstd compresses the whole-table file under any absolute
+      // byte constant that still exceeds the four slivers): `< bigBytes`
+      // keeps the big file and folds everything smaller
+      val bigBytes = java.nio.file.Files.size(java.nio.file.Paths.get(dir,
+        graft.sources.GraftManifest.readVersion(dir, Some(1)).get.metas.head.name))
       val res = spark.sql(
-        s"CALL gsql.system.optimize('db.$tbl', 1, '', ${8 * 1024})").collect().head
+        s"CALL gsql.system.optimize('db.$tbl', 1, '', $bigBytes)").collect().head
       require(res.getInt(0) == 5 && res.getInt(1) == 2,
         s"binpack must fold 4 small files into 1 and keep the big one, got $res")
     }
@@ -3322,6 +3592,9 @@ object Scale {
     "sql_dml_update" -> sqlDmlUpdate,
     "sql_merge_into" -> sqlMergeInto,
     "sink_dv_point_delete" -> sinkDvPointDelete,
+    "sink_documents_versioned" -> sinkDocumentsVersioned,
+    "sink_vector_column" -> sinkVectorColumn,
+    "sql_txn_publish" -> sqlTxnPublish,
     "sink_delete_metadata_only" -> sinkDeleteMetadataOnly,
     "sink_null_stats_skip" -> sinkNullStatsSkip,
     "sink_zorder_optimize" -> sinkZorderOptimize,
@@ -3369,6 +3642,7 @@ object Scale {
     "sink_partitioned_write" -> sinkPartitionedWrite,
     "join_spj_graft" -> joinSpjGraft,
     "join_spj_bucket" -> joinSpjBucket,
+    "join_spj_skew" -> joinSpjSkew,
     "join_dpp_graft" -> joinDppGraft,
     "join_dpp_bloom" -> joinDppBloom,
     "sink_ddl_partitioned" -> sinkDdlPartitioned,
@@ -3402,6 +3676,40 @@ object Scale {
   def oracle: Map[String, String] = Map(
     "meta_table_tags" ->
       "SELECT 'baseline' AS tag, CAST(1 AS BIGINT) AS version",
+
+    "sink_documents_versioned" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, replace(text, ' ', ', ') AS body FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS version, doc_id, lang,
+        |  md5(body) AS h, CAST(length(body) AS BIGINT) AS n
+        |FROM d WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS version, doc_id, lang,
+        |  md5(body) AS h, CAST(length(body) AS BIGINT) AS n
+        |FROM d
+        |ORDER BY version, doc_id""".stripMargin,
+
+    "sql_txn_publish" ->
+      """WITH f AS (
+        |  SELECT 'fact' AS src, event_type, CAST(user_id % 4 AS BIGINT) AS bucket,
+        |    CAST(user_id % 2 AS BIGINT) AS slice, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY event_type, user_id % 4, user_id % 2),
+        |d AS (
+        |  SELECT 'dim' AS src, event_type, CAST(NULL AS BIGINT) AS bucket,
+        |    CAST(user_id % 2 AS BIGINT) AS slice,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+        |    CAST(NULL AS BIGINT) AS cents
+        |  FROM events GROUP BY event_type, user_id % 2)
+        |SELECT * FROM f UNION ALL SELECT * FROM d
+        |ORDER BY src, event_type, bucket, slice""".stripMargin,
+
+    "sink_vector_column" ->
+      """SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+        |  CAST(g.i - 1 AS BIGINT) AS pos, CAST(e.embedding[g.i] AS DOUBLE) AS val
+        |FROM embeddings AS e CROSS JOIN generate_series(1, 64) AS g(i)
+        |WHERE e.vec_id <> 123
+        |ORDER BY e.vec_id, pos""".stripMargin,
 
     "sink_tag_travel" ->
       """WITH s AS (
@@ -3667,6 +3975,19 @@ object Scale {
         |SELECT a.user_id, a.n_events, a.cents, b.max_cents
         |FROM a JOIN b USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "join_spj_skew" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN user_id % 10 < 9 THEN 0
+        |    ELSE 1 + (CAST(floor(user_id / 10) AS BIGINT) % 4) END AS grp,
+        |    user_id, CAST(floor(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT grp, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM g GROUP BY 1)
+        |SELECT g.grp, count(*) AS n, CAST(sum(g.cents) AS BIGINT) AS sum_cents,
+        |  max(b.n_users) AS n_users
+        |FROM g JOIN b USING (grp)
+        |GROUP BY g.grp ORDER BY g.grp""".stripMargin,
 
     "join_dpp_graft" ->
       """SELECT n.n_name AS nation, count(*) AS n_cust,

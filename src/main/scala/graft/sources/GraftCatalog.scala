@@ -330,7 +330,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-dropcol").toString
     try {
+      // the rewrite lands in the TABLE's data-file format (the tmp dir has
+      // no manifest to inherit from, so pass the head's fact explicitly)
       val w = snapshot.write.format("graft-sink").option("path", tmp)
+        .option("format", head.format.getOrElse(GraftFormat.Default))
       keepLayout.fold(w)(pc => w.option("partitionBy", pc))
         .mode("overwrite").save()
       val moved = GraftManifest.readVersion(tmp, None).get.metas.map { m =>
@@ -425,11 +428,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   private[sources] def dirForName(table: String): String =
     (root +: table.split('.').toSeq.map(segment)).mkString("/")
 
+  /** Catalog root dir — where multi-table transaction markers live. */
+  private[sources] def rootDir: String = root
+
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("vacuum", "restore", "optimize", "history", "tag", "drop_tag", "tags",
         "add_constraint", "drop_constraint", "constraints", "files", "partitions",
-        "wap_publish", "wap_abort")
+        "wap_publish", "wap_abort", "txn_publish")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -451,6 +457,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "partitions"      => new GraftPartitionsProcedure(this)
       case "wap_publish"     => new GraftWapProcedure(this, publish = true)
       case "wap_abort"       => new GraftWapProcedure(this, publish = false)
+      case "txn_publish"     => new GraftTxnPublishProcedure(this)
       case "clone"           => new GraftCloneProcedure(this)
       case "set_partition_spec" => new GraftSetPartitionSpecProcedure(this)
       case "orphans"         => new GraftOrphansProcedure(this)
@@ -777,8 +784,11 @@ private[sources] class GraftOrphansProcedure(cat: GraftCatalog)
     // union over versions is the full referenced set at ONE read per
     // version — folding every #base chain here would be
     // O(versions x chain length) for the same answer
-    val keep = vs.flatMap(v => GraftManifest.readRaw(dir, v)
-        .metas.flatMap(m => m.name +: m.dv.map(_._1).toSeq)).toSet ++
+    val keep = vs.flatMap { v =>
+        val m0 = GraftManifest.readRaw(dir, v)
+        m0.metas.flatMap(m => m.name +: m.dv.map(_._1).toSeq) ++
+          m0.eqDels.map(_.sidecar)
+      }.toSet ++
       GraftManifest.wapIds(dir).flatMap(id =>
         GraftManifest.readWap(dir, id)._1.metas.flatMap(m =>
           m.name +: m.dv.map(_._1).toSeq)).toSet
@@ -789,7 +799,8 @@ private[sources] class GraftOrphansProcedure(cat: GraftCatalog)
     val listing = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
     val orphans = listing.filter(f =>
-      (f.getName.endsWith(".csv") || f.getName.endsWith(".dv")) &&
+      (GraftFormat.isDataFile(f.getName) || f.getName.endsWith(".dv") ||
+        f.getName.endsWith(".eqdel")) &&
         !f.getName.startsWith("epoch-") && !keep.contains(f.getName) &&
         f.lastModified() <= cutoff)
     result(StructType.fromDDL("n_orphans BIGINT, orphan_bytes BIGINT"),
@@ -930,8 +941,37 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     import org.apache.spark.sql.functions.col
     val outSchema =
       StructType.fromDDL("files_before INT, files_after INT, new_version INT")
-    val (small, big) = head.metas.partition { m =>
+    val (small0, big0) = head.metas.partition { m =>
       java.nio.file.Files.size(java.nio.file.Paths.get(dir, m.name)) < maxBytes }
+    // Under a DECLARED sort layout the rewrite range-reclusters only its
+    // victims, so a retained file whose sort-key envelope OVERLAPS the
+    // victims' range would silently break the `#sortspec`
+    // disjoint-envelope invariant (pruning quality, not correctness —
+    // ADVICE r10): absorb every overlapping retained file into the
+    // victim set, to a fixpoint (absorbing one extends the envelope).
+    val (small, big) = head.sortSpec
+      .flatMap(sc => head.schemaDdl.map(StructType.fromDDL)
+        .flatMap(l => scala.util.Try(l.fieldIndex(sc)).toOption
+          .map(i => (i, l.fields(i).dataType)))) match {
+      case Some((i, dt)) if small0.nonEmpty &&
+          head.metas.forall(_.stats.contains(i)) =>
+        def lt(a: String, b: String): Boolean =
+          GraftSinkScan.cmpStats(dt, a, b) < 0
+        var sm = small0
+        var bg = big0
+        var changed = true
+        while (changed && bg.nonEmpty) {
+          val mn = sm.map(_.stats(i)._1).reduce((a, b) => if (lt(a, b)) a else b)
+          val mx = sm.map(_.stats(i)._2).reduce((a, b) => if (lt(a, b)) b else a)
+          val (in, out) = bg.partition(m =>
+            !lt(m.stats(i)._2, mn) && !lt(mx, m.stats(i)._1))
+          changed = in.nonEmpty
+          sm = sm ++ in
+          bg = out
+        }
+        (sm, bg)
+      case _ => (small0, big0)
+    }
     if (small.size <= 1) // nothing to fold — no commit, head unchanged
       return result(outSchema, head.metas.size, head.metas.size, head.version)
     val pcols = small.flatMap(_.partition.map(_._1)).distinct
@@ -965,7 +1005,8 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
           case _ => victims.repartition(target).write
         }
       }
-      carryIndexes(head, writer.format("graft-sink").option("path", tmp))
+      carryIndexes(head, writer.format("graft-sink").option("path", tmp)
+          .option("format", head.format.getOrElse(GraftFormat.Default)))
         .mode("overwrite").save()
       // move the finished files in under collision-free names; they stay
       // invisible until the manifest below publishes them
@@ -1420,6 +1461,52 @@ private[sources] object GraftBucketOfString extends GraftBucketBound {
     Array(IntegerType, StringType)
   override def produceResult(input: InternalRow): Integer =
     Math.floorMod(input.getUTF8String(1).toString.hashCode, input.getInt(0))
+}
+
+/** `CALL cat.system.txn_publish(tables, ids)` — commit N staged WAP
+  * batches (comma-separated, positionally aligned) across N tables
+  * ATOMICALLY: every table advances or none does. Mechanics in
+  * [[GraftManifest.txnPublish]]: per-table version slots are claimed as
+  * INVISIBLE pending manifests; creating the single root-level marker
+  * file is the one atomic commit point; any failed claim rolls the
+  * never-visible pending claims back. The fact+dim consistent publish a
+  * warehouse refresh needs — no reader can observe the fact advanced
+  * without its dim. */
+private[sources] class GraftTxnPublishProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "txn_publish"
+  override def description(): String =
+    "atomically publish staged WAP batches across multiple tables (all or none)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("tables", StringType).build(),
+    ProcedureParameter.in("ids", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val tables = input.getUTF8String(0).toString.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val ids = input.getUTF8String(1).toString.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    require(tables.size == ids.size && tables.nonEmpty,
+      s"txn_publish: tables (${tables.size}) and ids (${ids.size}) must align")
+    // deterministic marker name = the durable record of WHICH stages
+    // committed together; a reused id set collides loudly rather than
+    // double-publishing
+    val marker = java.nio.file.Paths.get(cat.rootDir,
+      "_txncommit-" + ids.mkString("-"))
+    val versions = GraftManifest.txnPublish(
+      tables.zip(ids).map { case (t, id) => (cat.dirForName(t), id) }, marker)
+    val outSchema = StructType.fromDDL("table_name STRING, id STRING, new_version BIGINT")
+    // binder name distinct from the LocalScan member (the
+    // GraftTagsProcedure lesson: `rows` would shadow into a self-call)
+    val outRows = tables.zip(ids).zip(versions).map { case ((t, id), v) =>
+      InternalRow.fromSeq(Seq[Any](
+        UTF8String.fromString(t), UTF8String.fromString(id), v.toLong))
+    }.toArray
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = outRows
+      override def readSchema(): StructType = outSchema
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
 }
 
 /** `CALL cat.system.wap_publish(table, id)` / `wap_abort(table, id)` —

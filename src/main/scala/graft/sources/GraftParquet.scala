@@ -1,0 +1,297 @@
+package graft.sources
+
+import java.nio.file.{Path => NioPath}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter, ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.{LocalInputFile, LocalOutputFile}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PARQUET data files for the graft connector (VERDICT r10 next #1/#2).
+  *
+  * The commit protocol, manifest grammar, stats/DV/bloom/NDV machinery and
+  * every read-side planning fact are FORMAT-AGNOSTIC by design — only the
+  * per-file cell codec changes. This object is that codec: real parquet
+  * (parquet-mr, the same library Spark's own scan stack uses, from
+  * /opt/spark/jars) written through `LocalOutputFile` (pure java.nio — no
+  * Hadoop FileSystem, so no stray .crc sidecars next to the task-rename
+  * protocol's tmp files) and read back with per-file COLUMN PROJECTION, so
+  * a 2-column read of a 40-column table touches 2 column chunks — the
+  * columnar+compressed IO story the CSV cell files could never tell at
+  * 100 TB. Zstd compression (zstd-jni rides in the Spark jars).
+  *
+  * Physical ROW ORDER is the contract both formats share: parquet-mr
+  * materializes records in file order, so the 0-based physical position —
+  * the deletion-vector / `_pos` row identity — is the same counter the
+  * line reader keeps, and the manifest's physical row count stays the
+  * integrity check (checked against the footer's record count before any
+  * row is served).
+  *
+  * Type mapping (the connector's widened type surface — the CSV cell
+  * codec keeps its original scalars; arrays are parquet-only, there is no
+  * unambiguous comma-delimited rendering of a nested value):
+  *   long→INT64, double→DOUBLE, int→INT32, float→FLOAT, boolean→BOOLEAN,
+  *   string→BINARY(UTF8), timestamp→INT64(TIMESTAMP_MICROS,UTC),
+  *   date→INT32(DATE), decimal(p<=18,s)→INT64(DECIMAL(p,s)),
+  *   array<scalar>→standard 3-level LIST.
+  * Annotations are the standard parquet logical types, so the data files
+  * are readable by ANY parquet reader (DuckDB included) — the manifest
+  * adds the transactional layer, it does not bespoke the bytes. */
+object GraftParquet {
+
+  /** Scalar element types admitted inside `array<...>` columns. */
+  def arrayElemOk(et: DataType): Boolean = et match {
+    case FloatType | DoubleType | LongType | IntegerType | StringType => true
+    case _ => false
+  }
+
+  /** True when the connector can encode `dt` in a parquet data file. */
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | DoubleType | StringType | TimestampType | DateType |
+         IntegerType | FloatType | BooleanType => true
+    case d: DecimalType => d.precision <= 18
+    case ArrayType(et, _) => arrayElemOk(et)
+    case _ => false
+  }
+
+  private def scalarType(dt: DataType, name: String, rep: Type.Repetition): Type = {
+    def prim(p: PrimitiveTypeName) = Types.primitive(p, rep)
+    dt match {
+      case LongType    => prim(PrimitiveTypeName.INT64).named(name)
+      case DoubleType  => prim(PrimitiveTypeName.DOUBLE).named(name)
+      case IntegerType => prim(PrimitiveTypeName.INT32).named(name)
+      case FloatType   => prim(PrimitiveTypeName.FLOAT).named(name)
+      case BooleanType => prim(PrimitiveTypeName.BOOLEAN).named(name)
+      case StringType => prim(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case TimestampType => prim(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
+        .named(name)
+      case DateType => prim(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+      case d: DecimalType if d.precision <= 18 => prim(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
+      case other => throw new IllegalArgumentException(
+        s"graft-sink parquet cannot encode $other for '$name'")
+    }
+  }
+
+  /** Parquet schema for a (projection of the) table layout. Field names
+    * ARE the manifest schema's column names — projection on read resolves
+    * by name, which is what makes trailing-column evolution free (a
+    * pre-evolution file simply lacks the field; the reader never asks a
+    * file for a column beyond its written width). */
+  def messageType(schema: StructType): MessageType = {
+    val fields: Seq[Type] = schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case ArrayType(et, _) if arrayElemOk(et) =>
+          Types.optionalList()
+            .element(scalarType(et, "element", Type.Repetition.OPTIONAL))
+            .named(f.name)
+        case dt => scalarType(dt, f.name, Type.Repetition.OPTIONAL)
+      }
+    }
+    new MessageType("graft", fields: _*)
+  }
+
+  /** Open a parquet writer on a task's `.tmp` file. Zstd: the ratio knob
+    * that turns the 100 TB scan bill into the columnar one. */
+  def writer(tmp: NioPath, schema: StructType): ParquetWriter[Group] =
+    ExampleParquetWriter.builder(new LocalOutputFile(tmp))
+      .withType(messageType(schema))
+      .withCompressionCodec(CompressionCodecName.ZSTD)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+
+  /** Encode one InternalRow as a Group (schema = the writer's layout).
+    * Null cells are simply absent (optional fields, repetition 0). */
+  def toGroup(factory: SimpleGroupFactory, schema: StructType,
+      row: InternalRow): Group = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType | TimestampType => g.add(i, row.getLong(i))
+        case DateType | IntegerType   => g.add(i, row.getInt(i))
+        case DoubleType               => g.add(i, row.getDouble(i))
+        case FloatType                => g.add(i, row.getFloat(i))
+        case BooleanType              => g.add(i, row.getBoolean(i))
+        case StringType =>
+          g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case d: DecimalType =>
+          g.add(i, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+        case ArrayType(et, _) =>
+          val lg = g.addGroup(i)
+          val arr = row.getArray(i)
+          var k = 0
+          while (k < arr.numElements()) {
+            val e = lg.addGroup("list")
+            if (!arr.isNullAt(k)) et match {
+              case FloatType   => e.add("element", arr.getFloat(k))
+              case DoubleType  => e.add("element", arr.getDouble(k))
+              case LongType    => e.add("element", arr.getLong(k))
+              case IntegerType => e.add("element", arr.getInt(k))
+              case StringType => e.add("element",
+                Binary.fromConstantByteArray(arr.getUTF8String(k).getBytes))
+              case other => throw new IllegalArgumentException(
+                s"graft-sink parquet: unsupported array element $other")
+            }
+            k += 1
+          }
+        case other => throw new IllegalArgumentException(
+          s"graft-sink parquet cannot encode $other")
+      }
+      i += 1
+    }
+    g
+  }
+
+  // one parsed Hadoop conf per JVM; per-open copies are cheap (props map)
+  private lazy val baseConf = new Configuration()
+
+  /** Open a projected reader: only `projection`'s column chunks are
+    * decoded (GroupReadSupport honors PARQUET_READ_SCHEMA) — the read
+    * side of column pruning reaching the data file. */
+  def reader(file: String, projection: MessageType): ParquetReader[Group] = {
+    val conf = new Configuration(baseConf)
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    ParquetReader.builder(new GroupReadSupport(), new HadoopPath(file))
+      .withConf(conf).build()
+  }
+
+  /** Footer-only physical row count — what a zero-column scan (count(*)
+    * after DV discount) needs instead of materializing any row. */
+  def rowCount(file: NioPath): Long = {
+    val r = ParquetFileReader.open(new LocalInputFile(file))
+    try r.getRecordCount finally r.close()
+  }
+
+  /** The file's own footer schema. Needed because COLUMN IDENTITY in this
+    * connector is POSITIONAL (cells align with a prefix of the layout;
+    * `#ids` column mapping lets a RENAME change the layout's NAME for a
+    * position without rewriting files) — so a projection must request the
+    * file's OWN name at each wanted position, never the current layout
+    * name (a renamed column would otherwise fail `checkGroupContains` at
+    * every pre-rename file). One extra footer read per (file, task); the
+    * footer is the same object the row reader is about to read anyway,
+    * sitting warm in the page cache. */
+  def fileSchema(file: String): MessageType = {
+    val r = ParquetFileReader.open(
+      new LocalInputFile(java.nio.file.Paths.get(file)))
+    try r.getFileMetaData.getSchema finally r.close()
+  }
+
+  /** Positional projection: the file-schema fields at `positions`. */
+  def projectPositions(fileMt: MessageType, positions: Seq[Int]): MessageType =
+    new MessageType("graft", positions.map(fileMt.getFields.get(_)): _*)
+
+  /** Decode a projected Group field to the InternalRow value of `dt`
+    * (`j` = index in the PROJECTION). Absent optional field = null. */
+  def value(g: Group, j: Int, dt: DataType): Any = {
+    if (g.getFieldRepetitionCount(j) == 0) return null
+    dt match {
+      case LongType | TimestampType => g.getLong(j, 0)
+      case DateType | IntegerType   => g.getInteger(j, 0)
+      case DoubleType               => g.getDouble(j, 0)
+      case FloatType                => g.getFloat(j, 0)
+      case BooleanType              => g.getBoolean(j, 0)
+      case StringType => UTF8String.fromBytes(g.getBinary(j, 0).getBytes)
+      case d: DecimalType =>
+        Decimal.createUnsafe(g.getLong(j, 0), d.precision, d.scale)
+      case ArrayType(et, _) =>
+        val lg = g.getGroup(j, 0)
+        val n = lg.getFieldRepetitionCount(0)
+        val arr = new Array[Any](n)
+        var k = 0
+        while (k < n) {
+          val e = lg.getGroup(0, k)
+          arr(k) =
+            if (e.getFieldRepetitionCount(0) == 0) null
+            else et match {
+              case FloatType   => e.getFloat(0, 0)
+              case DoubleType  => e.getDouble(0, 0)
+              case LongType    => e.getLong(0, 0)
+              case IntegerType => e.getInteger(0, 0)
+              case StringType  => UTF8String.fromBytes(e.getBinary(0, 0).getBytes)
+              case other => throw new IllegalArgumentException(
+                s"graft-sink parquet: unsupported array element $other")
+            }
+          k += 1
+        }
+        new GenericArrayData(arr)
+      case other => throw new IllegalArgumentException(
+        s"graft-sink parquet cannot decode $other")
+    }
+  }
+
+  /** Canonical CELL string of a projected Group field — byte-identical to
+    * what the writer's cell encoder produces for the same value, so the
+    * row-level predicate evaluator ([[GraftSinkScan.rowMatches]], the
+    * replaceWhere straddler path) sees one canonical form regardless of
+    * the file format. Arrays yield the null sentinel: `evaluable()`
+    * refuses predicates over non-statable columns, so the value is never
+    * consulted. */
+  def cell(g: Group, j: Int, dt: DataType): String = {
+    if (g.getFieldRepetitionCount(j) == 0) return GraftSinkWriter.NullCell
+    dt match {
+      case LongType | TimestampType => g.getLong(j, 0).toString
+      case DateType | IntegerType   => g.getInteger(j, 0).toString
+      case DoubleType               => g.getDouble(j, 0).toString
+      case FloatType                => g.getFloat(j, 0).toString
+      case BooleanType              => g.getBoolean(j, 0).toString
+      case StringType               => g.getBinary(j, 0).toStringUsingUTF8
+      case d: DecimalType =>
+        java.math.BigDecimal.valueOf(g.getLong(j, 0), d.scale).toPlainString
+      case _: ArrayType             => GraftSinkWriter.NullCell
+      case other => throw new IllegalArgumentException(
+        s"graft-sink parquet cannot decode $other")
+    }
+  }
+}
+
+/** Table data-file format registry: the `format` write option / `#format`
+  * manifest header. Reads never consult it — the reader branches on each
+  * file's own suffix, so a table whose format changed mid-history (or a
+  * compaction that migrated it) stays readable file by file. */
+object GraftFormat {
+  val Csv = "csv"
+  val Parquet = "parquet"
+  /** Parquet is the default: columnar, compressed, comma-safe — the only
+    * defensible data-file format at the engine's declared 100 TB scale.
+    * `format=csv` keeps the v1 line codec available (its value is the
+    * human-auditable commit-protocol fixture, not production IO). */
+  val Default: String = Parquet
+
+  def suffix(fmt: String): String = fmt match {
+    case Csv     => ".csv"
+    case Parquet => ".parquet"
+    case other => throw new IllegalArgumentException(
+      s"graft-sink: unknown format '$other' (csv|parquet)")
+  }
+
+  def isDataFile(name: String): Boolean =
+    name.endsWith(".csv") || name.endsWith(".parquet")
+
+  /** Writer-side resolution: explicit option > the table's committed
+    * `#format` header > the default. */
+  def resolve(opt: Option[String], path: String): String = {
+    val fmt = opt
+      .orElse(GraftManifest.versions(path).lastOption
+        .flatMap(v => GraftManifest.headerFacts(path, v).format))
+      .getOrElse(Default)
+    suffix(fmt) // validates
+    fmt
+  }
+}

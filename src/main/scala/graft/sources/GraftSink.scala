@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
-import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -152,10 +152,26 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
     nulls: Option[Map[Int, Long]] = None, dv: Option[(String, Long)] = None,
     sums: Option[Map[Int, Long]] = None,
     blooms: Map[Int, String] = Map.empty,
-    ndvs: Map[Int, String] = Map.empty) {
-  /** Rows a scan of this file emits (physical minus deleted). */
+    ndvs: Map[Int, String] = Map.empty,
+    seq: Int = 0) {
+  /** Rows a scan of this file emits (physical minus deleted positions;
+    * EQUALITY deletes are unresolved-at-commit and not discounted here —
+    * see [[GraftEqDel]]). */
   def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
 }
+
+/** One EQUALITY-DELETE sidecar (the Iceberg equality-delete design,
+  * re-derived on this manifest): "every row whose `col` value appears in
+  * `sidecar` is deleted from all files OLDER than commit `v`" — recorded
+  * WITHOUT reading the target, which is what makes a streaming CDC
+  * upsert O(changed keys): each epoch appends its new rows and one
+  * sidecar of its keys, and resolution is deferred to scan time (older
+  * files filter those keys out) and to OPTIMIZE (which reads through the
+  * filter and rewrites, dropping the entries). Applicability is by FILE
+  * SEQUENCE (`#seq`, the version that added the file): the upsert's own
+  * inserts carry seq = v, so they survive their own delete; a later
+  * epoch's sidecar overrides earlier epochs' rows for the same key. */
+case class GraftEqDel(v: Int, col: String, sidecar: String, n: Long)
 
 /** BUCKET partition transform — `partitionBy=bucket(N,col)` hashes a
   * high-cardinality key into N stable buckets, the layout that makes
@@ -201,7 +217,8 @@ case class GraftManifest(version: Int, metas: Seq[GraftFileMeta],
     base: Option[Int] = None, op: Option[String] = None,
     txns: Map[String, Long] = Map.empty, nFiles: Option[Int] = None,
     ids: Option[Seq[Int]] = None, checks: Seq[(String, String)] = Nil,
-    partSpec: Option[String] = None, sortSpec: Option[String] = None) {
+    partSpec: Option[String] = None, sortSpec: Option[String] = None,
+    format: Option[String] = None, eqDels: Seq[GraftEqDel] = Nil) {
   /** Legacy (name, rows) view — the shape the v1 protocol exposed. */
   def files: Seq[(String, Long)] = metas.map(m => m.name -> m.rows)
 }
@@ -321,12 +338,46 @@ object GraftManifest {
   @volatile var claimer: CommitClaim = PosixLinkClaim
 
   /** All committed version numbers at `path`, ascending. */
-  def versions(path: String): Seq[Int] =
-    Option(new File(path).listFiles()).getOrElse(Array.empty)
+  /** First line of a PENDING (multi-table transaction) manifest: the
+    * absolute path of the transaction's commit marker. The manifest is
+    * INVISIBLE until the marker file exists — creating the marker is the
+    * transaction's single atomic commit point, which is what makes an
+    * N-table publish all-or-nothing with per-table CAS claims (see
+    * [[GraftTxnPublishProcedure]]). */
+  private[sources] val PendingPrefix = "#txnpending="
+
+  /** Pending manifests whose marker never appeared (claimer crashed
+    * between claims) block the slot; after this age they are reclaimed
+    * by the next committer — the same grace discipline vacuum uses. */
+  private[sources] val PendingGraceMs = 10 * 60 * 1000L
+
+  /** Is manifest v invisible (pending, marker absent)? Reads at most the
+    * first line. */
+  private[sources] def pendingInvisible(path: String, v: Int): Boolean = {
+    val in = Files.newBufferedReader(Paths.get(path, s"$VPrefix$v"),
+      StandardCharsets.UTF_8)
+    try {
+      val l = in.readLine()
+      l != null && l.startsWith(PendingPrefix) &&
+        !Files.exists(Paths.get(l.stripPrefix(PendingPrefix)))
+    } finally in.close()
+  }
+
+  def versions(path: String): Seq[Int] = {
+    val raw = Option(new File(path).listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(_.startsWith(VPrefix))
       .filterNot(_.endsWith(".tmp"))
       .flatMap(n => scala.util.Try(n.stripPrefix(VPrefix).toInt).toOption)
       .sorted.toSeq
+    // pending claims only ever sit ABOVE the last visible version (nothing
+    // commits over a pending slot), so trimming the invisible tail is the
+    // whole visibility rule — one first-line read of the head manifest per
+    // listing, more only while a transaction is actually in flight
+    var end = raw.length
+    while (end > 0 && scala.util.Try(pendingInvisible(path, raw(end - 1)))
+        .getOrElse(false)) end -= 1
+    raw.take(end)
+  }
 
   /** Manifest body grammar (all metadata lines `#`-prefixed so the data
     * lines keep the v1 `file,rows` shape):
@@ -393,13 +444,49 @@ object GraftManifest {
     * <file>,<rows>                      one per listed file (PHYSICAL rows)
     * _total,<N>                         LIVE row total of the FULL snapshot
     * }}}
-    * `<pval>`/`<min>`/`<max>` are comma-free by construction (the writer
-    * refuses delimiter characters in string values), so fixed-arity
-    * splits are unambiguous. Files named by no `#meta` line (pre-round-8
+    * Additional header line: `#format=<csv|parquet>` — the table's
+    * DATA-FILE format (writer default for appends; readers branch on each
+    * file's own suffix, so the line is a writer-resolution fact, not a
+    * read dependency). Absent on pre-round-11 manifests (= csv).
+    *
+    * `<pval>` is newline-free by writer refusal and rides as the LAST
+    * field of a fixed-arity split, so embedded commas cannot shift later
+    * fields. `<min>`/`<max>` are PERCENT-ESCAPED (`%` `,` `\n` `\r` →
+    * %25 %2C %0A %0D) — parquet string cells admit arbitrary text, and a
+    * raw comma in a min bound would silently shift the max field. The
+    * escape is the identity on every pre-round-11 manifest value (the
+    * CSV writer refused delimiters outright and fixtures carry no `%`),
+    * so the grammar change is backward-compatible in practice. Files named by no `#meta` line (pre-round-8
     * manifests) default to the full schema width with no stats; files
     * named by no `#nulls` line have UNKNOWN null counts (skipping stays
     * conservative there). `_total` counts LIVE rows (physical minus
     * deletion-vector positions) — the quantity every reader observes. */
+  /** Percent-escape for `#stats` min/max payloads (see grammar doc):
+    * identity unless the value contains `%`/`,`/newline. */
+  private[graft] def escStat(s: String): String =
+    if (s.indexOf('%') < 0 && s.indexOf(',') < 0 &&
+        s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+    else s.flatMap {
+      case '%'  => "%25"
+      case ','  => "%2C"
+      case '\n' => "%0A"
+      case '\r' => "%0D"
+      case c    => c.toString
+    }
+  private[graft] def unescStat(s: String): String =
+    if (s.indexOf('%') < 0) s
+    else {
+      val b = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 3 <= s.length) {
+          b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { b.append(s.charAt(i)); i += 1 }
+      }
+      b.toString
+    }
+
   def parse(version: Int, body: String): GraftManifest = {
     var ddl: Option[String] = None
     var ts: Option[Long] = None
@@ -409,6 +496,7 @@ object GraftManifest {
     var ids: Option[Seq[Int]] = None
     var partSpec: Option[String] = None
     var sortSpec: Option[String] = None
+    var format: Option[String] = None
     val checks = Seq.newBuilder[(String, String)]
     val txns = scala.collection.mutable.Map[String, Long]()
     val rows = Seq.newBuilder[(String, Long)]
@@ -423,6 +511,8 @@ object GraftManifest {
       .withDefaultValue(Map.empty)
     val ndvs = scala.collection.mutable.Map[String, Map[Int, String]]()
       .withDefaultValue(Map.empty)
+    val seqs = scala.collection.mutable.Map[String, Int]()
+    val eqDels = Seq.newBuilder[GraftEqDel]
     var total = 0L
     body.split("\n").filter(_.nonEmpty).foreach {
       case s if s.startsWith("#schema=") => ddl = Some(s.stripPrefix("#schema="))
@@ -436,6 +526,20 @@ object GraftManifest {
         partSpec = Some(s.stripPrefix("#partspec="))
       case s if s.startsWith("#sortspec=") =>
         sortSpec = Some(s.stripPrefix("#sortspec="))
+      case s if s.startsWith("#format=") =>
+        format = Some(s.stripPrefix("#format="))
+      case s if s.startsWith("#seq=") =>
+        s.stripPrefix("#seq=").split(",", 2) match {
+          case Array(f, v) => seqs(f) = v.toInt
+          case bad => throw new IllegalStateException(
+            s"malformed #seq line: '${bad.mkString(",")}'")
+        }
+      case s if s.startsWith("#eqdel=") =>
+        s.stripPrefix("#eqdel=").split(",", 4) match {
+          case Array(v, c, sc, n) => eqDels += GraftEqDel(v.toInt, c, sc, n.toLong)
+          case bad => throw new IllegalStateException(
+            s"malformed #eqdel line: '${bad.mkString(",")}'")
+        }
       case s if s.startsWith("#check=") =>
         s.stripPrefix("#check=").split(",", 2) match {
           case Array(n, e) => checks += (n -> e)
@@ -458,7 +562,8 @@ object GraftManifest {
         }
       case s if s.startsWith("#stats=") =>
         s.stripPrefix("#stats=").split(",", 4) match {
-          case Array(f, i, mn, mx) => stats(f) = stats(f) + (i.toInt -> (mn, mx))
+          case Array(f, i, mn, mx) =>
+            stats(f) = stats(f) + (i.toInt -> (unescStat(mn), unescStat(mx)))
           case bad => throw new IllegalStateException(
             s"malformed #stats line: '${bad.mkString(",")}'")
         }
@@ -505,10 +610,11 @@ object GraftManifest {
     val width = ddl.map(StructType.fromDDL(_).length).getOrElse(0)
     val metas = rows.result().map { case (f, n) =>
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f),
-        nulls.get(f), dvs.get(f), sums.get(f), blooms(f), ndvs(f))
+        nulls.get(f), dvs.get(f), sums.get(f), blooms(f), ndvs(f),
+        seqs.getOrElse(f, 0))
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
-      ids, checks.result(), partSpec, sortSpec)
+      ids, checks.result(), partSpec, sortSpec, format, eqDels.result())
   }
 
   /** The RAW on-disk manifest for one version (a delta stays a delta). */
@@ -557,7 +663,11 @@ object GraftManifest {
         // and checks ride the TOP manifest (every commit re-emits them)
         GraftManifest(v, metas, m.total, m.schemaDdl, m.ts, op = m.op,
           txns = baseM.txns ++ m.txns, nFiles = Some(metas.size),
-          ids = m.ids, checks = m.checks, partSpec = m.partSpec, sortSpec = m.sortSpec)
+          ids = m.ids, checks = m.checks, partSpec = m.partSpec,
+          sortSpec = m.sortSpec, format = m.format,
+          // eqdel entries ride the TOP manifest (every commit re-emits the
+          // accumulated, pruned set — same rule as ids/checks)
+          eqDels = m.eqDels)
     }
   }
 
@@ -627,12 +737,15 @@ object GraftManifest {
       ids: Option[Seq[Int]] = None,
       checks: Seq[(String, String)] = Nil,
       partSpec: Option[String] = None,
-      sortSpec: Option[String] = None): String = {
+      sortSpec: Option[String] = None,
+      format: Option[String] = None,
+      eqDels: Seq[GraftEqDel] = Nil): String = {
     val meta = bodyMetas.flatMap { m =>
       val p = m.partition.map { case (c, v) => s"$c,$v" }.getOrElse(",")
       (s"#meta=${m.name},${m.ncols},$p" +:
+        (if (m.seq > 0) Seq(s"#seq=${m.name},${m.seq}") else Nil) ++:
         m.stats.toSeq.sortBy(_._1).map { case (i, (mn, mx)) =>
-          s"#stats=${m.name},$i,$mn,$mx" }) ++
+          s"#stats=${m.name},$i,${escStat(mn)},${escStat(mx)}" }) ++
         m.nulls.map(ns => s"#nulls=${m.name}," + ns.toSeq.filter(_._2 > 0)
           .sortBy(_._1).map { case (i, n) => s"$i:$n" }.mkString(";")).toSeq ++
         m.dv.map { case (sc, n) => s"#dv=${m.name},$sc,$n" }.toSeq ++
@@ -654,6 +767,8 @@ object GraftManifest {
       ids.map(is => s"#ids=${is.mkString(",")}").toSeq ++
       partSpec.map(s => s"#partspec=$s").toSeq ++
       sortSpec.map(s => s"#sortspec=$s").toSeq ++
+      format.map(f => s"#format=$f").toSeq ++
+      eqDels.map(e => s"#eqdel=${e.v},${e.col},${e.sidecar},${e.n}") ++
       checks.map { case (n, e) => s"#check=$n,$e" } ++
       txns.toSeq.sortBy(_._1).map { case (w, e) => s"#txn=$w:$e" }) ++:
       s"_total,$totalRows" +: meta ++:
@@ -679,6 +794,8 @@ object GraftManifest {
       var ids: Option[Seq[Int]] = None
       var partSpec: Option[String] = None
       var sortSpec: Option[String] = None
+      var format: Option[String] = None
+      val eqDels = Seq.newBuilder[GraftEqDel]
       val checks = Seq.newBuilder[(String, String)]
       val txns = scala.collection.mutable.Map[String, Long]()
       var total = -1L
@@ -695,6 +812,15 @@ object GraftManifest {
           partSpec = Some(line.stripPrefix("#partspec="))
         else if (line.startsWith("#sortspec="))
           sortSpec = Some(line.stripPrefix("#sortspec="))
+        else if (line.startsWith("#format="))
+          format = Some(line.stripPrefix("#format="))
+        else if (line.startsWith("#eqdel=")) {
+          line.stripPrefix("#eqdel=").split(",", 4) match {
+            case Array(v, c, sc, n) => eqDels += GraftEqDel(v.toInt, c, sc, n.toLong)
+            case bad => throw new IllegalStateException(
+              s"malformed #eqdel line: '${bad.mkString(",")}'")
+          }
+        }
         else if (line.startsWith("#check=")) {
           line.stripPrefix("#check=").split(",", 2) match {
             case Array(n, e) => checks += (n -> e)
@@ -713,7 +839,8 @@ object GraftManifest {
         line = in.readLine()
       }
       if (total >= 0) GraftManifest(v, Seq.empty, total, ddl, ts, base, op,
-        txns.toMap, nFiles, ids, checks.result(), partSpec, sortSpec)
+        txns.toMap, nFiles, ids, checks.result(), partSpec, sortSpec, format,
+        eqDels.result())
       else readRaw(path, v)
     } finally in.close()
   }
@@ -795,7 +922,10 @@ object GraftManifest {
       idsOverride: Option[Seq[Int]] = None,
       checksOverride: Option[Seq[(String, String)]] = None,
       partSpecSet: Option[Option[String]] = None,
-      sortSpecSet: Option[Option[String]] = None): Int = {
+      sortSpecSet: Option[Option[String]] = None,
+      formatSet: Option[String] = None,
+      newEqDels: Seq[(String, String, Long)] = Nil,
+      pendingMarker: Option[java.nio.file.Path] = None): Int = {
     new File(path).mkdirs() // a zero-task job commits a manifest into an empty dir
     var attempt = 0
     while (true) {
@@ -909,6 +1039,10 @@ object GraftManifest {
       // commit, honored by OPTIMIZE so maintenance preserves clustering
       val sortSpec = sortSpecSet.getOrElse(
         if (shapeReplaced) None else head.flatMap(_.sortSpec))
+      // the DATA-FILE format rides every commit like partSpec: resolved
+      // writers record it (formatSet); internal commits (DML vectors,
+      // metadata deletes, WAP publish, vacuum folds) inherit the header's
+      val format = formatSet.orElse(head.flatMap(_.format))
       checks.foreach { case (n, e) =>
         require(unionNames.contains(GraftCheck.columnOf(e)),
           s"graft-sink: schema '$unionDdl' lacks column '${GraftCheck.columnOf(e)}' " +
@@ -922,21 +1056,36 @@ object GraftManifest {
       // DELTA (adds-only, #base) between checkpoints; FULL on the first
       // commit, every CheckpointEvery-th slot, and every truncate
       val isDelta = !truncate && headV.nonEmpty && next % CheckpointEvery != 0
+      // every committed file records the version that added it (`#seq`) —
+      // the fact EQUALITY-DELETE applicability keys on (an upsert's own
+      // inserts must survive its own delete). Only stamped once eqdels
+      // are in play, so pre-eqdel manifests stay byte-stable.
+      val stampSeq = newEqDels.nonEmpty ||
+        head.exists(_.eqDels.nonEmpty) || jobMetas.exists(_.seq > 0)
+      val jobStamped =
+        if (stampSeq) jobMetas.map(m => if (m.seq > 0) m else m.copy(seq = next))
+        else jobMetas
       val newTotal = (if (truncate) 0L else head.map(_.total).getOrElse(0L)) +
-        jobMetas.map(_.liveRows).sum
+        jobStamped.map(_.liveRows).sum
       // `headFolded`/`all` (the folded full state) materialize ONLY for
       // full commits — checkpoints and truncates — never per delta append
       lazy val headFolded = headV.map(fold(path, _))
       lazy val all = (if (truncate) Seq.empty
-        else headFolded.map(_.metas).getOrElse(Seq.empty)) ++ jobMetas
+        else headFolded.map(_.metas).getOrElse(Seq.empty)) ++ jobStamped
+      // EQUALITY DELETES accumulate like txn watermarks; new entries take
+      // this commit's version. Full commits PRUNE: an entry no surviving
+      // file predates (f.seq < e.v) can never delete a row again — a full
+      // rewrite's fresh files therefore retire every pending entry.
+      val eqDels0 = head.map(_.eqDels).getOrElse(Nil) ++
+        newEqDels.map { case (c, sc, n) => GraftEqDel(next, c, sc, n) }
       val body =
-        if (isDelta) render(unionDdl, commitTs, headV, jobMetas, newTotal, op,
+        if (isDelta) render(unionDdl, commitTs, headV, jobStamped, newTotal, op,
           txn.toMap,
           // snapshot file count carried forward like `_total`; a legacy
           // head without one leaves it absent until the next checkpoint
-          snapshotFiles = head.flatMap(_.nFiles).map(_ + jobMetas.size),
+          snapshotFiles = head.flatMap(_.nFiles).map(_ + jobStamped.size),
           ids = Some(ids), checks = checks, partSpec = partSpec,
-          sortSpec = sortSpec)
+          sortSpec = sortSpec, format = format, eqDels = eqDels0)
         else {
           require(all.map(_.liveRows).sum == newTotal,
             s"graft-sink: checkpoint fold at $path disagrees with the running total")
@@ -946,21 +1095,26 @@ object GraftManifest {
           // double-commit. (This is why truncates now fold the prior head
           // — one manifest parse, the rewrite is already O(table).)
           val accTxns = headFolded.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
+          val eqPruned = eqDels0.filter(e => all.exists(_.seq < e.v))
           render(unionDdl, commitTs, None, all, newTotal, op, accTxns,
             snapshotFiles = Some(all.size), ids = Some(ids), checks = checks,
-            partSpec = partSpec, sortSpec = sortSpec)
+            partSpec = partSpec, sortSpec = sortSpec, format = format,
+            eqDels = eqPruned)
         }
+      // a MULTI-TABLE-TXN claim lands invisible behind its marker line
+      val claimBody = pendingMarker
+        .map(mk => s"$PendingPrefix${mk.toAbsolutePath}\n" + body).getOrElse(body)
       // the pluggable CAS: true = this commit owns version `next`; false =
       // lost the race — loop re-reads the new head and retries one slot up
       if (claimer.claim(Paths.get(path, s"$VPrefix$next"),
-          body.getBytes(StandardCharsets.UTF_8))) {
+          claimBody.getBytes(StandardCharsets.UTF_8))) {
         // head pointer for pre-versioning readers; REPLACE is safe — it is
         // derived state, the version files are the durable record — and
         // BEST-EFFORT: the version is already durably committed, so a
         // refresh failure must not fail the job. Refreshed only on FULL
         // commits: writing the complete list per delta commit would put
         // the O(table files) cost the delta design removes right back.
-        if (!isDelta) scala.util.Try {
+        if (!isDelta && pendingMarker.isEmpty) scala.util.Try {
           if (all.exists(_.dv.isDefined)) {
             // a DV-bearing snapshot has NO faithful legacy rendering: the
             // v1 contract equates per-file line counts with the total, but
@@ -981,6 +1135,20 @@ object GraftManifest {
           }
         }
         return next
+      }
+      // Claim lost. An INVISIBLE pending-txn claim on the slot means no
+      // new visible head will appear until the transaction resolves:
+      // fail fast on a fresh one, reclaim an aged orphan (crashed
+      // claimer — the marker was never created, so nothing ever read it).
+      val slot = Paths.get(path, s"$VPrefix$next")
+      if (Files.exists(slot) &&
+          scala.util.Try(pendingInvisible(path, next)).getOrElse(false)) {
+        if (System.currentTimeMillis() -
+            Files.getLastModifiedTime(slot).toMillis > PendingGraceMs)
+          Files.deleteIfExists(slot)
+        else throw new java.util.ConcurrentModificationException(
+          s"graft-sink: version slot $next at $path is claimed by a pending " +
+            "multi-table transaction — retry after it resolves")
       }
     }
     -1 // unreachable
@@ -1056,6 +1224,72 @@ object GraftManifest {
     v
   }
 
+  /** Strip a now-committed pending claim's marker line (atomic replace;
+    * logically identical — the marker exists, so the manifest is visible
+    * with or without the line). */
+  private def stripPending(path: String, v: Int): Unit = {
+    val f = Paths.get(path, s"$VPrefix$v")
+    val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+    if (body.startsWith(PendingPrefix)) {
+      val stripped = body.substring(body.indexOf('\n') + 1)
+      val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$v", ".tmp")
+      try {
+        Files.write(tmp, stripped.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      } finally Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** MULTI-TABLE ATOMIC PUBLISH (VERDICT r10 next #5): commit N staged
+    * WAP batches — one per table — so that either EVERY table advances or
+    * NONE does. Per-table version slots are claimed with the ordinary
+    * link(2) CAS, but each claimed manifest opens with a
+    * `#txnpending=<marker>` line that keeps it INVISIBLE
+    * ([[pendingInvisible]]); creating the single marker file (itself a
+    * CAS) is the transaction's one atomic commit point — the generalized
+    * form of the swap every catalog-level transaction design reduces to.
+    * Failure anatomy:
+    *  - any claim fails (stale stage base, lost race) → already-claimed
+    *    pending manifests are deleted; they were never visible, so no
+    *    reader could have observed a partial publish — NEITHER table moved;
+    *  - crash between claims → orphan pending claims block their slots
+    *    until [[PendingGraceMs]], then the next committer reclaims;
+    *  - crash after the marker → the transaction IS committed (visibility
+    *    is marker-existence); the pending-line strip and stage cleanup
+    *    below are cosmetic and re-runnable.
+    * The marker file survives as the durable transaction record. */
+  def txnPublish(stages: Seq[(String, String)],
+      marker: java.nio.file.Path): Seq[Int] = {
+    require(stages.nonEmpty, "txnPublish needs at least one (table, wapId)")
+    require(stages.map(_._1).distinct.size == stages.size,
+      "txnPublish: one staged batch per table")
+    val claimed = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    def rollback(): Unit = claimed.foreach { case (p, v) =>
+      Files.deleteIfExists(Paths.get(p, s"$VPrefix$v")); () }
+    try {
+      stages.foreach { case (path, id) =>
+        val (m, base) = readWap(path, id)
+        val v = commitMetas(path, m.metas, m.schemaDdl.getOrElse(
+            throw new IllegalStateException(
+              s"staged WAP '$id' at $path carries no schema")),
+          truncate = false, expectedBase = Some(base), op = Some("TXN PUBLISH"),
+          pendingMarker = Some(marker))
+        claimed += (path -> v)
+      }
+      if (!claimer.claim(marker, claimed
+          .map { case (p, v) => s"$p,$v" }.mkString("\n")
+          .getBytes(StandardCharsets.UTF_8)))
+        throw new java.util.ConcurrentModificationException(
+          s"graft-sink: transaction marker $marker already exists")
+    } catch { case e: Throwable => rollback(); throw e }
+    // committed: cosmetic cleanup (each step idempotent and re-runnable)
+    claimed.foreach { case (p, v) => scala.util.Try(stripPending(p, v)) }
+    stages.foreach { case (p, id) =>
+      Files.deleteIfExists(Paths.get(p, WapPrefix + id)); () }
+    claimed.map(_._2).toSeq
+  }
+
   /** Abort deletes the staged data files eagerly — no version ever named
     * them, so nothing can be reading them through a manifest. */
   def abortWap(path: String, id: String): Int = {
@@ -1112,7 +1346,8 @@ object GraftManifest {
         val m = fold(path, v)
         val body = render(m.schemaDdl.getOrElse(""), m.ts.getOrElse(0L),
           None, m.metas, m.total, m.op, m.txns, Some(m.metas.size),
-          ids = m.ids, checks = m.checks, partSpec = m.partSpec, sortSpec = m.sortSpec)
+          ids = m.ids, checks = m.checks, partSpec = m.partSpec,
+          sortSpec = m.sortSpec, format = m.format, eqDels = m.eqDels)
         val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$v", ".tmp")
         try {
           Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -1139,8 +1374,11 @@ object GraftManifest {
     // resurrect deleted rows on the next read, the exact inverse of the
     // torn-snapshot failure the manifest-first deletion order prevents
     val keep = retained
-      .flatMap(v => readVersion(path, Some(v)).toSeq.flatMap(_.metas.flatMap(m =>
-        m.name +: m.dv.map(_._1).toSeq)))
+      .flatMap(v => readVersion(path, Some(v)).toSeq.flatMap(m0 =>
+        m0.metas.flatMap(m => m.name +: m.dv.map(_._1).toSeq) ++
+          // pending equality-delete sidecars: reclaiming one would
+          // resurrect its deleted keys on the next read
+          m0.eqDels.map(_.sidecar)))
       .toSet ++
       // staged (write-audit-publish) batches are referenced by NO version
       // yet must survive: a vacuum racing a pending audit would reclaim
@@ -1152,7 +1390,8 @@ object GraftManifest {
     val cutoff = System.currentTimeMillis() - graceMs
     val listing = Option(new File(path).listFiles()).getOrElse(Array.empty)
     val victims = listing
-      .filter(f => (f.getName.endsWith(".csv") || f.getName.endsWith(".dv")) &&
+      .filter(f => (GraftFormat.isDataFile(f.getName) || f.getName.endsWith(".dv") ||
+          f.getName.endsWith(".eqdel")) &&
         !f.getName.startsWith("epoch-") &&
         !keep.contains(f.getName) && f.lastModified() <= cutoff)
     victims.foreach(_.delete())
@@ -1823,16 +2062,33 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
           sortCol.map(s => Array(asc(s))).getOrElse(Array.empty)
+        // DATA-FILE FORMAT (`format=csv|parquet`): resolved once at plan
+        // time — explicit option > the table's committed `#format` header
+        // > the parquet default — and carried into both the task writers
+        // (cell codec + file suffix) and the commit (header line).
+        private val fileFormat =
+          GraftFormat.resolve(Option(opts.get("format")).filter(_.nonEmpty), path)
+        // UPSERT-BY-KEY (`upsertKey=<col>`): the batch's rows land as
+        // ordinary appends PLUS an equality-delete sidecar of their keys
+        // — MERGE semantics in O(changed keys), the target never read.
+        // Append-only by construction: a truncate/replace already removes
+        // the rows an upsert would shadow.
+        private val upsertKeyOpt = Option(opts.get("upsertKey")).filter(_.nonEmpty)
+        upsertKeyOpt.foreach { _ =>
+          require(!truncating && replaceWhere.isEmpty && wapStage.isEmpty,
+            "graft-sink: upsertKey is append-only (no overwrite/replaceWhere/wapStage)")
+        }
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
             expectedBase, evolve, partCol, opLabel, replaceWhere,
             wapStage = wapStage, bloomFor = bloomFor, ndvFor = ndvFor,
-            sortCol = sortCol)
+            sortCol = sortCol, format = fileFormat, upsertKey = upsertKeyOpt)
         override def toStreaming: StreamingWrite =
           // partCol includes the declared-spec default: a streaming
           // ingest into a PARTITIONED BY table conforms like any batch
           new GraftSinkStreamingWrite(path, info.schema(), tag,
-            Option(opts.get("commitVersions")).exists(_.toBoolean), partCol)
+            Option(opts.get("commitVersions")).exists(_.toBoolean), partCol,
+            format = fileFormat, upsertKey = upsertKeyOpt)
       }
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -1974,7 +2230,10 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
   override def isPartiallyPushed(): Boolean = true
   private def capEligible: Boolean =
     pushed.isEmpty && changesFrom.isEmpty && filesSubset.isEmpty &&
-      streamOpts.isEmpty && wapId.isEmpty && !spj
+      streamOpts.isEmpty && wapId.isEmpty && !spj &&
+      // PENDING equality deletes make manifest row counts upper bounds,
+      // not facts — a limit cap proven from them could under-deliver
+      plannedManifest.forall(_.eqDels.isEmpty)
 
   /** Bare LIMIT k: the first manifest files whose LIVE rows (deletion
     * vectors discounted) accumulate to k are a complete answer set. */
@@ -2083,6 +2342,9 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
     if (pushed.nonEmpty || changesFrom.isDefined || filesSubset.isDefined ||
       streamOpts.nonEmpty || wapId.isDefined) return None
     val m = plannedManifest.getOrElse(return None)
+    // pending equality deletes: every manifest count/stat is an upper
+    // bound until OPTIMIZE materializes them — never an exact answer
+    if (m.eqDels.nonEmpty) return None
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
@@ -2105,6 +2367,9 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
       case DateType   => s.toInt
       case DoubleType => s.toDouble
       case StringType => UTF8String.fromString(s)
+      case org.apache.spark.sql.types.IntegerType => s.toInt
+      case org.apache.spark.sql.types.FloatType   => s.toFloat
+      case org.apache.spark.sql.types.BooleanType => s.toBoolean
       case _          => throw Bail
     }
     // per-file facts; throws Bail when the manifest cannot decide
@@ -2288,6 +2553,11 @@ case class GraftSinkScan(path: String, version: Option[Int],
     * skipping), tagged with the change type in CDF mode. Cached: the
     * partitioning report, the statistics estimate and the split plan
     * must all see ONE consistent snapshot of the manifest. */
+  /** PENDING equality deletes of the pinned snapshot (populated by the
+    * same manifest read `survivors` makes; Nil in WAP/CDF modes, where
+    * eqdel-bearing snapshots refuse to plan — see planInputPartitions). */
+  @volatile private var pendingEqDels: Seq[GraftEqDel] = Nil
+
   private lazy val survivors: Seq[(GraftFileMeta, String)] = {
     // staged-batch audit: the scan IS the staged increment, filters and
     // stats skipping apply to it like any snapshot
@@ -2298,13 +2568,24 @@ case class GraftSinkScan(path: String, version: Option[Int],
     else {
     val tagged = changesFrom match {
       case Some(fromV) =>
-        val (added, removed, _) = GraftSinkScan.diffMetas(path, fromV, version)
+        val (added, removed, toV) = GraftSinkScan.diffMetas(path, fromV, version)
+        // a range that introduced EQUALITY deletes is not representable as
+        // file adds/removes (the deleted rows' files did not change) —
+        // fail loudly rather than silently omit the deletions
+        val fromEq = if (fromV == 0) Nil
+          else GraftManifest.headerFacts(path, fromV).eqDels
+        val toEq = GraftManifest.headerFacts(path, toV).eqDels
+        if (toEq.toSet != fromEq.toSet) throw new IllegalArgumentException(
+          s"graft-sink: change feed ($fromV, $toV] crosses equality-delete " +
+            "commits, which have no file-granular rendering — OPTIMIZE the " +
+            "table to materialize them first")
         added.map(_ -> "insert") ++ removed.map(_ -> "delete")
       case None =>
-        GraftManifest.readVersion(path, version).getOrElse(
+        val m = GraftManifest.readVersion(path, version).getOrElse(
           throw new IllegalArgumentException(
             s"graft-sink: no committed manifest to read at $path"))
-          .metas.map(_ -> null.asInstanceOf[String])
+        pendingEqDels = m.eqDels
+        m.metas.map(_ -> null.asInstanceOf[String])
     }
     val scoped = filesSubset match {
       case None => tagged
@@ -2357,7 +2638,14 @@ case class GraftSinkScan(path: String, version: Option[Int],
     if (metas.nonEmpty) required.fields.foreach { fld =>
       scala.util.Try(full.fieldIndex(fld.name)).toOption.foreach { i =>
         val ndv: Option[Long] =
-          if (metas.forall(_.ndvs.contains(i))) {
+          // deleted values stay in the write-time sketches, so NDV is an
+          // OVERCOUNT after deletes. As an estimate that's acceptable
+          // for small DVs; past 10% deleted rows the drift can mislead
+          // CBO join ordering, so the fact is withheld — the graded
+          // version of the nullCount rule below (ADVICE r10).
+          if (metas.forall(_.ndvs.contains(i)) &&
+              metas.map(_.dv.map(_._2).getOrElse(0L)).sum * 10L <=
+                metas.map(_.rows).sum) {
             val acc = GraftHll.emptyRegisters()
             metas.foreach(m => GraftHll.mergeInto(acc, m.ndvs(i)))
             Some(GraftHll.estimate(acc))
@@ -2499,6 +2787,9 @@ case class GraftSinkScan(path: String, version: Option[Int],
       if (rf.isEmpty) survivors
       else survivors.filter { case (m, _) =>
         rf.forall(GraftSinkScan.mayMatch(m, full, _)) }
+    def eqFor(m: GraftFileMeta): Seq[(String, String)] =
+      pendingEqDels.filter(_.v > m.seq)
+        .map(e => (e.col, s"$path/${e.sidecar}"))
     spjKey match {
       case Some(k) =>
         val keyType = k match {
@@ -2508,12 +2799,13 @@ case class GraftSinkScan(path: String, version: Option[Int],
         }
         planned.map { case (m, c) =>
           GraftSinkKeyedFileSplit(s"$path/${m.name}", m.rows, m.ncols, c,
-            m.dv.map(d => s"$path/${d._1}"), keyType, m.partition.get._2): InputPartition
+            m.dv.map(d => s"$path/${d._1}"), keyType, m.partition.get._2,
+            eqFor(m)): InputPartition
         }.toArray
       case None =>
         planned.map { case (m, c) =>
           GraftSinkFileSplit(s"$path/${m.name}", m.rows, m.ncols, c,
-            m.dv.map(d => s"$path/${d._1}")): InputPartition
+            m.dv.map(d => s"$path/${d._1}"), eqFor(m)): InputPartition
         }.toArray
     }
   }
@@ -2589,10 +2881,53 @@ object GraftSinkScan {
     * with the aggregate-pushdown fold). */
   private[sources] def cmpStats(dt: DataType, a: String, b: String): Int = cmp(dt, a, b)
   private def cmp(dt: DataType, a: String, b: String): Int = dt match {
-    case LongType | TimestampType | DateType =>
+    case LongType | TimestampType | DateType | org.apache.spark.sql.types.IntegerType =>
       java.lang.Long.compare(a.toLong, b.toLong)
-    case DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _          => a.compareTo(b)
+    case DoubleType | org.apache.spark.sql.types.FloatType =>
+      java.lang.Double.compare(a.toDouble, b.toDouble)
+    case org.apache.spark.sql.types.BooleanType =>
+      java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+    case _: org.apache.spark.sql.types.DecimalType =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => a.compareTo(b)
+  }
+
+  /** Columns whose canonical CELL STRING carries exact min/max/null/sum
+    * facts — the stats, bloom, NDV, CHECK and row-level-predicate surface.
+    * Nested types (array columns, parquet-format-only) are NOT statable:
+    * they have no canonical comma-free scalar form; their null counts are
+    * still tracked (from the row, not the cell), everything else is
+    * absent-therefore-conservative. */
+  def statable(dt: DataType): Boolean = dt match {
+    case LongType | DoubleType | StringType | TimestampType | DateType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.BooleanType => true
+    case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+    case _ => false
+  }
+
+  /** Canonical cell rows of ONE data file in physical order, plus a
+    * closer — the shared decode under the row-level evaluator paths
+    * (replaceWhere straddlers). The SCAN reader decodes typed values
+    * directly and never round-trips through strings. */
+  private[sources] def cellRows(file: String, layout: StructType,
+      ncols: Int): (Iterator[Array[String]], () => Unit) = {
+    if (file.endsWith(".parquet")) {
+      // full-width positional projection from the file's OWN footer names
+      // (a renamed column's current layout name may not exist there)
+      val r = GraftParquet.reader(file, GraftParquet.fileSchema(file))
+      val types = layout.fields.take(ncols).map(_.dataType)
+      val it = Iterator.continually(r.read()).takeWhile(_ != null).map { g =>
+        Array.tabulate(ncols)(j => GraftParquet.cell(g, j, types(j)))
+      }
+      (it, () => r.close())
+    } else {
+      val in = Files.newBufferedReader(Paths.get(file), StandardCharsets.UTF_8)
+      val it = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .map(_.split(",", -1))
+      (it, () => in.close())
+    }
   }
 
   /** Canonical CELL form of a pushed filter value — the bridge between
@@ -2607,6 +2942,12 @@ object GraftSinkScan {
     case (DateType, d: java.sql.Date) =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toString
     case (DateType, ld: java.time.LocalDate) => ld.toEpochDay.toString
+    // decimal comparisons go through BigDecimal cmp, so plain string is
+    // canonical enough regardless of the filter literal's scale
+    case (_: org.apache.spark.sql.types.DecimalType, d: java.math.BigDecimal) =>
+      d.toPlainString
+    case (_: org.apache.spark.sql.types.DecimalType,
+        d: org.apache.spark.sql.types.Decimal) => d.toJavaBigDecimal.toPlainString
     case _ => v.toString
   }
 
@@ -2644,8 +2985,11 @@ object GraftSinkScan {
     // domain. Hashes the canonical cell string (long/string columns
     // only; the writer never blooms doubles), conservative when absent.
     def bloomOk(c: String, vs: Iterable[Any]): Boolean = col(c).forall {
-      case (i, LongType | StringType) => meta.blooms.get(i).forall(b64 =>
-        vs.exists(v => GraftBloom.mightContain(b64, v.toString)))
+      // canon(dt, v), not v.toString: identical while blooms are limited
+      // to long/string, but keeps ALL value canonicalization on one path
+      // if bloom support ever extends to date/timestamp (ADVICE r10)
+      case (i, dt @ (LongType | StringType)) => meta.blooms.get(i).forall(b64 =>
+        vs.exists(v => GraftBloom.mightContain(b64, canon(dt, v))))
       case _ => true
     }
     f match {
@@ -2750,20 +3094,27 @@ object GraftSinkScan {
     * admission check `replaceWhere` runs before accepting a predicate
     * (an inexpressible predicate is refused at plan time, never
     * silently half-applied). */
-  def evaluable(layout: StructType, f: Filter): Boolean = f match {
-    case And(l, r) => evaluable(layout, l) && evaluable(layout, r)
-    case Or(l, r)  => evaluable(layout, l) && evaluable(layout, r)
-    case Not(c)    => evaluable(layout, c)
-    case _: AlwaysTrue | _: AlwaysFalse => true
-    case EqualTo(c, _)            => hasCol(layout, c)
-    case GreaterThan(c, _)        => hasCol(layout, c)
-    case GreaterThanOrEqual(c, _) => hasCol(layout, c)
-    case LessThan(c, _)           => hasCol(layout, c)
-    case LessThanOrEqual(c, _)    => hasCol(layout, c)
-    case In(c, _)                 => hasCol(layout, c)
-    case IsNull(c)                => hasCol(layout, c)
-    case IsNotNull(c)             => hasCol(layout, c)
-    case _ => false
+  def evaluable(layout: StructType, f: Filter): Boolean = {
+    // row-level evaluation runs over canonical CELL strings — only
+    // statable columns have one (an array column's cell is the null
+    // sentinel; admitting it would silently treat every row as NULL)
+    def ok(c: String): Boolean = scala.util.Try(layout.fieldIndex(c)).toOption
+      .exists(i => statable(layout.fields(i).dataType))
+    f match {
+      case And(l, r) => evaluable(layout, l) && evaluable(layout, r)
+      case Or(l, r)  => evaluable(layout, l) && evaluable(layout, r)
+      case Not(c)    => evaluable(layout, c)
+      case _: AlwaysTrue | _: AlwaysFalse => true
+      case EqualTo(c, _)            => ok(c)
+      case GreaterThan(c, _)        => ok(c)
+      case GreaterThanOrEqual(c, _) => ok(c)
+      case LessThan(c, _)           => ok(c)
+      case LessThanOrEqual(c, _)    => ok(c)
+      case In(c, _)                 => ok(c)
+      case IsNull(c)                => ok(c)
+      case IsNotNull(c)             => ok(c)
+      case _ => false
+    }
   }
 
   /** EXACT row-level predicate evaluation over one decoded line — what
@@ -2840,10 +3191,14 @@ object GraftSinkScan {
 sealed trait GraftSplit extends InputPartition {
   def file: String; def expectedRows: Long; def ncols: Int
   def change: String; def dvFile: Option[String]
+  /** Applicable equality-delete sidecars: (key column, sidecar path) for
+    * every pending entry NEWER than this file's commit sequence. */
+  def eqDels: Seq[(String, String)]
 }
 
 case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int,
-    change: String = null, dvFile: Option[String] = None)
+    change: String = null, dvFile: Option[String] = None,
+    eqDels: Seq[(String, String)] = Nil)
     extends GraftSplit
 
 /** A split carrying its file's PARTITION KEY ([[HasPartitionKey]]) — what
@@ -2855,7 +3210,8 @@ case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int,
   * common partition column; the key is rebuilt per call from its string
   * form (the method runs driver-side during planning). */
 case class GraftSinkKeyedFileSplit(file: String, expectedRows: Long, ncols: Int,
-    change: String, dvFile: Option[String], keyType: String, key: String)
+    change: String, dvFile: Option[String], keyType: String, key: String,
+    eqDels: Seq[(String, String)] = Nil)
     extends GraftSplit
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(keyType match {
@@ -2890,24 +3246,43 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
       case n                       => full.fieldIndex(n)
     })
     val types = required.fields.map(_.dataType)
-    new PartitionReader[InternalRow] {
+    val fileName = split.file.substring(split.file.lastIndexOf('/') + 1)
+
+    /** The deletion vector: ascending physical positions this scan must
+      * NOT emit, walked as a STREAMING cursor over the encoded sidecar —
+      * O(encoded bytes) memory (~bytes per deleted RUN, GraftDv), never
+      * an O(deleted rows) array per file. */
+    def dvCursor(): scala.collection.BufferedIterator[Long] = split.dvFile
+      .map(f => GraftDv.positions(Files.readAllBytes(Paths.get(f))))
+      .getOrElse(Iterator.empty).buffered
+
+    // EQUALITY-DELETE key filter: (layout index, type, value set) per key
+    // column — the sidecars are O(changed keys) small by construction
+    // (one CDC epoch's key set each), loaded once per (file, task). A
+    // key column RENAMED while deletes are pending fails loudly here
+    // (fieldIndex) rather than silently resurrecting rows.
+    val eqFilters: Array[(Int, DataType, java.util.HashSet[String])] =
+      split.eqDels.groupBy(_._1).toArray.map { case (colName, entries) =>
+        val li = full.fieldIndex(colName)
+        val set = new java.util.HashSet[String]()
+        entries.foreach { case (_, sc) =>
+          Files.readAllLines(Paths.get(sc), StandardCharsets.UTF_8)
+            .forEach(v => { set.add(v); () }) }
+        (li, full.fields(li).dataType, set)
+      }
+
+    if (!split.file.endsWith(".parquet")) return new PartitionReader[InternalRow] {
       private val in = Files.newBufferedReader(
         Paths.get(split.file), StandardCharsets.UTF_8)
-      // the deletion vector: ascending physical positions this scan must
-      // NOT emit, walked as a STREAMING cursor over the encoded sidecar —
-      // O(encoded bytes) memory (~bytes per deleted RUN, GraftDv), never
-      // an O(deleted rows) array per file.
-      private val dv: scala.collection.BufferedIterator[Long] = split.dvFile
-        .map(f => GraftDv.positions(Files.readAllBytes(Paths.get(f))))
-        .getOrElse(Iterator.empty).buffered
-      private val fileName =
-        split.file.substring(split.file.lastIndexOf('/') + 1)
+      private val dv = dvCursor()
       private var line: String = _
+      private var cells0: Array[String] = _ // pre-split when eqdel tested
       private var pos = -1L // physical position of the CURRENT row
       private var rows = 0L // physical rows consumed (integrity check)
       override def next(): Boolean = {
         while (true) {
           line = in.readLine()
+          cells0 = null
           if (line == null) {
             // manifest row count is the integrity record: a truncated file
             // (torn copy, partial restore) fails the scan instead of
@@ -2922,12 +3297,18 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
           }
           rows += 1; pos += 1
           if (dv.hasNext && dv.head == pos) dv.next() // deleted: skip
+          else if (eqFilters.nonEmpty && {
+            cells0 = line.split(",", -1)
+            eqFilters.exists { case (li, _, set) =>
+              li < split.ncols && cells0(li) != GraftSinkWriter.NullCell &&
+                set.contains(cells0(li)) }
+          }) () // equality-deleted: skip
           else return true
         }
         false // unreachable
       }
       override def get(): InternalRow = {
-        val cells = line.split(",", -1)
+        val cells = if (cells0 != null) cells0 else line.split(",", -1)
         if (cells.length != split.ncols) throw new IllegalStateException(
           s"graft-sink: ${split.file} line has ${cells.length} cells, file committed with ${split.ncols}")
         val values = new Array[Any](idx.length)
@@ -2942,17 +3323,142 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
             else if (idx(i) >= split.ncols || cells(idx(i)) == GraftSinkWriter.NullCell) null
             else types(i) match {
               case LongType | TimestampType => cells(idx(i)).toLong
-              case DateType   => cells(idx(i)).toInt
+              case DateType | IntegerType => cells(idx(i)).toInt
               case DoubleType => cells(idx(i)).toDouble
+              case org.apache.spark.sql.types.FloatType => cells(idx(i)).toFloat
+              case org.apache.spark.sql.types.BooleanType => cells(idx(i)).toBoolean
+              case d: org.apache.spark.sql.types.DecimalType =>
+                org.apache.spark.sql.types.Decimal(
+                  new java.math.BigDecimal(cells(idx(i))), d.precision, d.scale)
               case StringType => UTF8String.fromString(cells(idx(i)))
               case dt => throw new IllegalArgumentException(
-                s"graft-sink read supports long/double/string/timestamp/date, got $dt")
+                s"graft-sink(csv) read cannot decode $dt")
             }
           i += 1
         }
         InternalRow.fromSeq(values.toIndexedSeq)
       }
       override def close(): Unit = in.close()
+    }
+
+    // ---- parquet file ---------------------------------------------------
+    // physical columns this read needs FROM the file: required slots whose
+    // layout position is inside the file's written width (evolution rule:
+    // a file's columns are the first ncols of the layout, by name)
+    val phys: Array[Int] = idx.zipWithIndex
+      .collect { case (li, i) if li >= 0 && li < split.ncols => i }
+    val projIdx: Map[Int, Int] = phys.zipWithIndex.toMap // required slot → proj field
+    // eqdel key columns ride the projection even when the query does not
+    // ask for them (the filter must see the key); appended AFTER the
+    // required slots so projIdx stays stable
+    val physLayout = phys.map(idx(_))
+    val eqKeyLayout: Array[Int] = eqFilters.map(_._1)
+      .filter(li => li < split.ncols && !physLayout.contains(li)).distinct
+    val eqKeyProj: Map[Int, Int] = // layout idx → proj field
+      eqFilters.map(_._1).filter(_ < split.ncols).distinct.map { li =>
+        li -> (if (physLayout.contains(li)) physLayout.indexOf(li)
+               else phys.length + eqKeyLayout.indexOf(li))
+      }.toMap
+
+    if (phys.isEmpty && eqFilters.isEmpty) {
+      // ZERO-COLUMN scan (count(*)/virtual-only): the footer's record
+      // count + the DV cursor decide everything — no row group is ever
+      // decompressed. This is the columnar-metadata payoff the CSV codec
+      // could not offer (it must stream lines to count them).
+      val physRows = GraftParquet.rowCount(Paths.get(split.file))
+      if (physRows != split.expectedRows) throw new IllegalStateException(
+        s"graft-sink: ${split.file} has $physRows rows, manifest committed ${split.expectedRows}")
+      return new PartitionReader[InternalRow] {
+        private val dv = dvCursor()
+        private var pos = -1L
+        override def next(): Boolean = {
+          while (true) {
+            pos += 1
+            if (pos >= physRows) {
+              if (dv.hasNext) throw new IllegalStateException(
+                s"graft-sink: deletion vector for ${split.file} names position " +
+                  s"${dv.head} beyond the file's $physRows physical rows")
+              return false
+            }
+            if (dv.hasNext && dv.head == pos) dv.next()
+            else return true
+          }
+          false // unreachable
+        }
+        override def get(): InternalRow = {
+          val values = new Array[Any](idx.length)
+          var i = 0
+          while (i < idx.length) {
+            values(i) =
+              if (idx(i) == -1) UTF8String.fromString(split.change)
+              else if (idx(i) == -2) UTF8String.fromString(fileName)
+              else if (idx(i) == -3) pos
+              else null // beyond the file's width: evolution NULL
+            i += 1
+          }
+          InternalRow.fromSeq(values.toIndexedSeq)
+        }
+        override def close(): Unit = ()
+      }
+    }
+
+    new PartitionReader[InternalRow] {
+      // PROJECTED read: only the requested columns' chunks are decoded.
+      // Projection is POSITIONAL against the file's own footer names —
+      // column identity here is positional (#ids column mapping: a
+      // rename changes the layout name, never the file), so the CURRENT
+      // layout name may not exist in a pre-rename file.
+      private val reader = {
+        val fileMt = GraftParquet.fileSchema(split.file)
+        if (fileMt.getFieldCount != split.ncols) throw new IllegalStateException(
+          s"graft-sink: ${split.file} has ${fileMt.getFieldCount} columns, " +
+            s"manifest committed ${split.ncols}")
+        GraftParquet.reader(split.file,
+          GraftParquet.projectPositions(fileMt,
+            (physLayout ++ eqKeyLayout).toSeq))
+      }
+      private val dv = dvCursor()
+      private var g: org.apache.parquet.example.data.Group = _
+      private var pos = -1L
+      private var rows = 0L
+      override def next(): Boolean = {
+        while (true) {
+          g = reader.read()
+          if (g == null) {
+            if (rows != split.expectedRows) throw new IllegalStateException(
+              s"graft-sink: ${split.file} has $rows rows, manifest committed ${split.expectedRows}")
+            if (dv.hasNext) throw new IllegalStateException(
+              s"graft-sink: deletion vector for ${split.file} names position " +
+                s"${dv.head} beyond the file's $rows physical rows")
+            return false
+          }
+          rows += 1; pos += 1
+          if (dv.hasNext && dv.head == pos) dv.next()
+          else if (eqFilters.nonEmpty && eqFilters.exists { case (li, dt, set) =>
+            li < split.ncols && {
+              val cell = GraftParquet.cell(g, eqKeyProj(li), dt)
+              cell != GraftSinkWriter.NullCell && set.contains(cell)
+            }
+          }) () // equality-deleted: skip
+          else return true
+        }
+        false // unreachable
+      }
+      override def get(): InternalRow = {
+        val values = new Array[Any](idx.length)
+        var i = 0
+        while (i < idx.length) {
+          values(i) =
+            if (idx(i) == -1) UTF8String.fromString(split.change)
+            else if (idx(i) == -2) UTF8String.fromString(fileName)
+            else if (idx(i) == -3) pos
+            else if (idx(i) >= split.ncols) null // evolution NULL
+            else GraftParquet.value(g, projIdx(i), types(i))
+          i += 1
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = reader.close()
     }
   }
 }
@@ -3078,7 +3584,8 @@ class GraftTableMicroBatchStream(scan: GraftSinkScan)
   override def stop(): Unit = ()
 }
 
-case class GraftSinkCommit(files: Seq[GraftFileMeta]) extends WriterCommitMessage
+case class GraftSinkCommit(files: Seq[GraftFileMeta],
+    eqDels: Seq[(String, String, Long)] = Nil) extends WriterCommitMessage
 
 class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     tag: String, expectedBase: Option[Int], evolve: Boolean,
@@ -3088,7 +3595,9 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     wapStage: Option[String] = None,
     bloomFor: Seq[String] = Nil,
     ndvFor: Seq[String] = Nil,
-    sortCol: Option[String] = None) extends BatchWrite {
+    sortCol: Option[String] = None,
+    format: String = GraftFormat.Default,
+    upsertKey: Option[String] = None) extends BatchWrite {
   /** Writer factory — resolved at JOB START on the driver, including the
     * head's CHECK constraints: every task writer enforces them per row,
     * so a violating batch aborts before any manifest commit (nothing
@@ -3097,12 +3606,13 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     new GraftSinkWriterFactory(path, schema, tag, partCol,
       GraftManifest.versions(path).lastOption
         .map(v => GraftManifest.headerFacts(path, v).checks).getOrElse(Nil),
-      bloomFor, ndvFor)
+      bloomFor, ndvFor, format, upsertKey)
 
   /** Job commit: the atomic point. Only files named by task commits enter
     * the manifest; half-written .tmp files are invisible to readers. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val metas = messages.flatMap(_.asInstanceOf[GraftSinkCommit].files)
+    val eqDels = messages.flatMap(_.asInstanceOf[GraftSinkCommit].eqDels)
     (wapStage, replaceWhere) match {
       case (Some(id), _) =>
         // STAGE, don't commit: record the head this batch planned against
@@ -3125,7 +3635,9 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
           // a truncating write DEFINES the sort layout (its sortBy, or
           // none); appends inherit the declared one
           sortSpecSet = if (truncate) Some(sortCol.filter(_ => partCol.isEmpty))
-            else None)
+            else None,
+          formatSet = Some(format),
+          newEqDels = eqDels.toSeq)
         ()
     }
   }
@@ -3160,7 +3672,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
       case None =>
         // empty table: nothing to replace, land the batch as version 1
         GraftManifest.commitMetas(path, jobMetas, schema.toDDL,
-          truncate = false, op = Some("REPLACE WHERE"))
+          truncate = false, op = Some("REPLACE WHERE"),
+          formatSet = Some(format))
         ()
       case Some(head) =>
         val layout = StructType.fromDDL(head.schemaDdl.getOrElse(
@@ -3181,22 +3694,21 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
               .getOrElse(Array.emptyLongArray)
             var exIdx = 0
             val hits = scala.collection.mutable.ArrayBuffer[Long]()
-            val in = Files.newBufferedReader(Paths.get(path, m.name),
-              StandardCharsets.UTF_8)
+            // format-generic: canonical cell rows in physical order (CSV
+            // line split or parquet group decode — one evaluator, one
+            // canonical form, see GraftParquet.cell)
+            val (cellRows, closer) =
+              GraftSinkScan.cellRows(Paths.get(path, m.name).toString, layout, m.ncols)
             try {
               var pos = -1L
-              var line = in.readLine()
-              while (line != null) {
+              while (cellRows.hasNext) {
+                val cells = cellRows.next()
                 pos += 1
                 if (exIdx < existing.length && existing(exIdx) == pos) exIdx += 1
-                else {
-                  val cells = line.split(",", -1)
-                  if (filters.forall(GraftSinkScan.rowMatches(cells, m.ncols, layout, _)))
-                    hits += pos
-                }
-                line = in.readLine()
+                else if (filters.forall(GraftSinkScan.rowMatches(cells, m.ncols, layout, _)))
+                  hits += pos
               }
-            } finally in.close()
+            } finally closer()
             if (existing.length + hits.length == m.rows) None // every row dead
             else if (hits.isEmpty) Some(m)
             else {
@@ -3210,7 +3722,7 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
         }
         try GraftManifest.commitMetas(path, kept ++ jobMetas, head.schemaDdl.get,
           truncate = true, expectedBase = Some(head.version),
-          op = Some("REPLACE WHERE"))
+          op = Some("REPLACE WHERE"), formatSet = Some(format))
         catch {
           case e: Throwable =>
             newSidecars.foreach(sc => Files.deleteIfExists(Paths.get(path, sc)))
@@ -3346,7 +3858,9 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
         .flatMap(i => schema.fields.lift(i).map(_.name)).toSeq).getOrElse(Nil)
     GraftDeltaWriterFactory(path, schema, tag, partCol,
       GraftManifest.headerFacts(path, baseVersion).checks,
-      idxCols(_.blooms.keys), idxCols(_.ndvs.keys))
+      idxCols(_.blooms.keys), idxCols(_.ndvs.keys),
+      // re-inserted rows land in the TABLE's format (header fact)
+      GraftFormat.resolve(None, path))
   }
 
   /** Job commit: merge every task's vector fragments into one final
@@ -3451,11 +3965,12 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
 case class GraftDeltaWriterFactory(path: String, schema: StructType,
     tag: String, partCol: Option[String] = None,
     checks: Seq[(String, String)] = Nil,
-    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil)
+    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
+    format: String = GraftFormat.Default)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(path, schema, partitionId, taskId, tag, partCol, checks,
-      bloomFor, ndvFor)
+      bloomFor, ndvFor, format)
 }
 
 /** Task-side delta writer: deletes accumulate (file → positions) and
@@ -3466,7 +3981,8 @@ case class GraftDeltaWriterFactory(path: String, schema: StructType,
 class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, tag: String, partCol: Option[String] = None,
     checks: Seq[(String, String)] = Nil,
-    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil)
+    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
+    format: String = GraftFormat.Default)
     extends DeltaWriter[InternalRow] {
   private var inserts: GraftSinkWriter = _
   private val dels =
@@ -3486,7 +4002,7 @@ class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
     if (inserts == null)
       inserts = new GraftSinkWriter(path, schema, partitionId, taskId,
         prefix = s"$tag-", partCol = partCol, checks = checks,
-        bloomFor = bloomFor, ndvFor = ndvFor)
+        bloomFor = bloomFor, ndvFor = ndvFor, format = format)
     inserts.write(row)
   }
 
@@ -3507,11 +4023,14 @@ class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
 
 class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
     partCol: Option[String], checks: Seq[(String, String)] = Nil,
-    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil)
+    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
+    format: String = GraftFormat.Default,
+    upsertKey: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-",
-      partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor)
+      partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor,
+      format = format, upsertKey = upsertKey)
 }
 
 /** Named (serializable) streaming factory — an anonymous class here would
@@ -3525,13 +4044,16 @@ case class GraftSinkStreamingFactory(path: String, schema: StructType,
     tag: String, versioned: Boolean = false,
     checks: Seq[(String, String)] = Nil,
     partCol: Option[String] = None,
-    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil)
+    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
+    format: String = GraftFormat.Default,
+    upsertKey: Option[String] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId,
       prefix = if (versioned) s"e$epochId-$tag-" else s"epoch-$epochId-$tag-",
-      partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor)
+      partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor,
+      format = format, upsertKey = upsertKey)
 }
 
 /** The STREAMING half of the sink: identical task-commit protocol, but job
@@ -3562,26 +4084,43 @@ case class GraftSinkStreamingFactory(path: String, schema: StructType,
   * re-delivery is sequential within one query, so check-then-commit does
   * not race itself; concurrent OTHER writers are ordinary CAS contenders. */
 class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
-    commitVersions: Boolean = false, partCol: Option[String] = None)
+    commitVersions: Boolean = false, partCol: Option[String] = None,
+    format: String = GraftFormat.Default,
+    upsertKey: Option[String] = None)
     extends StreamingWrite {
+  // upsert semantics need the versioned commit line (equality deletes are
+  // manifest facts; the legacy epoch protocol has no manifest to carry them)
+  require(upsertKey.isEmpty || commitVersions,
+    "graft-sink: streaming upsertKey requires commitVersions=true")
+  /** Head-derived write-plan facts (CHECK constraints, bloom/NDV index
+    * columns), resolved ONCE per query run — createStreamingWriterFactory
+    * fires per MICRO-BATCH, and the O(table-files) fold it used to pay
+    * there was a per-epoch driver tax on large tables (ADVICE r10). The
+    * facts are plan-time by design, exactly like a batch write's: an
+    * index column added by a concurrent commit mid-run is picked up at
+    * the next query start, the same staleness bound the batch path has. */
+  private lazy val headFactsOnce: Option[GraftManifest] =
+    if (commitVersions)
+      GraftManifest.versions(path).lastOption
+        .flatMap(v => GraftManifest.readVersion(path, Some(v)))
+    else None
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     // versioned streaming ingest into an indexed table keeps the table
     // indexed: derive bloom/NDV columns from the head snapshot's
     // per-file facts, the same rule OPTIMIZE and DML re-inserts follow
-    val head = if (commitVersions)
-      GraftManifest.versions(path).lastOption
-        .flatMap(v => GraftManifest.readVersion(path, Some(v)))
-    else None
+    val head = headFactsOnce
     def idxCols(sel: GraftFileMeta => Iterable[Int]): Seq[String] =
       head.map(_.metas.flatMap(sel).distinct.sorted
         .flatMap(i => schema.fields.lift(i).map(_.name)).toSeq).getOrElse(Nil)
     GraftSinkStreamingFactory(path, schema, tag, commitVersions,
       head.map(_.checks).getOrElse(Nil), partCol,
-      idxCols(_.blooms.keys), idxCols(_.ndvs.keys))
+      idxCols(_.blooms.keys), idxCols(_.ndvs.keys), format, upsertKey)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.flatMap(_.asInstanceOf[GraftSinkCommit].files)
+    val eqDels = messages.flatMap(_.asInstanceOf[GraftSinkCommit].eqDels)
     if (commitVersions) {
       if (ms.isEmpty) return // empty epoch: nothing to version
       val committed = GraftManifest.readVersion(path, None)
@@ -3597,7 +4136,9 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
         return
       }
       GraftManifest.commitMetas(path, ms.toSeq, schema.toDDL, truncate = false,
-        op = Some("STREAM APPEND"), txn = Some(tag -> epochId))
+        op = Some(if (upsertKey.isDefined) "STREAM UPSERT" else "STREAM APPEND"),
+        txn = Some(tag -> epochId),
+        formatSet = Some(format), newEqDels = eqDels.toSeq)
       return
     }
     val body = (ms.map(m => s"${m.name},${m.rows}") :+
@@ -3633,21 +4174,48 @@ object GraftSinkWriter {
 class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, prefix: String = "", partCol: Option[String] = None,
     checks: Seq[(String, String)] = Nil, bloomFor: Seq[String] = Nil,
-    ndvFor: Seq[String] = Nil)
+    ndvFor: Seq[String] = Nil, format: String = GraftFormat.Default,
+    upsertKey: Option[String] = None)
     extends DataWriter[InternalRow] {
   new File(path).mkdirs()
+  private val fileSuffix = GraftFormat.suffix(format) // validates the name
+  private val parquetFmt = format == GraftFormat.Parquet
+  /** UPSERT mode ([[GraftEqDel]]): this task also records every key value
+    * it writes; job commit registers the sidecar as an equality delete
+    * against all OLDER files — the O(changed keys) streaming MERGE. */
+  private val upsertIdx: Option[Int] = upsertKey.map { c =>
+    val i = scala.util.Try(schema.fieldIndex(c)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-sink: upsertKey column '$c' not in write schema ${schema.toDDL}"))
+    schema.fields(i).dataType match {
+      case LongType | StringType => i
+      case dt => throw new IllegalArgumentException(
+        s"graft-sink: upsertKey supports long/string, got $dt for '$c'")
+    }
+  }
+  private val upsertKeys = scala.collection.mutable.LinkedHashSet[String]()
   /** Columns to bloom (validated long/string at plan time; a narrower
     * pre-evolution schema simply blooms the columns it carries). */
   private val bloomIdx: Array[Int] = bloomFor
     .flatMap(c => scala.util.Try(schema.fieldIndex(c)).toOption).toArray
   private val ndvIdx: Array[Int] = ndvFor
-    .flatMap(c => scala.util.Try(schema.fieldIndex(c)).toOption).toArray
+    .flatMap(c => scala.util.Try(schema.fieldIndex(c)).toOption)
+    // `ndvFor=*` may sweep in array columns — they have no canonical cell
+    // to hash, and an empty sketch would CLAIM ~0 distinct values
+    .filter(i => GraftSinkScan.statable(schema.fields(i).dataType)).toArray
   /** Compiled CHECK constraints. A check whose column this (narrower,
     * pre-evolution) writer does not carry is trivially satisfied — the
     * column lands NULL, and NULL passes a CHECK by SQL semantics. */
   private val compiledChecks: Seq[(String, Filter)] = checks.flatMap { case (n, e) =>
     if (scala.util.Try(schema.fieldIndex(GraftCheck.columnOf(e))).isFailure) None
-    else Some(n -> GraftCheck.parse(e, schema))
+    else {
+      val dt = schema.fields(schema.fieldIndex(GraftCheck.columnOf(e))).dataType
+      require(GraftSinkScan.statable(dt),
+        s"graft-sink: CHECK '$n' constrains non-scalar column " +
+          s"'${GraftCheck.columnOf(e)}' ($dt) — row-level evaluation has no " +
+          "canonical cell for it")
+      Some(n -> GraftCheck.parse(e, schema))
+    }
   }
   // `partCol` may be a plain column (identity layout) or a bucket
   // transform, in either its option form `bucket(8,id)` (batch writes)
@@ -3669,14 +4237,27 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     }
   }
 
+  // one Group factory per task (parquet format only; lazy so CSV tasks
+  // never touch parquet classes)
+  private lazy val groupFactory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      GraftParquet.messageType(schema))
+
   /** One open output file + its running stats. */
   private final class Part(val tmp: File) {
     // Files.newBufferedWriter, NOT PrintWriter: PrintWriter swallows
     // IOExceptions, so a short write (disk full) would still let commit()
     // rename a truncated file and report the full row count in its
     // WriterCommitMessage — the manifest would lie. Here a failed write
-    // throws, the task aborts, and the commit protocol holds.
-    val out = Files.newBufferedWriter(tmp.toPath, StandardCharsets.UTF_8)
+    // throws, the task aborts, and the commit protocol holds. The parquet
+    // writer throws on IO failure too, and close() (before the rename)
+    // finalizes the footer — a truncated parquet part can never be
+    // renamed into visibility.
+    val out: java.io.BufferedWriter =
+      if (parquetFmt) null else Files.newBufferedWriter(tmp.toPath, StandardCharsets.UTF_8)
+    val pq: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] =
+      if (parquetFmt) GraftParquet.writer(tmp.toPath, schema) else null
+    def closeSink(): Unit = if (parquetFmt) pq.close() else out.close()
     var rows = 0L
     val mins = new Array[String](schema.length)
     val maxs = new Array[String](schema.length)
@@ -3695,18 +4276,20 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
   }
   private val parts = scala.collection.mutable.LinkedHashMap[String, Part]()
 
-  private def partFor(value: String): Part =
+  private def partFor(value: String): Part = {
+    // the value lands verbatim in a `#meta` manifest LINE (last field, so
+    // embedded commas are safe — newlines are not)
+    if (value.indexOf('\n') >= 0 || value.indexOf('\r') >= 0)
+      throw new IllegalArgumentException(
+        s"graft-sink: partition value may not contain a newline: '$value'")
     parts.getOrElseUpdate(value, {
       val k = parts.size
       new Part(new File(path, f"${prefix}part-$partitionId%05d-$taskId-k$k.tmp"))
     })
-
-  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
-    case LongType | TimestampType | DateType =>
-      java.lang.Long.compare(a.toLong, b.toLong)
-    case DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _          => a.compareTo(b)
   }
+
+  private def cmp(dt: DataType, a: String, b: String): Int =
+    GraftSinkScan.cmpStats(dt, a, b)
 
   override def write(row: InternalRow): Unit = {
     val cells = schema.fields.zipWithIndex.map { case (f, i) =>
@@ -3718,18 +4301,34 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         // envelope/cmp machinery covers them with zero special cases
         case TimestampType => row.getLong(i).toString
         case DateType      => row.getInt(i).toString
-        case DoubleType => row.getDouble(i).toString
+        case IntegerType   => row.getInt(i).toString
+        case DoubleType    => row.getDouble(i).toString
+        case org.apache.spark.sql.types.FloatType => row.getFloat(i).toString
+        case org.apache.spark.sql.types.BooleanType => row.getBoolean(i).toString
+        case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
+          row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
         case StringType =>
           val s = row.getUTF8String(i).toString
-          // the read path splits on the delimiter — an embedded comma or
-          // newline would silently shift every later cell; the \N
-          // sentinel must stay unambiguous
-          if (s.indexOf(',') >= 0 || s.indexOf('\n') >= 0 || s == GraftSinkWriter.NullCell)
+          // CSV cells split on the delimiter — an embedded comma or
+          // newline would silently shift every later cell. Parquet cells
+          // are typed bytes and admit arbitrary text; only the literal
+          // \N sentinel stays refused in both formats, because the
+          // canonical CELL string (stats/CHECK/row-eval surface) could
+          // not distinguish it from NULL.
+          if (!parquetFmt && (s.indexOf(',') >= 0 || s.indexOf('\n') >= 0))
             throw new IllegalArgumentException(
-              s"graft-sink cannot encode delimiter/newline/\\N in '${f.name}' value '$s'")
+              s"graft-sink(csv) cannot encode delimiter/newline in '${f.name}' value '$s'")
+          if (s == GraftSinkWriter.NullCell)
+            throw new IllegalArgumentException(
+              s"graft-sink cannot encode the \\N sentinel as a value in '${f.name}'")
           s
+        case ArrayType(et, _) if parquetFmt && GraftParquet.arrayElemOk(et) =>
+          GraftSinkWriter.NullCell // non-statable: typed bytes only, no cell
         case dt => throw new IllegalArgumentException(
-          s"graft-sink supports long/double/string/timestamp/date, got $dt for ${f.name}")
+          s"graft-sink($format) supports " +
+            (if (parquetFmt) "long/double/string/timestamp/date/int/float/boolean/decimal(<=18)/array<scalar>"
+             else "long/double/string/timestamp/date/int/float/boolean/decimal(<=18)") +
+            s", got $dt for ${f.name}")
       }
     }
     // CHECK enforcement BEFORE any byte lands: a violating row fails the
@@ -3751,9 +4350,23 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         })
       case None => partFor("")
     }
+    upsertIdx.foreach { ki =>
+      if (row.isNullAt(ki)) throw new IllegalArgumentException(
+        s"graft-sink: upsertKey '${upsertKey.get}' may not be NULL")
+      val k = cells(ki)
+      if (k.indexOf('\n') >= 0 || k.indexOf('\r') >= 0)
+        throw new IllegalArgumentException(
+          s"graft-sink: upsertKey value may not contain a newline: '$k'")
+      upsertKeys += k
+      ()
+    }
     var i = 0
     while (i < cells.length) {
-      if (cells(i) != GraftSinkWriter.NullCell) {
+      // null counts come from the ROW, not the cell: an array column's
+      // cell is always the sentinel, but its nullness is a real fact
+      // IS NULL pruning depends on
+      if (row.isNullAt(i)) p.nullCounts(i) += 1
+      else if (GraftSinkScan.statable(schema.fields(i).dataType)) {
         val dt = schema.fields(i).dataType
         if (p.mins(i) == null || cmp(dt, cells(i), p.mins(i)) < 0) p.mins(i) = cells(i)
         if (p.maxs(i) == null || cmp(dt, cells(i), p.maxs(i)) > 0) p.maxs(i) = cells(i)
@@ -3762,23 +4375,37 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
           catch { case _: ArithmeticException => p.sumOk(i) = false }
         p.bloomHashes.get(i).foreach(_ += GraftBloom.hash(cells(i)))
         p.ndvRegs.get(i).foreach(GraftHll.update(_, GraftBloom.hash(cells(i))))
-      } else p.nullCounts(i) += 1
+      }
       i += 1
     }
-    p.out.write(cells.mkString(","))
-    p.out.write("\n")
+    if (parquetFmt) p.pq.write(GraftParquet.toGroup(groupFactory, schema, row))
+    else {
+      p.out.write(cells.mkString(","))
+      p.out.write("\n")
+    }
     p.rows += 1
   }
 
-  /** Task commit: rename every .tmp → .csv; the message carries each
-    * final file with its row count, stats, and partition value. */
+  /** Task commit: rename every .tmp → its format suffix; the message
+    * carries each final file with its row count, stats, and partition
+    * value. */
   override def commit(): WriterCommitMessage = {
     val metas = parts.map { case (value, p) =>
-      p.out.close()
-      val fin = new File(path, p.tmp.getName.stripSuffix(".tmp") + ".csv")
+      p.closeSink()
+      val fin = new File(path, p.tmp.getName.stripSuffix(".tmp") + fileSuffix)
       Files.move(p.tmp.toPath, fin.toPath, StandardCopyOption.ATOMIC_MOVE)
       val stats = (0 until schema.length).flatMap { i =>
-        Option(p.mins(i)).map(mn => i -> (mn, p.maxs(i)))
+        // FREE-TEXT columns (either bound past 64 chars) report NO stats:
+        // a truncated bound would be sound for pruning but UNSOUND for
+        // the exact consumers (min/max aggregate pushdown, the
+        // metadata-delete equality proof), and a min/max envelope over
+        // prose skips nothing at any scale — bloom filters are the
+        // point-lookup index for such columns. Short strings (codes,
+        // enums, ids) keep exact stats as before.
+        Option(p.mins(i))
+          .filter(_ => schema.fields(i).dataType != StringType ||
+            (p.mins(i).length <= 64 && p.maxs(i).length <= 64))
+          .map(mn => i -> (mn, p.maxs(i)))
       }.toMap
       // Some(...) even when every count is zero: "counts KNOWN, no nulls"
       // is exactly the fact IS NULL pruning needs; None stays reserved for
@@ -3796,11 +4423,20 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
         partName.map(_ -> value), Some(nulls), None, Some(sums), blooms, ndvs)
     }.toSeq
-    GraftSinkCommit(metas)
+    // upsert mode: this task's key set lands as one equality-delete
+    // sidecar (same tmp → rename task-commit discipline as data parts)
+    val eqDels = upsertIdx.toSeq.filter(_ => upsertKeys.nonEmpty).map { _ =>
+      val name = f"${prefix}part-$partitionId%05d-$taskId.eqdel"
+      val tmp = Paths.get(path, name + ".tmp")
+      Files.write(tmp, upsertKeys.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(path, name), StandardCopyOption.ATOMIC_MOVE)
+      (upsertKey.get, name, upsertKeys.size.toLong)
+    }
+    GraftSinkCommit(metas, eqDels)
   }
 
   override def abort(): Unit = parts.values.foreach { p =>
-    try p.out.close() catch { case _: java.io.IOException => () } // best-effort
+    try p.closeSink() catch { case _: Throwable => () } // best-effort
     p.tmp.delete(); ()
   }
   override def close(): Unit = ()

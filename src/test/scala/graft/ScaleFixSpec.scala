@@ -284,9 +284,14 @@ class ScaleFixSpec extends AnyFunSuite {
   }
 
   test("vec_ann_ivf_partitioned prunes non-probed cells at the scan") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    // the index lives in the VERSIONED graft connector since round 11 —
+    // cell pruning is manifest partition pruning, asserted as the number
+    // of planned graft splits (one file per cell under the clustered
+    // write distribution)
+    import org.apache.spark.sql.execution.{SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val df = SparkEntry.queries("vec_ann_ivf_partitioned")(spark, sf001)
     df.collect()
     val root: SparkPlan = df.queryExecution.executedPlan match {
@@ -294,18 +299,19 @@ class ScaleFixSpec extends AnyFunSuite {
       case p => p
     }
     // QueryStageExec nodes are collect-leaves — recurse into their plans
-    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
-      case s: FileSourceScanExec => Seq(s)
+    def allScans(p: SparkPlan): Seq[BatchScanExec] = p.collect {
+      case s: BatchScanExec if s.scan.isInstanceOf[graft.sources.GraftSinkScan] => Seq(s)
       case q: QueryStageExec => allScans(q.plan)
     }.flatten
-    val idxScan = allScans(root).find(_.partitionFilters.nonEmpty)
+    val idxScan = allScans(root).find(
+      _.scan.asInstanceOf[graft.sources.GraftSinkScan].path.contains("ivfpart"))
     assert(idxScan.isDefined,
-      s"no partition-filtered scan found in:\n${root.toString.take(800)}")
-    val selected = idxScan.get.selectedPartitions.partitionCount
+      s"no graft index scan found in:\n${root.toString.take(800)}")
+    val selected = idxScan.get.inputRDD.getNumPartitions
     // 10 probes x nprobe=4 can touch at most 16 cells; pruning is real
-    // only if it touched FEWER than all of them
+    // only if it planned FEWER than all of them
     assert(selected > 0 && selected < 16,
-      s"partition pruning ineffective: $selected of 16 cells scanned")
+      s"partition pruning ineffective: $selected of 16 cell files planned")
   }
 
   test("etl_session_window runs the MergingSessions operator, not a window function") {

@@ -92,7 +92,10 @@ class SourceSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_spec").toString
     val df = graft.util.Tables.orders(spark, sf001)
       .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
-    df.write.format("graft-sink").option("path", dir).mode("append").save()
+    // this spec reads the committed parts back RAW as csv lines — pin the
+    // v1 line codec it asserts (the table default is parquet since r11)
+    df.write.format("graft-sink").option("format", "csv")
+      .option("path", dir).mode("append").save()
     val files = new File(dir).listFiles().map(_.getName)
     assert(files.contains("_manifest"))
     assert(!files.exists(_.endsWith(".tmp")), files.mkString(","))
@@ -159,8 +162,13 @@ class SourceSpec extends AnyFunSuite {
     val victim = java.nio.file.Paths.get(dir, m3.files.filter(_._2 > 0).head._1)
     java.nio.file.Files.write(victim, Array.empty[Byte])
     val torn = intercept[org.apache.spark.SparkException] { read(Some(3)).collect() }
-    assert(torn.getMessage.contains("manifest committed") ||
-      Option(torn.getCause).exists(_.getMessage.contains("manifest committed")))
+    // csv parts fail our own physical-row-count check ("manifest
+    // committed"); parquet parts fail even earlier — the footer itself is
+    // torn ("not a Parquet file"). Either way: loudly, never silently short.
+    def tornMsg(m: String): Boolean = m != null &&
+      (m.contains("manifest committed") || m.contains("not a Parquet file"))
+    assert(tornMsg(torn.getMessage) ||
+      Option(torn.getCause).exists(c => tornMsg(c.getMessage)))
   }
 
   test("graft-sink schema evolution: add-column append, old versions stay readable") {
@@ -226,7 +234,8 @@ class SourceSpec extends AnyFunSuite {
     val back = spark.read.format("graft-sink").option("path", dir).load()
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
     // exactly ONE data file remains on disk — the compacted one
-    val csvs = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".csv"))
+    val csvs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(graft.sources.GraftFormat.isDataFile)
     assert(csvs.length == 1, csvs.mkString(","))
     // a reader pinned to the vacuumed version fails loudly at the manifest
     val e = intercept[Exception] {
