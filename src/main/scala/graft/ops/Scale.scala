@@ -3028,6 +3028,50 @@ object Scale {
       .orderBy(col("phase"), col("event_type"), col("bucket"))
   }
 
+  /** MULTIMODAL BLOBS AS A VERSIONED BINARY COLUMN (the round-10
+    * "multimodal columns stop at the binary-file source" gap): opaque
+    * bytes land as a typed `binary` parquet cell in the versioned
+    * connector — time travel, DVs and OPTIMIZE now cover image/audio
+    * payloads, not just their metadata. Fixture blobs are the documents'
+    * UTF-8 bytes (deterministic and oracle-checkable: DuckDB's md5 over
+    * the text hashes the same bytes Spark's md5 hashes over the blob —
+    * a byte-true storage proof). One blob is DV-deleted (REQUIREd: no
+    * data file rewritten — the bytes are never copied to delete a row)
+    * and version 1 still serves it. Binary columns are non-statable
+    * (REQUIREd: no stats entry) — envelope bounds over opaque bytes
+    * prune nothing. */
+  def sinkBinaryColumn(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "blobs_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      documents(spark, sf)
+        .select(col("doc_id"), col("lang"),
+          encode(col("text"), "UTF-8").as("blob"))
+        .coalesce(2)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      spark.sql(s"DELETE FROM gsql.db.$tbl WHERE doc_id = 3")
+    }
+    val v1m = graft.sources.GraftManifest.readVersion(dir, Some(1)).get
+    val v2m = graft.sources.GraftManifest.readVersion(dir, Some(2)).get
+    require(v1m.format.contains("parquet") &&
+      v1m.metas.forall(_.name.endsWith(".parquet")),
+      "blobs must land as parquet parts")
+    require(v1m.metas.forall(m => !m.stats.contains(2) && m.stats.contains(0)),
+      "binary column must carry no stats; doc_id keeps its envelope")
+    require(v2m.metas.map(_.name) == v1m.metas.map(_.name) &&
+      v2m.metas.flatMap(_.dv).map(_._2).sum == 1L,
+      "DV delete of one blob must not rewrite any data file")
+    val v1 = spark.read.format("graft-sink")
+      .option("path", dir).option("versionAsOf", "1").load()
+    require(v1.where(col("doc_id") === 3).count() == 1L,
+      "version 1 must still serve the deleted blob")
+    spark.read.format("graft-sink").option("path", dir).load()
+      .select(col("doc_id"), col("lang"), md5(col("blob")).as("h"),
+        length(col("blob")).cast("long").as("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MULTI-TABLE ATOMIC PUBLISH (VERDICT r10 next #5): a fact+dim pair
     * must advance TOGETHER — a reader observing the new fact against the
     * old dim mis-joins. `CALL gsql.system.txn_publish(tables, ids)`
@@ -3595,6 +3639,7 @@ object Scale {
     "sink_documents_versioned" -> sinkDocumentsVersioned,
     "sink_vector_column" -> sinkVectorColumn,
     "sql_txn_publish" -> sqlTxnPublish,
+    "sink_binary_column" -> sinkBinaryColumn,
     "sink_delete_metadata_only" -> sinkDeleteMetadataOnly,
     "sink_null_stats_skip" -> sinkNullStatsSkip,
     "sink_zorder_optimize" -> sinkZorderOptimize,
@@ -3688,6 +3733,12 @@ object Scale {
         |  md5(body) AS h, CAST(length(body) AS BIGINT) AS n
         |FROM d
         |ORDER BY version, doc_id""".stripMargin,
+
+    "sink_binary_column" ->
+      """SELECT doc_id, lang, md5(text) AS h,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id <> 3
+        |ORDER BY doc_id""".stripMargin,
 
     "sql_txn_publish" ->
       """WITH f AS (

@@ -60,7 +60,7 @@ object GraftParquet {
   /** True when the connector can encode `dt` in a parquet data file. */
   def supported(dt: DataType): Boolean = dt match {
     case LongType | DoubleType | StringType | TimestampType | DateType |
-         IntegerType | FloatType | BooleanType => true
+         IntegerType | FloatType | BooleanType | BinaryType => true
     case d: DecimalType => d.precision <= 18
     case ArrayType(et, _) => arrayElemOk(et)
     case _ => false
@@ -76,6 +76,7 @@ object GraftParquet {
       case BooleanType => prim(PrimitiveTypeName.BOOLEAN).named(name)
       case StringType => prim(PrimitiveTypeName.BINARY)
         .as(LogicalTypeAnnotation.stringType()).named(name)
+      case BinaryType => prim(PrimitiveTypeName.BINARY).named(name)
       case TimestampType => prim(PrimitiveTypeName.INT64)
         .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
         .named(name)
@@ -130,6 +131,8 @@ object GraftParquet {
         case BooleanType              => g.add(i, row.getBoolean(i))
         case StringType =>
           g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case BinaryType =>
+          g.add(i, Binary.fromConstantByteArray(row.getBinary(i)))
         case d: DecimalType =>
           g.add(i, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
         case ArrayType(et, _) =>
@@ -208,6 +211,7 @@ object GraftParquet {
       case FloatType                => g.getFloat(j, 0)
       case BooleanType              => g.getBoolean(j, 0)
       case StringType => UTF8String.fromBytes(g.getBinary(j, 0).getBytes)
+      case BinaryType => g.getBinary(j, 0).getBytes
       case d: DecimalType =>
         Decimal.createUnsafe(g.getLong(j, 0), d.precision, d.scale)
       case ArrayType(et, _) =>
@@ -254,7 +258,7 @@ object GraftParquet {
       case StringType               => g.getBinary(j, 0).toStringUsingUTF8
       case d: DecimalType =>
         java.math.BigDecimal.valueOf(g.getLong(j, 0), d.scale).toPlainString
-      case _: ArrayType             => GraftSinkWriter.NullCell
+      case _: ArrayType | BinaryType => GraftSinkWriter.NullCell
       case other => throw new IllegalArgumentException(
         s"graft-sink parquet cannot decode $other")
     }

@@ -4324,9 +4324,11 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
           s
         case ArrayType(et, _) if parquetFmt && GraftParquet.arrayElemOk(et) =>
           GraftSinkWriter.NullCell // non-statable: typed bytes only, no cell
+        case org.apache.spark.sql.types.BinaryType if parquetFmt =>
+          GraftSinkWriter.NullCell // multimodal blobs: typed bytes, no cell
         case dt => throw new IllegalArgumentException(
           s"graft-sink($format) supports " +
-            (if (parquetFmt) "long/double/string/timestamp/date/int/float/boolean/decimal(<=18)/array<scalar>"
+            (if (parquetFmt) "long/double/string/timestamp/date/int/float/boolean/decimal(<=18)/binary/array<scalar>"
              else "long/double/string/timestamp/date/int/float/boolean/decimal(<=18)") +
             s", got $dt for ${f.name}")
       }

@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Evidence generator for the round-11 data-file codec swap: the SAME
+  * table written through the graft connector with `format=csv` (the v1
+  * line codec) and `format=parquet` (the round-11 default), then measured
+  * on the four axes that decide the 100 TB IO bill:
+  *  - bytes at rest (zstd columnar vs uncompressed text),
+  *  - full-scan aggregate (whole-row decode),
+  *  - 2-of-4-column projected aggregate (column pruning reaching the
+  *    file: parquet decodes 2 column chunks; csv must split every line),
+  *  - count() (parquet answers from footers + manifest; csv streams
+  *    every line).
+  * Run: `sbt "runMain graft.tools.FormatScaleDemo [rows]"` (default 2M).
+  * Numbers land in DECISIONS.md / BASELINE.md per round. */
+object FormatScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // 4 columns: key, metric, and a ~64-char text payload (comma-free so
+    // the v1 codec can hold it — the comparison is IO, not delimiters)
+    val df = spark.range(rows).select(
+      col("id"),
+      (col("id") % 1000).as("k"),
+      (col("id") % 97 * 13 % 1000).cast("double").as("v"),
+      concat(md5(col("id").cast("string")),
+        md5((col("id") + 1).cast("string"))).as("txt"))
+    df.localCheckpoint() // build cost out of the write timing
+    def time[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def bytes(dir: String): Long =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => graft.sources.GraftFormat.isDataFile(f.getName))
+        .map(_.length()).sum
+    Seq("csv", "parquet").foreach { fmt =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_fmt_$fmt").toString
+      val (_, wSec) = time {
+        df.write.format("graft-sink").option("path", dir)
+          .option("format", fmt).mode("overwrite").save()
+      }
+      val rd = spark.read.format("graft-sink").option("path", dir)
+      val (_, fullSec) = time {
+        rd.load().agg(sum(length(col("txt"))), sum(col("v")), max(col("id"))).collect()
+      }
+      val (_, projSec) = time {
+        rd.load().groupBy(col("k")).agg(sum(col("v"))).count()
+      }
+      // a WHERE forces a real (non-pushdown) count through the reader
+      val (_, cntSec) = time { rd.load().where(col("id") >= 0).count() }
+      println(f"format=$fmt%-8s rows=$rows bytes=${bytes(dir)}%12d " +
+        f"write=$wSec%6.2fs fullScan=$fullSec%6.2fs projScan=$projSec%6.2fs " +
+        f"count=$cntSec%6.2fs")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    spark.stop()
+  }
+}
