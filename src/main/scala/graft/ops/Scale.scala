@@ -3028,6 +3028,62 @@ object Scale {
       .orderBy(col("phase"), col("event_type"), col("bucket"))
   }
 
+  /** THE WIDENED SCALAR SURFACE THROUGH BOTH CODECS (round-11 type
+    * coverage): int / float / boolean / decimal(12,2) columns written
+    * through the connector as BOTH `format=csv` (text cells) and
+    * `format=parquet` (typed chunks), read back and unioned under a
+    * `fmt` tag — one oracle proves the two codecs agree with each other
+    * AND with DuckDB. REQUIREd: every scalar column carries exact
+    * min/max stats in both manifests (the widened cmp/canon machinery),
+    * and an int-column range probe prunes files in the parquet table.
+    * Decimal stays decimal AT REST; the comparable output carries exact
+    * cents (decimal×100 as BIGINT — Shapes bans decimal outputs, not
+    * decimal storage). */
+  def sinkScalarTypes(spark: SparkSession, sf: String): DataFrame = {
+    def src: DataFrame = events(spark, sf).select(
+      col("event_id"),
+      col("user_id").cast("int").as("i32"),
+      col("value").cast("float").as("f32"),
+      (col("user_id") % 2 === 0).as("flag"),
+      col("value").cast("decimal(12,2)").as("dec"))
+    def dirFor(fmt: String): String = {
+      val dir = tmpDir(s"ttscalar_$fmt", sf)
+      graft.util.Scratch.once(dir) {
+        src.repartition(4)
+          .write.format("graft-sink").option("path", dir)
+          .option("format", fmt).option("sortBy", "event_id")
+          .option("writePartitions", "4").option("distributionStrict", "true")
+          .mode("overwrite").save()
+      }
+      dir
+    }
+    val dirs = Seq("csv", "parquet").map(f => f -> dirFor(f))
+    dirs.foreach { case (fmt, dir) =>
+      val head = graft.sources.GraftManifest.readVersion(dir, None).get
+      require(head.format.contains(fmt), s"$dir must record #format=$fmt")
+      (0 to 4).foreach { i =>
+        require(head.metas.forall(_.stats.contains(i)),
+          s"$fmt: scalar column $i must carry exact stats") }
+    }
+    // range pruning on the clustered long key still works over the new
+    // scalar columns' presence (disjoint envelopes from the sorted write)
+    val pq = spark.read.format("graft-sink").option("path", dirs(1)._2).load()
+    val hi = pq.agg(min(col("event_id"))).collect().head.getLong(0) + 10
+    val probe = pq.where(col("event_id") <= hi)
+    require(probe.rdd.getNumPartitions == 1,
+      s"disjoint envelopes must prune the range probe to 1 of 4 files")
+    dirs.map { case (fmt, dir) =>
+      spark.read.format("graft-sink").option("path", dir).load()
+        .select(lit(fmt).as("fmt"), col("event_id"),
+          col("i32").cast("long").as("i32"),
+          // float: exact bit-value comparison via double widening
+          col("f32").cast("double").as("f32"),
+          col("flag"),
+          (col("dec") * 100).cast("long").as("dec_cents"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("fmt"), col("event_id"))
+  }
+
   /** MULTIMODAL BLOBS AS A VERSIONED BINARY COLUMN (the round-10
     * "multimodal columns stop at the binary-file source" gap): opaque
     * bytes land as a typed `binary` parquet cell in the versioned
@@ -3640,6 +3696,7 @@ object Scale {
     "sink_vector_column" -> sinkVectorColumn,
     "sql_txn_publish" -> sqlTxnPublish,
     "sink_binary_column" -> sinkBinaryColumn,
+    "sink_scalar_types" -> sinkScalarTypes,
     "sink_delete_metadata_only" -> sinkDeleteMetadataOnly,
     "sink_null_stats_skip" -> sinkNullStatsSkip,
     "sink_zorder_optimize" -> sinkZorderOptimize,
@@ -3733,6 +3790,18 @@ object Scale {
         |  md5(body) AS h, CAST(length(body) AS BIGINT) AS n
         |FROM d
         |ORDER BY version, doc_id""".stripMargin,
+
+    "sink_scalar_types" ->
+      """WITH s AS (
+        |  SELECT event_id, CAST(CAST(user_id AS INTEGER) AS BIGINT) AS i32,
+        |    CAST(CAST(value AS REAL) AS DOUBLE) AS f32,
+        |    (user_id % 2 = 0) AS flag,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS dec_cents
+        |  FROM events)
+        |SELECT 'csv' AS fmt, * FROM s
+        |UNION ALL
+        |SELECT 'parquet' AS fmt, * FROM s
+        |ORDER BY fmt, event_id""".stripMargin,
 
     "sink_binary_column" ->
       """SELECT doc_id, lang, md5(text) AS h,

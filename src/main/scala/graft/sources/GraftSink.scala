@@ -3231,6 +3231,28 @@ private[sources] case class GraftSpjIdentity(col: String, isLong: Boolean)
 private[sources] case class GraftSpjBucket(n: Int, src: String)
   extends GraftSpjKey
 
+/** Executor-side cache of equality-delete sidecar key sets. A wide scan
+  * plans one split per FILE, and every split of an older file loads the
+  * same sidecars — without this, a 10 000-file scan under one pending
+  * upsert epoch re-reads the same small file 10 000 times. Sidecar
+  * part names are task-tagged and never reused, and the files are
+  * immutable once visible (tmp→rename), so path-keyed caching is sound;
+  * the crude size cap only guards pathological accumulation (sidecars
+  * are O(one epoch's keys) small by construction). */
+private[sources] object GraftEqDelCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[String]]()
+  def get(path: String): java.util.HashSet[String] = {
+    if (cache.size > 64) cache.clear()
+    cache.computeIfAbsent(path, p => {
+      val s = new java.util.HashSet[String]()
+      Files.readAllLines(Paths.get(p), StandardCharsets.UTF_8)
+        .forEach(v => { s.add(v); () })
+      s
+    })
+  }
+}
+
 class GraftSinkReaderFactory(full: StructType, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -3261,14 +3283,11 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
     // (one CDC epoch's key set each), loaded once per (file, task). A
     // key column RENAMED while deletes are pending fails loudly here
     // (fieldIndex) rather than silently resurrecting rows.
-    val eqFilters: Array[(Int, DataType, java.util.HashSet[String])] =
+    val eqFilters: Array[(Int, DataType, Seq[java.util.HashSet[String]])] =
       split.eqDels.groupBy(_._1).toArray.map { case (colName, entries) =>
         val li = full.fieldIndex(colName)
-        val set = new java.util.HashSet[String]()
-        entries.foreach { case (_, sc) =>
-          Files.readAllLines(Paths.get(sc), StandardCharsets.UTF_8)
-            .forEach(v => { set.add(v); () }) }
-        (li, full.fields(li).dataType, set)
+        (li, full.fields(li).dataType,
+          entries.map { case (_, sc) => GraftEqDelCache.get(sc) })
       }
 
     if (!split.file.endsWith(".parquet")) return new PartitionReader[InternalRow] {
@@ -3299,9 +3318,9 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
           if (dv.hasNext && dv.head == pos) dv.next() // deleted: skip
           else if (eqFilters.nonEmpty && {
             cells0 = line.split(",", -1)
-            eqFilters.exists { case (li, _, set) =>
+            eqFilters.exists { case (li, _, sets) =>
               li < split.ncols && cells0(li) != GraftSinkWriter.NullCell &&
-                set.contains(cells0(li)) }
+                sets.exists(_.contains(cells0(li))) }
           }) () // equality-deleted: skip
           else return true
         }
@@ -3434,10 +3453,10 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
           }
           rows += 1; pos += 1
           if (dv.hasNext && dv.head == pos) dv.next()
-          else if (eqFilters.nonEmpty && eqFilters.exists { case (li, dt, set) =>
+          else if (eqFilters.nonEmpty && eqFilters.exists { case (li, dt, sets) =>
             li < split.ncols && {
               val cell = GraftParquet.cell(g, eqKeyProj(li), dt)
-              cell != GraftSinkWriter.NullCell && set.contains(cell)
+              cell != GraftSinkWriter.NullCell && sets.exists(_.contains(cell))
             }
           }) () // equality-deleted: skip
           else return true

@@ -26,13 +26,25 @@ object FormatScaleDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // 4 columns: key, metric, and a ~64-char text payload (comma-free so
-    // the v1 codec can hold it — the comparison is IO, not delimiters)
+    // the v1 codec can hold it — the comparison is IO, not delimiters).
+    // Two text regimes: `hex` (md5 concat — incompressible, the
+    // conservative bound) and `prose` (word-soup like the documents
+    // fixture — what real text compresses to).
+    val words = Array("table", "scan", "merge", "window", "stream", "batch",
+      "query", "filter", "value", "column")
+    val wordCol = array(words.map(lit): _*)
+    def payload(kind: String) = kind match {
+      case "hex" => concat(md5(col("id").cast("string")),
+        md5((col("id") + 1).cast("string")))
+      case "prose" => concat_ws(" ", (0 until 10).map(j =>
+        element_at(wordCol, (pmod(col("id") * 31 + j * 7, lit(10)) + 1).cast("int"))): _*)
+    }
+    val kind = args.lift(1).getOrElse("hex")
     val df = spark.range(rows).select(
       col("id"),
       (col("id") % 1000).as("k"),
       (col("id") % 97 * 13 % 1000).cast("double").as("v"),
-      concat(md5(col("id").cast("string")),
-        md5((col("id") + 1).cast("string"))).as("txt"))
+      payload(kind).as("txt"))
     df.localCheckpoint() // build cost out of the write timing
     def time[T](body: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -58,7 +70,7 @@ object FormatScaleDemo {
       }
       // a WHERE forces a real (non-pushdown) count through the reader
       val (_, cntSec) = time { rd.load().where(col("id") >= 0).count() }
-      println(f"format=$fmt%-8s rows=$rows bytes=${bytes(dir)}%12d " +
+      println(f"format=$fmt%-8s kind=$kind%-6s rows=$rows bytes=${bytes(dir)}%12d " +
         f"write=$wSec%6.2fs fullScan=$fullSec%6.2fs projScan=$projSec%6.2fs " +
         f"count=$cntSec%6.2fs")
       def rm(f: java.io.File): Unit = {
