@@ -3254,6 +3254,44 @@ object Scale {
       .orderBy(col("version"), col("doc_id"))
   }
 
+  /** ROW-GROUP FILTER PUSHDOWN (round 11): inside the data files the
+    * manifest's file-level stats keep, the graft parquet reader hands the
+    * scan's pushed filters to parquet-mr (statistics + dictionary
+    * row-group pruning, record-level pre-filter) — the within-file
+    * skipping granularity a 1 GB production part needs. Fixture: lineitem
+    * range-clustered on l_orderkey into 4 files with deliberately tiny
+    * (64 KB) row groups, so a narrow key-range probe must materialize a
+    * few hundred records, not a file's worth. The in-closure REQUIRE pins
+    * exactly that via [[graft.sources.GraftReadStats]]; the returned rows
+    * oracle the probe's correctness against DuckDB on the raw fixture. */
+  def sinkRowgroupSkip(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("rgskip", sf)
+    graft.util.Scratch.once(dir) {
+      lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.format("graft-sink").option("path", dir)
+        .option("rowGroupBytes", "65536").mode("overwrite").save()
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    val total = head.metas.map(_.rows).sum
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    val lo = t.agg(min(col("l_orderkey"))).head.getLong(0) + 32
+    val probe = t.where(col("l_orderkey") <= lit(lo))
+    val before = graft.sources.GraftReadStats.parquetRecordsDecoded.sum()
+    val hits = probe.count()
+    val decoded = graft.sources.GraftReadStats.parquetRecordsDecoded.sum() - before
+    // the probe's answer set is ~tens of rows; row-group + record-level
+    // pushdown must keep the decode bill within a small multiple of it,
+    // far under the ~total/4 rows file-level pruning alone would pay
+    require(decoded <= hits.max(1L) * 8 + 4096 && decoded < total / 4,
+      s"row-group pushdown must bound decode: $decoded records materialized " +
+        s"for $hits hits of $total")
+    probe.orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** EMBEDDINGS AS A VERSIONED TABLE COLUMN (VERDICT r10 next #2): the
     * connector's widened type surface — `array<float>` cells in parquet
     * parts — lets the LLM-pipeline's vectors live in the SAME versioned,
@@ -3693,6 +3731,7 @@ object Scale {
     "sql_merge_into" -> sqlMergeInto,
     "sink_dv_point_delete" -> sinkDvPointDelete,
     "sink_documents_versioned" -> sinkDocumentsVersioned,
+    "sink_rowgroup_skip" -> sinkRowgroupSkip,
     "sink_vector_column" -> sinkVectorColumn,
     "sql_txn_publish" -> sqlTxnPublish,
     "sink_binary_column" -> sinkBinaryColumn,
@@ -3790,6 +3829,12 @@ object Scale {
         |  md5(body) AS h, CAST(length(body) AS BIGINT) AS n
         |FROM d
         |ORDER BY version, doc_id""".stripMargin,
+
+    "sink_rowgroup_skip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey <= (SELECT min(l_orderkey) + 32 FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "sink_scalar_types" ->
       """WITH s AS (

@@ -108,13 +108,27 @@ object GraftParquet {
   }
 
   /** Open a parquet writer on a task's `.tmp` file. Zstd: the ratio knob
-    * that turns the 100 TB scan bill into the columnar one. */
-  def writer(tmp: NioPath, schema: StructType): ParquetWriter[Group] =
-    ExampleParquetWriter.builder(new LocalOutputFile(tmp))
+    * that turns the 100 TB scan bill into the columnar one.
+    * `rowGroupBytes` (write option of the same name) sets the row-group
+    * target size — the granularity of read-side row-group skipping; the
+    * parquet default (128 MB) is right for production files, small values
+    * let tests/demos exercise multi-group files without GB fixtures. */
+  def writer(tmp: NioPath, schema: StructType,
+      rowGroupBytes: Option[Int] = None,
+      bloomCols: Seq[String] = Nil): ParquetWriter[Group] = {
+    val b = ExampleParquetWriter.builder(new LocalOutputFile(tmp))
       .withType(messageType(schema))
       .withCompressionCodec(CompressionCodecName.ZSTD)
       .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
-      .build()
+    rowGroupBytes.foreach(n => b.withRowGroupSize(n.toLong))
+    // the table's `bloomFor` columns also get PARQUET column bloom
+    // filters: at production chunk sizes the dictionary falls back to
+    // plain encoding and per-group statistics are useless on unclustered
+    // columns, so the bloom is what keeps an unsorted point probe from
+    // decompressing every row group the file-level manifest bloom let in
+    bloomCols.foreach(c => b.withBloomFilterEnabled(c, true))
+    b.build()
+  }
 
   /** Encode one InternalRow as a Group (schema = the writer's layout).
     * Null cells are simply absent (optional fields, repetition 0). */
@@ -166,12 +180,23 @@ object GraftParquet {
 
   /** Open a projected reader: only `projection`'s column chunks are
     * decoded (GroupReadSupport honors PARQUET_READ_SCHEMA) — the read
-    * side of column pruning reaching the data file. */
-  def reader(file: String, projection: MessageType): ParquetReader[Group] = {
+    * side of column pruning reaching the data file. An optional
+    * [[org.apache.parquet.filter2.compat.FilterCompat.Filter]] engages
+    * parquet-mr's own pruning ladder UNDER the manifest's file-level
+    * skipping: row groups whose column statistics (or dictionary pages)
+    * refute the predicate are never decompressed, and surviving groups
+    * are record-filtered before materialization — the within-file
+    * granularity a 1 GB production part needs (file-level stats can only
+    * skip all-or-nothing). */
+  def reader(file: String, projection: MessageType,
+      filter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] = None)
+      : ParquetReader[Group] = {
     val conf = new Configuration(baseConf)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-    ParquetReader.builder(new GroupReadSupport(), new HadoopPath(file))
-      .withConf(conf).build()
+    val b = ParquetReader.builder(new GroupReadSupport(), new HadoopPath(file))
+      .withConf(conf)
+    filter.foreach(b.withFilter)
+    b.build()
   }
 
   /** Footer-only physical row count — what a zero-column scan (count(*)
@@ -238,6 +263,130 @@ object GraftParquet {
       case other => throw new IllegalArgumentException(
         s"graft-sink parquet cannot decode $other")
     }
+  }
+
+  /** Best-effort translation of the scan's pushed v1 filters into a
+    * parquet [[FilterPredicate]] for ROW-GROUP (statistics + dictionary)
+    * skipping and record-level pre-filtering inside a surviving data file.
+    *
+    * Soundness rules:
+    *  - every translated predicate selects a SUPERSET-or-equal row set of
+    *    the SQL filter (Spark re-applies all filters residually, so extra
+    *    survivors cost only CPU, never correctness);
+    *  - a conjunct that cannot be translated is DROPPED (And keeps the
+    *    translatable side); an Or translates only if BOTH sides do;
+    *  - NOT / notEq are never emitted for values (parquet's two-valued
+    *    record evaluator keeps NULL cells under notEq, which diverges
+    *    from SQL three-valued logic) — the only notEq formed is the
+    *    well-defined `notEq(col, null)` for IsNotNull;
+    *  - a filter column must be IN THE PROJECTION (`projected`, layout
+    *    positions): parquet validates record-level filter columns against
+    *    the requested schema. Spark always projects residual-filter
+    *    columns, so this only drops conjuncts on pre-evolution files
+    *    where the column is beyond the file's width — exactly the files
+    *    file-level skipping already handles.
+    * Values go through [[GraftSinkScan.canon]], the same canonicalization
+    * every manifest-stats comparison uses (timestamp→micros, date→days).
+    * Column names bind POSITIONALLY to the file's own footer fields
+    * (`#ids` column mapping: a layout rename never touches data files). */
+  def filterPredicate(fileMt: MessageType, layout: StructType,
+      projected: Set[Int],
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    import org.apache.spark.sql.sources._
+    def bind(c: String): Option[(String, DataType)] =
+      scala.util.Try(layout.fieldIndex(c)).toOption
+        .filter(projected.contains)
+        .map(li => (fileMt.getFields.get(li).getName, layout.fields(li).dataType))
+    def cmpPred(c: String, dt: DataType, op: String, v: Any): Option[FilterPredicate] = {
+      if (v == null) return None
+      def pick[T <: Comparable[T], C <: org.apache.parquet.filter2.predicate.Operators.Column[T]
+          with org.apache.parquet.filter2.predicate.Operators.SupportsLtGt](
+          col: C, jv: T): Option[FilterPredicate] = op match {
+        case "eq" => Some(FilterApi.eq(col, jv))
+        case "gt" => Some(FilterApi.gt(col, jv))
+        case "ge" => Some(FilterApi.gtEq(col, jv))
+        case "lt" => Some(FilterApi.lt(col, jv))
+        case "le" => Some(FilterApi.ltEq(col, jv))
+        case _    => None
+      }
+      dt match {
+        case LongType | TimestampType =>
+          pick(FilterApi.longColumn(c),
+            java.lang.Long.valueOf(GraftSinkScan.canon(dt, v).toLong))
+        case DateType | IntegerType =>
+          pick(FilterApi.intColumn(c),
+            java.lang.Integer.valueOf(GraftSinkScan.canon(dt, v).toInt))
+        case DoubleType => v match {
+          case d: java.lang.Double => pick(FilterApi.doubleColumn(c), d)
+          case _ => None
+        }
+        case FloatType => v match {
+          case f: java.lang.Float => pick(FilterApi.floatColumn(c), f)
+          case _ => None
+        }
+        case StringType =>
+          pick(FilterApi.binaryColumn(c), Binary.fromString(v.toString))
+        case BooleanType if op == "eq" => v match {
+          case b: java.lang.Boolean => Some(FilterApi.eq(FilterApi.booleanColumn(c), b))
+          case _ => None
+        }
+        case _ => None // decimal/binary/array: out of scope, stay residual
+      }
+    }
+    def nullPred(c: String, dt: DataType, isNull: Boolean): Option[FilterPredicate] = {
+      def mk[T <: Comparable[T], C <: org.apache.parquet.filter2.predicate.Operators.Column[T]
+          with org.apache.parquet.filter2.predicate.Operators.SupportsEqNotEq](
+          col: C): FilterPredicate =
+        if (isNull) FilterApi.eq(col, null.asInstanceOf[T])
+        else FilterApi.notEq(col, null.asInstanceOf[T])
+      import org.apache.parquet.filter2.predicate.Operators
+      dt match {
+        case LongType | TimestampType =>
+          Some(mk[java.lang.Long, Operators.LongColumn](FilterApi.longColumn(c)))
+        case DateType | IntegerType =>
+          Some(mk[java.lang.Integer, Operators.IntColumn](FilterApi.intColumn(c)))
+        case DoubleType =>
+          Some(mk[java.lang.Double, Operators.DoubleColumn](FilterApi.doubleColumn(c)))
+        case FloatType =>
+          Some(mk[java.lang.Float, Operators.FloatColumn](FilterApi.floatColumn(c)))
+        case BooleanType =>
+          Some(mk[java.lang.Boolean, Operators.BooleanColumn](FilterApi.booleanColumn(c)))
+        case StringType =>
+          Some(mk[Binary, Operators.BinaryColumn](FilterApi.binaryColumn(c)))
+        case _ => None
+      }
+    }
+    def tr(f: Filter): Option[FilterPredicate] = f match {
+      case And(l, r) => (tr(l), tr(r)) match {
+        case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+        case (a, b) => a.orElse(b) // keep the translatable conjunct
+      }
+      case Or(l, r) => for { a <- tr(l); b <- tr(r) } yield FilterApi.or(a, b)
+      case EqualTo(c, v) => bind(c).flatMap { case (n, dt) => cmpPred(n, dt, "eq", v) }
+      case EqualNullSafe(c, null) =>
+        bind(c).flatMap { case (n, dt) => nullPred(n, dt, isNull = true) }
+      case EqualNullSafe(c, v) =>
+        bind(c).flatMap { case (n, dt) => cmpPred(n, dt, "eq", v) }
+      case GreaterThan(c, v) => bind(c).flatMap { case (n, dt) => cmpPred(n, dt, "gt", v) }
+      case GreaterThanOrEqual(c, v) =>
+        bind(c).flatMap { case (n, dt) => cmpPred(n, dt, "ge", v) }
+      case LessThan(c, v) => bind(c).flatMap { case (n, dt) => cmpPred(n, dt, "lt", v) }
+      case LessThanOrEqual(c, v) =>
+        bind(c).flatMap { case (n, dt) => cmpPred(n, dt, "le", v) }
+      case In(c, vs) => bind(c).flatMap { case (n, dt) =>
+        // null members never MATCH a row (SQL In yields unknown→dropped),
+        // so eliding them keeps the superset rule; cap the or-chain width
+        val ps = vs.toSeq.filter(_ != null).map(v => cmpPred(n, dt, "eq", v))
+        if (ps.isEmpty || ps.size > 20 || ps.exists(_.isEmpty)) None
+        else Some(ps.flatten.reduce(FilterApi.or))
+      }
+      case IsNull(c)    => bind(c).flatMap { case (n, dt) => nullPred(n, dt, isNull = true) }
+      case IsNotNull(c) => bind(c).flatMap { case (n, dt) => nullPred(n, dt, isNull = false) }
+      case _ => None
+    }
+    filters.flatMap(tr(_)).reduceOption(FilterApi.and)
   }
 
   /** Canonical CELL string of a projected Group field — byte-identical to

@@ -2078,11 +2078,16 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
           require(!truncating && replaceWhere.isEmpty && wapStage.isEmpty,
             "graft-sink: upsertKey is append-only (no overwrite/replaceWhere/wapStage)")
         }
+        // row-group size override (`rowGroupBytes=<n>`): the write-side
+        // granularity knob of the reader's row-group skipping
+        private val rowGroupBytes =
+          Option(opts.get("rowGroupBytes")).filter(_.nonEmpty).map(_.toInt)
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
             expectedBase, evolve, partCol, opLabel, replaceWhere,
             wapStage = wapStage, bloomFor = bloomFor, ndvFor = ndvFor,
-            sortCol = sortCol, format = fileFormat, upsertKey = upsertKeyOpt)
+            sortCol = sortCol, format = fileFormat, upsertKey = upsertKeyOpt,
+            rowGroupBytes = rowGroupBytes)
         override def toStreaming: StreamingWrite =
           // partCol includes the declared-spec default: a streaming
           // ingest into a PARTITIONED BY table conforms like any batch
@@ -2810,7 +2815,7 @@ case class GraftSinkScan(path: String, version: Option[Int],
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSinkReaderFactory(full, required)
+    new GraftSinkReaderFactory(full, required, filters)
 }
 
 object GraftSinkScan {
@@ -3239,6 +3244,15 @@ private[sources] case class GraftSpjBucket(n: Int, src: String)
   * immutable once visible (tmp→rename), so path-keyed caching is sound;
   * the crude size cap only guards pathological accumulation (sidecars
   * are O(one epoch's keys) small by construction). */
+/** JVM-wide observability counter: parquet data-file records actually
+  * MATERIALIZED by graft scans (records inside skipped row groups, or
+  * dropped by parquet's record-level filter, are never counted). What the
+  * row-group-pushdown spec/demo measures — in local[32] all executors
+  * share the JVM, so a delta across a query is the query's decode bill. */
+object GraftReadStats {
+  val parquetRecordsDecoded = new java.util.concurrent.atomic.LongAdder
+}
+
 private[sources] object GraftEqDelCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[String]]()
@@ -3253,7 +3267,8 @@ private[sources] object GraftEqDelCache {
   }
 }
 
-class GraftSinkReaderFactory(full: StructType, required: StructType)
+class GraftSinkReaderFactory(full: StructType, required: StructType,
+    pushed: Seq[Filter] = Nil)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val split = p.asInstanceOf[GraftSplit]
@@ -3421,21 +3436,35 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
       }
     }
 
+    val fileMt = GraftParquet.fileSchema(split.file)
+    if (fileMt.getFieldCount != split.ncols) throw new IllegalStateException(
+      s"graft-sink: ${split.file} has ${fileMt.getFieldCount} columns, " +
+        s"manifest committed ${split.ncols}")
+    // ROW-GROUP FILTER PUSHDOWN: inside a file the manifest's stats kept,
+    // parquet's own statistics/dictionary pruning skips row groups and
+    // pre-filters records — the within-file granularity a 1 GB production
+    // part needs (file-level skipping is all-or-nothing). Engaged ONLY
+    // when row POSITIONS don't matter: a deletion vector or a requested
+    // `_pos` keys rows by physical position, and equality deletes probe
+    // every physical row — a skipped row group would silently break all
+    // three. Filtered reads also forgo the manifest-row-count integrity
+    // check (a pruned read cannot count the file).
+    val rgFilter =
+      if (split.dvFile.nonEmpty || split.eqDels.nonEmpty ||
+          idx.contains(-3) || pushed.isEmpty) None
+      else GraftParquet.filterPredicate(fileMt, full, physLayout.toSet, pushed)
+
     new PartitionReader[InternalRow] {
       // PROJECTED read: only the requested columns' chunks are decoded.
       // Projection is POSITIONAL against the file's own footer names —
       // column identity here is positional (#ids column mapping: a
       // rename changes the layout name, never the file), so the CURRENT
       // layout name may not exist in a pre-rename file.
-      private val reader = {
-        val fileMt = GraftParquet.fileSchema(split.file)
-        if (fileMt.getFieldCount != split.ncols) throw new IllegalStateException(
-          s"graft-sink: ${split.file} has ${fileMt.getFieldCount} columns, " +
-            s"manifest committed ${split.ncols}")
+      private val reader =
         GraftParquet.reader(split.file,
           GraftParquet.projectPositions(fileMt,
-            (physLayout ++ eqKeyLayout).toSeq))
-      }
+            (physLayout ++ eqKeyLayout).toSeq),
+          rgFilter.map(org.apache.parquet.filter2.compat.FilterCompat.get))
       private val dv = dvCursor()
       private var g: org.apache.parquet.example.data.Group = _
       private var pos = -1L
@@ -3444,7 +3473,8 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
         while (true) {
           g = reader.read()
           if (g == null) {
-            if (rows != split.expectedRows) throw new IllegalStateException(
+            if (rgFilter.isEmpty && rows != split.expectedRows)
+              throw new IllegalStateException(
               s"graft-sink: ${split.file} has $rows rows, manifest committed ${split.expectedRows}")
             if (dv.hasNext) throw new IllegalStateException(
               s"graft-sink: deletion vector for ${split.file} names position " +
@@ -3452,6 +3482,7 @@ class GraftSinkReaderFactory(full: StructType, required: StructType)
             return false
           }
           rows += 1; pos += 1
+          GraftReadStats.parquetRecordsDecoded.increment()
           if (dv.hasNext && dv.head == pos) dv.next()
           else if (eqFilters.nonEmpty && eqFilters.exists { case (li, dt, sets) =>
             li < split.ncols && {
@@ -3574,6 +3605,27 @@ class GraftTableMicroBatchStream(scan: GraftSinkScan)
             "restart the stream to pick up the new schema")
     }
     val (added, removed, _) = GraftSinkScan.diffMetas(scan.path, s, Some(e))
+    // EQUALITY DELETES: each batch applies the entries known at its END
+    // version to the files it plans (so the INITIAL (0, head] snapshot
+    // is exactly the batch read, and by induction every emitted row was
+    // filtered by everything known when it streamed). Entries ADDED
+    // mid-stream delete rows from files emitted by EARLIER batches —
+    // not representable as appends; refuse like a rewrite, with
+    // ignoreChanges as the at-least-once escape (the upserted rows still
+    // stream; the implied deletions are the consumer's to resolve by key).
+    val toEq = GraftManifest.headerFacts(scan.path, e).eqDels
+    if (s > 0) {
+      val fromEq = GraftManifest.headerFacts(scan.path, s).eqDels
+      if (toEq.toSet.diff(fromEq.toSet).nonEmpty && !ignoreChanges)
+        throw new IllegalStateException(
+          s"graft-sink stream: versions ($s, $e] at ${scan.path} register " +
+            "equality deletes against already-streamed rows, which an " +
+            "appends-only stream cannot represent — set ignoreChanges=true " +
+            "to stream only the upserted rows (at-least-once by key), or " +
+            "OPTIMIZE to materialize first")
+    }
+    def eqFor(m: GraftFileMeta): Seq[(String, String)] =
+      toEq.filter(_.v > m.seq).map(e0 => (e0.col, s"${scan.path}/${e0.sidecar}"))
     // CHANGE-FEED streaming (`readChangeFeed=true`): rewrites are part of
     // the contract — each batch emits the range's added files as 'insert'
     // rows and its dropped files as 'delete' rows (the streaming CDF a
@@ -3594,11 +3646,12 @@ class GraftTableMicroBatchStream(scan: GraftSinkScan)
     tagged
       .filter { case (m, _) => scan.filters.forall(GraftSinkScan.mayMatch(m, scan.full, _)) }
       .map { case (m, c) => GraftSinkFileSplit(s"${scan.path}/${m.name}", m.rows,
-        m.ncols, c, m.dv.map(d => s"${scan.path}/${d._1}")): InputPartition }
+        m.ncols, c, m.dv.map(d => s"${scan.path}/${d._1}"),
+        eqFor(m)): InputPartition }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSinkReaderFactory(scan.full, scan.readSchema())
+    new GraftSinkReaderFactory(scan.full, scan.readSchema(), scan.filters)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -3616,7 +3669,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     ndvFor: Seq[String] = Nil,
     sortCol: Option[String] = None,
     format: String = GraftFormat.Default,
-    upsertKey: Option[String] = None) extends BatchWrite {
+    upsertKey: Option[String] = None,
+    rowGroupBytes: Option[Int] = None) extends BatchWrite {
   /** Writer factory — resolved at JOB START on the driver, including the
     * head's CHECK constraints: every task writer enforces them per row,
     * so a violating batch aborts before any manifest commit (nothing
@@ -3625,7 +3679,7 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     new GraftSinkWriterFactory(path, schema, tag, partCol,
       GraftManifest.versions(path).lastOption
         .map(v => GraftManifest.headerFacts(path, v).checks).getOrElse(Nil),
-      bloomFor, ndvFor, format, upsertKey)
+      bloomFor, ndvFor, format, upsertKey, rowGroupBytes)
 
   /** Job commit: the atomic point. Only files named by task commits enter
     * the manifest; half-written .tmp files are invisible to readers. */
@@ -4044,12 +4098,12 @@ class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
     partCol: Option[String], checks: Seq[(String, String)] = Nil,
     bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
     format: String = GraftFormat.Default,
-    upsertKey: Option[String] = None)
+    upsertKey: Option[String] = None, rowGroupBytes: Option[Int] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-",
       partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor,
-      format = format, upsertKey = upsertKey)
+      format = format, upsertKey = upsertKey, rowGroupBytes = rowGroupBytes)
 }
 
 /** Named (serializable) streaming factory — an anonymous class here would
@@ -4194,7 +4248,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, prefix: String = "", partCol: Option[String] = None,
     checks: Seq[(String, String)] = Nil, bloomFor: Seq[String] = Nil,
     ndvFor: Seq[String] = Nil, format: String = GraftFormat.Default,
-    upsertKey: Option[String] = None)
+    upsertKey: Option[String] = None, rowGroupBytes: Option[Int] = None)
     extends DataWriter[InternalRow] {
   new File(path).mkdirs()
   private val fileSuffix = GraftFormat.suffix(format) // validates the name
@@ -4275,7 +4329,8 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     val out: java.io.BufferedWriter =
       if (parquetFmt) null else Files.newBufferedWriter(tmp.toPath, StandardCharsets.UTF_8)
     val pq: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] =
-      if (parquetFmt) GraftParquet.writer(tmp.toPath, schema) else null
+      if (parquetFmt) GraftParquet.writer(tmp.toPath, schema, rowGroupBytes,
+        bloomIdx.toSeq.map(schema.fields(_).name)) else null
     def closeSink(): Unit = if (parquetFmt) pq.close() else out.close()
     var rows = 0L
     val mins = new Array[String](schema.length)

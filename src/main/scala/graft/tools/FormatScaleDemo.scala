@@ -78,6 +78,36 @@ object FormatScaleDemo {
       }
       rm(new java.io.File(dir))
     }
+    // ROW-GROUP FILTER PUSHDOWN (round 11): ONE sorted parquet file with
+    // production-shaped 1 MB row groups; a point probe and a 1%-range
+    // probe should materialize ~their answer sets, not the file. The
+    // control is the same probes with pushdown voided by projecting
+    // `_pos` (the position gate) — full-file decode.
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fmt_rg").toString
+      df.orderBy("id").coalesce(1)
+        .write.format("graft-sink").option("path", dir)
+        .option("rowGroupBytes", (1 << 20).toString).mode("overwrite").save()
+      val rd = () => spark.read.format("graft-sink").option("path", dir).load()
+      def decoded[T](body: => T): (T, Long, Double) = {
+        val c0 = graft.sources.GraftReadStats.parquetRecordsDecoded.sum()
+        val (r, s) = time(body)
+        (r, graft.sources.GraftReadStats.parquetRecordsDecoded.sum() - c0, s)
+      }
+      val mid = rows / 2
+      val (h1, d1, s1) = decoded(rd().where(col("id") === mid).collect())
+      val (h2, d2, s2) = decoded(
+        rd().where(col("id") >= mid && col("id") < mid + rows / 100).count())
+      val (_, dc, sc) = decoded( // gate control: _pos voids pushdown
+        rd().where(col("id") === mid).select(col("id"), col("_pos")).collect())
+      println(f"rowgroup-skip kind=$kind rows=$rows point: ${h1.length} hit " +
+        f"decoded=$d1 in $s1%5.2fs | range1pct: $h2 hits decoded=$d2 in " +
+        f"$s2%5.2fs | _pos control decoded=$dc in $sc%5.2fs")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
     spark.stop()
   }
 }

@@ -85,6 +85,128 @@ class Round11Spec extends AnyFunSuite {
     assert(state() == Map(1L -> "a", 2L -> "B3", 3L -> "c", 4L -> "d"))
   }
 
+  test("table-feed stream applies eqdels at start, refuses new ones mid-stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_upsfeed").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_r11_upsfeed_chk").toString
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    import spark.implicits._
+    def upsert(rows: Seq[(Long, String)]): Unit = {
+      val seed = GraftManifest.versions(dir).isEmpty
+      val w = rows.toDF("k", "v").coalesce(1)
+        .write.format("graft-sink").option("path", dir)
+      (if (seed) w.mode("overwrite") // upsertKey is append-only; the seed is a plain write
+       else w.option("upsertKey", "k").mode("append")).save()
+    }
+    upsert(Seq(1L -> "a", 2L -> "b"))
+    upsert(Seq(2L -> "B", 3L -> "c")) // pending eqdel on k=2
+    def drain(ignore: Boolean): Unit = {
+      val r = spark.readStream.format("graft-sink").option("path", dir)
+      val q = (if (ignore) r.option("ignoreChanges", "true") else r).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(row => { out.add(row.getLong(0) -> row.getString(1)); () })
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain(ignore = false)
+    // the initial snapshot batch applies the pending eqdel: k=2 appears
+    // ONCE with the upserted value — exactly the batch-read state
+    assert(out.toArray.toSet == Set(1L -> "a", 2L -> "B", 3L -> "c"), out.toString)
+    // a NEW upsert epoch deletes an already-streamed row — refuse...
+    upsert(Seq(1L -> "A2"))
+    val e = intercept[Exception] { drain(ignore = false) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("equality deletes against already-streamed")),
+      e.toString)
+    // ...unless ignoreChanges opts into at-least-once-by-key
+    out.clear()
+    drain(ignore = true)
+    assert(out.toArray.toSet == Set(1L -> "A2"), out.toString)
+  }
+
+  test("row-group filter pushdown: engaged when safe, off under DV/_pos") {
+    import graft.sources.GraftReadStats
+    val root = java.nio.file.Files.createTempDirectory("graft_r11_rg").toString
+    spark.conf.set("spark.sql.catalog.grg", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grg.root", root)
+    val dir = s"$root/db/t"
+    import spark.implicits._
+    val n = 50000L
+    // one sorted data file, tiny row groups (32 KB → hundreds of groups)
+    spark.range(0, n, 1, 1).toDF("k")
+      .withColumn("pad", md5(col("k").cast("string")))
+      .write.format("graft-sink").option("path", dir)
+      .option("rowGroupBytes", "32768").mode("overwrite").save()
+    def decoded(body: => Array[org.apache.spark.sql.Row]): (Long, Array[org.apache.spark.sql.Row]) = {
+      val before = GraftReadStats.parquetRecordsDecoded.sum()
+      val r = body
+      (GraftReadStats.parquetRecordsDecoded.sum() - before, r)
+    }
+    def table = spark.read.format("graft-sink").option("path", dir).load()
+    // point probe: parquet's record-level filter materializes ~only the hit
+    val (d1, r1) = decoded(table.where($"k" === 12345L).collect())
+    assert(r1.map(_.getLong(0)).toSeq == Seq(12345L), r1.toSeq.toString)
+    assert(d1 < 1000L, s"point probe materialized $d1 of $n records")
+    // IN probe and range probe stay sub-linear too
+    val (d2, r2) = decoded(table.where($"k".isin(5L, 9999L)).collect())
+    assert(r2.map(_.getLong(0)).sorted.toSeq == Seq(5L, 9999L) && d2 < 1000L,
+      s"in-probe decoded $d2")
+    val (d3, r3) = decoded(table.where($"k" >= n - 1000).collect())
+    assert(r3.length == 1000 && d3 < 5000L, s"range probe decoded $d3")
+    // string equality binds the binary comparator
+    val want = table.where($"k" === 7L).select("pad").head.getString(0)
+    val (d4, r4) = decoded(table.where($"pad" === want).select("k").collect())
+    assert(r4.map(_.getLong(0)).toSeq == Seq(7L) && d4 < 1000L,
+      s"string probe decoded $d4")
+    // a deletion vector keys rows by physical position → pushdown is OFF
+    // (full materialization) and results stay DV-correct
+    spark.sql("DELETE FROM grg.db.t WHERE k = 12345")
+    val (d5, r5) = decoded(table.where($"k" === 12345L).collect())
+    assert(r5.isEmpty, "deleted row must not resurface")
+    assert(d5 > n - 5000, s"DV scan must materialize the file, decoded $d5")
+    // `_pos` projection needs physical positions → pushdown is OFF
+    val (d6, r6) = decoded(table.where($"k" === 77L).select($"k", $"_pos").collect())
+    assert(r6.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((77L, 77L)))
+    assert(d6 > n - 5000, s"_pos scan must materialize the file, decoded $d6")
+  }
+
+  test("unsorted point probe: parquet blooms ride bloomFor; decode stays bounded") {
+    import graft.sources.GraftReadStats
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_ubloom").toString
+    import spark.implicits._
+    val n = 50000L
+    // one UNSORTED file, tiny row groups: every group spans ~the full key
+    // domain so min/max stats prune nothing in-file — dictionary pages
+    // and the parquet column bloom (bloomFor now rides INTO the data
+    // file, not just the manifest) carry the point probe. 48271 is
+    // coprime to 50000, so k is a bijection of i: exactly one hit.
+    spark.range(0, n, 1, 1).toDF("i")
+      .select((col("i") * 48271L % n).as("k"), md5(col("i").cast("string")).as("pad"))
+      .write.format("graft-sink").option("path", dir)
+      .option("rowGroupBytes", "32768").option("bloomFor", "k")
+      .mode("overwrite").save()
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+      new org.apache.parquet.io.LocalInputFile(part))
+    try {
+      val blocks = pf.getFooter.getBlocks
+      assert(blocks.size() > 10, s"fixture must be multi-group, got ${blocks.size()}")
+      val kChunk = blocks.get(0).getColumns.get(0)
+      assert(kChunk.getBloomFilterOffset > 0,
+        "bloomFor column must carry a parquet bloom filter in the data file")
+    } finally pf.close()
+    val before = GraftReadStats.parquetRecordsDecoded.sum()
+    val hit = spark.read.format("graft-sink").option("path", dir).load()
+      .where($"k" === 4242L).collect()
+    val d = GraftReadStats.parquetRecordsDecoded.sum() - before
+    assert(hit.length == 1, s"bijection probe must hit once, got ${hit.length}")
+    assert(d < 2000L, s"unsorted point probe materialized $d of $n records")
+  }
+
   test("pending-txn manifests are invisible until their marker exists") {
     val dir = java.nio.file.Files.createTempDirectory("graft_r11_txn").toString
     import spark.implicits._
