@@ -1198,6 +1198,54 @@ object Scale {
       .orderBy(col("from_v"), col("change_type"), col("event_type"), col("bucket"))
   }
 
+  /** CHANGE FEED ACROSS AN UPSERT EPOCH (round 11): equality deletes
+    * render ROW-granular in the CDF instead of refusing the range. The
+    * upsert batch's rows arrive as 'insert' (its added files); the rows
+    * its entries killed in OLDER, untouched files are re-derived by
+    * scanning exactly those files under eqSel — emit ONLY rows matching
+    * the range's new entries — as 'delete' rows carrying the OLD values.
+    * Cost: O(added files + files the entries apply to), row-filtered by
+    * the O(changed keys) sidecar sets; the in-closure REQUIRE pins the
+    * plan to exactly that file set. This is the streaming-CDC downstream
+    * contract: replaying delete-then-insert onto the v1 state reproduces
+    * the head without rescanning unchanged data. */
+  def sinkChangeFeedUpsert(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("cdfups", sf)
+    def base: DataFrame = customer(spark, sf).select(
+      col("c_custkey").as("k"),
+      floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    graft.util.Scratch.once(dir) {
+      base.repartition(4).write.format("graft-sink")
+        .option("path", dir).mode("overwrite").save() // v1: 4 files
+      val maxK = base.agg(max(col("k"))).head.getLong(0)
+      base.where(col("k") % 10 === 0)
+        .select(col("k"), (col("cents") + 1).as("cents"))
+        .unionByName(base.where(col("k") % 97 === 0)
+          .select((col("k") + maxK + 1).as("k"), lit(42L).as("cents")))
+        .coalesce(1).write.format("graft-sink").option("path", dir)
+        .option("upsertKey", "k").mode("append").save() // v2: upsert epoch
+    }
+    val m = graft.sources.GraftManifest
+    val head = m.readVersion(dir, None).get
+    require(head.eqDels.nonEmpty && head.eqDels.forall(_.col == "k"),
+      s"the upsert epoch must register k equality deletes, got ${head.eqDels}")
+    val v1names = m.readVersion(dir, Some(1)).get.metas.map(_.name).toSet
+    require(v1names.subsetOf(head.metas.map(_.name).toSet) &&
+        head.metas.forall(_.dv.isEmpty),
+      "an upsert epoch must neither rewrite nor vector any v1 file")
+    val changes = spark.read.format("graft-sink").option("path", dir)
+      .option("changesFrom", "1").load()
+    // plan shape: the added upsert file(s) as 'insert' + every v1 file
+    // the entries apply to re-scanned under eqSel — nothing else
+    val addedN = head.metas.size - v1names.size
+    val planned = changes.rdd.getNumPartitions
+    require(planned == addedN + v1names.size,
+      s"upsert CDF must plan $addedN added + ${v1names.size} eqSel files, " +
+        s"planned $planned")
+    changes.select(col("_change_type").as("change"), col("k"), col("cents"))
+      .orderBy(col("change"), col("k"))
+  }
+
   /** The lakehouse surface FROM PLAIN SQL — a [[graft.sources.GraftCatalog]]
     * (DataSource V2 TableCatalog over graft-sink directories) registered in
     * the session maps `gsql.db.<t>` to `<root>/db/<t>`, and Spark's native
@@ -3775,6 +3823,7 @@ object Scale {
     "sink_time_travel" -> sinkTimeTravel,
     "sink_time_travel_ts" -> sinkTimeTravelTs,
     "sink_change_feed" -> sinkChangeFeed,
+    "sink_change_feed_upsert" -> sinkChangeFeedUpsert,
     "sql_catalog_travel" -> sqlCatalogTravel,
     "sink_restore_version" -> sinkRestoreVersion,
     "sink_compact_vacuum" -> sinkCompactVacuum,
@@ -4102,6 +4151,21 @@ object Scale {
         |SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'insert', *
         |FROM pre WHERE event_type != 'view'
         |ORDER BY from_v, change_type, event_type, bucket""".stripMargin,
+
+    "sink_change_feed_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer
+        |), ups AS (
+        |  SELECT k, cents + 1 AS cents FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k + (SELECT max(k) + 1 FROM base) AS k,
+        |    CAST(42 AS BIGINT) AS cents FROM base WHERE k % 97 = 0)
+        |SELECT * FROM (
+        |  SELECT 'insert' AS change, k, cents FROM ups
+        |  UNION ALL
+        |  SELECT 'delete' AS change, k, cents FROM base WHERE k % 10 = 0)
+        |ORDER BY change, k""".stripMargin,
 
     "sink_stats_skip" ->
       """SELECT event_type, user_id % 8 AS bucket, count(*) AS n,

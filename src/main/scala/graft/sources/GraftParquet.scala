@@ -301,6 +301,9 @@ object GraftParquet {
         .map(li => (fileMt.getFields.get(li).getName, layout.fields(li).dataType))
     def cmpPred(c: String, dt: DataType, op: String, v: Any): Option[FilterPredicate] = {
       if (v == null) return None
+      // an unexpected literal form (canon can't parse it) must degrade to
+      // no-pushdown, never fail the scan — hence the Try around the match
+      scala.util.Try {
       def pick[T <: Comparable[T], C <: org.apache.parquet.filter2.predicate.Operators.Column[T]
           with org.apache.parquet.filter2.predicate.Operators.SupportsLtGt](
           col: C, jv: T): Option[FilterPredicate] = op match {
@@ -334,6 +337,7 @@ object GraftParquet {
         }
         case _ => None // decimal/binary/array: out of scope, stay residual
       }
+      }.toOption.flatten
     }
     def nullPred(c: String, dt: DataType, isNull: Boolean): Option[FilterPredicate] = {
       def mk[T <: Comparable[T], C <: org.apache.parquet.filter2.predicate.Operators.Column[T]

@@ -2559,9 +2559,11 @@ case class GraftSinkScan(path: String, version: Option[Int],
     * partitioning report, the statistics estimate and the split plan
     * must all see ONE consistent snapshot of the manifest. */
   /** PENDING equality deletes of the pinned snapshot (populated by the
-    * same manifest read `survivors` makes; Nil in WAP/CDF modes, where
-    * eqdel-bearing snapshots refuse to plan — see planInputPartitions). */
+    * same manifest read `survivors` makes; Nil in WAP/CDF modes). */
   @volatile private var pendingEqDels: Seq[GraftEqDel] = Nil
+  /** CDF mode's entry sets, resolved by the same `survivors` planning
+    * read: (entries at range START, at range END, NEW in the range). */
+  @volatile private var cdfEq: Option[(Seq[GraftEqDel], Seq[GraftEqDel], Seq[GraftEqDel])] = None
 
   private lazy val survivors: Seq[(GraftFileMeta, String)] = {
     // staged-batch audit: the scan IS the staged increment, filters and
@@ -2574,17 +2576,31 @@ case class GraftSinkScan(path: String, version: Option[Int],
     val tagged = changesFrom match {
       case Some(fromV) =>
         val (added, removed, toV) = GraftSinkScan.diffMetas(path, fromV, version)
-        // a range that introduced EQUALITY deletes is not representable as
-        // file adds/removes (the deleted rows' files did not change) —
-        // fail loudly rather than silently omit the deletions
         val fromEq = if (fromV == 0) Nil
           else GraftManifest.headerFacts(path, fromV).eqDels
         val toEq = GraftManifest.headerFacts(path, toV).eqDels
-        if (toEq.toSet != fromEq.toSet) throw new IllegalArgumentException(
-          s"graft-sink: change feed ($fromV, $toV] crosses equality-delete " +
-            "commits, which have no file-granular rendering — OPTIMIZE the " +
-            "table to materialize them first")
-        added.map(_ -> "insert") ++ removed.map(_ -> "delete")
+        val newEq = toEq.filterNot(fromEq.toSet)
+        cdfEq = Some((fromEq, toEq, newEq))
+        // EQUALITY DELETES render ROW-granular in the change feed: an
+        // upsert epoch's rows arrive as added files ('insert', with the
+        // range-END entry set applied as skip so a key re-upserted later
+        // in the range nets correctly), and the rows its entries killed
+        // in OLDER files — files the diff says did not change — emit as
+        // 'delete' by re-scanning exactly those files under eqSel: only
+        // rows matching a NEW entry, after rows already dead at the
+        // range START (fromEq skip + the file's DV) are dropped. The
+        // scan cost is O(files the new entries apply to), row-filtered
+        // by O(changed keys) sidecar sets. Entries RETIRED inside the
+        // range (OPTIMIZE materialization) need no rendering of their
+        // own: the rewrite's remove+add files already carry the net.
+        val addedKeys = added.map(m => (m.name, m.dv)).toSet
+        val eqSelFiles =
+          if (newEq.isEmpty) Nil
+          else GraftManifest.readVersion(path, Some(toV)).get.metas
+            .filterNot(m => addedKeys((m.name, m.dv)))
+            .filter(m => newEq.exists(_.v > m.seq))
+        added.map(_ -> "insert") ++ removed.map(_ -> "delete") ++
+          eqSelFiles.map(_ -> "eqsel")
       case None =>
         val m = GraftManifest.readVersion(path, version).getOrElse(
           throw new IllegalArgumentException(
@@ -2792,9 +2808,22 @@ case class GraftSinkScan(path: String, version: Option[Int],
       if (rf.isEmpty) survivors
       else survivors.filter { case (m, _) =>
         rf.forall(GraftSinkScan.mayMatch(m, full, _)) }
-    def eqFor(m: GraftFileMeta): Seq[(String, String)] =
-      pendingEqDels.filter(_.v > m.seq)
-        .map(e => (e.col, s"$path/${e.sidecar}"))
+    def paths(es: Seq[GraftEqDel], m: GraftFileMeta): Seq[(String, String)] =
+      es.filter(_.v > m.seq).map(e => (e.col, s"$path/${e.sidecar}"))
+    // per-tag entry roles (see `survivors` CDF planning): snapshot reads
+    // skip the pinned pending set; CDF 'insert' files skip the range-END
+    // set, 'delete' (removed) files skip the range-START set, and 'eqsel'
+    // files additionally SELECT rows the range's new entries killed
+    def eqFor(m: GraftFileMeta, tag: String): Seq[(String, String)] =
+      cdfEq match {
+        case None => paths(pendingEqDels, m)
+        case Some((fromEq, toEq, _)) =>
+          paths(if (tag == "insert") toEq else fromEq, m)
+      }
+    def selFor(m: GraftFileMeta, tag: String): Seq[(String, String)] =
+      if (tag != "eqsel") Nil
+      else paths(cdfEq.map(_._3).getOrElse(Nil), m)
+    def changeOf(tag: String): String = if (tag == "eqsel") "delete" else tag
     spjKey match {
       case Some(k) =>
         val keyType = k match {
@@ -2803,14 +2832,15 @@ case class GraftSinkScan(path: String, version: Option[Int],
           case _: GraftSpjBucket          => "int"
         }
         planned.map { case (m, c) =>
-          GraftSinkKeyedFileSplit(s"$path/${m.name}", m.rows, m.ncols, c,
-            m.dv.map(d => s"$path/${d._1}"), keyType, m.partition.get._2,
-            eqFor(m)): InputPartition
+          GraftSinkKeyedFileSplit(s"$path/${m.name}", m.rows, m.ncols,
+            changeOf(c), m.dv.map(d => s"$path/${d._1}"), keyType,
+            m.partition.get._2, eqFor(m, c), selFor(m, c)): InputPartition
         }.toArray
       case None =>
         planned.map { case (m, c) =>
-          GraftSinkFileSplit(s"$path/${m.name}", m.rows, m.ncols, c,
-            m.dv.map(d => s"$path/${d._1}"), eqFor(m)): InputPartition
+          GraftSinkFileSplit(s"$path/${m.name}", m.rows, m.ncols, changeOf(c),
+            m.dv.map(d => s"$path/${d._1}"), eqFor(m, c),
+            selFor(m, c)): InputPartition
         }.toArray
     }
   }
@@ -3199,11 +3229,19 @@ sealed trait GraftSplit extends InputPartition {
   /** Applicable equality-delete sidecars: (key column, sidecar path) for
     * every pending entry NEWER than this file's commit sequence. */
   def eqDels: Seq[(String, String)]
+  /** CDF delta selection: when non-empty, the reader emits ONLY rows
+    * matching at least one of these (key column, sidecar path) key sets —
+    * the rows a change-feed range's NEW equality deletes killed in this
+    * (older, otherwise untouched) file, rendered as 'delete' change rows.
+    * Composes after dv/eqDels skipping: a row already dead at the range
+    * START must not be re-reported deleted. */
+  def eqSel: Seq[(String, String)]
 }
 
 case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int,
     change: String = null, dvFile: Option[String] = None,
-    eqDels: Seq[(String, String)] = Nil)
+    eqDels: Seq[(String, String)] = Nil,
+    eqSel: Seq[(String, String)] = Nil)
     extends GraftSplit
 
 /** A split carrying its file's PARTITION KEY ([[HasPartitionKey]]) — what
@@ -3216,7 +3254,8 @@ case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int,
   * form (the method runs driver-side during planning). */
 case class GraftSinkKeyedFileSplit(file: String, expectedRows: Long, ncols: Int,
     change: String, dvFile: Option[String], keyType: String, key: String,
-    eqDels: Seq[(String, String)] = Nil)
+    eqDels: Seq[(String, String)] = Nil,
+    eqSel: Seq[(String, String)] = Nil)
     extends GraftSplit
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(keyType match {
@@ -3304,6 +3343,14 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
         (li, full.fields(li).dataType,
           entries.map { case (_, sc) => GraftEqDelCache.get(sc) })
       }
+    // CDF delta selection (see GraftSplit.eqSel): keep ONLY rows whose key
+    // cell appears in at least one sidecar's key set
+    val selFilters: Array[(Int, DataType, Seq[java.util.HashSet[String]])] =
+      split.eqSel.groupBy(_._1).toArray.map { case (colName, entries) =>
+        val li = full.fieldIndex(colName)
+        (li, full.fields(li).dataType,
+          entries.map { case (_, sc) => GraftEqDelCache.get(sc) })
+      }
 
     if (!split.file.endsWith(".parquet")) return new PartitionReader[InternalRow] {
       private val in = Files.newBufferedReader(
@@ -3337,6 +3384,12 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
               li < split.ncols && cells0(li) != GraftSinkWriter.NullCell &&
                 sets.exists(_.contains(cells0(li))) }
           }) () // equality-deleted: skip
+          else if (selFilters.nonEmpty && {
+            if (cells0 == null) cells0 = line.split(",", -1)
+            !selFilters.exists { case (li, _, sets) =>
+              li < split.ncols && cells0(li) != GraftSinkWriter.NullCell &&
+                sets.exists(_.contains(cells0(li))) }
+          }) () // CDF delta selection: row not killed by the range — skip
           else return true
         }
         false // unreachable
@@ -3386,15 +3439,17 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
     // ask for them (the filter must see the key); appended AFTER the
     // required slots so projIdx stays stable
     val physLayout = phys.map(idx(_))
-    val eqKeyLayout: Array[Int] = eqFilters.map(_._1)
+    // eqdel-skip AND CDF-selection key columns both ride the projection
+    val keyLis: Array[Int] = (eqFilters.map(_._1) ++ selFilters.map(_._1)).distinct
+    val eqKeyLayout: Array[Int] = keyLis
       .filter(li => li < split.ncols && !physLayout.contains(li)).distinct
     val eqKeyProj: Map[Int, Int] = // layout idx → proj field
-      eqFilters.map(_._1).filter(_ < split.ncols).distinct.map { li =>
+      keyLis.filter(_ < split.ncols).map { li =>
         li -> (if (physLayout.contains(li)) physLayout.indexOf(li)
                else phys.length + eqKeyLayout.indexOf(li))
       }.toMap
 
-    if (phys.isEmpty && eqFilters.isEmpty) {
+    if (phys.isEmpty && eqFilters.isEmpty && selFilters.isEmpty) {
       // ZERO-COLUMN scan (count(*)/virtual-only): the footer's record
       // count + the DV cursor decide everything — no row group is ever
       // decompressed. This is the columnar-metadata payoff the CSV codec
@@ -3445,13 +3500,16 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
     // pre-filters records — the within-file granularity a 1 GB production
     // part needs (file-level skipping is all-or-nothing). Engaged ONLY
     // when row POSITIONS don't matter: a deletion vector or a requested
-    // `_pos` keys rows by physical position, and equality deletes probe
-    // every physical row — a skipped row group would silently break all
-    // three. Filtered reads also forgo the manifest-row-count integrity
-    // check (a pruned read cannot count the file).
+    // `_pos` keys rows by physical position, and a skipped row group
+    // would silently shift both. Equality deletes and CDF eqSel are
+    // VALUE-based and compose fine — a row the pushed filters prune was
+    // never going to be emitted (Spark re-applies them residually), and
+    // the key probes run on whatever rows survive — so a streaming-upsert
+    // table keeps its row-group pruning while entries are pending.
+    // Filtered reads forgo the manifest-row-count integrity check (a
+    // pruned read cannot count the file).
     val rgFilter =
-      if (split.dvFile.nonEmpty || split.eqDels.nonEmpty ||
-          idx.contains(-3) || pushed.isEmpty) None
+      if (split.dvFile.nonEmpty || idx.contains(-3) || pushed.isEmpty) None
       else GraftParquet.filterPredicate(fileMt, full, physLayout.toSet, pushed)
 
     new PartitionReader[InternalRow] {
@@ -3490,6 +3548,12 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
               cell != GraftSinkWriter.NullCell && sets.exists(_.contains(cell))
             }
           }) () // equality-deleted: skip
+          else if (selFilters.nonEmpty && !selFilters.exists { case (li, dt, sets) =>
+            li < split.ncols && {
+              val cell = GraftParquet.cell(g, eqKeyProj(li), dt)
+              cell != GraftSinkWriter.NullCell && sets.exists(_.contains(cell))
+            }
+          }) () // CDF delta selection: row not killed by the range — skip
           else return true
         }
         false // unreachable
@@ -3610,31 +3674,45 @@ class GraftTableMicroBatchStream(scan: GraftSinkScan)
     // is exactly the batch read, and by induction every emitted row was
     // filtered by everything known when it streamed). Entries ADDED
     // mid-stream delete rows from files emitted by EARLIER batches —
-    // not representable as appends; refuse like a rewrite, with
-    // ignoreChanges as the at-least-once escape (the upserted rows still
-    // stream; the implied deletions are the consumer's to resolve by key).
+    // not representable as appends; the PLAIN feed refuses like a
+    // rewrite (ignoreChanges = at-least-once escape: the upserted rows
+    // still stream, implied deletions are the consumer's to resolve by
+    // key), while the CHANGE FEED renders them exactly (below).
     val toEq = GraftManifest.headerFacts(scan.path, e).eqDels
-    if (s > 0) {
-      val fromEq = GraftManifest.headerFacts(scan.path, s).eqDels
-      if (toEq.toSet.diff(fromEq.toSet).nonEmpty && !ignoreChanges)
-        throw new IllegalStateException(
-          s"graft-sink stream: versions ($s, $e] at ${scan.path} register " +
-            "equality deletes against already-streamed rows, which an " +
-            "appends-only stream cannot represent — set ignoreChanges=true " +
-            "to stream only the upserted rows (at-least-once by key), or " +
-            "OPTIMIZE to materialize first")
-    }
-    def eqFor(m: GraftFileMeta): Seq[(String, String)] =
-      toEq.filter(_.v > m.seq).map(e0 => (e0.col, s"${scan.path}/${e0.sidecar}"))
+    val fromEq =
+      if (s == 0) Nil else GraftManifest.headerFacts(scan.path, s).eqDels
+    val newEq = toEq.filterNot(fromEq.toSet)
+    if (s > 0 && newEq.nonEmpty && !readChangeFeed && !ignoreChanges)
+      throw new IllegalStateException(
+        s"graft-sink stream: versions ($s, $e] at ${scan.path} register " +
+          "equality deletes against already-streamed rows, which an " +
+          "appends-only stream cannot represent — set ignoreChanges=true " +
+          "to stream only the upserted rows (at-least-once by key), " +
+          "readChangeFeed=true for exact insert/delete changes, or " +
+          "OPTIMIZE to materialize first")
+    def paths(es: Seq[GraftEqDel], m: GraftFileMeta): Seq[(String, String)] =
+      es.filter(_.v > m.seq).map(e0 => (e0.col, s"${scan.path}/${e0.sidecar}"))
     // CHANGE-FEED streaming (`readChangeFeed=true`): rewrites are part of
     // the contract — each batch emits the range's added files as 'insert'
     // rows and its dropped files as 'delete' rows (the streaming CDF a
-    // downstream materialized view consumes). Plain streaming refuses
-    // removals instead: silently re-emitting or dropping is the failure
-    // mode, ignoreChanges the documented at-least-once escape hatch.
+    // downstream materialized view consumes), and an upsert epoch's
+    // equality deletes render ROW-granular exactly like the batch CDF:
+    // older untouched files re-scan under eqSel, emitting only the rows
+    // the range's new entries killed (rows already dead at the range
+    // start are skipped first). Plain streaming refuses removals
+    // instead: silently re-emitting or dropping is the failure mode,
+    // ignoreChanges the documented at-least-once escape hatch.
     val tagged =
-      if (readChangeFeed) added.map(_ -> "insert") ++ removed.map(_ -> "delete")
-      else {
+      if (readChangeFeed) {
+        val addedKeys = added.map(m => (m.name, m.dv)).toSet
+        val eqSelFiles =
+          if (newEq.isEmpty || s == 0) Nil // batch 1 is a pure snapshot
+          else GraftManifest.readVersion(scan.path, Some(e)).get.metas
+            .filterNot(m => addedKeys((m.name, m.dv)))
+            .filter(m => newEq.exists(_.v > m.seq))
+        added.map(_ -> "insert") ++ removed.map(_ -> "delete") ++
+          eqSelFiles.map(_ -> "eqsel")
+      } else {
         if (removed.nonEmpty && !ignoreChanges) throw new IllegalStateException(
           s"graft-sink stream: versions ($s, $e] at ${scan.path} rewrite " +
             s"${removed.size} committed file(s); an appends-only stream cannot " +
@@ -3643,11 +3721,17 @@ class GraftTableMicroBatchStream(scan: GraftSinkScan)
             "insert/delete changes, or restart past the rewrite")
         added.map(_ -> null.asInstanceOf[String])
       }
+    // per-tag entry roles, matching the batch CDF: 'insert'/plain-feed
+    // files skip the range-END set; 'delete' (removed) files skip the
+    // range-START set (a row dead at s was never streamed — its removal
+    // must not re-report it); 'eqsel' files select the new entries' kills
     tagged
       .filter { case (m, _) => scan.filters.forall(GraftSinkScan.mayMatch(m, scan.full, _)) }
       .map { case (m, c) => GraftSinkFileSplit(s"${scan.path}/${m.name}", m.rows,
-        m.ncols, c, m.dv.map(d => s"${scan.path}/${d._1}"),
-        eqFor(m)): InputPartition }
+        m.ncols, if (c == "eqsel") "delete" else c,
+        m.dv.map(d => s"${scan.path}/${d._1}"),
+        paths(if (c == "insert" || c == null) toEq else fromEq, m),
+        if (c == "eqsel") paths(newEq, m) else Nil): InputPartition }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -74,6 +74,13 @@ class Round11Spec extends AnyFunSuite {
       .write.format("graft-sink").option("path", dir)
       .option("upsertKey", "k").mode("append").save()
     assert(state()(2L) == "B3")
+    // a PUSHED point probe under pending eqdels: row-group pushdown stays
+    // engaged (value-based filters compose) and the dead versions of k=2
+    // in older files must still be filtered out of the probe's survivors
+    val probed = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("k") === 2L).collect()
+    assert(probed.map(_.getString(1)).toSeq == Seq("B3"),
+      s"pushed probe must respect pending eqdels: ${probed.toSeq}")
     // OPTIMIZE (conditioned full rewrite) retires every pending entry
     val headV = GraftManifest.versions(dir).last
     spark.read.format("graft-sink").option("path", dir).load()
@@ -171,6 +178,70 @@ class Round11Spec extends AnyFunSuite {
     val (d6, r6) = decoded(table.where($"k" === 77L).select($"k", $"_pos").collect())
     assert(r6.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((77L, 77L)))
     assert(d6 > n - 5000, s"_pos scan must materialize the file, decoded $d6")
+  }
+
+  test("change-feed stream renders an upsert epoch as exact insert/delete rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_cdfups").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_r11_cdfups_chk").toString
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+    import spark.implicits._
+    def write(rows: Seq[(Long, String)], seed: Boolean): Unit = {
+      val w = rows.toDF("k", "v").coalesce(1)
+        .write.format("graft-sink").option("path", dir)
+      (if (seed) w.mode("overwrite")
+       else w.option("upsertKey", "k").mode("append")).save()
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-sink").option("path", dir)
+        .option("readChangeFeed", "true").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.select("_change_type", "k", "v").collect()
+            .foreach(r => { out.add((r.getString(0), r.getLong(1), r.getString(2))); () })
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    write(Seq(1L -> "a", 2L -> "b"), seed = true)
+    drain() // initial snapshot: inserts only
+    assert(out.toArray.toSet == Set(("insert", 1L, "a"), ("insert", 2L, "b")),
+      out.toString)
+    out.clear()
+    write(Seq(2L -> "B", 3L -> "c"), seed = false) // upsert epoch
+    drain() // exact delta: old k=2 row deleted, new rows inserted
+    assert(out.toArray.toSet == Set(
+      ("delete", 2L, "b"), ("insert", 2L, "B"), ("insert", 3L, "c")),
+      out.toString)
+  }
+
+  test("batch CDF ranges across upsert and OPTIMIZE keep eqdel-row accounting") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_cdfopt").toString
+    import spark.implicits._
+    Seq(1L -> "a", 2L -> "b").toDF("k", "v").coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    Seq(2L -> "B").toDF("k", "v").coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("upsertKey", "k").mode("append").save()
+    spark.read.format("graft-sink").option("path", dir).load()
+      .write.format("graft-sink").option("path", dir)
+      .option("expectedBaseVersion", "2")
+      .option("operation", "OPTIMIZE").mode("overwrite").save()
+    def chg(f: Int, t: Int): Set[(String, Long, String)] =
+      spark.read.format("graft-sink").option("path", dir)
+        .option("changesFrom", f.toString).option("changesTo", t.toString).load()
+        .select("_change_type", "k", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // (1,2]: the upsert epoch — row-granular delta via eqSel
+    assert(chg(1, 2) == Set(("insert", 2L, "B"), ("delete", 2L, "b")), chg(1, 2))
+    // (2,3]: the materialization — file-granular rewrite; the RETIRED
+    // entry must still be applied as skip on the removed v1 file, so the
+    // row it killed (2,b — dead since v2) is NOT re-reported deleted
+    assert(chg(2, 3) == Set(("delete", 2L, "B"), ("delete", 1L, "a"),
+      ("insert", 1L, "a"), ("insert", 2L, "B")), chg(2, 3))
+    // (1,3]: upsert + materialization compose; (2,b) deleted exactly once
+    assert(chg(1, 3) == Set(("delete", 2L, "b"), ("delete", 1L, "a"),
+      ("insert", 1L, "a"), ("insert", 2L, "B")), chg(1, 3))
   }
 
   test("unsorted point probe: parquet blooms ride bloomFor; decode stays bounded") {
