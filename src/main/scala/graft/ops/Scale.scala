@@ -1198,6 +1198,62 @@ object Scale {
       .orderBy(col("from_v"), col("change_type"), col("event_type"), col("bucket"))
   }
 
+  /** STRUCT COLUMNS IN THE VERSIONED CONNECTOR (round 11): one level of
+    * scalar-field struct nesting — the typed-metadata-record pattern a
+    * multimodal table wants next to its binary blobs (struct<codec,width,
+    * score,...> descriptors). Structs are parquet-format-only typed bytes
+    * like arrays: non-statable (REQUIREd: no stats entry; null counts
+    * still real facts), while sibling scalar columns keep their full
+    * envelope — the sorted write still prunes a point probe to 1 of 4
+    * files. Nested-field projection decodes BY NAME, so Catalyst's
+    * nested-schema pruning (a non-prefix member subset) stays correct.
+    * Oracled by flattening the members back out. */
+  def sinkStructColumn(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttstruct", sf)
+    graft.util.Scratch.once(dir) {
+      orders(spark, sf).select(col("o_orderkey").as("k"),
+        struct(col("o_orderstatus").as("status"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          to_date(col("o_orderdate")).as("d")).as("meta"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    require(head.metas.forall(m => m.stats.contains(0) && !m.stats.contains(1)),
+      s"struct column must carry no stats; k keeps its envelope")
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    val lo = t.agg(min(col("k"))).head.getLong(0)
+    val probe = t.where(col("k") === lit(lo))
+    require(probe.rdd.getNumPartitions == 1,
+      "disjoint k envelopes must prune the point probe to 1 of 4 files")
+    require(probe.count() == 1L, "the probe row must survive the pruned scan")
+    t.select(col("k"), col("meta.status").as("status"),
+        col("meta.cents").as("cents"), col("meta.d").as("d"))
+      .orderBy(col("k"))
+  }
+
+  /** MAP COLUMNS (round 11): string-keyed scalar maps — per-row tag bags
+    * / keyed counters — as parquet standard 3-level MAP groups in the
+    * versioned connector. Non-statable typed bytes like arrays/structs;
+    * the oracle probes the map back out with element_at. */
+  def sinkMapColumn(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttmap", sf)
+    graft.util.Scratch.once(dir) {
+      events(spark, sf).groupBy(col("user_id"))
+        .agg(map(lit("n"), count(lit(1)),
+          lit("cents"), sum(floor(col("value") * 100).cast("long"))).as("tags"))
+        .coalesce(2)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    require(head.metas.forall(m => m.stats.contains(0) && !m.stats.contains(1)),
+      "map column must carry no stats; user_id keeps its envelope")
+    spark.read.format("graft-sink").option("path", dir).load()
+      .select(col("user_id"), element_at(col("tags"), "n").as("n"),
+        element_at(col("tags"), "cents").as("cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** CHANGE FEED ACROSS AN UPSERT EPOCH (round 11): equality deletes
     * render ROW-granular in the CDF instead of refusing the range. The
     * upsert batch's rows arrive as 'insert' (its added files); the rows
@@ -3824,6 +3880,8 @@ object Scale {
     "sink_time_travel_ts" -> sinkTimeTravelTs,
     "sink_change_feed" -> sinkChangeFeed,
     "sink_change_feed_upsert" -> sinkChangeFeedUpsert,
+    "sink_struct_column" -> sinkStructColumn,
+    "sink_map_column" -> sinkMapColumn,
     "sql_catalog_travel" -> sqlCatalogTravel,
     "sink_restore_version" -> sinkRestoreVersion,
     "sink_compact_vacuum" -> sinkCompactVacuum,
@@ -4151,6 +4209,17 @@ object Scale {
         |SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'insert', *
         |FROM pre WHERE event_type != 'view'
         |ORDER BY from_v, change_type, event_type, bucket""".stripMargin,
+
+    "sink_struct_column" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CAST(o_orderdate AS DATE) AS d
+        |FROM orders ORDER BY k""".stripMargin,
+
+    "sink_map_column" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "sink_change_feed_upsert" ->
       """WITH base AS (

@@ -57,13 +57,32 @@ object GraftParquet {
     case _ => false
   }
 
-  /** True when the connector can encode `dt` in a parquet data file. */
-  def supported(dt: DataType): Boolean = dt match {
+  /** Scalar types a nested field (struct member) can take — everything
+    * the flat scalar surface encodes. */
+  def scalarOk(dt: DataType): Boolean = dt match {
     case LongType | DoubleType | StringType | TimestampType | DateType |
          IntegerType | FloatType | BooleanType | BinaryType => true
     case d: DecimalType => d.precision <= 18
-    case ArrayType(et, _) => arrayElemOk(et)
     case _ => false
+  }
+
+  /** One level of scalar-field struct nesting (typed metadata records —
+    * the multimodal pattern: a binary blob column next to a
+    * struct<width,height,codec,...> descriptor). */
+  def structOk(st: StructType): Boolean =
+    st.fields.nonEmpty && st.fields.forall(f => scalarOk(f.dataType))
+
+  /** String-keyed scalar maps (tag bags, per-key counters). Keys are
+    * REQUIRED by the parquet MAP spec; Spark map keys are non-null too. */
+  def mapOk(mt: MapType): Boolean =
+    mt.keyType == StringType && scalarOk(mt.valueType)
+
+  /** True when the connector can encode `dt` in a parquet data file. */
+  def supported(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => arrayElemOk(et)
+    case st: StructType   => structOk(st)
+    case mt: MapType      => mapOk(mt)
+    case _ => scalarOk(dt)
   }
 
   private def scalarType(dt: DataType, name: String, rep: Type.Repetition): Type = {
@@ -101,6 +120,15 @@ object GraftParquet {
           Types.optionalList()
             .element(scalarType(et, "element", Type.Repetition.OPTIONAL))
             .named(f.name)
+        case st: StructType if structOk(st) =>
+          st.fields.foldLeft(Types.optionalGroup()) { (b, sf) =>
+            b.addField(scalarType(sf.dataType, sf.name, Type.Repetition.OPTIONAL))
+          }.named(f.name)
+        case mt: MapType if mapOk(mt) =>
+          Types.optionalMap()
+            .key(scalarType(StringType, "key", Type.Repetition.REQUIRED))
+            .value(scalarType(mt.valueType, "value", Type.Repetition.OPTIONAL))
+            .named(f.name)
         case dt => scalarType(dt, f.name, Type.Repetition.OPTIONAL)
       }
     }
@@ -130,6 +158,27 @@ object GraftParquet {
     b.build()
   }
 
+  /** Add one non-null SCALAR value to group field `j`, reading getter
+    * slot `i` — shared by top-level columns and struct members (both
+    * InternalRow and nested-struct rows are SpecializedGetters). */
+  private def addScalar(g: Group, j: Int, dt: DataType,
+      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): Unit = dt match {
+    case LongType | TimestampType => g.add(j, row.getLong(i))
+    case DateType | IntegerType   => g.add(j, row.getInt(i))
+    case DoubleType               => g.add(j, row.getDouble(i))
+    case FloatType                => g.add(j, row.getFloat(i))
+    case BooleanType              => g.add(j, row.getBoolean(i))
+    case StringType =>
+      g.add(j, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+    case BinaryType =>
+      g.add(j, Binary.fromConstantByteArray(row.getBinary(i)))
+    case d: DecimalType =>
+      g.add(j, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+    case other => throw new IllegalArgumentException(
+      s"graft-sink parquet cannot encode $other")
+  }
+
   /** Encode one InternalRow as a Group (schema = the writer's layout).
     * Null cells are simply absent (optional fields, repetition 0). */
   def toGroup(factory: SimpleGroupFactory, schema: StructType,
@@ -138,17 +187,25 @@ object GraftParquet {
     var i = 0
     while (i < schema.length) {
       if (!row.isNullAt(i)) schema.fields(i).dataType match {
-        case LongType | TimestampType => g.add(i, row.getLong(i))
-        case DateType | IntegerType   => g.add(i, row.getInt(i))
-        case DoubleType               => g.add(i, row.getDouble(i))
-        case FloatType                => g.add(i, row.getFloat(i))
-        case BooleanType              => g.add(i, row.getBoolean(i))
-        case StringType =>
-          g.add(i, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-        case BinaryType =>
-          g.add(i, Binary.fromConstantByteArray(row.getBinary(i)))
-        case d: DecimalType =>
-          g.add(i, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+        case st: StructType =>
+          val sg = g.addGroup(i)
+          val sr = row.getStruct(i, st.length)
+          var jj = 0
+          while (jj < st.length) {
+            if (!sr.isNullAt(jj)) addScalar(sg, jj, st.fields(jj).dataType, sr, jj)
+            jj += 1
+          }
+        case mt: MapType =>
+          val mg = g.addGroup(i)
+          val m = row.getMap(i)
+          val keys = m.keyArray(); val vals = m.valueArray()
+          var k = 0
+          while (k < m.numElements()) {
+            val kv = mg.addGroup(0)
+            kv.add(0, Binary.fromConstantByteArray(keys.getUTF8String(k).getBytes))
+            if (!vals.isNullAt(k)) addScalar(kv, 1, mt.valueType, vals, k)
+            k += 1
+          }
         case ArrayType(et, _) =>
           val lg = g.addGroup(i)
           val arr = row.getArray(i)
@@ -167,8 +224,7 @@ object GraftParquet {
             }
             k += 1
           }
-        case other => throw new IllegalArgumentException(
-          s"graft-sink parquet cannot encode $other")
+        case dt => addScalar(g, i, dt, row, i)
       }
       i += 1
     }
@@ -239,6 +295,31 @@ object GraftParquet {
       case BinaryType => g.getBinary(j, 0).getBytes
       case d: DecimalType =>
         Decimal.createUnsafe(g.getLong(j, 0), d.precision, d.scale)
+      case st: StructType =>
+        // members resolve BY NAME against the group actually read: the
+        // projection always requests the whole top-level field group, but
+        // Catalyst's nested-schema pruning may hand this reader a struct
+        // type with a SUBSET of members — positional decode would silently
+        // transpose them
+        val sg = g.getGroup(j, 0)
+        val gt = sg.getType
+        InternalRow.fromSeq(st.fields.toSeq.map { sf =>
+          value(sg, gt.getFieldIndex(sf.name), sf.dataType) })
+      case mt: MapType =>
+        val mg = g.getGroup(j, 0)
+        val n = mg.getFieldRepetitionCount(0)
+        val keys = new Array[Any](n); val vals = new Array[Any](n)
+        var k = 0
+        while (k < n) {
+          val kv = mg.getGroup(0, k)
+          keys(k) = UTF8String.fromBytes(kv.getBinary(0, 0).getBytes)
+          vals(k) =
+            if (kv.getFieldRepetitionCount(1) == 0) null
+            else value(kv, 1, mt.valueType)
+          k += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new GenericArrayData(keys), new GenericArrayData(vals))
       case ArrayType(et, _) =>
         val lg = g.getGroup(j, 0)
         val n = lg.getFieldRepetitionCount(0)
@@ -411,7 +492,8 @@ object GraftParquet {
       case StringType               => g.getBinary(j, 0).toStringUsingUTF8
       case d: DecimalType =>
         java.math.BigDecimal.valueOf(g.getLong(j, 0), d.scale).toPlainString
-      case _: ArrayType | BinaryType => GraftSinkWriter.NullCell
+      case _: ArrayType | _: StructType | _: MapType | BinaryType =>
+        GraftSinkWriter.NullCell
       case other => throw new IllegalArgumentException(
         s"graft-sink parquet cannot decode $other")
     }

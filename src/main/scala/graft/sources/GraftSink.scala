@@ -4484,9 +4484,15 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
           GraftSinkWriter.NullCell // non-statable: typed bytes only, no cell
         case org.apache.spark.sql.types.BinaryType if parquetFmt =>
           GraftSinkWriter.NullCell // multimodal blobs: typed bytes, no cell
+        case st: org.apache.spark.sql.types.StructType
+            if parquetFmt && GraftParquet.structOk(st) =>
+          GraftSinkWriter.NullCell // typed metadata record: bytes, no cell
+        case mt: org.apache.spark.sql.types.MapType
+            if parquetFmt && GraftParquet.mapOk(mt) =>
+          GraftSinkWriter.NullCell // string-keyed tag bag: bytes, no cell
         case dt => throw new IllegalArgumentException(
           s"graft-sink($format) supports " +
-            (if (parquetFmt) "long/double/string/timestamp/date/int/float/boolean/decimal(<=18)/binary/array<scalar>"
+            (if (parquetFmt) "long/double/string/timestamp/date/int/float/boolean/decimal(<=18)/binary/array<scalar>/struct<scalar...>/map<string,scalar>"
              else "long/double/string/timestamp/date/int/float/boolean/decimal(<=18)") +
             s", got $dt for ${f.name}")
       }

@@ -278,6 +278,73 @@ class Round11Spec extends AnyFunSuite {
     assert(d < 2000L, s"unsorted point probe materialized $d of $n records")
   }
 
+  test("struct columns: roundtrip with nulls, nested pruning, DV delete") {
+    val root = java.nio.file.Files.createTempDirectory("graft_r11_struct").toString
+    spark.conf.set("spark.sql.catalog.gst", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gst.root", root)
+    val dir = s"$root/db/t"
+    import spark.implicits._
+    Seq(
+      (1L, Some(("png", 640, 3.5))),
+      (2L, Some((null.asInstanceOf[String], 800, 2.0))), // null member
+      (3L, None))                                        // null struct
+      .toDF("k", "meta")
+      .selectExpr("k", "named_struct('codec', meta._1, 'w', meta._2, 'score', meta._3) AS m")
+      .select(col("k"), when(col("k") === 3L, lit(null)).otherwise(col("m")).as("m"))
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    assert(head.metas.forall(m => m.stats.contains(0) && !m.stats.contains(1)),
+      "struct column must carry no stats envelope")
+    assert(head.metas.forall(_.nulls.exists(_(1) == 1L)),
+      s"struct null count is a real fact: ${head.metas.map(_.nulls)}")
+    def t = spark.read.format("graft-sink").option("path", dir).load()
+    val back = t.orderBy("k").collect()
+    assert(back.length == 3 && back(2).isNullAt(1))
+    val r1 = back(0).getStruct(1)
+    assert(r1.getString(0) == "png" && r1.getInt(1) == 640 && r1.getDouble(2) == 3.5)
+    assert(back(1).getStruct(1).isNullAt(0) && back(1).getStruct(1).getInt(1) == 800)
+    // nested-field projection (Catalyst prunes the struct type): a
+    // NON-PREFIX member subset must still decode by name
+    val pruned = t.select($"k", $"m.score").orderBy("k").collect()
+    assert(pruned(0).getDouble(1) == 3.5 && pruned(1).getDouble(1) == 2.0
+      && pruned(2).isNullAt(1), pruned.toSeq.toString)
+    // row-level DML over a struct-bearing table (DV path reads/keeps it)
+    spark.sql("DELETE FROM gst.db.t WHERE k = 2")
+    val after = t.orderBy("k").collect()
+    assert(after.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val v1 = spark.read.format("graft-sink").option("path", dir)
+      .option("versionAsOf", "1").load()
+    assert(v1.count() == 3, "time travel must still serve the pre-delete struct rows")
+  }
+
+  test("map<string,scalar> columns roundtrip with null values and empty maps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_map").toString
+    import spark.implicits._
+    Seq(
+      (1L, Map("a" -> 10L, "b" -> 20L)),
+      (2L, Map.empty[String, Long]),
+      (3L, Map("z" -> 7L)))
+      .toDF("k", "tags")
+      .select(col("k"),
+        when(col("k") === 3L, map(lit("z"), lit(null).cast("long")))
+          .otherwise(col("tags")).as("tags"))
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val back = spark.read.format("graft-sink").option("path", dir).load()
+      .orderBy("k").collect()
+    assert(back(0).getMap[String, Any](1).toString.contains("a"))
+    val m1 = back(0).getAs[Map[String, Any]]("tags")
+    assert(m1 == Map("a" -> 10L, "b" -> 20L), m1.toString)
+    assert(back(1).getAs[Map[String, Any]]("tags").isEmpty)
+    val m3 = back(2).getAs[Map[String, Any]]("tags")
+    assert(m3.keySet == Set("z") && m3("z") == null, m3.toString)
+    // map access pushes through SQL (element_at) and stays correct
+    val probed = spark.read.format("graft-sink").option("path", dir).load()
+      .select(col("k"), element_at(col("tags"), "b").as("b")).orderBy("k").collect()
+    assert(probed(0).getLong(1) == 20L && probed(1).isNullAt(1))
+  }
+
   test("pending-txn manifests are invisible until their marker exists") {
     val dir = java.nio.file.Files.createTempDirectory("graft_r11_txn").toString
     import spark.implicits._
