@@ -602,7 +602,12 @@ private[sources] class GraftCloneProcedure(cat: GraftCatalog)
     require(GraftManifest.versions(dstDir).isEmpty,
       s"graft clone: target '$dstName' already exists")
     new java.io.File(dstDir).mkdirs()
-    val names = m.metas.flatMap(mm => mm.name +: mm.dv.map(_._1).toSeq)
+    // pending EQUALITY-DELETE sidecars are part of the snapshot exactly
+    // like DV sidecars — a clone without them would resurrect the
+    // deleted rows (entry applicability keys on #seq/#eqdel version
+    // pairs, both preserved verbatim by the meta/entry carry below)
+    val names = m.metas.flatMap(mm => mm.name +: mm.dv.map(_._1).toSeq) ++
+      m.eqDels.map(_.sidecar)
     val linked = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       names.foreach { n =>
@@ -614,7 +619,11 @@ private[sources] class GraftCloneProcedure(cat: GraftCatalog)
           s"graft clone: v${m.version} at $srcDir carries no schema")),
         truncate = false, op = Some(s"CLONE $srcName v${m.version}"),
         idsOverride = m.ids, checksOverride = Some(m.checks),
-        partSpecSet = Some(m.partSpec), sortSpecSet = Some(m.sortSpec))
+        partSpecSet = Some(m.partSpec), sortSpecSet = Some(m.sortSpec),
+        // the clone's first version lands AT the source clock (#seq and
+        // #eqdel versions ride along verbatim; a v1 clone would let the
+        // target's next writes mint seqs below the imported ones)
+        eqDelsSet = Some(m.eqDels), minVersion = math.max(1, m.version))
       result(StructType.fromDDL(
         "source_version INT, files_linked INT, new_version INT"),
         m.version, names.size, nv)
@@ -729,21 +738,29 @@ private[sources] class GraftFastForwardProcedure(cat: GraftCatalog)
         s"(v$base -> v${srcHead.version}) — re-branch from the new head and replay")
     // link the branch's NEW files (and sidecars) into the source dir;
     // names already present are the clone-shared originals
-    val have = srcHead.metas.flatMap(mm => mm.name +: mm.dv.map(_._1).toSeq).toSet
+    val have = (srcHead.metas.flatMap(mm => mm.name +: mm.dv.map(_._1).toSeq) ++
+      srcHead.eqDels.map(_.sidecar)).toSet
     val linked = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
-      brHead.metas.flatMap(mm => mm.name +: mm.dv.map(_._1).toSeq)
+      (brHead.metas.flatMap(mm => mm.name +: mm.dv.map(_._1).toSeq) ++
+        brHead.eqDels.map(_.sidecar))
         .filterNot(have).foreach { n =>
           Files.createLink(Paths.get(srcDir, n), Paths.get(brDir, n))
           linked += n
         }
+      // eqDelsSet + minVersion: the branch head's PENDING equality
+      // deletes publish with it (their sidecars linked above), and the
+      // merge commit lands at or above the branch clock so the imported
+      // #seq / #eqdel version pairs keep their ordering on the source.
       val nv = GraftManifest.commitMetas(srcDir, brHead.metas,
         brHead.schemaDdl.getOrElse(throw new IllegalStateException(
           s"graft fast_forward: branch head at $brDir carries no schema")),
         truncate = true, expectedBase = Some(base),
         op = Some(s"FAST FORWARD $brName v${brHead.version}"),
         idsOverride = brHead.ids, checksOverride = Some(brHead.checks),
-        partSpecSet = Some(brHead.partSpec), sortSpecSet = Some(brHead.sortSpec))
+        partSpecSet = Some(brHead.partSpec), sortSpecSet = Some(brHead.sortSpec),
+        eqDelsSet = Some(brHead.eqDels),
+        minVersion = math.max(base + 1, brHead.version))
       result(StructType.fromDDL(
         "base_version INT, branch_version INT, new_version INT"),
         base, brHead.version, nv)
@@ -854,10 +871,16 @@ private[sources] class GraftRestoreProcedure(cat: GraftCatalog)
     val m = GraftManifest.readVersion(dir, Some(v)).getOrElse(
       throw new IllegalArgumentException(s"graft restore: no committed version at $dir"))
     val head = GraftManifest.readVersion(dir, None).get.version
+    // eqDelsSet: the restored state includes the restored version's
+    // PENDING equality deletes — inheriting the abandoned head's would
+    // keep applying deletes the restored snapshot predates (rows vanish
+    // from a supposedly-restored table), and restoring to a pre-upsert
+    // version must NOT drag the upsert's entries along.
     val nv = GraftManifest.commitMetas(dir, m.metas,
       m.schemaDdl.getOrElse(throw new IllegalStateException(
         s"graft restore: v$v at $dir carries no schema")),
-      truncate = true, expectedBase = Some(head), op = Some("RESTORE"))
+      truncate = true, expectedBase = Some(head), op = Some("RESTORE"),
+      eqDelsSet = Some(m.eqDels))
     result(StructType.fromDDL("restored_version INT, new_version INT"), v, nv)
   }
 }
@@ -1487,6 +1510,15 @@ private[sources] class GraftTxnPublishProcedure(cat: GraftCatalog)
       .filter(_.nonEmpty).toSeq
     require(tables.size == ids.size && tables.nonEmpty,
       s"txn_publish: tables (${tables.size}) and ids (${ids.size}) must align")
+    // Marker-name safety: the ids compose a filename under the catalog
+    // root, so the charset here is STRICTER than stageWap's — no '/'
+    // or '..' (an id could otherwise place the durable marker, and the
+    // pendingInvisible existence probe, outside the root) and no '-'
+    // (the joiner: ids a-b,c and a,b-c would collide into one marker,
+    // conflating two distinct transactions). Dashed WAP ids remain
+    // publishable per-table via wap_publish.
+    ids.foreach(id => require(id.matches("[A-Za-z0-9_]+"),
+      s"txn_publish: id '$id' must be [A-Za-z0-9_]+ (it names the commit marker)"))
     // deterministic marker name = the durable record of WHICH stages
     // committed together; a reused id set collides loudly rather than
     // double-publishing

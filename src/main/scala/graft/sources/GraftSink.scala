@@ -146,14 +146,28 @@ object GraftSinkProvider {
   * sidecar lists ascending 0-based physical row positions, one per line;
   * scans filter them out at read time (merge-on-read: a point delete
   * costs O(deleted rows) bytes, not a file rewrite), and OPTIMIZE
-  * materializes survivors into fresh files with no vector. */
+  * materializes survivors into fresh files with no vector.
+  *
+  * `committed`: TRANSIENT (never rendered) — true iff this meta was
+  * parsed back from an already-committed manifest. Distinguishes a
+  * legacy pre-eqdel file (seq = 0, committed = true: every pending
+  * equality delete applies to it, and it must KEEP seq = 0 across
+  * metadata-only re-commits — restore, constraint DDL, rename,
+  * replaceWhere's kept files, OPTIMIZE's retained files) from a
+  * genuinely new file (seq = 0, committed = false: commitMetas stamps
+  * it with the committing version). Rewritten/retained files keeping
+  * their original data sequence number is the Iceberg rule; stamping
+  * them fresh would stop pending equality deletes from applying and
+  * let the full-commit prune drop the entries — deleted rows in
+  * untouched files would silently resurrect on a metadata-only commit. */
 case class GraftFileMeta(name: String, rows: Long, ncols: Int,
     stats: Map[Int, (String, String)], partition: Option[(String, String)],
     nulls: Option[Map[Int, Long]] = None, dv: Option[(String, Long)] = None,
     sums: Option[Map[Int, Long]] = None,
     blooms: Map[Int, String] = Map.empty,
     ndvs: Map[Int, String] = Map.empty,
-    seq: Int = 0) {
+    seq: Int = 0,
+    committed: Boolean = false) {
   /** Rows a scan of this file emits (physical minus deleted positions;
     * EQUALITY deletes are unresolved-at-commit and not discounted here —
     * see [[GraftEqDel]]). */
@@ -218,7 +232,8 @@ case class GraftManifest(version: Int, metas: Seq[GraftFileMeta],
     txns: Map[String, Long] = Map.empty, nFiles: Option[Int] = None,
     ids: Option[Seq[Int]] = None, checks: Seq[(String, String)] = Nil,
     partSpec: Option[String] = None, sortSpec: Option[String] = None,
-    format: Option[String] = None, eqDels: Seq[GraftEqDel] = Nil) {
+    format: Option[String] = None, eqDels: Seq[GraftEqDel] = Nil,
+    idxCols: Option[(Seq[Int], Seq[Int])] = None) {
   /** Legacy (name, rows) view — the shape the v1 protocol exposed. */
   def files: Seq[(String, Long)] = metas.map(m => m.name -> m.rows)
 }
@@ -351,15 +366,35 @@ object GraftManifest {
     * by the next committer — the same grace discipline vacuum uses. */
   private[sources] val PendingGraceMs = 10 * 60 * 1000L
 
-  /** Is manifest v invisible (pending, marker absent)? Reads at most the
-    * first line. */
+  /** Body of an ABORTED-transaction marker (tombstone). A committer
+    * reclaiming an aged pending slot first CASes this tombstone into the
+    * transaction's marker path — the one write that makes the abort
+    * DURABLE before any slot is deleted. A publisher merely slower than
+    * [[PendingGraceMs]] then fails its own marker CAS (the tombstone
+    * occupies it) and rolls back cleanly, instead of committing a
+    * partial publish over a reclaimed slot. Distinguished from a real
+    * marker (which lists `path,version` lines) by exact content. */
+  private[sources] val TxnTombstone = "#txnaborted"
+
+  private[sources] def markerTombstoned(marker: java.nio.file.Path): Boolean =
+    Files.exists(marker) && scala.util.Try(
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+        .startsWith(TxnTombstone)).getOrElse(false)
+
+  /** Is manifest v invisible (pending, marker absent or tombstoned)?
+    * Reads at most the first line (plus the marker when present — a
+    * tombstoned marker means the transaction durably ABORTED, so its
+    * pending manifests on OTHER tables must stay invisible too, or a
+    * partial reclaim would publish half the transaction). */
   private[sources] def pendingInvisible(path: String, v: Int): Boolean = {
     val in = Files.newBufferedReader(Paths.get(path, s"$VPrefix$v"),
       StandardCharsets.UTF_8)
     try {
       val l = in.readLine()
-      l != null && l.startsWith(PendingPrefix) &&
-        !Files.exists(Paths.get(l.stripPrefix(PendingPrefix)))
+      l != null && l.startsWith(PendingPrefix) && {
+        val marker = Paths.get(l.stripPrefix(PendingPrefix))
+        !Files.exists(marker) || markerTombstoned(marker)
+      }
     } finally in.close()
   }
 
@@ -473,19 +508,47 @@ object GraftManifest {
       case '\r' => "%0D"
       case c    => c.toString
     }
+  /** Inverse of [[escStat]] — decodes ONLY the four escapes escStat
+    * emits (%25 %2C %0A %0D) and passes every other `%` sequence
+    * through verbatim. Pre-round-11 manifests were written without
+    * escaping (the then-CSV writer refused delimiters outright), so a
+    * legacy value like `50%up` or `x%25` must parse back byte-identical
+    * — a general percent-decoder would throw on the former and silently
+    * corrupt the latter, poisoning stats pruning and the exact min/max
+    * aggregate pushdown. */
   private[graft] def unescStat(s: String): String =
     if (s.indexOf('%') < 0) s
     else {
       val b = new java.lang.StringBuilder(s.length)
       var i = 0
       while (i < s.length) {
-        if (s.charAt(i) == '%' && i + 3 <= s.length) {
-          b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { b.append(s.charAt(i)); i += 1 }
+        val decoded: Char =
+          if (s.charAt(i) == '%' && i + 3 <= s.length)
+            s.substring(i + 1, i + 3) match {
+              case "25" => '%'
+              case "2C" => ','
+              case "0A" => '\n'
+              case "0D" => '\r'
+              case _    => 0.toChar // not one of ours: literal passthrough
+            }
+          else 0.toChar
+        if (decoded != 0.toChar) { b.append(decoded); i += 3 }
+        else { b.append(s.charAt(i)); i += 1 }
       }
       b.toString
     }
+
+  /** Parse a `#idx=bloom:...;ndv:...` header payload. */
+  private def parseIdx(payload: String): (Seq[Int], Seq[Int]) = {
+    def ints(s: String): Seq[Int] =
+      s.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+    payload.split(";", 2) match {
+      case Array(b, n) if b.startsWith("bloom:") && n.startsWith("ndv:") =>
+        (ints(b.stripPrefix("bloom:")), ints(n.stripPrefix("ndv:")))
+      case _ => throw new IllegalStateException(
+        s"malformed #idx line: '#idx=$payload'")
+    }
+  }
 
   def parse(version: Int, body: String): GraftManifest = {
     var ddl: Option[String] = None
@@ -497,6 +560,7 @@ object GraftManifest {
     var partSpec: Option[String] = None
     var sortSpec: Option[String] = None
     var format: Option[String] = None
+    var idxCols: Option[(Seq[Int], Seq[Int])] = None
     val checks = Seq.newBuilder[(String, String)]
     val txns = scala.collection.mutable.Map[String, Long]()
     val rows = Seq.newBuilder[(String, Long)]
@@ -528,6 +592,8 @@ object GraftManifest {
         sortSpec = Some(s.stripPrefix("#sortspec="))
       case s if s.startsWith("#format=") =>
         format = Some(s.stripPrefix("#format="))
+      case s if s.startsWith("#idx=") =>
+        idxCols = Some(parseIdx(s.stripPrefix("#idx=")))
       case s if s.startsWith("#seq=") =>
         s.stripPrefix("#seq=").split(",", 2) match {
           case Array(f, v) => seqs(f) = v.toInt
@@ -611,10 +677,11 @@ object GraftManifest {
     val metas = rows.result().map { case (f, n) =>
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f),
         nulls.get(f), dvs.get(f), sums.get(f), blooms(f), ndvs(f),
-        seqs.getOrElse(f, 0))
+        seqs.getOrElse(f, 0), committed = true)
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
-      ids, checks.result(), partSpec, sortSpec, format, eqDels.result())
+      ids, checks.result(), partSpec, sortSpec, format, eqDels.result(),
+      idxCols)
   }
 
   /** The RAW on-disk manifest for one version (a delta stays a delta). */
@@ -633,6 +700,9 @@ object GraftManifest {
     * order. The recorded `_total` is the integrity check: a fold whose
     * row sum disagrees fails loudly rather than serving a torn chain. */
   private def fold(path: String, v: Int): GraftManifest = {
+    GraftReadStats.manifestFolds.increment()
+    if (sys.env.contains("GRAFT_DEBUG_FOLDS"))
+      new Exception(s"FOLD $path v$v").printStackTrace()
     val m = readRaw(path, v)
     m.base match {
       case None => m.copy(nFiles = Some(m.metas.size)) // folded = exact
@@ -667,7 +737,9 @@ object GraftManifest {
           sortSpec = m.sortSpec, format = m.format,
           // eqdel entries ride the TOP manifest (every commit re-emits the
           // accumulated, pruned set — same rule as ids/checks)
-          eqDels = m.eqDels)
+          eqDels = m.eqDels,
+          // #idx rides the TOP manifest too (each delta re-emits the union)
+          idxCols = m.idxCols)
     }
   }
 
@@ -739,7 +811,8 @@ object GraftManifest {
       partSpec: Option[String] = None,
       sortSpec: Option[String] = None,
       format: Option[String] = None,
-      eqDels: Seq[GraftEqDel] = Nil): String = {
+      eqDels: Seq[GraftEqDel] = Nil,
+      idxCols: Option[(Seq[Int], Seq[Int])] = None): String = {
     val meta = bodyMetas.flatMap { m =>
       val p = m.partition.map { case (c, v) => s"$c,$v" }.getOrElse(",")
       (s"#meta=${m.name},${m.ncols},$p" +:
@@ -768,6 +841,13 @@ object GraftManifest {
       partSpec.map(s => s"#partspec=$s").toSeq ++
       sortSpec.map(s => s"#sortspec=$s").toSeq ++
       format.map(f => s"#format=$f").toSeq ++
+      // the table's INDEXED COLUMN SETS (bloom/NDV layout positions) as a
+      // HEADER fact: what lets a per-epoch streaming commit learn them in
+      // O(header) instead of folding the chain's per-file facts (ADVICE
+      // r11 #2). Emitted even when empty — absence means LEGACY manifest
+      // (fall back to one fold), not "no indexed columns".
+      idxCols.map { case (b, n) =>
+        s"#idx=bloom:${b.mkString(",")};ndv:${n.mkString(",")}" }.toSeq ++
       eqDels.map(e => s"#eqdel=${e.v},${e.col},${e.sidecar},${e.n}") ++
       checks.map { case (n, e) => s"#check=$n,$e" } ++
       txns.toSeq.sortBy(_._1).map { case (w, e) => s"#txn=$w:$e" }) ++:
@@ -795,6 +875,7 @@ object GraftManifest {
       var partSpec: Option[String] = None
       var sortSpec: Option[String] = None
       var format: Option[String] = None
+      var idxCols: Option[(Seq[Int], Seq[Int])] = None
       val eqDels = Seq.newBuilder[GraftEqDel]
       val checks = Seq.newBuilder[(String, String)]
       val txns = scala.collection.mutable.Map[String, Long]()
@@ -814,6 +895,8 @@ object GraftManifest {
           sortSpec = Some(line.stripPrefix("#sortspec="))
         else if (line.startsWith("#format="))
           format = Some(line.stripPrefix("#format="))
+        else if (line.startsWith("#idx="))
+          idxCols = Some(parseIdx(line.stripPrefix("#idx=")))
         else if (line.startsWith("#eqdel=")) {
           line.stripPrefix("#eqdel=").split(",", 4) match {
             case Array(v, c, sc, n) => eqDels += GraftEqDel(v.toInt, c, sc, n.toLong)
@@ -840,7 +923,7 @@ object GraftManifest {
       }
       if (total >= 0) GraftManifest(v, Seq.empty, total, ddl, ts, base, op,
         txns.toMap, nFiles, ids, checks.result(), partSpec, sortSpec, format,
-        eqDels.result())
+        eqDels.result(), idxCols)
       else readRaw(path, v)
     } finally in.close()
   }
@@ -865,6 +948,16 @@ object GraftManifest {
       case Some(b) => accumulatedTxns(path, b) ++ h.txns
     }
   }
+
+  /** A streaming writer's last committed epoch — the exactly-once fast
+    * path's read, kept O(header chain) ON PURPOSE: it runs once per
+    * MICRO-BATCH, and folding the head (O(table files)) there was a
+    * per-epoch driver tax that grew with the table (ADVICE r11 #2).
+    * Headers stop at the first meta line, full commits carry the
+    * accumulated watermarks, so the walk is ≤ CheckpointEvery small
+    * reads regardless of file count. */
+  def committedEpoch(path: String, writer: String): Option[Long] =
+    versions(path).lastOption.flatMap(v => accumulatedTxns(path, v).get(writer))
 
   /** Header-only snapshot facts of one committed version (`metas` empty;
     * `total` / `nFiles` / `ts` / `op` populated from the header) — what
@@ -925,6 +1018,8 @@ object GraftManifest {
       sortSpecSet: Option[Option[String]] = None,
       formatSet: Option[String] = None,
       newEqDels: Seq[(String, String, Long)] = Nil,
+      eqDelsSet: Option[Seq[GraftEqDel]] = None,
+      minVersion: Int = 1,
       pendingMarker: Option[java.nio.file.Path] = None): Int = {
     new File(path).mkdirs() // a zero-task job commits a manifest into an empty dir
     var attempt = 0
@@ -1048,7 +1143,17 @@ object GraftManifest {
           s"graft-sink: schema '$unionDdl' lacks column '${GraftCheck.columnOf(e)}' " +
             s"constrained by check '$n' — CALL drop_constraint first")
       }
-      val next = headV.map(_ + 1).getOrElse(1)
+      // `minVersion` floors the committed version for SNAPSHOT-IMPORTING
+      // commits (clone, fast_forward): #seq stamps and #eqdel entry
+      // versions share the table's version clock, so a commit that
+      // imports metas/entries stamped on ANOTHER table's clock must land
+      // at or above that clock's head — otherwise the importing table's
+      // next writes would get seq numbers BELOW imported ones and pending
+      // equality deletes would mis-order (a new delete would skip old
+      // files). Version gaps are already an established state (vacuum
+      // leaves them); time travel to a gap fails loudly as "no committed
+      // version", same as a vacuumed one.
+      val next = math.max(headV.map(_ + 1).getOrElse(1), minVersion)
       // strictly-increasing commit wall-clock: two commits inside one
       // millisecond would otherwise make timestampAsOf ambiguous
       val commitTs = math.max(System.currentTimeMillis(),
@@ -1059,11 +1164,17 @@ object GraftManifest {
       // every committed file records the version that added it (`#seq`) —
       // the fact EQUALITY-DELETE applicability keys on (an upsert's own
       // inserts must survive its own delete). Only stamped once eqdels
-      // are in play, so pre-eqdel manifests stay byte-stable.
+      // are in play, so pre-eqdel manifests stay byte-stable. CARRIED-
+      // FORWARD metas (parsed from a committed manifest and re-submitted
+      // by restore / constraint DDL / rename / replaceWhere / OPTIMIZE's
+      // retained files) keep their original seq — including seq = 0,
+      // which means "predates every eqdel entry" and MUST stay 0 or a
+      // metadata-only commit would resurrect equality-deleted rows.
       val stampSeq = newEqDels.nonEmpty ||
         head.exists(_.eqDels.nonEmpty) || jobMetas.exists(_.seq > 0)
       val jobStamped =
-        if (stampSeq) jobMetas.map(m => if (m.seq > 0) m else m.copy(seq = next))
+        if (stampSeq) jobMetas.map(m =>
+          if (m.seq > 0 || m.committed) m else m.copy(seq = next))
         else jobMetas
       val newTotal = (if (truncate) 0L else head.map(_.total).getOrElse(0L)) +
         jobStamped.map(_.liveRows).sum
@@ -1076,8 +1187,24 @@ object GraftManifest {
       // this commit's version. Full commits PRUNE: an entry no surviving
       // file predates (f.seq < e.v) can never delete a row again — a full
       // rewrite's fresh files therefore retire every pending entry.
-      val eqDels0 = head.map(_.eqDels).getOrElse(Nil) ++
+      // `eqDelsSet` REPLACES the inherited list for commits that restore
+      // or import a different snapshot's state (restore must adopt the
+      // RESTORED version's pending entries, not the abandoned head's;
+      // clone/fast_forward must carry the source/branch head's — each
+      // would otherwise resurrect equality-deleted rows or delete rows
+      // the restored snapshot still holds).
+      val eqDels0 = eqDelsSet.getOrElse(head.map(_.eqDels).getOrElse(Nil)) ++
         newEqDels.map { case (c, sc, n) => GraftEqDel(next, c, sc, n) }
+      // INDEXED-COLUMN header fact (`#idx=`, ADVICE r11 #2): deltas union
+      // the prior header's sets with the job's files' — O(header + job);
+      // full commits recompute exactly from the fold (an OPTIMIZE that
+      // dropped an indexed column corrects here). A delta on a LEGACY
+      // head (no #idx) omits the line — a partial set would lie to the
+      // O(header) consumers — so legacy tables upgrade at their next
+      // full commit.
+      def idxOf(ms: Seq[GraftFileMeta]): (Seq[Int], Seq[Int]) = (
+        ms.flatMap(_.blooms.keys).distinct.sorted,
+        ms.flatMap(_.ndvs.keys).distinct.sorted)
       val body =
         if (isDelta) render(unionDdl, commitTs, headV, jobStamped, newTotal, op,
           txn.toMap,
@@ -1085,7 +1212,11 @@ object GraftManifest {
           // head without one leaves it absent until the next checkpoint
           snapshotFiles = head.flatMap(_.nFiles).map(_ + jobStamped.size),
           ids = Some(ids), checks = checks, partSpec = partSpec,
-          sortSpec = sortSpec, format = format, eqDels = eqDels0)
+          sortSpec = sortSpec, format = format, eqDels = eqDels0,
+          idxCols = head.flatMap(_.idxCols).map { case (b, n) =>
+            val (jb, jn) = idxOf(jobStamped)
+            ((b ++ jb).distinct.sorted, (n ++ jn).distinct.sorted)
+          })
         else {
           require(all.map(_.liveRows).sum == newTotal,
             s"graft-sink: checkpoint fold at $path disagrees with the running total")
@@ -1099,7 +1230,7 @@ object GraftManifest {
           render(unionDdl, commitTs, None, all, newTotal, op, accTxns,
             snapshotFiles = Some(all.size), ids = Some(ids), checks = checks,
             partSpec = partSpec, sortSpec = sortSpec, format = format,
-            eqDels = eqPruned)
+            eqDels = eqPruned, idxCols = Some(idxOf(all)))
         }
       // a MULTI-TABLE-TXN claim lands invisible behind its marker line
       val claimBody = pendingMarker
@@ -1138,14 +1269,32 @@ object GraftManifest {
       }
       // Claim lost. An INVISIBLE pending-txn claim on the slot means no
       // new visible head will appear until the transaction resolves:
-      // fail fast on a fresh one, reclaim an aged orphan (crashed
-      // claimer — the marker was never created, so nothing ever read it).
+      // fail fast on a fresh one, reclaim an aged orphan (crashed or
+      // stalled claimer). Reclaim protocol: FIRST make the abort durable
+      // by CASing a tombstone into the transaction's marker path — a
+      // publisher merely slower than the grace period then fails its own
+      // marker CAS and rolls back, instead of publishing over a slot we
+      // are about to reuse (the partial-publish race ADVICE r11 named).
+      // Only after the tombstone CAS resolves the transaction's fate do
+      // we delete the slot: tombstone won or pre-tombstoned → aborted,
+      // reclaim; real marker appeared meanwhile → the txn COMMITTED in
+      // the race window, leave the now-visible slot alone and loop.
       val slot = Paths.get(path, s"$VPrefix$next")
       if (Files.exists(slot) &&
           scala.util.Try(pendingInvisible(path, next)).getOrElse(false)) {
         if (System.currentTimeMillis() -
-            Files.getLastModifiedTime(slot).toMillis > PendingGraceMs)
-          Files.deleteIfExists(slot)
+            Files.getLastModifiedTime(slot).toMillis > PendingGraceMs) {
+          val marker = scala.util.Try {
+            val in = Files.newBufferedReader(slot, StandardCharsets.UTF_8)
+            try Paths.get(in.readLine().stripPrefix(PendingPrefix))
+            finally in.close()
+          }.toOption
+          val aborted = marker.forall { mk =>
+            claimer.claim(mk, TxnTombstone.getBytes(StandardCharsets.UTF_8)) ||
+              markerTombstoned(mk)
+          }
+          if (aborted) Files.deleteIfExists(slot)
+        }
         else throw new java.util.ConcurrentModificationException(
           s"graft-sink: version slot $next at $path is claimed by a pending " +
             "multi-table transaction — retry after it resolves")
@@ -1207,7 +1356,13 @@ object GraftManifest {
     val base = body.split("\n").find(_.startsWith("#wapbase=")).map(
       _.stripPrefix("#wapbase=").toInt).getOrElse(throw new IllegalStateException(
       s"graft-sink: staged WAP '$id' at $path carries no #wapbase line"))
-    (parse(0, body), base)
+    // Stage metas ride the manifest grammar but are NOT committed state:
+    // publish must stamp them with the publishing version (a staged
+    // file is new data — carrying committed=true from the shared parser
+    // would freeze it at seq=0 and let pre-stage equality deletes
+    // wrongly apply to the published rows).
+    val m = parse(0, body)
+    (m.copy(metas = m.metas.map(_.copy(committed = false))), base)
   }
 
   /** Publish = an ordinary append commit conditioned on the staged base;
@@ -1265,8 +1420,20 @@ object GraftManifest {
     require(stages.map(_._1).distinct.size == stages.size,
       "txnPublish: one staged batch per table")
     val claimed = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    // Rollback deletes ONLY slots this transaction still owns: a slot
+    // reclaimed past PendingGraceMs may have been re-used by another
+    // writer, and a blind delete would destroy THEIR committed manifest.
+    // Ownership = the slot's first line is still our pending-marker line.
+    val ownLine = s"$PendingPrefix${marker.toAbsolutePath}"
     def rollback(): Unit = claimed.foreach { case (p, v) =>
-      Files.deleteIfExists(Paths.get(p, s"$VPrefix$v")); () }
+      val slot = Paths.get(p, s"$VPrefix$v")
+      val ours = scala.util.Try {
+        val in = Files.newBufferedReader(slot, StandardCharsets.UTF_8)
+        try in.readLine() == ownLine finally in.close()
+      }.getOrElse(false)
+      if (ours) Files.deleteIfExists(slot)
+      ()
+    }
     try {
       stages.foreach { case (path, id) =>
         val (m, base) = readWap(path, id)
@@ -1277,11 +1444,23 @@ object GraftManifest {
           pendingMarker = Some(marker))
         claimed += (path -> v)
       }
+      // The marker CAS is the transaction's single sound commit point
+      // even against slot reclaim: a reclaimer must durably TOMBSTONE
+      // this marker before deleting any of our slots (see commitMetas'
+      // reclaim branch), so either our CAS wins — and the reclaimer,
+      // whose own tombstone CAS then fails against a non-tombstone
+      // marker, leaves every slot alone — or the tombstone is already
+      // there and we fail here and roll back. No interleaving publishes
+      // a partial transaction.
       if (!claimer.claim(marker, claimed
           .map { case (p, v) => s"$p,$v" }.mkString("\n")
           .getBytes(StandardCharsets.UTF_8)))
         throw new java.util.ConcurrentModificationException(
-          s"graft-sink: transaction marker $marker already exists")
+          if (markerTombstoned(marker))
+            s"graft-sink: transaction was aborted by a committer that " +
+              s"reclaimed a pending slot past the ${PendingGraceMs / 60000}-min " +
+              s"grace period (tombstoned marker $marker) — re-stage and retry"
+          else s"graft-sink: transaction marker $marker already exists")
     } catch { case e: Throwable => rollback(); throw e }
     // committed: cosmetic cleanup (each step idempotent and re-runnable)
     claimed.foreach { case (p, v) => scala.util.Try(stripPending(p, v)) }
@@ -1347,7 +1526,8 @@ object GraftManifest {
         val body = render(m.schemaDdl.getOrElse(""), m.ts.getOrElse(0L),
           None, m.metas, m.total, m.op, m.txns, Some(m.metas.size),
           ids = m.ids, checks = m.checks, partSpec = m.partSpec,
-          sortSpec = m.sortSpec, format = m.format, eqDels = m.eqDels)
+          sortSpec = m.sortSpec, format = m.format, eqDels = m.eqDels,
+          idxCols = m.idxCols)
         val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$v", ".tmp")
         try {
           Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -2824,6 +3004,17 @@ case class GraftSinkScan(path: String, version: Option[Int],
       if (tag != "eqsel") Nil
       else paths(cdfEq.map(_._3).getOrElse(Nil), m)
     def changeOf(tag: String): String = if (tag == "eqsel") "delete" else tag
+    // VECTORIZED DECODE eligibility — decided once per scan and stamped
+    // on every split (Spark refuses mixed row/columnar partitions): all
+    // parquet, no DV/eqdel/eqSel anywhere, no `_pos`, and at least one
+    // real column requested (zero-column scans answer from footers).
+    // `spark.graft.columnar.enabled=false` is the session escape hatch
+    // (ops fallback + the A/B control FormatScaleDemo measures with).
+    val colr = scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.columnar.enabled", "true").toBoolean).getOrElse(true) &&
+      GraftColumnar.eligible(required,
+        planned.map { case (m, c) =>
+          (m.name, m.dv.map(_._1), eqFor(m, c), selFor(m, c)) })
     spjKey match {
       case Some(k) =>
         val keyType = k match {
@@ -2834,13 +3025,14 @@ case class GraftSinkScan(path: String, version: Option[Int],
         planned.map { case (m, c) =>
           GraftSinkKeyedFileSplit(s"$path/${m.name}", m.rows, m.ncols,
             changeOf(c), m.dv.map(d => s"$path/${d._1}"), keyType,
-            m.partition.get._2, eqFor(m, c), selFor(m, c)): InputPartition
+            m.partition.get._2, eqFor(m, c), selFor(m, c),
+            columnar = colr): InputPartition
         }.toArray
       case None =>
         planned.map { case (m, c) =>
           GraftSinkFileSplit(s"$path/${m.name}", m.rows, m.ncols, changeOf(c),
             m.dv.map(d => s"$path/${d._1}"), eqFor(m, c),
-            selFor(m, c)): InputPartition
+            selFor(m, c), columnar = colr): InputPartition
         }.toArray
     }
   }
@@ -3236,12 +3428,17 @@ sealed trait GraftSplit extends InputPartition {
     * Composes after dv/eqDels skipping: a row already dead at the range
     * START must not be re-reported deleted. */
   def eqSel: Seq[(String, String)]
+  /** Scan-uniform vectorized-decode flag ([[GraftColumnar]]): stamped at
+    * planning time on EVERY split of an eligible scan (Spark refuses
+    * mixed row/columnar partitions, so the decision cannot be per-file). */
+  def columnar: Boolean
 }
 
 case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int,
     change: String = null, dvFile: Option[String] = None,
     eqDels: Seq[(String, String)] = Nil,
-    eqSel: Seq[(String, String)] = Nil)
+    eqSel: Seq[(String, String)] = Nil,
+    columnar: Boolean = false)
     extends GraftSplit
 
 /** A split carrying its file's PARTITION KEY ([[HasPartitionKey]]) — what
@@ -3255,7 +3452,8 @@ case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int,
 case class GraftSinkKeyedFileSplit(file: String, expectedRows: Long, ncols: Int,
     change: String, dvFile: Option[String], keyType: String, key: String,
     eqDels: Seq[(String, String)] = Nil,
-    eqSel: Seq[(String, String)] = Nil)
+    eqSel: Seq[(String, String)] = Nil,
+    columnar: Boolean = false)
     extends GraftSplit
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(keyType match {
@@ -3290,6 +3488,12 @@ private[sources] case class GraftSpjBucket(n: Int, src: String)
   * share the JVM, so a delta across a query is the query's decode bill. */
 object GraftReadStats {
   val parquetRecordsDecoded = new java.util.concurrent.atomic.LongAdder
+  /** Manifest versions FOLDED to full-snapshot form (raw manifest parses
+    * along a fold, O(meta lines) each). The scale-tax observability for
+    * driver-side paths that must stay O(header): a streaming epoch
+    * commit, for instance, must not fold — the per-epoch spec pins a
+    * zero delta here across delta-only epochs. */
+  val manifestFolds = new java.util.concurrent.atomic.LongAdder
 }
 
 private[sources] object GraftEqDelCache {
@@ -3309,6 +3513,14 @@ private[sources] object GraftEqDelCache {
 class GraftSinkReaderFactory(full: StructType, required: StructType,
     pushed: Seq[Filter] = Nil)
     extends PartitionReaderFactory {
+  /** Scan-uniform by construction: planInputPartitions stamps the same
+    * flag on every split (see [[GraftColumnar]] for the eligibility
+    * rules). */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    p.asInstanceOf[GraftSplit].columnar
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    GraftColumnar.reader(p.asInstanceOf[GraftSplit], full, required, pushed)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val split = p.asInstanceOf[GraftSplit]
     // map each required column to its cell position in the written line;
@@ -4240,6 +4452,16 @@ case class GraftSinkStreamingFactory(path: String, schema: StructType,
   * is what makes the watermark durable. Single-writer-per-query check:
   * re-delivery is sequential within one query, so check-then-commit does
   * not race itself; concurrent OTHER writers are ordinary CAS contenders. */
+object GraftSinkStreamingWrite {
+  /** One legacy-manifest fold per (path, head version) per JVM — the
+    * upgrade bridge for tables written before the `#idx=` header fact.
+    * Bounded: entries are tiny and keyed by head version (a table folds
+    * again only after it actually moves, and moves by this writer emit
+    * `#idx`, retiring the fallback). */
+  private[sources] val legacyIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Int], Seq[Int])]()
+}
+
 class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
     commitVersions: Boolean = false, partCol: Option[String] = None,
     format: String = GraftFormat.Default,
@@ -4250,29 +4472,43 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
   require(upsertKey.isEmpty || commitVersions,
     "graft-sink: streaming upsertKey requires commitVersions=true")
   /** Head-derived write-plan facts (CHECK constraints, bloom/NDV index
-    * columns), resolved ONCE per query run — createStreamingWriterFactory
-    * fires per MICRO-BATCH, and the O(table-files) fold it used to pay
-    * there was a per-epoch driver tax on large tables (ADVICE r10). The
-    * facts are plan-time by design, exactly like a batch write's: an
-    * index column added by a concurrent commit mid-run is picked up at
-    * the next query start, the same staleness bound the batch path has. */
+    * columns) in O(HEADER): createStreamingWriterFactory fires per
+    * MICRO-BATCH — Spark rebuilds the StreamingWrite itself each epoch,
+    * so even a lazy val here re-resolves per epoch (the ADVICE r11 #2
+    * tax; a lazy fold was the r10 fix and it did not survive the
+    * per-epoch rebuild). Constraints and the `#idx=` indexed-column sets
+    * are HEADER facts now, so the per-epoch read is readHeader — O(1)
+    * small reads regardless of table size. A LEGACY head (no `#idx`
+    * line yet) pays ONE fold per (path, head version) per JVM through
+    * [[GraftSinkStreamingWrite.legacyIdxCache]]; the table upgrades to
+    * the header fact at its next full commit. */
   private lazy val headFactsOnce: Option[GraftManifest] =
     if (commitVersions)
       GraftManifest.versions(path).lastOption
-        .flatMap(v => GraftManifest.readVersion(path, Some(v)))
+        .map(v => GraftManifest.headerFacts(path, v))
     else None
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     // versioned streaming ingest into an indexed table keeps the table
-    // indexed: derive bloom/NDV columns from the head snapshot's
-    // per-file facts, the same rule OPTIMIZE and DML re-inserts follow
+    // indexed: derive bloom/NDV columns from the head's #idx header fact
+    // (or one cached legacy fold), the same rule OPTIMIZE and DML
+    // re-inserts follow
     val head = headFactsOnce
-    def idxCols(sel: GraftFileMeta => Iterable[Int]): Seq[String] =
-      head.map(_.metas.flatMap(sel).distinct.sorted
-        .flatMap(i => schema.fields.lift(i).map(_.name)).toSeq).getOrElse(Nil)
+    val idx: (Seq[Int], Seq[Int]) = head match {
+      case None => (Nil, Nil)
+      case Some(h) => h.idxCols.getOrElse(
+        GraftSinkStreamingWrite.legacyIdxCache.computeIfAbsent(
+          s"$path@${h.version}", _ => {
+            val m = GraftManifest.readVersion(path, Some(h.version)).get
+            (m.metas.flatMap(_.blooms.keys).distinct.sorted,
+              m.metas.flatMap(_.ndvs.keys).distinct.sorted)
+          }))
+    }
+    def names(is: Seq[Int]): Seq[String] =
+      is.flatMap(i => schema.fields.lift(i).map(_.name))
     GraftSinkStreamingFactory(path, schema, tag, commitVersions,
       head.map(_.checks).getOrElse(Nil), partCol,
-      idxCols(_.blooms.keys), idxCols(_.ndvs.keys), format, upsertKey)
+      names(idx._1), names(idx._2), format, upsertKey)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -4280,8 +4516,9 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
     val eqDels = messages.flatMap(_.asInstanceOf[GraftSinkCommit].eqDels)
     if (commitVersions) {
       if (ms.isEmpty) return // empty epoch: nothing to version
-      val committed = GraftManifest.readVersion(path, None)
-        .flatMap(_.txns.get(tag)).getOrElse(Long.MinValue)
+      // O(header chain), never a fold: this runs EVERY micro-batch
+      val committed = GraftManifest.committedEpoch(path, tag)
+        .getOrElse(Long.MinValue)
       if (epochId <= committed) {
         // re-delivered epoch: its rows are already in a committed version;
         // this attempt's task-committed parts stay unreferenced orphans

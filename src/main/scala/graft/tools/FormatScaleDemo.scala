@@ -78,6 +78,35 @@ object FormatScaleDemo {
       }
       rm(new java.io.File(dir))
     }
+    // VECTORIZED DECODE (round 12): the same parquet table full-scanned
+    // through the columnar batch reader (default) vs the row-at-a-time
+    // Group fallback (spark.graft.columnar.enabled=false — the path
+    // DV/eqdel/_pos splits still take). The delta is pure decode cost:
+    // identical files, identical plan below the scan node.
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fmt_vec").toString
+      df.write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      val rd = () => spark.read.format("graft-sink").option("path", dir).load()
+      def fullAgg() =
+        rd().agg(sum(length(col("txt"))), sum(col("v")), max(col("id"))).collect()
+      def projAgg() = rd().groupBy(col("k")).agg(sum(col("v"))).count()
+      fullAgg() // warm both code paths' codegen before timing
+      val (_, colFull) = time(fullAgg())
+      val (_, colProj) = time(projAgg())
+      spark.conf.set("spark.graft.columnar.enabled", "false")
+      fullAgg()
+      val (_, rowFull) = time(fullAgg())
+      val (_, rowProj) = time(projAgg())
+      spark.conf.set("spark.graft.columnar.enabled", "true")
+      println(f"vectorized-decode kind=$kind rows=$rows " +
+        f"fullScan: columnar=$colFull%5.2fs row=$rowFull%5.2fs " +
+        f"(${rowFull / colFull}%4.1fx) | projScan: columnar=$colProj%5.2fs " +
+        f"row=$rowProj%5.2fs (${rowProj / colProj}%4.1fx)")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
     // ROW-GROUP FILTER PUSHDOWN (round 11): ONE sorted parquet file with
     // production-shaped 1 MB row groups; a point probe and a 1%-range
     // probe should materialize ~their answer sets, not the file. The

@@ -157,15 +157,25 @@ class Round11Spec extends AnyFunSuite {
     val (d1, r1) = decoded(table.where($"k" === 12345L).collect())
     assert(r1.map(_.getLong(0)).toSeq == Seq(12345L), r1.toSeq.toString)
     assert(d1 < 1000L, s"point probe materialized $d1 of $n records")
-    // IN probe and range probe stay sub-linear too
+    // IN probe and range probe stay sub-linear too (the IN hits two
+    // distant keys = two touched row groups under the vectorized
+    // reader's group/page granularity — ~700 rows each at 32 KB)
     val (d2, r2) = decoded(table.where($"k".isin(5L, 9999L)).collect())
-    assert(r2.map(_.getLong(0)).sorted.toSeq == Seq(5L, 9999L) && d2 < 1000L,
+    assert(r2.map(_.getLong(0)).sorted.toSeq == Seq(5L, 9999L) && d2 < 2500L,
       s"in-probe decoded $d2")
     val (d3, r3) = decoded(table.where($"k" >= n - 1000).collect())
     assert(r3.length == 1000 && d3 < 5000L, s"range probe decoded $d3")
-    // string equality binds the binary comparator
+    // string equality binds the binary comparator. Pinned to the ROW
+    // reader (escape hatch): random md5 strings defeat group stats, so
+    // the sub-1000 bound is the row path's RECORD-LEVEL filter — the
+    // vectorized reader has no record filter by design (Spark re-applies
+    // residually) and legitimately decodes the file here; bounded string
+    // probes under the batch reader are the parquet-bloom test's job.
     val want = table.where($"k" === 7L).select("pad").head.getString(0)
-    val (d4, r4) = decoded(table.where($"pad" === want).select("k").collect())
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    val (d4, r4) =
+      try decoded(table.where($"pad" === want).select("k").collect())
+      finally spark.conf.set("spark.graft.columnar.enabled", "true")
     assert(r4.map(_.getLong(0)).toSeq == Seq(7L) && d4 < 1000L,
       s"string probe decoded $d4")
     // a deletion vector keys rows by physical position → pushdown is OFF
