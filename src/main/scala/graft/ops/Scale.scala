@@ -2237,6 +2237,41 @@ object Scale {
     scans.head.inputRDD.getNumPartitions
   }
 
+  /** REPORTED SORT ORDER (VERDICT r11 next #5,
+    * [[graft.sources.GraftSinkScan.outputOrdering]]): under a declared
+    * `#sortspec` every data file is internally sorted, so the scan
+    * reports per-partition ASC ordering on the sort column and Catalyst
+    * ELIMINATES per-partition Sort nodes above it — the sort half of the
+    * range-clustered layout's read dividend (a 100 TB sorted table pays
+    * zero re-sort for sortWithinPartitions / merge-join shapes). The
+    * in-closure REQUIREs pin both directions: no Sort node over the
+    * sorted table, and the same query over a hash-scattered CONTROL copy
+    * (no `#sortspec`) keeps its Sort. Returned rows oracle the scan's
+    * values against DuckDB. */
+  def scanOrderReport(spark: SparkSession, sf: String): DataFrame = {
+    val dir = cappedTable(spark, sf) // events range-clustered on event_id
+    def swp(d: String): DataFrame =
+      spark.read.format("graft-sink").option("path", d).load()
+        .sortWithinPartitions(col("event_id"))
+        .select(col("event_id"), col("event_type"), col("cents"))
+    def sortNodes(df: DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Sort "))
+    val sorted = swp(dir)
+    require(sortNodes(sorted) == 0,
+      s"reported ordering must elide the per-partition Sort:\n" +
+        sorted.queryExecution.executedPlan)
+    val ctl = tmpDir("ordctl", sf)
+    graft.util.Scratch.once(ctl) {
+      spark.read.format("graft-sink").option("path", dir).load()
+        .repartition(4) // hash-scattered, NO declared sort
+        .write.format("graft-sink").option("path", ctl).mode("overwrite").save()
+    }
+    require(sortNodes(swp(ctl)) >= 1,
+      "an undeclared layout must keep its per-partition Sort (control)")
+    sorted
+  }
+
   /** LIMIT pushdown to manifest row counts
     * ([[graft.sources.GraftSinkScanBuilder.pushLimit]]): `LIMIT k` over
     * a graft table plans only the FIRST FILES whose live rows cover k —
@@ -3188,6 +3223,50 @@ object Scale {
       .orderBy(col("fmt"), col("event_id"))
   }
 
+  /** WIDE TYPES through the versioned connector (VERDICT r11 next #7):
+    * decimal(38,6) — past the INT64 ceiling, stored as the standard
+    * FIXED_LEN_BYTE_ARRAY parquet DECIMAL — and `array<struct<scalar>>`
+    * (typed per-frame multimodal metadata: one record per frame, typed
+    * members, one nesting level). Both land through the ordinary write
+    * path, survive the manifest protocol, and read back EXACTLY; the
+    * oracle flattens on DuckDB over the raw fixture. Stats discipline:
+    * wide decimals are NON-statable (no canonical cell string) — the
+    * in-closure REQUIRE pins that their stats are WITHHELD, never a
+    * confidently-wrong envelope. */
+  def sinkWideTypes(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttwide", sf)
+    graft.util.Scratch.once(dir) {
+      events(spark, sf).select(
+        col("event_id"),
+        // exercise >18-digit magnitudes: shift user_id up 20 digits
+        (col("user_id").cast("decimal(18,0)")
+          * lit("100000000000000000000").cast("decimal(21,0)"))
+          .cast("decimal(38,6)").as("wide"),
+        array(
+          struct(col("user_id").as("ts"),
+            floor(col("value") * 10).cast("long").as("len")),
+          struct((col("user_id") + 1).as("ts"), lit(0L).as("len"))
+        ).as("frames"))
+        .repartition(4)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    require(head.metas.forall(_.stats.contains(0)),
+      "the long key keeps exact stats next to wide columns")
+    require(head.metas.forall(m => !m.stats.contains(1) && !m.stats.contains(2)),
+      s"wide decimal and array<struct> must WITHHOLD stats: ${head.metas.map(_.stats)}")
+    spark.read.format("graft-sink").option("path", dir).load()
+      .select(col("event_id"),
+        // compare the wide value as its EXACT decimal text (the parity
+        // rule bans DECIMAL output columns; a double round-trip wobbles
+        // in the 16th digit)
+        col("wide").cast("string").as("wide_str"),
+        explode(col("frames")).as("f"))
+      .select(col("event_id"), col("wide_str"),
+        col("f.ts").as("ts"), col("f.len").as("len"))
+      .orderBy(col("event_id"), col("ts"))
+  }
+
   /** MULTIMODAL BLOBS AS A VERSIONED BINARY COLUMN (the round-10
     * "multimodal columns stop at the binary-file source" gap): opaque
     * bytes land as a typed `binary` parquet cell in the versioned
@@ -3845,6 +3924,7 @@ object Scale {
     "sql_txn_publish" -> sqlTxnPublish,
     "sink_binary_column" -> sinkBinaryColumn,
     "sink_scalar_types" -> sinkScalarTypes,
+    "sink_wide_types" -> sinkWideTypes,
     "sink_delete_metadata_only" -> sinkDeleteMetadataOnly,
     "sink_null_stats_skip" -> sinkNullStatsSkip,
     "sink_zorder_optimize" -> sinkZorderOptimize,
@@ -3907,6 +3987,7 @@ object Scale {
     "sink_agg_pushdown" -> sinkAggPushdown,
     "sink_partitions_metadata" -> sinkPartitionsMetadata,
     "sink_sorted_write" -> sinkSortedWrite,
+    "scan_order_report" -> scanOrderReport,
     "scan_limit_pushdown" -> scanLimitPushdown,
     "scan_topn_pushdown" -> scanTopnPushdown,
     "sink_bloom_manifest" -> sinkBloomManifest,
@@ -3959,6 +4040,22 @@ object Scale {
         |UNION ALL
         |SELECT 'parquet' AS fmt, * FROM s
         |ORDER BY fmt, event_id""".stripMargin,
+
+    "sink_wide_types" ->
+      """WITH s AS (
+        |  SELECT event_id,
+        |    CAST(CAST(user_id AS DECIMAL(18,0))
+        |      * CAST('100000000000000000000' AS DECIMAL(21,0)) AS DECIMAL(38,6))
+        |      AS wide,
+        |    user_id, CAST(floor(value*10) AS BIGINT) AS len10
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(wide AS VARCHAR) AS wide_str,
+        |  ts, len FROM (
+        |  SELECT event_id, wide, user_id AS ts, len10 AS len FROM s
+        |  UNION ALL
+        |  SELECT event_id, wide, user_id + 1 AS ts, CAST(0 AS BIGINT) FROM s)
+        |ORDER BY event_id, ts""".stripMargin,
 
     "sink_binary_column" ->
       """SELECT doc_id, lang, md5(text) AS h,
@@ -4386,6 +4483,11 @@ object Scale {
         |FROM events
         |WHERE user_id <= (SELECT max(user_id) FROM events) // 8
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "scan_order_report" ->
+      """SELECT event_id, event_type,
+        |  CAST(floor(value*100) AS BIGINT) AS cents
+        |FROM events""".stripMargin,
 
     "scan_limit_pushdown" ->
       """SELECT CAST(150 AS BIGINT) AS n_rows, CAST(4 AS BIGINT) AS n_files,

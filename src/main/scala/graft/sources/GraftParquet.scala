@@ -51,10 +51,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * adds the transactional layer, it does not bespoke the bytes. */
 object GraftParquet {
 
-  /** Scalar element types admitted inside `array<...>` columns. */
+  /** Element types admitted inside `array<...>` columns: scalars, plus
+    * ONE level of struct-of-scalars (typed per-frame multimodal metadata
+    * — a video's `array<struct<ts,offset,len>>` frame table). */
   def arrayElemOk(et: DataType): Boolean = et match {
     case FloatType | DoubleType | LongType | IntegerType | StringType => true
+    case st: StructType => structOk(st)
     case _ => false
+  }
+
+  /** Minimal FIXED_LEN_BYTE_ARRAY width holding any signed unscaled
+    * value of `precision` digits (the standard parquet DECIMAL sizing:
+    * smallest n with 2^(8n-1) > 10^p). */
+  def decimalBytes(precision: Int): Int = {
+    var n = 1
+    while (BigInt(2).pow(8 * n - 1) <= BigInt(10).pow(precision)) n += 1
+    n
   }
 
   /** Scalar types a nested field (struct member) can take — everything
@@ -62,7 +74,7 @@ object GraftParquet {
   def scalarOk(dt: DataType): Boolean = dt match {
     case LongType | DoubleType | StringType | TimestampType | DateType |
          IntegerType | FloatType | BooleanType | BinaryType => true
-    case d: DecimalType => d.precision <= 18
+    case d: DecimalType => d.precision <= 38
     case _ => false
   }
 
@@ -103,6 +115,12 @@ object GraftParquet {
         .as(LogicalTypeAnnotation.dateType()).named(name)
       case d: DecimalType if d.precision <= 18 => prim(PrimitiveTypeName.INT64)
         .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
+      case d: DecimalType if d.precision <= 38 =>
+        // the standard wide-decimal physical type every parquet reader
+        // (Spark's vectorized scan, DuckDB) maps back to DECIMAL(p,s)
+        Types.primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, rep)
+          .length(decimalBytes(d.precision))
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
       case other => throw new IllegalArgumentException(
         s"graft-sink parquet cannot encode $other for '$name'")
     }
@@ -116,6 +134,12 @@ object GraftParquet {
   def messageType(schema: StructType): MessageType = {
     val fields: Seq[Type] = schema.fields.toSeq.map { f =>
       f.dataType match {
+        case ArrayType(st: StructType, _) if structOk(st) =>
+          Types.optionalList()
+            .element(st.fields.foldLeft(Types.optionalGroup()) { (b, sf) =>
+              b.addField(scalarType(sf.dataType, sf.name, Type.Repetition.OPTIONAL))
+            }.named("element"))
+            .named(f.name)
         case ArrayType(et, _) if arrayElemOk(et) =>
           Types.optionalList()
             .element(scalarType(et, "element", Type.Repetition.OPTIONAL))
@@ -173,8 +197,19 @@ object GraftParquet {
       g.add(j, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
     case BinaryType =>
       g.add(j, Binary.fromConstantByteArray(row.getBinary(i)))
-    case d: DecimalType =>
+    case d: DecimalType if d.precision <= 18 =>
       g.add(j, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+    case d: DecimalType =>
+      // two's-complement big-endian unscaled value, sign-extended to the
+      // type's fixed width
+      val n = decimalBytes(d.precision)
+      val unscaled = row.getDecimal(i, d.precision, d.scale)
+        .toJavaBigDecimal.unscaledValue()
+      val raw = unscaled.toByteArray
+      val out = new Array[Byte](n)
+      if (unscaled.signum() < 0) java.util.Arrays.fill(out, 0xFF.toByte)
+      System.arraycopy(raw, 0, out, n - raw.length, raw.length)
+      g.add(j, Binary.fromConstantByteArray(out))
     case other => throw new IllegalArgumentException(
       s"graft-sink parquet cannot encode $other")
   }
@@ -213,6 +248,15 @@ object GraftParquet {
           while (k < arr.numElements()) {
             val e = lg.addGroup("list")
             if (!arr.isNullAt(k)) et match {
+              case st: StructType =>
+                val eg = e.addGroup("element")
+                val sr = arr.getStruct(k, st.length)
+                var jj = 0
+                while (jj < st.length) {
+                  if (!sr.isNullAt(jj))
+                    addScalar(eg, jj, st.fields(jj).dataType, sr, jj)
+                  jj += 1
+                }
               case FloatType   => e.add("element", arr.getFloat(k))
               case DoubleType  => e.add("element", arr.getDouble(k))
               case LongType    => e.add("element", arr.getLong(k))
@@ -293,8 +337,12 @@ object GraftParquet {
       case BooleanType              => g.getBoolean(j, 0)
       case StringType => UTF8String.fromBytes(g.getBinary(j, 0).getBytes)
       case BinaryType => g.getBinary(j, 0).getBytes
-      case d: DecimalType =>
+      case d: DecimalType if d.precision <= 18 =>
         Decimal.createUnsafe(g.getLong(j, 0), d.precision, d.scale)
+      case d: DecimalType =>
+        Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(g.getBinary(j, 0).getBytes), d.scale),
+          d.precision, d.scale)
       case st: StructType =>
         // members resolve BY NAME against the group actually read: the
         // projection always requests the whole top-level field group, but
@@ -330,6 +378,14 @@ object GraftParquet {
           arr(k) =
             if (e.getFieldRepetitionCount(0) == 0) null
             else et match {
+              case st: StructType =>
+                // member identity by NAME against the group read (the
+                // same nested-pruning rule the top-level struct decode
+                // follows)
+                val sg = e.getGroup(0, 0)
+                val gt = sg.getType
+                InternalRow.fromSeq(st.fields.toSeq.map { sf =>
+                  value(sg, gt.getFieldIndex(sf.name), sf.dataType) })
               case FloatType   => e.getFloat(0, 0)
               case DoubleType  => e.getDouble(0, 0)
               case LongType    => e.getLong(0, 0)
@@ -490,8 +546,9 @@ object GraftParquet {
       case FloatType                => g.getFloat(j, 0).toString
       case BooleanType              => g.getBoolean(j, 0).toString
       case StringType               => g.getBinary(j, 0).toStringUsingUTF8
-      case d: DecimalType =>
+      case d: DecimalType if d.precision <= 18 =>
         java.math.BigDecimal.valueOf(g.getLong(j, 0), d.scale).toPlainString
+      case _: DecimalType => GraftSinkWriter.NullCell // wide: non-statable
       case _: ArrayType | _: StructType | _: MapType | BinaryType =>
         GraftSinkWriter.NullCell
       case other => throw new IllegalArgumentException(

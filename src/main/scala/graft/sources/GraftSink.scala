@@ -278,6 +278,78 @@ object PosixLinkClaim extends CommitClaim {
   }
 }
 
+/** Simulated OBJECT-STORE conditional PUT (`If-None-Match: *`) — the
+  * second [[CommitClaim]] implementation, proving the abstraction holds
+  * off POSIX link(2) (VERDICT r11 next #6; design note in DECISIONS.md
+  * "Object-store commit claim"). Semantics modeled:
+  *  - accept/reject is decided ATOMICALLY at the service (here: a
+  *    `putIfAbsent` on the store's key index — the internal mutex a real
+  *    store holds per key), so of N racers exactly one is accepted;
+  *  - an accepted PUT materializes the whole object or nothing (tmp +
+  *    ATOMIC_MOVE stands in for the store's all-or-nothing object
+  *    write) — readers never observe a torn body;
+  *  - visibility is EVENTUAL relative to rejection: a racer can be
+  *    rejected before the winner's object is listable. The commit loop
+  *    tolerates this by construction — a rejected claimer re-reads the
+  *    head and retries the next slot, and the winner's object appears
+  *    within its write latency;
+  *  - `failPutOnce`: the injected RESPONSE-LOST fault (the classic
+  *    object-store ambiguity — the PUT landed, the 200 never arrived).
+  *    The claim throws AFTER the object is durable; the contract says
+  *    throw (never a silent half-publish), the caller surfaces the
+  *    failure, and a retry observes the slot taken with a complete,
+  *    valid manifest — no torn commit, proven by ScaleFixSpec.
+  * Keys already on disk (written by another primitive or a prior run)
+  * count as existing — the index is a cache of the store's truth, not
+  * the truth itself. */
+class ObjectStoreClaim extends CommitClaim {
+  // key state: WRITING = accepted, object not yet visible; DONE = visible.
+  // Out-of-band DELETEs (slot reclaim, txn rollback, vacuum) happen via
+  // the filesystem, not this claimer — a DONE entry whose object is gone
+  // is stale and releases; a WRITING entry never releases here (its
+  // owner either completes or removes it on failure).
+  private val Writing = java.lang.Boolean.FALSE
+  private val Done = java.lang.Boolean.TRUE
+  private val index = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Inject one response-lost fault: the next accepted PUT lands durably,
+    * then throws. */
+  @volatile var failPutOnce: Boolean = false
+  override def claim(target: java.nio.file.Path, body: Array[Byte]): Boolean = {
+    val key = target.toAbsolutePath.toString
+    while (true) {
+      if (Files.exists(target)) { index.putIfAbsent(key, Done); return false }
+      index.get(key) match {
+        case c if c eq Writing => return false // in-flight winner owns it
+        case null => ()
+        case done => index.remove(key, done) // object deleted: key released
+      }
+      if (index.putIfAbsent(key, Writing) == null) {
+        // ACCEPTED — the one atomic decision point (the store's internal
+        // per-key mutex). Materialize the object all-or-nothing.
+        val tmp = Files.createTempFile(target.getParent,
+          target.getFileName.toString, ".tmp")
+        try {
+          try {
+            Files.write(tmp, body)
+            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          } catch {
+            case e: Throwable => index.remove(key, Writing); throw e
+          }
+        } finally Files.deleteIfExists(tmp)
+        index.put(key, Done)
+        if (failPutOnce) {
+          failPutOnce = false
+          throw new java.io.IOException(
+            s"simulated object store: response lost after accepted PUT of $key")
+        }
+        return true
+      }
+      // lost the accept race this iteration; observe the winner and retry
+    }
+    false // unreachable
+  }
+}
+
 object GraftManifest {
   private val VPrefix = "_manifest-v"
   private val RefPrefix = "_ref-"
@@ -2686,9 +2758,40 @@ case class GraftSinkScan(path: String, version: Option[Int],
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** PER-PARTITION output ordering (VERDICT r11 next #5): under a
+    * DECLARED `#sortspec` every data file is internally sorted on the
+    * sort column — the resolved writer range-distributes and sorts every
+    * conforming write, OPTIMIZE preserves the layout, and the readers
+    * emit file order (DV/eqdel skipping drops rows without reordering;
+    * files predating the column's evolution read all-NULL, sorted
+    * trivially under NULLS FIRST). One split = one file, so the claim
+    * is exactly per-file sortedness. Spark uses it to elide
+    * per-partition Sorts above the scan (sortWithinPartitions,
+    * sort-merge-join sides, and — single-split scans — the global
+    * ORDER BY). Withheld for CDF/stream/WAP reads (multi-tag split
+    * semantics), when the sort column is not in the scan output (the
+    * ordering could not resolve against it), and under SPJ: key-grouped
+    * planning CONCATENATES a partition value's files into one RDD
+    * partition, and a concatenation of individually-sorted files is not
+    * sorted. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val sc: Option[String] =
+      if (changesFrom.isDefined || streamOpts.nonEmpty || wapId.isDefined || spj)
+        None
+      else version.orElse(GraftManifest.versions(path).lastOption)
+        .flatMap(v => scala.util.Try(
+          GraftManifest.headerFacts(path, v).sortSpec).getOrElse(None))
+        .filter(required.fieldNames.contains)
+    sc.map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING)).toArray
+  }
 
   /** RUNTIME (dynamic-partition-pruning) file filtering: the scan
     * advertises its partition column — the identity layout's column, or
@@ -4702,6 +4805,9 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         case org.apache.spark.sql.types.BooleanType => row.getBoolean(i).toString
         case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
           row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
+        case d: org.apache.spark.sql.types.DecimalType
+            if parquetFmt && d.precision <= 38 =>
+          GraftSinkWriter.NullCell // wide decimal: typed FLBA bytes, no cell
         case StringType =>
           val s = row.getUTF8String(i).toString
           // CSV cells split on the delimiter — an embedded comma or
@@ -4729,7 +4835,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
           GraftSinkWriter.NullCell // string-keyed tag bag: bytes, no cell
         case dt => throw new IllegalArgumentException(
           s"graft-sink($format) supports " +
-            (if (parquetFmt) "long/double/string/timestamp/date/int/float/boolean/decimal(<=18)/binary/array<scalar>/struct<scalar...>/map<string,scalar>"
+            (if (parquetFmt) "long/double/string/timestamp/date/int/float/boolean/decimal(<=38)/binary/array<scalar|struct>/struct<scalar...>/map<string,scalar>"
              else "long/double/string/timestamp/date/int/float/boolean/decimal(<=18)") +
             s", got $dt for ${f.name}")
       }

@@ -305,6 +305,96 @@ class Round12Spec extends AnyFunSuite {
     assert(got == Seq(100L, 101L, 102L))
   }
 
+  test("incremental binpack absorbs overlapping retained files: envelopes stay disjoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.GraftManifest
+    val root = java.nio.file.Files.createTempDirectory("graft_r12_bp").toString
+    spark.conf.set("spark.sql.catalog.g12f", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g12f.root", root)
+    val dir = s"$root/db/t"
+    // one BIG sorted file spanning [0, 20000) — above the binpack threshold
+    spark.range(0, 20000).toDF("k")
+      .withColumn("pad", org.apache.spark.sql.functions.md5(col("k").cast("string")))
+      .write.format("graft-sink").option("path", dir)
+      .option("sortBy", "k").option("writePartitions", "1")
+      .mode("overwrite").save()
+    // small appends whose ranges land INSIDE the big file's envelope —
+    // the overlap fixture the absorb rule exists for
+    Seq(100L, 9000L).foreach { lo =>
+      (lo until lo + 10L).map(i => (i, s"x$i")).toDF("k", "pad").coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+    }
+    val before = GraftManifest.readVersion(dir, None).get
+    assert(before.sortSpec.contains("k") && before.metas.size == 3)
+    // incremental OPTIMIZE: naively its victims are only the two small
+    // files, whose rewrite [100..9009] would overlap the retained big
+    // file [0..19999] — the sortspec absorb must pull the big file in
+    spark.sql(
+      "CALL g12f.system.optimize(table => 'db.t', target_files => 2, " +
+        "max_file_bytes => 65536L)").collect()
+    val after = GraftManifest.readVersion(dir, None).get
+    val envs = after.metas.flatMap(_.stats.get(0))
+      .map { case (mn, mx) => (mn.toLong, mx.toLong) }.sortBy(_._1)
+    assert(envs.size == after.metas.size, "every compacted file keeps stats")
+    assert(envs.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax <= bMin
+      case _ => true
+    }, s"incremental binpack must keep sort envelopes pairwise disjoint: $envs")
+    assert(spark.read.format("graft-sink").option("path", dir).load().count() ==
+      20000 + 20)
+  }
+
+  test("ObjectStoreClaim: 8-appender race loses nothing; response-lost PUT never tears") {
+    import graft.sources.{GraftManifest, ObjectStoreClaim, PosixLinkClaim}
+    val store = new ObjectStoreClaim
+    GraftManifest.claimer = store
+    try {
+      // the PropertySpec CAS law under the conditional-PUT primitive
+      val dir = java.nio.file.Files.createTempDirectory("graft_r12_osc").toString
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        (0 until 8).map { i =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              GraftManifest.commit(dir, Seq(s"part-t$i.csv" -> (i + 1).toLong),
+                "a BIGINT", truncate = false)
+              ()
+            }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+      assert(GraftManifest.versions(dir) == (1 to 8))
+      val head = GraftManifest.readVersion(dir, None).get
+      assert(head.files.map(_._1).sorted == (0 until 8).map(i => s"part-t$i.csv"),
+        s"every concurrent append must survive conditional PUT: ${head.files}")
+      // RESPONSE-LOST fault: the PUT lands durably, the claim throws.
+      // The commit surfaces the failure (contract: never a silent
+      // half-publish) but the slot holds a COMPLETE manifest — the next
+      // read and the next commit both observe a consistent table.
+      store.failPutOnce = true
+      val e = intercept[java.io.IOException] {
+        GraftManifest.commit(dir, Seq("part-lost.csv" -> 9L),
+          "a BIGINT", truncate = false)
+      }
+      assert(e.getMessage.contains("response lost"))
+      assert(GraftManifest.versions(dir) == (1 to 9),
+        "the accepted PUT is durable even though its response was lost")
+      val v9 = GraftManifest.readVersion(dir, Some(9)).get
+      assert(v9.files.contains(("part-lost.csv", 9L)), "no torn manifest")
+      // a fresh commit proceeds normally on top
+      GraftManifest.commit(dir, Seq("part-after.csv" -> 1L),
+        "a BIGINT", truncate = false)
+      assert(GraftManifest.readVersion(dir, None).get.version == 10)
+      // slot reclaim interop: a deleted slot name is claimable again
+      // (the index releases DONE keys whose object is gone)
+      val slot = java.nio.file.Paths.get(dir, "_manifest-v10")
+      java.nio.file.Files.delete(slot)
+      assert(store.claim(slot, "x".getBytes("UTF-8")),
+        "a deleted object's key must accept a fresh conditional PUT")
+    } finally GraftManifest.claimer = PosixLinkClaim
+  }
+
   test("unescStat decodes only the four emitted escapes; legacy % passes through") {
     val legacy = Seq("50%up", "%zz", "tail%", "%", "%2", "a%2Zb", "%%")
     legacy.foreach(s => assert(GraftManifest.unescStat(s) == s,
