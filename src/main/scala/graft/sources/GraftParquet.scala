@@ -5,10 +5,9 @@ import java.nio.file.{Path => NioPath}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HadoopPath}
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter, ParquetReader, ParquetWriter}
 import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.io.{LocalInputFile, LocalOutputFile}
 import org.apache.parquet.io.api.Binary
@@ -164,12 +163,39 @@ object GraftParquet {
     * `rowGroupBytes` (write option of the same name) sets the row-group
     * target size — the granularity of read-side row-group skipping; the
     * parquet default (128 MB) is right for production files, small values
-    * let tests/demos exercise multi-group files without GB fixtures. */
+    * let tests/demos exercise multi-group files without GB fixtures.
+    *
+    * Writes [[InternalRow]]s DIRECTLY through Spark's own
+    * `ParquetWriteSupport` (round 12) — the row-at-a-time `Group` object
+    * tree the example writer required was a per-row allocation tax
+    * symmetric to the read side's, and Spark's support serializes each
+    * row straight into the record consumer. Schema mapping notes:
+    * Spark's converter emits INT32 for decimal(p≤9) where the old
+    * writer emitted INT64 — the readers branch on the file's own
+    * physical type, so both generations stay readable. */
   def writer(tmp: NioPath, schema: StructType,
       rowGroupBytes: Option[Int] = None,
-      bloomCols: Seq[String] = Nil): ParquetWriter[Group] = {
-    val b = ExampleParquetWriter.builder(new LocalOutputFile(tmp))
-      .withType(messageType(schema))
+      bloomCols: Seq[String] = Nil): ParquetWriter[InternalRow] = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = new Configuration(false)
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    class B(out: org.apache.parquet.io.OutputFile)
+        extends ParquetWriter.Builder[InternalRow, B](out) {
+      override def self(): B = this
+      override def getWriteSupport(c: Configuration)
+          : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+        new ParquetWriteSupport()
+    }
+    val b = new B(new LocalOutputFile(tmp))
+      .withConf(conf)
       .withCompressionCodec(CompressionCodecName.ZSTD)
       .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
     rowGroupBytes.foreach(n => b.withRowGroupSize(n.toLong))
@@ -180,99 +206,6 @@ object GraftParquet {
     // decompressing every row group the file-level manifest bloom let in
     bloomCols.foreach(c => b.withBloomFilterEnabled(c, true))
     b.build()
-  }
-
-  /** Add one non-null SCALAR value to group field `j`, reading getter
-    * slot `i` — shared by top-level columns and struct members (both
-    * InternalRow and nested-struct rows are SpecializedGetters). */
-  private def addScalar(g: Group, j: Int, dt: DataType,
-      row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
-      i: Int): Unit = dt match {
-    case LongType | TimestampType => g.add(j, row.getLong(i))
-    case DateType | IntegerType   => g.add(j, row.getInt(i))
-    case DoubleType               => g.add(j, row.getDouble(i))
-    case FloatType                => g.add(j, row.getFloat(i))
-    case BooleanType              => g.add(j, row.getBoolean(i))
-    case StringType =>
-      g.add(j, Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-    case BinaryType =>
-      g.add(j, Binary.fromConstantByteArray(row.getBinary(i)))
-    case d: DecimalType if d.precision <= 18 =>
-      g.add(j, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
-    case d: DecimalType =>
-      // two's-complement big-endian unscaled value, sign-extended to the
-      // type's fixed width
-      val n = decimalBytes(d.precision)
-      val unscaled = row.getDecimal(i, d.precision, d.scale)
-        .toJavaBigDecimal.unscaledValue()
-      val raw = unscaled.toByteArray
-      val out = new Array[Byte](n)
-      if (unscaled.signum() < 0) java.util.Arrays.fill(out, 0xFF.toByte)
-      System.arraycopy(raw, 0, out, n - raw.length, raw.length)
-      g.add(j, Binary.fromConstantByteArray(out))
-    case other => throw new IllegalArgumentException(
-      s"graft-sink parquet cannot encode $other")
-  }
-
-  /** Encode one InternalRow as a Group (schema = the writer's layout).
-    * Null cells are simply absent (optional fields, repetition 0). */
-  def toGroup(factory: SimpleGroupFactory, schema: StructType,
-      row: InternalRow): Group = {
-    val g = factory.newGroup()
-    var i = 0
-    while (i < schema.length) {
-      if (!row.isNullAt(i)) schema.fields(i).dataType match {
-        case st: StructType =>
-          val sg = g.addGroup(i)
-          val sr = row.getStruct(i, st.length)
-          var jj = 0
-          while (jj < st.length) {
-            if (!sr.isNullAt(jj)) addScalar(sg, jj, st.fields(jj).dataType, sr, jj)
-            jj += 1
-          }
-        case mt: MapType =>
-          val mg = g.addGroup(i)
-          val m = row.getMap(i)
-          val keys = m.keyArray(); val vals = m.valueArray()
-          var k = 0
-          while (k < m.numElements()) {
-            val kv = mg.addGroup(0)
-            kv.add(0, Binary.fromConstantByteArray(keys.getUTF8String(k).getBytes))
-            if (!vals.isNullAt(k)) addScalar(kv, 1, mt.valueType, vals, k)
-            k += 1
-          }
-        case ArrayType(et, _) =>
-          val lg = g.addGroup(i)
-          val arr = row.getArray(i)
-          var k = 0
-          while (k < arr.numElements()) {
-            val e = lg.addGroup("list")
-            if (!arr.isNullAt(k)) et match {
-              case st: StructType =>
-                val eg = e.addGroup("element")
-                val sr = arr.getStruct(k, st.length)
-                var jj = 0
-                while (jj < st.length) {
-                  if (!sr.isNullAt(jj))
-                    addScalar(eg, jj, st.fields(jj).dataType, sr, jj)
-                  jj += 1
-                }
-              case FloatType   => e.add("element", arr.getFloat(k))
-              case DoubleType  => e.add("element", arr.getDouble(k))
-              case LongType    => e.add("element", arr.getLong(k))
-              case IntegerType => e.add("element", arr.getInt(k))
-              case StringType => e.add("element",
-                Binary.fromConstantByteArray(arr.getUTF8String(k).getBytes))
-              case other => throw new IllegalArgumentException(
-                s"graft-sink parquet: unsupported array element $other")
-            }
-            k += 1
-          }
-        case dt => addScalar(g, i, dt, row, i)
-      }
-      i += 1
-    }
-    g
   }
 
   // one parsed Hadoop conf per JVM; per-open copies are cheap (props map)
@@ -338,7 +271,15 @@ object GraftParquet {
       case StringType => UTF8String.fromBytes(g.getBinary(j, 0).getBytes)
       case BinaryType => g.getBinary(j, 0).getBytes
       case d: DecimalType if d.precision <= 18 =>
-        Decimal.createUnsafe(g.getLong(j, 0), d.precision, d.scale)
+        // physical type varies by writer generation: INT32 (p<=9, the
+        // Spark-converter mapping) or INT64 (p<=18, and ALL pre-round-12
+        // files) — branch on the file's own footer type
+        val unscaled = g.getType.getType(j).asPrimitiveType()
+          .getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 => g.getInteger(j, 0).toLong
+          case _                       => g.getLong(j, 0)
+        }
+        Decimal.createUnsafe(unscaled, d.precision, d.scale)
       case d: DecimalType =>
         Decimal(new java.math.BigDecimal(
           new java.math.BigInteger(g.getBinary(j, 0).getBytes), d.scale),
@@ -547,7 +488,12 @@ object GraftParquet {
       case BooleanType              => g.getBoolean(j, 0).toString
       case StringType               => g.getBinary(j, 0).toStringUsingUTF8
       case d: DecimalType if d.precision <= 18 =>
-        java.math.BigDecimal.valueOf(g.getLong(j, 0), d.scale).toPlainString
+        val unscaled = g.getType.getType(j).asPrimitiveType()
+          .getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 => g.getInteger(j, 0).toLong
+          case _                       => g.getLong(j, 0)
+        }
+        java.math.BigDecimal.valueOf(unscaled, d.scale).toPlainString
       case _: DecimalType => GraftSinkWriter.NullCell // wide: non-statable
       case _: ArrayType | _: StructType | _: MapType | BinaryType =>
         GraftSinkWriter.NullCell

@@ -4040,13 +4040,25 @@ class GraftTableMicroBatchStream(scan: GraftSinkScan)
     // files skip the range-END set; 'delete' (removed) files skip the
     // range-START set (a row dead at s was never streamed — its removal
     // must not re-report it); 'eqsel' files select the new entries' kills
-    tagged
+    val planned = tagged
       .filter { case (m, _) => scan.filters.forall(GraftSinkScan.mayMatch(m, scan.full, _)) }
-      .map { case (m, c) => GraftSinkFileSplit(s"${scan.path}/${m.name}", m.rows,
-        m.ncols, if (c == "eqsel") "delete" else c,
-        m.dv.map(d => s"${scan.path}/${d._1}"),
+      .map { case (m, c) => (m, c,
         paths(if (c == "insert" || c == null) toEq else fromEq, m),
-        if (c == "eqsel") paths(newEq, m) else Nil): InputPartition }
+        if (c == "eqsel") paths(newEq, m) else Nil) }
+    // VECTORIZED DECODE for the micro-batch too — the same scan-uniform
+    // eligibility batch scans use (Spark's MicroBatchScanExec enforces
+    // the same no-mixing rule): a plain appends-only epoch over clean
+    // parquet files decodes columnar; any DV/eqdel/eqSel in the range
+    // falls the whole batch back to the row reader.
+    val colr = scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.columnar.enabled", "true").toBoolean).getOrElse(true) &&
+      GraftColumnar.eligible(scan.readSchema(),
+        planned.map { case (m, _, eq, sel) => (m.name, m.dv.map(_._1), eq, sel) })
+    planned
+      .map { case (m, c, eq, sel) => GraftSinkFileSplit(s"${scan.path}/${m.name}",
+        m.rows, m.ncols, if (c == "eqsel") "delete" else c,
+        m.dv.map(d => s"${scan.path}/${d._1}"),
+        eq, sel, columnar = colr): InputPartition }
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -4734,12 +4746,6 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     }
   }
 
-  // one Group factory per task (parquet format only; lazy so CSV tasks
-  // never touch parquet classes)
-  private lazy val groupFactory =
-    new org.apache.parquet.example.data.simple.SimpleGroupFactory(
-      GraftParquet.messageType(schema))
-
   /** One open output file + its running stats. */
   private final class Part(val tmp: File) {
     // Files.newBufferedWriter, NOT PrintWriter: PrintWriter swallows
@@ -4752,7 +4758,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     // renamed into visibility.
     val out: java.io.BufferedWriter =
       if (parquetFmt) null else Files.newBufferedWriter(tmp.toPath, StandardCharsets.UTF_8)
-    val pq: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] =
+    val pq: org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
       if (parquetFmt) GraftParquet.writer(tmp.toPath, schema, rowGroupBytes,
         bloomIdx.toSeq.map(schema.fields(_).name)) else null
     def closeSink(): Unit = if (parquetFmt) pq.close() else out.close()
@@ -4887,7 +4893,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       }
       i += 1
     }
-    if (parquetFmt) p.pq.write(GraftParquet.toGroup(groupFactory, schema, row))
+    if (parquetFmt) p.pq.write(row)
     else {
       p.out.write(cells.mkString(","))
       p.out.write("\n")
