@@ -3267,6 +3267,64 @@ object Scale {
       .orderBy(col("event_id"), col("ts"))
   }
 
+  /** ARBITRARY NESTING DEPTH through the versioned connector (closes
+    * the "one nesting level only" type ceiling): `array<array<bigint>>`
+    * (a per-event token matrix), a struct whose members are a DEEPER
+    * struct and an `array<string>` tag list, and
+    * `map<string, struct<...>>` — all land through the ordinary write
+    * path (Spark's ParquetWriteSupport composes groups to any depth),
+    * survive the manifest protocol, and read back exactly through the
+    * recursive Group decode / vectorized batch decode. A null element
+    * INSIDE the inner array exercises the depth-2 null path. Nested
+    * columns stay NON-statable (REQUIREd withheld — an envelope over a
+    * group prunes nothing); the scalar key keeps its exact stats. The
+    * oracle re-derives every flattened leaf from the raw fixture. */
+  def sinkNestedDeep(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttnest", sf)
+    graft.util.Scratch.once(dir) {
+      events(spark, sf).select(
+        col("event_id"),
+        array(
+          array(col("user_id"), col("user_id") + 1),
+          // depth-2 null: the second inner array's element is null
+          // unless event_id % 3 = 0
+          array(when(col("event_id") % 3 === 0, col("user_id") * 2))
+        ).as("aa"),
+        struct(
+          struct(col("user_id").as("a"), col("event_type").as("b"))
+            .as("inner"),
+          array(col("event_type"), upper(col("event_type"))).as("tags")
+        ).as("meta"),
+        map(lit("k"),
+          struct(col("user_id").as("v"), col("event_type").as("t")))
+          .as("m"))
+        .repartition(4)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    require(head.metas.forall(_.stats.contains(0)),
+      "the long key keeps exact stats next to nested columns")
+    require(head.metas.forall(m => Seq(1, 2, 3).forall(i => !m.stats.contains(i))),
+      s"nested columns must WITHHOLD stats: ${head.metas.map(_.stats)}")
+    val rt = spark.read.format("graft-sink").option("path", dir).load()
+    // the declared read schema must keep full depth — a reader that
+    // flattened or stringified would still "work" on the leaves below
+    Seq("aa" -> "array<array<bigint>>",
+      "meta" -> "struct<inner:struct<a:bigint,b:string>,tags:array<string>>",
+      "m" -> "map<string,struct<v:bigint,t:string>>").foreach { case (c, t) =>
+      require(rt.schema(c).dataType.simpleString == t,
+        s"roundtrip schema for $c: ${rt.schema(c).dataType.simpleString}") }
+    rt.select(col("event_id"),
+      // null-skipping exact sum over the flattened depth-2 matrix
+      aggregate(filter(flatten(col("aa")), x => x.isNotNull),
+        lit(0L), (acc, x) => acc + x).as("aa_sum"),
+      col("meta.inner.a").as("inner_a"), col("meta.inner.b").as("inner_b"),
+      concat_ws("|", col("meta.tags")).as("tags_cat"),
+      col("m")(lit("k")).getField("v").as("mv"),
+      col("m")(lit("k")).getField("t").as("mt"))
+      .orderBy(col("event_id"))
+  }
+
   /** MULTIMODAL BLOBS AS A VERSIONED BINARY COLUMN (the round-10
     * "multimodal columns stop at the binary-file source" gap): opaque
     * bytes land as a typed `binary` parquet cell in the versioned
@@ -3925,6 +3983,7 @@ object Scale {
     "sink_binary_column" -> sinkBinaryColumn,
     "sink_scalar_types" -> sinkScalarTypes,
     "sink_wide_types" -> sinkWideTypes,
+    "sink_nested_deep" -> sinkNestedDeep,
     "sink_delete_metadata_only" -> sinkDeleteMetadataOnly,
     "sink_null_stats_skip" -> sinkNullStatsSkip,
     "sink_zorder_optimize" -> sinkZorderOptimize,
@@ -4040,6 +4099,15 @@ object Scale {
         |UNION ALL
         |SELECT 'parquet' AS fmt, * FROM s
         |ORDER BY fmt, event_id""".stripMargin,
+
+    "sink_nested_deep" ->
+      """SELECT event_id,
+        |  user_id + (user_id + 1)
+        |    + CASE WHEN event_id % 3 = 0 THEN user_id * 2 ELSE 0 END AS aa_sum,
+        |  user_id AS inner_a, event_type AS inner_b,
+        |  event_type || '|' || upper(event_type) AS tags_cat,
+        |  user_id AS mv, event_type AS mt
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "sink_wide_types" ->
       """WITH s AS (

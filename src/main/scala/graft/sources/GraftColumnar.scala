@@ -112,18 +112,6 @@ object GraftColumnar {
       if (p >= 0) p else physSlots.length + constSlots.indexOf(i)
     }.toArray
 
-    val conf = new Configuration(false)
-    conf.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
-    conf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
-      classOf[ParquetReadSupport].getName)
-    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, reqStruct.json)
-    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, true)
-    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
-    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
-    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
-    conf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, false)
-    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
-    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
     // the SAME translated predicate the row path pushes: row groups and
     // pages whose stats/dictionary/bloom refute it never decompress
     // projected = layout positions INSIDE this file's width only: a
@@ -134,25 +122,8 @@ object GraftColumnar {
       if (pushed.isEmpty) None
       else GraftParquet.filterPredicate(fileMt, full,
         idx.toSet.filter(li => li >= 0 && li < split.ncols), pushed)
-    rgFilter.foreach(p => ParquetInputFormat.setFilterPredicate(conf, p))
-
-    val len = java.nio.file.Files.size(java.nio.file.Paths.get(split.file))
-    val vr = new VectorizedParquetRecordReader(
-      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
-      /*useOffHeap=*/ false, /*capacity=*/ 4096)
-    var initialized = false
-    try {
-      // mapred.FileSplit, not mapreduce.lib.input.FileSplit: Spark's
-      // reader base downcasts to the old-API class (which extends the
-      // new one) to reach getLocationInfo
-      vr.initialize(
-        new org.apache.hadoop.mapred.FileSplit(
-          new HadoopPath("file:" + split.file), 0, len, Array.empty[String]),
-        new TaskAttemptContextImpl(conf, new TaskAttemptID()))
-      vr.initBatch(constStruct, constRow)
-      vr.enableReturningBatches()
-      initialized = true
-    } finally if (!initialized) vr.close()
+    val vr = open(split.file, reqStruct, rgFilter, constStruct, constRow)
+    vr.enableReturningBatches()
 
     new PartitionReader[ColumnarBatch] {
       private var rows = 0L
@@ -184,5 +155,68 @@ object GraftColumnar {
       }
       override def close(): Unit = vr.close()
     }
+  }
+
+  /** Build the Hadoop conf + initialized reader both decode modes share.
+    * Closes the reader on a failed init. */
+  private def open(file: String, reqStruct: StructType,
+      rgFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate],
+      constStruct: StructType, constRow: InternalRow)
+      : VectorizedParquetRecordReader = {
+    val conf = new Configuration(false)
+    conf.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    conf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, reqStruct.json)
+    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, true)
+    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
+    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    conf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
+    rgFilter.foreach(p => ParquetInputFormat.setFilterPredicate(conf, p))
+    val len = java.nio.file.Files.size(java.nio.file.Paths.get(file))
+    val vr = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /*useOffHeap=*/ false, /*capacity=*/ 4096)
+    var initialized = false
+    try {
+      // mapred.FileSplit, not mapreduce.lib.input.FileSplit: Spark's
+      // reader base downcasts to the old-API class (which extends the
+      // new one) to reach getLocationInfo
+      vr.initialize(
+        new org.apache.hadoop.mapred.FileSplit(
+          new HadoopPath("file:" + file), 0, len, Array.empty[String]),
+        new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+      vr.initBatch(constStruct, constRow)
+      initialized = true
+    } finally if (!initialized) vr.close()
+    vr
+  }
+
+  /** VECTORIZED ROW-MODE decode: the same batch decoder serving its rows
+    * one at a time (`nextKeyValue`/`getCurrentValue` without
+    * `enableReturningBatches` — each row is a cursor view over the
+    * current batch, valid until the next `read()`, which is exactly the
+    * [[PartitionReader]] contract). This is the ROW-IDENTITY path's fast
+    * decode: splits that must emit rows (a deletion vector to skip by
+    * physical position, a requested `_pos`, or scan-uniform row fallback
+    * forced by a sibling split) still decode their column chunks
+    * vectorized — the per-row boxed `Group` tree is retired to the
+    * `spark.graft.columnar.enabled=false` escape hatch (and CSV). Rows
+    * come back in FILE ORDER whenever `rgFilter` is None — and the
+    * DV/`_pos` gate in the caller forbids pushing a filter precisely
+    * when positions matter — so the physical-position counter the
+    * row-identity logic keys on stays exact. */
+  final class VectorRows(file: String, reqStruct: StructType,
+      rgFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate]) {
+    private val vr =
+      open(file, reqStruct, rgFilter, new StructType(), InternalRow.empty)
+    /** Next surviving physical row, or null at end-of-file. */
+    def read(): InternalRow =
+      if (vr.nextKeyValue()) vr.getCurrentValue.asInstanceOf[InternalRow]
+      else null
+    def close(): Unit = vr.close()
   }
 }

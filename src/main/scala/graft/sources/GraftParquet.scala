@@ -43,33 +43,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * unambiguous comma-delimited rendering of a nested value):
   *   long→INT64, double→DOUBLE, int→INT32, float→FLOAT, boolean→BOOLEAN,
   *   string→BINARY(UTF8), timestamp→INT64(TIMESTAMP_MICROS,UTC),
-  *   date→INT32(DATE), decimal(p<=18,s)→INT64(DECIMAL(p,s)),
-  *   array<scalar>→standard 3-level LIST.
+  *   date→INT32(DATE), decimal→INT32/INT64/FIXED_LEN_BYTE_ARRAY by
+  *   precision (Spark's converter mapping), array→standard 3-level LIST,
+  *   struct→group, map<string,_>→standard MAP — nested types compose to
+  *   ANY depth (array<array<...>>, struct<struct<...>,array<...>>,
+  *   map values of any supported type).
   * Annotations are the standard parquet logical types, so the data files
   * are readable by ANY parquet reader (DuckDB included) — the manifest
   * adds the transactional layer, it does not bespoke the bytes. */
 object GraftParquet {
 
-  /** Element types admitted inside `array<...>` columns: scalars, plus
-    * ONE level of struct-of-scalars (typed per-frame multimodal metadata
-    * — a video's `array<struct<ts,offset,len>>` frame table). */
-  def arrayElemOk(et: DataType): Boolean = et match {
-    case FloatType | DoubleType | LongType | IntegerType | StringType => true
-    case st: StructType => structOk(st)
-    case _ => false
-  }
+  /** Element types admitted inside `array<...>` columns: ANY supported
+    * type, at any depth (round 12; the write path is Spark's own
+    * ParquetWriteSupport and the decode recursion below mirrors it —
+    * `array<array<bigint>>` token matrices, `array<struct<...>>`
+    * per-frame records, arrays of tag maps all encode). */
+  def arrayElemOk(et: DataType): Boolean = supported(et)
 
-  /** Minimal FIXED_LEN_BYTE_ARRAY width holding any signed unscaled
-    * value of `precision` digits (the standard parquet DECIMAL sizing:
-    * smallest n with 2^(8n-1) > 10^p). */
-  def decimalBytes(precision: Int): Int = {
-    var n = 1
-    while (BigInt(2).pow(8 * n - 1) <= BigInt(10).pow(precision)) n += 1
-    n
-  }
-
-  /** Scalar types a nested field (struct member) can take — everything
-    * the flat scalar surface encodes. */
+  /** Scalar types a leaf field can take — everything the flat scalar
+    * surface encodes. */
   def scalarOk(dt: DataType): Boolean = dt match {
     case LongType | DoubleType | StringType | TimestampType | DateType |
          IntegerType | FloatType | BooleanType | BinaryType => true
@@ -77,85 +69,24 @@ object GraftParquet {
     case _ => false
   }
 
-  /** One level of scalar-field struct nesting (typed metadata records —
-    * the multimodal pattern: a binary blob column next to a
-    * struct<width,height,codec,...> descriptor). */
+  /** Structs nest arbitrarily (round 12): every member is any supported
+    * type — scalars, deeper structs, arrays, maps. Typed multimodal
+    * metadata no longer flattens (a video's
+    * struct<codec, frames: array<struct<ts,offset,len>>> is one column). */
   def structOk(st: StructType): Boolean =
-    st.fields.nonEmpty && st.fields.forall(f => scalarOk(f.dataType))
+    st.fields.nonEmpty && st.fields.forall(f => supported(f.dataType))
 
-  /** String-keyed scalar maps (tag bags, per-key counters). Keys are
-    * REQUIRED by the parquet MAP spec; Spark map keys are non-null too. */
+  /** String-keyed maps of any supported value type. Keys are REQUIRED by
+    * the parquet MAP spec; Spark map keys are non-null too. */
   def mapOk(mt: MapType): Boolean =
-    mt.keyType == StringType && scalarOk(mt.valueType)
+    mt.keyType == StringType && supported(mt.valueType)
 
   /** True when the connector can encode `dt` in a parquet data file. */
   def supported(dt: DataType): Boolean = dt match {
-    case ArrayType(et, _) => arrayElemOk(et)
+    case ArrayType(et, _) => supported(et)
     case st: StructType   => structOk(st)
     case mt: MapType      => mapOk(mt)
     case _ => scalarOk(dt)
-  }
-
-  private def scalarType(dt: DataType, name: String, rep: Type.Repetition): Type = {
-    def prim(p: PrimitiveTypeName) = Types.primitive(p, rep)
-    dt match {
-      case LongType    => prim(PrimitiveTypeName.INT64).named(name)
-      case DoubleType  => prim(PrimitiveTypeName.DOUBLE).named(name)
-      case IntegerType => prim(PrimitiveTypeName.INT32).named(name)
-      case FloatType   => prim(PrimitiveTypeName.FLOAT).named(name)
-      case BooleanType => prim(PrimitiveTypeName.BOOLEAN).named(name)
-      case StringType => prim(PrimitiveTypeName.BINARY)
-        .as(LogicalTypeAnnotation.stringType()).named(name)
-      case BinaryType => prim(PrimitiveTypeName.BINARY).named(name)
-      case TimestampType => prim(PrimitiveTypeName.INT64)
-        .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS))
-        .named(name)
-      case DateType => prim(PrimitiveTypeName.INT32)
-        .as(LogicalTypeAnnotation.dateType()).named(name)
-      case d: DecimalType if d.precision <= 18 => prim(PrimitiveTypeName.INT64)
-        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
-      case d: DecimalType if d.precision <= 38 =>
-        // the standard wide-decimal physical type every parquet reader
-        // (Spark's vectorized scan, DuckDB) maps back to DECIMAL(p,s)
-        Types.primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, rep)
-          .length(decimalBytes(d.precision))
-          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
-      case other => throw new IllegalArgumentException(
-        s"graft-sink parquet cannot encode $other for '$name'")
-    }
-  }
-
-  /** Parquet schema for a (projection of the) table layout. Field names
-    * ARE the manifest schema's column names — projection on read resolves
-    * by name, which is what makes trailing-column evolution free (a
-    * pre-evolution file simply lacks the field; the reader never asks a
-    * file for a column beyond its written width). */
-  def messageType(schema: StructType): MessageType = {
-    val fields: Seq[Type] = schema.fields.toSeq.map { f =>
-      f.dataType match {
-        case ArrayType(st: StructType, _) if structOk(st) =>
-          Types.optionalList()
-            .element(st.fields.foldLeft(Types.optionalGroup()) { (b, sf) =>
-              b.addField(scalarType(sf.dataType, sf.name, Type.Repetition.OPTIONAL))
-            }.named("element"))
-            .named(f.name)
-        case ArrayType(et, _) if arrayElemOk(et) =>
-          Types.optionalList()
-            .element(scalarType(et, "element", Type.Repetition.OPTIONAL))
-            .named(f.name)
-        case st: StructType if structOk(st) =>
-          st.fields.foldLeft(Types.optionalGroup()) { (b, sf) =>
-            b.addField(scalarType(sf.dataType, sf.name, Type.Repetition.OPTIONAL))
-          }.named(f.name)
-        case mt: MapType if mapOk(mt) =>
-          Types.optionalMap()
-            .key(scalarType(StringType, "key", Type.Repetition.REQUIRED))
-            .value(scalarType(mt.valueType, "value", Type.Repetition.OPTIONAL))
-            .named(f.name)
-        case dt => scalarType(dt, f.name, Type.Repetition.OPTIONAL)
-      }
-    }
-    new MessageType("graft", fields: _*)
   }
 
   /** Open a parquet writer on a task's `.tmp` file. Zstd: the ratio knob
@@ -315,26 +246,11 @@ object GraftParquet {
         val arr = new Array[Any](n)
         var k = 0
         while (k < n) {
-          val e = lg.getGroup(0, k)
-          arr(k) =
-            if (e.getFieldRepetitionCount(0) == 0) null
-            else et match {
-              case st: StructType =>
-                // member identity by NAME against the group read (the
-                // same nested-pruning rule the top-level struct decode
-                // follows)
-                val sg = e.getGroup(0, 0)
-                val gt = sg.getType
-                InternalRow.fromSeq(st.fields.toSeq.map { sf =>
-                  value(sg, gt.getFieldIndex(sf.name), sf.dataType) })
-              case FloatType   => e.getFloat(0, 0)
-              case DoubleType  => e.getDouble(0, 0)
-              case LongType    => e.getLong(0, 0)
-              case IntegerType => e.getInteger(0, 0)
-              case StringType  => UTF8String.fromBytes(e.getBinary(0, 0).getBytes)
-              case other => throw new IllegalArgumentException(
-                s"graft-sink parquet: unsupported array element $other")
-            }
+          // each repeated "list" wrapper holds one optional "element"
+          // field — recursing through value() on that field decodes ANY
+          // supported element type (scalars, structs, deeper arrays,
+          // maps) with the same null/name-resolution rules as a column
+          arr(k) = value(lg.getGroup(0, k), 0, et)
           k += 1
         }
         new GenericArrayData(arr)

@@ -268,6 +268,78 @@ class Round12Spec extends AnyFunSuite {
     assert(got == Set(("insert", 3L)), got.toString)
   }
 
+  test("deep nesting roundtrips on both decode paths, nulls at every level") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_nest").toString
+    // nulls at each level: whole column (id=1), inner container / deep
+    // member / map value (id=3), element inside the inner array (id=3's
+    // aa too) — the decode recursion must thread absence correctly at
+    // every repetition depth, in both the Group and the vectorized path
+    val src = spark.range(4).selectExpr("id",
+      """CASE WHEN id = 1 THEN NULL
+              WHEN id = 2 THEN array(NULL, array(1L, 2L))
+              WHEN id = 3 THEN array(array(10L, NULL, 30L))
+              ELSE array(array(id, id + 1), array(id * 2)) END AS aa""",
+      """CASE WHEN id = 1 THEN NULL
+              WHEN id = 3 THEN named_struct(
+                'inner', named_struct('a', CAST(NULL AS BIGINT), 'b', 'x'),
+                'tags', array('t', CAST(NULL AS STRING)))
+              ELSE named_struct(
+                'inner', named_struct('a', id, 'b', concat('b', id)),
+                'tags', array(concat('t', id))) END AS meta""",
+      """CASE WHEN id = 1 THEN NULL
+              WHEN id = 3 THEN map('k', CAST(NULL AS STRUCT<v: BIGINT, t: STRING>))
+              ELSE map('k', named_struct('v', id, 't', concat('t', id))) END AS m""")
+    val want = src.orderBy("id").toJSON.collect().toSeq
+    src.coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    def load() = spark.read.format("graft-sink").option("path", dir).load()
+    val colr = load()
+    assert(colr.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.supportsColumnar }.getOrElse(false),
+      "deep-nested scan must still decode columnar")
+    assert(colr.orderBy("id").toJSON.collect().toSeq == want,
+      "columnar deep-nested roundtrip")
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    try assert(load().orderBy("id").toJSON.collect().toSeq == want,
+      "row-path deep-nested roundtrip")
+    finally spark.conf.unset("spark.graft.columnar.enabled")
+  }
+
+  test("row-identity splits decode vectorized: DV skip and _pos match the Group path") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.GraftReadStats
+    val root = java.nio.file.Files.createTempDirectory("graft_r12_vrow").toString
+    spark.conf.set("spark.sql.catalog.g12v", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g12v.root", root)
+    val dir = s"$root/db/t"
+    spark.range(0, 5000, 1, 2).toDF("k")
+      .selectExpr("k", "md5(cast(k AS string)) AS pad", "k * 0.5 AS d")
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    spark.sql("DELETE FROM g12v.db.t WHERE k % 7 = 0")
+    def q() = spark.read.format("graft-sink").option("path", dir).load()
+      .selectExpr("k", "_pos", "pad", "d")
+    // the DV forces the scan off BATCH columnar…
+    assert(!q().queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.supportsColumnar }.getOrElse(false),
+      "DV'd scan must not report batch-columnar")
+    // …but the row decode is still vectorized (VectorRows), not Group
+    val before = GraftReadStats.vectorRowSplits.sum()
+    val vec = q().collect()
+    assert(GraftReadStats.vectorRowSplits.sum() - before >= 2L,
+      "DV'd parquet splits must decode through the vectorized row path")
+    assert(vec.length == 5000 - (5000 + 6) / 7, s"got ${vec.length}")
+    // byte-identical to the Group escape hatch, INCLUDING physical _pos
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    val grp = try q().collect()
+    finally spark.conf.unset("spark.graft.columnar.enabled")
+    assert(vec.map(_.toString).sorted.toSeq == grp.map(_.toString).sorted.toSeq,
+      "vectorized row decode must match the Group path row-for-row")
+    // _pos really is the physical position: deleted rows leave gaps
+    val poss = vec.map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(poss.get(7L).isEmpty && poss(1L) == 1L && poss(8L) == 8L)
+  }
+
   test("streaming epoch commits are O(header): zero manifest folds per delta epoch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
