@@ -159,7 +159,15 @@ object GraftSinkProvider {
   * their original data sequence number is the Iceberg rule; stamping
   * them fresh would stop pending equality deletes from applying and
   * let the full-commit prune drop the entries — deleted rows in
-  * untouched files would silently resurrect on a metadata-only commit. */
+  * untouched files would silently resurrect on a metadata-only commit.
+  *
+  * `bounds`: column indices whose `stats` entry is a truncated BOUND
+  * envelope (`#bstats`, prose columns past the exact-stat length cap),
+  * not the exact min/max. Bounds CONTAIN every value — sound for every
+  * pruning/proof consumer (mayMatch, mustMatchAll, TopN file caps,
+  * sortspec absorption: each only widens conservatively) — but they are
+  * NOT the extreme values themselves, so the exact consumers (min/max
+  * aggregate pushdown) must treat a bound column as stat-less. */
 case class GraftFileMeta(name: String, rows: Long, ncols: Int,
     stats: Map[Int, (String, String)], partition: Option[(String, String)],
     nulls: Option[Map[Int, Long]] = None, dv: Option[(String, Long)] = None,
@@ -167,7 +175,8 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
     blooms: Map[Int, String] = Map.empty,
     ndvs: Map[Int, String] = Map.empty,
     seq: Int = 0,
-    committed: Boolean = false) {
+    committed: Boolean = false,
+    bounds: Set[Int] = Set.empty) {
   /** Rows a scan of this file emits (physical minus deleted positions;
     * EQUALITY deletes are unresolved-at-commit and not discounted here —
     * see [[GraftEqDel]]). */
@@ -531,6 +540,11 @@ object GraftManifest {
     *                                    by every commit
     * #meta=<file>,<ncols>,<pcol>,<pval> per-file width + partition (pcol empty = none)
     * #stats=<file>,<colIdx>,<min>,<max> per-(file, column) min/max (non-null values)
+    * #bstats=<file>,<colIdx>,<lo>,<hi>  per-(file, column) truncated BOUND
+    *                                    envelope (lo <= every value < hi;
+    *                                    prose columns past the exact-stat
+    *                                    cap) — pruning-grade only, never
+    *                                    an exact min/max answer
     * #nulls=<file>,<i>:<n>;<i>:<n>...   per-file NULL counts (line PRESENT =
     *                                    counts known; zero-count columns
     *                                    omitted, so an empty list = no nulls)
@@ -640,6 +654,8 @@ object GraftManifest {
     val parts = scala.collection.mutable.Map[String, (String, String)]()
     val stats = scala.collection.mutable.Map[String, Map[Int, (String, String)]]()
       .withDefaultValue(Map.empty)
+    val boundCols = scala.collection.mutable.Map[String, Set[Int]]()
+      .withDefaultValue(Set.empty)
     val nulls = scala.collection.mutable.Map[String, Map[Int, Long]]()
     val dvs = scala.collection.mutable.Map[String, (String, Long)]()
     val sums = scala.collection.mutable.Map[String, Map[Int, Long]]()
@@ -705,6 +721,14 @@ object GraftManifest {
           case bad => throw new IllegalStateException(
             s"malformed #stats line: '${bad.mkString(",")}'")
         }
+      case s if s.startsWith("#bstats=") =>
+        s.stripPrefix("#bstats=").split(",", 4) match {
+          case Array(f, i, lo, hi) =>
+            stats(f) = stats(f) + (i.toInt -> (unescStat(lo), unescStat(hi)))
+            boundCols(f) = boundCols(f) + i.toInt
+          case bad => throw new IllegalStateException(
+            s"malformed #bstats line: '${bad.mkString(",")}'")
+        }
       case s if s.startsWith("#nulls=") =>
         s.stripPrefix("#nulls=").split(",", 2) match {
           case Array(f, pairs) => nulls(f) = pairs.split(";").filter(_.nonEmpty)
@@ -749,7 +773,7 @@ object GraftManifest {
     val metas = rows.result().map { case (f, n) =>
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f),
         nulls.get(f), dvs.get(f), sums.get(f), blooms(f), ndvs(f),
-        seqs.getOrElse(f, 0), committed = true)
+        seqs.getOrElse(f, 0), committed = true, bounds = boundCols(f))
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
       ids, checks.result(), partSpec, sortSpec, format, eqDels.result(),
@@ -890,7 +914,8 @@ object GraftManifest {
       (s"#meta=${m.name},${m.ncols},$p" +:
         (if (m.seq > 0) Seq(s"#seq=${m.name},${m.seq}") else Nil) ++:
         m.stats.toSeq.sortBy(_._1).map { case (i, (mn, mx)) =>
-          s"#stats=${m.name},$i,${escStat(mn)},${escStat(mx)}" }) ++
+          val kind = if (m.bounds(i)) "#bstats" else "#stats"
+          s"$kind=${m.name},$i,${escStat(mn)},${escStat(mx)}" }) ++
         m.nulls.map(ns => s"#nulls=${m.name}," + ns.toSeq.filter(_._2 > 0)
           .sortBy(_._1).map { case (i, n) => s"$i:$n" }.mkString(";")).toSeq ++
         m.dv.map { case (sc, n) => s"#dv=${m.name},$sc,$n" }.toSeq ++
@@ -4742,6 +4767,31 @@ object GraftSinkWriter {
   /** NULL cell sentinel (the classic `\N`); a literal string equal to it
     * is refused at write so decode is unambiguous. */
   val NullCell = "\\N"
+
+  /** Exact string stats are withheld past this length (a prose envelope
+    * as an EXACT fact would poison min/max aggregate answers; see the
+    * commit() stats note) ... */
+  val ExactStatMaxLen = 64
+  /** ... but a TRUNCATED BOUND envelope at this width still prunes
+    * (the Iceberg `truncate(w)` bound design, re-derived): range
+    * predicates on a text-clustered table skip files whose 32-char
+    * window cannot overlap the probe, at ~64 manifest bytes per
+    * (file, column). */
+  val BoundWidth = 32
+
+  /** Strict UPPER bound for every string sharing `s`'s `w`-prefix: the
+    * prefix with its last UTF-16 unit incremented (trailing ￿ units
+    * drop and the carry moves left — the same code-unit order
+    * [[GraftSinkScan.cmpStats]] pins for string stats). None when every
+    * prefix unit is ￿: no finite bound exists at this width, and
+    * the column's stats are withheld entirely (pre-bound behavior). */
+  def upperBound(s: String, w: Int = BoundWidth): Option[String] = {
+    val p = s.substring(0, math.min(w, s.length)).toCharArray
+    var i = p.length - 1
+    while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(new String(p, 0, i) + (p(i) + 1).toChar)
+  }
 }
 
 /** Task-side writer. Unpartitioned: one `.tmp` per task. Partitioned
@@ -4981,18 +5031,29 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       p.closeSink()
       val fin = new File(path, p.tmp.getName.stripSuffix(".tmp") + fileSuffix)
       Files.move(p.tmp.toPath, fin.toPath, StandardCopyOption.ATOMIC_MOVE)
+      // FREE-TEXT columns (either extreme past ExactStatMaxLen) never
+      // report EXACT stats — a truncated value as an exact fact would
+      // poison the min/max aggregate pushdown answers — but they DO
+      // report a truncated BOUND envelope (`#bstats`): lower = the
+      // 32-char prefix of min (<= min), upper = the incremented prefix
+      // of max (> max). Bounds contain every value, so every pruning
+      // and proof consumer stays sound (a wider envelope only may-match
+      // more / proves less), while the exact consumers skip bound
+      // columns by the `bounds` flag. On a text-clustered layout this
+      // is what lets a range probe on prose plan O(answer) files; bloom
+      // filters remain the point-lookup index.
+      val boundIdx = Set.newBuilder[Int]
       val stats = (0 until schema.length).flatMap { i =>
-        // FREE-TEXT columns (either bound past 64 chars) report NO stats:
-        // a truncated bound would be sound for pruning but UNSOUND for
-        // the exact consumers (min/max aggregate pushdown, the
-        // metadata-delete equality proof), and a min/max envelope over
-        // prose skips nothing at any scale — bloom filters are the
-        // point-lookup index for such columns. Short strings (codes,
-        // enums, ids) keep exact stats as before.
-        Option(p.mins(i))
-          .filter(_ => schema.fields(i).dataType != StringType ||
-            (p.mins(i).length <= 64 && p.maxs(i).length <= 64))
-          .map(mn => i -> (mn, p.maxs(i)))
+        Option(p.mins(i)).flatMap { mn =>
+          val exact = schema.fields(i).dataType != StringType ||
+            (mn.length <= GraftSinkWriter.ExactStatMaxLen &&
+              p.maxs(i).length <= GraftSinkWriter.ExactStatMaxLen)
+          if (exact) Some(i -> (mn, p.maxs(i)))
+          else GraftSinkWriter.upperBound(p.maxs(i)).map { hi =>
+            boundIdx += i
+            i -> (mn.substring(0, math.min(GraftSinkWriter.BoundWidth, mn.length)), hi)
+          }
+        }
       }.toMap
       // Some(...) even when every count is zero: "counts KNOWN, no nulls"
       // is exactly the fact IS NULL pruning needs; None stays reserved for
@@ -5008,7 +5069,8 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       val ndvs = p.ndvRegs.collect {
         case (i, regs) if p.rows > p.nullCounts(i) => i -> GraftHll.encode(regs) }
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
-        partName.map(_ -> value), Some(nulls), None, Some(sums), blooms, ndvs)
+        partName.map(_ -> value), Some(nulls), None, Some(sums), blooms, ndvs,
+        bounds = boundIdx.result())
     }.toSeq
     // upsert mode: this task's key set lands as one equality-delete
     // sidecar (same tmp → rename task-commit discipline as data parts)
