@@ -3455,9 +3455,12 @@ object Scale {
     * documents table rewritten as comma-riddled prose, committed in two
     * versions (even doc_ids, then the odd append). REQUIREd from the
     * manifest: `#format=parquet`, every data file `.parquet`, and the
-    * free-text column reports NO min/max stats (bounds past 64 chars are
-    * withheld — a prose envelope prunes nothing and a truncated bound
-    * would poison the exact stats consumers; doc_id keeps its envelope).
+    * free-text column reports a truncated BOUND envelope (`#bstats`,
+    * flagged in `bounds` — round 12's text-range-pruning design: the
+    * 32-char-prefix envelope contains every body, so range probes prune,
+    * while the `bounds` flag keeps it out of the exact min/max
+    * aggregate-pushdown answers; doc_id keeps its exact envelope,
+    * unflagged).
     * Both versions stay readable: v1 time-travels to exactly the even
     * half. The oracle recomputes both phases from documents with DuckDB's
     * own md5 over the same transformed text — a content-hash roundtrip
@@ -3479,9 +3482,19 @@ object Scale {
     require(head.metas.nonEmpty && head.metas.forall(_.name.endsWith(".parquet")),
       s"data files must be parquet parts: ${head.metas.map(_.name)}")
     val bodyIdx = 2 // (doc_id, lang, body)
-    require(head.metas.forall(m => !m.stats.contains(bodyIdx)),
-      "free-text bounds past 64 chars must be withheld from #stats")
-    require(head.metas.forall(m => m.stats.contains(0)),
+    require(head.metas.forall(m => m.bounds(bodyIdx) && m.stats.contains(bodyIdx)),
+      "free-text past 64 chars must carry a truncated #bstats BOUND envelope")
+    require(head.metas.forall(m => m.exactStats(bodyIdx).isEmpty),
+      "exact consumers must see the bound column as stat-less")
+    // the envelope must actually CONTAIN the file's bodies: lower is a
+    // <=32-char prefix (<= every value), upper sorts strictly above
+    head.metas.foreach { m =>
+      val (lo, hi) = m.stats(bodyIdx)
+      require(lo.length <= 32 && graft.sources.GraftSinkScan.cmpStats(
+          org.apache.spark.sql.types.StringType, lo, hi) < 0,
+        s"malformed bound envelope ($lo, $hi)")
+    }
+    require(head.metas.forall(m => m.stats.contains(0) && !m.bounds(0)),
       "doc_id must keep its exact min/max envelope")
     val v1 = spark.read.format("graft-sink")
       .option("path", dir).option("versionAsOf", "1").load()
@@ -3493,6 +3506,63 @@ object Scale {
       .select(col("version"), col("doc_id"), col("lang"),
         md5(col("body")).as("h"), length(col("body")).cast("long").as("n"))
       .orderBy(col("version"), col("doc_id"))
+  }
+
+  /** TEXT-RANGE FILE PRUNING VIA `#bstats` BOUND ENVELOPES (VERDICT r12
+    * next #2 — the payoff query the truncated-bound design exists for):
+    * free-text columns past the 64-char exact-stat cap carry a 32-char
+    * truncated bound envelope (lower = prefix of min, upper = strict
+    * successor of max's prefix — the Iceberg `truncate(w)` bound design,
+    * re-derived surrogate-safe). On a TEXT-CLUSTERED layout
+    * (range-distributed + sorted on the prose column) those ~64 bytes
+    * per (file, column) make a string range probe plan O(answer) files:
+    * `body >= 'p' AND body < 'q'` over a 100 TB corpus reads the one
+    * cluster that can hold p-prefixed bodies. The key writes the SAME
+    * >64-char bodies twice — clustered and round-robin interleaved — and
+    * REQUIREs the interleaved control plans ALL 4 files (proving prose
+    * envelopes span the domain and nothing else prunes) while the
+    * clustered probe plans STRICTLY FEWER, with every file-level meta
+    * bound-flagged (no exact prose stats leaked). The probe rows are
+    * fully oracled; file counts ride along as pinned evidence columns. */
+  def scanTextRangePrune(spark: SparkSession, sf: String): DataFrame = {
+    def body(src: DataFrame): DataFrame = src.select(col("doc_id"),
+      concat(col("text"), lit(" | "), col("text")).as("body"))
+    def write(dir: String, clustered: Boolean): Unit =
+      graft.util.Scratch.once(dir) {
+        val d = body(documents(spark, sf))
+        if (clustered)
+          d.write.format("graft-sink").option("path", dir)
+            .option("sortBy", "body").option("writePartitions", "4")
+            .option("distributionStrict", "true")
+            .mode("overwrite").save()
+        else // round-robin: every file spans the body domain
+          d.repartition(4).write.format("graft-sink").option("path", dir)
+            .option("distributionMode", "none").mode("overwrite").save()
+      }
+    val dir = tmpDir("txtrange", sf)
+    val ctl = tmpDir("txtrangectl", sf)
+    write(dir, clustered = true)
+    write(ctl, clustered = false)
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    val nFiles = head.metas.size
+    require(nFiles == 4, s"fixture: want 4 range files, got $nFiles")
+    val bodyIdx = 1 // (doc_id, body)
+    require(head.metas.forall(m =>
+        m.bounds(bodyIdx) && m.exactStats(bodyIdx).isEmpty),
+      "every >64-char prose file meta must carry a BOUND envelope, never exact stats")
+    def probe(d: String): DataFrame =
+      spark.read.format("graft-sink").option("path", d).load()
+        .where(col("body") >= "p" && col("body") < "q")
+    val control = graftScanParts(probe(ctl))
+    require(control == nFiles,
+      s"interleaved control must plan all $nFiles files, planned $control")
+    val pruned = probe(dir)
+    val planned = graftScanParts(pruned)
+    require(planned < nFiles,
+      s"bound envelopes on the clustered layout must prune: $planned of $nFiles")
+    pruned.withColumn("n_files", lit(nFiles.toLong))
+      .withColumn("n_planned_lt", lit((planned < nFiles).toString))
+      .orderBy(col("doc_id"))
   }
 
   /** ROW-GROUP FILTER PUSHDOWN (round 11): inside the data files the
@@ -3977,6 +4047,7 @@ object Scale {
     "sql_merge_into" -> sqlMergeInto,
     "sink_dv_point_delete" -> sinkDvPointDelete,
     "sink_documents_versioned" -> sinkDocumentsVersioned,
+    "scan_text_range_prune" -> scanTextRangePrune,
     "sink_rowgroup_skip" -> sinkRowgroupSkip,
     "sink_vector_column" -> sinkVectorColumn,
     "sql_txn_publish" -> sqlTxnPublish,
@@ -4081,6 +4152,13 @@ object Scale {
         |  md5(body) AS h, CAST(length(body) AS BIGINT) AS n
         |FROM d
         |ORDER BY version, doc_id""".stripMargin,
+
+    "scan_text_range_prune" ->
+      """SELECT doc_id, text || ' | ' || text AS body,
+        |  CAST(4 AS BIGINT) AS n_files, 'true' AS n_planned_lt
+        |FROM documents
+        |WHERE text || ' | ' || text >= 'p' AND text || ' | ' || text < 'q'
+        |ORDER BY doc_id""".stripMargin,
 
     "sink_rowgroup_skip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -669,9 +669,10 @@ object Vectors {
     * [[graft.plans.LshPrefilter]] optimizer rule (opt-in conf, injected
     * here at runtime) rewrites into a Distinct(Union of 16 band
     * equi-joins) with the cosine check as residual verify. Same predicate
-    * as `dedup_embedding_cosine` (the hand-written all-pairs baseline and
-    * this key's oracle twin) — the bench delta between the two keys is the
-    * measured value of the rule. Plan-shape asserted in ScaleFixSpec. */
+    * as `dedup_embedding_cosine` (since r13 the hand-BANDED twin: the
+    * same bands built explicitly in the DataFrame — rule-rewritten vs
+    * hand-built is the pair worth benching). Plan shape and exact recall
+    * vs an sf-capped all-pairs control asserted in ScaleFixSpec. */
   def vecThresholdPairs(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorCosine.register(spark)
     spark.conf.set(graft.plans.LshPrefilter.ConfKey, "true")

@@ -107,6 +107,37 @@ object FormatScaleDemo {
       }
       rm(new java.io.File(dir))
     }
+    // VECTORIZED ROW-MODE under EQDEL (round 13): a streaming/batch
+    // upsert leaves pending equality deletes, so the scan must emit rows
+    // AND probe each row's key cell against the sidecar sets — the one
+    // path round 12 left on the boxed Group tree. Round 13 decodes it
+    // through VectorRows with the key cells canonicalized from the
+    // decoded row. A/B: the identical eqdel-bearing scan with
+    // `spark.graft.columnar.enabled=false` (the Group fallback).
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fmt_eq").toString
+      df.write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      // upsert 1% of keys: pending equality-delete sidecar, target unread
+      df.where(col("id") % 100 === 0)
+        .select(col("id"), col("k"), (col("v") + 1).as("v"), col("txt"))
+        .write.format("graft-sink").option("path", dir)
+        .option("upsertKey", "id").mode("append").save()
+      val rd = () => spark.read.format("graft-sink").option("path", dir).load()
+      def fullAgg() =
+        rd().agg(sum(length(col("txt"))), sum(col("v")), max(col("id"))).collect()
+      fullAgg() // warm both code paths' codegen before timing
+      val (_, vecSec) = time(fullAgg())
+      spark.conf.set("spark.graft.columnar.enabled", "false")
+      fullAgg()
+      val (_, grpSec) = time(fullAgg())
+      spark.conf.set("spark.graft.columnar.enabled", "true")
+      println(f"eqdel-decode kind=$kind rows=$rows fullScan: " +
+        f"vectorRows=$vecSec%5.2fs group=$grpSec%5.2fs (${grpSec / vecSec}%4.1fx)")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
     // ROW-GROUP FILTER PUSHDOWN (round 11): ONE sorted parquet file with
     // production-shaped 1 MB row groups; a point probe and a 1%-range
     // probe should materialize ~their answer sets, not the file. The

@@ -42,9 +42,16 @@ class Round11Spec extends AnyFunSuite {
     val head = GraftManifest.readVersion(dir, None).get
     assert(head.format.contains(GraftFormat.Parquet))
     val m = head.metas.head
-    assert(m.stats.contains(0) && m.stats.contains(1) && !m.stats.contains(2),
-      s"short strings keep exact stats, prose withheld: ${m.stats.keySet}")
+    // round 12: prose past 64 chars reports a truncated #bstats BOUND
+    // envelope (flagged in `bounds`), not exact stats — exact consumers
+    // read it as stat-less via exactStats
+    assert(m.stats.contains(0) && m.stats.contains(1) && m.stats.contains(2),
+      s"short strings keep exact stats, prose gets a bound: ${m.stats.keySet}")
+    assert(m.bounds == Set(2) && m.exactStats(2).isEmpty,
+      s"only prose is bound-flagged: ${m.bounds}")
     assert(m.stats(1) == (("also short", "short,with,commas")))
+    assert(m.stats(2) == (("x" * 32, "y" * 31 + "z")),
+      s"32-char prefix of min / incremented prefix of max: ${m.stats(2)}")
     val back = spark.read.format("graft-sink").option("path", dir).load()
       .orderBy("id").collect()
     assert(back.map(_.getString(1)).toSeq == rows.map(_._2))

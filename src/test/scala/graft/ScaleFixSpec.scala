@@ -95,11 +95,27 @@ class ScaleFixSpec extends AnyFunSuite {
     val physical = df.queryExecution.executedPlan.toString
     assert(!physical.contains("NestedLoop") && !physical.contains("CartesianProduct"),
       s"rewritten plan must have no all-pairs join:\n${physical.take(800)}")
-    // rewritten result == the hand-written exact baseline (same predicate)
-    val exact = SparkEntry.queries("dedup_embedding_cosine")(spark, sf001)
+    // the SPEC-LAYER exact all-pairs control (VERDICT r12 next #3: the
+    // O(n²) plan lives here, sf-capped, not in any registered key): both
+    // banded formulations must have EXACT recall against it
+    graft.functions.VectorCosine.register(spark)
+    val e = graft.util.Tables.embeddings(spark, sf001)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val exact = a.join(b, col("vec_a") < col("vec_b"))
+      .where(expr("vector_cosine(ea, eb)") > lit(0.45d))
+      .select(col("vec_a"), col("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == exact, s"banded rewrite lost pairs: got $got expected $exact")
+    // the hand-banded registered key: same exact recall, no all-pairs plan
+    val banded = SparkEntry.queries("dedup_embedding_cosine")(spark, sf001)
+    val bphys = banded.queryExecution.executedPlan.toString
+    assert(!bphys.contains("NestedLoop") && !bphys.contains("CartesianProduct"),
+      s"dedup_embedding_cosine must be banded, not all-pairs:\n${bphys.take(800)}")
+    assert(banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == exact,
+      "hand-banded pair generation lost pairs vs the exact control")
   }
 
   test("fixture score gaps dwarf float-vs-double ULP noise (ADVICE r2: tie margin)") {
