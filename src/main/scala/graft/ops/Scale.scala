@@ -329,6 +329,78 @@ object Scale {
       .orderBy(col("zbucket"))
   }
 
+  /** Z-ORDER FILE PRUNING through the versioned connector (round 13 —
+    * closes the loop `sink_zorder` opened: that key demonstrates curve
+    * LOCALITY on plain parquet; this one proves the layout actually
+    * prunes a manifest-planned scan). Both columns are quantile-bucketed
+    * into 16 ranks (one exact-`percentile` aggregate per column — the
+    * same broadcast-sized prepass Delta's OPTIMIZE ZORDER pays as
+    * range_partition_id), the rank bits interleave into an 8-bit curve
+    * value, and the table lands range-partitioned + sorted on it. The
+    * payoff at 100 TB: each file's min/max envelope is narrow in BOTH
+    * dimensions, so a selective probe on EITHER column plans a fraction
+    * of the files — where a linear sort on custkey leaves an orderkey
+    * probe planning every file (the REQUIREd control). Probes are the
+    * bottom decile of each key (never straddles a top-level curve split,
+    * so the REQUIRE is layout-robust); rows are fully oracled. */
+  def scanZorderPrune(spark: SparkSession, sf: String): DataFrame = {
+    val o = orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    val zdir = tmpDir("zprune", sf)
+    val ldir = tmpDir("zprunectl", sf)
+    graft.util.Scratch.once(zdir) {
+      val cutsSql = (1 to 15).map(i => i / 16.0).mkString(",")
+      val cutRow = o.agg(
+        expr(s"percentile(o_custkey, array($cutsSql))"),
+        expr(s"percentile(o_orderkey, array($cutsSql))")).head()
+      def bucket(c: Column, cuts: Seq[Double]): Column =
+        cuts.map(t => when(c > lit(t), 1).otherwise(0)).reduce(_ + _)
+      val cb = bucket(col("o_custkey"), cutRow.getSeq[Double](0))
+      val ob = bucket(col("o_orderkey"), cutRow.getSeq[Double](1))
+      val z = (0 until 4).map(i =>
+        shiftleft(shiftright(cb, i).bitwiseAND(lit(1)), 2 * i + 1) +
+          shiftleft(shiftright(ob, i).bitwiseAND(lit(1)), 2 * i)).reduce(_ + _)
+      o.withColumn("zval", z.cast("long"))
+        .repartitionByRange(8, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.format("graft-sink").option("path", zdir)
+        .option("distributionMode", "none").mode("overwrite").save()
+    }
+    graft.util.Scratch.once(ldir) {
+      o.write.format("graft-sink").option("path", ldir)
+        .option("sortBy", "o_custkey").option("writePartitions", "8")
+        .option("distributionStrict", "true").mode("overwrite").save()
+    }
+    val nZ = graft.sources.GraftManifest.readVersion(zdir, None).get.metas.size
+    val nL = graft.sources.GraftManifest.readVersion(ldir, None).get.metas.size
+    require(nZ == 8 && nL == 8, s"fixture: want 8 files each, got z=$nZ ctl=$nL")
+    // bottom-decile thresholds as pushable LITERALS (driver-side 4-value
+    // fetch — the broadcast a real cluster ships)
+    val mm = o.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val custHi = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 10
+    val ordHi = mm.getLong(2) + (mm.getLong(3) - mm.getLong(2)) / 10
+    def table(d: String): DataFrame = spark.read.format("graft-sink")
+      .option("path", d).load().select(col("o_orderkey"), col("o_custkey"))
+    val zCustProbe = table(zdir).where(col("o_custkey") <= custHi)
+    val zOrdProbe = table(zdir).where(col("o_orderkey") <= ordHi)
+    val zc = graftScanParts(zCustProbe)
+    val zo = graftScanParts(zOrdProbe)
+    val lo = graftScanParts(table(ldir).where(col("o_orderkey") <= ordHi))
+    val lc = graftScanParts(table(ldir).where(col("o_custkey") <= custHi))
+    require(lo == nL,
+      s"control: an orderkey probe on the custkey-sorted layout must plan all $nL files, planned $lo")
+    require(lc < nL, s"control sanity: custkey probe must prune, planned $lc of $nL")
+    require(zc < nZ && zo < nZ,
+      s"z-order must prune BOTH dimensions: cust $zc, ord $zo of $nZ files")
+    zCustProbe.withColumn("probe", lit("cust"))
+      .unionByName(zOrdProbe.withColumn("probe", lit("ord")))
+      .withColumn("both_pruned", lit((zc < nZ && zo < nZ).toString))
+      .withColumn("ctl_full", lit((lo == nL).toString))
+      .select(col("probe"), col("o_orderkey"), col("o_custkey"),
+        col("both_pruned"), col("ctl_full"))
+      .orderBy(col("probe"), col("o_orderkey"))
+  }
+
   /** Small-file COMPACTION (the lake maintenance op): documents land as 64
     * deliberately-tiny files (the streaming-ingest pathology), then are
     * compacted by an explicit `repartition(2)` rewrite — at 100 TB this is
@@ -4048,6 +4120,7 @@ object Scale {
     "sink_dv_point_delete" -> sinkDvPointDelete,
     "sink_documents_versioned" -> sinkDocumentsVersioned,
     "scan_text_range_prune" -> scanTextRangePrune,
+    "scan_zorder_prune" -> scanZorderPrune,
     "sink_rowgroup_skip" -> sinkRowgroupSkip,
     "sink_vector_column" -> sinkVectorColumn,
     "sql_txn_publish" -> sqlTxnPublish,
@@ -4159,6 +4232,19 @@ object Scale {
         |FROM documents
         |WHERE text || ' | ' || text >= 'p' AND text || ' | ' || text < 'q'
         |ORDER BY doc_id""".stripMargin,
+
+    "scan_zorder_prune" ->
+      """WITH b AS (
+        |  SELECT min(o_custkey) + (max(o_custkey) - min(o_custkey)) // 10 AS ch,
+        |         min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 10 AS oh
+        |  FROM orders)
+        |SELECT 'cust' AS probe, o_orderkey, o_custkey,
+        |  'true' AS both_pruned, 'true' AS ctl_full
+        |FROM orders, b WHERE o_custkey <= ch
+        |UNION ALL
+        |SELECT 'ord', o_orderkey, o_custkey, 'true', 'true'
+        |FROM orders, b WHERE o_orderkey <= oh
+        |ORDER BY probe, o_orderkey""".stripMargin,
 
     "sink_rowgroup_skip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
