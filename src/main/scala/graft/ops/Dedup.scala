@@ -361,19 +361,25 @@ object Dedup {
       }.reduce(_ + _)
     val bands = array((0 until graft.plans.LshPrefilter.NumBands).map(k =>
       struct(lit(k).as("band"), bandVal(k).as("bv"))): _*)
+    // candidate/verify SPLIT: only (vec_id, band-cell) rides the 16×
+    // banding shuffle — the embedding payload (the heavy column at
+    // 100 TB) is fetched ONCE per side for the distinct candidates, not
+    // copied into every band row
     val e = embeddings(spark, sf)
       .withColumn("norm2", expr("vector_dot(embedding, embedding)"))
-      .select(col("vec_id"), col("embedding"), col("norm2"),
-        explode(bands).as("b"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("norm2").as("na2"), col("b"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("norm2").as("nb2"), col("b"))
-    a.join(b, Seq("b"))
+    val banded = e.select(col("vec_id"), explode(bands).as("b"))
+    val cands = banded.select(col("vec_id").as("vec_a"), col("b"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("b")), Seq("b"))
       .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cands
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("norm2").as("na2")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("norm2").as("nb2")), Seq("vec_b"))
       .withColumn("cos", expr("vector_dot(ea, eb)") / sqrt(col("na2") * col("nb2")))
       .where(col("cos") > 0.45)
-      .select(col("vec_a"), col("vec_b")).distinct()
+      .select(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
