@@ -1114,13 +1114,32 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
       }
       else {
         val k = zcols.length
+        // QUANTILE-RANK curve (round 13; was pmod(col, 256), which
+        // scrambles raw wide-domain values — post-rewrite file envelopes
+        // on the RAW columns spanned the whole domain and the layout
+        // never pruned anything the caller would actually probe): each
+        // dimension quantile-buckets into 64 ranks via one exact
+        // percentile aggregate (a 63-double broadcast per dimension —
+        // the same prepass Delta's OPTIMIZE ZORDER pays as
+        // range_partition_id), and the RANK bits interleave. Ranks are
+        // order-isomorphic to the raw values, so curve locality IS
+        // raw-value locality and the manifest's ordinary min/max
+        // envelopes prune probes on every named dimension.
+        val cutsSql = (1 to 63).map(i => i / 64.0).mkString(",")
+        val cutExprs = zcols.map(c => org.apache.spark.sql.functions.expr(
+          s"percentile(cast(`$c` as double), array($cutsSql))"))
+        val cutRow = snapshot.agg(cutExprs.head, cutExprs.tail: _*).head()
+        def rank(c: String, cuts: Seq[Double]): Column =
+          cuts.map(t => org.apache.spark.sql.functions
+            .when(col(c).cast("double") > lit(t), 1).otherwise(0))
+            .reduce(_ + _) // 0..63; NULL ranks 0 (nulls cluster first)
         // bit i of dimension j lands at curve position i*k + j — the
         // exact interleave sink_zorder oracles in two dimensions
-        def bitsOf(c: Column, j: Int): Column = (0 until 8).map[Column] { i =>
+        def bitsOf(c: Column, j: Int): Column = (0 until 6).map[Column] { i =>
           shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
         }.reduce(_ + _)
         val z = zcols.zipWithIndex.map { case (c, j) =>
-          bitsOf(pmod(col(c).cast("long"), lit(256L)), j) }.reduce(_ + _)
+          bitsOf(rank(c, cutRow.getSeq[Double](j)).cast("long"), j) }.reduce(_ + _)
         snapshot.withColumn("_zcurve", z.cast("long"))
           .repartitionByRange(target, col("_zcurve"))
           .sortWithinPartitions(col("_zcurve"))

@@ -220,6 +220,36 @@ class Round13Spec extends AnyFunSuite {
     assert(probe.count() == 40)
   }
 
+  test("OPTIMIZE ZORDER quantile curve prunes probes on RAW wide-domain columns") {
+    import graft.sources.GraftManifest
+    val root = java.nio.file.Files.createTempDirectory("graft_r13_zq").toString
+    spark.conf.set("spark.sql.catalog.gzq", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gzq.root", root)
+    val dir = s"$root/db/t"
+    // raw wide domains: a spans 0..40k, b is a scrambled 0..1M domain —
+    // the old pmod(col, 256) curve had NO locality in these raw values,
+    // so the rewrite tightened nothing a caller would probe
+    spark.range(0, 4000).toDF("id")
+      .select((col("id") * 10).as("a"),
+        pmod(col("id") * 2654435761L, lit(1000003L)).as("b"))
+      .repartition(4)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val t = () => spark.read.format("graft-sink").option("path", dir).load()
+    // control: round-robin layout prunes neither dimension
+    assert(t().where(col("a") <= 4000).rdd.getNumPartitions == 4)
+    spark.sql("CALL gzq.system.optimize('db.t', 4, 'a,b')").collect()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.metas.size == 4, s"want 4 z-ordered files: ${head.metas.size}")
+    // bottom-decile probes on EITHER raw column now plan a strict subset
+    val pa = t().where(col("a") <= 4000).rdd.getNumPartitions
+    val pb = t().where(col("b") <= 100000).rdd.getNumPartitions
+    assert(pa < 4 && pb < 4,
+      s"quantile z-order must prune raw probes on both dims: a=$pa b=$pb of 4")
+    // and the rewrite is lossless
+    assert(t().count() == 4000)
+    assert(t().agg(sum(col("a"))).head().getLong(0) == (0L until 4000L).map(_ * 10).sum)
+  }
+
   test("eqdel/eqSel probing decodes through VectorRows (VERDICT r12 #4)") {
     import graft.sources.{GraftManifest, GraftReadStats}
     val dir = java.nio.file.Files.createTempDirectory("graft_r13_eqvec").toString
