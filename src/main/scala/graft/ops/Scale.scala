@@ -3596,25 +3596,31 @@ object Scale {
     * clustered probe plans STRICTLY FEWER, with every file-level meta
     * bound-flagged (no exact prose stats leaked). The probe rows are
     * fully oracled; file counts ride along as pinned evidence columns. */
+  /** documents with a >64-char `body` (every file meta carries a BOUND
+    * envelope, never exact stats) — clustered: text-sorted 4-file range
+    * layout; else round-robin interleaved. Shared by the `#bstats`
+    * payoff keys. */
+  private def textTable(spark: SparkSession, sf: String,
+      clustered: Boolean): String = {
+    val dir = tmpDir(if (clustered) "txtrange" else "txtrangectl", sf)
+    graft.util.Scratch.once(dir) {
+      val d = documents(spark, sf).select(col("doc_id"),
+        concat(col("text"), lit(" | "), col("text")).as("body"))
+      if (clustered)
+        d.write.format("graft-sink").option("path", dir)
+          .option("sortBy", "body").option("writePartitions", "4")
+          .option("distributionStrict", "true")
+          .mode("overwrite").save()
+      else // round-robin: every file spans the body domain
+        d.repartition(4).write.format("graft-sink").option("path", dir)
+          .option("distributionMode", "none").mode("overwrite").save()
+    }
+    dir
+  }
+
   def scanTextRangePrune(spark: SparkSession, sf: String): DataFrame = {
-    def body(src: DataFrame): DataFrame = src.select(col("doc_id"),
-      concat(col("text"), lit(" | "), col("text")).as("body"))
-    def write(dir: String, clustered: Boolean): Unit =
-      graft.util.Scratch.once(dir) {
-        val d = body(documents(spark, sf))
-        if (clustered)
-          d.write.format("graft-sink").option("path", dir)
-            .option("sortBy", "body").option("writePartitions", "4")
-            .option("distributionStrict", "true")
-            .mode("overwrite").save()
-        else // round-robin: every file spans the body domain
-          d.repartition(4).write.format("graft-sink").option("path", dir)
-            .option("distributionMode", "none").mode("overwrite").save()
-      }
-    val dir = tmpDir("txtrange", sf)
-    val ctl = tmpDir("txtrangectl", sf)
-    write(dir, clustered = true)
-    write(ctl, clustered = false)
+    val dir = textTable(spark, sf, clustered = true)
+    val ctl = textTable(spark, sf, clustered = false)
     val head = graft.sources.GraftManifest.readVersion(dir, None).get
     val nFiles = head.metas.size
     require(nFiles == 4, s"fixture: want 4 range files, got $nFiles")
@@ -3635,6 +3641,31 @@ object Scale {
     pruned.withColumn("n_files", lit(nFiles.toLong))
       .withColumn("n_planned_lt", lit((planned < nFiles).toString))
       .orderBy(col("doc_id"))
+  }
+
+  /** TopN PUSHDOWN ON PROSE ([[graft.sources.GraftSinkScanBuilder
+    * .pushTopN]] composed with `#bstats` bound envelopes): `ORDER BY
+    * body LIMIT 100` on the text-clustered corpus takes files in
+    * lower-bound order until 100 live rows are covered and proves every
+    * top-100 body sorts under the taken envelopes' upper bound — a
+    * BOUND upper is strict (> every value), so the proof holds exactly
+    * as with exact stats, just one notch wider. The head-of-corpus
+    * probe ("first alphabetical documents of a billion") reads ONE of
+    * the 4 files, REQUIREd; rows are exact (doc_id tiebreak) and fully
+    * oracled. */
+  def scanTopnText(spark: SparkSession, sf: String): DataFrame = {
+    val dir = textTable(spark, sf, clustered = true)
+    val nFiles = graft.sources.GraftManifest.readVersion(dir, None).get.metas.size
+    require(nFiles == 4, s"fixture: want 4 text-range files, got $nFiles")
+    val top = spark.read.format("graft-sink").option("path", dir).load()
+      .orderBy(col("body"), col("doc_id")).limit(100)
+    val cp = top.localCheckpoint()
+    val planned = graftScanParts(top)
+    require(planned < nFiles,
+      s"pushed TopN(100) on a bound prose column must prune: planned $planned of $nFiles")
+    cp.withColumn("n_files", lit(nFiles.toLong))
+      .withColumn("pruned", lit((planned < nFiles).toString))
+      .orderBy(col("body"), col("doc_id"))
   }
 
   /** ROW-GROUP FILTER PUSHDOWN (round 11): inside the data files the
@@ -4120,6 +4151,7 @@ object Scale {
     "sink_dv_point_delete" -> sinkDvPointDelete,
     "sink_documents_versioned" -> sinkDocumentsVersioned,
     "scan_text_range_prune" -> scanTextRangePrune,
+    "scan_topn_text" -> scanTopnText,
     "scan_zorder_prune" -> scanZorderPrune,
     "sink_rowgroup_skip" -> sinkRowgroupSkip,
     "sink_vector_column" -> sinkVectorColumn,
@@ -4232,6 +4264,12 @@ object Scale {
         |FROM documents
         |WHERE text || ' | ' || text >= 'p' AND text || ' | ' || text < 'q'
         |ORDER BY doc_id""".stripMargin,
+
+    "scan_topn_text" ->
+      """SELECT doc_id, text || ' | ' || text AS body,
+        |  CAST(4 AS BIGINT) AS n_files, 'true' AS pruned
+        |FROM documents
+        |ORDER BY body, doc_id LIMIT 100""".stripMargin,
 
     "scan_zorder_prune" ->
       """WITH b AS (

@@ -25,6 +25,62 @@ class PropertySpec extends AnyFunSuite {
     assert(sums.distinct.size == 1, sums.toString)
   }
 
+  test("bound envelopes contain every string: seeded unicode incl. astral planes") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.sql.types.StringType
+    import graft.sources.{GraftSinkScan, GraftSinkWriter}
+    val rnd = new Random(77)
+    def cmp(a: String, b: String) = GraftSinkScan.cmpStats(StringType, a, b)
+    // code-point generator biased to the edges the truncation/increment
+    // logic cares about: the surrogate-gap borders, BMP max, plane starts,
+    // U+10FFFF, plus plain ASCII runs
+    val edges = Seq(0x20, 0x41, 0xD7FF, 0xE000, 0xFFFD, 0xFFFF,
+      0x10000, 0x1F600, 0x10FFFF)
+    def randCp(): Int = {
+      val r = rnd.nextInt(10)
+      if (r < 5) 0x20 + rnd.nextInt(0x5F) // ASCII
+      else if (r < 8) edges(rnd.nextInt(edges.size))
+      else rnd.nextInt(0x110000) match { // skip the surrogate gap
+        case s if s >= 0xD800 && s <= 0xDFFF => 0xE000 + (s - 0xD800)
+        case s => s
+      }
+    }
+    (0 until 2000).foreach { _ =>
+      val n = 1 + rnd.nextInt(70)
+      val sb = new java.lang.StringBuilder
+      (0 until n).foreach(_ => sb.appendCodePoint(randCp()))
+      val s = sb.toString
+      val lo = GraftSinkWriter.lowerBound(s)
+      assert(cmp(lo, s) <= 0, s"lower must be <= value: '$lo' vs '$s'")
+      assert(lo == new String(lo.getBytes(UTF_8), UTF_8),
+        s"lower bound must be UTF-8 clean: '$lo'")
+      GraftSinkWriter.upperBound(s).foreach { hi =>
+        assert(cmp(s, hi) < 0, s"upper must be > value: '$s' vs '$hi'")
+        assert(hi == new String(hi.getBytes(UTF_8), UTF_8),
+          s"upper bound must be UTF-8 clean: '$hi'")
+        // and the envelope is well-formed
+        assert(cmp(lo, hi) < 0)
+      }
+    }
+    // cmpStats order agrees with Spark's UTF8String binary order on the
+    // same seeded corpus — the alignment the round-13 fix pins
+    val pairs = (0 until 500).map { _ =>
+      def mk(): String = {
+        val sb = new java.lang.StringBuilder
+        (0 until 1 + rnd.nextInt(8)).foreach(_ => sb.appendCodePoint(randCp()))
+        sb.toString
+      }
+      (mk(), mk())
+    }
+    pairs.foreach { case (a, b) =>
+      val ours = Integer.signum(cmp(a, b))
+      val sparks = Integer.signum(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+      assert(ours == sparks, s"order mismatch on '$a' vs '$b': $ours vs $sparks")
+    }
+  }
+
   test("graft-avro roundtrip is bit-exact over seeded extreme values") {
     val rnd = new Random(1234)
     val edgeL = Seq(Long.MinValue, Long.MaxValue, 0L, -1L)
