@@ -3643,6 +3643,44 @@ object Scale {
       .orderBy(col("doc_id"))
   }
 
+  /** COMPOUND SORT LAYOUT (`sortBy=lang,doc_id`, round 13): the write
+    * range-distributes on the KEY PAIR — files tile the compound key, so
+    * the leading-key envelopes stay disjoint (touching only at boundary
+    * values a big lang spans across files) AND a file holding one lang's
+    * middle segment carries a NARROW doc_id envelope, which a compound
+    * probe exploits: `lang = 'en' AND doc_id <= K` prunes pure-en files
+    * whose doc_id range sits above K — a skip the single-column lang
+    * sort cannot make. REQUIREd: the manifest records the compound
+    * `#sortspec`; a leading-key point probe plans a strict subset; the
+    * compound probe plans no more than the leading-key probe. Probe rows
+    * fully oracled. */
+  def sinkSortedMulti(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("sortmulti", sf)
+    graft.util.Scratch.once(dir) {
+      documents(spark, sf).select(col("lang"), col("doc_id"), col("n_chars"))
+        .write.format("graft-sink").option("path", dir)
+        .option("sortBy", "lang,doc_id").option("writePartitions", "4")
+        .option("distributionStrict", "true").mode("overwrite").save()
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    require(head.sortSpec.contains("lang,doc_id"),
+      s"compound sort must be declared: ${head.sortSpec}")
+    val nFiles = head.metas.size
+    require(nFiles == 4, s"fixture: want 4 range files, got $nFiles")
+    def t(): DataFrame = spark.read.format("graft-sink").option("path", dir).load()
+    val de = graftScanParts(t().where(col("lang") === "de"))
+    require(de < nFiles,
+      s"leading-key probe must prune: planned $de of $nFiles")
+    val en = graftScanParts(t().where(col("lang") === "en"))
+    val compound = t().where(col("lang") === "en" && col("doc_id") <= 100L)
+    val enNarrow = graftScanParts(compound)
+    require(enNarrow <= en && en < nFiles,
+      s"compound probe must not plan more than the leading probe: $enNarrow vs $en of $nFiles")
+    compound.withColumn("n_files", lit(nFiles.toLong))
+      .withColumn("pruned", lit((de < nFiles && enNarrow <= en).toString))
+      .orderBy(col("doc_id"))
+  }
+
   /** TopN PUSHDOWN ON PROSE ([[graft.sources.GraftSinkScanBuilder
     * .pushTopN]] composed with `#bstats` bound envelopes): `ORDER BY
     * body LIMIT 100` on the text-clustered corpus takes files in
@@ -4152,6 +4190,7 @@ object Scale {
     "sink_documents_versioned" -> sinkDocumentsVersioned,
     "scan_text_range_prune" -> scanTextRangePrune,
     "scan_topn_text" -> scanTopnText,
+    "sink_sorted_multi" -> sinkSortedMulti,
     "scan_zorder_prune" -> scanZorderPrune,
     "sink_rowgroup_skip" -> sinkRowgroupSkip,
     "sink_vector_column" -> sinkVectorColumn,
@@ -4263,6 +4302,12 @@ object Scale {
         |  CAST(4 AS BIGINT) AS n_files, 'true' AS n_planned_lt
         |FROM documents
         |WHERE text || ' | ' || text >= 'p' AND text || ' | ' || text < 'q'
+        |ORDER BY doc_id""".stripMargin,
+
+    "sink_sorted_multi" ->
+      """SELECT lang, doc_id, n_chars,
+        |  CAST(4 AS BIGINT) AS n_files, 'true' AS pruned
+        |FROM documents WHERE lang = 'en' AND doc_id <= 100
         |ORDER BY doc_id""".stripMargin,
 
     "scan_topn_text" ->

@@ -973,6 +973,9 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     // ADVICE r10): absorb every overlapping retained file into the
     // victim set, to a fixpoint (absorbing one extends the envelope).
     val (small, big) = head.sortSpec
+      // compound specs absorb on the LEADING key — disjointness of the
+      // range layout is a leading-key property
+      .flatMap(s => GraftManifest.sortCols(s).headOption)
       .flatMap(sc => head.schemaDdl.map(StructType.fromDDL)
         .flatMap(l => scala.util.Try(l.fieldIndex(sc)).toOption
           .map(i => (i, l.fields(i).dataType)))) match {
@@ -1021,10 +1024,11 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
             case None    => victims.repartition(col(pc))
           }
           shaped.write.option("partitionBy", pc)
-        case None => head.sortSpec match {
-          case Some(sc) if victims.schema.fieldNames.contains(sc) =>
-            victims.repartitionByRange(target, col(sc))
-              .sortWithinPartitions(col(sc)).write
+        case None => head.sortSpec.map(GraftManifest.sortCols) match {
+          case Some(scs) if scs.nonEmpty &&
+              scs.forall(victims.schema.fieldNames.contains) =>
+            victims.repartitionByRange(target, scs.map(col): _*)
+              .sortWithinPartitions(scs.map(col): _*).write
           case _ => victims.repartition(target).write
         }
       }
@@ -1109,7 +1113,8 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
         // the writer's own ordered distribution re-ranges it (the write
         // below pins sortBy + a strict target width), so leave the
         // frame unshaped here
-        case Some(sc) if snapshot.schema.fieldNames.contains(sc) => snapshot
+        case Some(sc) if GraftManifest.sortCols(sc)
+            .forall(snapshot.schema.fieldNames.contains) => snapshot
         case _ => snapshot.repartition(target)
       }
       else {
@@ -1154,7 +1159,8 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     // fold a small table to one file and ignore the requested target)
     val ow = head.sortSpec.filter(sc =>
         zcols.isEmpty && keepLayout.isEmpty &&
-          rewritten.schema.fieldNames.contains(sc)) match {
+          GraftManifest.sortCols(sc)
+            .forall(rewritten.schema.fieldNames.contains)) match {
       case Some(sc) => ow0.option("sortBy", sc)
         .option("writePartitions", target.toString)
         .option("distributionStrict", "true")

@@ -372,6 +372,11 @@ class ObjectStoreClaim extends CommitClaim {
 }
 
 object GraftManifest {
+  /** A `#sortspec` value as its column list — single-column specs are the
+    * 1-element case; compound specs (`sortBy=c1,c2`, round 13) range on
+    * the leading key and order ties by the rest. */
+  def sortCols(spec: String): Seq[String] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
   private val VPrefix = "_manifest-v"
   private val RefPrefix = "_ref-"
 
@@ -2257,9 +2262,10 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         private val distMode = Option(opts.get("distributionMode")).getOrElse("hash")
         require(distMode == "hash" || distMode == "none",
           s"graft-sink: distributionMode must be hash|none, got '$distMode'")
-        // SORTED WRITES (`sortBy=<col>`): an UNPARTITIONED write is
-        // range-distributed on the sort column, so each task — hence each
-        // file — owns a DISJOINT value range and the manifest's min/max
+        // SORTED WRITES (`sortBy=<col>[,<col>...]`): an UNPARTITIONED
+        // write is range-distributed on the sort key(s), so each task —
+        // hence each file — owns a DISJOINT range of the leading key
+        // (ties ordered by the trailing keys) and the manifest's min/max
         // envelopes become non-overlapping: a point/range predicate then
         // prunes to O(1) files at planning time, the clustered-table
         // layout every lakehouse format sells. On a partitioned write the
@@ -2277,7 +2283,10 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
           .orElse(if (truncating) None
             else GraftManifest.versions(path).lastOption.flatMap(v =>
               GraftManifest.headerFacts(path, v).sortSpec)
-              .filter(info.schema().fieldNames.contains))
+              .filter(GraftManifest.sortCols(_)
+                .forall(info.schema().fieldNames.contains)))
+        private def sortColsSeq: Seq[String] =
+          sortCol.map(GraftManifest.sortCols).getOrElse(Nil)
         private val writeParts =
           Option(opts.get("writePartitions")).map(_.toInt).getOrElse(0)
         require(writeParts >= 0, s"graft-sink: writePartitions must be >= 0")
@@ -2336,8 +2345,10 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
             case Some(c) if GraftBucket.parse(c).isEmpty =>
               Distributions.clustered(Array(Expressions.identity(c)))
             case Some(_) => Distributions.unspecified()
-            case None => sortCol.map(s => Distributions.ordered(Array(asc(s))))
-              .getOrElse(Distributions.unspecified())
+            case None =>
+              if (sortColsSeq.nonEmpty)
+                Distributions.ordered(sortColsSeq.map(asc).toArray)
+              else Distributions.unspecified()
           }
         }
         override def distributionStrictlyRequired(): Boolean = distStrict
@@ -2350,7 +2361,7 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
           else 0
         override def requiredOrdering()
             : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          sortCol.map(s => Array(asc(s))).getOrElse(Array.empty)
+          sortColsSeq.map(asc).toArray
         // DATA-FILE FORMAT (`format=csv|parquet`): resolved once at plan
         // time — explicit option > the table's committed `#format` header
         // > the parquet default — and carried into both the task writers
@@ -2830,9 +2841,13 @@ case class GraftSinkScan(path: String, version: Option[Int],
       else version.orElse(GraftManifest.versions(path).lastOption)
         .flatMap(v => scala.util.Try(
           GraftManifest.headerFacts(path, v).sortSpec).getOrElse(None))
-        .filter(required.fieldNames.contains)
-    sc.map(c => Expressions.sort(Expressions.column(c),
-      SortDirection.ASCENDING)).toArray
+    // a compound spec reports its LONGEST PREFIX present in the scan
+    // output: rows are ordered by (c1, c2), hence by (c1) alone — but a
+    // claim on c2 without c1 would be false
+    sc.map(GraftManifest.sortCols).getOrElse(Nil)
+      .takeWhile(required.fieldNames.contains)
+      .map(c => Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)).toArray
   }
 
   /** RUNTIME (dynamic-partition-pruning) file filtering: the scan

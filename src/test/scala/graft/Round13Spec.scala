@@ -220,6 +220,48 @@ class Round13Spec extends AnyFunSuite {
     assert(probe.count() == 40)
   }
 
+  test("compound sortBy: conformance, prefix ordering report, OPTIMIZE carry") {
+    import graft.sources.GraftManifest
+    val root = java.nio.file.Files.createTempDirectory("graft_r13_ms").toString
+    spark.conf.set("spark.sql.catalog.gms", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gms.root", root)
+    val dir = s"$root/db/t"
+    import spark.implicits._
+    def batch(r: Range) = r.map(i => (s"g${i % 3}", i.toLong, i * 2L))
+      .toDF("g", "k", "v")
+    batch(0 until 900).write.format("graft-sink").option("path", dir)
+      .option("sortBy", "g,k").option("writePartitions", "3")
+      .option("distributionStrict", "true").mode("overwrite").save()
+    assert(GraftManifest.readVersion(dir, None).get.sortSpec.contains("g,k"))
+    // an optionless APPEND conforms to the declared COMPOUND layout
+    batch(900 until 1200).write.format("graft-sink").option("path", dir)
+      .mode("append").save()
+    val v2 = GraftManifest.readVersion(dir, None).get
+    assert(v2.sortSpec.contains("g,k"), "append must not clear the compound spec")
+    val t = () => spark.read.format("graft-sink").option("path", dir).load()
+    // ordering report: a per-partition sort on the declared PREFIX is
+    // elided; a sort on the non-prefix column alone is kept
+    val elided = t().sortWithinPartitions("g", "k")
+    assert(!elided.queryExecution.executedPlan.toString.contains("Sort "),
+      s"per-partition (g,k) sort must be elided:\n${elided.queryExecution.executedPlan}")
+    val kept = t().sortWithinPartitions("k")
+    assert(kept.queryExecution.executedPlan.toString.contains("Sort "),
+      "a non-prefix sort must be kept")
+    // OPTIMIZE preserves the compound layout and its pruning
+    spark.sql("CALL gms.system.optimize('db.t', 3)").collect()
+    val v3 = GraftManifest.readVersion(dir, None).get
+    assert(v3.sortSpec.contains("g,k") && v3.metas.size == 3,
+      s"OPTIMIZE must re-land 3 compound-sorted files: ${v3.metas.size} ${v3.sortSpec}")
+    val probe = t().where(col("g") === "g0")
+    assert(probe.rdd.getNumPartitions < 3,
+      "leading-key probe must prune the recompacted layout")
+    assert(probe.count() === 400)
+    // compound probe: a pure-g0 mid-segment file has a narrow k envelope
+    val narrow = t().where(col("g") === "g0" && col("k") <= 30L)
+    assert(narrow.collect().map(_.getLong(1)).sorted.toSeq ==
+      (0L to 30L by 3L).toSeq)
+  }
+
   test("OPTIMIZE ZORDER quantile curve prunes probes on RAW wide-domain columns") {
     import graft.sources.GraftManifest
     val root = java.nio.file.Files.createTempDirectory("graft_r13_zq").toString
