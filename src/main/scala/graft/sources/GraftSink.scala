@@ -2885,7 +2885,22 @@ case class GraftSinkScan(path: String, version: Option[Int],
       val bloomed = metas.headOption.toSeq.flatMap(_.blooms.keys)
         .filter(i => metas.forall(_.blooms.contains(i)))
         .flatMap(i => full.fields.lift(i).map(_.name))
-      (part.toSeq ++ bloomed).distinct.toArray.map(Expressions.column)
+      // the SORTED (range-clustered) leading key prunes on runtime
+      // IN-sets through the ordinary min/max envelopes (round 13): a
+      // broadcast join against a selective dim delivers the dim's actual
+      // keys, and disjoint envelopes skip every file whose range misses
+      // them — the clustered-fact counterpart of partition DPP.
+      // Advertised only when every planned file carries stats for it
+      // (an envelope-less file would make the IN-set prune nothing).
+      val sorted = version.orElse(GraftManifest.versions(path).lastOption)
+        .flatMap(v => scala.util.Try(
+          GraftManifest.headerFacts(path, v).sortSpec).getOrElse(None))
+        .flatMap(s => GraftManifest.sortCols(s).headOption)
+        .filter { c =>
+          scala.util.Try(full.fieldIndex(c)).toOption
+            .exists(i => metas.nonEmpty && metas.forall(_.stats.contains(i)))
+        }
+      (part.toSeq ++ bloomed ++ sorted).distinct.toArray.map(Expressions.column)
     }
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])

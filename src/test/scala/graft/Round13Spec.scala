@@ -220,6 +220,36 @@ class Round13Spec extends AnyFunSuite {
     assert(probe.count() == 40)
   }
 
+  test("runtime file pruning on the sorted leading key (DPP over envelopes)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13_dppsort").toString
+    import spark.implicits._
+    spark.range(0, 8000).toDF("k").select(col("k"), (col("k") % 97).as("v"))
+      .write.format("graft-sink").option("path", dir)
+      .option("sortBy", "k").option("writePartitions", "8")
+      .option("distributionStrict", "true").mode("overwrite").save()
+    graft.ops.Scale.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val fact = spark.read.format("graft-sink").option("path", dir).load()
+      // the dim's keys are only knowable at RUNTIME (the tag filter blocks
+      // constant folding) — static pushdown cannot see them
+      val dim = spark.range(0, 8000).toDF("k")
+        .withColumn("tag", concat(lit("x"), col("k")))
+        .where(col("tag") === "x42").select(col("k"))
+      val j = fact.join(broadcast(dim), Seq("k"))
+      assert(j.collect().map(_.getLong(0)).toSeq == Seq(42L))
+      val scans = j.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.GraftSinkScan] => b }
+      assert(scans.size == 1 && scans.head.runtimeFilters.nonEmpty,
+        "a runtime filter must be planned on the sorted fact scan")
+      assert(scans.head.inputRDD.getNumPartitions == 1,
+        s"the dim's one key must prune to its one envelope file, " +
+          s"got ${scans.head.inputRDD.getNumPartitions} of 8")
+    }
+  }
+
   test("compound sortBy: conformance, prefix ordering report, OPTIMIZE carry") {
     import graft.sources.GraftManifest
     val root = java.nio.file.Files.createTempDirectory("graft_r13_ms").toString
