@@ -1123,16 +1123,19 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
         // scrambles raw wide-domain values — post-rewrite file envelopes
         // on the RAW columns spanned the whole domain and the layout
         // never pruned anything the caller would actually probe): each
-        // dimension quantile-buckets into 64 ranks via one exact
-        // percentile aggregate (a 63-double broadcast per dimension —
-        // the same prepass Delta's OPTIMIZE ZORDER pays as
-        // range_partition_id), and the RANK bits interleave. Ranks are
-        // order-isomorphic to the raw values, so curve locality IS
-        // raw-value locality and the manifest's ordinary min/max
-        // envelopes prune probes on every named dimension.
+        // dimension quantile-buckets into 64 ranks via one
+        // approx_percentile aggregate (a 63-double broadcast per
+        // dimension — the same sampling prepass Delta's OPTIMIZE ZORDER
+        // pays as range_partition_id; EXACT percentile materializes a
+        // per-partition value map, measured 2 min on a 3.2 M-row
+        // rewrite vs seconds for the sketch, and rank cuts only steer
+        // locality, never correctness), and the RANK bits interleave.
+        // Ranks are order-isomorphic to the raw values, so curve
+        // locality IS raw-value locality and the manifest's ordinary
+        // min/max envelopes prune probes on every named dimension.
         val cutsSql = (1 to 63).map(i => i / 64.0).mkString(",")
         val cutExprs = zcols.map(c => org.apache.spark.sql.functions.expr(
-          s"percentile(cast(`$c` as double), array($cutsSql))"))
+          s"approx_percentile(cast(`$c` as double), array($cutsSql), 1000)"))
         val cutRow = snapshot.agg(cutExprs.head, cutExprs.tail: _*).head()
         def rank(c: String, cuts: Seq[Double]): Column =
           cuts.map(t => org.apache.spark.sql.functions

@@ -86,6 +86,33 @@ object PruneScaleDemo {
     measure("limit_1000", rd(indexed).limit(1000))
     measure("topn_1000", rd(sorted).orderBy(col("k")).limit(1000))
     measure("range_sorted", rd(sorted).where(col("k") < rowsPer / 2))
+    // DPP on the SORTED key (round 13): the same runtime IN-set pruning,
+    // but through the range layout's disjoint envelopes — no bloom index
+    // needed when the table is clustered on the join key
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    measure("point_dpp_sorted", rd(sorted).join(broadcast(dim), Seq("k")))
+    spark.conf.unset("spark.sql.adaptive.enabled")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // Z-ORDER (round 13): OPTIMIZE rewrites the linear layout onto the
+    // quantile-rank curve; 2-D probes then prune on BOTH dimensions,
+    // where the k-sorted layout prunes only on k
+    val zroot = java.nio.file.Files.createTempDirectory("graft_prune_z").toString
+    spark.conf.set("spark.sql.catalog.gpz", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gpz.root", zroot)
+    val zdir = s"$zroot/db/t"
+    base.select(col("k"), (col("k") * 2654435761L % 1000003L).as("w"),
+        col("payload"))
+      .repartition(32)
+      .write.format("graft-sink").option("path", zdir)
+      .option("sortBy", "k").option("writePartitions", nFiles.toString)
+      .option("distributionStrict", "true").mode("overwrite").save()
+    measure("zctl_probe_w", rd(zdir).where(col("w") <= 10000L))
+    val t0 = System.nanoTime()
+    spark.sql(s"CALL gpz.system.optimize('db.t', $nFiles, 'k,w')").collect()
+    println(f"""{"phase":"optimize_zorder","wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
+    measure("zorder_probe_k", rd(zdir).where(col("k") <= n / 100))
+    measure("zorder_probe_w", rd(zdir).where(col("w") <= 10000L))
     spark.stop()
   }
 }
