@@ -74,6 +74,20 @@ object Graft {
       probes.select(col(idCol).as("probe_id"), col(vecCol).as("pe")),
       k)
 
+  /** All id pairs whose embedding cosine exceeds `threshold`, generated
+    * by EXPLICIT sign-LSH banding (16 4-bit bands over the validated
+    * fixed permutation) with the cosine check as residual verify — only
+    * (id, band-cell) rows ride the banding shuffle; the vector payload
+    * is fetched once per side for the distinct candidates. Approximate
+    * in general (a qualifying pair colliding in no band is missed;
+    * ≥0.97 per-pair at τ=0.45), exactly like the opt-in LshPrefilter
+    * rewrite — the scale path for embedding near-dup sweeps. Requires
+    * `registerFunctions` first. Output (id_a, id_b), id_a < id_b. */
+  def cosinePairs(items: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    graft.ops.Dedup.cosinePairsOf(
+      items.select(col(idCol).as("id"), col(vecCol).as("vec")), threshold)
+
   /** Context-window chunking for pretraining prep: 40-token windows,
     * 30-token stride, per-chunk first/last tokens. Narrow map + explode —
     * no shuffle until the caller's sink. */

@@ -353,34 +353,42 @@ object Dedup {
     * evaluations. */
   def dedupEmbeddingCosine(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorDot.register(spark)
+    cosinePairsOf(embeddings(spark, sf).select(
+        col("vec_id").as("id"), col("embedding").as("vec")), 0.45)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Core banded threshold-cosine pairs over any (id, vec) frame — the
+    * frame-generic kernel behind `dedup_embedding_cosine` and the
+    * api.Graft facade. Caller registers VectorDot first. */
+  private[graft] def cosinePairsOf(d: DataFrame, threshold: Double): DataFrame = {
     val perm = graft.plans.LshPrefilter.BandPerm
     def bandVal(k: Int): Column =
       (0 until 4).map { j =>
-        when(element_at(col("embedding"), perm(4 * k + j) + 1) >= 0f,
+        when(element_at(col("vec"), perm(4 * k + j) + 1) >= 0f,
           lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
     val bands = array((0 until graft.plans.LshPrefilter.NumBands).map(k =>
       struct(lit(k).as("band"), bandVal(k).as("bv"))): _*)
-    // candidate/verify SPLIT: only (vec_id, band-cell) rides the 16×
+    // candidate/verify SPLIT: only (id, band-cell) rides the 16×
     // banding shuffle — the embedding payload (the heavy column at
     // 100 TB) is fetched ONCE per side for the distinct candidates, not
     // copied into every band row
-    val e = embeddings(spark, sf)
-      .withColumn("norm2", expr("vector_dot(embedding, embedding)"))
-    val banded = e.select(col("vec_id"), explode(bands).as("b"))
-    val cands = banded.select(col("vec_id").as("vec_a"), col("b"))
-      .join(banded.select(col("vec_id").as("vec_b"), col("b")), Seq("b"))
-      .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
+    val e = d.withColumn("norm2", expr("vector_dot(vec, vec)"))
+    val banded = e.select(col("id"), explode(bands).as("b"))
+    val cands = banded.select(col("id").as("id_a"), col("b"))
+      .join(banded.select(col("id").as("id_b"), col("b")), Seq("b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
     cands
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("norm2").as("na2")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("norm2").as("nb2")), Seq("vec_b"))
+      .join(e.select(col("id").as("id_a"), col("vec").as("ea"),
+        col("norm2").as("na2")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("vec").as("eb"),
+        col("norm2").as("nb2")), Seq("id_b"))
       .withColumn("cos", expr("vector_dot(ea, eb)") / sqrt(col("na2") * col("nb2")))
-      .where(col("cos") > 0.45)
-      .select(col("vec_a"), col("vec_b"))
-      .orderBy(col("vec_a"), col("vec_b"))
+      .where(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Exact duplicated-SUBSTRING detection (the "dedup training data"

@@ -208,6 +208,17 @@ class ApiSpec extends AnyFunSuite {
     assert(api.nonEmpty && api == key)
   }
 
+  test("cosinePairs on renamed columns equals the fixture key") {
+    Graft.registerFunctions(spark)
+    val vecs = graft.util.Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("my_id"), col("embedding").as("v"))
+    val api = Graft.cosinePairs(vecs, "my_id", "v", 0.45)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val key = SparkEntry.queries("dedup_embedding_cosine")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(api.nonEmpty && api == key)
+  }
+
   test("registerFunctions makes vector_dot and vector_cosine callable from SQL") {
     Graft.registerFunctions(spark)
     val r = spark.sql(
