@@ -1068,7 +1068,7 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     import org.apache.spark.sql.functions.{col, lit, pmod, shiftleft, shiftright}
     val dir = cat.dirForName(input.getUTF8String(0).toString)
     val target = input.getInt(1)
-    val zcols: Seq[String] =
+    val zcolsArg: Seq[String] =
       (if (input.numFields > 2 && !input.isNullAt(2))
         input.getUTF8String(2).toString else "")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -1077,8 +1077,14 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     val spark = org.apache.spark.sql.SparkSession.active
     val head = GraftManifest.readVersion(dir, None).getOrElse(
       throw new IllegalArgumentException(s"graft optimize: no committed version at $dir"))
+    // a DECLARED curve layout (`#sortspec=zorder(...)`, recorded by a
+    // prior zorder rewrite) makes plain maintenance RE-Z-ORDER instead of
+    // hash-scattering the clustering away — the same preservation rule
+    // declared sorts and partition layouts already get
+    val zcols: Seq[String] = if (zcolsArg.nonEmpty) zcolsArg
+      else head.sortSpec.flatMap(GraftManifest.zorderCols).getOrElse(Nil)
     if (maxBytes > 0) {
-      require(zcols.isEmpty,
+      require(zcolsArg.isEmpty,
         "graft optimize: zorder_by requires a full rewrite — omit max_file_bytes")
       return binpack(spark, dir, head, target, maxBytes)
     }
@@ -1162,11 +1168,17 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     // fold a small table to one file and ignore the requested target)
     val ow = head.sortSpec.filter(sc =>
         zcols.isEmpty && keepLayout.isEmpty &&
+          GraftManifest.sortCols(sc).nonEmpty &&
           GraftManifest.sortCols(sc)
             .forall(rewritten.schema.fieldNames.contains)) match {
       case Some(sc) => ow0.option("sortBy", sc)
         .option("writePartitions", target.toString)
         .option("distributionStrict", "true")
+      // a z rewrite shapes its own frame (range on the curve value) and
+      // DECLARES the layout so the next plain OPTIMIZE preserves it;
+      // the writer requests no distribution for a zorder(...) spec
+      case None if zcols.nonEmpty =>
+        ow0.option("sortBy", s"zorder(${zcols.mkString(",")})")
       case None => ow0
     }
     keepLayout.fold(ow)(pc => ow.option("partitionBy", pc))

@@ -372,11 +372,25 @@ class ObjectStoreClaim extends CommitClaim {
 }
 
 object GraftManifest {
-  /** A `#sortspec` value as its column list — single-column specs are the
-    * 1-element case; compound specs (`sortBy=c1,c2`, round 13) range on
-    * the leading key and order ties by the rest. */
+  /** A `zorder(c1,c2)` sortspec marker's column list — the CURVE layout
+    * OPTIMIZE ZORDER records (round 13). A curve spec means "maintenance
+    * must re-z-order, not hash-scatter"; it is NOT a per-column order,
+    * so every per-column consumer (write distribution, ordering report,
+    * append conformance, envelope absorb, sorted-key DPP) must see no
+    * sort columns for it — [[sortCols]] returns Nil. */
+  def zorderCols(spec: String): Option[Seq[String]] =
+    if (spec.startsWith("zorder(") && spec.endsWith(")"))
+      Some(spec.substring("zorder(".length, spec.length - 1)
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    else None
+
+  /** A `#sortspec` value as its per-column order list — single-column
+    * specs are the 1-element case; compound specs (`sortBy=c1,c2`,
+    * round 13) range on the leading key and order ties by the rest;
+    * `zorder(...)` curve specs have NO per-column order (Nil). */
   def sortCols(spec: String): Seq[String] =
-    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (zorderCols(spec).isDefined) Nil
+    else spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
   private val VPrefix = "_manifest-v"
   private val RefPrefix = "_ref-"
 
@@ -2355,8 +2369,10 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         override def requiredNumPartitions(): Int =
           // only meaningful when a distribution is requested — the
           // contract forbids a width with UnspecifiedDistribution
+          // (sortColsSeq, not sortCol: a zorder(...) curve spec requests
+          // no distribution, so it must pin no width either)
           if (distMode != "none" && (partCol.exists(GraftBucket.parse(_).isEmpty)
-            || (partCol.isEmpty && sortCol.isDefined)))
+            || (partCol.isEmpty && sortColsSeq.nonEmpty)))
             writeParts
           else 0
         override def requiredOrdering()

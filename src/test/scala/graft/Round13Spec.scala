@@ -320,6 +320,24 @@ class Round13Spec extends AnyFunSuite {
     // and the rewrite is lossless
     assert(t().count() == 4000)
     assert(t().agg(sum(col("a"))).head().getLong(0) == (0L until 4000L).map(_ * 10).sum)
+    // the curve layout is DECLARED: plain maintenance re-z-orders instead
+    // of hash-scattering the clustering away
+    assert(head.sortSpec.contains("zorder(a,b)"),
+      s"z rewrite must declare its layout: ${head.sortSpec}")
+    spark.sql("CALL gzq.system.optimize('db.t', 4)").collect()
+    val h2 = GraftManifest.readVersion(dir, None).get
+    assert(h2.sortSpec.contains("zorder(a,b)"),
+      s"plain OPTIMIZE must keep the curve declaration: ${h2.sortSpec}")
+    val pa2 = t().where(col("a") <= 4000).rdd.getNumPartitions
+    val pb2 = t().where(col("b") <= 100000).rdd.getNumPartitions
+    assert(pa2 < 4 && pb2 < 4,
+      s"plain OPTIMIZE must preserve 2-D pruning: a=$pa2 b=$pb2 of 4")
+    assert(t().count() == 4000)
+    // the curve spec is NOT a per-column order: nothing reported/inherited
+    assert(graft.sources.GraftManifest.sortCols("zorder(a,b)").isEmpty)
+    val sorted = t().sortWithinPartitions("a")
+    assert(sorted.queryExecution.executedPlan.toString.contains("Sort "),
+      "a z-ordered table must not claim per-column ordering")
   }
 
   test("eqdel/eqSel probing decodes through VectorRows (VERDICT r12 #4)") {
