@@ -1377,23 +1377,36 @@ private[sources] class GraftFilesProcedure(cat: GraftCatalog)
     extends GraftProcedure(cat) {
   override def name(): String = "files"
   override def description(): String =
-    "one row per live data file at the head: partition, rows, live rows, dv rows"
+    "one row per live data file: partition, rows, bytes, seq, index surface"
   override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("table", StringType).build())
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("version", IntegerType).defaultValue("-1").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = cat.dirForName(input.getUTF8String(0).toString)
-    val m = GraftManifest.readVersion(dir, None).getOrElse(
+    val v = if (input.numFields > 1 && !input.isNullAt(1) && input.getInt(1) >= 0)
+      Some(input.getInt(1)) else None
+    val m = GraftManifest.readVersion(dir, v).getOrElse(
       throw new IllegalArgumentException(
         s"graft files: no committed table at '${input.getUTF8String(0)}'"))
+    // round 13 appended the ops columns a capacity audit needs — bytes
+    // on disk, data sequence number, and the per-file index surface
+    // (exact-stat / bound / bloom / NDV column counts): "why is this
+    // probe slow" answers from O(files) manifest facts, zero data reads
     val schema = StructType.fromDDL(
       "file STRING, partition_col STRING, partition_value STRING, " +
-        "rows BIGINT, live_rows BIGINT, dv_rows BIGINT, n_cols INT")
+        "rows BIGINT, live_rows BIGINT, dv_rows BIGINT, n_cols INT, " +
+        "bytes BIGINT, seq BIGINT, n_stats INT, n_bounds INT, " +
+        "n_blooms INT, n_ndvs INT")
     val listed = m.metas.sortBy(_.name).map { f =>
+      val sz = scala.util.Try(java.nio.file.Files.size(
+        java.nio.file.Paths.get(dir, f.name))).getOrElse(-1L)
       InternalRow.fromSeq(Seq[Any](
         UTF8String.fromString(f.name),
         f.partition.map(p => UTF8String.fromString(p._1)).orNull,
         f.partition.map(p => UTF8String.fromString(p._2)).orNull,
-        f.rows, f.liveRows, f.dv.map(_._2).getOrElse(0L), f.ncols))
+        f.rows, f.liveRows, f.dv.map(_._2).getOrElse(0L), f.ncols,
+        sz, f.seq.toLong, f.stats.size - f.bounds.size, f.bounds.size,
+        f.blooms.size, f.ndvs.size))
     }.toArray
     val scan: Scan = new LocalScan {
       override def rows(): Array[InternalRow] = listed

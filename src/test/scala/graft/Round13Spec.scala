@@ -377,6 +377,49 @@ class Round13Spec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.columnar.enabled", "true")
   }
 
+  test("files procedure reports bytes, seq and the per-file index surface") {
+    val root = java.nio.file.Files.createTempDirectory("graft_r13_files").toString
+    spark.conf.set("spark.sql.catalog.gfp", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfp.root", root)
+    val dir = s"$root/db/t"
+    import spark.implicits._
+    Seq((1L, "short", "p" * 100), (2L, "also", "q" * 100))
+      .toDF("id", "s", "prose").coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("bloomFor", "id").option("ndvFor", "id,s")
+      .mode("overwrite").save()
+    Seq((3L, "more", "r" * 100)).toDF("id", "s", "prose").coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("append").save()
+    val rows = spark.sql("CALL gfp.system.files('db.t')").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bytes") > 0L, "on-disk size must be reported")
+      // (id, s) exact + prose bound: the index surface splits them
+      assert(r.getAs[Int]("n_stats") == 2 && r.getAs[Int]("n_bounds") == 1,
+        s"exact/bound split wrong: $r")
+    }
+    // pre-eqdel manifests stay byte-stable: seq is 0 until equality
+    // deletes are in play (the documented stamping rule)
+    assert(rows.forall(_.getAs[Long]("seq") == 0L),
+      s"seqs: ${rows.map(_.getAs[Long]("seq")).toSeq}")
+    // only the indexed write's file carries the bloom/NDV surface — the
+    // inventory is exactly how an operator SPOTS the unindexed straggler
+    val indexed = rows.find(_.getAs[Int]("n_blooms") == 1).get
+    assert(indexed.getAs[Int]("n_ndvs") == 2)
+    val appended = rows.find(_.getAs[Int]("n_blooms") == 0).get
+    assert(appended.getAs[Int]("n_ndvs") == 0)
+    // an upsert (first eqdel) starts seq stamping: its file records the
+    // committing version, visible in the inventory
+    Seq((2L, "ALSO2", "s" * 100)).toDF("id", "s", "prose").coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("upsertKey", "id").mode("append").save()
+    val rows3 = spark.sql("CALL gfp.system.files('db.t')").collect()
+    assert(rows3.length == 3 && rows3.map(_.getAs[Long]("seq")).max == 3L,
+      s"upsert file must carry seq=3: ${rows3.map(_.getAs[Long]("seq")).toSeq}")
+    // time travel: version 1 lists only the first file
+    assert(spark.sql("CALL gfp.system.files('db.t', 1)").count() == 1)
+  }
+
   test("mayMatch/mustMatchAll stay conservative-sound on bound envelopes (unit)") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
     val schema = StructType.fromDDL("prose STRING")
