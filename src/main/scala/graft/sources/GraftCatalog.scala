@@ -1029,7 +1029,15 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
               scs.forall(victims.schema.fieldNames.contains) =>
             victims.repartitionByRange(target, scs.map(col): _*)
               .sortWithinPartitions(scs.map(col): _*).write
-          case _ => victims.repartition(target).write
+          // declared CURVE layout: re-z-order the victims (victims-only
+          // quantile cuts — the layout quality point of folding small
+          // post-append files back onto the curve, not hash-mixing them)
+          case _ => head.sortSpec.flatMap(GraftManifest.zorderCols)
+              .filter(_.forall(victims.schema.fieldNames.contains)) match {
+            case Some(zc) =>
+              GraftOptimizeProcedure.zShape(victims, zc, target).write
+            case None => victims.repartition(target).write
+          }
         }
       }
       carryIndexes(head, writer.format("graft-sink").option("path", tmp)
@@ -1124,40 +1132,7 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
         case _ => snapshot.repartition(target)
       }
       else {
-        val k = zcols.length
-        // QUANTILE-RANK curve (round 13; was pmod(col, 256), which
-        // scrambles raw wide-domain values — post-rewrite file envelopes
-        // on the RAW columns spanned the whole domain and the layout
-        // never pruned anything the caller would actually probe): each
-        // dimension quantile-buckets into 64 ranks via one
-        // approx_percentile aggregate (a 63-double broadcast per
-        // dimension — the same sampling prepass Delta's OPTIMIZE ZORDER
-        // pays as range_partition_id; EXACT percentile materializes a
-        // per-partition value map, measured 2 min on a 3.2 M-row
-        // rewrite vs seconds for the sketch, and rank cuts only steer
-        // locality, never correctness), and the RANK bits interleave.
-        // Ranks are order-isomorphic to the raw values, so curve
-        // locality IS raw-value locality and the manifest's ordinary
-        // min/max envelopes prune probes on every named dimension.
-        val cutsSql = (1 to 63).map(i => i / 64.0).mkString(",")
-        val cutExprs = zcols.map(c => org.apache.spark.sql.functions.expr(
-          s"approx_percentile(cast(`$c` as double), array($cutsSql), 1000)"))
-        val cutRow = snapshot.agg(cutExprs.head, cutExprs.tail: _*).head()
-        def rank(c: String, cuts: Seq[Double]): Column =
-          cuts.map(t => org.apache.spark.sql.functions
-            .when(col(c).cast("double") > lit(t), 1).otherwise(0))
-            .reduce(_ + _) // 0..63; NULL ranks 0 (nulls cluster first)
-        // bit i of dimension j lands at curve position i*k + j — the
-        // exact interleave sink_zorder oracles in two dimensions
-        def bitsOf(c: Column, j: Int): Column = (0 until 6).map[Column] { i =>
-          shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
-        }.reduce(_ + _)
-        val z = zcols.zipWithIndex.map { case (c, j) =>
-          bitsOf(rank(c, cutRow.getSeq[Double](j)).cast("long"), j) }.reduce(_ + _)
-        snapshot.withColumn("_zcurve", z.cast("long"))
-          .repartitionByRange(target, col("_zcurve"))
-          .sortWithinPartitions(col("_zcurve"))
-          .drop("_zcurve")
+        GraftOptimizeProcedure.zShape(snapshot, zcols, target)
       }
     val ow0 = carryIndexes(head,
       rewritten.write.format("graft-sink").option("path", dir))
@@ -1186,6 +1161,49 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     val after = GraftManifest.readVersion(dir, None).get
     result(StructType.fromDDL("files_before INT, files_after INT, new_version INT"),
       head.metas.size, after.metas.size, after.version)
+  }
+}
+
+private[sources] object GraftOptimizeProcedure {
+  /** QUANTILE-RANK z-curve shaping (round 13; was pmod(col, 256), which
+    * scrambles raw wide-domain values — post-rewrite file envelopes on
+    * the RAW columns spanned the whole domain and the layout never
+    * pruned anything the caller would actually probe): each dimension
+    * quantile-buckets into 64 ranks via one approx_percentile aggregate
+    * over THIS frame (a 63-double broadcast per dimension — the same
+    * sampling prepass Delta's OPTIMIZE ZORDER pays as
+    * range_partition_id; EXACT percentile materializes a per-partition
+    * value map, measured 2 min on a 3.2 M-row rewrite vs seconds for
+    * the sketch, and rank cuts only steer locality, never correctness),
+    * and the RANK bits interleave — bit i of dimension j lands at curve
+    * position i*k + j, the exact interleave sink_zorder oracles in two
+    * dimensions. Ranks are order-isomorphic to the raw values, so curve
+    * locality IS raw-value locality and the manifest's ordinary min/max
+    * envelopes prune probes on every named dimension. Shared by the
+    * full z rewrite and the incremental binpack of a declared-curve
+    * table (victims-only cuts: sound — envelopes recompute at write). */
+  def zShape(frame: org.apache.spark.sql.DataFrame, zcols: Seq[String],
+      target: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
+    val k = zcols.length
+    val cutsSql = (1 to 63).map(i => i / 64.0).mkString(",")
+    val cutExprs = zcols.map(c => org.apache.spark.sql.functions.expr(
+      s"approx_percentile(cast(`$c` as double), array($cutsSql), 1000)"))
+    val cutRow = frame.agg(cutExprs.head, cutExprs.tail: _*).head()
+    def rank(c: String, cuts: Seq[Double]): Column =
+      cuts.map(t => org.apache.spark.sql.functions
+        .when(col(c).cast("double") > lit(t), 1).otherwise(0))
+        .reduce(_ + _) // 0..63; NULL ranks 0 (nulls cluster first)
+    def bitsOf(c: Column, j: Int): Column = (0 until 6).map[Column] { i =>
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
+    }.reduce(_ + _)
+    val z = zcols.zipWithIndex.map { case (c, j) =>
+      bitsOf(rank(c, cutRow.getSeq[Double](j)).cast("long"), j) }.reduce(_ + _)
+    frame.withColumn("_zcurve", z.cast("long"))
+      .repartitionByRange(target, col("_zcurve"))
+      .sortWithinPartitions(col("_zcurve"))
+      .drop("_zcurve")
   }
 }
 

@@ -338,6 +338,24 @@ class Round13Spec extends AnyFunSuite {
     val sorted = t().sortWithinPartitions("a")
     assert(sorted.queryExecution.executedPlan.toString.contains("Sort "),
       "a z-ordered table must not claim per-column ordering")
+    // INCREMENTAL binpack on the curve table: an append dirties the
+    // clustering; folding the small files re-z-orders the victims
+    // instead of hash-mixing them, and the declaration survives
+    spark.range(4000, 4400).toDF("id")
+      .select((col("id") * 10).as("a"),
+        pmod(col("id") * 2654435761L, lit(1000003L)).as("b"))
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("append").save()
+    spark.sql("CALL gzq.system.optimize('db.t', 4, '', 1000000000)").collect()
+    val h3 = GraftManifest.readVersion(dir, None).get
+    assert(h3.sortSpec.contains("zorder(a,b)"),
+      s"binpack must keep the curve declaration: ${h3.sortSpec}")
+    assert(h3.metas.size == 4, s"binpack target: ${h3.metas.size}")
+    val pa3 = t().where(col("a") <= 4000).rdd.getNumPartitions
+    val pb3 = t().where(col("b") <= 100000).rdd.getNumPartitions
+    assert(pa3 < 4 && pb3 < 4,
+      s"re-z-ordered victims must keep 2-D pruning: a=$pa3 b=$pb3 of 4")
+    assert(t().count() == 4400)
   }
 
   test("eqdel/eqSel probing decodes through VectorRows (VERDICT r12 #4)") {
