@@ -395,6 +395,49 @@ class Round13Spec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.columnar.enabled", "true")
   }
 
+  test("sorted-key DPP composes with bound envelopes; DESC TopN proof holds on bounds") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13_dppb").toString
+    import spark.implicits._
+    // prose-sorted table: every file's sort-key envelope is a BOUND
+    (0 until 800).map(i => (i.toLong, f"k$i%04d " + Prose)).toDF("id", "body")
+      .write.format("graft-sink").option("path", dir)
+      .option("sortBy", "body").option("writePartitions", "8")
+      .option("distributionStrict", "true").mode("overwrite").save()
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    assert(head.metas.forall(_.bounds(1)), "fixture: bound envelopes on the sort key")
+    graft.ops.Scale.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val fact = spark.read.format("graft-sink").option("path", dir).load()
+      val dim = spark.range(0, 800).toDF("n")
+        .withColumn("tag", concat(lit("x"), col("n")))
+        .where(col("tag") === "x42")
+        .select(concat(lit("k"), lpad(col("n").cast("string"), 4, "0"),
+          lit(" "), lit(Prose)).as("body"))
+      val j = fact.join(broadcast(dim), Seq("body"))
+      assert(j.collect().map(_.getAs[Long]("id")).toSeq == Seq(42L))
+      val scans = j.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.GraftSinkScan] => b }
+      assert(scans.size == 1 && scans.head.runtimeFilters.nonEmpty,
+        "a runtime filter must be planned on the prose-sorted fact scan")
+      assert(scans.head.inputRDD.getNumPartitions == 1,
+        s"the dim's one prose key must prune via bound envelopes to 1 file, " +
+          s"got ${scans.head.inputRDD.getNumPartitions} of 8")
+    }
+    // DESC TopN: takes files by descending upper BOUND; a bound lower is
+    // <= the true min, so the answer-set filter only widens — exact rows
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    val top = t.orderBy(col("body").desc, col("id")).limit(50)
+    val cp = top.localCheckpoint()
+    val scans2 = top.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.GraftSinkScan] => b }
+    assert(scans2.head.inputRDD.getNumPartitions < 8,
+      "DESC TopN over bound envelopes must prune the prose-sorted layout")
+    assert(cp.collect().map(_.getLong(0)).toSeq == (750L until 800L).reverse.toSeq)
+  }
+
   test("files procedure reports bytes, seq and the per-file index surface") {
     val root = java.nio.file.Files.createTempDirectory("graft_r13_files").toString
     spark.conf.set("spark.sql.catalog.gfp", classOf[graft.sources.GraftCatalog].getName)
