@@ -1132,6 +1132,10 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
         case _ => snapshot.repartition(target)
       }
       else {
+        val missing = zcols.filterNot(snapshot.schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"graft optimize: zorder_by column(s) ${missing.mkString(", ")} " +
+            s"not in the table schema (${snapshot.schema.fieldNames.mkString(", ")})")
         GraftOptimizeProcedure.zShape(snapshot, zcols, target)
       }
     val ow0 = carryIndexes(head,

@@ -338,6 +338,11 @@ class Round13Spec extends AnyFunSuite {
     val sorted = t().sortWithinPartitions("a")
     assert(sorted.queryExecution.executedPlan.toString.contains("Sort "),
       "a z-ordered table must not claim per-column ordering")
+    // a bogus zorder column fails loudly with the schema in the message
+    val err = intercept[IllegalArgumentException] {
+      spark.sql("CALL gzq.system.optimize('db.t', 4, 'a,nope')").collect()
+    }
+    assert(err.getMessage.contains("nope"), err.getMessage)
     // INCREMENTAL binpack on the curve table: an append dirties the
     // clustering; folding the small files re-z-orders the victims
     // instead of hash-mixing them, and the declaration survives
