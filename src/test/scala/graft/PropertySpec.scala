@@ -81,6 +81,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("compound sorted writes tile the key space (seeded)") {
+    import org.apache.spark.sql.types.StringType
+    import graft.sources.{GraftManifest, GraftSinkScan}
+    val rnd = new Random(1301)
+    (1 to 3).foreach { round =>
+      val nGroups = 2 + rnd.nextInt(6)
+      val n = 400 + rnd.nextInt(800)
+      val rows = (0 until n).map { _ =>
+        (s"g${rnd.nextInt(nGroups)}", rnd.nextLong().abs % 100000, rnd.nextInt())
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_ms$round").toString
+      rows.toDF("g", "k", "v")
+        .write.format("graft-sink").option("path", dir)
+        .option("sortBy", "g,k").option("writePartitions", "4")
+        .option("distributionStrict", "true").mode("overwrite").save()
+      val head = GraftManifest.readVersion(dir, None).get
+      assert(head.sortSpec.contains("g,k"))
+      assert(head.metas.map(_.rows).sum == n.toLong)
+      // leading-key envelopes may TOUCH at a group a file boundary splits,
+      // but must never interleave — the tiling range pruning relies on
+      val envs = head.metas.flatMap(_.stats.get(0))
+        .sortBy(_._1)(Ordering.fromLessThan(
+          GraftSinkScan.cmpStats(StringType, _, _) < 0))
+      assert(envs.sliding(2).forall {
+        case Seq((_, aMax), (bMin, _)) =>
+          GraftSinkScan.cmpStats(StringType, aMax, bMin) <= 0
+        case _ => true
+      }, s"round $round: leading envelopes interleave: $envs")
+      // and a leading-key point probe plans a strict subset of the files
+      val probe = spark.read.format("graft-sink").option("path", dir).load()
+        .where(col("g") === "g0")
+      assert(probe.rdd.getNumPartitions < head.metas.size ||
+        head.metas.size == 1,
+        s"round $round: leading probe must prune")
+      assert(probe.count() == rows.count(_._1 == "g0").toLong)
+    }
+  }
+
   test("graft-avro roundtrip is bit-exact over seeded extreme values") {
     val rnd = new Random(1234)
     val edgeL = Seq(Long.MinValue, Long.MaxValue, 0L, -1L)
