@@ -257,6 +257,35 @@ object Relational {
       .orderBy(col("p_event_id"))
   }
 
+  /** TOLERANCE as-of join (round 13 — the staleness-bounded variant every
+    * feature-enrichment pipeline actually runs): the latest
+    * strictly-earlier same-user event, but only if it is AT MOST ONE HOUR
+    * old; a purchase with nothing fresh enough keeps NULL enrich columns
+    * (LEFT semantics) instead of silently joining a stale row. Same
+    * scale shape as [[joinAsof]] — equi key + range residual hash join,
+    * rank-1 window — with the tolerance predicate tightening the join's
+    * candidate set (at 100 TB the bound is also what keeps the per-key
+    * match list small: only one hour of history per probe shuffles). */
+  def joinAsofTolerance(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val e = ev.select(col("event_id").as("e_event_id"),
+      col("user_id").as("e_user"), col("ts").as("e_ts"),
+      col("event_type").as("e_type"))
+    val w = Window.partitionBy(col("p_event_id"))
+      .orderBy(col("e_ts").desc, col("e_event_id").desc)
+    p.join(e, col("p_user") === col("e_user") && col("e_ts") < col("p_ts") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"), "left")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("p_event_id"), col("p_user").as("user_id"),
+        col("e_event_id").as("prior_event_id"), col("e_type").as("prior_type"),
+        epochS(col("e_ts")).as("prior_epoch"))
+      .orderBy(col("p_event_id"))
+  }
+
   /** Multiway STAR-SCHEMA join (the TPC-H Q5 shape): five tables chained
     * region→nation→customer→orders→lineitem plus a supplier edge back to
     * the customer's nation. The declarative form hands Catalyst the whole
@@ -602,6 +631,7 @@ object Relational {
     "join_interval" -> joinInterval,
     "join_star_multiway" -> joinStarMultiway,
     "join_asof_forward" -> joinAsofForward,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "agg_pricing_summary" -> aggPricingSummary,
     "agg_multi_stat" -> aggMultiStat,
     "agg_having" -> aggHaving,
@@ -740,6 +770,17 @@ object Relational {
         |         CAST(floor(epoch(e.ts)) AS BIGINT) AS prior_epoch,
         |         row_number() OVER (PARTITION BY p.event_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
         |  FROM events p JOIN events e ON p.user_id = e.user_id AND e.ts < p.ts
+        |  WHERE p.event_type = 'purchase')
+        |WHERE rn = 1 ORDER BY p_event_id""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """SELECT p_event_id, user_id, prior_event_id, prior_type, prior_epoch FROM (
+        |  SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+        |         e.event_id AS prior_event_id, e.event_type AS prior_type,
+        |         CAST(floor(epoch(e.ts)) AS BIGINT) AS prior_epoch,
+        |         row_number() OVER (PARTITION BY p.event_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM events p LEFT JOIN events e ON p.user_id = e.user_id
+        |    AND e.ts < p.ts AND e.ts >= p.ts - INTERVAL 1 HOUR
         |  WHERE p.event_type = 'purchase')
         |WHERE rn = 1 ORDER BY p_event_id""".stripMargin,
 
