@@ -486,6 +486,27 @@ class Round13Spec extends AnyFunSuite {
     assert(spark.sql("CALL gfp.system.files('db.t', 1)").count() == 1)
   }
 
+  test("csv-format tables share the bound-envelope machinery") {
+    // the v1 line codec refuses embedded commas/newlines, so use long
+    // comma-free prose — bounds are computed in the SHARED commit path,
+    // not per-codec
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13_csvb").toString
+    import spark.implicits._
+    Seq((1L, "alpha" + Prose), (2L, "zeta" + Prose)).toDF("id", "prose")
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("format", "csv").mode("overwrite").save()
+    val m = GraftManifest.readVersion(dir, None).get.metas.head
+    assert(m.name.endsWith(".csv") && m.bounds(1) && m.exactStats(1).isEmpty,
+      s"csv file meta must carry the bound envelope: $m")
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    // min/max bails identically; the true extremes come from a real scan
+    val agg = t.agg(min(col("prose")), max(col("prose")))
+    assert(!agg.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(agg.head() ==
+      org.apache.spark.sql.Row("alpha" + Prose, "zeta" + Prose))
+  }
+
   test("mayMatch/mustMatchAll stay conservative-sound on bound envelopes (unit)") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
     val schema = StructType.fromDDL("prose STRING")
