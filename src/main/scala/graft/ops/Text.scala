@@ -367,6 +367,32 @@ object Text {
           .otherwise("poor"))
       .orderBy(col("doc_id"))
 
+  /** END-TO-END CURATION PASS as ONE declarative plan (round 13 — the
+    * composition a pretraining-data team actually ships, where the
+    * single keys are its unit tests): quality gate (length + type-token
+    * ratio, integer-exact) → exact content dedup (md5 fingerprint,
+    * min-doc_id canonical survivor) → deterministic train-holdout split
+    * (content-salted md5, the etl_split_train_eval convention). Shape at
+    * 100 TB: one scan, one shuffle (the fingerprint groupBy + the
+    * (fp, doc_id) equi self-join), then a pure per-row split filter —
+    * the quality gate and split never shuffle at all. Fully oracled. */
+  def textCuratePipeline(spark: SparkSession, sf: String): DataFrame = {
+    val q = documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct"))
+      .withColumn("ttr_e6", expr("(n_distinct * 1000000) div n_words"))
+      .where(col("n_words") >= 15 && col("ttr_e6") >= 250000)
+      .withColumn("fp", md5(col("text")))
+    val keep = q.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    q.join(keep, Seq("fp", "doc_id"))
+      .where(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("text"))), 1, 1) < "c")
+      .select(col("doc_id"), col("lang"), col("n_words"), col("ttr_e6"),
+        col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting three ways: whitespace, BPE-ish regex, chars/4 bound. */
   def textTokenCount(spark: SparkSession, sf: String): DataFrame =
     documents(spark, sf)
@@ -698,6 +724,7 @@ object Text {
     "text_jaccard_indexed" -> textJaccardIndexed,
     "text_langid" -> textLangid,
     "text_quality_score" -> textQualityScore,
+    "text_curate_pipeline" -> textCuratePipeline,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
     "text_segment_dedup" -> textSegmentDedup,
@@ -861,6 +888,23 @@ object Text {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY matches DESC, plang ASC) AS rn
         |  FROM scored)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_curate_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text, n_words,
+        |    CAST((n_distinct * 1000000) // n_words AS BIGINT) AS ttr_e6,
+        |    md5(text) AS fp
+        |  FROM (
+        |    SELECT doc_id, lang, text,
+        |      CAST(len(str_split(text,' ')) AS INT) AS n_words,
+        |      CAST(len(list_distinct(str_split(text,' '))) AS INT) AS n_distinct
+        |    FROM documents)
+        |  WHERE n_words >= 15 AND (n_distinct * 1000000) // n_words >= 250000),
+        |k AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp)
+        |SELECT q.doc_id, q.lang, q.n_words, q.ttr_e6, q.fp
+        |FROM q JOIN k ON q.fp = k.fp AND q.doc_id = k.doc_id
+        |WHERE substring(md5(CAST(q.doc_id AS VARCHAR) || ':' || q.text), 1, 1) < 'c'
+        |ORDER BY q.doc_id""".stripMargin,
 
     "text_quality_score" ->
       """SELECT doc_id, n_words, n_distinct,
