@@ -376,21 +376,43 @@ object Text {
     * 100 TB: one scan, one shuffle (the fingerprint groupBy + the
     * (fp, doc_id) equi self-join), then a pure per-row split filter —
     * the quality gate and split never shuffle at all. Fully oracled. */
-  def textCuratePipeline(spark: SparkSession, sf: String): DataFrame = {
-    val q = documents(spark, sf)
+  def textCuratePipeline(spark: SparkSession, sf: String): DataFrame =
+    curateKept(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("ttr_e6"),
+        col("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Quality-gated, fingerprinted docs — curation stage 1+2 input. */
+  private def curateQuality(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("text"),
         size(words).as("n_words"),
         size(array_distinct(words)).as("n_distinct"))
       .withColumn("ttr_e6", expr("(n_distinct * 1000000) div n_words"))
       .where(col("n_words") >= 15 && col("ttr_e6") >= 250000)
       .withColumn("fp", md5(col("text")))
+
+  /** Canonical dedup survivors in the train split — the pipeline's keep
+    * set (stages 2+3 applied to [[curateQuality]]). */
+  private def curateKept(spark: SparkSession, sf: String): DataFrame = {
+    val q = curateQuality(spark, sf)
     val keep = q.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     q.join(keep, Seq("fp", "doc_id"))
       .where(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
         col("text"))), 1, 1) < "c")
-      .select(col("doc_id"), col("lang"), col("n_words"), col("ttr_e6"),
-        col("fp"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** CURATION FUNNEL AUDIT — the one-row report every curation run logs
+    * (and alerting keys on): how many docs entered, survived the quality
+    * gate, were content-unique, and landed in the train split. Three
+    * 1-row aggregates cross-joined — the funnel costs one extra pass
+    * over the same stages the pipeline runs, nothing quadratic. */
+  def textCurateStats(spark: SparkSession, sf: String): DataFrame = {
+    val q = curateQuality(spark, sf)
+    documents(spark, sf).agg(count(lit(1)).as("n_in"))
+      .crossJoin(q.agg(count(lit(1)).as("n_quality"),
+        countDistinct(col("fp")).as("n_unique")))
+      .crossJoin(curateKept(spark, sf).agg(count(lit(1)).as("n_train")))
   }
 
   /** Token counting three ways: whitespace, BPE-ish regex, chars/4 bound. */
@@ -725,6 +747,7 @@ object Text {
     "text_langid" -> textLangid,
     "text_quality_score" -> textQualityScore,
     "text_curate_pipeline" -> textCuratePipeline,
+    "text_curate_stats" -> textCurateStats,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
     "text_segment_dedup" -> textSegmentDedup,
@@ -905,6 +928,24 @@ object Text {
         |FROM q JOIN k ON q.fp = k.fp AND q.doc_id = k.doc_id
         |WHERE substring(md5(CAST(q.doc_id AS VARCHAR) || ':' || q.text), 1, 1) < 'c'
         |ORDER BY q.doc_id""".stripMargin,
+
+    "text_curate_stats" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    md5(text) AS fp
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      CAST(len(str_split(text,' ')) AS INT) AS n_words,
+        |      CAST(len(list_distinct(str_split(text,' '))) AS INT) AS n_distinct
+        |    FROM documents)
+        |  WHERE n_words >= 15 AND (n_distinct * 1000000) // n_words >= 250000),
+        |k AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp),
+        |t AS (SELECT q.doc_id FROM q JOIN k ON q.fp = k.fp AND q.doc_id = k.doc_id
+        |      WHERE substring(md5(CAST(q.doc_id AS VARCHAR) || ':' || q.text), 1, 1) < 'c')
+        |SELECT (SELECT count(*) FROM documents) AS n_in,
+        |       (SELECT count(*) FROM q) AS n_quality,
+        |       (SELECT count(DISTINCT fp) FROM q) AS n_unique,
+        |       (SELECT count(*) FROM t) AS n_train""".stripMargin,
 
     "text_quality_score" ->
       """SELECT doc_id, n_words, n_distinct,
