@@ -486,6 +486,26 @@ class Round13Spec extends AnyFunSuite {
     assert(spark.sql("CALL gfp.system.files('db.t', 1)").count() == 1)
   }
 
+  test("text_curate_pipeline: one fingerprint shuffle, no all-pairs, funnel reconciles") {
+    val df = SparkEntry.queries("text_curate_pipeline")(spark, sf001)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoop"),
+      s"curation must never plan an all-pairs join:\n${physical.take(600)}")
+    val kept = df.collect()
+    // survivors are canonical (min doc_id per fingerprint): no fp repeats
+    val fps = kept.map(_.getAs[String]("fp"))
+    assert(fps.length == fps.distinct.length, "dedup must keep one doc per fp")
+    // the funnel audit reconciles with the pipeline's own output
+    val s = SparkEntry.queries("text_curate_stats")(spark, sf001).head()
+    assert(s.getAs[Long]("n_train") == kept.length.toLong,
+      s"funnel n_train must equal the pipeline row count: $s vs ${kept.length}")
+    assert(s.getAs[Long]("n_in") >= s.getAs[Long]("n_quality") &&
+      s.getAs[Long]("n_quality") >= s.getAs[Long]("n_unique") &&
+      s.getAs[Long]("n_unique") >= s.getAs[Long]("n_train"),
+      s"funnel must be monotone: $s")
+  }
+
   test("csv-format tables share the bound-envelope machinery") {
     // the v1 line codec refuses embedded commas/newlines, so use long
     // comma-free prose — bounds are computed in the SHARED commit path,
