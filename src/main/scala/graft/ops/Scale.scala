@@ -3681,6 +3681,26 @@ object Scale {
       .orderBy(col("doc_id"))
   }
 
+  /** MIN/MAX OVER A BOUND PROSE COLUMN (the r12 wrong-answer path, now a
+    * driver-surface contract): the manifest's `#bstats` envelope for the
+    * body column is a truncated bound — values that are NOT in the table —
+    * so the aggregate pushdown must BAIL to a real scan for min/max while
+    * unfiltered count(*) still answers from the manifest's live counts.
+    * Both plan shapes are REQUIREd; the returned extremes are the true
+    * full-length bodies, oracled byte-exactly against DuckDB. */
+  def scanTextMinmax(spark: SparkSession, sf: String): DataFrame = {
+    val dir = textTable(spark, sf, clustered = true)
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    val agg = t.agg(min(col("body")).as("lo"), max(col("body")).as("hi"),
+      count(lit(1)).as("n"))
+    require(!agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "min/max over a bound prose column must bail to a real scan")
+    val cnt = t.agg(count(lit(1)).as("n"))
+    require(cnt.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "unfiltered count(*) must still answer from the manifest")
+    agg
+  }
+
   /** TopN PUSHDOWN ON PROSE ([[graft.sources.GraftSinkScanBuilder
     * .pushTopN]] composed with `#bstats` bound envelopes): `ORDER BY
     * body LIMIT 100` on the text-clustered corpus takes files in
@@ -4190,6 +4210,7 @@ object Scale {
     "sink_documents_versioned" -> sinkDocumentsVersioned,
     "scan_text_range_prune" -> scanTextRangePrune,
     "scan_topn_text" -> scanTopnText,
+    "scan_text_minmax" -> scanTextMinmax,
     "sink_sorted_multi" -> sinkSortedMulti,
     "scan_zorder_prune" -> scanZorderPrune,
     "sink_rowgroup_skip" -> sinkRowgroupSkip,
@@ -4309,6 +4330,11 @@ object Scale {
         |  CAST(4 AS BIGINT) AS n_files, 'true' AS pruned
         |FROM documents WHERE lang = 'en' AND doc_id <= 100
         |ORDER BY doc_id""".stripMargin,
+
+    "scan_text_minmax" ->
+      """SELECT min(text || ' | ' || text) AS lo,
+        |  max(text || ' | ' || text) AS hi,
+        |  count(*) AS n FROM documents""".stripMargin,
 
     "scan_topn_text" ->
       """SELECT doc_id, text || ' | ' || text AS body,
