@@ -89,6 +89,20 @@ object Bench {
     // tail capture — informational only).
     println(line(qjson(results)))
     Console.out.flush()
+    // ... and persisted to a stable file (VERDICT r13 next #2): the
+    // driver's tail capture keeps only the 20 slowest keys, so every
+    // round's contention adjudication (driver-vs-local outliers) was a
+    // local re-bench; with the complete map on disk it's a file diff.
+    // Best-effort — a read-only cwd must not fail the bench itself.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+      java.nio.file.Files.write(out,
+        (line(qjson(results)) + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-query map -> ${out.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist full map: ${e.getMessage}")
+    }
     spark.stop()
     // The line the driver parses: LAST on stdout (nothing interleaves after
     // spark.stop()) and compact enough (~700 chars) to sit entirely inside

@@ -82,7 +82,11 @@ object Graft {
     * in general (a qualifying pair colliding in no band is missed;
     * ≥0.97 per-pair at τ=0.45), exactly like the opt-in LshPrefilter
     * rewrite — the scale path for embedding near-dup sweeps. Requires
-    * `registerFunctions` first. Output (id_a, id_b), id_a < id_b. */
+    * `registerFunctions` first, and vectors of AT LEAST 64 dims (the
+    * fixed bands index dims 0–63; shorter vectors fail fast per-row
+    * rather than silently colliding in every band and degenerating the
+    * candidate join to O(n²) — ADVICE r13). Output (id_a, id_b),
+    * id_a < id_b. */
   def cosinePairs(items: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame =
     graft.ops.Dedup.cosinePairsOf(

@@ -361,7 +361,15 @@ object Dedup {
 
   /** Core banded threshold-cosine pairs over any (id, vec) frame — the
     * frame-generic kernel behind `dedup_embedding_cosine` and the
-    * api.Graft facade. Caller registers VectorDot first. */
+    * api.Graft facade. Caller registers VectorDot first.
+    *
+    * REQUIRES ≥64-dim vectors: BandPerm indexes dims 0–63, and
+    * `element_at` past the array end yields NULL, so every band bit of a
+    * short vector evaluates 0 — all short vectors collide in EVERY band
+    * and the candidate join silently degenerates to O(n²) (ADVICE r13).
+    * Enforced per-row with assert_true inside a filter (a filter can't
+    * be column-pruned away, unlike a dropped projection), one O(1)
+    * size() per input row. */
   private[graft] def cosinePairsOf(d: DataFrame, threshold: Double): DataFrame = {
     val perm = graft.plans.LshPrefilter.BandPerm
     def bandVal(k: Int): Column =
@@ -375,7 +383,11 @@ object Dedup {
     // banding shuffle — the embedding payload (the heavy column at
     // 100 TB) is fetched ONCE per side for the distinct candidates, not
     // copied into every band row
-    val e = d.withColumn("norm2", expr("vector_dot(vec, vec)"))
+    val e = d.where(coalesce(expr(
+        "assert_true(size(vec) >= 64, " +
+          "'cosinePairs requires >= 64-dim vectors (sign-LSH bands index dims 0-63)')"),
+        lit(true)))
+      .withColumn("norm2", expr("vector_dot(vec, vec)"))
     val banded = e.select(col("id"), explode(bands).as("b"))
     val cands = banded.select(col("id").as("id_a"), col("b"))
       .join(banded.select(col("id").as("id_b"), col("b")), Seq("b"))
@@ -616,12 +628,31 @@ object Dedup {
         |GROUP BY 1, 2
         |ORDER BY a_id, b_id""".stripMargin,
 
-    "dedup_embedding_cosine" ->
-      """SELECT vec_a, vec_b FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         list_cosine_similarity(a.embedding, b.embedding) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |WHERE cos > 0.45
-        |ORDER BY vec_a, vec_b""".stripMargin
+    // DOCUMENTED-APPROXIMATE key (ADVICE r13 medium): the Spark side is
+    // sign-LSH banded, so the oracle mirrors the SAME 16×4-bit banding —
+    // a pair qualifies iff it collides in ≥1 band AND cosine > τ. The
+    // band predicate below is generated from LshPrefilter.BandPerm, so
+    // Spark and DuckDB compute the identical candidate set by
+    // construction: a threshold-marginal pair that collides in no band is
+    // (correctly, per the ≥0.97-recall contract) absent from BOTH sides,
+    // instead of failing the gate whenever the fixture grows such a pair.
+    // The EXACT all-pairs control stays at the spec layer (ScaleFixSpec).
+    "dedup_embedding_cosine" -> {
+      val perm = graft.plans.LshPrefilter.BandPerm
+      def bv(side: String, k: Int): String = (0 until 4).map { j =>
+        s"(CASE WHEN $side.embedding[${perm(4 * k + j) + 1}] >= 0 " +
+          s"THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val bandEq = (0 until graft.plans.LshPrefilter.NumBands)
+        .map(k => s"(${bv("a", k)}) = (${bv("b", k)})")
+        .mkString("(", "\n    OR ", ")")
+      s"""SELECT vec_a, vec_b FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         list_cosine_similarity(a.embedding, b.embedding) AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |   AND $bandEq)
+         |WHERE cos > 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin
+    }
   )
 }

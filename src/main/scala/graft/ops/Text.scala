@@ -358,9 +358,12 @@ object Text {
         size(filter(words, w => w.isin("data", "table", "row", "value", "key")))
           .as("n_stop"))
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
-        expr("(total_chars * 100) div n_words").as("avg_len_e2"),
-        expr("(n_distinct * 1000000) div n_words").as("ttr_e6"),
-        expr("(n_stop * 1000000) div n_words").as("stop_e6"))
+        // widen BEFORE multiplying: n_distinct * 1000000 overflows 32-bit
+        // int silently in Spark at ~2147 distinct words (ADVICE r13) while
+        // the oracle's BIGINT promotes — long math on both engines
+        expr("(cast(total_chars as bigint) * 100) div n_words").as("avg_len_e2"),
+        expr("(cast(n_distinct as bigint) * 1000000) div n_words").as("ttr_e6"),
+        expr("(cast(n_stop as bigint) * 1000000) div n_words").as("stop_e6"))
       .withColumn("quality",
         when(col("n_words") >= 30 && col("ttr_e6") >= 300000, "good")
           .when(col("n_words") >= 15, "fair")
@@ -388,7 +391,9 @@ object Text {
       .select(col("doc_id"), col("lang"), col("text"),
         size(words).as("n_words"),
         size(array_distinct(words)).as("n_distinct"))
-      .withColumn("ttr_e6", expr("(n_distinct * 1000000) div n_words"))
+      .withColumn("ttr_e6",
+        // long math — same overflow-proofing as textQualityScore
+        expr("(cast(n_distinct as bigint) * 1000000) div n_words"))
       .where(col("n_words") >= 15 && col("ttr_e6") >= 250000)
       .withColumn("fp", md5(col("text")))
 
@@ -915,14 +920,14 @@ object Text {
     "text_curate_pipeline" ->
       """WITH q AS (
         |  SELECT doc_id, lang, text, n_words,
-        |    CAST((n_distinct * 1000000) // n_words AS BIGINT) AS ttr_e6,
+        |    (CAST(n_distinct AS BIGINT) * 1000000) // n_words AS ttr_e6,
         |    md5(text) AS fp
         |  FROM (
         |    SELECT doc_id, lang, text,
         |      CAST(len(str_split(text,' ')) AS INT) AS n_words,
         |      CAST(len(list_distinct(str_split(text,' '))) AS INT) AS n_distinct
         |    FROM documents)
-        |  WHERE n_words >= 15 AND (n_distinct * 1000000) // n_words >= 250000),
+        |  WHERE n_words >= 15 AND (CAST(n_distinct AS BIGINT) * 1000000) // n_words >= 250000),
         |k AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp)
         |SELECT q.doc_id, q.lang, q.n_words, q.ttr_e6, q.fp
         |FROM q JOIN k ON q.fp = k.fp AND q.doc_id = k.doc_id
@@ -938,7 +943,7 @@ object Text {
         |      CAST(len(str_split(text,' ')) AS INT) AS n_words,
         |      CAST(len(list_distinct(str_split(text,' '))) AS INT) AS n_distinct
         |    FROM documents)
-        |  WHERE n_words >= 15 AND (n_distinct * 1000000) // n_words >= 250000),
+        |  WHERE n_words >= 15 AND (CAST(n_distinct AS BIGINT) * 1000000) // n_words >= 250000),
         |k AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp),
         |t AS (SELECT q.doc_id FROM q JOIN k ON q.fp = k.fp AND q.doc_id = k.doc_id
         |      WHERE substring(md5(CAST(q.doc_id AS VARCHAR) || ':' || q.text), 1, 1) < 'c')
@@ -949,10 +954,10 @@ object Text {
 
     "text_quality_score" ->
       """SELECT doc_id, n_words, n_distinct,
-        |  CAST((total_chars * 100) // n_words AS BIGINT) AS avg_len_e2,
-        |  CAST((n_distinct * 1000000) // n_words AS BIGINT) AS ttr_e6,
-        |  CAST((n_stop * 1000000) // n_words AS BIGINT) AS stop_e6,
-        |  CASE WHEN n_words >= 30 AND (n_distinct * 1000000) // n_words >= 300000 THEN 'good'
+        |  (CAST(total_chars AS BIGINT) * 100) // n_words AS avg_len_e2,
+        |  (CAST(n_distinct AS BIGINT) * 1000000) // n_words AS ttr_e6,
+        |  (CAST(n_stop AS BIGINT) * 1000000) // n_words AS stop_e6,
+        |  CASE WHEN n_words >= 30 AND (CAST(n_distinct AS BIGINT) * 1000000) // n_words >= 300000 THEN 'good'
         |       WHEN n_words >= 15 THEN 'fair' ELSE 'poor' END AS quality
         |FROM (
         |  SELECT doc_id,

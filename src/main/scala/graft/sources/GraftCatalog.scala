@@ -1190,20 +1190,42 @@ private[sources] object GraftOptimizeProcedure {
       target: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
+    import org.apache.spark.sql.types._
+    // zorder_by columns must be rank-sortable through a double cast —
+    // numeric / date / timestamp / boolean. A string column would cast to
+    // NULL, rank every row 0, and silently collapse the curve to one
+    // bucket (ADVICE r13): reject it, mirroring the missing-column require.
+    val badTyped = zcols.filter { c =>
+      frame.schema(c).dataType match {
+        case _: NumericType | DateType | TimestampType | TimestampNTZType |
+             BooleanType => false
+        case _ => true
+      }
+    }
+    require(badTyped.isEmpty,
+      s"graft optimize: zorder_by column(s) ${badTyped.mkString(", ")} are " +
+        "not numeric/date/timestamp — a non-numeric column ranks every row 0 " +
+        "and the curve degenerates; choose sortBy for lexicographic layouts")
     val k = zcols.length
     val cutsSql = (1 to 63).map(i => i / 64.0).mkString(",")
     val cutExprs = zcols.map(c => org.apache.spark.sql.functions.expr(
       s"approx_percentile(cast(`$c` as double), array($cutsSql), 1000)"))
     val cutRow = frame.agg(cutExprs.head, cutExprs.tail: _*).head()
+    // empty frame / all-null dimension → approx_percentile yields NULL:
+    // rank that dimension constant-0 instead of NPEing mid-OPTIMIZE
+    // (ADVICE r13; sound — the envelopes recompute at write either way)
+    def cutsAt(j: Int): Seq[Double] =
+      Option(cutRow.getSeq[Double](j)).getOrElse(Seq.empty)
     def rank(c: String, cuts: Seq[Double]): Column =
-      cuts.map(t => org.apache.spark.sql.functions
+      if (cuts.isEmpty) lit(0)
+      else cuts.map(t => org.apache.spark.sql.functions
         .when(col(c).cast("double") > lit(t), 1).otherwise(0))
         .reduce(_ + _) // 0..63; NULL ranks 0 (nulls cluster first)
     def bitsOf(c: Column, j: Int): Column = (0 until 6).map[Column] { i =>
       shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
     }.reduce(_ + _)
     val z = zcols.zipWithIndex.map { case (c, j) =>
-      bitsOf(rank(c, cutRow.getSeq[Double](j)).cast("long"), j) }.reduce(_ + _)
+      bitsOf(rank(c, cutsAt(j)).cast("long"), j) }.reduce(_ + _)
     frame.withColumn("_zcurve", z.cast("long"))
       .repartitionByRange(target, col("_zcurve"))
       .sortWithinPartitions(col("_zcurve"))
