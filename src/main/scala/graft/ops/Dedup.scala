@@ -363,13 +363,16 @@ object Dedup {
     * frame-generic kernel behind `dedup_embedding_cosine` and the
     * api.Graft facade. Caller registers VectorDot first.
     *
-    * REQUIRES ≥64-dim vectors: BandPerm indexes dims 0–63, and
-    * `element_at` past the array end yields NULL, so every band bit of a
-    * short vector evaluates 0 — all short vectors collide in EVERY band
-    * and the candidate join silently degenerates to O(n²) (ADVICE r13).
-    * Enforced per-row with assert_true inside a filter (a filter can't
-    * be column-pruned away, unlike a dropped projection), one O(1)
-    * size() per input row. */
+    * REQUIRES ≥64-dim vectors: BandPerm indexes dims 0–63, and on a
+    * short vector `element_at` past the array end either throws a
+    * generic ANSI index error or (ANSI off) yields NULL, making every
+    * band bit 0 — all short vectors collide in EVERY band and the
+    * candidate join silently degenerates to O(n²) (ADVICE r13).
+    * Enforced per-row by wrapping the band-array construction in a
+    * CaseWhen: its branch ordering is GUARANTEED (a filter/assert
+    * elsewhere in the stage is not — codegen may evaluate the banding
+    * projection first), so a short row raises the named error before
+    * any band bit is read. One O(1) size() per input row. */
   private[graft] def cosinePairsOf(d: DataFrame, threshold: Double): DataFrame = {
     val perm = graft.plans.LshPrefilter.BandPerm
     def bandVal(k: Int): Column =
@@ -377,17 +380,19 @@ object Dedup {
         when(element_at(col("vec"), perm(4 * k + j) + 1) >= 0f,
           lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
-    val bands = array((0 until graft.plans.LshPrefilter.NumBands).map(k =>
+    val bands0 = array((0 until graft.plans.LshPrefilter.NumBands).map(k =>
       struct(lit(k).as("band"), bandVal(k).as("bv"))): _*)
+    val bands = when(size(col("vec")) >= 64, bands0)
+      .otherwise(raise_error(concat(
+        lit("cosinePairs requires >= 64-dim vectors " +
+          "(sign-LSH bands index dims 0-63); got "),
+        size(col("vec")).cast("string")))
+        .cast("array<struct<band:int,bv:int>>"))
     // candidate/verify SPLIT: only (id, band-cell) rides the 16×
     // banding shuffle — the embedding payload (the heavy column at
     // 100 TB) is fetched ONCE per side for the distinct candidates, not
     // copied into every band row
-    val e = d.where(coalesce(expr(
-        "assert_true(size(vec) >= 64, " +
-          "'cosinePairs requires >= 64-dim vectors (sign-LSH bands index dims 0-63)')"),
-        lit(true)))
-      .withColumn("norm2", expr("vector_dot(vec, vec)"))
+    val e = d.withColumn("norm2", expr("vector_dot(vec, vec)"))
     val banded = e.select(col("id"), explode(bands).as("b"))
     val cands = banded.select(col("id").as("id_a"), col("b"))
       .join(banded.select(col("id").as("id_b"), col("b")), Seq("b"))

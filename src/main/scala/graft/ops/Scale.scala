@@ -4195,7 +4195,106 @@ object Scale {
          |ORDER BY phase, event_type""".stripMargin)
   }
 
+  /** STREAMED SORTED TABLE, SELF-MAINTAINING (round 14, VERDICT r13 next
+    * #1 — the measured round-13 papercut: each micro-batch append into a
+    * `#sortspec` table lands an unshaped file spanning the whole key
+    * domain, so range pruning degrades until a hand-issued OPTIMIZE).
+    * The versioned streaming sink's `autoOptimize.smallFiles=N` write
+    * option arms a post-commit hook: every N files this writer appends,
+    * it runs the procedure-grade incremental binpack
+    * ([[graft.sources.GraftMaintenance]] — the SAME kernel `CALL
+    * optimize` uses), which under the declared sort range-re-sorts the
+    * small-file tail (absorbing overlapping retained files) back into
+    * disjoint envelopes. O(1) trigger state per epoch; the sweep itself
+    * reads only its victims — the maintenance loop a 100 TB streaming
+    * lakehouse table needs to keep its own pruning alive.
+    *
+    * Fixture: seed a 4-file range layout on event_id (pmod-4 slice 0),
+    * stream the other three slices as single-file epochs
+    * (maxFilesPerTrigger=1), each spanning the full event_id domain.
+    * With smallFiles=2 the hook sweeps after epoch 2 and leaves epoch
+    * 3's tail un-swept — the honest steady state. REQUIREd: history
+    * contains an AUTO-OPTIMIZE commit (nobody called the procedure) and
+    * the sort spec survived it; a narrow probe plans at most 2 files
+    * (one range file + the one unswept tail) and strictly fewer than
+    * the SAME ingest without the policy, whose history has no compaction
+    * at all. Probe rows fully oracled. */
+  def streamSortedMaintain(spark: SparkSession, sf: String): DataFrame = {
+    def ev = events(spark, sf).select(col("event_id"), col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    // 3 single-file source epochs (pmod slices 1..3; slice 0 is the seed)
+    val srcDir = tmpDir("ssm_src", sf)
+    graft.util.Scratch.once(srcDir) {
+      (1 to 3).foreach { r =>
+        val stage = tmpDir(s"ssm_stage$r", sf)
+        ev.where(pmod(col("event_id"), lit(4)) === r)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        require(part.length == 1, s"want 1 part file in $stage, got ${part.length}")
+        java.nio.file.Files.move(part.head.toPath,
+          java.nio.file.Paths.get(srcDir, s"epoch$r.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def ingest(prefix: String, auto: Boolean): String = {
+      val table = tmpDir(prefix, sf)
+      graft.util.Scratch.once(table) { // seed: declared 4-file range layout
+        ev.where(pmod(col("event_id"), lit(4)) === 0)
+          .write.format("graft-sink").option("path", table)
+          .option("sortBy", "event_id").option("writePartitions", "4")
+          .option("distributionStrict", "true").mode("overwrite").save()
+      }
+      val w = spark.readStream
+        .schema("event_id LONG, event_type STRING, cents LONG")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.format("graft-sink")
+        .option("path", table)
+        .option("checkpointLocation", tmpDir(prefix + "_chk", sf))
+        .option("commitVersions", "true")
+      val armed = if (auto)
+        w.option("autoOptimize.smallFiles", "2")
+          .option("autoOptimize.maxFileBytes", (1L << 30).toString)
+          .option("autoOptimize.targetFiles", "4")
+      else w
+      val q = armed.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      table
+    }
+    val m = ingest("ssm_auto", auto = true)
+    val c = ingest("ssm_ctl", auto = false)
+    import graft.sources.GraftManifest
+    def ops(dir: String): Seq[String] =
+      GraftManifest.versions(dir).flatMap(v => GraftManifest.headerFacts(dir, v).op)
+    require(ops(m).contains("AUTO-OPTIMIZE"),
+      s"the policy must have committed an AUTO-OPTIMIZE sweep, ops=${ops(m)}")
+    require(!ops(c).exists(_.contains("OPTIMIZE")),
+      s"the control ingest must never compact, ops=${ops(c)}")
+    val head = GraftManifest.readVersion(m, None).get
+    require(head.sortSpec.contains("event_id"),
+      s"auto-maintenance must preserve the declared sort, got ${head.sortSpec}")
+    val k = events(spark, sf).agg(max(col("event_id"))).head.getLong(0) / 8
+    def probe(dir: String): DataFrame =
+      spark.read.format("graft-sink").option("path", dir).load()
+        .where(col("event_id") <= k)
+    val mFiles = head.metas.size
+    val mPlanned = graftScanParts(probe(m))
+    val cPlanned = graftScanParts(probe(c))
+    require(mPlanned < mFiles && mPlanned <= 2,
+      s"maintained table must prune: planned $mPlanned of $mFiles (want <= 2)")
+    require(cPlanned > mPlanned,
+      s"unmaintained control must plan strictly more: $cPlanned vs $mPlanned")
+    probe(m).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"))
+      .withColumn("auto_compacted", lit("true"))
+      .withColumn("pruned", lit((mPlanned < cPlanned).toString))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sorted_maintain" -> streamSortedMaintain,
     "sink_tag_travel" -> sinkTagTravel,
     "meta_table_tags" -> metaTableTags,
     "meta_table_history" -> metaTableHistory,
@@ -4303,6 +4402,14 @@ object Scale {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_sorted_maintain" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_id,
+        |  'true' AS auto_compacted, 'true' AS pruned
+        |FROM events
+        |WHERE event_id <= (SELECT max(event_id)//8 FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "meta_table_tags" ->
       "SELECT 'baseline' AS tag, CAST(1 AS BIGINT) AS version",
 

@@ -927,24 +927,19 @@ private[sources] class GraftRestoreProcedure(cat: GraftCatalog)
   * a salt that buys nothing: the small-file tail this mode exists for
   * folds to one file per value anyway). Mixing with zorder_by is
   * refused (a curve layout is a full rewrite by definition). */
-private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
-    extends GraftProcedure(cat) {
-  override def name(): String = "optimize"
-  override def description(): String =
-    "compact (optionally Z-ORDER, optionally small-files-only) the head snapshot"
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("table", StringType).build(),
-    ProcedureParameter.in("target_files", IntegerType).build(),
-    ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build(),
-    ProcedureParameter.in("max_file_bytes", LongType).defaultValue("0").build())
-
+/** Shared table-maintenance kernels (round 14): the incremental binpack
+  * and index-carry logic extracted from [[GraftOptimizeProcedure]] so the
+  * streaming sink's auto-optimize post-commit hook runs the exact
+  * procedure-grade compaction — one implementation of the re-sort /
+  * absorption / conditioned-commit rules, two triggers. */
+private[sources] object GraftMaintenance {
   /** A rewrite must PRESERVE the table's secondary indexes: any column
     * some head file carries a bloom filter or NDV sketch for gets the
     * matching writer option, so compaction rebuilds the index for its
     * fresh files instead of silently dropping it — an OPTIMIZE that
     * forfeits every future point-lookup skip is maintenance making the
     * table worse. */
-  private def carryIndexes(head: GraftManifest,
+  def carryIndexes(head: GraftManifest,
       w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
       : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     val fields = head.schemaDdl.map(StructType.fromDDL(_).fields)
@@ -958,12 +953,16 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
     if (ndvs.nonEmpty) w1.option("ndvFor", ndvs.mkString(",")) else w1
   }
 
-  /** Incremental (small-files-only) compaction; see the class doc. */
-  private def binpack(spark: org.apache.spark.sql.SparkSession, dir: String,
-      head: GraftManifest, target: Int, maxBytes: Long): java.util.Iterator[Scan] = {
+  /** Incremental (small-files-only) compaction; see
+    * [[GraftOptimizeProcedure]]'s class doc for the full contract.
+    * Returns (files_before, files_after, new_version); `op` labels the
+    * commit ("OPTIMIZE" from the procedure, "AUTO-OPTIMIZE" from the
+    * streaming post-commit policy — history stays honest about who
+    * compacted). */
+  def binpack(spark: org.apache.spark.sql.SparkSession, dir: String,
+      head: GraftManifest, target: Int, maxBytes: Long,
+      op: String = "OPTIMIZE"): (Int, Int, Int) = {
     import org.apache.spark.sql.functions.col
-    val outSchema =
-      StructType.fromDDL("files_before INT, files_after INT, new_version INT")
     val (small0, big0) = head.metas.partition { m =>
       java.nio.file.Files.size(java.nio.file.Paths.get(dir, m.name)) < maxBytes }
     // Under a DECLARED sort layout the rewrite range-reclusters only its
@@ -999,7 +998,7 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
       case _ => (small0, big0)
     }
     if (small.size <= 1) // nothing to fold — no commit, head unchanged
-      return result(outSchema, head.metas.size, head.metas.size, head.version)
+      return (head.metas.size, head.metas.size, head.version)
     val pcols = small.flatMap(_.partition.map(_._1)).distinct
     require(pcols.size <= 1 &&
         small.forall(_.partition.isDefined) == small.exists(_.partition.isDefined),
@@ -1060,15 +1059,40 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
         try GraftManifest.commitMetas(dir, big ++ moved,
           head.schemaDdl.getOrElse(throw new IllegalStateException(
             s"graft optimize: head at $dir carries no schema")),
-          truncate = true, expectedBase = Some(head.version), op = Some("OPTIMIZE"))
+          truncate = true, expectedBase = Some(head.version), op = Some(op))
         catch {
           case e: Throwable =>
             moved.foreach(m => java.nio.file.Files.deleteIfExists(
               java.nio.file.Paths.get(dir, m.name)))
             throw e
         }
-      result(outSchema, head.metas.size, big.size + moved.size, nv)
+      (head.metas.size, big.size + moved.size, nv)
     } finally GraftFs.deleteTree(new java.io.File(tmp))
+  }
+
+}
+
+private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "optimize"
+  override def description(): String =
+    "compact (optionally Z-ORDER, optionally small-files-only) the head snapshot"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("target_files", IntegerType).build(),
+    ProcedureParameter.in("zorder_by", StringType).defaultValue("''").build(),
+    ProcedureParameter.in("max_file_bytes", LongType).defaultValue("0").build())
+
+  /** Incremental (small-files-only) compaction — shared kernel in
+    * [[GraftMaintenance]] (round 14: the streaming sink's auto-optimize
+    * post-commit hook runs the SAME binpack, so `CALL optimize` and the
+    * write-option policy cannot drift apart). */
+  private def binpack(spark: org.apache.spark.sql.SparkSession, dir: String,
+      head: GraftManifest, target: Int, maxBytes: Long): java.util.Iterator[Scan] = {
+    val (before, after, nv) =
+      GraftMaintenance.binpack(spark, dir, head, target, maxBytes)
+    result(StructType.fromDDL("files_before INT, files_after INT, new_version INT"),
+      before, after, nv)
   }
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -1138,7 +1162,7 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
             s"not in the table schema (${snapshot.schema.fieldNames.mkString(", ")})")
         GraftOptimizeProcedure.zShape(snapshot, zcols, target)
       }
-    val ow0 = carryIndexes(head,
+    val ow0 = GraftMaintenance.carryIndexes(head,
       rewritten.write.format("graft-sink").option("path", dir))
       .option("expectedBaseVersion", head.version.toString)
       .option("operation", "OPTIMIZE")

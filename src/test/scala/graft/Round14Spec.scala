@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftManifest
+
+/** Round-14 gate: streaming auto-maintenance (VERDICT r13 next #1 — the
+  * `autoOptimize.*` write-option policy that lets a streamed `#sortspec`
+  * table repair its own pruning without a hand-issued OPTIMIZE), plus the
+  * ADVICE r13 hardening (zShape guards, short-vector fail-fast). */
+case class R14Ev(event_id: Long, event_type: String, cents: Long)
+
+class Round14Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  type Ev = R14Ev
+  private def Ev(id: Long, t: String, c: Long): Ev = R14Ev(id, t, c)
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  /** Seed a declared-sort 2-file range table on event_id. */
+  private def seed(dir: String, ids: Range): Unit =
+    spark.createDataFrame(ids.map(i => Ev(i.toLong, s"t${i % 3}", i.toLong * 7)))
+      .write.format("graft-sink").option("path", dir)
+      .option("sortBy", "event_id").option("writePartitions", "2")
+      .option("distributionStrict", "true").mode("overwrite").save()
+
+  test("autoOptimize without commitVersions is refused at stream start") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(Ev(1L, "a", 1L))
+    val q = ms.toDF().writeStream.format("graft-sink")
+      .option("path", tmp("graft_r14_nover"))
+      .option("checkpointLocation", tmp("graft_r14_noverchk"))
+      .option("autoOptimize.smallFiles", "2")
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("autoOptimize requires commitVersions"),
+      s"unexpected failure: ${e.getMessage}")
+  }
+
+  test("malformed autoOptimize policy (smallFiles=0) is refused") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(Ev(1L, "a", 1L))
+    val q = ms.toDF().writeStream.format("graft-sink")
+      .option("path", tmp("graft_r14_badpol"))
+      .option("checkpointLocation", tmp("graft_r14_badpolchk"))
+      .option("commitVersions", "true")
+      .option("autoOptimize.smallFiles", "0")
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("malformed autoOptimize policy"),
+      s"unexpected failure: ${e.getMessage}")
+  }
+
+  test("auto-optimize sweeps after N appended files, preserves the sort, leaves the tail") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("graft_r14_auto")
+    seed(dir, 0 until 40)
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().coalesce(1) // one file per epoch, deterministically
+      .writeStream.format("graft-sink")
+      .option("path", dir).option("checkpointLocation", tmp("graft_r14_autochk"))
+      .option("commitVersions", "true")
+      .option("autoOptimize.smallFiles", "2")
+      .option("autoOptimize.maxFileBytes", (1L << 30).toString)
+      .option("autoOptimize.targetFiles", "2")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    // three epochs, each one full-domain (unshaped) file
+    (1 to 3).foreach { e =>
+      ms.addData((0 until 40).map(i => Ev(i * 10L + e, s"t${i % 3}", e.toLong)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val ops = GraftManifest.versions(dir)
+      .flatMap(v => GraftManifest.headerFacts(dir, v).op)
+    assert(ops.count(_ == "AUTO-OPTIMIZE") == 1,
+      s"exactly one sweep after the 2nd appended file, got $ops")
+    // the sweep ran BETWEEN the 2nd and 3rd appends, not at the end:
+    // the counter (1 < 2) leaves epoch 3's tail for the next trigger
+    assert(ops.takeRight(2).head == "AUTO-OPTIMIZE" &&
+        ops.last == "STREAM APPEND",
+      s"sweep must precede the unswept tail append: $ops")
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.sortSpec.contains("event_id"),
+      s"sweep must preserve the declared sort: ${head.sortSpec}")
+    // 2 re-sorted range files + epoch 3's unswept tail
+    assert(head.metas.size == 3,
+      s"want targetFiles + 1 tail = 3 files, got ${head.metas.size}")
+    // lossless: seed + 3 epochs
+    assert(spark.read.format("graft-sink").option("path", dir).load().count()
+      == 40L + 3 * 40L)
+    // re-sorted range files restore pruning: a narrow probe plans fewer
+    // than all files (1 range file + the tail)
+    val planned = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("event_id") <= 20L).rdd.getNumPartitions
+    assert(planned <= 2, s"repaired layout must prune: planned $planned of 3")
+  }
+
+  test("zorder_by on a non-numeric column is refused (ADVICE r13)") {
+    val root = tmp("graft_r14_zstr")
+    spark.conf.set("spark.sql.catalog.g14z", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14z.root", root)
+    val dir = s"$root/db/t"
+    spark.range(0, 100).toDF("id")
+      .select(col("id").as("a"), concat(lit("s"), col("id")).as("s"))
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val e = intercept[Exception] {
+      spark.sql("CALL g14z.system.optimize('db.t', 2, 'a,s')").collect()
+    }
+    assert(e.getMessage.contains("not numeric/date/timestamp"),
+      s"unexpected failure: ${e.getMessage}")
+  }
+
+  test("zorder over an all-null dimension completes instead of NPEing (ADVICE r13)") {
+    val root = tmp("graft_r14_znull")
+    spark.conf.set("spark.sql.catalog.g14n", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14n.root", root)
+    val dir = s"$root/db/t"
+    spark.range(0, 200).toDF("id")
+      .select(col("id").as("a"), lit(null).cast("long").as("b"))
+      .repartition(4)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    spark.sql("CALL g14n.system.optimize('db.t', 2, 'a,b')").collect()
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    assert(t.count() == 200)
+    // the live dimension still shapes the curve: a bottom probe prunes
+    assert(t.where(col("a") <= 20).rdd.getNumPartitions < 2 ||
+      GraftManifest.readVersion(dir, None).get.metas.size <= 2)
+  }
+
+  test("cosinePairs fails fast on short vectors instead of degenerating to all-pairs") {
+    graft.functions.VectorDot.register(spark)
+    val short = spark.range(0, 10).toDF("id")
+      .select(col("id"), array((0 until 8).map(i => lit(0.5f)): _*).as("vec"))
+    val e = intercept[Exception] {
+      graft.api.Graft.cosinePairs(short, "id", "vec", 0.5).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("64-dim")),
+      s"want the 64-dim fail-fast, got: ${msgs(e).mkString(" | ")}")
+  }
+}
