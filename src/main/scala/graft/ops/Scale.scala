@@ -4293,8 +4293,41 @@ object Scale {
       .orderBy(col("event_type"))
   }
 
+  /** DECIMAL SUM AGGREGATE PUSHDOWN (round 14, VERDICT r13 next #4):
+    * `#sums` facts now cover decimal(<=18) columns as exact sums of
+    * UNSCALED values (fixed-scale integer math — Math.addExact, overflow
+    * → unknown, never wrong), so `sum(decimal)` over an unfiltered graft
+    * table answers from the manifest exactly like `sum(bigint)` — the
+    * money-column dashboard query at 100 TB. REQUIREd: the whole
+    * aggregate (count + min/max keys + sum(decimal(12,2))) plans a
+    * LocalTableScan with NO BatchScan. Output casts the decimal to
+    * DOUBLE (round-2 rule: final output columns are never DECIMAL — the
+    * driver's pandas compare stringifies them differently); the cast
+    * sits ABOVE the aggregate, so the pushdown still fires. Oracled on
+    * the same cast chain in DuckDB. */
+  def sinkAggPushdownDec(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttaggdec", sf)
+    graft.util.Scratch.once(dir) {
+      orders(spark, sf)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("price"))
+        .repartition(4)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    }
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    val agg = t.agg(count(lit(1)).as("n"),
+      min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+      sum(col("price")).as("sum_price"))
+    val plan = agg.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"sum(decimal(12,2)) must answer from the manifest:\n${plan.take(600)}")
+    agg.select(col("n"), col("min_key"), col("max_key"),
+      col("sum_price").cast("double").as("sum_price"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sorted_maintain" -> streamSortedMaintain,
+    "sink_agg_pushdown_dec" -> sinkAggPushdownDec,
     "sink_tag_travel" -> sinkTagTravel,
     "meta_table_tags" -> metaTableTags,
     "meta_table_history" -> metaTableHistory,
@@ -4410,6 +4443,12 @@ object Scale {
         |FROM events
         |WHERE event_id <= (SELECT max(event_id)//8 FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sink_agg_pushdown_dec" ->
+      """SELECT count(*) AS n, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders""".stripMargin,
     "meta_table_tags" ->
       "SELECT 'baseline' AS tag, CAST(1 AS BIGINT) AS version",
 

@@ -2728,10 +2728,21 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
     // SQL SUM: NULL over zero non-null values, else the exact fold of the
     // per-file `#sums` facts; Bail on a vectored file (deleted rows'
     // contribution is not a manifest fact), an unknown per-file sum
-    // (write-time Long overflow) or fold overflow
+    // (write-time Long overflow) or fold overflow. Besides BIGINT, a
+    // decimal(<=18) column pushes too (round 14, VERDICT r13 next #4):
+    // its `#sums` fact is the exact sum of UNSCALED values — fixed-scale
+    // integer math, so the fold is exact the same way, and the answer
+    // rescales into the decimal(p+10, s) type Spark's SUM declares.
+    // decimal(>18) stays a real scan: its unscaled values don't fit the
+    // Long fact (same rule as write-time overflow — unknown, never wrong).
     def sumCol(ms: Seq[GraftFileMeta], c: String): Any = {
       val (i, dt) = field(c)
-      if (dt != LongType) throw Bail
+      val decScale = dt match {
+        case LongType => None
+        case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
+          Some(d.scale)
+        case _ => throw Bail
+      }
       var any = false
       var acc = 0L
       ms.foreach { f =>
@@ -2747,7 +2758,12 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
           }
         }
       }
-      if (any) acc else null
+      if (!any) null
+      else decScale match {
+        case None => acc
+        case Some(s) => org.apache.spark.sql.types.Decimal(
+          BigDecimal(java.math.BigDecimal.valueOf(acc, s)))
+      }
     }
     def extreme(ms: Seq[GraftFileMeta], c: String, isMin: Boolean): Any = {
       val (i, dt) = field(c)
@@ -2785,8 +2801,16 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
           (s"max($col)", field(col)._2, (ms: Seq[GraftFileMeta]) => extreme(ms, col, isMin = false))
         case sm: Sum if !sm.isDistinct =>
           val col = colName(sm.column).getOrElse(throw Bail)
-          if (field(col)._2 != LongType) return None // doubles: FP order-dependent
-          (s"sum($col)", LongType, (ms: Seq[GraftFileMeta]) => sumCol(ms, col))
+          val resType = field(col)._2 match {
+            case LongType => LongType
+            case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
+              // the type Spark's Sum declares over decimal(p, s)
+              org.apache.spark.sql.types.DecimalType(
+                math.min(38, d.precision + 10), d.scale)
+            case _ => return None // doubles: FP order-dependent; decimal(>18):
+                                  // unscaled values exceed the Long fact
+          }
+          (s"sum($col)", resType, (ms: Seq[GraftFileMeta]) => sumCol(ms, col))
         case _ => return None
       }
       val gField = gcols.flatten.headOption.map(field)
@@ -5126,10 +5150,17 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     val mins = new Array[String](schema.length)
     val maxs = new Array[String](schema.length)
     val nullCounts = new Array[Long](schema.length)
-    // exact non-null sums for BIGINT columns; sumOk drops to false on
-    // Long overflow (the fact becomes "unknown", never wrong)
+    // exact non-null sums for BIGINT columns, and (round 14) for
+    // decimal(<=18) columns as exact sums of UNSCALED values — fixed
+    // scale makes unscaled addition exact integer math; sumOk drops to
+    // false on Long overflow (the fact becomes "unknown", never wrong).
+    // decimal(>18) never sums: its unscaled values overflow the fact.
     val sums = new Array[Long](schema.length)
-    val sumOk: Array[Boolean] = schema.fields.map(_.dataType == LongType)
+    val sumOk: Array[Boolean] = schema.fields.map(_.dataType match {
+      case LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+      case _ => false
+    })
     // one growable hash log per bloomed column (8 B/row while writing);
     // the sized filter is built once at task commit
     val bloomHashes: Map[Int, scala.collection.mutable.ArrayBuffer[Long]] =
@@ -5245,9 +5276,19 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         val dt = schema.fields(i).dataType
         if (p.mins(i) == null || cmp(dt, cells(i), p.mins(i)) < 0) p.mins(i) = cells(i)
         if (p.maxs(i) == null || cmp(dt, cells(i), p.maxs(i)) > 0) p.maxs(i) = cells(i)
-        if (p.sumOk(i))
-          try p.sums(i) = Math.addExact(p.sums(i), cells(i).toLong)
+        if (p.sumOk(i)) {
+          // decimal cells fold their UNSCALED value (exact at the
+          // column's fixed scale); setScale/longValueExact throw on any
+          // rounding or overflow → the fact becomes unknown, never wrong
+          def unscaled: Long = dt match {
+            case d: org.apache.spark.sql.types.DecimalType =>
+              new java.math.BigDecimal(cells(i)).setScale(d.scale)
+                .unscaledValue().longValueExact()
+            case _ => cells(i).toLong
+          }
+          try p.sums(i) = Math.addExact(p.sums(i), unscaled)
           catch { case _: ArithmeticException => p.sumOk(i) = false }
+        }
         p.bloomHashes.get(i).foreach(_ += GraftBloom.hash(cells(i)))
         p.ndvRegs.get(i).foreach(GraftHll.update(_, GraftBloom.hash(cells(i))))
       }

@@ -140,6 +140,51 @@ class Round14Spec extends AnyFunSuite {
       GraftManifest.readVersion(dir, None).get.metas.size <= 2)
   }
 
+  test("sum(decimal(<=18)) answers from the manifest; decimal(>18) bails (VERDICT r13 #4)") {
+    val dir = tmp("graft_r14_decsum")
+    spark.range(0, 1000).toDF("id")
+      .select(col("id"),
+        (col("id").cast("decimal(10,0)") / 4).cast("decimal(12,2)").as("d12"),
+        (col("id").cast("decimal(20,0)") * 3).cast("decimal(20,2)").as("d20"))
+      .repartition(4)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val small = t.agg(sum(col("d12")).as("s"))
+    assert(plan(small).contains("LocalTableScan") && !plan(small).contains("BatchScan"),
+      s"sum(decimal(12,2)) must answer from #sums:\n${plan(small).take(500)}")
+    // the pushed answer is the exact scaled fold: sum(id/4 at scale 2)
+    val expected = (0 until 1000).map(i =>
+      new java.math.BigDecimal(i).divide(new java.math.BigDecimal(4))
+        .setScale(2, java.math.RoundingMode.HALF_UP)).reduce(_ add _)
+    assert(small.head().getDecimal(0).compareTo(expected) == 0,
+      s"pushed sum ${small.head().getDecimal(0)} != recomputed $expected")
+    val wide = t.agg(sum(col("d20")).as("s"))
+    assert(plan(wide).contains("BatchScan"),
+      s"sum(decimal(20,2)) must bail to a real scan:\n${plan(wide).take(500)}")
+    // and the bail is only about the sum fact: the scan still answers right
+    assert(wide.head().getDecimal(0).longValueExact() == (0L until 1000L).sum * 3)
+  }
+
+  test("decimal #sums write-time overflow degrades to unknown, never wrong") {
+    val dir = tmp("graft_r14_decovf")
+    // ten max-magnitude decimal(18,0) values in ONE file: the unscaled
+    // fold passes Long.MaxValue (~9.2e18 < 10 * (1e18-1)) -> the fact is
+    // withheld, sum scans
+    val big = new java.math.BigDecimal("999999999999999999")
+    spark.range(0, 10).toDF("id")
+      .select(col("id"), lit(big).cast("decimal(18,0)").as("d"))
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    val s = t.agg(sum(col("d")).as("s"))
+    assert(s.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "an overflowed per-file sum fact must force a real scan")
+    assert(s.head().getDecimal(0).compareTo(
+      big.multiply(new java.math.BigDecimal(10))) == 0)
+  }
+
   test("cosinePairs fails fast on short vectors instead of degenerating to all-pairs") {
     graft.functions.VectorDot.register(spark)
     val short = spark.range(0, 10).toDF("id")
