@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.scalacheck.{Gen, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftManifest, GraftSinkScan, GraftSinkWriter}
+
+/** ScalaCheck fuzz of the `#bstats` bound math (VERDICT r13 next #5):
+  * Round13Spec pins hand-picked surrogate/width edges; these generators
+  * sweep random Unicode — astral planes, LONE surrogates, the
+  * 63/64/65-char bound-threshold lengths, Char.MaxValue / U+10FFFF runs —
+  * against the two invariants (the envelope CONTAINS every value; the
+  * upper bound is STRICTLY greater under cmpUtf8), the cmpUtf8 ≡ UTF-8
+  * binary order identity it all rests on, the stat escape roundtrip, and
+  * an end-to-end manifest envelope check through a real write.
+  *
+  * Determinism: every property runs under a FIXED initial seed so CI is
+  * stable (SURVEY §5 layer-3 rule). */
+class BoundsFuzzSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def cmp(a: String, b: String): Int = GraftSinkScan.cmpStats(StringType, a, b)
+  private def utf8Clean(s: String): Boolean = s == new String(s.getBytes(UTF_8), UTF_8)
+
+  /** Reference order the stats order must equal for valid strings: plain
+    * unsigned-lexicographic compare of the UTF-8 bytes (what
+    * UTF8String.binaryCompare does). */
+  private def utf8ByteOrder(a: String, b: String): Int = {
+    val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  // --- generators ---------------------------------------------------
+
+  /** Code points biased to every edge the truncation/increment logic
+    * cares about; excludes the surrogate range (valid-string gen). */
+  private val genValidCp: Gen[Int] = Gen.frequency(
+    5 -> Gen.choose(0x20, 0x7E),                       // ASCII
+    2 -> Gen.oneOf(0x00, 0x01, 0xD7FF, 0xE000, 0xFFFD, 0xFFFE, 0xFFFF,
+      0x10000, 0x1F600, 0x10FFFE, 0x10FFFF),           // the edges
+    2 -> Gen.choose(0x80, 0xD7FF),                     // 2-3 byte BMP
+    1 -> Gen.choose(0x10000, 0x10FFFF))                // astral
+
+  /** UTF-16 units incl. LONE surrogates — strings Spark's own ingestion
+    * sanitizes away, but the pure functions must not crash or break
+    * prefix-safety on them. */
+  private val genAnyUnit: Gen[Int] = Gen.frequency(
+    5 -> Gen.choose(0x20, 0x7E),
+    1 -> Gen.choose(0xD800, 0xDBFF),                   // lone high
+    1 -> Gen.choose(0xDC00, 0xDFFF),                   // lone low
+    1 -> Gen.oneOf(0xFFFF.toInt, 0xD7FF, 0xE000))
+
+  /** Lengths clustered on the ExactStatMaxLen (64) and BoundWidth (32)
+    * thresholds where the exact/bound decision and truncation happen. */
+  private val genLen: Gen[Int] = Gen.frequency(
+    3 -> Gen.choose(0, 8),
+    3 -> Gen.oneOf(31, 32, 33, 63, 64, 65),
+    2 -> Gen.choose(60, 70),
+    1 -> Gen.choose(100, 140))
+
+  private def stringOf(cp: Gen[Int]): Gen[String] = for {
+    n <- genLen
+    cps <- Gen.listOfN(n, cp)
+  } yield {
+    val sb = new java.lang.StringBuilder
+    cps.foreach(sb.appendCodePoint)
+    sb.toString
+  }
+
+  private val genValid: Gen[String] = Gen.frequency(
+    8 -> stringOf(genValidCp),
+    1 -> genLen.map("􏿿" * _),          // U+10FFFF runs
+    1 -> genLen.map("￿" * _))                // Char.MaxValue runs
+
+  private val genAny: Gen[String] = Gen.frequency(
+    3 -> genValid,
+    2 -> (for { n <- genLen; us <- Gen.listOfN(n, genAnyUnit) }
+      yield us.map(_.toChar).mkString))
+
+  private def check(name: String, p: org.scalacheck.Prop, n: Int = 3000): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(n)
+        .withInitialSeed(Seed(0x614L)), p)
+    // \u-escape the counterexample: a raw lone surrogate in a failure
+    // message breaks sbt's XML test reporter (MalformedInputException)
+    def esc(x: Any): String = x.toString.flatMap(c =>
+      if (c >= 0x20 && c < 0x7F) c.toString else f"\\u${c.toInt}%04x")
+    assert(res.passed, s"$name: ${esc(res.status)}")
+  }
+
+  test("envelope contains every valid value; upper is strict; bounds are UTF-8 clean") {
+    check("bounds", forAll(genValid) { s =>
+      val lo = GraftSinkWriter.lowerBound(s)
+      val loOk = cmp(lo, s) <= 0 && s.startsWith(lo) && utf8Clean(lo)
+      val hiOk = GraftSinkWriter.upperBound(s) match {
+        case Some(hi) => cmp(s, hi) < 0 && utf8Clean(hi) &&
+          // a bound is only useful if it stays bounded itself
+          hi.length <= GraftSinkWriter.BoundWidth * 2
+        case None => // no successor exists only on max-code-point prefixes
+          s.codePoints().limit(GraftSinkWriter.BoundWidth)
+            .allMatch(c => c == Character.MAX_CODE_POINT)
+      }
+      loOk && hiOk
+    })
+  }
+
+  test("bound functions never crash and stay prefix-safe on lone surrogates") {
+    // The STRICT-UPPER invariant is NOT claimed here, and the fuzz found
+    // why it can't be: appendCodePoint's successor order disagrees with
+    // cmpUtf8's unit remap INSIDE the surrogate range (e.g. a lone
+    // U+DFFF's increment U+E000 remaps BELOW it). Lone surrogates never
+    // reach the writer — Spark's UTF8String.toString sanitizes invalid
+    // bytes to U+FFFD at ingestion — so the claim for invalid strings is
+    // only: never crash, lower stays a (<=) prefix.
+    check("lone-surrogates", forAll(genAny) { s =>
+      val lo = GraftSinkWriter.lowerBound(s)
+      val loOk = s.startsWith(lo) && cmp(lo, s) <= 0
+      GraftSinkWriter.upperBound(s) // must not throw
+      loOk
+    })
+  }
+
+  test("cmpUtf8 stats order IS the UTF-8 binary order on valid strings") {
+    check("order-identity", forAll(genValid, genValid) { (a, b) =>
+      Integer.signum(cmp(a, b)) == Integer.signum(utf8ByteOrder(a, b))
+    })
+  }
+
+  test("escStat/unescStat roundtrip every value byte-identically") {
+    val genTrap: Gen[String] = Gen.frequency(
+      4 -> genAny,
+      // adversarial escape shapes: pre-escaped lookalikes, bare %
+      2 -> Gen.oneOf("%", "%%", "%25", "%2C", "x%25y", "50%up", "%0", "%0A",
+        "a,b", "a\nb", "a\rb", ",%", "%2", "%2Z"))
+    check("esc-roundtrip", forAll(genTrap) { s =>
+      GraftManifest.unescStat(GraftManifest.escStat(s)) == s
+    })
+  }
+
+  test("manifest envelope roundtrip: a real write's stats contain every row (e2e)") {
+    val rnd = new scala.util.Random(14)
+    val params = org.scalacheck.Gen.Parameters.default
+    def sample(i: Int): String =
+      genValid(params, Seed(i.toLong)).getOrElse("fallback")
+    val values = (0 until 300).map(sample)
+      .filter(s => !s.contains('\n') && !s.contains('\r')) // cell rule
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzz_env").toString
+    import spark.implicits._
+    values.toDF("v").coalesce(1)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val meta = GraftManifest.readVersion(dir, None).get.metas.head
+    // the persisted envelope must contain every PERSISTED value: read the
+    // table back (the UTF-8 funnel both rode) and compare under cmpStats
+    val persisted = spark.read.format("graft-sink").option("path", dir)
+      .load().collect().map(_.getString(0))
+    assert(persisted.length == values.length)
+    meta.stats.get(0) match {
+      case Some((mn, mx)) =>
+        persisted.foreach { v =>
+          assert(cmp(mn, v) <= 0, s"min must be <= '$v' (min='$mn')")
+          if (meta.bounds(0))
+            assert(cmp(v, mx) < 0, s"bound upper must be > '$v' (max='$mx')")
+          else assert(cmp(v, mx) <= 0, s"exact max must be >= '$v' (max='$mx')")
+        }
+        // exact stats must BE table values
+        if (!meta.bounds(0))
+          assert(persisted.contains(mn) && persisted.contains(mx),
+            "exact stats must be actual values")
+      case None =>
+        // stats may be withheld ONLY when no bound upper exists for the
+        // true max (a >width run of U+10FFFF) — never silently otherwise
+        val trueMax = persisted.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+        assert(trueMax.length > GraftSinkWriter.ExactStatMaxLen &&
+            GraftSinkWriter.upperBound(trueMax).isEmpty,
+          s"stats withheld without the sanctioned reason (max='$trueMax')")
+    }
+  }
+}
