@@ -4325,9 +4325,76 @@ object Scale {
       col("sum_price").cast("double").as("sum_price"))
   }
 
+  /** 3-DIMENSIONAL Z-ORDER WITH A TIMESTAMP DIMENSION (round 14, VERDICT
+    * r13 next #6): `CALL optimize(..., zorder_by='event_id,user_id,ts')`
+    * quantile-ranks each dimension (64 ranks via one approx_percentile
+    * prepass; timestamps rank through their double cast — micros cells
+    * are order-isomorphic) and interleaves THREE 6-bit rank words into
+    * an 18-bit curve. Locality math at k=3: the top bit of each
+    * dimension splits space into 8 octants, so a bottom-eighth probe on
+    * ANY single dimension overlaps only the 4 octants with that bit 0 —
+    * the probe plans ~half the files instead of all of them, on every
+    * dimension at once, which no single-column sort can do for three
+    * probe columns. REQUIREd: the curve layout is declared
+    * (`#sortspec=zorder(event_id,user_id,ts)`); bottom-eighth probes on
+    * event_id, user_id AND ts each plan < all files against the
+    * z-ordered head, while the SAME probes against VERSION 1 (the
+    * pre-OPTIMIZE round-robin layout of the same table — the time-travel
+    * control) plan every file. Per-probe aggregates fully oracled. */
+  def scanZorder3d(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "z3d_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      events(spark, sf)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .repartition(8)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      spark.sql(s"CALL gsql.system.optimize('db.$tbl', 8, 'event_id,user_id,ts')")
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    val nFiles = head.metas.size
+    require(nFiles == 8, s"fixture: want 8 z-ordered files, got $nFiles")
+    require(head.sortSpec.contains("zorder(event_id,user_id,ts)"),
+      s"3-D curve must be declared: ${head.sortSpec}")
+    // bottom-eighth thresholds as pushable literals (1-row driver fetch)
+    val mm = events(spark, sf).agg(
+      min(col("event_id")), max(col("event_id")),
+      min(col("user_id")), max(col("user_id")),
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val eHi = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 8
+    val uHi = mm.getLong(2) + (mm.getLong(3) - mm.getLong(2)) / 8
+    val tHi = mm.getLong(4) + (mm.getLong(5) - mm.getLong(4)) / 8
+    def t(v: Option[Int]): DataFrame = {
+      val r = spark.read.format("graft-sink").option("path", dir)
+      v.fold(r)(x => r.option("versionAsOf", x.toString)).load()
+    }
+    val probes: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("event", _.where(col("event_id") <= eHi)),
+      ("ts", _.where(col("ts") <= timestamp_micros(lit(tHi)))),
+      ("user", _.where(col("user_id") <= uHi)))
+    probes.foreach { case (name, p) =>
+      val ctl = graftScanParts(p(t(Some(1))))
+      require(ctl == nFiles,
+        s"control: $name probe on the round-robin v1 must plan all $nFiles, planned $ctl")
+      val planned = graftScanParts(p(t(None)))
+      require(planned < nFiles,
+        s"3-D curve must prune the $name probe: planned $planned of $nFiles")
+    }
+    probes.map { case (name, p) =>
+      p(t(None)).agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"))
+        .withColumn("probe", lit(name))
+    }.reduce(_ unionByName _)
+      .select(col("probe"), col("n"), col("sum_cents"), col("min_id"))
+      .orderBy(col("probe"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sorted_maintain" -> streamSortedMaintain,
     "sink_agg_pushdown_dec" -> sinkAggPushdownDec,
+    "scan_zorder_3d" -> scanZorder3d,
     "sink_tag_travel" -> sinkTagTravel,
     "meta_table_tags" -> metaTableTags,
     "meta_table_history" -> metaTableHistory,
@@ -4449,6 +4516,25 @@ object Scale {
         |  max(o_orderkey) AS max_key,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders""".stripMargin,
+
+    "scan_zorder_3d" ->
+      """WITH b AS (
+        |  SELECT min(event_id) + (max(event_id) - min(event_id)) // 8 AS e_hi,
+        |         min(user_id) + (max(user_id) - min(user_id)) // 8 AS u_hi,
+        |         min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 8 AS t_hi
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |             CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT 'event' AS probe, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents, min(event_id) AS min_id
+        |FROM c, b WHERE event_id <= e_hi
+        |UNION ALL
+        |SELECT 'ts', count(*), CAST(sum(cents) AS BIGINT), min(event_id)
+        |FROM c, b WHERE tus <= t_hi
+        |UNION ALL
+        |SELECT 'user', count(*), CAST(sum(cents) AS BIGINT), min(event_id)
+        |FROM c, b WHERE user_id <= u_hi
+        |ORDER BY probe""".stripMargin,
     "meta_table_tags" ->
       "SELECT 'baseline' AS tag, CAST(1 AS BIGINT) AS version",
 
