@@ -188,6 +188,71 @@ object Vectors {
   /** The trained-codebook fetch both IVF variants share: 16 seed vectors,
     * collected once to the driver (the broadcast of a trained codebook on
     * a cluster). */
+  /** VECTOR-AWARE FILE PRUNING (round 14, VERDICT r13 next #3 — the
+    * scan-side twin of [[vecAnnIvfPartitioned]]): the BASE vector table
+    * itself carries a per-file `#centroid=` manifest fact (the
+    * double-accumulated MEAN of each file's vectors, written by the
+    * `centroidFor` option like `#sums`), and an `annProbe=` read ranks
+    * the snapshot's files by cosine(probe, stored centroid) AT PLAN TIME,
+    * planning only the `annNprobe` nearest — no partition column, no
+    * separate index table, no codebook broadcast: the manifest IS the
+    * coarse quantizer. At 100 TB an ANN probe against the raw vector
+    * table reads nprobe/nfiles of the corpus instead of all of it.
+    * Approximate exactly like every IVF probe (nprobe is the recall
+    * knob); files WITHOUT the fact are always planned (absence = no
+    * claim — mixing in legacy files can only add candidates).
+    *
+    * Fixture: embeddings clustered one-file-per-IVF-cell (the validated
+    * 16-seed assignment), written with `centroidFor=ce`. REQUIREd: every
+    * file carries its centroid fact; a probe read with annNprobe=4 plans
+    * EXACTLY 4 of the files while the plain read plans all; top-3
+    * neighbors per probe fully oracled (DuckDB recomputes the per-cell
+    * means and routes identically). */
+  def scanAnnPrune(spark: SparkSession, sf: String): DataFrame = {
+    VectorDot.register(spark)
+    val seeds = loadSeeds(spark, sf)
+    val base = graft.util.Scratch.dir("annprune", sf) + "/t"
+    val dir = graft.util.Scratch.once(base) {
+      embeddings(spark, sf)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          cellExpr(seeds, "embedding").cast("long").as("cell"))
+        .repartition(col("cell"))
+        .write.format("graft-sink").option("path", base)
+        .option("partitionBy", "cell")
+        .option("centroidFor", "ce")
+        .mode("overwrite").save()
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    val nFiles = head.metas.size
+    require(nFiles > 4 && nFiles <= seeds.length,
+      s"fixture: want one file per non-empty cell, got $nFiles of ${seeds.length}")
+    require(head.metas.forall(_.centroids.contains(1)),
+      "every file must carry its #centroid fact")
+    val probes: Array[(Long, Array[Float])] = embeddings(spark, sf)
+      .where(col("vec_id").isin(probeIds.take(3): _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val ctl = spark.read.format("graft-sink").option("path", dir).load()
+      .rdd.getNumPartitions
+    require(ctl == nFiles,
+      s"control (no annProbe) must plan all $nFiles files, planned $ctl")
+    val w = Window.orderBy(col("cos").desc, col("cand_id").asc)
+    probes.map { case (pid, pe) =>
+      val pruned = spark.read.format("graft-sink").option("path", dir)
+        .option("annProbe", pe.map(_.toDouble).mkString(","))
+        .option("annNprobe", "4").option("annCol", "ce").load()
+      val planned = pruned.rdd.getNumPartitions
+      require(planned == 4,
+        s"annProbe must plan exactly nprobe files (all carry centroids): $planned")
+      pruned.where(col("cand_id") =!= pid)
+        .withColumn("cos", dotLit(col("ce"), pe) / sqrt(expr("vector_dot(ce, ce)")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(lit(pid).as("probe_id"), col("rank").cast("int").as("rank"),
+          col("cand_id").as("neighbor_id"))
+    }.reduce(_ unionByName _).orderBy(col("probe_id"), col("rank"))
+  }
+
   private def loadSeeds(spark: SparkSession, sf: String): Array[(Long, Array[Float])] =
     embeddings(spark, sf)
       .where(col("vec_id").isin(seedIds: _*))
@@ -712,6 +777,7 @@ object Vectors {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_knn_cosine" -> vecKnnCosine,
     "vec_ann_ivf" -> vecAnnIvf,
+    "scan_ann_prune" -> scanAnnPrune,
     "vec_ann_ivf_partitioned" -> vecAnnIvfPartitioned,
     "vec_kmeans_iter" -> vecKmeansIter,
     "vec_ivf_recall" -> vecIvfRecall,
@@ -815,6 +881,46 @@ object Vectors {
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     "vec_ann_ivf" -> ivfOracleSql,
+
+    // routes on DuckDB-recomputed per-cell MEANS — the same mean the
+    // writer's #centroid fact stores (file == cell by construction)
+    "scan_ann_prune" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         |  WHERE vec_id IN ${seedIds.mkString("(", ", ", ")")}),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, s.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.embedding, s.cemb) DESC,
+         |               s.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |assign AS (
+         |  SELECT vec_id AS cand_id, embedding AS ce, cid AS cell
+         |  FROM scored WHERE rn = 1),
+         |cellmeans AS (
+         |  SELECT cell, list(m ORDER BY dim) AS cm FROM (
+         |    SELECT cell, dim, avg(x) AS m FROM (
+         |      SELECT cell, generate_subscripts(ce, 1) AS dim, unnest(ce) AS x
+         |      FROM assign)
+         |    GROUP BY cell, dim)
+         |  GROUP BY cell),
+         |pcells AS (
+         |  SELECT probe_id, pe, cell FROM (
+         |    SELECT p.vec_id AS probe_id, p.embedding AS pe, c.cell,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY list_cosine_similarity(p.embedding, c.cm) DESC,
+         |                 c.cell ASC) AS rn
+         |    FROM embeddings p CROSS JOIN cellmeans c
+         |    WHERE p.vec_id IN ${probeIds.take(3).mkString("(", ", ", ")")})
+         |  WHERE rn <= 4)
+         |SELECT probe_id, rank, cand_id AS neighbor_id FROM (
+         |  SELECT pc.probe_id, a.cand_id,
+         |    CAST(row_number() OVER (PARTITION BY pc.probe_id
+         |      ORDER BY list_cosine_similarity(pc.pe, a.ce) DESC,
+         |               a.cand_id ASC) AS INT) AS rank
+         |  FROM assign a JOIN pcells pc ON a.cell = pc.cell
+         |  WHERE a.cand_id <> pc.probe_id)
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     // storage layout must not change a neighbor: same oracle as vec_ann_ivf
     "vec_ann_ivf_partitioned" -> ivfOracleSql,

@@ -949,8 +949,10 @@ private[sources] object GraftMaintenance {
         .flatMap(i => fields.lift(i).map(_.name)).toSeq
     val blooms = cols(_.blooms.keys)
     val ndvs = cols(_.ndvs.keys)
+    val cens = cols(_.centroids.keys)
     val w1 = if (blooms.nonEmpty) w.option("bloomFor", blooms.mkString(",")) else w
-    if (ndvs.nonEmpty) w1.option("ndvFor", ndvs.mkString(",")) else w1
+    val w2 = if (ndvs.nonEmpty) w1.option("ndvFor", ndvs.mkString(",")) else w1
+    if (cens.nonEmpty) w2.option("centroidFor", cens.mkString(",")) else w2
   }
 
   /** Incremental (small-files-only) compaction; see

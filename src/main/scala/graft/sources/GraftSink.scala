@@ -176,7 +176,8 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
     ndvs: Map[Int, String] = Map.empty,
     seq: Int = 0,
     committed: Boolean = false,
-    bounds: Set[Int] = Set.empty) {
+    bounds: Set[Int] = Set.empty,
+    centroids: Map[Int, String] = Map.empty) {
   /** Rows a scan of this file emits (physical minus deleted positions;
     * EQUALITY deletes are unresolved-at-commit and not discounted here —
     * see [[GraftEqDel]]). */
@@ -694,6 +695,8 @@ object GraftManifest {
       .withDefaultValue(Map.empty)
     val ndvs = scala.collection.mutable.Map[String, Map[Int, String]]()
       .withDefaultValue(Map.empty)
+    val cens = scala.collection.mutable.Map[String, Map[Int, String]]()
+      .withDefaultValue(Map.empty)
     val seqs = scala.collection.mutable.Map[String, Int]()
     val eqDels = Seq.newBuilder[GraftEqDel]
     var total = 0L
@@ -792,6 +795,12 @@ object GraftManifest {
           case bad => throw new IllegalStateException(
             s"malformed #ndv line: '${bad.mkString(",")}'")
         }
+      case s if s.startsWith("#centroid=") =>
+        s.stripPrefix("#centroid=").split(",", 3) match {
+          case Array(f, i, b64) => cens(f) = cens(f) + (i.toInt -> b64)
+          case bad => throw new IllegalStateException(
+            s"malformed #centroid line: '${bad.mkString(",")}'")
+        }
       case s if s.startsWith("#") => () // forward-compat: ignore unknown metadata
       case line => line.split(",", 2) match {
         case Array("_total", n) => total = n.toLong
@@ -804,7 +813,8 @@ object GraftManifest {
     val metas = rows.result().map { case (f, n) =>
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f),
         nulls.get(f), dvs.get(f), sums.get(f), blooms(f), ndvs(f),
-        seqs.getOrElse(f, 0), committed = true, bounds = boundCols(f))
+        seqs.getOrElse(f, 0), committed = true, bounds = boundCols(f),
+        centroids = cens(f))
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
       ids, checks.result(), partSpec, sortSpec, format, eqDels.result(),
@@ -957,7 +967,12 @@ object GraftManifest {
         m.blooms.toSeq.sortBy(_._1).map { case (i, b64) =>
           s"#bloom=${m.name},$i,$b64" } ++
         m.ndvs.toSeq.sortBy(_._1).map { case (i, b64) =>
-          s"#ndv=${m.name},$i,$b64" }
+          s"#ndv=${m.name},$i,$b64" } ++
+        // per-file vector centroid (round 14): base64 little-endian
+        // doubles, the mean of the column's non-null vectors — the
+        // scan-side ANN routing fact (`annProbe` file pruning)
+        m.centroids.toSeq.sortBy(_._1).map { case (i, b64) =>
+          s"#centroid=${m.name},$i,$b64" }
     }
     // `_total` rides in the HEADER (parse is position-agnostic): a delta
     // commit then learns the prior total from [[readHeader]] without
@@ -2398,12 +2413,30 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         // granularity knob of the reader's row-group skipping
         private val rowGroupBytes =
           Option(opts.get("rowGroupBytes")).filter(_.nonEmpty).map(_.toInt)
+        // PER-FILE VECTOR CENTROIDS (`centroidFor=col,...`, round 14):
+        // each task records the double-accumulated MEAN of the column's
+        // vectors per file — the manifest fact an `annProbe` read routes
+        // on (nprobe-nearest-centroid file pruning at plan time).
+        // array<float>/array<double> only.
+        private val centroidFor = Option(opts.get("centroidFor"))
+          .filter(_.nonEmpty).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+        centroidFor.foreach { c =>
+          val i = scala.util.Try(info.schema().fieldIndex(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-sink: centroidFor column '$c' not in write schema"))
+          info.schema().fields(i).dataType match {
+            case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+                 ArrayType(org.apache.spark.sql.types.DoubleType, _) => ()
+            case dt => throw new IllegalArgumentException(
+              s"graft-sink: centroidFor supports array<float|double>, got $dt for '$c'")
+          }
+        }
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
             expectedBase, evolve, partCol, opLabel, replaceWhere,
             wapStage = wapStage, bloomFor = bloomFor, ndvFor = ndvFor,
             sortCol = sortCol, format = fileFormat, upsertKey = upsertKeyOpt,
-            rowGroupBytes = rowGroupBytes)
+            rowGroupBytes = rowGroupBytes, centroidFor = centroidFor)
         // AUTO-MAINTENANCE POLICY (round 14, VERDICT r13 next #1 — the
         // streamed-sorted-table papercut): `autoOptimize.smallFiles=N`
         // arms a post-commit hook that counts files THIS writer appends
@@ -2519,8 +2552,33 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
       require(changesFrom.isEmpty && filesSubset.isEmpty && streamOpts.isEmpty,
         "graft-sink: wapId cannot combine with change-feed/files/stream options")
     }
+    // ANN FILE ROUTING (round 14): `annProbe=<f1,f2,...>` +
+    // `annNprobe=<n>` [+ `annCol=<col>`] rank the snapshot's files by
+    // cosine(probe, per-file `#centroid`) and plan only the nprobe
+    // nearest (files without the fact are always kept — conservative).
+    // IVF semantics: approximate by construction, like every nprobe
+    // probe; the fact is CONTENT-derived (the file's own mean), so no
+    // external codebook rides the plan.
+    val annOpt: Option[(String, Array[Double], Int)] =
+      Option(options.get("annProbe")).filter(_.nonEmpty).map { pv =>
+        val probe = pv.split(",").map(_.trim.toDouble)
+        val nprobe = Option(options.get("annNprobe")).map(_.toInt).getOrElse(4)
+        require(nprobe >= 1, "graft-sink: annNprobe must be >= 1")
+        val col = Option(options.get("annCol")).filter(_.nonEmpty).getOrElse {
+          val cands = layout.fields.filter(_.dataType match {
+            case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+                 ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+            case _ => false
+          })
+          require(cands.length == 1,
+            s"graft-sink: annProbe needs annCol when the layout has " +
+              s"${cands.length} vector columns")
+          cands.head.name
+        }
+        (col, probe, nprobe)
+      }
     new GraftSinkScanBuilder(path, pinned, layout, visible, changesFrom,
-      streamOpts, filesSubset, spj, wapId)
+      streamOpts, filesSubset, spj, wapId, annOpt)
   }
 }
 
@@ -2528,7 +2586,8 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
     layout: StructType, visible: StructType, changesFrom: Option[Int] = None,
     streamOpts: Map[String, String] = Map.empty,
     filesSubset: Option[Set[String]] = None, spj: Boolean = false,
-    wapId: Option[String] = None)
+    wapId: Option[String] = None,
+    annOpt: Option[(String, Array[Double], Int)] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -2838,6 +2897,37 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
     aggResult.isDefined
   }
 
+  /** ANN routing (round 14): rank the snapshot's centroid-bearing files
+    * by cosine(probe, stored per-file mean), keep the nprobe nearest
+    * PLUS every file without the fact (absence = no claim, always read).
+    * IVF-approximate by construction — the recall knob is nprobe, the
+    * same contract as vec_ann_ivf's cell routing. */
+  private lazy val annKeepSet: Option[(Set[String], String)] =
+    annOpt.flatMap { case (c, probe, np) =>
+      val i = layout.fieldIndex(c)
+      plannedManifest.map { m =>
+        val scored = m.metas.flatMap { f =>
+          f.centroids.get(i).map { b64 =>
+            val bb = java.nio.ByteBuffer
+              .wrap(java.util.Base64.getDecoder.decode(b64))
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val cen = Array.fill(bb.remaining() / 8)(bb.getDouble)
+            var dot = 0.0; var n2 = 0.0
+            val d = math.min(cen.length, probe.length)
+            var j = 0
+            while (j < d) { dot += cen(j) * probe(j); j += 1 }
+            cen.foreach(x => n2 += x * x)
+            (f.name, if (n2 > 0) dot / math.sqrt(n2) else Double.NegativeInfinity)
+          }
+        }
+        val keep = scored.sortBy { case (n, sc) => (-sc, n) }
+          .take(np).map(_._1).toSet
+        val blind = m.metas.filter(f => !f.centroids.contains(i)).map(_.name)
+        (keep ++ blind,
+          s" ann=[$c nprobe=$np -> ${keep.size}+${blind.size} of ${m.metas.size} files]")
+      }
+    }
+
   override def build(): Scan = aggResult match {
     // binder names deliberately distinct from the LocalScan members: a
     // member named like the captured val would shadow it into an
@@ -2849,13 +2939,15 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
         override def description(): String = aggDesc
       }
     case None =>
-      // a cap proves an answer set against ONE snapshot — pin the scan
-      // to it so execution cannot see a moved head (see plannedManifest)
+      // a cap (or an ANN route) proves its file set against ONE snapshot
+      // — pin the scan to it so execution cannot see a moved head
       val pinned =
-        if (capFiles.isDefined) version.orElse(plannedManifest.map(_.version))
+        if (capFiles.isDefined || annKeepSet.isDefined)
+          version.orElse(plannedManifest.map(_.version))
         else version
       GraftSinkScan(path, pinned, layout, required, pushed.toSeq,
-        changesFrom, streamOpts, filesSubset, spj, wapId, capFiles, capDesc)
+        changesFrom, streamOpts, filesSubset, spj, wapId, capFiles, capDesc,
+        annKeepSet.map(_._1), annKeepSet.map(_._2).getOrElse(""))
   }
 }
 
@@ -2864,7 +2956,8 @@ case class GraftSinkScan(path: String, version: Option[Int],
     changesFrom: Option[Int] = None, streamOpts: Map[String, String] = Map.empty,
     filesSubset: Option[Set[String]] = None, spj: Boolean = false,
     wapId: Option[String] = None, capFiles: Option[Set[String]] = None,
-    capDesc: String = "")
+    capDesc: String = "", annKeep: Option[Set[String]] = None,
+    annDesc: String = "")
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -3033,9 +3126,14 @@ case class GraftSinkScan(path: String, version: Option[Int],
     val skipped = scoped.filter { case (m, _) =>
       filters.forall(GraftSinkScan.mayMatch(m, full, _)) }
     // pushed-LIMIT/TopN file cap (builder-proven complete answer set)
-    capFiles match {
+    val capped = capFiles match {
       case Some(keep) => skipped.filter { case (m, _) => keep(m.name) }
       case None       => skipped
+    }
+    // ANN routing (round 14): nprobe-nearest-centroid files only
+    annKeep match {
+      case Some(keep) => capped.filter { case (m, _) => keep(m.name) }
+      case None       => capped
     }
     }
   }
@@ -3200,7 +3298,7 @@ case class GraftSinkScan(path: String, version: Option[Int],
     val v = version.map(_.toString).getOrElse("head")
     val f = if (filters.isEmpty) "" else s" skip=[${filters.mkString(", ")}]"
     val c = changesFrom.map(n => s" changesFrom=$n").getOrElse("")
-    s"graft-sink $path v=$v cols=${required.fieldNames.mkString(",")}$f$c$capDesc"
+    s"graft-sink $path v=$v cols=${required.fieldNames.mkString(",")}$f$c$capDesc$annDesc"
   }
   /** One partition per SURVIVING manifest-named file: the manifest IS the
     * split plan (scan parallelism = the committed file count, zero listing
@@ -4353,7 +4451,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     sortCol: Option[String] = None,
     format: String = GraftFormat.Default,
     upsertKey: Option[String] = None,
-    rowGroupBytes: Option[Int] = None) extends BatchWrite {
+    rowGroupBytes: Option[Int] = None,
+    centroidFor: Seq[String] = Nil) extends BatchWrite {
   /** Writer factory — resolved at JOB START on the driver, including the
     * head's CHECK constraints: every task writer enforces them per row,
     * so a violating batch aborts before any manifest commit (nothing
@@ -4362,7 +4461,7 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     new GraftSinkWriterFactory(path, schema, tag, partCol,
       GraftManifest.versions(path).lastOption
         .map(v => GraftManifest.headerFacts(path, v).checks).getOrElse(Nil),
-      bloomFor, ndvFor, format, upsertKey, rowGroupBytes)
+      bloomFor, ndvFor, format, upsertKey, rowGroupBytes, centroidFor)
 
   /** Job commit: the atomic point. Only files named by task commits enter
     * the manifest; half-written .tmp files are invisible to readers. */
@@ -4781,12 +4880,14 @@ class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
     partCol: Option[String], checks: Seq[(String, String)] = Nil,
     bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
     format: String = GraftFormat.Default,
-    upsertKey: Option[String] = None, rowGroupBytes: Option[Int] = None)
+    upsertKey: Option[String] = None, rowGroupBytes: Option[Int] = None,
+    centroidFor: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-",
       partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor,
-      format = format, upsertKey = upsertKey, rowGroupBytes = rowGroupBytes)
+      format = format, upsertKey = upsertKey, rowGroupBytes = rowGroupBytes,
+      centroidFor = centroidFor)
 }
 
 /** Named (serializable) streaming factory — an anonymous class here would
@@ -5068,7 +5169,8 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, prefix: String = "", partCol: Option[String] = None,
     checks: Seq[(String, String)] = Nil, bloomFor: Seq[String] = Nil,
     ndvFor: Seq[String] = Nil, format: String = GraftFormat.Default,
-    upsertKey: Option[String] = None, rowGroupBytes: Option[Int] = None)
+    upsertKey: Option[String] = None, rowGroupBytes: Option[Int] = None,
+    centroidFor: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
   new File(path).mkdirs()
   private val fileSuffix = GraftFormat.suffix(format) // validates the name
@@ -5096,6 +5198,16 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     // `ndvFor=*` may sweep in array columns — they have no canonical cell
     // to hash, and an empty sketch would CLAIM ~0 distinct values
     .filter(i => GraftSinkScan.statable(schema.fields(i).dataType)).toArray
+  /** Vector columns to centroid (`centroidFor`): per-file mean of the
+    * non-null array<float|double> cells, accumulated in DOUBLE (round
+    * 14 — the scan-side ANN routing fact). */
+  private val cenIdx: Array[Int] = centroidFor
+    .flatMap(c => scala.util.Try(schema.fieldIndex(c)).toOption)
+    .filter(i => schema.fields(i).dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+           ArrayType(DoubleType, _) => true
+      case _ => false
+    }).toArray
   /** Compiled CHECK constraints. A check whose column this (narrower,
     * pre-evolution) writer does not carry is trivially satisfied — the
     * column lands NULL, and NULL passes a CHECK by SQL semantics. */
@@ -5168,6 +5280,11 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     // fixed 2 KB of HLL registers per sketched column, updated per cell
     val ndvRegs: Map[Int, Array[Byte]] =
       ndvIdx.map(_ -> GraftHll.emptyRegisters()).toMap
+    // centroid accumulation: double sums + non-null count per column;
+    // a dim mismatch or null element POISONS the fact (absent = no claim)
+    val cenSum = scala.collection.mutable.Map[Int, Array[Double]]()
+    val cenCnt = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    val cenBad = scala.collection.mutable.Set[Int]()
   }
   private val parts = scala.collection.mutable.LinkedHashMap[String, Part]()
 
@@ -5291,6 +5408,25 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         }
         p.bloomHashes.get(i).foreach(_ += GraftBloom.hash(cells(i)))
         p.ndvRegs.get(i).foreach(GraftHll.update(_, GraftBloom.hash(cells(i))))
+      } else if (!row.isNullAt(i) && cenIdx.contains(i) && !p.cenBad(i)) {
+        try {
+          val arr = row.getArray(i)
+          val v: Array[Double] = schema.fields(i).dataType match {
+            case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+              arr.toFloatArray.map(_.toDouble)
+            case _ => arr.toDoubleArray
+          }
+          p.cenSum.get(i) match {
+            case None => p.cenSum(i) = v
+            case Some(acc) if acc.length == v.length =>
+              var j = 0
+              while (j < acc.length) { acc(j) += v(j); j += 1 }
+            case Some(_) => throw new IllegalStateException("dim mismatch")
+          }
+          p.cenCnt(i) += 1
+        } catch { case _: Throwable =>
+          p.cenBad += i; p.cenSum.remove(i); ()
+        }
       }
       i += 1
     }
@@ -5347,9 +5483,17 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       // to distinctCount=1; absence reports nothing — the safer fact)
       val ndvs = p.ndvRegs.collect {
         case (i, regs) if p.rows > p.nullCounts(i) => i -> GraftHll.encode(regs) }
+      val cens = p.cenSum.collect {
+        case (i, sums) if !p.cenBad(i) && p.cenCnt(i) > 0 =>
+          val n = p.cenCnt(i)
+          val bb = java.nio.ByteBuffer.allocate(sums.length * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          sums.foreach(x => bb.putDouble(x / n))
+          i -> java.util.Base64.getEncoder.encodeToString(bb.array())
+      }.toMap
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
         partName.map(_ -> value), Some(nulls), None, Some(sums), blooms, ndvs,
-        bounds = boundIdx.result())
+        bounds = boundIdx.result(), centroids = cens)
     }.toSeq
     // upsert mode: this task's key set lands as one equality-delete
     // sidecar (same tmp → rename task-commit discipline as data parts)

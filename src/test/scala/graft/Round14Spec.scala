@@ -223,6 +223,51 @@ class Round14Spec extends AnyFunSuite {
       s"row-group stats must skip prose groups: decoded $decoded of $n for $hits hits")
   }
 
+  test("#centroid facts: roundtrip, OPTIMIZE carry, and blind-file conservatism") {
+    val root = tmp("graft_r14_cen")
+    spark.conf.set("spark.sql.catalog.g14c", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14c.root", root)
+    val dir = s"$root/db/t"
+    import spark.implicits._
+    // two well-separated clusters of 8-dim vectors, one file each
+    def vecs(base: Float, ids: Range) =
+      ids.map(i => (i.toLong, Array.fill(8)(base + i * 0.001f)))
+    vecs(1f, 0 until 50).toDF("id", "v").coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("centroidFor", "v").mode("overwrite").save()
+    vecs(-1f, 50 until 100).toDF("id", "v").coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("centroidFor", "v").mode("append").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.metas.size == 2 && head.metas.forall(_.centroids.contains(1)),
+      s"want 2 centroid-bearing files, got ${head.metas.map(_.centroids.keySet)}")
+    // a probe near +1 must plan ONLY the positive-cluster file
+    def planned(probe: Float): Int =
+      spark.read.format("graft-sink").option("path", dir)
+        .option("annProbe", Array.fill(8)(probe.toDouble).mkString(","))
+        .option("annNprobe", "1").option("annCol", "v").load()
+        .rdd.getNumPartitions
+    assert(planned(1f) == 1 && planned(-1f) == 1,
+      "nprobe=1 must plan exactly the nearest-centroid file")
+    val posRows = spark.read.format("graft-sink").option("path", dir)
+      .option("annProbe", Array.fill(8)("1.0").mkString(","))
+      .option("annNprobe", "1").option("annCol", "v").load()
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(posRows.toSeq == (0L until 50L),
+      s"the planned file must be the positive cluster: ${posRows.take(5).toSeq}...")
+    // a file WITHOUT the fact (appended without centroidFor) is always
+    // planned — absence is no claim
+    (100 until 110).map(i => (i.toLong, Array.fill(8)(0.0f))).toDF("id", "v")
+      .coalesce(1).write.format("graft-sink").option("path", dir)
+      .mode("append").save()
+    assert(planned(1f) == 2, "a centroid-less file must always be planned")
+    // OPTIMIZE carries the index: the rewrite re-records centroids
+    spark.sql("CALL g14c.system.optimize('db.t', 1)").collect()
+    val after = GraftManifest.readVersion(dir, None).get
+    assert(after.metas.forall(_.centroids.contains(1)),
+      "OPTIMIZE must re-record #centroid for its fresh files")
+  }
+
   test("cosinePairs fails fast on short vectors instead of degenerating to all-pairs") {
     graft.functions.VectorDot.register(spark)
     val short = spark.range(0, 10).toDF("id")
