@@ -2431,20 +2431,15 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
               s"graft-sink: centroidFor supports array<float|double>, got $dt for '$c'")
           }
         }
-        override def toBatch: BatchWrite =
-          new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
-            expectedBase, evolve, partCol, opLabel, replaceWhere,
-            wapStage = wapStage, bloomFor = bloomFor, ndvFor = ndvFor,
-            sortCol = sortCol, format = fileFormat, upsertKey = upsertKeyOpt,
-            rowGroupBytes = rowGroupBytes, centroidFor = centroidFor)
         // AUTO-MAINTENANCE POLICY (round 14, VERDICT r13 next #1 — the
         // streamed-sorted-table papercut): `autoOptimize.smallFiles=N`
         // arms a post-commit hook that counts files THIS writer appends
-        // and, at >= N since the last sweep, runs the procedure-grade
-        // incremental binpack (same kernel as `CALL optimize` with
-        // max_file_bytes) — under a declared `#sortspec`/zorder layout
-        // that re-sorts the small-file tail back onto the layout, so
-        // pruning repairs itself without a hand-issued OPTIMIZE.
+        // (streaming epochs AND plain batch appends) and, at >= N since
+        // the last sweep, runs the procedure-grade incremental binpack
+        // (same kernel as `CALL optimize` with max_file_bytes) — under a
+        // declared `#sortspec`/zorder layout that re-sorts the
+        // small-file tail back onto the layout, so pruning repairs
+        // itself without a hand-issued OPTIMIZE.
         private val autoOpt = Option(opts.get("autoOptimize.smallFiles"))
           .filter(_.nonEmpty).map { n =>
             GraftAutoOptimize(n.toInt,
@@ -2453,6 +2448,13 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
               Option(opts.get("autoOptimize.targetFiles")).filter(_.nonEmpty)
                 .map(_.toInt).getOrElse(1))
           }
+        override def toBatch: BatchWrite =
+          new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
+            expectedBase, evolve, partCol, opLabel, replaceWhere,
+            wapStage = wapStage, bloomFor = bloomFor, ndvFor = ndvFor,
+            sortCol = sortCol, format = fileFormat, upsertKey = upsertKeyOpt,
+            rowGroupBytes = rowGroupBytes, centroidFor = centroidFor,
+            autoOpt = autoOpt)
         override def toStreaming: StreamingWrite =
           // partCol includes the declared-spec default: a streaming
           // ingest into a PARTITIONED BY table conforms like any batch
@@ -4452,7 +4454,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     format: String = GraftFormat.Default,
     upsertKey: Option[String] = None,
     rowGroupBytes: Option[Int] = None,
-    centroidFor: Seq[String] = Nil) extends BatchWrite {
+    centroidFor: Seq[String] = Nil,
+    autoOpt: Option[GraftAutoOptimize] = None) extends BatchWrite {
   /** Writer factory — resolved at JOB START on the driver, including the
     * head's CHECK constraints: every task writer enforces them per row,
     * so a violating batch aborts before any manifest commit (nothing
@@ -4493,6 +4496,15 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
             else None,
           formatSet = Some(format),
           newEqDels = eqDels.toSeq)
+        // BATCH-side auto-maintenance (round 14): plain APPENDs count
+        // toward the same per-path sweep trigger the streaming epochs
+        // use — a table fed by both paths accumulates toward one sweep.
+        // Truncating overwrites define a fresh layout (nothing to fold),
+        // and labeled maintenance rewrites (OPTIMIZE/RESTORE run through
+        // this writer with an `operation` opLabel) must never recurse.
+        if (!truncate && opLabel.isEmpty)
+          autoOpt.foreach(p => GraftMaintenance.autoSweep(path,
+            metas.length, p.smallFiles, p.maxFileBytes, p.targetFiles))
         ()
     }
   }
@@ -4960,15 +4972,6 @@ object GraftSinkStreamingWrite {
   private[sources] val legacyIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Seq[Int], Seq[Int])]()
 
-  /** Files appended per table path since its last auto-optimize sweep —
-    * the O(1)-per-epoch trigger state (counting the writer's OWN appends
-    * instead of re-statting the table's file sizes every epoch, which
-    * would reintroduce the O(files)-per-micro-batch tax ADVICE r11 #2
-    * retired). Per-JVM: a restart re-accumulates from zero, which only
-    * DELAYS the next sweep — binpack is idempotent maintenance, so a
-    * late sweep folds the same tail. */
-  private[sources] val appendedSinceSweep =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 }
 
 class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
@@ -5061,37 +5064,15 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
     ()
   }
 
-  /** Post-commit auto-maintenance (round 14, VERDICT r13 next #1): once
-    * this writer has appended `smallFiles` files since the last sweep,
-    * run the procedure-grade incremental binpack SYNCHRONOUSLY on the
-    * micro-batch thread (the Delta auto-compaction shape: the epoch that
-    * trips the threshold pays the fold, every other epoch pays one
-    * counter add). Under a declared `#sortspec`/zorder layout binpack
-    * range-re-sorts the victims and absorbs overlapping retained files,
-    * so the table's pruning envelopes repair themselves without a
-    * hand-issued `CALL optimize` — the round-13 measured papercut.
-    * NEVER fails the stream: a lost race against a concurrent writer (or
-    * any other failure) logs and leaves the counter armed, so the next
-    * epoch retries against the new head. */
+  /** Post-commit auto-maintenance — the shared [[GraftMaintenance
+    * .autoSweep]] hook (round 14, VERDICT r13 next #1): under a declared
+    * `#sortspec`/zorder layout the sweep's binpack range-re-sorts the
+    * victims and absorbs overlapping retained files, so a streamed
+    * sorted table's pruning envelopes repair themselves without a
+    * hand-issued `CALL optimize` — the round-13 measured papercut. */
   private def maybeAutoOptimize(filesAdded: Int): Unit = autoOpt.foreach { p =>
-    val n = GraftSinkStreamingWrite.appendedSinceSweep.merge(
-      path, Integer.valueOf(filesAdded), (a, b) => Integer.valueOf(a + b))
-    if (n >= p.smallFiles) {
-      try {
-        val spark = org.apache.spark.sql.SparkSession.getActiveSession
-          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-          .getOrElse(throw new IllegalStateException(
-            "no active SparkSession on the micro-batch thread"))
-        val head = GraftManifest.readVersion(path, None).getOrElse(
-          throw new IllegalStateException(s"no committed version at $path"))
-        GraftMaintenance.binpack(spark, path, head,
-          p.targetFiles, p.maxFileBytes, op = "AUTO-OPTIMIZE")
-        GraftSinkStreamingWrite.appendedSinceSweep.put(path, 0)
-      } catch { case e: Throwable =>
-        System.err.println(
-          s"[graft-sink] auto-optimize at $path deferred: ${e.getMessage}")
-      }
-    }
+    GraftMaintenance.autoSweep(path, filesAdded,
+      p.smallFiles, p.maxFileBytes, p.targetFiles)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -108,6 +108,88 @@ class Round14Spec extends AnyFunSuite {
     assert(planned <= 2, s"repaired layout must prune: planned $planned of 3")
   }
 
+  test("batch appends accumulate toward the same auto-optimize sweep") {
+    val dir = tmp("graft_r14_batchauto")
+    seed(dir, 0 until 40)
+    def append(e: Int): Unit =
+      spark.createDataFrame((0 until 40).map(i =>
+          Ev(i * 10L + e, s"t${i % 3}", e.toLong)))
+        .coalesce(1)
+        .write.format("graft-sink").option("path", dir)
+        .option("autoOptimize.smallFiles", "2")
+        .option("autoOptimize.maxFileBytes", (1L << 30).toString)
+        .option("autoOptimize.targetFiles", "2")
+        .mode("append").save()
+    (1 to 3).foreach(append)
+    val ops = GraftManifest.versions(dir)
+      .flatMap(v => GraftManifest.headerFacts(dir, v).op)
+    assert(ops.count(_ == "AUTO-OPTIMIZE") == 1 && ops.last == "APPEND",
+      s"batch hook must sweep once after the 2nd append and leave the tail: $ops")
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.sortSpec.contains("event_id") && head.metas.size == 3,
+      s"2 re-sorted files + tail, sort preserved: ${head.metas.size} ${head.sortSpec}")
+    assert(spark.read.format("graft-sink").option("path", dir).load().count()
+      == 4 * 40L)
+  }
+
+  test("the sweep re-curves a declared zorder table instead of hash-scattering it") {
+    val root = tmp("graft_r14_zauto")
+    spark.conf.set("spark.sql.catalog.g14za", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14za.root", root)
+    val dir = s"$root/db/t"
+    def frame(off: Long) = spark.range(0, 1000).toDF("id")
+      .select((col("id") * 10 + off).as("a"),
+        pmod(col("id") * 2654435761L + off, lit(1000003L)).as("b"))
+    frame(0).repartition(4)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    spark.sql("CALL g14za.system.optimize('db.t', 4, 'a,b')").collect()
+    assert(GraftManifest.readVersion(dir, None).get.sortSpec.contains("zorder(a,b)"))
+    // two policy-armed appends trip the sweep; the fold must re-curve
+    (1 to 2).foreach { e =>
+      frame(e).coalesce(1)
+        .write.format("graft-sink").option("path", dir)
+        .option("autoOptimize.smallFiles", "2")
+        .option("autoOptimize.maxFileBytes", (1L << 30).toString)
+        .option("autoOptimize.targetFiles", "4")
+        .mode("append").save()
+    }
+    val ops = GraftManifest.versions(dir)
+      .flatMap(v => GraftManifest.headerFacts(dir, v).op)
+    assert(ops.contains("AUTO-OPTIMIZE"), s"sweep must have fired: $ops")
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.sortSpec.contains("zorder(a,b)"),
+      s"the sweep must preserve the curve declaration: ${head.sortSpec}")
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    assert(t.count() == 3000)
+    // the re-curved layout prunes a bottom-decile probe on either dim
+    val pa = t.where(col("a") <= 1000).rdd.getNumPartitions
+    assert(pa < head.metas.size,
+      s"re-curved files must prune: planned $pa of ${head.metas.size}")
+  }
+
+  test("annProbe composes with pushed filters (routing AND stats skipping)") {
+    val dir = tmp("graft_r14_annfilter")
+    import spark.implicits._
+    def vecs(base: Float, ids: Range) =
+      ids.map(i => (i.toLong, Array.fill(8)(base + i * 0.001f)))
+    vecs(1f, 0 until 50).toDF("id", "v").coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("centroidFor", "v").mode("overwrite").save()
+    vecs(-1f, 50 until 100).toDF("id", "v").coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("centroidFor", "v").mode("append").save()
+    def read() = spark.read.format("graft-sink").option("path", dir)
+      .option("annProbe", Array.fill(8)("1.0").mkString(","))
+      .option("annNprobe", "2").option("annCol", "v").load()
+    assert(read().rdd.getNumPartitions == 2, "nprobe=2 plans both files")
+    // the metadata predicate prunes the probed set further: ids >= 50
+    // rule out the positive-cluster file by its stats envelope
+    val both = read().where(col("id") >= 50L)
+    assert(both.rdd.getNumPartitions == 1,
+      "stats skipping must intersect the ANN route")
+    assert(both.count() == 50)
+  }
+
   test("zorder_by on a non-numeric column is refused (ADVICE r13)") {
     val root = tmp("graft_r14_zstr")
     spark.conf.set("spark.sql.catalog.g14z", classOf[graft.sources.GraftCatalog].getName)
