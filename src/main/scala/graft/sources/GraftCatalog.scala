@@ -1509,7 +1509,7 @@ private[sources] class GraftFilesProcedure(cat: GraftCatalog)
       "file STRING, partition_col STRING, partition_value STRING, " +
         "rows BIGINT, live_rows BIGINT, dv_rows BIGINT, n_cols INT, " +
         "bytes BIGINT, seq BIGINT, n_stats INT, n_bounds INT, " +
-        "n_blooms INT, n_ndvs INT")
+        "n_blooms INT, n_ndvs INT, n_centroids INT")
     val listed = m.metas.sortBy(_.name).map { f =>
       val sz = scala.util.Try(java.nio.file.Files.size(
         java.nio.file.Paths.get(dir, f.name))).getOrElse(-1L)
@@ -1519,7 +1519,7 @@ private[sources] class GraftFilesProcedure(cat: GraftCatalog)
         f.partition.map(p => UTF8String.fromString(p._2)).orNull,
         f.rows, f.liveRows, f.dv.map(_._2).getOrElse(0L), f.ncols,
         sz, f.seq.toLong, f.stats.size - f.bounds.size, f.bounds.size,
-        f.blooms.size, f.ndvs.size))
+        f.blooms.size, f.ndvs.size, f.centroids.size))
     }.toArray
     val scan: Scan = new LocalScan {
       override def rows(): Array[InternalRow] = listed

@@ -108,6 +108,49 @@ class Round14Spec extends AnyFunSuite {
     assert(planned <= 2, s"repaired layout must prune: planned $planned of 3")
   }
 
+  test("the sweep folds a partitioned streaming long tail to one file per value") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("graft_r14_partauto")
+    // seed: declared partition layout, one file per value
+    spark.createDataFrame(Seq((0L, "a", 1L), (1L, "b", 1L)))
+      .toDF("event_id", "event_type", "cents")
+      .repartition(col("event_type"))
+      .write.format("graft-sink").option("path", dir)
+      .option("partitionBy", "event_type").mode("overwrite").save()
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().coalesce(1)
+      .writeStream.format("graft-sink")
+      .option("path", dir).option("checkpointLocation", tmp("graft_r14_partautochk"))
+      .option("commitVersions", "true")
+      // a PATH-based table has no catalog-declared #partspec — the
+      // stream states its layout like the batch seed did
+      .option("partitionBy", "event_type")
+      .option("autoOptimize.smallFiles", "4")
+      .option("autoOptimize.maxFileBytes", (1L << 30).toString)
+      .trigger(Trigger.ProcessingTime(50)).start()
+    // each epoch carries BOTH partition values -> 2 small files/epoch
+    (1 to 3).foreach { e =>
+      ms.addData((0 until 20).map(i =>
+        Ev(e * 100L + i, if (i % 2 == 0) "a" else "b", e.toLong)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val ops = GraftManifest.versions(dir)
+      .flatMap(v => GraftManifest.headerFacts(dir, v).op)
+    assert(ops.count(_ == "AUTO-OPTIMIZE") == 1,
+      s"4 appended files at epoch 2 must trip one sweep: $ops")
+    val head = GraftManifest.readVersion(dir, None).get
+    // sweep folds the per-value small-file piles to ONE file per value
+    // (the partitioned-binpack contract); epoch 3 leaves a 2-file tail
+    assert(head.metas.size == 4,
+      s"want 1/value + 2 tail = 4 files, got ${head.metas.size}")
+    assert(head.metas.forall(_.partition.exists(_._1 == "event_type")),
+      "every post-sweep file must keep its partition value")
+    assert(spark.read.format("graft-sink").option("path", dir).load().count()
+      == 2L + 3 * 20L)
+  }
+
   test("batch appends accumulate toward the same auto-optimize sweep") {
     val dir = tmp("graft_r14_batchauto")
     seed(dir, 0 until 40)
