@@ -4391,9 +4391,43 @@ object Scale {
       .orderBy(col("probe"))
   }
 
+  /** TABLE PROPERTIES (round 14): durable free-form table metadata as
+    * `#prop=` manifest header facts — CREATE TABLE TBLPROPERTIES sets
+    * them, ALTER TABLE SET/UNSET TBLPROPERTIES commits a metadata-only
+    * version replacing the set, every data commit carries them forward
+    * (checks/ids rule), SHOW TBLPROPERTIES reads them O(header). This is
+    * the DURABLE half of the auto-maintenance policy surface (a
+    * property-carrying table sweeps under ANY writer — pinned in
+    * Round14Spec) and the ordinary Delta/Iceberg TBLPROPERTIES role.
+    * REQUIREd: the full lifecycle (create+set+unset+insert) lands the
+    * expected set on the head AFTER a data commit; output is the shown
+    * properties, oracled as constants. */
+  def metaTableProps(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "props_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      spark.sql(s"""CREATE TABLE gsql.db.$tbl (k BIGINT, v STRING)
+        TBLPROPERTIES ('owner.team'='curation', 'quality.tier'='gold')""")
+      spark.sql(s"""ALTER TABLE gsql.db.$tbl SET TBLPROPERTIES
+        ('quality.tier'='platinum', 'retention.days'='30')""")
+      spark.sql(s"ALTER TABLE gsql.db.$tbl UNSET TBLPROPERTIES ('owner.team')")
+      spark.sql(s"INSERT INTO gsql.db.$tbl VALUES (1, 'a'), (2, 'b')")
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    require(head.props ==
+        Map("quality.tier" -> "platinum", "retention.days" -> "30"),
+      s"properties must survive set/unset/insert: ${head.props}")
+    require(head.op.contains("APPEND"),
+      s"the head must be the data commit (carry, not re-set): ${head.op}")
+    spark.sql(s"SHOW TBLPROPERTIES gsql.db.$tbl")
+      .select(col("key"), col("value")).orderBy(col("key"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sorted_maintain" -> streamSortedMaintain,
     "sink_agg_pushdown_dec" -> sinkAggPushdownDec,
+    "meta_table_props" -> metaTableProps,
     "scan_zorder_3d" -> scanZorder3d,
     "sink_tag_travel" -> sinkTagTravel,
     "meta_table_tags" -> metaTableTags,
@@ -4516,6 +4550,11 @@ object Scale {
         |  max(o_orderkey) AS max_key,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders""".stripMargin,
+
+    "meta_table_props" ->
+      """SELECT * FROM (VALUES ('quality.tier', 'platinum'),
+        |  ('retention.days', '30')) t(key, value)
+        |ORDER BY key""".stripMargin,
 
     "scan_zorder_3d" ->
       """WITH b AS (

@@ -51,6 +51,33 @@ private[sources] object GraftFs {
   }
 }
 
+object GraftCatalog {
+  /** Spark-injected reserved keys a CREATE TABLE carries that are NOT
+    * user table properties (they describe the catalog entry, not the
+    * table): never persisted into the `#prop=` set. */
+  private val ReservedProps = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+    TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+    "transient_lastDdlTime")
+
+  private[sources] def validProp(k: String, v: String): Unit = {
+    require(k != null && k.matches("[A-Za-z0-9._-]+"),
+      s"graft catalog: property key '$k' must be [A-Za-z0-9._-]+ " +
+        "(it lands verbatim in a manifest header line)")
+    require(v != null && v.indexOf('\n') < 0 && v.indexOf('\r') < 0,
+      s"graft catalog: property value for '$k' may not contain a newline")
+  }
+
+  private[sources] def userProps(
+      properties: JMap[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val m = properties.asScala.toMap -- ReservedProps
+    m.foreach { case (k, v) => validProp(k, v) }
+    m
+  }
+}
+
 class GraftCatalog extends TableCatalog with ProcedureCatalog
     with StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
@@ -166,7 +193,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // silently appending an empty v2 under the winner's schema.
     try GraftManifest.commitMetas(dirOf(ident), Seq.empty, schema.toDDL,
       truncate = false, expectedBase = Some(0), op = Some("CREATE TABLE"),
-      partSpecSet = Some(spec))
+      partSpecSet = Some(spec),
+      propsSet = Some(GraftCatalog.userProps(properties)))
     catch {
       case _: java.util.ConcurrentModificationException =>
         throw new TableAlreadyExistsException(ident)
@@ -190,6 +218,30 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     changes match {
       case Seq(r: TableChange.RenameColumn) => return renameColumn(ident, dir, r)
       case Seq(d: TableChange.DeleteColumn) => return dropColumn(ident, dir, d)
+      // SET/UNSET TBLPROPERTIES (round 14): a metadata-only commit
+      // replacing the `#prop=` set — the durable half of the
+      // auto-maintenance policy surface (a property-carrying table
+      // sweeps under ANY writer, options or not), and ordinary
+      // table-metadata bookkeeping (Delta/Iceberg TBLPROPERTIES role)
+      case cs if cs.nonEmpty && cs.forall(c =>
+          c.isInstanceOf[TableChange.SetProperty] ||
+            c.isInstanceOf[TableChange.RemoveProperty]) =>
+        val head = GraftManifest.headerFacts(dir, vs.max)
+        val next = cs.foldLeft(head.props) {
+          case (m, sp: TableChange.SetProperty) =>
+            GraftCatalog.validProp(sp.property(), sp.value())
+            m + (sp.property() -> sp.value())
+          case (m, rp: TableChange.RemoveProperty) => m - rp.property()
+          case (m, _) => m
+        }
+        GraftManifest.commitMetas(dir, Seq.empty,
+          head.schemaDdl.getOrElse(throw new IllegalStateException(
+            s"graft catalog: $ident carries no schema")),
+          truncate = false, op = Some("SET TBLPROPERTIES"),
+          propsSet = Some(next))
+        val schema = GraftManifest.headerSchema(dir, vs.max).getOrElse(
+          throw new IllegalStateException(s"graft catalog: $ident carries no schema"))
+        return new GraftSinkTable(dir, schema, None)
       case _ => ()
     }
     val prior = GraftManifest.headerSchema(dir, vs.max).getOrElse(

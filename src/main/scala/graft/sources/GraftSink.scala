@@ -255,7 +255,8 @@ case class GraftManifest(version: Int, metas: Seq[GraftFileMeta],
     ids: Option[Seq[Int]] = None, checks: Seq[(String, String)] = Nil,
     partSpec: Option[String] = None, sortSpec: Option[String] = None,
     format: Option[String] = None, eqDels: Seq[GraftEqDel] = Nil,
-    idxCols: Option[(Seq[Int], Seq[Int])] = None) {
+    idxCols: Option[(Seq[Int], Seq[Int])] = None,
+    props: Map[String, String] = Map.empty) {
   /** Legacy (name, rows) view — the shape the v1 protocol exposed. */
   def files: Seq[(String, Long)] = metas.map(m => m.name -> m.rows)
 }
@@ -679,6 +680,7 @@ object GraftManifest {
     var sortSpec: Option[String] = None
     var format: Option[String] = None
     var idxCols: Option[(Seq[Int], Seq[Int])] = None
+    val props = scala.collection.mutable.Map[String, String]()
     val checks = Seq.newBuilder[(String, String)]
     val txns = scala.collection.mutable.Map[String, Long]()
     val rows = Seq.newBuilder[(String, Long)]
@@ -712,6 +714,12 @@ object GraftManifest {
         partSpec = Some(s.stripPrefix("#partspec="))
       case s if s.startsWith("#sortspec=") =>
         sortSpec = Some(s.stripPrefix("#sortspec="))
+      case s if s.startsWith("#prop=") =>
+        s.stripPrefix("#prop=").split("=", 2) match {
+          case Array(k, v) => props(k) = unescStat(v)
+          case bad => throw new IllegalStateException(
+            s"malformed #prop line: '${bad.mkString("=")}'")
+        }
       case s if s.startsWith("#format=") =>
         format = Some(s.stripPrefix("#format="))
       case s if s.startsWith("#idx=") =>
@@ -818,7 +826,7 @@ object GraftManifest {
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
       ids, checks.result(), partSpec, sortSpec, format, eqDels.result(),
-      idxCols)
+      idxCols, props.toMap)
   }
 
   /** The RAW on-disk manifest for one version (a delta stays a delta). */
@@ -876,7 +884,9 @@ object GraftManifest {
           // accumulated, pruned set — same rule as ids/checks)
           eqDels = m.eqDels,
           // #idx rides the TOP manifest too (each delta re-emits the union)
-          idxCols = m.idxCols)
+          idxCols = m.idxCols,
+          // #prop rides the TOP manifest (every commit re-emits the set)
+          props = m.props)
     }
   }
 
@@ -949,7 +959,8 @@ object GraftManifest {
       sortSpec: Option[String] = None,
       format: Option[String] = None,
       eqDels: Seq[GraftEqDel] = Nil,
-      idxCols: Option[(Seq[Int], Seq[Int])] = None): String = {
+      idxCols: Option[(Seq[Int], Seq[Int])] = None,
+      props: Map[String, String] = Map.empty): String = {
     val meta = bodyMetas.flatMap { m =>
       val p = m.partition.map { case (c, v) => s"$c,$v" }.getOrElse(",")
       (s"#meta=${m.name},${m.ncols},$p" +:
@@ -984,6 +995,13 @@ object GraftManifest {
       partSpec.map(s => s"#partspec=$s").toSeq ++
       sortSpec.map(s => s"#sortspec=$s").toSeq ++
       format.map(f => s"#format=$f").toSeq ++
+      // TABLE PROPERTIES (round 14): `#prop=<key>=<escaped value>` —
+      // free-form table metadata riding every commit like checks/ids
+      // (each commit re-emits the full set; keys are validated
+      // [A-Za-z0-9._-]+ at set time, so the first '=' splits). Sorted
+      // for byte-stable manifests.
+      props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"#prop=$k=${escStat(v)}" } ++
       // the table's INDEXED COLUMN SETS (bloom/NDV layout positions) as a
       // HEADER fact: what lets a per-epoch streaming commit learn them in
       // O(header) instead of folding the chain's per-file facts (ADVICE
@@ -1019,6 +1037,7 @@ object GraftManifest {
       var sortSpec: Option[String] = None
       var format: Option[String] = None
       var idxCols: Option[(Seq[Int], Seq[Int])] = None
+      val props = scala.collection.mutable.Map[String, String]()
       val eqDels = Seq.newBuilder[GraftEqDel]
       val checks = Seq.newBuilder[(String, String)]
       val txns = scala.collection.mutable.Map[String, Long]()
@@ -1036,6 +1055,13 @@ object GraftManifest {
           partSpec = Some(line.stripPrefix("#partspec="))
         else if (line.startsWith("#sortspec="))
           sortSpec = Some(line.stripPrefix("#sortspec="))
+        else if (line.startsWith("#prop=")) {
+          line.stripPrefix("#prop=").split("=", 2) match {
+            case Array(k, v) => props(k) = unescStat(v)
+            case bad => throw new IllegalStateException(
+              s"malformed #prop line: '${bad.mkString("=")}'")
+          }
+        }
         else if (line.startsWith("#format="))
           format = Some(line.stripPrefix("#format="))
         else if (line.startsWith("#idx="))
@@ -1066,7 +1092,7 @@ object GraftManifest {
       }
       if (total >= 0) GraftManifest(v, Seq.empty, total, ddl, ts, base, op,
         txns.toMap, nFiles, ids, checks.result(), partSpec, sortSpec, format,
-        eqDels.result(), idxCols)
+        eqDels.result(), idxCols, props.toMap)
       else readRaw(path, v)
     } finally in.close()
   }
@@ -1160,6 +1186,7 @@ object GraftManifest {
       partSpecSet: Option[Option[String]] = None,
       sortSpecSet: Option[Option[String]] = None,
       formatSet: Option[String] = None,
+      propsSet: Option[Map[String, String]] = None,
       newEqDels: Seq[(String, String, Long)] = Nil,
       eqDelsSet: Option[Seq[GraftEqDel]] = None,
       minVersion: Int = 1,
@@ -1281,6 +1308,12 @@ object GraftManifest {
       // writers record it (formatSet); internal commits (DML vectors,
       // metadata deletes, WAP publish, vacuum folds) inherit the header's
       val format = formatSet.orElse(head.flatMap(_.format))
+      // TABLE PROPERTIES ride every commit like checks (the Delta/Iceberg
+      // table-metadata contract): set/unset replaces the whole map
+      // (propsSet); a shape REPLACEMENT starts property-free
+      val props = propsSet.getOrElse(
+        if (shapeReplaced) Map.empty[String, String]
+        else head.map(_.props).getOrElse(Map.empty[String, String]))
       checks.foreach { case (n, e) =>
         require(unionNames.contains(GraftCheck.columnOf(e)),
           s"graft-sink: schema '$unionDdl' lacks column '${GraftCheck.columnOf(e)}' " +
@@ -1359,7 +1392,7 @@ object GraftManifest {
           idxCols = head.flatMap(_.idxCols).map { case (b, n) =>
             val (jb, jn) = idxOf(jobStamped)
             ((b ++ jb).distinct.sorted, (n ++ jn).distinct.sorted)
-          })
+          }, props = props)
         else {
           require(all.map(_.liveRows).sum == newTotal,
             s"graft-sink: checkpoint fold at $path disagrees with the running total")
@@ -1373,7 +1406,7 @@ object GraftManifest {
           render(unionDdl, commitTs, None, all, newTotal, op, accTxns,
             snapshotFiles = Some(all.size), ids = Some(ids), checks = checks,
             partSpec = partSpec, sortSpec = sortSpec, format = format,
-            eqDels = eqPruned, idxCols = Some(idxOf(all)))
+            eqDels = eqPruned, idxCols = Some(idxOf(all)), props = props)
         }
       // a MULTI-TABLE-TXN claim lands invisible behind its marker line
       val claimBody = pendingMarker
@@ -1670,7 +1703,7 @@ object GraftManifest {
           None, m.metas, m.total, m.op, m.txns, Some(m.metas.size),
           ids = m.ids, checks = m.checks, partSpec = m.partSpec,
           sortSpec = m.sortSpec, format = m.format, eqDels = m.eqDels,
-          idxCols = m.idxCols)
+          idxCols = m.idxCols, props = m.props)
         val tmp = Files.createTempFile(Paths.get(path), s"$VPrefix$v", ".tmp")
         try {
           Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -2115,6 +2148,18 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
+  /** TABLE PROPERTIES (round 14): the head's `#prop=` facts, surfaced so
+    * SHOW TBLPROPERTIES / DESCRIBE EXTENDED and catalog tooling read the
+    * durable table metadata (O(header)). */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    versionAsOf.orElse(GraftManifest.versions(path).lastOption)
+      .map(v => GraftManifest.headerFacts(path, v).props)
+      .getOrElse(Map.empty)
+      .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   /** `_file` + `_pos` ([[SupportsMetadataColumns]]): the physical row
     * identity. Non-nullable by contract — the merge-on-read write path
     * uses them as the ROW ID ([[SupportsDelta.rowId]]), and Spark
@@ -2439,15 +2484,31 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         // (same kernel as `CALL optimize` with max_file_bytes) — under a
         // declared `#sortspec`/zorder layout that re-sorts the
         // small-file tail back onto the layout, so pruning repairs
-        // itself without a hand-issued OPTIMIZE.
-        private val autoOpt = Option(opts.get("autoOptimize.smallFiles"))
-          .filter(_.nonEmpty).map { n =>
+        // itself without a hand-issued OPTIMIZE. The policy surface is
+        // writer options FIRST, then the table's durable `#prop=`
+        // properties (ALTER TABLE SET TBLPROPERTIES — a property-carrying
+        // table maintains itself under ANY writer), field by field.
+        private lazy val tableProps: Map[String, String] =
+          GraftManifest.versions(path).lastOption
+            .map(v => GraftManifest.headerFacts(path, v).props)
+            .getOrElse(Map.empty)
+        private def policyField(k: String): Option[String] =
+          Option(opts.get(k)).filter(_.nonEmpty).orElse(tableProps.get(k))
+        private def policyOf: Option[GraftAutoOptimize] =
+          policyField("autoOptimize.smallFiles").map { n =>
             GraftAutoOptimize(n.toInt,
-              Option(opts.get("autoOptimize.maxFileBytes")).filter(_.nonEmpty)
+              policyField("autoOptimize.maxFileBytes")
                 .map(_.toLong).getOrElse(32L << 20),
-              Option(opts.get("autoOptimize.targetFiles")).filter(_.nonEmpty)
+              policyField("autoOptimize.targetFiles")
                 .map(_.toInt).getOrElse(1))
           }
+        private val autoOpt = policyOf
+        // option-sourced policy only — a table PROPERTY must not abort a
+        // legacy (non-versioned) stream that never opted in; the explicit
+        // option keeps its loud commitVersions requirement
+        private val autoOptExplicit =
+          if (Option(opts.get("autoOptimize.smallFiles")).exists(_.nonEmpty))
+            autoOpt else None
         override def toBatch: BatchWrite =
           new GraftSinkBatchWrite(path, info.schema(), truncating, tag,
             expectedBase, evolve, partCol, opLabel, replaceWhere,
@@ -2455,13 +2516,15 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
             sortCol = sortCol, format = fileFormat, upsertKey = upsertKeyOpt,
             rowGroupBytes = rowGroupBytes, centroidFor = centroidFor,
             autoOpt = autoOpt)
-        override def toStreaming: StreamingWrite =
+        override def toStreaming: StreamingWrite = {
+          val versioned = Option(opts.get("commitVersions")).exists(_.toBoolean)
           // partCol includes the declared-spec default: a streaming
           // ingest into a PARTITIONED BY table conforms like any batch
           new GraftSinkStreamingWrite(path, info.schema(), tag,
-            Option(opts.get("commitVersions")).exists(_.toBoolean), partCol,
+            versioned, partCol,
             format = fileFormat, upsertKey = upsertKeyOpt,
-            autoOpt = autoOpt)
+            autoOpt = if (versioned) autoOpt else autoOptExplicit)
+        }
       }
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

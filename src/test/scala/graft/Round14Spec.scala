@@ -151,6 +151,77 @@ class Round14Spec extends AnyFunSuite {
       == 2L + 3 * 20L)
   }
 
+  test("a TBLPROPERTIES policy sweeps under a plain writer with no options") {
+    val root = tmp("graft_r14_propauto")
+    spark.conf.set("spark.sql.catalog.g14p", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14p.root", root)
+    val dir = s"$root/db/t"
+    seed(dir, 0 until 40) // declared-sort table (path == catalog dir)
+    spark.sql("ALTER TABLE g14p.db.t SET TBLPROPERTIES " +
+      "('autoOptimize.smallFiles'='2', 'autoOptimize.targetFiles'='2', " +
+      s"'autoOptimize.maxFileBytes'='${1L << 30}')")
+    // three PLAIN appends — no writer options anywhere
+    (1 to 3).foreach { e =>
+      spark.createDataFrame((0 until 40).map(i =>
+          Ev(i * 10L + e, s"t${i % 3}", e.toLong)))
+        .coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+    }
+    val ops = GraftManifest.versions(dir)
+      .flatMap(v => GraftManifest.headerFacts(dir, v).op)
+    assert(ops.count(_ == "AUTO-OPTIMIZE") == 1,
+      s"the durable policy must trigger the sweep: $ops")
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.sortSpec.contains("event_id") && head.metas.size == 3,
+      s"2 re-sorted + tail, sort preserved: ${head.metas.size} ${head.sortSpec}")
+    // the property itself survives the sweep's OPTIMIZE commit
+    assert(head.props.get("autoOptimize.smallFiles").contains("2"),
+      s"properties must ride maintenance commits: ${head.props}")
+  }
+
+  test("a property policy never aborts a legacy (non-versioned) stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("graft_r14_proplegacy")
+    spark.conf.set("spark.sql.catalog.g14l", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14l.root", root)
+    val dir = s"$root/db/t"
+    spark.sql("CREATE TABLE g14l.db.t (event_id BIGINT, event_type STRING, " +
+      "cents BIGINT) TBLPROPERTIES ('autoOptimize.smallFiles'='1')")
+    val ms = MemoryStream[Ev]
+    ms.addData(Ev(1L, "a", 1L))
+    // legacy epoch protocol (no commitVersions): the PROPERTY policy is
+    // ignored rather than tripping the explicit-option require
+    val q = ms.toDF().writeStream.format("graft-sink")
+      .option("path", dir).option("format", "csv")
+      .option("checkpointLocation", tmp("graft_r14_proplegacychk"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination() // must not throw
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_manifest_epoch_")))
+  }
+
+  test("property values with escapes roundtrip; REPLACE TABLE starts property-free") {
+    val root = tmp("graft_r14_propesc")
+    spark.conf.set("spark.sql.catalog.g14e", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14e.root", root)
+    val dir = s"$root/db/t"
+    spark.sql("CREATE TABLE g14e.db.t (k BIGINT) TBLPROPERTIES " +
+      "('note'='50%up, x=y%25z')")
+    assert(GraftManifest.readVersion(dir, None).get.props
+      == Map("note" -> "50%up, x=y%25z"))
+    // a full shape replacement is a new table shape: property-free
+    spark.sql("REPLACE TABLE g14e.db.t (a STRING, b BIGINT)")
+    assert(GraftManifest.readVersion(dir, None).get.props.isEmpty,
+      "REPLACE TABLE must start property-free")
+    // malformed keys are refused loudly
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE g14e.db.t SET TBLPROPERTIES ('bad key'='v')")
+    }
+    assert(e.getMessage.contains("must be [A-Za-z0-9._-]+"),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("batch appends accumulate toward the same auto-optimize sweep") {
     val dir = tmp("graft_r14_batchauto")
     seed(dir, 0 until 40)
