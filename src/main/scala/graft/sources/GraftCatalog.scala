@@ -425,7 +425,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val spec = specOf(partitions, schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     new GraftStagedTable(dirOf(ident), schema, replacing = false,
-      baseAtStage = 0, label = "CREATE TABLE AS SELECT", spec = spec)
+      baseAtStage = 0, label = "CREATE TABLE AS SELECT", spec = spec,
+      props = GraftCatalog.userProps(properties))
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -434,7 +435,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val vs = GraftManifest.versions(dirOf(ident))
     if (vs.isEmpty) throw new NoSuchTableException(ident)
     new GraftStagedTable(dirOf(ident), schema, replacing = true,
-      baseAtStage = vs.max, label = "REPLACE TABLE", spec = spec)
+      baseAtStage = vs.max, label = "REPLACE TABLE", spec = spec,
+      props = GraftCatalog.userProps(properties))
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
@@ -446,7 +448,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     new GraftStagedTable(dirOf(ident), schema, replacing = vs.nonEmpty,
       baseAtStage = vs.lastOption.getOrElse(0),
       label = if (vs.nonEmpty) "REPLACE TABLE" else "CREATE TABLE AS SELECT",
-      spec = spec)
+      spec = spec, props = GraftCatalog.userProps(properties))
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -533,7 +535,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   * commitStagedChanges/abortStagedChanges below. */
 private[sources] class GraftStagedTable(dir: String, schema: StructType,
     replacing: Boolean, baseAtStage: Int, label: String,
-    spec: Option[String] = None)
+    spec: Option[String] = None,
+    props: Map[String, String] = Map.empty)
     extends GraftSinkTable(dir, schema, None) with StagedTable {
   @volatile private var wrote = false
 
@@ -571,9 +574,13 @@ private[sources] class GraftStagedTable(dir: String, schema: StructType,
           wrote = true
           // the staged data write both CONFORMS to the declared layout
           // (partCol) and RECORDS it (#partspec) in the same commit
+          // ... and DECLARES the staged TBLPROPERTIES in the same
+          // commit (a CTAS/REPLACE with TBLPROPERTIES must not silently
+          // drop them; a REPLACE with none declares property-free)
           new GraftSinkBatchWrite(dir, info.schema(), replacing, tag,
             Some(baseAtStage), evolve = false, partCol = spec,
-            opLabel = Some(label), declaredSpec = Some(spec))
+            opLabel = Some(label), declaredSpec = Some(spec),
+            propsSet = Some(props))
         }
       }
     }

@@ -4518,7 +4518,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     upsertKey: Option[String] = None,
     rowGroupBytes: Option[Int] = None,
     centroidFor: Seq[String] = Nil,
-    autoOpt: Option[GraftAutoOptimize] = None) extends BatchWrite {
+    autoOpt: Option[GraftAutoOptimize] = None,
+    propsSet: Option[Map[String, String]] = None) extends BatchWrite {
   /** Writer factory — resolved at JOB START on the driver, including the
     * head's CHECK constraints: every task writer enforces them per row,
     * so a violating batch aborts before any manifest commit (nothing
@@ -4553,6 +4554,7 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
           expectedBase, evolve,
           op = opLabel.orElse(Some(if (truncate) "OVERWRITE" else "APPEND")),
           partSpecSet = declaredSpec,
+          propsSet = propsSet,
           // a truncating write DEFINES the sort layout (its sortBy, or
           // none); appends inherit the declared one
           sortSpecSet = if (truncate) Some(sortCol.filter(_ => partCol.isEmpty))

@@ -220,6 +220,11 @@ class Round14Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("must be [A-Za-z0-9._-]+"),
       s"unexpected: ${e.getMessage}")
+    // CTAS declares its TBLPROPERTIES in the same atomic commit
+    spark.sql("CREATE TABLE g14e.db.t2 TBLPROPERTIES ('tier'='silver') AS " +
+      "SELECT 1L AS k")
+    assert(GraftManifest.readVersion(s"$root/db/t2", None).get.props
+      == Map("tier" -> "silver"), "CTAS must persist its TBLPROPERTIES")
   }
 
   test("batch appends accumulate toward the same auto-optimize sweep") {
