@@ -516,6 +516,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "set_partition_spec" => new GraftSetPartitionSpecProcedure(this)
       case "orphans"         => new GraftOrphansProcedure(this)
       case "fast_forward"    => new GraftFastForwardProcedure(this)
+      case "maintenance"     => new GraftMaintenanceProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other " +
           "(have vacuum, restore, optimize, history, tag, drop_tag, tags, " +
@@ -889,6 +890,44 @@ private[sources] class GraftOrphansProcedure(cat: GraftCatalog)
   * ([[GraftManifest.vacuum]]: retained delta manifests fold first, data
   * files inside the grace window are never touched). Pure filesystem —
   * no Spark job. */
+/** `CALL cat.system.maintenance(table)` — one property-driven sweep: run
+  * the incremental binpack under the table's OWN `autoOptimize.*`
+  * TBLPROPERTIES (round 14 — the "CALL maintenance" half of the
+  * auto-maintenance surface, for deployments that prefer a scheduled
+  * sweep job over post-commit hooks; identical kernel, identical commit
+  * label, so history reads the same either way). Refused loudly when the
+  * table declares no policy — a policy-less sweep has no small-file
+  * threshold to honor. */
+private[sources] class GraftMaintenanceProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "maintenance"
+  override def description(): String =
+    "run the table's own autoOptimize.* property policy once"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val dir = cat.dirForName(table)
+    val head = GraftManifest.readVersion(dir, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft maintenance: no committed table at '$table'"))
+    val p = head.props
+    val smallFiles = p.get("autoOptimize.smallFiles").map(_.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft maintenance: '$table' declares no autoOptimize.smallFiles " +
+          "property — ALTER TABLE ... SET TBLPROPERTIES first"))
+    require(smallFiles >= 1, "graft maintenance: autoOptimize.smallFiles must be >= 1")
+    val maxBytes = p.get("autoOptimize.maxFileBytes").map(_.toLong)
+      .getOrElse(32L << 20)
+    val target = p.get("autoOptimize.targetFiles").map(_.toInt).getOrElse(1)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (before, after, nv) = GraftMaintenance.binpack(
+      spark, dir, head, target, maxBytes, op = "AUTO-OPTIMIZE")
+    result(StructType.fromDDL("files_before INT, files_after INT, new_version INT"),
+      before, after, nv)
+  }
+}
+
 private[sources] class GraftVacuumProcedure(cat: GraftCatalog)
     extends GraftProcedure(cat) {
   override def name(): String = "vacuum"
@@ -896,14 +935,28 @@ private[sources] class GraftVacuumProcedure(cat: GraftCatalog)
     "drop old versions and reclaim unreferenced files"
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", StringType).build(),
-    ProcedureParameter.in("retain", IntegerType).build(),
-    ProcedureParameter.in("grace_ms", LongType).build())
+    // -1 = resolve from the table's `vacuum.retain` property (round 14) —
+    // the retention policy travels WITH the table instead of every
+    // operator re-typing it; an explicit argument still wins
+    ProcedureParameter.in("retain", IntegerType).defaultValue("-1").build(),
+    // safe-by-default in-flight grace (1 h): required args must precede
+    // optional ones, so retain's property default forces one here too
+    ProcedureParameter.in("grace_ms", LongType).defaultValue("3600000").build())
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val table = input.getUTF8String(0).toString
     val dir = cat.dirForName(table)
-    if (GraftManifest.versions(dir).isEmpty) throw new IllegalArgumentException(
+    val vs = GraftManifest.versions(dir)
+    if (vs.isEmpty) throw new IllegalArgumentException(
       s"graft vacuum: no committed table at '$table'")
-    val reclaimed = GraftManifest.vacuum(dir, input.getInt(1), input.getLong(2))
+    val retain = input.getInt(1) match {
+      case n if n >= 0 => n
+      case _ => GraftManifest.headerFacts(dir, vs.max).props
+        .get("vacuum.retain").map(_.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            "graft vacuum: pass retain explicitly or set the table's " +
+              "'vacuum.retain' property"))
+    }
+    val reclaimed = GraftManifest.vacuum(dir, retain, input.getLong(2))
     result(StructType.fromDDL("files_reclaimed INT, head_version INT"),
       reclaimed, GraftManifest.versions(dir).last)
   }

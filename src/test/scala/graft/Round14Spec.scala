@@ -179,6 +179,47 @@ class Round14Spec extends AnyFunSuite {
       s"properties must ride maintenance commits: ${head.props}")
   }
 
+  test("CALL maintenance runs the table's own property policy; vacuum.retain resolves") {
+    val root = tmp("graft_r14_maintproc")
+    spark.conf.set("spark.sql.catalog.g14m", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14m.root", root)
+    val dir = s"$root/db/t"
+    seed(dir, 0 until 40)
+    // no policy yet: the sweep call is refused loudly
+    val e = intercept[Exception] {
+      spark.sql("CALL g14m.system.maintenance('db.t')").collect()
+    }
+    assert(e.getMessage.contains("declares no autoOptimize.smallFiles"),
+      s"unexpected: ${e.getMessage}")
+    spark.sql("ALTER TABLE g14m.db.t SET TBLPROPERTIES " +
+      "('autoOptimize.smallFiles'='2', 'autoOptimize.targetFiles'='2', " +
+      s"'autoOptimize.maxFileBytes'='${1L << 30}', 'vacuum.retain'='50')")
+    (1 to 2).foreach { eN =>
+      spark.createDataFrame((0 until 40).map(i =>
+          Ev(i * 10L + eN, s"t${i % 3}", eN.toLong)))
+        .coalesce(1).write.format("graft-sink").option("path", dir)
+        .mode("append").save()
+    }
+    // the scheduled-sweep entry point, no arguments beyond the table
+    val r = spark.sql("CALL g14m.system.maintenance('db.t')").collect().head
+    assert(r.getInt(1) <= 2, s"sweep must fold to targetFiles: $r")
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.op.contains("AUTO-OPTIMIZE") && head.sortSpec.contains("event_id"))
+    // vacuum with no retain argument resolves the table's property
+    // (retain=50 keeps everything here — the resolution is the point)
+    spark.sql("CALL g14m.system.vacuum('db.t', grace_ms => 0)").collect()
+    assert(GraftManifest.versions(dir).nonEmpty)
+    // and a property-less table still demands an explicit retain
+    val root2 = tmp("graft_r14_vacnone")
+    spark.conf.set("spark.sql.catalog.g14v", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g14v.root", root2)
+    seed(s"$root2/db/t", 0 until 10)
+    val e2 = intercept[Exception] {
+      spark.sql("CALL g14v.system.vacuum('db.t', grace_ms => 0)").collect()
+    }
+    assert(e2.getMessage.contains("vacuum.retain"), s"unexpected: ${e2.getMessage}")
+  }
+
   test("a property policy never aborts a legacy (non-versioned) stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
