@@ -3643,6 +3643,36 @@ object Scale {
       .orderBy(col("doc_id"))
   }
 
+  /** PREFIX-PROBE FILE PRUNING (round 14): `body LIKE 'me%'` pushes as
+    * `StringStartsWith`, which the skipper answers from the SAME
+    * `#bstats` envelopes as a range — every p-prefixed value sits in
+    * [p, succ(p)) under cmpUtf8, with succ from the shared
+    * surrogate-safe incrementer — so the url-prefix / path-prefix probe
+    * every sorted 100 TB corpus runs plans O(answer) files instead of
+    * scanning the table. Same evidence protocol as the range key: the
+    * interleaved control (every file spans the body domain, prefix
+    * inside every envelope) must plan ALL 4 files, the text-clustered
+    * layout STRICTLY FEWER; probe rows fully oracled. */
+  def scanTextPrefixPrune(spark: SparkSession, sf: String): DataFrame = {
+    val dir = textTable(spark, sf, clustered = true)
+    val ctl = textTable(spark, sf, clustered = false)
+    val nFiles = graft.sources.GraftManifest.readVersion(dir, None).get.metas.size
+    require(nFiles == 4, s"fixture: want 4 range files, got $nFiles")
+    def probe(d: String): DataFrame =
+      spark.read.format("graft-sink").option("path", d).load()
+        .where(col("body").startsWith("me"))
+    val control = graftScanParts(probe(ctl))
+    require(control == nFiles,
+      s"interleaved control must plan all $nFiles files, planned $control")
+    val pruned = probe(dir)
+    val planned = graftScanParts(pruned)
+    require(planned < nFiles,
+      s"prefix probe must prune the clustered layout: $planned of $nFiles")
+    pruned.withColumn("n_files", lit(nFiles.toLong))
+      .withColumn("pruned", lit((planned < nFiles).toString))
+      .orderBy(col("doc_id"))
+  }
+
   /** COMPOUND SORT LAYOUT (`sortBy=lang,doc_id`, round 13): the write
     * range-distributes on the KEY PAIR — files tile the compound key, so
     * the leading-key envelopes stay disjoint (touching only at boundary
@@ -4442,6 +4472,7 @@ object Scale {
     "sink_dv_point_delete" -> sinkDvPointDelete,
     "sink_documents_versioned" -> sinkDocumentsVersioned,
     "scan_text_range_prune" -> scanTextRangePrune,
+    "scan_text_prefix_prune" -> scanTextPrefixPrune,
     "scan_topn_text" -> scanTopnText,
     "scan_text_minmax" -> scanTextMinmax,
     "sink_sorted_multi" -> sinkSortedMulti,
@@ -4594,6 +4625,13 @@ object Scale {
         |  CAST(4 AS BIGINT) AS n_files, 'true' AS n_planned_lt
         |FROM documents
         |WHERE text || ' | ' || text >= 'p' AND text || ' | ' || text < 'q'
+        |ORDER BY doc_id""".stripMargin,
+
+    "scan_text_prefix_prune" ->
+      """SELECT doc_id, text || ' | ' || text AS body,
+        |  CAST(4 AS BIGINT) AS n_files, 'true' AS pruned
+        |FROM documents
+        |WHERE starts_with(text || ' | ' || text, 'me')
         |ORDER BY doc_id""".stripMargin,
 
     "sink_sorted_multi" ->

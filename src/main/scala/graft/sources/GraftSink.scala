@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringStartsWith}
 import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -3495,6 +3495,11 @@ object GraftSinkScan {
     case In(c, _)                 => hasCol(layout, c)
     case IsNotNull(c)             => hasCol(layout, c)
     case IsNull(c)                => hasCol(layout, c)
+    // prefix probes (`LIKE 'p%'`) prune through the SAME string envelope
+    // facts as ranges: a matching row sits in [p, succ(p)) under cmpUtf8,
+    // so #stats AND truncated #bstats bounds both answer it — the
+    // url-prefix / path-prefix probe a 100 TB sorted corpus runs daily
+    case StringStartsWith(c, _)   => hasCol(layout, c)
     case _ => false
   }
   private def hasCol(layout: StructType, c: String): Boolean =
@@ -3654,7 +3659,27 @@ object GraftSinkScan {
       // pruning everything is EXACT, and it must never reach canon/bloom
       // (NPE on .toString)
       case EqualTo(_, null) | GreaterThan(_, null) | GreaterThanOrEqual(_, null) |
-           LessThan(_, null) | LessThanOrEqual(_, null) => false
+           LessThan(_, null) | LessThanOrEqual(_, null) |
+           StringStartsWith(_, null) => false
+      // every p-prefixed string sits in [p, succ(p)) under cmpUtf8, so the
+      // file survives iff its envelope overlaps that window: mx >= p (an
+      // exact max >= some match; a strict bound upper > it) and
+      // mn < succ(p). succ comes from the shared surrogate-safe
+      // incrementer over the FULL prefix (w = p.length: no truncation —
+      // backoff only ever shortens, which WIDENS succ, conservative);
+      // None (no finite successor) leaves the upper conjunct vacuous.
+      // An UNPAIRED-surrogate prefix (can't reach here from Spark — a
+      // lone surrogate dies at UTF8String ingestion — but the fuzz
+      // constructs one) skips the succ conjunct entirely: the increment
+      // order disagrees with cmpUtf8 INSIDE the surrogate range, so succ
+      // of an invalid prefix can sort BELOW its own matches. The mx >= p
+      // conjunct stays sound for ANY p (char-prefix ⇒ v >= p).
+      case StringStartsWith(c, p) => !allNull(c) &&
+        range(c).forall { case (dt, mn, mx) =>
+          cmp(dt, mx, p) >= 0 &&
+          (!GraftSinkWriter.pairedSurrogates(p) ||
+            GraftSinkWriter.upperBound(p, math.max(p.length, 1))
+              .forall(u => cmp(dt, mn, u) < 0)) }
       case EqualTo(c, v) => !allNull(c) && bucketOk(c, Seq(v)) &&
         bloomOk(c, Seq(v)) &&
         range(c).forall { case (dt, mn, mx) =>
@@ -3719,7 +3744,8 @@ object GraftSinkScan {
       case _: AlwaysFalse => false
       // a NULL comparison value matches no row — nothing is provable
       case EqualTo(_, null) | GreaterThan(_, null) | GreaterThanOrEqual(_, null) |
-           LessThan(_, null) | LessThanOrEqual(_, null) => false
+           LessThan(_, null) | LessThanOrEqual(_, null) |
+           StringStartsWith(_, null) => false
       case And(l, r) => mustMatchAll(meta, layout, l) && mustMatchAll(meta, layout, r)
       case Or(l, r)  => mustMatchAll(meta, layout, l) || mustMatchAll(meta, layout, r)
       case EqualTo(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
@@ -3741,6 +3767,22 @@ object GraftSinkScan {
             vs.filter(_ != null).exists(v => cmp(dt, canon(dt, v), mn) == 0) }
       case IsNull(c)    => col(c).exists { case (i, _) => allNull(i) }
       case IsNotNull(c) => col(c).exists { case (i, _) => noNulls(i) }
+      // every row matches a prefix iff the whole envelope sits inside
+      // [p, succ(p)): mn >= p and mx STRICTLY under succ(p) — strict so
+      // the proof stays sound when mx is a #bstats bound (> every value)
+      // as well as an exact max (= a value). No finite successor → only
+      // mn >= p is needed (all extensions of p sort below +inf). NULLs
+      // satisfy no prefix, so a known-zero null count is required, same
+      // as every comparison proof above.
+      case StringStartsWith(c, p) if p != null =>
+        // the [p, succ(p)) ⇒ startsWith implication only holds for a
+        // code-point-clean prefix — an unpaired surrogate proves nothing
+        GraftSinkWriter.pairedSurrogates(p) &&
+        col(c).exists { case (i, _) => noNulls(i) } &&
+        range(c).exists { case (dt, mn, mx) =>
+          cmp(dt, mn, p) >= 0 &&
+          GraftSinkWriter.upperBound(p, math.max(p.length, 1))
+            .forall(u => cmp(dt, mx, u) < 0) }
       case _ => false
     }
   }
@@ -3768,6 +3810,12 @@ object GraftSinkScan {
       case In(c, _)                 => ok(c)
       case IsNull(c)                => ok(c)
       case IsNotNull(c)             => ok(c)
+      // prefix semantics only exist on strings; a statable non-string
+      // column never receives this filter from Spark, but gate anyway so
+      // replaceWhere admission can't accept an unevaluable shape
+      case StringStartsWith(c, _) =>
+        scala.util.Try(layout.fieldIndex(c)).toOption
+          .exists(i => layout.fields(i).dataType == StringType)
       case _ => false
     }
   }
@@ -3835,6 +3883,10 @@ object GraftSinkScan {
       }
       case IsNull(c)    => Some(cellOf(c).isEmpty)
       case IsNotNull(c) => Some(cellOf(c).nonEmpty)
+      // `startswith(NULL, p)` and `startswith(x, NULL)` are both UNKNOWN
+      // in Spark; char-exact prefix = UTF8String.startsWith's byte prefix
+      case StringStartsWith(c, p) =>
+        if (p == null) None else cellOf(c).map { case (_, x) => x.startsWith(p) }
       case other => throw new IllegalArgumentException(
         s"graft-sink: cannot evaluate filter $other row-level (evaluable() admits it wrongly)")
     }
@@ -5187,6 +5239,26 @@ object GraftSinkWriter {
       sb.appendCodePoint(nxt)
       Some(sb.toString)
     }
+  }
+
+  /** True iff `s` is code-point-clean: every high surrogate is followed
+    * by a low one and no low surrogate stands alone. Spark strings are
+    * always clean (UTF8String ingestion sanitizes), but filter/fuzz
+    * inputs may not be — consumers whose math assumes code-point order
+    * (the prefix-probe succ conjunct, the mustMatchAll prefix proof)
+    * gate on this instead of silently mis-ordering. O(|s|). */
+  def pairedSurrogates(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1)))
+          return false
+        i += 2
+      } else if (Character.isLowSurrogate(c)) return false
+      else i += 1
+    }
+    true
   }
 
   /** Code-point-safe `w`-unit prefix of `s` — never splits a surrogate

@@ -151,6 +151,43 @@ class BoundsFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("prefix pruning is sound over exact AND bound envelopes (round 14)") {
+    // mayMatch(StringStartsWith) must NEVER drop a file holding a match,
+    // and mustMatchAll must NEVER claim all-match unless it is true —
+    // fuzzed against a brute-force reference over the file's raw values,
+    // for BOTH envelope flavors (exact min/max, truncated #bstats bound).
+    import org.apache.spark.sql.sources.StringStartsWith
+    import org.apache.spark.sql.types.StructType
+    val layout = StructType.fromDDL("v STRING")
+    val genFile: Gen[List[String]] =
+      Gen.nonEmptyListOf(genValid).map(_.take(24))
+    // probes biased toward prefixes OF the file's values (the matching
+    // case pruning must preserve), plus unrelated strings
+    def genProbe(vs: List[String]): Gen[String] = Gen.frequency(
+      4 -> Gen.oneOf(vs).flatMap(v =>
+        Gen.choose(0, v.length).map(v.substring(0, _))),
+      2 -> genValid,
+      1 -> Gen.const(""))
+    check("prefix-prune", forAll(genFile.flatMap(vs =>
+        genProbe(vs).map(p => (vs, p)))) { case (vs, p) =>
+      val mn = vs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+      val mx = vs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+      val exact = sources.GraftFileMeta("f", vs.length.toLong, 1,
+        Map(0 -> (mn, mx)), None, nulls = Some(Map(0 -> 0L)))
+      val bound = GraftSinkWriter.upperBound(mx).map { hi =>
+        sources.GraftFileMeta("f", vs.length.toLong, 1,
+          Map(0 -> (GraftSinkWriter.lowerBound(mn), hi)), None,
+          nulls = Some(Map(0 -> 0L)), bounds = Set(0)) }
+      val f = StringStartsWith("v", p)
+      val anyMatch = vs.exists(_.startsWith(p))
+      val allMatch = vs.forall(_.startsWith(p))
+      (exact :: bound.toList).forall { m =>
+        (!anyMatch || GraftSinkScan.mayMatch(m, layout, f)) &&
+        (!GraftSinkScan.mustMatchAll(m, layout, f) || allMatch)
+      }
+    }, n = 2000)
+  }
+
   test("manifest envelope roundtrip: a real write's stats contain every row (e2e)") {
     val rnd = new scala.util.Random(14)
     val params = org.scalacheck.Gen.Parameters.default

@@ -882,6 +882,20 @@ class SourceSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(ids2 == Set(1L, 3L, 10L),
       s"NOT(k=1) deletes k=2 only — NULL k is UNKNOWN, kept: got $ids2")
+    // prefix predicates are EXPRESSIBLE since round 14 (StringStartsWith
+    // rides the whole predicate surface): a prefix replaceWhere applies
+    // exactly — rows under the prefix go, everything else stays
+    val dirP = s"$root/db/tp"
+    spark.range(1, 4).select(col("id"),
+        when(col("id") === 3, lit("w"))
+          .otherwise(concat(lit("v"), col("id"))).as("s")).coalesce(1)
+      .write.format("graft-sink").option("path", dirP).mode("overwrite").save()
+    spark.range(10, 11).select(col("id"), lit("vz").as("s"))
+      .writeTo("grw.db.tp").overwrite(col("s").startsWith("v"))
+    val idsP = spark.read.format("graft-sink").option("path", dirP).load()
+      .collect().map(_.getLong(0)).toSet
+    assert(idsP == Set(3L, 10L),
+      s"startsWith('v') replace drops va/vb, keeps w, lands vz: got $idsP")
     // an inexpressible predicate is refused at plan time, not half-applied
     val dir3 = s"$root/db/t3"
     spark.range(3).select(col("id"), concat(lit("v"), col("id")).as("s")).coalesce(1)
@@ -889,7 +903,7 @@ class SourceSpec extends AnyFunSuite {
     val before = GraftManifest.versions(dir3)
     val e = intercept[Exception] {
       spark.range(1).select(col("id"), lit("vx").as("s"))
-        .writeTo("grw.db.t3").overwrite(col("s").startsWith("v"))
+        .writeTo("grw.db.t3").overwrite(col("s").endsWith("x"))
     }
     assert(e.getMessage.contains("replaceWhere cannot evaluate") ||
       Option(e.getCause).exists(_.getMessage.contains("replaceWhere cannot evaluate")),
