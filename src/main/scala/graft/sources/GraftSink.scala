@@ -2276,8 +2276,8 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
           filters.filterNot(GraftSinkScan.evaluable(info.schema(), _)).foreach { f =>
             throw new IllegalArgumentException(
               s"graft-sink: replaceWhere cannot evaluate predicate $f " +
-                "(supported: And/Or/Not, comparisons, In, IS [NOT] NULL " +
-                "over the table's columns)")
+                "(supported: And/Or/Not, comparisons, In, IS [NOT] NULL, " +
+                "startsWith/endsWith/contains over the table's columns)")
           }
           replaceWhere = Some(filters.toSeq)
         }
@@ -3810,15 +3810,23 @@ object GraftSinkScan {
       case In(c, _)                 => ok(c)
       case IsNull(c)                => ok(c)
       case IsNotNull(c)             => ok(c)
-      // prefix semantics only exist on strings; a statable non-string
-      // column never receives this filter from Spark, but gate anyway so
-      // replaceWhere admission can't accept an unevaluable shape
-      case StringStartsWith(c, _) =>
-        scala.util.Try(layout.fieldIndex(c)).toOption
-          .exists(i => layout.fields(i).dataType == StringType)
+      // string-shape predicates only exist on strings; a statable
+      // non-string column never receives them from Spark, but gate anyway
+      // so replaceWhere admission can't accept an unevaluable shape.
+      // endsWith/contains have no envelope math (no order to exploit) —
+      // they are ROW-LEVEL ONLY: mayMatch conservatively keeps every
+      // file, mustMatchAll proves nothing, and the straddler vectoring
+      // does the exact work — which is all a `LIKE '%.jpg'` replaceWhere
+      // needs to be correct.
+      case StringStartsWith(c, _) => strCol(layout, c)
+      case org.apache.spark.sql.sources.StringEndsWith(c, _) => strCol(layout, c)
+      case org.apache.spark.sql.sources.StringContains(c, _) => strCol(layout, c)
       case _ => false
     }
   }
+  private def strCol(layout: StructType, c: String): Boolean =
+    scala.util.Try(layout.fieldIndex(c)).toOption
+      .exists(i => layout.fields(i).dataType == StringType)
 
   /** EXACT row-level predicate evaluation over one decoded line — what
     * the `replaceWhere` path runs on a STRADDLER file (stats envelope
@@ -3883,10 +3891,15 @@ object GraftSinkScan {
       }
       case IsNull(c)    => Some(cellOf(c).isEmpty)
       case IsNotNull(c) => Some(cellOf(c).nonEmpty)
-      // `startswith(NULL, p)` and `startswith(x, NULL)` are both UNKNOWN
-      // in Spark; char-exact prefix = UTF8String.startsWith's byte prefix
+      // `startswith(NULL, p)` / `startswith(x, NULL)` are both UNKNOWN in
+      // Spark (same for endswith/contains); char-exact match =
+      // UTF8String's byte semantics on valid strings
       case StringStartsWith(c, p) =>
         if (p == null) None else cellOf(c).map { case (_, x) => x.startsWith(p) }
+      case org.apache.spark.sql.sources.StringEndsWith(c, p) =>
+        if (p == null) None else cellOf(c).map { case (_, x) => x.endsWith(p) }
+      case org.apache.spark.sql.sources.StringContains(c, p) =>
+        if (p == null) None else cellOf(c).map { case (_, x) => x.contains(p) }
       case other => throw new IllegalArgumentException(
         s"graft-sink: cannot evaluate filter $other row-level (evaluable() admits it wrongly)")
     }

@@ -890,12 +890,22 @@ class SourceSpec extends AnyFunSuite {
         when(col("id") === 3, lit("w"))
           .otherwise(concat(lit("v"), col("id"))).as("s")).coalesce(1)
       .write.format("graft-sink").option("path", dirP).mode("overwrite").save()
+    // suffix replace (the `LIKE '%.jpg'` refresh) is row-level-only but
+    // exact: only 'v1' ends in '1'
+    spark.range(20, 21).select(col("id"), lit("q9").as("s"))
+      .writeTo("grw.db.tp").overwrite(col("s").endsWith("1"))
+    val idsS = spark.read.format("graft-sink").option("path", dirP).load()
+      .collect().map(_.getLong(0)).toSet
+    assert(idsS == Set(2L, 3L, 20L),
+      s"endsWith('1') replace drops v1, keeps v2/w, lands q9: got $idsS")
+    // prefix replace prunes/proves through the envelope AND vectors the
+    // straddler exactly: v2 goes, w and q9 stay
     spark.range(10, 11).select(col("id"), lit("vz").as("s"))
       .writeTo("grw.db.tp").overwrite(col("s").startsWith("v"))
     val idsP = spark.read.format("graft-sink").option("path", dirP).load()
       .collect().map(_.getLong(0)).toSet
-    assert(idsP == Set(3L, 10L),
-      s"startsWith('v') replace drops va/vb, keeps w, lands vz: got $idsP")
+    assert(idsP == Set(3L, 10L, 20L),
+      s"startsWith('v') replace drops v2, keeps w/q9, lands vz: got $idsP")
     // an inexpressible predicate is refused at plan time, not half-applied
     val dir3 = s"$root/db/t3"
     spark.range(3).select(col("id"), concat(lit("v"), col("id")).as("s")).coalesce(1)
@@ -903,7 +913,7 @@ class SourceSpec extends AnyFunSuite {
     val before = GraftManifest.versions(dir3)
     val e = intercept[Exception] {
       spark.range(1).select(col("id"), lit("vx").as("s"))
-        .writeTo("grw.db.t3").overwrite(col("s").endsWith("x"))
+        .writeTo("grw.db.t3").overwrite(col("s") <=> lit("vx"))
     }
     assert(e.getMessage.contains("replaceWhere cannot evaluate") ||
       Option(e.getCause).exists(_.getMessage.contains("replaceWhere cannot evaluate")),
