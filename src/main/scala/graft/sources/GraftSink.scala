@@ -3487,6 +3487,7 @@ object GraftSinkScan {
   def supportedFilter(layout: StructType, f: Filter): Boolean = f match {
     case And(l, r) => supportedFilter(layout, l) && supportedFilter(layout, r)
     case Or(l, r)  => supportedFilter(layout, l) && supportedFilter(layout, r)
+    case Not(g)    => supportedFilter(layout, g)
     case EqualTo(c, _)            => hasCol(layout, c)
     case GreaterThan(c, _)        => hasCol(layout, c)
     case GreaterThanOrEqual(c, _) => hasCol(layout, c)
@@ -3655,6 +3656,14 @@ object GraftSinkScan {
     f match {
       case And(l, r) => mayMatch(meta, layout, l) && mayMatch(meta, layout, r)
       case Or(l, r)  => mayMatch(meta, layout, l) || mayMatch(meta, layout, r)
+      // a row matches Not(g) only when g is FALSE for it (UNKNOWN stays
+      // unmatched), so a file where EVERY row provably satisfies g —
+      // the mustMatchAll proof, which already demands a known-zero null
+      // count — cannot hold a Not(g) match: the anti-probe
+      // (`c != quarantined_day`) skips the excluded partition's files
+      // while every other file conservatively survives (the proof, not
+      // !mayMatch(g): rows where g is UNKNOWN fail BOTH g and Not(g))
+      case Not(g) => !mustMatchAll(meta, layout, g)
       // a NULL comparison value satisfies no row (three-valued SQL), so
       // pruning everything is EXACT, and it must never reach canon/bloom
       // (NPE on .toString)

@@ -179,11 +179,16 @@ class BoundsFuzzSpec extends AnyFunSuite {
           Map(0 -> (GraftSinkWriter.lowerBound(mn), hi)), None,
           nulls = Some(Map(0 -> 0L)), bounds = Set(0)) }
       val f = StringStartsWith("v", p)
+      val notF = org.apache.spark.sql.sources.Not(f)
       val anyMatch = vs.exists(_.startsWith(p))
       val allMatch = vs.forall(_.startsWith(p))
       (exact :: bound.toList).forall { m =>
         (!anyMatch || GraftSinkScan.mayMatch(m, layout, f)) &&
-        (!GraftSinkScan.mustMatchAll(m, layout, f) || allMatch)
+        (!GraftSinkScan.mustMatchAll(m, layout, f) || allMatch) &&
+        // Not-soundness (round 14): a file holding ANY non-p-prefixed
+        // value (which FALSE-ifies the prefix — no NULLs here) must
+        // survive the anti-probe
+        (allMatch || GraftSinkScan.mayMatch(m, layout, notF))
       }
     }, n = 2000)
   }

@@ -510,6 +510,45 @@ class Round14Spec extends AnyFunSuite {
       "OPTIMIZE must re-record #centroid for its fresh files")
   }
 
+  test("anti-probe (Not) prunes the excluded partition via the all-match proof") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def parts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.GraftSinkScan] => b }
+        .head.inputRDD.getNumPartitions
+    val dir = tmp("graft_notprune")
+    spark.createDataFrame((0 until 90).map(i => Ev(i.toLong, s"t${i % 3}", i.toLong)))
+      .repartition(3).write.format("graft-sink").option("path", dir)
+      .option("partitionBy", "event_type").mode("overwrite").save()
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    val all = parts(t)
+    assert(all >= 3, s"fixture wants >=3 partition files, got $all")
+    // `!=` excludes exactly the t1 partition's files: every row there
+    // provably satisfies event_type = 't1' (partition value + zero nulls),
+    // so no row can satisfy the negation
+    val anti = t.where(col("event_type") =!= "t1")
+    assert(parts(anti) < all,
+      s"anti-probe must skip the excluded partition: ${parts(anti)} of $all")
+    assert(anti.count() == 60, "anti-probe rows stay exact")
+    // NOT over a range: rows 0..89 sorted on event_id within partitions —
+    // unprovable envelopes conservatively survive
+    assert(t.where(!(col("cents") >= 0)).count() == 0,
+      "a vacuous negation stays correct (conservative, possibly unpruned)")
+    // three-valued guard: NOT(k = v) must keep files whose rows are NULL
+    // only if they could FALSE-ify — an all-NULL column file has every
+    // row UNKNOWN under the inner predicate, no row matches Not, prune ok;
+    // but a MIXED file must survive. Correctness over rows is Spark's
+    // residual either way: assert the round-trip answer.
+    val dir2 = tmp("graft_notnull")
+    spark.range(0, 10).select(col("id"),
+        when(col("id") < 5, col("id")).cast("long").as("k"))
+      .coalesce(1).write.format("graft-sink").option("path", dir2)
+      .mode("overwrite").save()
+    val t2 = spark.read.format("graft-sink").option("path", dir2).load()
+    assert(t2.where(!(col("k") === 2L)).count() == 4,
+      "NOT(k=2) matches k in {0,1,3,4} only - NULL k is UNKNOWN, unmatched")
+  }
+
   test("cosinePairs fails fast on short vectors instead of degenerating to all-pairs") {
     graft.functions.VectorDot.register(spark)
     val short = spark.range(0, 10).toDF("id")
