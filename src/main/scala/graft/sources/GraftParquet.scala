@@ -382,6 +382,23 @@ object GraftParquet {
       }
       case IsNull(c)    => bind(c).flatMap { case (n, dt) => nullPred(n, dt, isNull = true) }
       case IsNotNull(c) => bind(c).flatMap { case (n, dt) => nullPred(n, dt, isNull = false) }
+      // a prefix probe is the binary range [p, succ(p)) — UTF-8 byte order
+      // IS code-point order on clean strings, so parquet's own row-group
+      // min/max engage for `LIKE 'p%'` exactly like a range; the range
+      // equals the prefix set (backoff only forces max-code-point tails),
+      // and Spark re-applies the filter residually regardless. A prefix
+      // with an unpaired surrogate (unreachable from Spark) stays
+      // untranslated rather than mis-encoding through UTF-8.
+      case StringStartsWith(c, p)
+          if p != null && p.nonEmpty && GraftSinkWriter.pairedSurrogates(p) =>
+        bind(c).collect { case (n, StringType) =>
+          val col = FilterApi.binaryColumn(n)
+          val lo: FilterPredicate = FilterApi.gtEq(col, Binary.fromString(p))
+          GraftSinkWriter.upperBound(p, math.max(p.length, 1)) match {
+            case Some(u) => FilterApi.and(lo, FilterApi.lt(col, Binary.fromString(u)))
+            case None    => lo
+          }
+        }
       case _ => None
     }
     filters.flatMap(tr(_)).reduceOption(FilterApi.and)

@@ -463,6 +463,15 @@ class Round14Spec extends AnyFunSuite {
     // groups; anything under a quarter of the file proves group skipping
     assert(decoded < n / 4 && decoded >= hits,
       s"row-group stats must skip prose groups: decoded $decoded of $n for $hits hits")
+    // prefix probes ride the same stats as the binary range [p, succ(p))
+    // (round 14): a narrow LIKE 'p00001%' must decode a group's worth,
+    // not the file
+    val pbefore = graft.sources.GraftReadStats.parquetRecordsDecoded.sum()
+    val phits = t.where(col("body").startsWith("p00001")).count()
+    val pdecoded = graft.sources.GraftReadStats.parquetRecordsDecoded.sum() - pbefore
+    assert(phits == 10, s"prefix probe hits the p000010..p000019 run: $phits")
+    assert(pdecoded < n / 4 && pdecoded >= phits,
+      s"prefix probe must skip prose groups: decoded $pdecoded of $n for $phits hits")
   }
 
   test("#centroid facts: roundtrip, OPTIMIZE carry, and blind-file conservatism") {
