@@ -113,6 +113,26 @@ object PruneScaleDemo {
     println(f"""{"phase":"optimize_zorder","wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
     measure("zorder_probe_k", rd(zdir).where(col("k") <= n / 100))
     measure("zorder_probe_w", rd(zdir).where(col("w") <= 10000L))
+    // PREFIX PROBE (round 14): `payload LIKE '0a%'` on a payload-sorted
+    // layout — the [p, succ(p)) window planned from string envelopes;
+    // the k-clustered table is the control (payload envelopes all span
+    // the hex domain there)
+    val tsorted = s"$root/tsorted"
+    base.repartition(32)
+      .write.format("graft-sink").option("path", tsorted)
+      .option("sortBy", "payload").option("writePartitions", nFiles.toString)
+      .option("distributionStrict", "true").mode("overwrite").save()
+    measure("prefix_control", rd(indexed).where(col("payload").startsWith("0a")))
+    measure("prefix_sorted", rd(tsorted).where(col("payload").startsWith("0a")))
+    // ANTI-PROBE (round 14): `pt != 'p1'` on a partitioned table skips
+    // exactly the excluded partition's files via the all-match proof
+    val parted = s"$root/parted"
+    base.withColumn("pt", concat(lit("p"), col("k") % 8))
+      .repartition(nFiles / 8)
+      .write.format("graft-sink").option("path", parted)
+      .option("partitionBy", "pt").mode("overwrite").save()
+    measure("anti_full", rd(parted))
+    measure("anti_probe", rd(parted).where(col("pt") =!= "p1"))
     spark.stop()
   }
 }
