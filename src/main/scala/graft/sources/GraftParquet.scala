@@ -315,12 +315,22 @@ object GraftParquet {
         case DateType | IntegerType =>
           pick(FilterApi.intColumn(c),
             java.lang.Integer.valueOf(GraftSinkScan.canon(dt, v).toInt))
+        // a ZERO literal stays untranslated: parquet's Double/Float
+        // ordering separates -0.0 from 0.0 while Spark's equates them, so
+        // a record filter at the zero boundary could over-EXCLUDE rows
+        // (e.g. eq(0.0) dropping a physical -0.0 Spark would match) — and
+        // unlike file skipping, dropped records are not resurrected by
+        // the residual filter. NaN is consistent both sides (greatest,
+        // self-equal) and parquet-mr withholds stats on NaN-bearing
+        // groups, so it may translate.
         case DoubleType => v match {
-          case d: java.lang.Double => pick(FilterApi.doubleColumn(c), d)
+          case d: java.lang.Double if d.doubleValue() != 0.0d =>
+            pick(FilterApi.doubleColumn(c), d)
           case _ => None
         }
         case FloatType => v match {
-          case f: java.lang.Float => pick(FilterApi.floatColumn(c), f)
+          case f: java.lang.Float if f.floatValue() != 0.0f =>
+            pick(FilterApi.floatColumn(c), f)
           case _ => None
         }
         case StringType =>
@@ -416,8 +426,9 @@ object GraftParquet {
     dt match {
       case LongType | TimestampType => g.getLong(j, 0).toString
       case DateType | IntegerType   => g.getInteger(j, 0).toString
-      case DoubleType               => g.getDouble(j, 0).toString
-      case FloatType                => g.getFloat(j, 0).toString
+      // + 0.0: zero-sign normalization (GraftSinkScan.canon round-14 note)
+      case DoubleType               => (g.getDouble(j, 0) + 0.0d).toString
+      case FloatType                => (g.getFloat(j, 0) + 0.0f).toString
       case BooleanType              => g.getBoolean(j, 0).toString
       case StringType               => g.getBinary(j, 0).toStringUsingUTF8
       case d: DecimalType if d.precision <= 18 =>

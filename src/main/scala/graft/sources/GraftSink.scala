@@ -3514,7 +3514,11 @@ object GraftSinkScan {
     case LongType | TimestampType | DateType | org.apache.spark.sql.types.IntegerType =>
       java.lang.Long.compare(a.toLong, b.toLong)
     case DoubleType | org.apache.spark.sql.types.FloatType =>
-      java.lang.Double.compare(a.toDouble, b.toDouble)
+      // + 0.0: legacy "-0.0" strings (pre-normalization manifests)
+      // compare equal to "0.0", matching Spark's SQLOrderingUtil order;
+      // NaN keeps Double.compare's Spark-consistent place (greatest,
+      // equal to itself)
+      java.lang.Double.compare(a.toDouble + 0.0d, b.toDouble + 0.0d)
     case org.apache.spark.sql.types.BooleanType =>
       java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
     case _: org.apache.spark.sql.types.DecimalType =>
@@ -3609,6 +3613,17 @@ object GraftSinkScan {
       d.toPlainString
     case (_: org.apache.spark.sql.types.DecimalType,
         d: org.apache.spark.sql.types.Decimal) => d.toJavaBigDecimal.toPlainString
+    // ZERO-SIGN NORMALIZATION (round 14): Spark compares floating point
+    // with SQLOrderingUtil semantics — `-0.0 == 0.0` (and NaN == NaN,
+    // NaN greatest) — while Double.compare separates the zero signs, so
+    // a `-0.0` literal or cell anywhere in the fact chain would let a
+    // probe `= 0.0` prune a file of -0.0 rows Spark itself would match.
+    // `x + 0.0` is the IEEE identity that rewrites -0.0 to +0.0 and
+    // nothing else (NaN stays NaN); cells, canon and cmp all apply it,
+    // so no "-0.0" string can exist on either side of any comparison.
+    case (DoubleType, v) => (v.toString.toDouble + 0.0d).toString
+    case (org.apache.spark.sql.types.FloatType, v) =>
+      (v.toString.toFloat + 0.0f).toString
     case _ => v.toString
   }
 
@@ -4268,8 +4283,9 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
           case LongType | TimestampType => r.getLong(j).toString
           case DateType | org.apache.spark.sql.types.IntegerType =>
             r.getInt(j).toString
-          case DoubleType => r.getDouble(j).toString
-          case org.apache.spark.sql.types.FloatType => r.getFloat(j).toString
+          case DoubleType => (r.getDouble(j) + 0.0d).toString
+          case org.apache.spark.sql.types.FloatType =>
+            (r.getFloat(j) + 0.0f).toString
           case org.apache.spark.sql.types.BooleanType => r.getBoolean(j).toString
           case StringType => r.getUTF8String(j).toString
           case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
@@ -5454,8 +5470,11 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         case TimestampType => row.getLong(i).toString
         case DateType      => row.getInt(i).toString
         case IntegerType   => row.getInt(i).toString
-        case DoubleType    => row.getDouble(i).toString
-        case org.apache.spark.sql.types.FloatType => row.getFloat(i).toString
+        // + 0.0: zero-sign normalization — cells must never carry "-0.0"
+        // (see GraftSinkScan.canon round-14 note)
+        case DoubleType    => (row.getDouble(i) + 0.0d).toString
+        case org.apache.spark.sql.types.FloatType =>
+          (row.getFloat(i) + 0.0f).toString
         case org.apache.spark.sql.types.BooleanType => row.getBoolean(i).toString
         case d: org.apache.spark.sql.types.DecimalType if d.precision <= 18 =>
           row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString

@@ -558,6 +558,51 @@ class Round14Spec extends AnyFunSuite {
       "NOT(k=2) matches k in {0,1,3,4} only - NULL k is UNKNOWN, unmatched")
   }
 
+  test("floating-point special values: pruning agrees with Spark's comparison semantics") {
+    // Spark compares doubles with SQLOrderingUtil semantics: -0.0 == 0.0,
+    // NaN == NaN, NaN greatest. Double.compare separates the zero signs,
+    // so WITHOUT zero-sign normalization a file holding only -0.0 rows
+    // gets pruned for `= 0.0` — a wrong answer, not a missed skip. The
+    // fixture isolates -0.0 in its own file (the repro shape) and mixes
+    // NaN/±Infinity/subnormals; every probe must equal the same filter
+    // over the in-memory frame.
+    val dir = tmp("graft_fpspecial")
+    val specials = Seq(-0.0d, -0.0d, -0.0d) // file 1: all negative zero
+    val mixed = Seq(0.0d, 1.5d, -1.5d, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, java.lang.Double.MIN_VALUE, -4.9e-324d)
+    import spark.implicits._
+    val d1 = specials.toDF("v").coalesce(1)
+    val d2 = mixed.toDF("v").coalesce(1)
+    d1.write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    d2.write.format("graft-sink").option("path", dir).mode("append").save()
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    val mem = (specials ++ mixed).toDF("v")
+    def agree(tag: String, p: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
+      val got = t.where(p(col("v"))).collect().map(r =>
+        java.lang.Double.doubleToLongBits(r.getDouble(0) + 0.0d)).sorted.toSeq
+      val want = mem.where(p(col("v"))).collect().map(r =>
+        java.lang.Double.doubleToLongBits(r.getDouble(0) + 0.0d)).sorted.toSeq
+      assert(got == want, s"$tag: scan ${got.length} rows, memory ${want.length}")
+    }
+    agree("= 0.0", _ === 0.0d)       // must KEEP the all--0.0 file
+    agree("= -0.0", _ === -0.0d)
+    agree("< 0.0", _ < 0.0d)
+    agree(">= 0.0", _ >= 0.0d)
+    agree("= NaN", _ === Double.NaN) // Spark: NaN == NaN is TRUE
+    agree("> 1e308", _ > 1e308)      // +Inf and NaN survive
+    agree("<= -1e308", _ <= -1e308)
+    agree("in(0.0, NaN)", _.isin(0.0d, Double.NaN))
+    // manifest facts carry no "-0.0" string anywhere
+    val head = GraftManifest.readVersion(dir, None).get
+    head.metas.foreach(m => m.stats.values.foreach { case (mn, mx) =>
+      assert(mn != "-0.0" && mx != "-0.0", s"normalized stats, got ($mn,$mx)") })
+    // min/max aggregate pushdown stays consistent with a real scan
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val pushed = t.agg(fmin(col("v")), fmax(col("v"))).head()
+    assert(pushed.getDouble(0) == Double.NegativeInfinity &&
+      pushed.getDouble(1).isNaN, s"min/max over specials: $pushed")
+  }
+
   test("cosinePairs fails fast on short vectors instead of degenerating to all-pairs") {
     graft.functions.VectorDot.register(spark)
     val short = spark.range(0, 10).toDF("id")
