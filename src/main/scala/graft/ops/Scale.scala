@@ -3643,6 +3643,37 @@ object Scale {
       .orderBy(col("doc_id"))
   }
 
+  /** FLOATING-POINT SPECIAL-VALUE CONTRACT (round 14): Spark and DuckDB
+    * agree on SQL floating-point comparison semantics — `-0.0 = 0.0`,
+    * `NaN = NaN`, NaN greatest — and the connector's fact chain must not
+    * break them (`Double.compare` separates zero signs; pre-fix a file
+    * holding only -0.0 rows was PRUNED for `= 0.0`, a wrong answer). The
+    * key writes NaN/±0.0/±Infinity through the versioned connector with
+    * the -0.0 rows ISOLATED in their own partition file (the repro
+    * shape) and probes equality/range/NaN — every row fully oracled. */
+  def scanFpSpecial(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("fpspecial", sf)
+    graft.util.Scratch.once(dir) {
+      nation(spark, sf).select(col("n_nationkey"),
+          when(col("n_nationkey") % 5 === 0, lit(Double.NaN))
+            .when(col("n_nationkey") % 5 === 1, lit(-0.0d))
+            .when(col("n_nationkey") % 5 === 2, lit(Double.PositiveInfinity))
+            .when(col("n_nationkey") % 5 === 3, lit(Double.NegativeInfinity))
+            .otherwise(col("n_nationkey").cast("double")).as("v"),
+          when(col("n_nationkey") % 5 === 1, lit("z")).otherwise(lit("o")).as("pt"))
+        .write.format("graft-sink").option("path", dir)
+        .option("partitionBy", "pt").mode("overwrite").save()
+    }
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    def probe(tag: String, p: Column): DataFrame =
+      t.where(p).select(lit(tag).as("probe"), col("n_nationkey"))
+    probe("eq0", col("v") === 0.0d)          // must KEEP the -0.0 partition
+      .unionByName(probe("ge0", col("v") >= 0.0d)) // -0.0, finites, +Inf, NaN
+      .unionByName(probe("nan", col("v") === Double.NaN)) // NaN = NaN is TRUE
+      .unionByName(probe("gtmax", col("v") > 1e308))      // +Inf and NaN
+      .orderBy(col("probe"), col("n_nationkey"))
+  }
+
   /** PREFIX-PROBE FILE PRUNING (round 14): `body LIKE 'me%'` pushes as
     * `StringStartsWith`, which the skipper answers from the SAME
     * `#bstats` envelopes as a range — every p-prefixed value sits in
@@ -4473,6 +4504,7 @@ object Scale {
     "sink_documents_versioned" -> sinkDocumentsVersioned,
     "scan_text_range_prune" -> scanTextRangePrune,
     "scan_text_prefix_prune" -> scanTextPrefixPrune,
+    "scan_fp_special" -> scanFpSpecial,
     "scan_topn_text" -> scanTopnText,
     "scan_text_minmax" -> scanTextMinmax,
     "sink_sorted_multi" -> sinkSortedMulti,
@@ -4626,6 +4658,23 @@ object Scale {
         |FROM documents
         |WHERE text || ' | ' || text >= 'p' AND text || ' | ' || text < 'q'
         |ORDER BY doc_id""".stripMargin,
+
+    "scan_fp_special" ->
+      """WITH s AS (
+        |  SELECT n_nationkey,
+        |    CASE n_nationkey % 5
+        |      WHEN 0 THEN 'NaN'::DOUBLE
+        |      WHEN 1 THEN -0.0::DOUBLE
+        |      WHEN 2 THEN 'Infinity'::DOUBLE
+        |      WHEN 3 THEN '-Infinity'::DOUBLE
+        |      ELSE n_nationkey::DOUBLE END AS v
+        |  FROM nation)
+        |SELECT probe, n_nationkey FROM (
+        |  SELECT 'eq0' AS probe, n_nationkey FROM s WHERE v = 0.0
+        |  UNION ALL SELECT 'ge0', n_nationkey FROM s WHERE v >= 0.0
+        |  UNION ALL SELECT 'nan', n_nationkey FROM s WHERE v = 'NaN'::DOUBLE
+        |  UNION ALL SELECT 'gtmax', n_nationkey FROM s WHERE v > 1e308)
+        |ORDER BY probe, n_nationkey""".stripMargin,
 
     "scan_text_prefix_prune" ->
       """SELECT doc_id, text || ' | ' || text AS body,
