@@ -415,9 +415,10 @@ object Text {
   def textCurateStats(spark: SparkSession, sf: String): DataFrame = {
     val q = curateQuality(spark, sf)
     documents(spark, sf).agg(count(lit(1)).as("n_in"))
-      .crossJoin(q.agg(count(lit(1)).as("n_quality"),
-        countDistinct(col("fp")).as("n_unique")))
-      .crossJoin(curateKept(spark, sf).agg(count(lit(1)).as("n_train")))
+      .crossJoin(broadcast(q.agg(count(lit(1)).as("n_quality"),
+        countDistinct(col("fp")).as("n_unique"))))
+      .crossJoin(broadcast(
+        curateKept(spark, sf).agg(count(lit(1)).as("n_train"))))
   }
 
   /** Token counting three ways: whitespace, BPE-ish regex, chars/4 bound. */

@@ -193,6 +193,62 @@ class BoundsFuzzSpec extends AnyFunSuite {
     }, n = 2000)
   }
 
+  test("double envelopes: pruning/proof sound under SPARK comparison semantics") {
+    // The fp counterpart of the prefix property, written after the
+    // round-14 zero-sign bug: random doubles BIASED to the special values
+    // (±0.0, NaN, ±Infinity, subnormals, ±MaxValue), random comparison
+    // probes, mayMatch/mustMatchAll judged against a brute-force
+    // reference that compares the way SPARK does (-0.0 == 0.0 via the
+    // x + 0.0 identity; NaN self-equal and greatest — Double.compare
+    // after normalization IS that order).
+    import org.apache.spark.sql.sources.{EqualTo => FEq, GreaterThan => FGt,
+      GreaterThanOrEqual => FGe, In => FIn, LessThan => FLt,
+      LessThanOrEqual => FLe, Not => FNot}
+    import org.apache.spark.sql.types.StructType
+    val layout = StructType.fromDDL("v DOUBLE")
+    val genD: Gen[Double] = Gen.frequency(
+      4 -> Gen.choose(-1000.0, 1000.0),
+      3 -> Gen.oneOf(0.0d, -0.0d, Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, java.lang.Double.MIN_VALUE, -4.9e-324d,
+        java.lang.Double.MAX_VALUE, -java.lang.Double.MAX_VALUE),
+      1 -> Gen.choose(-5, 5).map(_.toDouble))
+    def sparkCmp(a: Double, b: Double): Int =
+      java.lang.Double.compare(a + 0.0d, b + 0.0d)
+    def sat(v: Double, f: org.apache.spark.sql.sources.Filter): Boolean = f match {
+      case FEq(_, x: java.lang.Double) => sparkCmp(v, x) == 0
+      case FGt(_, x: java.lang.Double) => sparkCmp(v, x) > 0
+      case FGe(_, x: java.lang.Double) => sparkCmp(v, x) >= 0
+      case FLt(_, x: java.lang.Double) => sparkCmp(v, x) < 0
+      case FLe(_, x: java.lang.Double) => sparkCmp(v, x) <= 0
+      case FIn(_, xs) => xs.exists(x => sparkCmp(v, x.asInstanceOf[Double]) == 0)
+      case FNot(g) => !sat(v, g) // no NULLs in this fixture: two-valued
+      case other => fail(s"unexpected filter $other")
+    }
+    val genProbe: Gen[org.apache.spark.sql.sources.Filter] = for {
+      x <- genD
+      y <- genD
+      f <- Gen.oneOf[org.apache.spark.sql.sources.Filter](
+        FEq("v", x), FGt("v", x), FGe("v", x), FLt("v", x), FLe("v", x),
+        FIn("v", Array(x, y)), FNot(FEq("v", x)), FNot(FGe("v", x)))
+    } yield f
+    check("double-envelopes", forAll(
+        Gen.nonEmptyListOf(genD).map(_.take(16)), genProbe) { (vs, f) =>
+      // the writer-canonical cell strings and the cmp-minimal envelope,
+      // exactly as a real write records them
+      val cells = vs.map(v => (v + 0.0d).toString)
+      def c(a: String, b: String) =
+        GraftSinkScan.cmpStats(org.apache.spark.sql.types.DoubleType, a, b)
+      val mn = cells.reduce((a, b) => if (c(a, b) <= 0) a else b)
+      val mx = cells.reduce((a, b) => if (c(a, b) >= 0) a else b)
+      val m = sources.GraftFileMeta("f", vs.length.toLong, 1,
+        Map(0 -> (mn, mx)), None, nulls = Some(Map(0 -> 0L)))
+      val anyMatch = vs.exists(sat(_, f))
+      val allMatch = vs.forall(sat(_, f))
+      (!anyMatch || GraftSinkScan.mayMatch(m, layout, f)) &&
+      (!GraftSinkScan.mustMatchAll(m, layout, f) || allMatch)
+    }, n = 4000)
+  }
+
   test("manifest envelope roundtrip: a real write's stats contain every row (e2e)") {
     val rnd = new scala.util.Random(14)
     val params = org.scalacheck.Gen.Parameters.default
