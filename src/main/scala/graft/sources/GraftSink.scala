@@ -2150,15 +2150,28 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
 
   /** TABLE PROPERTIES (round 14): the head's `#prop=` facts, surfaced so
     * SHOW TBLPROPERTIES / DESCRIBE EXTENDED and catalog tooling read the
-    * durable table metadata (O(header)). */
-  override def properties(): java.util.Map[String, String] = {
-    val m = new java.util.HashMap[String, String]()
-    versionAsOf.orElse(GraftManifest.versions(path).lastOption)
-      .map(v => GraftManifest.headerFacts(path, v).props)
-      .getOrElse(Map.empty)
-      .foreach { case (k, v) => m.put(k, v) }
-    m
-  }
+    * durable table metadata. Memoized per resolved version (ADVICE r14):
+    * Spark calls Table.properties() repeatedly during analysis, and the
+    * header-facts read is O(header) IO — cache it like the scan pins its
+    * plannedManifest. A head table still re-lists versions (cheap, and
+    * required for freshness) but re-parses the header only when the
+    * resolved version moves. */
+  @volatile private var propsCache: Option[(Int, java.util.Map[String, String])] = None
+  override def properties(): java.util.Map[String, String] =
+    versionAsOf.orElse(GraftManifest.versions(path).lastOption) match {
+      case None => java.util.Collections.emptyMap()
+      case Some(v) =>
+        propsCache match {
+          case Some((cv, cached)) if cv == v => cached
+          case _ =>
+            val m = new java.util.HashMap[String, String]()
+            GraftManifest.headerFacts(path, v).props
+              .foreach { case (k, x) => m.put(k, x) }
+            val ro = java.util.Collections.unmodifiableMap(m)
+            propsCache = Some((v, ro))
+            ro
+        }
+    }
 
   /** `_file` + `_pos` ([[SupportsMetadataColumns]]): the physical row
     * identity. Non-nullable by contract — the merge-on-read write path
@@ -5570,6 +5583,16 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       } else if (!row.isNullAt(i) && cenIdx.contains(i) && !p.cenBad(i)) {
         try {
           val arr = row.getArray(i)
+          // toDoubleArray/toFloatArray read a NULL element as 0.0, not a
+          // throw (ADVICE r14) — a null-bearing vector would silently
+          // skew the stored mean and degrade annProbe routing recall, so
+          // poison the fact explicitly on the first null element.
+          var e = 0
+          while (e < arr.numElements()) {
+            if (arr.isNullAt(e)) throw new IllegalStateException(
+              "null vector element poisons the centroid fact")
+            e += 1
+          }
           val v: Array[Double] = schema.fields(i).dataType match {
             case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
               arr.toFloatArray.map(_.toDouble)

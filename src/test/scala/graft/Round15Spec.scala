@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftManifest
+
+/** Round-15 gate: the ADVICE r14 hardenings (zorder DATE/NTZ ranking,
+  * centroid null-element poisoning, Table.properties memoization) and the
+  * VERDICT r14 scale fixes (editdist probe-panel cap, winnowSel memo). */
+class Round15Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("zorder_by on a DATE column completes (ADVICE r14)") {
+    // DATE passes the type gate but cannot cast directly to DOUBLE —
+    // before the numSql unix_date hop, approx_percentile died with an
+    // AnalysisException instead of ranking the dimension. (TIMESTAMP_NTZ
+    // takes the same hop in numSql, but the sink stores no NTZ columns,
+    // so DATE is the reachable repro.)
+    val root = tmp("graft_r15_zdate")
+    spark.conf.set("spark.sql.catalog.g15z", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15z.root", root)
+    val dir = s"$root/db/t"
+    spark.range(0, 400).toDF("id")
+      .select(col("id").as("a"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("id").cast("int")).as("d"))
+      .repartition(4)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    spark.sql("CALL g15z.system.optimize('db.t', 4, 'd,a')").collect()
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    assert(t.count() == 400)
+    // the curve shapes locality: an early-date probe prunes to a strict
+    // subset of the 4 rewritten files
+    val probed = t.where(col("d") < java.sql.Date.valueOf("2024-02-01"))
+    assert(probed.count() == 31)
+    assert(probed.rdd.getNumPartitions < 4,
+      "a date-range probe on the date-led curve must prune files")
+  }
+
+  test("editdist probe panel is a fixed constant, not a corpus fraction (VERDICT r14)") {
+    // At sf0.01 (500 docs) the mod-50 panel is 10 probes — under the cap,
+    // results identical to the uncapped shape. At sf0.1 (5000 docs) the
+    // uncapped panel would be 100 probes; the cap pins it at 64, making
+    // total candidate work O(64·n) — linear, not O(n²/250).
+    val small = graft.ops.Pipeline.textEditdistTopk(spark, sf001)
+      .select("doc_a").distinct().count()
+    assert(small == 10, s"sf0.001-scale panel should be n/50 = 10, got $small")
+    val big = graft.ops.Pipeline.textEditdistTopk(spark, "/root/testdata/sf0.1")
+      .select("doc_a").distinct().count()
+    assert(big == graft.ops.Pipeline.EditdistProbeCap,
+      s"sf0.1 panel must cap at 64 probes (uncapped would be 100), got $big")
+  }
+
+  test("winnow fingerprint kernel is computed once per (session, sf) (VERDICT r14)") {
+    val a = graft.ops.Text.winnowSel(spark, sf001)
+    val b = graft.ops.Text.winnowSel(spark, sf001)
+    assert(a eq b, "winnowSel must memoize — text_winnow_fingerprint and " +
+      "dedup_winnow_pairs otherwise run the posexplode+window pass twice")
+    // and the two consumers still agree with each other on the shared set
+    val pairs = graft.ops.Text.dedupWinnowPairs(spark, sf001)
+    val report = graft.ops.Text.textWinnowFingerprint(spark, sf001)
+    assert(report.count() > 0 && pairs.columns.toSeq ==
+      Seq("doc_a", "doc_b", "n_shared_fp"))
+  }
+
+  test("a null vector element poisons the per-file centroid fact (ADVICE r14)") {
+    // toDoubleArray reads a null element as 0.0 — without the explicit
+    // isNullAt sweep the stored mean silently skews and annProbe routing
+    // recall degrades. Poisoned file: no #centroid fact, always planned.
+    val dir = tmp("graft_r15_cennull")
+    import spark.implicits._
+    val clean = (0 until 10).map(i => (i.toLong,
+      Array.fill(4)(java.lang.Double.valueOf(1.0 + i * 0.01))))
+    val dirty = (10 until 20).map(i => (i.toLong,
+      Array[java.lang.Double](java.lang.Double.valueOf(-1.0), null,
+        java.lang.Double.valueOf(-1.0), java.lang.Double.valueOf(-1.0))))
+    clean.toDF("id", "v").coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("centroidFor", "v").mode("overwrite").save()
+    dirty.toDF("id", "v").coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("centroidFor", "v").mode("append").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    val withFact = head.metas.count(_.centroids.contains(1))
+    assert(withFact == 1,
+      s"the null-bearing file must carry NO centroid fact, got $withFact of 2")
+    // conservatism: the factless file is always planned, so a probe far
+    // from the clean cluster still reads every dirty row
+    val got = spark.read.format("graft-sink").option("path", dir)
+      .option("annProbe", "-1.0,-1.0,-1.0,-1.0")
+      .option("annNprobe", "1").option("annCol", "v").load()
+    assert(got.where(col("id") >= 10L).count() == 10,
+      "a factless file must survive ANN routing (absence is no claim)")
+  }
+
+  test("Table.properties() memoizes per resolved version (ADVICE r14)") {
+    val root = tmp("graft_r15_props")
+    spark.conf.set("spark.sql.catalog.g15p", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15p.root", root)
+    spark.sql("CREATE TABLE g15p.db.t (a BIGINT) TBLPROPERTIES ('k'='v1')")
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "t")
+    val cat = spark.sessionState.catalogManager.catalog("g15p")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val t = cat.loadTable(ident)
+    val p1 = t.properties()
+    assert(p1.get("k") == "v1")
+    assert(t.properties() eq p1,
+      "repeat properties() at one head version must return the cached map")
+    // a property commit moves the head — the same instance re-resolves
+    spark.sql("ALTER TABLE g15p.db.t SET TBLPROPERTIES ('k'='v2')")
+    assert(cat.loadTable(ident).properties().get("k") == "v2")
+  }
+}
