@@ -3704,6 +3704,59 @@ object Scale {
       .orderBy(col("doc_id"))
   }
 
+  /** Hash-scattered string fixture (doc_id, ck = md5(doc_id)): written
+    * round-robin, so every file's min/max envelope spans the hex domain
+    * and NO envelope can prune a prefix probe — the layout where only
+    * the prefix bloom helps. `indexed=true` writes `prefixBloomFor=ck:4`.
+    * Built once per (JVM, sf). */
+  private def pbloomTable(spark: SparkSession, sf: String,
+      indexed: Boolean): String = {
+    val dir = tmpDir(if (indexed) "pbloomy" else "pbloomn", sf)
+    graft.util.Scratch.once(dir) {
+      val d = documents(spark, sf)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("ck"))
+        .repartition(4)
+      val w = d.write.format("graft-sink").option("path", dir)
+        .option("distributionMode", "none").mode("overwrite")
+      (if (indexed) w.option("prefixBloomFor", "ck:4") else w).save()
+    }
+    dir
+  }
+
+  /** PREFIX-BLOOM FILE SKIPPING on an UNSORTED layout (round 15, VERDICT
+    * r14 next #3): `#bstats`/`#stats` envelopes prune prefix probes only
+    * when the layout clusters the column — on a hash-scattered 100 TB
+    * string column every file spans the domain and `LIKE 'p%'` plans
+    * everything. The per-file PREFIX bloom (`prefixBloomFor=ck:4`, fixed
+    * 4-char prefixes hashed into the `#pbloom` manifest fact) restores
+    * the skip: a file survives only if the probe's 4-prefix is in its
+    * prefix set. REQUIREd: the un-indexed control plans all files, the
+    * indexed layout plans strictly fewer; rows fully oracled (md5 is
+    * identical on both engines; 'c4ca42' = md5('1').take(6), so doc 1
+    * is the guaranteed match). */
+  def scanPrefixBloom(spark: SparkSession, sf: String): DataFrame = {
+    val dir = pbloomTable(spark, sf, indexed = true)
+    val ctl = pbloomTable(spark, sf, indexed = false)
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    val nFiles = head.metas.size
+    require(nFiles == 4, s"fixture: want 4 scattered files, got $nFiles")
+    val ckIdx = 1 // (doc_id, ck)
+    require(head.metas.forall(m => m.pblooms.get(ckIdx).exists(_._1 == 4)),
+      "every file must carry the width-4 ck prefix bloom")
+    def probe(d: String): DataFrame =
+      spark.read.format("graft-sink").option("path", d).load()
+        .where(col("ck").startsWith("c4ca42"))
+    val control = graftScanParts(probe(ctl))
+    require(control == nFiles,
+      s"scattered control must plan all $nFiles files, planned $control")
+    val planned = graftScanParts(probe(dir))
+    require(planned < nFiles,
+      s"prefix bloom must prune the scattered layout: $planned of $nFiles")
+    probe(dir).withColumn("n_files", lit(nFiles.toLong))
+      .withColumn("pruned", lit((planned < nFiles).toString))
+      .orderBy(col("doc_id"))
+  }
+
   /** COMPOUND SORT LAYOUT (`sortBy=lang,doc_id`, round 13): the write
     * range-distributes on the KEY PAIR — files tile the compound key, so
     * the leading-key envelopes stay disjoint (touching only at boundary
@@ -4504,6 +4557,7 @@ object Scale {
     "sink_documents_versioned" -> sinkDocumentsVersioned,
     "scan_text_range_prune" -> scanTextRangePrune,
     "scan_text_prefix_prune" -> scanTextPrefixPrune,
+    "scan_prefix_bloom" -> scanPrefixBloom,
     "scan_fp_special" -> scanFpSpecial,
     "scan_topn_text" -> scanTopnText,
     "scan_text_minmax" -> scanTextMinmax,
@@ -4681,6 +4735,13 @@ object Scale {
         |  CAST(4 AS BIGINT) AS n_files, 'true' AS pruned
         |FROM documents
         |WHERE starts_with(text || ' | ' || text, 'me')
+        |ORDER BY doc_id""".stripMargin,
+
+    "scan_prefix_bloom" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ck,
+        |  CAST(4 AS BIGINT) AS n_files, 'true' AS pruned
+        |FROM documents
+        |WHERE starts_with(md5(CAST(doc_id AS VARCHAR)), 'c4ca42')
         |ORDER BY doc_id""".stripMargin,
 
     "sink_sorted_multi" ->

@@ -1118,9 +1118,17 @@ private[sources] object GraftMaintenance {
     val blooms = cols(_.blooms.keys)
     val ndvs = cols(_.ndvs.keys)
     val cens = cols(_.centroids.keys)
+    // prefix blooms carry their width: first fact wins per column (all
+    // writers of one table option the same width in practice; a mixed
+    // history converges on the rewrite)
+    val pbls: Seq[String] = head.metas.flatMap(_.pblooms.toSeq)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (i, ws) =>
+        fields.lift(i).map(f => s"${f.name}:${ws.head._2._1}") }
     val w1 = if (blooms.nonEmpty) w.option("bloomFor", blooms.mkString(",")) else w
     val w2 = if (ndvs.nonEmpty) w1.option("ndvFor", ndvs.mkString(",")) else w1
-    if (cens.nonEmpty) w2.option("centroidFor", cens.mkString(",")) else w2
+    val w3 = if (cens.nonEmpty) w2.option("centroidFor", cens.mkString(",")) else w2
+    if (pbls.nonEmpty) w3.option("prefixBloomFor", pbls.mkString(",")) else w3
   }
 
   /** Incremental (small-files-only) compaction; see

@@ -177,7 +177,8 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
     seq: Int = 0,
     committed: Boolean = false,
     bounds: Set[Int] = Set.empty,
-    centroids: Map[Int, String] = Map.empty) {
+    centroids: Map[Int, String] = Map.empty,
+    pblooms: Map[Int, (Int, String)] = Map.empty) {
   /** Rows a scan of this file emits (physical minus deleted positions;
     * EQUALITY deletes are unresolved-at-commit and not discounted here —
     * see [[GraftEqDel]]). */
@@ -695,6 +696,8 @@ object GraftManifest {
     val sums = scala.collection.mutable.Map[String, Map[Int, Long]]()
     val blooms = scala.collection.mutable.Map[String, Map[Int, String]]()
       .withDefaultValue(Map.empty)
+    val pbls = scala.collection.mutable.Map[String, Map[Int, (Int, String)]]()
+      .withDefaultValue(Map.empty)
     val ndvs = scala.collection.mutable.Map[String, Map[Int, String]]()
       .withDefaultValue(Map.empty)
     val cens = scala.collection.mutable.Map[String, Map[Int, String]]()
@@ -797,6 +800,13 @@ object GraftManifest {
           case bad => throw new IllegalStateException(
             s"malformed #bloom line: '${bad.mkString(",")}'")
         }
+      case s if s.startsWith("#pbloom=") =>
+        s.stripPrefix("#pbloom=").split(",", 4) match {
+          case Array(f, i, w, b64) =>
+            pbls(f) = pbls(f) + (i.toInt -> (w.toInt, b64))
+          case bad => throw new IllegalStateException(
+            s"malformed #pbloom line: '${bad.mkString(",")}'")
+        }
       case s if s.startsWith("#ndv=") =>
         s.stripPrefix("#ndv=").split(",", 3) match {
           case Array(f, i, b64) => ndvs(f) = ndvs(f) + (i.toInt -> b64)
@@ -822,7 +832,7 @@ object GraftManifest {
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f),
         nulls.get(f), dvs.get(f), sums.get(f), blooms(f), ndvs(f),
         seqs.getOrElse(f, 0), committed = true, bounds = boundCols(f),
-        centroids = cens(f))
+        centroids = cens(f), pblooms = pbls(f))
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
       ids, checks.result(), partSpec, sortSpec, format, eqDels.result(),
@@ -977,6 +987,11 @@ object GraftManifest {
           .sortBy(_._1).map { case (i, v) => s"$i:$v" }.mkString(";")).toSeq ++
         m.blooms.toSeq.sortBy(_._1).map { case (i, b64) =>
           s"#bloom=${m.name},$i,$b64" } ++
+        // fixed-width PREFIX bloom (round 15): hashes of the first `w`
+        // chars of every value of length >= w — `LIKE 'p%'` skipping on
+        // layouts the envelopes can't prune (hash-scattered strings)
+        m.pblooms.toSeq.sortBy(_._1).map { case (i, (w, b64)) =>
+          s"#pbloom=${m.name},$i,$w,$b64" } ++
         m.ndvs.toSeq.sortBy(_._1).map { case (i, b64) =>
           s"#ndv=${m.name},$i,$b64" } ++
         // per-file vector centroid (round 14): base64 little-endian
@@ -1878,6 +1893,11 @@ object GraftCheck {
   * invalidate a bloom (it may only over-approximate the live set). */
 object GraftBloom {
   private val K = 6
+  /** Default `prefixBloomFor` width (chars): 4 is wide enough that a
+    * real LIKE-'p%' probe usually reaches it, narrow enough that the
+    * per-file distinct-prefix set stays small (the bloom sizes by
+    * DISTINCT hashes, so a 4-char prefix set costs ~2 bytes/distinct). */
+  val DefaultPrefixWidth = 4
   def hash(s: String): Long = {
     // FNV-1a 64 over UTF-8 bytes
     var h = 0xcbf29ce484222325L
@@ -2404,6 +2424,36 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
               s"graft-sink: bloomFor supports long/string, got $dt for '$c'")
           }
         }
+        // PREFIX BLOOMS (`prefixBloomFor=col[:width],...`, round 15):
+        // per-(file, column) bloom of each value's first `width` chars
+        // (default 4) — `LIKE 'p%'` file skipping on layouts the stats
+        // envelopes can't prune (hash-scattered strings, where every
+        // file's min/max spans the domain). String columns only; sound
+        // because a value can start with probe p (|p| >= w) only if its
+        // own w-prefix equals p's w-prefix.
+        private val prefixBloomFor: Seq[(String, Int)] =
+          Option(opts.get("prefixBloomFor")).filter(_.nonEmpty)
+            .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+            .map { spec =>
+              spec.split(":") match {
+                case Array(c) => (c, GraftBloom.DefaultPrefixWidth)
+                case Array(c, w) if scala.util.Try(w.toInt).toOption
+                    .exists(x => x >= 1 && x <= 64) => (c, w.toInt)
+                case _ => throw new IllegalArgumentException(
+                  s"graft-sink: prefixBloomFor entry '$spec' must be " +
+                    "col or col:width with width in 1..64")
+              }
+            }
+        prefixBloomFor.foreach { case (c, _) =>
+          val i = scala.util.Try(info.schema().fieldIndex(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-sink: prefixBloomFor column '$c' not in write schema"))
+          info.schema().fields(i).dataType match {
+            case StringType => ()
+            case dt => throw new IllegalArgumentException(
+              s"graft-sink: prefixBloomFor supports string only, got $dt for '$c'")
+          }
+        }
         // NDV SKETCHES (`ndvFor=col,...` or `*`): per-(file, column)
         // HyperLogLog registers in the commit message ([[GraftHll]]) —
         // write-time distinct counts the scan merges and reports as
@@ -2528,7 +2578,7 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
             wapStage = wapStage, bloomFor = bloomFor, ndvFor = ndvFor,
             sortCol = sortCol, format = fileFormat, upsertKey = upsertKeyOpt,
             rowGroupBytes = rowGroupBytes, centroidFor = centroidFor,
-            autoOpt = autoOpt)
+            autoOpt = autoOpt, prefixBloomFor = prefixBloomFor)
         override def toStreaming: StreamingWrite = {
           val versioned = Option(opts.get("commitVersions")).exists(_.toBoolean)
           // partCol includes the declared-spec default: a streaming
@@ -3681,6 +3731,21 @@ object GraftSinkScan {
         vs.exists(v => GraftBloom.mightContain(b64, canon(dt, v))))
       case _ => true
     }
+    // per-file PREFIX bloom probe (round 15): a value can start with p
+    // (|p| >= w) only if its own w-char prefix equals p's — if p's
+    // w-prefix is absent from the file's prefix set, no row matches.
+    // Probes SHORTER than the width stay conservative (many stored
+    // prefixes extend them); char slicing is identical on both sides
+    // (the writer hashed value.substring(0, w)), so a split surrogate
+    // pair slices the same way in probe and cell. Equality/IN probes
+    // reuse it: v itself is a p with |p| = |v|.
+    def pbloomOk(c: String, ps: Iterable[String]): Boolean = col(c).forall {
+      case (i, StringType) => meta.pblooms.get(i).forall { case (w, b64) =>
+        ps.exists(p => p.length < w ||
+          GraftBloom.mightContain(b64, p.substring(0, w)))
+      }
+      case _ => true
+    }
     f match {
       case And(l, r) => mayMatch(meta, layout, l) && mayMatch(meta, layout, r)
       case Or(l, r)  => mayMatch(meta, layout, l) || mayMatch(meta, layout, r)
@@ -3711,7 +3776,7 @@ object GraftSinkScan {
       // order disagrees with cmpUtf8 INSIDE the surrogate range, so succ
       // of an invalid prefix can sort BELOW its own matches. The mx >= p
       // conjunct stays sound for ANY p (char-prefix ⇒ v >= p).
-      case StringStartsWith(c, p) => !allNull(c) &&
+      case StringStartsWith(c, p) => !allNull(c) && pbloomOk(c, Seq(p)) &&
         range(c).forall { case (dt, mn, mx) =>
           cmp(dt, mx, p) >= 0 &&
           (!GraftSinkWriter.pairedSurrogates(p) ||
@@ -3719,6 +3784,8 @@ object GraftSinkScan {
               .forall(u => cmp(dt, mn, u) < 0)) }
       case EqualTo(c, v) => !allNull(c) && bucketOk(c, Seq(v)) &&
         bloomOk(c, Seq(v)) &&
+        col(c).forall { case (_, dt) => dt != StringType ||
+          pbloomOk(c, Seq(canon(dt, v))) } &&
         range(c).forall { case (dt, mn, mx) =>
           cmp(dt, canon(dt, v), mn) >= 0 && cmp(dt, canon(dt, v), mx) <= 0 }
       case GreaterThan(c, v) => !allNull(c) && range(c).forall { case (dt, _, mx) =>
@@ -3735,6 +3802,8 @@ object GraftSinkScan {
         val vs = vs0.filter(_ != null)
         vs.nonEmpty && !allNull(c) && bucketOk(c, vs.toSeq) &&
         bloomOk(c, vs.toSeq) &&
+        col(c).forall { case (_, dt) => dt != StringType ||
+          pbloomOk(c, vs.toSeq.map(v => canon(dt, v))) } &&
         range(c).forall { case (dt, mn, mx) =>
           vs.exists(v => cmp(dt, canon(dt, v), mn) >= 0 && cmp(dt, canon(dt, v), mx) <= 0) }
       // null counts sharpen both null predicates: IS NOT NULL also drops a
@@ -4622,7 +4691,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     rowGroupBytes: Option[Int] = None,
     centroidFor: Seq[String] = Nil,
     autoOpt: Option[GraftAutoOptimize] = None,
-    propsSet: Option[Map[String, String]] = None) extends BatchWrite {
+    propsSet: Option[Map[String, String]] = None,
+    prefixBloomFor: Seq[(String, Int)] = Nil) extends BatchWrite {
   /** Writer factory — resolved at JOB START on the driver, including the
     * head's CHECK constraints: every task writer enforces them per row,
     * so a violating batch aborts before any manifest commit (nothing
@@ -4631,7 +4701,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     new GraftSinkWriterFactory(path, schema, tag, partCol,
       GraftManifest.versions(path).lastOption
         .map(v => GraftManifest.headerFacts(path, v).checks).getOrElse(Nil),
-      bloomFor, ndvFor, format, upsertKey, rowGroupBytes, centroidFor)
+      bloomFor, ndvFor, format, upsertKey, rowGroupBytes, centroidFor,
+      prefixBloomFor)
 
   /** Job commit: the atomic point. Only files named by task commits enter
     * the manifest; half-written .tmp files are invisible to readers. */
@@ -5061,13 +5132,13 @@ class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
     bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
     format: String = GraftFormat.Default,
     upsertKey: Option[String] = None, rowGroupBytes: Option[Int] = None,
-    centroidFor: Seq[String] = Nil)
+    centroidFor: Seq[String] = Nil, prefixBloomFor: Seq[(String, Int)] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-",
       partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor,
       format = format, upsertKey = upsertKey, rowGroupBytes = rowGroupBytes,
-      centroidFor = centroidFor)
+      centroidFor = centroidFor, prefixBloomFor = prefixBloomFor)
 }
 
 /** Named (serializable) streaming factory — an anonymous class here would
@@ -5339,7 +5410,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     checks: Seq[(String, String)] = Nil, bloomFor: Seq[String] = Nil,
     ndvFor: Seq[String] = Nil, format: String = GraftFormat.Default,
     upsertKey: Option[String] = None, rowGroupBytes: Option[Int] = None,
-    centroidFor: Seq[String] = Nil)
+    centroidFor: Seq[String] = Nil, prefixBloomFor: Seq[(String, Int)] = Nil)
     extends DataWriter[InternalRow] {
   new File(path).mkdirs()
   private val fileSuffix = GraftFormat.suffix(format) // validates the name
@@ -5362,6 +5433,11 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     * pre-evolution schema simply blooms the columns it carries). */
   private val bloomIdx: Array[Int] = bloomFor
     .flatMap(c => scala.util.Try(schema.fieldIndex(c)).toOption).toArray
+  /** Prefix-bloomed columns: layout index → prefix width (validated
+    * string at plan time; same narrower-schema tolerance as bloomIdx). */
+  private val pbloomIdx: Map[Int, Int] = prefixBloomFor
+    .flatMap { case (c, w) =>
+      scala.util.Try(schema.fieldIndex(c)).toOption.map(_ -> w) }.toMap
   private val ndvIdx: Array[Int] = ndvFor
     .flatMap(c => scala.util.Try(schema.fieldIndex(c)).toOption)
     // `ndvFor=*` may sweep in array columns — they have no canonical cell
@@ -5446,6 +5522,11 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     // the sized filter is built once at task commit
     val bloomHashes: Map[Int, scala.collection.mutable.ArrayBuffer[Long]] =
       bloomIdx.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Long]).toMap
+    // prefix hash log per prefix-bloomed column; values SHORTER than the
+    // width contribute nothing (they can never match a probe of length
+    // >= width, so their absence stays sound)
+    val pbloomHashes: Map[Int, scala.collection.mutable.ArrayBuffer[Long]] =
+      pbloomIdx.keys.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Long]).toMap
     // fixed 2 KB of HLL registers per sketched column, updated per cell
     val ndvRegs: Map[Int, Array[Byte]] =
       ndvIdx.map(_ -> GraftHll.emptyRegisters()).toMap
@@ -5579,6 +5660,10 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
           catch { case _: ArithmeticException => p.sumOk(i) = false }
         }
         p.bloomHashes.get(i).foreach(_ += GraftBloom.hash(cells(i)))
+        p.pbloomHashes.get(i).foreach { hs =>
+          val w = pbloomIdx(i)
+          if (cells(i).length >= w) hs += GraftBloom.hash(cells(i).substring(0, w))
+        }
         p.ndvRegs.get(i).foreach(GraftHll.update(_, GraftBloom.hash(cells(i))))
       } else if (!row.isNullAt(i) && cenIdx.contains(i) && !p.cenBad(i)) {
         try {
@@ -5661,6 +5746,11 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         .filter(p.sumOk(_)).map(i => i -> p.sums(i)).toMap
       val blooms = p.bloomHashes.collect { case (i, hs) if hs.nonEmpty =>
         i -> GraftBloom.build(hs.toArray) }
+      // an empty prefix set (all values shorter than the width, or all
+      // null) still emits the fact: "this file holds NO value of length
+      // >= w", which prunes every |p| >= w prefix probe exactly
+      val pbls = p.pbloomHashes.map { case (i, hs) =>
+        i -> (pbloomIdx(i), GraftBloom.build(hs.toArray)) }.toMap
       // an all-null column emits NO sketch (an empty sketch would clamp
       // to distinctCount=1; absence reports nothing — the safer fact)
       val ndvs = p.ndvRegs.collect {
@@ -5675,7 +5765,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       }.toMap
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
         partName.map(_ -> value), Some(nulls), None, Some(sums), blooms, ndvs,
-        bounds = boundIdx.result(), centroids = cens)
+        bounds = boundIdx.result(), centroids = cens, pblooms = pbls)
     }.toSeq
     // upsert mode: this task's key set lands as one equality-delete
     // sidecar (same tmp → rename task-commit discipline as data parts)

@@ -193,6 +193,44 @@ class BoundsFuzzSpec extends AnyFunSuite {
     }, n = 2000)
   }
 
+  test("prefix-bloom pruning is sound for startsWith/equality/IN (round 15)") {
+    // A #pbloom fact must NEVER drop a file holding a match: any value
+    // that starts with probe p (|p| >= w) shares p's w-char prefix, which
+    // the writer hashed; equality/IN probes are prefixes of themselves.
+    // Fuzzed with full-Unicode values (astral chars exercise the split-
+    // surrogate slicing, identical on writer and prober) and widths
+    // across the 1..8 range, against a brute-force reference.
+    import org.apache.spark.sql.sources.{EqualTo, In, StringStartsWith}
+    import org.apache.spark.sql.types.StructType
+    val layout = StructType.fromDDL("v STRING")
+    val genFile: Gen[List[String]] = Gen.nonEmptyListOf(genValid).map(_.take(24))
+    val genW: Gen[Int] = Gen.oneOf(1, 2, 4, 8)
+    def genProbe(vs: List[String]): Gen[String] = Gen.frequency(
+      3 -> Gen.oneOf(vs).flatMap(v =>
+        Gen.choose(0, v.length).map(v.substring(0, _))),
+      2 -> Gen.oneOf(vs), // exact value (equality case)
+      2 -> genValid,
+      1 -> Gen.const(""))
+    check("pbloom-prune", forAll(for {
+      vs <- genFile; w <- genW; p <- genProbe(vs)
+    } yield (vs, w, p)) { case (vs, w, p) =>
+      // the writer's accumulation, verbatim: prefixes of values of
+      // length >= w only
+      val hashes = vs.filter(_.length >= w)
+        .map(v => sources.GraftBloom.hash(v.substring(0, w))).toArray
+      val meta = sources.GraftFileMeta("f", vs.length.toLong, 1,
+        Map.empty, None, nulls = Some(Map(0 -> 0L)),
+        pblooms = Map(0 -> (w, sources.GraftBloom.build(hashes))))
+      val anyPrefix = vs.exists(_.startsWith(p))
+      val anyEqual = vs.contains(p)
+      (!anyPrefix ||
+        GraftSinkScan.mayMatch(meta, layout, StringStartsWith("v", p))) &&
+      (!anyEqual ||
+        (GraftSinkScan.mayMatch(meta, layout, EqualTo("v", p)) &&
+         GraftSinkScan.mayMatch(meta, layout, In("v", Array("zz_miss", p)))))
+    }, n = 2000)
+  }
+
   test("double envelopes: pruning/proof sound under SPARK comparison semantics") {
     // The fp counterpart of the prefix property, written after the
     // round-14 zero-sign bug: random doubles BIASED to the special values

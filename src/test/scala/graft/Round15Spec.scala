@@ -96,6 +96,52 @@ class Round15Spec extends AnyFunSuite {
       "a factless file must survive ANN routing (absence is no claim)")
   }
 
+  test("#pbloom facts: roundtrip, short-value exactness, and OPTIMIZE carry") {
+    val root = tmp("graft_r15_pbloom")
+    spark.conf.set("spark.sql.catalog.g15b", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15b.root", root)
+    val dir = s"$root/db/t"
+    import spark.implicits._
+    // two files: one of md5-shaped strings, one whose values are ALL
+    // shorter than the width — its (empty) prefix set prunes every
+    // |p| >= w probe exactly
+    (0 until 50).map(i => (i.toLong, f"key_$i%03d_payload")).toDF("id", "ck")
+      .coalesce(1).write.format("graft-sink").option("path", dir)
+      .option("prefixBloomFor", "ck:4").mode("overwrite").save()
+    (50 until 100).map(i => (i.toLong, "ab")).toDF("id", "ck")
+      .coalesce(1).write.format("graft-sink").option("path", dir)
+      .option("prefixBloomFor", "ck:4").mode("append").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.metas.size == 2 &&
+      head.metas.forall(_.pblooms.get(1).exists(_._1 == 4)),
+      s"want 2 pbloom-bearing files, got ${head.metas.map(_.pblooms.keySet)}")
+    def t() = spark.read.format("graft-sink").option("path", dir).load()
+    def parts(df: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputRDD.getNumPartitions }.sum
+    }
+    // a 4+-char probe prunes the short-value file AND any file whose
+    // prefix set misses it; 'key_' hits only file 1
+    val hit = t().where(col("ck").startsWith("key_0"))
+    assert(parts(hit) == 1, "prefix probe must plan only the matching file")
+    assert(hit.count() == 50)
+    // a probe matching NOTHING prunes both files (short values can never
+    // match a probe longer than themselves)
+    assert(parts(t().where(col("ck").startsWith("zzzz"))) == 0,
+      "a missing 4-prefix must prune every file")
+    // a SHORT probe (under the width) stays conservative — and correct
+    assert(t().where(col("ck").startsWith("ab")).count() == 50)
+    // equality probes reuse the prefix set
+    assert(parts(t().where(col("ck") === "wxyz_nope")) == 0,
+      "an equality probe with an absent 4-prefix must prune every file")
+    // OPTIMIZE carries the index to its rewritten files
+    spark.sql("CALL g15b.system.optimize('db.t', 1)").collect()
+    val after = GraftManifest.readVersion(dir, None).get
+    assert(after.metas.forall(_.pblooms.get(1).exists(_._1 == 4)),
+      "OPTIMIZE must re-record #pbloom (width kept) for its fresh files")
+  }
+
   test("Table.properties() memoizes per resolved version (ADVICE r14)") {
     val root = tmp("graft_r15_props")
     spark.conf.set("spark.sql.catalog.g15p", classOf[graft.sources.GraftCatalog].getName)
