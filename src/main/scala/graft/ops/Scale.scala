@@ -3325,8 +3325,17 @@ object Scale {
     val head = graft.sources.GraftManifest.readVersion(dir, None).get
     require(head.metas.forall(_.stats.contains(0)),
       "the long key keeps exact stats next to wide columns")
-    require(head.metas.forall(m => !m.stats.contains(1) && !m.stats.contains(2)),
-      s"wide decimal and array<struct> must WITHHOLD stats: ${head.metas.map(_.stats)}")
+    // round 15 (VERDICT r14 next #4): wide decimal is now STATABLE — its
+    // canonical cell is the exact plain string, so min/max envelopes
+    // cover decimal(38,6); the >19-digit unscaled values of THIS fixture
+    // overflow the Long `#sums` fact, which must be WITHHELD (unknown,
+    // never wrong) — both facts pinned here
+    require(head.metas.forall(_.stats.contains(1)),
+      s"wide decimal must keep exact stats: ${head.metas.map(_.stats)}")
+    require(head.metas.forall(m => m.sums.forall(!_.contains(1))),
+      s"overflowing wide-decimal sums must be withheld: ${head.metas.map(_.sums)}")
+    require(head.metas.forall(m => !m.stats.contains(2)),
+      s"array<struct> must WITHHOLD stats: ${head.metas.map(_.stats)}")
     spark.read.format("graft-sink").option("path", dir).load()
       .select(col("event_id"),
         // compare the wide value as its EXACT decimal text (the parity
@@ -4439,6 +4448,66 @@ object Scale {
       col("sum_price").cast("double").as("sum_price"))
   }
 
+  /** WIDE-DECIMAL (38,6) STATS, PRUNING AND PUSHDOWN (round 15, VERDICT
+    * r14 next #4): decimal(>18) columns — parquet FLBA physical — now
+    * carry the full fact surface. The canonical cell is the exact plain
+    * string at the column's scale (no binary sign-flip trick needed: the
+    * stats comparator is TYPED, BigDecimal, not byte-wise), so `#stats`
+    * envelopes prune range probes and `#sums` (Long of unscaled
+    * micro-units, overflow → withheld) answers SUM exactly. Fixture:
+    * orders' totalprice as decimal(38,6), range-clustered 4 ways on the
+    * money column — the finance-lake layout. REQUIREd: every file
+    * carries exact stats AND a sums fact for the wide column; a
+    * bottom-band range probe plans strictly fewer files than the
+    * manifest holds; the unfiltered count/min/max/sum aggregate answers
+    * from the manifest (LocalTableScan, no BatchScan). Probe rows and
+    * the aggregate are both oracled — decimals compared as their exact
+    * string forms (the parity rule bans DECIMAL output columns). */
+  def sinkWideStats(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ttwstat", sf)
+    graft.util.Scratch.once(dir) {
+      orders(spark, sf)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(38,6)").as("price"))
+        .repartitionByRange(4, col("price"))
+        .write.format("graft-sink").option("path", dir)
+        .option("distributionMode", "none").mode("overwrite").save()
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    val nFiles = head.metas.size
+    require(nFiles == 4, s"fixture: want 4 range-clustered files, got $nFiles")
+    require(head.metas.forall(_.stats.contains(1)),
+      s"decimal(38,6) must carry exact stats: ${head.metas.map(_.stats)}")
+    require(head.metas.forall(_.sums.exists(_.contains(1))),
+      s"decimal(38,6) must carry unscaled sums: ${head.metas.map(_.sums)}")
+    def t(): DataFrame =
+      spark.read.format("graft-sink").option("path", dir).load()
+    // unfiltered dashboard aggregate: answers entirely from the manifest
+    val agg = t().agg(count(lit(1)).as("n"),
+      min(col("price")).as("min_p"), max(col("price")).as("max_p"),
+      sum(col("price")).as("sum_p"))
+    val plan = agg.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"decimal(38,6) count/min/max/sum must answer from the manifest:\n${plan.take(600)}")
+    val a = agg.select(col("n"),
+      col("min_p").cast("string"), col("max_p").cast("string"),
+      col("sum_p").cast("string")).head()
+    // bottom-band range probe on the clustered money column
+    val probe = t().where(col("price") < lit("5000").cast("decimal(38,6)"))
+    val planned = graftScanParts(probe)
+    require(planned < nFiles,
+      s"range probe must prune the price-clustered layout: $planned of $nFiles")
+    probe.select(col("o_orderkey"),
+      col("price").cast("string").as("price_str"))
+      .withColumn("n_files", lit(nFiles.toLong))
+      .withColumn("pruned", lit((planned < nFiles).toString))
+      .withColumn("total_n", lit(a.getLong(0)))
+      .withColumn("min_str", lit(a.getString(1)))
+      .withColumn("max_str", lit(a.getString(2)))
+      .withColumn("sum_str", lit(a.getString(3)))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** 3-DIMENSIONAL Z-ORDER WITH A TIMESTAMP DIMENSION (round 14, VERDICT
     * r13 next #6): `CALL optimize(..., zorder_by='event_id,user_id,ts')`
     * quantile-ranks each dimension (64 ranks via one approx_percentile
@@ -4541,6 +4610,7 @@ object Scale {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sorted_maintain" -> streamSortedMaintain,
     "sink_agg_pushdown_dec" -> sinkAggPushdownDec,
+    "sink_wide_stats" -> sinkWideStats,
     "meta_table_props" -> metaTableProps,
     "scan_zorder_3d" -> scanZorder3d,
     "sink_tag_travel" -> sinkTagTravel,
@@ -4667,6 +4737,20 @@ object Scale {
         |  max(o_orderkey) AS max_key,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders""".stripMargin,
+
+    "sink_wide_stats" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,6)) AS price
+        |  FROM orders)
+        |SELECT o_orderkey, CAST(price AS VARCHAR) AS price_str,
+        |  CAST(4 AS BIGINT) AS n_files, 'true' AS pruned,
+        |  (SELECT count(*) FROM w) AS total_n,
+        |  (SELECT CAST(min(price) AS VARCHAR) FROM w) AS min_str,
+        |  (SELECT CAST(max(price) AS VARCHAR) FROM w) AS max_str,
+        |  (SELECT CAST(CAST(sum(price) AS DECIMAL(38,6)) AS VARCHAR) FROM w)
+        |    AS sum_str
+        |FROM w WHERE price < CAST(5000 AS DECIMAL(38,6))
+        |ORDER BY o_orderkey""".stripMargin,
 
     "meta_table_props" ->
       """SELECT * FROM (VALUES ('quality.tier', 'platinum'),

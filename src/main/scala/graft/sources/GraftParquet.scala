@@ -438,7 +438,10 @@ object GraftParquet {
           case _                       => g.getLong(j, 0)
         }
         java.math.BigDecimal.valueOf(unscaled, d.scale).toPlainString
-      case _: DecimalType => GraftSinkWriter.NullCell // wide: non-statable
+      case d: DecimalType => // wide: FLBA two's-complement unscaled bytes
+        new java.math.BigDecimal(
+          new java.math.BigInteger(g.getBinary(j, 0).getBytes), d.scale)
+          .toPlainString
       case _: ArrayType | _: StructType | _: MapType | BinaryType =>
         GraftSinkWriter.NullCell
       case other => throw new IllegalArgumentException(

@@ -287,6 +287,70 @@ class BoundsFuzzSpec extends AnyFunSuite {
     }, n = 4000)
   }
 
+  test("wide-decimal envelopes: pruning/proof sound at any precision (round 15)") {
+    // decimal(38,6) cells are exact plain strings compared through
+    // BigDecimal (typed, not byte-wise) — fuzz the envelope the same way
+    // as doubles, biased to >19-digit unscaled magnitudes (past the Long
+    // fact) and to probe literals at a DIFFERENT scale than the cells
+    // (Spark may push a literal at any scale; BigDecimal cmp must not care)
+    import org.apache.spark.sql.sources.{EqualTo => FEq, GreaterThan => FGt,
+      GreaterThanOrEqual => FGe, In => FIn, LessThan => FLt,
+      LessThanOrEqual => FLe, Not => FNot}
+    import org.apache.spark.sql.types.StructType
+    val dt = org.apache.spark.sql.types.DecimalType(38, 6)
+    val layout = StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", dt)))
+    val genBd: Gen[java.math.BigDecimal] = Gen.frequency(
+      4 -> Gen.choose(-100000000L, 100000000L).map(
+        java.math.BigDecimal.valueOf(_, 6)),
+      3 -> (for { // wide: 20..32 digit unscaled values
+        digits <- Gen.choose(20, 32)
+        s <- Gen.listOfN(digits, Gen.numChar).map(_.mkString)
+        neg <- Gen.oneOf(true, false)
+      } yield new java.math.BigDecimal(
+        new java.math.BigInteger((if (neg) "-" else "") + s), 6)),
+      1 -> Gen.oneOf(java.math.BigDecimal.ZERO.setScale(6),
+        new java.math.BigDecimal("0.000001"),
+        new java.math.BigDecimal("-0.000001")))
+    // a probe literal at a coarser scale (what a CAST('5000' AS ...) or a
+    // plain integer literal pushes)
+    val genProbeVal: Gen[java.math.BigDecimal] = Gen.oneOf(
+      genBd, genBd.map(_.setScale(0, java.math.RoundingMode.DOWN)))
+    def sat(v: java.math.BigDecimal,
+        f: org.apache.spark.sql.sources.Filter): Boolean = f match {
+      case FEq(_, x: java.math.BigDecimal) => v.compareTo(x) == 0
+      case FGt(_, x: java.math.BigDecimal) => v.compareTo(x) > 0
+      case FGe(_, x: java.math.BigDecimal) => v.compareTo(x) >= 0
+      case FLt(_, x: java.math.BigDecimal) => v.compareTo(x) < 0
+      case FLe(_, x: java.math.BigDecimal) => v.compareTo(x) <= 0
+      case FIn(_, xs) => xs.exists(x =>
+        v.compareTo(x.asInstanceOf[java.math.BigDecimal]) == 0)
+      case FNot(g) => !sat(v, g) // no NULLs in this fixture: two-valued
+      case other => fail(s"unexpected filter $other")
+    }
+    val genProbe: Gen[org.apache.spark.sql.sources.Filter] = for {
+      x <- genProbeVal
+      y <- genProbeVal
+      f <- Gen.oneOf[org.apache.spark.sql.sources.Filter](
+        FEq("v", x), FGt("v", x), FGe("v", x), FLt("v", x), FLe("v", x),
+        FIn("v", Array[Any](x, y)), FNot(FEq("v", x)), FNot(FGe("v", x)))
+    } yield f
+    check("wide-decimal-envelopes", forAll(
+        Gen.nonEmptyListOf(genBd).map(_.take(16)), genProbe) { (vs, f) =>
+      // writer-canonical cells: plain string at the column's scale
+      val cells = vs.map(_.setScale(6).toPlainString)
+      def c(a: String, b: String) = GraftSinkScan.cmpStats(dt, a, b)
+      val mn = cells.reduce((a, b) => if (c(a, b) <= 0) a else b)
+      val mx = cells.reduce((a, b) => if (c(a, b) >= 0) a else b)
+      val m = sources.GraftFileMeta("f", vs.length.toLong, 1,
+        Map(0 -> (mn, mx)), None, nulls = Some(Map(0 -> 0L)))
+      val anyMatch = vs.exists(sat(_, f))
+      val allMatch = vs.forall(sat(_, f))
+      (!anyMatch || GraftSinkScan.mayMatch(m, layout, f)) &&
+      (!GraftSinkScan.mustMatchAll(m, layout, f) || allMatch)
+    }, n = 4000)
+  }
+
   test("manifest envelope roundtrip: a real write's stats contain every row (e2e)") {
     val rnd = new scala.util.Random(14)
     val params = org.scalacheck.Gen.Parameters.default

@@ -142,6 +142,69 @@ class Round15Spec extends AnyFunSuite {
       "OPTIMIZE must re-record #pbloom (width kept) for its fresh files")
   }
 
+  test("wide decimal(38,6) carries sound stats, sums and pruning (VERDICT r14 #4)") {
+    import spark.implicits._
+    val dir = tmp("graft_r15_wdec") + "/t"
+    // 2 files: negatives+nulls in one, a >19-digit-unscaled value in the
+    // other (its sums fact must be WITHHELD; its stats stay exact)
+    val rows = Seq(
+      (1L, "-7.250000"), (2L, null), (3L, "0.000000"),
+      (4L, "12345.678901"), (5L, "99999999999999.999999"),
+      (6L, "88.500000"))
+    def mk(r: Seq[(Long, String)], d: String): Unit =
+      r.toDF("id", "s")
+        .select(col("id"), col("s").cast("decimal(38,6)").as("p"))
+        .coalesce(1).write.format("graft-sink").option("path", d)
+        .mode(if (new java.io.File(d).exists) "append" else "overwrite").save()
+    mk(rows.take(3), dir); mk(rows.drop(3), dir)
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.metas.size == 2)
+    assert(head.metas.forall(_.stats.contains(1)),
+      s"both files must carry exact decimal stats: ${head.metas.map(_.stats)}")
+    val f1 = head.metas.find(_.stats(1)._1 == "-7.250000").get
+    val f2 = head.metas.find(_ ne f1).get
+    assert(f1.stats(1) == ("-7.250000", "0.000000"), s"exact envelope: ${f1.stats(1)}")
+    assert(f2.stats(1) ==
+      ("88.500000", "99999999999999.999999"),
+      s"wide envelope stays exact: ${f2.stats(1)}")
+    assert(f1.sums.exists(_.get(1).contains(-7250000L + 0L)),
+      s"file-1 unscaled sum must be exact: ${f1.sums}")
+    assert(f2.sums.forall(!_.contains(1)),
+      s"the >19-digit unscaled value must withhold the sum fact: ${f2.sums}")
+    def t() = spark.read.format("graft-sink").option("path", dir).load()
+    def parts(df: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputRDD.getNumPartitions }.sum
+    }
+    // range probe prunes the non-overlapping file, keeps the holder
+    val neg = t().where(col("p") < lit("0").cast("decimal(38,6)"))
+    assert(parts(neg) == 1 && neg.select("id").as[Long](spark.implicits.newLongEncoder)
+      .collect().toSeq == Seq(1L), "negative probe plans only file 1")
+    // equality at a scale-mismatched literal still matches (BigDecimal cmp)
+    assert(t().where(col("p") === lit("88.5").cast("decimal(38,6)"))
+      .count() == 1)
+    // min/max/count answer from the manifest; sum must BAIL (file 2's
+    // fact is withheld) and still be CORRECT via the real scan
+    val mm = t().agg(min(col("p")).cast("string").as("lo"),
+      max(col("p")).cast("string").as("hi"), count(col("p")).as("n"))
+    val plan = mm.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"decimal(38,6) min/max/count must answer from the manifest:\n$plan")
+    val r = mm.head()
+    assert(r.getString(0) == "-7.250000" &&
+      r.getString(1) == "99999999999999.999999" && r.getLong(2) == 5)
+    val sm = t().agg(sum(col("p")).cast("string").as("s"))
+    assert(!sm.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "a withheld per-file sum must force the real scan (never a wrong fold)")
+    assert(sm.head().getString(0) == "100000000012426.928900")
+  }
+
+  test("sink_wide_stats: range pruning + full aggregate pushdown on decimal(38,6)") {
+    val df = graft.ops.Scale.sinkWideStats(spark, sf001)
+    assert(df.count() > 0, "the bottom-band probe must return rows at sf0.001")
+  }
+
   test("Table.properties() memoizes per resolved version (ADVICE r14)") {
     val root = tmp("graft_r15_props")
     spark.conf.set("spark.sql.catalog.g15p", classOf[graft.sources.GraftCatalog].getName)
