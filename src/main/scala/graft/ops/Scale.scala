@@ -3766,6 +3766,62 @@ object Scale {
       .orderBy(col("doc_id"))
   }
 
+  /** SUFFIX-PROBE FILE SKIPPING on a REVERSED-column layout (round 15,
+    * VERDICT r14 next #6 — residual #2 made actionable): `LIKE '%.jpg'`
+    * has no order to exploit on a plain layout, so every file plans. The
+    * table-design answer is `sortBy=reverse(path)`: the table clusters
+    * on the CHAR-REVERSED string (pre-shaped write or OPTIMIZE — like
+    * zorder, the spec requests no V2 distribution), and the writer
+    * records a `#rvstats` bound envelope over the reversed cells, which
+    * turns a suffix probe into a prefix window on the reversed order
+    * (`v endsWith s` ⟺ `rev(v) startsWith rev(s)`). Fixture: documents
+    * as `lang/doc-<id><ext>` paths, ext cycling .jpg/.txt/.pdf, reversed-
+    * range-clustered 4 ways. REQUIREd: the spec is declared, every file
+    * carries `#rvstats`, the un-indexed control plans all 4 files and
+    * the reversed layout plans strictly fewer for `LIKE '%.jpg'`; rows
+    * fully oracled. */
+  def scanSuffixPrune(spark: SparkSession, sf: String): DataFrame = {
+    val ext = element_at(
+      array(lit(".jpg"), lit(".txt"), lit(".pdf")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    def paths(d: DataFrame): DataFrame =
+      d.select(col("doc_id"),
+        concat(col("lang"), lit("/doc-"), col("doc_id"), ext).as("path"))
+    val dir = tmpDir("ttsufy", sf)
+    graft.util.Scratch.once(dir) {
+      paths(documents(spark, sf))
+        .repartitionByRange(4, reverse(col("path")))
+        .sortWithinPartitions(reverse(col("path")))
+        .write.format("graft-sink").option("path", dir)
+        .option("sortBy", "reverse(path)").mode("overwrite").save()
+    }
+    val ctl = tmpDir("ttsufn", sf)
+    graft.util.Scratch.once(ctl) {
+      paths(documents(spark, sf)).repartition(4)
+        .write.format("graft-sink").option("path", ctl)
+        .option("distributionMode", "none").mode("overwrite").save()
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    val nFiles = head.metas.size
+    require(nFiles == 4, s"fixture: want 4 reversed-range files, got $nFiles")
+    require(head.sortSpec.contains("reverse(path)"),
+      s"the reversed layout must be declared: ${head.sortSpec}")
+    require(head.metas.forall(_.rvstats.contains(1)),
+      s"every file must carry its #rvstats envelope: ${head.metas.map(_.rvstats)}")
+    def probe(d: String): DataFrame =
+      spark.read.format("graft-sink").option("path", d).load()
+        .where(col("path").endsWith(".jpg"))
+    val control = graftScanParts(probe(ctl))
+    require(control == nFiles,
+      s"plain control must plan all $nFiles files, planned $control")
+    val planned = graftScanParts(probe(dir))
+    require(planned < nFiles,
+      s"suffix probe must prune the reversed layout: $planned of $nFiles")
+    probe(dir).withColumn("n_files", lit(nFiles.toLong))
+      .withColumn("pruned", lit((planned < nFiles).toString))
+      .orderBy(col("doc_id"))
+  }
+
   /** COMPOUND SORT LAYOUT (`sortBy=lang,doc_id`, round 13): the write
     * range-distributes on the KEY PAIR — files tile the compound key, so
     * the leading-key envelopes stay disjoint (touching only at boundary
@@ -4628,6 +4684,7 @@ object Scale {
     "scan_text_range_prune" -> scanTextRangePrune,
     "scan_text_prefix_prune" -> scanTextPrefixPrune,
     "scan_prefix_bloom" -> scanPrefixBloom,
+    "scan_suffix_prune" -> scanSuffixPrune,
     "scan_fp_special" -> scanFpSpecial,
     "scan_topn_text" -> scanTopnText,
     "scan_text_minmax" -> scanTextMinmax,
@@ -4826,6 +4883,18 @@ object Scale {
         |  CAST(4 AS BIGINT) AS n_files, 'true' AS pruned
         |FROM documents
         |WHERE starts_with(md5(CAST(doc_id AS VARCHAR)), 'c4ca42')
+        |ORDER BY doc_id""".stripMargin,
+
+    "scan_suffix_prune" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    lang || '/doc-' || doc_id ||
+        |      (CASE doc_id % 3 WHEN 0 THEN '.jpg' WHEN 1 THEN '.txt'
+        |        ELSE '.pdf' END) AS path
+        |  FROM documents)
+        |SELECT doc_id, path,
+        |  CAST(4 AS BIGINT) AS n_files, 'true' AS pruned
+        |FROM p WHERE path LIKE '%.jpg'
         |ORDER BY doc_id""".stripMargin,
 
     "sink_sorted_multi" ->

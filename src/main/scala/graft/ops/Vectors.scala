@@ -253,6 +253,93 @@ object Vectors {
     }.reduce(_ unionByName _).orderBy(col("probe_id"), col("rank"))
   }
 
+  /** ROW-GROUP-LEVEL ANN ROUTING (round 15, VERDICT r14 next #5 — the
+    * sub-file rung under [[scanAnnPrune]]'s file routing): with
+    * `centroidGranularity=rowgroup` the write records one `#rgcen` mean
+    * per parquet ROW GROUP, and an `annProbe` read with `annRgNprobe=m`
+    * keeps only the m nearest groups INSIDE each routed file — the scan
+    * plans ranged splits over the kept groups' byte spans, so the probe
+    * materializes a fraction of even the surviving file. At 100 TB with
+    * 1 GB parts and 128 MB groups this is the difference between reading
+    * nprobe GB and nprobe/8 GB per probe. Fixture: the 500 embeddings
+    * cell-CLUSTERED into ONE small-group file. Parquet flushes a group
+    * the first size check AFTER 100 records (the min-check interval),
+    * and 100 of these rows already exceed the 8 KB target, so the file
+    * tiles into EXACTLY 100-row groups — REQUIREd, which is what lets
+    * the DuckDB oracle reconstruct the groups (row_number over the
+    * (cell, cand_id) write order / 100) and EMULATE the routing: group
+    * means, top-annRgNprobe groups by cosine, top-3 within them — the
+    * same approximate contract as vec_ann_ivf, at storage granularity.
+    * Also REQUIREd: the `#rgcen` facts tile the file exactly; the
+    * routed read plans <= annRgNprobe ranged splits (vs 1 whole-file
+    * control), keeps sub-file rows, and DECODES sub-file records. */
+  def scanAnnRowgroup(spark: SparkSession, sf: String): DataFrame = {
+    VectorDot.register(spark)
+    val seeds = loadSeeds(spark, sf)
+    val base = graft.util.Scratch.dir("annrg", sf) + "/t"
+    val dir = graft.util.Scratch.once(base) {
+      embeddings(spark, sf)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          cellExpr(seeds, "embedding").cast("long").as("cell"))
+        .repartition(1)
+        .sortWithinPartitions(col("cell"), col("cand_id"))
+        .write.format("graft-sink").option("path", base)
+        .option("rowGroupBytes", "8192")
+        .option("centroidFor", "ce")
+        .option("centroidGranularity", "rowgroup")
+        .mode("overwrite").save()
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    require(head.metas.size == 1, s"fixture: want 1 file, got ${head.metas.size}")
+    val m = head.metas.head
+    val gs = m.rgcens.getOrElse(1, Nil) // (cand_id, ce, cell) → ce is col 1
+    require(gs.size >= 4, s"fixture: want >= 4 row groups, got ${gs.size}")
+    require(gs.map(_.rows).sum == m.rows && gs.forall(_.b64 != "-"),
+      s"#rgcen must tile the file with claiming groups: $gs")
+    // the oracle reconstructs groups as 100-row buckets of the write
+    // order — pin the tiling so a parquet-mr behavior change fails HERE,
+    // not as a silent oracle mismatch
+    require(gs.dropRight(1).forall(_.rows == 100),
+      s"fixture: want 100-row groups (parquet min-check interval), " +
+        s"got ${gs.map(_.rows)}")
+    require(gs.sliding(2).forall(p => p.size < 2 || p(0).end == p(1).start),
+      s"#rgcen spans must be contiguous: $gs")
+    val probes: Array[(Long, Array[Float])] = embeddings(spark, sf)
+      .where(col("vec_id").isin(probeIds.take(3): _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(spark.read.format("graft-sink").option("path", dir).load()
+      .rdd.getNumPartitions == 1, "control (no annProbe) plans the whole file")
+    val w = Window.orderBy(col("cos").desc, col("cand_id").asc)
+    def top3(t: DataFrame, pid: Long, pe: Array[Float]): DataFrame =
+      t.where(col("cand_id") =!= pid)
+        .withColumn("cos", dotLit(col("ce"), pe) / sqrt(expr("vector_dot(ce, ce)")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(lit(pid).as("probe_id"), col("rank").cast("int").as("rank"),
+          col("cand_id").as("neighbor_id"))
+    probes.map { case (pid, pe) =>
+      val pruned = spark.read.format("graft-sink").option("path", dir)
+        .option("annProbe", pe.map(_.toDouble).mkString(","))
+        .option("annNprobe", "1").option("annRgNprobe", "2")
+        .option("annCol", "ce").load()
+      val planned = pruned.rdd.getNumPartitions
+      require(planned >= 1 && planned <= 2,
+        s"annRgNprobe=2 must plan <= 2 ranged splits, planned $planned")
+      val kept = pruned.count() // footer-counted: the routed rows only
+      require(kept < m.rows,
+        s"ranged splits must keep sub-file rows: $kept of ${m.rows}")
+      // materializing the routed top-3 decodes only the kept groups
+      val before = graft.sources.GraftReadStats.parquetRecordsDecoded.sum()
+      top3(pruned, pid, pe).collect()
+      val decoded =
+        graft.sources.GraftReadStats.parquetRecordsDecoded.sum() - before
+      require(decoded < m.rows,
+        s"ranged splits must decode sub-file: $decoded of ${m.rows}")
+      top3(pruned, pid, pe)
+    }.reduce(_ unionByName _).orderBy(col("probe_id"), col("rank"))
+  }
+
   private def loadSeeds(spark: SparkSession, sf: String): Array[(Long, Array[Float])] =
     embeddings(spark, sf)
       .where(col("vec_id").isin(seedIds: _*))
@@ -778,6 +865,7 @@ object Vectors {
     "vec_knn_cosine" -> vecKnnCosine,
     "vec_ann_ivf" -> vecAnnIvf,
     "scan_ann_prune" -> scanAnnPrune,
+    "scan_ann_rowgroup" -> scanAnnRowgroup,
     "vec_ann_ivf_partitioned" -> vecAnnIvfPartitioned,
     "vec_kmeans_iter" -> vecKmeansIter,
     "vec_ivf_recall" -> vecIvfRecall,
@@ -920,6 +1008,53 @@ object Vectors {
          |               a.cand_id ASC) AS INT) AS rank
          |  FROM assign a JOIN pcells pc ON a.cell = pc.cell
          |  WHERE a.cand_id <> pc.probe_id)
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // the oracle EMULATES the row-group routing (like scan_ann_prune
+    // emulates the file routing): groups are 100-row buckets of the
+    // (cell, cand_id) write order — REQUIREd in-closure — so DuckDB can
+    // rebuild the group means, route each probe to its 2 nearest groups,
+    // and take the top-3 within them
+    "scan_ann_rowgroup" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         |  WHERE vec_id IN ${seedIds.mkString("(", ", ", ")")}),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, s.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.embedding, s.cemb) DESC,
+         |               s.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |assign AS (
+         |  SELECT vec_id AS cand_id, embedding AS ce, cid AS cell
+         |  FROM scored WHERE rn = 1),
+         |grouped AS (
+         |  SELECT cand_id, ce,
+         |    (row_number() OVER (ORDER BY cell, cand_id) - 1) // 100 AS grp
+         |  FROM assign),
+         |gmeans AS (
+         |  SELECT grp, list(m ORDER BY dim) AS gm FROM (
+         |    SELECT grp, dim, avg(x) AS m FROM (
+         |      SELECT grp, generate_subscripts(ce, 1) AS dim, unnest(ce) AS x
+         |      FROM grouped)
+         |    GROUP BY grp, dim)
+         |  GROUP BY grp),
+         |pgrps AS (
+         |  SELECT probe_id, pe, grp FROM (
+         |    SELECT p.vec_id AS probe_id, p.embedding AS pe, g.grp,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY list_cosine_similarity(p.embedding, g.gm) DESC,
+         |                 g.grp ASC) AS rn
+         |    FROM embeddings p CROSS JOIN gmeans g
+         |    WHERE p.vec_id IN ${probeIds.take(3).mkString("(", ", ", ")")})
+         |  WHERE rn <= 2)
+         |SELECT probe_id, rank, cand_id AS neighbor_id FROM (
+         |  SELECT pg.probe_id, c.cand_id,
+         |    CAST(row_number() OVER (PARTITION BY pg.probe_id
+         |      ORDER BY list_cosine_similarity(pg.pe, c.ce) DESC,
+         |               c.cand_id ASC) AS INT) AS rank
+         |  FROM grouped c JOIN pgrps pg ON c.grp = pg.grp
+         |  WHERE c.cand_id <> pg.probe_id)
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     // storage layout must not change a neighbor: same oracle as vec_ann_ivf

@@ -1117,7 +1117,10 @@ private[sources] object GraftMaintenance {
         .flatMap(i => fields.lift(i).map(_.name)).toSeq
     val blooms = cols(_.blooms.keys)
     val ndvs = cols(_.ndvs.keys)
-    val cens = cols(_.centroids.keys)
+    // a column is centroid-indexed if ANY fact names it — per-file OR
+    // per-row-group (a file whose per-file mean was poisoned by a null
+    // element may still carry sound group facts, and vice versa)
+    val cens = cols(m => m.centroids.keys ++ m.rgcens.keys)
     // prefix blooms carry their width: first fact wins per column (all
     // writers of one table option the same width in practice; a mixed
     // history converges on the rewrite)
@@ -1128,7 +1131,12 @@ private[sources] object GraftMaintenance {
     val w1 = if (blooms.nonEmpty) w.option("bloomFor", blooms.mkString(",")) else w
     val w2 = if (ndvs.nonEmpty) w1.option("ndvFor", ndvs.mkString(",")) else w1
     val w3 = if (cens.nonEmpty) w2.option("centroidFor", cens.mkString(",")) else w2
-    if (pbls.nonEmpty) w3.option("prefixBloomFor", pbls.mkString(",")) else w3
+    val w4 = if (pbls.nonEmpty) w3.option("prefixBloomFor", pbls.mkString(",")) else w3
+    // row-group centroid granularity survives rewrites too: a compaction
+    // that silently coarsened the ANN index to file level would forfeit
+    // every future sub-file skip
+    if (head.metas.exists(_.rgcens.nonEmpty))
+      w4.option("centroidGranularity", "rowgroup") else w4
   }
 
   /** Incremental (small-files-only) compaction; see
@@ -1213,7 +1221,21 @@ private[sources] object GraftMaintenance {
               .filter(_.forall(victims.schema.fieldNames.contains)) match {
             case Some(zc) =>
               GraftOptimizeProcedure.zShape(victims, zc, target).write
-            case None => victims.repartition(target).write
+            // declared REVERSED layout (round 15): re-cluster the
+            // victims on the reversed string and keep the sortBy option
+            // so the fresh files re-record their `#rvstats` envelopes
+            case None => head.sortSpec.filter(sc =>
+                GraftManifest.reverseCol(sc)
+                  .exists(victims.schema.fieldNames.contains)) match {
+              case Some(sc) =>
+                val rc = GraftManifest.reverseCol(sc).get
+                victims.repartitionByRange(target,
+                    org.apache.spark.sql.functions.reverse(col(rc)))
+                  .sortWithinPartitions(
+                    org.apache.spark.sql.functions.reverse(col(rc)))
+                  .write.option("sortBy", sc)
+              case None => victims.repartition(target).write
+            }
           }
         }
       }
@@ -1325,6 +1347,16 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
         }
       }
       else if (zcols.isEmpty) head.sortSpec match {
+        // a DECLARED reversed layout (round 15) shapes its own frame:
+        // the writer requests no distribution for reverse(...), so the
+        // re-cluster on the reversed string happens here
+        case Some(sc) if GraftManifest.reverseCol(sc)
+            .exists(snapshot.schema.fieldNames.contains) =>
+          val rc = GraftManifest.reverseCol(sc).get
+          snapshot.repartitionByRange(target,
+              org.apache.spark.sql.functions.reverse(col(rc)))
+            .sortWithinPartitions(
+              org.apache.spark.sql.functions.reverse(col(rc)))
         // a DECLARED sort (range-clustered) layout survives compaction —
         // the writer's own ordered distribution re-ranges it (the write
         // below pins sortBy + a strict target width), so leave the
@@ -1360,7 +1392,12 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
       // the writer requests no distribution for a zorder(...) spec
       case None if zcols.nonEmpty =>
         ow0.option("sortBy", s"zorder(${zcols.mkString(",")})")
-      case None => ow0
+      // a reversed layout keeps its declaration (the fresh files
+      // re-record `#rvstats` through the sortBy-armed writer)
+      case None => head.sortSpec.filter(sc =>
+          keepLayout.isEmpty && GraftManifest.reverseCol(sc)
+            .exists(rewritten.schema.fieldNames.contains))
+        .fold(ow0)(sc => ow0.option("sortBy", sc))
     }
     keepLayout.fold(ow)(pc => ow.option("partitionBy", pc))
       .mode("overwrite").save()

@@ -122,7 +122,9 @@ object GraftColumnar {
       if (pushed.isEmpty) None
       else GraftParquet.filterPredicate(fileMt, full,
         idx.toSet.filter(li => li >= 0 && li < split.ncols), pushed)
-    val vr = open(split.file, reqStruct, rgFilter, constStruct, constRow)
+    val vr = open(split.file, reqStruct, rgFilter, constStruct, constRow,
+      range = if (split.rangeStart >= 0)
+        Some((split.rangeStart, split.rangeEnd)) else None)
     vr.enableReturningBatches()
 
     new PartitionReader[ColumnarBatch] {
@@ -161,7 +163,8 @@ object GraftColumnar {
     * Closes the reader on a failed init. */
   private def open(file: String, reqStruct: StructType,
       rgFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate],
-      constStruct: StructType, constRow: InternalRow)
+      constStruct: StructType, constRow: InternalRow,
+      range: Option[(Long, Long)] = None)
       : VectorizedParquetRecordReader = {
     val conf = new Configuration(false)
     conf.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
@@ -176,7 +179,14 @@ object GraftColumnar {
     conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
     conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, "UTC")
     rgFilter.foreach(p => ParquetInputFormat.setFilterPredicate(conf, p))
-    val len = java.nio.file.Files.size(java.nio.file.Paths.get(file))
+    // a RANGED split reads only the row groups whose midpoint falls in
+    // [start, start+len) — the standard parquet split-assignment rule
+    // (`#rgcen` ANN routing, round 15)
+    val fileLen = java.nio.file.Files.size(java.nio.file.Paths.get(file))
+    val (start, len) = range match {
+      case Some((s, e)) => (s, e - s)
+      case None         => (0L, fileLen)
+    }
     val vr = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
       /*useOffHeap=*/ false, /*capacity=*/ 4096)
@@ -187,7 +197,7 @@ object GraftColumnar {
       // new one) to reach getLocationInfo
       vr.initialize(
         new org.apache.hadoop.mapred.FileSplit(
-          new HadoopPath("file:" + file), 0, len, Array.empty[String]),
+          new HadoopPath("file:" + file), start, len, Array.empty[String]),
         new TaskAttemptContextImpl(conf, new TaskAttemptID()))
       vr.initBatch(constStruct, constRow)
       initialized = true
@@ -210,9 +220,10 @@ object GraftColumnar {
     * when positions matter — so the physical-position counter the
     * row-identity logic keys on stays exact. */
   final class VectorRows(file: String, reqStruct: StructType,
-      rgFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate]) {
+      rgFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate],
+      range: Option[(Long, Long)] = None) {
     private val vr =
-      open(file, reqStruct, rgFilter, new StructType(), InternalRow.empty)
+      open(file, reqStruct, rgFilter, new StructType(), InternalRow.empty, range)
     /** Next surviving physical row, or null at end-of-file. */
     def read(): InternalRow =
       if (vr.nextKeyValue()) vr.getCurrentValue.asInstanceOf[InternalRow]

@@ -153,13 +153,18 @@ object GraftParquet {
     * granularity a 1 GB production part needs (file-level stats can only
     * skip all-or-nothing). */
   def reader(file: String, projection: MessageType,
-      filter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] = None)
+      filter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] = None,
+      range: Option[(Long, Long)] = None)
       : ParquetReader[Group] = {
     val conf = new Configuration(baseConf)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
     val b = ParquetReader.builder(new GroupReadSupport(), new HadoopPath(file))
       .withConf(conf)
     filter.foreach(b.withFilter)
+    // ranged split (round 15): only row groups whose midpoint falls in
+    // [start, end) are read — the same rule the vectorized reader's
+    // FileSplit applies, so both row paths agree on a range's rows
+    range.foreach { case (s, e) => b.withFileRange(s, e) }
     b.build()
   }
 
@@ -168,6 +173,24 @@ object GraftParquet {
   def rowCount(file: NioPath): Long = {
     val r = ParquetFileReader.open(new LocalInputFile(file))
     try r.getRecordCount finally r.close()
+  }
+
+  /** Footer-only row-group tiling: `(start, end, rows)` per row group in
+    * file order, where `[start, end)` is the byte span a RANGED read
+    * addresses — parquet-mr keeps the row groups whose MIDPOINT falls in
+    * the range, and `[startingPos(g), startingPos(g+1))` contains exactly
+    * g's midpoint (groups are contiguous; the last group's span closes at
+    * the file length, which is >= its data end). The write-side source of
+    * the `#rgcen` spans (round 15). */
+  def rowGroupSpans(file: NioPath): Seq[(Long, Long, Long)] = {
+    val r = ParquetFileReader.open(new LocalInputFile(file))
+    val blocks = try r.getFooter.getBlocks finally r.close()
+    val len = java.nio.file.Files.size(file)
+    (0 until blocks.size()).map { g =>
+      val b = blocks.get(g)
+      val end = if (g + 1 < blocks.size()) blocks.get(g + 1).getStartingPos else len
+      (b.getStartingPos, end, b.getRowCount)
+    }
   }
 
   /** The file's own footer schema. Needed because COLUMN IDENTITY in this

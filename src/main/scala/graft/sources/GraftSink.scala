@@ -178,7 +178,9 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
     committed: Boolean = false,
     bounds: Set[Int] = Set.empty,
     centroids: Map[Int, String] = Map.empty,
-    pblooms: Map[Int, (Int, String)] = Map.empty) {
+    pblooms: Map[Int, (Int, String)] = Map.empty,
+    rgcens: Map[Int, Seq[GraftRgCen]] = Map.empty,
+    rvstats: Map[Int, (String, String)] = Map.empty) {
   /** Rows a scan of this file emits (physical minus deleted positions;
     * EQUALITY deletes are unresolved-at-commit and not discounted here —
     * see [[GraftEqDel]]). */
@@ -196,6 +198,19 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
   def exactStats(i: Int): Option[(String, String)] =
     if (bounds(i)) None else stats.get(i)
 }
+
+/** One ROW GROUP's centroid fact (round 15, VERDICT r14 next #5): the
+  * byte span `[start, end)` of the group inside its parquet file (what a
+  * ranged read addresses — parquet-mr selects the row groups whose
+  * midpoint falls in the range, and `[start(g), start(g+1))` contains
+  * exactly g's midpoint), the group's physical row count, and the
+  * base64 little-endian-double MEAN of the group's vectors — or `"-"`
+  * when the group makes no claim (a null element poisoned it, or the
+  * group holds no non-null vector), in which case ANN routing must
+  * always keep the group. A `#rgcen` line lists EVERY row group of its
+  * file in file order, so the scan can tile the whole file into ranged
+  * splits without reading any footer at plan time. */
+case class GraftRgCen(start: Long, end: Long, rows: Long, b64: String)
 
 /** One EQUALITY-DELETE sidecar (the Iceberg equality-delete design,
   * re-derived on this manifest): "every row whose `col` value appears in
@@ -387,12 +402,27 @@ object GraftManifest {
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     else None
 
+  /** REVERSED-COLUMN sort spec (`sortBy=reverse(c)`, round 15 — VERDICT
+    * r14 next #6): the table clusters on the CHAR-REVERSED string, the
+    * layout that turns suffix probes (`LIKE '%.jpg'`) into prefix
+    * windows. Like zorder it is an EXPRESSION layout: no per-column
+    * order (sortCols = Nil, the V2 write requests no distribution —
+    * the layout lands via pre-shaped writes or OPTIMIZE re-sorts), but
+    * the writer tracks a `#rvstats` bound envelope over the reversed
+    * cells, which is what the suffix-probe skip consults. */
+  def reverseCol(spec: String): Option[String] =
+    if (spec.startsWith("reverse(") && spec.endsWith(")"))
+      Some(spec.substring("reverse(".length, spec.length - 1).trim)
+        .filter(_.nonEmpty)
+    else None
+
   /** A `#sortspec` value as its per-column order list — single-column
     * specs are the 1-element case; compound specs (`sortBy=c1,c2`,
     * round 13) range on the leading key and order ties by the rest;
-    * `zorder(...)` curve specs have NO per-column order (Nil). */
+    * `zorder(...)` / `reverse(...)` expression specs have NO per-column
+    * order (Nil). */
   def sortCols(spec: String): Seq[String] =
-    if (zorderCols(spec).isDefined) Nil
+    if (zorderCols(spec).isDefined || reverseCol(spec).isDefined) Nil
     else spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
   private val VPrefix = "_manifest-v"
   private val RefPrefix = "_ref-"
@@ -596,6 +626,19 @@ object GraftManifest {
     *                                    unknown — e.g. Long overflow at
     *                                    write time; doubles never listed:
     *                                    FP addition is order-dependent)
+    * #rvstats=<file>,<i>,<lo>,<hi>      per-(file, column) bound envelope
+    *                                    over the CHAR-REVERSED values
+    *                                    (lo <= reverse(v) < hi) — suffix
+    *                                    probes (`LIKE '%s'`) prune on a
+    *                                    reverse(c)-clustered layout;
+    *                                    pruning-grade only, never exact
+    * #rgcen=<file>,<i>,<g>;<g>...       per-(file, column) ROW-GROUP
+    *                                    centroids, one `<g>` =
+    *                                    start:end:rows:b64 per parquet
+    *                                    row group in file order ([start,
+    *                                    end) byte span, physical rows,
+    *                                    base64 LE-double mean — `-` = no
+    *                                    claim, group always planned)
     * <file>,<rows>                      one per listed file (PHYSICAL rows)
     * _total,<N>                         LIVE row total of the FULL snapshot
     * }}}
@@ -697,6 +740,10 @@ object GraftManifest {
     val blooms = scala.collection.mutable.Map[String, Map[Int, String]]()
       .withDefaultValue(Map.empty)
     val pbls = scala.collection.mutable.Map[String, Map[Int, (Int, String)]]()
+      .withDefaultValue(Map.empty)
+    val rgcs = scala.collection.mutable.Map[String, Map[Int, Seq[GraftRgCen]]]()
+      .withDefaultValue(Map.empty)
+    val rvss = scala.collection.mutable.Map[String, Map[Int, (String, String)]]()
       .withDefaultValue(Map.empty)
     val ndvs = scala.collection.mutable.Map[String, Map[Int, String]]()
       .withDefaultValue(Map.empty)
@@ -819,6 +866,26 @@ object GraftManifest {
           case bad => throw new IllegalStateException(
             s"malformed #centroid line: '${bad.mkString(",")}'")
         }
+      case s if s.startsWith("#rvstats=") =>
+        s.stripPrefix("#rvstats=").split(",", 4) match {
+          case Array(f, i, lo, hi) =>
+            rvss(f) = rvss(f) + (i.toInt -> (unescStat(lo), unescStat(hi)))
+          case bad => throw new IllegalStateException(
+            s"malformed #rvstats line: '${bad.mkString(",")}'")
+        }
+      case s if s.startsWith("#rgcen=") =>
+        s.stripPrefix("#rgcen=").split(",", 3) match {
+          case Array(f, i, body) =>
+            val gs = body.split(";", -1).toSeq.map(_.split(":", 4) match {
+              case Array(st, en, n, b64) =>
+                GraftRgCen(st.toLong, en.toLong, n.toLong, b64)
+              case bad => throw new IllegalStateException(
+                s"malformed #rgcen group: '${bad.mkString(":")}'")
+            })
+            rgcs(f) = rgcs(f) + (i.toInt -> gs)
+          case bad => throw new IllegalStateException(
+            s"malformed #rgcen line: '${bad.mkString(",")}'")
+        }
       case s if s.startsWith("#") => () // forward-compat: ignore unknown metadata
       case line => line.split(",", 2) match {
         case Array("_total", n) => total = n.toLong
@@ -832,7 +899,8 @@ object GraftManifest {
       GraftFileMeta(f, n, ncols.getOrElse(f, width), stats(f), parts.get(f),
         nulls.get(f), dvs.get(f), sums.get(f), blooms(f), ndvs(f),
         seqs.getOrElse(f, 0), committed = true, bounds = boundCols(f),
-        centroids = cens(f), pblooms = pbls(f))
+        centroids = cens(f), pblooms = pbls(f), rgcens = rgcs(f),
+        rvstats = rvss(f))
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
       ids, checks.result(), partSpec, sortSpec, format, eqDels.result(),
@@ -998,7 +1066,17 @@ object GraftManifest {
         // doubles, the mean of the column's non-null vectors — the
         // scan-side ANN routing fact (`annProbe` file pruning)
         m.centroids.toSeq.sortBy(_._1).map { case (i, b64) =>
-          s"#centroid=${m.name},$i,$b64" }
+          s"#centroid=${m.name},$i,$b64" } ++
+        // per-ROW-GROUP centroids (round 15): every group of the file in
+        // file order — start:end:rows:b64 (b64 `-` = poisoned, no claim)
+        m.rgcens.toSeq.sortBy(_._1).map { case (i, gs) =>
+          s"#rgcen=${m.name},$i," + gs.map(g =>
+            s"${g.start}:${g.end}:${g.rows}:${g.b64}").mkString(";") } ++
+        // REVERSED-string bound envelope (round 15): lo <= reverse(v) < hi
+        // for every non-null v — the suffix-probe (`LIKE '%s'`) skip on a
+        // reverse(c)-clustered layout; pruning-grade only, never exact
+        m.rvstats.toSeq.sortBy(_._1).map { case (i, (lo, hi)) =>
+          s"#rvstats=${m.name},$i,${escStat(lo)},${escStat(hi)}" }
     }
     // `_total` rides in the HEADER (parse is position-agnostic): a delta
     // commit then learns the prior total from [[readHeader]] without
@@ -2394,6 +2472,18 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
                 .forall(info.schema().fieldNames.contains)))
         private def sortColsSeq: Seq[String] =
           sortCol.map(GraftManifest.sortCols).getOrElse(Nil)
+        // `sortBy=reverse(c)` validation fires for the EXPLICIT option
+        // only — an inherited reverse spec over a column this (narrower)
+        // writer no longer carries just skips tracking, conservatively
+        Option(opts.get("sortBy")).filter(_.nonEmpty)
+          .flatMap(GraftManifest.reverseCol).foreach { c =>
+            val i = scala.util.Try(info.schema().fieldIndex(c)).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft-sink: sortBy=reverse($c): column not in write schema"))
+            require(info.schema().fields(i).dataType == StringType,
+              "graft-sink: sortBy=reverse(...) supports string, got " +
+                s"${info.schema().fields(i).dataType} for '$c'")
+          }
         private val writeParts =
           Option(opts.get("writePartitions")).map(_.toInt).getOrElse(0)
         require(writeParts >= 0, s"graft-sink: writePartitions must be >= 0")
@@ -2539,6 +2629,27 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
               s"graft-sink: centroidFor supports array<float|double>, got $dt for '$c'")
           }
         }
+        // ROW-GROUP GRANULARITY (round 15, VERDICT r14 next #5):
+        // `centroidGranularity=rowgroup` additionally records one
+        // `#rgcen` mean per parquet row group — sub-file ANN routing —
+        // at the cost of one projected re-read of the vector columns per
+        // file at write time (opt-in; the per-file fact stays free).
+        // Parquet-only: row groups are a parquet shape.
+        private val rgCentroids = Option(opts.get("centroidGranularity"))
+          .filter(_.nonEmpty).map {
+            case "file"     => false
+            case "rowgroup" => true
+            case other => throw new IllegalArgumentException(
+              "graft-sink: centroidGranularity must be file|rowgroup, " +
+                s"got '$other'")
+          }.getOrElse(false)
+        if (rgCentroids) {
+          require(centroidFor.nonEmpty,
+            "graft-sink: centroidGranularity=rowgroup needs centroidFor")
+          require(fileFormat == GraftFormat.Parquet,
+            "graft-sink: centroidGranularity=rowgroup is parquet-only " +
+              s"(table format is $fileFormat)")
+        }
         // AUTO-MAINTENANCE POLICY (round 14, VERDICT r13 next #1 — the
         // streamed-sorted-table papercut): `autoOptimize.smallFiles=N`
         // arms a post-commit hook that counts files THIS writer appends
@@ -2578,7 +2689,8 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
             wapStage = wapStage, bloomFor = bloomFor, ndvFor = ndvFor,
             sortCol = sortCol, format = fileFormat, upsertKey = upsertKeyOpt,
             rowGroupBytes = rowGroupBytes, centroidFor = centroidFor,
-            autoOpt = autoOpt, prefixBloomFor = prefixBloomFor)
+            autoOpt = autoOpt, prefixBloomFor = prefixBloomFor,
+            rgCentroids = rgCentroids)
         override def toStreaming: StreamingWrite = {
           val versioned = Option(opts.get("commitVersions")).exists(_.toBoolean)
           // partCol includes the declared-spec default: a streaming
@@ -2705,8 +2817,19 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         }
         (col, probe, nprobe)
       }
+    // ROW-GROUP ANN ROUTING (round 15, VERDICT r14 next #5):
+    // `annRgNprobe=<m>` keeps, inside each file the file-level route
+    // kept, only the m row groups nearest the probe by cosine against
+    // the `#rgcen` group means (plus every no-claim group) — the
+    // sub-file recall knob. Files without `#rgcen` facts read whole.
+    val annRgNprobe: Option[Int] =
+      Option(options.get("annRgNprobe")).map(_.toInt)
+    annRgNprobe.foreach { m =>
+      require(m >= 1, "graft-sink: annRgNprobe must be >= 1")
+      require(annOpt.nonEmpty, "graft-sink: annRgNprobe needs annProbe")
+    }
     new GraftSinkScanBuilder(path, pinned, layout, visible, changesFrom,
-      streamOpts, filesSubset, spj, wapId, annOpt)
+      streamOpts, filesSubset, spj, wapId, annOpt, annRgNprobe)
   }
 }
 
@@ -2715,7 +2838,8 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
     streamOpts: Map[String, String] = Map.empty,
     filesSubset: Option[Set[String]] = None, spj: Boolean = false,
     wapId: Option[String] = None,
-    annOpt: Option[(String, Array[Double], Int)] = None)
+    annOpt: Option[(String, Array[Double], Int)] = None,
+    annRgNprobe: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -3030,6 +3154,11 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // an ANN-routed read answers over the ROUTED subset (nprobe
+    // files/row groups), but the manifest fold sums every file — a
+    // pushed count(*) would silently report the whole table under a
+    // probe that reads a fraction of it (round 15). Real scan instead.
+    if (annOpt.nonEmpty) return false
     aggResult = tryAggregation(agg)
     aggResult.isDefined
   }
@@ -3039,29 +3168,72 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
     * PLUS every file without the fact (absence = no claim, always read).
     * IVF-approximate by construction — the recall knob is nprobe, the
     * same contract as vec_ann_ivf's cell routing. */
-  private lazy val annKeepSet: Option[(Set[String], String)] =
+  private lazy val annKeepSet
+      : Option[(Set[String], Map[String, Seq[(Long, Long, Long)]], String)] =
     annOpt.flatMap { case (c, probe, np) =>
       val i = layout.fieldIndex(c)
+      def cosTo(b64: String): Double = {
+        val bb = java.nio.ByteBuffer
+          .wrap(java.util.Base64.getDecoder.decode(b64))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val cen = Array.fill(bb.remaining() / 8)(bb.getDouble)
+        var dot = 0.0; var n2 = 0.0
+        val d = math.min(cen.length, probe.length)
+        var j = 0
+        while (j < d) { dot += cen(j) * probe(j); j += 1 }
+        cen.foreach(x => n2 += x * x)
+        if (n2 > 0) dot / math.sqrt(n2) else Double.NegativeInfinity
+      }
       plannedManifest.map { m =>
         val scored = m.metas.flatMap { f =>
-          f.centroids.get(i).map { b64 =>
-            val bb = java.nio.ByteBuffer
-              .wrap(java.util.Base64.getDecoder.decode(b64))
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            val cen = Array.fill(bb.remaining() / 8)(bb.getDouble)
-            var dot = 0.0; var n2 = 0.0
-            val d = math.min(cen.length, probe.length)
-            var j = 0
-            while (j < d) { dot += cen(j) * probe(j); j += 1 }
-            cen.foreach(x => n2 += x * x)
-            (f.name, if (n2 > 0) dot / math.sqrt(n2) else Double.NegativeInfinity)
-          }
+          f.centroids.get(i).map(b64 => (f.name, cosTo(b64)))
         }
         val keep = scored.sortBy { case (n, sc) => (-sc, n) }
           .take(np).map(_._1).toSet
         val blind = m.metas.filter(f => !f.centroids.contains(i)).map(_.name)
-        (keep ++ blind,
-          s" ann=[$c nprobe=$np -> ${keep.size}+${blind.size} of ${m.metas.size} files]")
+        // ROW-GROUP routing (round 15): inside each kept file that
+        // carries `#rgcen` facts, keep the annRgNprobe nearest CLAIMING
+        // groups plus every `-` (no-claim) group, and merge adjacent
+        // survivors into contiguous (start, end, rows) byte ranges —
+        // one ranged split each. A file with fewer claiming groups than
+        // the knob (or none) reads whole.
+        // ranges apply to every PLANNED file — scored keeps AND blind
+        // files (a file whose per-file mean was poisoned can still carry
+        // sound per-group facts; its unpoisoned groups route normally)
+        val ranges: Map[String, Seq[(Long, Long, Long)]] = annRgNprobe match {
+          case None => Map.empty
+          case Some(rg) =>
+            m.metas.filter(f =>
+              keep(f.name) || !f.centroids.contains(i)).flatMap { f =>
+              f.rgcens.get(i).filter(_.nonEmpty).flatMap { gs =>
+                val claiming = gs.zipWithIndex.filter(_._1.b64 != "-")
+                if (claiming.length <= rg) None // nothing to skip
+                else {
+                  val kept = claiming
+                    .sortBy { case (g, gi) => (-cosTo(g.b64), gi) }
+                    .take(rg).map(_._2).toSet ++
+                    gs.zipWithIndex.filter(_._1.b64 == "-").map(_._2)
+                  // merge adjacent kept group ordinals into byte ranges
+                  val runs = scala.collection.mutable.ArrayBuffer
+                    .empty[(Long, Long, Long)]
+                  gs.indices.foreach { gi =>
+                    if (kept(gi)) runs.lastOption match {
+                      case Some((s, e, n)) if e == gs(gi).start =>
+                        runs(runs.length - 1) = (s, gs(gi).end, n + gs(gi).rows)
+                      case _ =>
+                        runs += ((gs(gi).start, gs(gi).end, gs(gi).rows))
+                    }
+                  }
+                  Some(f.name -> runs.toSeq)
+                }
+              }
+            }.toMap
+        }
+        val rgDesc = annRgNprobe.map(rg =>
+          s" rg=$rg(${ranges.size} files ranged)").getOrElse("")
+        (keep ++ blind, ranges,
+          s" ann=[$c nprobe=$np -> ${keep.size}+${blind.size} of " +
+            s"${m.metas.size} files$rgDesc]")
       }
     }
 
@@ -3084,7 +3256,8 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
         else version
       GraftSinkScan(path, pinned, layout, required, pushed.toSeq,
         changesFrom, streamOpts, filesSubset, spj, wapId, capFiles, capDesc,
-        annKeepSet.map(_._1), annKeepSet.map(_._2).getOrElse(""))
+        annKeepSet.map(_._1), annKeepSet.map(_._3).getOrElse(""),
+        annKeepSet.map(_._2).getOrElse(Map.empty))
   }
 }
 
@@ -3094,7 +3267,8 @@ case class GraftSinkScan(path: String, version: Option[Int],
     filesSubset: Option[Set[String]] = None, spj: Boolean = false,
     wapId: Option[String] = None, capFiles: Option[Set[String]] = None,
     capDesc: String = "", annKeep: Option[Set[String]] = None,
-    annDesc: String = "")
+    annDesc: String = "",
+    annRanges: Map[String, Seq[(Long, Long, Long)]] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -3497,10 +3671,29 @@ case class GraftSinkScan(path: String, version: Option[Int],
             columnar = colr, vecRows = vecOn): InputPartition
         }.toArray
       case None =>
-        planned.map { case (m, c) =>
-          GraftSinkFileSplit(s"$path/${m.name}", m.rows, m.ncols, changeOf(c),
-            m.dv.map(d => s"$path/${d._1}"), eqFor(m, c),
-            selFor(m, c), columnar = colr, vecRows = vecOn): InputPartition
+        planned.flatMap { case (m, c) =>
+          // ROW-GROUP-ranged ANN splits (round 15): one split per
+          // contiguous run of kept groups — only for a plain snapshot
+          // parquet file with no DV/eqdel/eqSel and no `_pos` request
+          // (range-local row positions would misalign every one of
+          // those); anything else falls back to the whole file, which
+          // is always sound (a range only narrows).
+          val ranged = annRanges.get(m.name).filter(_ =>
+            c == null && m.dv.isEmpty && eqFor(m, c).isEmpty &&
+              selFor(m, c).isEmpty && m.name.endsWith(".parquet") &&
+              !required.fieldNames.contains(GraftSinkScan.PosCol))
+          ranged match {
+            case Some(rs) => rs.map { case (st, en, n) =>
+              GraftSinkFileSplit(s"$path/${m.name}", n, m.ncols, changeOf(c),
+                None, Nil, Nil, columnar = colr, vecRows = vecOn,
+                rangeStart = st, rangeEnd = en): InputPartition
+            }
+            case None => Seq(
+              GraftSinkFileSplit(s"$path/${m.name}", m.rows, m.ncols,
+                changeOf(c), m.dv.map(d => s"$path/${d._1}"), eqFor(m, c),
+                selFor(m, c), columnar = colr, vecRows = vecOn)
+                : InputPartition)
+          }
         }.toArray
     }
   }
@@ -3573,6 +3766,10 @@ object GraftSinkScan {
     // so #stats AND truncated #bstats bounds both answer it — the
     // url-prefix / path-prefix probe a 100 TB sorted corpus runs daily
     case StringStartsWith(c, _)   => hasCol(layout, c)
+    // suffix probes (`LIKE '%s'`) prune through the `#rvstats` reversed
+    // envelope on a reverse(c)-clustered layout (round 15); files
+    // without the fact stay conservatively planned
+    case org.apache.spark.sql.sources.StringEndsWith(c, _) => hasCol(layout, c)
     case _ => false
   }
   private def hasCol(layout: StructType, c: String): Boolean =
@@ -3797,6 +3994,25 @@ object GraftSinkScan {
           (!GraftSinkWriter.pairedSurrogates(p) ||
             GraftSinkWriter.upperBound(p, math.max(p.length, 1))
               .forall(u => cmp(dt, mn, u) < 0)) }
+      // SUFFIX probe (round 15): `v endsWith s` ⟺ revChars(v)
+      // startsWith revChars(s), and the `#rvstats` bound envelope
+      // [lo, hi) contains revChars(v) for every non-null v — so the file
+      // may match only if the envelope intersects [rev(s), succ(rev(s))).
+      // hi is a STRICT upper: hi <= rev(s) proves every reversed value
+      // below the window. The succ conjunct takes the same
+      // pairedSurrogates guard as the prefix math (char-reversed
+      // supplementary chars are lone surrogates — conservative there).
+      case org.apache.spark.sql.sources.StringEndsWith(c, s) =>
+        !allNull(c) && {
+          val rs = GraftSinkWriter.revChars(s)
+          col(c).forall { case (i, dt) => meta.rvstats.get(i).forall {
+            case (lo, hi) =>
+              cmp(dt, hi, rs) > 0 &&
+              (!GraftSinkWriter.pairedSurrogates(rs) ||
+                GraftSinkWriter.upperBound(rs, math.max(rs.length, 1))
+                  .forall(u => cmp(dt, lo, u) < 0))
+          } }
+        }
       case EqualTo(c, v) => !allNull(c) && bucketOk(c, Seq(v)) &&
         bloomOk(c, Seq(v)) &&
         col(c).forall { case (_, dt) => dt != StringType ||
@@ -4052,6 +4268,16 @@ sealed trait GraftSplit extends InputPartition {
     * Unlike [[columnar]] this is NOT scan-uniform-constrained — a
     * PartitionReader[InternalRow] may decode however it likes. */
   def vecRows: Boolean
+  /** RANGED split (round 15, `#rgcen` ANN routing): when >= 0, the split
+    * reads only the parquet row groups whose midpoint falls in
+    * `[rangeStart, rangeEnd)` — the standard parquet split-assignment
+    * rule, so a file tiled into ranges reads each group exactly once.
+    * `expectedRows` is then the RANGE's physical row count. Ranged
+    * splits are only ever planned for parquet files with no DV, no
+    * equality deletes and no `_pos` request (positions are file-scoped;
+    * a range would restart them). -1 = whole file. */
+  def rangeStart: Long
+  def rangeEnd: Long
 }
 
 case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int,
@@ -4059,7 +4285,9 @@ case class GraftSinkFileSplit(file: String, expectedRows: Long, ncols: Int,
     eqDels: Seq[(String, String)] = Nil,
     eqSel: Seq[(String, String)] = Nil,
     columnar: Boolean = false,
-    vecRows: Boolean = true)
+    vecRows: Boolean = true,
+    rangeStart: Long = -1L,
+    rangeEnd: Long = -1L)
     extends GraftSplit
 
 /** A split carrying its file's PARTITION KEY ([[HasPartitionKey]]) — what
@@ -4075,7 +4303,9 @@ case class GraftSinkKeyedFileSplit(file: String, expectedRows: Long, ncols: Int,
     eqDels: Seq[(String, String)] = Nil,
     eqSel: Seq[(String, String)] = Nil,
     columnar: Boolean = false,
-    vecRows: Boolean = true)
+    vecRows: Boolean = true,
+    rangeStart: Long = -1L, // SPJ splits stay whole-file (key = file)
+    rangeEnd: Long = -1L)
     extends GraftSplit
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(keyType match {
@@ -4292,7 +4522,16 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
       // count + the DV cursor decide everything — no row group is ever
       // decompressed. This is the columnar-metadata payoff the CSV codec
       // could not offer (it must stream lines to count them).
-      val physRows = GraftParquet.rowCount(Paths.get(split.file))
+      // a RANGED split (round 15) counts only its row groups — the spans
+      // recomputed from the same footer the `#rgcen` facts were cut from,
+      // so "fully inside the range" selects exactly the groups parquet's
+      // midpoint rule would read
+      val physRows =
+        if (split.rangeStart >= 0)
+          GraftParquet.rowGroupSpans(Paths.get(split.file))
+            .filter(s => s._1 >= split.rangeStart && s._2 <= split.rangeEnd)
+            .map(_._3).sum
+        else GraftParquet.rowCount(Paths.get(split.file))
       if (physRows != split.expectedRows) throw new IllegalStateException(
         s"graft-sink: ${split.file} has $physRows rows, manifest committed ${split.expectedRows}")
       return new PartitionReader[InternalRow] {
@@ -4389,7 +4628,9 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
             r.getDecimal(j, d.precision, d.scale).toJavaBigDecimal.toPlainString
           case _ => GraftSinkWriter.NullCell // non-statable: never a key
         }
-      val vec = new GraftColumnar.VectorRows(split.file, reqStruct, rgFilter)
+      val vec = new GraftColumnar.VectorRows(split.file, reqStruct, rgFilter,
+        range = if (split.rangeStart >= 0)
+          Some((split.rangeStart, split.rangeEnd)) else None)
       GraftReadStats.vectorRowSplits.increment()
       return new PartitionReader[InternalRow] {
         private val dv = dvCursor()
@@ -4458,7 +4699,9 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
         GraftParquet.reader(split.file,
           GraftParquet.projectPositions(fileMt,
             (physLayout ++ eqKeyLayout).toSeq),
-          rgFilter.map(org.apache.parquet.filter2.compat.FilterCompat.get))
+          rgFilter.map(org.apache.parquet.filter2.compat.FilterCompat.get),
+          range = if (split.rangeStart >= 0)
+            Some((split.rangeStart, split.rangeEnd)) else None)
       private val dv = dvCursor()
       private var g: org.apache.parquet.example.data.Group = _
       private var pos = -1L
@@ -4707,7 +4950,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     centroidFor: Seq[String] = Nil,
     autoOpt: Option[GraftAutoOptimize] = None,
     propsSet: Option[Map[String, String]] = None,
-    prefixBloomFor: Seq[(String, Int)] = Nil) extends BatchWrite {
+    prefixBloomFor: Seq[(String, Int)] = Nil,
+    rgCentroids: Boolean = false) extends BatchWrite {
   /** Writer factory — resolved at JOB START on the driver, including the
     * head's CHECK constraints: every task writer enforces them per row,
     * so a violating batch aborts before any manifest commit (nothing
@@ -4717,7 +4961,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
       GraftManifest.versions(path).lastOption
         .map(v => GraftManifest.headerFacts(path, v).checks).getOrElse(Nil),
       bloomFor, ndvFor, format, upsertKey, rowGroupBytes, centroidFor,
-      prefixBloomFor)
+      prefixBloomFor, rgCentroids,
+      reverseFor = sortCol.flatMap(GraftManifest.reverseCol))
 
   /** Job commit: the atomic point. Only files named by task commits enter
     * the manifest; half-written .tmp files are invisible to readers. */
@@ -5147,13 +5392,15 @@ class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
     bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
     format: String = GraftFormat.Default,
     upsertKey: Option[String] = None, rowGroupBytes: Option[Int] = None,
-    centroidFor: Seq[String] = Nil, prefixBloomFor: Seq[(String, Int)] = Nil)
+    centroidFor: Seq[String] = Nil, prefixBloomFor: Seq[(String, Int)] = Nil,
+    rgCentroids: Boolean = false, reverseFor: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-",
       partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor,
       format = format, upsertKey = upsertKey, rowGroupBytes = rowGroupBytes,
-      centroidFor = centroidFor, prefixBloomFor = prefixBloomFor)
+      centroidFor = centroidFor, prefixBloomFor = prefixBloomFor,
+      rgCentroids = rgCentroids, reverseFor = reverseFor)
 }
 
 /** Named (serializable) streaming factory — an anonymous class here would
@@ -5339,6 +5586,102 @@ object GraftSinkWriter {
     * is refused at write so decode is unambiguous. */
   val NullCell = "\\N"
 
+  /** CHAR-level reverse — the `#rvstats` / suffix-probe transform. By
+    * CHAR, not code point, deliberately: `v endsWith s` ⟺
+    * `revChars(v) startsWith revChars(s)` holds EXACTLY at char level
+    * (a code-point reverse breaks the equivalence when the suffix splits
+    * a surrogate pair). Reversed supplementary chars become lone
+    * surrogates, which `cmpUtf8` still totally orders — and the succ
+    * conjunct of the window math already guards on `pairedSurrogates`,
+    * going conservative exactly there. */
+  def revChars(s: String): String = {
+    val a = s.toCharArray
+    var l = 0; var r = a.length - 1
+    while (l < r) { val t = a(l); a(l) = a(r); a(r) = t; l += 1; r -= 1 }
+    new String(a)
+  }
+
+  /** Per-ROW-GROUP centroid facts for a just-written parquet file
+    * (`centroidGranularity=rowgroup`, round 15 — VERDICT r14 next #5):
+    * one footer read for the group tiling, then ONE sequential pass
+    * projected to the centroid columns only (the bytes this task wrote
+    * moments ago — warm in the page cache), accumulating each group's
+    * mean in DOUBLE with the same poisoning rules as the per-file fact
+    * (dim mismatch or a null element → `-`, no claim; so does an
+    * all-null group). Cost is O(vector column) per file at write time,
+    * which is why the granularity is OPT-IN — the per-file fact stays
+    * free. Runs task-side in commit(), so the facts ride the ordinary
+    * [[GraftSinkCommit]] metas. */
+  def rowGroupCentroids(file: java.nio.file.Path, schema: StructType,
+      cenIdx: Array[Int]): Map[Int, Seq[GraftRgCen]] = {
+    val spans = GraftParquet.rowGroupSpans(file)
+    if (spans.isEmpty) return Map.empty
+    val fileMt = GraftParquet.fileSchema(file.toString)
+    val proj = GraftParquet.projectPositions(fileMt, cenIdx.toIndexedSeq)
+    val types = cenIdx.map(schema.fields(_).dataType)
+    // per (column slot, group): sum vector / non-null count / poisoned
+    val sums = Array.fill(cenIdx.length, spans.length)(null: Array[Double])
+    val cnts = Array.fill(cenIdx.length, spans.length)(0L)
+    val bad = Array.fill(cenIdx.length, spans.length)(false)
+    val r = GraftParquet.reader(file.toString, proj)
+    try {
+      var g = 0            // current row group
+      var left = spans(g)._3 // rows remaining in it
+      var row = r.read()
+      while (row != null) {
+        while (left == 0 && g + 1 < spans.length) { g += 1; left = spans(g)._3 }
+        var s = 0
+        while (s < cenIdx.length) {
+          if (!bad(s)(g) && row.getFieldRepetitionCount(s) != 0) {
+            val v = GraftParquet.value(row, s, types(s))
+              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            var poison = false
+            var e = 0
+            while (e < v.numElements() && !poison) {
+              if (v.isNullAt(e)) poison = true
+              e += 1
+            }
+            val acc =
+              if (sums(s)(g) == null && !poison) {
+                sums(s)(g) = new Array[Double](v.numElements()); sums(s)(g)
+              } else sums(s)(g)
+            if (poison || (acc != null && acc.length != v.numElements())) {
+              bad(s)(g) = true; sums(s)(g) = null
+            } else {
+              val isF = types(s) match {
+                case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+                case _ => false
+              }
+              var e2 = 0
+              while (e2 < v.numElements()) {
+                acc(e2) += (if (isF) v.getFloat(e2).toDouble else v.getDouble(e2))
+                e2 += 1
+              }
+              cnts(s)(g) += 1
+            }
+          }
+          s += 1
+        }
+        left -= 1
+        row = r.read()
+      }
+    } finally r.close()
+    cenIdx.zipWithIndex.map { case (ci, s) =>
+      ci -> spans.indices.map { g =>
+        val (st, en, n) = spans(g)
+        val b64 =
+          if (bad(s)(g) || cnts(s)(g) == 0 || sums(s)(g) == null) "-"
+          else {
+            val bb = java.nio.ByteBuffer.allocate(sums(s)(g).length * 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            sums(s)(g).foreach(x => bb.putDouble(x / cnts(s)(g)))
+            java.util.Base64.getEncoder.encodeToString(bb.array())
+          }
+        GraftRgCen(st, en, n, b64)
+      }
+    }.toMap
+  }
+
   /** Exact string stats are withheld past this length (a prose envelope
     * as an EXACT fact would poison min/max aggregate answers; see the
     * commit() stats note) ... */
@@ -5425,7 +5768,8 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     checks: Seq[(String, String)] = Nil, bloomFor: Seq[String] = Nil,
     ndvFor: Seq[String] = Nil, format: String = GraftFormat.Default,
     upsertKey: Option[String] = None, rowGroupBytes: Option[Int] = None,
-    centroidFor: Seq[String] = Nil, prefixBloomFor: Seq[(String, Int)] = Nil)
+    centroidFor: Seq[String] = Nil, prefixBloomFor: Seq[(String, Int)] = Nil,
+    rgCentroids: Boolean = false, reverseFor: Option[String] = None)
     extends DataWriter[InternalRow] {
   new File(path).mkdirs()
   private val fileSuffix = GraftFormat.suffix(format) // validates the name
@@ -5458,6 +5802,14 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     // `ndvFor=*` may sweep in array columns — they have no canonical cell
     // to hash, and an empty sketch would CLAIM ~0 distinct values
     .filter(i => GraftSinkScan.statable(schema.fields(i).dataType)).toArray
+  /** Reversed-envelope column (`sortBy=reverse(c)`, round 15): per-file
+    * min/max over the CHAR-REVERSED cells — the `#rvstats` suffix-probe
+    * fact. Narrower-schema / non-string inherit skips silently (the
+    * explicit option is validated at plan time). */
+  private val revIdx: Option[Int] = reverseFor
+    .flatMap(c => scala.util.Try(schema.fieldIndex(c)).toOption)
+    .filter(i => schema.fields(i).dataType == StringType)
+
   /** Vector columns to centroid (`centroidFor`): per-file mean of the
     * non-null array<float|double> cells, accumulated in DOUBLE (round
     * 14 — the scan-side ANN routing fact). */
@@ -5551,6 +5903,10 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     val cenSum = scala.collection.mutable.Map[Int, Array[Double]]()
     val cenCnt = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
     val cenBad = scala.collection.mutable.Set[Int]()
+    // reversed-cell envelope (`#rvstats`): min/max of reverse(v) under
+    // the same cmpUtf8 order the probe side uses
+    var revMin: String = null
+    var revMax: String = null
   }
   private val parts = scala.collection.mutable.LinkedHashMap[String, Part]()
 
@@ -5717,6 +6073,13 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       }
       i += 1
     }
+    revIdx.foreach { ri =>
+      if (!row.isNullAt(ri)) {
+        val rv = GraftSinkWriter.revChars(cells(ri))
+        if (p.revMin == null || cmp(StringType, rv, p.revMin) < 0) p.revMin = rv
+        if (p.revMax == null || cmp(StringType, rv, p.revMax) > 0) p.revMax = rv
+      }
+    }
     if (parquetFmt) p.pq.write(row)
     else {
       p.out.write(cells.mkString(","))
@@ -5783,9 +6146,32 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
           sums.foreach(x => bb.putDouble(x / n))
           i -> java.util.Base64.getEncoder.encodeToString(bb.array())
       }.toMap
+      // row-group centroid facts (opt-in): the file just closed — one
+      // footer read + one projected pass over the still-cached bytes
+      val rgc: Map[Int, Seq[GraftRgCen]] =
+        if (rgCentroids && parquetFmt && cenIdx.nonEmpty && p.rows > 0)
+          GraftSinkWriter.rowGroupCentroids(fin.toPath, schema, cenIdx)
+        else Map.empty
+      // reversed-cell BOUND envelope: lower = 32-char prefix of the
+      // reversed min (<= all), upper = incremented prefix of the
+      // reversed max (> all); no finite successor → fact withheld.
+      // UNCLEAN extremes withhold too (fuzz-found, round 15): a
+      // char-reversed supplementary char is a LONE surrogate, and both
+      // the upperBound increment (code-point math disagrees with
+      // cmpUtf8 inside the surrogate range — the "successor" can sort
+      // BELOW its own matches) and the manifest's UTF-8 write (a lone
+      // surrogate becomes '?') are only sound on code-point-clean
+      // strings. Absent = conservative, the file always plans.
+      val rvs: Map[Int, (String, String)] = (for {
+        ri <- revIdx; mn <- Option(p.revMin)
+        if GraftSinkWriter.pairedSurrogates(mn) &&
+          GraftSinkWriter.pairedSurrogates(p.revMax)
+        hi <- GraftSinkWriter.upperBound(p.revMax)
+      } yield ri -> (GraftSinkWriter.lowerBound(mn), hi)).toMap
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
         partName.map(_ -> value), Some(nulls), None, Some(sums), blooms, ndvs,
-        bounds = boundIdx.result(), centroids = cens, pblooms = pbls)
+        bounds = boundIdx.result(), centroids = cens, pblooms = pbls,
+        rgcens = rgc, rvstats = rvs)
     }.toSeq
     // upsert mode: this task's key set lands as one equality-delete
     // sidecar (same tmp → rename task-commit discipline as data parts)

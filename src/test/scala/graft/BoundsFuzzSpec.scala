@@ -193,6 +193,44 @@ class BoundsFuzzSpec extends AnyFunSuite {
     }, n = 2000)
   }
 
+  test("reversed-envelope suffix pruning is sound (round 15)") {
+    // mayMatch(StringEndsWith) over a `#rvstats` envelope must NEVER
+    // drop a file holding a match — fuzzed with full-Unicode values
+    // (char-reversed supplementary chars become LONE surrogates, the
+    // case the pairedSurrogates guard must go conservative on) and
+    // probes biased toward true suffixes of the file's values.
+    import org.apache.spark.sql.sources.StringEndsWith
+    import org.apache.spark.sql.types.StructType
+    val layout = StructType.fromDDL("v STRING")
+    val genFile: Gen[List[String]] =
+      Gen.nonEmptyListOf(genValid).map(_.take(24))
+    def genProbe(vs: List[String]): Gen[String] = Gen.frequency(
+      4 -> Gen.oneOf(vs).flatMap(v =>
+        Gen.choose(0, v.length).map(v.substring(_))),
+      2 -> genValid,
+      1 -> Gen.const(""))
+    check("suffix-prune", forAll(genFile.flatMap(vs =>
+        genProbe(vs).map(p => (vs, p)))) { case (vs, p) =>
+      // the writer-exact fact: bound envelope over char-reversed values,
+      // WITHHELD (like the writer withholds it) when either reversed
+      // extreme is surrogate-unclean — the fuzz found the unchecked
+      // variant unsound (upperBound's code-point increment disagrees
+      // with cmpUtf8 inside the surrogate range)
+      val rev = vs.map(GraftSinkWriter.revChars)
+      val mn = rev.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+      val mx = rev.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+      (!GraftSinkWriter.pairedSurrogates(mn) ||
+        !GraftSinkWriter.pairedSurrogates(mx)) ||
+      GraftSinkWriter.upperBound(mx).forall { hi =>
+        val m = sources.GraftFileMeta("f", vs.length.toLong, 1,
+          Map.empty, None, nulls = Some(Map(0 -> 0L)),
+          rvstats = Map(0 -> (GraftSinkWriter.lowerBound(mn), hi)))
+        val anyMatch = vs.exists(_.endsWith(p))
+        !anyMatch || GraftSinkScan.mayMatch(m, layout, StringEndsWith("v", p))
+      }
+    }, n = 2000)
+  }
+
   test("prefix-bloom pruning is sound for startsWith/equality/IN (round 15)") {
     // A #pbloom fact must NEVER drop a file holding a match: any value
     // that starts with probe p (|p| >= w) shares p's w-char prefix, which
