@@ -1890,10 +1890,16 @@ object GraftCheck {
       } else dt match {
         case LongType   => java.lang.Long.valueOf(s)
         case DoubleType => java.lang.Double.valueOf(s)
+        // decimals at ANY precision (round 15): the literal parses exact
+        // and every comparison runs through canon/cmp's typed BigDecimal
+        // path — `price >= 0` on a decimal(38,6) money column enforces
+        // per row like any other check
+        case _: org.apache.spark.sql.types.DecimalType =>
+          new java.math.BigDecimal(s)
         case StringType => throw new IllegalArgumentException(
           s"graft-sink: string literal must be 'quoted' in check '$expr'")
         case other => throw new IllegalArgumentException(
-          s"graft-sink: checks support long/double/string columns, '$col' is $other")
+          s"graft-sink: checks support long/double/string/decimal columns, '$col' is $other")
       }
     }
     val rest = t.drop(col.length).trim
@@ -4082,7 +4088,8 @@ object GraftSinkScan {
       // a NULL comparison value matches no row — nothing is provable
       case EqualTo(_, null) | GreaterThan(_, null) | GreaterThanOrEqual(_, null) |
            LessThan(_, null) | LessThanOrEqual(_, null) |
-           StringStartsWith(_, null) => false
+           StringStartsWith(_, null) |
+           org.apache.spark.sql.sources.StringEndsWith(_, null) => false
       case And(l, r) => mustMatchAll(meta, layout, l) && mustMatchAll(meta, layout, r)
       case Or(l, r)  => mustMatchAll(meta, layout, l) || mustMatchAll(meta, layout, r)
       case EqualTo(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
@@ -4120,6 +4127,24 @@ object GraftSinkScan {
           cmp(dt, mn, p) >= 0 &&
           GraftSinkWriter.upperBound(p, math.max(p.length, 1))
             .forall(u => cmp(dt, mx, u) < 0) }
+      // every row matches a SUFFIX iff the whole `#rvstats` reversed
+      // envelope sits inside [rev(s), succ(rev(s))) — the same window
+      // proof as the prefix case one mirror over (round 15): lo >= rev(s)
+      // forces every reversed value >= rev(s) (lo <= the true reversed
+      // min), and hi <= succ forces them under the window's strict upper
+      // (hi > every reversed value). This is what prunes the anti-suffix
+      // probe `path NOT LIKE '%.tmp'` on a reverse-clustered table via
+      // mayMatch(Not(g)) = !mustMatchAll(g).
+      case org.apache.spark.sql.sources.StringEndsWith(c, s) if s != null =>
+        val rs = GraftSinkWriter.revChars(s)
+        GraftSinkWriter.pairedSurrogates(rs) &&
+        col(c).exists { case (i, _) =>
+          noNulls(i) && meta.rvstats.get(i).exists { case (lo, hi) =>
+            cmp(StringType, lo, rs) >= 0 &&
+            GraftSinkWriter.upperBound(rs, math.max(rs.length, 1))
+              .forall(u => cmp(StringType, hi, u) <= 0)
+          }
+        }
       case _ => false
     }
   }

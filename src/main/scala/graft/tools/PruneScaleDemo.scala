@@ -133,6 +133,64 @@ object PruneScaleDemo {
       .option("partitionBy", "pt").mode("overwrite").save()
     measure("anti_full", rd(parted))
     measure("anti_probe", rd(parted).where(col("pt") =!= "p1"))
+    // PREFIX BLOOM (round 15): the same `payload LIKE '0a%'`-class probe
+    // on the HASH-SCATTERED layout (k-clustered, payload envelopes all
+    // span the hex domain) — only the fixed-width prefix set can prune
+    val pbloomed = s"$root/pbloomed"
+    base.repartition(nFiles, col("k"))
+      .write.format("graft-sink").option("path", pbloomed)
+      .option("prefixBloomFor", "payload:4").mode("overwrite").save()
+    measure("pbloom_scattered",
+      rd(pbloomed).where(col("payload").startsWith("0a1b")))
+    measure("pbloom_control",
+      rd(indexed).where(col("payload").startsWith("0a1b")))
+    // SUFFIX PROBE (round 15): `payload LIKE '%ff'` on a REVERSED-column
+    // layout — `#rvstats` windows; the k-clustered table is the control
+    val rsorted = s"$root/rsorted"
+    base.repartitionByRange(nFiles, reverse(col("payload")))
+      .sortWithinPartitions(reverse(col("payload")))
+      .write.format("graft-sink").option("path", rsorted)
+      .option("sortBy", "reverse(payload)").mode("overwrite").save()
+    measure("suffix_control", rd(indexed).where(col("payload").endsWith("ff")))
+    measure("suffix_reversed", rd(rsorted).where(col("payload").endsWith("ff")))
+    // the anti-probe drops only files ENTIRELY inside the suffix class,
+    // so probe a one-hex-char class (1/16 of rows ≈ 4 pure files)
+    measure("anti_suffix_reversed",
+      rd(rsorted).where(!col("payload").endsWith("f")))
+    // ROW-GROUP ANN (round 15): `#rgcen` group routing inside the ONE
+    // file the file-level route keeps — reports records DECODED, the
+    // sub-file materialization bill
+    val vdir = s"$root/vectors"
+    val vfiles = 8
+    val vn = n / 8 // vector rows (8-dim doubles are ~9x a base row)
+    spark.range(vn).select(col("id"),
+        array((0 until 8).map(d =>
+          when(col("id") * 8 / vn === d, 1.0).otherwise(0.0)): _*).as("v"))
+      .repartitionByRange(vfiles, col("id"))
+      .sortWithinPartitions("id")
+      .write.format("graft-sink").option("path", vdir)
+      .option("rowGroupBytes", (1 << 20).toString)
+      .option("centroidFor", "v").option("centroidGranularity", "rowgroup")
+      .mode("overwrite").save()
+    val probeVec = (0 until 8).map(d => if (d == 3) "1.0" else "0.0").mkString(",")
+    def annRead(rg: Option[Int]) = {
+      val r = spark.read.format("graft-sink").option("path", vdir)
+        .option("annProbe", probeVec).option("annNprobe", "1")
+        .option("annCol", "v")
+      rg.fold(r)(m => r.option("annRgNprobe", m.toString)).load()
+    }
+    def annMeasure(tag: String, df: DataFrame): Unit = {
+      val d0 = graft.sources.GraftReadStats.parquetRecordsDecoded.sum()
+      val t0 = System.nanoTime()
+      val rows = df.queryExecution.toRdd.count()
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      val dec = graft.sources.GraftReadStats.parquetRecordsDecoded.sum() - d0
+      println(f"""{"phase":"$tag","rows_out":$rows,"records_decoded":$dec,""" +
+        f""""of_rows":$vn,"wall_ms":${wallMs}%.0f}""")
+    }
+    annMeasure("ann_file_route", annRead(None).select(col("id"), col("v")))
+    annMeasure("ann_rowgroup_route",
+      annRead(Some(2)).select(col("id"), col("v")))
     spark.stop()
   }
 }

@@ -225,8 +225,16 @@ class BoundsFuzzSpec extends AnyFunSuite {
         val m = sources.GraftFileMeta("f", vs.length.toLong, 1,
           Map.empty, None, nulls = Some(Map(0 -> 0L)),
           rvstats = Map(0 -> (GraftSinkWriter.lowerBound(mn), hi)))
+        val f = StringEndsWith("v", p)
         val anyMatch = vs.exists(_.endsWith(p))
-        !anyMatch || GraftSinkScan.mayMatch(m, layout, StringEndsWith("v", p))
+        val allMatch = vs.forall(_.endsWith(p))
+        (!anyMatch || GraftSinkScan.mayMatch(m, layout, f)) &&
+        // the all-match proof must never claim more than the truth
+        (!GraftSinkScan.mustMatchAll(m, layout, f) || allMatch) &&
+        // Not-soundness: a file holding ANY non-matching value (which
+        // FALSE-ifies the suffix — no NULLs here) survives the anti-probe
+        (allMatch || GraftSinkScan.mayMatch(m, layout,
+          org.apache.spark.sql.sources.Not(f)))
       }
     }, n = 2000)
   }

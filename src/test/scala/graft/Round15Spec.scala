@@ -200,6 +200,44 @@ class Round15Spec extends AnyFunSuite {
     assert(sm.head().getString(0) == "100000000012426.928900")
   }
 
+  test("wide decimal reaches replaceWhere row-eval and CHECK constraints") {
+    import spark.implicits._
+    val root = tmp("graft_r15_wrw")
+    spark.conf.set("spark.sql.catalog.g15w", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15w.root", root)
+    val dir = s"$root/db/t"
+    def df(r: Seq[(Long, String)]) =
+      r.toDF("id", "s").select(col("id"),
+        col("s").cast("decimal(38,6)").as("p"))
+    // one straddler file: the replaceWhere predicate must row-evaluate
+    // through the FLBA cell decode (values on both sides of the cut)
+    df(Seq((1L, "10.5"), (2L, "99999999999999999999.25"), (3L, "20.0")))
+      .coalesce(1).write.format("graft-sink").option("path", dir)
+      .mode("overwrite").save()
+    df(Seq((4L, "99999999999999999999.75")))
+      .writeTo("g15w.db.t")
+      .overwrite(col("p") > lit("50").cast("decimal(38,6)"))
+    val got = spark.read.format("graft-sink").option("path", dir).load()
+      .select(col("id"), col("p").cast("string").as("ps"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "10.500000"), (3L, "20.000000"),
+      (4L, "99999999999999999999.750000")),
+      s"wide-decimal replaceWhere must cut exactly at the row level: ${got.toSeq}")
+    // CHECK constraint over the wide column enforces per row at write
+    spark.sql(
+      "CALL g15w.system.add_constraint('db.t', 'nonneg', 'p >= 0')").collect()
+    val e = intercept[Exception] {
+      df(Seq((9L, "-0.000001"))).coalesce(1)
+        .write.format("graft-sink").option("path", dir).mode("append").save()
+    }
+    assert(e.getMessage.contains("nonneg") ||
+      Option(e.getCause).exists(_.getMessage.contains("nonneg")),
+      s"a violating wide-decimal row must fail the CHECK loudly: $e")
+    assert(spark.read.format("graft-sink").option("path", dir).load()
+      .count() == 3, "the refused batch must land nothing")
+  }
+
   test("sink_wide_stats: range pruning + full aggregate pushdown on decimal(38,6)") {
     val df = graft.ops.Scale.sinkWideStats(spark, sf001)
     assert(df.count() > 0, "the bottom-band probe must return rows at sf0.001")
@@ -310,6 +348,12 @@ class Round15Spec extends AnyFunSuite {
     // a suffix matching NOTHING prunes everything
     assert(parts(t().where(col("p").endsWith(".bmp"))) == 0,
       "an absent suffix must prune every file")
+    // ANTI-suffix probe: NOT LIKE '%.jpg' drops the all-jpg file through
+    // the endsWith all-match proof (mayMatch(Not) = !mustMatchAll)
+    val anti = t().where(!col("p").endsWith(".jpg"))
+    assert(parts(anti) == 1,
+      "the anti-suffix probe must prune the all-matching file")
+    assert(anti.count() == 100)
     // short/empty suffixes stay conservative and correct
     assert(t().where(col("p").endsWith("")).count() == 200)
     // APPENDS inherit the declared reverse spec and track the fact
