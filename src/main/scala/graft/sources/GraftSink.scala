@@ -212,6 +212,26 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
   * splits without reading any footer at plan time. */
 case class GraftRgCen(start: Long, end: Long, rows: Long, b64: String)
 
+/** The table's INDEXED-COLUMN sets as one `#idx=` HEADER fact (layout
+  * positions): bloom / NDV (round 11), prefix-bloom with widths, vector
+  * centroids, and whether centroids are row-group-granular (round 15).
+  * What lets a per-epoch streaming commit — and any other O(header)
+  * consumer — rebuild EVERY index surface for its fresh files without
+  * folding the chain's per-file facts. */
+case class GraftIdx(bloom: Seq[Int], ndv: Seq[Int],
+    pbloom: Seq[(Int, Int)] = Nil, cen: Seq[Int] = Nil,
+    rgcen: Boolean = false) {
+  def union(o: GraftIdx): GraftIdx = GraftIdx(
+    (bloom ++ o.bloom).distinct.sorted,
+    (ndv ++ o.ndv).distinct.sorted,
+    // first width wins per column (one table = one width in practice;
+    // a mixed history converges on the next full commit's recompute)
+    (pbloom ++ o.pbloom).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (i, ws) => (i, ws.head._2) },
+    (cen ++ o.cen).distinct.sorted,
+    rgcen || o.rgcen)
+}
+
 /** One EQUALITY-DELETE sidecar (the Iceberg equality-delete design,
   * re-derived on this manifest): "every row whose `col` value appears in
   * `sidecar` is deleted from all files OLDER than commit `v`" — recorded
@@ -271,7 +291,7 @@ case class GraftManifest(version: Int, metas: Seq[GraftFileMeta],
     ids: Option[Seq[Int]] = None, checks: Seq[(String, String)] = Nil,
     partSpec: Option[String] = None, sortSpec: Option[String] = None,
     format: Option[String] = None, eqDels: Seq[GraftEqDel] = Nil,
-    idxCols: Option[(Seq[Int], Seq[Int])] = None,
+    idxCols: Option[GraftIdx] = None,
     props: Map[String, String] = Map.empty) {
   /** Legacy (name, rows) view — the shape the v1 protocol exposed. */
   def files: Seq[(String, Long)] = metas.map(m => m.name -> m.rows)
@@ -701,17 +721,51 @@ object GraftManifest {
       b.toString
     }
 
-  /** Parse a `#idx=bloom:...;ndv:...` header payload. */
-  private def parseIdx(payload: String): (Seq[Int], Seq[Int]) = {
+  /** Parse a `#idx=` header payload. Round 11 wrote exactly
+    * `bloom:...;ndv:...`; round 15 appends OPTIONAL segments for the
+    * newer index surfaces (`pbloom:i:w,...`, `cen:...`, `rgcen:1`) so a
+    * per-epoch streaming commit keeps ALL of a table's indexes warm in
+    * O(header). Unknown segments are refused loudly (a silently-ignored
+    * index set would quietly stop being rebuilt); missing segments are
+    * empty — every r11–r14 manifest parses unchanged. */
+  private def parseIdx(payload: String): GraftIdx = {
     def ints(s: String): Seq[Int] =
       s.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
-    payload.split(";", 2) match {
-      case Array(b, n) if b.startsWith("bloom:") && n.startsWith("ndv:") =>
-        (ints(b.stripPrefix("bloom:")), ints(n.stripPrefix("ndv:")))
-      case _ => throw new IllegalStateException(
-        s"malformed #idx line: '#idx=$payload'")
+    val segs = payload.split(";", -1).toSeq
+    require(segs.take(2).map(_.takeWhile(_ != ':')) == Seq("bloom", "ndv"),
+      s"malformed #idx line: '#idx=$payload'")
+    var ix = GraftIdx(Nil, Nil)
+    segs.foreach { s =>
+      val (k, v) = s.span(_ != ':')
+      val body = v.stripPrefix(":")
+      k match {
+        case "bloom" => ix = ix.copy(bloom = ints(body))
+        case "ndv"   => ix = ix.copy(ndv = ints(body))
+        case "pbloom" => ix = ix.copy(pbloom = body.split(",")
+          .filter(_.nonEmpty).toSeq.map(_.split(":", 2) match {
+            case Array(i, w) => (i.toInt, w.toInt)
+            case bad => throw new IllegalStateException(
+              s"malformed #idx pbloom entry: '${bad.mkString(":")}'")
+          }))
+        case "cen"   => ix = ix.copy(cen = ints(body))
+        case "rgcen" => ix = ix.copy(rgcen = body == "1")
+        case other => throw new IllegalStateException(
+          s"unknown #idx segment '$other' in '#idx=$payload'")
+      }
     }
+    ix
   }
+
+  /** Render the `#idx=` payload; the r11 two-segment prefix stays first
+    * so the line shape is stable, newer segments append only when
+    * non-empty (an r11-shaped table keeps writing r11-shaped lines). */
+  private def renderIdx(ix: GraftIdx): String =
+    s"bloom:${ix.bloom.mkString(",")};ndv:${ix.ndv.mkString(",")}" +
+      (if (ix.pbloom.nonEmpty)
+        ";pbloom:" + ix.pbloom.map { case (i, w) => s"$i:$w" }.mkString(",")
+      else "") +
+      (if (ix.cen.nonEmpty) s";cen:${ix.cen.mkString(",")}" else "") +
+      (if (ix.rgcen) ";rgcen:1" else "")
 
   def parse(version: Int, body: String): GraftManifest = {
     var ddl: Option[String] = None
@@ -723,7 +777,7 @@ object GraftManifest {
     var partSpec: Option[String] = None
     var sortSpec: Option[String] = None
     var format: Option[String] = None
-    var idxCols: Option[(Seq[Int], Seq[Int])] = None
+    var idxCols: Option[GraftIdx] = None
     val props = scala.collection.mutable.Map[String, String]()
     val checks = Seq.newBuilder[(String, String)]
     val txns = scala.collection.mutable.Map[String, Long]()
@@ -1037,7 +1091,7 @@ object GraftManifest {
       sortSpec: Option[String] = None,
       format: Option[String] = None,
       eqDels: Seq[GraftEqDel] = Nil,
-      idxCols: Option[(Seq[Int], Seq[Int])] = None,
+      idxCols: Option[GraftIdx] = None,
       props: Map[String, String] = Map.empty): String = {
     val meta = bodyMetas.flatMap { m =>
       val p = m.partition.map { case (c, v) => s"$c,$v" }.getOrElse(",")
@@ -1095,13 +1149,13 @@ object GraftManifest {
       // for byte-stable manifests.
       props.toSeq.sortBy(_._1).map { case (k, v) =>
         s"#prop=$k=${escStat(v)}" } ++
-      // the table's INDEXED COLUMN SETS (bloom/NDV layout positions) as a
-      // HEADER fact: what lets a per-epoch streaming commit learn them in
-      // O(header) instead of folding the chain's per-file facts (ADVICE
-      // r11 #2). Emitted even when empty — absence means LEGACY manifest
-      // (fall back to one fold), not "no indexed columns".
-      idxCols.map { case (b, n) =>
-        s"#idx=bloom:${b.mkString(",")};ndv:${n.mkString(",")}" }.toSeq ++
+      // the table's INDEXED COLUMN SETS (bloom/NDV, and round 15:
+      // prefix-bloom widths / centroid columns / row-group granularity)
+      // as a HEADER fact: what lets a per-epoch streaming commit learn
+      // them in O(header) instead of folding the chain's per-file facts
+      // (ADVICE r11 #2). Emitted even when empty — absence means LEGACY
+      // manifest (fall back to one fold), not "no indexed columns".
+      idxCols.map(ix => s"#idx=${renderIdx(ix)}").toSeq ++
       eqDels.map(e => s"#eqdel=${e.v},${e.col},${e.sidecar},${e.n}") ++
       checks.map { case (n, e) => s"#check=$n,$e" } ++
       txns.toSeq.sortBy(_._1).map { case (w, e) => s"#txn=$w:$e" }) ++:
@@ -1129,7 +1183,7 @@ object GraftManifest {
       var partSpec: Option[String] = None
       var sortSpec: Option[String] = None
       var format: Option[String] = None
-      var idxCols: Option[(Seq[Int], Seq[Int])] = None
+      var idxCols: Option[GraftIdx] = None
       val props = scala.collection.mutable.Map[String, String]()
       val eqDels = Seq.newBuilder[GraftEqDel]
       val checks = Seq.newBuilder[(String, String)]
@@ -1471,9 +1525,13 @@ object GraftManifest {
       // head (no #idx) omits the line — a partial set would lie to the
       // O(header) consumers — so legacy tables upgrade at their next
       // full commit.
-      def idxOf(ms: Seq[GraftFileMeta]): (Seq[Int], Seq[Int]) = (
+      def idxOf(ms: Seq[GraftFileMeta]): GraftIdx = GraftIdx(
         ms.flatMap(_.blooms.keys).distinct.sorted,
-        ms.flatMap(_.ndvs.keys).distinct.sorted)
+        ms.flatMap(_.ndvs.keys).distinct.sorted,
+        ms.flatMap(_.pblooms.toSeq).groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (i, ws) => (i, ws.head._2._1) },
+        ms.flatMap(m => m.centroids.keys ++ m.rgcens.keys).distinct.sorted,
+        ms.exists(_.rgcens.nonEmpty))
       val body =
         if (isDelta) render(unionDdl, commitTs, headV, jobStamped, newTotal, op,
           txn.toMap,
@@ -1482,10 +1540,8 @@ object GraftManifest {
           snapshotFiles = head.flatMap(_.nFiles).map(_ + jobStamped.size),
           ids = Some(ids), checks = checks, partSpec = partSpec,
           sortSpec = sortSpec, format = format, eqDels = eqDels0,
-          idxCols = head.flatMap(_.idxCols).map { case (b, n) =>
-            val (jb, jn) = idxOf(jobStamped)
-            ((b ++ jb).distinct.sorted, (n ++ jn).distinct.sorted)
-          }, props = props)
+          idxCols = head.flatMap(_.idxCols).map(_.union(idxOf(jobStamped))),
+          props = props)
         else {
           require(all.map(_.liveRows).sum == newTotal,
             s"graft-sink: checkpoint fold at $path disagrees with the running total")
@@ -4175,11 +4231,12 @@ object GraftSinkScan {
       // string-shape predicates only exist on strings; a statable
       // non-string column never receives them from Spark, but gate anyway
       // so replaceWhere admission can't accept an unevaluable shape.
-      // endsWith/contains have no envelope math (no order to exploit) —
-      // they are ROW-LEVEL ONLY: mayMatch conservatively keeps every
-      // file, mustMatchAll proves nothing, and the straddler vectoring
-      // does the exact work — which is all a `LIKE '%.jpg'` replaceWhere
-      // needs to be correct.
+      // contains has no envelope math (no order to exploit) — ROW-LEVEL
+      // ONLY: mayMatch conservatively keeps every file and the straddler
+      // vectoring does the exact work. endsWith gained `#rvstats` window
+      // pruning on reverse(c)-clustered layouts (round 15), but the
+      // row-level evaluator below is still what makes a `LIKE '%.jpg'`
+      // replaceWhere EXACT on any layout.
       case StringStartsWith(c, _) => strCol(layout, c)
       case org.apache.spark.sql.sources.StringEndsWith(c, _) => strCol(layout, c)
       case org.apache.spark.sql.sources.StringContains(c, _) => strCol(layout, c)
@@ -5247,11 +5304,22 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
     def idxCols(sel: GraftFileMeta => Iterable[Int]): Seq[String] =
       base.map(_.metas.flatMap(sel).distinct.sorted
         .flatMap(i => schema.fields.lift(i).map(_.name)).toSeq).getOrElse(Nil)
+    val hdr = GraftManifest.headerFacts(path, baseVersion)
     GraftDeltaWriterFactory(path, schema, tag, partCol,
-      GraftManifest.headerFacts(path, baseVersion).checks,
+      hdr.checks,
       idxCols(_.blooms.keys), idxCols(_.ndvs.keys),
       // re-inserted rows land in the TABLE's format (header fact)
-      GraftFormat.resolve(None, path))
+      GraftFormat.resolve(None, path),
+      // round 15: the newer surfaces rebuild too — prefix blooms with
+      // their widths, centroids (+ row-group granularity), and the
+      // declared reverse(...) layout's #rvstats
+      prefixBloomFor = base.toSeq.flatMap(_.metas.flatMap(_.pblooms.toSeq))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .flatMap { case (i, ws) =>
+          schema.fields.lift(i).map(f => (f.name, ws.head._2._1)) },
+      centroidFor = idxCols(m => m.centroids.keys ++ m.rgcens.keys),
+      rgCentroids = base.exists(_.metas.exists(_.rgcens.nonEmpty)),
+      reverseFor = hdr.sortSpec.flatMap(GraftManifest.reverseCol))
   }
 
   /** Job commit: merge every task's vector fragments into one final
@@ -5357,11 +5425,16 @@ case class GraftDeltaWriterFactory(path: String, schema: StructType,
     tag: String, partCol: Option[String] = None,
     checks: Seq[(String, String)] = Nil,
     bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
-    format: String = GraftFormat.Default)
+    format: String = GraftFormat.Default,
+    prefixBloomFor: Seq[(String, Int)] = Nil,
+    centroidFor: Seq[String] = Nil,
+    rgCentroids: Boolean = false,
+    reverseFor: Option[String] = None)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(path, schema, partitionId, taskId, tag, partCol, checks,
-      bloomFor, ndvFor, format)
+      bloomFor, ndvFor, format, prefixBloomFor, centroidFor, rgCentroids,
+      reverseFor)
 }
 
 /** Task-side delta writer: deletes accumulate (file → positions) and
@@ -5373,7 +5446,11 @@ class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, tag: String, partCol: Option[String] = None,
     checks: Seq[(String, String)] = Nil,
     bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
-    format: String = GraftFormat.Default)
+    format: String = GraftFormat.Default,
+    prefixBloomFor: Seq[(String, Int)] = Nil,
+    centroidFor: Seq[String] = Nil,
+    rgCentroids: Boolean = false,
+    reverseFor: Option[String] = None)
     extends DeltaWriter[InternalRow] {
   private var inserts: GraftSinkWriter = _
   private val dels =
@@ -5393,7 +5470,9 @@ class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
     if (inserts == null)
       inserts = new GraftSinkWriter(path, schema, partitionId, taskId,
         prefix = s"$tag-", partCol = partCol, checks = checks,
-        bloomFor = bloomFor, ndvFor = ndvFor, format = format)
+        bloomFor = bloomFor, ndvFor = ndvFor, format = format,
+        prefixBloomFor = prefixBloomFor, centroidFor = centroidFor,
+        rgCentroids = rgCentroids, reverseFor = reverseFor)
     inserts.write(row)
   }
 
@@ -5441,14 +5520,20 @@ case class GraftSinkStreamingFactory(path: String, schema: StructType,
     partCol: Option[String] = None,
     bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
     format: String = GraftFormat.Default,
-    upsertKey: Option[String] = None)
+    upsertKey: Option[String] = None,
+    prefixBloomFor: Seq[(String, Int)] = Nil,
+    centroidFor: Seq[String] = Nil,
+    rgCentroids: Boolean = false,
+    reverseFor: Option[String] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId,
       prefix = if (versioned) s"e$epochId-$tag-" else s"epoch-$epochId-$tag-",
       partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor,
-      format = format, upsertKey = upsertKey)
+      format = format, upsertKey = upsertKey,
+      prefixBloomFor = prefixBloomFor, centroidFor = centroidFor,
+      rgCentroids = rgCentroids, reverseFor = reverseFor)
 }
 
 /** The STREAMING half of the sink: identical task-commit protocol, but job
@@ -5496,7 +5581,7 @@ object GraftSinkStreamingWrite {
     * again only after it actually moves, and moves by this writer emit
     * `#idx`, retiring the fallback). */
   private[sources] val legacyIdxCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Int], Seq[Int])]()
+    new java.util.concurrent.ConcurrentHashMap[String, GraftIdx]()
 
 }
 
@@ -5533,25 +5618,38 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     // versioned streaming ingest into an indexed table keeps the table
-    // indexed: derive bloom/NDV columns from the head's #idx header fact
+    // indexed: derive EVERY index surface (bloom/NDV/prefix-bloom/
+    // centroid + granularity, round 15) from the head's #idx header fact
     // (or one cached legacy fold), the same rule OPTIMIZE and DML
-    // re-inserts follow
+    // re-inserts follow; a declared reverse(...) layout arms `#rvstats`
+    // tracking through the sortSpec header fact.
     val head = headFactsOnce
-    val idx: (Seq[Int], Seq[Int]) = head match {
-      case None => (Nil, Nil)
+    val idx: GraftIdx = head match {
+      case None => GraftIdx(Nil, Nil)
       case Some(h) => h.idxCols.getOrElse(
         GraftSinkStreamingWrite.legacyIdxCache.computeIfAbsent(
           s"$path@${h.version}", _ => {
             val m = GraftManifest.readVersion(path, Some(h.version)).get
-            (m.metas.flatMap(_.blooms.keys).distinct.sorted,
-              m.metas.flatMap(_.ndvs.keys).distinct.sorted)
+            GraftIdx(m.metas.flatMap(_.blooms.keys).distinct.sorted,
+              m.metas.flatMap(_.ndvs.keys).distinct.sorted,
+              m.metas.flatMap(_.pblooms.toSeq).groupBy(_._1).toSeq
+                .sortBy(_._1).map { case (i, ws) => (i, ws.head._2._1) },
+              m.metas.flatMap(x => x.centroids.keys ++ x.rgcens.keys)
+                .distinct.sorted,
+              m.metas.exists(_.rgcens.nonEmpty))
           }))
     }
     def names(is: Seq[Int]): Seq[String] =
       is.flatMap(i => schema.fields.lift(i).map(_.name))
     GraftSinkStreamingFactory(path, schema, tag, commitVersions,
       head.map(_.checks).getOrElse(Nil), partCol,
-      names(idx._1), names(idx._2), format, upsertKey)
+      names(idx.bloom), names(idx.ndv), format, upsertKey,
+      prefixBloomFor = idx.pbloom.flatMap { case (i, w) =>
+        schema.fields.lift(i).map(f => (f.name, w)) },
+      centroidFor = names(idx.cen),
+      rgCentroids = idx.rgcen && format == GraftFormat.Parquet,
+      reverseFor = head.flatMap(_.sortSpec)
+        .flatMap(GraftManifest.reverseCol))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -238,6 +238,29 @@ class Round15Spec extends AnyFunSuite {
       .count() == 3, "the refused batch must land nothing")
   }
 
+  test("zorder_by accepts a decimal(38,6) dimension (ranks through double)") {
+    import spark.implicits._
+    val root = tmp("graft_r15_zdec")
+    spark.conf.set("spark.sql.catalog.g15d", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15d.root", root)
+    val dir = s"$root/db/t"
+    spark.range(0, 400).toDF("id")
+      .select(col("id").as("a"),
+        (col("id").cast("decimal(20,0)") * 1000000)
+          .cast("decimal(38,6)").as("price"))
+      .repartition(4)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    spark.sql("CALL g15d.system.optimize('db.t', 4, 'price,a')").collect()
+    val t = spark.read.format("graft-sink").option("path", dir).load()
+    assert(t.count() == 400)
+    // the price-led curve prunes a bottom-band money probe (decimal
+    // envelopes carry the skip — round-15 wide-decimal stats)
+    val probed = t.where(col("price") < lit("50000000").cast("decimal(38,6)"))
+    assert(probed.count() == 50)
+    assert(probed.rdd.getNumPartitions < 4,
+      "a wide-decimal range probe on the price-led curve must prune files")
+  }
+
   test("sink_wide_stats: range pruning + full aggregate pushdown on decimal(38,6)") {
     val df = graft.ops.Scale.sinkWideStats(spark, sf001)
     assert(df.count() > 0, "the bottom-band probe must return rows at sf0.001")
@@ -377,6 +400,55 @@ class Round15Spec extends AnyFunSuite {
   test("scan_suffix_prune: LIKE-'%.jpg' prunes the reversed layout at sf0.001") {
     val df = graft.ops.Scale.scanSuffixPrune(spark, sf001)
     assert(df.count() > 0)
+  }
+
+  test("streamed epochs rebuild EVERY index surface (#idx round-15 segments)") {
+    import spark.implicits._
+    val root = tmp("graft_r15_stridx")
+    def rows(r: Range) = r.map(i => (i.toLong, f"key_$i%04d_x",
+      Array.fill(4)(i.toDouble))).toDF("id", "ck", "v")
+    val table = s"$root/t"
+    // seed: every round-15 surface armed — prefix bloom, row-group
+    // centroids, reversed layout
+    rows(0 until 100).coalesce(1)
+      .write.format("graft-sink").option("path", table)
+      .option("prefixBloomFor", "ck:4")
+      .option("centroidFor", "v").option("centroidGranularity", "rowgroup")
+      .option("sortBy", "reverse(ck)")
+      .mode("overwrite").save()
+    val seedHead = GraftManifest.readVersion(table, None).get
+    require(seedHead.idxCols.exists(ix =>
+      ix.pbloom == Seq((1, 4)) && ix.cen == Seq(2) && ix.rgcen),
+      s"seed must record the extended #idx fact: ${seedHead.idxCols}")
+    // one streamed epoch with NO index options of its own
+    val srcDir = s"$root/src"
+    rows(100 until 200).coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream
+      .schema("id LONG, ck STRING, v ARRAY<DOUBLE>")
+      .parquet(srcDir)
+      .writeStream.format("graft-sink")
+      .option("path", table)
+      .option("checkpointLocation", s"$root/chk")
+      .option("commitVersions", "true")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val head = GraftManifest.readVersion(table, None).get
+    val fresh = head.metas.filterNot(m =>
+      seedHead.metas.exists(_.name == m.name))
+    assert(fresh.nonEmpty, "the epoch must land new files")
+    fresh.foreach { m =>
+      assert(m.pblooms.get(1).exists(_._1 == 4),
+        s"epoch file ${m.name} must carry the width-4 prefix bloom")
+      assert(m.rgcens.contains(2),
+        s"epoch file ${m.name} must carry row-group centroids")
+      assert(m.rvstats.contains(1),
+        s"epoch file ${m.name} must carry the reversed envelope")
+    }
+    // and the union #idx fact survives the delta commit
+    assert(head.idxCols.exists(ix =>
+      ix.pbloom == Seq((1, 4)) && ix.cen == Seq(2) && ix.rgcen),
+      s"the epoch's delta commit must carry #idx forward: ${head.idxCols}")
   }
 
   test("Table.properties() memoizes per resolved version (ADVICE r14)") {
