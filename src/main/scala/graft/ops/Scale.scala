@@ -3766,6 +3766,50 @@ object Scale {
       .orderBy(col("doc_id"))
   }
 
+  /** CONTAINS-PROBE FILE SKIPPING via N-GRAM BLOOMS (round 15 — the one
+    * string shape with NO order to exploit): `LIKE '%s%'` plans every
+    * file on any layout, sorted or not. `ngramBloomFor=ck:4` hashes
+    * EVERY 4-char window of each value into a per-file `#ngbloom` set
+    * (the pg_trgm idea at file granularity), and a contains probe with
+    * ANY absent window provably matches no row — a value containing s
+    * contains each of s's windows. Prefix/suffix/equality probes imply
+    * contains and reuse the fact. Fixture: md5-shaped strings scattered
+    * round-robin (envelopes span the domain, nothing else can prune).
+    * REQUIREd: the un-indexed control plans all files, the indexed
+    * layout plans strictly fewer for a mid-string probe; rows fully
+    * oracled (md5 identical on both engines; '4238a0' sits inside
+    * md5('1'), so doc 1 is the guaranteed match). */
+  def scanContainsNgram(spark: SparkSession, sf: String): DataFrame = {
+    val dir = tmpDir("ngbloomy", sf)
+    graft.util.Scratch.once(dir) {
+      documents(spark, sf)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("ck"))
+        .repartition(4)
+        .write.format("graft-sink").option("path", dir)
+        .option("ngramBloomFor", "ck:4")
+        .option("distributionMode", "none").mode("overwrite").save()
+    }
+    val ctl = pbloomTable(spark, sf, indexed = false) // same data, no index
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    val nFiles = head.metas.size
+    require(nFiles == 4, s"fixture: want 4 scattered files, got $nFiles")
+    val ckIdx = 1 // (doc_id, ck)
+    require(head.metas.forall(m => m.ngblooms.get(ckIdx).exists(_._1 == 4)),
+      "every file must carry the width-4 ck n-gram bloom")
+    def probe(d: String): DataFrame =
+      spark.read.format("graft-sink").option("path", d).load()
+        .where(col("ck").contains("4238a0"))
+    val control = graftScanParts(probe(ctl))
+    require(control == nFiles,
+      s"un-indexed control must plan all $nFiles files, planned $control")
+    val planned = graftScanParts(probe(dir))
+    require(planned < nFiles,
+      s"n-gram bloom must prune the contains probe: $planned of $nFiles")
+    probe(dir).withColumn("n_files", lit(nFiles.toLong))
+      .withColumn("pruned", lit((planned < nFiles).toString))
+      .orderBy(col("doc_id"))
+  }
+
   /** SUFFIX-PROBE FILE SKIPPING on a REVERSED-column layout (round 15,
     * VERDICT r14 next #6 — residual #2 made actionable): `LIKE '%.jpg'`
     * has no order to exploit on a plain layout, so every file plans. The
@@ -4684,6 +4728,7 @@ object Scale {
     "scan_text_range_prune" -> scanTextRangePrune,
     "scan_text_prefix_prune" -> scanTextPrefixPrune,
     "scan_prefix_bloom" -> scanPrefixBloom,
+    "scan_contains_ngram" -> scanContainsNgram,
     "scan_suffix_prune" -> scanSuffixPrune,
     "scan_fp_special" -> scanFpSpecial,
     "scan_topn_text" -> scanTopnText,
@@ -4883,6 +4928,13 @@ object Scale {
         |  CAST(4 AS BIGINT) AS n_files, 'true' AS pruned
         |FROM documents
         |WHERE starts_with(md5(CAST(doc_id AS VARCHAR)), 'c4ca42')
+        |ORDER BY doc_id""".stripMargin,
+
+    "scan_contains_ngram" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ck,
+        |  CAST(4 AS BIGINT) AS n_files, 'true' AS pruned
+        |FROM documents
+        |WHERE contains(md5(CAST(doc_id AS VARCHAR)), '4238a0')
         |ORDER BY doc_id""".stripMargin,
 
     "scan_suffix_prune" ->

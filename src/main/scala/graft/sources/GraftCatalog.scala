@@ -1128,15 +1128,20 @@ private[sources] object GraftMaintenance {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .flatMap { case (i, ws) =>
         fields.lift(i).map(f => s"${f.name}:${ws.head._2._1}") }
+    val ngbs: Seq[String] = head.metas.flatMap(_.ngblooms.toSeq)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (i, ws) =>
+        fields.lift(i).map(f => s"${f.name}:${ws.head._2._1}") }
     val w1 = if (blooms.nonEmpty) w.option("bloomFor", blooms.mkString(",")) else w
     val w2 = if (ndvs.nonEmpty) w1.option("ndvFor", ndvs.mkString(",")) else w1
     val w3 = if (cens.nonEmpty) w2.option("centroidFor", cens.mkString(",")) else w2
     val w4 = if (pbls.nonEmpty) w3.option("prefixBloomFor", pbls.mkString(",")) else w3
+    val w5 = if (ngbs.nonEmpty) w4.option("ngramBloomFor", ngbs.mkString(",")) else w4
     // row-group centroid granularity survives rewrites too: a compaction
     // that silently coarsened the ANN index to file level would forfeit
     // every future sub-file skip
     if (head.metas.exists(_.rgcens.nonEmpty))
-      w4.option("centroidGranularity", "rowgroup") else w4
+      w5.option("centroidGranularity", "rowgroup") else w5
   }
 
   /** Incremental (small-files-only) compaction; see

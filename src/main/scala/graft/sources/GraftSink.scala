@@ -180,7 +180,8 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
     centroids: Map[Int, String] = Map.empty,
     pblooms: Map[Int, (Int, String)] = Map.empty,
     rgcens: Map[Int, Seq[GraftRgCen]] = Map.empty,
-    rvstats: Map[Int, (String, String)] = Map.empty) {
+    rvstats: Map[Int, (String, String)] = Map.empty,
+    ngblooms: Map[Int, (Int, String)] = Map.empty) {
   /** Rows a scan of this file emits (physical minus deleted positions;
     * EQUALITY deletes are unresolved-at-commit and not discounted here —
     * see [[GraftEqDel]]). */
@@ -220,16 +221,19 @@ case class GraftRgCen(start: Long, end: Long, rows: Long, b64: String)
   * folding the chain's per-file facts. */
 case class GraftIdx(bloom: Seq[Int], ndv: Seq[Int],
     pbloom: Seq[(Int, Int)] = Nil, cen: Seq[Int] = Nil,
-    rgcen: Boolean = false) {
+    rgcen: Boolean = false, ngram: Seq[(Int, Int)] = Nil) {
+  // first width wins per column (one table = one width in practice;
+  // a mixed history converges on the next full commit's recompute)
+  private def widthUnion(a: Seq[(Int, Int)], b: Seq[(Int, Int)]) =
+    (a ++ b).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (i, ws) => (i, ws.head._2) }
   def union(o: GraftIdx): GraftIdx = GraftIdx(
     (bloom ++ o.bloom).distinct.sorted,
     (ndv ++ o.ndv).distinct.sorted,
-    // first width wins per column (one table = one width in practice;
-    // a mixed history converges on the next full commit's recompute)
-    (pbloom ++ o.pbloom).groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (i, ws) => (i, ws.head._2) },
+    widthUnion(pbloom, o.pbloom),
     (cen ++ o.cen).distinct.sorted,
-    rgcen || o.rgcen)
+    rgcen || o.rgcen,
+    widthUnion(ngram, o.ngram))
 }
 
 /** One EQUALITY-DELETE sidecar (the Iceberg equality-delete design,
@@ -749,6 +753,12 @@ object GraftManifest {
           }))
         case "cen"   => ix = ix.copy(cen = ints(body))
         case "rgcen" => ix = ix.copy(rgcen = body == "1")
+        case "ngram" => ix = ix.copy(ngram = body.split(",")
+          .filter(_.nonEmpty).toSeq.map(_.split(":", 2) match {
+            case Array(i, w) => (i.toInt, w.toInt)
+            case bad => throw new IllegalStateException(
+              s"malformed #idx ngram entry: '${bad.mkString(":")}'")
+          }))
         case other => throw new IllegalStateException(
           s"unknown #idx segment '$other' in '#idx=$payload'")
       }
@@ -765,7 +775,10 @@ object GraftManifest {
         ";pbloom:" + ix.pbloom.map { case (i, w) => s"$i:$w" }.mkString(",")
       else "") +
       (if (ix.cen.nonEmpty) s";cen:${ix.cen.mkString(",")}" else "") +
-      (if (ix.rgcen) ";rgcen:1" else "")
+      (if (ix.rgcen) ";rgcen:1" else "") +
+      (if (ix.ngram.nonEmpty)
+        ";ngram:" + ix.ngram.map { case (i, w) => s"$i:$w" }.mkString(",")
+      else "")
 
   def parse(version: Int, body: String): GraftManifest = {
     var ddl: Option[String] = None
@@ -798,6 +811,8 @@ object GraftManifest {
     val rgcs = scala.collection.mutable.Map[String, Map[Int, Seq[GraftRgCen]]]()
       .withDefaultValue(Map.empty)
     val rvss = scala.collection.mutable.Map[String, Map[Int, (String, String)]]()
+      .withDefaultValue(Map.empty)
+    val ngbs = scala.collection.mutable.Map[String, Map[Int, (Int, String)]]()
       .withDefaultValue(Map.empty)
     val ndvs = scala.collection.mutable.Map[String, Map[Int, String]]()
       .withDefaultValue(Map.empty)
@@ -901,6 +916,13 @@ object GraftManifest {
           case bad => throw new IllegalStateException(
             s"malformed #bloom line: '${bad.mkString(",")}'")
         }
+      case s if s.startsWith("#ngbloom=") =>
+        s.stripPrefix("#ngbloom=").split(",", 4) match {
+          case Array(f, i, w, b64) =>
+            ngbs(f) = ngbs(f) + (i.toInt -> (w.toInt, b64))
+          case bad => throw new IllegalStateException(
+            s"malformed #ngbloom line: '${bad.mkString(",")}'")
+        }
       case s if s.startsWith("#pbloom=") =>
         s.stripPrefix("#pbloom=").split(",", 4) match {
           case Array(f, i, w, b64) =>
@@ -954,7 +976,7 @@ object GraftManifest {
         nulls.get(f), dvs.get(f), sums.get(f), blooms(f), ndvs(f),
         seqs.getOrElse(f, 0), committed = true, bounds = boundCols(f),
         centroids = cens(f), pblooms = pbls(f), rgcens = rgcs(f),
-        rvstats = rvss(f))
+        rvstats = rvss(f), ngblooms = ngbs(f))
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
       ids, checks.result(), partSpec, sortSpec, format, eqDels.result(),
@@ -1114,6 +1136,11 @@ object GraftManifest {
         // layouts the envelopes can't prune (hash-scattered strings)
         m.pblooms.toSeq.sortBy(_._1).map { case (i, (w, b64)) =>
           s"#pbloom=${m.name},$i,$w,$b64" } ++
+        // N-GRAM bloom (round 15): hashes of EVERY w-char window of each
+        // value — `LIKE '%s%'` (contains) file skipping; prefix/suffix/
+        // equality probes reuse it (they imply contains)
+        m.ngblooms.toSeq.sortBy(_._1).map { case (i, (w, b64)) =>
+          s"#ngbloom=${m.name},$i,$w,$b64" } ++
         m.ndvs.toSeq.sortBy(_._1).map { case (i, b64) =>
           s"#ndv=${m.name},$i,$b64" } ++
         // per-file vector centroid (round 14): base64 little-endian
@@ -1531,7 +1558,9 @@ object GraftManifest {
         ms.flatMap(_.pblooms.toSeq).groupBy(_._1).toSeq.sortBy(_._1)
           .map { case (i, ws) => (i, ws.head._2._1) },
         ms.flatMap(m => m.centroids.keys ++ m.rgcens.keys).distinct.sorted,
-        ms.exists(_.rgcens.nonEmpty))
+        ms.exists(_.rgcens.nonEmpty),
+        ms.flatMap(_.ngblooms.toSeq).groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (i, ws) => (i, ws.head._2._1) })
       val body =
         if (isDelta) render(unionDdl, commitTs, headV, jobStamped, newTotal, op,
           txn.toMap,
@@ -2038,6 +2067,10 @@ object GraftBloom {
     * per-file distinct-prefix set stays small (the bloom sizes by
     * DISTINCT hashes, so a 4-char prefix set costs ~2 bytes/distinct). */
   val DefaultPrefixWidth = 4
+  /** Default `ngramBloomFor` window (chars): the pg_trgm-style sweet
+    * spot one up — wide enough to stay selective over hex/url alphabets,
+    * narrow enough that real contains-probes reach it. */
+  val DefaultNgramWidth = 4
   def hash(s: String): Long = {
     // FNV-1a 64 over UTF-8 bytes
     var h = 0xcbf29ce484222325L
@@ -2082,21 +2115,31 @@ object GraftBloom {
     java.util.Base64.getEncoder.encodeToString(bytes.array())
   }
 
-  def mightContain(b64: String, value: String): Boolean = {
+  def mightContain(b64: String, value: String): Boolean =
+    mightContainAll(b64, Iterator.single(value))
+
+  /** Decode ONCE, probe many: the n-gram path asks |p|−w+1 windows per
+    * (file, column) against a filter that can run megabyte-class (16
+    * bits per distinct window), so per-window re-decoding would dominate
+    * plan time on a wide table. True iff EVERY value may be present. */
+  def mightContainAll(b64: String, values: Iterator[String]): Boolean = {
     val bytes = java.util.Base64.getDecoder.decode(b64)
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val words = new Array[Long](bytes.length / 8)
     var w = 0
     while (w < words.length) { words(w) = bb.getLong(); w += 1 }
     val mask = words.length * 64L - 1
-    val h = hash(value); val st = stride(h)
-    var j = 0
-    while (j < K) {
-      val b = ((h + j * st) & mask).toInt
-      if ((words(b >> 6) & (1L << (b & 63))) == 0L) return false
-      j += 1
+    values.forall { value =>
+      val h = hash(value); val st = stride(h)
+      var j = 0
+      var hit = true
+      while (hit && j < K) {
+        val b = ((h + j * st) & mask).toInt
+        hit = (words(b >> 6) & (1L << (b & 63))) != 0L
+        j += 1
+      }
+      hit
     }
-    true
   }
 }
 
@@ -2606,6 +2649,38 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
               s"graft-sink: prefixBloomFor supports string only, got $dt for '$c'")
           }
         }
+        // N-GRAM BLOOMS (`ngramBloomFor=col[:width],...`, round 15): a
+        // per-(file, column) bloom of EVERY `width`-char window of each
+        // value (the pg_trgm idea at file granularity) — `LIKE '%s%'`
+        // (contains) file skipping, which no order-based fact can serve.
+        // Sound: a value containing probe p (|p| >= w) contains every
+        // w-window of p, so ANY absent window proves no row matches;
+        // prefix/suffix/equality probes imply contains and reuse it.
+        // Write cost is O(chars) hashes per row — opt-in, meant for
+        // short-to-medium strings (urls, paths, log messages).
+        private val ngramBloomFor: Seq[(String, Int)] =
+          Option(opts.get("ngramBloomFor")).filter(_.nonEmpty)
+            .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+            .map { spec =>
+              spec.split(":") match {
+                case Array(c) => (c, GraftBloom.DefaultNgramWidth)
+                case Array(c, w) if scala.util.Try(w.toInt).toOption
+                    .exists(x => x >= 2 && x <= 16) => (c, w.toInt)
+                case _ => throw new IllegalArgumentException(
+                  s"graft-sink: ngramBloomFor entry '$spec' must be " +
+                    "col or col:width with width in 2..16")
+              }
+            }
+        ngramBloomFor.foreach { case (c, _) =>
+          val i = scala.util.Try(info.schema().fieldIndex(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-sink: ngramBloomFor column '$c' not in write schema"))
+          info.schema().fields(i).dataType match {
+            case StringType => ()
+            case dt => throw new IllegalArgumentException(
+              s"graft-sink: ngramBloomFor supports string only, got $dt for '$c'")
+          }
+        }
         // NDV SKETCHES (`ndvFor=col,...` or `*`): per-(file, column)
         // HyperLogLog registers in the commit message ([[GraftHll]]) —
         // write-time distinct counts the scan merges and reports as
@@ -2752,7 +2827,7 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
             sortCol = sortCol, format = fileFormat, upsertKey = upsertKeyOpt,
             rowGroupBytes = rowGroupBytes, centroidFor = centroidFor,
             autoOpt = autoOpt, prefixBloomFor = prefixBloomFor,
-            rgCentroids = rgCentroids)
+            rgCentroids = rgCentroids, ngramBloomFor = ngramBloomFor)
         override def toStreaming: StreamingWrite = {
           val versioned = Option(opts.get("commitVersions")).exists(_.toBoolean)
           // partCol includes the declared-spec default: a streaming
@@ -3832,6 +3907,9 @@ object GraftSinkScan {
     // envelope on a reverse(c)-clustered layout (round 15); files
     // without the fact stay conservatively planned
     case org.apache.spark.sql.sources.StringEndsWith(c, _) => hasCol(layout, c)
+    // contains probes (`LIKE '%s%'`) prune through the `#ngbloom` window
+    // set (round 15) — the one string shape with no order to exploit
+    case org.apache.spark.sql.sources.StringContains(c, _) => hasCol(layout, c)
     case _ => false
   }
   private def hasCol(layout: StructType, c: String): Boolean =
@@ -4020,6 +4098,22 @@ object GraftSinkScan {
       }
       case _ => true
     }
+    // per-file N-GRAM window probe (round 15): a value CONTAINING p
+    // (|p| >= w) contains every w-char window of p — each is one of the
+    // value's own windows, which the writer hashed — so ANY absent
+    // window proves no row contains p. Prefix/suffix/equality probes
+    // imply contains and reuse the fact; probes shorter than the window
+    // stay conservative; char slicing is identical on both sides.
+    def ngbloomOk(c: String, ps: Iterable[String]): Boolean = col(c).forall {
+      case (i, StringType) => meta.ngblooms.get(i).forall { case (w, b64) =>
+        ps.exists { p =>
+          p.length < w ||
+          GraftBloom.mightContainAll(b64,
+            (0 to p.length - w).iterator.map(o => p.substring(o, o + w)))
+        }
+      }
+      case _ => true
+    }
     f match {
       case And(l, r) => mayMatch(meta, layout, l) && mayMatch(meta, layout, r)
       case Or(l, r)  => mayMatch(meta, layout, l) || mayMatch(meta, layout, r)
@@ -4051,6 +4145,7 @@ object GraftSinkScan {
       // of an invalid prefix can sort BELOW its own matches. The mx >= p
       // conjunct stays sound for ANY p (char-prefix ⇒ v >= p).
       case StringStartsWith(c, p) => !allNull(c) && pbloomOk(c, Seq(p)) &&
+        ngbloomOk(c, Seq(p)) &&
         range(c).forall { case (dt, mn, mx) =>
           cmp(dt, mx, p) >= 0 &&
           (!GraftSinkWriter.pairedSurrogates(p) ||
@@ -4065,7 +4160,7 @@ object GraftSinkScan {
       // pairedSurrogates guard as the prefix math (char-reversed
       // supplementary chars are lone surrogates — conservative there).
       case org.apache.spark.sql.sources.StringEndsWith(c, s) =>
-        !allNull(c) && {
+        !allNull(c) && ngbloomOk(c, Seq(s)) && {
           val rs = GraftSinkWriter.revChars(s)
           col(c).forall { case (i, dt) => meta.rvstats.get(i).forall {
             case (lo, hi) =>
@@ -4075,10 +4170,12 @@ object GraftSinkScan {
                   .forall(u => cmp(dt, lo, u) < 0))
           } }
         }
+      case org.apache.spark.sql.sources.StringContains(c, s) =>
+        !allNull(c) && ngbloomOk(c, Seq(s))
       case EqualTo(c, v) => !allNull(c) && bucketOk(c, Seq(v)) &&
         bloomOk(c, Seq(v)) &&
         col(c).forall { case (_, dt) => dt != StringType ||
-          pbloomOk(c, Seq(canon(dt, v))) } &&
+          pbloomOk(c, Seq(canon(dt, v))) && ngbloomOk(c, Seq(canon(dt, v))) } &&
         range(c).forall { case (dt, mn, mx) =>
           cmp(dt, canon(dt, v), mn) >= 0 && cmp(dt, canon(dt, v), mx) <= 0 }
       case GreaterThan(c, v) => !allNull(c) && range(c).forall { case (dt, _, mx) =>
@@ -4096,7 +4193,8 @@ object GraftSinkScan {
         vs.nonEmpty && !allNull(c) && bucketOk(c, vs.toSeq) &&
         bloomOk(c, vs.toSeq) &&
         col(c).forall { case (_, dt) => dt != StringType ||
-          pbloomOk(c, vs.toSeq.map(v => canon(dt, v))) } &&
+          pbloomOk(c, vs.toSeq.map(v => canon(dt, v))) &&
+          ngbloomOk(c, vs.toSeq.map(v => canon(dt, v))) } &&
         range(c).forall { case (dt, mn, mx) =>
           vs.exists(v => cmp(dt, canon(dt, v), mn) >= 0 && cmp(dt, canon(dt, v), mx) <= 0) }
       // null counts sharpen both null predicates: IS NOT NULL also drops a
@@ -5033,7 +5131,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
     autoOpt: Option[GraftAutoOptimize] = None,
     propsSet: Option[Map[String, String]] = None,
     prefixBloomFor: Seq[(String, Int)] = Nil,
-    rgCentroids: Boolean = false) extends BatchWrite {
+    rgCentroids: Boolean = false,
+    ngramBloomFor: Seq[(String, Int)] = Nil) extends BatchWrite {
   /** Writer factory — resolved at JOB START on the driver, including the
     * head's CHECK constraints: every task writer enforces them per row,
     * so a violating batch aborts before any manifest commit (nothing
@@ -5044,7 +5143,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
         .map(v => GraftManifest.headerFacts(path, v).checks).getOrElse(Nil),
       bloomFor, ndvFor, format, upsertKey, rowGroupBytes, centroidFor,
       prefixBloomFor, rgCentroids,
-      reverseFor = sortCol.flatMap(GraftManifest.reverseCol))
+      reverseFor = sortCol.flatMap(GraftManifest.reverseCol),
+      ngramBloomFor = ngramBloomFor)
 
   /** Job commit: the atomic point. Only files named by task commits enter
     * the manifest; half-written .tmp files are invisible to readers. */
@@ -5319,7 +5419,11 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
           schema.fields.lift(i).map(f => (f.name, ws.head._2._1)) },
       centroidFor = idxCols(m => m.centroids.keys ++ m.rgcens.keys),
       rgCentroids = base.exists(_.metas.exists(_.rgcens.nonEmpty)),
-      reverseFor = hdr.sortSpec.flatMap(GraftManifest.reverseCol))
+      reverseFor = hdr.sortSpec.flatMap(GraftManifest.reverseCol),
+      ngramBloomFor = base.toSeq.flatMap(_.metas.flatMap(_.ngblooms.toSeq))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .flatMap { case (i, ws) =>
+          schema.fields.lift(i).map(f => (f.name, ws.head._2._1)) })
   }
 
   /** Job commit: merge every task's vector fragments into one final
@@ -5429,12 +5533,13 @@ case class GraftDeltaWriterFactory(path: String, schema: StructType,
     prefixBloomFor: Seq[(String, Int)] = Nil,
     centroidFor: Seq[String] = Nil,
     rgCentroids: Boolean = false,
-    reverseFor: Option[String] = None)
+    reverseFor: Option[String] = None,
+    ngramBloomFor: Seq[(String, Int)] = Nil)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(path, schema, partitionId, taskId, tag, partCol, checks,
       bloomFor, ndvFor, format, prefixBloomFor, centroidFor, rgCentroids,
-      reverseFor)
+      reverseFor, ngramBloomFor)
 }
 
 /** Task-side delta writer: deletes accumulate (file → positions) and
@@ -5450,7 +5555,8 @@ class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
     prefixBloomFor: Seq[(String, Int)] = Nil,
     centroidFor: Seq[String] = Nil,
     rgCentroids: Boolean = false,
-    reverseFor: Option[String] = None)
+    reverseFor: Option[String] = None,
+    ngramBloomFor: Seq[(String, Int)] = Nil)
     extends DeltaWriter[InternalRow] {
   private var inserts: GraftSinkWriter = _
   private val dels =
@@ -5472,7 +5578,8 @@ class GraftDeltaWriter(path: String, schema: StructType, partitionId: Int,
         prefix = s"$tag-", partCol = partCol, checks = checks,
         bloomFor = bloomFor, ndvFor = ndvFor, format = format,
         prefixBloomFor = prefixBloomFor, centroidFor = centroidFor,
-        rgCentroids = rgCentroids, reverseFor = reverseFor)
+        rgCentroids = rgCentroids, reverseFor = reverseFor,
+        ngramBloomFor = ngramBloomFor)
     inserts.write(row)
   }
 
@@ -5497,14 +5604,16 @@ class GraftSinkWriterFactory(path: String, schema: StructType, tag: String,
     format: String = GraftFormat.Default,
     upsertKey: Option[String] = None, rowGroupBytes: Option[Int] = None,
     centroidFor: Seq[String] = Nil, prefixBloomFor: Seq[(String, Int)] = Nil,
-    rgCentroids: Boolean = false, reverseFor: Option[String] = None)
+    rgCentroids: Boolean = false, reverseFor: Option[String] = None,
+    ngramBloomFor: Seq[(String, Int)] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftSinkWriter(path, schema, partitionId, taskId, prefix = s"$tag-",
       partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor,
       format = format, upsertKey = upsertKey, rowGroupBytes = rowGroupBytes,
       centroidFor = centroidFor, prefixBloomFor = prefixBloomFor,
-      rgCentroids = rgCentroids, reverseFor = reverseFor)
+      rgCentroids = rgCentroids, reverseFor = reverseFor,
+      ngramBloomFor = ngramBloomFor)
 }
 
 /** Named (serializable) streaming factory — an anonymous class here would
@@ -5524,7 +5633,8 @@ case class GraftSinkStreamingFactory(path: String, schema: StructType,
     prefixBloomFor: Seq[(String, Int)] = Nil,
     centroidFor: Seq[String] = Nil,
     rgCentroids: Boolean = false,
-    reverseFor: Option[String] = None)
+    reverseFor: Option[String] = None,
+    ngramBloomFor: Seq[(String, Int)] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -5533,7 +5643,8 @@ case class GraftSinkStreamingFactory(path: String, schema: StructType,
       partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor,
       format = format, upsertKey = upsertKey,
       prefixBloomFor = prefixBloomFor, centroidFor = centroidFor,
-      rgCentroids = rgCentroids, reverseFor = reverseFor)
+      rgCentroids = rgCentroids, reverseFor = reverseFor,
+      ngramBloomFor = ngramBloomFor)
 }
 
 /** The STREAMING half of the sink: identical task-commit protocol, but job
@@ -5636,7 +5747,9 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
                 .sortBy(_._1).map { case (i, ws) => (i, ws.head._2._1) },
               m.metas.flatMap(x => x.centroids.keys ++ x.rgcens.keys)
                 .distinct.sorted,
-              m.metas.exists(_.rgcens.nonEmpty))
+              m.metas.exists(_.rgcens.nonEmpty),
+              m.metas.flatMap(_.ngblooms.toSeq).groupBy(_._1).toSeq
+                .sortBy(_._1).map { case (i, ws) => (i, ws.head._2._1) })
           }))
     }
     def names(is: Seq[Int]): Seq[String] =
@@ -5649,7 +5762,9 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
       centroidFor = names(idx.cen),
       rgCentroids = idx.rgcen && format == GraftFormat.Parquet,
       reverseFor = head.flatMap(_.sortSpec)
-        .flatMap(GraftManifest.reverseCol))
+        .flatMap(GraftManifest.reverseCol),
+      ngramBloomFor = idx.ngram.flatMap { case (i, w) =>
+        schema.fields.lift(i).map(f => (f.name, w)) })
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -5892,7 +6007,8 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     ndvFor: Seq[String] = Nil, format: String = GraftFormat.Default,
     upsertKey: Option[String] = None, rowGroupBytes: Option[Int] = None,
     centroidFor: Seq[String] = Nil, prefixBloomFor: Seq[(String, Int)] = Nil,
-    rgCentroids: Boolean = false, reverseFor: Option[String] = None)
+    rgCentroids: Boolean = false, reverseFor: Option[String] = None,
+    ngramBloomFor: Seq[(String, Int)] = Nil)
     extends DataWriter[InternalRow] {
   new File(path).mkdirs()
   private val fileSuffix = GraftFormat.suffix(format) // validates the name
@@ -5918,6 +6034,10 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
   /** Prefix-bloomed columns: layout index → prefix width (validated
     * string at plan time; same narrower-schema tolerance as bloomIdx). */
   private val pbloomIdx: Map[Int, Int] = prefixBloomFor
+    .flatMap { case (c, w) =>
+      scala.util.Try(schema.fieldIndex(c)).toOption.map(_ -> w) }.toMap
+  /** N-gram-bloomed columns: layout index → window width. */
+  private val ngbloomIdx: Map[Int, Int] = ngramBloomFor
     .flatMap { case (c, w) =>
       scala.util.Try(schema.fieldIndex(c)).toOption.map(_ -> w) }.toMap
   private val ndvIdx: Array[Int] = ndvFor
@@ -6018,6 +6138,11 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     // >= width, so their absence stays sound)
     val pbloomHashes: Map[Int, scala.collection.mutable.ArrayBuffer[Long]] =
       pbloomIdx.keys.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Long]).toMap
+    // n-gram hash SET per windowed column (a value contributes len-w+1
+    // windows — dedup at insert keeps write memory at O(distinct
+    // windows), which for real alphabets saturates quickly)
+    val ngbloomHashes: Map[Int, scala.collection.mutable.HashSet[Long]] =
+      ngbloomIdx.keys.map(_ -> scala.collection.mutable.HashSet.empty[Long]).toMap
     // fixed 2 KB of HLL registers per sketched column, updated per cell
     val ndvRegs: Map[Int, Array[Byte]] =
       ndvIdx.map(_ -> GraftHll.emptyRegisters()).toMap
@@ -6163,6 +6288,13 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
           val w = pbloomIdx(i)
           if (cells(i).length >= w) hs += GraftBloom.hash(cells(i).substring(0, w))
         }
+        p.ngbloomHashes.get(i).foreach { hs =>
+          val w = ngbloomIdx(i)
+          var o = 0
+          while (o + w <= cells(i).length) {
+            hs += GraftBloom.hash(cells(i).substring(o, o + w)); o += 1
+          }
+        }
         p.ndvRegs.get(i).foreach(GraftHll.update(_, GraftBloom.hash(cells(i))))
       } else if (!row.isNullAt(i) && cenIdx.contains(i) && !p.cenBad(i)) {
         try {
@@ -6257,6 +6389,10 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       // >= w", which prunes every |p| >= w prefix probe exactly
       val pbls = p.pbloomHashes.map { case (i, hs) =>
         i -> (pbloomIdx(i), GraftBloom.build(hs.toArray)) }.toMap
+      // an empty window set still emits the fact: "no value holds ANY
+      // w-window" prunes every |p| >= w contains-probe exactly
+      val ngbs = p.ngbloomHashes.map { case (i, hs) =>
+        i -> (ngbloomIdx(i), GraftBloom.build(hs.toArray)) }.toMap
       // an all-null column emits NO sketch (an empty sketch would clamp
       // to distinctCount=1; absence reports nothing — the safer fact)
       val ndvs = p.ndvRegs.collect {
@@ -6294,7 +6430,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
         partName.map(_ -> value), Some(nulls), None, Some(sums), blooms, ndvs,
         bounds = boundIdx.result(), centroids = cens, pblooms = pbls,
-        rgcens = rgc, rvstats = rvs)
+        rgcens = rgc, rvstats = rvs, ngblooms = ngbs)
     }.toSeq
     // upsert mode: this task's key set lands as one equality-delete
     // sidecar (same tmp → rename task-commit discipline as data parts)

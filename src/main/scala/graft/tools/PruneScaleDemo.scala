@@ -144,6 +144,24 @@ object PruneScaleDemo {
       rd(pbloomed).where(col("payload").startsWith("0a1b")))
     measure("pbloom_control",
       rd(indexed).where(col("payload").startsWith("0a1b")))
+    // CONTAINS PROBE (round 15): `payload LIKE '%…%'` — no order to
+    // exploit on ANY layout; only the n-gram window set prunes. Width
+    // must out-run the alphabet at this density: 50k hex values × 29
+    // windows SATURATE the 16^4=65k 4-gram space (every file holds every
+    // 4-gram — the honest no-skip case), while 16^6 leaves each file at
+    // ~8% occupancy and a rare 8-char probe prunes to its holders.
+    val ngbloomed = s"$root/ngbloomed"
+    base.repartition(nFiles, col("k"))
+      .write.format("graft-sink").option("path", ngbloomed)
+      .option("ngramBloomFor", "payload:6").mode("overwrite").save()
+    val needle = // an 8-char mid-string slice of one known value
+      org.apache.spark.sql.functions.md5(lit((n / 3).toString))
+    val needleStr = base.sparkSession.range(1)
+      .select(needle).head().getString(0).substring(9, 17)
+    measure("ngram_contains",
+      rd(ngbloomed).where(col("payload").contains(needleStr)))
+    measure("ngram_control",
+      rd(indexed).where(col("payload").contains(needleStr)))
     // SUFFIX PROBE (round 15): `payload LIKE '%ff'` on a REVERSED-column
     // layout — `#rvstats` windows; the k-clustered table is the control
     val rsorted = s"$root/rsorted"

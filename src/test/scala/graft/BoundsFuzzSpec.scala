@@ -9,7 +9,7 @@ import org.scalacheck.Prop.forAll
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{GraftManifest, GraftSinkScan, GraftSinkWriter}
+import graft.sources.{GraftBloom, GraftManifest, GraftSinkScan, GraftSinkWriter}
 
 /** ScalaCheck fuzz of the `#bstats` bound math (VERDICT r13 next #5):
   * Round13Spec pins hand-picked surrogate/width edges; these generators
@@ -236,6 +236,44 @@ class BoundsFuzzSpec extends AnyFunSuite {
         (allMatch || GraftSinkScan.mayMatch(m, layout,
           org.apache.spark.sql.sources.Not(f)))
       }
+    }, n = 2000)
+  }
+
+  test("n-gram-bloom pruning is sound for contains/prefix/suffix/equality (round 15)") {
+    // A #ngbloom fact must NEVER drop a file holding a match: a value
+    // containing probe p (|p| >= w) contains every w-char window of p,
+    // each of which is one of the value's own windows the writer hashed.
+    // Fuzzed with full-Unicode values, widths 2..8, probes biased to
+    // true substrings, against all four probe shapes.
+    import org.apache.spark.sql.sources.{EqualTo => FEq,
+      StringContains => FCt, StringEndsWith => FEw, StringStartsWith => FSw}
+    import org.apache.spark.sql.types.StructType
+    val layout = StructType.fromDDL("v STRING")
+    val gen = for {
+      vs <- Gen.nonEmptyListOf(genValid).map(_.take(16))
+      w <- Gen.choose(2, 8)
+      p <- Gen.frequency(
+        4 -> Gen.oneOf(vs).flatMap(v => for {
+          a <- Gen.choose(0, v.length)
+          b <- Gen.choose(a, v.length)
+        } yield v.substring(a, b)),
+        2 -> genValid,
+        1 -> Gen.const(""))
+    } yield (vs, w, p)
+    check("ngram-prune", forAll(gen) { case (vs, w, p) =>
+      // writer-exact fact: every w-window of every value, deduped
+      val hs = vs.flatMap(v =>
+        (0 to v.length - w).map(o => GraftBloom.hash(v.substring(o, o + w))))
+        .distinct.toArray
+      val m = sources.GraftFileMeta("f", vs.length.toLong, 1,
+        Map.empty, None, nulls = Some(Map(0 -> 0L)),
+        ngblooms = Map(0 -> ((w, GraftBloom.build(hs)))))
+      def keeps(f: org.apache.spark.sql.sources.Filter) =
+        GraftSinkScan.mayMatch(m, layout, f)
+      (!vs.exists(_.contains(p))   || keeps(FCt("v", p))) &&
+      (!vs.exists(_.startsWith(p)) || keeps(FSw("v", p))) &&
+      (!vs.exists(_.endsWith(p))   || keeps(FEw("v", p))) &&
+      (!vs.contains(p)             || keeps(FEq("v", p)))
     }, n = 2000)
   }
 

@@ -402,6 +402,54 @@ class Round15Spec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("#ngbloom facts: contains pruning, probe-shape reuse, OPTIMIZE carry") {
+    val root = tmp("graft_r15_ngb")
+    spark.conf.set("spark.sql.catalog.g15n", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g15n.root", root)
+    val dir = s"$root/db/t"
+    import spark.implicits._
+    // two files: alpha-flavored messages and digit-flavored ones; one
+    // ALL-SHORT file would be a third flavor (covered by the empty-set
+    // exactness below via file 2's width-4 windows missing 'zq')
+    (0 until 50).map(i => (i.toLong, s"event alpha_$i happened")).toDF("id", "msg")
+      .coalesce(1).write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "msg:4").mode("overwrite").save()
+    (50 until 100).map(i => (i.toLong, s"error code_$i raised")).toDF("id", "msg")
+      .coalesce(1).write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "msg:4").mode("append").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.metas.size == 2 &&
+      head.metas.forall(_.ngblooms.get(1).exists(_._1 == 4)),
+      s"want 2 ngbloom-bearing files: ${head.metas.map(_.ngblooms.keySet)}")
+    def t() = spark.read.format("graft-sink").option("path", dir).load()
+    def parts(df: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputRDD.getNumPartitions }.sum
+    }
+    // a mid-string probe only one flavor holds plans only its file
+    val hit = t().where(col("msg").contains("alpha_4"))
+    assert(parts(hit) == 1, "contains probe must plan only the alpha file")
+    assert(hit.count() == 11) // alpha_4 and alpha_40..49
+    // a probe matching NOTHING prunes both files
+    assert(parts(t().where(col("msg").contains("zqxjkw"))) == 0,
+      "an absent window set must prune every file")
+    // probes SHORTER than the width stay conservative — and correct
+    assert(t().where(col("msg").contains("err")).count() == 50)
+    // prefix/suffix/equality probes reuse the window fact
+    assert(parts(t().where(col("msg").startsWith("error code_51"))) == 1)
+    assert(parts(t().where(col("msg").endsWith("alpha_7 happened"))) == 1)
+    assert(parts(t().where(col("msg") === "event alpha_9 happened")) == 1)
+    // OPTIMIZE carries the index (width kept) to its rewritten files
+    spark.sql("CALL g15n.system.optimize('db.t', 1)").collect()
+    val after = GraftManifest.readVersion(dir, None).get
+    assert(after.metas.forall(_.ngblooms.get(1).exists(_._1 == 4)),
+      "OPTIMIZE must re-record #ngbloom (width kept) for its fresh files")
+    // and the #idx header fact carries the ngram segment
+    assert(after.idxCols.exists(_.ngram == Seq((1, 4))),
+      s"#idx must carry the ngram segment: ${after.idxCols}")
+  }
+
   test("streamed epochs rebuild EVERY index surface (#idx round-15 segments)") {
     import spark.implicits._
     val root = tmp("graft_r15_stridx")
