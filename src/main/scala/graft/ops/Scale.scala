@@ -4548,6 +4548,55 @@ object Scale {
       col("sum_price").cast("double").as("sum_price"))
   }
 
+  /** STRING-DIMENSION Z-ORDER (round 15 — closing the r13 "strings are
+    * unrankable" refusal): `CALL optimize(..., zorder_by='lang,doc_id')`
+    * now ranks a STRING dimension by its 6-byte UTF-8 prefix read as a
+    * big-endian number (order-isomorphic to the code-point stats order
+    * up to 6-byte granularity; rpad-zero keeps short values in prefix
+    * order), so mixed text/numeric curves cluster BOTH dimensions — the
+    * `(tenant, time)` or `(lang, doc_id)` layout a multi-tenant 100 TB
+    * corpus wants, where no single-column sort can serve probes on each
+    * column at once. REQUIREd: the curve is declared
+    * (`#sortspec=zorder(lang,doc_id)`); a lang point probe AND a
+    * bottom-eighth doc_id probe each plan < all files against the
+    * z-ordered head while the SAME probes against VERSION 1 (the
+    * pre-OPTIMIZE round-robin layout — the time-travel control) plan
+    * every file. Probe rows fully oracled. */
+  def scanZorderString(spark: SparkSession, sf: String): DataFrame = {
+    val root = gsqlRoot(spark)
+    val tbl = "zstr_" + sfTag(sf)
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      documents(spark, sf)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(8)
+        .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+      spark.sql(s"CALL gsql.system.optimize('db.$tbl', 8, 'lang,doc_id')")
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    val nFiles = head.metas.size
+    require(nFiles == 8, s"fixture: want 8 z-ordered files, got $nFiles")
+    require(head.sortSpec.contains("zorder(lang,doc_id)"),
+      s"string-led curve must be declared: ${head.sortSpec}")
+    def head8 = spark.read.format("graft-sink").option("path", dir).load()
+    def v1 = spark.read.format("graft-sink").option("path", dir)
+      .option("versionAsOf", "1").load()
+    val idHi = documents(spark, sf).agg(max(col("doc_id"))).head().getLong(0) / 8
+    val pLang = head8.where(col("lang") === "de")
+    val pId = head8.where(col("doc_id") <= idHi)
+    val (zl, zi) = (graftScanParts(pLang), graftScanParts(pId))
+    require(zl < nFiles && zi < nFiles,
+      s"both curve dimensions must prune: lang $zl, doc_id $zi of $nFiles")
+    require(graftScanParts(v1.where(col("lang") === "de")) == nFiles &&
+      graftScanParts(v1.where(col("doc_id") <= idHi)) == nFiles,
+      "the pre-OPTIMIZE control must plan every file on both probes")
+    pLang.select(col("doc_id"), col("lang"), col("n_chars"))
+      .unionByName(pId.select(col("doc_id"), col("lang"), col("n_chars")))
+      .withColumn("n_files", lit(nFiles.toLong))
+      .withColumn("pruned", lit((zl < nFiles && zi < nFiles).toString))
+      .orderBy(col("doc_id"), col("lang"))
+  }
+
   /** WIDE-DECIMAL (38,6) STATS, PRUNING AND PUSHDOWN (round 15, VERDICT
     * r14 next #4): decimal(>18) columns — parquet FLBA physical — now
     * carry the full fact surface. The canonical cell is the exact plain
@@ -4713,6 +4762,7 @@ object Scale {
     "sink_wide_stats" -> sinkWideStats,
     "meta_table_props" -> metaTableProps,
     "scan_zorder_3d" -> scanZorder3d,
+    "scan_zorder_string" -> scanZorderString,
     "sink_tag_travel" -> sinkTagTravel,
     "meta_table_tags" -> metaTableTags,
     "meta_table_history" -> metaTableHistory,
@@ -4929,6 +4979,18 @@ object Scale {
         |FROM documents
         |WHERE starts_with(md5(CAST(doc_id AS VARCHAR)), 'c4ca42')
         |ORDER BY doc_id""".stripMargin,
+
+    "scan_zorder_string" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        |b AS (SELECT max(doc_id) // 8 AS id_hi FROM d)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(8 AS BIGINT) AS n_files, 'true' AS pruned
+        |FROM (
+        |  SELECT doc_id, lang, n_chars FROM d WHERE lang = 'de'
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM d
+        |  WHERE doc_id <= (SELECT id_hi FROM b))
+        |ORDER BY doc_id, lang""".stripMargin,
 
     "scan_contains_ngram" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ck,

@@ -1435,21 +1435,26 @@ private[sources] object GraftOptimizeProcedure {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
     import org.apache.spark.sql.types._
-    // zorder_by columns must be rank-sortable through a double cast —
-    // numeric / date / timestamp / boolean. A string column would cast to
-    // NULL, rank every row 0, and silently collapse the curve to one
-    // bucket (ADVICE r13): reject it, mirroring the missing-column require.
+    // zorder_by columns must be rank-sortable: numeric / date /
+    // timestamp / boolean through a double cast, and (round 15) STRING
+    // through its 6-byte UTF-8 prefix read as a big-endian number —
+    // order-isomorphic to the code-point stats order up to 6-byte
+    // granularity (values sharing the prefix tie, which a 64-rank curve
+    // cannot distinguish anyway), and 48 bits stays exact in DOUBLE.
+    // The r13 rejection existed because a bare double cast ranked every
+    // string NULL→0 and collapsed the curve; the prefix rank fixes the
+    // cause, so `zorder(lang, doc_id)` mixed text/numeric curves work.
     val badTyped = zcols.filter { c =>
       frame.schema(c).dataType match {
         case _: NumericType | DateType | TimestampType | TimestampNTZType |
-             BooleanType => false
+             BooleanType | StringType => false
         case _ => true
       }
     }
     require(badTyped.isEmpty,
       s"graft optimize: zorder_by column(s) ${badTyped.mkString(", ")} are " +
-        "not numeric/date/timestamp — a non-numeric column ranks every row 0 " +
-        "and the curve degenerates; choose sortBy for lexicographic layouts")
+        "not numeric/date/timestamp/string — an unrankable column would " +
+        "collapse the curve; choose sortBy for other layouts")
     val k = zcols.length
     // DATE and TIMESTAMP_NTZ pass the type gate but Spark forbids their
     // direct cast to DOUBLE (ADVICE r14) — route them through epoch
@@ -1459,6 +1464,14 @@ private[sources] object GraftOptimizeProcedure {
     def numSql(c: String): String = frame.schema(c).dataType match {
       case DateType => s"cast(unix_date(`$c`) as double)"
       case TimestampNTZType => s"cast(cast(`$c` as timestamp) as double)"
+      // first 6 UTF-8 bytes as a big-endian number (12 hex chars through
+      // conv): byte order IS the cmpUtf8 stats order on clean strings.
+      // rpad with '0' treats missing bytes as 0x00 — without it a SHORT
+      // value ranks by magnitude, not prefix ("b"=0x62 would rank below
+      // "aa"=0x6161). The empty string pads to all-zero (rank floor).
+      case StringType =>
+        s"cast(conv(rpad(substring(hex(encode(`$c`, 'UTF-8')), 1, 12)," +
+          s" 12, '0'), 16, 10) as double)"
       case _ => s"cast(`$c` as double)"
     }
     val cutsSql = (1 to 63).map(i => i / 64.0).mkString(",")

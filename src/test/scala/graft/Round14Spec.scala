@@ -350,18 +350,28 @@ class Round14Spec extends AnyFunSuite {
     assert(both.count() == 50)
   }
 
-  test("zorder_by on a non-numeric column is refused (ADVICE r13)") {
+  test("zorder_by ranks strings via UTF-8 prefix; unrankable types still refuse") {
+    // round 15 inverted the r13 string refusal: a string dimension now
+    // ranks by its 6-byte UTF-8 prefix (scan_zorder_string pins the
+    // pruning payoff); the refusal remains for types with no rank at all
     val root = tmp("graft_r14_zstr")
     spark.conf.set("spark.sql.catalog.g14z", classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.g14z.root", root)
     val dir = s"$root/db/t"
     spark.range(0, 100).toDF("id")
-      .select(col("id").as("a"), concat(lit("s"), col("id")).as("s"))
+      .select(col("id").as("a"), concat(lit("s"), col("id")).as("s"),
+        array(col("id")).as("v"))
       .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    spark.sql("CALL g14z.system.optimize('db.t', 2, 'a,s')").collect()
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    assert(head.sortSpec.contains("zorder(a,s)"),
+      s"the mixed numeric/string curve must be declared: ${head.sortSpec}")
+    assert(spark.read.format("graft-sink").option("path", dir).load()
+      .count() == 100)
     val e = intercept[Exception] {
-      spark.sql("CALL g14z.system.optimize('db.t', 2, 'a,s')").collect()
+      spark.sql("CALL g14z.system.optimize('db.t', 2, 'a,v')").collect()
     }
-    assert(e.getMessage.contains("not numeric/date/timestamp"),
+    assert(e.getMessage.contains("not numeric/date/timestamp/string"),
       s"unexpected failure: ${e.getMessage}")
   }
 

@@ -402,6 +402,11 @@ class Round15Spec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("scan_zorder_string: a text dimension ranks and prunes on the curve") {
+    val df = graft.ops.Scale.scanZorderString(spark, sf001)
+    assert(df.count() > 0)
+  }
+
   test("#ngbloom facts: contains pruning, probe-shape reuse, OPTIMIZE carry") {
     val root = tmp("graft_r15_ngb")
     spark.conf.set("spark.sql.catalog.g15n", classOf[graft.sources.GraftCatalog].getName)
