@@ -732,7 +732,7 @@ object GraftManifest {
     * O(header). Unknown segments are refused loudly (a silently-ignored
     * index set would quietly stop being rebuilt); missing segments are
     * empty — every r11–r14 manifest parses unchanged. */
-  private def parseIdx(payload: String): GraftIdx = {
+  private[graft] def parseIdx(payload: String): GraftIdx = {
     def ints(s: String): Seq[Int] =
       s.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
     val segs = payload.split(";", -1).toSeq
@@ -769,7 +769,7 @@ object GraftManifest {
   /** Render the `#idx=` payload; the r11 two-segment prefix stays first
     * so the line shape is stable, newer segments append only when
     * non-empty (an r11-shaped table keeps writing r11-shaped lines). */
-  private def renderIdx(ix: GraftIdx): String =
+  private[graft] def renderIdx(ix: GraftIdx): String =
     s"bloom:${ix.bloom.mkString(",")};ndv:${ix.ndv.mkString(",")}" +
       (if (ix.pbloom.nonEmpty)
         ";pbloom:" + ix.pbloom.map { case (i, w) => s"$i:$w" }.mkString(",")

@@ -435,6 +435,36 @@ class BoundsFuzzSpec extends AnyFunSuite {
     }, n = 4000)
   }
 
+  test("#idx payload codec roundtrips every surface combination (round 15)") {
+    // the extended header fact must parse back exactly what render wrote
+    // — a drifted segment would silently stop an index being rebuilt on
+    // streamed epochs — and r11-shaped two-segment lines must keep
+    // parsing (legacy manifests) while r11-shaped TABLES keep writing
+    // r11-shaped lines (no spurious empty segments).
+    import graft.sources.{GraftIdx, GraftManifest}
+    val genCols = Gen.listOf(Gen.choose(0, 40)).map(_.distinct.sorted)
+    val genW = Gen.choose(1, 64)
+    val genIdx: Gen[GraftIdx] = for {
+      b <- genCols; n <- genCols
+      pb <- genCols.flatMap(cs => Gen.sequence[Seq[(Int, Int)], (Int, Int)](
+        cs.map(c => genW.map(c -> _))))
+      cen <- genCols
+      rg <- Gen.oneOf(true, false)
+      ng <- genCols.flatMap(cs => Gen.sequence[Seq[(Int, Int)], (Int, Int)](
+        cs.map(c => Gen.choose(2, 16).map(c -> _))))
+    } yield GraftIdx(b, n, pb, cen, rg && cen.nonEmpty, ng)
+    check("idx-roundtrip", forAll(genIdx) { ix =>
+      val line = GraftManifest.renderIdx(ix)
+      GraftManifest.parseIdx(line) == ix &&
+      // r11 shape stays r11 when no new surface exists
+      (ix.pbloom.nonEmpty || ix.cen.nonEmpty || ix.rgcen || ix.ngram.nonEmpty ||
+        line == s"bloom:${ix.bloom.mkString(",")};ndv:${ix.ndv.mkString(",")}")
+    }, n = 1000)
+    // legacy two-segment line parses to empty new surfaces
+    assert(GraftManifest.parseIdx("bloom:1,3;ndv:2") ==
+      GraftIdx(Seq(1, 3), Seq(2)))
+  }
+
   test("manifest envelope roundtrip: a real write's stats contain every row (e2e)") {
     val rnd = new scala.util.Random(14)
     val params = org.scalacheck.Gen.Parameters.default

@@ -402,6 +402,32 @@ class Round15Spec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("ranged ANN splits compose with pushed filters") {
+    import spark.implicits._
+    val dir = tmp("graft_r15_annf") + "/t"
+    def vec(id: Long): Array[java.lang.Double] = {
+      val d = Array.fill[java.lang.Double](4)(java.lang.Double.valueOf(0.0))
+      d(if (id < 150) 0 else 1) = 1.0
+      d
+    }
+    (0L until 300L).map(i => (i, vec(i))).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("graft-sink").option("path", dir)
+      .option("rowGroupBytes", "1024")
+      .option("centroidFor", "v").option("centroidGranularity", "rowgroup")
+      .mode("overwrite").save()
+    // +x probe keeps groups 1..2 (first 200 rows include all of +x's 150
+    // and the mixed group 2); a pushed id predicate then filters INSIDE
+    // the ranged split — both skips compose, results exact
+    val got = spark.read.format("graft-sink").option("path", dir)
+      .option("annProbe", "1,0,0,0").option("annNprobe", "1")
+      .option("annRgNprobe", "1").option("annCol", "v").load()
+      .where(col("id") >= 40L && col("id") < 60L)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == (40L until 60L).toSeq,
+      s"pushed filter over a ranged split must stay exact: ${got.toSeq}")
+  }
+
   test("scan_zorder_string: a text dimension ranks and prunes on the curve") {
     val df = graft.ops.Scale.scanZorderString(spark, sf001)
     assert(df.count() > 0)
