@@ -340,6 +340,104 @@ object Vectors {
     }.reduce(_ unionByName _).orderBy(col("probe_id"), col("rank"))
   }
 
+  /** ROW-GROUP ANN ROUTING ON A DELETED-FROM TABLE (round 16, VERDICT r15
+    * next #3 — the last ranged-split refusal): a living corpus takes
+    * deletes, and until now one DV on a vector file dropped it back to
+    * whole-file reads for `annRgNprobe` routing. The reader now bases its
+    * physical-position counter at the rows preceding the range (from the
+    * memoized footer spans the runs were cut on), so deletion-vector
+    * positions stay file-scoped and ranged splits compose with
+    * merge-on-read deletes. Fixture: [[scanAnnRowgroup]]'s cell-clustered
+    * 100-row-group file registered in the SQL catalog, then a
+    * value-predicate `DELETE` (every `cand_id % 7 = 3`) lands as ONE
+    * deletion vector — REQUIREd: no data file rewritten, the `#rgcen`
+    * facts untouched (they describe the physical file; group means keep
+    * counting deleted rows, exactly what the oracle emulates). The routed
+    * read REQUIREs ranged splits are STILL planned (decoded records <
+    * physical rows), no deleted id survives, and the v1 routed top-3 —
+    * which still serves deleted vectors under time travel — differs from
+    * head's (the delete visibly re-ranks neighbors, so the composition is
+    * proven non-trivial). Oracle: the same group-mean routing emulation,
+    * with deleted ids excluded from CANDIDATES but kept in group means. */
+  def scanAnnDv(spark: SparkSession, sf: String): DataFrame = {
+    VectorDot.register(spark)
+    val seeds = loadSeeds(spark, sf)
+    val root = graft.util.Scratch.dir("sqlcat_root", "all")
+    spark.conf.set("spark.sql.catalog.gsql",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsql.root", root)
+    val tbl = "annrgdv_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      embeddings(spark, sf)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          cellExpr(seeds, "embedding").cast("long").as("cell"))
+        .repartition(1)
+        .sortWithinPartitions(col("cell"), col("cand_id"))
+        .write.format("graft-sink").option("path", dir)
+        .option("rowGroupBytes", "8192")
+        .option("centroidFor", "ce")
+        .option("centroidGranularity", "rowgroup")
+        .mode("overwrite").save()
+      spark.sql(s"DELETE FROM gsql.db.$tbl WHERE cand_id % 7 = 3")
+    }
+    val v1m = graft.sources.GraftManifest.readVersion(dir, Some(1)).get
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    require(head.metas.size == 1, s"fixture: want 1 file, got ${head.metas.size}")
+    val m = head.metas.head
+    require(v1m.metas.map(_.name) == head.metas.map(_.name),
+      "DV delete must not rewrite the data file")
+    require(m.dv.exists(_._2 > 0), "fixture: the delete must land as a DV")
+    require(m.rgcens == v1m.metas.head.rgcens,
+      "#rgcen facts describe the physical file — a DV must not touch them")
+    val gs = m.rgcens.getOrElse(1, Nil) // (cand_id, ce, cell) → ce is col 1
+    require(gs.size >= 4 && gs.dropRight(1).forall(_.rows == 100) &&
+      gs.map(_.rows).sum == m.rows,
+      s"fixture: want 100-row groups tiling the file, got ${gs.map(_.rows)}")
+    val probes: Array[(Long, Array[Float])] = embeddings(spark, sf)
+      .where(col("vec_id").isin(probeIds.take(3): _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val w = Window.orderBy(col("cos").desc, col("cand_id").asc)
+    def top3(t: DataFrame, pid: Long, pe: Array[Float]): DataFrame =
+      t.where(col("cand_id") =!= pid)
+        .withColumn("cos", dotLit(col("ce"), pe) / sqrt(expr("vector_dot(ce, ce)")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(lit(pid).as("probe_id"), col("rank").cast("int").as("rank"),
+          col("cand_id").as("neighbor_id"))
+    def routed(pe: Array[Float], version: Option[Int]): DataFrame = {
+      val r = spark.read.format("graft-sink").option("path", dir)
+        .option("annProbe", pe.map(_.toDouble).mkString(","))
+        .option("annNprobe", "1").option("annRgNprobe", "2")
+        .option("annCol", "ce")
+      version.fold(r)((v: Int) => r.option("versionAsOf", v.toString)).load()
+    }
+    val perProbe = probes.map { case (pid, pe) =>
+      val pruned = routed(pe, None)
+      // count() bails aggregate pushdown under annProbe: it walks the
+      // ranged ZERO-COLUMN readers, DV cursor offset and all
+      val kept = pruned.count()
+      require(kept < m.rows - m.dv.map(_._2).getOrElse(0L),
+        s"ranged splits must keep sub-file live rows: $kept")
+      val before = graft.sources.GraftReadStats.parquetRecordsDecoded.sum()
+      val headTop = top3(pruned, pid, pe).collect()
+      val decoded =
+        graft.sources.GraftReadStats.parquetRecordsDecoded.sum() - before
+      require(decoded < m.rows,
+        s"a DV-bearing file must KEEP its ranged-split decode: $decoded of ${m.rows}")
+      require(headTop.forall(_.getLong(2) % 7 != 3),
+        s"a deleted id survived the routed read: ${headTop.mkString(",")}")
+      val v1Top = top3(routed(pe, Some(1)), pid, pe).collect()
+      (pid, headTop, v1Top, top3(pruned, pid, pe))
+    }
+    require(perProbe.exists { case (_, h, v1, _) =>
+      h.map(_.getLong(2)).toSeq != v1.map(_.getLong(2)).toSeq },
+      "the delete must visibly re-rank at least one probe's neighbors")
+    perProbe.map(_._4).reduce(_ unionByName _)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   private def loadSeeds(spark: SparkSession, sf: String): Array[(Long, Array[Float])] =
     embeddings(spark, sf)
       .where(col("vec_id").isin(seedIds: _*))
@@ -866,6 +964,7 @@ object Vectors {
     "vec_ann_ivf" -> vecAnnIvf,
     "scan_ann_prune" -> scanAnnPrune,
     "scan_ann_rowgroup" -> scanAnnRowgroup,
+    "scan_ann_dv" -> scanAnnDv,
     "vec_ann_ivf_partitioned" -> vecAnnIvfPartitioned,
     "vec_kmeans_iter" -> vecKmeansIter,
     "vec_ivf_recall" -> vecIvfRecall,
@@ -1055,6 +1154,51 @@ object Vectors {
          |               c.cand_id ASC) AS INT) AS rank
          |  FROM grouped c JOIN pgrps pg ON c.grp = pg.grp
          |  WHERE c.cand_id <> pg.probe_id)
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // the DV variant: the SAME routing emulation — group means keep
+    // counting physically-present deleted rows (a DV touches no #rgcen
+    // fact) — with the deleted ids excluded from CANDIDATES only
+    "scan_ann_dv" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         |  WHERE vec_id IN ${seedIds.mkString("(", ", ", ")")}),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, s.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.embedding, s.cemb) DESC,
+         |               s.cid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |assign AS (
+         |  SELECT vec_id AS cand_id, embedding AS ce, cid AS cell
+         |  FROM scored WHERE rn = 1),
+         |grouped AS (
+         |  SELECT cand_id, ce,
+         |    (row_number() OVER (ORDER BY cell, cand_id) - 1) // 100 AS grp
+         |  FROM assign),
+         |gmeans AS (
+         |  SELECT grp, list(m ORDER BY dim) AS gm FROM (
+         |    SELECT grp, dim, avg(x) AS m FROM (
+         |      SELECT grp, generate_subscripts(ce, 1) AS dim, unnest(ce) AS x
+         |      FROM grouped)
+         |    GROUP BY grp, dim)
+         |  GROUP BY grp),
+         |pgrps AS (
+         |  SELECT probe_id, pe, grp FROM (
+         |    SELECT p.vec_id AS probe_id, p.embedding AS pe, g.grp,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY list_cosine_similarity(p.embedding, g.gm) DESC,
+         |                 g.grp ASC) AS rn
+         |    FROM embeddings p CROSS JOIN gmeans g
+         |    WHERE p.vec_id IN ${probeIds.take(3).mkString("(", ", ", ")")})
+         |  WHERE rn <= 2)
+         |SELECT probe_id, rank, cand_id AS neighbor_id FROM (
+         |  SELECT pg.probe_id, c.cand_id,
+         |    CAST(row_number() OVER (PARTITION BY pg.probe_id
+         |      ORDER BY list_cosine_similarity(pg.pe, c.ce) DESC,
+         |               c.cand_id ASC) AS INT) AS rank
+         |  FROM grouped c JOIN pgrps pg ON c.grp = pg.grp
+         |  WHERE c.cand_id <> pg.probe_id AND c.cand_id % 7 <> 3)
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     // storage layout must not change a neighbor: same oracle as vec_ann_ivf

@@ -3912,19 +3912,23 @@ case class GraftSinkScan(path: String, version: Option[Int],
       case None =>
         planned.flatMap { case (m, c) =>
           // ROW-GROUP-ranged ANN splits (round 15): one split per
-          // contiguous run of kept groups — only for a plain snapshot
-          // parquet file with no DV/eqdel/eqSel and no `_pos` request
-          // (range-local row positions would misalign every one of
-          // those); anything else falls back to the whole file, which
-          // is always sound (a range only narrows).
+          // contiguous run of kept groups, for a snapshot parquet file.
+          // Round 16: ranges now COMPOSE with deletion vectors, pending
+          // equality deletes and `_pos` — the reader offsets its physical
+          // position counter by the rows of every group before the range
+          // (from the same memoized footer spans the runs were cut on),
+          // so DV positions and `_pos` stay file-scoped, and equality
+          // deletes are value-based and never see positions. Only CDF
+          // reads (change tagging + eqSel row selection is epoch-scoped)
+          // stay whole-file — a fallback that is always sound (a range
+          // only narrows).
           val ranged = annRanges.get(m.name).filter(_ =>
-            c == null && m.dv.isEmpty && eqFor(m, c).isEmpty &&
-              selFor(m, c).isEmpty && m.name.endsWith(".parquet") &&
-              !required.fieldNames.contains(GraftSinkScan.PosCol))
+            c == null && selFor(m, c).isEmpty && m.name.endsWith(".parquet"))
           ranged match {
             case Some(rs) => rs.map { case (st, en, n) =>
               GraftSinkFileSplit(s"$path/${m.name}", n, m.ncols, changeOf(c),
-                None, Nil, Nil, columnar = colr, vecRows = vecOn,
+                m.dv.map(d => s"$path/${d._1}"), eqFor(m, c), Nil,
+                columnar = colr, vecRows = vecOn,
                 rangeStart = st, rangeEnd = en): InputPartition
             }
             case None => Seq(
@@ -4570,9 +4574,10 @@ sealed trait GraftSplit extends InputPartition {
     * `[rangeStart, rangeEnd)` — the standard parquet split-assignment
     * rule, so a file tiled into ranges reads each group exactly once.
     * `expectedRows` is then the RANGE's physical row count. Ranged
-    * splits are only ever planned for parquet files with no DV, no
-    * equality deletes and no `_pos` request (positions are file-scoped;
-    * a range would restart them). -1 = whole file. */
+    * splits compose with deletion vectors, pending equality deletes and
+    * `_pos` (round 16): the reader bases its position counter at the
+    * rows preceding the range, keeping positions FILE-scoped. Only CDF
+    * reads stay whole-file. -1 = whole file. */
   def rangeStart: Long
   def rangeEnd: Long
 }
@@ -4689,13 +4694,29 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
     val types = required.fields.map(_.dataType)
     val fileName = split.file.substring(split.file.lastIndexOf('/') + 1)
 
+    /** RANGED-split position base (round 16): physical rows in every row
+      * group BEFORE the range, from the memoized footer spans the ranges
+      * were cut from — what keeps `_pos` and deletion-vector positions
+      * FILE-scoped on a sub-file read. Ranges land on group boundaries,
+      * so `end <= rangeStart` selects exactly the preceding groups. */
+    lazy val rangePosOffset: Long =
+      if (split.rangeStart < 0) 0L
+      else GraftParquet.rowGroupSpansCached(Paths.get(split.file))
+        .filter(_._2 <= split.rangeStart).map(_._3).sum
+
     /** The deletion vector: ascending physical positions this scan must
       * NOT emit, walked as a STREAMING cursor over the encoded sidecar —
       * O(encoded bytes) memory (~bytes per deleted RUN, GraftDv), never
-      * an O(deleted rows) array per file. */
-    def dvCursor(): scala.collection.BufferedIterator[Long] = split.dvFile
-      .map(f => GraftDv.positions(Files.readAllBytes(Paths.get(f))))
-      .getOrElse(Iterator.empty).buffered
+      * an O(deleted rows) array per file. A ranged split pre-advances the
+      * cursor past positions before its range; positions at or beyond the
+      * range's end belong to this file's OTHER splits. */
+    def dvCursor(): scala.collection.BufferedIterator[Long] = {
+      val it = split.dvFile
+        .map(f => GraftDv.positions(Files.readAllBytes(Paths.get(f))))
+        .getOrElse(Iterator.empty: Iterator[Long]).buffered
+      while (it.hasNext && it.head < rangePosOffset) it.next()
+      it
+    }
 
     // EQUALITY-DELETE key filter: (layout index, type, value set) per key
     // column — the sidecars are O(changed keys) small by construction
@@ -4833,14 +4854,18 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
         s"graft-sink: ${split.file} has $physRows rows, manifest committed ${split.expectedRows}")
       return new PartitionReader[InternalRow] {
         private val dv = dvCursor()
-        private var pos = -1L
+        private var pos = rangePosOffset - 1
+        private val bound = rangePosOffset + physRows
         override def next(): Boolean = {
           while (true) {
             pos += 1
-            if (pos >= physRows) {
-              if (dv.hasNext) throw new IllegalStateException(
-                s"graft-sink: deletion vector for ${split.file} names position " +
-                  s"${dv.head} beyond the file's $physRows physical rows")
+            if (pos >= bound) {
+              // leftover cursor entries are corrupt for a whole-file read;
+              // for a ranged one they belong to later ranges of this file
+              if (split.rangeStart < 0 && dv.hasNext)
+                throw new IllegalStateException(
+                  s"graft-sink: deletion vector for ${split.file} names position " +
+                    s"${dv.head} beyond the file's $physRows physical rows")
               return false
             }
             if (dv.hasNext && dv.head == pos) dv.next()
@@ -4932,7 +4957,7 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
       return new PartitionReader[InternalRow] {
         private val dv = dvCursor()
         private var r: InternalRow = _
-        private var pos = -1L
+        private var pos = rangePosOffset - 1
         private var rows = 0L
         override def next(): Boolean = {
           while (true) {
@@ -4941,9 +4966,10 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
               if (rgFilter.isEmpty && rows != split.expectedRows)
                 throw new IllegalStateException(
                   s"graft-sink: ${split.file} has $rows rows, manifest committed ${split.expectedRows}")
-              if (dv.hasNext) throw new IllegalStateException(
-                s"graft-sink: deletion vector for ${split.file} names position " +
-                  s"${dv.head} beyond the file's $rows physical rows")
+              if (split.rangeStart < 0 && dv.hasNext)
+                throw new IllegalStateException(
+                  s"graft-sink: deletion vector for ${split.file} names position " +
+                    s"${dv.head} beyond the file's $rows physical rows")
               return false
             }
             rows += 1; pos += 1
@@ -5001,7 +5027,7 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
             Some((split.rangeStart, split.rangeEnd)) else None)
       private val dv = dvCursor()
       private var g: org.apache.parquet.example.data.Group = _
-      private var pos = -1L
+      private var pos = rangePosOffset - 1
       private var rows = 0L
       override def next(): Boolean = {
         while (true) {
@@ -5010,9 +5036,10 @@ class GraftSinkReaderFactory(full: StructType, required: StructType,
             if (rgFilter.isEmpty && rows != split.expectedRows)
               throw new IllegalStateException(
               s"graft-sink: ${split.file} has $rows rows, manifest committed ${split.expectedRows}")
-            if (dv.hasNext) throw new IllegalStateException(
-              s"graft-sink: deletion vector for ${split.file} names position " +
-                s"${dv.head} beyond the file's $rows physical rows")
+            if (split.rangeStart < 0 && dv.hasNext)
+              throw new IllegalStateException(
+                s"graft-sink: deletion vector for ${split.file} names position " +
+                  s"${dv.head} beyond the file's $rows physical rows")
             return false
           }
           rows += 1; pos += 1
@@ -6121,6 +6148,27 @@ object GraftSinkWriter {
     true
   }
 
+  /** Longest code-point-CLEAN prefix of `s` — cut where the first lone
+    * surrogate appears (in a char-reversed string: where a reversed
+    * supplementary char lands). A proper prefix sorts <= the full string
+    * under [[GraftSinkScan.cmp]]'s shared-prefix lexicographic order, so
+    * bounds built from it are shorter-and-wider: still containing every
+    * value, just proving less (round 16 — keeps `#rvstats` alive on
+    * supplementary-character data instead of withholding it). */
+  def cleanPrefix(s: String): String = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1)))
+          return s.substring(0, i)
+        i += 2
+      } else if (Character.isLowSurrogate(c)) return s.substring(0, i)
+      else i += 1
+    }
+    s
+  }
+
   /** Code-point-safe `w`-unit prefix of `s` — never splits a surrogate
     * pair. Always a prefix of `s`, hence always `<= s`: the sound LOWER
     * bound for every string extending it. */
@@ -6633,19 +6681,27 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       // reversed-cell BOUND envelope: lower = 32-char prefix of the
       // reversed min (<= all), upper = incremented prefix of the
       // reversed max (> all); no finite successor → fact withheld.
-      // UNCLEAN extremes withhold too (fuzz-found, round 15): a
-      // char-reversed supplementary char is a LONE surrogate, and both
-      // the upperBound increment (code-point math disagrees with
-      // cmpUtf8 inside the surrogate range — the "successor" can sort
-      // BELOW its own matches) and the manifest's UTF-8 write (a lone
-      // surrogate becomes '?') are only sound on code-point-clean
-      // strings. Absent = conservative, the file always plans.
+      // UNCLEAN extremes (a char-reversed supplementary char is a lone
+      // surrogate — fuzz-found unsound in the unguarded round-15
+      // variant) now SHORTEN-AND-WIDEN instead of withholding (round 16,
+      // VERDICT r15 next #5, the #bstats truncation trick): each extreme
+      // is cut at its longest code-point-CLEAN prefix before the bound
+      // math. A proper prefix sorts <= the full string under cmpUtf8
+      // (shared-prefix lexicographic), so the truncated lower still
+      // contains everything, and upperBound's increment lands at a
+      // position where the clean prefix char is strictly below it under
+      // cmpUtf8 (lone surrogates in VALUES remap above all clean BMP
+      // units, but only AFTER the differing position — they never
+      // decide). Both kept strings are clean, so the manifest's UTF-8
+      // write is exact. Only a max whose reversed form STARTS unclean
+      // (value ends in a supplementary char) still withholds — no clean
+      // string can upper-bound a leading lone surrogate.
       val rvs: Map[Int, (String, String)] = (for {
         ri <- revIdx; mn <- Option(p.revMin)
-        if GraftSinkWriter.pairedSurrogates(mn) &&
-          GraftSinkWriter.pairedSurrogates(p.revMax)
-        hi <- GraftSinkWriter.upperBound(p.revMax)
-      } yield ri -> (GraftSinkWriter.lowerBound(mn), hi)).toMap
+        hi <- GraftSinkWriter.upperBound(
+          GraftSinkWriter.cleanPrefix(p.revMax))
+      } yield ri ->
+        (GraftSinkWriter.lowerBound(GraftSinkWriter.cleanPrefix(mn)), hi)).toMap
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
         partName.map(_ -> value), Some(nulls), None, Some(sums), blooms, ndvs,
         bounds = boundIdx.result(), centroids = cens, pblooms = pbls,

@@ -162,6 +162,30 @@ object PruneScaleDemo {
       rd(ngbloomed).where(col("payload").contains(needleStr)))
     measure("ngram_control",
       rd(indexed).where(col("payload").contains(needleStr)))
+    // PLAN-TIME economics (round 16, VERDICT r15 next #1): megabyte-class
+    // n-gram payloads live in per-file SIDECARS, so the manifest parse is
+    // O(files) and payload bytes are fetched only per surviving file. The
+    // cold-plan phase reports manifest bytes + sidecar fetches for a
+    // contains probe (no cheaper fact exists — every planned file loads
+    // its bloom once); the pruned phase composes an envelope-decidable
+    // conjunct that kills every file BEFORE the bloom rung — zero loads.
+    def planPhase(tag: String, df: DataFrame): Unit = {
+      graft.sources.GraftBloomSidecars.dropCache()
+      val l0 = graft.sources.GraftBloomSidecars.loads.sum()
+      val t0 = System.nanoTime()
+      val planned = df.rdd.getNumPartitions
+      val planMs = (System.nanoTime() - t0) / 1e6
+      val sloads = graft.sources.GraftBloomSidecars.loads.sum() - l0
+      val manifestBytes = new java.io.File(ngbloomed).listFiles()
+        .filter(_.getName.startsWith("_manifest-v")).map(_.length).max
+      println(f"""{"phase":"$tag","files_planned":$planned,"of":$nFiles,""" +
+        f""""manifest_bytes":$manifestBytes,"sidecar_loads":$sloads,""" +
+        f""""plan_wall_ms":${planMs}%.0f}""")
+    }
+    planPhase("ngram_plan_cold",
+      rd(ngbloomed).where(col("payload").contains(needleStr)))
+    planPhase("ngram_plan_envelope_first",
+      rd(ngbloomed).where(col("k") < 0 && col("payload").contains(needleStr)))
     // SUFFIX PROBE (round 15): `payload LIKE '%ff'` on a REVERSED-column
     // layout — `#rvstats` windows; the k-clustered table is the control
     val rsorted = s"$root/rsorted"

@@ -211,20 +211,27 @@ class BoundsFuzzSpec extends AnyFunSuite {
       1 -> Gen.const(""))
     check("suffix-prune", forAll(genFile.flatMap(vs =>
         genProbe(vs).map(p => (vs, p)))) { case (vs, p) =>
-      // the writer-exact fact: bound envelope over char-reversed values,
-      // WITHHELD (like the writer withholds it) when either reversed
-      // extreme is surrogate-unclean — the fuzz found the unchecked
-      // variant unsound (upperBound's code-point increment disagrees
-      // with cmpUtf8 inside the surrogate range)
+      // the writer-exact fact: bound envelope over char-reversed values.
+      // Round 16: surrogate-UNCLEAN extremes shorten-and-widen at their
+      // longest clean prefix instead of withholding (the round-15 fuzz
+      // found the UNTRUNCATED unclean variant unsound — upperBound's
+      // code-point increment disagrees with cmpUtf8 inside the surrogate
+      // range). The fact must now be PRESENT on supplementary-char data
+      // whenever the truncated max has a finite successor, and sound.
       val rev = vs.map(GraftSinkWriter.revChars)
       val mn = rev.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
       val mx = rev.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
-      (!GraftSinkWriter.pairedSurrogates(mn) ||
-        !GraftSinkWriter.pairedSurrogates(mx)) ||
-      GraftSinkWriter.upperBound(mx).forall { hi =>
+      val fact = GraftSinkWriter.upperBound(GraftSinkWriter.cleanPrefix(mx))
+        .map(hi => (GraftSinkWriter.lowerBound(GraftSinkWriter.cleanPrefix(mn)), hi))
+      fact.forall { case (lo, hi) =>
+        // the kept bounds are manifest-safe (clean = exact UTF-8 write)
+        GraftSinkWriter.pairedSurrogates(lo) &&
+        GraftSinkWriter.pairedSurrogates(hi) &&
+        // containment: [lo, hi) really holds every reversed value
+        rev.forall(rv => cmp(lo, rv) <= 0 && cmp(rv, hi) < 0) && {
         val m = sources.GraftFileMeta("f", vs.length.toLong, 1,
           Map.empty, None, nulls = Some(Map(0 -> 0L)),
-          rvstats = Map(0 -> (GraftSinkWriter.lowerBound(mn), hi)))
+          rvstats = Map(0 -> (lo, hi)))
         val f = StringEndsWith("v", p)
         val anyMatch = vs.exists(_.endsWith(p))
         val allMatch = vs.forall(_.endsWith(p))
@@ -235,6 +242,7 @@ class BoundsFuzzSpec extends AnyFunSuite {
         // FALSE-ifies the suffix — no NULLs here) survives the anti-probe
         (allMatch || GraftSinkScan.mayMatch(m, layout,
           org.apache.spark.sql.sources.Not(f)))
+        }
       }
     }, n = 2000)
   }

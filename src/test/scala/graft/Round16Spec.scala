@@ -197,4 +197,151 @@ class Round16Spec extends AnyFunSuite {
     // known segments with malformed bodies still refuse loudly
     intercept[Exception](GraftManifest.parseIdx("bloom:1;ndv:2;ngram:oops"))
   }
+
+  test("legacy (non-versioned) epoch streams rebuild no index surfaces (documented freeze)") {
+    import graft.sources.{GraftSinkStreamingWrite, GraftSinkStreamingFactory}
+    val dir = tmp("graft_r16_legacy")
+    // even sitting on an INDEXED versioned head, the legacy epoch
+    // protocol derives nothing — index parity is a commitVersions=true
+    // feature (README "streaming & the index surfaces" note)
+    spark.range(10).toDF("id").selectExpr("id", "md5(cast(id as string)) as s")
+      .coalesce(1).write.format("graft-sink").option("path", dir)
+      .option("bloomFor", "s").option("ngramBloomFor", "s:4")
+      .mode("overwrite").save()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, s STRING")
+    val info = new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    }
+    val legacy = new GraftSinkStreamingWrite(dir, schema, "q", commitVersions = false)
+      .createStreamingWriterFactory(info).asInstanceOf[GraftSinkStreamingFactory]
+    assert(legacy.bloomFor.isEmpty && legacy.ngramBloomFor.isEmpty &&
+      legacy.centroidFor.isEmpty && legacy.reverseFor.isEmpty,
+      s"legacy epoch sink must stay index-frozen: $legacy")
+    // the versioned protocol on the same head derives the declared set
+    val versioned = new GraftSinkStreamingWrite(dir, schema, "q", commitVersions = true)
+      .createStreamingWriterFactory(info).asInstanceOf[GraftSinkStreamingFactory]
+    assert(versioned.bloomFor == Seq("s") &&
+      versioned.ngramBloomFor == Seq(("s", 4)),
+      s"versioned streams derive every index surface: $versioned")
+  }
+
+  /** 64-dim vector whose direction varies with id — row-group means of an
+    * id-sorted file then separate cleanly, so `#rgcen` routing is exact. */
+  private val idVecExpr =
+    "concat(array(cast(id as float)), " +
+      "transform(sequence(1, 63), x -> cast(1.0 as float))) as v"
+  private val probe450 = (Seq(450.0) ++ Seq.fill(63)(1.0)).mkString(",")
+
+  test("#rvstats survives supplementary-char data: shorten-and-widen (VERDICT r15 #5)") {
+    val dir = tmp("graft_r16_rvsup") + "/t"
+    // CJK-ext + emoji INSIDE the value: char-reversed, they become LONE
+    // surrogates mid-string — the round-15 writer withheld the whole
+    // fact here; the round-16 writer truncates each extreme at its
+    // longest clean prefix and keeps pruning
+    import spark.implicits._
+    val exts = Seq(".jpg", ".txt")
+    (0 until 400).map(i => (i.toLong, s"媒体😀/f𠀋-$i${exts(i % 2)}"))
+      .toDF("id", "path")
+      .repartitionByRange(4, reverse(col("path")))
+      .sortWithinPartitions(reverse(col("path")))
+      .write.format("graft-sink").option("path", dir)
+      .option("sortBy", "reverse(path)").mode("overwrite").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.metas.size == 4)
+    assert(head.metas.forall(_.rvstats.contains(1)),
+      s"supplementary-char files must KEEP #rvstats: ${head.metas.map(_.rvstats)}")
+    // the kept bounds are clean (exact UTF-8 manifest roundtrip)…
+    head.metas.flatMap(_.rvstats.get(1)).foreach { case (lo, hi) =>
+      assert(graft.sources.GraftSinkWriter.pairedSurrogates(lo) &&
+        graft.sources.GraftSinkWriter.pairedSurrogates(hi), s"unclean bound: ($lo,$hi)")
+    }
+    // …and the suffix probe still prunes files AND returns exact rows
+    def probe() = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("path").endsWith(".jpg"))
+    assert(scanParts(probe()) < 4, "suffix probe must prune the reversed layout")
+    val got = probe().collect()
+    assert(got.length == 200 && got.forall(_.getString(1).endsWith(".jpg")))
+  }
+
+  test("ranged ANN splits compose with DVs and keep file-scoped _pos (VERDICT r15 #3)") {
+    val root = tmp("graft_r16_anndv")
+    spark.conf.set("spark.sql.catalog.g16r",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16r.root", root)
+    val dir = s"$root/db/t"
+    spark.range(0, 1000).toDF("id").selectExpr("id", idVecExpr)
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("graft-sink").option("path", dir)
+      .option("rowGroupBytes", "8192")
+      .option("centroidFor", "v").option("centroidGranularity", "rowgroup")
+      .mode("overwrite").save()
+    spark.sql("DELETE FROM g16r.db.t WHERE id % 10 = 3")
+    val head = GraftManifest.readVersion(dir, None).get
+    val m = head.metas.head
+    assert(head.metas.size == 1 && m.dv.exists(_._2 == 100L),
+      s"fixture: one file, 100 positions vectored — ${head.metas}")
+    assert(m.rgcens.getOrElse(1, Nil).count(_.b64 != "-") >= 4,
+      "fixture: want >= 4 claiming groups")
+    def routed() = spark.read.format("graft-sink").option("path", dir)
+      .option("annProbe", probe450).option("annNprobe", "1")
+      .option("annRgNprobe", "2").option("annCol", "v").load()
+    val before = graft.sources.GraftReadStats.parquetRecordsDecoded.sum()
+    val res = routed().selectExpr("id", "_pos").collect()
+    val decoded =
+      graft.sources.GraftReadStats.parquetRecordsDecoded.sum() - before
+    assert(decoded < m.rows,
+      s"a DV-bearing file must keep its ranged-split decode: $decoded of ${m.rows}")
+    // write order IS id order in one file, so physical position == id; a
+    // range-LOCAL counter would restart at 0 inside the routed group and
+    // both _pos and the DV skip below would shear
+    assert(res.nonEmpty && res.forall(r => r.getLong(1) == r.getLong(0)),
+      "_pos must stay FILE-scoped through a ranged read")
+    val ids = res.map(_.getLong(0)).sorted.toSeq
+    val gset = ids.map(_ / 100).distinct
+    assert(gset.size == 2, s"annRgNprobe=2 must keep 2 groups, got $gset")
+    val want = (0L until 1000L).filter(i => gset.contains(i / 100) && i % 10 != 3)
+    assert(ids == want, "kept groups must serve exactly their live rows")
+    // the zero-column (count) ranged reader offsets the DV cursor the
+    // same way the row reader does
+    assert(routed().count() == ids.size.toLong)
+  }
+
+  test("ranged ANN splits compose with pending equality deletes") {
+    val dir = tmp("graft_r16_anneq") + "/t"
+    spark.range(0, 1000).toDF("id")
+      .selectExpr("id", idVecExpr, "'old' as tag")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("graft-sink").option("path", dir)
+      .option("rowGroupBytes", "8192")
+      .option("centroidFor", "v").option("centroidGranularity", "rowgroup")
+      .mode("overwrite").save()
+    // upsert five ids inside the hot group: the old rows die by PENDING
+    // equality-delete sidecar, the base file is never rewritten
+    spark.range(448, 453).toDF("id")
+      .selectExpr("id", idVecExpr, "'new' as tag")
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("upsertKey", "id").mode("append").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.eqDels.nonEmpty, "fixture must carry pending equality deletes")
+    val base = head.metas.find(_.rows == 1000L).get
+    assert(base.rgcens.nonEmpty, "base file must keep its #rgcen facts")
+    // annNprobe=2 keeps BOTH files — the point is the ranged read of the
+    // eqdel-bearing BASE, not file pruning hiding the old rows
+    def routed() = spark.read.format("graft-sink").option("path", dir)
+      .option("annProbe", probe450).option("annNprobe", "2")
+      .option("annRgNprobe", "2").option("annCol", "v").load()
+    val before = graft.sources.GraftReadStats.parquetRecordsDecoded.sum()
+    val res = routed().selectExpr("id", "tag").collect()
+    val decoded =
+      graft.sources.GraftReadStats.parquetRecordsDecoded.sum() - before
+    assert(decoded < base.rows,
+      s"an eqdel-bearing file must keep its ranged-split decode: $decoded")
+    val hot = res.filter(r => r.getLong(0) >= 448 && r.getLong(0) <= 452)
+    assert(hot.length == 5 && hot.forall(_.getString(1) == "new"),
+      s"upserted ids must surface ONCE, from the new file: " +
+        hot.map(r => (r.getLong(0), r.getString(1))).mkString(","))
+    assert(res.groupBy(_.getLong(0)).values.forall(_.length == 1),
+      "no id may appear twice through a ranged eqdel read")
+  }
 }
