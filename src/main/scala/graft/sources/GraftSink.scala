@@ -2142,6 +2142,39 @@ object GraftBloom {
     java.util.Base64.getEncoder.encodeToString(bytes.array())
   }
 
+  /** The bit cap `build` sizes toward — and the fixed table size the
+    * OVERFLOW streaming mode allocates up front (round 16): a window set
+    * past the distinct cap stops deduping and streams every hash
+    * straight into a max-size table (inserts are idempotent — dedup was
+    * only ever the SIZING trick), so huge files keep a dense-but-useful
+    * filter instead of losing the fact. */
+  val MaxBits: Long = 1L << 23
+  def emptyMaxWords(): Array[Long] = new Array[Long]((MaxBits / 64).toInt)
+  def insert(words: Array[Long], h: Long): Unit = {
+    val mask = words.length * 64L - 1
+    val st = stride(h)
+    var j = 0
+    while (j < K) {
+      val b = ((h + j * st) & mask).toInt
+      words(b >> 6) |= 1L << (b & 63)
+      j += 1
+    }
+  }
+  def encode(words: Array[Long]): String = {
+    val bytes = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bytes.putLong)
+    java.util.Base64.getEncoder.encodeToString(bytes.array())
+  }
+  /** Fraction of set bits — the overflow mode's saturation measure (a
+    * distinct count no longer exists there). Per-probe false-positive
+    * rate is ~fill^K, so e.g. fill 0.8 still skips most absent windows. */
+  def fillFrac(words: Array[Long]): Double = {
+    var set = 0L
+    var i = 0
+    while (i < words.length) { set += java.lang.Long.bitCount(words(i)); i += 1 }
+    set.toDouble / (words.length * 64L)
+  }
+
   def mightContain(b64: String, value: String): Boolean =
     mightContainAll(b64, Iterator.single(value))
 
@@ -5976,13 +6009,23 @@ object GraftSinkWriter {
     * step costs probe APPLICABILITY (a |p| < w probe cannot use the
     * fact), so widen as little as the data demands. */
   val NgramWidenStep = 2
-  /** Distinct-window hard cap per (column, candidate width): past it
-    * the set is CLEARED and the candidate marked saturated — a filter
-    * built from a truncated set would be UNSOUND (absent-but-present
-    * windows would wrongly skip), and at the filter's 2²³-bit size cap
-    * a million-window set is already near the useful-FPR edge. Also
-    * the write-side memory bound (≤ ~1 M boxed longs per set). */
+  /** Distinct-window cap per (column, candidate width) — the SET-mode
+    * memory bound (≤ ~1 M boxed longs). Past it the candidate switches
+    * to OVERFLOW mode (round 16): the set migrates into a fixed
+    * [[GraftBloom.MaxBits]] table and every further window hash streams
+    * straight in, un-deduped — sound (inserts are idempotent; dedup was
+    * only the sizing trick) and CHEAPER (1 MiB fixed vs a growing boxed
+    * set), so production-size files keep a dense-but-useful filter
+    * instead of losing the fact. Saturation is then measured by bit
+    * FILL at flush ([[NgramFillSat]]), not by a distinct count the mode
+    * no longer tracks. */
   val NgramDistinctCap = 1 << 20
+  /** Overflow-mode saturation threshold: at fill f the per-window
+    * false-positive rate is ~f^6, so 0.9 (≈53% FP per window, and real
+    * probes test several windows) is the last fill worth a megabyte
+    * decode; beyond it the fact lands as `!sat` — keep without decode,
+    * and the documented signal to widen w. */
+  val NgramFillSat = 0.9
   /** Alphabet-tracking bound: |alphabet|^w saturation math only runs
     * while the observed alphabet is small enough for the window space
     * to be coverable at all (1024⁴ ≈ 10¹² dwarfs any real set). */
@@ -6342,15 +6385,15 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     val pbloomHashes: Map[Int, scala.collection.mutable.ArrayBuffer[Long]] =
       pbloomIdx.keys.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Long]).toMap
     // n-gram hash SET per (windowed column, CANDIDATE width) — dedup at
-    // insert keeps write memory at O(distinct windows); a set that blows
-    // past [[GraftSinkWriter.NgramDistinctCap]] is cleared and marked
-    // saturated (a filter built from a TRUNCATED set would be unsound,
-    // and past the cap the capped-size bloom prunes ~nothing anyway)
+    // insert keeps write memory at O(distinct windows) while the set is
+    // small; one that blows past [[GraftSinkWriter.NgramDistinctCap]]
+    // migrates into a fixed max-size BITSET (ngbloomBits slot non-null)
+    // and streams further hashes straight in — see the cap's doc.
     val ngbloomHashes: Map[Int, Array[scala.collection.mutable.HashSet[Long]]] =
       ngWidths.map { case (i, ws) =>
         i -> ws.map(_ => scala.collection.mutable.HashSet.empty[Long]) }
-    val ngbloomSat: Map[Int, Array[Boolean]] =
-      ngWidths.map { case (i, ws) => i -> new Array[Boolean](ws.length) }
+    val ngbloomBits: Map[Int, Array[Array[Long]]] =
+      ngWidths.map { case (i, ws) => i -> new Array[Array[Long]](ws.length) }
     // observed ALPHABET per windowed column (bounded): |alphabet|^w is
     // the window space an occupancy check measures saturation against;
     // past the bound the space is astronomically larger than any real
@@ -6512,14 +6555,25 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
           val ws = ngWidths(i)
           var k = 0
           while (k < ws.length) {
-            if (!p.ngbloomSat(i)(k)) {
+            val bits = p.ngbloomBits(i)(k)
+            if (bits != null) { // overflow mode: stream, no dedup needed
+              val w = ws(k)
+              var o = 0
+              while (o + w <= cell.length) {
+                GraftBloom.insert(bits,
+                  GraftBloom.hash(cell.substring(o, o + w))); o += 1
+              }
+            } else {
               val w = ws(k); val hs = sets(k)
               var o = 0
               while (o + w <= cell.length) {
                 hs += GraftBloom.hash(cell.substring(o, o + w)); o += 1
               }
               if (hs.size > GraftSinkWriter.NgramDistinctCap) {
-                p.ngbloomSat(i)(k) = true; hs.clear()
+                val arr = GraftBloom.emptyMaxWords()
+                hs.foreach(GraftBloom.insert(arr, _))
+                p.ngbloomBits(i)(k) = arr
+                hs.clear()
               }
             }
             k += 1
@@ -6619,24 +6673,33 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       // >= w", which prunes every |p| >= w prefix probe exactly
       val pbls0 = p.pbloomHashes.map { case (i, hs) =>
         i -> (pbloomIdx(i), GraftBloom.build(hs.toArray)) }.toMap
-      // WIDTH AUTO-SELECTION (round 16): narrowest candidate width whose
-      // window set neither blew the distinct cap nor covers ≈ all of
-      // |alphabet|^w wins (an empty window set still emits the fact:
-      // "no value holds ANY w-window" prunes every |p| >= w probe
-      // exactly); every candidate saturated → the `!sat` marker, so
-      // plan time never decodes a filter that cannot skip.
+      // WIDTH AUTO-SELECTION (round 16): narrowest UNSATURATED candidate
+      // width wins (an empty window set still emits the fact: "no value
+      // holds ANY w-window" prunes every |p| >= w probe exactly).
+      // Saturation per mode: a still-set-mode candidate measures window
+      // occupancy against |alphabet|^w (hex at w=4 covers the space —
+      // keep-everything); an overflow-mode candidate measures BIT FILL
+      // (past NgramFillSat a probe ~always passes). Every candidate
+      // saturated → the `!sat` marker, so plan time never decodes a
+      // filter that cannot skip.
       val ngbs0 = p.ngbloomHashes.map { case (i, sets) =>
         val ws = ngWidths(i)
         val alpha = p.ngAlpha(i).size
-        def saturatedAt(k: Int): Boolean = p.ngbloomSat(i)(k) || {
-          alpha > 0 && alpha <= GraftSinkWriter.NgramAlphaCap && {
-            val possible = math.pow(alpha.toDouble, ws(k).toDouble)
-            sets(k).size.toDouble >= possible * GraftSinkWriter.NgramSatFrac
-          }
+        def saturatedAt(k: Int): Boolean = p.ngbloomBits(i)(k) match {
+          case null =>
+            alpha > 0 && alpha <= GraftSinkWriter.NgramAlphaCap && {
+              val possible = math.pow(alpha.toDouble, ws(k).toDouble)
+              sets(k).size.toDouble >= possible * GraftSinkWriter.NgramSatFrac
+            }
+          case bits =>
+            GraftBloom.fillFrac(bits) >= GraftSinkWriter.NgramFillSat
         }
         ws.indices.find(!saturatedAt(_)) match {
-          case Some(k) => i -> (ws(k), GraftBloom.build(sets(k).toArray))
-          case None    => i -> (ngbloomIdx(i), GraftBloomSidecars.Saturated)
+          case Some(k) => p.ngbloomBits(i)(k) match {
+            case null => i -> (ws(k), GraftBloom.build(sets(k).toArray))
+            case bits => i -> (ws(k), GraftBloom.encode(bits))
+          }
+          case None => i -> (ngbloomIdx(i), GraftBloomSidecars.Saturated)
         }
       }.toMap
       // SIDECAR EXTERNALIZATION (round 16, VERDICT r15 next #1): a

@@ -198,6 +198,38 @@ class Round16Spec extends AnyFunSuite {
     intercept[Exception](GraftManifest.parseIdx("bloom:1;ndv:2;ngram:oops"))
   }
 
+  test("n-gram overflow: past the distinct cap the filter streams dense and still prunes") {
+    // 45k 64-char hex values = ~2.4M distinct 6-gram windows — past the
+    // 1M set cap. The round-16.0 writer landed `!sat` here (zero skip on
+    // exactly production-size files); overflow mode streams the hashes
+    // into the max-size table instead (fill ~0.8 < NgramFillSat) and the
+    // fact keeps pruning.
+    val dir = tmp("graft_r16_ngbig")
+    spark.range(0, 45000)
+      .selectExpr("id",
+        "concat(md5(cast(id as string)), md5(cast(id + 7 as string))) as s")
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:6")
+      .option("distributionMode", "none").mode("overwrite").save()
+    val m = GraftManifest.readVersion(dir, None).get.metas.head
+    val (w, pay) = m.ngblooms(1)
+    assert(w == 6 && pay != GraftBloomSidecars.Saturated,
+      s"overflow must keep a dense filter at the narrow width, got ($w, " +
+        s"${pay.take(16)}...)")
+    assert(GraftBloomSidecars.isRef(pay), "a max-size filter must be a sidecar ref")
+    def q(needle: String) = spark.read.format("graft-sink")
+      .option("path", dir).load().where(col("s").contains(needle))
+    // absent windows (non-hex chars): the dense filter still prunes the file
+    GraftBloomSidecars.dropCache()
+    assert(scanParts(q("zz--zz--zz--")) == 0,
+      "an absent-window probe must prune even a dense overflow filter")
+    // a true mid-value slice keeps the file and returns its row
+    val truthy = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("id") === 31337L).head().getString(1).substring(20, 32)
+    assert(q(truthy).count() >= 1L, "a true probe must keep its row")
+  }
+
   test("legacy (non-versioned) epoch streams rebuild no index surfaces (documented freeze)") {
     import graft.sources.{GraftSinkStreamingWrite, GraftSinkStreamingFactory}
     val dir = tmp("graft_r16_legacy")
