@@ -438,6 +438,109 @@ object Vectors {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** THE LIVING VECTOR CORPUS (round 16 — the composition the pieces
+    * were built for): a vector table BOOTSTRAPPED by one batch write
+    * (which declares `centroidFor` + rowgroup granularity), GROWN by
+    * versioned streaming epochs — index parity derives `#cen`/`#rgcen`
+    * for every epoch file from the head's `#idx` fact, and the new
+    * streaming `rowGroupBytes` option keeps streamed groups small enough
+    * to route — then DELETED FROM (one DV per file, no rewrite), and
+    * finally served by a routed ANN read that plans RANGED sub-file
+    * splits across all four DV-bearing files. Fixture: embeddings split
+    * into 4 pmod slices (slice 0 = the batch seed, 1..3 = streamed
+    * epochs), each landing as ONE cand_id-sorted 100-row-group file.
+    * REQUIREd: streamed files carry `#rgcen` facts they never declared
+    * (parity), every file took a DV, the routed read decodes sub-file,
+    * and no deleted id survives. Oracle: per-slice group emulation
+    * (groups = 100-row buckets of the slice's cand_id order), nearest
+    * group PER SLICE, top-3 among kept groups excluding deleted ids. */
+  def scanAnnStream(spark: SparkSession, sf: String): DataFrame = {
+    VectorDot.register(spark)
+    val root = graft.util.Scratch.dir("sqlcat_root", "all")
+    spark.conf.set("spark.sql.catalog.gsql",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsql.root", root)
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"annstream_$tag"
+    val dir = s"$root/db/$tbl"
+    graft.util.Scratch.once(dir) {
+      def slice(r: Int) = embeddings(spark, sf)
+        .where(pmod(col("vec_id"), lit(4)) === r)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+        .coalesce(1).sortWithinPartitions("cand_id")
+      slice(0).write.format("graft-sink").option("path", dir)
+        .option("rowGroupBytes", "8192")
+        .option("centroidFor", "ce").option("centroidGranularity", "rowgroup")
+        .mode("overwrite").save()
+      // stage slices 1..3 as single-file parquet epochs, stream them in
+      val srcDir = graft.util.Scratch.dir("annstream_src", sf)
+      (1 to 3).foreach { r =>
+        val stage = graft.util.Scratch.dir(s"annstream_stage$r", sf)
+        slice(r).write.mode("overwrite").parquet(stage)
+        val part = Option(new java.io.File(stage).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        require(part.length == 1, s"want 1 staged part, got ${part.length}")
+        java.nio.file.Files.move(part.head.toPath,
+          java.nio.file.Paths.get(srcDir, s"epoch$r.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val q = spark.readStream
+        .schema("cand_id LONG, ce ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.format("graft-sink")
+        .option("path", dir)
+        .option("checkpointLocation", graft.util.Scratch.dir("annstream_chk", sf))
+        .option("commitVersions", "true")
+        .option("rowGroupBytes", "8192")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.sql(s"DELETE FROM gsql.db.$tbl WHERE cand_id % 7 = 3")
+    }
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    require(head.metas.size == 4, s"fixture: want 4 files, got ${head.metas.map(_.name)}")
+    head.metas.foreach { m =>
+      val gs = m.rgcens.getOrElse(1, Nil)
+      require(gs.nonEmpty && gs.map(_.rows).sum == m.rows &&
+        gs.dropRight(1).forall(_.rows == 100),
+        s"every file — streamed included — must carry tiling #rgcen facts: " +
+          s"${m.name} -> ${gs.map(_.rows)}")
+      require(m.dv.exists(_._2 > 0), s"every slice must have taken a DV: ${m.name}")
+    }
+    require(head.metas.exists(_.name.startsWith("e")), // e<epoch>-<tag>-…
+      s"fixture: streamed epoch files expected in ${head.metas.map(_.name)}")
+    val physRows = head.metas.map(_.rows).sum
+    val probes: Array[(Long, Array[Float])] = embeddings(spark, sf)
+      .where(col("vec_id").isin(probeIds.take(3): _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val w = Window.orderBy(col("cos").desc, col("cand_id").asc)
+    def top3(t: DataFrame, pid: Long, pe: Array[Float]): DataFrame =
+      t.where(col("cand_id") =!= pid)
+        .withColumn("cos", dotLit(col("ce"), pe) / sqrt(expr("vector_dot(ce, ce)")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(lit(pid).as("probe_id"), col("rank").cast("int").as("rank"),
+          col("cand_id").as("neighbor_id"))
+    probes.map { case (pid, pe) =>
+      val pruned = spark.read.format("graft-sink").option("path", dir)
+        .option("annProbe", pe.map(_.toDouble).mkString(","))
+        .option("annNprobe", "4").option("annRgNprobe", "1")
+        .option("annCol", "ce").load()
+      val before = graft.sources.GraftReadStats.parquetRecordsDecoded.sum()
+      val got = top3(pruned, pid, pe).collect()
+      val decoded =
+        graft.sources.GraftReadStats.parquetRecordsDecoded.sum() - before
+      require(decoded < physRows,
+        s"the DV-bearing streamed corpus must keep sub-file decode: " +
+          s"$decoded of $physRows")
+      require(got.forall(_.getLong(2) % 7 != 3),
+        s"a deleted id survived: ${got.mkString(",")}")
+      top3(pruned, pid, pe)
+    }.reduce(_ unionByName _).orderBy(col("probe_id"), col("rank"))
+  }
+
   private def loadSeeds(spark: SparkSession, sf: String): Array[(Long, Array[Float])] =
     embeddings(spark, sf)
       .where(col("vec_id").isin(seedIds: _*))
@@ -965,6 +1068,7 @@ object Vectors {
     "scan_ann_prune" -> scanAnnPrune,
     "scan_ann_rowgroup" -> scanAnnRowgroup,
     "scan_ann_dv" -> scanAnnDv,
+    "scan_ann_stream" -> scanAnnStream,
     "vec_ann_ivf_partitioned" -> vecAnnIvfPartitioned,
     "vec_kmeans_iter" -> vecKmeansIter,
     "vec_ivf_recall" -> vecIvfRecall,
@@ -1198,6 +1302,44 @@ object Vectors {
          |      ORDER BY list_cosine_similarity(pg.pe, c.ce) DESC,
          |               c.cand_id ASC) AS INT) AS rank
          |  FROM grouped c JOIN pgrps pg ON c.grp = pg.grp
+         |  WHERE c.cand_id <> pg.probe_id AND c.cand_id % 7 <> 3)
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // the streamed living corpus: groups are 100-row buckets of each
+    // pmod-4 slice's cand_id order (slice 0 batch, 1..3 streamed — the
+    // SAME physical layout either way), nearest group PER SLICE
+    // (annNprobe=4 keeps every file, annRgNprobe=1 keeps one group in
+    // each), deleted ids excluded from candidates only
+    "scan_ann_stream" ->
+      s"""WITH grouped AS (
+         |  SELECT vec_id AS cand_id, embedding AS ce, vec_id % 4 AS slice,
+         |    (row_number() OVER (PARTITION BY vec_id % 4 ORDER BY vec_id) - 1)
+         |      // 100 AS grp
+         |  FROM embeddings),
+         |gmeans AS (
+         |  SELECT slice, grp, list(m ORDER BY dim) AS gm FROM (
+         |    SELECT slice, grp, dim, avg(x) AS m FROM (
+         |      SELECT slice, grp, generate_subscripts(ce, 1) AS dim,
+         |             unnest(ce) AS x
+         |      FROM grouped)
+         |    GROUP BY slice, grp, dim)
+         |  GROUP BY slice, grp),
+         |pgrps AS (
+         |  SELECT probe_id, pe, slice, grp FROM (
+         |    SELECT p.vec_id AS probe_id, p.embedding AS pe, g.slice, g.grp,
+         |      row_number() OVER (PARTITION BY p.vec_id, g.slice
+         |        ORDER BY list_cosine_similarity(p.embedding, g.gm) DESC,
+         |                 g.grp ASC) AS rn
+         |    FROM embeddings p CROSS JOIN gmeans g
+         |    WHERE p.vec_id IN ${probeIds.take(3).mkString("(", ", ", ")")})
+         |  WHERE rn <= 1)
+         |SELECT probe_id, rank, cand_id AS neighbor_id FROM (
+         |  SELECT pg.probe_id, c.cand_id,
+         |    CAST(row_number() OVER (PARTITION BY pg.probe_id
+         |      ORDER BY list_cosine_similarity(pg.pe, c.ce) DESC,
+         |               c.cand_id ASC) AS INT) AS rank
+         |  FROM grouped c JOIN pgrps pg
+         |    ON c.slice = pg.slice AND c.grp = pg.grp
          |  WHERE c.cand_id <> pg.probe_id AND c.cand_id % 7 <> 3)
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 

@@ -2970,7 +2970,11 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
           new GraftSinkStreamingWrite(path, info.schema(), tag,
             versioned, partCol,
             format = fileFormat, upsertKey = upsertKeyOpt,
-            autoOpt = if (versioned) autoOpt else autoOptExplicit)
+            autoOpt = if (versioned) autoOpt else autoOptExplicit,
+            // physical write knob, same as the batch path: a streamed
+            // vector corpus needs small groups for #rgcen routing to
+            // have anything to route (round 16)
+            rowGroupBytes = rowGroupBytes)
         }
       }
     }
@@ -3657,9 +3661,9 @@ case class GraftSinkScan(path: String, version: Option[Int],
     // staged-batch audit: the scan IS the staged increment, filters and
     // stats skipping apply to it like any snapshot
     if (wapId.isDefined)
-      GraftManifest.readWap(path, wapId.get)._1.metas
-        .map(_ -> null.asInstanceOf[String])
-        .filter { case (m, _) => filters.forall(GraftSinkScan.mayMatch(m, full, _)) }
+      GraftSinkScan.parKeep(GraftManifest.readWap(path, wapId.get)._1.metas
+        .map(_ -> null.asInstanceOf[String])) { case (m, _) =>
+        filters.forall(GraftSinkScan.mayMatch(m, full, _)) }
     else {
     val tagged = changesFrom match {
       case Some(fromV) =>
@@ -3706,7 +3710,7 @@ case class GraftSinkScan(path: String, version: Option[Int],
             s"pinned snapshot at $path")
         tagged.filter { case (m, _) => want(m.name) }
     }
-    val skipped = scoped.filter { case (m, _) =>
+    val skipped = GraftSinkScan.parKeep(scoped) { case (m, _) =>
       filters.forall(GraftSinkScan.mayMatch(m, full, _)) }
     // pushed-LIMIT/TopN file cap (builder-proven complete answer set)
     val capped = capFiles match {
@@ -3899,7 +3903,7 @@ case class GraftSinkScan(path: String, version: Option[Int],
     val rf = runtimeFilters
     val planned =
       if (rf.isEmpty) survivors
-      else survivors.filter { case (m, _) =>
+      else GraftSinkScan.parKeep(survivors) { case (m, _) =>
         rf.forall(GraftSinkScan.mayMatch(m, full, _)) }
     def paths(es: Seq[GraftEqDel], m: GraftFileMeta): Seq[(String, String)] =
       es.filter(_.v > m.seq).map(e => (e.col, s"$path/${e.sidecar}"))
@@ -4180,6 +4184,30 @@ object GraftSinkScan {
       (v.toString.toFloat + 0.0f).toString
     case _ => v.toString
   }
+
+  /** Parallel threshold for driver-side per-file fact evaluation: below
+    * it the pool handoff costs more than it saves; above it the skip
+    * pass — whose bloom conjuncts may each FETCH a megabyte-class
+    * sidecar ([[GraftBloomSidecars.resolve]]) — is I/O-bound and scales
+    * with cores, not with the file count. */
+  val ParPlanMin = 128
+
+  /** Order-preserving parallel filter for the planning loops (round 16):
+    * at 10⁵ files a sequential `mayMatch` sweep with lazy sidecar
+    * fetches serializes driver I/O; evaluating the (pure — metas are
+    * immutable, the sidecar memo is concurrent) predicate on the common
+    * pool keeps plan latency O(files / cores). Results are collected by
+    * index, so the planned file ORDER — and with it split order, `_pos`
+    * semantics and every REQUIRE on partition counts — is untouched. */
+  def parKeep[A](xs: Seq[A])(p: A => Boolean): Seq[A] =
+    if (xs.lengthCompare(ParPlanMin) < 0) xs.filter(p)
+    else {
+      val arr = xs.toIndexedSeq
+      val keep = new Array[Boolean](arr.length)
+      java.util.stream.IntStream.range(0, arr.length).parallel()
+        .forEach(i => keep(i) = p(arr(i)))
+      arr.indices.withFilter(keep(_)).map(arr(_))
+    }
 
   /** Conservative may-match: false ONLY when the file provably contains
     * no satisfying row. A file written before `c` evolved in (column
@@ -5807,6 +5835,7 @@ case class GraftSinkStreamingFactory(path: String, schema: StructType,
     bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil,
     format: String = GraftFormat.Default,
     upsertKey: Option[String] = None,
+    rowGroupBytes: Option[Int] = None,
     prefixBloomFor: Seq[(String, Int)] = Nil,
     centroidFor: Seq[String] = Nil,
     rgCentroids: Boolean = false,
@@ -5818,7 +5847,7 @@ case class GraftSinkStreamingFactory(path: String, schema: StructType,
     new GraftSinkWriter(path, schema, partitionId, taskId,
       prefix = if (versioned) s"e$epochId-$tag-" else s"epoch-$epochId-$tag-",
       partCol = partCol, checks = checks, bloomFor = bloomFor, ndvFor = ndvFor,
-      format = format, upsertKey = upsertKey,
+      format = format, upsertKey = upsertKey, rowGroupBytes = rowGroupBytes,
       prefixBloomFor = prefixBloomFor, centroidFor = centroidFor,
       rgCentroids = rgCentroids, reverseFor = reverseFor,
       ngramBloomFor = ngramBloomFor)
@@ -5877,7 +5906,8 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
     commitVersions: Boolean = false, partCol: Option[String] = None,
     format: String = GraftFormat.Default,
     upsertKey: Option[String] = None,
-    autoOpt: Option[GraftAutoOptimize] = None)
+    autoOpt: Option[GraftAutoOptimize] = None,
+    rowGroupBytes: Option[Int] = None)
     extends StreamingWrite {
   // upsert semantics need the versioned commit line (equality deletes are
   // manifest facts; the legacy epoch protocol has no manifest to carry them)
@@ -5934,6 +5964,7 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
     GraftSinkStreamingFactory(path, schema, tag, commitVersions,
       head.map(_.checks).getOrElse(Nil), partCol,
       names(idx.bloom), names(idx.ndv), format, upsertKey,
+      rowGroupBytes = rowGroupBytes,
       prefixBloomFor = idx.pbloom.flatMap { case (i, w) =>
         schema.fields.lift(i).map(f => (f.name, w)) },
       centroidFor = names(idx.cen),

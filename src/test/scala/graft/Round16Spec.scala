@@ -230,6 +230,17 @@ class Round16Spec extends AnyFunSuite {
     assert(q(truthy).count() >= 1L, "a true probe must keep its row")
   }
 
+  test("parKeep preserves planned-file order above and below the parallel threshold") {
+    import graft.sources.GraftSinkScan
+    val small = (0 until 100).toVector
+    val big = (0 until 5000).toVector
+    assert(GraftSinkScan.parKeep(small)(_ % 3 == 0) == small.filter(_ % 3 == 0))
+    assert(GraftSinkScan.parKeep(big)(_ % 7 != 0) == big.filter(_ % 7 != 0),
+      "parallel evaluation must not reorder the planned file sequence")
+    assert(GraftSinkScan.parKeep(big)(_ => false).isEmpty &&
+      GraftSinkScan.parKeep(big)(_ => true) == big)
+  }
+
   test("legacy (non-versioned) epoch streams rebuild no index surfaces (documented freeze)") {
     import graft.sources.{GraftSinkStreamingWrite, GraftSinkStreamingFactory}
     val dir = tmp("graft_r16_legacy")
