@@ -181,7 +181,8 @@ case class GraftFileMeta(name: String, rows: Long, ncols: Int,
     pblooms: Map[Int, (Int, String)] = Map.empty,
     rgcens: Map[Int, Seq[GraftRgCen]] = Map.empty,
     rvstats: Map[Int, (String, String)] = Map.empty,
-    ngblooms: Map[Int, (Int, String)] = Map.empty) {
+    ngblooms: Map[Int, (Int, String)] = Map.empty,
+    ngalphas: Map[Int, String] = Map.empty) {
   /** Rows a scan of this file emits (physical minus deleted positions;
     * EQUALITY deletes are unresolved-at-commit and not discounted here —
     * see [[GraftEqDel]]). */
@@ -824,6 +825,8 @@ object GraftManifest {
       .withDefaultValue(Map.empty)
     val ngbs = scala.collection.mutable.Map[String, Map[Int, (Int, String)]]()
       .withDefaultValue(Map.empty)
+    val ngas = scala.collection.mutable.Map[String, Map[Int, String]]()
+      .withDefaultValue(Map.empty)
     val ndvs = scala.collection.mutable.Map[String, Map[Int, String]]()
       .withDefaultValue(Map.empty)
     val cens = scala.collection.mutable.Map[String, Map[Int, String]]()
@@ -954,6 +957,12 @@ object GraftManifest {
           case bad => throw new IllegalStateException(
             s"malformed #centroid line: '${bad.mkString(",")}'")
         }
+      case s if s.startsWith("#ngalpha=") =>
+        s.stripPrefix("#ngalpha=").split(",", 3) match {
+          case Array(f, i, chars) => ngas(f) = ngas(f) + (i.toInt -> unescStat(chars))
+          case bad => throw new IllegalStateException(
+            s"malformed #ngalpha line: '${bad.mkString(",")}'")
+        }
       case s if s.startsWith("#rvstats=") =>
         s.stripPrefix("#rvstats=").split(",", 4) match {
           case Array(f, i, lo, hi) =>
@@ -988,7 +997,7 @@ object GraftManifest {
         nulls.get(f), dvs.get(f), sums.get(f), blooms(f), ndvs(f),
         seqs.getOrElse(f, 0), committed = true, bounds = boundCols(f),
         centroids = cens(f), pblooms = pbls(f), rgcens = rgcs(f),
-        rvstats = rvss(f), ngblooms = ngbs(f))
+        rvstats = rvss(f), ngblooms = ngbs(f), ngalphas = ngas(f))
     }
     GraftManifest(version, metas, total, ddl, ts, base, op, txns.toMap, nFiles,
       ids, checks.result(), partSpec, sortSpec, format, eqDels.result(),
@@ -1156,6 +1165,12 @@ object GraftManifest {
         // equality probes reuse it (they imply contains)
         m.ngblooms.toSeq.sortBy(_._1).map { case (i, (w, pay)) =>
           s"#ngbloom=${m.name},$i,$w,${GraftBloomSidecars.renderPayload(pay)}" } ++
+        // OBSERVED-ALPHABET fact (round 16): the sorted char set of every
+        // value of a windowed column — a probe char the file never wrote
+        // proves no contains/prefix/suffix/equality match, decided INLINE
+        // (no sidecar fetch), at ANY probe length, even on `!sat` files
+        m.ngalphas.toSeq.sortBy(_._1).map { case (i, a) =>
+          s"#ngalpha=${m.name},$i,${escStat(a)}" } ++
         m.ndvs.toSeq.sortBy(_._1).map { case (i, b64) =>
           s"#ndv=${m.name},$i,$b64" } ++
         // per-file vector centroid (round 14): base64 little-endian
@@ -4277,15 +4292,27 @@ object GraftSinkScan {
     // window proves no row contains p. Prefix/suffix/equality probes
     // imply contains and reuse the fact; probes shorter than the window
     // stay conservative; char slicing is identical on both sides.
+    // per-file OBSERVED-ALPHABET gate (round 16): a value containing p
+    // contains every CHAR of p, so a probe char the file never wrote
+    // proves no match — decided INLINE (the fact is a small sorted char
+    // string in the manifest, emitted only for complete surrogate-free
+    // alphabets), before any sidecar fetch, at ANY probe length (even
+    // below the window width), and it keeps pruning where the window
+    // filter landed `!sat`.
+    def alphaOk(i: Int, ps: Iterable[String]): Boolean =
+      meta.ngalphas.get(i).forall(a =>
+        ps.exists(_.forall(ch => a.indexOf(ch.toInt) >= 0)))
     def ngbloomOk(c: String, ps: Iterable[String]): Boolean = col(c).forall {
-      case (i, StringType) => meta.ngblooms.get(i).forall { case (w, pay) =>
-        pay == GraftBloomSidecars.Saturated ||
-        ps.exists { p =>
-          p.length < w ||
-          GraftBloom.mightContainAll(GraftBloomSidecars.resolve(pay),
-            (0 to p.length - w).iterator.map(o => p.substring(o, o + w)))
+      case (i, StringType) =>
+        alphaOk(i, ps) &&
+        meta.ngblooms.get(i).forall { case (w, pay) =>
+          pay == GraftBloomSidecars.Saturated ||
+          ps.exists { p =>
+            p.length < w ||
+            GraftBloom.mightContainAll(GraftBloomSidecars.resolve(pay),
+              (0 to p.length - w).iterator.map(o => p.substring(o, o + w)))
+          }
         }
-      }
       case _ => true
     }
     f match {
@@ -6431,6 +6458,9 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     // window set and the check is vacuous
     val ngAlpha: Map[Int, scala.collection.mutable.HashSet[Char]] =
       ngbloomIdx.keys.map(_ -> scala.collection.mutable.HashSet.empty[Char]).toMap
+    // columns whose alphabet tracking SKIPPED a cell (set past the cap):
+    // their char set is incomplete and must never land as a #ngalpha fact
+    val ngAlphaOver = scala.collection.mutable.Set[Int]()
     // fixed 2 KB of HLL registers per sketched column, updated per cell
     val ndvRegs: Map[Int, Array[Byte]] =
       ndvIdx.map(_ -> GraftHll.emptyRegisters()).toMap
@@ -6582,7 +6612,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
           if (al.size <= GraftSinkWriter.NgramAlphaCap) {
             var ci = 0
             while (ci < cell.length) { al += cell.charAt(ci); ci += 1 }
-          }
+          } else p.ngAlphaOver += i
           val ws = ngWidths(i)
           var k = 0
           while (k < ws.length) {
@@ -6754,6 +6784,16 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         }
       val pbls = externalize("pbb", pbls0)
       val ngbs = externalize("ngb", ngbs0)
+      // OBSERVED-ALPHABET fact (round 16): emitted only when tracking
+      // never skipped a cell (complete), the set is manifest-inline
+      // small, and no char is a surrogate half (a lone half cannot
+      // survive the UTF-8 manifest write; values with supplementary
+      // chars simply withhold — conservative)
+      val ngas: Map[Int, String] = p.ngbloomHashes.keys.collect {
+        case i if !p.ngAlphaOver(i) && p.ngAlpha(i).size <= 256 &&
+            !p.ngAlpha(i).exists(Character.isSurrogate) =>
+          i -> new String(p.ngAlpha(i).toArray.sorted)
+      }.toMap
       // an all-null column emits NO sketch (an empty sketch would clamp
       // to distinctCount=1; absence reports nothing — the safer fact)
       val ndvs = p.ndvRegs.collect {
@@ -6799,7 +6839,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       GraftFileMeta(fin.getName, p.rows, schema.length, stats,
         partName.map(_ -> value), Some(nulls), None, Some(sums), blooms, ndvs,
         bounds = boundIdx.result(), centroids = cens, pblooms = pbls,
-        rgcens = rgc, rvstats = rvs, ngblooms = ngbs)
+        rgcens = rgc, rvstats = rvs, ngblooms = ngbs, ngalphas = ngas)
     }.toSeq
     // upsert mode: this task's key set lands as one equality-delete
     // sidecar (same tmp → rename task-commit discipline as data parts)

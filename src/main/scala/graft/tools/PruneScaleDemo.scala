@@ -186,6 +186,10 @@ object PruneScaleDemo {
       rd(ngbloomed).where(col("payload").contains(needleStr)))
     planPhase("ngram_plan_envelope_first",
       rd(ngbloomed).where(col("k") < 0 && col("payload").contains(needleStr)))
+    // an alphabet-miss probe (md5 payloads are hex; 'z' never occurs)
+    // prunes EVERY file from the inline #ngalpha fact — zero fetches
+    planPhase("ngram_plan_alpha_miss",
+      rd(ngbloomed).where(col("payload").contains("zz--zz")))
     // SUFFIX PROBE (round 15): `payload LIKE '%ff'` on a REVERSED-column
     // layout — `#rvstats` windows; the k-clustered table is the control
     val rsorted = s"$root/rsorted"

@@ -269,19 +269,32 @@ class BoundsFuzzSpec extends AnyFunSuite {
         1 -> Gen.const(""))
     } yield (vs, w, p)
     check("ngram-prune", forAll(gen) { case (vs, w, p) =>
-      // writer-exact fact: every w-window of every value, deduped
+      // writer-exact facts: every w-window of every value, deduped, PLUS
+      // the round-16 observed-alphabet fact under the writer's own emit
+      // gate (complete by construction here; <= 256 chars, surrogate-free)
       val hs = vs.flatMap(v =>
         (0 to v.length - w).map(o => GraftBloom.hash(v.substring(o, o + w))))
         .distinct.toArray
+      val alpha = vs.flatMap(_.toCharArray).distinct.sorted
+      val ngas: Map[Int, String] =
+        if (alpha.length <= 256 && !alpha.exists(Character.isSurrogate))
+          Map(0 -> new String(alpha.toArray))
+        else Map.empty
       val m = sources.GraftFileMeta("f", vs.length.toLong, 1,
         Map.empty, None, nulls = Some(Map(0 -> 0L)),
-        ngblooms = Map(0 -> ((w, GraftBloom.build(hs)))))
+        ngblooms = Map(0 -> ((w, GraftBloom.build(hs)))), ngalphas = ngas)
       def keeps(f: org.apache.spark.sql.sources.Filter) =
         GraftSinkScan.mayMatch(m, layout, f)
       (!vs.exists(_.contains(p))   || keeps(FCt("v", p))) &&
       (!vs.exists(_.startsWith(p)) || keeps(FSw("v", p))) &&
       (!vs.exists(_.endsWith(p))   || keeps(FEw("v", p))) &&
-      (!vs.contains(p)             || keeps(FEq("v", p)))
+      (!vs.contains(p)             || keeps(FEq("v", p))) &&
+      // the alphabet gate is EXACT for single-missing-char probes: a
+      // probe with any char outside the complete alphabet never matches,
+      // and mayMatch must agree (prune) on every shape
+      (ngas.isEmpty || p.forall(alpha.contains(_)) ||
+        (!keeps(FCt("v", p)) && !keeps(FSw("v", p)) &&
+         !keeps(FEw("v", p)) && !keeps(FEq("v", p))))
     }, n = 2000)
   }
 

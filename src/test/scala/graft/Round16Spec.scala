@@ -82,19 +82,19 @@ class Round16Spec extends AnyFunSuite {
     assert(scanParts(noString) == 0 || noString.count() == 0)
     assert(GraftBloomSidecars.loads.sum() == before,
       "a plan decided by the id envelope must not fetch bloom sidecars")
-    // ...and a contains probe fetches them, prunes, and answers exactly
-    val probeDf = spark.read.format("graft-sink").option("path", dir).load()
-      .where(col("s").contains("/+/+/+/+")) // absent from base64 of sha bytes? keep exact below
-    probeDf.collect() // just exercises resolve end-to-end
-    assert(GraftBloomSidecars.loads.sum() > before,
-      "a contains probe must lazily fetch the sidecar payloads")
-    // exactness: a window taken from a REAL value keeps its file
+    // ...and an IN-ALPHABET contains probe fetches them and answers
+    // exactly (an out-of-alphabet probe would now be decided INLINE by
+    // the round-16 #ngalpha fact — these values are base64 of ASCII-hex
+    // bytes, whose 6-bit groups never reach '+' or '/'): a window taken
+    // from a REAL value is in-alphabet by construction and keeps its file
     val one = spark.read.format("graft-sink").option("path", dir).load()
       .where(col("id") === 7L).select("s").head().getString(0)
     val window = one.substring(10, 18)
     val hits = spark.read.format("graft-sink").option("path", dir).load()
       .where(col("s").contains(window))
     assert(hits.collect().map(_.getString(1)).exists(_.contains(window)))
+    assert(GraftBloomSidecars.loads.sum() > before,
+      "an in-alphabet contains probe must lazily fetch the sidecar payloads")
   }
 
   test("saturated hex data auto-widens the n-gram fact to w+2 and still prunes") {
@@ -228,6 +228,38 @@ class Round16Spec extends AnyFunSuite {
     val truthy = spark.read.format("graft-sink").option("path", dir).load()
       .where(col("id") === 31337L).head().getString(1).substring(20, 32)
     assert(q(truthy).count() >= 1L, "a true probe must keep its row")
+  }
+
+  test("#ngalpha prunes alphabet-miss probes inline — zero sidecar fetches, even on !sat") {
+    val dir = tmp("graft_r16_ngalpha")
+    // hex alphabet, windows saturate w=4 AND w=6?? no — md5 windows at
+    // default w=4 saturate the hex space (the !sat path) once per-file
+    // density is high enough; here 2k values x 29 windows ~ 58k of the
+    // 65k 4-gram space → the auto-widener's w+2 candidate stays, so
+    // force a single candidate via an explicit tight width
+    spark.range(0, 2000)
+      .selectExpr("id", "md5(cast(id as string)) as s")
+      .coalesce(1).write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:4")
+      .option("distributionMode", "none").mode("overwrite").save()
+    val m = GraftManifest.readVersion(dir, None).get.metas.head
+    assert(m.ngalphas.get(1).contains("0123456789abcdef"),
+      s"hex values must land the exact sorted alphabet: ${m.ngalphas}")
+    def q(needle: String) = spark.read.format("graft-sink")
+      .option("path", dir).load().where(col("s").contains(needle))
+    // a probe with a char the file never wrote prunes INLINE: no loads —
+    // and at length 2 it is BELOW the window width, where only the
+    // alphabet fact can decide
+    GraftBloomSidecars.dropCache()
+    val l0 = GraftBloomSidecars.loads.sum()
+    assert(scanParts(q("zq")) == 0, "alphabet-miss probe must prune the file")
+    assert(GraftBloomSidecars.loads.sum() - l0 == 0L,
+      "the alphabet gate must decide BEFORE any sidecar fetch")
+    // prefix/equality shapes reuse the gate
+    assert(scanParts(spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("s").startsWith("xyz"))) == 0)
+    // an all-hex probe stays conservative (alphabet cannot decide)
+    assert(q("00").count() >= 0L)
   }
 
   test("parKeep preserves planned-file order above and below the parallel threshold") {
