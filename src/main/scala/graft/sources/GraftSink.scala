@@ -2286,7 +2286,19 @@ object GraftBloomSidecars {
       if (cache.size > 64) cache.clear()
       cache.computeIfAbsent(payload.drop(1), f => {
         loads.increment()
-        new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8).trim
+        try new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8).trim
+        catch { case e: java.io.IOException =>
+          // ADVISORY fact, missing/unreadable payload (manual deletion,
+          // partial restore): degrade to keep-everything instead of
+          // failing the read — absent-therefore-conservative, the same
+          // posture as every other index fact (and the #idx forward-
+          // compat rule). Warn once per file; the memo pins the verdict
+          // so a 10⁵-file plan does not retry the missing read per probe.
+          System.err.println(
+            s"graft-sink: bloom sidecar $f unreadable (${e.getMessage}); " +
+              "treating as saturated (no skip)")
+          Saturated
+        }
       })
     }
   /** Test hook: force the next resolve to hit disk (loads-counting). */
@@ -4281,8 +4293,11 @@ object GraftSinkScan {
     def pbloomOk(c: String, ps: Iterable[String]): Boolean = col(c).forall {
       case (i, StringType) => meta.pblooms.get(i).forall { case (w, pay) =>
         pay == GraftBloomSidecars.Saturated ||
-        ps.exists(p => p.length < w ||
-          GraftBloom.mightContain(GraftBloomSidecars.resolve(pay), p.substring(0, w)))
+        ps.exists(p => p.length < w || {
+          val rp = GraftBloomSidecars.resolve(pay) // missing sidecar → !sat
+          rp == GraftBloomSidecars.Saturated ||
+          GraftBloom.mightContain(rp, p.substring(0, w))
+        })
       }
       case _ => true
     }
@@ -4308,9 +4323,12 @@ object GraftSinkScan {
         meta.ngblooms.get(i).forall { case (w, pay) =>
           pay == GraftBloomSidecars.Saturated ||
           ps.exists { p =>
-            p.length < w ||
-            GraftBloom.mightContainAll(GraftBloomSidecars.resolve(pay),
-              (0 to p.length - w).iterator.map(o => p.substring(o, o + w)))
+            p.length < w || {
+              val rp = GraftBloomSidecars.resolve(pay) // missing sidecar → !sat
+              rp == GraftBloomSidecars.Saturated ||
+              GraftBloom.mightContainAll(rp,
+                (0 to p.length - w).iterator.map(o => p.substring(o, o + w)))
+            }
           }
         }
       case _ => true

@@ -230,6 +230,30 @@ class Round16Spec extends AnyFunSuite {
     assert(q(truthy).count() >= 1L, "a true probe must keep its row")
   }
 
+  test("a missing bloom sidecar degrades to keep-everything, never fails the read") {
+    val dir = tmp("graft_r16_nosc")
+    spark.range(0, 2000)
+      .selectExpr("id", "base64(unhex(concat(md5(cast(id as string)), " +
+        "md5(cast(id * 13 + 1 as string))))) as s")
+      .coalesce(1).write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:4")
+      .option("distributionMode", "none").mode("overwrite").save()
+    val m = GraftManifest.readVersion(dir, None).get.metas.head
+    val ref = m.ngblooms(1)._2
+    assert(GraftBloomSidecars.isRef(ref), s"fixture needs a sidecar ref: $ref")
+    // a value really in the table, probed after the sidecar vanishes
+    val one = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("id") === 42L).head().getString(1)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir,
+      GraftBloomSidecars.refName(ref).get))
+    GraftBloomSidecars.dropCache()
+    val hit = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("s").contains(one.substring(4, 12)))
+    // advisory fact: the read degrades to keep-everything and still
+    // answers exactly — it must NOT throw
+    assert(hit.collect().map(_.getString(1)).exists(_.contains(one.substring(4, 12))))
+  }
+
   test("#ngalpha prunes alphabet-miss probes inline — zero sidecar fetches, even on !sat") {
     val dir = tmp("graft_r16_ngalpha")
     // hex alphabet, windows saturate w=4 AND w=6?? no — md5 windows at
