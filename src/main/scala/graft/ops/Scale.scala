@@ -3794,8 +3794,13 @@ object Scale {
     val nFiles = head.metas.size
     require(nFiles == 4, s"fixture: want 4 scattered files, got $nFiles")
     val ckIdx = 1 // (doc_id, ck)
-    require(head.metas.forall(m => m.ngblooms.get(ckIdx).exists(_._1 == 4)),
-      "every file must carry the width-4 ck n-gram bloom")
+    // width 4 as configured, or 6 where auto-selection (round 16) found
+    // the file's density saturating the 16^4 hex 4-gram space — the
+    // 6-char probe below covers both widths
+    require(head.metas.forall(m =>
+      m.ngblooms.get(ckIdx).exists(f => f._1 == 4 || f._1 == 6)),
+      s"every file must carry a ck n-gram bloom at width 4 or 6: " +
+        s"${head.metas.map(_.ngblooms.get(ckIdx).map(_._1))}")
     def probe(d: String): DataFrame =
       spark.read.format("graft-sink").option("path", d).load()
         .where(col("ck").contains("4238a0"))

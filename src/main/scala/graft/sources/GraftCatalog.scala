@@ -1131,7 +1131,10 @@ private[sources] object GraftMaintenance {
     val ngbs: Seq[String] = head.metas.flatMap(_.ngblooms.toSeq)
       .groupBy(_._1).toSeq.sortBy(_._1)
       .flatMap { case (i, ws) =>
-        fields.lift(i).map(f => s"${f.name}:${ws.head._2._1}") }
+        // MIN width on record, like idxOf: auto-widening can leave one
+        // saturated file at w+2, and rebuilding the whole table at the
+        // widened width would cost every narrow probe its pruning
+        fields.lift(i).map(f => s"${f.name}:${ws.map(_._2._1).min}") }
     val w1 = if (blooms.nonEmpty) w.option("bloomFor", blooms.mkString(",")) else w
     val w2 = if (ndvs.nonEmpty) w1.option("ndvFor", ndvs.mkString(",")) else w1
     val w3 = if (cens.nonEmpty) w2.option("centroidFor", cens.mkString(",")) else w2

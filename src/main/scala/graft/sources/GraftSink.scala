@@ -925,7 +925,8 @@ object GraftManifest {
         }
       case s if s.startsWith("#bloom=") =>
         s.stripPrefix("#bloom=").split(",", 3) match {
-          case Array(f, i, b64) => blooms(f) = blooms(f) + (i.toInt -> b64)
+          case Array(f, i, b64) => blooms(f) = blooms(f) +
+            (i.toInt -> GraftBloomSidecars.absolutize(b64, dir))
           case bad => throw new IllegalStateException(
             s"malformed #bloom line: '${bad.mkString(",")}'")
         }
@@ -1151,7 +1152,7 @@ object GraftManifest {
         m.sums.filter(_.nonEmpty).map(ss => s"#sums=${m.name}," + ss.toSeq
           .sortBy(_._1).map { case (i, v) => s"$i:$v" }.mkString(";")).toSeq ++
         m.blooms.toSeq.sortBy(_._1).map { case (i, b64) =>
-          s"#bloom=${m.name},$i,$b64" } ++
+          s"#bloom=${m.name},$i,${GraftBloomSidecars.renderPayload(b64)}" } ++
         // fixed-width PREFIX bloom (round 15): hashes of the first `w`
         // chars of every value of length >= w — `LIKE 'p%'` skipping on
         // layouts the envelopes can't prune (hash-scattered strings)
@@ -1618,7 +1619,14 @@ object GraftManifest {
           render(unionDdl, commitTs, None, all, newTotal, op, accTxns,
             snapshotFiles = Some(all.size), ids = Some(ids), checks = checks,
             partSpec = partSpec, sortSpec = sortSpec, format = format,
-            eqDels = eqPruned, idxCols = Some(idxOf(all)), props = props)
+            eqDels = eqPruned,
+            // recompute the known surfaces from the fold, but CARRY the
+            // forward-compat `extra` segments — a checkpoint must not
+            // drop a newer writer's surface declaration the deltas have
+            // been faithfully unioning forward (round 16)
+            idxCols = Some(headFolded.flatMap(_.idxCols)
+              .map(h => idxOf(all).copy(extra = h.extra))
+              .getOrElse(idxOf(all))), props = props)
         }
       // a MULTI-TABLE-TXN claim lands invisible behind its marker line
       val claimBody = pendingMarker
@@ -1947,7 +1955,8 @@ object GraftManifest {
           // bloom sidecars (round 16): a reclaimed payload would fail
           // the lazy fetch at the next probe that consults the filter
           (m.pblooms.values ++ m.ngblooms.values)
-            .flatMap(f => GraftBloomSidecars.refName(f._2)))) ++
+            .flatMap(f => GraftBloomSidecars.refName(f._2)) ++
+          m.blooms.values.flatMap(GraftBloomSidecars.refName))) ++
           // pending equality-delete sidecars: reclaiming one would
           // resurrect its deleted keys on the next read
           m0.eqDels.map(_.sidecar)))
@@ -1959,7 +1968,8 @@ object GraftManifest {
       wapIds(path).flatMap(id => readWap(path, id)._1.metas.flatMap(m =>
         m.name +: (m.dv.map(_._1).toSeq ++
           (m.pblooms.values ++ m.ngblooms.values)
-            .flatMap(f => GraftBloomSidecars.refName(f._2))))).toSet
+            .flatMap(f => GraftBloomSidecars.refName(f._2)) ++
+          m.blooms.values.flatMap(GraftBloomSidecars.refName)))).toSet
     dropped.foreach(v => Files.deleteIfExists(Paths.get(path, s"$VPrefix$v")))
     val cutoff = System.currentTimeMillis() - graceMs
     val listing = Option(new File(path).listFiles()).getOrElse(Array.empty)
@@ -1967,7 +1977,8 @@ object GraftManifest {
       .filter(f => (GraftFormat.isDataFile(f.getName) || f.getName.endsWith(".dv") ||
           f.getName.endsWith(".eqdel") ||
           // bloom sidecars (round 16) reclaim with their data files
-          f.getName.endsWith(".ngb") || f.getName.endsWith(".pbb")) &&
+          f.getName.endsWith(".ngb") || f.getName.endsWith(".pbb") ||
+          f.getName.endsWith(".blm")) &&
         !f.getName.startsWith("epoch-") &&
         !keep.contains(f.getName) && f.lastModified() <= cutoff)
     victims.foreach(_.delete())
@@ -2138,23 +2149,10 @@ object GraftBloom {
     // a few hundred bytes (the doc's ~16 bits/distinct promise)
     val hashes = hashes0.distinct
     var bits = 1024L
-    while (bits < 16L * hashes.length && bits < (1L << 23)) bits <<= 1
+    while (bits < 16L * hashes.length && bits < MaxBits) bits <<= 1
     val words = new Array[Long]((bits / 64).toInt)
-    val mask = bits - 1
-    var i = 0
-    while (i < hashes.length) {
-      val h = hashes(i); val st = stride(h)
-      var j = 0
-      while (j < K) {
-        val b = ((h + j * st) & mask).toInt
-        words(b >> 6) |= 1L << (b & 63)
-        j += 1
-      }
-      i += 1
-    }
-    val bytes = java.nio.ByteBuffer.allocate(words.length * 8)
-    words.foreach(bytes.putLong)
-    java.util.Base64.getEncoder.encodeToString(bytes.array())
+    hashes.foreach(insert(words, _))
+    encode(words)
   }
 
   /** The bit cap `build` sizes toward — and the fixed table size the
@@ -4273,8 +4271,11 @@ object GraftSinkScan {
       // canon(dt, v), not v.toString: identical while blooms are limited
       // to long/string, but keeps ALL value canonicalization on one path
       // if bloom support ever extends to date/timestamp (ADVICE r10)
-      case (i, dt @ (LongType | StringType)) => meta.blooms.get(i).forall(b64 =>
-        vs.exists(v => GraftBloom.mightContain(b64, canon(dt, v))))
+      case (i, dt @ (LongType | StringType)) => meta.blooms.get(i).forall { pay =>
+        val rp = GraftBloomSidecars.resolve(pay) // sidecar-ref aware (round 16)
+        rp == GraftBloomSidecars.Saturated ||
+        vs.exists(v => GraftBloom.mightContain(rp, canon(dt, v)))
+      }
       case _ => true
     }
     // per-file PREFIX bloom probe (round 15): a value can start with p
@@ -6745,8 +6746,26 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         .filter(p.nullCounts(_) > 0).map(i => i -> p.nullCounts(i)).toMap
       val sums = (0 until schema.length)
         .filter(p.sumOk(_)).map(i => i -> p.sums(i)).toMap
+      def externalizePay(kind: String, i: Int, pay: String): String =
+        if (pay.length < GraftBloomSidecars.SidecarMinChars ||
+            pay == GraftBloomSidecars.Saturated) pay
+        else {
+          val name = s"${fin.getName}.$i.$kind"
+          val tmpP = Paths.get(path, name + ".tmp")
+          Files.write(tmpP, pay.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmpP, Paths.get(path, name),
+            StandardCopyOption.ATOMIC_MOVE)
+          "@" + name
+        }
+      def externalize(kind: String,
+          facts: Map[Int, (Int, String)]): Map[Int, (Int, String)] =
+        facts.map { case (i, (w, pay)) => i -> (w, externalizePay(kind, i, pay)) }
+      // plain value blooms externalize like the window filters (round
+      // 16 review): a high-cardinality id column builds toward the same
+      // 2^23-bit cap, and inline that is the manifest-weight killer the
+      // sidecar mechanism exists to prevent
       val blooms = p.bloomHashes.collect { case (i, hs) if hs.nonEmpty =>
-        i -> GraftBloom.build(hs.toArray) }
+        i -> externalizePay("blm", i, GraftBloom.build(hs.toArray)) }
       // an empty prefix set (all values shorter than the width, or all
       // null) still emits the fact: "this file holds NO value of length
       // >= w", which prunes every |p| >= w prefix probe exactly
@@ -6786,20 +6805,6 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
       // (same tmp → rename discipline); the manifest line keeps only a
       // constant-size reference, so plan-time manifest bytes stay
       // O(files) no matter how big the filters grow.
-      def externalize(kind: String,
-          facts: Map[Int, (Int, String)]): Map[Int, (Int, String)] =
-        facts.map { case (i, (w, pay)) =>
-          if (pay.length < GraftBloomSidecars.SidecarMinChars ||
-              pay == GraftBloomSidecars.Saturated) i -> (w, pay)
-          else {
-            val name = s"${fin.getName}.$i.$kind"
-            val tmpP = Paths.get(path, name + ".tmp")
-            Files.write(tmpP, pay.getBytes(StandardCharsets.UTF_8))
-            Files.move(tmpP, Paths.get(path, name),
-              StandardCopyOption.ATOMIC_MOVE)
-            i -> (w, "@" + name)
-          }
-        }
       val pbls = externalize("pbb", pbls0)
       val ngbs = externalize("ngb", ngbs0)
       // OBSERVED-ALPHABET fact (round 16): emitted only when tracking

@@ -16,12 +16,6 @@ class Round16Spec extends AnyFunSuite {
   private def tmp(p: String): String =
     java.nio.file.Files.createTempDirectory(p).toString
 
-  /** Deterministic pseudo-random alnum string (wide alphabet: the
-    * occupancy check must see |alphabet|^4 >> distinct windows). */
-  private val alnumExpr =
-    "substring(repeat(concat(sha2(cast(id as string), 256), " +
-      "sha2(cast(id + 7919 as string), 256)), 1), 1, 64)"
-
   private def manifestText(dir: String): String = {
     val head = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("_manifest-v"))
@@ -228,6 +222,71 @@ class Round16Spec extends AnyFunSuite {
     val truthy = spark.read.format("graft-sink").option("path", dir).load()
       .where(col("id") === 31337L).head().getString(1).substring(20, 32)
     assert(q(truthy).count() >= 1L, "a true probe must keep its row")
+  }
+
+  test("plain #bloom payloads externalize past 4 KB and stay lazy (review finding)") {
+    val dir = tmp("graft_r16_blm")
+    // 10k distinct longs per file -> ~20 KB base64 per filter: must ride
+    // a .blm sidecar, not the manifest line
+    spark.range(0, 20000).toDF("k")
+      .selectExpr("k", "k % 97 as v")
+      .repartition(2, col("k"))
+      .write.format("graft-sink").option("path", dir)
+      .option("bloomFor", "k")
+      .option("distributionMode", "none").mode("overwrite").save()
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.metas.size == 2)
+    head.metas.foreach { m =>
+      assert(GraftBloomSidecars.isRef(m.blooms(0)),
+        s"a 10k-distinct bloom must be a sidecar ref: ${m.blooms(0).take(30)}")
+    }
+    assert(manifestText(dir).length < 4096,
+      "the manifest must stay small with value blooms externalized")
+    def rd() = spark.read.format("graft-sink").option("path", dir).load()
+    // envelope-decidable plan: zero fetches
+    GraftBloomSidecars.dropCache()
+    val l0 = GraftBloomSidecars.loads.sum()
+    assert(scanParts(rd().where(col("k") < -1L)) == 0)
+    assert(GraftBloomSidecars.loads.sum() - l0 == 0L,
+      "an envelope-decided plan must not fetch .blm sidecars")
+    // point lookup: both files' filters fetch, one file survives, exact row
+    assert(scanParts(rd().where(col("k") === 12345L)) == 1,
+      "the bloom must prune the point probe to its holder")
+    assert(GraftBloomSidecars.loads.sum() - l0 == 2L,
+      "each candidate file fetches its filter exactly once")
+    assert(rd().where(col("k") === 12345L).collect().map(_.getLong(0)).toSeq
+      == Seq(12345L))
+  }
+
+  test("a checkpoint carries forward-compat #idx extra segments (review finding)") {
+    val dir = tmp("graft_r16_ckpt")
+    def append(n: Int): Unit =
+      spark.range(n * 100, n * 100 + 100).toDF("k")
+        .selectExpr("k", "md5(cast(k as string)) as s")
+        .coalesce(1).write.format("graft-sink").option("path", dir)
+        .option("ngramBloomFor", "s:4")
+        .mode(if (n == 0) "overwrite" else "append").save()
+    append(0)
+    // a FUTURE writer's surface declaration lands in the head's #idx —
+    // simulate by rewriting v1's idx line with an extra segment
+    val v1 = new java.io.File(dir, "_manifest-v1")
+    val text = new String(java.nio.file.Files.readAllBytes(v1.toPath), "UTF-8")
+    assert(text.contains("#idx="), "fixture: v1 must carry an #idx line")
+    java.nio.file.Files.write(v1.toPath, text.split("\n").map(l =>
+      if (l.startsWith("#idx=")) l + ";zorder9:4:7,hi" else l)
+      .mkString("\n").getBytes("UTF-8"))
+    // deltas union the segment forward; the CheckpointEvery-th commit
+    // (v10, a FULL recompute) must still carry it
+    (1 to 9).foreach(append)
+    val versions = GraftManifest.versions(dir)
+    assert(versions.contains(10), s"want a v10 checkpoint, got $versions")
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.idxCols.exists(_.extra == Seq("zorder9:4:7,hi")),
+      s"the checkpoint recompute must not drop the unknown segment: ${head.idxCols}")
+    assert(head.idxCols.exists(_.ngram == Seq((1, 4))),
+      s"…while still recomputing the known surfaces: ${head.idxCols}")
+    // and the carried declaration round-trips the codec
+    assert(GraftManifest.renderIdx(head.idxCols.get).contains("zorder9:4:7,hi"))
   }
 
   test("a missing bloom sidecar degrades to keep-everything, never fails the read") {
