@@ -1872,6 +1872,10 @@ object GraftManifest {
     m.metas.foreach { fm =>
       Files.deleteIfExists(Paths.get(path, fm.name))
       fm.dv.foreach(d => Files.deleteIfExists(Paths.get(path, d._1)))
+      // externalized bloom payloads ride their data file's lifecycle:
+      // an aborted stage reclaims them eagerly too (round-16 review)
+      GraftBloomSidecars.refsOf(fm)
+        .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
     }
     Files.deleteIfExists(Paths.get(path, WapPrefix + id))
     m.metas.size
@@ -2196,9 +2200,19 @@ object GraftBloom {
     * bits per distinct window), so per-window re-decoding would dominate
     * plan time on a wide table. True iff EVERY value may be present. */
   def mightContainAll(b64: String, values: Iterator[String]): Boolean = {
-    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bytes = try java.util.Base64.getDecoder.decode(b64)
+      catch { case _: IllegalArgumentException => return true }
+    // SHAPE guard (round-16 review): a writer table is always a
+    // non-empty power-of-two word count; a truncated payload (partial
+    // sidecar restore) would otherwise probe under the WRONG mask and
+    // return false negatives — silently pruning files that hold
+    // matches. Malformed bits degrade to keep-everything, the same
+    // posture as a missing sidecar.
+    val nWords = bytes.length / 8
+    if (bytes.length == 0 || bytes.length % 8 != 0 ||
+        (nWords & (nWords - 1)) != 0) return true
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val words = new Array[Long](bytes.length / 8)
+    val words = new Array[Long](nWords)
     var w = 0
     while (w < words.length) { words(w) = bb.getLong(); w += 1 }
     val mask = words.length * 64L - 1
@@ -2299,6 +2313,11 @@ object GraftBloomSidecars {
         }
       })
     }
+  /** Every sidecar file name a meta's bloom facts reference — the
+    * cleanup surface (vacuum keep-sets, eager abort deletion). */
+  def refsOf(m: GraftFileMeta): Seq[String] =
+    ((m.pblooms.values ++ m.ngblooms.values).map(_._2) ++ m.blooms.values)
+      .flatMap(refName).toSeq
   /** Test hook: force the next resolve to hit disk (loads-counting). */
   def dropCache(): Unit = cache.clear()
 }
@@ -2723,6 +2742,23 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         // the sort applies WITHIN each task's files. `writePartitions=N`
         // pins the shuffle width (requiredNumPartitions) — the file-count
         // knob; 0 lets Spark/AQE choose.
+        private val declaredSort: Option[String] =
+          if (truncating) None
+          else GraftManifest.versions(path).lastOption.flatMap(v =>
+            GraftManifest.headerFacts(path, v).sortSpec)
+        // an EXPLICIT append sortBy must CONFORM to a declared layout
+        // (round-16 review): the commit would keep the old #sortspec
+        // while the new files sort by the new key, and the scan's
+        // reported per-file ordering would then LIE to Spark — an
+        // elided sort above the scan returns mis-ordered rows. Declare
+        // the new layout with a truncating write instead.
+        Option(opts.get("sortBy")).filter(_.nonEmpty).foreach { s =>
+          declaredSort.foreach(d => require(s == d,
+            s"graft-sink: append sortBy '$s' conflicts with the table's " +
+              s"declared sort layout '$d' — appends conform to the " +
+              "declared spec; change the layout with a truncating write " +
+              "or OPTIMIZE"))
+        }
         private val sortCol = Option(opts.get("sortBy")).filter(_.nonEmpty)
           // APPENDS without options default to the table's DECLARED sort
           // layout (recorded by the last truncating sortBy write) — the
@@ -2730,9 +2766,7 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
           // TRUNCATING write never inherits it: its own options define
           // the new layout (a bare overwrite CLEARS the declaration, and
           // a z-order OPTIMIZE must not be re-sorted by the old key).
-          .orElse(if (truncating) None
-            else GraftManifest.versions(path).lastOption.flatMap(v =>
-              GraftManifest.headerFacts(path, v).sortSpec)
+          .orElse(declaredSort
               .filter(GraftManifest.sortCols(_)
                 .forall(info.schema().fieldNames.contains)))
         private def sortColsSeq: Seq[String] =
@@ -3118,6 +3152,14 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         }
         (col, probe, nprobe)
       }
+    // ANN routing is a SNAPSHOT concept: the keep-set scores the pinned
+    // snapshot's metas, so under a change feed it would silently drop
+    // every removed ('delete') file from the feed (round-16 review) —
+    // refuse the combination loudly like wapId does
+    annOpt.foreach { _ =>
+      require(changesFrom.isEmpty && streamOpts.isEmpty,
+        "graft-sink: annProbe cannot combine with change-feed/stream reads")
+    }
     // ROW-GROUP ANN ROUTING (round 15, VERDICT r14 next #5):
     // `annRgNprobe=<m>` keeps, inside each file the file-level route
     // kept, only the m row groups nearest the probe by cosine against
@@ -3181,6 +3223,11 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
   private def capEligible: Boolean =
     pushed.isEmpty && changesFrom.isEmpty && filesSubset.isEmpty &&
       streamOpts.isEmpty && wapId.isEmpty && !spj &&
+      // ANN routing intersects with the cap in `survivors` — a cap
+      // proven over the FIRST files would be emptied by a route that
+      // keeps OTHER files, silently under-delivering k (round-16
+      // review); same bail the aggregate pushdown takes
+      annOpt.isEmpty &&
       // PENDING equality deletes make manifest row counts upper bounds,
       // not facts — a limit cap proven from them could under-deliver
       plannedManifest.forall(_.eqDels.isEmpty)
@@ -3285,7 +3332,25 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
   private var aggResult: Option[(StructType, Array[InternalRow], String)] = None
   private object Bail extends Exception
 
+  /** Spark calls supportCompletePushDown then pushAggregation with the
+    * SAME aggregation — memoize by the aggregation's rendered form so
+    * the O(files × aggregates) manifest fold runs once per plan, not
+    * twice (round-16 review; at 10⁵ files the fold IS the plan cost). */
+  private var aggMemo: Option[(String, Option[(StructType, Array[InternalRow], String)])] = None
   private def tryAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[InternalRow], String)] = {
+    val key = (agg.aggregateExpressions.map(_.describe) ++
+      agg.groupByExpressions.map(_.describe)).mkString(";")
+    aggMemo match {
+      case Some((k, r)) if k == key => r
+      case _ =>
+        val r = tryAggregation0(agg)
+        aggMemo = Some((key, r))
+        r
+    }
+  }
+  private def tryAggregation0(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Array[InternalRow], String)] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
@@ -5532,8 +5597,12 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
+    // only THIS write's leftovers (part names carry the query tag): a
+    // blanket *.tmp sweep deleted concurrent writers' in-flight task
+    // files out from under their atomic renames (round-16 review)
     Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
+      .filter(f => f.getName.endsWith(".tmp") && f.getName.contains(tag))
+      .foreach(_.delete())
 }
 
 /** A virtual (metadata) read column — see
@@ -5768,11 +5837,17 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
     messages.collect { case m: GraftDeltaCommit => m }.foreach { m =>
       m.dvFrags.foreach(fr => Files.deleteIfExists(Paths.get(path, fr.frag)))
       // task-committed insert files are invisible orphans (no manifest
-      // names them) — delete eagerly rather than waiting for vacuum
-      m.files.foreach(f => Files.deleteIfExists(Paths.get(path, f.name)))
+      // names them) — delete eagerly rather than waiting for vacuum,
+      // along with their externalized bloom payloads (round-16 review)
+      m.files.foreach { f =>
+        Files.deleteIfExists(Paths.get(path, f.name))
+        GraftBloomSidecars.refsOf(f)
+          .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
+      }
     }
     Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
+      .filter(f => f.getName.endsWith(".tmp") && f.getName.contains(tag))
+      .foreach(_.delete())
   }
 }
 
@@ -6070,7 +6145,8 @@ class GraftSinkStreamingWrite(path: String, schema: StructType, tag: String,
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
+      .filter(f => f.getName.endsWith(".tmp") && f.getName.contains(tag))
+      .foreach(_.delete())
 }
 
 object GraftSinkWriter {
@@ -6544,7 +6620,11 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
           // \N sentinel stays refused in both formats, because the
           // canonical CELL string (stats/CHECK/row-eval surface) could
           // not distinguish it from NULL.
-          if (!parquetFmt && (s.indexOf(',') >= 0 || s.indexOf('\n') >= 0))
+          // '\r' refused too (round-16 review): the reader's readLine
+          // also terminates on it — a committed CR would make the file
+          // permanently fail its cell/row-count integrity checks
+          if (!parquetFmt && (s.indexOf(',') >= 0 || s.indexOf('\n') >= 0 ||
+              s.indexOf('\r') >= 0))
             throw new IllegalArgumentException(
               s"graft-sink(csv) cannot encode delimiter/newline in '${f.name}' value '$s'")
           if (s == GraftSinkWriter.NullCell)

@@ -356,6 +356,96 @@ class Round16Spec extends AnyFunSuite {
       GraftSinkScan.parKeep(big)(_ => true) == big)
   }
 
+  test("ANN routing disables the LIMIT/TopN file cap (review finding)") {
+    val dir = tmp("graft_r16_annlim") + "/t"
+    spark.range(0, 1000).toDF("id").selectExpr("id", idVecExpr)
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+      .write.format("graft-sink").option("path", dir)
+      .option("centroidFor", "v")
+      .option("distributionMode", "none").mode("overwrite").save()
+    assert(graft.sources.GraftManifest.readVersion(dir, None).get.metas.size == 4)
+    // route to 1 file, then LIMIT: the cap (proven over the FIRST files)
+    // must NOT intersect the route into an under-delivered answer
+    val routed = spark.read.format("graft-sink").option("path", dir)
+      .option("annProbe", probe450).option("annNprobe", "1")
+      .option("annCol", "v").load()
+    assert(routed.limit(5).count() == 5L,
+      "limit over a routed read must deliver k rows, not cap-and-vanish")
+    assert(routed.orderBy(col("id").desc).limit(3).count() == 3L,
+      "TopN over a routed read must deliver k rows")
+  }
+
+  test("annProbe refuses change-feed reads; divergent append sortBy refuses (review)") {
+    val dir = tmp("graft_r16_guards") + "/t"
+    spark.range(0, 100).toDF("id").selectExpr("id", idVecExpr)
+      .coalesce(1).write.format("graft-sink").option("path", dir)
+      .option("centroidFor", "v").mode("overwrite").save()
+    // CDF + ANN: the route would silently drop every removed file's
+    // 'delete' rows — refused at plan time
+    val e1 = intercept[Exception] {
+      spark.read.format("graft-sink").option("path", dir)
+        .option("changesFrom", "0")
+        .option("annProbe", probe450).option("annCol", "v").load().count()
+    }
+    assert(e1.getMessage.contains("annProbe cannot combine"), e1.getMessage)
+    // a declared sort layout: an explicit DIFFERENT append sortBy would
+    // make the scan's reported per-file ordering lie — refused
+    val sdir = tmp("graft_r16_sortguard") + "/t"
+    spark.range(0, 100).toDF("k").selectExpr("k", "k * 2 as w")
+      .coalesce(1).write.format("graft-sink").option("path", sdir)
+      .option("sortBy", "k").mode("overwrite").save()
+    val e2 = intercept[Exception] {
+      spark.range(100, 200).toDF("k").selectExpr("k", "k * 2 as w")
+        .coalesce(1).write.format("graft-sink").option("path", sdir)
+        .option("sortBy", "w").mode("append").save()
+    }
+    assert(e2.getMessage.contains("conflicts with the table's declared sort"),
+      e2.getMessage)
+    // a CONFORMING explicit sortBy still appends fine
+    spark.range(100, 200).toDF("k").selectExpr("k", "k * 2 as w")
+      .coalesce(1).write.format("graft-sink").option("path", sdir)
+      .option("sortBy", "k").mode("append").save()
+    assert(spark.read.format("graft-sink").option("path", sdir).load()
+      .count() == 200L)
+  }
+
+  test("a truncated bloom sidecar degrades to keep-everything (review finding)") {
+    val dir = tmp("graft_r16_trunc")
+    spark.range(0, 2000)
+      .selectExpr("id", "base64(unhex(concat(md5(cast(id as string)), " +
+        "md5(cast(id * 29 + 5 as string))))) as s")
+      .coalesce(1).write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:6")
+      .option("distributionMode", "none").mode("overwrite").save()
+    val m = GraftManifest.readVersion(dir, None).get.metas.head
+    val name = GraftBloomSidecars.refName(m.ngblooms(1)._2).get
+    val one = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("id") === 99L).head().getString(1)
+    // truncate the sidecar to half: a wrong-mask probe would FALSE-
+    // NEGATIVE — the shape guard must keep the file instead
+    val scPath = java.nio.file.Paths.get(dir, name)
+    val bytes = java.nio.file.Files.readAllBytes(scPath)
+    java.nio.file.Files.write(scPath, bytes.take(bytes.length / 2 + 3))
+    GraftBloomSidecars.dropCache()
+    val hit = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("s").contains(one.substring(6, 14)))
+    assert(hit.collect().map(_.getString(1)).exists(_.contains(one.substring(6, 14))),
+      "a truncated filter must never prune a file that holds the match")
+  }
+
+  test("csv cells refuse carriage returns like newlines (review finding)") {
+    import spark.implicits._
+    val dir = tmp("graft_r16_cr") + "/t"
+    val e = intercept[org.apache.spark.SparkException] {
+      Seq((1L, "a\rb")).toDF("k", "v").coalesce(1)
+        .write.format("graft-sink").option("path", dir)
+        .option("format", "csv").mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("cannot encode") ||
+      Option(e.getCause).exists(_.getMessage.contains("cannot encode")), e.getMessage)
+  }
+
   test("legacy (non-versioned) epoch streams rebuild no index surfaces (documented freeze)") {
     import graft.sources.{GraftSinkStreamingWrite, GraftSinkStreamingFactory}
     val dir = tmp("graft_r16_legacy")
