@@ -3815,6 +3815,79 @@ object Scale {
       .orderBy(col("doc_id"))
   }
 
+  /** INDEX-BUNDLE plan I/O (round 16b — the round-16 close's #1 ranked
+    * residual made a contract key): lazy per-file sidecars keep the
+    * MANIFEST O(files), but an in-alphabet contains probe still pays one
+    * sidecar fetch per candidate file — O(10⁵) round trips on a big
+    * table. `CALL system.compact_index` concatenates the head's
+    * externalized filters into few 16 MB-capped `.idb` bundles
+    * referenced as `@bundle:off:len`, and the resolver slurps each
+    * bundle ONCE — the same probe pays O(bundles) plan reads. Fixture:
+    * documents × 16 salted md5 strings over 4 scattered files (dense
+    * enough that every file's n-gram filter externalizes at any width
+    * the auto-selection lands); an identical CONTROL table keeps its
+    * per-file sidecars. REQUIREd: after compaction every ref is RANGED
+    * into ONE shared bundle; a cold contains probe fetches one sidecar
+    * PER FILE on the control but exactly ONE bundle on the compacted
+    * table; rows fully oracled ('5187d1' sits inside md5('1-0'), so
+    * (doc 1, k 0) is the guaranteed match). */
+  def scanIdxBundle(spark: SparkSession, sf: String): DataFrame = {
+    def shaped(d: DataFrame): DataFrame =
+      d.select(col("doc_id"),
+          explode(sequence(lit(0L), lit(15L))).as("k"))
+        .withColumn("ck", md5(concat(col("doc_id").cast("string"),
+          lit("-"), col("k").cast("string"))))
+    def writeTo(dir: String): Unit =
+      shaped(documents(spark, sf)).repartition(4)
+        .write.format("graft-sink").option("path", dir)
+        .option("ngramBloomFor", "ck:4")
+        .option("distributionMode", "none").mode("overwrite").save()
+    val dir = tmpDir("idxbundle", sf)
+    graft.util.Scratch.once(dir) {
+      writeTo(dir)
+      val (pays, bundles, _) = graft.sources.GraftMaintenance.compactIndexes(dir)
+      require(pays == 4 && bundles == 1,
+        s"fixture: want 4 externalized payloads in one bundle, got ($pays, $bundles)")
+    }
+    val ctl = tmpDir("idxbundlec", sf)
+    graft.util.Scratch.once(ctl)(writeTo(ctl))
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    val nFiles = head.metas.size
+    require(nFiles == 4, s"fixture: want 4 scattered files, got $nFiles")
+    val ckIdx = 2 // (doc_id, k, ck)
+    val bundleNames = head.metas.map { m =>
+      val (_, pay) = m.ngblooms(ckIdx)
+      require(graft.sources.GraftBloomSidecars.isRef(pay) &&
+        graft.sources.GraftBloomSidecars.splitRef(pay.drop(1))._2.isDefined,
+        s"every fact must be a RANGED bundle ref, got ${pay.take(40)}")
+      graft.sources.GraftBloomSidecars.refName(pay).get
+    }
+    require(bundleNames.distinct.size == 1 && bundleNames.head.endsWith(".idb"),
+      s"all 4 refs must share one bundle: $bundleNames")
+    def probe(d: String): DataFrame =
+      spark.read.format("graft-sink").option("path", d).load()
+        .where(col("ck").contains("5187d1"))
+    // COLD plan I/O: the control pays one sidecar read per file, the
+    // bundled table exactly one bundle read for the same probe
+    graft.sources.GraftBloomSidecars.dropCache()
+    val l0 = graft.sources.GraftBloomSidecars.loads.sum()
+    probe(ctl).collect()
+    val ctlLoads = graft.sources.GraftBloomSidecars.loads.sum() - l0
+    require(ctlLoads == nFiles.toLong,
+      s"per-file sidecars must cost one read per candidate file: $ctlLoads")
+    graft.sources.GraftBloomSidecars.dropCache()
+    val l1 = graft.sources.GraftBloomSidecars.loads.sum()
+    val rows = probe(dir)
+    rows.collect()
+    val bundledLoads = graft.sources.GraftBloomSidecars.loads.sum() - l1
+    require(bundledLoads == 1L,
+      s"the bundled probe must pay exactly one bundle read: $bundledLoads")
+    rows.withColumn("n_files", lit(nFiles.toLong))
+      .withColumn("ctl_loads", lit(ctlLoads))
+      .withColumn("bundle_loads", lit(bundledLoads))
+      .orderBy(col("doc_id"), col("k"))
+  }
+
   /** SUFFIX-PROBE FILE SKIPPING on a REVERSED-column layout (round 15,
     * VERDICT r14 next #6 — residual #2 made actionable): `LIKE '%.jpg'`
     * has no order to exploit on a plain layout, so every file plans. The
@@ -4784,6 +4857,7 @@ object Scale {
     "scan_text_prefix_prune" -> scanTextPrefixPrune,
     "scan_prefix_bloom" -> scanPrefixBloom,
     "scan_contains_ngram" -> scanContainsNgram,
+    "scan_idx_bundle" -> scanIdxBundle,
     "scan_suffix_prune" -> scanSuffixPrune,
     "scan_fp_special" -> scanFpSpecial,
     "scan_topn_text" -> scanTopnText,
@@ -5003,6 +5077,17 @@ object Scale {
         |FROM documents
         |WHERE contains(md5(CAST(doc_id AS VARCHAR)), '4238a0')
         |ORDER BY doc_id""".stripMargin,
+
+    "scan_idx_bundle" ->
+      """SELECT doc_id, k, ck,
+        |  CAST(4 AS BIGINT) AS n_files,
+        |  CAST(4 AS BIGINT) AS ctl_loads, CAST(1 AS BIGINT) AS bundle_loads
+        |FROM (
+        |  SELECT doc_id, k,
+        |    md5(CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR)) AS ck
+        |  FROM documents, (SELECT unnest(range(0, 16)) AS k))
+        |WHERE contains(ck, '5187d1')
+        |ORDER BY doc_id, k""".stripMargin,
 
     "scan_suffix_prune" ->
       """WITH p AS (

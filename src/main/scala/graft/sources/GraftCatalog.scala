@@ -492,7 +492,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("vacuum", "restore", "optimize", "history", "tag", "drop_tag", "tags",
+      Array("vacuum", "restore", "optimize", "compact_index", "history",
+        "tag", "drop_tag", "tags",
         "add_constraint", "drop_constraint", "constraints", "files", "partitions",
         "wap_publish", "wap_abort", "txn_publish")
         .map(Identifier.of(Array("system"), _))
@@ -522,6 +523,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "orphans"         => new GraftOrphansProcedure(this)
       case "fast_forward"    => new GraftFastForwardProcedure(this)
       case "maintenance"     => new GraftMaintenanceProcedure(this)
+      case "compact_index"   => new GraftCompactIndexProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other " +
           "(have vacuum, restore, optimize, history, tag, drop_tag, tags, " +
@@ -868,12 +870,14 @@ private[sources] class GraftOrphansProcedure(cat: GraftCatalog)
     // O(versions x chain length) for the same answer
     val keep = vs.flatMap { v =>
         val m0 = GraftManifest.readRaw(dir, v)
-        m0.metas.flatMap(m => m.name +: m.dv.map(_._1).toSeq) ++
+        m0.metas.flatMap(m => m.name +: (m.dv.map(_._1).toSeq ++
+            GraftBloomSidecars.refsOf(m))) ++
           m0.eqDels.map(_.sidecar)
       }.toSet ++
       GraftManifest.wapIds(dir).flatMap(id =>
         GraftManifest.readWap(dir, id)._1.metas.flatMap(m =>
-          m.name +: m.dv.map(_._1).toSeq)).toSet
+          m.name +: (m.dv.map(_._1).toSeq ++
+            GraftBloomSidecars.refsOf(m)))).toSet
     // the grace window keeps in-flight task commits out of the report —
     // a file renamed .tmp -> .csv before its job's manifest lands is
     // live-to-be, not debris (the same race vacuum's graceMs guards)
@@ -882,7 +886,11 @@ private[sources] class GraftOrphansProcedure(cat: GraftCatalog)
       .getOrElse(Array.empty[java.io.File])
     val orphans = listing.filter(f =>
       (GraftFormat.isDataFile(f.getName) || f.getName.endsWith(".dv") ||
-        f.getName.endsWith(".eqdel")) &&
+        f.getName.endsWith(".eqdel") ||
+        // bloom sidecars and index bundles are debris too once no
+        // version's refs name them (round 16b — keep carries refsOf)
+        f.getName.endsWith(".ngb") || f.getName.endsWith(".pbb") ||
+        f.getName.endsWith(".blm") || f.getName.endsWith(".idb")) &&
         !f.getName.startsWith("epoch-") && !keep.contains(f.getName) &&
         f.lastModified() <= cutoff)
     result(StructType.fromDDL("n_orphans BIGINT, orphan_bytes BIGINT"),
@@ -930,6 +938,33 @@ private[sources] class GraftMaintenanceProcedure(cat: GraftCatalog)
       spark, dir, head, target, maxBytes, op = "AUTO-OPTIMIZE")
     result(StructType.fromDDL("files_before INT, files_after INT, new_version INT"),
       before, after, nv)
+  }
+}
+
+/** `CALL cat.system.compact_index(table)` — bundle the head snapshot's
+  * per-file bloom sidecars (`.pbb`/`.ngb`/`.blm`) into a few capped
+  * index-bundle files (`.idb`) referenced by `@bundle:off:len` byte
+  * ranges, so a probe that consults N candidate files' filters pays
+  * O(bundles) reads instead of N round trips (the 10⁵-file plan-I/O
+  * residual of the round-16 lazy-sidecar design). Metadata-only:
+  * no data byte moves; kernel in [[GraftMaintenance.compactIndexes]]. */
+private[sources] class GraftCompactIndexProcedure(cat: GraftCatalog)
+    extends GraftProcedure(cat) {
+  override def name(): String = "compact_index"
+  override def description(): String =
+    "bundle per-file bloom sidecars into few index bundles (metadata-only)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val table = input.getUTF8String(0).toString
+    val dir = cat.dirForName(table)
+    if (GraftManifest.versions(dir).isEmpty)
+      throw new IllegalArgumentException(
+        s"graft compact_index: no committed table at '$table'")
+    val (pays, bundles, nv) = GraftMaintenance.compactIndexes(dir)
+    result(StructType.fromDDL(
+      "payloads_bundled INT, bundles_written INT, new_version INT"),
+      pays, bundles, nv)
   }
 }
 
@@ -1049,7 +1084,7 @@ private[sources] class GraftRestoreProcedure(cat: GraftCatalog)
   * streaming sink's auto-optimize post-commit hook runs the exact
   * procedure-grade compaction — one implementation of the re-sort /
   * absorption / conditioned-commit rules, two triggers. */
-private[sources] object GraftMaintenance {
+object GraftMaintenance {
   /** Files appended per table path since its last auto-optimize sweep —
     * the O(1)-per-commit trigger state of the `autoOptimize.*` policy
     * (counting the writer's OWN appends instead of re-statting the
@@ -1276,6 +1311,101 @@ private[sources] object GraftMaintenance {
         }
       (head.metas.size, big.size + moved.size, nv)
     } finally GraftFs.deleteTree(new java.io.File(tmp))
+  }
+
+  /** INDEX-BUNDLE COMPACTION (round 16b — retiring the "one sidecar
+    * fetch per candidate file" residual): concatenate the head
+    * snapshot's externalized bloom payloads (`.pbb`/`.ngb`/`.blm`
+    * sidecars — and prior bundles, so re-compaction re-packs) into a
+    * few bundle files capped at
+    * [[GraftBloomSidecars.BundleTargetBytes]], and commit a
+    * metadata-only snapshot whose facts carry `@bundle:off:len` byte
+    * ranges. Probe-time resolution slurps each bundle ONCE per process
+    * ([[GraftBloomSidecars.resolve]]), so a contains probe sweeping 10⁵
+    * candidate files costs O(total filter bytes / 16 MB) bundle reads
+    * instead of one round trip per file. Data files, stats, DVs and
+    * eqdels are untouched; the commit is conditioned on the
+    * planned-against head (a racing writer throws, never silently
+    * loses), and a lost commit deletes the staged bundles eagerly. The
+    * replaced per-file sidecars stay on disk for time travel and
+    * reclaim via vacuum once no retained version references them.
+    * Pack order is deterministic (manifest meta order, fact kind,
+    * column index), so a crashed retry against the same head rewrites
+    * identical bundles. Returns (payloads bundled, bundles written,
+    * new version); a head with no externalized payloads commits
+    * nothing. */
+  def compactIndexes(dir: String): (Int, Int, Int) = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val head = GraftManifest.readVersion(dir, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft compact_index: no committed version at $dir"))
+    val headV = head.version
+    // (meta index, fact kind, column) → payload bytes, in pack order
+    val items = scala.collection.mutable.ArrayBuffer
+      .empty[((Int, Int, Int), Array[Byte])]
+    head.metas.zipWithIndex.foreach { case (m, mi) =>
+      def add(kind: Int, col: Int, pay: String): Unit =
+        if (GraftBloomSidecars.isRef(pay)) {
+          val s = GraftBloomSidecars.resolve(pay)
+          // an unreadable sidecar resolves to the saturated sentinel:
+          // keep the ORIGINAL ref rather than freezing the transient
+          // degrade into durable bundle bytes
+          if (s != GraftBloomSidecars.Saturated)
+            items += (((mi, kind, col), s.getBytes(StandardCharsets.UTF_8)))
+        }
+      m.blooms.toSeq.sortBy(_._1).foreach { case (i, p) => add(0, i, p) }
+      m.pblooms.toSeq.sortBy(_._1).foreach { case (i, (_, p)) => add(1, i, p) }
+      m.ngblooms.toSeq.sortBy(_._1).foreach { case (i, (_, p)) => add(2, i, p) }
+    }
+    if (items.isEmpty) return (0, 0, headV)
+    // assign byte ranges, rotating bundles at the target size
+    val refOf = scala.collection.mutable.Map.empty[(Int, Int, Int), String]
+    val bundles = scala.collection.mutable.ArrayBuffer
+      .empty[(String, java.io.ByteArrayOutputStream)]
+    def bundleName(k: Int) = s"idx-$headV-$k.idb"
+    items.foreach { case (key, bytes) =>
+      if (bundles.isEmpty || (bundles.last._2.size() > 0 &&
+          bundles.last._2.size() + bytes.length >
+            GraftBloomSidecars.BundleTargetBytes))
+        bundles += ((bundleName(bundles.size),
+          new java.io.ByteArrayOutputStream()))
+      val (name, buf) = bundles.last
+      refOf(key) = "@" + new File(dir, name).getPath +
+        s":${buf.size()}:${bytes.length}"
+      buf.write(bytes)
+    }
+    // write-once tmp → rename; REPLACE_EXISTING is safe because a
+    // same-name bundle can only be a crashed retry against the SAME
+    // head, whose deterministic content is byte-identical
+    bundles.foreach { case (name, buf) =>
+      val tmp = Paths.get(dir, name + ".tmp")
+      Files.write(tmp, buf.toByteArray)
+      Files.move(tmp, Paths.get(dir, name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    val newMetas = head.metas.zipWithIndex.map { case (m, mi) =>
+      m.copy(
+        blooms = m.blooms.map { case (i, p) =>
+          i -> refOf.getOrElse((mi, 0, i), p) },
+        pblooms = m.pblooms.map { case (i, (w, p)) =>
+          i -> (w, refOf.getOrElse((mi, 1, i), p)) },
+        ngblooms = m.ngblooms.map { case (i, (w, p)) =>
+          i -> (w, refOf.getOrElse((mi, 2, i), p)) })
+    }
+    val nv =
+      try GraftManifest.commitMetas(dir, newMetas,
+        head.schemaDdl.getOrElse(throw new IllegalStateException(
+          s"graft compact_index: head at $dir carries no schema")),
+        truncate = true, expectedBase = Some(headV),
+        op = Some("COMPACT-INDEX"))
+      catch {
+        case e: Throwable =>
+          bundles.foreach { case (name, _) =>
+            Files.deleteIfExists(Paths.get(dir, name)) }
+          throw e
+      }
+    (items.size, bundles.size, nv)
   }
 
 }

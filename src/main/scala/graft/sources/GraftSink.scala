@@ -1980,9 +1980,12 @@ object GraftManifest {
     val victims = listing
       .filter(f => (GraftFormat.isDataFile(f.getName) || f.getName.endsWith(".dv") ||
           f.getName.endsWith(".eqdel") ||
-          // bloom sidecars (round 16) reclaim with their data files
+          // bloom sidecars (round 16) reclaim with their data files;
+          // index bundles (round 16b) reclaim once no retained version
+          // holds a ranged ref into them (keep-sets carry bundle names
+          // via refName, which strips the range suffix)
           f.getName.endsWith(".ngb") || f.getName.endsWith(".pbb") ||
-          f.getName.endsWith(".blm")) &&
+          f.getName.endsWith(".blm") || f.getName.endsWith(".idb")) &&
         !f.getName.startsWith("epoch-") &&
         !keep.contains(f.getName) && f.lastModified() <= cutoff)
     victims.foreach(_.delete())
@@ -2253,6 +2256,19 @@ object GraftBloom {
   *                 resolves the name against the table dir (`@<abs>`)
   *                 in memory; render strips back to the bare name, so
   *                 manifests stay relocation-safe.
+  *   - `@<name>:<off>:<len>`  BUNDLED reference (round 16b — the
+  *                 "one fetch per candidate file" residual): the
+  *                 payload is the byte range [off, off+len) of index
+  *                 BUNDLE `<table>/<name>` (`.idb`), produced by
+  *                 `CALL system.compact_index`, which concatenates a
+  *                 snapshot's per-file sidecars into a few capped
+  *                 bundle files. Resolution slurps the WHOLE bundle
+  *                 once per process and slices — a probe sweeping 10⁵
+  *                 candidate files costs O(bundles) reads, not
+  *                 O(files). A pre-bundle reader sees the ranged name
+  *                 as a missing file and degrades to keep-everything
+  *                 (never wrong, only slower) — forward-compatible by
+  *                 the same rule unknown `#idx` segments parse under.
   *   - `!sat`      saturated marker (VERDICT r15 next #2): the writer
   *                 observed window occupancy ≈ 1 at every candidate
   *                 width — the fact exists but can prune nothing, so
@@ -2267,49 +2283,118 @@ object GraftBloomSidecars {
   val SidecarMinChars = 4096
   /** Saturated-fact marker — present but prunes nothing (see grammar). */
   val Saturated = "!sat"
+  /** Index-bundle target size (bytes): `compact_index` rotates to a
+    * fresh bundle past this, so the whole-bundle slurp below stays
+    * bounded and a probe over 10⁵ candidate files pays
+    * O(total filter bytes / BundleTargetBytes) round trips. */
+  val BundleTargetBytes: Int = 16 << 20
   /** Sidecar FILE READS (cache misses) — the laziness observability:
-    * a plan decided by cheaper facts must leave this untouched. */
+    * a plan decided by cheaper facts must leave this untouched, and a
+    * probe over a COMPACTED table must move it by O(bundles), not
+    * O(candidate files). */
   val loads = new java.util.concurrent.atomic.LongAdder
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Whole-bundle byte cache: one read serves every ranged ref into the
+    * bundle. Bundles cap at [[BundleTargetBytes]], so 8 entries bound
+    * the memo at ~128 MB; a read failure pins an EMPTY array (every
+    * slice degrades to `!sat` below) so a 10⁵-ref plan over a missing
+    * bundle retries nothing. */
+  private val bundleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  private def bundleBytes(f: String): Array[Byte] = {
+    if (bundleCache.size > 8) bundleCache.clear()
+    bundleCache.computeIfAbsent(f, p => {
+      loads.increment()
+      try Files.readAllBytes(Paths.get(p))
+      catch { case e: java.io.IOException =>
+        System.err.println(
+          s"graft-sink: index bundle $p unreadable (${e.getMessage}); " +
+            "treating its payloads as saturated (no skip)")
+        Array.emptyByteArray
+      }
+    })
+  }
   def isRef(payload: String): Boolean =
     payload.nonEmpty && payload.charAt(0) == '@'
-  /** The sidecar's bare file name, for vacuum keep-sets and render. */
+  /** Split a ref body into (file part, optional byte range). The range
+    * suffix `:<off>:<len>` is strictly numeric, so a plain sidecar name
+    * (which never contains ':') can't false-positive. */
+  private val RangedRef = """^(.+):(\d{1,10}):(\d{1,10})$""".r
+  def splitRef(body: String): (String, Option[(Int, Int)]) = body match {
+    case RangedRef(f, o, l) => (f, Some((o.toInt, l.toInt)))
+    case _ => (body, None)
+  }
+  /** The sidecar/bundle's bare FILE name (range suffix stripped), for
+    * vacuum keep-sets and eager abort deletion. */
   def refName(payload: String): Option[String] =
-    if (isRef(payload)) Some(new File(payload.drop(1)).getName) else None
-  /** Parse-side: qualify a bare `@name` against the manifest's own
-    * directory so probe-time resolution needs no extra plumbing. */
+    if (isRef(payload))
+      Some(new File(splitRef(payload.drop(1))._1).getName)
+    else None
+  /** Parse-side: qualify a bare `@name[:off:len]` against the
+    * manifest's own directory so probe-time resolution needs no extra
+    * plumbing. */
   def absolutize(payload: String, dir: Option[String]): String =
-    (refName(payload), dir) match {
-      case (Some(n), Some(d)) => "@" + new File(d, n).getPath
-      case _ => payload
+    if (!isRef(payload)) payload
+    else dir match {
+      case Some(d) =>
+        val (f, range) = splitRef(payload.drop(1))
+        "@" + new File(d, new File(f).getName).getPath +
+          range.map { case (o, l) => s":$o:$l" }.getOrElse("")
+      case None => payload
     }
-  /** Render-side inverse: a manifest line stores only the bare name. */
+  /** Render-side inverse: a manifest line stores only the bare name
+    * (plus the byte range for bundled refs). */
   def renderPayload(payload: String): String =
-    refName(payload).map("@" + _).getOrElse(payload)
+    if (!isRef(payload)) payload
+    else {
+      val (f, range) = splitRef(payload.drop(1))
+      "@" + new File(f).getName +
+        range.map { case (o, l) => s":$o:$l" }.getOrElse("")
+    }
+  /** Build a ranged ref from a bundle file name and byte range. */
+  def bundleRef(name: String, off: Int, len: Int): String = s"@$name:$off:$len"
   /** The probe-time payload: inline/marker strings pass through; a
     * sidecar reference reads its file ONCE per process (committed
-    * sidecars are immutable — write-once tmp→rename, like data files).
-    * Crude size bound like [[GraftEqDelCache]] (payloads cap at
-    * ~1.4 MB, so 64 entries bound the memo under ~100 MB). */
+    * sidecars are immutable — write-once tmp→rename, like data files);
+    * a BUNDLED reference slices the whole-bundle slurp, so N refs into
+    * one bundle cost one read. Crude size bound like
+    * [[GraftEqDelCache]] (payloads cap at ~1.4 MB, so 64 entries bound
+    * the memo under ~100 MB). */
   def resolve(payload: String): String =
     if (!isRef(payload)) payload
     else {
       if (cache.size > 64) cache.clear()
-      cache.computeIfAbsent(payload.drop(1), f => {
-        loads.increment()
-        try new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8).trim
-        catch { case e: java.io.IOException =>
-          // ADVISORY fact, missing/unreadable payload (manual deletion,
-          // partial restore): degrade to keep-everything instead of
-          // failing the read — absent-therefore-conservative, the same
-          // posture as every other index fact (and the #idx forward-
-          // compat rule). Warn once per file; the memo pins the verdict
-          // so a 10⁵-file plan does not retry the missing read per probe.
-          System.err.println(
-            s"graft-sink: bloom sidecar $f unreadable (${e.getMessage}); " +
-              "treating as saturated (no skip)")
-          Saturated
+      cache.computeIfAbsent(payload.drop(1), body => {
+        val (f, range) = splitRef(body)
+        range match {
+          case Some((off, len)) =>
+            val all = bundleBytes(f)
+            // shape-check before slicing (a truncated/missing bundle
+            // must degrade, not throw — the truncated-sidecar rule)
+            if (off < 0 || len < 0 || off.toLong + len > all.length) {
+              System.err.println(
+                s"graft-sink: bundle range $off+$len exceeds $f " +
+                  s"(${all.length} bytes); treating as saturated (no skip)")
+              Saturated
+            } else new String(all, off, len, StandardCharsets.UTF_8).trim
+          case None =>
+            loads.increment()
+            try new String(Files.readAllBytes(Paths.get(f)),
+              StandardCharsets.UTF_8).trim
+            catch { case e: java.io.IOException =>
+              // ADVISORY fact, missing/unreadable payload (manual
+              // deletion, partial restore): degrade to keep-everything
+              // instead of failing the read — absent-therefore-
+              // conservative, the same posture as every other index
+              // fact (and the #idx forward-compat rule). Warn once per
+              // file; the memo pins the verdict so a 10⁵-file plan
+              // does not retry the missing read per probe.
+              System.err.println(
+                s"graft-sink: bloom sidecar $f unreadable " +
+                  s"(${e.getMessage}); treating as saturated (no skip)")
+              Saturated
+            }
         }
       })
     }
@@ -2319,7 +2404,7 @@ object GraftBloomSidecars {
     ((m.pblooms.values ++ m.ngblooms.values).map(_._2) ++ m.blooms.values)
       .flatMap(refName).toSeq
   /** Test hook: force the next resolve to hit disk (loads-counting). */
-  def dropCache(): Unit = cache.clear()
+  def dropCache(): Unit = { cache.clear(); bundleCache.clear() }
 }
 
 /** Per-(file, column) HYPERLOGLOG NDV sketch — the distinct-count fact
