@@ -925,19 +925,39 @@ private[sources] class GraftMaintenanceProcedure(cat: GraftCatalog)
       throw new IllegalArgumentException(
         s"graft maintenance: no committed table at '$table'"))
     val p = head.props
-    val smallFiles = p.get("autoOptimize.smallFiles").map(_.toInt).getOrElse(
+    val smallFilesOpt = p.get("autoOptimize.smallFiles").map(_.toInt)
+    val minSidecars = p.get("compactIndex.minSidecars").map(_.toInt)
+    if (smallFilesOpt.isEmpty && minSidecars.isEmpty)
       throw new IllegalArgumentException(
         s"graft maintenance: '$table' declares no autoOptimize.smallFiles " +
-          "property — ALTER TABLE ... SET TBLPROPERTIES first"))
-    require(smallFiles >= 1, "graft maintenance: autoOptimize.smallFiles must be >= 1")
-    val maxBytes = p.get("autoOptimize.maxFileBytes").map(_.toLong)
-      .getOrElse(32L << 20)
-    val target = p.get("autoOptimize.targetFiles").map(_.toInt).getOrElse(1)
-    val spark = org.apache.spark.sql.SparkSession.active
-    val (before, after, nv) = GraftMaintenance.binpack(
-      spark, dir, head, target, maxBytes, op = "AUTO-OPTIMIZE")
-    result(StructType.fromDDL("files_before INT, files_after INT, new_version INT"),
-      before, after, nv)
+          "(or compactIndex.minSidecars) property — " +
+          "ALTER TABLE ... SET TBLPROPERTIES first")
+    var (before, after, nv) = (head.metas.size, head.metas.size, head.version)
+    smallFilesOpt.foreach { smallFiles =>
+      require(smallFiles >= 1,
+        "graft maintenance: autoOptimize.smallFiles must be >= 1")
+      val maxBytes = p.get("autoOptimize.maxFileBytes").map(_.toLong)
+        .getOrElse(32L << 20)
+      val target = p.get("autoOptimize.targetFiles").map(_.toInt).getOrElse(1)
+      val spark = org.apache.spark.sql.SparkSession.active
+      val r = GraftMaintenance.binpack(
+        spark, dir, head, target, maxBytes, op = "AUTO-OPTIMIZE")
+      before = r._1; after = r._2; nv = r._3
+    }
+    // index-bundle half of the policy (round 16b): once the head holds
+    // >= minSidecars PER-FILE (un-bundled) sidecar refs — fresh appends
+    // and binpack rewrites both accumulate them — fold them into
+    // bundles, same kernel as `CALL compact_index`
+    val bundled = minSidecars.map { n =>
+      require(n >= 1, "graft maintenance: compactIndex.minSidecars must be >= 1")
+      if (GraftMaintenance.pendingSidecars(dir) >= n) {
+        val (pays, _, v2) = GraftMaintenance.compactIndexes(dir)
+        nv = v2; pays
+      } else 0
+    }.getOrElse(0)
+    result(StructType.fromDDL("files_before INT, files_after INT, " +
+      "new_version INT, index_payloads_bundled INT"),
+      before, after, nv, bundled)
   }
 }
 
@@ -1135,6 +1155,15 @@ object GraftMaintenance {
       }
     }
   }
+
+  /** Head-snapshot count of PER-FILE (un-bundled) sidecar refs — the
+    * `compactIndex.minSidecars` policy's trigger measure. O(header)
+    * manifest read, no payload bytes touched. */
+  def pendingSidecars(dir: String): Int =
+    GraftManifest.readVersion(dir, None).fold(0)(_.metas.iterator.map(m =>
+      (m.blooms.values ++ (m.pblooms.values ++ m.ngblooms.values).map(_._2))
+        .count(pay => GraftBloomSidecars.isRef(pay) &&
+          GraftBloomSidecars.splitRef(pay.drop(1))._2.isEmpty)).sum)
 
   /** A rewrite must PRESERVE the table's secondary indexes: any column
     * some head file carries a bloom filter or NDV sketch for gets the

@@ -190,6 +190,15 @@ object PruneScaleDemo {
     // prunes EVERY file from the inline #ngalpha fact — zero fetches
     planPhase("ngram_plan_alpha_miss",
       rd(ngbloomed).where(col("payload").contains("zz--zz")))
+    // INDEX BUNDLES (round 16b): compact_index packs the per-file
+    // sidecars into few 16 MB bundles — the same cold in-alphabet probe
+    // now pays O(bundles) reads instead of one per candidate file
+    val (bPays, bBundles, _) =
+      graft.sources.GraftMaintenance.compactIndexes(ngbloomed)
+    println(s"""{"phase":"ngram_compact_index","payloads":$bPays,""" +
+      s""""bundles":$bBundles}""")
+    planPhase("ngram_plan_bundled",
+      rd(ngbloomed).where(col("payload").contains(needleStr)))
     // SUFFIX PROBE (round 15): `payload LIKE '%ff'` on a REVERSED-column
     // layout — `#rvstats` windows; the k-clustered table is the control
     val rsorted = s"$root/rsorted"

@@ -222,6 +222,44 @@ class Round16bSpec extends AnyFunSuite {
     assert(third.getInt(2) == 4)
   }
 
+  test("CALL maintenance honors the compactIndex.minSidecars property") {
+    val root = tmp("graft_r16b_maint")
+    spark.conf.set("spark.sql.catalog.g16m",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16m.root", root)
+    val dir = s"$root/db/t"
+    writeFixture(dir, files = 4)
+    // index policy ALONE is a valid maintenance declaration (no
+    // autoOptimize.* needed — the refusal message names both)
+    spark.sql("ALTER TABLE g16m.db.t SET TBLPROPERTIES " +
+      "('compactIndex.minSidecars'='5')")
+    // below threshold (4 < 5): the sweep bundles nothing, commits nothing
+    val r0 = spark.sql("CALL g16m.system.maintenance('db.t')").head()
+    assert(r0.getInt(3) == 0, s"below threshold must be a no-op: $r0")
+    assert(!GraftManifest.versions(dir).flatMap(v =>
+      GraftManifest.headerFacts(dir, v).op).contains("COMPACT-INDEX"))
+    // one more sidecar-bearing append trips it
+    spark.range(5000, 5500)
+      .selectExpr("id", "base64(unbase64(left(base64(" +
+        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
+        "), 64))) as s")
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:4")
+      .option("distributionMode", "none").mode("append").save()
+    val r1 = spark.sql("CALL g16m.system.maintenance('db.t')").head()
+    assert(r1.getInt(3) == 5, s"5 pending sidecars must bundle: $r1")
+    assert(GraftManifest.versions(dir).flatMap(v =>
+      GraftManifest.headerFacts(dir, v).op).contains("COMPACT-INDEX"))
+    // the policy property itself rides the COMPACT-INDEX commit, and the
+    // bundled table still answers the probe exactly
+    val head = GraftManifest.readVersion(dir, None).get
+    assert(head.props.get("compactIndex.minSidecars").contains("5"),
+      s"properties must ride index commits: ${head.props}")
+    val window = inAlphabetWindow(dir)
+    assert(containsProbe(dir, window).collect().nonEmpty)
+  }
+
   test("orphans report covers unreferenced sidecars and bundles") {
     val root = tmp("graft_r16b_orph")
     spark.conf.set("spark.sql.catalog.g16o",
