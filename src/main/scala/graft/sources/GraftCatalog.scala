@@ -1370,49 +1370,55 @@ object GraftMaintenance {
       throw new IllegalArgumentException(
         s"graft compact_index: no committed version at $dir"))
     val headV = head.version
-    // (meta index, fact kind, column) → payload bytes, in pack order
-    val items = scala.collection.mutable.ArrayBuffer
-      .empty[((Int, Int, Int), Array[Byte])]
-    head.metas.zipWithIndex.foreach { case (m, mi) =>
-      def add(kind: Int, col: Int, pay: String): Unit =
-        if (GraftBloomSidecars.isRef(pay)) {
-          val s = GraftBloomSidecars.resolve(pay)
-          // an unreadable sidecar resolves to the saturated sentinel:
-          // keep the ORIGINAL ref rather than freezing the transient
-          // degrade into durable bundle bytes
-          if (s != GraftBloomSidecars.Saturated)
-            items += (((mi, kind, col), s.getBytes(StandardCharsets.UTF_8)))
-        }
-      m.blooms.toSeq.sortBy(_._1).foreach { case (i, p) => add(0, i, p) }
-      m.pblooms.toSeq.sortBy(_._1).foreach { case (i, (_, p)) => add(1, i, p) }
-      m.ngblooms.toSeq.sortBy(_._1).foreach { case (i, (_, p)) => add(2, i, p) }
-    }
-    if (items.isEmpty) return (0, 0, headV)
-    // assign byte ranges, rotating bundles at the target size
+    // STREAM payloads straight into bundle tmp files — one payload in
+    // driver memory at a time, never the table's whole filter volume
+    // (10⁵ files × 1.4 MB caps would be a 140 GB buffer otherwise);
+    // ranges are assigned as bytes land, rotating at the target size
     val refOf = scala.collection.mutable.Map.empty[(Int, Int, Int), String]
-    val bundles = scala.collection.mutable.ArrayBuffer
-      .empty[(String, java.io.ByteArrayOutputStream)]
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
     def bundleName(k: Int) = s"idx-$headV-$k.idb"
-    items.foreach { case (key, bytes) =>
-      if (bundles.isEmpty || (bundles.last._2.size() > 0 &&
-          bundles.last._2.size() + bytes.length >
-            GraftBloomSidecars.BundleTargetBytes))
-        bundles += ((bundleName(bundles.size),
-          new java.io.ByteArrayOutputStream()))
-      val (name, buf) = bundles.last
-      refOf(key) = "@" + new File(dir, name).getPath +
-        s":${buf.size()}:${bytes.length}"
-      buf.write(bytes)
-    }
-    // write-once tmp → rename; REPLACE_EXISTING is safe because a
-    // same-name bundle can only be a crashed retry against the SAME
-    // head, whose deterministic content is byte-identical
-    bundles.foreach { case (name, buf) =>
-      val tmp = Paths.get(dir, name + ".tmp")
-      Files.write(tmp, buf.toByteArray)
-      Files.move(tmp, Paths.get(dir, name),
+    var out: java.io.OutputStream = null
+    var curLen = 0L
+    var payloads = 0
+    def closeOut(): Unit = if (out != null) { out.close(); out = null }
+    try {
+      head.metas.zipWithIndex.foreach { case (m, mi) =>
+        def add(kind: Int, col: Int, pay: String): Unit =
+          if (GraftBloomSidecars.isRef(pay)) {
+            val s = GraftBloomSidecars.resolve(pay)
+            // an unreadable sidecar resolves to the saturated sentinel:
+            // keep the ORIGINAL ref rather than freezing the transient
+            // degrade into durable bundle bytes
+            if (s != GraftBloomSidecars.Saturated) {
+              val bytes = s.getBytes(StandardCharsets.UTF_8)
+              if (out == null || (curLen > 0 &&
+                  curLen + bytes.length > GraftBloomSidecars.BundleTargetBytes)) {
+                closeOut()
+                names += bundleName(names.size)
+                out = Files.newOutputStream(Paths.get(dir, names.last + ".tmp"))
+                curLen = 0L
+              }
+              refOf((mi, kind, col)) = "@" + new File(dir, names.last).getPath +
+                s":$curLen:${bytes.length}"
+              out.write(bytes)
+              curLen += bytes.length
+              payloads += 1
+            }
+          }
+        m.blooms.toSeq.sortBy(_._1).foreach { case (i, p) => add(0, i, p) }
+        m.pblooms.toSeq.sortBy(_._1).foreach { case (i, (_, p)) => add(1, i, p) }
+        m.ngblooms.toSeq.sortBy(_._1).foreach { case (i, (_, p)) => add(2, i, p) }
+      }
+    } finally closeOut()
+    if (payloads == 0) return (0, 0, headV)
+    // tmp → rename; REPLACE_EXISTING is safe because a same-name bundle
+    // can only be a crashed retry against the SAME head, whose
+    // deterministic pack order makes the content byte-identical
+    names.foreach { name =>
+      Files.move(Paths.get(dir, name + ".tmp"), Paths.get(dir, name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
+    val bundles = names
     val newMetas = head.metas.zipWithIndex.map { case (m, mi) =>
       m.copy(
         blooms = m.blooms.map { case (i, p) =>
@@ -1430,11 +1436,10 @@ object GraftMaintenance {
         op = Some("COMPACT-INDEX"))
       catch {
         case e: Throwable =>
-          bundles.foreach { case (name, _) =>
-            Files.deleteIfExists(Paths.get(dir, name)) }
+          bundles.foreach(name => Files.deleteIfExists(Paths.get(dir, name)))
           throw e
       }
-    (items.size, bundles.size, nv)
+    (payloads, bundles.size, nv)
   }
 
 }
