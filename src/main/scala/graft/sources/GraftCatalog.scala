@@ -946,12 +946,15 @@ private[sources] class GraftMaintenanceProcedure(cat: GraftCatalog)
     }
     // index-bundle half of the policy (round 16b): once the head holds
     // >= minSidecars PER-FILE (un-bundled) sidecar refs — fresh appends
-    // and binpack rewrites both accumulate them — fold them into
-    // bundles, same kernel as `CALL compact_index`
+    // and binpack rewrites both accumulate them — fold ONLY those into
+    // a new incremental bundle (pendingOnly: the sweep must not repack
+    // the table's whole filter volume every few appends; the full
+    // repack stays the explicit `CALL compact_index`)
     val bundled = minSidecars.map { n =>
       require(n >= 1, "graft maintenance: compactIndex.minSidecars must be >= 1")
       if (GraftMaintenance.pendingSidecars(dir) >= n) {
-        val (pays, _, v2) = GraftMaintenance.compactIndexes(dir)
+        val (pays, _, v2) =
+          GraftMaintenance.compactIndexes(dir, pendingOnly = true)
         nv = v2; pays
       } else 0
     }.getOrElse(0)
@@ -1358,12 +1361,17 @@ object GraftMaintenance {
     * loses), and a lost commit deletes the staged bundles eagerly. The
     * replaced per-file sidecars stay on disk for time travel and
     * reclaim via vacuum once no retained version references them.
-    * Pack order is deterministic (manifest meta order, fact kind,
-    * column index), so a crashed retry against the same head rewrites
-    * identical bundles. Returns (payloads bundled, bundles written,
-    * new version); a head with no externalized payloads commits
-    * nothing. */
-  def compactIndexes(dir: String): (Int, Int, Int) = {
+    * Bundle names carry a per-attempt unique token (tmp-file suffix),
+    * so two racing compactions against one head write DISJOINT files —
+    * the loser's eager cleanup can never delete the winner's
+    * just-committed bundles. `pendingOnly=true` (the maintenance-policy
+    * mode) bundles only the PER-FILE (un-ranged) refs and leaves
+    * existing bundles untouched — O(new sidecars) write amplification
+    * per sweep instead of repacking the table's whole filter volume;
+    * the full repack stays available as the explicit
+    * `CALL compact_index`. Returns (payloads bundled, bundles written,
+    * new version); a head with no matching payloads commits nothing. */
+  def compactIndexes(dir: String, pendingOnly: Boolean = false): (Int, Int, Int) = {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val head = GraftManifest.readVersion(dir, None).getOrElse(
@@ -1376,7 +1384,6 @@ object GraftMaintenance {
     // ranges are assigned as bytes land, rotating at the target size
     val refOf = scala.collection.mutable.Map.empty[(Int, Int, Int), String]
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
-    def bundleName(k: Int) = s"idx-$headV-$k.idb"
     var out: java.io.OutputStream = null
     var curLen = 0L
     var payloads = 0
@@ -1384,7 +1391,9 @@ object GraftMaintenance {
     try {
       head.metas.zipWithIndex.foreach { case (m, mi) =>
         def add(kind: Int, col: Int, pay: String): Unit =
-          if (GraftBloomSidecars.isRef(pay)) {
+          if (GraftBloomSidecars.isRef(pay) &&
+              !(pendingOnly &&
+                GraftBloomSidecars.splitRef(pay.drop(1))._2.isDefined)) {
             val s = GraftBloomSidecars.resolve(pay)
             // an unreadable sidecar resolves to the saturated sentinel:
             // keep the ORIGINAL ref rather than freezing the transient
@@ -1394,8 +1403,13 @@ object GraftMaintenance {
               if (out == null || (curLen > 0 &&
                   curLen + bytes.length > GraftBloomSidecars.BundleTargetBytes)) {
                 closeOut()
-                names += bundleName(names.size)
-                out = Files.newOutputStream(Paths.get(dir, names.last + ".tmp"))
+                // createTempFile's random token makes the name unique
+                // PER ATTEMPT: racing compactions write disjoint files,
+                // so a lost commit's cleanup deletes only its own
+                val tmp = Files.createTempFile(Paths.get(dir),
+                  s"idx-$headV-${names.size}-", ".idb.tmp")
+                names += tmp.getFileName.toString.stripSuffix(".tmp")
+                out = Files.newOutputStream(tmp)
                 curLen = 0L
               }
               refOf((mi, kind, col)) = "@" + new File(dir, names.last).getPath +
@@ -1411,12 +1425,9 @@ object GraftMaintenance {
       }
     } finally closeOut()
     if (payloads == 0) return (0, 0, headV)
-    // tmp → rename; REPLACE_EXISTING is safe because a same-name bundle
-    // can only be a crashed retry against the SAME head, whose
-    // deterministic pack order makes the content byte-identical
     names.foreach { name =>
       Files.move(Paths.get(dir, name + ".tmp"), Paths.get(dir, name),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        StandardCopyOption.ATOMIC_MOVE)
     }
     val bundles = names
     val newMetas = head.metas.zipWithIndex.map { case (m, mi) =>

@@ -2319,8 +2319,12 @@ object GraftBloomSidecars {
     payload.nonEmpty && payload.charAt(0) == '@'
   /** Split a ref body into (file part, optional byte range). The range
     * suffix `:<off>:<len>` is strictly numeric, so a plain sidecar name
-    * (which never contains ':') can't false-positive. */
-  private val RangedRef = """^(.+):(\d{1,10}):(\d{1,10})$""".r
+    * (which never contains ':') can't false-positive. Digits cap at 9
+    * so `toInt` can never overflow-throw at manifest PARSE time: a
+    * corrupt 10+-digit range falls through to the plain-name path,
+    * whose missing-file resolution degrades to keep-everything — the
+    * same posture every malformed index fact takes. */
+  private val RangedRef = """^(.+):(\d{1,9}):(\d{1,9})$""".r
   def splitRef(body: String): (String, Option[(Int, Int)]) = body match {
     case RangedRef(f, o, l) => (f, Some((o.toInt, l.toInt)))
     case _ => (body, None)

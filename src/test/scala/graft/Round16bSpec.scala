@@ -99,9 +99,11 @@ class Round16bSpec extends AnyFunSuite {
         !l.contains(dir) && l.length < 200),
       s"want ranged bare-name refs: ${ngLines.head.take(120)}")
     val head = GraftManifest.readVersion(dir, None).get
-    assert(head.metas.map(m =>
-      GraftBloomSidecars.refName(m.ngblooms(1)._2).get).distinct ==
-      Seq(s"idx-${v1.version}-0.idb"), "all refs must share one bundle")
+    val bNames = head.metas.map(m =>
+      GraftBloomSidecars.refName(m.ngblooms(1)._2).get).distinct
+    assert(bNames.size == 1 &&
+      bNames.head.matches(s"idx-${v1.version}-0-.*\\.idb"),
+      s"all refs must share one uniquely-named bundle: $bNames")
 
     // AFTER: the same probe pays ONE bundle read and answers identically
     GraftBloomSidecars.dropCache()
@@ -251,10 +253,32 @@ class Round16bSpec extends AnyFunSuite {
     assert(r1.getInt(3) == 5, s"5 pending sidecars must bundle: $r1")
     assert(GraftManifest.versions(dir).flatMap(v =>
       GraftManifest.headerFacts(dir, v).op).contains("COMPACT-INDEX"))
+    // the sweep is INCREMENTAL (pendingOnly): a later append + sweep
+    // must bundle just the fresh sidecar and leave every existing
+    // ranged ref byte-identical — no whole-table repack per sweep
+    val refsBefore = GraftManifest.readVersion(dir, None).get.metas
+      .map(m => m.name -> m.ngblooms(1)._2).toMap
+    spark.range(6000, 6500)
+      .selectExpr("id", "base64(unbase64(left(base64(" +
+        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
+        "), 64))) as s")
+      .coalesce(1)
+      .write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:4")
+      .option("distributionMode", "none").mode("append").save()
+    spark.sql("ALTER TABLE g16m.db.t SET TBLPROPERTIES " +
+      "('compactIndex.minSidecars'='1')")
+    val r2 = spark.sql("CALL g16m.system.maintenance('db.t')").head()
+    assert(r2.getInt(3) == 1, s"only the fresh sidecar bundles: $r2")
+    val refsAfter = GraftManifest.readVersion(dir, None).get.metas
+      .map(m => m.name -> m.ngblooms(1)._2).toMap
+    refsBefore.foreach { case (f, ref) =>
+      assert(refsAfter(f) == ref,
+        s"an incremental sweep must not move $f's existing ranged ref") }
     // the policy property itself rides the COMPACT-INDEX commit, and the
     // bundled table still answers the probe exactly
     val head = GraftManifest.readVersion(dir, None).get
-    assert(head.props.get("compactIndex.minSidecars").contains("5"),
+    assert(head.props.get("compactIndex.minSidecars").contains("1"),
       s"properties must ride index commits: ${head.props}")
     val window = inAlphabetWindow(dir)
     assert(containsProbe(dir, window).collect().nonEmpty)
