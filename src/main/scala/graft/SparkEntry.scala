@@ -16,7 +16,7 @@ object SparkEntry {
       ops.Etl.queries ++ ops.Text.queries ++ ops.Dedup.queries ++
       ops.Vectors.queries ++ ops.Extensions.queries ++ ops.Multimodal.queries ++
       ops.Streaming.queries ++ ops.Sql.queries ++ ops.Pipeline.queries ++
-      ops.Scale.queries
+      ops.Scale.queries ++ ops.Geo.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
       ops.Etl.oracle ++ ops.Text.oracle ++ ops.Dedup.oracle ++
       ops.Vectors.oracle ++ ops.Extensions.oracle ++ ops.Multimodal.oracle ++
       ops.Streaming.oracle ++ ops.Sql.oracle ++ ops.Pipeline.oracle ++
-      ops.Scale.oracle
+      ops.Scale.oracle ++ ops.Geo.oracle
 }

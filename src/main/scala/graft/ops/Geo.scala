@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** GEOSPATIAL operators (round 16b) — the one capability family the
+  * registry had zero coverage of, and a core telecom-estate workload
+  * ([R1]: cell sites, fiber nodes and subscribers all carry
+  * coordinates): grid-cell density aggregation, point-in-bbox spatial
+  * join, and k-nearest-neighbor search over point sets.
+  *
+  * Coordinates are DERIVED deterministically from the fixture keys as
+  * integer MICRODEGREES (the fixtures carry no lat/lon columns; the
+  * same multiplicative-hash expression runs on both engines over
+  * positive keys, where Spark's `%` and DuckDB's `%` agree), and every
+  * distance/bin computation stays in BIGINT — squared equirectangular
+  * microdegree distances bound at ~1.6e15, far inside Long — so no
+  * transcendental (haversine sin/cos) ever runs: libm-vs-java.lang.Math
+  * last-ulp drift is the classic cross-engine geo hash-mismatch, and
+  * quantized-integer geometry is also what a 100 TB pipeline wants
+  * (grid cells ARE the shuffle key; exact great-circle refinement is a
+  * final per-candidate step out of scope of the skip/join shape).
+  *
+  * Scale shapes: grid aggregation is one map-side-combinable shuffle on
+  * the cell key; the bbox join broadcasts the O(regions) box dim; KNN
+  * scans linearly under a BOUNDED probe panel (the vec_knn_* pattern)
+  * with an exact BIGINT distance, ranked per probe with a deterministic
+  * tie-break. */
+object Geo {
+
+  /** Derived point: integer microdegrees from a positive key. */
+  private def latOf(k: Column): Column = (k * lit(7919L)) % 17000000L - 8500000L
+  private def lonOf(k: Column): Column = (k * lit(104729L)) % 36000000L - 18000000L
+  /** The same derivation as oracle SQL text. */
+  private def latSql(k: String) = s"($k * 7919) % 17000000 - 8500000"
+  private def lonSql(k: String) = s"($k * 104729) % 36000000 - 18000000"
+
+  private def points(spark: SparkSession, sf: String): DataFrame =
+    customer(spark, sf).select(col("c_custkey"),
+      latOf(col("c_custkey")).as("lat"), lonOf(col("c_custkey")).as("lon"),
+      floor(col("c_acctbal") * 100).cast("long").as("cents"))
+
+  /** GRID DENSITY (`geo_grid_agg`): snap every point to its 1°×1° cell
+    * and aggregate — the standard first pass of any planetary-scale
+    * point workload (heat maps, coverage, densification targets). Cells
+    * shift to non-negative BEFORE the integer division so truncating
+    * `div` (Spark) and floor `//` (DuckDB) agree. Top-20 densest cells,
+    * fully ordered for determinism. */
+  def geoGridAgg(spark: SparkSession, sf: String): DataFrame =
+    points(spark, sf)
+      .withColumn("glat", expr("(lat + 8500000) div 1000000"))
+      .withColumn("glon", expr("(lon + 18000000) div 1000000"))
+      .groupBy(col("glat"), col("glon"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("c_custkey")).as("first_cust"))
+      .orderBy(col("n").desc, col("glat"), col("glon"))
+      .limit(20)
+
+  /** POINT-IN-BBOX JOIN (`geo_bbox_join`): service-area boxes derived
+    * per nation, customers assigned by containment — the broadcast
+    * range join every coverage/jurisdiction assignment runs. LEFT from
+    * the box dim so empty areas report 0. */
+  def geoBboxJoin(spark: SparkSession, sf: String): DataFrame = {
+    val boxes = nation(spark, sf).select(col("n_name"),
+      (((col("n_nationkey") * 701) % 24 - 12) * 1000000L).as("latlo"),
+      (((col("n_nationkey") * 907) % 56 - 28) * 1000000L).as("lonlo"))
+      .withColumn("lathi", col("latlo") + 8000000L)
+      .withColumn("lonhi", col("lonlo") + 12000000L)
+    broadcast(boxes).join(points(spark, sf),
+        col("lat") >= col("latlo") && col("lat") <= col("lathi") &&
+        col("lon") >= col("lonlo") && col("lon") <= col("lonhi"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("n_inside"),
+        coalesce(min(col("c_custkey")), lit(-1L)).as("first_cust"))
+      .orderBy(col("n_name"))
+  }
+
+  /** KNN (`geo_knn_points`): 5 nearest customers to each of a BOUNDED
+    * 3-probe panel (supplier sites), by exact squared equirectangular
+    * microdegree distance (BIGINT — deltas ≤ 3.6e7, squares ≤ 1.3e15),
+    * deterministic (distance, custkey) tie-break. The linear scan under
+    * a bounded panel is the vec_knn_* brute baseline shape; the grid
+    * cell of `geo_grid_agg` is the bucketing key a prefiltered variant
+    * shuffles on at corpus scale. */
+  def geoKnnPoints(spark: SparkSession, sf: String): DataFrame = {
+    val probes = supplier(spark, sf).where(col("s_suppkey") <= 3)
+      .select(col("s_suppkey"),
+        latOf(col("s_suppkey") * 37L).as("plat"),
+        lonOf(col("s_suppkey") * 37L).as("plon"))
+    val d2 = (col("lat") - col("plat")) * (col("lat") - col("plat")) +
+      (col("lon") - col("plon")) * (col("lon") - col("plon"))
+    val w = Window.partitionBy(col("s_suppkey"))
+      .orderBy(col("d2"), col("c_custkey"))
+    broadcast(probes).crossJoin(points(spark, sf))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("s_suppkey"), col("rank"), col("c_custkey"), col("d2"))
+      .orderBy(col("s_suppkey"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_grid_agg" -> geoGridAgg,
+    "geo_bbox_join" -> geoBboxJoin,
+    "geo_knn_points" -> geoKnnPoints)
+
+  private val ptsSql: String =
+    s"""SELECT c_custkey, ${latSql("c_custkey")} AS lat,
+       |  ${lonSql("c_custkey")} AS lon,
+       |  CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+       |FROM customer""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "geo_grid_agg" ->
+      s"""WITH p AS ($ptsSql)
+         |SELECT (lat + 8500000) // 1000000 AS glat,
+         |  (lon + 18000000) // 1000000 AS glon,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         |  CAST(MIN(c_custkey) AS BIGINT) AS first_cust
+         |FROM p GROUP BY 1, 2
+         |ORDER BY n DESC, glat, glon LIMIT 20""".stripMargin,
+
+    "geo_bbox_join" ->
+      s"""WITH p AS ($ptsSql),
+         |b AS (
+         |  SELECT n_name,
+         |    ((n_nationkey * 701) % 24 - 12) * 1000000 AS latlo,
+         |    ((n_nationkey * 907) % 56 - 28) * 1000000 AS lonlo
+         |  FROM nation)
+         |SELECT b.n_name,
+         |  CAST(COUNT(p.c_custkey) AS BIGINT) AS n_inside,
+         |  CAST(COALESCE(MIN(p.c_custkey), -1) AS BIGINT) AS first_cust
+         |FROM b LEFT JOIN p
+         |  ON p.lat BETWEEN b.latlo AND b.latlo + 8000000
+         | AND p.lon BETWEEN b.lonlo AND b.lonlo + 12000000
+         |GROUP BY b.n_name
+         |ORDER BY b.n_name""".stripMargin,
+
+    "geo_knn_points" ->
+      s"""WITH p AS ($ptsSql),
+         |pr AS (
+         |  SELECT s_suppkey, ${latSql("(s_suppkey * 37)")} AS plat,
+         |    ${lonSql("(s_suppkey * 37)")} AS plon
+         |  FROM supplier WHERE s_suppkey <= 3),
+         |d AS (
+         |  SELECT pr.s_suppkey, p.c_custkey,
+         |    (p.lat - pr.plat) * (p.lat - pr.plat) +
+         |    (p.lon - pr.plon) * (p.lon - pr.plon) AS d2
+         |  FROM pr, p),
+         |r AS (
+         |  SELECT s_suppkey, c_custkey, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY s_suppkey
+         |      ORDER BY d2, c_custkey) AS rank
+         |  FROM d)
+         |SELECT s_suppkey, CAST(rank AS INT) AS rank, c_custkey,
+         |  CAST(d2 AS BIGINT) AS d2
+         |FROM r WHERE rank <= 5
+         |ORDER BY s_suppkey, rank""".stripMargin)
+}
