@@ -255,4 +255,28 @@ object Graft {
       .substring(org.apache.spark.sql.functions
         .md5(col(idCol).cast("string")), 1, 2) < thrCol)
   }
+
+  /** Snap integer-microdegree coordinates to square grid cells (adds
+    * `glat`/`glon`; `cell` = cell edge in microdegrees, 1000000 = 1°) —
+    * the shuffle key of every planetary-scale point aggregation.
+    * Integer-exact: shift-then-divide on non-negative values, no
+    * transcendental. */
+  def gridCells(points: DataFrame, latCol: String, lonCol: String,
+      cell: Long = 1000000L): DataFrame =
+    graft.ops.Geo.withGridCell(points, latCol, lonCol, cell)
+
+  /** Assign points to containing boxes (inclusive microdegree bounds;
+    * `boxes` carries latlo/lathi/lonlo/lonhi + id columns), LEFT from
+    * the broadcast box dim so empty boxes survive. */
+  def bboxAssign(points: DataFrame, boxes: DataFrame,
+      latCol: String = "lat", lonCol: String = "lon"): DataFrame =
+    graft.ops.Geo.bboxAssign(points, boxes, latCol, lonCol)
+
+  /** k nearest points per probe by exact squared equirectangular
+    * microdegree distance (BIGINT, bit-stable, deterministic (d², id)
+    * tie-break). Probes must be a bounded panel — they broadcast;
+    * points stream through a linear scan. */
+  def knnPoints(points: DataFrame, probes: DataFrame, k: Int,
+      idCol: String, probeCol: String): DataFrame =
+    graft.ops.Geo.knnPoints(points, probes, k, idCol, probeCol)
 }

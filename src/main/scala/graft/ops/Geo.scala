@@ -31,6 +31,45 @@ import graft.util.Tables._
   * tie-break. */
 object Geo {
 
+  // ---- frame-generic kernels (exposed via graft.api.Graft) ----
+
+  /** Snap integer-microdegree coordinates to their square grid cell:
+    * shift by the WGS84 domain bound FIRST so the division runs on
+    * non-negative values, where truncation and floor agree — the same
+    * expression is valid SQL on any engine. `cell` is the cell edge in
+    * microdegrees (1000000 = 1°). */
+  def withGridCell(points: DataFrame, latCol: String, lonCol: String,
+      cell: Long = 1000000L): DataFrame =
+    points
+      .withColumn("glat", expr(s"($latCol + 90000000) div $cell"))
+      .withColumn("glon", expr(s"($lonCol + 180000000) div $cell"))
+
+  /** Assign points to containing boxes (inclusive bounds), LEFT from
+    * the broadcast box dim so empty boxes survive. `boxes` carries
+    * latlo/lathi/lonlo/lonhi in microdegrees plus any id columns. */
+  def bboxAssign(points: DataFrame, boxes: DataFrame,
+      latCol: String = "lat", lonCol: String = "lon"): DataFrame =
+    broadcast(boxes).join(points,
+      col(latCol) >= col("latlo") && col(latCol) <= col("lathi") &&
+      col(lonCol) >= col("lonlo") && col(lonCol) <= col("lonhi"), "left")
+
+  /** k nearest points per probe by EXACT squared equirectangular
+    * microdegree distance (BIGINT — no transcendental, bit-stable),
+    * deterministic (d2, id) tie-break. Probes must be a bounded panel
+    * (they broadcast); points stream through the linear scan. */
+  def knnPoints(points: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "c_custkey", probeCol: String = "s_suppkey")
+      : DataFrame = {
+    val d2 = (col("lat") - col("plat")) * (col("lat") - col("plat")) +
+      (col("lon") - col("plon")) * (col("lon") - col("plon"))
+    val w = Window.partitionBy(col(probeCol))
+      .orderBy(col("d2"), col(idCol))
+    broadcast(probes).crossJoin(points)
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Derived point: integer microdegrees from a positive key. */
   private def latOf(k: Column): Column = (k * lit(7919L)) % 17000000L - 8500000L
   private def lonOf(k: Column): Column = (k * lit(104729L)) % 36000000L - 18000000L
@@ -50,9 +89,7 @@ object Geo {
     * `div` (Spark) and floor `//` (DuckDB) agree. Top-20 densest cells,
     * fully ordered for determinism. */
   def geoGridAgg(spark: SparkSession, sf: String): DataFrame =
-    points(spark, sf)
-      .withColumn("glat", expr("(lat + 8500000) div 1000000"))
-      .withColumn("glon", expr("(lon + 18000000) div 1000000"))
+    withGridCell(points(spark, sf), "lat", "lon")
       .groupBy(col("glat"), col("glon"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
         min(col("c_custkey")).as("first_cust"))
@@ -69,9 +106,7 @@ object Geo {
       (((col("n_nationkey") * 907) % 56 - 28) * 1000000L).as("lonlo"))
       .withColumn("lathi", col("latlo") + 8000000L)
       .withColumn("lonhi", col("lonlo") + 12000000L)
-    broadcast(boxes).join(points(spark, sf),
-        col("lat") >= col("latlo") && col("lat") <= col("lathi") &&
-        col("lon") >= col("lonlo") && col("lon") <= col("lonhi"), "left")
+    bboxAssign(points(spark, sf), boxes)
       .groupBy(col("n_name"))
       .agg(count(col("c_custkey")).as("n_inside"),
         coalesce(min(col("c_custkey")), lit(-1L)).as("first_cust"))
@@ -90,14 +125,7 @@ object Geo {
       .select(col("s_suppkey"),
         latOf(col("s_suppkey") * 37L).as("plat"),
         lonOf(col("s_suppkey") * 37L).as("plon"))
-    val d2 = (col("lat") - col("plat")) * (col("lat") - col("plat")) +
-      (col("lon") - col("plon")) * (col("lon") - col("plon"))
-    val w = Window.partitionBy(col("s_suppkey"))
-      .orderBy(col("d2"), col("c_custkey"))
-    broadcast(probes).crossJoin(points(spark, sf))
-      .withColumn("d2", d2)
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
+    knnPoints(points(spark, sf), probes, k = 5)
       .select(col("s_suppkey"), col("rank"), col("c_custkey"), col("d2"))
       .orderBy(col("s_suppkey"), col("rank"))
   }
@@ -116,8 +144,8 @@ object Geo {
   val oracle: Map[String, String] = Map(
     "geo_grid_agg" ->
       s"""WITH p AS ($ptsSql)
-         |SELECT (lat + 8500000) // 1000000 AS glat,
-         |  (lon + 18000000) // 1000000 AS glon,
+         |SELECT (lat + 90000000) // 1000000 AS glat,
+         |  (lon + 180000000) // 1000000 AS glon,
          |  CAST(COUNT(*) AS BIGINT) AS n,
          |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
          |  CAST(MIN(c_custkey) AS BIGINT) AS first_cust

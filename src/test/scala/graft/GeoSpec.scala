@@ -29,7 +29,7 @@ class GeoSpec extends AnyFunSuite {
     // cells are within the shifted non-negative 1-degree domain
     assert(rows.forall { r =>
       val (glat, glon) = (r.getLong(0), r.getLong(1))
-      glat >= 0 && glat <= 17 && glon >= 0 && glon <= 36 })
+      glat >= 81 && glat <= 98 && glon >= 162 && glon <= 198 })
   }
 
   test("geo_bbox_join broadcasts the box dim and counts containment exactly") {

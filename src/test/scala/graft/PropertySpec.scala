@@ -594,4 +594,44 @@ class PropertySpec extends AnyFunSuite {
     assert(spark.read.format("graft-sink").option("path", dir).load().count() == 8L)
   }
 
+  test("bundle ref codec: seeded parse/absolutize/render round-trips") {
+    import graft.sources.GraftBloomSidecars._
+    val rnd = new Random(1616)
+    // name alphabet mirrors what the writers generate (no ':' ever), plus
+    // dots and dashes in the positions real sidecar/bundle names use them
+    def randName(): String = {
+      val chars = "abcdefghijklmnopqrstuvwxyz0123456789.-_"
+      (0 until (3 + rnd.nextInt(24)))
+        .map(_ => chars(rnd.nextInt(chars.length))).mkString + ".idb"
+    }
+    for (_ <- 1 to 2000) {
+      val name = randName()
+      val (off, len) = (rnd.nextInt(1 << 24), 1 + rnd.nextInt(1 << 20))
+      val ranged = bundleRef(name, off, len)
+      assert(isRef(ranged) && refName(ranged).contains(name))
+      assert(splitRef(ranged.drop(1)) == ((name, Some((off, len)))))
+      // absolutize → render is identity on the bare form; absolutize is
+      // idempotent (a re-parse of a rendered manifest re-qualifies)
+      val abs = absolutize(ranged, Some("/t/dir"))
+      assert(abs == s"@/t/dir/$name:$off:$len")
+      assert(renderPayload(abs) == ranged)
+      assert(absolutize(renderPayload(abs), Some("/t/dir")) == abs)
+      // the plain (un-ranged) form survives the same cycle
+      val plain = s"@$name"
+      assert(splitRef(plain.drop(1)) == ((name, None)))
+      assert(renderPayload(absolutize(plain, Some("/t/dir"))) == plain)
+    }
+    // oversized ranges (10+ digits / past Int.MaxValue) parse as PLAIN
+    // names — the degrade path, never a NumberFormatException at parse
+    for (bad <- Seq("f.idb:9999999999:1", "f.idb:1:2147483648",
+        s"f.idb:${Long.MaxValue}:${Long.MaxValue}")) {
+      assert(splitRef(bad)._2.isEmpty, s"must fall through to plain: $bad")
+      assert(refName("@" + bad).isDefined) // still a name, still degradable
+    }
+    // a name that ENDS in small :digits:digits is indistinguishable from
+    // a ranged ref by design — pin that the generated-name alphabet
+    // (writers never emit ':') is what keeps this unambiguous
+    assert(!randName().contains(":"))
+  }
+
 }
