@@ -70,12 +70,22 @@ object Geo {
       .where(col("rank") <= k)
   }
 
-  /** Derived point: integer microdegrees from a positive key. */
-  private def latOf(k: Column): Column = (k * lit(7919L)) % 17000000L - 8500000L
-  private def lonOf(k: Column): Column = (k * lit(104729L)) % 36000000L - 18000000L
+  /** Derived point: integer microdegrees from a positive key. The key
+    * reduces mod a prime BEFORE the Knuth multiplier so (a) the product
+    * never overflows BIGINT on any engine (DuckDB errors on overflow
+    * rather than wrapping) and (b) the hash wraps — and therefore
+    * spreads over the whole domain — even for small consecutive keys
+    * (a bare k*small_prime stays in one corner for k <= a few
+    * thousand, which left the sf0.001 fixture degenerate). */
+  private def latOf(k: Column): Column =
+    ((k % 1000003L) * lit(2654435761L)) % 17000000L - 8500000L
+  private def lonOf(k: Column): Column =
+    ((k % 999983L) * lit(2654435761L)) % 36000000L - 18000000L
   /** The same derivation as oracle SQL text. */
-  private def latSql(k: String) = s"($k * 7919) % 17000000 - 8500000"
-  private def lonSql(k: String) = s"($k * 104729) % 36000000 - 18000000"
+  private def latSql(k: String) =
+    s"(($k % 1000003) * 2654435761) % 17000000 - 8500000"
+  private def lonSql(k: String) =
+    s"(($k % 999983) * 2654435761) % 36000000 - 18000000"
 
   private def points(spark: SparkSession, sf: String): DataFrame =
     customer(spark, sf).select(col("c_custkey"),

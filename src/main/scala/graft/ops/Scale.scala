@@ -3888,6 +3888,66 @@ object Scale {
       .orderBy(col("doc_id"), col("k"))
   }
 
+  /** GEO-SPATIAL FILE SKIPPING (`scan_geo_zorder`, round 16b — the geo
+    * family's storage rung): a point table laid out by the MORTON code
+    * of its 1°-grid cells (bit-interleaved glat/glon — the geohash idea
+    * as a sort key) keeps BOTH coordinates' per-file envelopes narrow,
+    * so a bbox probe prunes at plan time on either dimension; a
+    * lat-sorted control proves the single-key layout cannot prune the
+    * longitude side. Coordinates are the Geo family's derived integer
+    * microdegrees; the grid/interleave math is all-integer (exact on
+    * any engine). REQUIREd: a lon-window probe plans < all files on the
+    * Morton layout but ALL files on the lat-sorted control; a
+    * lat-window probe prunes on the Morton layout too; the bbox rows
+    * are fully oracled. */
+  def scanGeoZorder(spark: SparkSession, sf: String): DataFrame = {
+    def pts(d: DataFrame): DataFrame = d.select(col("c_custkey"),
+      expr("((c_custkey % 1000003) * 2654435761) % 17000000 - 8500000").as("lat"),
+      expr("((c_custkey % 999983) * 2654435761) % 36000000 - 18000000").as("lon"))
+    val zdir = tmpDir("geoz", sf)
+    graft.util.Scratch.once(zdir) {
+      val cells = pts(customer(spark, sf))
+        .withColumn("glat", expr("(lat + 90000000) div 1000000"))
+        .withColumn("glon", expr("(lon + 180000000) div 1000000"))
+      val z = (0 until 9).map(i =>
+        shiftleft(shiftright(col("glat"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+          shiftleft(shiftright(col("glon"), i).bitwiseAND(lit(1L)), 2 * i))
+        .reduce(_ + _)
+      cells.withColumn("zval", z.cast("long"))
+        .repartitionByRange(8, col("zval")).sortWithinPartitions("zval")
+        .select(col("c_custkey"), col("lat"), col("lon"))
+        .write.format("graft-sink").option("path", zdir)
+        .option("distributionMode", "none").mode("overwrite").save()
+    }
+    val ldir = tmpDir("geozctl", sf)
+    graft.util.Scratch.once(ldir) {
+      pts(customer(spark, sf))
+        .write.format("graft-sink").option("path", ldir)
+        .option("sortBy", "lat").option("writePartitions", "8")
+        .option("distributionStrict", "true").mode("overwrite").save()
+    }
+    val nZ = graft.sources.GraftManifest.readVersion(zdir, None).get.metas.size
+    val nL = graft.sources.GraftManifest.readVersion(ldir, None).get.metas.size
+    require(nZ == 8 && nL == 8, s"fixture: want 8 files each, got z=$nZ ctl=$nL")
+    def t(d: String): DataFrame =
+      spark.read.format("graft-sink").option("path", d).load()
+    val lonWin = col("lon").between(0L, 6000000L)
+    val latWin = col("lat").between(0L, 4000000L)
+    val zLon = graftScanParts(t(zdir).where(lonWin))
+    val zLat = graftScanParts(t(zdir).where(latWin))
+    val cLon = graftScanParts(t(ldir).where(lonWin))
+    require(cLon == nL,
+      s"lat-sorted control must plan all $nL files for a lon window, planned $cLon")
+    require(zLon < nZ,
+      s"the Morton layout must prune the lon window: $zLon of $nZ")
+    require(zLat < nZ,
+      s"the Morton layout must prune the lat window too: $zLat of $nZ")
+    t(zdir).where(latWin && lonWin)
+      .withColumn("n_files", lit(nZ.toLong))
+      .withColumn("pruned", lit((zLon < nZ && zLat < nZ).toString))
+      .orderBy(col("c_custkey"))
+  }
+
   /** SUFFIX-PROBE FILE SKIPPING on a REVERSED-column layout (round 15,
     * VERDICT r14 next #6 — residual #2 made actionable): `LIKE '%.jpg'`
     * has no order to exploit on a plain layout, so every file plans. The
@@ -4858,6 +4918,7 @@ object Scale {
     "scan_prefix_bloom" -> scanPrefixBloom,
     "scan_contains_ngram" -> scanContainsNgram,
     "scan_idx_bundle" -> scanIdxBundle,
+    "scan_geo_zorder" -> scanGeoZorder,
     "scan_suffix_prune" -> scanSuffixPrune,
     "scan_fp_special" -> scanFpSpecial,
     "scan_topn_text" -> scanTopnText,
@@ -5088,6 +5149,18 @@ object Scale {
         |  FROM documents, (SELECT unnest(range(0, 16)) AS k))
         |WHERE contains(ck, '5187d1')
         |ORDER BY doc_id, k""".stripMargin,
+
+    "scan_geo_zorder" ->
+      """WITH p AS (
+        |  SELECT c_custkey,
+        |    ((c_custkey % 1000003) * 2654435761) % 17000000 - 8500000 AS lat,
+        |    ((c_custkey % 999983) * 2654435761) % 36000000 - 18000000 AS lon
+        |  FROM customer)
+        |SELECT c_custkey, lat, lon,
+        |  CAST(8 AS BIGINT) AS n_files, 'true' AS pruned
+        |FROM p
+        |WHERE lat BETWEEN 0 AND 4000000 AND lon BETWEEN 0 AND 6000000
+        |ORDER BY c_custkey""".stripMargin,
 
     "scan_suffix_prune" ->
       """WITH p AS (

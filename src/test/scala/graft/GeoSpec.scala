@@ -51,8 +51,8 @@ class GeoSpec extends AnyFunSuite {
       .head()
     val recount = graft.util.Tables.customer(spark, sf)
       .select(col("c_custkey"),
-        ((col("c_custkey") * 7919) % 17000000L - 8500000L).as("lat"),
-        ((col("c_custkey") * 104729) % 36000000L - 18000000L).as("lon"))
+        (((col("c_custkey") % 1000003L) * 2654435761L) % 17000000L - 8500000L).as("lat"),
+        (((col("c_custkey") % 999983L) * 2654435761L) % 36000000L - 18000000L).as("lon"))
       .where(col("lat").between(box.getLong(0), box.getLong(0) + 8000000L) &&
         col("lon").between(box.getLong(1), box.getLong(1) + 12000000L))
       .count()
