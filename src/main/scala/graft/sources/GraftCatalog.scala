@@ -141,7 +141,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     GraftManifest.versions(dirOf(ident)).nonEmpty
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Option(new File((root +: namespace.toSeq).mkString("/")).listFiles())
+    // segment() on every namespace part: a backticked `..`/`/` segment
+    // must not list directories outside the catalog root (the same
+    // traversal guard every other entry point applies through dirOf)
+    Option(new File((root +: namespace.toSeq.map(segment)).mkString("/"))
+        .listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && GraftManifest.versions(f.getPath).nonEmpty)
       .map(f => Identifier.of(namespace, f.getName))
@@ -389,16 +393,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     try {
       // the rewrite lands in the TABLE's data-file format (the tmp dir has
       // no manifest to inherit from, so pass the head's fact explicitly)
-      val w = snapshot.write.format("graft-sink").option("path", tmp)
-        .option("format", head.format.getOrElse(GraftFormat.Default))
+      // — and CARRIES the surviving columns' indexes (round-16b review:
+      // a DROP COLUMN that forfeits every other column's bloom/NDV/
+      // centroid facts is maintenance making the table worse, the exact
+      // failure carryIndexes exists to prevent; the dropped column's own
+      // facts are excluded — its data is gone)
+      val w = GraftMaintenance.carryIndexes(head,
+        snapshot.write.format("graft-sink").option("path", tmp)
+          .option("format", head.format.getOrElse(GraftFormat.Default)),
+        except = Set(c))
       keepLayout.fold(w)(pc => w.option("partitionBy", pc))
         .mode("overwrite").save()
-      val moved = GraftManifest.readVersion(tmp, None).get.metas.map { m =>
-        val nn = s"d${head.version}-${m.name}"
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp, m.name),
-          java.nio.file.Paths.get(dir, nn))
-        m.copy(name = nn)
-      }
+      val (moved, movedNames) = GraftMaintenance.moveRewrite(tmp, dir,
+        s"d${head.version}", GraftManifest.readVersion(tmp, None).get.metas)
       try GraftManifest.commitMetas(dir, moved, narrowed.toDDL, truncate = true,
         expectedBase = Some(head.version), op = Some("DROP COLUMN"),
         idsOverride = Some(survivorIds),
@@ -406,8 +413,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         partSpecSet = Some(head.partSpec))
       catch {
         case e: Throwable =>
-          moved.foreach(m => java.nio.file.Files.deleteIfExists(
-            java.nio.file.Paths.get(dir, m.name)))
+          movedNames.foreach(n => java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(dir, n)))
           throw e
       }
       new GraftSinkTable(dir, narrowed, None)
@@ -495,7 +502,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       Array("vacuum", "restore", "optimize", "compact_index", "history",
         "tag", "drop_tag", "tags",
         "add_constraint", "drop_constraint", "constraints", "files", "partitions",
-        "wap_publish", "wap_abort", "txn_publish")
+        "wap_publish", "wap_abort", "txn_publish",
+        "clone", "set_partition_spec", "orphans", "fast_forward", "maintenance")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -526,9 +534,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "compact_index"   => new GraftCompactIndexProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: no procedure system.$other " +
-          "(have vacuum, restore, optimize, history, tag, drop_tag, tags, " +
-          "add_constraint, drop_constraint, constraints, files, partitions, " +
-          "wap_publish, wap_abort)")
+          "(have vacuum, restore, optimize, compact_index, history, tag, " +
+          "drop_tag, tags, add_constraint, drop_constraint, constraints, " +
+          "files, partitions, wap_publish, wap_abort, txn_publish, clone, " +
+          "set_partition_spec, orphans, fast_forward, maintenance)")
     }
   }
 }
@@ -600,7 +609,12 @@ private[sources] class GraftStagedTable(dir: String, schema: StructType,
     if (!wrote)
       GraftManifest.commitMetas(dir, Seq.empty, schema.toDDL,
         truncate = replacing, expectedBase = Some(baseAtStage), op = Some(label),
-        partSpecSet = Some(spec))
+        partSpecSet = Some(spec),
+        // the no-write settle declares the staged TBLPROPERTIES exactly
+        // like the write path (round-16b review: omitting propsSet here
+        // let a plain `REPLACE TABLE ... TBLPROPERTIES(...)` silently
+        // inherit the OLD table's properties and drop the declared ones)
+        propsSet = Some(props))
     ()
   }
 
@@ -673,8 +687,13 @@ private[sources] class GraftCloneProcedure(cat: GraftCatalog)
     // like DV sidecars — a clone without them would resurrect the
     // deleted rows (entry applicability keys on #seq/#eqdel version
     // pairs, both preserved verbatim by the meta/entry carry below)
-    val names = m.metas.flatMap(mm => mm.name +: mm.dv.map(_._1).toSeq) ++
-      m.eqDels.map(_.sidecar)
+    // bloom sidecars and index bundles are part of the snapshot the same
+    // way (round-16b review: a clone without them is born with its whole
+    // secondary-index surface dangling into keep-everything); DISTINCT
+    // because many metas can range into one shared bundle
+    val names = (m.metas.flatMap(mm => mm.name +: (mm.dv.map(_._1).toSeq ++
+      GraftBloomSidecars.refsOf(mm))) ++
+      m.eqDels.map(_.sidecar)).distinct
     val linked = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       names.foreach { n =>
@@ -805,12 +824,17 @@ private[sources] class GraftFastForwardProcedure(cat: GraftCatalog)
         s"(v$base -> v${srcHead.version}) — re-branch from the new head and replay")
     // link the branch's NEW files (and sidecars) into the source dir;
     // names already present are the clone-shared originals
-    val have = (srcHead.metas.flatMap(mm => mm.name +: mm.dv.map(_._1).toSeq) ++
+    val have = (srcHead.metas.flatMap(mm => mm.name +: (mm.dv.map(_._1).toSeq ++
+      GraftBloomSidecars.refsOf(mm))) ++
       srcHead.eqDels.map(_.sidecar)).toSet
     val linked = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
-      (brHead.metas.flatMap(mm => mm.name +: mm.dv.map(_._1).toSeq) ++
-        brHead.eqDels.map(_.sidecar))
+      // branch-new bloom sidecars/bundles link over with their data
+      // files (round-16b review — a merge must not strip the index from
+      // every row written on the branch); DISTINCT: shared bundles
+      (brHead.metas.flatMap(mm => mm.name +: (mm.dv.map(_._1).toSeq ++
+        GraftBloomSidecars.refsOf(mm))) ++
+        brHead.eqDels.map(_.sidecar)).distinct
         .filterNot(have).foreach { n =>
           Files.createLink(Paths.get(srcDir, n), Paths.get(brDir, n))
           linked += n
@@ -1159,6 +1183,43 @@ object GraftMaintenance {
     }
   }
 
+  /** Move a temp-dir rewrite's files into the table dir under
+    * collision-free prefixed names — INCLUDING each meta's externalized
+    * bloom sidecars (round-16b review: a sidecar left in the temp dir
+    * is destroyed by the rewrite's deleteTree while the committed
+    * manifest still references it, silently degrading every future
+    * probe to keep-everything). Refs are rewritten to the moved names;
+    * returns the updated metas plus EVERY moved file name, so a lost
+    * conditioned commit can eagerly delete exactly what it staged. */
+  private[sources] def moveRewrite(tmp: String, dir: String, prefix: String,
+      metas: Seq[GraftFileMeta]): (Seq[GraftFileMeta], Seq[String]) = {
+    val movedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    def mv(name: String): String = {
+      val nn = s"$prefix-$name"
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp, name),
+        java.nio.file.Paths.get(dir, nn))
+      movedNames += nn
+      nn
+    }
+    def moveRef(pay: String): String =
+      GraftBloomSidecars.refName(pay) match {
+        // fresh task writes emit only plain per-file refs, so the moved
+        // ref carries no range; a ref whose file is not in tmp (cannot
+        // happen for a fresh rewrite) passes through untouched
+        case Some(n) if java.nio.file.Files.exists(
+            java.nio.file.Paths.get(tmp, n)) =>
+          "@" + new java.io.File(dir, mv(n)).getPath
+        case _ => pay
+      }
+    val out = metas.map { m =>
+      m.copy(name = mv(m.name),
+        blooms = m.blooms.map { case (i, p) => i -> moveRef(p) },
+        pblooms = m.pblooms.map { case (i, (w, p)) => i -> (w, moveRef(p)) },
+        ngblooms = m.ngblooms.map { case (i, (w, p)) => i -> (w, moveRef(p)) })
+    }
+    (out, movedNames.toSeq)
+  }
+
   /** Head-snapshot count of PER-FILE (un-bundled) sidecar refs — the
     * `compactIndex.minSidecars` policy's trigger measure. O(header)
     * manifest read, no payload bytes touched. */
@@ -1175,13 +1236,15 @@ object GraftMaintenance {
     * forfeits every future point-lookup skip is maintenance making the
     * table worse. */
   def carryIndexes(head: GraftManifest,
-      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row])
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      except: Set[String] = Set.empty)
       : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
     val fields = head.schemaDdl.map(StructType.fromDDL(_).fields)
       .getOrElse(Array.empty)
     def cols(sel: GraftFileMeta => Iterable[Int]): Seq[String] =
       head.metas.flatMap(sel).distinct.sorted
-        .flatMap(i => fields.lift(i).map(_.name)).toSeq
+        .flatMap(i => fields.lift(i).map(_.name))
+        .filterNot(except).toSeq
     val blooms = cols(_.blooms.keys)
     val ndvs = cols(_.ndvs.keys)
     // a column is centroid-indexed if ANY fact names it — per-file OR
@@ -1194,14 +1257,16 @@ object GraftMaintenance {
     val pbls: Seq[String] = head.metas.flatMap(_.pblooms.toSeq)
       .groupBy(_._1).toSeq.sortBy(_._1)
       .flatMap { case (i, ws) =>
-        fields.lift(i).map(f => s"${f.name}:${ws.head._2._1}") }
+        fields.lift(i).filterNot(f => except(f.name))
+          .map(f => s"${f.name}:${ws.head._2._1}") }
     val ngbs: Seq[String] = head.metas.flatMap(_.ngblooms.toSeq)
       .groupBy(_._1).toSeq.sortBy(_._1)
       .flatMap { case (i, ws) =>
         // MIN width on record, like idxOf: auto-widening can leave one
         // saturated file at w+2, and rebuilding the whole table at the
         // widened width would cost every narrow probe its pruning
-        fields.lift(i).map(f => s"${f.name}:${ws.map(_._2._1).min}") }
+        fields.lift(i).filterNot(f => except(f.name))
+          .map(f => s"${f.name}:${ws.map(_._2._1).min}") }
     val w1 = if (blooms.nonEmpty) w.option("bloomFor", blooms.mkString(",")) else w
     val w2 = if (ndvs.nonEmpty) w1.option("ndvFor", ndvs.mkString(",")) else w1
     val w3 = if (cens.nonEmpty) w2.option("centroidFor", cens.mkString(",")) else w2
@@ -1209,8 +1274,9 @@ object GraftMaintenance {
     val w5 = if (ngbs.nonEmpty) w4.option("ngramBloomFor", ngbs.mkString(",")) else w4
     // row-group centroid granularity survives rewrites too: a compaction
     // that silently coarsened the ANN index to file level would forfeit
-    // every future sub-file skip
-    if (head.metas.exists(_.rgcens.nonEmpty))
+    // every future sub-file skip (cens guard: the granularity option
+    // without any surviving centroidFor column would be a dangling knob)
+    if (cens.nonEmpty && head.metas.exists(_.rgcens.nonEmpty))
       w5.option("centroidGranularity", "rowgroup") else w5
   }
 
@@ -1317,14 +1383,13 @@ object GraftMaintenance {
       carryIndexes(head, writer.format("graft-sink").option("path", tmp)
           .option("format", head.format.getOrElse(GraftFormat.Default)))
         .mode("overwrite").save()
-      // move the finished files in under collision-free names; they stay
+      // move the finished files in under collision-free names — data
+      // files AND their externalized bloom sidecars, with refs
+      // rewritten (a sidecar left behind dies with the temp dir and the
+      // committed ref would dangle into keep-everything); they stay
       // invisible until the manifest below publishes them
-      val moved = GraftManifest.readVersion(tmp, None).get.metas.map { m =>
-        val nn = s"c${head.version}-${m.name}"
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp, m.name),
-          java.nio.file.Paths.get(dir, nn))
-        m.copy(name = nn)
-      }
+      val (moved, movedNames) = moveRewrite(tmp, dir, s"c${head.version}",
+        GraftManifest.readVersion(tmp, None).get.metas)
       // A lost conditioned commit (concurrent writer advanced the head)
       // must not strand the already-moved compact files as orphans in the
       // table dir until an aged vacuum sweep (ADVICE r9): no manifest
@@ -1337,8 +1402,8 @@ object GraftMaintenance {
           truncate = true, expectedBase = Some(head.version), op = Some(op))
         catch {
           case e: Throwable =>
-            moved.foreach(m => java.nio.file.Files.deleteIfExists(
-              java.nio.file.Paths.get(dir, m.name)))
+            movedNames.foreach(n => java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(dir, n)))
             throw e
         }
       (head.metas.size, big.size + moved.size, nv)
@@ -1524,7 +1589,18 @@ private[sources] class GraftOptimizeProcedure(cat: GraftCatalog)
             snapshot.repartition(org.apache.spark.sql.functions.pmod(
               org.apache.spark.sql.functions.col(src),
               org.apache.spark.sql.functions.lit(n)))
-          case Some(_) => snapshot.coalesce(1)
+          case Some((n, src)) =>
+            // STRING bucket source: re-derive the ordinal with the same
+            // Java-hashCode math the writer's bucket() uses, so each
+            // bucket's rows co-locate in one task — a FULL rewrite must
+            // not funnel the whole table through coalesce(1) (round-16b
+            // review; that shape is only defensible for binpack's
+            // small-by-definition victims). One UDF on a maintenance
+            // rewrite path, not a query path.
+            val ord = org.apache.spark.sql.functions.udf((s: String) =>
+              if (s == null) 0
+              else GraftBucket.of(n, org.apache.spark.sql.types.StringType, s))
+            snapshot.repartition(ord(org.apache.spark.sql.functions.col(src)))
           case None => snapshot.repartition(
             org.apache.spark.sql.functions.col(pc))
         }
@@ -1634,6 +1710,14 @@ private[sources] object GraftOptimizeProcedure {
         "not numeric/date/timestamp/string — an unrankable column would " +
         "collapse the curve; choose sortBy for other layouts")
     val k = zcols.length
+    // 6 interleaved bits per dimension must fit one 64-bit curve value:
+    // at k >= 11 the bit position 6k-1 exceeds 63 and Spark's shiftleft
+    // WRAPS the shift count mod 64 — high dimensions would silently
+    // collide into low bits and the curve would cluster garbage while
+    // the commit records a zorder spec maintenance faithfully preserves
+    require(k <= 10,
+      s"graft optimize: zorder_by supports at most 10 columns, got $k " +
+        "(an 11th dimension's bits wrap past the 64-bit curve value)")
     // DATE and TIMESTAMP_NTZ pass the type gate but Spark forbids their
     // direct cast to DOUBLE (ADVICE r14) — route them through epoch
     // numbers first (unix_date days / a TIMESTAMP hop), so the friendly

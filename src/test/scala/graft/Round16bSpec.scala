@@ -284,6 +284,134 @@ class Round16bSpec extends AnyFunSuite {
     assert(containsProbe(dir, window).collect().nonEmpty)
   }
 
+  test("OPTIMIZE and DROP COLUMN carry externalized sidecars with their rewrite") {
+    val root = tmp("graft_r16b_rw")
+    spark.conf.set("spark.sql.catalog.g16w",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16w.root", root)
+    val dir = s"$root/db/t"
+    // sidecar-bearing table with an extra droppable column
+    spark.range(0, 1000)
+      .selectExpr("id", "base64(unbase64(left(base64(" +
+        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
+        "), 64))) as s", "id % 7 as extra")
+      .repartition(4)
+      .write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:4")
+      .option("distributionMode", "none").mode("overwrite").save()
+    val window = inAlphabetWindow(dir)
+    val expect = containsProbe(dir, window).collect().map(_.getLong(0)).sorted
+    def refsLive(): Unit = {
+      val head = GraftManifest.readVersion(dir, None).get
+      assert(head.metas.nonEmpty)
+      head.metas.foreach { m =>
+        val sIdx = GraftManifest.readVersion(dir, None).get.schemaDdl
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+          .map(_.fieldIndex("s")).get
+        val (_, pay) = m.ngblooms(sIdx)
+        assert(GraftBloomSidecars.isRef(pay), s"index must survive: $pay")
+        val f = new java.io.File(dir, GraftBloomSidecars.refName(pay).get)
+        assert(f.isFile, s"the rewrite must move ${f.getName} with its data file")
+      }
+    }
+    // FULL-rewrite OPTIMIZE (no max_file_bytes): carryIndexes rebuilds
+    // the filters; the fresh sidecars must land in the TABLE dir, not
+    // die with the rewrite's temp dir
+    spark.sql("CALL g16w.system.optimize('db.t', 2)").collect()
+    refsLive()
+    assert(containsProbe(dir, window).collect().map(_.getLong(0)).sorted
+      .sameElements(expect), "post-OPTIMIZE probe answers exactly")
+    // DROP COLUMN keeps the SURVIVING column's index through its rewrite
+    spark.sql("ALTER TABLE g16w.db.t DROP COLUMN extra")
+    refsLive()
+    assert(containsProbe(dir, window).collect().map(_.getLong(0)).sorted
+      .sameElements(expect), "post-DROP-COLUMN probe answers exactly")
+  }
+
+  test("a no-write REPLACE TABLE declares its TBLPROPERTIES") {
+    val root = tmp("graft_r16b_props")
+    spark.conf.set("spark.sql.catalog.g16p",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16p.root", root)
+    spark.sql("CREATE TABLE g16p.db.t (id BIGINT) " +
+      "TBLPROPERTIES('vacuum.retain'='9')")
+    spark.sql("REPLACE TABLE g16p.db.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES('autoOptimize.smallFiles'='3')")
+    val props = GraftManifest.readVersion(s"$root/db/t", None).get.props
+    assert(props.get("autoOptimize.smallFiles").contains("3"),
+      s"the replace's declared properties must land: $props")
+    assert(!props.contains("vacuum.retain"),
+      s"a REPLACE with new properties must not inherit the old set: $props")
+  }
+
+  test("clone links bloom sidecars and bundles; the clone's index is alive") {
+    val root = tmp("graft_r16b_clone")
+    spark.conf.set("spark.sql.catalog.g16c",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16c.root", root)
+    val src = s"$root/db/src"
+    writeFixture(src, files = 4)
+    // bundle TWO of the four via... full compaction bundles all; append
+    // one more so the clone carries BOTH shapes (ranged + plain)
+    graft.sources.GraftMaintenance.compactIndexes(src)
+    spark.range(7000, 7500)
+      .selectExpr("id", "base64(unbase64(left(base64(" +
+        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
+        "), 64))) as s")
+      .coalesce(1)
+      .write.format("graft-sink").option("path", src)
+      .option("ngramBloomFor", "s:4")
+      .option("distributionMode", "none").mode("append").save()
+    spark.sql("CALL g16c.system.clone('db.src', 'db.dst')").collect()
+    val dst = s"$root/db/dst"
+    val head = GraftManifest.readVersion(dst, None).get
+    head.metas.foreach { m =>
+      val f = new java.io.File(dst,
+        GraftBloomSidecars.refName(m.ngblooms(1)._2).get)
+      assert(f.isFile, s"clone must link index file ${f.getName}")
+    }
+    // and the cloned index actually answers: in-alphabet probe exact
+    val window = inAlphabetWindow(dst)
+    GraftBloomSidecars.dropCache()
+    val l0 = GraftBloomSidecars.loads.sum()
+    assert(containsProbe(dst, window).collect().nonEmpty)
+    assert(GraftBloomSidecars.loads.sum() > l0,
+      "the clone's probes must resolve real payloads, not degrade")
+  }
+
+  test("catalog hygiene: traversal-proof listTables, honest procedure list") {
+    val root = tmp("graft_r16b_hyg")
+    spark.conf.set("spark.sql.catalog.g16h",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16h.root", root)
+    val cat = spark.sessionState.catalogManager.catalog("g16h")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    intercept[IllegalArgumentException] {
+      cat.listTables(Array("..")) }
+    intercept[IllegalArgumentException] {
+      cat.listTables(Array("db", "a/b")) }
+    // every procedure loadProcedure serves is listed (round-16b review:
+    // five verbs existed but were hidden from SHOW PROCEDURES)
+    val listed = cat.listProcedures(Array("system")).map(_.name).toSet
+    for (p <- Seq("clone", "set_partition_spec", "orphans", "fast_forward",
+        "maintenance", "compact_index", "optimize", "vacuum"))
+      assert(listed(p), s"procedure $p must be listed")
+  }
+
+  test("zorder_by refuses an 11th dimension instead of wrapping bits") {
+    val root = tmp("graft_r16b_zcap")
+    spark.conf.set("spark.sql.catalog.g16z",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g16z.root", root)
+    val dir = s"$root/db/t"
+    spark.range(0, 100).selectExpr((0 until 11).map(i => s"id * $i as c$i"): _*)
+      .write.format("graft-sink").option("path", dir).mode("overwrite").save()
+    val cols11 = (0 until 11).map(i => s"c$i").mkString(",")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL g16z.system.optimize('db.t', 2, '$cols11')").collect() }
+    assert(e.getMessage.contains("at most 10"), e.getMessage)
+  }
+
   test("orphans report covers unreferenced sidecars and bundles") {
     val root = tmp("graft_r16b_orph")
     spark.conf.set("spark.sql.catalog.g16o",
