@@ -76,13 +76,21 @@ object AvroSourceProvider {
     * update under exactly the concurrency the generation CAS fixed. The
     * generation files are the durable record; the legacy file is only
     * consulted for pre-generation dirs. */
-  def committedFiles(path: String): Seq[File] = {
+  /** The current manifest generation (0 = none yet) — the ONE scan both
+    * readers and committers use, so their views of the head can never
+    * desynchronize (review: the listing was duplicated verbatim). */
+  def maxGeneration(path: String): Int = {
     val gens = Option(new File(path).listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(_.startsWith("_avro_manifest.g"))
       .filterNot(_.endsWith(".tmp"))
       .flatMap(n => scala.util.Try(n.stripPrefix("_avro_manifest.g").toInt).toOption)
+    if (gens.isEmpty) 0 else gens.max
+  }
+
+  def committedFiles(path: String): Seq[File] = {
+    val g = maxGeneration(path)
     val manifest =
-      if (gens.nonEmpty) Some(new File(path, s"_avro_manifest.g${gens.max}"))
+      if (g > 0) Some(new File(path, s"_avro_manifest.g$g"))
       else Some(new File(path, "_avro_manifest")).filter(_.exists())
     manifest match {
       case Some(m) =>
@@ -214,10 +222,11 @@ case class AvroCommit(file: String, rows: Long) extends WriterCommitMessage
 
 class AvroBatchWrite(path: String, schema: StructType, replace: Boolean,
     queryId: String) extends BatchWrite {
+  private val jobTag = queryId.replaceAll("[^0-9a-zA-Z]", "").take(8)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     // the queryId tag makes part names unique ACROSS jobs (append jobs
     // from different applications can reuse (partitionId, taskId))
-    AvroWriterFactory(path, schema.json, queryId.replaceAll("[^0-9a-zA-Z]", "").take(8))
+    AvroWriterFactory(path, schema.json, jobTag)
 
   /** Job commit: atomically land the manifest. Overwrite (truncate)
     * REPLACES the committed set with this job's files; append MERGES the
@@ -238,11 +247,7 @@ class AvroBatchWrite(path: String, schema: StructType, replace: Boolean,
     var attempt = 0
     while (attempt < 1000) {
       attempt += 1
-      val gens = Option(new File(path).listFiles()).getOrElse(Array.empty)
-        .map(_.getName).filter(_.startsWith("_avro_manifest.g"))
-        .filterNot(_.endsWith(".tmp"))
-        .flatMap(n => scala.util.Try(n.stripPrefix("_avro_manifest.g").toInt).toOption)
-      val g = if (gens.isEmpty) 0 else gens.max
+      val g = AvroSourceProvider.maxGeneration(path)
       val prior =
         if (replace) Seq.empty
         else {
@@ -275,9 +280,15 @@ class AvroBatchWrite(path: String, schema: StructType, replace: Boolean,
     throw new IllegalStateException(s"graft-avro: gave up claiming a manifest generation at $path")
   }
 
+  /** Job abort sweeps ONLY this job's task tmp files (the jobTag rides
+    * every part name): a blanket .tmp sweep would clobber a concurrent
+    * job's in-flight task files and mid-commit manifest tmp — exactly
+    * the concurrency the generation CAS supports (review finding, the
+    * same scoping the graft-sink abort fix took in round 16). */
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".tmp")).foreach(_.delete())
+      .filter(f => f.getName.endsWith(".tmp") && f.getName.contains(jobTag))
+      .foreach(_.delete())
 }
 
 /** Schema travels as its JSON form — Avro `Schema` is not serializable. */
@@ -301,6 +312,13 @@ class AvroDataWriter(path: String, schema: StructType, partitionId: Int,
   override def write(row: InternalRow): Unit = {
     val rec = new GenericData.Record(avroSchema)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
+      // the container schema declares every field REQUIRED, and
+      // InternalRow.getLong/getDouble on a null slot silently return 0
+      // — refuse loudly instead of corrupting (review finding)
+      if (row.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft-avro: NULL in column '${f.name}' — the Avro container " +
+          "schema declares required fields; COALESCE or filter nulls " +
+          "before writing")
       f.dataType match {
         case LongType   => rec.put(f.name, row.getLong(i))
         case DoubleType => rec.put(f.name, row.getDouble(i))

@@ -57,9 +57,15 @@ object DocsSource {
 
   def lang(id: Long): String = langs((id % 3).toInt)
 
-  def md5hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+  // one digest per thread, reset per call: getInstance per WORD was the
+  // generator's dominant wasted allocation (review finding)
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  def md5hex(s: String): String = {
+    val d = md5.get(); d.reset()
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   def text(id: Long, nWords: Int): String =
     (0 until nWords).map(j => md5hex(s"$id:$j").substring(0, 6)).mkString(" ")
@@ -84,13 +90,18 @@ class DocsScanBuilder(nDocs: Long, nWords: Int, nParts: Int, maxPerBatch: Long =
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val taken = ArrayBuffer[Filter]()
+    // saturating +1: `doc_id <= Long.MaxValue` must keep every row, and
+    // a wrapped v + 1 = Long.MinValue would collapse hi to an EMPTY
+    // range — under-inclusive pruning that Spark's residual re-eval
+    // cannot repair because the rows are never generated (review)
+    def inc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     filters.foreach {
       case f @ GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); taken += f
-      case f @ GreaterThan("doc_id", v: Long)        => lo = math.max(lo, v + 1); taken += f
+      case f @ GreaterThan("doc_id", v: Long)        => lo = math.max(lo, inc(v)); taken += f
       case f @ LessThan("doc_id", v: Long)           => hi = math.min(hi, v); taken += f
-      case f @ LessThanOrEqual("doc_id", v: Long)    => hi = math.min(hi, v + 1); taken += f
+      case f @ LessThanOrEqual("doc_id", v: Long)    => hi = math.min(hi, inc(v)); taken += f
       case f @ EqualTo("doc_id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); taken += f
+        lo = math.max(lo, v); hi = math.min(hi, inc(v)); taken += f
       case _ => ()
     }
     accepted = taken.toArray
@@ -118,7 +129,7 @@ case class DocsScan(lo: Long, hi: Long, nWords: Int, nParts: Int,
     val n = math.max(1, math.min(nParts.toLong, hi - lo)).toInt
     val step = (hi - lo + n - 1) / math.max(1, n)
     (0 until n).map { i =>
-      DocsRange(lo + i * step, math.min(hi, lo + (i + 1) * step), nWords)
+      DocsRange(lo + i * step, math.min(hi, lo + (i + 1) * step))
     }.filter(p => p.start < p.end).toArray[InputPartition]
   }
 
@@ -190,7 +201,7 @@ class DocsMicroBatchStream(scan: DocsScan)
   override def stop(): Unit = ()
 }
 
-case class DocsRange(start: Long, end: Long, nWords: Int) extends InputPartition
+case class DocsRange(start: Long, end: Long) extends InputPartition
 
 class DocsReaderFactory(required: StructType, nWords: Int)
     extends PartitionReaderFactory {
