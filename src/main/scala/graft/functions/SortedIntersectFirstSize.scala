@@ -9,6 +9,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * ascending-sorted int arrays returning BOTH the smallest common element
   * and |a ∩ b|, packed into a long as `(first << 32) | size` (first = −1
   * when the intersection is empty — the sign survives `shiftright`).
+  * CONTRACT: elements must be NONNEGATIVE dictionary ids — a genuine −1
+  * element would alias the empty-intersection sentinel; callers that
+  * cannot guarantee that should key on the size word (low 32 bits)
+  * instead of the first word (round-16b review). A NULL element returns
+  * NULL (getInt would otherwise read the null slot as 0).
   *
   * This exists for the fused PPJoin verify step: a prefix-filter candidate
   * join emits each pair once per SHARED PREFIX TERM, and the classic dedup
@@ -22,6 +27,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   */
 case class SortedIntersectFirstSize(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
 
   override def dataType: DataType = LongType
 
@@ -42,6 +50,8 @@ case class SortedIntersectFirstSize(left: Expression, right: Expression)
     val na = xs.numElements(); val nb = ys.numElements()
     var i = 0; var j = 0; var n = 0; var first = -1
     while (i < na && j < nb) {
+      // NULL element -> NULL result (getInt would read 0 silently)
+      if (xs.isNullAt(i) || ys.isNullAt(j)) return null
       val x = xs.getInt(i); val y = ys.getInt(j)
       if (x == y) { if (n == 0) first = x; n += 1; i += 1; j += 1 }
       else if (x < y) i += 1
@@ -59,12 +69,17 @@ case class SortedIntersectFirstSize(left: Expression, right: Expression)
       s"""
          |int $na = $a.numElements(); int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $n = 0; int $first = -1;
-         |while ($i < $na && $j < $nb) {
-         |  int $x = $a.getInt($i); int $y = $b.getInt($j);
-         |  if ($x == $y) { if ($n == 0) $first = $x; $n++; $i++; $j++; }
-         |  else if ($x < $y) { $i++; } else { $j++; }
+         |while ($i < $na && $j < $nb && !${ev.isNull}) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; }
+         |  else {
+         |    int $x = $a.getInt($i); int $y = $b.getInt($j);
+         |    if ($x == $y) { if ($n == 0) $first = $x; $n++; $i++; $j++; }
+         |    else if ($x < $y) { $i++; } else { $j++; }
+         |  }
          |}
-         |${ev.value} = (((long) $first) << 32) | (((long) $n) & 0xffffffffL);
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = (((long) $first) << 32) | (((long) $n) & 0xffffffffL);
+         |}
        """.stripMargin
     })
 

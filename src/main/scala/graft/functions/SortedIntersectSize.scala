@@ -24,6 +24,8 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(IntegerType, _) => true
@@ -41,6 +43,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val na = xs.numElements(); val nb = ys.numElements()
     var i = 0; var j = 0; var n = 0
     while (i < na && j < nb) {
+      // a NULL element reads as 0 through getInt — silent wrong counts;
+      // poison to NULL like the HOF forms would (round-16b review)
+      if (xs.isNullAt(i) || ys.isNullAt(j)) return null
       val x = xs.getInt(i); val y = ys.getInt(j)
       if (x == y) { n += 1; i += 1; j += 1 }
       else if (x < y) i += 1
@@ -58,12 +63,15 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       s"""
          |int $na = $a.numElements(); int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $n = 0;
-         |while ($i < $na && $j < $nb) {
-         |  int $x = $a.getInt($i); int $y = $b.getInt($j);
-         |  if ($x == $y) { $n++; $i++; $j++; }
-         |  else if ($x < $y) { $i++; } else { $j++; }
+         |while ($i < $na && $j < $nb && !${ev.isNull}) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; }
+         |  else {
+         |    int $x = $a.getInt($i); int $y = $b.getInt($j);
+         |    if ($x == $y) { $n++; $i++; $j++; }
+         |    else if ($x < $y) { $i++; } else { $j++; }
+         |  }
          |}
-         |${ev.value} = $n;
+         |if (!${ev.isNull}) { ${ev.value} = $n; }
        """.stripMargin
     })
 

@@ -35,13 +35,16 @@ case class VectorCosine(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toFloatArray()
-    val ys = b.asInstanceOf[ArrayData].toFloatArray()
-    if (xs.length != ys.length) return null
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var dot = 0.0d; var na = 0.0d; var nb = 0.0d
     var i = 0
-    while (i < xs.length) {
-      val x = xs(i).toDouble; val y = ys(i).toDouble
+    while (i < n) {
+      // NULL element poisons, like the HOF twin (round-16b review)
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val x = xs.getFloat(i).toDouble; val y = ys.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -61,12 +64,15 @@ case class VectorCosine(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double x = (double) $a.getFloat($i);
-         |    double y = (double) $b.getFloat($i);
-         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else {
+         |      double x = (double) $a.getFloat($i);
+         |      double y = (double) $b.getFloat($i);
+         |      $dot += x * y; $na += x * x; $nb += y * y;
+         |    }
          |  }
-         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |  if (!${ev.isNull}) { ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb); }
          |}
        """.stripMargin
     })

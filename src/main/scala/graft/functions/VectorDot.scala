@@ -39,13 +39,18 @@ case class VectorDot(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toFloatArray()
-    val ys = b.asInstanceOf[ArrayData].toFloatArray()
-    if (xs.length != ys.length) return null // HOF twin: null-pad poisons sum
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null // HOF twin: null-pad poisons sum
     var acc = 0.0d
     var i = 0
-    while (i < xs.length) {
-      acc += xs(i).toDouble * ys(i).toDouble
+    while (i < n) {
+      // HOF twin again: a NULL ELEMENT poisons the aggregate — reading
+      // the null slot as 0.0 would silently diverge from the zip_with
+      // form the doc promises exact parity with (round-16b review)
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      acc += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
       i += 1
     }
     acc
@@ -62,10 +67,11 @@ case class VectorDot(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else { $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)); }
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -33,7 +33,9 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   val ConfKey = "spark.graft.approx.distinct"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!SQLConf.get.getConfString(ConfKey, "false").toBoolean) return plan
+    // lenient parse (see LshPrefilter): toBoolean throws on "1"/"yes"
+    if (!"true".equalsIgnoreCase(SQLConf.get.getConfString(ConfKey, "false")))
+      return plan
     plan.transform {
       case a: Aggregate =>
         a.transformExpressions {

@@ -20,7 +20,10 @@ object FoldIdempotent extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case Upper(inner @ Upper(_))       => inner
       case Lower(inner @ Lower(_))       => inner
-      case Abs(inner @ Abs(_, _), _)     => inner
+      // fold only when the ANSI failOnError flags AGREE: Abs(Int.MinValue)
+      // wraps under failOnError=false but throws under true, so dropping
+      // the outer flag would change overflow behavior (round-16b review)
+      case Abs(inner @ Abs(_, f1), f2) if f1 == f2 => inner
     }
 }
 

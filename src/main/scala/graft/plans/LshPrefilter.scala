@@ -61,7 +61,15 @@ object LshPrefilter extends Rule[LogicalPlan] with PredicateHelper {
   private def bandExpr(v: Expression, k: Int): Expression =
     (0 until BitsPerBand).map[Expression] { j =>
       val dim = BandPerm(BitsPerBand * k + j)
-      If(GreaterThanOrEqual(GetArrayItem(v, Literal(dim)), Literal(0.0f)),
+      // failOnError=false, NOT the ANSI session default: an optimizer
+      // rewrite must never turn a working BNLJ into an
+      // INVALID_ARRAY_INDEX crash on short embeddings (round-16b
+      // review). An out-of-range dim reads NULL, the comparison yields
+      // NULL, If takes the 0 branch — both sides of the band equality
+      // compute the same deterministic function, so banding stays sound
+      // (short vectors still collide with their own shape class).
+      If(GreaterThanOrEqual(GetArrayItem(v, Literal(dim), failOnError = false),
+          Literal(0.0f)),
         Literal(1 << j), Literal(0))
     }.reduce(Add(_, _))
 
@@ -69,8 +77,18 @@ object LshPrefilter extends Rule[LogicalPlan] with PredicateHelper {
     e.references.nonEmpty && e.references.subsetOf(side.outputSet)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!SQLConf.get.getConfString(ConfKey, "false").toBoolean) return plan
-    plan.transform {
+    // lenient parse: String.toBoolean THROWS on "1"/"yes", and an
+    // exception inside a session-injected rule fails every later query
+    // in the session (round-16b review)
+    if (!"true".equalsIgnoreCase(SQLConf.get.getConfString(ConfKey, "false")))
+      return plan
+    // transformUp, not transformDown: a nested qualifying join must be
+    // rewritten ONCE before its parent duplicates the subtree into 16
+    // band branches — top-down would re-rewrite each of the 16 copies
+    // independently (16^depth rewrite work; round-16b review). The
+    // 16x plan-size growth per nested qualifying join is inherent to
+    // the Union shape and documented by the opt-in flag.
+    plan.transformUp {
       case j @ Join(l, r, Inner | Cross, Some(cond), hint) =>
         val conjuncts = splitConjunctivePredicates(cond)
         val hasEqui = conjuncts.exists {

@@ -28,6 +28,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, "k must be positive")
+  // a non-binary collation compares strings the byte-run detector cannot
+  // ('a' = 'A' under UTF8_LCASE would split one key into several runs and
+  // over-emit); refuse loudly rather than answer wrong (round-16b review)
+  require(keys.forall(_.dataType match {
+    // only the default (UTF8_BINARY) StringType singleton compares byte-
+    // wise; any collated instance is a different StringType object
+    case st: org.apache.spark.sql.types.StringType =>
+      st == org.apache.spark.sql.types.StringType
+    case _ => true
+  }), "topKPerKey requires binary-comparable string keys " +
+    "(non-binary collations are unsupported)")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
@@ -50,9 +61,25 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
 
+  /** Key-run boundaries are detected by UnsafeRow BYTE equality, which is
+    * only sound when SQL-equal keys project to identical bytes. Float and
+    * double keys violate that (-0.0 = 0.0 and NaN bit patterns — the
+    * exact reason Spark's own NormalizeFloatingNumbers exists for its
+    * aggregates/windows, which cannot see this custom exec), so the run
+    * projection normalizes them (round-16b review). Equal keys are
+    * adjacent because requiredChildOrdering sorts on the SAME exprs. */
+  private def normalizedKeys: Seq[Expression] = keys.map { e =>
+    e.dataType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType =>
+        org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(e)
+      case _ => e
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions { iter =>
-      val proj = UnsafeProjection.create(keys, child.output)
+      val proj = UnsafeProjection.create(normalizedKeys, child.output)
       var cur: UnsafeRow = null
       var n = 0
       iter.filter { row =>
