@@ -22,6 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // static schema gate — see VectorDot
+  private lazy val scanLeft: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn; case _ => true }
+  private lazy val scanRight: Boolean = right.dataType match {
+    case ArrayType(_, cn) => cn; case _ => true }
+
   override def dataType: DataType = IntegerType
 
   override def nullable: Boolean = true
@@ -41,11 +47,15 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
     val na = xs.numElements(); val nb = ys.numElements()
-    var i = 0; var j = 0; var n = 0
+    // NULL element poisons (getInt reads the null slot as 0 — silent
+    // wrong counts; round-16b review); bitmap scans first (elided on
+    // schema-clean sides) so the merge loop stays the original kernel
+    var i = 0
+    if (scanLeft) while (i < na) { if (xs.isNullAt(i)) return null; i += 1 }
+    if (scanRight) { var j0 = 0
+      while (j0 < nb) { if (ys.isNullAt(j0)) return null; j0 += 1 } }
+    i = 0; var j = 0; var n = 0
     while (i < na && j < nb) {
-      // a NULL element reads as 0 through getInt — silent wrong counts;
-      // poison to NULL like the HOF forms would (round-16b review)
-      if (xs.isNullAt(i) || ys.isNullAt(j)) return null
       val x = xs.getInt(i); val y = ys.getInt(j)
       if (x == y) { n += 1; i += 1; j += 1 }
       else if (x < y) i += 1
@@ -60,16 +70,24 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val sc = ctx.freshName("sc")
+      val scan =
+        (if (scanLeft) s"""
+           |for (int $sc = 0; $sc < $na; $sc++) {
+           |  if ($a.isNullAt($sc)) { ${ev.isNull} = true; break; } }""".stripMargin
+         else "") +
+        (if (scanRight) s"""
+           |for (int $sc = 0; $sc < $nb && !${ev.isNull}; $sc++) {
+           |  if ($b.isNullAt($sc)) { ${ev.isNull} = true; break; } }""".stripMargin
+         else "")
       s"""
          |int $na = $a.numElements(); int $nb = $b.numElements();
+         |$scan
          |int $i = 0; int $j = 0; int $n = 0;
          |while ($i < $na && $j < $nb && !${ev.isNull}) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; }
-         |  else {
-         |    int $x = $a.getInt($i); int $y = $b.getInt($j);
-         |    if ($x == $y) { $n++; $i++; $j++; }
-         |    else if ($x < $y) { $i++; } else { $j++; }
-         |  }
+         |  int $x = $a.getInt($i); int $y = $b.getInt($j);
+         |  if ($x == $y) { $n++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
          |}
          |if (!${ev.isNull}) { ${ev.value} = $n; }
        """.stripMargin

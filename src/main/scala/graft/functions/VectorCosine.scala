@@ -19,6 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class VectorCosine(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // static schema gate — see VectorDot
+  private lazy val scanLeft: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn; case _ => true }
+  private lazy val scanRight: Boolean = right.dataType match {
+    case ArrayType(_, cn) => cn; case _ => true }
+
   override def dataType: DataType = DoubleType
 
   override def nullable: Boolean = true
@@ -39,12 +45,17 @@ case class VectorCosine(left: Expression, right: Expression)
     val ys = b.asInstanceOf[ArrayData]
     val n = xs.numElements()
     if (n != ys.numElements()) return null
-    var dot = 0.0d; var na = 0.0d; var nb = 0.0d
+    // NULL element poisons, like the HOF twin (round-16b review);
+    // two-pass with static schema gates — see VectorDot
     var i = 0
+    if (scanLeft) while (i < n) { if (xs.isNullAt(i)) return null; i += 1 }
+    if (scanRight) { i = 0
+      while (i < n) { if (ys.isNullAt(i)) return null; i += 1 } }
+    val xf = xs.toFloatArray(); val yf = ys.toFloatArray()
+    var dot = 0.0d; var na = 0.0d; var nb = 0.0d
+    i = 0
     while (i < n) {
-      // NULL element poisons, like the HOF twin (round-16b review)
-      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
-      val x = xs.getFloat(i).toDouble; val y = ys.getFloat(i).toDouble
+      val x = xf(i).toDouble; val y = yf(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -58,19 +69,23 @@ case class VectorCosine(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      // branchless fused null tracking — see VectorDot
+      val nullTrack =
+        (if (scanLeft) s" | $a.isNullAt($i)" else "") +
+        (if (scanRight) s" | $b.isNullAt($i)" else "")
+      val TRACK = if (nullTrack.isEmpty) "" else
+        s"${ev.isNull} = ${ev.isNull}$nullTrack;"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
-         |    else {
-         |      double x = (double) $a.getFloat($i);
-         |      double y = (double) $b.getFloat($i);
-         |      $dot += x * y; $na += x * x; $nb += y * y;
-         |    }
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $TRACK
+         |    double x = (double) $a.getFloat($i);
+         |    double y = (double) $b.getFloat($i);
+         |    $dot += x * y; $na += x * x; $nb += y * y;
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb); }
          |}

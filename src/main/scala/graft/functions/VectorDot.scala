@@ -23,6 +23,14 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // static schema facts: a side declared containsNull=false can never
+  // hold a null element, so its null tracking is elided ENTIRELY — the
+  // null-poisoning semantics cost nothing on schema-clean columns
+  private lazy val scanLeft: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn; case _ => true }
+  private lazy val scanRight: Boolean = right.dataType match {
+    case ArrayType(_, cn) => cn; case _ => true }
+
   override def dataType: DataType = DoubleType
 
   override def nullable: Boolean = true
@@ -43,14 +51,20 @@ case class VectorDot(left: Expression, right: Expression)
     val ys = b.asInstanceOf[ArrayData]
     val n = xs.numElements()
     if (n != ys.numElements()) return null // HOF twin: null-pad poisons sum
-    var acc = 0.0d
+    // HOF twin again: a NULL ELEMENT poisons the aggregate — reading the
+    // null slot as 0.0 would silently diverge from the zip_with form the
+    // doc promises exact parity with (round-16b review). Two-pass shape:
+    // a bitmap scan (elided per side when the schema says
+    // containsNull=false), then the original bulk-copy primitive loop.
     var i = 0
+    if (scanLeft) while (i < n) { if (xs.isNullAt(i)) return null; i += 1 }
+    if (scanRight) { i = 0
+      while (i < n) { if (ys.isNullAt(i)) return null; i += 1 } }
+    val xf = xs.toFloatArray(); val yf = ys.toFloatArray()
+    var acc = 0.0d
+    i = 0
     while (i < n) {
-      // HOF twin again: a NULL ELEMENT poisons the aggregate — reading
-      // the null slot as 0.0 would silently diverge from the zip_with
-      // form the doc promises exact parity with (round-16b review)
-      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
-      acc += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
+      acc += xf(i).toDouble * yf(i).toDouble
       i += 1
     }
     acc
@@ -61,15 +75,23 @@ case class VectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // BRANCHLESS fused null tracking (bitwise |, no data-dependent
+      // branch in the FP loop); a null makes the accumulated value
+      // garbage but DISCARDED (isNull wins). Schema-clean sides elide.
+      val nullTrack =
+        (if (scanLeft) s" | $a.isNullAt($i)" else "") +
+        (if (scanRight) s" | $b.isNullAt($i)" else "")
+      val TRACK = if (nullTrack.isEmpty) "" else
+        s"${ev.isNull} = ${ev.isNull}$nullTrack;"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
-         |    else { $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)); }
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $TRACK
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
