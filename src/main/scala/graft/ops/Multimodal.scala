@@ -60,8 +60,11 @@ object Multimodal {
         // a real implementation opens its codec HERE, once per partition
         it.map { d =>
           val b = d.payload
-          val hdr = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
-            ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+          // a payload shorter than the 4-byte header reads missing bytes
+          // as 0 — exactly the oracle's ascii('') = 0 for an
+          // out-of-range substring (round-16b review: b(i) crashed)
+          def at(i: Int): Int = if (i < b.length) b(i) & 0xff else 0
+          val hdr = (at(0) << 24) | (at(1) << 16) | (at(2) << 8) | at(3)
           val delims = b.count(_ == ' '.toByte)
           Media(d.doc_id, b.length,
             1 + b.length % 640, 1 + hdr % 480, 1 + (delims + 1) % 32)

@@ -2296,23 +2296,33 @@ object GraftBloomSidecars {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** Whole-bundle byte cache: one read serves every ranged ref into the
-    * bundle. Bundles cap at [[BundleTargetBytes]], so 8 entries bound
-    * the memo at ~128 MB; a read failure pins an EMPTY array (every
-    * slice degrades to `!sat` below) so a 10⁵-ref plan over a missing
-    * bundle retries nothing. */
+    * bundle. BYTE-budgeted (512 MB), not entry-capped: an 8-entry
+    * clear-all policy thrashed under the parallel sweep once a table
+    * held more than 8 bundles (measured: a 24-bundle / 256-file plan
+    * paid 120 loads instead of 24). A read failure pins an EMPTY array
+    * (every slice degrades to `!sat` below) so a 10⁵-ref plan over a
+    * missing bundle retries nothing. */
+  val BundleCacheBudgetBytes: Long = 512L << 20
   private val bundleCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  private val bundleCacheBytes = new java.util.concurrent.atomic.AtomicLong
   private def bundleBytes(f: String): Array[Byte] = {
-    if (bundleCache.size > 8) bundleCache.clear()
+    if (bundleCacheBytes.get() > BundleCacheBudgetBytes) {
+      bundleCache.clear()
+      bundleCacheBytes.set(0L)
+    }
     bundleCache.computeIfAbsent(f, p => {
       loads.increment()
-      try Files.readAllBytes(Paths.get(p))
-      catch { case e: java.io.IOException =>
-        System.err.println(
-          s"graft-sink: index bundle $p unreadable (${e.getMessage}); " +
-            "treating its payloads as saturated (no skip)")
-        Array.emptyByteArray
-      }
+      val bytes =
+        try Files.readAllBytes(Paths.get(p))
+        catch { case e: java.io.IOException =>
+          System.err.println(
+            s"graft-sink: index bundle $p unreadable (${e.getMessage}); " +
+              "treating its payloads as saturated (no skip)")
+          Array.emptyByteArray
+        }
+      bundleCacheBytes.addAndGet(bytes.length.toLong)
+      bytes
     })
   }
   def isRef(payload: String): Boolean =
@@ -2408,7 +2418,9 @@ object GraftBloomSidecars {
     ((m.pblooms.values ++ m.ngblooms.values).map(_._2) ++ m.blooms.values)
       .flatMap(refName).toSeq
   /** Test hook: force the next resolve to hit disk (loads-counting). */
-  def dropCache(): Unit = { cache.clear(); bundleCache.clear() }
+  def dropCache(): Unit = {
+    cache.clear(); bundleCache.clear(); bundleCacheBytes.set(0L)
+  }
 }
 
 /** Per-(file, column) HYPERLOGLOG NDV sketch — the distinct-count fact

@@ -28,16 +28,35 @@ object Tables {
     * downstream operator and oracle sees the same instants either way. */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = table(spark, sfDir, "events")
+    normalizeTs(table(spark, sfDir, "events"), eventsTsType(spark, sfDir), sfDir)
+  }
+
+  /** The fixture's physical ts type — a pure function of the sf dir, so
+    * probe the footer ONCE per (JVM, dir) instead of per call (the
+    * streaming reader probes it for its explicit schema on every key). */
+  private val tsTypes =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]
+  def eventsTsType(s: SparkSession, d: String): org.apache.spark.sql.types.DataType =
+    tsTypes.computeIfAbsent(d, dir => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    })
+
+  /** events.ts has shipped as INT64 TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+    * NTZ across fixture generations — ONE normalization to session-UTC
+    * TimestampType shared by the batch and stream readers (they
+    * previously carried verbatim copies that could drift). */
+  def normalizeTs(df: DataFrame,
+      tsType: org.apache.spark.sql.types.DataType, at: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    df.schema("ts").dataType match {
+    tsType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case org.apache.spark.sql.types.TimestampType => df
       case dt => throw new IllegalStateException(
-        s"events.ts read as unsupported type $dt at $sfDir")
+        s"events.ts read as unsupported type $dt at $at")
     }
   }
 
