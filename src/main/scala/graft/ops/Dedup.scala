@@ -22,6 +22,22 @@ import graft.util.Tables._
   */
 object Dedup {
 
+  /** The 16×4-bit sign-LSH band-collision predicate over DuckDB's
+    * 1-based embedding arrays, generated from LshPrefilter.BandPerm —
+    * the ONE encoding of the banding both banded-key oracles
+    * (dedup_embedding_cosine, vec_dedup_semantic) must share so Spark
+    * and DuckDB compute identical candidate sets by construction. */
+  private[ops] def embBandEqSql: String = {
+    val perm = graft.plans.LshPrefilter.BandPerm
+    def bv(side: String, k: Int): String = (0 until 4).map { j =>
+      s"(CASE WHEN $side.embedding[${perm(4 * k + j) + 1}] >= 0 " +
+        s"THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    (0 until graft.plans.LshPrefilter.NumBands)
+      .map(k => s"(${bv("a", k)}) = (${bv("b", k)})")
+      .mkString("(", "\n    OR ", ")")
+  }
+
   private def words: Column = split(col("text"), " ")
 
   /** See Text.bigramsOf — zip_with(slice,slice) form, ~60× cheaper than
@@ -490,7 +506,10 @@ object Dedup {
     "dedup_substring" -> dedupSubstring
   )
 
-  private val bgSql =
+  /** The bigram-shingle SQL every Jaccard-family oracle builds on —
+    * private[ops]: Pipeline's dedup_cc_components oracle shares it, so
+    * "what a bigram is" has exactly one encoding (round-16b review). */
+  private[ops] val bgSql =
     "list_distinct(list_transform(range(1, len(str_split(text,' '))), " +
       "i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]))"
 
@@ -643,14 +662,7 @@ object Dedup {
     // instead of failing the gate whenever the fixture grows such a pair.
     // The EXACT all-pairs control stays at the spec layer (ScaleFixSpec).
     "dedup_embedding_cosine" -> {
-      val perm = graft.plans.LshPrefilter.BandPerm
-      def bv(side: String, k: Int): String = (0 until 4).map { j =>
-        s"(CASE WHEN $side.embedding[${perm(4 * k + j) + 1}] >= 0 " +
-          s"THEN ${1 << j} ELSE 0 END)"
-      }.mkString(" + ")
-      val bandEq = (0 until graft.plans.LshPrefilter.NumBands)
-        .map(k => s"(${bv("a", k)}) = (${bv("b", k)})")
-        .mkString("(", "\n    OR ", ")")
+      val bandEq = Dedup.embBandEqSql
       s"""SELECT vec_a, vec_b FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |         list_cosine_similarity(a.embedding, b.embedding) AS cos
