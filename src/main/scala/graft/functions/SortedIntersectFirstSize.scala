@@ -72,32 +72,12 @@ case class SortedIntersectFirstSize(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val n = ctx.freshName("n"); val first = ctx.freshName("first")
-      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-      val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      val sc = ctx.freshName("sc")
-      val scan =
-        (if (scanLeft) s"""
-           |for (int $sc = 0; $sc < $na; $sc++) {
-           |  if ($a.isNullAt($sc)) { ${ev.isNull} = true; break; } }""".stripMargin
-         else "") +
-        (if (scanRight) s"""
-           |for (int $sc = 0; $sc < $nb && !${ev.isNull}; $sc++) {
-           |  if ($b.isNullAt($sc)) { ${ev.isNull} = true; break; } }""".stripMargin
-         else "")
+      // shared per-class kernel — see VectorDot.doGenCode
+      val nullFn = VecCodegen.nullScanUneven(ctx)
+      val fsFn = VecCodegen.intersectFirstSize(ctx)
       s"""
-         |int $na = $a.numElements(); int $nb = $b.numElements();
-         |$scan
-         |int $i = 0; int $j = 0; int $n = 0; int $first = -1;
-         |while ($i < $na && $j < $nb && !${ev.isNull}) {
-         |  int $x = $a.getInt($i); int $y = $b.getInt($j);
-         |  if ($x == $y) { if ($n == 0) $first = $x; $n++; $i++; $j++; }
-         |  else if ($x < $y) { $i++; } else { $j++; }
-         |}
-         |if (!${ev.isNull}) {
-         |  ${ev.value} = (((long) $first) << 32) | (((long) $n) & 0xffffffffL);
-         |}
+         |if ($nullFn($a, $b, $scanLeft, $scanRight)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $fsFn($a, $b); }
        """.stripMargin
     })
 

@@ -66,30 +66,12 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val n = ctx.freshName("n")
-      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-      val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      val sc = ctx.freshName("sc")
-      val scan =
-        (if (scanLeft) s"""
-           |for (int $sc = 0; $sc < $na; $sc++) {
-           |  if ($a.isNullAt($sc)) { ${ev.isNull} = true; break; } }""".stripMargin
-         else "") +
-        (if (scanRight) s"""
-           |for (int $sc = 0; $sc < $nb && !${ev.isNull}; $sc++) {
-           |  if ($b.isNullAt($sc)) { ${ev.isNull} = true; break; } }""".stripMargin
-         else "")
+      // shared per-class kernel — see VectorDot.doGenCode
+      val nullFn = VecCodegen.nullScanUneven(ctx)
+      val sizeFn = VecCodegen.intersectSize(ctx)
       s"""
-         |int $na = $a.numElements(); int $nb = $b.numElements();
-         |$scan
-         |int $i = 0; int $j = 0; int $n = 0;
-         |while ($i < $na && $j < $nb && !${ev.isNull}) {
-         |  int $x = $a.getInt($i); int $y = $b.getInt($j);
-         |  if ($x == $y) { $n++; $i++; $j++; }
-         |  else if ($x < $y) { $i++; } else { $j++; }
-         |}
-         |if (!${ev.isNull}) { ${ev.value} = $n; }
+         |if ($nullFn($a, $b, $scanLeft, $scanRight)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $sizeFn($a, $b); }
        """.stripMargin
     })
 

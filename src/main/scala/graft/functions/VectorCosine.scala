@@ -64,31 +64,12 @@ case class VectorCosine(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      // branchless fused null tracking — see VectorDot
-      val nullTrack =
-        (if (scanLeft) s" | $a.isNullAt($i)" else "") +
-        (if (scanRight) s" | $b.isNullAt($i)" else "")
-      val TRACK = if (nullTrack.isEmpty) "" else
-        s"${ev.isNull} = ${ev.isNull}$nullTrack;"
+      // shared per-class kernel — see VectorDot.doGenCode
+      val nullFn = VecCodegen.nullScan(ctx)
+      val cosFn = VecCodegen.cosine(ctx)
       s"""
-         |int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $TRACK
-         |    double x = (double) $a.getFloat($i);
-         |    double y = (double) $b.getFloat($i);
-         |    $dot += x * y; $na += x * x; $nb += y * y;
-         |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb); }
-         |}
+         |if ($nullFn($a, $b, $scanLeft, $scanRight)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $cosFn($a, $b); }
        """.stripMargin
     })
 

@@ -72,29 +72,16 @@ case class VectorDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
-      // BRANCHLESS fused null tracking (bitwise |, no data-dependent
-      // branch in the FP loop); a null makes the accumulated value
-      // garbage but DISCARDED (isNull wins). Schema-clean sides elide.
-      val nullTrack =
-        (if (scanLeft) s" | $a.isNullAt($i)" else "") +
-        (if (scanRight) s" | $b.isNullAt($i)" else "")
-      val TRACK = if (nullTrack.isEmpty) "" else
-        s"${ev.isNull} = ${ev.isNull}$nullTrack;"
+      // ONE shared per-class kernel (VecCodegen): the call site stays a
+      // 2-line branch however many codebook literals surround it, and the
+      // hot loop is the original bulk-copy primitive scan. The precheck
+      // carries the length-mismatch + null-poisoning semantics; the static
+      // schema flags land as constants JIT folds away.
+      val nullFn = VecCodegen.nullScan(ctx)
+      val dotFn = VecCodegen.dot(ctx)
       s"""
-         |int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $TRACK
-         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
-         |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
-         |}
+         |if ($nullFn($a, $b, $scanLeft, $scanRight)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dotFn($a, $b); }
        """.stripMargin
     })
 
