@@ -33,8 +33,9 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   val ConfKey = "spark.graft.approx.distinct"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // lenient parse (see LshPrefilter): toBoolean throws on "1"/"yes"
-    if (!"true".equalsIgnoreCase(SQLConf.get.getConfString(ConfKey, "false")))
+    // lenient parse (see LshPrefilter): toBoolean throws on "1"/"yes";
+    // FlagParse warns once on a misspelled opt-in (ADVICE r16)
+    if (!FlagParse.enabled(ConfKey, logWarning(_)))
       return plan
     plan.transform {
       case a: Aggregate =>

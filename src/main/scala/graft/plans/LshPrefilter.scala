@@ -79,8 +79,9 @@ object LshPrefilter extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // lenient parse: String.toBoolean THROWS on "1"/"yes", and an
     // exception inside a session-injected rule fails every later query
-    // in the session (round-16b review)
-    if (!"true".equalsIgnoreCase(SQLConf.get.getConfString(ConfKey, "false")))
+    // in the session (round-16b review); FlagParse warns once on a
+    // misspelled opt-in instead of silently disabling (ADVICE r16)
+    if (!FlagParse.enabled(ConfKey, logWarning(_)))
       return plan
     // transformUp, not transformDown: a nested qualifying join must be
     // rewritten ONCE before its parent duplicates the subtree into 16

@@ -914,7 +914,12 @@ private[sources] class GraftOrphansProcedure(cat: GraftCatalog)
         // bloom sidecars and index bundles are debris too once no
         // version's refs name them (round 16b — keep carries refsOf)
         f.getName.endsWith(".ngb") || f.getName.endsWith(".pbb") ||
-        f.getName.endsWith(".blm") || f.getName.endsWith(".idb")) &&
+        f.getName.endsWith(".blm") || f.getName.endsWith(".idb") ||
+        // AGED .tmp leftovers (crashed writers, failed compactions) are
+        // debris the vacuum tmp-sweep will reclaim — report them too;
+        // in-flight ones stay protected by the same grace window
+        // (ADVICE r16: .idb.tmp was invisible to this report)
+        f.getName.endsWith(".tmp")) &&
         !f.getName.startsWith("epoch-") && !keep.contains(f.getName) &&
         f.lastModified() <= cutoff)
     result(StructType.fromDDL("n_orphans BIGINT, orphan_bytes BIGINT"),
@@ -1453,6 +1458,16 @@ object GraftMaintenance {
     var curLen = 0L
     var payloads = 0
     def closeOut(): Unit = if (out != null) { out.close(); out = null }
+    // any throw between the first tmp creation and the commit deletes
+    // every staged file this attempt created — in BOTH forms, since a
+    // mid-move failure leaves some already renamed (ADVICE r16: leaked
+    // `.idb.tmp` debris was invisible to the orphans report; vacuum's
+    // aged-tmp sweep would reclaim it, but only after the grace window,
+    // and an eager cleanup is what the commit-failure path already does)
+    def dropStaged(): Unit = names.foreach { n =>
+      Files.deleteIfExists(Paths.get(dir, n + ".tmp"))
+      Files.deleteIfExists(Paths.get(dir, n)); ()
+    }
     try {
       head.metas.zipWithIndex.foreach { case (m, mi) =>
         def add(kind: Int, col: Int, pay: String): Unit =
@@ -1488,12 +1503,14 @@ object GraftMaintenance {
         m.pblooms.toSeq.sortBy(_._1).foreach { case (i, (_, p)) => add(1, i, p) }
         m.ngblooms.toSeq.sortBy(_._1).foreach { case (i, (_, p)) => add(2, i, p) }
       }
+      if (payloads == 0) return (0, 0, headV)
+    } catch { case e: Throwable =>
+      closeOut(); dropStaged(); throw e
     } finally closeOut()
-    if (payloads == 0) return (0, 0, headV)
-    names.foreach { name =>
+    try names.foreach { name =>
       Files.move(Paths.get(dir, name + ".tmp"), Paths.get(dir, name),
         StandardCopyOption.ATOMIC_MOVE)
-    }
+    } catch { case e: Throwable => dropStaged(); throw e }
     val bundles = names
     val newMetas = head.metas.zipWithIndex.map { case (m, mi) =>
       m.copy(

@@ -2299,31 +2299,58 @@ object GraftBloomSidecars {
     * bundle. BYTE-budgeted (512 MB), not entry-capped: an 8-entry
     * clear-all policy thrashed under the parallel sweep once a table
     * held more than 8 bundles (measured: a 24-bundle / 256-file plan
-    * paid 120 loads instead of 24). A read failure pins an EMPTY array
-    * (every slice degrades to `!sat` below) so a 10⁵-ref plan over a
-    * missing bundle retries nothing. */
+    * paid 120 loads instead of 24). Bytes are accounted AT INSERT and
+    * other entries evicted until the budget holds (ADVICE r16: the old
+    * check-before-insert + clear-all let concurrent inserts overshoot
+    * by one bundle each and dropped hot entries wholesale). A read
+    * FAILURE is returned as an empty array (every slice degrades to
+    * `!sat` below) but NOT cached, so a transient error — e.g. racing
+    * a vacuum — recovers on the next probe instead of pinning
+    * no-skip for the process lifetime. */
   val BundleCacheBudgetBytes: Long = 512L << 20
   private val bundleCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
   private val bundleCacheBytes = new java.util.concurrent.atomic.AtomicLong
+  /** Transient-failure memo: a failed bundle read is remembered for
+    * [[FailTtlNanos]] so ONE probe's many refs pay one attempted read
+    * (not one per ref), while a LATER probe retries — the old
+    * empty-array pin made a transient error (e.g. racing a vacuum)
+    * permanent for the process lifetime (ADVICE r16). */
+  private val FailTtlNanos: Long = 10L * 1000 * 1000 * 1000
+  private val bundleFails =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def bundleBytes(f: String): Array[Byte] = {
-    if (bundleCacheBytes.get() > BundleCacheBudgetBytes) {
-      bundleCache.clear()
-      bundleCacheBytes.set(0L)
+    val exp = bundleFails.get(f)
+    if (exp != null) {
+      if (System.nanoTime() < exp) return Array.emptyByteArray
+      bundleFails.remove(f, exp); ()
     }
-    bundleCache.computeIfAbsent(f, p => {
+    val cached = bundleCache.computeIfAbsent(f, p => {
       loads.increment()
-      val bytes =
-        try Files.readAllBytes(Paths.get(p))
-        catch { case e: java.io.IOException =>
-          System.err.println(
-            s"graft-sink: index bundle $p unreadable (${e.getMessage}); " +
-              "treating its payloads as saturated (no skip)")
-          Array.emptyByteArray
-        }
-      bundleCacheBytes.addAndGet(bytes.length.toLong)
-      bytes
+      try {
+        val bytes = Files.readAllBytes(Paths.get(p))
+        bundleCacheBytes.addAndGet(bytes.length.toLong)
+        bytes
+      } catch { case e: java.io.IOException =>
+        System.err.println(
+          s"graft-sink: index bundle $p unreadable (${e.getMessage}); " +
+            "treating its payloads as saturated (no skip)")
+        bundleFails.put(p, System.nanoTime() + FailTtlNanos)
+        null // computeIfAbsent records NO mapping — the failure can heal
+      }
     })
+    if (cached == null) return Array.emptyByteArray
+    if (bundleCacheBytes.get() > BundleCacheBudgetBytes) {
+      // evict OTHER bundles until under budget (bundle counts are small:
+      // one per BundleTargetBytes of filter payload — a linear sweep)
+      val it = bundleCache.entrySet().iterator()
+      while (bundleCacheBytes.get() > BundleCacheBudgetBytes && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != f && bundleCache.remove(e.getKey, e.getValue))
+          bundleCacheBytes.addAndGet(-e.getValue.length.toLong)
+      }
+    }
+    cached
   }
   def isRef(payload: String): Boolean =
     payload.nonEmpty && payload.charAt(0) == '@'
@@ -2420,6 +2447,7 @@ object GraftBloomSidecars {
   /** Test hook: force the next resolve to hit disk (loads-counting). */
   def dropCache(): Unit = {
     cache.clear(); bundleCache.clear(); bundleCacheBytes.set(0L)
+    bundleFails.clear()
   }
 }
 
