@@ -3929,8 +3929,18 @@ case class GraftSinkScan(path: String, version: Option[Int],
             s"pinned snapshot at $path")
         tagged.filter { case (m, _) => want(m.name) }
     }
+    // probe-triggered index compaction (round 17): count the PER-FILE
+    // sidecar fetches this skip pass pays; past the threshold the first
+    // big cold probe arms one incremental bundle sweep so it is also the
+    // LAST probe that pays per-file round trips on this table. The global
+    // LongAdder can over-count under concurrency — overshoot only arms a
+    // sweep that is beneficial anyway, and the sweep itself re-checks
+    // pendingSidecars against the head.
+    val preLoads = GraftBloomSidecars.loads.sum()
     val skipped = GraftSinkScan.parKeep(scoped) { case (m, _) =>
       filters.forall(GraftSinkScan.mayMatch(m, full, _)) }
+    GraftMaintenance.autoCompactProbe(path,
+      GraftBloomSidecars.loads.sum() - preLoads)
     // pushed-LIMIT/TopN file cap (builder-proven complete answer set)
     val capped = capFiles match {
       case Some(keep) => skipped.filter { case (m, _) => keep(m.name) }

@@ -32,6 +32,10 @@ object PruneScaleDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the legacy phases measure the UNTRIGGERED economics (explicit
+    // compact_index A/B); the probe-triggered path gets its own phases
+    // at the end of the run
+    graft.sources.GraftMaintenance.autoProbeEnabled = false
     val root = java.nio.file.Files.createTempDirectory("graft_prune").toString
     val n = nFiles * rowsPer
     def base = spark.range(n).select(col("id").as("k"),
@@ -246,6 +250,33 @@ object PruneScaleDemo {
     annMeasure("ann_file_route", annRead(None).select(col("id"), col("v")))
     annMeasure("ann_rowgroup_route",
       annRead(Some(2)).select(col("id"), col("v")))
+    // PROBE-TRIGGERED COMPACTION (round 17, VERDICT r16 next #2): a fresh
+    // UNCOMPACTED table's first big cold probe pays one sidecar fetch per
+    // candidate file AND (past the threshold) arms the incremental bundle
+    // sweep synchronously — so the SECOND cold probe (new process /
+    // dropped cache) pays O(bundles) reads. The first phase's plan wall
+    // includes the sweep it triggers: that is the bill the design chose
+    // (the probe that trips the threshold pays it, like auto-optimize).
+    graft.sources.GraftMaintenance.autoProbeEnabled = true
+    val ngauto = s"$root/ngauto"
+    base.repartition(nFiles, col("k"))
+      .write.format("graft-sink").option("path", ngauto)
+      .option("ngramBloomFor", "payload:6").mode("overwrite").save()
+    def autoPhase(tag: String): Unit = {
+      graft.sources.GraftBloomSidecars.dropCache()
+      val l0 = graft.sources.GraftBloomSidecars.loads.sum()
+      val t0 = System.nanoTime()
+      val planned = rd(ngauto).where(col("payload").contains(needleStr))
+        .rdd.getNumPartitions
+      val planMs = (System.nanoTime() - t0) / 1e6
+      val sloads = graft.sources.GraftBloomSidecars.loads.sum() - l0
+      val versions = graft.sources.GraftManifest.versions(ngauto).size
+      println(f"""{"phase":"$tag","files_planned":$planned,"of":$nFiles,""" +
+        f""""sidecar_loads":$sloads,"versions":$versions,""" +
+        f""""plan_wall_ms":${planMs}%.0f}""")
+    }
+    autoPhase("ngauto_first_cold")  // O(files) loads, sweep triggered
+    autoPhase("ngauto_second_cold") // O(bundles) loads, no new version
     spark.stop()
   }
 }
