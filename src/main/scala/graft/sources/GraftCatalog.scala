@@ -1323,9 +1323,13 @@ object GraftMaintenance {
       .flatMap { case (i, ws) =>
         // MIN width on record, like idxOf: auto-widening can leave one
         // saturated file at w+2, and rebuilding the whole table at the
-        // widened width would cost every narrow probe its pruning
+        // widened width would cost every narrow probe its pruning —
+        // UNLESS a `!sat:w<N>` marker proves every tracked width dead
+        // on some file's data, in which case the suggested width wins
+        // (round 17): this is how OPTIMIZE lands the viable width
         fields.lift(i).filterNot(f => except(f.name))
-          .map(f => s"${f.name}:${ws.map(_._2._1).min}") }
+          .map(f =>
+            s"${f.name}:${GraftBloomSidecars.rebuildWidth(ws.map(_._2))}") }
     val w1 = if (blooms.nonEmpty) w.option("bloomFor", blooms.mkString(",")) else w
     val w2 = if (ndvs.nonEmpty) w1.option("ndvFor", ndvs.mkString(",")) else w1
     val w3 = if (cens.nonEmpty) w2.option("centroidFor", cens.mkString(",")) else w2
@@ -1532,7 +1536,7 @@ object GraftMaintenance {
             // an unreadable sidecar resolves to the saturated sentinel:
             // keep the ORIGINAL ref rather than freezing the transient
             // degrade into durable bundle bytes
-            if (s != GraftBloomSidecars.Saturated) {
+            if (!GraftBloomSidecars.isSaturated(s)) {
               val bytes = s.getBytes(StandardCharsets.UTF_8)
               if (out == null || (curLen > 0 &&
                   curLen + bytes.length > GraftBloomSidecars.BundleTargetBytes)) {

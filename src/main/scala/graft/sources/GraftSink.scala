@@ -2121,7 +2121,7 @@ object GraftCheck {
   * conservative like every manifest fact; deletion vectors never
   * invalidate a bloom (it may only over-approximate the live set). */
 object GraftBloom {
-  private val K = 6
+  val K = 6
   /** Default `prefixBloomFor` width (chars): 4 is wide enough that a
     * real LIKE-'p%' probe usually reaches it, narrow enough that the
     * per-file distinct-prefix set stays small (the bloom sizes by
@@ -2283,6 +2283,27 @@ object GraftBloomSidecars {
   val SidecarMinChars = 4096
   /** Saturated-fact marker — present but prunes nothing (see grammar). */
   val Saturated = "!sat"
+  /** Any saturated-marker form: plain `!sat`, or `!sat:w<N>` — the
+    * round-17 variant that NAMES the width a rebuild should use, decided
+    * at write time from the suggestion sketch (VERDICT r16 next #4). All
+    * marker forms keep the file without any decode. */
+  def isSaturated(pay: String): Boolean = pay.startsWith(Saturated)
+  /** The rebuild width a `!sat:w<N>` marker suggests. */
+  def satWidth(pay: String): Option[Int] =
+    if (pay.startsWith(Saturated + ":w"))
+      scala.util.Try(pay.substring(Saturated.length + 2).toInt)
+        .toOption.filter(w => w > 0 && w <= 16)
+    else None
+  /** Rebuild width for one column's recorded (width, payload) facts: a
+    * file whose marker NAMES a viable width wins (max over suggestions —
+    * that data provably saturated every narrower tracked width there);
+    * otherwise the MIN width on record (idxOf's note: rebuilding the
+    * whole table wider than the data demands costs narrow probes their
+    * pruning). */
+  def rebuildWidth(ws: Seq[(Int, String)]): Int = {
+    val sug = ws.flatMap(p => satWidth(p._2))
+    if (sug.nonEmpty) sug.max else ws.map(_._1).min
+  }
   /** Index-bundle target size (bytes): `compact_index` rotates to a
     * fresh bundle past this, so the whole-bundle slurp below stays
     * bounded and a probe over 10⁵ candidate files pays
@@ -4522,7 +4543,7 @@ object GraftSinkScan {
       // if bloom support ever extends to date/timestamp (ADVICE r10)
       case (i, dt @ (LongType | StringType)) => meta.blooms.get(i).forall { pay =>
         val rp = GraftBloomSidecars.resolve(pay) // sidecar-ref aware (round 16)
-        rp == GraftBloomSidecars.Saturated ||
+        GraftBloomSidecars.isSaturated(rp) ||
         vs.exists(v => GraftBloom.mightContain(rp, canon(dt, v)))
       }
       case _ => true
@@ -4542,10 +4563,10 @@ object GraftSinkScan {
     // the `!sat` marker keeps the file without any decode at all.
     def pbloomOk(c: String, ps: Iterable[String]): Boolean = col(c).forall {
       case (i, StringType) => meta.pblooms.get(i).forall { case (w, pay) =>
-        pay == GraftBloomSidecars.Saturated ||
+        GraftBloomSidecars.isSaturated(pay) ||
         ps.exists(p => p.length < w || {
           val rp = GraftBloomSidecars.resolve(pay) // missing sidecar → !sat
-          rp == GraftBloomSidecars.Saturated ||
+          GraftBloomSidecars.isSaturated(rp) ||
           GraftBloom.mightContain(rp, p.substring(0, w))
         })
       }
@@ -4571,11 +4592,11 @@ object GraftSinkScan {
       case (i, StringType) =>
         alphaOk(i, ps) &&
         meta.ngblooms.get(i).forall { case (w, pay) =>
-          pay == GraftBloomSidecars.Saturated ||
+          GraftBloomSidecars.isSaturated(pay) ||
           ps.exists { p =>
             p.length < w || {
               val rp = GraftBloomSidecars.resolve(pay) // missing sidecar → !sat
-              rp == GraftBloomSidecars.Saturated ||
+              GraftBloomSidecars.isSaturated(rp) ||
               GraftBloom.mightContainAll(rp,
                 (0 to p.length - w).iterator.map(o => p.substring(o, o + w)))
             }
@@ -5926,8 +5947,9 @@ class GraftDeltaBatchWrite(path: String, schema: StructType, tag: String,
       reverseFor = hdr.sortSpec.flatMap(GraftManifest.reverseCol),
       ngramBloomFor = base.toSeq.flatMap(_.metas.flatMap(_.ngblooms.toSeq))
         .groupBy(_._1).toSeq.sortBy(_._1)
-        .flatMap { case (i, ws) => // min width: see idxOf's note
-          schema.fields.lift(i).map(f => (f.name, ws.map(_._2._1).min)) })
+        .flatMap { case (i, ws) => // min width, or a !sat:w suggestion
+          schema.fields.lift(i).map(f =>
+            (f.name, GraftBloomSidecars.rebuildWidth(ws.map(_._2)))) })
   }
 
   /** Job commit: merge every task's vector fragments into one final
@@ -6363,6 +6385,13 @@ object GraftSinkWriter {
     * decode; beyond it the fact lands as `!sat` — keep without decode,
     * and the documented signal to widen w. */
   val NgramFillSat = 0.9
+  /** Distinct-window viability bound for the SUGGESTED width (round 17):
+    * the fixed [[GraftBloom.MaxBits]] table stays under [[NgramFillSat]]
+    * only while distinct inserts n keep 1 − e^(−K·n/m) < 0.9, i.e.
+    * n < m·ln10/K ≈ 3.2 M — past that NO width is viable at this table
+    * size and the marker stays plain `!sat`. */
+  val NgramSuggestViable: Long =
+    (GraftBloom.MaxBits * math.log(10) / GraftBloom.K).toLong
   /** Alphabet-tracking bound: |alphabet|^w saturation math only runs
     * while the observed alphabet is small enough for the window space
     * to be coverable at all (1024⁴ ≈ 10¹² dwarfs any real set). */
@@ -6623,6 +6652,17 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
     i -> (if (w + GraftSinkWriter.NgramWidenStep <= 16)
       Array(w, w + GraftSinkWriter.NgramWidenStep) else Array(w))
   }
+  /** SUGGESTION width per n-grammed column (round 17, VERDICT r16 next
+    * #4): ONE step past the widest tracked candidate, followed only as a
+    * distinct-window HLL sketch (4 KB, one extra hash per window — no
+    * filter bits). When every real candidate saturates at flush, the
+    * sketch decides whether this width would clear BOTH gates (occupancy
+    * vs |alphabet|^w and the fixed table's fill viability); if so the
+    * fact lands as `!sat:w<N>` so OPTIMIZE lands the width on rewrite. */
+  private val ngSuggestW: Map[Int, Int] = ngWidths.collect {
+    case (i, ws) if ws.last + GraftSinkWriter.NgramWidenStep <= 16 =>
+      i -> (ws.last + GraftSinkWriter.NgramWidenStep)
+  }
   private val ndvIdx: Array[Int] = ndvFor
     .flatMap(c => scala.util.Try(schema.fieldIndex(c)).toOption)
     // `ndvFor=*` may sweep in array columns — they have no canonical cell
@@ -6731,6 +6771,10 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         i -> ws.map(_ => scala.collection.mutable.HashSet.empty[Long]) }
     val ngbloomBits: Map[Int, Array[Array[Long]]] =
       ngWidths.map { case (i, ws) => i -> new Array[Array[Long]](ws.length) }
+    // suggestion-width distinct-window sketch (round 17): consulted only
+    // when every tracked candidate saturates at flush
+    val ngSuggestRegs: Map[Int, Array[Byte]] =
+      ngSuggestW.map { case (i, _) => i -> GraftHll.emptyRegisters() }
     // observed ALPHABET per windowed column (bounded): |alphabet|^w is
     // the window space an occupancy check measures saturation against;
     // past the bound the space is astronomically larger than any real
@@ -6922,6 +6966,14 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
             }
             k += 1
           }
+          ngSuggestW.get(i).foreach { w3 =>
+            val regs = p.ngSuggestRegs(i)
+            var o = 0
+            while (o + w3 <= cell.length) {
+              GraftHll.update(regs,
+                GraftBloom.hash(cell.substring(o, o + w3))); o += 1
+            }
+          }
         }
         p.ndvRegs.get(i).foreach(GraftHll.update(_, GraftBloom.hash(cells(i))))
       } else if (!row.isNullAt(i) && cenIdx.contains(i) && !p.cenBad(i)) {
@@ -7012,7 +7064,7 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
         .filter(p.sumOk(_)).map(i => i -> p.sums(i)).toMap
       def externalizePay(kind: String, i: Int, pay: String): String =
         if (pay.length < GraftBloomSidecars.SidecarMinChars ||
-            pay == GraftBloomSidecars.Saturated) pay
+            GraftBloomSidecars.isSaturated(pay)) pay
         else {
           val name = s"${fin.getName}.$i.$kind"
           val tmpP = Paths.get(path, name + ".tmp")
@@ -7061,7 +7113,22 @@ class GraftSinkWriter(path: String, schema: StructType, partitionId: Int,
             case null => i -> (ws(k), GraftBloom.build(sets(k).toArray))
             case bits => i -> (ws(k), GraftBloom.encode(bits))
           }
-          case None => i -> (ngbloomIdx(i), GraftBloomSidecars.Saturated)
+          case None =>
+            // every tracked candidate saturated: name the width a
+            // rebuild should use when the suggestion sketch clears BOTH
+            // gates — occupancy against |alphabet|^w (alphabet complete
+            // and bounded) and the fixed table's fill viability
+            val sug = ngSuggestW.get(i).filter { w3 =>
+              val d3 = GraftHll.estimate(p.ngSuggestRegs(i)).toDouble
+              alpha > 0 && !p.ngAlphaOver(i) &&
+                alpha <= GraftSinkWriter.NgramAlphaCap &&
+                d3 < math.pow(alpha.toDouble, w3.toDouble) *
+                  GraftSinkWriter.NgramSatFrac &&
+                d3 < GraftSinkWriter.NgramSuggestViable.toDouble
+            }
+            i -> (ngbloomIdx(i),
+              sug.fold(GraftBloomSidecars.Saturated)(w3 =>
+                s"${GraftBloomSidecars.Saturated}:w$w3"))
         }
       }.toMap
       // SIDECAR EXTERNALIZATION (round 16, VERDICT r15 next #1): a

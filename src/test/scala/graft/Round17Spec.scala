@@ -124,6 +124,64 @@ class Round17Spec extends AnyFunSuite {
     } finally GraftBloomSidecars.bundleFetchMode = "slurp"
   }
 
+  test("ngram saturation beyond one step names the width OPTIMIZE lands") {
+    // de Bruijn B(2,6) over {a,b}: every 6-window occurs (64 distinct —
+    // saturates the w=6 auto-widened candidate) and every 4-window too
+    // (16 — saturates the configured w=4), but the linear string holds
+    // only ~69 distinct 8-windows — far under BOTH the 0.5·2^8 occupancy
+    // gate and fill viability. w=8 is the width the marker must name and
+    // the rebuild must land.
+    def deBruijn26: String = { // FKM Lyndon-word concatenation, k=2 n=6
+      val n = 6
+      val sb = new StringBuilder
+      def gen(t: Int, p: Int, a: Array[Int]): Unit =
+        if (t > n) {
+          if (n % p == 0)
+            (1 to p).foreach(j => sb.append(if (a(j) == 0) 'a' else 'b'))
+        } else {
+          a(t) = a(t - p); gen(t + 1, p, a)
+          var j = a(t - p) + 1
+          while (j < 2) { a(t) = j; gen(t + 1, t, a); j += 1 }
+        }
+      gen(1, 1, new Array[Int](n + 1))
+      val s = sb.toString
+      s + s.take(n - 1) // linearize: keep the cyclic wrap windows
+    }
+    val root = tmp("graft_r17_widen")
+    spark.conf.set("spark.sql.catalog.g17w",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g17w.root", root)
+    val dir = s"$root/db/t"
+    val cell = deBruijn26
+    assert(cell.length == 69 && !cell.contains("aaaaaaa"),
+      s"fixture: B(2,6)+wrap is 69 chars with no 7-run: $cell")
+    spark.range(0, 64).selectExpr("id", s"'$cell' as s")
+      .repartition(2)
+      .write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:4")
+      .option("distributionMode", "none").mode("overwrite").save()
+    val metas1 = GraftManifest.readVersion(dir, None).get.metas
+    assert(metas1.nonEmpty && metas1.forall(_.ngblooms(1)._2 == "!sat:w8"),
+      s"both tracked widths saturate; the marker must name w=8: " +
+        metas1.map(_.ngblooms(1)).mkString(", "))
+    assert(metas1.forall(m => GraftBloomSidecars.isSaturated(m.ngblooms(1)._2)),
+      "the suggested-width marker is still a saturated (keep, no decode) form")
+    // OPTIMIZE lands the suggested width as a REAL pruning fact
+    spark.sql("CALL g17w.system.optimize('db.t', 1)").collect()
+    val metas2 = GraftManifest.readVersion(dir, None).get.metas
+    assert(metas2.size == 1 && metas2.head.ngblooms(1)._1 == 8,
+      s"the rebuild must use the suggested width: ${metas2.map(_.ngblooms(1)._1)}")
+    assert(!GraftBloomSidecars.isSaturated(metas2.head.ngblooms(1)._2),
+      "at w=8 the fact is a real filter, not a marker")
+    // ...and it prunes: the string's longest 'a'-run is 6, so an 8-'a'
+    // probe window is provably absent from the only file
+    val pruned = spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("s").contains("aaaaaaaa"))
+    assert(pruned.rdd.getNumPartitions == 0,
+      "a probe with an absent 8-window must plan zero files")
+    assert(pruned.count() == 0L)
+  }
+
   test("auto-compaction: autoProbeLoads=0 disables the trigger") {
     GraftMaintenance.autoProbeEnabled = true
     val root = tmp("graft_r17_off")
