@@ -3347,13 +3347,16 @@ class GraftSinkTable(path: String, schema0: StructType, versionAsOf: Option[Int]
         }
         (col, probe, nprobe)
       }
-    // ANN routing is a SNAPSHOT concept: the keep-set scores the pinned
-    // snapshot's metas, so under a change feed it would silently drop
-    // every removed ('delete') file from the feed (round-16 review) —
-    // refuse the combination loudly like wapId does
+    // ANN + BATCH CHANGE FEED compose (round 17, VERDICT r16 next #5 —
+    // lifting the round-16 refusal): the keep-set then scores the FEED's
+    // tagged population (added + removed + eqsel files, via cdfTagged)
+    // instead of the head snapshot, so removed ('delete') files rank in
+    // the same nprobe pool instead of silently dropping. Streaming CDF
+    // stays refused: a micro-batch planner re-derives its own version
+    // ranges, and a per-read probe option has no epoch to pin to.
     annOpt.foreach { _ =>
-      require(changesFrom.isEmpty && streamOpts.isEmpty,
-        "graft-sink: annProbe cannot combine with change-feed/stream reads")
+      require(streamOpts.isEmpty,
+        "graft-sink: annProbe cannot combine with stream reads")
     }
     // ROW-GROUP ANN ROUTING (round 15, VERDICT r14 next #5):
     // `annRgNprobe=<m>` keeps, inside each file the file-level route
@@ -3745,13 +3748,22 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
         cen.foreach(x => n2 += x * x)
         if (n2 > 0) dot / math.sqrt(n2) else Double.NegativeInfinity
       }
-      plannedManifest.map { m =>
-        val scored = m.metas.flatMap { f =>
+      // round 17: under a change feed the population to rank is the
+      // FEED's tagged files, not the head snapshot's — a removed file's
+      // meta still carries its centroid facts, so it routes like any
+      // other candidate and the feed stays exact over the routed subset
+      val popMetas: Option[Seq[GraftFileMeta]] = changesFrom match {
+        case Some(fromV) =>
+          Some(GraftSinkScan.cdfTagged(path, fromV, version)._1.map(_._1))
+        case None => plannedManifest.map(_.metas)
+      }
+      popMetas.map { metas =>
+        val scored = metas.flatMap { f =>
           f.centroids.get(i).map(b64 => (f.name, cosTo(b64)))
         }
         val keep = scored.sortBy { case (n, sc) => (-sc, n) }
           .take(np).map(_._1).toSet
-        val blind = m.metas.filter(f => !f.centroids.contains(i)).map(_.name)
+        val blind = metas.filter(f => !f.centroids.contains(i)).map(_.name)
         // ROW-GROUP routing (round 15): inside each kept file that
         // carries `#rgcen` facts, keep the annRgNprobe nearest CLAIMING
         // groups plus every `-` (no-claim) group, and merge adjacent
@@ -3764,7 +3776,7 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
         val ranges: Map[String, Seq[(Long, Long, Long)]] = annRgNprobe match {
           case None => Map.empty
           case Some(rg) =>
-            m.metas.filter(f =>
+            metas.filter(f =>
               keep(f.name) || !f.centroids.contains(i)).flatMap { f =>
               f.rgcens.get(i).filter(_.nonEmpty).flatMap { gs =>
                 val claiming = gs.zipWithIndex.filter(_._1.b64 != "-")
@@ -3794,7 +3806,7 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
           s" rg=$rg(${ranges.size} files ranged)").getOrElse("")
         (keep ++ blind, ranges,
           s" ann=[$c nprobe=$np -> ${keep.size}+${blind.size} of " +
-            s"${m.metas.size} files$rgDesc]")
+            s"${metas.size} files$rgDesc]")
       }
     }
 
@@ -3952,11 +3964,8 @@ case class GraftSinkScan(path: String, version: Option[Int],
     else {
     val tagged = changesFrom match {
       case Some(fromV) =>
-        val (added, removed, toV) = GraftSinkScan.diffMetas(path, fromV, version)
-        val fromEq = if (fromV == 0) Nil
-          else GraftManifest.headerFacts(path, fromV).eqDels
-        val toEq = GraftManifest.headerFacts(path, toV).eqDels
-        val newEq = toEq.filterNot(fromEq.toSet)
+        val (tagged0, fromEq, toEq, newEq) =
+          GraftSinkScan.cdfTagged(path, fromV, version)
         cdfEq = Some((fromEq, toEq, newEq))
         // EQUALITY DELETES render ROW-granular in the change feed: an
         // upsert epoch's rows arrive as added files ('insert', with the
@@ -3970,14 +3979,9 @@ case class GraftSinkScan(path: String, version: Option[Int],
         // by O(changed keys) sidecar sets. Entries RETIRED inside the
         // range (OPTIMIZE materialization) need no rendering of their
         // own: the rewrite's remove+add files already carry the net.
-        val addedKeys = added.map(m => (m.name, m.dv)).toSet
-        val eqSelFiles =
-          if (newEq.isEmpty) Nil
-          else GraftManifest.readVersion(path, Some(toV)).get.metas
-            .filterNot(m => addedKeys((m.name, m.dv)))
-            .filter(m => newEq.exists(_.v > m.seq))
-        added.map(_ -> "insert") ++ removed.map(_ -> "delete") ++
-          eqSelFiles.map(_ -> "eqsel")
+        // (population + entry sets computed in cdfTagged — shared with
+        // the ScanBuilder's ANN keep-set scorer, round 17)
+        tagged0
       case None =>
         val m = GraftManifest.readVersion(path, version).getOrElse(
           throw new IllegalArgumentException(
@@ -4320,6 +4324,30 @@ object GraftSinkScan {
     val toKeys = to.metas.map(key).toSet
     (to.metas.filterNot(m => fromKeys(key(m))),
       from.filterNot(m => toKeys(key(m))), to.version)
+  }
+
+  /** The change feed's tagged file population between `fromV` and the
+    * pinned version, with the range's equality-delete entry sets —
+    * shared by [[GraftSinkScan.survivors]] (which renders it) and the
+    * ScanBuilder's ANN keep-set scorer (round 17: routing must rank the
+    * FEED's files, not the head snapshot's, or every removed file would
+    * silently drop from the feed — the round-16 refusal ground). */
+  def cdfTagged(path: String, fromV: Int, version: Option[Int])
+      : (Seq[(GraftFileMeta, String)],
+         Seq[GraftEqDel], Seq[GraftEqDel], Seq[GraftEqDel]) = {
+    val (added, removed, toV) = diffMetas(path, fromV, version)
+    val fromEq = if (fromV == 0) Nil
+      else GraftManifest.headerFacts(path, fromV).eqDels
+    val toEq = GraftManifest.headerFacts(path, toV).eqDels
+    val newEq = toEq.filterNot(fromEq.toSet)
+    val addedKeys = added.map(m => (m.name, m.dv)).toSet
+    val eqSelFiles =
+      if (newEq.isEmpty) Nil
+      else GraftManifest.readVersion(path, Some(toV)).get.metas
+        .filterNot(m => addedKeys((m.name, m.dv)))
+        .filter(m => newEq.exists(_.v > m.seq))
+    (added.map(_ -> "insert") ++ removed.map(_ -> "delete") ++
+      eqSelFiles.map(_ -> "eqsel"), fromEq, toEq, newEq)
   }
 
   /** Filters the skipper understands (everything else is left entirely to

@@ -376,17 +376,25 @@ class Round16Spec extends AnyFunSuite {
       "TopN over a routed read must deliver k rows")
   }
 
-  test("annProbe refuses change-feed reads; divergent append sortBy refuses (review)") {
+  test("annProbe refuses stream reads; divergent append sortBy refuses (review)") {
     val dir = tmp("graft_r16_guards") + "/t"
     spark.range(0, 100).toDF("id").selectExpr("id", idVecExpr)
       .coalesce(1).write.format("graft-sink").option("path", dir)
       .option("centroidFor", "v").mode("overwrite").save()
-    // CDF + ANN: the route would silently drop every removed file's
-    // 'delete' rows — refused at plan time
+    // round 17 LIFTED the batch-CDF refusal (the keep-set now scores the
+    // FEED's tagged population — Round17Spec pins exactness); the
+    // STREAM refusal stays: a micro-batch planner re-derives version
+    // ranges and a per-read probe has no epoch to pin to
+    val ok = spark.read.format("graft-sink").option("path", dir)
+      .option("changesFrom", "0")
+      .option("annProbe", probe450).option("annCol", "v").load()
+    assert(ok.count() > 0L, "batch CDF + ANN now composes (round 17)")
     val e1 = intercept[Exception] {
-      spark.read.format("graft-sink").option("path", dir)
-        .option("changesFrom", "0")
-        .option("annProbe", probe450).option("annCol", "v").load().count()
+      spark.readStream.format("graft-sink").option("path", dir)
+        .option("startingVersion", "0")
+        .option("annProbe", probe450).option("annCol", "v").load()
+        .writeStream.format("memory").queryName("r16guard").start()
+        .processAllAvailable()
     }
     assert(e1.getMessage.contains("annProbe cannot combine"), e1.getMessage)
     // a declared sort layout: an explicit DIFFERENT append sortBy would

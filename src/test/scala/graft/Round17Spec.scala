@@ -182,6 +182,54 @@ class Round17Spec extends AnyFunSuite {
     assert(pruned.count() == 0L)
   }
 
+  test("ANN routing composes with a batch change feed: routed, exact") {
+    // two one-hot cells, one file each (per-file #centroid facts); a
+    // DELETE touches BOTH cells, then a routed changesFrom read with
+    // nprobe=1 must return EXACTLY the probed cell's change rows —
+    // including the remove-side ('delete' tags) of the DV change, which
+    // the pre-round-17 refusal ground said routing would drop
+    val root = tmp("graft_r17_cdfann")
+    spark.conf.set("spark.sql.catalog.g17c",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g17c.root", root)
+    val dir = s"$root/db/t"
+    spark.range(0, 400).selectExpr("id",
+        "transform(sequence(0, 7), d -> cast(if(id % 2 = d, " +
+          "1.0, 0.0) as float)) as ce",
+        "id % 2 as cell")
+      .repartition(col("cell"))
+      .write.format("graft-sink").option("path", dir)
+      .option("partitionBy", "cell").option("centroidFor", "ce")
+      .mode("overwrite").save()
+    val v1 = GraftManifest.readVersion(dir, None).get
+    assert(v1.metas.size == 2 && v1.metas.forall(_.centroids.contains(1)),
+      "fixture: one centroid-bearing file per cell")
+    spark.sql("DELETE FROM g17c.db.t WHERE id < 20") // ids 0..19, both cells
+    def probe(cellDim: Int): Array[Double] =
+      (0 until 8).map(d => if (d == cellDim) 1.0 else 0.0).toArray
+    def cdf(ann: Option[Int]) = {
+      val r = spark.read.format("graft-sink").option("path", dir)
+        .option("changesFrom", "1")
+      ann.fold(r)(c => r.option("annProbe", probe(c).mkString(","))
+        .option("annNprobe", "1").option("annCol", "ce")).load()
+        .select(col("id"), col("_change_type"))
+    }
+    val full = cdf(None).collect().map(r => (r.getLong(0), r.getString(1)))
+    // file-granular DV change: delete x old live rows + insert x new live
+    val expectCell0 = full.filter(_._1 % 2 == 0).sorted
+    assert(expectCell0.count(_._2 == "delete") == 200 &&
+      expectCell0.count(_._2 == "insert") == 190,
+      s"fixture: cell-0 feed is 200 deletes + 190 inserts")
+    val routed = cdf(Some(0)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(routed.sameElements(expectCell0),
+      "the routed feed must be EXACTLY the probed cell's change rows — " +
+        "both tags, remove-side included")
+    // routing prunes the plan, not just the rows: one cell's splits
+    assert(cdf(Some(0)).rdd.getNumPartitions < cdf(None).rdd.getNumPartitions,
+      "the routed feed must plan fewer splits than the full feed")
+  }
+
   test("auto-compaction: autoProbeLoads=0 disables the trigger") {
     GraftMaintenance.autoProbeEnabled = true
     val root = tmp("graft_r17_off")
