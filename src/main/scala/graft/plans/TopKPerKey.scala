@@ -28,17 +28,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, "k must be positive")
-  // a non-binary collation compares strings the byte-run detector cannot
-  // ('a' = 'A' under UTF8_LCASE would split one key into several runs and
-  // over-emit); refuse loudly rather than answer wrong (round-16b review)
-  require(keys.forall(_.dataType match {
-    // only the default (UTF8_BINARY) StringType singleton compares byte-
-    // wise; any collated instance is a different StringType object
-    case st: org.apache.spark.sql.types.StringType =>
-      st == org.apache.spark.sql.types.StringType
-    case _ => true
-  }), "topKPerKey requires binary-comparable string keys " +
-    "(non-binary collations are unsupported)")
+  // NON-BINARY collations (round 17, VERDICT r16 next #6 — un-refusing
+  // the round-16b guard): a collated string compares in a way the raw
+  // byte-run detector cannot ('a' = 'A' under UTF8_LCASE), so the exec
+  // normalizes collated keys through Catalyst's own CollationKey — the
+  // ICU sort key whose BYTES are equal exactly when the strings are
+  // collation-equal — and clusters/sorts on the normalized form, the
+  // same rewrite Spark applies to its own collated aggregates.
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
@@ -52,11 +48,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
+  // distribution AND ordering are declared on the NORMALIZED keys: a
+  // collation-aware run is only detectable when collation-equal keys
+  // are co-partitioned and adjacent, which raw-byte hashing/sorting of
+  // collated strings does not guarantee — CollationKey bytes do, and
+  // their byte order IS the collation order (ICU sort-key contract)
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    ClusteredDistribution(normalizedKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+    Seq(normalizedKeys.map(SortOrder(_, Ascending)) ++ order)
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = child.outputOrdering
@@ -73,6 +74,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       case org.apache.spark.sql.types.FloatType |
            org.apache.spark.sql.types.DoubleType =>
         org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(e)
+      // a NON-binary-collated string key runs through Catalyst's own
+      // CollationKey (round 17): collation-equal strings — and only
+      // those — project to identical sort-key bytes, so the byte-run
+      // detector, the clustering and the adjacency sort are all
+      // collation-correct at once
+      case st: org.apache.spark.sql.types.StringType
+          if st != org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.expressions.CollationKey(e)
       case _ => e
     }
   }

@@ -230,6 +230,31 @@ class Round17Spec extends AnyFunSuite {
       "the routed feed must plan fewer splits than the full feed")
   }
 
+  test("topKPerKey: UTF8_LCASE keys form collation-correct runs") {
+    // 'apple'/'APPLE'/'Apple' are ONE key under UTF8_LCASE — the
+    // round-16b guard refused this shape; round 17 normalizes through
+    // CollationKey so the byte-run detector sees one run per
+    // collation-equal class (window-function parity, not byte parity)
+    import spark.implicits._
+    val df = Seq(
+      ("apple", 3L), ("APPLE", 1L), ("Apple", 2L),
+      ("pear", 5L), ("PEAR", 4L))
+      .toDF("k0", "v")
+      .selectExpr("collate(k0, 'UTF8_LCASE') as key", "v")
+    val got = api.Graft.topKPerKey(df, Seq("key"), Seq(("v", false)), 1)
+      .selectExpr("lower(key) as key", "v").as[(String, Long)]
+      .collect().sorted
+    assert(got.sameElements(Array(("apple", 1L), ("pear", 4L))),
+      s"one winner per collation-equal class: ${got.mkString(", ")}")
+    // window-function oracle on the same frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("v").asc)
+    val oracle = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).selectExpr("lower(key) as key", "v")
+      .as[(String, Long)].collect().sorted
+    assert(got.sameElements(oracle), "must match Spark's own collated window")
+  }
+
   test("auto-compaction: autoProbeLoads=0 disables the trigger") {
     GraftMaintenance.autoProbeEnabled = true
     val root = tmp("graft_r17_off")
