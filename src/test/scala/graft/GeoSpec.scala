@@ -32,6 +32,20 @@ class GeoSpec extends AnyFunSuite {
       glat >= 81 && glat <= 98 && glon >= 162 && glon <= 198 })
   }
 
+  test("geo_knn_prefiltered: cell equi-join, no all-pairs, brute parity") {
+    val pre = ops.Geo.geoKnnPrefiltered(spark, sf)
+    // the candidate join is the CELL key equi-join — never a Cartesian
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefiltered KNN must plan no all-pairs node:\n$plan")
+    // brute-panel control: identical rows (exactness certificate holds)
+    val brute = ops.Geo.geoKnnPoints(spark, sf).collect().map(_.toSeq)
+    val got = pre.collect().map(_.toSeq)
+    assert(got.length == brute.length && got.sameElements(brute),
+      "prefiltered answer must equal the brute panel's exactly")
+  }
+
   test("geo_bbox_join broadcasts the box dim and counts containment exactly") {
     val out = ops.Geo.geoBboxJoin(spark, sf)
     val plan = out.queryExecution.executedPlan.toString
