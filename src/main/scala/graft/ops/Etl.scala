@@ -133,15 +133,23 @@ object Etl {
 
   /** Batch sessionization, 30-min inactivity gap: lag → boundary flag →
     * running sum = session ordinal (two windows, one shuffle on user_id). */
-  def etlSessionize(spark: SparkSession, sf: String): DataFrame = {
+  /** Shared session-ordinal derivation (30-min inactivity boundary over
+    * the per-user (ts, event_id) order) — the block [[etlSessionize]] and
+    * [[etlFunnel]] both aggregate over; extracted round 17 (the recorded
+    * ETL-review duplication), behavior pinned by both keys' oracles. */
+  private def withSessionOrd(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(spark, sf)
+    ev
       .withColumn("es", epochS(col("ts")))
       .withColumn("prev_es", lag(col("es"), 1).over(w))
       .withColumn("boundary",
         when(col("prev_es").isNull || col("es") - col("prev_es") > 1800, 1).otherwise(0))
       .withColumn("session_ord", sum(col("boundary")).over(wRun))
+  }
+
+  def etlSessionize(spark: SparkSession, sf: String): DataFrame = {
+    withSessionOrd(events(spark, sf))
       .groupBy(col("user_id"), col("session_ord"))
       .agg(count(lit(1)).as("n_events"),
         min(col("es")).as("first_epoch"), max(col("es")).as("last_epoch"),
@@ -258,14 +266,7 @@ object Etl {
     * click is later followed by a purchase in the same session. Integer/
     * epoch logic end to end. */
   def etlFunnel(spark: SparkSession, sf: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sessions = events(spark, sf)
-      .withColumn("es", epochS(col("ts")))
-      .withColumn("prev_es", lag(col("es"), 1).over(w))
-      .withColumn("boundary",
-        when(col("prev_es").isNull || col("es") - col("prev_es") > 1800, 1).otherwise(0))
-      .withColumn("session_ord", sum(col("boundary")).over(wRun))
+    val sessions = withSessionOrd(events(spark, sf))
       .groupBy(col("user_id"), col("session_ord"))
       .agg(
         min(when(col("event_type") === "click", col("es"))).as("first_click"),
@@ -410,7 +411,12 @@ object Etl {
     * running-count-of-non-nulls group trick (no IGNORE NULLS dialect
     * divergence). Scale shape: the grid is keys × 36 months generated
     * at the executors, never collected; one shuffle on (custkey). */
-  def etlGapFill(spark: SparkSession, sf: String): DataFrame = {
+  /** Shared monthly observation grid ('95-01..'97-12 x custkey <= 20,
+    * left-joined monthly order counts, NULL = missing month) — the frame
+    * [[etlGapFill]] fills LOCF and [[etlInterpolateLinear]] fills as
+    * exact rationals; extracted round 17 (the recorded ETL-review
+    * duplication), behavior pinned by both keys' oracles. */
+  private def monthlyGrid(spark: SparkSession, sf: String): DataFrame = {
     val grid = customer(spark, sf).where(col("c_custkey") <= 20)
       .select(col("c_custkey"), explode(expr(
         "sequence(to_date('1995-01-01'), to_date('1997-12-01'), interval 1 month)"))
@@ -419,10 +425,14 @@ object Etl {
       .groupBy(col("o_custkey"),
         date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(count(lit(1)).as("n"))
-    val wRun = Window.partitionBy(col("c_custkey")).orderBy(col("month"))
     grid.join(m, grid("c_custkey") === m("o_custkey") &&
         grid("month") === m("month"), "left")
       .select(grid("c_custkey"), grid("month"), col("n"))
+  }
+
+  def etlGapFill(spark: SparkSession, sf: String): DataFrame = {
+    val wRun = Window.partitionBy(col("c_custkey")).orderBy(col("month"))
+    monthlyGrid(spark, sf)
       .withColumn("grp", count(col("n")).over(wRun))
       .withColumn("n_filled", coalesce(
         max(col("n")).over(Window.partitionBy(col("c_custkey"), col("grp"))),
@@ -481,17 +491,7 @@ object Etl {
     * at scale the grid is generated per key and the plan is one window
     * pass over it. */
   def etlInterpolateLinear(spark: SparkSession, sf: String): DataFrame = {
-    val grid = customer(spark, sf).where(col("c_custkey") <= 20)
-      .select(col("c_custkey"), explode(expr(
-        "sequence(to_date('1995-01-01'), to_date('1997-12-01'), interval 1 month)"))
-        .as("month"))
-    val m = orders(spark, sf).where(col("o_custkey") <= 20)
-      .groupBy(col("o_custkey"),
-        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
-      .agg(count(lit(1)).as("n"))
-    val j = grid.join(m, grid("c_custkey") === m("o_custkey") &&
-        grid("month") === m("month"), "left")
-      .select(grid("c_custkey"), grid("month"), col("n"))
+    val j = monthlyGrid(spark, sf)
       .withColumn("i", year(col("month")) * 12 + month(col("month")))
     val wp = Window.partitionBy(col("c_custkey")).orderBy(col("i").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -128,12 +128,19 @@ object Pipeline {
     // sort and no second checkpoint needed before contraction
     val pairs = Text.jaccardPairs(spark, sf)
       .select(col("doc_a").as("s"), col("doc_b").as("t"))
+    ccWithSizes(pairs, "doc_id").orderBy(col("doc_id"))
+  }
+
+  /** Shared contraction tail: star-contract the (s, t) edges and join
+    * each label with its component size, `id` renamed to `idName` —
+    * extracted round 17 (the recorded ETL-review duplication); behavior
+    * pinned by the three consuming keys' recursive-CTE oracles. */
+  private def ccWithSizes(pairs: DataFrame, idName: String): DataFrame = {
     val (labels, _) = starContract(pairs)
     val sizes = labels.groupBy("component")
       .agg(count(lit(1)).cast("int").as("comp_size"))
     labels.join(sizes, "component")
-      .select(col("id").as("doc_id"), col("component"), col("comp_size"))
-      .orderBy(col("doc_id"))
+      .select(col("id").as(idName), col("component"), col("comp_size"))
   }
 
   /** Context-window chunking: split each document's token stream into
@@ -190,14 +197,11 @@ object Pipeline {
     * → exact verify → O(log²n) contraction, no all-pairs stage anywhere.
     * Recursive-CTE oracled like the other CC keys. */
   def vecDedupSemantic(spark: SparkSession, sf: String): DataFrame = {
-    val pairs = Vectors.vecThresholdPairs(spark, sf)
+    // the UNSORTED pair kernel: the key-surface presentation sort would
+    // be paid and discarded by the checkpoint (round 17, recorded item)
+    val pairs = Vectors.thresholdPairsOf(spark, sf)
       .select(col("vec_a").as("s"), col("vec_b").as("t")).localCheckpoint()
-    val (labels, _) = starContract(pairs)
-    val sizes = labels.groupBy("component")
-      .agg(count(lit(1)).cast("int").as("comp_size"))
-    labels.join(sizes, "component")
-      .select(col("id").as("vec_id"), col("component"), col("comp_size"))
-      .orderBy(col("vec_id"))
+    ccWithSizes(pairs, "vec_id").orderBy(col("vec_id"))
   }
 
   /** Distributed CONTIGUOUS ID ASSIGNMENT — the "give every sample a stable
@@ -269,12 +273,7 @@ object Pipeline {
       val pairs = Dedup.dedupMinhashLsh(spark, sf)
         .where(col("is_dup") === 1)
         .select(col("doc_a").as("s"), col("doc_b").as("t")).localCheckpoint()
-      val (labels, _) = starContract(pairs)
-      val sizes = labels.groupBy("component")
-        .agg(count(lit(1)).cast("int").as("comp_size"))
-      labels.join(sizes, "component")
-        .select(col("id").as("doc_id"), col("component"), col("comp_size"))
-        .localCheckpoint()
+      ccWithSizes(pairs, "doc_id").localCheckpoint()
     }
 
   /** The dedup pipeline's FINAL answer: which docs to KEEP. Extends

@@ -1026,7 +1026,14 @@ object Vectors {
     * same bands built explicitly in the DataFrame — rule-rewritten vs
     * hand-built is the pair worth benching). Plan shape and exact recall
     * vs an sf-capped all-pairs control asserted in ScaleFixSpec. */
-  def vecThresholdPairs(spark: SparkSession, sf: String): DataFrame = {
+  def vecThresholdPairs(spark: SparkSession, sf: String): DataFrame =
+    thresholdPairsOf(spark, sf).orderBy(col("vec_a"), col("vec_b"))
+
+  /** The UNSORTED pair kernel behind [[vecThresholdPairs]] — the
+    * presentation sort belongs to the key surface; vec_dedup_semantic
+    * feeds these pairs straight into contraction and must not pay a
+    * sort its checkpoint discards (round 17, recorded review item). */
+  private[ops] def thresholdPairsOf(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorCosine.register(spark)
     spark.conf.set(graft.plans.LshPrefilter.ConfKey, "true")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LshPrefilter))
@@ -1038,7 +1045,6 @@ object Vectors {
     a.join(b, col("vec_a") < col("vec_b") &&
         expr("vector_cosine(ea, eb)") > lit(0.45d))
       .select(col("vec_a"), col("vec_b"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Same contract as vec_knn_cosine but through the custom Catalyst
