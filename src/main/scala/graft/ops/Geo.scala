@@ -178,7 +178,6 @@ object Geo {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("s_suppkey"), col("rank"), col("c_custkey"), col("d2"))
-      .orderBy(col("s_suppkey"), col("rank"))
     // plan shape: candidate generation made this an EQUI join on the
     // grid cell — no all-pairs node may appear anywhere in the plan
     // (unwrap AQE: the adaptive root is a leaf to collect())
@@ -198,12 +197,19 @@ object Geo {
     }
     require(cellKeyed.nonEmpty, "the candidate join must be keyed (cell equi-join)")
     // exactness certificate: every returned distance sits inside the
-    // block's guaranteed radius, so the block top-5 IS the global top-5
-    val worst = out.agg(max(col("d2"))).head().getLong(0)
+    // block's guaranteed radius, so the block top-5 IS the global top-5.
+    // ONE materialization serves both the certificate and the caller
+    // (the agg would otherwise re-run the candidate join per action);
+    // 15 rows, the checkpoint is free
+    val rows = out.localCheckpoint()
+    val worstRow = rows.agg(max(col("d2"))).head()
+    require(!worstRow.isNullAt(0),
+      "fixture: the probe panel found no candidates in the cell block")
+    val worst = worstRow.getLong(0)
     require(worst <= R * C * R * C,
       s"5th-nearest d2 $worst exceeds the (R*C)^2 block bound ${R * C * R * C} " +
         "— widen R (the fixture density made the block too small)")
-    out
+    rows.orderBy(col("s_suppkey"), col("rank"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

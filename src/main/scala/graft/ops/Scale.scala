@@ -3888,7 +3888,11 @@ object Scale {
     val rows = probe(dir)
     rows.collect()
     val bundledLoads = graft.sources.GraftBloomSidecars.loads.sum() - l1
-    require(bundledLoads >= 1L && bundledLoads < nFiles.toLong,
+    // the O(bundles) bound only holds in slurp mode — ranged mode pays
+    // one positional read per ref BY DESIGN (review round 17)
+    require(bundledLoads >= 1L &&
+      (graft.sources.GraftBloomSidecars.bundleFetchMode != "slurp" ||
+        bundledLoads < nFiles.toLong),
       s"the bundled probe must pay O(bundles)=1 reads, not O(files): $bundledLoads")
     rows.withColumn("n_files", lit(nFiles.toLong))
       .withColumn("ctl_loads", lit(nFiles.toLong))

@@ -1251,8 +1251,11 @@ object GraftMaintenance {
     if (autoProbeEnabled && probeLoads >= 1 &&
         autoCompacted.putIfAbsent(path, java.lang.Boolean.TRUE) == null) {
       try {
-        val head = GraftManifest.readVersion(path, None)
-        val threshold = head.flatMap(_.props.get("compactIndex.autoProbeLoads"))
+        // O(header) props read, not a full readVersion (review round 17:
+        // every sidecar-paying probe passes through here)
+        val threshold = GraftManifest.versions(path).lastOption
+          .flatMap(v => GraftManifest.headerFacts(path, v).props
+            .get("compactIndex.autoProbeLoads"))
           .flatMap(v => scala.util.Try(v.toLong).toOption)
           .getOrElse(AutoCompactProbeLoads.toLong)
         if (threshold > 0 && probeLoads >= threshold &&
@@ -1261,9 +1264,12 @@ object GraftMaintenance {
           System.err.println(s"[graft-sink] probe-triggered index " +
             s"compaction at $path: $probeLoads sidecar fetches -> " +
             s"$pays payloads into $bundles bundle(s)")
-        } else if (probeLoads < threshold || threshold <= 0) {
-          // under threshold (or disabled): disarm so a LATER, bigger
-          // probe on this table can still trigger
+        } else {
+          // EVERY non-sweep path disarms (review round 17: an
+          // over-threshold probe on an already-bundled table would
+          // otherwise pin the guard and a later fresh-ingest wave
+          // could never trigger), so only a COMPLETED sweep keeps the
+          // guard — and it bundles everything there was to bundle
           autoCompacted.remove(path); ()
         }
       } catch {

@@ -2302,7 +2302,12 @@ object GraftBloomSidecars {
     * pruning). */
   def rebuildWidth(ws: Seq[(Int, String)]): Int = {
     val sug = ws.flatMap(p => satWidth(p._2))
-    if (sug.nonEmpty) sug.max else ws.map(_._1).min
+    // suggestions win only when EVERY recorded fact is a saturated
+    // marker (review round 17): one dense file must not cost 99 healthy
+    // files their narrow-probe pruning — min width keeps those, and the
+    // dense data re-suggests on its own next rewrite if it stays dense
+    if (sug.nonEmpty && ws.forall(p => isSaturated(p._2))) sug.max
+    else ws.map(_._1).min
   }
   /** Index-bundle target size (bytes): `compact_index` rotates to a
     * fresh bundle past this, so the whole-bundle slurp below stays
@@ -2438,30 +2443,47 @@ object GraftBloomSidecars {
   @volatile var bundleFetchMode: String =
     sys.props.getOrElse("graft.bundle.fetchMode", "slurp")
   private def rangedRead(f: String, off: Int, len: Int): Option[Array[Byte]] = {
+    // same failure memo as the slurp path (review round 17): within the
+    // TTL a broken bundle costs ONE attempted open per probe wave, not
+    // one per ref — and heals after it, instead of pinning no-skip
+    val exp = bundleFails.get(f)
+    if (exp != null) {
+      if (System.nanoTime() < exp) return None
+      bundleFails.remove(f, exp); ()
+    }
     loads.increment()
     val buf = java.nio.ByteBuffer.allocate(len)
+    def failed: Option[Array[Byte]] = {
+      bundleFails.put(f, System.nanoTime() + FailTtlNanos); None
+    }
     try {
       val ch = java.nio.channels.FileChannel.open(
         Paths.get(f), java.nio.file.StandardOpenOption.READ)
       try {
-        if (ch.size() < off.toLong + len) None // truncated: shape-check
+        if (ch.size() < off.toLong + len) failed // truncated: shape-check
         else {
           var pos = off.toLong
           while (buf.hasRemaining) {
             val n = ch.read(buf, pos)
-            if (n < 0) return None
+            if (n < 0) return failed
             pos += n
           }
           Some(buf.array())
         }
       } finally ch.close()
-    } catch { case _: java.io.IOException => None }
+    } catch { case _: java.io.IOException => failed }
   }
   def resolve(payload: String): String =
     if (!isRef(payload)) payload
     else {
       if (cache.size > 64) cache.clear()
-      cache.computeIfAbsent(payload.drop(1), body => {
+      // BUNDLE-backed failures return null from the mapping fn so
+      // computeIfAbsent records NO entry (review round 17): the payload
+      // memo would otherwise pin no-skip past the bundleFails TTL that
+      // exists to let a transient error (racing vacuum) heal. Per-file
+      // sidecar failures (case None below) stay memoized deliberately —
+      // a permanently deleted sidecar must not retry per probe.
+      val got = cache.computeIfAbsent(payload.drop(1), body => {
         val (f, range) = splitRef(body)
         range match {
           case Some((off, len)) if off >= 0 && len >= 0 &&
@@ -2473,7 +2495,7 @@ object GraftBloomSidecars {
                 System.err.println(
                   s"graft-sink: ranged bundle read $off+$len of $f failed; " +
                     "treating as saturated (no skip)")
-                Saturated
+                null
             }
           case Some((off, len)) =>
             val all = bundleBytes(f)
@@ -2483,7 +2505,7 @@ object GraftBloomSidecars {
               System.err.println(
                 s"graft-sink: bundle range $off+$len exceeds $f " +
                   s"(${all.length} bytes); treating as saturated (no skip)")
-              Saturated
+              null
             } else new String(all, off, len, StandardCharsets.UTF_8).trim
           case None =>
             loads.increment()
@@ -2504,6 +2526,7 @@ object GraftBloomSidecars {
             }
         }
       })
+      if (got == null) Saturated else got
     }
   /** Every sidecar file name a meta's bloom facts reference — the
     * cleanup surface (vacuum keep-sets, eager abort deletion). */
@@ -3752,9 +3775,15 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
       // FEED's tagged files, not the head snapshot's — a removed file's
       // meta still carries its centroid facts, so it routes like any
       // other candidate and the feed stays exact over the routed subset
+      // ANCHORED to the planned manifest's version (review round 17):
+      // build() pins the scan to the same, so the execution-time
+      // cdfTagged in survivors() resolves the identical population — a
+      // commit landing between planning and execution can neither drop
+      // new files from the feed nor desync the keep-set
       val popMetas: Option[Seq[GraftFileMeta]] = changesFrom match {
         case Some(fromV) =>
-          Some(GraftSinkScan.cdfTagged(path, fromV, version)._1.map(_._1))
+          Some(GraftSinkScan.cdfTagged(path, fromV,
+            version.orElse(plannedManifest.map(_.version)))._1.map(_._1))
         case None => plannedManifest.map(_.metas)
       }
       popMetas.map { metas =>
