@@ -1264,24 +1264,22 @@ object GraftMaintenance {
           System.err.println(s"[graft-sink] probe-triggered index " +
             s"compaction at $path: $probeLoads sidecar fetches -> " +
             s"$pays payloads into $bundles bundle(s)")
-        } else {
-          // EVERY non-sweep path disarms (review round 17: an
-          // over-threshold probe on an already-bundled table would
-          // otherwise pin the guard and a later fresh-ingest wave
-          // could never trigger), so only a COMPLETED sweep keeps the
-          // guard — and it bundles everything there was to bundle
-          autoCompacted.remove(path); ()
         }
       } catch {
         case e: InterruptedException =>
           Thread.currentThread().interrupt(); throw e
         case scala.util.control.NonFatal(e) =>
-          // disarm: a lost commit race is transient — the next big
-          // probe retries against the new head
-          autoCompacted.remove(path)
           System.err.println(
             s"[graft-sink] probe-triggered index compaction at $path " +
               s"deferred: ${e.getMessage}")
+      } finally {
+        // the guard's ONLY job is blocking concurrent duplicate sweeps
+        // while one is in flight (review round 17, second pass): ALWAYS
+        // disarm after the attempt — a sweep bundles everything pending
+        // (the next probe pays O(bundles) < threshold, no re-trigger),
+        // and a LATER fresh-ingest wave can arm again instead of being
+        // pinned out for the process lifetime
+        autoCompacted.remove(path); ()
       }
     }
 
