@@ -65,17 +65,66 @@ object Sql {
       |  CAST(sum(anc) AS BIGINT) AS anc_sum
       |FROM chain GROUP BY node ORDER BY node""".stripMargin
 
+  /** SQL PIPE SYNTAX (round 17 — the Spark 4 operator-pipeline surface,
+    * SPARK-49555): the query is authored as `FROM … |> WHERE … |>
+    * AGGREGATE … |> ORDER BY`, the linear dataflow form. Spark-side
+    * text only — the ORACLE is the equivalent classic SELECT (below),
+    * proving the pipe form plans to the same answer. */
+  private val pipeSql =
+    """FROM orders
+      ||> WHERE o_orderpriority = '1-URGENT'
+      ||> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+      |     CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS price_sum
+      |   GROUP BY o_orderstatus
+      ||> ORDER BY o_orderstatus""".stripMargin
+
+  private val pipeOracleSql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS price_sum
+      |FROM orders
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** GROUP BY ALL + ORDER BY ALL — one text, both engines (the
+    * "aggregate by every non-aggregate output column" shorthand both
+    * Spark 4 and DuckDB resolve identically). */
+  private val groupByAllSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS price_sum
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
+  /** LATERAL COLUMN ALIAS — a SELECT item referencing an alias defined
+    * earlier in the SAME select list; one text, both engines. */
+  private val lateralAliasSql =
+    """SELECT c_custkey,
+      |  CAST(floor(c_acctbal) AS BIGINT) AS bal,
+      |  bal * 2 AS bal2,
+      |  bal2 - bal AS bal_again
+      |FROM customer
+      |WHERE c_custkey <= 500
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_subqueries" -> ((s, sf) => run(s, sf, subqueriesSql)),
     "sql_lateral_topk" -> ((s, sf) => run(s, sf, lateralSql)),
     "sql_recursive_series" -> ((s, sf) => run(s, sf, recursiveSql)),
-    "sql_recursive_hierarchy" -> ((s, sf) => run(s, sf, recursiveHierSql))
+    "sql_recursive_hierarchy" -> ((s, sf) => run(s, sf, recursiveHierSql)),
+    "sql_pipe_syntax" -> ((s, sf) => run(s, sf, pipeSql)),
+    "sql_group_by_all" -> ((s, sf) => run(s, sf, groupByAllSql)),
+    "sql_lateral_alias" -> ((s, sf) => run(s, sf, lateralAliasSql))
   )
 
   def oracle: Map[String, String] = Map(
     "sql_subqueries" -> subqueriesSql,
     "sql_lateral_topk" -> lateralSql,
     "sql_recursive_series" -> recursiveSql,
-    "sql_recursive_hierarchy" -> recursiveHierSql
+    "sql_recursive_hierarchy" -> recursiveHierSql,
+    "sql_pipe_syntax" -> pipeOracleSql,
+    "sql_group_by_all" -> groupByAllSql,
+    "sql_lateral_alias" -> lateralAliasSql
   )
 }
