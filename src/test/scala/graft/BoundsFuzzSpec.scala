@@ -9,7 +9,7 @@ import org.scalacheck.Prop.forAll
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{GraftBloom, GraftManifest, GraftSinkScan, GraftSinkWriter}
+import graft.sources.{GraftBloom, GraftBloomSidecars, GraftManifest, GraftSinkScan, GraftSinkWriter}
 
 /** ScalaCheck fuzz of the `#bstats` bound math (VERDICT r13 next #5):
   * Round13Spec pins hand-picked surrogate/width edges; these generators
@@ -296,6 +296,49 @@ class BoundsFuzzSpec extends AnyFunSuite {
         (!keeps(FCt("v", p)) && !keeps(FSw("v", p)) &&
          !keeps(FEw("v", p)) && !keeps(FEq("v", p))))
     }, n = 2000)
+  }
+
+  test("every saturated-marker form keeps the file on every probe shape (round 17)") {
+    // `!sat` and `!sat:w<N>` are one family: present, prunes nothing,
+    // decodes nothing — a marker-bearing file must survive all four
+    // probe shapes at any probe length, and the codec must roundtrip
+    // exactly the widths the writer can emit
+    import org.apache.spark.sql.sources.{EqualTo => FEq,
+      StringContains => FCt, StringEndsWith => FEw, StringStartsWith => FSw}
+    import org.apache.spark.sql.types.StructType
+    val layout = StructType.fromDDL("v STRING")
+    val gen = for {
+      w <- Gen.choose(2, 8)
+      sug <- Gen.option(Gen.choose(1, 16))
+      p <- genValid
+    } yield (w, sug, p)
+    check("sat-marker", forAll(gen) { case (w, sug, p) =>
+      val pay = sug.fold(GraftBloomSidecars.Saturated)(n =>
+        s"${GraftBloomSidecars.Saturated}:w$n")
+      val m = sources.GraftFileMeta("f", 4L, 1,
+        Map.empty, None, nulls = Some(Map(0 -> 0L)),
+        ngblooms = Map(0 -> ((w, pay))))
+      def keeps(f: org.apache.spark.sql.sources.Filter) =
+        GraftSinkScan.mayMatch(m, layout, f)
+      GraftBloomSidecars.isSaturated(pay) &&
+      GraftBloomSidecars.satWidth(pay) == sug &&
+      keeps(FCt("v", p)) && keeps(FSw("v", p)) &&
+      keeps(FEw("v", p)) && keeps(FEq("v", p))
+    }, n = 1000)
+    // rebuildWidth policy: suggestions win ONLY when every fact is a
+    // saturated marker; any healthy fact pins the min recorded width
+    assert(GraftBloomSidecars.rebuildWidth(
+      Seq((4, "!sat:w8"), (4, "!sat"))) == 8)
+    assert(GraftBloomSidecars.rebuildWidth(
+      Seq((4, "!sat:w8"), (4, "QUJD"), (6, "QUJD"))) == 4)
+    assert(GraftBloomSidecars.rebuildWidth(
+      Seq((4, "QUJD"), (6, "QUJD"))) == 4)
+    assert(GraftBloomSidecars.rebuildWidth(
+      Seq((4, "!sat:w8"), (6, "!sat:w10"))) == 10)
+    // malformed suggestions parse as plain saturation, never a width
+    for (bad <- Seq("!sat:w0", "!sat:w17", "!sat:w", "!sat:wx", "!sat:8"))
+      assert(GraftBloomSidecars.isSaturated(bad) &&
+        GraftBloomSidecars.satWidth(bad).isEmpty, bad)
   }
 
   test("prefix-bloom pruning is sound for startsWith/equality/IN (round 15)") {
