@@ -989,11 +989,17 @@ object Scale {
 
   /** Mergeable-sketch surface (the incremental-analytics primitive at scale:
     * per-partition sketches stored once, unioned later instead of rescanning
-    * raw data). Proves the datasketches HLL merge invariant on real data —
-    * estimate(union(sketch(A), sketch(B))) == estimate(sketch(A∪B)) — plus a
-    * ±2% accuracy bound against the exact distinct count. Sketch bytes and
-    * raw estimates never leave the plan (engine-specific, D3); the output is
-    * the exact count and the two invariant flags, which the oracle pins to 1. */
+    * raw data). Proves the property that MATTERS about mergeability on real
+    * data: BOTH the single-pass sketch's estimate AND the estimate of the
+    * union of two half-sketches stay within a ±5% bound of the exact
+    * distinct count (3σ at the default lgK=12's ~1.6% RSE). NOT asserted:
+    * exact estimate equality between the two paths — round 17's sf0.1 run
+    * proved that is no datasketches invariant (the union target promotes a
+    * sketch across internal modes, e.g. sparse→HLL, and the estimator
+    * changes with the mode; at sf0.01 both paths happened to stay sparse
+    * and agreed). Sketch bytes and raw estimates never leave the plan
+    * (engine-specific, D3); the output is the exact count and the two
+    * accuracy flags, which the oracle pins to 1. */
   def aggHllMerge(spark: SparkSession, sf: String): DataFrame = {
     val d = documents(spark, sf)
     val whole = d.groupBy(col("lang")).agg(
@@ -1006,9 +1012,10 @@ object Scale {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
     whole.join(merged, "lang")
       .select(col("lang"), col("n_exact"),
-        (col("est_whole") === col("est_merged")).cast("int").as("merge_consistent"),
-        (abs(col("est_whole") - col("n_exact")) * 50 <= col("n_exact"))
-          .cast("int").as("within_2pct"))
+        (abs(col("est_whole") - col("n_exact")) * 20 <= col("n_exact"))
+          .cast("int").as("whole_within_5pct"),
+        (abs(col("est_merged") - col("n_exact")) * 20 <= col("n_exact"))
+          .cast("int").as("merged_within_5pct"))
       .orderBy(col("lang"))
   }
 
@@ -5833,7 +5840,7 @@ object Scale {
 
     "agg_hll_merge" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_exact,
-        |  1 AS merge_consistent, 1 AS within_2pct
+        |  1 AS whole_within_5pct, 1 AS merged_within_5pct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "sink_custom_v2" ->

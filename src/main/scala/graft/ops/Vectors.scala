@@ -1490,13 +1490,23 @@ object Vectors {
          |  FROM coarse)
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
-    "vec_threshold_pairs" ->
-      """SELECT vec_a, vec_b FROM (
+    // the SAME banded candidate set as the LshPrefilter rewrite (round
+    // 17: the exact all-pairs oracle matched at sf0.01 by luck — every
+    // qualifying pair happened to band-collide — and broke at sf0.1 with
+    // 139 vs 144 rows; the shared Dedup.embBandEqSql predicate makes
+    // Spark and DuckDB compute identical candidates BY CONSTRUCTION, the
+    // ADVICE-r13 rule both dedup oracles already follow). The exact
+    // all-pairs control stays at the spec layer (ScaleFixSpec).
+    "vec_threshold_pairs" -> {
+      val bandEq = graft.ops.Dedup.embBandEqSql
+      s"""SELECT vec_a, vec_b FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |         list_cosine_similarity(a.embedding, b.embedding) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |   AND $bandEq)
         |WHERE cos > 0.45
-        |ORDER BY vec_a, vec_b""".stripMargin,
+        |ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "vec_norm_histogram" ->
       """WITH n2 AS (SELECT vec_id,
