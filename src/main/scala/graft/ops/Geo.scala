@@ -156,7 +156,15 @@ object Geo {
     * every returned distance is ≤ (R·C)², which makes the block's top-5
     * the global top-5. Plan REQUIREs pin the shape: no Cartesian/BNLJ
     * node anywhere, and the candidate join is keyed on the grid cell. */
-  def geoKnnPrefiltered(spark: SparkSession, sf: String): DataFrame = {
+  def geoKnnPrefiltered(spark: SparkSession, sf: String): DataFrame =
+    geoKnnPrefilteredChecked(spark, sf)
+
+  /** The UNCHECKPOINTED candidate-join plan — exposed for GeoSpec's plan
+    * assertions (review round 17 second pass: the key returns a
+    * localCheckpoint-backed frame whose plan is a sort over an RDD scan,
+    * which would make a spec-side no-all-pairs check vacuous). */
+  private[graft] def geoKnnPrefilteredPlan(spark: SparkSession, sf: String)
+      : DataFrame = {
     val C = 1000000L; val R = 8
     val pts = withGridCell(points(spark, sf), "lat", "lon", C)
     val offs = (-R to R).map(o => lit(o.toLong))
@@ -173,11 +181,19 @@ object Geo {
       (col("lon") - col("plon")) * (col("lon") - col("plon"))
     val w = Window.partitionBy(col("s_suppkey"))
       .orderBy(col("d2"), col("c_custkey"))
-    val out = pts.join(cand, Seq("glat", "glon")) // equi-join on the CELL KEY
+    pts.join(cand, Seq("glat", "glon")) // equi-join on the CELL KEY
       .withColumn("d2", d2)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("s_suppkey"), col("rank"), col("c_custkey"), col("d2"))
+  }
+
+  /** The exactness bound the plan builder's R and C imply. */
+  private[graft] val KnnBlockBound: Long = 8L * 1000000L * 8L * 1000000L
+
+  private def geoKnnPrefilteredChecked(spark: SparkSession, sf: String)
+      : DataFrame = {
+    val out = geoKnnPrefilteredPlan(spark, sf)
     // plan shape: candidate generation made this an EQUI join on the
     // grid cell — no all-pairs node may appear anywhere in the plan
     // (unwrap AQE: the adaptive root is a leaf to collect())
@@ -206,8 +222,8 @@ object Geo {
     require(!worstRow.isNullAt(0),
       "fixture: the probe panel found no candidates in the cell block")
     val worst = worstRow.getLong(0)
-    require(worst <= R * C * R * C,
-      s"5th-nearest d2 $worst exceeds the (R*C)^2 block bound ${R * C * R * C} " +
+    require(worst <= KnnBlockBound,
+      s"5th-nearest d2 $worst exceeds the (R*C)^2 block bound $KnnBlockBound " +
         "— widen R (the fixture density made the block too small)")
     rows.orderBy(col("s_suppkey"), col("rank"))
   }

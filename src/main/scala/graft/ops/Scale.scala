@@ -249,10 +249,14 @@ object Scale {
     // removed by its shutdown hook.
     val oTbl = s"orders_b_${sfTag(sf)}"; val lTbl = s"lineitem_b_${sfTag(sf)}"
     // build ONCE per (session, sf) — the two bucketed writes were ~85% of
-    // this key's bench time and the fixture is identical per invocation
-    // (round 17; the lock serializes a racing double-build, whose two
-    // concurrent overwrites of one path would not be safe)
-    graft.util.Memos.cached(bucketedMemo, spark, sf)(bucketedLock.synchronized {
+    // this key's bench time and the fixture is identical per invocation.
+    // The lock wraps the WHOLE memo lookup (review round 17 second pass):
+    // TrieMap.getOrElseUpdate evaluates a racing build twice, and the
+    // second overwrite would delete files the first caller's already-
+    // running join is reading — under the lock the racer finds the memo
+    // populated and builds nothing.
+    bucketedLock.synchronized(
+      graft.util.Memos.cached(bucketedMemo, spark, sf) {
       orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority"))
         .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", tmpDir("bko", sf)).saveAsTable(oTbl)
@@ -3899,16 +3903,22 @@ object Scale {
     val ctlLoads = graft.sources.GraftBloomSidecars.loads.sum() - l0
     require(ctlLoads >= nFiles.toLong,
       s"per-file sidecars must cost one read per candidate file: $ctlLoads")
-    graft.sources.GraftBloomSidecars.dropCache()
-    val l1 = graft.sources.GraftBloomSidecars.loads.sum()
+    // the bundled probe MEASURES UNDER SLURP MODE explicitly (review
+    // round 17 second pass): the key's contract columns publish the
+    // bundle round-trip economics, which only the slurp establishes —
+    // ranged mode pays one positional read per ref by design, and
+    // letting it leak in here would make the pinned bundle_loads=1 a
+    // lie. Save/restore so a ranged-mode session keeps its setting.
+    val prevMode = graft.sources.GraftBloomSidecars.bundleFetchMode
+    graft.sources.GraftBloomSidecars.bundleFetchMode = "slurp"
     val rows = probe(dir)
-    rows.collect()
-    val bundledLoads = graft.sources.GraftBloomSidecars.loads.sum() - l1
-    // the O(bundles) bound only holds in slurp mode — ranged mode pays
-    // one positional read per ref BY DESIGN (review round 17)
-    require(bundledLoads >= 1L &&
-      (graft.sources.GraftBloomSidecars.bundleFetchMode != "slurp" ||
-        bundledLoads < nFiles.toLong),
+    val bundledLoads = try {
+      graft.sources.GraftBloomSidecars.dropCache()
+      val l1 = graft.sources.GraftBloomSidecars.loads.sum()
+      rows.collect()
+      graft.sources.GraftBloomSidecars.loads.sum() - l1
+    } finally graft.sources.GraftBloomSidecars.bundleFetchMode = prevMode
+    require(bundledLoads >= 1L && bundledLoads < nFiles.toLong,
       s"the bundled probe must pay O(bundles)=1 reads, not O(files): $bundledLoads")
     rows.withColumn("n_files", lit(nFiles.toLong))
       .withColumn("ctl_loads", lit(nFiles.toLong))

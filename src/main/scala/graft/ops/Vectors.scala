@@ -1024,8 +1024,15 @@ object Vectors {
     * equi-joins) with the cosine check as residual verify. Same predicate
     * as `dedup_embedding_cosine` (since r13 the hand-BANDED twin: the
     * same bands built explicitly in the DataFrame — rule-rewritten vs
-    * hand-built is the pair worth benching). Plan shape and exact recall
-    * vs an sf-capped all-pairs control asserted in ScaleFixSpec. */
+    * hand-built is the pair worth benching). SEMANTICS (round 17): the
+    * output is the LSH-BANDED candidate set exactly — verified pairs
+    * whose embeddings collide in >= 1 of the 16 sign bands; nprobe-style
+    * approximate recall is the contract (measured 139/144 at sf0.1),
+    * never a false positive (the cosine residual verifies every pair).
+    * The oracle mirrors the banding (Dedup.embBandEqSql — identical
+    * candidate sets by construction); the INDEPENDENT exact all-pairs
+    * controls live in ScaleFixSpec: exact recall at sf0.001, and
+    * subset + >= 0.9 recall at sf0.1. */
   def vecThresholdPairs(spark: SparkSession, sf: String): DataFrame =
     thresholdPairsOf(spark, sf).orderBy(col("vec_a"), col("vec_b"))
 

@@ -1237,9 +1237,13 @@ object GraftMaintenance {
     * the read path. Runs SYNCHRONOUSLY on the planning thread (the probe
     * that trips the threshold pays the sweep, the same posture as
     * [[autoSweep]]) and NEVER fails the read: a lost commit race or a
-    * read-only filesystem logs, disarms this process's guard and leaves
-    * the table exactly as it was. Once per (JVM, path): the sweep bundles
-    * every pending ref, so there is nothing left to re-trigger on. */
+    * read-only filesystem logs and leaves the table exactly as it was.
+    * The in-flight guard only blocks CONCURRENT duplicate sweeps and
+    * always disarms after the attempt, so a later fresh-ingest wave
+    * re-triggers; a nothing-pending verdict is memoized per head VERSION
+    * so an over-threshold probe on an already-bundled table (routine in
+    * ranged fetch mode) pays the O(files) pendingSidecars fold once per
+    * version, not once per plan. */
   val AutoCompactProbeLoads = 64
   /** Process-level switch (demo/measurement hook): the per-table
     * `compactIndex.autoProbeLoads` property is the USER surface; this
@@ -1247,23 +1251,35 @@ object GraftMaintenance {
   @volatile private[graft] var autoProbeEnabled = true
   private[sources] val autoCompacted =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** path -> head version proven to have zero pending sidecars. */
+  private val noPendingAt =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private[sources] def autoCompactProbe(path: String, probeLoads: Long): Unit =
     if (autoProbeEnabled && probeLoads >= 1 &&
         autoCompacted.putIfAbsent(path, java.lang.Boolean.TRUE) == null) {
       try {
         // O(header) props read, not a full readVersion (review round 17:
         // every sidecar-paying probe passes through here)
-        val threshold = GraftManifest.versions(path).lastOption
+        val headV = GraftManifest.versions(path).lastOption
+        val threshold = headV
           .flatMap(v => GraftManifest.headerFacts(path, v).props
             .get("compactIndex.autoProbeLoads"))
           .flatMap(v => scala.util.Try(v.toLong).toOption)
           .getOrElse(AutoCompactProbeLoads.toLong)
         if (threshold > 0 && probeLoads >= threshold &&
-            pendingSidecars(path) > 0) {
-          val (pays, bundles, _) = compactIndexes(path, pendingOnly = true)
-          System.err.println(s"[graft-sink] probe-triggered index " +
-            s"compaction at $path: $probeLoads sidecar fetches -> " +
-            s"$pays payloads into $bundles bundle(s)")
+            headV.map(Integer.valueOf(_)) != Option(noPendingAt.get(path))) {
+          if (pendingSidecars(path) > 0) {
+            val (pays, bundles, _) = compactIndexes(path, pendingOnly = true)
+            System.err.println(s"[graft-sink] probe-triggered index " +
+              s"compaction at $path: $probeLoads sidecar fetches -> " +
+              s"$pays payloads into $bundles bundle(s)")
+          } else headV.foreach { v =>
+            // memoize the zero-pending verdict per VERSION (review round
+            // 17 second pass): an over-threshold probe on an already-
+            // bundled table must not re-pay the O(files) fold per plan;
+            // a new commit changes the version and re-opens the check
+            noPendingAt.put(path, Integer.valueOf(v)); ()
+          }
         }
       } catch {
         case e: InterruptedException =>

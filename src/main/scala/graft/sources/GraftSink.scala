@@ -2294,12 +2294,12 @@ object GraftBloomSidecars {
       scala.util.Try(pay.substring(Saturated.length + 2).toInt)
         .toOption.filter(w => w > 0 && w <= 16)
     else None
-  /** Rebuild width for one column's recorded (width, payload) facts: a
-    * file whose marker NAMES a viable width wins (max over suggestions —
-    * that data provably saturated every narrower tracked width there);
-    * otherwise the MIN width on record (idxOf's note: rebuilding the
-    * whole table wider than the data demands costs narrow probes their
-    * pruning). */
+  /** Rebuild width for one column's recorded (width, payload) facts:
+    * the suggested widths win (their max) ONLY when EVERY recorded fact
+    * is a saturated marker — one dense file must not cost the healthy
+    * files their narrow-probe pruning; otherwise the MIN width on
+    * record (idxOf's note). Dense data merged with healthy data
+    * re-saturates and re-suggests on its own next rewrite. */
   def rebuildWidth(ws: Seq[(Int, String)]): Int = {
     val sug = ws.flatMap(p => satWidth(p._2))
     // suggestions win only when EVERY recorded fact is a saturated
@@ -2345,6 +2345,15 @@ object GraftBloomSidecars {
   private val FailTtlNanos: Long = 10L * 1000 * 1000 * 1000
   private val bundleFails =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Warn-once memo for failure messages (review round 17 second pass:
+    * un-pinning failures from the payload cache degraded warn-once to
+    * one line per REF per PROBE — 10⁵ stderr lines on a big corrupt
+    * table). Keyed by the failing payload body; cleared with the caches
+    * so a heal or an explicit dropCache re-arms the signal. */
+  private val warned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def warnOnce(key: String, msg: => String): Unit =
+    if (warned.add(key)) System.err.println(msg)
   private def bundleBytes(f: String): Array[Byte] = {
     val exp = bundleFails.get(f)
     if (exp != null) {
@@ -2452,7 +2461,6 @@ object GraftBloomSidecars {
       bundleFails.remove(f, exp); ()
     }
     loads.increment()
-    val buf = java.nio.ByteBuffer.allocate(len)
     def failed: Option[Array[Byte]] = {
       bundleFails.put(f, System.nanoTime() + FailTtlNanos); None
     }
@@ -2460,8 +2468,11 @@ object GraftBloomSidecars {
       val ch = java.nio.channels.FileChannel.open(
         Paths.get(f), java.nio.file.StandardOpenOption.READ)
       try {
-        if (ch.size() < off.toLong + len) failed // truncated: shape-check
+        // shape-check BEFORE allocating (review round 17 second pass): a
+        // corrupt 9-digit range must not force a ~GB buffer per ref
+        if (ch.size() < off.toLong + len) failed // truncated
         else {
+          val buf = java.nio.ByteBuffer.allocate(len)
           var pos = off.toLong
           while (buf.hasRemaining) {
             val n = ch.read(buf, pos)
@@ -2492,7 +2503,7 @@ object GraftBloomSidecars {
               case Some(bytes) =>
                 new String(bytes, StandardCharsets.UTF_8).trim
               case None =>
-                System.err.println(
+                warnOnce(s"$f:$off:$len",
                   s"graft-sink: ranged bundle read $off+$len of $f failed; " +
                     "treating as saturated (no skip)")
                 null
@@ -2502,7 +2513,7 @@ object GraftBloomSidecars {
             // shape-check before slicing (a truncated/missing bundle
             // must degrade, not throw — the truncated-sidecar rule)
             if (off < 0 || len < 0 || off.toLong + len > all.length) {
-              System.err.println(
+              warnOnce(s"$f:$off:$len",
                 s"graft-sink: bundle range $off+$len exceeds $f " +
                   s"(${all.length} bytes); treating as saturated (no skip)")
               null
@@ -2536,7 +2547,7 @@ object GraftBloomSidecars {
   /** Test hook: force the next resolve to hit disk (loads-counting). */
   def dropCache(): Unit = {
     cache.clear(); bundleCache.clear(); bundleCacheBytes.set(0L)
-    bundleFails.clear()
+    bundleFails.clear(); warned.clear()
   }
 }
 

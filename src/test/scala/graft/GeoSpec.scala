@@ -34,8 +34,11 @@ class GeoSpec extends AnyFunSuite {
 
   test("geo_knn_prefiltered: cell equi-join, no all-pairs, brute parity") {
     val pre = ops.Geo.geoKnnPrefiltered(spark, sf)
-    // the candidate join is the CELL key equi-join — never a Cartesian
-    val plan = pre.queryExecution.executedPlan.toString
+    // assert on the UNCHECKPOINTED candidate-join plan (the key returns
+    // a checkpoint-backed frame whose plan is a sort over an RDD scan —
+    // checking that would be vacuous; round 17 second-pass review)
+    val plan = ops.Geo.geoKnnPrefilteredPlan(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"prefiltered KNN must plan no all-pairs node:\n$plan")
