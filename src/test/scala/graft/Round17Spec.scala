@@ -93,6 +93,31 @@ class Round17Spec extends AnyFunSuite {
       s"the second cold probe must pay O(bundles), not O(files): $bundledLoads")
     assert(GraftManifest.versions(dir).size == vsBefore + 1,
       "the sweep must not re-trigger once everything is bundled")
+
+    // a LATER fresh-ingest wave re-opens the trigger (second-pass review:
+    // neither the in-flight guard nor the per-version zero-pending memo
+    // may pin the table out) — an append lands FOUR new per-file
+    // sidecars, so the next big cold probe pays 1 bundle + 4 sidecar
+    // loads >= the threshold and bundles exactly the fresh refs
+    spark.range(2000, 3000)
+      .selectExpr("id", "base64(unbase64(left(base64(" +
+        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
+        "), 64))) as s")
+      .repartition(4)
+      .write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:4")
+      .option("distributionMode", "none").mode("append").save()
+    val vsAfterAppend = GraftManifest.versions(dir).size
+    GraftBloomSidecars.dropCache()
+    containsProbe(dir, window).collect()
+    val vsFinal = GraftManifest.versions(dir)
+    assert(vsFinal.size == vsAfterAppend + 1,
+      s"a post-ingest big probe must land one more sweep: $vsFinal")
+    assert(GraftManifest.headerFacts(dir, vsFinal.max).op
+      .contains("COMPACT-INDEX"))
+    assert(GraftManifest.readVersion(dir, None).get.metas.forall(m =>
+      GraftBloomSidecars.splitRef(m.ngblooms(1)._2.drop(1))._2.isDefined),
+      "the fresh file's ref must be bundled too")
   }
 
   test("ranged bundle mode answers identically, pays per-ref reads, degrades") {
