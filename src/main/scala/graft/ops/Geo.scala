@@ -213,18 +213,25 @@ object Geo {
     }
     require(cellKeyed.nonEmpty, "the candidate join must be keyed (cell equi-join)")
     // exactness certificate: every returned distance sits inside the
-    // block's guaranteed radius, so the block top-5 IS the global top-5.
-    // ONE materialization serves both the certificate and the caller
-    // (the agg would otherwise re-run the candidate join per action);
-    // 15 rows, the checkpoint is free
+    // block's guaranteed radius, so the block top-5 IS the global top-5
+    // — PROVIDED the block produced all 5 ranks for every probe (ADVICE
+    // r18: a sparse fixture whose (2R+1)² block holds <5 candidates
+    // would satisfy the distance bound while silently missing the
+    // global ranks 4-5, and a probe with an EMPTY block would vanish
+    // from the output entirely). Both halves land in ONE agg action on
+    // ONE materialization serving certificate and caller alike.
     val rows = out.localCheckpoint()
-    val worstRow = rows.agg(max(col("d2"))).head()
-    require(!worstRow.isNullAt(0),
+    val nProbes = supplier(spark, sf).where(col("s_suppkey") <= 3).count()
+    val cert = rows.agg(max(col("d2")), count(lit(1))).head()
+    require(!cert.isNullAt(0),
       "fixture: the probe panel found no candidates in the cell block")
-    val worst = worstRow.getLong(0)
+    val worst = cert.getLong(0)
     require(worst <= KnnBlockBound,
       s"5th-nearest d2 $worst exceeds the (R*C)^2 block bound $KnnBlockBound " +
         "— widen R (the fixture density made the block too small)")
+    require(cert.getLong(1) == nProbes * 5,
+      s"block top-5 incomplete: ${cert.getLong(1)} rows for $nProbes probes " +
+        "— some probe's cell block holds <5 candidates; widen R")
     rows.orderBy(col("s_suppkey"), col("rank"))
   }
 

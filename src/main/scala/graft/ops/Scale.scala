@@ -3918,8 +3918,19 @@ object Scale {
       rows.collect()
       graft.sources.GraftBloomSidecars.loads.sum() - l1
     } finally graft.sources.GraftBloomSidecars.bundleFetchMode = prevMode
-    require(bundledLoads >= 1L && bundledLoads < nFiles.toLong,
+    // ADVICE r18: the published constant is bundle_loads=1 (the fixture
+    // PROVED bundles==1 above), so the require must hold the measurement
+    // near that constant — `< nFiles` would let a 2-3-read regression
+    // pass while the oracle still records 1. Ceiling 2 tolerates at most
+    // one LongAdder interference read from a concurrent resolution in
+    // the same JVM; any divergence from the constant is logged so a
+    // passing-but-noisy run leaves evidence.
+    require(bundledLoads >= 1L && bundledLoads <= 2L,
       s"the bundled probe must pay O(bundles)=1 reads, not O(files): $bundledLoads")
+    if (bundledLoads != 1L)
+      System.err.println(s"[graft] scan_idx_bundle: measured bundled loads " +
+        s"$bundledLoads diverge from the published constant 1 " +
+        "(in-process interference tolerated once)")
     rows.withColumn("n_files", lit(nFiles.toLong))
       .withColumn("ctl_loads", lit(nFiles.toLong))
       .withColumn("bundle_loads", lit(1L))

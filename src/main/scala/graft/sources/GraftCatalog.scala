@@ -1254,18 +1254,44 @@ object GraftMaintenance {
   /** path -> head version proven to have zero pending sidecars. */
   private val noPendingAt =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private[sources] def autoCompactProbe(path: String, probeLoads: Long): Unit =
-    if (autoProbeEnabled && probeLoads >= 1 &&
-        autoCompacted.putIfAbsent(path, java.lang.Boolean.TRUE) == null) {
-      try {
-        // O(header) props read, not a full readVersion (review round 17:
-        // every sidecar-paying probe passes through here)
-        val headV = GraftManifest.versions(path).lastOption
-        val threshold = headV
+  /** path -> (expiry nanos, resolved threshold): ADVICE r18 — resolving
+    * the `compactIndex.autoProbeLoads` override used to pay a
+    * `versions()` directory listing plus a headerFacts parse on EVERY
+    * probe that resolved >=1 sidecar ref, per-plan overhead on the hot
+    * read path of any table with per-file sidecars. The resolved
+    * threshold is memoized under the bundle-failure memo's 10 s TTL:
+    * within the window a below-threshold probe pays ZERO manifest I/O
+    * here, and the only staleness is an ALTERed threshold taking one
+    * TTL to be seen — benign for a trigger whose sweep re-checks
+    * pendingSidecars against the live head anyway. */
+  private val thresholdMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private val ThresholdTtlNanos: Long = 10L * 1000 * 1000 * 1000
+  /** Test hook: drop the memo so an in-test ALTER is seen immediately. */
+  private[graft] def dropThresholdMemo(): Unit = thresholdMemo.clear()
+  private def resolvedThreshold(path: String): Long = {
+    val now = System.nanoTime()
+    thresholdMemo.get(path) match {
+      case (exp, t) if now < exp => t
+      case _ =>
+        val t = GraftManifest.versions(path).lastOption
           .flatMap(v => GraftManifest.headerFacts(path, v).props
             .get("compactIndex.autoProbeLoads"))
           .flatMap(v => scala.util.Try(v.toLong).toOption)
           .getOrElse(AutoCompactProbeLoads.toLong)
+        thresholdMemo.put(path, (now + ThresholdTtlNanos, t))
+        t
+    }
+  }
+  private[sources] def autoCompactProbe(path: String, probeLoads: Long): Unit =
+    if (autoProbeEnabled && probeLoads >= 1 &&
+        autoCompacted.putIfAbsent(path, java.lang.Boolean.TRUE) == null) {
+      try {
+        val threshold = resolvedThreshold(path)
+        // the head-version listing is paid only PAST the threshold (the
+        // noPendingAt comparison needs it); a below-threshold probe now
+        // exits with no manifest I/O at all inside the memo window
+        lazy val headV = GraftManifest.versions(path).lastOption
         if (threshold > 0 && probeLoads >= threshold &&
             headV.map(Integer.valueOf(_)) != Option(noPendingAt.get(path))) {
           if (pendingSidecars(path) > 0) {

@@ -2296,17 +2296,21 @@ object GraftBloomSidecars {
     else None
   /** Rebuild width for one column's recorded (width, payload) facts:
     * the suggested widths win (their max) ONLY when EVERY recorded fact
-    * is a saturated marker — one dense file must not cost the healthy
-    * files their narrow-probe pruning; otherwise the MIN width on
-    * record (idxOf's note). Dense data merged with healthy data
-    * re-saturates and re-suggests on its own next rewrite. */
+    * is a `!sat:w<N>` marker that NAMES a viable width — one dense file
+    * must not cost the healthy files their narrow-probe pruning, and a
+    * PLAIN `!sat` (ADVICE r17: the writer proved NO tracked width
+    * viable for that file's data) must not let a sibling's suggestion
+    * force a whole-column rebuild at a width already known dead there;
+    * otherwise the MIN width on record (idxOf's note). Dense data
+    * merged with healthy data re-saturates and re-suggests on its own
+    * next rewrite. */
   def rebuildWidth(ws: Seq[(Int, String)]): Int = {
     val sug = ws.flatMap(p => satWidth(p._2))
-    // suggestions win only when EVERY recorded fact is a saturated
-    // marker (review round 17): one dense file must not cost 99 healthy
-    // files their narrow-probe pruning — min width keeps those, and the
-    // dense data re-suggests on its own next rewrite if it stays dense
-    if (sug.nonEmpty && ws.forall(p => isSaturated(p._2))) sug.max
+    // a suggested width wins only when every fact carries one (satWidth
+    // yields at most one entry per fact, so sug.size == ws.size iff all
+    // facts are suggested-saturated): a healthy fact pins min-width
+    // pruning, and a plain-!sat fact proves no width viable for its data
+    if (sug.size == ws.size && ws.nonEmpty) sug.max
     else ws.map(_._1).min
   }
   /** Index-bundle target size (bytes): `compact_index` rotates to a

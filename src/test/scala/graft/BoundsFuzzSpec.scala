@@ -325,16 +325,21 @@ class BoundsFuzzSpec extends AnyFunSuite {
       keeps(FCt("v", p)) && keeps(FSw("v", p)) &&
       keeps(FEw("v", p)) && keeps(FEq("v", p))
     }, n = 1000)
-    // rebuildWidth policy: suggestions win ONLY when every fact is a
-    // saturated marker; any healthy fact pins the min recorded width
+    // rebuildWidth policy (ADVICE r17): suggestions win ONLY when every
+    // fact is a `!sat:w<N>` marker NAMING a viable width — a healthy
+    // fact pins the min recorded width, and a PLAIN `!sat` (no width
+    // viable for that file's data) vetoes the siblings' suggestions
     assert(GraftBloomSidecars.rebuildWidth(
-      Seq((4, "!sat:w8"), (4, "!sat"))) == 8)
+      Seq((4, "!sat:w8"), (4, "!sat"))) == 4)
     assert(GraftBloomSidecars.rebuildWidth(
       Seq((4, "!sat:w8"), (4, "QUJD"), (6, "QUJD"))) == 4)
     assert(GraftBloomSidecars.rebuildWidth(
       Seq((4, "QUJD"), (6, "QUJD"))) == 4)
     assert(GraftBloomSidecars.rebuildWidth(
       Seq((4, "!sat:w8"), (6, "!sat:w10"))) == 10)
+    // a malformed suggestion parses as plain saturation -> same veto
+    assert(GraftBloomSidecars.rebuildWidth(
+      Seq((4, "!sat:w8"), (6, "!sat:w17"))) == 4)
     // malformed suggestions parse as plain saturation, never a width
     for (bad <- Seq("!sat:w0", "!sat:w17", "!sat:w", "!sat:wx", "!sat:8"))
       assert(GraftBloomSidecars.isSaturated(bad) &&
