@@ -52,12 +52,17 @@ object Bench {
     // Contention immunity (adjudicated across seven rounds of driver-vs-local
     // forensics, see DECISIONS.md): a shared driver host can land a multi-
     // second OS/IO spike on ANY key — r10 saw a 0.3 s projection report
-    // 3.4 s. Each key therefore runs TWICE and reports the MINIMUM: the min
-    // of two runs is the standard contention-free latency estimator (a spike
-    // only ever ADDS time), and a key whose min is still >2 s gets a third
-    // run so one unlucky pair can't misreport a genuinely cheap plan. The
-    // first (cold) timing is kept alongside for the logs — the reported
-    // number measures the operator's plan, not the host's mood.
+    // 3.4 s. Each key therefore runs SPARK_GRAFT_MIN_OF times (default 2,
+    // VERDICT r17 next #7 made the count an explicit knob for close
+    // benches on a decaying host) and reports the MINIMUM: the min of N
+    // runs is the standard contention-free latency estimator (a spike only
+    // ever ADDS time), and a key whose min is still >2 s gets one extra
+    // run so one unlucky set can't misreport a genuinely cheap plan.
+    // MIN_OF=1 is the fast iteration mode; the reported number measures
+    // the operator's plan, not the host's mood.
+    val minOf = sys.env.get("SPARK_GRAFT_MIN_OF")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .filter(n => n >= 1 && n <= 10).getOrElse(2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -67,10 +72,8 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       try {
-        val t1 = once()
-        val t2 = once()
-        val best0 = math.min(t1, t2)
-        val best = if (best0 > 2.0) math.min(best0, once()) else best0
+        val best0 = Seq.fill(minOf)(once()).min
+        val best = if (best0 > 2.0 && minOf > 1) math.min(best0, once()) else best0
         (name, math.max(best, 0.001), true)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

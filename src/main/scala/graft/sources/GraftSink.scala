@@ -4298,12 +4298,19 @@ case class GraftSinkScan(path: String, version: Option[Int],
           // position counter by the rows of every group before the range
           // (from the same memoized footer spans the runs were cut on),
           // so DV positions and `_pos` stay file-scoped, and equality
-          // deletes are value-based and never see positions. Only CDF
-          // reads (change tagging + eqSel row selection is epoch-scoped)
-          // stay whole-file — a fallback that is always sound (a range
+          // deletes are value-based and never see positions. Round 18
+          // (VERDICT r17 next #2 — the last whole-file read path): CDF
+          // change TAGS compose too — a tag is FILE-granular (every row
+          // of a tagged state carries the same constant), so a ranged
+          // split of a tagged state emits its rows under the identical
+          // tag, and a DV-only change's remove-of-old/add-of-new pair
+          // shares name + #rgcen facts, hence identical ranges. Only
+          // eqSel row selection (epoch-scoped VALUE selection whose
+          // complement must stay visible as 'delete' rows) keeps its
+          // whole-file read — a fallback that is always sound (a range
           // only narrows).
           val ranged = annRanges.get(m.name).filter(_ =>
-            c == null && selFor(m, c).isEmpty && m.name.endsWith(".parquet"))
+            selFor(m, c).isEmpty && m.name.endsWith(".parquet"))
           ranged match {
             case Some(rs) => rs.map { case (st, en, n) =>
               GraftSinkFileSplit(s"$path/${m.name}", n, m.ncols, changeOf(c),
@@ -5025,8 +5032,10 @@ sealed trait GraftSplit extends InputPartition {
     * `expectedRows` is then the RANGE's physical row count. Ranged
     * splits compose with deletion vectors, pending equality deletes and
     * `_pos` (round 16): the reader bases its position counter at the
-    * rows preceding the range, keeping positions FILE-scoped. Only CDF
-    * reads stay whole-file. -1 = whole file. */
+    * rows preceding the range, keeping positions FILE-scoped. Round 18:
+    * CDF change tags compose too (file-granular constants per tagged
+    * state); only eqSel-bearing reads stay whole-file. -1 = whole
+    * file. */
   def rangeStart: Long
   def rangeEnd: Long
 }
