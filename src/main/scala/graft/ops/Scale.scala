@@ -3931,9 +3931,61 @@ object Scale {
       System.err.println(s"[graft] scan_idx_bundle: measured bundled loads " +
         s"$bundledLoads diverge from the published constant 1 " +
         "(in-process interference tolerated once)")
+    // ---- AUTO-TRIGGER phase (round 18, VERDICT r17 next #8): the SAME
+    // contract established END-TO-END with no hand-issued CALL — a
+    // fresh-ingest table whose `compactIndex.autoProbeLoads` property
+    // puts the 4-per-file cold probe over threshold must land ONE
+    // synchronous COMPACT-INDEX sweep from its FIRST big probe, so its
+    // SECOND cold probe pays O(bundles); a third probe must not
+    // re-trigger. This pins the whole read-path chain (per-file fetch
+    // counting -> threshold resolution through the r18 TTL memo ->
+    // pendingSidecars -> sweep -> ranged refs) as one oracled key.
+    val root = graft.util.Scratch.dir("sqlcat_root", "all")
+    spark.conf.set("spark.sql.catalog.gsql",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsql.root", root)
+    val atbl = "idxauto_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    val adir = s"$root/db/$atbl"
+    graft.util.Scratch.once(adir) {
+      writeTo(adir)
+      spark.sql(s"ALTER TABLE gsql.db.$atbl SET TBLPROPERTIES " +
+        "('compactIndex.autoProbeLoads'='4')")
+    }
+    val prevAuto = graft.sources.GraftMaintenance.autoProbeEnabled
+    graft.sources.GraftMaintenance.autoProbeEnabled = true
+    val autoLoads = try {
+      val vsBefore = graft.sources.GraftManifest.versions(adir).size
+      graft.sources.GraftBloomSidecars.dropCache()
+      val firstRows = probe(adir).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val vs = graft.sources.GraftManifest.versions(adir)
+      require(vs.size == vsBefore + 1 ||
+          (vsBefore > 2 && vs.size == vsBefore), // already swept in this JVM
+        s"the first over-threshold cold probe must land exactly one " +
+          s"sweep commit: $vsBefore -> ${vs.size}")
+      require(graft.sources.GraftManifest.headerFacts(adir, vs.max).op
+        .contains("COMPACT-INDEX"), "the landed version must be the sweep's")
+      // SECOND cold probe: O(bundles) under pinned slurp, identical rows
+      val prevM = graft.sources.GraftBloomSidecars.bundleFetchMode
+      graft.sources.GraftBloomSidecars.bundleFetchMode = "slurp"
+      val d = try {
+        graft.sources.GraftBloomSidecars.dropCache()
+        val a0 = graft.sources.GraftBloomSidecars.loads.sum()
+        val secondRows = probe(adir).collect().map(r => (r.getLong(0), r.getLong(1)))
+        require(secondRows.sorted.sameElements(firstRows.sorted),
+          "the auto-bundled probe must answer identically")
+        graft.sources.GraftBloomSidecars.loads.sum() - a0
+      } finally graft.sources.GraftBloomSidecars.bundleFetchMode = prevM
+      require(graft.sources.GraftManifest.versions(adir).size == vs.size,
+        "the sweep must not re-trigger once everything is bundled")
+      d
+    } finally graft.sources.GraftMaintenance.autoProbeEnabled = prevAuto
+    require(autoLoads >= 1L && autoLoads <= 2L,
+      s"the auto-compacted table's second cold probe must pay " +
+        s"O(bundles)=1 reads, not O(files): $autoLoads")
     rows.withColumn("n_files", lit(nFiles.toLong))
       .withColumn("ctl_loads", lit(nFiles.toLong))
       .withColumn("bundle_loads", lit(1L))
+      .withColumn("auto_loads", lit(1L))
       .orderBy(col("doc_id"), col("k"))
   }
 
@@ -5191,7 +5243,8 @@ object Scale {
     "scan_idx_bundle" ->
       """SELECT doc_id, k, ck,
         |  CAST(4 AS BIGINT) AS n_files,
-        |  CAST(4 AS BIGINT) AS ctl_loads, CAST(1 AS BIGINT) AS bundle_loads
+        |  CAST(4 AS BIGINT) AS ctl_loads, CAST(1 AS BIGINT) AS bundle_loads,
+        |  CAST(1 AS BIGINT) AS auto_loads
         |FROM (
         |  SELECT doc_id, k,
         |    md5(CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR)) AS ck

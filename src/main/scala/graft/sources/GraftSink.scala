@@ -2338,15 +2338,32 @@ object GraftBloomSidecars {
     * a vacuum — recovers on the next probe instead of pinning
     * no-skip for the process lifetime. */
   val BundleCacheBudgetBytes: Long = 512L << 20
+  /** Live budget — [[BundleCacheBudgetBytes]] in production; Round18Spec
+    * shrinks it to drive the eviction sweep with KB-scale bundles and
+    * restores it (the 512 MB default cannot be exercised in a test). */
+  @volatile private[graft] var bundleCacheBudget: Long = BundleCacheBudgetBytes
   private val bundleCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
   private val bundleCacheBytes = new java.util.concurrent.atomic.AtomicLong
+  /** Accounting view for the race spec: (accounted bytes, actual bytes
+    * held, entries). The CAS-accounting invariant under ANY concurrency:
+    * accounted == actual at quiescence (drift means a double-count on an
+    * insert race or a missed decrement on an eviction race), and
+    * accounted <= budget once every inserter's eviction sweep ran. */
+  private[graft] def bundleCacheStats(): (Long, Long, Int) = {
+    var actual = 0L; var n = 0
+    bundleCache.forEach { (_, v) => actual += v.length.toLong; n += 1 }
+    (bundleCacheBytes.get(), actual, n)
+  }
   /** Transient-failure memo: a failed bundle read is remembered for
     * [[FailTtlNanos]] so ONE probe's many refs pay one attempted read
     * (not one per ref), while a LATER probe retries — the old
     * empty-array pin made a transient error (e.g. racing a vacuum)
     * permanent for the process lifetime (ADVICE r16). */
   private val FailTtlNanos: Long = 10L * 1000 * 1000 * 1000
+  /** Live TTL — [[FailTtlNanos]] in production; Round18Spec shortens it
+    * so a heal can be observed without a 10 s sleep, and restores it. */
+  @volatile private[graft] var bundleFailTtl: Long = FailTtlNanos
   private val bundleFails =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   /** Warn-once memo for failure messages (review round 17 second pass:
@@ -2374,16 +2391,16 @@ object GraftBloomSidecars {
         System.err.println(
           s"graft-sink: index bundle $p unreadable (${e.getMessage}); " +
             "treating its payloads as saturated (no skip)")
-        bundleFails.put(p, System.nanoTime() + FailTtlNanos)
+        bundleFails.put(p, System.nanoTime() + bundleFailTtl)
         null // computeIfAbsent records NO mapping — the failure can heal
       }
     })
     if (cached == null) return Array.emptyByteArray
-    if (bundleCacheBytes.get() > BundleCacheBudgetBytes) {
+    if (bundleCacheBytes.get() > bundleCacheBudget) {
       // evict OTHER bundles until under budget (bundle counts are small:
       // one per BundleTargetBytes of filter payload — a linear sweep)
       val it = bundleCache.entrySet().iterator()
-      while (bundleCacheBytes.get() > BundleCacheBudgetBytes && it.hasNext) {
+      while (bundleCacheBytes.get() > bundleCacheBudget && it.hasNext) {
         val e = it.next()
         if (e.getKey != f && bundleCache.remove(e.getKey, e.getValue))
           bundleCacheBytes.addAndGet(-e.getValue.length.toLong)
@@ -2466,7 +2483,7 @@ object GraftBloomSidecars {
     }
     loads.increment()
     def failed: Option[Array[Byte]] = {
-      bundleFails.put(f, System.nanoTime() + FailTtlNanos); None
+      bundleFails.put(f, System.nanoTime() + bundleFailTtl); None
     }
     try {
       val ch = java.nio.channels.FileChannel.open(

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftBloomSidecars, GraftMaintenance}
+
+/** Round-18 gates (VERDICT r17 next #3): the bundle-cache BYTE BUDGET
+  * under concurrent eviction churn, and transient bundle-read-failure
+  * healing — the 8-appender-CAS-race treatment for the 512 MB accounting
+  * that commit 8e477b8 introduced.
+  *
+  * The policy under test (GraftBloomSidecars.bundleBytes): bytes are
+  * accounted AT INSERT, then the inserter evicts OTHER bundles until the
+  * budget holds. Guarantees: (a) a SINGLE inserter overshoots by at most
+  * its own bundle and lands under budget before returning; (b) N
+  * concurrent inserters can transiently stack at most N bundles over
+  * (each pre-sweep), but every sweep runs to under-budget, so QUIESCENT
+  * state is always <= budget; (c) the accounted counter equals the bytes
+  * actually held — drift (a double-count on an insert race, a missed
+  * decrement on an eviction race) is the bug class this spec exists to
+  * catch; (d) a failed bundle read degrades that probe to keep-everything
+  * (never wrong), is memoized for bundleFailTtl, and HEALS after the TTL
+  * without any cache drop. */
+class Round18Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  /** Round17Spec's fixture: wide-alphabet 64-char strings whose 4-gram
+    * filters all externalize to per-file sidecars. */
+  private def writeFixture(dir: String, files: Int = 8): Unit =
+    spark.range(0, 1000)
+      .selectExpr("id", "base64(unbase64(left(base64(" +
+        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
+        "), 64))) as s")
+      .repartition(files)
+      .write.format("graft-sink").option("path", dir)
+      .option("ngramBloomFor", "s:4")
+      .option("distributionMode", "none").mode("overwrite").save()
+
+  private def inAlphabetWindow(dir: String): String =
+    spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("id") === 7L).select("s").head().getString(0)
+      .substring(10, 18)
+
+  private def containsProbe(dir: String, window: String): DataFrame =
+    spark.read.format("graft-sink").option("path", dir).load()
+      .where(col("s").contains(window))
+
+  private def bundleFiles(dir: String): Array[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".idb"))
+
+  test("bundle cache: budget holds and accounting stays exact under " +
+      "sequential and 8-way concurrent eviction churn") {
+    GraftMaintenance.autoProbeEnabled = false // isolate: no sweeps mid-test
+    val prevMode = GraftBloomSidecars.bundleFetchMode
+    val prevBudget = GraftBloomSidecars.bundleCacheBudget
+    GraftBloomSidecars.bundleFetchMode = "slurp" // bundleCache only fills here
+    try {
+      val K = 5
+      val dirs = (0 until K).map(i => tmp(s"graft_r18_cache$i"))
+      dirs.foreach(writeFixture(_))
+      dirs.foreach { d =>
+        val (pays, bundles, _) = GraftMaintenance.compactIndexes(d)
+        assert(pays == 8 && bundles == 1, s"fixture wants 1 bundle: $pays/$bundles")
+      }
+      val windows = dirs.map(inAlphabetWindow)
+      val expect = dirs.zip(windows).map { case (d, w) =>
+        containsProbe(d, w).collect().map(_.getLong(0)).sorted }
+      val sizes = dirs.map(d => bundleFiles(d).map(_.length).sum)
+      assert(sizes.forall(_ > 0), s"every table must hold bundle bytes: $sizes")
+      val maxB = sizes.max
+      // budget fits ~2 bundles of 5: every later insert must evict
+      val budget = sizes.sorted.take(2).sum + maxB / 2
+      GraftBloomSidecars.bundleCacheBudget = budget
+
+      // ---- sequential phase: the single-inserter bound — after EVERY
+      // probe the sweep has run, so accounted <= budget and == actual
+      GraftBloomSidecars.dropCache()
+      for (round <- 0 until 2; i <- dirs.indices) {
+        val got = containsProbe(dirs(i), windows(i)).collect()
+          .map(_.getLong(0)).sorted
+        assert(got.sameElements(expect(i)), s"table $i round $round answers")
+        val (accounted, actual, n) = GraftBloomSidecars.bundleCacheStats()
+        assert(accounted == actual,
+          s"accounting drift after table $i round $round: $accounted != $actual")
+        assert(accounted <= budget,
+          s"single-inserter budget bound broken: $accounted > $budget ($n entries)")
+      }
+
+      // ---- concurrent phase: 8 threads x 3 passes over shuffled tables;
+      // a sampler tracks the transient peak (bounded by budget + T*maxB —
+      // each in-flight inserter can hold one pre-sweep bundle)
+      GraftBloomSidecars.dropCache()
+      val T = 8
+      val peak = new java.util.concurrent.atomic.AtomicLong
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          val (accounted, _, _) = GraftBloomSidecars.bundleCacheStats()
+          peak.accumulateAndGet(accounted, math.max(_, _))
+          Thread.sleep(1)
+        }
+      })
+      sampler.setDaemon(true); sampler.start()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until T).map { t =>
+        new Thread(() => {
+          try {
+            val order = new scala.util.Random(t).shuffle(dirs.indices.toList)
+            for (_ <- 0 until 3; i <- order) {
+              val got = containsProbe(dirs(i), windows(i)).collect()
+                .map(_.getLong(0)).sorted
+              if (!got.sameElements(expect(i)))
+                throw new AssertionError(s"thread $t table $i wrong rows")
+            }
+          } catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      sampling = false; sampler.join()
+      assert(errs.isEmpty, s"concurrent probes failed: ${errs.peek()}")
+      val (accounted, actual, n) = GraftBloomSidecars.bundleCacheStats()
+      assert(accounted == actual,
+        s"accounting drift after concurrency: $accounted != $actual ($n entries)")
+      assert(accounted <= budget,
+        s"quiescent budget bound broken: $accounted > $budget")
+      assert(peak.get() <= budget + T.toLong * maxB,
+        s"transient peak ${peak.get()} exceeds budget + $T in-flight bundles " +
+          s"(${budget + T.toLong * maxB}) — an inserter is not sweeping")
+    } finally {
+      GraftBloomSidecars.bundleCacheBudget = prevBudget
+      GraftBloomSidecars.bundleFetchMode = prevMode
+      GraftBloomSidecars.dropCache()
+      GraftMaintenance.autoProbeEnabled = true
+    }
+  }
+
+  test("bundle cache: a transient read failure degrades once and heals " +
+      "after the TTL without a cache drop") {
+    GraftMaintenance.autoProbeEnabled = false
+    val prevMode = GraftBloomSidecars.bundleFetchMode
+    val prevTtl = GraftBloomSidecars.bundleFailTtl
+    GraftBloomSidecars.bundleFetchMode = "slurp"
+    GraftBloomSidecars.bundleFailTtl = 100L * 1000 * 1000 // 100 ms
+    try {
+      val dir = tmp("graft_r18_heal")
+      writeFixture(dir)
+      val (pays, bundles, _) = GraftMaintenance.compactIndexes(dir)
+      assert(pays == 8 && bundles == 1)
+      val window = inAlphabetWindow(dir)
+      val expect = containsProbe(dir, window).collect().map(_.getLong(0)).sorted
+      val idb = bundleFiles(dir).head
+      val away = new java.io.File(idb.getPath + ".away")
+
+      // fail: the bundle vanishes (a vacuum race) — the probe DEGRADES to
+      // keep-everything (same rows) and memoizes the failure
+      assert(idb.renameTo(away), "fixture: could not move the bundle away")
+      GraftBloomSidecars.dropCache()
+      val got1 = containsProbe(dir, window).collect().map(_.getLong(0)).sorted
+      assert(got1.sameElements(expect), "a failed bundle read must never be wrong")
+      val (_, actualFailed, _) = GraftBloomSidecars.bundleCacheStats()
+      assert(actualFailed == 0L, "a failed read must not populate the cache")
+
+      // heal: bytes return, the TTL lapses, the NEXT probe re-reads the
+      // bundle and repopulates the cache — no dropCache in between
+      assert(away.renameTo(idb), "fixture: could not restore the bundle")
+      Thread.sleep(200)
+      val got2 = containsProbe(dir, window).collect().map(_.getLong(0)).sorted
+      assert(got2.sameElements(expect), "the healed probe answers identically")
+      val (accounted, actual, nAfter) = GraftBloomSidecars.bundleCacheStats()
+      assert(nAfter >= 1 && actual > 0L && accounted == actual,
+        s"the healed probe must repopulate the bundle cache: " +
+          s"($accounted, $actual, $nAfter)")
+    } finally {
+      GraftBloomSidecars.bundleFailTtl = prevTtl
+      GraftBloomSidecars.bundleFetchMode = prevMode
+      GraftBloomSidecars.dropCache()
+      GraftMaintenance.autoProbeEnabled = true
+    }
+  }
+}
