@@ -514,25 +514,31 @@ object Dedup {
       "i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]))"
 
   /** Shared CTE prefix: shingles → minhash sigs → bands → candidate pairs.
-    * (private[ops]: Pipeline's dedup_lsh_cc oracle builds on it.) */
+    * (private[ops]: Pipeline's dedup_lsh_cc oracle builds on it.)
+    * MATERIALIZED (round 18): DuckDB inlines CTEs by default, so a
+    * consumer referencing `sigs`/`sets` N times recomputes the whole
+    * shingle pass N times — at the sf1 spot-parity scale (50k docs,
+    * 1.3k capped hot buckets) the band-sweep oracle went from >90
+    * CPU-minutes to ~150 s wall with each stage computed once.
+    * Value-identical by definition (a materialization hint). */
   private[ops] val minhashCte =
-    s"""WITH sh AS (SELECT doc_id, unnest(bg) AS sh FROM (SELECT doc_id, $bgSql AS bg FROM documents)),
-       |sigs AS (
+    s"""WITH sh AS MATERIALIZED (SELECT doc_id, unnest(bg) AS sh FROM (SELECT doc_id, $bgSql AS bg FROM documents)),
+       |sigs AS MATERIALIZED (
        |  SELECT doc_id,
        |    min(md5('1:' || sh)) AS h1, min(md5('2:' || sh)) AS h2,
        |    min(md5('3:' || sh)) AS h3, min(md5('4:' || sh)) AS h4,
        |    min(md5('5:' || sh)) AS h5, min(md5('6:' || sh)) AS h6,
        |    min(md5('7:' || sh)) AS h7, min(md5('8:' || sh)) AS h8
        |  FROM sh GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, 1 AS band_id, h1 || h2 || h3 || h4 AS band FROM sigs
        |  UNION ALL
        |  SELECT doc_id, 2 AS band_id, h5 || h6 || h7 || h8 AS band FROM sigs),
-       |cands AS (
+       |cands AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |    ON x.band_id = y.band_id AND x.band = y.band AND x.doc_id < y.doc_id),
-       |sets AS (SELECT doc_id, $bgSql AS bg FROM documents)""".stripMargin
+       |sets AS MATERIALIZED (SELECT doc_id, $bgSql AS bg FROM documents)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "dedup_incremental" ->
@@ -562,15 +568,15 @@ object Dedup {
            |FROM sc""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""$minhashCte,
-         |b1 AS ($b1),
-         |bf AS (SELECT doc_id, band_id, band FROM
+         |b1 AS MATERIALIZED ($b1),
+         |bf AS MATERIALIZED (SELECT doc_id, band_id, band FROM
          |  (SELECT *, count(*) OVER (PARTITION BY band_id, band) AS df FROM b1)
          |  WHERE df <= $bandSweepCap),
-         |pm AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |pm AS MATERIALIZED (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |         CAST(sum(1 << (x.band_id - 1)) AS INT) AS mask
          |       FROM bf x JOIN bf y ON x.band_id = y.band_id AND x.band = y.band
          |        AND x.doc_id < y.doc_id GROUP BY 1, 2),
-         |sc AS (SELECT mask, CASE WHEN len(list_intersect(a.bg, b2.bg)) * 20 >=
+         |sc AS MATERIALIZED (SELECT mask, CASE WHEN len(list_intersect(a.bg, b2.bg)) * 20 >=
          |         (len(a.bg) + len(b2.bg) - len(list_intersect(a.bg, b2.bg))) * 7
          |       THEN 1 ELSE 0 END AS is_dup
          |       FROM pm JOIN sets a ON pm.doc_a = a.doc_id

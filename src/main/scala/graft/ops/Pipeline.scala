@@ -430,15 +430,23 @@ object Pipeline {
   private def bgSql = Dedup.bgSql
 
   /** The exact near-dup pair list as a nestable SELECT (same semantics as
-    * the text_jaccard_dup oracle, pairs only). */
+    * the text_jaccard_dup oracle, pairs only). Round 18: the intersect is
+    * computed ONCE per pair (was 3×), reading a `dsets` CTE the enclosing
+    * WITH must define (so the shingle pass runs once), behind the size
+    * pre-filter the jaccard>=0.5 predicate already implies
+    * (i*2 >= u ⇒ 2·min(n_a,n_b) >= 2i >= u >= max(n_a,n_b)) —
+    * value-identical, strictly cheaper. */
+  private[ops] val dsetsSql =
+    s"SELECT doc_id, lang, $bgSql AS bg FROM documents"
   private val pairsSql =
-    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM (SELECT doc_id, lang, $bgSql AS bg FROM documents) a
-       |JOIN (SELECT doc_id, lang, $bgSql AS bg FROM documents) b
-       |  ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.bg, b.bg)) * 2 >=
-       |      (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)))
-       |  AND len(list_intersect(a.bg, b.bg)) > 0""".stripMargin
+    s"""SELECT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.bg, b.bg)) AS i,
+       |    len(a.bg) AS n_a, len(b.bg) AS n_b
+       |  FROM dsets a JOIN dsets b
+       |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |   AND len(a.bg) * 2 >= len(b.bg) AND len(b.bg) * 2 >= len(a.bg))
+       |WHERE i * 2 >= n_a + n_b - i AND i > 0""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "graph_pagerank_iter" ->
@@ -546,16 +554,20 @@ object Pipeline {
     // oracle would fail the gate the first time a fixture grows a
     // threshold-passing pair colliding in no band (the documented
     // recall trade). Shared predicate: Dedup.embBandEqSql.
+    // MATERIALIZED (round 18): DuckDB inlines CTEs, so the banded pair
+    // join — the expensive part — would recompute for nodes, edges AND
+    // every recursive reach iteration; materialized it runs once (the
+    // sf1 spot gate went from >150 s timeout to one banded pass)
     "vec_dedup_semantic" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
         |  SELECT vec_a, vec_b FROM (
         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |           list_cosine_similarity(a.embedding, b.embedding) AS cos
         |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |     AND ${Dedup.embBandEqSql})
         |  WHERE cos > 0.45),
-        |nodes AS (SELECT vec_a AS id FROM pairs UNION SELECT vec_b FROM pairs),
-        |edges AS (SELECT vec_a AS s, vec_b AS t FROM pairs
+        |nodes AS MATERIALIZED (SELECT vec_a AS id FROM pairs UNION SELECT vec_b FROM pairs),
+        |edges AS MATERIALIZED (SELECT vec_a AS s, vec_b AS t FROM pairs
         |          UNION SELECT vec_b, vec_a FROM pairs),
         |reach(id, r) AS (
         |  SELECT id, id FROM nodes
@@ -573,10 +585,16 @@ object Pipeline {
         |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // MATERIALIZED like vec_dedup_semantic; note the pair list here is
+    // the EXACT all-pairs contract (this key clusters textJaccardDup's
+    // exact pairs — dedup_lsh_cc is the banded-scale twin), so its
+    // oracle stays O(n²·|set|) by definition and the sf1 spot gate
+    // covers the banded twin instead (DECISIONS r18)
     "dedup_cc_components" ->
-      s"""WITH RECURSIVE pairs AS ($pairsSql),
-         |nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
-         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+      s"""WITH RECURSIVE dsets AS MATERIALIZED ($dsetsSql),
+         |pairs AS MATERIALIZED ($pairsSql),
+         |nodes AS MATERIALIZED (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+         |edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
          |reach(id, r) AS (
          |  SELECT id, id FROM nodes
