@@ -60,9 +60,19 @@ object Bench {
     // run so one unlucky set can't misreport a genuinely cheap plan.
     // MIN_OF=1 is the fast iteration mode; the reported number measures
     // the operator's plan, not the host's mood.
-    val minOf = sys.env.get("SPARK_GRAFT_MIN_OF")
-      .flatMap(v => scala.util.Try(v.toInt).toOption)
-      .filter(n => n >= 1 && n <= 10).getOrElse(2)
+    val minOf = sys.env.get("SPARK_GRAFT_MIN_OF") match {
+      case None => 2
+      case Some(raw) =>
+        scala.util.Try(raw.trim.toInt).toOption.filter(n => n >= 1 && n <= 10)
+          .getOrElse {
+            // loud fallback (round-18 review): a close bench run with a
+            // typo'd knob must not silently record min-of-2 numbers as
+            // if the higher repetition count had been in effect
+            System.err.println(s"[bench] ignoring SPARK_GRAFT_MIN_OF='$raw'" +
+              " (want an integer in 1..10); using the default 2")
+            2
+          }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -191,6 +191,9 @@ object Geo {
   /** The exactness bound the plan builder's R and C imply. */
   private[graft] val KnnBlockBound: Long = 8L * 1000000L * 8L * 1000000L
 
+  /** Probe-panel size per (session, sf) — a fixture constant, counted once. */
+  private val nProbesMemo = graft.util.Memos.memo[Long]
+
   private def geoKnnPrefilteredChecked(spark: SparkSession, sf: String)
       : DataFrame = {
     val out = geoKnnPrefilteredPlan(spark, sf)
@@ -221,7 +224,11 @@ object Geo {
     // from the output entirely). Both halves land in ONE agg action on
     // ONE materialization serving certificate and caller alike.
     val rows = out.localCheckpoint()
-    val nProbes = supplier(spark, sf).where(col("s_suppkey") <= 3).count()
+    // the probe-panel size is a constant of the fixture — count it once
+    // per (session, sf) so the certificate's data path stays the ONE
+    // agg action below (round-18 review)
+    val nProbes = graft.util.Memos.cached(nProbesMemo, spark, sf)(
+      supplier(spark, sf).where(col("s_suppkey") <= 3).count())
     val cert = rows.agg(max(col("d2")), count(lit(1))).head()
     require(!cert.isNullAt(0),
       "fixture: the probe panel found no candidates in the cell block")

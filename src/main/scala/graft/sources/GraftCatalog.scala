@@ -1267,8 +1267,13 @@ object GraftMaintenance {
   private val thresholdMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   private val ThresholdTtlNanos: Long = 10L * 1000 * 1000 * 1000
-  /** Test hook: drop the memo so an in-test ALTER is seen immediately. */
+  /** Drop the whole memo (GraftBloomSidecars.dropCache composes this in). */
   private[graft] def dropThresholdMemo(): Unit = thresholdMemo.clear()
+  /** Per-path invalidation — called by commitMetas on every committed
+    * version, so an in-process ALTER/commit is seen by the next probe. */
+  private[sources] def invalidateThreshold(path: String): Unit = {
+    thresholdMemo.remove(path); ()
+  }
   private def resolvedThreshold(path: String): Long = {
     val now = System.nanoTime()
     thresholdMemo.get(path) match {

@@ -1661,6 +1661,12 @@ object GraftManifest {
             } finally Files.deleteIfExists(ltmp)
           }
         }
+        // a committed version may carry new table properties (ALTER SET
+        // TBLPROPERTIES lands here) — drop the auto-compact threshold
+        // memo for this path so an IN-PROCESS property change is seen by
+        // the very next probe instead of after the 10 s TTL (round-18
+        // review: the memo's staleness window is now cross-process only)
+        GraftMaintenance.invalidateThreshold(path)
         return next
       }
       // Claim lost. An INVISIBLE pending-txn claim on the slot means no
@@ -2569,6 +2575,7 @@ object GraftBloomSidecars {
   def dropCache(): Unit = {
     cache.clear(); bundleCache.clear(); bundleCacheBytes.set(0L)
     bundleFails.clear(); warned.clear()
+    GraftMaintenance.dropThresholdMemo()
   }
 }
 
@@ -3819,9 +3826,14 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
         case None => plannedManifest.map(_.metas)
       }
       popMetas.map { metas =>
+        // distinctBy name (round-18 review): a DV-only changed file
+        // appears in a change feed as TWO tagged states sharing one
+        // name and one centroid — without the dedup both states spend
+        // nprobe slots on the same file and the next-nearest changed
+        // file silently drops from the routed feed
         val scored = metas.flatMap { f =>
           f.centroids.get(i).map(b64 => (f.name, cosTo(b64)))
-        }
+        }.distinctBy(_._1)
         val keep = scored.sortBy { case (n, sc) => (-sc, n) }
           .take(np).map(_._1).toSet
         val blind = metas.filter(f => !f.centroids.contains(i)).map(_.name)

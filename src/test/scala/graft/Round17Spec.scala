@@ -19,26 +19,14 @@ class Round17Spec extends AnyFunSuite {
   private def tmp(p: String): String =
     java.nio.file.Files.createTempDirectory(p).toString
 
-  /** Same fixture as Round16bSpec: wide-alphabet 64-char strings whose
-    * 4-gram filters all externalize to per-file sidecars. */
+  /** Same fixture as Round16bSpec — shared via [[NgramFixture]]
+    * (round-18 review dedup). */
   private def writeFixture(dir: String, files: Int = 8): Unit =
-    spark.range(0, 1000)
-      .selectExpr("id", "base64(unbase64(left(base64(" +
-        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
-        "), 64))) as s")
-      .repartition(files)
-      .write.format("graft-sink").option("path", dir)
-      .option("ngramBloomFor", "s:4")
-      .option("distributionMode", "none").mode("overwrite").save()
-
+    NgramFixture.write(dir, files)
   private def inAlphabetWindow(dir: String): String =
-    spark.read.format("graft-sink").option("path", dir).load()
-      .where(col("id") === 7L).select("s").head().getString(0)
-      .substring(10, 18)
-
+    NgramFixture.inAlphabetWindow(dir)
   private def containsProbe(dir: String, window: String): DataFrame =
-    spark.read.format("graft-sink").option("path", dir).load()
-      .where(col("s").contains(window))
+    NgramFixture.containsProbe(dir, window)
 
   test("auto-compaction: a small table never churns versions from a probe") {
     GraftMaintenance.autoProbeEnabled = true
@@ -99,14 +87,7 @@ class Round17Spec extends AnyFunSuite {
     // may pin the table out) — an append lands FOUR new per-file
     // sidecars, so the next big cold probe pays 1 bundle + 4 sidecar
     // loads >= the threshold and bundles exactly the fresh refs
-    spark.range(2000, 3000)
-      .selectExpr("id", "base64(unbase64(left(base64(" +
-        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
-        "), 64))) as s")
-      .repartition(4)
-      .write.format("graft-sink").option("path", dir)
-      .option("ngramBloomFor", "s:4")
-      .option("distributionMode", "none").mode("append").save()
+    NgramFixture.write(dir, files = 4, lo = 2000, hi = 3000, mode = "append")
     val vsAfterAppend = GraftManifest.versions(dir).size
     GraftBloomSidecars.dropCache()
     containsProbe(dir, window).collect()

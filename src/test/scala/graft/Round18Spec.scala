@@ -29,26 +29,12 @@ class Round18Spec extends AnyFunSuite {
   private def tmp(p: String): String =
     java.nio.file.Files.createTempDirectory(p).toString
 
-  /** Round17Spec's fixture: wide-alphabet 64-char strings whose 4-gram
-    * filters all externalize to per-file sidecars. */
   private def writeFixture(dir: String, files: Int = 8): Unit =
-    spark.range(0, 1000)
-      .selectExpr("id", "base64(unbase64(left(base64(" +
-        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
-        "), 64))) as s")
-      .repartition(files)
-      .write.format("graft-sink").option("path", dir)
-      .option("ngramBloomFor", "s:4")
-      .option("distributionMode", "none").mode("overwrite").save()
-
+    NgramFixture.write(dir, files)
   private def inAlphabetWindow(dir: String): String =
-    spark.read.format("graft-sink").option("path", dir).load()
-      .where(col("id") === 7L).select("s").head().getString(0)
-      .substring(10, 18)
-
+    NgramFixture.inAlphabetWindow(dir)
   private def containsProbe(dir: String, window: String): DataFrame =
-    spark.read.format("graft-sink").option("path", dir).load()
-      .where(col("s").contains(window))
+    NgramFixture.containsProbe(dir, window)
 
   private def bundleFiles(dir: String): Array[java.io.File] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -56,6 +42,7 @@ class Round18Spec extends AnyFunSuite {
 
   test("bundle cache: budget holds and accounting stays exact under " +
       "sequential and 8-way concurrent eviction churn") {
+    val prevAuto = GraftMaintenance.autoProbeEnabled
     GraftMaintenance.autoProbeEnabled = false // isolate: no sweeps mid-test
     val prevMode = GraftBloomSidecars.bundleFetchMode
     val prevBudget = GraftBloomSidecars.bundleCacheBudget
@@ -136,12 +123,53 @@ class Round18Spec extends AnyFunSuite {
       GraftBloomSidecars.bundleCacheBudget = prevBudget
       GraftBloomSidecars.bundleFetchMode = prevMode
       GraftBloomSidecars.dropCache()
-      GraftMaintenance.autoProbeEnabled = true
+      GraftMaintenance.autoProbeEnabled = prevAuto
     }
+  }
+
+  test("a DV-only changed file spends ONE nprobe slot in a routed change feed") {
+    // round-18 review: a DV-only change renders in the CDF as TWO tagged
+    // states of one file sharing one centroid — before the distinctBy fix
+    // both states entered the nprobe ranking and the next-nearest changed
+    // file silently dropped from the routed feed
+    val root = tmp("graft_r18_cdf")
+    spark.conf.set("spark.sql.catalog.g18",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g18.root", root)
+    val dir = s"$root/db/t"
+    def slice(lo: Int, hi: Int, x: Double, y: Double) =
+      spark.range(lo, hi).selectExpr("id",
+        s"array(cast($x as float), cast($y as float)) as v").coalesce(1)
+    slice(0, 100, 1.0, 0.05).write.format("graft-sink").option("path", dir)
+      .option("centroidFor", "v").mode("overwrite").save() // v1: file A
+    slice(100, 200, 0.05, 1.0).write.format("graft-sink").option("path", dir)
+      .option("centroidFor", "v").mode("append").save() // v2: file B
+    spark.sql("DELETE FROM g18.db.t WHERE id = 5") // v3: DV on file A only
+    val head = graft.sources.GraftManifest.readVersion(dir, None).get
+    assert(head.metas.size == 2 && head.metas.count(_.dv.isDefined) == 1,
+      s"fixture: want 2 files, 1 DV, got ${head.metas.map(m => (m.name, m.dv))}")
+    // feed (1 -> head]: file A as remove-of-old + add-of-new (same name,
+    // same centroid) + file B added. The probe is nearest A; nprobe=2
+    // must still cover BOTH distinct files.
+    val rows = spark.read.format("graft-sink").option("path", dir)
+      .option("changesFrom", "1")
+      .option("annProbe", "1.0,0.0").option("annNprobe", "2")
+      .option("annCol", "v").load()
+      .select(col("_change_type"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.contains(("insert", 150L)),
+      "file B dropped from the routed feed: the DV'd file ate both nprobe slots")
+    assert(rows.count(_ == (("delete", 5L))) == 1 && !rows.contains(("insert", 5L)),
+      "the DV'd row must net to a delete")
+    assert(rows.count(_._2 == 7L) == 2,
+      "an unchanged file-A row renders as delete-of-old + insert-of-new")
+    assert(rows.length == 100 + 99 + 100,
+      s"feed must hold A-delete(100) + A-insert(99) + B-insert(100): ${rows.length}")
   }
 
   test("bundle cache: a transient read failure degrades once and heals " +
       "after the TTL without a cache drop") {
+    val prevAuto = GraftMaintenance.autoProbeEnabled
     GraftMaintenance.autoProbeEnabled = false
     val prevMode = GraftBloomSidecars.bundleFetchMode
     val prevTtl = GraftBloomSidecars.bundleFailTtl
@@ -180,7 +208,7 @@ class Round18Spec extends AnyFunSuite {
       GraftBloomSidecars.bundleFailTtl = prevTtl
       GraftBloomSidecars.bundleFetchMode = prevMode
       GraftBloomSidecars.dropCache()
-      GraftMaintenance.autoProbeEnabled = true
+      GraftMaintenance.autoProbeEnabled = prevAuto
     }
   }
 }
