@@ -1279,12 +1279,20 @@ object GraftMaintenance {
     thresholdMemo.get(path) match {
       case (exp, t) if now < exp => t
       case _ =>
-        val t = GraftManifest.versions(path).lastOption
+        val headV = GraftManifest.versions(path).lastOption
+        val t = headV
           .flatMap(v => GraftManifest.headerFacts(path, v).props
             .get("compactIndex.autoProbeLoads"))
           .flatMap(v => scala.util.Try(v.toLong).toOption)
           .getOrElse(AutoCompactProbeLoads.toLong)
         thresholdMemo.put(path, (now + ThresholdTtlNanos, t))
+        // close the check-then-act race with commitMetas' invalidation
+        // (round-18 second-pass review): a commit landing BETWEEN our
+        // headerFacts read and our put would have its invalidate erased
+        // by the stale put — re-list the head after publishing and
+        // self-remove if it moved, so the next probe re-resolves
+        if (GraftManifest.versions(path).lastOption != headV)
+          thresholdMemo.remove(path)
         t
     }
   }

@@ -3877,9 +3877,14 @@ class GraftSinkScanBuilder(path: String, version: Option[Int],
         }
         val rgDesc = annRgNprobe.map(rg =>
           s" rg=$rg(${ranges.size} files ranged)").getOrElse("")
+        // description counts DISTINCT files (round-18 second-pass
+        // review): a DV-only changed file contributes two tagged states
+        // to a feed's metas, and the audit line must not inflate the
+        // routed/blind/total figures with the duplicate
+        val blindN = blind.distinct.size
         (keep ++ blind, ranges,
-          s" ann=[$c nprobe=$np -> ${keep.size}+${blind.size} of " +
-            s"${metas.size} files$rgDesc]")
+          s" ann=[$c nprobe=$np -> ${keep.size}+$blindN of " +
+            s"${metas.map(_.name).distinct.size} files$rgDesc]")
       }
     }
 

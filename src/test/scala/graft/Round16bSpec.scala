@@ -29,14 +29,7 @@ class Round16bSpec extends AnyFunSuite {
     * n-gram filter externalizes (>= 4 KB base64), no width widening
     * (base64 alphabet keeps w=4 sparse). */
   private def writeFixture(dir: String, files: Int = 8): Unit =
-    spark.range(0, 1000)
-      .selectExpr("id", "base64(unbase64(left(base64(" +
-        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
-        "), 64))) as s")
-      .repartition(files)
-      .write.format("graft-sink").option("path", dir)
-      .option("ngramBloomFor", "s:4")
-      .option("distributionMode", "none").mode("overwrite").save()
+    NgramFixture.write(dir, files)
 
   private def inAlphabetWindow(dir: String): String =
     spark.read.format("graft-sink").option("path", dir).load()
@@ -126,14 +119,7 @@ class Round16bSpec extends AnyFunSuite {
     writeFixture(dir, files = 4)
     graft.sources.GraftMaintenance.compactIndexes(dir)
     // an APPEND lands fresh per-file sidecars next to the bundled head
-    spark.range(2000, 2500)
-      .selectExpr("id", "base64(unbase64(left(base64(" +
-        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
-        "), 64))) as s")
-      .coalesce(1)
-      .write.format("graft-sink").option("path", dir)
-      .option("ngramBloomFor", "s:4")
-      .option("distributionMode", "none").mode("append").save()
+    NgramFixture.write(dir, files = 1, lo = 2000, hi = 2500, mode = "append")
     val mixed = GraftManifest.readVersion(dir, None).get
     val refs = mixed.metas.map(_.ngblooms(1)._2)
     assert(refs.count(r => GraftBloomSidecars.splitRef(r.drop(1))._2.isDefined) == 4 &&
@@ -241,14 +227,7 @@ class Round16bSpec extends AnyFunSuite {
     assert(!GraftManifest.versions(dir).flatMap(v =>
       GraftManifest.headerFacts(dir, v).op).contains("COMPACT-INDEX"))
     // one more sidecar-bearing append trips it
-    spark.range(5000, 5500)
-      .selectExpr("id", "base64(unbase64(left(base64(" +
-        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
-        "), 64))) as s")
-      .coalesce(1)
-      .write.format("graft-sink").option("path", dir)
-      .option("ngramBloomFor", "s:4")
-      .option("distributionMode", "none").mode("append").save()
+    NgramFixture.write(dir, files = 1, lo = 5000, hi = 5500, mode = "append")
     val r1 = spark.sql("CALL g16m.system.maintenance('db.t')").head()
     assert(r1.getInt(3) == 5, s"5 pending sidecars must bundle: $r1")
     assert(GraftManifest.versions(dir).flatMap(v =>
@@ -258,14 +237,7 @@ class Round16bSpec extends AnyFunSuite {
     // ranged ref byte-identical — no whole-table repack per sweep
     val refsBefore = GraftManifest.readVersion(dir, None).get.metas
       .map(m => m.name -> m.ngblooms(1)._2).toMap
-    spark.range(6000, 6500)
-      .selectExpr("id", "base64(unbase64(left(base64(" +
-        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
-        "), 64))) as s")
-      .coalesce(1)
-      .write.format("graft-sink").option("path", dir)
-      .option("ngramBloomFor", "s:4")
-      .option("distributionMode", "none").mode("append").save()
+    NgramFixture.write(dir, files = 1, lo = 6000, hi = 6500, mode = "append")
     spark.sql("ALTER TABLE g16m.db.t SET TBLPROPERTIES " +
       "('compactIndex.minSidecars'='1')")
     val r2 = spark.sql("CALL g16m.system.maintenance('db.t')").head()
@@ -354,14 +326,7 @@ class Round16bSpec extends AnyFunSuite {
     // bundle TWO of the four via... full compaction bundles all; append
     // one more so the clone carries BOTH shapes (ranged + plain)
     graft.sources.GraftMaintenance.compactIndexes(src)
-    spark.range(7000, 7500)
-      .selectExpr("id", "base64(unbase64(left(base64(" +
-        "concat(sha2(cast(id as string), 256), sha2(cast(id*31+1 as string), 256))" +
-        "), 64))) as s")
-      .coalesce(1)
-      .write.format("graft-sink").option("path", src)
-      .option("ngramBloomFor", "s:4")
-      .option("distributionMode", "none").mode("append").save()
+    NgramFixture.write(src, files = 1, lo = 7000, hi = 7500, mode = "append")
     spark.sql("CALL g16c.system.clone('db.src', 'db.dst')").collect()
     val dst = s"$root/db/dst"
     val head = GraftManifest.readVersion(dst, None).get
