@@ -340,11 +340,17 @@ object Relational {
         count(lit(1)).as("n_rows"),
         outD(sum(dec(col("l_quantity"), 12, 2))).as("sum_qty"),
         outD(sum(dec(col("l_extendedprice"), 12, 2))).as("sum_base"),
-        outD(sum(dec(col("l_extendedprice"), 12, 2) *
-          (one - dec(col("l_discount"), 4, 2)))).as("sum_disc_price"),
-        outD(sum(dec(col("l_extendedprice"), 12, 2) *
+        // scale-6 decimal sums ROUND to 2 dp BEFORE the double cast
+        // (round-18 sf1 gate): a scale-6 decimal near 5.2e10 converts to
+        // double differently across engines (DuckDB divides an int128 by
+        // 10^6 — two roundings; BigDecimal.doubleValue rounds once), a
+        // 1-ulp drift invisible below ~1e10. A 2-dp decimal's conversion
+        // is exact-integer/100 on both engines, hence identical.
+        outD(round(sum(dec(col("l_extendedprice"), 12, 2) *
+          (one - dec(col("l_discount"), 4, 2))), 2)).as("sum_disc_price"),
+        outD(round(sum(dec(col("l_extendedprice"), 12, 2) *
           (one - dec(col("l_discount"), 4, 2)) *
-          (one + dec(col("l_tax"), 4, 2)))).as("sum_charge"))
+          (one + dec(col("l_tax"), 4, 2))), 2)).as("sum_charge"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -820,8 +826,8 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
