@@ -411,8 +411,51 @@ object Pipeline {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
 
+  /** BFS HOP DISTANCE — the fourth classic graph kernel here (with
+    * components, pagerank and triangles): minimum hop count from a seed
+    * set (doc_id ≡ 0 mod 97) over the same synthetic link graph,
+    * following edge direction, capped at 4 hops. FRONTIER expansion, not
+    * transitive closure: each round joins only the NEWLY-discovered
+    * frontier against the edge table (localCheckpointed once, reused
+    * every round), then anti-joins the visited set, so round r's work is
+    * O(out-edges of frontier r), never O(reached² ) — the Pregel/GraphX
+    * BFS shape. The loop stops early when the frontier drains (one
+    * bounded isEmpty probe per round on an already-materialized frame).
+    * At 100 TB the edge table stays hash-partitioned on src across
+    * rounds and only the frontier moves; the hop cap bounds the round
+    * count for the capped variant, the drain check alone bounds a full
+    * BFS by the graph's effective diameter. Output (node, hop) is exact
+    * integers, set-deterministic (rules D2/D3). */
+  def graphBfsHops(spark: SparkSession, sf: String): DataFrame = {
+    val edges = syntheticEdges(spark, sf).localCheckpoint()
+    val maxHops = 4
+    var visited = documents(spark, sf)
+      .where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("node"), lit(0).as("hop"))
+      .localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var h = 1
+    var drained = false
+    while (h <= maxHops && !drained) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      drained = next.isEmpty
+      if (!drained) {
+        visited = visited
+          .unionByName(next.select(col("node"), lit(h).as("hop")))
+          .localCheckpoint()
+        frontier = next
+      }
+      h += 1
+    }
+    visited.orderBy(col("node"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank_iter" -> graphPagerankIter,
+    "graph_bfs_hops" -> graphBfsHops,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_degree_distribution" -> graphDegreeDistribution,
     "dedup_cc_components" -> dedupCcComponents,
@@ -470,6 +513,24 @@ object Pipeline {
         |SELECT node,
         |  CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS pr_e6
         |FROM nodes LEFT JOIN s2 ON node = dst ORDER BY node""".stripMargin,
+
+    // Recursive min-hop closure, bounded by the same 4-hop cap; UNION
+    // (not UNION ALL) dedups (node, hop) states so the fixpoint is the
+    // per-level reachable set — N·H states max, then one min per node.
+    "graph_bfs_hops" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |ej AS (SELECT doc_id, unnest(range(1, 2 + doc_id % 3)) AS j
+        |       FROM documents),
+        |e AS (SELECT doc_id AS s,
+        |        (doc_id * 31 + j * 7919) % (SELECT n FROM nn) AS t
+        |      FROM ej),
+        |walk(node, hop) AS (
+        |  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+        |  UNION
+        |  SELECT e.t, w.hop + 1 FROM walk w JOIN e ON w.node = e.s
+        |  WHERE w.hop < 4)
+        |SELECT node, CAST(min(hop) AS INT) AS hop
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
 
     "graph_degree_distribution" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -530,6 +530,44 @@ object Relational {
           .cast("int").as("within_10pct"))
       .orderBy(col("event_type"))
 
+  /** PER-GROUP OLS REGRESSION (stats family, round 18): slope and
+    * intercept of l_extendedprice on l_quantity per return flag,
+    * computed ENTIRELY in integer arithmetic. Both measures are scaled
+    * to exact cents (decimal(12,2)·100 → integral), the five sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx²) accumulate as exact decimals in
+    * ONE map-side-combinable shuffle (rule D1 — order-independent), and
+    * slope/intercept come out of the closed form as ROUNDED integers:
+    * sign·((|num|·10⁶ + den div 2) div den), all operands non-negative
+    * so Spark's truncating `div` equals DuckDB's flooring `//`
+    * (rule D3 — the same discipline as the geo and pagerank kernels;
+    * a float regr_slope would drift by summation order on both
+    * engines). The intercept reuses the ALREADY-ROUNDED slope_e6 so its
+    * definition is exactly reproducible: icept = (Σy·10⁶ − slope_e6·Σx)
+    * / (n·10⁶), in cents. Scale shape: a 5-statistic partial aggregate
+    * is the canonical distributed-regression plan — no second pass, no
+    * collect, merges associatively at any parallelism. */
+  def statsLinregGroup(spark: SparkSession, sf: String): DataFrame = {
+    val xc = (dec(col("l_quantity"), 12, 2) * 100).cast(DecimalType(20, 0))
+    val yc = (dec(col("l_extendedprice"), 12, 2) * 100).cast(DecimalType(20, 0))
+    lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(xc).as("sx"), sum(yc).as("sy"),
+        sum(xc * yc).as("sxy"), sum(xc * xc).as("sxx"))
+      .withColumn("num", expr("n_rows * sxy - sx * sy"))
+      .withColumn("den", expr("n_rows * sxx - sx * sx"))
+      .withColumn("slope_e6", expr(
+        "IF(num < 0, -1L, 1L) * ((abs(num) * 1000000 + den div 2) div den)"))
+      .withColumn("t", expr("sy * 1000000 - slope_e6 * sx"))
+      .withColumn("icept_cents", expr(
+        "IF(t < 0, -1L, 1L) * " +
+          "((abs(t) + (n_rows * 1000000L) div 2) div (n_rows * 1000000L))"))
+      .select(col("l_returnflag"), col("n_rows"), col("slope_e6"),
+        col("icept_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // --------------------------------------------------- F. sort/limit/top-k
 
   /** Multi-key sort with explicit null placement + LIMIT → Spark plans
@@ -651,6 +689,7 @@ object Relational {
     "agg_cube" -> aggCube,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_approx_percentile" -> aggApproxPercentile,
+    "stats_linreg_group" -> statsLinregGroup,
     "sort_multi_nulls" -> sortMultiNulls,
     "topk_per_group" -> topkPerGroup,
     "limit_offset" -> limitOffset,
@@ -926,6 +965,31 @@ object Relational {
       """SELECT event_type, count(*) AS n,
         |  CAST(1 AS INT) AS p50_rank_ok, CAST(1 AS INT) AS p90_rank_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Integer OLS: HUGEINT sufficient statistics mirror Spark's exact
+    // decimal sums; all divisions have non-negative operands so DuckDB's
+    // flooring // equals Spark's truncating div (rule D3).
+    "stats_linreg_group" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT)) AS sx,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT)) AS sy,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT) *
+        |        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT)) AS sxy,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT) *
+        |        CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT)) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n, sx, sy,
+        |        n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM s),
+        |sl AS (SELECT *, (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |         ((abs(num) * 1000000 + den // 2) // den) AS slope_e6 FROM d),
+        |ic AS (SELECT *, sy * 1000000 - slope_e6 * sx AS t FROM sl)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(slope_e6 AS BIGINT) AS slope_e6,
+        |  CAST((CASE WHEN t < 0 THEN -1 ELSE 1 END) *
+        |       ((abs(t) + (n * 1000000) // 2) // (n * 1000000)) AS BIGINT)
+        |    AS icept_cents
+        |FROM ic ORDER BY l_returnflag""".stripMargin,
 
     "sort_multi_nulls" ->
       """SELECT o_orderkey,

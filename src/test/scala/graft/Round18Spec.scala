@@ -211,4 +211,64 @@ class Round18Spec extends AnyFunSuite {
       GraftMaintenance.autoProbeEnabled = prevAuto
     }
   }
+
+  // ------------------------------------------------- round-18 key additions
+
+  test("graph_bfs_hops equals a driver-side reference BFS at sf0.001") {
+    val got = SparkEntry.queries("graph_bfs_hops")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // independent reference: same synthetic graph, textbook queue BFS
+    val ids = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val adj = ids.map { i =>
+      i -> (1L to (1 + i % 3)).map(j => (i * 31 + j * 7919) % n)
+    }.toMap
+    val dist = scala.collection.mutable.Map[Long, Int]()
+    var frontier = ids.filter(_ % 97 == 0).toSet
+    assert(frontier.nonEmpty, "fixture must seed at least one source")
+    frontier.foreach(dist(_) = 0)
+    for (h <- 1 to 4) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Nil)) -- dist.keySet
+      frontier.foreach(dist(_) = h)
+    }
+    assert(got.sorted == dist.toSeq.sorted,
+      s"BFS disagrees: spark=${got.size} rows, reference=${dist.size}")
+    // minimality sanity independent of the reference: some node must sit
+    // at every populated hop level up to the deepest one reached
+    val levels = got.map(_._2).distinct.sorted
+    assert(levels == (0 to levels.max).toSeq, s"hop levels not contiguous: $levels")
+  }
+
+  test("stats_linreg_group matches exact BigInt OLS at sf0.001") {
+    val got = SparkEntry.queries("stats_linreg_group")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent reference: per-group sufficient statistics in BigInt,
+    // same cents quantization (double -> decimal(12,2) is HALF_UP, the
+    // Cast semantics the dec() helper relies on everywhere)
+    def cents(d: Double): BigInt = BigInt(
+      new java.math.BigDecimal(d)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).toBigIntegerExact)
+    val rows = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), cents(r.getDouble(1)), cents(r.getDouble(2))))
+    def roundDiv(a: BigInt, b: BigInt): BigInt = { // sign * floor on |.|
+      val q = (a.abs + b / 2) / b
+      if (a < 0) -q else q
+    }
+    val want = rows.groupBy(_._1).map { case (flag, g) =>
+      val n = BigInt(g.length)
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxy = g.map(t => t._2 * t._3).sum
+      val sxx = g.map(t => t._2 * t._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val slope = roundDiv(num * 1000000, den)
+      val icept = roundDiv(sy * 1000000 - slope * sx, n * 1000000)
+      (flag, n.toLong, slope.toLong, icept.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq.sortBy(_._1) == want,
+      s"OLS disagrees:\n got=${got.mkString(", ")}\nwant=${want.mkString(", ")}")
+  }
 }
