@@ -131,4 +131,37 @@ private[functions] object VecCodegen {
          |}
        """.stripMargin)
   }
+
+  /** Early-abort merge scan for thresholded verifies — see
+    * [[SortedIntersectPrune]] for the contract. Returns the sentinel
+    * packing (first = −1, size = 0) as soon as the row provably fails the
+    * caller's downstream filters (first common element ≠ sid, or matches
+    * can no longer reach alpha); otherwise the same `(first << 32) | size`
+    * packing as intersectFirstSize. The sentinel's low word is 0 so the
+    * unpacked size casts to int without ANSI overflow and fails any
+    * `i ≥ alpha ≥ 1` threshold, and its high word is −1 so it fails any
+    * `sid = first` dedup; a surviving row always has size ≥ alpha ≥ 1, so
+    * the sentinel can never collide with a real result. */
+  def intersectPrune(ctx: CodegenContext): String = memo(ctx, "intersectPrune") {
+    ctx.addNewFunction("graftSortedIntersectPrune",
+      s"""
+         |private long graftSortedIntersectPrune($AD a, $AD b, int sid, int alpha) {
+         |  int na = a.numElements(); int nb = b.numElements();
+         |  long drop = ((long) -1) << 32; // (first = -1, size = 0)
+         |  int i = 0; int j = 0; int n = 0; int first = -1;
+         |  while (i < na && j < nb) {
+         |    int rem = na - i < nb - j ? na - i : nb - j;
+         |    if (n + rem < alpha) return drop;
+         |    int x = a.getInt(i); int y = b.getInt(j);
+         |    if (x == y) {
+         |      if (n == 0) { first = x; if (sid >= 0 && x != sid) return drop; }
+         |      n++; i++; j++;
+         |    }
+         |    else if (x < y) { i++; } else { j++; }
+         |  }
+         |  if (n < alpha) return drop;
+         |  return (((long) first) << 32) | (((long) n) & 0xffffffffL);
+         |}
+       """.stripMargin)
+  }
 }

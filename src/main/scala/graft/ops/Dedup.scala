@@ -122,7 +122,7 @@ object Dedup {
   val bandSweepCap = 64
 
   def dedupBandSweep(spark: SparkSession, sf: String): DataFrame = {
-    graft.functions.SortedIntersectSize.register(spark)
+    graft.functions.SortedIntersectPrune.register(spark)
     val sigs = fixtureSigs(spark, sf)
     // exact verify rides Text's memoized packed-int term index (same
     // bigram universe; df=1 terms can't be shared, so the df>=2 id space
@@ -165,7 +165,13 @@ object Dedup {
         col("n").as("n_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sids").as("sids_b"),
         col("n").as("n_b")), "doc_b")
-      .withColumn("i", expr("sorted_intersect_size(sids_a, sids_b)"))
+      // early-abort verify (r18): only the BOOLEAN i·20 ≥ u·7 is consumed,
+      // i.e. 27i ≥ 7(n_a+n_b) ⇔ i ≥ ⌈7(n_a+n_b)/27⌉ — the α-thresholded
+      // merge scan returns −1 (→ false, exactly as the full scan's i would
+      // evaluate) instead of walking both arrays for every sub-threshold
+      // pair.
+      .withColumn("i", expr("cast(sorted_intersect_prune(sids_a, sids_b," +
+        " -1, cast((7 * (n_a + n_b) + 26) div 27 as int)) & 4294967295 as int)"))
       .withColumn("u", col("n_a") + col("n_b") - col("i"))
       .select(col("mask"),
         (col("i") * 20 >= col("u") * 7).cast("long").as("is_dup"))

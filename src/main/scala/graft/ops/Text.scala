@@ -142,7 +142,7 @@ object Text {
     * intersection) while `n` counts ALL distinct terms, so this is the
     * same i/u the full-dictionary encoding produced. */
   private[graft] def jaccardPairsFresh(spark: SparkSession, sf: String): DataFrame = {
-    graft.functions.SortedIntersectSize.register(spark)
+    graft.functions.SortedIntersectPrune.register(spark)
     val sets = packedSets(spark, sf)
     // The packed-set frame is tiny in bytes, so AQE coalesces the post-agg
     // shuffle to ONE partition — and the O(pairs) scan below would run on a
@@ -163,7 +163,12 @@ object Text {
     a.join(broadcast(b),
         col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
         col("n_a") * 2 >= col("n_b") && col("n_b") * 2 >= col("n_a"))
-      .withColumn("i", expr("sorted_intersect_size(sids_a, sids_b)"))
+      // early-abort verify (r18): the α-thresholded merge scan returns −1
+      // for any pair that cannot reach i ≥ ⌈(n_a+n_b)/3⌉ (⇔ 2i ≥ u), which
+      // the i > 0 / 2i ≥ u filters below drop exactly as the full scan's
+      // result would be — surviving rows carry the identical exact i.
+      .withColumn("i", expr("cast(sorted_intersect_prune(sids_a, sids_b," +
+        " -1, cast((n_a + n_b + 2) div 3 as int)) & 4294967295 as int)"))
       .withColumn("u", (col("n_a") + col("n_b") - col("i")).cast("int"))
       .where(col("i") * 2 >= col("u") && col("i") > 0)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("i"), col("u"))
@@ -296,23 +301,42 @@ object Text {
       .select(col("term"), (col("sid0") + 1).cast("int").as("sid"))
       .localCheckpoint()
 
-  /** Prefix-explode → equi-join → fused verify half, over prebuilt sets. */
+  /** Prefix-explode → equi-join → fused verify half, over prebuilt sets.
+    *
+    * r18 per-candidate-CPU work (guide §1.2 step 2 — this join's verify
+    * stage was 22 s of task time at sf0.1, the bench's hottest stage):
+    * (1) prefixes ride POSexplode and the join condition adds the PPJoin
+    * positional suffix bound `min(m_a − pos_a, m_b − pos_b) ≥ α` — for the
+    * kept (first-common) row every match sits at positions ≥ pos, so a
+    * candidate that can't reach the α = ⌈(n_a+n_b)/3⌉ overlap the t = 0.5
+    * threshold demands is dropped by integer math BEFORE any merge scan;
+    * (2) survivors verify through [[graft.functions.SortedIntersectPrune]],
+    * which aborts mid-scan on first-common ≠ sid or an unreachable α
+    * instead of walking both arrays to the end. Both prunes only drop rows
+    * the filters below drop anyway (pair set is provably identical; the
+    * sentinel −1 fails `sid = first`, `i > 0` and `2i ≥ u` at once). */
   private def jaccardPairsOf(sets: DataFrame): DataFrame = {
-    graft.functions.SortedIntersectFirstSize.register(sets.sparkSession)
+    graft.functions.SortedIntersectPrune.register(sets.sparkSession)
     // t = 0.5 ⇒ required overlap α = ⌈n/2⌉; prefix = first m − α + 1 ids.
     val pref = sets
       .withColumn("p", greatest(lit(0), col("m") - expr("(n + 1) div 2") + 1))
-      .select(col("lang"), col("doc_id"), col("n"), col("sids"),
-        explode(slice(col("sids"), lit(1), col("p"))).as("sid"))
+      .select(col("lang"), col("doc_id"), col("n"), col("m"), col("sids"),
+        posexplode(slice(col("sids"), lit(1), col("p"))).as(Seq("pos", "sid")))
     val ca = pref.select(col("lang"), col("doc_id").as("doc_a"),
-      col("n").as("n_a"), col("sids").as("sids_a"), col("sid"))
+      col("n").as("n_a"), col("m").as("m_a"), col("sids").as("sids_a"),
+      col("pos").as("pos_a"), col("sid"))
     val cb = pref.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
-      col("n").as("n_b"), col("sids").as("sids_b"), col("sid").as("sid_b"))
+      col("n").as("n_b"), col("m").as("m_b"), col("sids").as("sids_b"),
+      col("pos").as("pos_b"), col("sid").as("sid_b"))
+    // i*2 ≥ u ⇔ 3i ≥ n_a+n_b ⇔ i ≥ ⌈(n_a+n_b)/3⌉ (i integer)
+    val alpha = expr("cast((n_a + n_b + 2) div 3 as int)")
     ca.join(cb,
         col("sid") === col("sid_b") && col("lang") === col("lang_b") &&
         col("doc_a") < col("doc_b") &&
-        col("n_a") * 2 >= col("n_b") && col("n_b") * 2 >= col("n_a"))
-      .withColumn("stats", expr("sorted_intersect_first_size(sids_a, sids_b)"))
+        col("n_a") * 2 >= col("n_b") && col("n_b") * 2 >= col("n_a") &&
+        least(col("m_a") - col("pos_a"), col("m_b") - col("pos_b")) >= alpha)
+      .withColumn("stats", expr("sorted_intersect_prune(sids_a, sids_b, sid," +
+        " cast((n_a + n_b + 2) div 3 as int))"))
       // keep exactly the row joined on the first common element (dedup) …
       .where(col("sid") === shiftright(col("stats"), 32).cast("int"))
       // … and verify on the size from the same scan.

@@ -41,6 +41,43 @@ class ExprRulesSpec extends AnyFunSuite {
     assert(got(1).getInt(1) == 1)
   }
 
+  test("sorted_intersect_prune: sentinel/packing parity with the full scan") {
+    graft.functions.SortedIntersectPrune.register(spark)
+    graft.functions.SortedIntersectFirstSize.register(spark)
+    // randomized sorted-set pairs: for every (sid, alpha) the pruned scan
+    // must agree with the full scan WHENEVER the full scan's row survives
+    // the caller's filters (first = sid AND size >= alpha), and must
+    // return the (first = -1, size = 0) sentinel only for rows those
+    // filters drop anyway.
+    val rnd = new scala.util.Random(42)
+    def randSet(): Seq[Int] =
+      (0 until rnd.nextInt(12)).map(_ => rnd.nextInt(20)).distinct.sorted
+    val rows = (1 to 300).map { i =>
+      val a = randSet(); val b = randSet()
+      (i.toLong, a, b, rnd.nextInt(22) - 2, rnd.nextInt(6))
+    }
+    val df = rows.toDF("id", "a", "b", "sid", "alpha")
+    val got = df.selectExpr("id",
+        "sorted_intersect_prune(a, b, sid, alpha) as p",
+        "sorted_intersect_first_size(a, b) as f",
+        "sid", "alpha")
+      .collect()
+    got.foreach { r =>
+      val p = r.getLong(1); val f = r.getLong(2)
+      val sid = r.getInt(3); val alpha = r.getInt(4)
+      val first = (f >> 32).toInt; val size = (f & 0xffffffffL).toInt
+      val survives = (sid < 0 || first == sid) && size >= alpha
+      if (survives) assert(p == f, s"row ${r.getLong(0)}: pruned $p != full $f")
+      else assert(p == ((-1L) << 32),
+        s"row ${r.getLong(0)}: expected drop sentinel, got $p (full $f)")
+    }
+    // NULL element poisons exactly like the siblings
+    val nul = Seq((1L, Seq[Integer](null, 5), Seq[Integer](0, 5)))
+      .toDF("id", "a", "b")
+      .selectExpr("sorted_intersect_prune(a, b, -1, 0) as p").collect()
+    assert(nul(0).isNullAt(0), "null element must poison")
+  }
+
   test("topKPerKey: -0.0 and 0.0 double keys are ONE key (window parity)") {
     val df = Seq((-0.0d, 1L), (0.0d, 2L), (-0.0d, 3L), (1.5d, 4L))
       .toDF("key", "v")
