@@ -66,30 +66,36 @@ private[functions] object VecCodegen {
        """.stripMargin)
   }
 
-  /** dot(a,b) with double accumulation — null-free inputs only. */
+  /** dot(a,b) with double accumulation — null-free inputs only.
+    * Reads elements in place via getFloat: a join residual evaluates this
+    * once per CANDIDATE PAIR, and the former toFloatArray form allocated
+    * and copied two float[] per evaluation — ~8M allocations per banded
+    * self-join run at sf0.1, pure GC pressure (r18; getFloat on
+    * UnsafeArrayData is a direct word read and JIT-inlines). */
   def dot(ctx: CodegenContext): String = memo(ctx, "dot") {
     ctx.addNewFunction("graftVecDot",
       s"""
          |private double graftVecDot($AD a, $AD b) {
-         |  float[] x = a.toFloatArray(); float[] y = b.toFloatArray();
+         |  int n = a.numElements();
          |  double acc = 0.0;
-         |  for (int i = 0; i < x.length; i++) {
-         |    acc += ((double) x[i]) * ((double) y[i]);
+         |  for (int i = 0; i < n; i++) {
+         |    acc += ((double) a.getFloat(i)) * ((double) b.getFloat(i));
          |  }
          |  return acc;
          |}
        """.stripMargin)
   }
 
-  /** Fused cosine (dot + both norms in one pass) — null-free inputs only. */
+  /** Fused cosine (dot + both norms in one pass) — null-free inputs only.
+    * Allocation-free for the same reason as [[dot]]. */
   def cosine(ctx: CodegenContext): String = memo(ctx, "cosine") {
     ctx.addNewFunction("graftVecCosine",
       s"""
          |private double graftVecCosine($AD a, $AD b) {
-         |  float[] xs = a.toFloatArray(); float[] ys = b.toFloatArray();
+         |  int n = a.numElements();
          |  double dot = 0.0, na = 0.0, nb = 0.0;
-         |  for (int i = 0; i < xs.length; i++) {
-         |    double x = (double) xs[i]; double y = (double) ys[i];
+         |  for (int i = 0; i < n; i++) {
+         |    double x = (double) a.getFloat(i); double y = (double) b.getFloat(i);
          |    dot += x * y; na += x * x; nb += y * y;
          |  }
          |  return dot / java.lang.Math.sqrt(na * nb);

@@ -75,22 +75,42 @@ object Pipeline {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) atWidth(widthFor(prev._1)) {
+      val w = widthFor(prev._1)
+      // ONE exchange per star phase (r18, guide §2.4 "share the exchange"):
+      // each phase's groupBy, join and (s, t)-distinct are all keyed on s,
+      // so an explicit repartition(w, s) establishes the partitioning once
+      // and every downstream operator reuses it — HashPartitioning(s)
+      // satisfies the (s, t) clustering of distinct too. The old shape paid
+      // a separate exchange for each (~7/round); this one pays 3 (phase
+      // keying ×2 + the final canonical-orientation distinct). Skew note:
+      // a hot star center now concentrates its Γ(s) join rows in one task
+      // where AQE's skew-split could previously divide them — but the same
+      // key already concentrated in the groupBy/window of every prior
+      // shape, widthFor targets ~100k edges/partition, and contraction
+      // halves hot-star mass every round, so the straggler bound is one
+      // round's degree, not the component size.
+      //
       // large-star: nbrs both directions; m(u) = min(Γ(u) ∪ {u});
       // emit (v, m) for v ∈ Γ(u), v > u.
       val nbrs = edges.unionByName(
-        edges.select(col("t").as("s"), col("s").as("t")))
+          edges.select(col("t").as("s"), col("s").as("t")))
+        .repartition(w, col("s"))
       val mins = nbrs.groupBy(col("s"))
         .agg(least(min(col("t")), first(col("s"))).as("m"))
+      // large-star output is already high→low oriented (m < s < t by
+      // construction), so the small-star phase re-keys it on the new s
+      // once and its distinct + groupBy + join all reuse that exchange.
       val large = nbrs.join(mins, "s")
         .where(col("t") > col("s") && col("t") =!= col("m"))
         .select(col("t").as("s"), col("m").as("t"))
-        .distinct()
+        .repartition(w, col("s"))
+      val largeD = large.distinct()
       // small-star on high→low oriented edges: emit (v, m) for each low
-      // neighbor v ≠ m, plus (u, m).
-      val directed = large
-        .select(greatest(col("s"), col("t")).as("s"), least(col("s"), col("t")).as("t"))
-      val smins = directed.groupBy(col("s")).agg(min(col("t")).as("m"))
-      val small = directed.join(smins, "s")
+      // neighbor v ≠ m, plus (u, m). (min is duplicate-insensitive, so
+      // smins may read the pre-distinct rows and stay on the same
+      // exchange; the emitted edges come from the distinct set.)
+      val smins = large.groupBy(col("s")).agg(min(col("t")).as("m"))
+      val small = largeD.join(smins, "s")
         .where(col("t") =!= col("m"))
         .select(col("t").as("s"), col("m").as("t"))
         .unionByName(smins.select(col("s"), col("m").as("t")))
@@ -198,9 +218,11 @@ object Pipeline {
     * Recursive-CTE oracled like the other CC keys. */
   def vecDedupSemantic(spark: SparkSession, sf: String): DataFrame = {
     // the UNSORTED pair kernel: the key-surface presentation sort would
-    // be paid and discarded by the checkpoint (round 17, recorded item)
+    // be paid and discarded by the checkpoint (round 17, recorded item);
+    // since r18 the kernel is memoized+checkpointed per (session, sf), so
+    // the rename is a free projection over the shared checkpoint
     val pairs = Vectors.thresholdPairsOf(spark, sf)
-      .select(col("vec_a").as("s"), col("vec_b").as("t")).localCheckpoint()
+      .select(col("vec_a").as("s"), col("vec_b").as("t"))
     ccWithSizes(pairs, "vec_id").orderBy(col("vec_id"))
   }
 

@@ -1110,8 +1110,25 @@ object Vectors {
   /** The UNSORTED pair kernel behind [[vecThresholdPairs]] — the
     * presentation sort belongs to the key surface; vec_dedup_semantic
     * feeds these pairs straight into contraction and must not pay a
-    * sort its checkpoint discards (round 17, recorded review item). */
-  private[ops] def thresholdPairsOf(spark: SparkSession, sf: String): DataFrame = {
+    * sort its checkpoint discards (round 17, recorded review item).
+    *
+    * Computed ONCE per (session, sf) and localCheckpointed (r18 — the
+    * same discipline as Text.jaccardPairs): the 16-band rewritten union
+    * was the single hottest stage of BOTH consuming keys, and each ran
+    * it end-to-end. Each key stays a pure function of (spark, sfDir). */
+  private val thresholdPairsMemo = graft.util.Memos.memo[DataFrame]
+
+  private[ops] def thresholdPairsOf(spark: SparkSession, sf: String): DataFrame =
+    graft.util.Memos.cached(thresholdPairsMemo, spark, sf)(
+      thresholdPairsFresh(spark, sf).localCheckpoint())
+
+  /** Plan probe for the spec layer: the UN-memoized rule-rewritten pair
+    * plan (the memoized key surface checkpoints it into a LogicalRDD, so
+    * plan-shape assertions must look here). Sorted like the key. */
+  private[graft] def thresholdPairsPlanProbe(spark: SparkSession, sf: String): DataFrame =
+    thresholdPairsFresh(spark, sf).orderBy(col("vec_a"), col("vec_b"))
+
+  private def thresholdPairsFresh(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorCosine.register(spark)
     spark.conf.set(graft.plans.LshPrefilter.ConfKey, "true")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LshPrefilter))

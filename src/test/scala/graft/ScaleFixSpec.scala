@@ -89,7 +89,9 @@ class ScaleFixSpec extends AnyFunSuite {
   }
 
   test("LshPrefilter rewrites the naive cosine-threshold join into banded equi-joins") {
-    val df = SparkEntry.queries("vec_threshold_pairs")(spark, sf001)
+    // the key's surface is a memoized checkpoint since r18, so inspect the
+    // UNDERLYING fresh kernel's plan — the rule fires inside the memo build
+    val df = graft.ops.Vectors.thresholdPairsPlanProbe(spark, sf001)
     val opt = df.queryExecution.optimizedPlan.toString
     assert(opt.contains("Union"), s"rule did not fire (no Union):\n${opt.take(800)}")
     val physical = df.queryExecution.executedPlan.toString
