@@ -84,20 +84,37 @@ object Streaming {
     * planning, offset/commit logs, store init), not the trailing empty
     * batch, so the harness keeps the engine's default semantics.) */
   private def drain(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
-    val name = s"sink_${UUID.randomUUID().toString.replace("-", "")}"
+    // r18: foreachBatch materializes each micro-batch ON THE EXECUTORS
+    // (eager localCheckpoint — the only action, so the batch plan runs
+    // once), where the former memory sink collected every batch to the
+    // driver and the result then paid a full re-parallelize
+    // (spark.table(name).localCheckpoint() — measured as the largest
+    // stage of the cheap streaming keys: 5.2 s + 1.6 s task time of
+    // stream_session's 9 s total). Complete mode keeps the LAST batch's
+    // full result, Append/Update union the per-batch emissions — exactly
+    // the memory sink's accumulation semantics. Blocks release with the
+    // returned frame via the ContextCleaner, same as before (round-16b
+    // review: nothing pins results for the JVM lifetime).
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     withStreamShuffle(spark) {
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      val q = df.writeStream.outputMode(mode)
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val snap = b.localCheckpoint()
+          buf.synchronized {
+            if (mode == OutputMode.Complete()) buf.clear()
+            buf += snap
+          }
+          ()
+        }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    // copy the rows out (eager localCheckpoint) and DROP the sink view:
-    // memory-sink tables otherwise pin every run's full result set in
-    // the driver for the JVM lifetime — Bench runs each of the 19
-    // streaming keys 2-3 times (round-16b review). Checkpoint blocks
-    // release with the returned frame via the ContextCleaner.
-    val out = spark.table(name).localCheckpoint()
-    spark.catalog.dropTempView(name)
-    out
+    buf.synchronized {
+      if (buf.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], df.schema)
+      else buf.reduce(_.unionByName(_))
+    }
   }
 
   def streamTumbling(spark: SparkSession, sf: String): DataFrame = {
