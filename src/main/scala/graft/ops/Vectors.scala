@@ -808,17 +808,60 @@ object Vectors {
     * point. Each sweep point reuses the one-pass IVF core — at scale this
     * is four passes over the candidate join, each probe-bounded. */
   def vecIvfNprobeSweep(spark: SparkSession, sf: String): DataFrame = {
+    // ONE-PASS sweep (r18): the four sweep points used to run four full
+    // IVF plans (4× cell assignment, candidate join, window — a 166 KB
+    // physical plan whose planning/codegen dominated the key). A sweep
+    // point nprobe = k's candidate set is exactly "cells whose probe ring
+    // rank prn ≤ k", so ONE candidate join at the widest fan-out (prn ≤ 8,
+    // prn kept) scores every pair once, each config filters prn ≤ cfg, and
+    // ranks come from one window per (probe, cfg) — identical ordering and
+    // tie-breaks to the per-config plans, ~4× less plan and join work.
+    VectorDot.register(spark)
+    val cfgs = Seq(1, 2, 4, 8)
+    val e = embeddings(spark, sf)
+    val seeds: Array[(Long, Array[Float])] = e
+      .where(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val assign = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), cellExpr(seeds, "embedding").as("cell"))
+    val p = e.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val seedDf = e.where(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val pw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val pcells = p.crossJoin(broadcast(seedDf))
+      .withColumn("pcos",
+        expr("vector_dot(pe, cemb)") / sqrt(expr("vector_dot(cemb, cemb)")))
+      .withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= cfgs.max)
+      .select(col("probe_id"), col("pe"), col("cid").as("cell"), col("prn"))
+    val scored = assign.join(broadcast(pcells), Seq("cell"))
+      .where(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos",
+        expr("vector_dot(pe, ce)") / sqrt(expr("vector_dot(ce, ce)")))
+      .select(col("probe_id"), col("prn"), col("cand_id"), col("cos"))
+      .withColumn("cfg", explode(array(cfgs.map(lit): _*)))
+      .where(col("prn") <= col("cfg"))
+    val w = Window.partitionBy(col("probe_id"), col("cfg"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val ivf = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("cfg"), col("probe_id"), col("cand_id").as("neighbor_id"),
+        lit(1).as("hit"))
     val exact = vecKnnCosine(spark, sf).where(col("rank") <= 3)
       .select(col("probe_id"), col("neighbor_id"))
-    Seq(1, 2, 4, 8).map { k =>
-      val ivf = ivfTopk(spark, sf, k)
-        .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
-      exact.join(broadcast(ivf), Seq("probe_id", "neighbor_id"), "left")
-        .agg(count(lit(1)).as("k_total"),
-          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .select(lit(k).as("nprobe"), col("k_total"), col("n_hit"),
-          expr("n_hit * 100 div k_total").as("recall_pct"))
-    }.reduce(_.unionAll(_)).orderBy(col("nprobe"))
+      .withColumn("cfg", explode(array(cfgs.map(lit): _*)))
+    exact.join(broadcast(ivf), Seq("cfg", "probe_id", "neighbor_id"), "left")
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("k_total"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("cfg").as("nprobe"), col("k_total"), col("n_hit"),
+        expr("n_hit * 100 div k_total").as("recall_pct"))
+      .orderBy(col("nprobe"))
   }
 
   /** RECALL@3 of the IVF index against brute-force kNN — the measurement
