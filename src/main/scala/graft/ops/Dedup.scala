@@ -301,11 +301,27 @@ object Dedup {
 
   /** Same, over a prebuilt (doc_id, lang, sh) shingle frame. */
   private def simhashFromShingles(shf: DataFrame): DataFrame = {
-    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    // Integer sign extraction (r18): hex digit b+1 of the md5 is "high"
+    // (8..f) iff the top bit of nibble b is set, so parsing the first 16
+    // hex chars once into two 32-bit words and shifting replaces 16
+    // substring()+isin(8 strings) string compares per shingle. Same s_b
+    // sums, same signature. (A per-DISTINCT-shingle dict join — the
+    // minhashSigs discipline — was measured WORSE here: 24 s vs 14 s of
+    // task time, because this aggregate consumes one cheap hash per
+    // occurrence and the dict adds a distinct pass plus a join probe per
+    // occurrence; minhash pays 8 salted hashes per shingle, which is the
+    // volume that makes its dict pay off.)
     val sh = shf.withColumn("h", md5(col("sh")))
+      .withColumn("w1", expr("cast(conv(substring(h, 1, 8), 16, 10) as long)"))
+      .withColumn("w2", expr("cast(conv(substring(h, 9, 8), 16, 10) as long)"))
+    def signBit(b: Int): Column = {
+      val p = b + 1 // 1-based hex position, nibble b
+      val (w, shift) = if (p <= 8) (col("w1"), (8 - p) * 4 + 3)
+        else (col("w2"), (16 - p) * 4 + 3)
+      shiftright(w, shift).bitwiseAND(lit(1L))
+    }
     val sumCols = (0 until 16).map(b =>
-      sum(when(substring(col("h"), b + 1, 1).isin(highHex: _*), 1).otherwise(-1))
-        .as(s"s$b"))
+      sum(signBit(b) * 2 - 1).as(s"s$b"))
     val bitSums = sh.groupBy(col("doc_id"), col("lang"))
       .agg(sumCols.head, sumCols.tail: _*)
     val sig = (0 until 16).map(b =>
@@ -452,17 +468,31 @@ object Dedup {
   /** Core duplicated-span pairs over any frame with (doc_id, text).
     * (private[graft]: the api.Graft façade reuses this kernel.) */
   private[graft] def substringPairsOf(d: DataFrame): DataFrame = {
-    // word-start offsets: acc = [1, 1+len(w1)+1, ...]; drop the final
-    // (one-past-end) element via slice to size(words)
-    val offsets = expr(
-      """slice(aggregate(split(text, ' '), array(1),
-        |  (acc, w) -> array_append(acc, element_at(acc, -1) + length(w) + 1)),
-        |  1, size(split(text, ' ')))""".stripMargin)
+    // Word-start anchors as a LINEAR position filter (r18): a word start
+    // is position 1 or any position following a space, and only starts at
+    // p ≤ L − 39 can anchor a full window — identical to the old
+    // running-prefix `aggregate` over split-words offsets (offsets_k =
+    // 1 + Σ(len+1) land exactly one past each space), but O(L) where
+    // array_append re-copied the accumulator per word (O(W²) interpreted
+    // HOF work per doc, the key's dominant per-task cost).
+    // Spread the window generation across the session width (r18): the
+    // fixture corpus is ONE parquet file → a 1-task scan stage, and the
+    // anchor/window HOF pipeline fuses into it — measured as a 1.6 s
+    // SERIAL stage at local[32] while 31 cores idled. The repartition
+    // shuffles only (doc_id, text) rows and unlocks cores for the
+    // CPU-bound part; pair cost is per WINDOW, not per byte, so width
+    // follows cores, not data size (same rationale as jaccardPairsFresh's
+    // pinned width). An already-split corpus at scale pays one narrow
+    // exchange it doesn't need — bounded by the scan it precedes.
+    val width = d.sparkSession.sessionState.conf.numShufflePartitions
     val wins = d
-      .select(col("doc_id"), col("text"), offsets.as("offs"))
-      .select(col("doc_id"), col("text"),
-        explode(expr("filter(offs, p -> p + 39 <= length(text))")).as("p"))
-      .select(col("doc_id"), expr("substring(text, p, 40)").as("win"))
+      .where(length(col("text")) >= 40)
+      .repartition(width, col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        """transform(
+          |  filter(sequence(1, length(text) - 39),
+          |    p -> p = 1 or substring(text, p - 1, 1) = ' '),
+          |  p -> substring(text, p, 40))""".stripMargin)).as("win"))
       .distinct()
     // one groupBy to (window → sorted doc set), then emit the ≤ C(16,2)
     // combinations IN-MAP — no self-join, no second scan of the windows
@@ -493,7 +523,12 @@ object Dedup {
     * what a bloom-filter pre-pass (join_bloom_prune's mechanism) prunes. */
   def dedupIncremental(spark: SparkSession, sf: String): DataFrame = {
     val fp = md5(concat_ws(" ", array_sort(array_distinct(words)))).as("fp")
-    val d = documents(spark, sf).select(col("doc_id"), col("lang"), fp)
+    // spread the per-doc canonicalize+md5 across the session width (r18):
+    // the single-file fixture scan otherwise runs it all on one task
+    val d = documents(spark, sf)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .select(col("doc_id"), col("lang"), fp)
     val hist = d.where(col("doc_id") % 3 =!= 0)
     val batch = d.where(col("doc_id") % 3 === 0)
     batch.join(hist.select(col("fp")), Seq("fp"), "left_anti")

@@ -129,6 +129,12 @@ object Text {
   private[graft] def shingles(spark: SparkSession, sf: String): DataFrame =
     graft.util.Memos.cached(shinglesMemo, spark, sf)(
       documents(spark, sf)
+        // spread the CPU-bound bigram/explode pipeline across the session
+        // width (r18): the fixture corpus is ONE parquet file → a 1-task
+        // scan stage that serialized the whole shingle build on one core;
+        // shingle cost is per WORD, not per byte, so width follows cores
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
         .select(col("doc_id"), col("lang"), bigrams.as("bg"))
         .select(col("doc_id"), col("lang"), size(col("bg")).as("n"),
           explode(col("bg")).as("sh"))
