@@ -429,8 +429,14 @@ object Dedup {
     // candidate/verify SPLIT: only (id, band-cell) rides the 16×
     // banding shuffle — the embedding payload (the heavy column at
     // 100 TB) is fetched ONCE per side for the distinct candidates, not
-    // copied into every band row
-    val e = d.withColumn("norm2", expr("vector_dot(vec, vec)"))
+    // copied into every band row. Spread across the session width first
+    // (r18): the single-file fixture scan otherwise fuses banding, the
+    // candidate join AND the partial distinct into one SERIAL task
+    // (measured 1.2 s at local[32]); pair cost is per candidate, not per
+    // byte, so width follows cores.
+    val width = d.sparkSession.sessionState.conf.numShufflePartitions
+    val e = d.repartition(width, col("id"))
+      .withColumn("norm2", expr("vector_dot(vec, vec)"))
     val banded = e.select(col("id"), explode(bands).as("b"))
     val cands = banded.select(col("id").as("id_a"), col("b"))
       .join(banded.select(col("id").as("id_b"), col("b")), Seq("b"))

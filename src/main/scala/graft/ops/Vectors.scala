@@ -943,7 +943,11 @@ object Vectors {
     * oracle and hash-matches. Ranks/ids only in the output (D3). */
   def vecTopkGlobal(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorDot.register(spark)
+    // spread the banding + candidate join off the 1-task single-file scan
+    // (r18, same rationale as cosinePairsOf)
     val e = embeddings(spark, sf)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
       .withColumn("norm2", expr("vector_dot(embedding, embedding)"))
     val bandStructs = array((0 until 16).map { k =>
       val bits = (0 until 4).map { j =>
@@ -1177,7 +1181,12 @@ object Vectors {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LshPrefilter))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LshPrefilter
+    // spread the probe side off the 1-task single-file scan (r18): each
+    // rewritten band join otherwise evaluates its residual cosine over
+    // every band-matching pair inside one serial task
     val e = embeddings(spark, sf)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, col("vec_a") < col("vec_b") &&
