@@ -465,9 +465,12 @@ object Pipeline {
         .localCheckpoint()
       drained = next.isEmpty
       if (!drained) {
+        // visited accumulates LAZILY over the per-hop checkpoints (r18):
+        // each union member is already materialized, so re-checkpointing
+        // the union every hop only re-copied the same rows — the union
+        // depth is bounded by maxHops, so the plan stays O(hops)
         visited = visited
           .unionByName(next.select(col("node"), lit(h).as("hop")))
-          .localCheckpoint()
         frontier = next
       }
       h += 1
