@@ -433,8 +433,10 @@ object Dedup {
     // (r18): the single-file fixture scan otherwise fuses banding, the
     // candidate join AND the partial distinct into one SERIAL task
     // (measured 1.2 s at local[32]); pair cost is per candidate, not per
-    // byte, so width follows cores.
-    val width = d.sparkSession.sessionState.conf.numShufflePartitions
+    // byte — but capped by DATA SIZE (r19, VERDICT r18 #2: width = cores
+    // unconditionally made the 2k-row fixture plan 32 tiny tasks and
+    // anti-scale; ~64 KB of embeddings per banding task).
+    val width = graft.util.Widths.dataWidth(d, 64 << 10)
     val e = d.repartition(width, col("id"))
       .withColumn("norm2", expr("vector_dot(vec, vec)"))
     val banded = e.select(col("id"), explode(bands).as("b"))
@@ -490,10 +492,12 @@ object Dedup {
     // follows cores, not data size (same rationale as jaccardPairsFresh's
     // pinned width). An already-split corpus at scale pays one narrow
     // exchange it doesn't need — bounded by the scan it precedes.
-    val width = d.sparkSession.sessionState.conf.numShufflePartitions
+    // r19: width follows input size (≈16 KB of text per window task —
+    // the per-char window HOF is the heaviest per-byte kernel here),
+    // capped at the session width (VERDICT r18 #2).
     val wins = d
       .where(length(col("text")) >= 40)
-      .repartition(width, col("doc_id"))
+      .repartition(graft.util.Widths.dataWidth(d, 16 << 10), col("doc_id"))
       .select(col("doc_id"), explode(expr(
         """transform(
           |  filter(sequence(1, length(text) - 39),
@@ -529,10 +533,13 @@ object Dedup {
     * what a bloom-filter pre-pass (join_bloom_prune's mechanism) prunes. */
   def dedupIncremental(spark: SparkSession, sf: String): DataFrame = {
     val fp = md5(concat_ws(" ", array_sort(array_distinct(words)))).as("fp")
-    // spread the per-doc canonicalize+md5 across the session width (r18):
-    // the single-file fixture scan otherwise runs it all on one task
-    val d = documents(spark, sf)
-      .repartition(spark.sessionState.conf.numShufflePartitions,
+    // spread the per-doc canonicalize+md5 across the data width (r18;
+    // r19 caps it by input size — ~32 KB of docs per md5 task, VERDICT
+    // r18 #2): the single-file fixture scan otherwise runs it all on one
+    // task
+    val base = documents(spark, sf)
+    val d = base
+      .repartition(graft.util.Widths.dataWidth(base, 32 << 10),
         col("doc_id"))
       .select(col("doc_id"), col("lang"), fp)
     val hist = d.where(col("doc_id") % 3 =!= 0)

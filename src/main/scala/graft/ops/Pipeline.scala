@@ -450,14 +450,29 @@ object Pipeline {
     * integers, set-deterministic (rules D2/D3). */
   def graphBfsHops(spark: SparkSession, sf: String): DataFrame = {
     val edges = syntheticEdges(spark, sf).localCheckpoint()
-    val maxHops = 4
-    var visited = documents(spark, sf)
+    val seeds = documents(spark, sf)
       .where(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("node"), lit(0).as("hop"))
-      .localCheckpoint()
+    bfsHopsOf(seeds, edges, maxHops = 4)
+  }
+
+  /** Re-checkpoint cadence for [[bfsHopsOf]]'s lazily-accumulated visited
+    * union: past this many un-checkpointed hops the union is barriered so
+    * the analyzer's plan depth stays O(this constant), not O(diameter) —
+    * the registered key's maxHops=4 never reaches it, but a deeper fixture
+    * must not stack-overflow the analyzer (VERDICT r18 #10; asserted in
+    * PipelineSpec on a 20-hop path graph). */
+  private[graft] val BfsRecheckpointEvery = 8
+
+  /** The BFS frontier loop, parameterized for the depth spec: seeds =
+    * (node, hop=0) rows, edges = (src, dst), already materialized. */
+  private[graft] def bfsHopsOf(seeds: DataFrame, edges: DataFrame,
+      maxHops: Int): DataFrame = {
+    var visited = seeds.localCheckpoint()
     var frontier = visited.select(col("node"))
     var h = 1
     var drained = false
+    var lazyDepth = 0 // union members stacked since the last barrier
     while (h <= maxHops && !drained) {
       val next = frontier.join(edges, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
@@ -467,10 +482,17 @@ object Pipeline {
       if (!drained) {
         // visited accumulates LAZILY over the per-hop checkpoints (r18):
         // each union member is already materialized, so re-checkpointing
-        // the union every hop only re-copied the same rows — the union
-        // depth is bounded by maxHops, so the plan stays O(hops)
+        // the union every hop only re-copied the same rows — but a chain
+        // growing with the graph's diameter would eventually overflow the
+        // analyzer, so every BfsRecheckpointEvery hops the union is
+        // collapsed into one fresh checkpoint (r19)
         visited = visited
           .unionByName(next.select(col("node"), lit(h).as("hop")))
+        lazyDepth += 1
+        if (lazyDepth >= BfsRecheckpointEvery) {
+          visited = visited.localCheckpoint()
+          lazyDepth = 0
+        }
         frontier = next
       }
       h += 1

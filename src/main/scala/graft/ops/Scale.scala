@@ -239,7 +239,7 @@ object Scale {
     * exchange on either side — the bucketing IS the exchange, paid once at
     * write time. This is the 100 TB pattern for repeated fact-fact joins;
     * ScaleSpec asserts the plan has no Exchange under the join. */
-  private val bucketedMemo = graft.util.Memos.memo[Unit]
+  private val bucketedMemo = graft.util.Memos.setupMemo[Unit]
   private val bucketedLock = new Object
 
   def joinBucketed(spark: SparkSession, sf: String): DataFrame = {
@@ -584,7 +584,7 @@ object Scale {
     * the fixture parquet; ANALYZE computes row counts plus NDVs for the
     * join keys and the filter column (what joinReorder's cost model
     * reads). */
-  private val cboReg = graft.util.Memos.memo[Boolean]
+  private val cboReg = graft.util.Memos.setupMemo[Boolean]
 
   private def cboRegister(spark: SparkSession, sf: String): Unit = {
     graft.util.Memos.cached(cboReg, spark, sf) {
@@ -767,7 +767,7 @@ object Scale {
   /** Catalog registration + evolution, once per (session, sf): external
     * tables over the fixture parquet plus one table whose schema is
     * evolved THROUGH the catalog after its files are written. */
-  private val catReg = graft.util.Memos.memo[Boolean]
+  private val catReg = graft.util.Memos.setupMemo[Boolean]
 
   private def catRegister(spark: SparkSession, sf: String): Unit = {
     graft.util.Memos.cached(catReg, spark, sf) {

@@ -77,12 +77,13 @@ object Streaming {
       try body finally spark.conf.set(key, prev)
     }
 
-  /** Run a streaming frame to completion into a memory sink, return the
-    * sink table as a batch frame. (Round-6 measurement: disabling no-data
-    * micro-batches here moved the 13-key subtotal 18.2→18.4 s — noise;
-    * the ~1.0-1.4 s/key floor is micro-batch-engine bring-up (query
-    * planning, offset/commit logs, store init), not the trailing empty
-    * batch, so the harness keeps the engine's default semantics.) */
+  /** Run a streaming frame to completion (foreachBatch accumulation with
+    * memory-sink semantics), return the result as a batch frame. A round-6
+    * measurement found no-data-batch removal a wash under the OLD
+    * driver-collect memory sink; re-measured in r19 under the r18
+    * foreachBatch drain, the trailing empty batch costs a full re-run of
+    * the Complete-mode output scan + localCheckpoint — see the r19 notes
+    * inside. */
   private def drain(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     // r18: foreachBatch materializes each micro-batch ON THE EXECUTORS
     // (eager localCheckpoint — the only action, so the batch plan runs
@@ -96,8 +97,32 @@ object Streaming {
     // returned frame via the ContextCleaner, same as before (round-16b
     // review: nothing pins results for the JVM lifetime).
     val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    withStreamShuffle(spark) {
+    // r19: two floor cuts, both output-neutral for this harness's shapes:
+    //  - checkpoint (offset/commit/state-delta) logs land on the
+    //    tmpfs-rooted Scratch instead of a disk-backed temp dir (guide §6
+    //    — these are many tiny fsync-ish metadata writes). UNIQUE dir per
+    //    invocation: reusing one would make the next run a checkpoint
+    //    RESUME that sees no new data and emits nothing.
+    //  - the trailing no-data micro-batch is disabled: with AvailableNow
+    //    over a single fixture file every operator here emits in its one
+    //    data batch (Complete re-emits everything per batch; Append dedup
+    //    and inner stream-stream joins emit on sight; Update stateful ops
+    //    emit per update) — the extra batch only re-ran the Complete-mode
+    //    output scan + localCheckpoint and advanced state eviction that
+    //    nothing downstream observes. Measured (KeyProf, 32c):
+    //    stream_dedup 1.53→0.96 s, stream_stream_join 2.51→1.6-1.9 s.
+    val ck = graft.util.Scratch.dir("drain_ck", "s") +
+      "/" + java.util.UUID.randomUUID().toString.take(12)
+    withSessionConfs(spark,
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+      // pre-merge session rows map-side before the stateful shuffle
+      // (engine rewrite, output-identical; only session_window plans read
+      // it). Measured: stream_session taskSum 3.1→2.0 s, wall 1.62→1.47 s.
+      "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition"
+        -> "true") {
       val q = df.writeStream.outputMode(mode)
+        .option("checkpointLocation", ck)
         .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
           val snap = b.localCheckpoint()
           buf.synchronized {

@@ -127,18 +127,21 @@ object Text {
   private val shinglesMemo = graft.util.Memos.memo[DataFrame]
 
   private[graft] def shingles(spark: SparkSession, sf: String): DataFrame =
-    graft.util.Memos.cached(shinglesMemo, spark, sf)(
-      documents(spark, sf)
-        // spread the CPU-bound bigram/explode pipeline across the session
-        // width (r18): the fixture corpus is ONE parquet file → a 1-task
-        // scan stage that serialized the whole shingle build on one core;
-        // shingle cost is per WORD, not per byte, so width follows cores
-        .repartition(spark.sessionState.conf.numShufflePartitions,
+    graft.util.Memos.cached(shinglesMemo, spark, sf) {
+      val docs = documents(spark, sf)
+      docs
+        // spread the CPU-bound bigram/explode pipeline off the 1-task
+        // single-file scan (r18); r19 caps the width by INPUT SIZE
+        // (VERDICT r18 #2 — width = cores planned 32 tiny tasks on the
+        // 5 000-doc fixture; ~64 KB of text per bigram/explode task, words
+        // are proportional to bytes here)
+        .repartition(graft.util.Widths.dataWidth(docs, 64 << 10),
           col("doc_id"))
         .select(col("doc_id"), col("lang"), bigrams.as("bg"))
         .select(col("doc_id"), col("lang"), size(col("bg")).as("n"),
           explode(col("bg")).as("sh"))
-        .localCheckpoint())
+        .localCheckpoint()
+    }
 
   /** Un-memoized pair kernel (DeterminismSpec re-runs it under both codegen
     * modes — a memo would make that comparison vacuous; the scan CONSUMES
@@ -244,10 +247,14 @@ object Text {
       val withIds = graft.util.Ids.zipWithIndex(
           terms.where(col("df") >= 2), "sid0", col("df"), col("sh"))
         .select(col("sh"), (col("sid0") + 1).cast("int").as("sid"))
+      // no checkpoint on the term table (r19): it is consumed exactly once
+      // (the broadcast build below) and zipWithIndex already materialized
+      // the expensive ordered shard inside withIds — checkpointing a
+      // vocabulary-sized frame here only added a job + a blockmgr
+      // round-trip per kernel build
       val termTable = terms.join(withIds, Seq("sh"), "left")
         .select(col("sh") +: col("sid") +: (1 to 8).map(j =>
           md5(concat(lit(s"$j:"), col("sh"))).as(s"g$j")): _*)
-        .localCheckpoint()
       d.join(termTable, "sh")
         .groupBy(col("lang"), col("doc_id"), col("n"))
         .agg(sort_array(collect_set(col("sid"))).as("sids"),
@@ -660,7 +667,14 @@ object Text {
       zip_with(slice(ws, lit(3), g4len), slice(ws, lit(4), g4len),
         (c, d) => concat(c, lit(" "), d)),
       (ab, cd) => concat(ab, lit(" "), cd))
+    // repartition on doc_id BEFORE the explode (r19): the single-file
+    // fixture scan otherwise runs the posexplode + per-gram md5 pass on
+    // ONE task, and the 5-row window right after needs hashpartitioning
+    // on doc_id anyway — this exchange replaces the window's (same count),
+    // it just moves ahead of the CPU-heavy projection. Width follows the
+    // input size (VERDICT r18 #2).
     val hashes = docs
+      .repartition(graft.util.Widths.dataWidth(docs, 64 << 10), col("doc_id"))
       .select(col("doc_id"), posexplode(g4))
       .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
     val w5 = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)

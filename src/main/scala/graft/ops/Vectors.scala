@@ -873,10 +873,61 @@ object Vectors {
     * broadcast; at scale the probe set is a sampled panel and this stays
     * a small-side join against two already-computed result sets. */
   def vecIvfRecall(spark: SparkSession, sf: String): DataFrame = {
-    val ivf = vecAnnIvf(spark, sf)
-      .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
-    val exact = vecKnnCosine(spark, sf).where(col("rank") <= 3)
-      .select(col("probe_id"), col("neighbor_id"))
+    // ONE shared scored-candidate set for both arms (r19, VERDICT r18 #6
+    // — the vec_ivf_nprobe_sweep r18 technique): the exact arm used to
+    // re-score all probe×cand pairs through the interpreted
+    // aggregate(zip_with(...)) cosine while the IVF arm re-planned the
+    // entire IVF pipeline. Both ranks now read one VectorDot-scored pair
+    // frame (scored ONCE, localCheckpoint — 20 k skinny rows at sf0.1):
+    //  - per probe, rank by dot(pe,ce)/|ce| == rank by cosine (1/|pe| is
+    //    constant inside the probe's window partition), the identical
+    //    argument ivfTopk already relies on, with the same
+    //    (score desc, cand_id asc) tie-break — so the exact top-3 set is
+    //    unchanged;
+    //  - the IVF answer = the same ranking restricted to candidates whose
+    //    cell sits in the probe's nprobe=4 ring — exactly ivfTopk(4)'s
+    //    inner join on cell, as a membership filter.
+    VectorDot.register(spark)
+    val e = embeddings(spark, sf)
+    val seeds: Array[(Long, Array[Float])] = e
+      .where(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val assign = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), cellExpr(seeds, "embedding").as("cell"))
+    val p = e.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val seedDf = e.where(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val pw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val pcells = p.crossJoin(broadcast(seedDf))
+      .withColumn("pcos",
+        expr("vector_dot(pe, cemb)") / sqrt(expr("vector_dot(cemb, cemb)")))
+      .withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= 4)
+      .groupBy(col("probe_id")).agg(collect_set(col("cid")).as("cells"))
+      .withColumnRenamed("probe_id", "ring_probe")
+    val scored = assign.crossJoin(broadcast(p))
+      .where(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos",
+        expr("vector_dot(pe, ce)") / sqrt(expr("vector_dot(ce, ce)")))
+      .select(col("probe_id"), col("cand_id"), col("cell"), col("cos"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val exact = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("probe_id"), col("cand_id").as("neighbor_id"))
+    val ivf = scored
+      .join(broadcast(pcells), col("probe_id") === col("ring_probe"))
+      .where(array_contains(col("cells"), col("cell")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("probe_id"), col("cand_id").as("neighbor_id"),
+        lit(1).as("hit"))
     exact.join(broadcast(ivf), Seq("probe_id", "neighbor_id"), "left")
       .groupBy(col("probe_id"))
       .agg(count(lit(1)).as("k"),
@@ -944,9 +995,11 @@ object Vectors {
   def vecTopkGlobal(spark: SparkSession, sf: String): DataFrame = {
     graft.functions.VectorDot.register(spark)
     // spread the banding + candidate join off the 1-task single-file scan
-    // (r18, same rationale as cosinePairsOf)
-    val e = embeddings(spark, sf)
-      .repartition(spark.sessionState.conf.numShufflePartitions,
+    // (r18, same rationale as cosinePairsOf; r19 caps width by input
+    // size — VERDICT r18 #2)
+    val emb = embeddings(spark, sf)
+    val e = emb
+      .repartition(graft.util.Widths.dataWidth(emb, 64 << 10),
         col("vec_id"))
       .withColumn("norm2", expr("vector_dot(embedding, embedding)"))
     val bandStructs = array((0 until 16).map { k =>
@@ -1183,9 +1236,11 @@ object Vectors {
         spark.experimental.extraOptimizations :+ graft.plans.LshPrefilter
     // spread the probe side off the 1-task single-file scan (r18): each
     // rewritten band join otherwise evaluates its residual cosine over
-    // every band-matching pair inside one serial task
-    val e = embeddings(spark, sf)
-      .repartition(spark.sessionState.conf.numShufflePartitions,
+    // every band-matching pair inside one serial task. r19: width capped
+    // by input size (VERDICT r18 #2).
+    val emb = embeddings(spark, sf)
+    val e = emb
+      .repartition(graft.util.Widths.dataWidth(emb, 64 << 10),
         col("vec_id"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))

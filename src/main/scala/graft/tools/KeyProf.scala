@@ -64,6 +64,9 @@ object KeyProf {
       val fn = graft.SparkEntry.queries(k)
       (1 to reps).foreach { r =>
         jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0L); stageAgg.clear()
+        // same memo discipline as Bench (VERDICT r18 #3): every run pays
+        // its shared-kernel cost, so profiles match bench numbers
+        graft.util.Memos.dropResults(spark.sparkContext)
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9

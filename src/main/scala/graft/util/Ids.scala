@@ -25,7 +25,12 @@ object Ids {
   def zipWithIndex(df: DataFrame, idName: String, order: Column*): DataFrame = {
     require(order.nonEmpty, "zipWithIndex needs at least one order column")
     val spark = df.sparkSession
-    val width = spark.sessionState.conf.numShufflePartitions
+    // width follows the INPUT SIZE, capped at the session shuffle width
+    // (r19, VERDICT r18 #2): ids are width-invariant — range partitioning
+    // preserves the global order, so id = partition offset + local index
+    // equals the global rank at ANY width — and a KB-scale vocabulary
+    // paid 32 sort/checkpoint/zip tasks for rows that fit in one.
+    val width = Widths.dataWidth(df, 4 << 20)
     val sharded = df.repartitionByRange(width, order: _*)
       .sortWithinPartitions(order: _*)
       .localCheckpoint()

@@ -26,12 +26,30 @@ object Memos {
 
   private val registered =
     new java.util.concurrent.CopyOnWriteArrayList[Memo[_]]()
+  private val setupRegistered =
+    new java.util.concurrent.CopyOnWriteArrayList[Memo[_]]()
   private val hooked = TrieMap.empty[SparkContext, Boolean]
 
-  /** A fresh memo table, registered for eviction (call at object init). */
+  /** A fresh RESULT memo table, registered for eviction (call at object
+    * init). Result memos cache computed intermediates (the shared
+    * text/dedup/vector kernels); [[dropResults]] clears them so a timed
+    * consumer pays its kernel's standalone cost (VERDICT r18 #3). */
   def memo[V]: Memo[V] = {
     val m = TrieMap.empty[(SparkSession, String), V]
     registered.add(m)
+    m
+  }
+
+  /** A fresh SETUP memo table: idempotent environment preparation —
+    * catalog DDL, ANALYZE stats, bucketed-table layouts — that is the
+    * fixture an operator runs AGAINST, not work the operator performs
+    * (joinBucketed's bucketing is "the exchange paid once at write time"
+    * by design). Evicted at ApplicationEnd like every memo, but NOT by
+    * [[dropResults]]: re-running DDL per bench run would time fixture
+    * construction, not the operator. */
+  def setupMemo[V]: Memo[V] = {
+    val m = TrieMap.empty[(SparkSession, String), V]
+    setupRegistered.add(m)
     m
   }
 
@@ -72,10 +90,24 @@ object Memos {
     * the ApplicationEnd listener runs; also directly testable). */
   private[graft] def evict(sc: SparkContext): Unit = {
     hooked.remove(sc)
-    registered.forEach { m =>
+    drop(registered, sc)
+    drop(setupRegistered, sc)
+  }
+
+  /** Drop only the RESULT-kernel entries for `sc`, leaving idempotent
+    * setup (catalog/bucketing registration) in place. Bench calls this
+    * before every timed run so each per-key number includes the full
+    * standalone cost of any shared memoized kernel the key consumes
+    * (VERDICT r18 #3: min-of-N otherwise reported memo-warm minima). */
+  private[graft] def dropResults(sc: SparkContext): Unit =
+    drop(registered, sc)
+
+  private def drop(
+      list: java.util.concurrent.CopyOnWriteArrayList[Memo[_]],
+      sc: SparkContext): Unit =
+    list.forEach { m =>
       m.keySet.toSeq.foreach { k =>
         if (k._1.sparkContext eq sc) m.remove(k)
       }
     }
-  }
 }

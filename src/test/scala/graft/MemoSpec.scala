@@ -26,4 +26,28 @@ class MemoSpec extends AnyFunSuite {
     assert(get() == 42 && builds == 2)
     assert(graft.util.Memos.isHooked(spark.sparkContext))
   }
+
+  test("dropResults clears result memos but spares setup memos " +
+      "(bench per-run eviction, VERDICT r18 #3)") {
+    val result = graft.util.Memos.memo[Int]
+    val setup = graft.util.Memos.setupMemo[Int]
+    var resultBuilds = 0; var setupBuilds = 0
+    def getResult() =
+      graft.util.Memos.cached(result, spark, "sfY") { resultBuilds += 1; 1 }
+    def getSetup() =
+      graft.util.Memos.cached(setup, spark, "sfY") { setupBuilds += 1; 2 }
+    assert(getResult() == 1 && getSetup() == 2)
+    graft.util.Memos.dropResults(spark.sparkContext)
+    assert(result.isEmpty, "dropResults must clear result-kernel memos")
+    assert(setup.contains((spark, "sfY")),
+      "dropResults must NOT clear idempotent setup memos")
+    assert(getResult() == 1 && resultBuilds == 2,
+      "a dropped result memo rebuilds on next use")
+    assert(getSetup() == 2 && setupBuilds == 1,
+      "the setup memo must still be warm")
+    // full eviction (application end) clears BOTH registries
+    graft.util.Memos.evict(spark.sparkContext)
+    assert(result.isEmpty && setup.isEmpty,
+      "evict must drain setup memos too")
+  }
 }
