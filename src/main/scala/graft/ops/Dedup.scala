@@ -492,12 +492,13 @@ object Dedup {
     // follows cores, not data size (same rationale as jaccardPairsFresh's
     // pinned width). An already-split corpus at scale pays one narrow
     // exchange it doesn't need — bounded by the scan it precedes.
-    // r19: width follows input size (≈16 KB of text per window task —
-    // the per-char window HOF is the heaviest per-byte kernel here),
-    // capped at the session width (VERDICT r18 #2).
+    // r19: width follows input size (≈8 KB of text per window task — the
+    // per-char window HOF is the heaviest per-byte kernel in the registry;
+    // 16 KB measured +0.2 s vs the full session width at sf0.1), capped at
+    // the session width (VERDICT r18 #2).
     val wins = d
       .where(length(col("text")) >= 40)
-      .repartition(graft.util.Widths.dataWidth(d, 16 << 10), col("doc_id"))
+      .repartition(graft.util.Widths.dataWidth(d, 8 << 10), col("doc_id"))
       .select(col("doc_id"), explode(expr(
         """transform(
           |  filter(sequence(1, length(text) - 39),

@@ -574,6 +574,11 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"))
     val name = s"late_${UUID.randomUUID().toString.replace("-", "")}"
+    // NOTE (r19): noDataMicroBatches must stay ON here, unlike the drain
+    // family — the planted late-row drop needs the empty batch after
+    // processAllAvailable to commit the advanced watermark before batch 2
+    // arrives (StreamingSpec fails with it disabled; measured, not
+    // assumed).
     withStreamShuffle(spark) {
       val q = agg.writeStream.outputMode(OutputMode.Update()).format("memory")
         .queryName(name).start()

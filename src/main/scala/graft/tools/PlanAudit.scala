@@ -12,9 +12,13 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val keys = args(1).split(",")
+    // same env-driven session shape as Bench/KeyProf (default stays the
+    // historical local[4]) so width-sensitive plan evidence (r19 dataWidth
+    // caps vs the session shuffle width) is visible at the bench's width
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
