@@ -55,11 +55,23 @@ object Pipeline {
     val sessionWidth = spark.sessionState.conf.numShufflePartitions
     def widthFor(edgeCount: Long): Int =
       math.max(1L, math.min(sessionWidth.toLong, edgeCount / 100000L + 1L)).toInt
+    // AQE off inside each round (r19): every exchange in the round is
+    // already explicitly sized (repartition(w, s) / the atWidth shuffle
+    // width), so adaptive re-planning buys nothing here — it only splits
+    // each round's localCheckpoint into one DRIVER JOB PER QUERY STAGE
+    // (~5-6 jobs/round observed; 55 jobs for dedup_lsh_cc end-to-end) and
+    // the driver-side job latency, not the tasks, dominates the loop.
+    // With AQE off a round is 2 jobs: the checkpoint and the checksum.
+    // Output is partitioning-invariant (DeterminismSpec pins it).
     def atWidth[T](w: Int)(body: => T): T = spark.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prevW = spark.conf.get(key)
-      spark.conf.set(key, w.toString)
-      try body finally spark.conf.set(key, prevW)
+      val keys = Seq("spark.sql.shuffle.partitions" -> w.toString,
+        "spark.sql.adaptive.enabled" -> "false")
+      val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
     }
     val nodes = edges0.select(col("s").as("id"))
       .unionByName(edges0.select(col("t").as("id"))).distinct()
